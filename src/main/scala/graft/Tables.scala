@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Catalog for the driver-generated test tables (see /root/repo/TESTDATA.md and
+ * /root/repo/FIXTURES.md): TPC-H-ish star schema (`region nation customer supplier
+ * part orders lineitem`) plus the LLM-pipeline tables (`events documents embeddings`).
+ *
+ * Design notes (100 TB posture):
+ *  - Plain `spark.read.parquet` scans: Catalyst pushes predicates/projections into the
+ *    parquet reader, so callers should NOT pre-materialize; they get pruning for free.
+ *  - `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+ *    rejects ([PARQUET_TYPE_ILLEGAL]). We read it with
+ *    `spark.sql.legacy.parquet.nanosAsLong=true` and floor-divide to micros with integer
+ *    `div` (NOT `/`, which goes through DOUBLE and loses precision above 2^53 — epoch
+ *    nanos are ~1.7e18). This matches DuckDB's ns->us truncation, which the oracle relies
+ *    on.
+ *  - DataFrame handles are memoized per (session, dir) so a multi-query run reuses one
+ *    logical subtree per table (plan-level reuse only — no forced materialization).
+ *    When `spark.graft.cacheTables=true` (set by [[Bench]]), tables are additionally
+ *    `persist()`ed: at bench scale every table comfortably fits in memory, and ~30
+ *    queries re-scan each table many times. On a real cluster you would leave this off
+ *    and rely on the parquet scan + AQE.
+ */
+object Tables {
+  val starSchema: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val llmTables: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = starSchema ++ llmTables
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = name match {
+      case "events" =>
+        // TIMESTAMP(NANOS) parquet: read the raw int64 nanos, truncate to micros.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read
+          .parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        spark.read.parquet(s"$sfDir/$other.parquet")
+    }
+    if (spark.conf.getOption("spark.graft.cacheTables").contains("true")) df.persist()
+    else df
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = apply(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Relational
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics in batch form (SURVEY.md §2: A9/A22 key semantics, B6 windows,
+ * B10/B11 time windows + sessionization, B15 JSON extraction). These are the
+ * deterministic batch twins of the streaming layer in `graft.streaming`; the DuckDB
+ * oracle verifies the batch semantics, ScalaTest verifies the streaming equivalents.
+ *
+ * Timestamps: `events.ts` arrives as ns-precision parquet, truncated to µs on load
+ * (see [[graft.Tables]]). All emitted time values are epoch integers (BIGINT) so the
+ * oracle hash never depends on timestamp encoding.
+ */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def r2(c: Column) = round(c, 2)
+
+  val queries: Map[String, Q] = Map(
+    // A9/A27: latest-per-key — the reference's Cassandra PK upsert (last-write-wins)
+    // as a ranking window over the shuffle on the key.
+    "q_latest_per_key" -> { (s, d) =>
+      Relational.latestPerKey(Tables.events(s, d), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // A22: idempotent incremental consumption — anti-join against processed keys
+    // (replaces the reference's non-atomic tombstone UPDATE; re-run inserts zero).
+    "q_incremental_antijoin" -> { (s, d) =>
+      val processed = Tables.events(s, d)
+        .filter(col("event_id") % 3 === 0).select(col("event_id"))
+      Relational.incrementalAntiJoin(
+          Tables.events(s, d).filter(col("event_type") =!= "error"),
+          processed, Seq("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    },
+
+    // A14/B15: schema-on-read JSON extraction from the props payload.
+    "q_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"),
+          max(col("k")).as("k_max"))
+        .orderBy(col("event_type"), col("k_mod"))
+    },
+
+    // B10: tumbling 1-hour windows (batch twin of the streaming windowed agg).
+    "q_time_tumbling" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // B10: sliding 2h/1h windows — each event lands in exactly two windows.
+    "q_time_sliding" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
+    },
+
+    // B11: sessionization (30-min gap) — batch gaps-and-islands twin of
+    // session_window; see graft.operators.Relational.sessionize.
+    "q_sessionize" -> { (s, d) =>
+      val sessions = Relational
+        .sessionize(Tables.events(s, d), "user_id", "ts", 1800L, Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+      sessions.groupBy(col("user_id"))
+        .agg((max(col("session_id")) + 1).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("dur_us")).as("max_dur_us"))
+        .orderBy(col("user_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_incremental_antijoin" ->
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events e
+        |WHERE event_type <> 'error'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |    WHERE p.event_id % 3 = 0 AND p.event_id = e.event_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, CAST(json_extract(props,'$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n, round(sum(value),2) AS sum_value,
+        | max(CAST(json_extract(props,'$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin,
+
+    "q_time_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q_time_sliding" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS BIGINT) AS win_start,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) sl
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |   max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, max(session_id) + 1 AS n_sessions, sum(n_events) AS n_events,
+        | max(dur_us) AS max_dur_us
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

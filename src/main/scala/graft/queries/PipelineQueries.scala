@@ -1,0 +1,6 @@
+package graft.queries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+object PipelineQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracle: Map[String, String] = Map()
+}

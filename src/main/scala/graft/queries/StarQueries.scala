@@ -1,0 +1,421 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Relational
+import graft.functions.WeightedMean
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Star-schema analytics query set (SURVEY.md §2 Part B: B1-B9, B16, B17) — the Spark
+ * re-expression of the analytics surface the reference delegates to ClickHouse/Superset
+ * (reference README.md:38-64, dashboard charts A25-A29).
+ *
+ * Determinism contract with the DuckDB oracle (SURVEY.md §7.4): every query ends in a
+ * total ORDER BY with unique tiebreakers; every float aggregate is `round`ed (2 decimals
+ * for large sums, 4 for averages/ratios); integral outputs are cast to BIGINT so Spark
+ * and DuckDB parquet schemas agree; dates are emitted as DATE, never raw timestamps.
+ *
+ * Scale notes: dimension joins (region/nation/part/supplier) are explicit `broadcast`s —
+ * at 100 TB the fact side never shuffles for those. Fact-to-fact joins (lineitem⋈orders)
+ * shuffle on the join key; AQE handles skew at runtime.
+ */
+object StarQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def r2(c: Column) = round(c, 2)
+  private def r4(c: Column) = round(c, 4)
+
+  val queries: Map[String, Q] = Map(
+    // B4: multi-aggregate hash aggregation with a pushed-down scan predicate
+    // (the reference's "macronutrient bars per item" A25, generalized).
+    "q_agg_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // B1+B2: 5-way star join, dims broadcast, facts shuffle on keys (A6 generalized).
+    "q_join_star" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // B2: explicit broadcast dimension join on the biggest fact table.
+    "q_join_broadcast" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          r2(sum(col("l_extendedprice"))).as("sum_ext"),
+          r4(avg(col("p_retailprice"))).as("avg_retail"))
+        .orderBy(col("p_brand"))
+    },
+
+    // B1: left-semi join (EXISTS) — customers with at least one urgent order.
+    "q_join_semi" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // B1: left-anti join (NOT EXISTS) — customers who never placed a >450k order
+    // (A22's shape; the unfiltered variant is empty at sf>=0.01, so filter to keep
+    // the check meaningful).
+    "q_join_anti" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // B3: range (theta) join against a tiny in-memory band dimension — broadcast
+    // nested-loop by construction, the only sane plan for a non-equi join at scale.
+    "q_join_range" -> { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        (0L, 0.0, 100000.0), (1L, 100000.0, 200000.0), (2L, 200000.0, 300000.0),
+        (3L, 300000.0, 400000.0), (4L, 400000.0, 1000000.0))
+        .toDF("band_id", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("band_id"))
+    },
+
+    // B5: rollup with grouping indicators over the geography hierarchy.
+    "q_agg_rollup" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          r2(sum(col("c_acctbal"))).as("sum_bal"),
+          grouping(col("r_name")).cast("long").as("g_r"),
+          grouping(col("n_name")).cast("long").as("g_n"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("n_cust"), col("sum_bal"), col("g_r"), col("g_n"))
+        .orderBy(col("g_r"), col("g_n"), col("r_name"), col("n_name"))
+    },
+
+    // B5: cube over lineitem status flags.
+    "q_agg_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_f"),
+          grouping(col("l_linestatus")).cast("long").as("g_s"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"), col("g_f"), col("g_s"))
+        .orderBy(col("g_f"), col("g_s"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // B4: exact count-distinct per group (HLL's exact twin — approx_count_distinct is
+    // the 100 TB path but is excluded from hash-verified queries by design).
+    "q_agg_distinct" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n"),
+          r2(sum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // B6+B7: top-k per group via ranking window (A27 latest-per-key generalized).
+    "q_window_rank" -> { (s, d) =>
+      Relational.topKPerGroup(Tables.part(s, d), Seq("p_brand"),
+          Seq(col("p_retailprice").desc, col("p_partkey")), 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rnk"))
+    },
+
+    // B6: lag across a per-customer order timeline.
+    "q_window_lag" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date"))
+            .cast("long").as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // B6: moving-frame aggregates (running sum + 3-row moving average).
+    "q_window_frame" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          r2(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .as("running_sum"),
+          r4(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0))).as("mavg3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // B7: global top-k under a total order (TakeOrderedAndProject — no full sort).
+    "q_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // B8: UNION (distinct) of two key sets.
+    "q_set_union" -> { (s, d) =>
+      val negBal = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("custkey"))
+      negBal.union(bigSpenders).distinct().orderBy(col("custkey"))
+    },
+
+    // B8: INTERSECT.
+    "q_set_intersect" -> { (s, d) =>
+      val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(urgent).orderBy(col("custkey"))
+    },
+
+    // B8: EXCEPT — BUILDING-segment customers minus big spenders.
+    "q_set_except" -> { (s, d) =>
+      val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("custkey"))
+      building.except(bigSpenders).orderBy(col("custkey"))
+    },
+
+    // B16: scalar string/math function battery (A5/A18/A20 generalized).
+    "q_scalar_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          r4(log(col("p_retailprice") + 1)).as("log_price"),
+          abs(col("p_size") - 25).cast("long").as("size_dev"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          (col("p_partkey") % 7).cast("long").as("k7"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // B16: date function battery (A8's timestamping generalized).
+    "q_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch_start"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // B17: custom typed Aggregator UDAF — quantity-weighted mean price per flag.
+    "q_udaf_weighted" -> { (s, d) =>
+      val wm = udaf(new WeightedMean)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(r4(wm(col("l_extendedprice"), col("l_quantity"))).as("wmean_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS sum_ext,
+        | round(avg(p_retailprice),4) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT band_id, count(*) AS n, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders JOIN (VALUES (0,0.0,100000.0),(1,100000.0,200000.0),
+        |  (2,200000.0,300000.0),(3,300000.0,400000.0),(4,400000.0,1000000.0))
+        |  AS bands(band_id, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT coalesce(r_name,'ALL') AS r_name, coalesce(n_name,'ALL') AS n_name,
+        | n_cust, sum_bal, g_r, g_n FROM (
+        |  SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal,
+        |   CAST(grouping(r_name) AS BIGINT) AS g_r, CAST(grouping(n_name) AS BIGINT) AS g_n
+        |  FROM customer
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY ROLLUP(r_name, n_name))
+        |ORDER BY g_r, g_n, r_name, n_name""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS l_returnflag,
+        | coalesce(l_linestatus,'ALL') AS l_linestatus, n, sum_qty, g_f, g_s FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+        |   CAST(grouping(l_returnflag) AS BIGINT) AS g_f, CAST(grouping(l_linestatus) AS BIGINT) AS g_s
+        |  FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus))
+        |ORDER BY g_f, g_s, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n,
+        | round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |   CAST(row_number() OVER (PARTITION BY p_brand
+        |     ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(date_diff('day',
+        |   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_sum,
+        | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS mavg3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT custkey FROM (
+        | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        | UNION
+        | SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT custkey FROM (
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT custkey FROM (
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY custkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name,1,5)) AS name5,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        | round(ln(p_retailprice + 1),4) AS log_price,
+        | CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+        | concat_ws('|', p_brand, p_type) AS bt,
+        | CAST(p_partkey % 7 AS BIGINT) AS k7
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |   AS days_since_epoch_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_udaf_weighted" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity),4) AS wmean_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
