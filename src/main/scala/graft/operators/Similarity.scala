@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate/exact nearest-neighbor search over embedding columns (SURVEY.md B12 —
+ * the LLM-pipeline similarity-search operator family).
+ *
+ * Scale design: the exact path broadcasts the (small) query set and streams the
+ * corpus — one pass, no shuffle of the corpus, per-partition top-k then a tiny final
+ * top-k. The approximate paths (IVF, sign-LSH) first shuffle the corpus ONCE into
+ * content-derived buckets and probe only matching buckets — the 100 TB shape, where a
+ * full scan per query batch is not affordable.
+ */
+object Similarity {
+
+  /**
+   * Exact brute-force top-k cosine neighbors for each query vector.
+   * `queries`: (q_id, q_vec); `corpus`: (vec_id, embedding). The broadcast join
+   * keeps the corpus un-shuffled; ranking on round(cos,4) with vec_id tiebreak makes
+   * the cut deterministic across engines.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /**
+   * IVF-style approximate top-k: the corpus is pre-bucketed by nearest centroid (one
+   * shuffle, amortized over all queries); each query probes only its `nprobe` nearest
+   * centroid buckets. Recall < 1 by design; at 100 TB the probed fraction is
+   * nprobe/nlist of the corpus instead of all of it.
+   * `centroids`: (centroid_id, c_vec) — small, broadcast everywhere.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    def nearest(vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(df.columns.head).orderBy(
+        col("cdist").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", round(VectorOps.cosine(col(vecCol), col("c_vec")), 4))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= n)
+        .drop("c_vec", "cdist", "crnk")
+        .withColumnRenamed("centroid_id", idOut)
+    }
+    val bucketed = nearest("embedding", "bucket", 1)(corpus)
+    val probes = nearest("q_vec", "bucket", nprobe)(queries)
+    val scored = bucketed.join(probes, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /**
+   * Embedding near-dup pairs with sign-LSH blocking: vectors sharing the sign pattern
+   * of their first `bits` components (and the same `blockCols`) are compared; pairs
+   * with round(cosine,4) >= threshold survive. Exact within a bucket; recall < 1
+   * across buckets by construction (documented LSH trade-off).
+   */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 3,
+                   blockCols: Seq[String] = Nil): DataFrame = {
+    val withBucket = corpus.withColumn("bucket", VectorOps.signBucket(col("embedding"), bits))
+    val keys = ("bucket" +: blockCols)
+    val joined = withBucket.as("a").join(withBucket.as("b"),
+      keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+        col("a.vec_id") < col("b.vec_id"))
+    joined
+      .withColumn("cos", round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+}

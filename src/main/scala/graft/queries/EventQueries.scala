@@ -130,14 +130,15 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, event_id, ts,
-        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |  FROM flagged),
         |per_session AS (
         |  SELECT user_id, session_id, count(*) AS n_events,
         |   max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
         |  FROM sessions GROUP BY user_id, session_id)
-        |SELECT user_id, max(session_id) + 1 AS n_sessions, sum(n_events) AS n_events,
+        |SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+        | CAST(sum(n_events) AS BIGINT) AS n_events,
         | max(dur_us) AS max_dur_us
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
   )

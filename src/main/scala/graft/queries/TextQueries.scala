@@ -1,6 +1,281 @@
 package graft.queries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.TextOps
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis + deduplication query set over the `documents` table (SURVEY.md §2
+ * Part B: B13/B14 and the LLM-pipeline north-star operators: exact dedup, MinHash+LSH,
+ * SimHash, n-gram Jaccard, fingerprinting, language-ID heuristic, quality scoring,
+ * token counting). A28's word-cloud term frequency is q_text_wordcount.
+ *
+ * All hashes are MD5-derived so DuckDB computes bit-identical values (see
+ * [[graft.functions.TextOps]]).
+ */
 object TextQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+  type Q = (SparkSession, String) => DataFrame
+  private def r4(c: Column) = round(c, 4)
+
+  private val stopwords = Seq("the", "a")
+  private val langMarkers =
+    Seq(("de", "join"), ("en", "the"), ("es", "row"), ("fr", "table"), ("zh", "scan"))
+
+  val queries: Map[String, Q] = Map(
+    // A28/B13: term frequency over the corpus — the word-cloud aggregation.
+    "q_text_wordcount" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20)
+    },
+
+    // B13: per-language corpus stats.
+    "q_text_langstats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          r4(avg(col("n_chars"))).as("avg_chars"),
+          r4(avg(TextOps.tokenCount(col("text")))).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    },
+
+    // Quality scoring: lexical diversity + stopword share, top-100 under total order.
+    "q_text_quality" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          size(TextOps.tokenSet(col("text"))).cast("long").as("n_uniq"),
+          r4(TextOps.qualityScore(col("text"), stopwords)).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+    },
+
+    // Language-ID heuristic: marker-token votes, argmax with deterministic tiebreak;
+    // output is the lang x predicted confusion matrix.
+    "q_text_langid" -> { (s, d) =>
+      import s.implicits._
+      val markers = langMarkers.toDF("cand_lang", "marker")
+      val scored = Tables.documents(s, d)
+        .crossJoin(broadcast(markers))
+        .select(col("doc_id"), col("lang"), col("cand_lang"),
+          size(filter(TextOps.tokens(col("text")), t => t === col("marker")))
+            .cast("long").as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand_lang"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("lang"), col("cand_lang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // B13: token counting — whitespace tokens vs regex word tokens vs chars.
+    "q_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("text"), lit("[a-z]+"))).cast("long").as("n_word_tokens"),
+          sum(TextOps.tokenCount(col("text"))).cast("long").as("n_ws_tokens"),
+          sum(length(col("text"))).cast("long").as("n_chars_sum"))
+        .orderBy(col("lang"))
+    },
+
+    // Exact dedup by content (deterministic representative, md5 fingerprint).
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exactByText(Tables.documents(s, d)).orderBy(col("keep_id"))
+    },
+
+    // B14: token-set fingerprint groups (reordered/repeated-vocab near-dups).
+    "q_dedup_fingerprint" -> { (s, d) =>
+      Dedup.fingerprintGroups(Tables.documents(s, d)).orderBy(col("keep_id"))
+    },
+
+    // MinHash + LSH near-dup pairs (8 hashes, 4 bands x 2) + exact-Jaccard verify.
+    "q_dedup_minhash" -> { (s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), 3, 8, 2, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Exact 3-gram Jaccard with rarest-shingle prefix-filter blocking.
+    "q_dedup_ngram" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // 60-bit SimHash values (bit-exact vs the oracle) on a doc_id prefix.
+    "q_text_simhash" -> { (s, d) =>
+      Dedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 200))
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash banded near-dup pairs (4 x 15-bit bands, Hamming <= 6).
+    "q_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Order-sensitive rolling polynomial fingerprint (B14 variant).
+    "q_text_rollinghash" -> { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // DuckDB-side shingle set: distinct word 3-grams of the space-split text.
+  private val duckShingles =
+    """CASE WHEN len(t) >= 3
+      | THEN list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' ')))
+      | ELSE [] END""".stripMargin
+  private val duckSets =
+    s"""sets AS (
+       |  SELECT doc_id, $duckShingles AS shset
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_text_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q_text_langstats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(n_chars),4) AS avg_chars,
+        | round(avg(len(string_split(text,' '))),4) AS avg_tokens,
+        | count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+        | round(0.5 * (len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' '))::DOUBLE)
+        |   + 0.5 * (1.0 - len(list_filter(string_split(text,' '), t -> t IN ('the','a')))::DOUBLE
+        |                  / len(string_split(text,' '))::DOUBLE),4) AS score
+        |FROM documents ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH markers(cand_lang, marker) AS (VALUES
+        |  ('de','join'),('en','the'),('es','row'),('fr','table'),('zh','scan')),
+        |scored AS (
+        |  SELECT doc_id, lang, cand_lang,
+        |   CAST(len(list_filter(string_split(text,' '), t -> t = marker)) AS BIGINT) AS score
+        |  FROM documents CROSS JOIN markers),
+        |best AS (
+        |  SELECT doc_id, lang, cand_lang AS predicted,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+        |  FROM scored)
+        |SELECT lang, predicted, count(*) AS n FROM best WHERE rn = 1
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_word_tokens,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_ws_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS text_hash
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+        | count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $duckSets,
+         |ex AS (SELECT doc_id, unnest(shset) AS sh FROM sets),
+         |hashes AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || sh)) AS mh
+         |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS i) hh
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 2 AS band, string_agg(mh, ',' ORDER BY i) AS sig
+         |  FROM hashes GROUP BY doc_id, i // 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |   round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |     / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 4) AS jaccard
+         |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $duckSets,
+         |ex AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sets),
+         |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+         |prefix AS (
+         |  SELECT doc_id, sh AS block FROM (
+         |    SELECT e.doc_id, e.sz, e.sh,
+         |     row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
+         |    FROM ex e JOIN df d USING (sh)) WHERE rn <= sz - ceil(0.8 * sz) + 1),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM prefix a JOIN prefix b
+         |    ON a.block = b.block AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |   round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |     / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 4) AS jaccard
+         |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |        FROM documents WHERE doc_id < 200)),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |   sum(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM toks CROSS JOIN (SELECT unnest(range(60)) AS p) pp
+        |  GROUP BY doc_id, p)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |   sum(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM toks CROSS JOIN (SELECT unnest(range(60)) AS p) pp
+        |  GROUP BY doc_id, p),
+        |sh AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) % 32768 AS bandval
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_rollinghash" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text,' '),
+        |       t -> CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) % 2147483647)),
+        |   (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+  )
 }

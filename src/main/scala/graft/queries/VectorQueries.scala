@@ -1,6 +1,126 @@
 package graft.queries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.VectorOps
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity-search query set over the `embeddings` table (SURVEY.md B12 + the
+ * LLM-pipeline north-star: brute-force exact top-k, IVF approximate top-k, sign-LSH
+ * blocked embedding near-dup, per-label vector stats).
+ *
+ * Cross-engine float determinism: all dot products are accumulated in DOUBLE over the
+ * float32 inputs in index order on both engines; ranking/thresholding always happens
+ * on round(cos, 4) with vec_id tiebreaks, so the top-k cut is stable.
+ */
 object VectorQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB cosine between two DOUBLE[] expressions. */
+  private def dcos(a: String, b: String): String =
+    s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),4)"
+
+  val queries: Map[String, Q] = Map(
+    // B12 exact path: broadcast 5 query vectors, stream the corpus once, top-5 each.
+    "q_sim_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(qs, emb.select(col("vec_id"), col("embedding")), 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // B12 approximate path: IVF with 8 fixed centroids, nprobe=2, top-5.
+    "q_sim_ann_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("c_vec"))
+      val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(qs, emb.select(col("vec_id"), col("embedding")),
+          centroids, 5, 2)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Embedding-cosine near-dup with sign-LSH blocking (recall bounded by blocking —
+    // the documented LSH trade-off; exact within buckets).
+    "q_dedup_embed" -> { (s, d) =>
+      Similarity.nearDupPairs(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 0.3, 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Vector column stats per label (array aggregation exercise).
+    "q_vec_stats" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(VectorOps.l2Norm(col("embedding"))), 4).as("avg_norm"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_c1"))
+        .orderBy(col("label"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${dcos("qv", "v")} AS cos
+         |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_sim_ann_ivf" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+         |bucketed AS (
+         |  SELECT vec_id, v, centroid_id AS bucket FROM (
+         |    SELECT c.vec_id, c.v, t.centroid_id,
+         |     row_number() OVER (PARTITION BY c.vec_id
+         |       ORDER BY ${dcos("c.v", "t.cv")} DESC, t.centroid_id) AS crnk
+         |    FROM corp c CROSS JOIN cent t) WHERE crnk = 1),
+         |probes AS (
+         |  SELECT q_id, qv, centroid_id AS bucket FROM (
+         |    SELECT q.q_id, q.qv, t.centroid_id,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${dcos("q.qv", "t.cv")} DESC, t.centroid_id) AS crnk
+         |    FROM q CROSS JOIN cent t) WHERE crnk <= 2),
+         |scored AS (
+         |  SELECT p.q_id, b.vec_id, ${dcos("p.qv", "b.v")} AS cos
+         |  FROM bucketed b JOIN probes p USING (bucket) WHERE b.vec_id <> p.q_id)
+         |SELECT q_id, rnk, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dcos("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_vec_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),4) AS avg_norm,
+        | round(avg(CAST(embedding[1] AS DOUBLE)),4) AS avg_c1
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
 }
