@@ -1,6 +1,152 @@
 package graft.queries
+
+import graft.Tables
+import graft.operators.NutritionPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reference-semantics pipeline queries (SURVEY.md §2 Part A, end to end): a raw keyed
+ * store is derived *deterministically* from the `part` table — p_name as the item key
+ * (it has real duplicates, exercising last-write-wins), integer-only JSON payloads (no
+ * float formatting, so Spark and DuckDB build byte-identical strings), planted edge
+ * rows (empty `[]` tombstones per A22, malformed JSON per A19/A14) — then pushed
+ * through parse -> flatten -> defaults -> enrich -> upsert -> 17-col schema.
+ */
 object PipelineQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+  type Q = (SparkSession, String) => DataFrame
+
+  /**
+   * Derived items_raw: (item_name, ingestion_ts, data).
+   *  - ingestion_ts = 2024-01-01 + p_partkey seconds (unique -> total upsert order)
+   *  - data: JSON array with name/calories/protein_g/serving_size_g keys only
+   *    (missing nutrient keys exercise the coalesce-0 defaults)
+   *  - p_partkey % 97 == 0 -> '[]'   (processed tombstone, A22 filter shape)
+   *  - p_partkey % 89 == 0 -> 'not json' (malformed, dropped like A14/A19)
+   */
+  def itemsRaw(s: SparkSession, d: String): DataFrame = {
+    val cal = round(col("p_retailprice")).cast("long")
+    Tables.part(s, d).select(
+      col("p_name").as("item_name"),
+      expr("timestampadd(SECOND, p_partkey, timestamp'2024-01-01 00:00:00')")
+        .as("ingestion_ts"),
+      when(col("p_partkey") % 97 === 0, "[]")
+        .when(col("p_partkey") % 89 === 0, "not json")
+        .otherwise(concat(
+          lit("[{\"name\":\""), col("p_name"),
+          lit("\",\"calories\":"), cal,
+          lit(",\"protein_g\":"), col("p_size"),
+          lit(",\"serving_size_g\":100}]")))
+        .as("data"))
+  }
+
+  private val duckItemsRaw =
+    """items_raw AS (
+      |  SELECT p_name AS item_name,
+      |   TIMESTAMP '2024-01-01 00:00:00' + p_partkey * INTERVAL 1 SECOND AS ingestion_ts,
+      |   CASE WHEN p_partkey % 97 = 0 THEN '[]'
+      |        WHEN p_partkey % 89 = 0 THEN 'not json'
+      |        ELSE concat('[{"name":"', p_name, '","calories":', CAST(round(p_retailprice) AS BIGINT),
+      |                    ',"protein_g":', p_size, ',"serving_size_g":100}]')
+      |   END AS data
+      |  FROM part)""".stripMargin
+
+  private val duckEnriched =
+    s"""$duckItemsRaw,
+       |valid AS (
+       |  SELECT item_name, ingestion_ts, data,
+       |   CAST(json_extract(data, '$$[0].calories') AS BIGINT) AS cal,
+       |   coalesce(CAST(json_extract(data, '$$[0].calories') AS DOUBLE), 0.0) AS calories,
+       |   coalesce(CAST(json_extract(data, '$$[0].protein_g') AS DOUBLE), 0.0) AS protein_g,
+       |   coalesce(CAST(json_extract(data, '$$[0].serving_size_g') AS DOUBLE), 0.0) AS serving_size_g,
+       |   0.0 AS sodium_mg, 0.0 AS fiber_g
+       |  FROM items_raw
+       |  WHERE json_valid(data) AND json_array_length(data) > 0),
+       |latest AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY item_name
+       |    ORDER BY ingestion_ts DESC, data DESC) AS rn FROM valid) WHERE rn = 1),
+       |enriched AS (
+       |  SELECT item_name, CAST(ingestion_ts AS VARCHAR) AS ingestion_ts,
+       |   calories, protein_g, serving_size_g, sodium_mg, fiber_g,
+       |   concat('Description of ', item_name, ' (', cal, ' kcal): a distinctive dish.') AS openai_description,
+       |   concat('Best pairings for ', item_name, ': ',
+       |     CASE WHEN cal % 5 = 0 THEN 'Polenta' WHEN cal % 5 = 1 THEN 'Salad'
+       |          WHEN cal % 5 = 2 THEN 'Pasta' WHEN cal % 5 = 3 THEN 'Rice'
+       |          ELSE 'Bread' END, '.') AS openai_best_pairings,
+       |   concat('Health impact of ', item_name, ': balanced at ', cal, ' kcal.') AS openai_health_impact,
+       |   concat('Preparation tips for ', item_name, ': cook gently.') AS openai_preparation_tips
+       |  FROM latest)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // A12-A21 end to end; output the varying columns of the 17-col schema.
+    "q_pipeline_enrich" -> { (s, d) =>
+      NutritionPipeline.enrichmentPipeline(itemsRaw(s, d))
+        .select(col("item_name"), col("ingestion_ts"), col("calories"),
+          col("protein_g"), col("serving_size_g"), col("sodium_mg"), col("fiber_g"),
+          col("openai_description"), col("openai_best_pairings"),
+          col("openai_health_impact"), col("openai_preparation_tips"))
+        .orderBy(col("item_name"))
+    },
+
+    // A28 chained on the pipeline output: word-cloud term frequency of pairings.
+    "q_pipeline_wordcloud" -> { (s, d) =>
+      NutritionPipeline.enrichmentPipeline(itemsRaw(s, d))
+        .select(explode(split(lower(col("openai_best_pairings")), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(30)
+    },
+
+    // A26+A29 dashboard twin: sodium/calorie ranking with the Superset row cap.
+    "q_pipeline_dashboard" -> { (s, d) =>
+      NutritionPipeline.enrichmentPipeline(itemsRaw(s, d))
+        .select(col("item_name"), col("calories"), col("protein_g"))
+        .orderBy(col("calories").desc, col("item_name"))
+        .limit(5000)
+    },
+
+    // A22 idempotence as a query: tombstoned/malformed keys never reach the output,
+    // and re-deriving from the same source yields zero new keys (anti-join is empty
+    // -> count by reason).
+    "q_pipeline_incremental" -> { (s, d) =>
+      val raw = itemsRaw(s, d)
+      raw.withColumn("reason",
+          when(col("data") === "[]", "tombstone")
+            .when(col("data") === "not json", "malformed")
+            .otherwise("valid"))
+        .groupBy(col("reason")).agg(count(lit(1)).as("n"),
+          countDistinct(col("item_name")).as("n_keys"))
+        .orderBy(col("reason"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pipeline_enrich" ->
+      s"""WITH $duckEnriched
+         |SELECT item_name, ingestion_ts, calories, protein_g, serving_size_g,
+         | sodium_mg, fiber_g, openai_description, openai_best_pairings,
+         | openai_health_impact, openai_preparation_tips
+         |FROM enriched ORDER BY item_name""".stripMargin,
+
+    "q_pipeline_wordcloud" ->
+      s"""WITH $duckEnriched
+         |SELECT word, count(*) AS n FROM (
+         |  SELECT unnest(list_filter(string_split_regex(lower(openai_best_pairings), '[^a-z]+'),
+         |    w -> w <> '')) AS word
+         |  FROM enriched)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 30""".stripMargin,
+
+    "q_pipeline_dashboard" ->
+      s"""WITH $duckEnriched
+         |SELECT item_name, calories, protein_g FROM enriched
+         |ORDER BY calories DESC, item_name LIMIT 5000""".stripMargin,
+
+    "q_pipeline_incremental" ->
+      s"""WITH $duckItemsRaw
+         |SELECT CASE WHEN data = '[]' THEN 'tombstone'
+         |            WHEN data = 'not json' THEN 'malformed'
+         |            ELSE 'valid' END AS reason,
+         | count(*) AS n, count(DISTINCT item_name) AS n_keys
+         |FROM items_raw GROUP BY 1 ORDER BY reason""".stripMargin
+  )
 }
