@@ -105,6 +105,12 @@ object PipelineQueries {
         .limit(5000)
     },
 
+    // Multimodal plumbing end-to-end (north-star): binary media column + typed
+    // metadata -> partition-batched (stub) decode -> per-kind feature aggregate.
+    "q_multimodal_features" -> { (s, d) =>
+      graft.multimodal.Multimodal.featurePipeline(s, Tables.documents(s, d))
+    },
+
     // A22 idempotence as a query: tombstoned/malformed keys never reach the output,
     // and re-deriving from the same source yields zero new keys (anti-join is empty
     // -> count by reason).
@@ -140,6 +146,23 @@ object PipelineQueries {
       s"""WITH $duckEnriched
          |SELECT item_name, calories, protein_g FROM enriched
          |ORDER BY calories DESC, item_name LIMIT 5000""".stripMargin,
+
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   md5(text) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id, kind, i, CAST(concat('0x', substr(h, 2*i+1, 2)) AS INT) AS v
+        |  FROM m CROSS JOIN (SELECT unnest(range(16)) AS i) ii),
+        |f AS (
+        |  SELECT media_id, kind, count(*) AS n_bytes, avg(v) AS mean_byte,
+        |   avg(CASE WHEN i % 4 = 0 THEN v END) AS lane0
+        |  FROM b GROUP BY media_id, kind)
+        |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | round(avg(mean_byte),4) AS avg_mean_byte, round(avg(lane0),4) AS avg_lane0
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_pipeline_incremental" ->
       s"""WITH $duckItemsRaw

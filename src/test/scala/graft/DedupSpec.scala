@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup family semantics on synthetic corpora with planted duplicates. */
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  // 0/1: near-identical (one token edit); 2: permutation of 0's tokens;
+  // 3: exact copy of 0; 4/5: unrelated.
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1L, "the quick brown fox jumps over the lazy cat near the old river bank today"),
+    (2L, "today bank river old the near dog lazy the over jumps fox brown quick the"),
+    (3L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (4L, "completely different content about spark query engines and columnar execution"),
+    (5L, "yet another unrelated document mentioning shuffles partitions and broadcasts")
+  ).toDF("doc_id", "text").cache()
+
+  test("exactByText collapses exact copies to min doc_id") {
+    val r = Dedup.exactByText(corpus).orderBy("keep_id").collect()
+    assert(r.length === 5) // 0 and 3 merge
+    assert(r.head.getLong(0) === 0L && r.head.getLong(1) === 2L)
+  }
+
+  test("fingerprintGroups collapses permutations and copies") {
+    val groups = Dedup.fingerprintGroups(corpus).filter(col("n_docs") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_docs") === 3L) // 0, 2, 3 share the token set
+    assert(groups.head.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash LSH finds the near-identical pair and the exact pair") {
+    val pairs = Dedup.minhashNearDupPairs(corpus, 3, 8, 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical -> jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // one-word edit
+  }
+
+  test("ngram prefix-filter blocking finds every pair minhash finds (exact recall)") {
+    val mh = Dedup.minhashNearDupPairs(corpus, 3, 8, 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ng = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(ng))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sh = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(4L)))
+  }
+
+  test("simhashNearDupPairs surfaces the copy pair at hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(corpus, 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = Dedup.exactByText(corpus)
+    val renamed = once.select(col("keep_id").as("doc_id"), col("text_hash").as("text"))
+    val twice = Dedup.exactByText(renamed)
+    assert(twice.count() === once.count())
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Relational operator semantics + ScalaCheck properties. */
+class RelationalSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Run a ScalaCheck property with a bounded number of Spark-job trials. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: gap strictly greater than gapSeconds starts a new session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:30:00"), 2L), // exactly 1800s -> same session
+      (1L, ts("2024-01-01 01:00:01"), 3L), // 1801s -> new session
+      (2L, ts("2024-01-01 00:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val s = Relational.sessionize(events, "user_id", "ts", 1800L, Seq(col("event_id")))
+      .select("user_id", "event_id", "session_id").as[(Long, Long, Long)].collect().toSet
+    assert(s === Set((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 4L, 0L)))
+  }
+
+  test("latestPerKey is deterministic under ties via tiebreaker") {
+    val df = Seq(("k", 1, "a"), ("k", 1, "b"), ("k", 0, "c"))
+      .toDF("key", "v", "payload")
+    val r = Relational.latestPerKey(df, Seq("key"),
+      Seq(col("v").desc, col("payload").desc)).collect()
+    assert(r.length === 1 && r.head.getString(2) === "b")
+  }
+
+  test("topKPerGroup returns exactly k under total order") {
+    val df = Tables.orders(spark, sfTiny)
+    val top = Relational.topKPerGroup(df, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    val counts = top.groupBy("o_orderpriority").count().select("count")
+      .as[Long].collect()
+    assert(counts.forall(_ === 3L))
+  }
+
+  test("clusteredWrite produces key-clustered files readable with pruning stats") {
+    val dir = tmpDir("clustered")
+    Relational.clusteredWrite(Tables.orders(spark, sfTiny), s"$dir/orders",
+      Seq("o_custkey"), Some(4))
+    val back = spark.read.parquet(s"$dir/orders")
+    assert(back.count() === Tables.orders(spark, sfTiny).count())
+    // Range partitioning on the cluster key: a key never straddles two files.
+    val files = back.select(input_file_name().as("f"), col("o_custkey"))
+      .groupBy("o_custkey").agg(countDistinct("f").as("nf"))
+    assert(files.filter(col("nf") > 1).count() === 0)
+  }
+
+  test("property: dedupExact is idempotent and reduces cardinality") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 9))) { ks =>
+      val xs = ks.zipWithIndex
+      val df = xs.toDF("key", "v")
+      val once = Relational.dedupExact(df, Seq("key"), Seq(col("v").desc))
+      val twice = Relational.dedupExact(once, Seq("key"), Seq(col("v").desc))
+      val n1 = once.count(); val n2 = twice.count()
+      n1 == ks.distinct.length.toLong && n1 == n2
+    })
+  }
+
+  test("property: per-group aggregate totals equal the global aggregate") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L))) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val grouped = df.groupBy((col("id") % 7).as("w")).agg(sum("v").as("s"))
+      val total = grouped.agg(sum("s")).as[Long].collect().head
+      total == xs.sum
+    })
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Relational
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/**
+ * Structured Streaming layer (SURVEY.md §3.1 / M3): MemoryStream-driven micro-batches
+ * through dedup -> stream-static join -> foreachBatch upsert; watermarked windows;
+ * availableNow incremental parity; session_window vs batch gaps-and-islands.
+ */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val lookup = Seq(
+    ("apple", """[{"name":"apple","calories":52}]"""),
+    ("banana", """[{"name":"banana","calories":89}]"""),
+    ("cherry", "[]") // processed/empty -> must be filtered (A7)
+  ).toDF("item_name", "data")
+
+  test("ingest dedups across micro-batches and filters empty payloads") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingPipeline.ingest(in.toDF.withColumnRenamed("value", "item_name"), lookup)
+    val q = out.writeStream.format("memory").queryName("ingest_t").outputMode("append").start()
+    try {
+      in.addData("apple", "banana", "apple")
+      q.processAllAvailable()
+      in.addData("banana", "cherry", "durian") // banana dup, cherry empty, durian no match
+      q.processAllAvailable()
+      val rows = spark.table("ingest_t").select("item_name").as[String].collect().sorted
+      assert(rows.toSeq === Seq("apple", "banana"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert keeps last write per key across batches") {
+    implicit val ctx = spark.sqlContext
+    val store = tmpDir("upsert") + "/store"
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val stream = in.toDF.toDF("item_name", "ingestion_ts", "calories")
+    val q = StreamingPipeline.upsertSink(stream, store, Seq("item_name"),
+        Seq(col("ingestion_ts").desc, col("calories").desc))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(("apple", ts("2024-01-01 00:00:00"), 52.0))
+      q.processAllAvailable()
+      in.addData(("apple", ts("2024-01-02 00:00:00"), 60.0),
+        ("banana", ts("2024-01-01 00:00:00"), 89.0))
+      q.processAllAvailable()
+      val store0 = spark.read.parquet(store)
+      assert(store0.count() === 2)
+      assert(store0.filter(col("item_name") === "apple")
+        .select("calories").as[Double].collect().head === 60.0)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window emits closed windows in append mode") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingPipeline.windowedCounts(
+      in.toDF.toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_t").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:05:00"), "click", 1.0),
+        (ts("2024-01-01 00:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 -> closes the 00:00 window
+      in.addData((ts("2024-01-01 03:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("win_t")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect()
+      assert(closed.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
+      // late arrival beyond the watermark is dropped
+      in.addData((ts("2024-01-01 00:50:00"), "click", 100.0))
+      q.processAllAvailable()
+      val after = spark.table("win_t").filter(col("sum_value") === 103.0).count()
+      assert(after === 0)
+    } finally q.stop()
+  }
+
+  test("availableNow file-source run equals the batch result (A22/A24 parity)") {
+    val dir = tmpDir("avnow")
+    val src = s"$dir/src"; val ck = s"$dir/ck"; val outp = s"$dir/out"
+    Tables.events(spark, sfTiny).limit(100)
+      .select("event_id", "event_type", "value").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName("avnow_t")
+        .option("checkpointLocation", ck)
+        .trigger(StreamingPipeline.availableNowTrigger).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val streamed = spark.table("avnow_t").as[(String, Long)].collect().toMap
+    val batch = spark.read.parquet(src).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
+  test("streaming session_window matches batch gaps-and-islands session count") {
+    implicit val ctx = spark.sqlContext
+    val data = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 02:00:00")), // new session (gap > 30 min)
+      (2L, ts("2024-01-01 00:00:00")))
+    val in = MemoryStream[(Long, Timestamp)]
+    val agg = StreamingPipeline.sessionCounts(in.toDF.toDF("user_id", "ts"), "30 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("sess_t").outputMode("complete").start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamSessions = spark.table("sess_t").groupBy("user_id")
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+      val batchSessions = Relational
+        .sessionize(data.toDF("user_id", "ts"), "user_id", "ts", 1800L)
+        .groupBy("user_id").agg((max("session_id") + 1).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamSessions === batchSessions)
+    } finally q.stop()
+  }
+}
