@@ -23,15 +23,14 @@ object TextOps {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /**
-   * Word-level n-gram shingles. `transform(sequence(...))` keeps it inside codegen;
-   * documents shorter than `n` tokens yield an empty array.
+   * Word-level n-gram shingles via the native one-pass expression
+   * [[graft.plans.WordShingles]] (the HOF composition re-splits the text per lambda
+   * invocation — quadratic; see that class's scaladoc). Documents shorter than `n`
+   * tokens yield an empty array.
    */
   def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-      .otherwise(array())
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.WordShingles(GraftBridge.expression(text), n))
   }
 
   /** Distinct shingle set. */

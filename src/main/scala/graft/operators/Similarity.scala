@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
+import graft.plans.VectorExpressions.{vecCosine, vecDot}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,7 +27,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 4))
+      .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -46,7 +47,7 @@ object Similarity {
       val w = Window.partitionBy(df.columns.head).orderBy(
         col("cdist").desc, col("centroid_id"))
       df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", round(VectorOps.cosine(col(vecCol), col("c_vec")), 4))
+        .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
         .withColumn("crnk", row_number().over(w))
         .filter(col("crnk") <= n)
         .drop("c_vec", "cdist", "crnk")
@@ -56,7 +57,7 @@ object Similarity {
     val probes = nearest("q_vec", "bucket", nprobe)(queries)
     val scored = bucketed.join(probes, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("q_vec"), col("embedding")), 4))
+      .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -71,13 +72,18 @@ object Similarity {
    */
   def nearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 3,
                    blockCols: Seq[String] = Nil): DataFrame = {
-    val withBucket = corpus.withColumn("bucket", VectorOps.signBucket(col("embedding"), bits))
+    // Precompute each vector's norm ONCE (linear) so the quadratic pair stage does a
+    // single fused dot product per pair instead of three array passes.
+    val withBucket = corpus
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), bits))
+      .withColumn("nrm", sqrt(vecDot(col("embedding"), col("embedding"))))
     val keys = ("bucket" +: blockCols)
     val joined = withBucket.as("a").join(withBucket.as("b"),
       keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
         col("a.vec_id") < col("b.vec_id"))
     joined
-      .withColumn("cos", round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 4))
+      .withColumn("cos", round(
+        vecDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }

@@ -99,9 +99,12 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Exact 3-gram Jaccard with rarest-shingle prefix-filter blocking.
+    // Exact n-gram Jaccard with prefix-filter blocking. 5-grams, not 3: the corpus
+    // vocabulary is ~31 words, so 3-gram document frequency averages ~250 and every
+    // block is fat; 5-gram space is large enough that prefix blocks hold only true
+    // near-dup clusters (df ~ 1). Thresholded on the 5-gram Jaccard.
     "q_dedup_ngram" -> { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.8)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 5, 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -125,14 +128,14 @@ object TextQueries {
     }
   )
 
-  // DuckDB-side shingle set: distinct word 3-grams of the space-split text.
-  private val duckShingles =
-    """CASE WHEN len(t) >= 3
-      | THEN list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' ')))
-      | ELSE [] END""".stripMargin
-  private val duckSets =
+  // DuckDB-side shingle set: distinct word n-grams of the space-split text.
+  private def duckShingles(n: Int) =
+    s"""CASE WHEN len(t) >= $n
+       | THEN list_distinct(list_transform(range(len(t)-${n - 1}), i -> array_to_string(t[i+1:i+$n], ' ')))
+       | ELSE [] END""".stripMargin
+  private def duckSets(n: Int) =
     s"""sets AS (
-       |  SELECT doc_id, $duckShingles AS shset
+       |  SELECT doc_id, ${duckShingles(n)} AS shset
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -188,15 +191,22 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH $duckSets,
-         |ex AS (SELECT doc_id, unnest(shset) AS sh FROM sets),
-         |hashes AS (
-         |  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || sh)) AS mh
-         |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS i) hh
-         |  GROUP BY doc_id, i),
+      s"""WITH ${duckSets(3)},
+         |ex AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(unnest(shset)),1,15)) AS BIGINT) % 2147483647 AS h
+         |  FROM sets),
+         |sigs AS (
+         |  SELECT doc_id,
+         |   min((h*1+0) % 2147483647) AS mh0,  min((h*3+7) % 2147483647) AS mh1,
+         |   min((h*5+19) % 2147483647) AS mh2, min((h*7+31) % 2147483647) AS mh3,
+         |   min((h*11+43) % 2147483647) AS mh4, min((h*13+59) % 2147483647) AS mh5,
+         |   min((h*17+71) % 2147483647) AS mh6, min((h*19+83) % 2147483647) AS mh7
+         |  FROM ex GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, i // 2 AS band, string_agg(mh, ',' ORDER BY i) AS sig
-         |  FROM hashes GROUP BY doc_id, i // 2),
+         |  SELECT doc_id, 0 AS band, concat(mh0, ',', mh1) AS sig FROM sigs
+         |  UNION ALL SELECT doc_id, 1, concat(mh2, ',', mh3) FROM sigs
+         |  UNION ALL SELECT doc_id, 2, concat(mh4, ',', mh5) FROM sigs
+         |  UNION ALL SELECT doc_id, 3, concat(mh6, ',', mh7) FROM sigs),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
@@ -210,7 +220,7 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_ngram" ->
-      s"""WITH $duckSets,
+      s"""WITH ${duckSets(5)},
          |ex AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sets),
          |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
          |prefix AS (

@@ -45,10 +45,11 @@ object VectorQueries {
     },
 
     // Embedding-cosine near-dup with sign-LSH blocking (recall bounded by blocking —
-    // the documented LSH trade-off; exact within buckets).
+    // the documented LSH trade-off; exact within buckets). 4 sign bits = 16 buckets
+    // keeps the within-bucket pair count ~1/16 of the naive quadratic.
     "q_dedup_embed" -> { (s, d) =>
       Similarity.nearDupPairs(
-          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 0.3, 2)
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 0.3, 4)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -109,7 +110,9 @@ object VectorQueries {
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-         |    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+         |    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |    + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+         |    + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
          |  FROM embeddings),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dcos("a.v", "b.v")} AS cos
