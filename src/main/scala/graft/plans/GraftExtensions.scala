@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions entry point for the graft native expressions — the supported
+ * way to ship custom Catalyst functions with a library:
+ *
+ * {{{
+ *   SparkSession.builder()
+ *     .withExtensions(new GraftExtensions)            // programmatic
+ *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+ * }}}
+ *
+ * Injected SQL functions: `vec_dot`, `vec_cosine` (fused array<float> kernels),
+ * `word_shingles(text, n)` (one-pass word n-grams).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays (double)."),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays."),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - array of word n-grams."),
+      (args: Seq[Expression]) => {
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(args.head, n)
+      }))
+  }
+}

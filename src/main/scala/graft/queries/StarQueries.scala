@@ -237,6 +237,23 @@ object StarQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // B16: map functions — build, extract, introspect (oracle verifies the extracted
+    // scalars, which is all a map can deterministically externalize to parquet).
+    "q_map_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .withColumn("m", map(
+          lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice")))
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          element_at(col("m"), "qty").as("qty"),
+          element_at(col("m"), "price").as("price"),
+          size(col("m")).cast("long").as("m_size"),
+          array_join(map_keys(col("m")), ",").as("m_keys"),
+          map_contains_key(col("m"), "qty").as("has_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // B16: date function battery (A8's timestamping generalized).
     "q_date_funcs" -> { (s, d) =>
       Tables.orders(s, d)
@@ -399,6 +416,13 @@ object StarQueries {
         | concat_ws('|', p_brand, p_type) AS bt,
         | CAST(p_partkey % 7 AS BIGINT) AS k7
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity AS qty, l_extendedprice AS price,
+        | CAST(2 AS BIGINT) AS m_size, 'qty,price' AS m_keys, true AS has_qty
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
