@@ -69,6 +69,24 @@ object Relational {
   }
 
   /**
+   * Skew-mitigating equi-join (the salting pattern): the large side gets a salt in
+   * [0, saltFactor) appended to its key; the small side is replicated across every
+   * salt value. A hot key's rows then spread over `saltFactor` reducers instead of
+   * one. Result is identical to the plain join (salt values don't affect matches —
+   * every small-side row exists for every salt). Use when AQE's skew splitting
+   * isn't available or the skew is in an aggregation feeding the join.
+   */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1)
+    val salted = large.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val expanded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(expanded, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /**
    * Gaps-and-islands sessionization (batch twin of Structured Streaming's
    * `session_window`, SURVEY.md B11): a session breaks when the gap since the previous
    * event of the same key exceeds `gapSeconds`. Adds `session_id` (0-based per key).

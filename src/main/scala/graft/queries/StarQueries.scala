@@ -270,6 +270,46 @@ object StarQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // B4 extension: exact interpolated percentiles per group (the oracle-able twin
+    // of approx_percentile — which is the 100 TB path but sketch-based, so it stays
+    // out of hash-verified queries by design).
+    "q_percentile" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          r4(percentile(col("o_totalprice"), lit(0.5))).as("p50"),
+          r4(percentile(col("o_totalprice"), lit(0.9))).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // B4 extension: statistical aggregates (stddev/correlation/covariance).
+    "q_stats_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          r4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B5 extension: pivot (dashboard matrix shape) — explicit value list keeps the
+    // output schema deterministic; oracle is the equivalent conditional aggregation.
+    "q_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("y"), col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+          col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("notspec"),
+          col("5-LOW").as("low"))
+        .orderBy(col("y"))
+    },
+
     // B17: custom typed Aggregator UDAF — quantity-weighted mean price per flag.
     "q_udaf_weighted" -> { (s, d) =>
       val wm = udaf(new WeightedMean)
@@ -435,6 +475,30 @@ object StarQueries {
         | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
         |   AS days_since_epoch_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5),4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9),4) AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice),4) AS sd_price,
+        | round(corr(l_quantity, l_extendedprice),6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_discount),4) AS covar_qty_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
 
     "q_udaf_weighted" ->
       """SELECT l_returnflag,

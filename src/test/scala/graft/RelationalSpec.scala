@@ -57,6 +57,20 @@ class RelationalSpec extends GraftSuite {
     assert(files.filter(col("nf") > 1).count() === 0)
   }
 
+  test("saltedJoin returns exactly the plain join's rows (inner and left)") {
+    val li = Tables.lineitem(spark, sfTiny).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      .limit(200)
+    for (jt <- Seq("inner", "left")) {
+      val plain = li.join(o, Seq("l_orderkey"), jt)
+      val salted = Relational.saltedJoin(li, o, Seq("l_orderkey"), 8, jt)
+      assert(salted.count() === plain.count())
+      assert(salted.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(salted).count() === 0)
+    }
+  }
+
   test("property: dedupExact is idempotent and reduces cardinality") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 9))) { ks =>
       val xs = ks.zipWithIndex

@@ -126,4 +126,24 @@ class StreamingSpec extends GraftSuite {
       assert(streamSessions === batchSessions)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState accumulates per-key state across batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{Stateful, UserEvent}
+    val in = MemoryStream[UserEvent]
+    val q = Stateful.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("state_t").outputMode("update").start()
+    try {
+      in.addData(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 10.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, 5.0))
+      q.processAllAvailable()
+      // last emitted row per user reflects the full history
+      val last = spark.table("state_t").groupBy("user_id")
+        .agg(max(struct(col("n"), col("total"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.total"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(last === Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
+    } finally q.stop()
+  }
 }
