@@ -69,6 +69,21 @@ object Relational {
   }
 
   /**
+   * Bucketed table write for co-located joins: hash-bucket both fact tables on the
+   * join key at write time and equi-joins between them need NO exchange at read time
+   * (bucket counts must match; `spark.sql.sources.bucketing.enabled` on). At 100 TB
+   * this removes the dominant shuffle from every recurring fact-fact join — pay the
+   * partitioning once at ingest, reuse it every query.
+   */
+  def bucketedWrite(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /**
    * Skew-mitigating equi-join (the salting pattern): the large side gets a salt in
    * [0, saltFactor) appended to its key; the small side is replicated across every
    * salt value. A hot key's rows then spread over `saltFactor` reducers instead of

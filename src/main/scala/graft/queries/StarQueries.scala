@@ -187,6 +187,79 @@ object StarQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // B6 battery 2: ntile / percent_rank / cume_dist / first_value over a
+    // unique-ordered partition (ties impossible -> deterministic everywhere).
+    "q_window_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 4).as("prank"),
+          round(cume_dist().over(w), 4).as("cdist"),
+          first_value(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).as("cheapest_key"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
+    // B5: explicit GROUPING SETS (beyond rollup/cube).
+    "q_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+          |       coalesce(o_orderstatus, 'ALL') AS st,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY pri, st""".stripMargin)
+    },
+
+    // B16 battery 2: string edit distance + pad/translate/reverse/repeat/split_part.
+    "q_string_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 2000)
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("edit_dist"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+          reverse(col("p_brand")).as("brand_rev"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // B16 battery 3: array build/sort/extract/search over grouped quantities.
+    "q_array_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+        .select(
+          col("l_orderkey"),
+          size(col("qtys")).cast("long").as("n"),
+          array_max(col("qtys")).as("q_max"),
+          array_min(col("qtys")).as("q_min"),
+          element_at(col("qtys"), 1).as("q_smallest"),
+          array_position(col("qtys"), array_max(col("qtys"))).cast("long").as("pos_max"),
+          array_contains(col("qtys"), lit(1.0)).as("has_one"))
+        .orderBy(col("l_orderkey"))
+    },
+
+    // 100 TB sketch path: HLL count-distinct + approximate percentile. Sketches are
+    // engine-specific by construction, so no SQL oracle — the driver records the
+    // weaker rows-only check; ApproxSpec bounds the error against exact values.
+    "q_approx_sketch" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("nd_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B7: global top-k under a total order (TakeOrderedAndProject — no full sort).
     "q_topk" -> { (s, d) =>
       Tables.orders(s, d)
@@ -421,6 +494,47 @@ object StarQueries {
         | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS mavg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 4) AS prank,
+        | round(cume_dist() OVER w, 4) AS cdist,
+        | first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        | coalesce(o_orderstatus, 'ALL') AS st,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY pri, st""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        | CAST(levenshtein(p_name, p_type) AS BIGINT) AS edit_dist,
+        | lpad(p_brand, 12, '_') AS brand_pad,
+        | translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        | reverse(p_brand) AS brand_rev,
+        | split_part(p_type, ' ', 1) AS type_head
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT l_orderkey,
+        | CAST(len(qtys) AS BIGINT) AS n,
+        | list_max(qtys) AS q_max,
+        | list_min(qtys) AS q_min,
+        | qtys[1] AS q_smallest,
+        | CAST(list_position(qtys, list_max(qtys)) AS BIGINT) AS pos_max,
+        | list_contains(qtys, 1.0) AS has_one
+        |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+        |      FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

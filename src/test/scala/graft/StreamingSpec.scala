@@ -127,6 +127,49 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream inner join with watermarks joins only within the time bound") {
+    implicit val ctx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF.toDF("ad_id", "imp_ts").withWatermark("imp_ts", "1 hour")
+    val clk = clicks.toDF.toDF("c_ad_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val joined = imp.join(clk,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_t").outputMode("append").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      clicks.addData((1L, ts("2024-01-01 00:10:00")), (2L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_t").select("ad_id").as[Long].collect().toSeq
+      assert(rows === Seq(1L)) // ad 2's click fell outside the 30-minute bound
+    } finally q.stop()
+  }
+
+  test("RocksDB state store provider drives the same dedup semantics") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[String]
+    val q = in.toDF.withColumnRenamed("value", "item_name")
+      .dropDuplicates("item_name")
+      .writeStream.format("memory").queryName("rocks_t").outputMode("append").start()
+    try {
+      in.addData("a", "b", "a"); q.processAllAvailable()
+      in.addData("b", "c"); q.processAllAvailable()
+      val rows = spark.table("rocks_t").as[String].collect().sorted
+      assert(rows.toSeq === Seq("a", "b", "c"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState accumulates per-key state across batches") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.{Stateful, UserEvent}
