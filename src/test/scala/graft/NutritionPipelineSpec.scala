@@ -68,6 +68,38 @@ class NutritionPipelineSpec extends GraftSuite {
       f => out.schema(f).dataType.typeName === "double"))
   }
 
+  test("property: JSON build -> parse -> flatten roundtrips every nutrient value") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val extraFields = NutritionPipeline.nutrientFields
+      .filterNot(Set("calories", "protein_g", "serving_size_g"))
+    val genRec = for {
+      name <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+      cal <- Gen.chooseNum(0, 900)
+      protein <- Gen.chooseNum(0, 80)
+      keep <- Gen.someOf(extraFields)
+    } yield (name, cal, protein, keep.toSet)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(5, genRec)) { recs =>
+      val rows = recs.zipWithIndex.map { case ((name, cal, protein, keep), i) =>
+        val extras = keep.map(f => s""","$f":$i""").mkString
+        (s"$name$i", ts(f"2024-01-01 00:00:${i % 60}%02d"),
+          s"""[{"name":"$name","calories":$cal,"protein_g":$protein$extras}]""")
+      }
+      val flat = NutritionPipeline.flattenWithDefaults(
+        NutritionPipeline.parseValid(rows.toDF("item_name", "ingestion_ts", "data")))
+        .collect().map(r => r.getAs[String]("item_name") -> r).toMap
+      recs.zipWithIndex.forall { case ((name, cal, protein, keep), i) =>
+        val r = flat(s"$name$i")
+        r.getAs[Double]("calories") == cal.toDouble &&
+          r.getAs[Double]("protein_g") == protein.toDouble &&
+          extraFields.forall { f =>
+            r.getAs[Double](f) == (if (keep(f)) i.toDouble else 0.0)
+          }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incremental anti-join is idempotent: re-run consumes zero rows") {
     val processed = raw.select(col("item_name")).distinct()
     val rerun = Relational.incrementalAntiJoin(raw, processed, Seq("item_name"))
