@@ -54,6 +54,25 @@ object EventQueries {
         .orderBy(col("event_type"), col("k_mod"))
     },
 
+    // A19 generalized: error-safe scalar evaluation — try_divide yields null instead
+    // of failing the row, the declarative form of the reference's try/except-skip.
+    "q_try_funcs" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(
+          col("event_id"),
+          // floor-scaled instead of round: quotients of 2-decimal values by small
+          // ints sit exactly on .xxxx5 boundaries, where Spark (rounds the shortest
+          // decimal repr) and DuckDB (rounds the binary value) disagree.
+          floor(try_divide(col("value"), col("k") - 50) * 10000).cast("long")
+            .as("safe_div_e4"),
+          try_divide(col("k"), lit(0)).as("div_zero"),
+          coalesce(try_divide(col("value"), col("k") - 50), lit(-1.0)).isNotNull
+            .as("row_kept"))
+        .orderBy(col("event_id"))
+    },
+
     // B10: tumbling 1-hour windows (batch twin of the streaming windowed agg).
     "q_time_tumbling" -> { (s, d) =>
       Tables.events(s, d)
@@ -109,6 +128,13 @@ object EventQueries {
         | count(*) AS n, round(sum(value),2) AS sum_value,
         | max(CAST(json_extract(props,'$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT event_id,
+        | CAST(floor(value / nullif(CAST(json_extract(props,'$.k') AS BIGINT) - 50, 0) * 10000) AS BIGINT) AS safe_div_e4,
+        | CAST(NULL AS DOUBLE) AS div_zero,
+        | true AS row_kept
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
 
     "q_time_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
