@@ -39,9 +39,12 @@ object TextOps {
   /** Member of the seeded MD5 hash family: `md5(seed:s)`. */
   def seededMd5(seed: Column, s: Column): Column = md5(concat(seed, lit(":"), s))
 
-  /** First 15 hex digits of md5 as a non-negative BIGINT (60 bits; DuckDB-equal). */
-  def md5Long(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** First 15 hex digits of md5 as a non-negative BIGINT (60 bits; DuckDB-equal).
+    * Native single-pass evaluation — see [[graft.plans.Md5Prefix60]]. */
+  def md5Long(s: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.Md5Prefix60(GraftBridge.expression(s)))
+  }
 
   /**
    * Content fingerprint over the *sorted distinct token set* (B14): documents that are

@@ -20,6 +20,39 @@ import org.apache.spark.unsafe.types.UTF8String
  * Matches the HOF/oracle semantics exactly: split on single spaces (empty tokens
  * preserved), docs shorter than n words yield an empty array.
  */
+/**
+ * `md5_prefix60(s)`: the first 15 hex digits of md5(s) as a non-negative 60-bit
+ * BIGINT, computed directly from the digest bytes — no hex-string materialization,
+ * no string->number parse. Bit-identical to
+ * `conv(substring(md5(s),1,15),16,10)::long` (Spark) and
+ * `CAST(concat('0x',substr(md5(s),1,15)) AS BIGINT)` (DuckDB), which is what the
+ * oracle computes; this is purely the faster evaluation of the same value. Feeds
+ * MinHash / SimHash / rolling-hash (one call per token or shingle — the hottest
+ * scalar in the dedup family).
+ */
+case class Md5Prefix60(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_prefix60"
+
+  @transient private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    // First 15 hex digits = bytes 0..6 in full plus the high nibble of byte 7.
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    (v << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "shingle length must be >= 1")

@@ -82,6 +82,17 @@ class RelationalSpec extends GraftSuite {
     })
   }
 
+  test("property: union-then-dedup cardinality is bounded by the distinct union") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0, 20)), Gen.listOf(Gen.chooseNum(0, 20))) {
+      (a, b) =>
+        val da = a.zipWithIndex.toDF("key", "v")
+        val db = b.zipWithIndex.toDF("key", "v")
+        val n = Relational.dedupExact(da.union(db), Seq("key"), Seq(col("v"))).count()
+        n == (a ++ b).distinct.length.toLong &&
+          n <= a.distinct.length.toLong + b.distinct.length.toLong
+    })
+  }
+
   test("property: per-group aggregate totals equal the global aggregate") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L))) { xs =>
       val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")

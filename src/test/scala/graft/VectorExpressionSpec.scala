@@ -45,6 +45,15 @@ class VectorExpressionSpec extends GraftSuite {
     assert(r.isNullAt(0))
   }
 
+  test("md5_prefix60 equals the conv(substr(md5)) composition exactly") {
+    val toks = Tables.documents(spark, sfTiny)
+      .select(explode(split(col("text"), " ")).as("t")).limit(5000)
+    val cmp = toks.select(
+      graft.functions.TextOps.md5Long(col("t")).as("fast"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("SQL registration works") {
     VectorExpressions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_t")
