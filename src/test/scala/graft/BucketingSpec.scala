@@ -32,6 +32,27 @@ class BucketingSpec extends GraftSuite {
     }
   }
 
+  test("date-partitioned write enables partition pruning on read") {
+    val dir = tmpDir("partitioned") + "/events"
+    Tables.events(spark, sfTiny)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-05")
+      .groupBy(col("event_type")).count()
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("day")),
+      s"no partition pruning in:\n$plan")
+    // the pruned read returns exactly the batch-filtered result
+    val expected = Tables.events(spark, sfTiny)
+      .filter(to_date(col("ts")) === "2024-01-05")
+      .groupBy(col("event_type")).count()
+    assert(pruned.collect().map(_.toString).sorted.toSeq ===
+      expected.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("approximate sketches stay within tolerance of exact values") {
     val li = Tables.lineitem(spark, sfTiny)
     val approx = li.agg(
