@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Source/sink format surface: parquet is the engine's native format (everywhere);
+ * CSV, JSON, and ORC round-trip with explicit schemas (schema-on-read is always
+ * declared, never inferred — the determinism rule from SURVEY §1.3).
+ */
+class SourcesSpec extends GraftSuite {
+
+  private lazy val base = Tables.events(spark, sfTiny)
+    .select(col("event_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+    .limit(500)
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("ts_us", LongType)))
+
+  private def roundtrip(fmt: String, opts: Map[String, String] = Map.empty): Unit = {
+    val dir = tmpDir(s"src_$fmt") + s"/$fmt"
+    base.write.options(opts).format(fmt).save(dir)
+    val back = spark.read.options(opts).schema(schema).format(fmt).load(dir)
+    assert(back.count() === base.count())
+    assert(back.exceptAll(base).count() === 0, s"$fmt roundtrip altered rows")
+  }
+
+  test("csv round-trips with an explicit schema") {
+    roundtrip("csv", Map("header" -> "true"))
+  }
+
+  test("json round-trips with an explicit schema") {
+    roundtrip("json")
+  }
+
+  test("orc round-trips") {
+    roundtrip("orc")
+  }
+
+  test("streaming file source over json matches the batch read") {
+    val dir = tmpDir("srcstream") + "/json"
+    base.write.format("json").save(dir)
+    val agg = spark.readStream.schema(schema).json(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("srcj_t")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import spark.implicits._
+    val streamed = spark.table("srcj_t").as[(String, Long)].collect().toMap
+    val batch = base.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+}
