@@ -83,6 +83,27 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // B13: TF-IDF — classic corpus-relevance scoring; top-3 terms per document for
+    // a doc_id prefix, ranked on the rounded score with term tiebreaks.
+    "q_text_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+      val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(nDocs.select(col("n"))))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.filter(col("doc_id") < 100)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // Exact dedup by content (deterministic representative, md5 fingerprint).
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exactByText(Tables.documents(s, d)).orderBy(col("keep_id"))
@@ -180,6 +201,24 @@ object TextQueries {
         | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_ws_tokens,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |   round(tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |  FROM scored WHERE doc_id < 100)
+        |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS text_hash
