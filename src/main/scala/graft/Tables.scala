@@ -36,6 +36,19 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, sfDir, name), _ => load(spark, sfDir, name))
 
+  /** Drop memoized (and persisted) tables for a session — call before stopping a
+    * long-lived session to release cache blocks and the session reference. */
+  def clearCache(spark: SparkSession): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        try e.getValue.unpersist() catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+  }
+
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = name match {
       case "events" =>

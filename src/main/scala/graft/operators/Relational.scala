@@ -94,6 +94,9 @@ object Relational {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    // Right/full outer would duplicate unmatched small-side rows once per salt.
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val salted = large.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val expanded = small.withColumn("__salt",

@@ -43,8 +43,8 @@ object Similarity {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    def nearest(vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(df.columns.head).orderBy(
+    def nearest(idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(
         col("cdist").desc, col("centroid_id"))
       df.crossJoin(broadcast(centroids))
         .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
@@ -53,8 +53,8 @@ object Similarity {
         .drop("c_vec", "cdist", "crnk")
         .withColumnRenamed("centroid_id", idOut)
     }
-    val bucketed = nearest("embedding", "bucket", 1)(corpus)
-    val probes = nearest("q_vec", "bucket", nprobe)(queries)
+    val bucketed = nearest("vec_id", "embedding", "bucket", 1)(corpus)
+    val probes = nearest("q_id", "q_vec", "bucket", nprobe)(queries)
     val scored = bucketed.join(probes, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))

@@ -68,8 +68,7 @@ object EventQueries {
           floor(try_divide(col("value"), col("k") - 50) * 10000).cast("long")
             .as("safe_div_e4"),
           try_divide(col("k"), lit(0)).as("div_zero"),
-          coalesce(try_divide(col("value"), col("k") - 50), lit(-1.0)).isNotNull
-            .as("row_kept"))
+          try_divide(col("value"), col("k") - 50).isNotNull.as("div_ok"))
         .orderBy(col("event_id"))
     },
 
@@ -133,7 +132,7 @@ object EventQueries {
       """SELECT event_id,
         | CAST(floor(value / nullif(CAST(json_extract(props,'$.k') AS BIGINT) - 50, 0) * 10000) AS BIGINT) AS safe_div_e4,
         | CAST(NULL AS DOUBLE) AS div_zero,
-        | true AS row_kept
+        | (CAST(json_extract(props,'$.k') AS BIGINT) - 50) <> 0 AS div_ok
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
 
     "q_time_tumbling" ->

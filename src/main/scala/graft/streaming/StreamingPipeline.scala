@@ -48,8 +48,15 @@ object StreamingPipeline {
   def upsertBatch(batch: DataFrame, path: String, keys: Seq[String],
                   ordering: Seq[Column]): Unit = {
     val spark = batch.sparkSession
+    // Only a missing store path means "first batch". Any other read failure
+    // (corrupt footer, transient FS error) must propagate — treating it as an empty
+    // store would silently overwrite and lose every previously upserted key.
     val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      try Some(spark.read.parquet(path)) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => None
+      }
     val merged = existing match {
       case Some(old) => Relational.latestPerKey(old.unionByName(batch), keys, ordering)
       case None      => Relational.latestPerKey(batch, keys, ordering)
