@@ -105,6 +105,22 @@ object Relational {
   }
 
   /**
+   * Backward as-of join within one keyed stream: for every row, attach the most
+   * recent *strictly earlier* value of `valCol` among rows satisfying `matchCond`
+   * (e.g. "latest prior click before this error"). Composed from a single window
+   * pass — `last(when(cond, v), ignoreNulls).over(rows < current)` — which is the
+   * point: Spark needs no custom as-of operator for the within-table case; one
+   * shuffle on the key, no join at all. (A two-table as-of is the same shape after a
+   * tagged union.)
+   */
+  def asOfPrior(df: DataFrame, keyCol: String, ordering: Seq[Column],
+                matchCond: Column, valCol: Column, outName: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(outName, last(when(matchCond, valCol), ignoreNulls = true).over(w))
+  }
+
+  /**
    * Gaps-and-islands sessionization (batch twin of Structured Streaming's
    * `session_window`, SURVEY.md B11): a session breaks when the gap since the previous
    * event of the same key exceeds `gapSeconds`. Adds `session_id` (0-based per key).

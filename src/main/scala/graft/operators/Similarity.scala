@@ -65,6 +65,26 @@ object Similarity {
   }
 
   /**
+   * Sign-LSH bucketed approximate top-k: corpus and queries are both keyed by the
+   * sign pattern of their first `bits` components; each query scores only its own
+   * bucket (~corpus/2^bits candidates). The cheapest ANN shape — one equi-join on a
+   * precomputable key, no centroid training; recall < 1 by design.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
+    val bucketedCorpus = corpus
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), bits))
+    val bucketedQueries = queries
+      .withColumn("bucket", VectorOps.signBucket(col("q_vec"), bits))
+    val scored = bucketedCorpus.join(bucketedQueries, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /**
    * Embedding near-dup pairs with sign-LSH blocking: vectors sharing the sign pattern
    * of their first `bits` components (and the same `blockCols`) are compared; pairs
    * with round(cosine,4) >= threshold survive. Exact within a bucket; recall < 1

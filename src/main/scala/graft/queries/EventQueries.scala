@@ -54,6 +54,20 @@ object EventQueries {
         .orderBy(col("event_type"), col("k_mod"))
     },
 
+    // As-of join (the operator Spark famously lacks as a primitive — composed here
+    // from one window pass, no custom plan node needed): each error event gets the
+    // most recent strictly-prior click of the same user, plus the gap.
+    "q_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Relational.asOfPrior(ev, "user_id", Seq(col("ts"), col("event_id")),
+          col("event_type") === "click", col("ts_us"), "last_click_us")
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("last_click_us"),
+          (col("ts_us") - col("last_click_us")).as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // A19 generalized: error-safe scalar evaluation — try_divide yields null instead
     // of failing the row, the declarative form of the reference's try/except-skip.
     "q_try_funcs" -> { (s, d) =>
@@ -127,6 +141,17 @@ object EventQueries {
         | count(*) AS n, round(sum(value),2) AS sum_value,
         | max(CAST(json_extract(props,'$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, last_click_us,
+        | epoch_us(ts) - last_click_us AS gap_us
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |   last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |  FROM events)
+        |WHERE event_type = 'error' ORDER BY user_id, event_id""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT event_id,

@@ -44,6 +44,15 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // B12 approximate path 2: sign-LSH bucketed top-k (no training, one equi-join).
+    "q_sim_ann_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") >= 200 && col("vec_id") < 206)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(qs, emb.select(col("vec_id"), col("embedding")), 5, 3)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Embedding-cosine near-dup with sign-LSH blocking (recall bounded by blocking —
     // the documented LSH trade-off; exact within buckets). 4 sign bits = 16 buckets
     // keeps the within-bucket pair count ~1/16 of the naive quadratic.
@@ -104,6 +113,25 @@ object VectorQueries {
          |  SELECT q_id, vec_id, cos,
          |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |    + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e
+         |  WHERE vec_id >= 200 AND vec_id < 206),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${dcos("q.qv", "e.v")} AS cos
+         |  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
 
     "q_dedup_embed" ->
