@@ -295,6 +295,27 @@ object StarQueries {
       building.except(bigSpenders).orderBy(col("custkey"))
     },
 
+    // B8: EXCEPT ALL — multiset subtraction (keeps multiplicity, unlike EXCEPT).
+    "q_set_except_all" -> { (s, d) =>
+      val allOrders = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      allOrders.exceptAll(urgent)
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("custkey"))
+    },
+
+    // B8: INTERSECT ALL — multiset intersection.
+    "q_set_intersect_all" -> { (s, d) =>
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      f.intersectAll(urgent)
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("custkey"))
+    },
+
     // B16: scalar string/math function battery (A5/A18/A20 generalized).
     "q_scalar_funcs" -> { (s, d) =>
       Tables.part(s, d)
@@ -560,6 +581,20 @@ object StarQueries {
         | EXCEPT
         | SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000)
         |ORDER BY custkey""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | EXCEPT ALL
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT ALL
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(substr(p_name,1,5)) AS name5,

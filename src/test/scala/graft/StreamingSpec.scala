@@ -127,6 +127,23 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup drops duplicates arriving within the watermark") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Producer
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Producer.dedupNames(in.toDF.toDF("ts", "item_name"), Some("1 hour"))
+      .writeStream.format("memory").queryName("wmdedup_t").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), "apple"), (ts("2024-01-01 00:05:00"), "apple"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:30:00"), "apple"), (ts("2024-01-01 00:30:00"), "pear"))
+      q.processAllAvailable()
+      val names = spark.table("wmdedup_t").select("item_name").as[String]
+        .collect().sorted.toSeq
+      assert(names === Seq("apple", "pear")) // in-watermark repeats all dropped
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermarks joins only within the time bound") {
     implicit val ctx = spark.sqlContext
     val impressions = MemoryStream[(Long, Timestamp)]

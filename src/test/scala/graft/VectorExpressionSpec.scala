@@ -45,6 +45,32 @@ class VectorExpressionSpec extends GraftSuite {
     assert(r.isNullAt(0))
   }
 
+  test("IVF top-k achieves reasonable recall against the exact brute force") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
+    val qs = Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("c_vec"))
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(qs, emb, 10))
+    val ivf = pairs(Similarity.ivfTopK(qs, emb, centroids, 10, 4))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall vs exact") // nprobe=4 of 16 buckets
+    assert(ivf.size === exact.size)
+  }
+
+  test("seeded sample is deterministic across runs") {
+    val li = Tables.lineitem(spark, sfTiny)
+    val a = li.sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)), sum(col("l_quantity"))).collect().head
+    val b = li.sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)), sum(col("l_quantity"))).collect().head
+    assert(a === b)
+  }
+
   test("md5_prefix60 equals the conv(substr(md5)) composition exactly") {
     val toks = Tables.documents(spark, sfTiny)
       .select(explode(split(col("text"), " ")).as("t")).limit(5000)
