@@ -404,6 +404,20 @@ object StarQueries {
         .orderBy(col("y"))
     },
 
+    // B5/B16: unpivot (melt) — the inverse reshape of q_pivot; one row per
+    // (flag, measure) with the summed value.
+    "q_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
     // B17: custom typed Aggregator UDAF — quantity-weighted mean price per flag.
     "q_udaf_weighted" -> { (s, d) =>
       val wm = udaf(new WeightedMean)
@@ -648,6 +662,14 @@ object StarQueries {
         | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
         | count(*) FILTER (o_orderpriority = '5-LOW') AS low
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_returnflag, measure, round(sum(value),2) AS sum_value, count(*) AS n
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_udaf_weighted" ->
       """SELECT l_returnflag,

@@ -129,6 +129,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // B13/B16: positional tokenization — first occurrence position (1-based) of a
+    // marker token per containing document (posexplode / list_position twins).
+    "q_text_positions" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok") === "the")
+        .groupBy(col("doc_id"))
+        .agg((min(col("pos")) + 1).cast("long").as("first_pos"),
+          count(lit(1)).as("occurrences"))
+        .orderBy(col("doc_id"))
+    },
+
     // 60-bit SimHash values (bit-exact vs the oracle) on a doc_id prefix.
     "q_text_simhash" -> { (s, d) =>
       Dedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 200))
@@ -278,6 +290,14 @@ object TextQueries {
          |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_positions" ->
+      """SELECT doc_id,
+        | CAST(list_position(string_split(text,' '), 'the') AS BIGINT) AS first_pos,
+        | CAST(len(list_filter(string_split(text,' '), t -> t = 'the')) AS BIGINT) AS occurrences
+        |FROM documents
+        |WHERE list_contains(string_split(text,' '), 'the')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_simhash" ->
       """WITH toks AS (
