@@ -14,19 +14,9 @@ object SparkEntry {
 
   /** Flagship (SURVEY §7 M0 shape): events JSON parse (A14/B15) -> validity filter
     * (A7) -> dimension join (B1) -> grouped agg (A25/B4) -> order+limit (A26/B7).
-    * Driver smoke-checks rows>0 on sf0.001. */
-  def entry(spark: SparkSession): DataFrame = {
-    val d = "/root/testdata/sf0.001"
-    Tables.events(spark, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .filter(col("k").isNotNull && col("event_type") =!= "error")
-      .join(Tables.customer(spark, d), col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
-        countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("n").desc, col("c_mktsegment"))
-      .limit(10)
-  }
+    * Delegates to the hash-verified q_flagship; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    EventQueries.queries("q_flagship")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     StarQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++

@@ -54,6 +54,21 @@ object EventQueries {
         .orderBy(col("event_type"), col("k_mod"))
     },
 
+    // Flagship composite (SURVEY §7 M0): JSON parse -> validity filter -> dimension
+    // join -> grouped agg -> ordered top-k. SparkEntry.entry delegates here so the
+    // flagship is hash-verified, not merely smoke-checked.
+    "q_flagship" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("event_type") =!= "error")
+        .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("c_mktsegment"))
+        .limit(10)
+    },
+
     // As-of join (the operator Spark famously lacks as a primitive — composed here
     // from one window pass, no custom plan node needed): each error event gets the
     // most recent strictly-prior click of the same user, plus the gap.
@@ -141,6 +156,13 @@ object EventQueries {
         | count(*) AS n, round(sum(value),2) AS sum_value,
         | max(CAST(json_extract(props,'$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin,
+
+    "q_flagship" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE json_extract(props,'$.k') IS NOT NULL AND event_type <> 'error'
+        |GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment LIMIT 10""".stripMargin,
 
     "q_asof_join" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, last_click_us,

@@ -59,7 +59,8 @@ class VectorExpressionSpec extends GraftSuite {
     val ivf = pairs(Similarity.ivfTopK(qs, emb, centroids, 10, 4))
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall > 0.2, s"IVF recall $recall vs exact") // nprobe=4 of 16 buckets
-    assert(ivf.size === exact.size)
+    // ivfTopK may legitimately return < k rows when probed buckets are small.
+    assert(ivf.size <= exact.size)
   }
 
   test("seeded sample is deterministic across runs") {
