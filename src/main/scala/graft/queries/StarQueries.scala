@@ -348,6 +348,37 @@ object StarQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // B16 battery 4: math scalars (sign/floor/ceil/exp/pow/sqrt/greatest/least,
+    // negative modulo, substring search).
+    "q_math_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 2000)
+        .select(
+          col("p_partkey"),
+          instr(col("p_name"), "widget").cast("long").as("pos_widget"),
+          signum(col("p_size") - 25).cast("long").as("sgn"),
+          floor(col("p_retailprice") / 100).cast("long").as("fl"),
+          ceil(col("p_retailprice") / 100).cast("long").as("cl"),
+          round(exp(col("p_size") / 25.0), 4).as("ex"),
+          pow(lit(2), col("p_size") % 10).cast("long").as("pw"),
+          round(sqrt(col("p_retailprice")), 4).as("sq"),
+          greatest(col("p_size"), lit(10)).cast("long").as("gr"),
+          least(col("p_size"), lit(40)).cast("long").as("le"),
+          ((col("p_size") * -1) % 5).cast("long").as("neg_mod"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // B4 battery: bitwise aggregates per group.
+    "q_bit_aggs" -> { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(bit_and(col("p_size")).cast("long").as("b_and"),
+          bit_or(col("p_size")).cast("long").as("b_or"),
+          bit_xor(col("p_size")).cast("long").as("b_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    },
+
     // B16: date function battery (A8's timestamping generalized).
     "q_date_funcs" -> { (s, d) =>
       Tables.orders(s, d)
@@ -626,6 +657,28 @@ object StarQueries {
         | CAST(2 AS BIGINT) AS m_size, 'qty,price' AS m_keys, true AS has_qty
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        | CAST(strpos(p_name, 'widget') AS BIGINT) AS pos_widget,
+        | CAST(sign(p_size - 25) AS BIGINT) AS sgn,
+        | CAST(floor(p_retailprice / 100) AS BIGINT) AS fl,
+        | CAST(ceil(p_retailprice / 100) AS BIGINT) AS cl,
+        | round(exp(p_size / 25.0), 4) AS ex,
+        | CAST(pow(2, p_size % 10) AS BIGINT) AS pw,
+        | round(sqrt(p_retailprice), 4) AS sq,
+        | CAST(greatest(p_size, 10) AS BIGINT) AS gr,
+        | CAST(least(p_size, 40) AS BIGINT) AS le,
+        | CAST((p_size * -1) % 5 AS BIGINT) AS neg_mod
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
+
+    "q_bit_aggs" ->
+      """SELECT p_brand,
+        | CAST(bit_and(p_size) AS BIGINT) AS b_and,
+        | CAST(bit_or(p_size) AS BIGINT) AS b_or,
+        | CAST(bit_xor(p_size) AS BIGINT) AS b_xor,
+        | count(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
