@@ -379,6 +379,36 @@ object StarQueries {
         .orderBy(col("p_brand"))
     },
 
+    // B16 battery 5: map higher-order functions (transform_keys/values, map_filter);
+    // the oracle verifies the externalized scalars (maps can't hash-compare
+    // directly, same rule as q_map_funcs).
+    "q_map_hof" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .withColumn("m", map(
+          lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice")))
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "qty").as("qty_x2"),
+          array_join(sort_array(map_keys(
+            transform_keys(col("m"), (k, _) => upper(k)))), ",").as("keys_upper"),
+          size(map_filter(col("m"), (_, v) => v > 10)).cast("long").as("n_gt10"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // B6 battery 3: nth_value and lead-with-default.
+    "q_window_nth" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
     // B16: date function battery (A8's timestamping generalized).
     "q_date_funcs" -> { (s, d) =>
       Tables.orders(s, d)
@@ -657,6 +687,23 @@ object StarQueries {
         | CAST(2 AS BIGINT) AS m_size, 'qty,price' AS m_keys, true AS has_qty
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_map_hof" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity * 2 AS qty_x2,
+        | 'PRICE,QTY' AS keys_upper,
+        | CAST((CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_extendedprice > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt10
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_nth" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | nth_value(o_orderkey, 2) OVER w AS second_cheapest,
+        | lead(o_orderkey, 1, -1) OVER w AS next_key
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT p_partkey,
