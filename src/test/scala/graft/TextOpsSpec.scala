@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the column-function layer. */
+class TextOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c).collect().head.getAs[T](0)
+
+  test("shingles: n longer than the doc yields empty; n=1 equals tokens") {
+    val df = Seq("a b c").toDF("text")
+    val r = df.select(
+      TextOps.shingles(col("text"), 5).as("s5"),
+      TextOps.shingles(col("text"), 1).as("s1"),
+      TextOps.shingles(col("text"), 2).as("s2")).collect().head
+    assert(r.getSeq[String](0).isEmpty)
+    assert(r.getSeq[String](1) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](2) === Seq("a b", "b c"))
+  }
+
+  test("tokenSetFingerprint is permutation- and repetition-invariant") {
+    val df = Seq(("a b c", "c b a a b"), ("a b c", "a b d")).toDF("x", "y")
+    val fps = df.select(
+      (TextOps.tokenSetFingerprint(col("x")) === TextOps.tokenSetFingerprint(col("y")))
+        .as("eq")).as[Boolean].collect()
+    assert(fps.toSeq === Seq(true, false))
+  }
+
+  test("rollingHash is order-sensitive (unlike the set fingerprint)") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(
+      (TextOps.rollingHash(col("x")) === TextOps.rollingHash(col("y"))).as("eq"))
+      .as[Boolean].collect().head
+    assert(!r)
+  }
+
+  test("qualityScore stays in [0,1] and rewards diversity") {
+    val df = Seq("a a a a a a", "b c d e f g").toDF("text")
+    val scores = df.select(TextOps.qualityScore(col("text"), Seq("a")).as("s"))
+      .as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1) > scores(0)) // diverse, stopword-free doc scores higher
+  }
+
+  test("md5Long is non-negative and below 2^60") {
+    val vals = Tables.documents(spark, sfTiny).limit(100)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .select(TextOps.md5Long(col("t")).as("h")).as[Long].collect()
+    assert(vals.forall(h => h >= 0L && h < (1L << 60)))
+  }
+
+  test("signBucket covers [0, 2^bits) and depends only on signs") {
+    val df = Seq(
+      (Array(1.0f, -1.0f, 1.0f), Array(5.0f, -0.1f, 99f)),
+      (Array(-1.0f, -1.0f, -1.0f), Array(-2f, -3f, -4f))
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorOps.signBucket(col("a"), 3).as("ba"),
+      VectorOps.signBucket(col("b"), 3).as("bb")).as[(Long, Long)].collect()
+    assert(r.forall { case (x, y) => x == y }) // same sign pattern -> same bucket
+    assert(r.forall { case (x, _) => x >= 0 && x < 8 })
+  }
+
+  test("stopwordRatio counts multiplicity") {
+    val r = Seq("the a the b").toDF("text")
+      .select(TextOps.stopwordRatio(col("text"), Seq("the")).as("r"))
+      .as[Double].collect().head
+    assert(r === 0.5)
+  }
+}
