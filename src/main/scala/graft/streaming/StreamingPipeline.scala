@@ -39,37 +39,68 @@ object StreamingPipeline {
       .filter(col("data").isNotNull && col("data") =!= "[]")
   }
 
+  /** Number of hash buckets the upsert store is directory-partitioned into. */
+  val DefaultStoreBuckets = 16
+
   /**
    * A9: last-write-wins keyed upsert of one micro-batch into a parquet store — the
-   * Cassandra PK insert semantics. `localCheckpoint` materializes the merge before
-   * the overwrite so the plan never reads the files it is replacing (a transactional
-   * table format does this natively at cluster scale).
+   * Cassandra PK insert semantics (consume_items.py:50-58 of the reference).
+   *
+   * The store is directory-partitioned by `__bucket = pmod(hash(keys), numBuckets)`,
+   * so a micro-batch merges ONLY the buckets its keys land in: read touched bucket
+   * dirs, union the batch, re-rank latest-per-key, dynamic-partition-overwrite the
+   * touched buckets. Cost is O(batch × bucket-size) per batch — the per-key cost
+   * model of the reference's Cassandra PK store — instead of O(store) per batch.
+   * Untouched buckets are never read or written.
+   *
+   * Durability: dynamic partition overwrite stages all new files under the output
+   * path and swaps each partition directory at job commit (delete + rename per
+   * touched bucket), so there is no window where the store exists only in executor
+   * memory (the previous `localCheckpoint` + full overwrite had one). The residual
+   * non-transactionality is a crash between a partition's delete and rename — the
+   * same window every non-transactional table format has; a Delta/Iceberg store
+   * closes it with a metadata swap, with this same bucketed layout underneath.
    */
   def upsertBatch(batch: DataFrame, path: String, keys: Seq[String],
-                  ordering: Seq[Column]): Unit = {
+                  ordering: Seq[Column], numBuckets: Int = DefaultStoreBuckets): Unit = {
     val spark = batch.sparkSession
-    // Only a missing store path means "first batch". Any other read failure
-    // (corrupt footer, transient FS error) must propagate — treating it as an empty
-    // store would silently overwrite and lose every previously upserted key.
-    val existing =
-      try Some(spark.read.parquet(path)) catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") => None
+    val bucketed = batch.withColumn("__bucket",
+      pmod(hash(keys.map(col): _*), lit(numBuckets)))
+    // Partition pruning metadata, not data: at most `numBuckets` small integers.
+    val touched = bucketed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingDirs = touched.map(b => new org.apache.hadoop.fs.Path(path, s"__bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val merged =
+      if (existingDirs.isEmpty) Relational.latestPerKey(bucketed, keys, ordering)
+      else {
+        // basePath keeps the __bucket partition column; root paths are the bucket
+        // subdirectories, so the overwrite below never targets a path being read.
+        val old = spark.read.option("basePath", path).parquet(existingDirs: _*)
+        Relational.latestPerKey(old.unionByName(bucketed), keys, ordering)
       }
-    val merged = existing match {
-      case Some(old) => Relational.latestPerKey(old.unionByName(batch), keys, ordering)
-      case None      => Relational.latestPerKey(batch, keys, ordering)
-    }
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    merged
+      .repartition(col("__bucket"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .mode("overwrite")
+      .parquet(path)
   }
+
+  /** Read the upsert store back without its internal bucketing column. */
+  def readStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
 
   /** A9 as a streaming sink: foreachBatch keyed upsert. */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
-                 ordering: Seq[Column]): DataStreamWriter[Row] =
+                 ordering: Seq[Column],
+                 numBuckets: Int = DefaultStoreBuckets): DataStreamWriter[Row] =
     stream.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, path, keys, ordering)
+        upsertBatch(batch, path, keys, ordering, numBuckets)
       }
 
   /** B10: watermarked tumbling-window aggregation over an event stream. */

@@ -59,6 +59,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("bucketed upsert rewrites only the buckets its batch touches") {
+    import org.apache.hadoop.fs.Path
+    val store = tmpDir("bucketed") + "/store"
+    val keys = Seq("item_name")
+    val ord = Seq(col("ingestion_ts").desc)
+    def batchDf(rows: (String, Timestamp, Double)*) =
+      rows.toDF("item_name", "ingestion_ts", "calories")
+    // Seed the store with keys spread over many buckets.
+    val seed = (0 until 40).map(i => (s"item_$i", ts("2024-01-01 00:00:00"), i.toDouble))
+    StreamingPipeline.upsertBatch(batchDf(seed: _*), store, keys, ord)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileStamps(): Map[String, Long] =
+      fs.listStatus(new Path(store)).filter(_.isDirectory).flatMap { dir =>
+        fs.listStatus(dir.getPath).filter(_.isFile)
+          .map(f => f.getPath.toString -> f.getModificationTime)
+      }.toMap
+    val before = fileStamps()
+    val bucketDirs = fs.listStatus(new Path(store)).filter(_.isDirectory).length
+    assert(bucketDirs > 1, "seed keys must span multiple buckets")
+    // One-key batch: only that key's bucket dir may change.
+    Thread.sleep(1100) // local-FS mtime granularity can be 1s
+    StreamingPipeline.upsertBatch(
+      batchDf(("item_7", ts("2024-01-02 00:00:00"), 700.0)), store, keys, ord)
+    val after = fileStamps()
+    val touchedBucket = spark.range(1).select(
+      pmod(hash(lit("item_7")), lit(StreamingPipeline.DefaultStoreBuckets)))
+      .collect().head.getInt(0)
+    val changed = (after.keySet ++ before.keySet).filter(p =>
+      before.get(p) != after.get(p))
+    assert(changed.nonEmpty)
+    assert(changed.forall(_.contains(s"__bucket=$touchedBucket")),
+      s"batch touching bucket $touchedBucket must not rewrite others; changed=$changed")
+    // Upsert semantics unchanged: last write wins, all other keys intact.
+    val readBack = StreamingPipeline.readStore(spark, store)
+    assert(readBack.count() === 40)
+    assert(readBack.filter(col("item_name") === "item_7")
+      .select("calories").as[Double].collect().head === 700.0)
+    assert(readBack.filter(col("item_name") === "item_3")
+      .select("calories").as[Double].collect().head === 3.0)
+  }
+
   test("watermarked tumbling window emits closed windows in append mode") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
