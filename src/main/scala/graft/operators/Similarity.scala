@@ -65,6 +65,45 @@ object Similarity {
   }
 
   /**
+   * Deterministic seeded Lloyd's k-means over an embedding corpus, producing trained
+   * IVF centroids `(centroid_id, c_vec: array<double>)` for [[ivfTopK]].
+   *
+   * Determinism contract (what makes the result oracle-expressible cross-engine):
+   * initialization is the `k` rows with the smallest `vec_id` (fixed init ids, no
+   * RNG); a FIXED number of Lloyd iterations (no convergence test); assignment ranks
+   * on `round(cosine, 4)` with `centroid_id` tiebreak; each recomputed centroid
+   * component is `round(avg, 4)`, which absorbs floating-point sum-order drift
+   * between engines/runs. A cluster that captures no vectors drops out (both engines
+   * agree — the assignment join is inner).
+   *
+   * Scale posture: each iteration is one broadcast of k centroids + one linear pass
+   * over the corpus + one (centroid, dim)-keyed agg of `corpus × dim` exploded rows —
+   * no quadratic stage. At 100 TB you would train on a sample and checkpoint between
+   * iterations; the per-iteration plan is already the right shape.
+   */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").cast("array<double>").as("c_vec"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
+      val assigned = corpus.crossJoin(broadcast(centroids))
+        .withColumn("cdist", round(vecCosine(col("embedding"), col("c_vec")), 4))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") === 1)
+        .select(col("centroid_id"), col("embedding"))
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 4).as("cval"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pv"))
+        .select(col("centroid_id"), expr("transform(pv, p -> p.cval)").as("c_vec"))
+    }
+    centroids
+  }
+
+  /**
    * Sign-LSH bucketed approximate top-k: corpus and queries are both keyed by the
    * sign pattern of their first `bits` components; each query scores only its own
    * bucket (~corpus/2^bits candidates). The cheapest ANN shape — one equi-join on a

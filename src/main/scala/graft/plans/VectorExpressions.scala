@@ -7,46 +7,68 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
- * Native Catalyst expression for the similarity hot path (SURVEY.md §7.3): a fused
- * dot-product / cosine kernel over two `array<float>` columns.
+ * Native Catalyst expressions for the similarity hot path (SURVEY.md §7.3): a fused
+ * dot-product / cosine kernel over two `array<float>` / `array<double>` columns
+ * (mixed element types allowed — trained k-means centroids are double, raw
+ * embeddings float).
  *
  * Why not `zip_with` + `aggregate`: those build an intermediate array per row and walk
  * it twice (3x for cosine, which needs both norms). This expression emits one fused
  * loop via `doGenCode` — single pass, three accumulators, no allocation — which is the
  * shape that matters when scoring billions of vectors. Semantics are identical to the
- * composed built-ins: float elements promoted to double, accumulated in index order,
+ * composed built-ins: elements promoted to double, accumulated in index order,
  * so oracle-verified results do not change when this kernel is substituted.
  *
  * Null behavior: null if either array is null (standard null-intolerant binary
- * expression); mismatched lengths score over the common prefix (callers validate
- * dimensionality upstream).
+ * expression), and null on a length mismatch — a dimensionality bug upstream must
+ * surface as a missing score (and a count drop the tests catch), not a plausible
+ * wrong score over a common prefix.
  */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two array<float> arguments, " +
-            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
-    }
+  override def nullable: Boolean = true
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float|double> arguments, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  /** Scala-side element read promoted to double. */
+  protected def elemAt(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _                       => arr.getDouble(i)
+  }
+
+  /** Codegen element read promoted to double. */
+  protected def elemCode(arr: String, i: String, t: DataType): String = t match {
+    case ArrayType(FloatType, _) => s"((double) $arr.getFloat($i))"
+    case _                       => s"$arr.getDouble($i)"
   }
 }
 
-/** dot(a, b) = sum_i a(i)*b(i), accumulated in double. */
+/** dot(a, b) = sum_i a(i)*b(i), accumulated in double; null on length mismatch. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += elemAt(x, i, left.dataType) * elemAt(y, i, right.dataType); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +77,16 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${elemCode(a, i, left.dataType)} * ${elemCode(b, i, right.dataType)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -68,22 +94,25 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = dot/(|a||b|) in one pass (three accumulators); 0.0 on zero norm. */
+/** cosine(a, b) = dot/(|a||b|) in one pass; 0.0 on zero norm; null on length mismatch. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = elemAt(x, i, left.dataType); val yi = elemAt(y, i, right.dataType)
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -97,15 +126,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = ${elemCode(a, i, left.dataType)};
+         |    double $yi = ${elemCode(b, i, right.dataType)};
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
        """.stripMargin
     })
 

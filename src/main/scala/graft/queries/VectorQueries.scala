@@ -44,6 +44,19 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // B12 approximate path, trained variant: IVF over k-means centroids (k=8,
+    // 2 Lloyd iterations, fixed init ids — fully deterministic, see
+    // Similarity.kmeansCentroids), nprobe=2, top-5.
+    "q_sim_ann_kmeans" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val centroids = Similarity.kmeansCentroids(corpus, 8, 2)
+      val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(qs, corpus, centroids, 5, 2)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // B12 approximate path 2: sign-LSH bucketed top-k (no training, one equi-join).
     "q_sim_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -114,6 +127,46 @@ object VectorQueries {
          |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_sim_ann_kmeans" -> {
+      def assign(corp: String, cent: String): String =
+        s"""(SELECT centroid_id, vec_id, v FROM (
+           |  SELECT t.centroid_id, c.vec_id, c.v,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY ${dcos("c.v", "t.cv")} DESC, t.centroid_id) AS crnk
+           |  FROM $corp c CROSS JOIN $cent t) WHERE crnk = 1)""".stripMargin
+      def recompute(a: String): String =
+        s"""(SELECT centroid_id, list(cval ORDER BY pos) AS cv FROM (
+           |  SELECT a.centroid_id, d.pos, round(avg(a.v[d.pos]), 4) AS cval
+           |  FROM $a a CROSS JOIN dim d GROUP BY a.centroid_id, d.pos)
+           | GROUP BY centroid_id)""".stripMargin
+      s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dim AS (SELECT unnest(range(1, 65)) AS pos),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS cv FROM corp WHERE vec_id < 8),
+         |a1 AS (SELECT * FROM ${assign("corp", "c0")}),
+         |c1 AS (SELECT * FROM ${recompute("a1")}),
+         |a2 AS (SELECT * FROM ${assign("corp", "c1")}),
+         |c2 AS (SELECT * FROM ${recompute("a2")}),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM corp
+         |  WHERE vec_id >= 100 AND vec_id < 105),
+         |bucketed AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |  SELECT c.vec_id, c.v, t.centroid_id,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${dcos("c.v", "t.cv")} DESC, t.centroid_id) AS crnk
+         |  FROM corp c CROSS JOIN c2 t) WHERE crnk = 1),
+         |probes AS (SELECT q_id, qv, centroid_id AS bucket FROM (
+         |  SELECT q.q_id, q.qv, t.centroid_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${dcos("q.qv", "t.cv")} DESC, t.centroid_id) AS crnk
+         |  FROM q CROSS JOIN c2 t) WHERE crnk <= 2),
+         |scored AS (SELECT p.q_id, b.vec_id, ${dcos("p.qv", "b.v")} AS cos
+         |  FROM bucketed b JOIN probes p USING (bucket) WHERE b.vec_id <> p.q_id)
+         |SELECT q_id, rnk, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
 
     "q_sim_ann_lsh" ->
       s"""WITH e AS (

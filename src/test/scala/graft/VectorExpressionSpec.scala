@@ -45,6 +45,41 @@ class VectorExpressionSpec extends GraftSuite {
     assert(r.isNullAt(0))
   }
 
+  test("length-mismatched arrays score null, not a prefix score") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.vecDot(col("a"), col("b")).as("d"),
+      VectorExpressions.vecCosine(col("a"), col("b")).as("c")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("mixed float/double arrays promote and score exactly") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(VectorExpressions.vecDot(col("a"), col("b"))).collect().head
+    assert(r.getDouble(0) === 32.0)
+  }
+
+  test("kmeans centroids are deterministic across runs and feed IVF with recall") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
+    def centroidSet() = Similarity.kmeansCentroids(corpus, 8, 2)
+      .select(col("centroid_id"), col("c_vec"))
+      .as[(Int, Array[Double])].collect().map { case (id, v) => (id, v.toSeq) }.toMap
+    val c1 = centroidSet(); val c2 = centroidSet()
+    assert(c1 === c2, "two k-means runs over the same data must agree exactly")
+    assert(c1.nonEmpty && c1.values.forall(_.size === 64))
+    // Trained IVF recall vs exact top-k for 10 probe queries.
+    val qs = Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = Similarity.kmeansCentroids(corpus, 8, 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(qs, corpus, 10))
+    val ivf = pairs(Similarity.ivfTopK(qs, corpus, centroids, 10, 2))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"trained-IVF recall $recall vs exact") // nprobe=2 of 8
+  }
+
   test("IVF top-k achieves reasonable recall against the exact brute force") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
