@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.{BufferedImage, DataBufferByte}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,104 +12,228 @@ import org.apache.spark.sql.functions._
 case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
                     width: Int, height: Int, sample_rate: Int)
 
-/** Decoded per-item features (fixed-dim, schema-stable). */
-case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                         mean_byte: Double, feature: Array[Double])
+/**
+ * Decoded per-item features (fixed-dim, schema-stable). `dec_w`/`dec_h` are the
+ * dimensions read from the decoded container header (image/video: pixel dims;
+ * audio: (sample_rate, 1)); `n_units` is the decoded payload size (pixels or
+ * samples); `mean_val` and `feature` are statistics over decoded pixel/sample
+ * values (lane j = units at linear index ≡ j mod FeatureDim).
+ */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long, n_units: Long,
+                         dec_w: Int, dec_h: Int, mean_val: Double,
+                         feature: Array[Double])
 
 /**
- * Multimodal-column plumbing (north-star extension): image/audio/video travel as
- * opaque `binary` columns with typed metadata; decode / feature-extraction runs
- * batch-wise per partition so a real codec would amortize model/codec init across a
- * partition (the Scala analogue of arrow-batched mapInPandas).
+ * Multimodal columns (north-star extension): image/audio/video travel as opaque
+ * `binary` columns with typed metadata; decode / feature-extraction runs batch-wise
+ * per partition so codec init amortizes across a partition (the Scala analogue of
+ * arrow-batched mapInPandas).
  *
- * The DECODE STEP IS A STUB: real image/audio codecs are not available in this
- * environment, so `decodePartition` computes a deterministic byte-statistics feature
- * in place of a real embedding. Everything around it — binary column handling, typed
- * metadata, partition-batched execution, fixed-dim output schema, downstream
- * aggregation — is the real, tested plumbing; swapping in a codec changes only the
- * marked function body.
+ * The decode is REAL: images are genuine BMP containers encoded and decoded with
+ * `javax.imageio` (header parse + pixel raster), audio is genuine 8-bit PCM WAV
+ * encoded and decoded with `javax.sound.sampled` (header parse + sample stream),
+ * video is a length-prefixed container of BMP frames decoded frame-by-frame. Pixel
+ * and sample VALUES are deterministic md5-cycles of the source text, which is what
+ * makes the decoded statistics independently computable by the DuckDB oracle — the
+ * oracle predicts what a correct decoder must recover, so a header-parse or raster
+ * bug breaks the hash match.
  */
 object Multimodal {
   val FeatureDim = 4
+  /** Samples per generated WAV clip (multiple of 16 so means reduce exactly). */
+  val AudioSamples = 256
+  /** Frames per generated video container. */
+  val VideoFrames = 3
 
-  /**
-   * Derive a deterministic media table from `documents`: content = md5 digest bytes
-   * of the text (16-byte stand-in blob), kind cycles image/audio/video, metadata
-   * varies with the id. Real pipelines read these columns from parquet/blob stores.
-   */
-  def deriveMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      unhex(md5(col("text"))).as("content"),
-      (lit(64) + (col("doc_id") % 4) * 32).cast("int").as("width"),
-      (lit(64) + (col("doc_id") % 2) * 64).cast("int").as("height"),
-      when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"))
+  // ImageIO's default stream cache is a temp FILE per encode/decode call — a
+  // per-row disk write in the hot path. Memory-cache instead.
+  ImageIO.setUseCache(false)
 
-  /**
-   * STUB decode: byte statistics standing in for codec + model inference.
-   * Deterministic: mean unsigned byte value, and per-lane means (lane = index mod
-   * FeatureDim). Replace this body with the real decoder at integration time.
-   */
-  def decodeStub(content: Array[Byte]): (Double, Array[Double]) = {
-    val n = content.length
-    val laneSums = new Array[Double](FeatureDim)
-    val laneCounts = new Array[Long](FeatureDim)
-    var total = 0.0
+  /** md5 digest as unsigned ints — the deterministic pixel/sample source. */
+  def digestVals(s: String): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map(_ & 0xff)
+  }
+
+  /** Encode a gray BMP: pixel at linear index i (row-major) = digest(i mod 16). */
+  def encodeBmp(digest: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
     var i = 0
-    while (i < n) {
-      val v = (content(i) & 0xff).toDouble
-      total += v
-      laneSums(i % FeatureDim) += v
-      laneCounts(i % FeatureDim) += 1
+    while (i < w * h) {
+      val v = digest(i % 16).toByte
+      data(i * 3) = v; data(i * 3 + 1) = v; data(i * 3 + 2) = v
       i += 1
     }
-    val feats = Array.tabulate(FeatureDim) { j =>
-      if (laneCounts(j) == 0) 0.0 else laneSums(j) / laneCounts(j)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit unsigned PCM mono WAV: sample i = digest(i mod 16). */
+  def encodeWav(digest: Array[Int], sampleRate: Int, n: Int): Array[Byte] = {
+    val pcm = Array.tabulate[Byte](n)(i => digest(i % 16).toByte)
+    val fmt = new AudioFormat(sampleRate.toFloat, 8, 1, /*signed=*/ false, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Length-prefixed container of BMP frames; frame f's pixels cycle md5(text:f). */
+  def encodeVideo(text: String, w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(out)
+    dos.writeInt(VideoFrames)
+    (0 until VideoFrames).foreach { f =>
+      val fb = encodeBmp(digestVals(text + ":" + f), w, h)
+      dos.writeInt(fb.length); dos.write(fb)
     }
-    (if (n == 0) 0.0 else total / n, feats)
+    out.toByteArray
   }
 
   /**
-   * Partition-batched decode: one iterator pass per partition (codec init would sit
+   * Derive a deterministic media table from `documents`: one real encoded blob per
+   * doc, kind cycling image/audio/video, dimensions varying with the id. Real
+   * pipelines read these columns from parquet/blob stores; the generation step
+   * stands in for ingest.
+   */
+  def deriveMediaTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val w = (16 + (id % 4) * 8).toInt   // 16..40, multiple of 8
+      val h = (16 + (id % 2) * 16).toInt  // 16 or 32 -> w*h is a multiple of 16
+      val sr = if (id % 3 == 1) 16000 else 0
+      val content = kind match {
+        case "image" => encodeBmp(digestVals(text), w, h)
+        case "audio" => encodeWav(digestVals(text), sr, AudioSamples)
+        case _       => encodeVideo(text, w, h)
+      }
+      MediaRow(id, kind, content, w, h, sr)
+    }.toDF()
+  }
+
+  /** Accumulator for (mean, lane-means) over decoded unit values. */
+  private final class Stats {
+    var total = 0.0; var n = 0L
+    val laneSums = new Array[Double](FeatureDim)
+    val laneCounts = new Array[Long](FeatureDim)
+    def add(i: Long, v: Double): Unit = {
+      total += v; n += 1
+      val lane = (i % FeatureDim).toInt
+      laneSums(lane) += v; laneCounts(lane) += 1
+    }
+    def mean: Double = if (n == 0) 0.0 else total / n
+    def lanes: Array[Double] = Array.tabulate(FeatureDim) { j =>
+      if (laneCounts(j) == 0) 0.0 else laneSums(j) / laneCounts(j)
+    }
+  }
+
+  /** Real BMP decode: header dims + gray-channel raster stats. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Long, Double, Array[Double]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val st = new Stats
+    accumulateImage(img, st)
+    (img.getWidth, img.getHeight, st.n, st.mean, st.lanes)
+  }
+
+  private def accumulateImage(img: BufferedImage, st: Stats): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    var i = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        st.add(i, (img.getRGB(x, y) & 0xff).toDouble) // gray: any channel
+        i += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Real WAV decode: header sample-rate + unsigned 8-bit sample stats. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Double, Array[Double]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val sr = ais.getFormat.getSampleRate.toInt
+    val pcm = ais.readAllBytes()
+    val st = new Stats
+    var i = 0
+    while (i < pcm.length) { st.add(i.toLong, (pcm(i) & 0xff).toDouble); i += 1 }
+    (sr, 1, st.n, st.mean, st.lanes)
+  }
+
+  /** Container parse + per-frame BMP decode; stats pooled across frames. */
+  def decodeVideo(bytes: Array[Byte]): (Int, Int, Long, Double, Array[Double]) = {
+    val frames = videoFrames(bytes)
+    val st = new Stats
+    var w = 0; var h = 0
+    frames.foreach { fb =>
+      val img = ImageIO.read(new ByteArrayInputStream(fb))
+      w = img.getWidth; h = img.getHeight
+      accumulateImage(img, st)
+    }
+    (w, h, st.n, st.mean, st.lanes)
+  }
+
+  /** Parse the length-prefixed frame container into raw BMP frame blobs. */
+  def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val dis = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    (0 until n).map { _ =>
+      val len = dis.readInt()
+      val fb = new Array[Byte](len)
+      dis.readFully(fb)
+      fb
+    }
+  }
+
+  /**
+   * Partition-batched decode: one iterator pass per partition (codec/model init sits
    * before the `map`), fixed-dim output. Typed Dataset API so the schema is
-   * compile-checked.
+   * compile-checked. `mapPartitions` is the right tool exactly here: opaque binary +
+   * a stateful codec does not fit a Catalyst expression.
    */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // [real pipeline: initialize codec / model ONCE here]
+      // Codec init amortizes here (ImageIO scans its reader registry once per JVM).
       rows.map { r =>
-        val (mean, feats) = decodeStub(r.content)
-        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, mean, feats)
+        val (dw, dh, units, mean, lanes) = r.kind match {
+          case "image" => decodeImage(r.content)
+          case "audio" => decodeAudio(r.content)
+          case _       => decodeVideo(r.content)
+        }
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, units, dw, dh,
+          mean, lanes)
       }
     }
   }
 
   /**
-   * Video frame-sampling plumbing: keep every `everyK`-th chunk of the blob
-   * (placeholder for keyframe extraction); returns (media_id, frame_idx, frame).
+   * Video frame-sampling: parse the container, keep every `everyK`-th decoded frame;
+   * returns (media_id, frame_idx, frame) with `frame` the raw BMP blob.
    */
-  def frameSample(media: Dataset[MediaRow], everyK: Int, frameBytes: Int): DataFrame = {
+  def frameSample(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .flatMap { r =>
-        r.content.grouped(frameBytes).zipWithIndex.collect {
-          case (chunk, idx) if idx % everyK == 0 => (r.media_id, idx, chunk)
+        videoFrames(r.content).zipWithIndex.collect {
+          case (fb, idx) if idx % everyK == 0 => (r.media_id, idx, fb)
         }
       }.toDF("media_id", "frame_idx", "frame")
   }
 
-  /** End-to-end: derive -> decode -> per-kind feature aggregate (oracle-friendly). */
+  /** End-to-end: derive -> real decode -> per-kind feature aggregate (oracle-checked). */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val media = deriveMediaTable(docs).as[MediaRow]
     decodeFeatures(media)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        sum(col("n_units")).as("total_units"),
+        sum(col("dec_w").cast("long")).as("sum_dec_w"),
+        round(avg(col("mean_val")), 4).as("avg_mean"),
         round(avg(element_at(col("feature"), 1)), 4).as("avg_lane0"))
       .orderBy(col("kind"))
   }

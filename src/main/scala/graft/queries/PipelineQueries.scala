@@ -147,21 +147,33 @@ object PipelineQueries {
          |SELECT item_name, calories, protein_g FROM enriched
          |ORDER BY calories DESC, item_name LIMIT 5000""".stripMargin,
 
+    // The oracle predicts what a CORRECT decoder must recover: pixel/sample values
+    // are md5(text)-cycles whose counts are multiples of 16, so every decoded mean
+    // reduces exactly to a mean over digest-byte positions (see Multimodal scaladoc).
     "q_multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |   md5(text) AS h
+        |   (16 + (doc_id % 4) * 8) AS w, (16 + (doc_id % 2) * 16) AS h, text
         |  FROM documents),
+        |digests AS (
+        |  SELECT media_id, kind, w, h, md5(text) AS hx FROM m WHERE kind <> 'video'
+        |  UNION ALL
+        |  SELECT media_id, kind, w, h, md5(text || ':' || f) AS hx
+        |  FROM m CROSS JOIN (SELECT unnest(range(3)) AS f) ff WHERE kind = 'video'),
         |b AS (
-        |  SELECT media_id, kind, i, CAST(concat('0x', substr(h, 2*i+1, 2)) AS INT) AS v
-        |  FROM m CROSS JOIN (SELECT unnest(range(16)) AS i) ii),
+        |  SELECT media_id, kind, w, h, i,
+        |   CAST(concat('0x', substr(hx, 2*i+1, 2)) AS INT) AS v
+        |  FROM digests CROSS JOIN (SELECT unnest(range(16)) AS i) ii),
         |f AS (
-        |  SELECT media_id, kind, count(*) AS n_bytes, avg(v) AS mean_byte,
-        |   avg(CASE WHEN i % 4 = 0 THEN v END) AS lane0
-        |  FROM b GROUP BY media_id, kind)
-        |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        | round(avg(mean_byte),4) AS avg_mean_byte, round(avg(lane0),4) AS avg_lane0
+        |  SELECT media_id, kind, avg(v) AS mean_val,
+        |   avg(CASE WHEN i % 4 = 0 THEN v END) AS lane0,
+        |   CASE kind WHEN 'image' THEN w*h WHEN 'audio' THEN 256 ELSE 3*w*h END AS n_units,
+        |   CASE kind WHEN 'audio' THEN 16000 ELSE w END AS dec_w
+        |  FROM b GROUP BY media_id, kind, w, h)
+        |SELECT kind, count(*) AS n, CAST(sum(n_units) AS BIGINT) AS total_units,
+        | CAST(sum(dec_w) AS BIGINT) AS sum_dec_w,
+        | round(avg(mean_val),4) AS avg_mean, round(avg(lane0),4) AS avg_lane0
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_pipeline_incremental" ->
