@@ -33,8 +33,33 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  // One cleanup listener per SparkContext: when the context ends (session.stop()),
+  // every memo entry belonging to a session of that context is dropped, so long-lived
+  // multi-session processes (test suites, notebooks) don't retain stopped sessions or
+  // their persisted blocks. Manual clearCache remains for mid-life eviction.
+  private val hookedContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  private def hookCleanup(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val it = cache.entrySet().iterator()
+          while (it.hasNext) {
+            if (it.next().getKey._1.sparkContext eq sc) it.remove()
+          }
+          hookedContexts.remove(sc)
+        }
+      })
+    }
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    hookCleanup(spark)
     cache.computeIfAbsent((spark, sfDir, name), _ => load(spark, sfDir, name))
+  }
 
   /** Drop memoized (and persisted) tables for a session — call before stopping a
     * long-lived session to release cache blocks and the session reference. */

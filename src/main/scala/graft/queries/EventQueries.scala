@@ -101,6 +101,27 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // Stream-stream interval join, batch twin (the StreamingSpec watermarked join's
+    // deterministic equivalent): each error event collects the same user's clicks in
+    // the 2 hours strictly before it. Equi-key (user_id) drives the shuffle; the
+    // time interval is a residual predicate — at scale this is one hash join, and the
+    // streaming form bounds its state by exactly this interval via watermarks.
+    "q_join_interval" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("err_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      errors.join(clicks, Seq("user_id"))
+        .filter(col("click_us") >= col("err_us") - lit(7200000000L) &&
+          col("click_us") < col("err_us"))
+        .groupBy(col("user_id"), col("err_id"))
+        .agg(count(lit(1)).as("n_clicks_2h"), max(col("click_us")).as("last_click_us"))
+        .orderBy(col("user_id"), col("err_id"))
+    },
+
     // B10: tumbling 1-hour windows (batch twin of the streaming windowed agg).
     "q_time_tumbling" -> { (s, d) =>
       Tables.events(s, d)
@@ -179,8 +200,18 @@ object EventQueries {
       """SELECT event_id,
         | CAST(floor(value / nullif(CAST(json_extract(props,'$.k') AS BIGINT) - 50, 0) * 10000) AS BIGINT) AS safe_div_e4,
         | CAST(NULL AS DOUBLE) AS div_zero,
-        | (CAST(json_extract(props,'$.k') AS BIGINT) - 50) <> 0 AS div_ok
+        | (value IS NOT NULL AND json_extract(props,'$.k') IS NOT NULL
+        |   AND (CAST(json_extract(props,'$.k') AS BIGINT) - 50) <> 0) AS div_ok
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "q_join_interval" ->
+      """SELECT e.user_id, e.event_id AS err_id, count(*) AS n_clicks_2h,
+        | max(epoch_us(c.ts)) AS last_click_us
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(e.ts) - 7200000000
+        |  AND epoch_us(c.ts) < epoch_us(e.ts)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_time_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,

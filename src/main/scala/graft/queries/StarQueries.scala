@@ -250,13 +250,29 @@ object StarQueries {
     // 100 TB sketch path: HLL count-distinct + approximate percentile. Sketches are
     // engine-specific by construction, so no SQL oracle — the driver records the
     // weaker rows-only check; ApproxSpec bounds the error against exact values.
+    // B4 approximate battery with a hash-verified contract: the sketch values
+    // themselves are not oracle-expressible (HLL++ / GK are Spark-internal), so the
+    // query emits the EXACT statistics (oracle-computable) plus booleans asserting
+    // the sketches landed inside their published error bounds
+    // (approx_count_distinct default rsd=0.05 -> 15% = 3σ bound;
+    // percentile_approx accuracy=10000 -> rank error ≤ n/10000 -> 1% value bound
+    // here). The oracle emits literal TRUE, so a sketch drifting out of bound is a
+    // hash mismatch, not a silent pass.
     "q_approx_sketch" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("nd_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          approx_count_distinct(col("l_partkey")).as("nd_approx"),
+          countDistinct(col("l_partkey")).as("nd_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"), col("nd_exact"), col("n"),
+          (abs(col("nd_approx") - col("nd_exact")) <=
+            col("nd_exact") * lit(0.15)).as("nd_within_bound"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            col("p50_exact") * lit(0.01)).as("p50_within_bound"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -631,6 +647,11 @@ object StarQueries {
         |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
         |      FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
         |ORDER BY l_orderkey""".stripMargin,
+
+    "q_approx_sketch" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+        | count(*) AS n, TRUE AS nd_within_bound, TRUE AS p50_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
