@@ -50,11 +50,29 @@ object Producer {
       case None    => names.dropDuplicates("item_name")
     }
 
+  /**
+   * A3's wire projection, shared by every transport: the Kafka record shape
+   * (value-serialized item name, the reference's `producer.send(value=...)` in
+   * produce_items.py). Both `toKafka` and `toFileChannel` publish exactly this
+   * projection, so the upstream plan is transport-independent by construction —
+   * the sink `format(...)` is the only difference.
+   */
+  def toWire(names: DataFrame): DataFrame =
+    names.select(col("item_name").cast("string").as("value"))
+
   /** A3: publish to Kafka (value-serialized), the reference's per-message flush
     * becoming micro-batch atomicity. Requires a reachable broker at runtime. */
   def toKafka(names: DataFrame, bootstrapServers: String, topic: String): DataStreamWriter[Row] =
-    names.select(col("item_name").cast("string").as("value"))
+    toWire(names)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
+
+  /** A3 without a broker: the identical wire rows to a JSON file channel — a
+    * durable, replayable, offset-tracked (file-listing) topic stand-in that the
+    * consumer subscribes to via [[StreamingPipeline.fileChannel]]. Used for the
+    * end-to-end topology test in this environment (no Kafka jars on the
+    * classpath) and useful generally as a zero-infra local channel. */
+  def toFileChannel(names: DataFrame, dir: String): DataStreamWriter[Row] =
+    toWire(names).writeStream.format("json").option("path", dir)
 }

@@ -23,6 +23,27 @@ import org.apache.spark.sql.Row
 object StreamingPipeline {
 
   /**
+   * A4: subscribe to the file-channel topic written by [[Producer.toFileChannel]].
+   * Schema is declared (never inferred) and matches the Kafka wire value column, so
+   * `fromWire` applies unchanged over this source, a Kafka source, or a
+   * MemoryStream — the consumer pipeline is source-agnostic over the wire schema.
+   * Checkpointing gives the `startingOffsets`/group-id semantics: each run consumes
+   * exactly the files not yet committed, like a consumer group resuming from its
+   * committed offset (consume_items.py:24-30 of the reference).
+   */
+  def fileChannel(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .json(dir)
+
+  /** A5: Kafka's consumer-side deserialization — wire records back to item names
+    * (`value.cast(string)`, the declarative form of the reference's JSON decode). */
+  def fromWire(wire: DataFrame): DataFrame =
+    wire.select(col("value").cast("string").as("item_name"))
+
+  /**
    * A2+A5+A6+A7: dedup incoming item names, enrich via stream-static left join
    * against `lookup(item_name, data)`, drop null/empty payloads.
    * If `watermarkTs` is set (col, delay), dedup state is watermark-bounded.
