@@ -5,6 +5,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +24,17 @@ case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long, n_units: Long,
                          dec_w: Int, dec_h: Int, mean_val: Double,
                          feature: Array[Double])
+
+/**
+ * Per-row decode outcome: `ok = false` rows carry the failure reason in `error` and
+ * zeroed feature fields. At 100 TB corrupt blobs are a statistical certainty; the
+ * error channel turns "one bad blob kills the job after task retries" into "one bad
+ * blob becomes one counted error row" — the reference's own error-row-skip semantics
+ * (dagster_project/pipeline.py:76-77) applied to media decode.
+ */
+case class MediaDecodeResult(media_id: Long, kind: String, n_bytes: Long, ok: Boolean,
+                             error: String, n_units: Long, dec_w: Int, dec_h: Int,
+                             mean_val: Double, feature: Array[Double])
 
 /**
  * Multimodal columns (north-star extension): image/audio/video travel as opaque
@@ -130,9 +143,15 @@ object Multimodal {
     }
   }
 
-  /** Real BMP decode: header dims + gray-channel raster stats. */
+  /**
+   * Real BMP decode: header dims + gray-channel raster stats. `ImageIO.read`
+   * signals an undecodable container by returning NULL (not by throwing) — turn
+   * that into a clean exception so the Try in [[decodeResults]] can catch it
+   * instead of an NPE surfacing at first pixel access.
+   */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Long, Double, Array[Double]) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image container (${bytes.length} bytes)")
     val st = new Stats
     accumulateImage(img, st)
     (img.getWidth, img.getHeight, st.n, st.mean, st.lanes)
@@ -176,65 +195,131 @@ object Multimodal {
     (w, h, st.n, st.mean, st.lanes)
   }
 
-  /** Parse the length-prefixed frame container into raw BMP frame blobs. */
+  /**
+   * Parse the length-prefixed frame container into raw BMP frame blobs.
+   *
+   * Every length field is validated against the bytes actually present BEFORE any
+   * allocation: a corrupt/adversarial frame count or frame length (e.g.
+   * `Int.MaxValue`) would otherwise be an allocation bomb — `new Array[Byte](len)`
+   * on a hostile prefix can OOM an executor, which task retries only amplify.
+   * Throws `IllegalArgumentException` on any malformed prefix; callers in the
+   * distributed path wrap in Try and emit an error row instead.
+   */
   def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    require(bytes.length >= 4, s"container too short (${bytes.length} bytes)")
     val dis = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = dis.readInt()
+    // Each frame needs at least its own 4-byte length prefix.
+    require(n >= 0 && n.toLong * 4 <= bytes.length - 4,
+      s"frame count $n impossible for ${bytes.length}-byte container")
+    var remaining = bytes.length - 4
     (0 until n).map { _ =>
       val len = dis.readInt()
+      remaining -= 4
+      require(len >= 0 && len <= remaining,
+        s"frame length $len exceeds remaining $remaining container bytes")
       val fb = new Array[Byte](len)
       dis.readFully(fb)
+      remaining -= len
       fb
     }
   }
 
   /**
-   * Partition-batched decode: one iterator pass per partition (codec/model init sits
-   * before the `map`), fixed-dim output. Typed Dataset API so the schema is
-   * compile-checked. `mapPartitions` is the right tool exactly here: opaque binary +
-   * a stateful codec does not fit a Catalyst expression.
+   * Partition-batched decode with a per-row error channel: one iterator pass per
+   * partition (codec/model init sits before the `map`), fixed-dim output. Typed
+   * Dataset API so the schema is compile-checked. `mapPartitions` is the right tool
+   * exactly here: opaque binary + a stateful codec does not fit a Catalyst
+   * expression. Each row's decode is wrapped in Try — a corrupt blob yields an
+   * `ok = false` row carrying the failure reason, never a task-killing throw.
    */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeResults(media: Dataset[MediaRow]): Dataset[MediaDecodeResult] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // Codec init amortizes here (ImageIO scans its reader registry once per JVM).
       rows.map { r =>
-        val (dw, dh, units, mean, lanes) = r.kind match {
-          case "image" => decodeImage(r.content)
-          case "audio" => decodeAudio(r.content)
-          case _       => decodeVideo(r.content)
+        val nBytes = if (r.content == null) 0L else r.content.length.toLong
+        Try {
+          r.kind match {
+            case "image" => decodeImage(r.content)
+            case "audio" => decodeAudio(r.content)
+            case _       => decodeVideo(r.content)
+          }
+        } match {
+          case Success((dw, dh, units, mean, lanes)) =>
+            MediaDecodeResult(r.media_id, r.kind, nBytes, ok = true, null,
+              units, dw, dh, mean, lanes)
+          case Failure(e) =>
+            MediaDecodeResult(r.media_id, r.kind, nBytes, ok = false,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}",
+              0L, 0, 0, 0.0, new Array[Double](0))
         }
-        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, units, dw, dh,
-          mean, lanes)
       }
     }
   }
 
+  /** Successfully decoded features only (error rows dropped; see [[decodeResults]]
+    * for the variant that keeps the failure reason per row). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    decodeResults(media).filter(_.ok).map(r =>
+      MediaFeatures(r.media_id, r.kind, r.n_bytes, r.n_units, r.dec_w, r.dec_h,
+        r.mean_val, r.feature))
+  }
+
   /**
    * Video frame-sampling: parse the container, keep every `everyK`-th decoded frame;
-   * returns (media_id, frame_idx, frame) with `frame` the raw BMP blob.
+   * returns (media_id, frame_idx, frame) with `frame` the raw BMP blob. Corrupt
+   * containers contribute no frames (error-row-skip, not a throw).
    */
   def frameSample(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .flatMap { r =>
-        videoFrames(r.content).zipWithIndex.collect {
+        Try(videoFrames(r.content)).getOrElse(Nil).zipWithIndex.collect {
           case (fb, idx) if idx % everyK == 0 => (r.media_id, idx, fb)
         }
       }.toDF("media_id", "frame_idx", "frame")
   }
 
-  /** End-to-end: derive -> real decode -> per-kind feature aggregate (oracle-checked). */
+  /**
+   * Frame-level features over sampled frames: container parse + per-frame BMP decode
+   * for every `everyK`-th frame; one output row per decodable sampled frame
+   * (media_id, frame_idx, fr_w, fr_h, n_px, mean_px). Corrupt containers and corrupt
+   * individual frames are skipped, so one bad frame costs one row, not the blob.
+   * All integral columns are BIGINT for cross-engine schema stability.
+   */
+  def frameFeatures(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .flatMap { r =>
+        Try(videoFrames(r.content)).getOrElse(Nil).zipWithIndex.collect {
+          case (fb, idx) if idx % everyK == 0 =>
+            Try {
+              val (w, h, units, mean, _) = decodeImage(fb)
+              (r.media_id, idx.toLong, w.toLong, h.toLong, units, mean)
+            }.toOption
+        }.flatten
+      }.toDF("media_id", "frame_idx", "fr_w", "fr_h", "n_px", "mean_px")
+  }
+
+  /**
+   * End-to-end: derive -> real decode -> per-kind feature aggregate
+   * (oracle-checked). Feature statistics aggregate ok-rows only; `n_decode_errors`
+   * counts the dropped rows, so the error channel is itself part of the
+   * hash-verified contract (the oracle pins 0 for the clean synthetic corpus).
+   */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val media = deriveMediaTable(docs).as[MediaRow]
-    decodeFeatures(media)
+    decodeResults(media)
       .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("n_units")).as("total_units"),
-        sum(col("dec_w").cast("long")).as("sum_dec_w"),
-        round(avg(col("mean_val")), 4).as("avg_mean"),
-        round(avg(element_at(col("feature"), 1)), 4).as("avg_lane0"))
+      .agg(count(when(col("ok"), lit(1))).as("n"),
+        count(when(!col("ok"), lit(1))).as("n_decode_errors"),
+        sum(when(col("ok"), col("n_units"))).as("total_units"),
+        sum(when(col("ok"), col("dec_w").cast("long"))).as("sum_dec_w"),
+        round(avg(when(col("ok"), col("mean_val"))), 4).as("avg_mean"),
+        round(avg(when(col("ok"), element_at(col("feature"), 1))), 4).as("avg_lane0"))
       .orderBy(col("kind"))
   }
 }

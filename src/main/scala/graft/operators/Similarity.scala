@@ -69,38 +69,65 @@ object Similarity {
    * IVF centroids `(centroid_id, c_vec: array<double>)` for [[ivfTopK]].
    *
    * Determinism contract (what makes the result oracle-expressible cross-engine):
-   * initialization is the `k` rows with the smallest `vec_id` (fixed init ids, no
-   * RNG); a FIXED number of Lloyd iterations (no convergence test); assignment ranks
-   * on `round(cosine, 4)` with `centroid_id` tiebreak; each recomputed centroid
+   * initialization is the TRUE `k` smallest `vec_id` rows (orderBy + limit — ids
+   * need not be dense from 0), re-identified 0..k-1 in `vec_id` order; a FIXED
+   * number of Lloyd iterations (no convergence test); assignment ranks on
+   * `round(cosine, 4)` with `centroid_id` tiebreak; each recomputed centroid
    * component is `round(avg, 4)`, which absorbs floating-point sum-order drift
    * between engines/runs. A cluster that captures no vectors drops out (both engines
    * agree — the assignment join is inner).
    *
    * Scale posture: each iteration is one broadcast of k centroids + one linear pass
-   * over the corpus + one (centroid, dim)-keyed agg of `corpus × dim` exploded rows —
-   * no quadratic stage. At 100 TB you would train on a sample and checkpoint between
-   * iterations; the per-iteration plan is already the right shape.
+   * over the training set + one (centroid, dim)-keyed agg of exploded rows — no
+   * quadratic stage. Centroids are MATERIALIZED on the driver between iterations
+   * (k × dim doubles — metadata-scale, the same per-step centroid collect MLlib's
+   * own KMeans does), so iteration i+1's plan never contains iteration i's: jobs
+   * and wall-clock are linear in `iters`, plan depth is constant, no lineage
+   * blow-up at iters=10+. `trainFraction < 1` trains on a deterministic
+   * hash-sampled subset (`pmod(hash(vec_id), 10000) < frac*10000` — reproducible
+   * and oracle-expressible, unlike RNG sampling) — the 100 TB path, where Lloyd
+   * iterations touch a sample and only the final bucketing pass sees the corpus.
    */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("centroid_id"),
-        col("embedding").cast("array<double>").as("c_vec"))
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      trainFraction: Double = 1.0): DataFrame = {
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(hash(col("vec_id")), lit(10000)) < lit((trainFraction * 10000).toInt))
+    val init = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("c_vec"))
+      .withColumn("centroid_id",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("centroid_id"), col("c_vec"))
+    var centroids = materializeCentroids(init)
     for (_ <- 0 until iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
-      val assigned = corpus.crossJoin(broadcast(centroids))
+      val assigned = train.crossJoin(broadcast(centroids))
         .withColumn("cdist", round(vecCosine(col("embedding"), col("c_vec")), 4))
         .withColumn("crnk", row_number().over(w))
         .filter(col("crnk") === 1)
         .select(col("centroid_id"), col("embedding"))
-      centroids = assigned
+      val recomputed = assigned
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(round(avg(col("col").cast("double")), 4).as("cval"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pv"))
         .select(col("centroid_id"), expr("transform(pv, p -> p.cval)").as("c_vec"))
+      centroids = materializeCentroids(recomputed)
     }
     centroids
+  }
+
+  /** Collect the k centroid rows and rebuild a local DataFrame — truncates lineage
+    * so each Lloyd step starts from data, not from the previous step's plan. This is
+    * metadata-scale driver traffic (k × dim doubles), not a data collect. */
+  private def materializeCentroids(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("centroid_id").cast("int"), col("c_vec").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      .toDF("centroid_id", "c_vec")
   }
 
   /**

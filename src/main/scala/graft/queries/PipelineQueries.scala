@@ -106,9 +106,24 @@ object PipelineQueries {
     },
 
     // Multimodal plumbing end-to-end (north-star): binary media column + typed
-    // metadata -> partition-batched (stub) decode -> per-kind feature aggregate.
+    // metadata -> partition-batched real decode -> per-kind feature aggregate,
+    // including the (zero-on-clean-data) decode-error count.
     "q_multimodal_features" -> { (s, d) =>
       graft.multimodal.Multimodal.featurePipeline(s, Tables.documents(s, d))
+    },
+
+    // Video frame-sampling promoted to the oracle surface: container parse +
+    // per-frame BMP decode of every 2nd frame; the oracle independently predicts
+    // each sampled frame's pixel mean from the planted md5-cycle, so a container
+    // offset or per-frame raster bug breaks the hash.
+    "q_multimodal_frames" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .deriveMediaTable(Tables.documents(s, d)).as[graft.multimodal.MediaRow]
+      graft.multimodal.Multimodal.frameFeatures(media, 2)
+        .select(col("media_id"), col("frame_idx"), col("fr_w"), col("fr_h"),
+          col("n_px"), round(col("mean_px"), 4).as("mean_px"))
+        .orderBy(col("media_id"), col("frame_idx"))
     },
 
     // A22 idempotence as a query: tombstoned/malformed keys never reach the output,
@@ -171,10 +186,32 @@ object PipelineQueries {
         |   CASE kind WHEN 'image' THEN w*h WHEN 'audio' THEN 256 ELSE 3*w*h END AS n_units,
         |   CASE kind WHEN 'audio' THEN 16000 ELSE w END AS dec_w
         |  FROM b GROUP BY media_id, kind, w, h)
-        |SELECT kind, count(*) AS n, CAST(sum(n_units) AS BIGINT) AS total_units,
+        |SELECT kind, count(*) AS n, CAST(0 AS BIGINT) AS n_decode_errors,
+        | CAST(sum(n_units) AS BIGINT) AS total_units,
         | CAST(sum(dec_w) AS BIGINT) AS sum_dec_w,
         | round(avg(mean_val),4) AS avg_mean, round(avg(lane0),4) AS avg_lane0
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Sampled frames (idx 0 and 2 of 3-frame containers): each frame's pixels cycle
+    // the 16 bytes of md5(text:idx) exactly w*h/16 times, so the frame mean reduces
+    // to the digest-byte mean and the oracle predicts it without decoding anything.
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |   (16 + (doc_id % 4) * 8) AS w, (16 + (doc_id % 2) * 16) AS h, text
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, w, h, f AS frame_idx, md5(text || ':' || f) AS hx
+        |  FROM m CROSS JOIN (SELECT unnest([0, 2]) AS f) ff),
+        |b AS (
+        |  SELECT media_id, frame_idx, w, h,
+        |   CAST(concat('0x', substr(hx, 2*i+1, 2)) AS INT) AS v
+        |  FROM fr CROSS JOIN (SELECT unnest(range(16)) AS i) ii)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(w AS BIGINT) AS fr_w, CAST(h AS BIGINT) AS fr_h,
+        | CAST(w*h AS BIGINT) AS n_px, round(avg(v), 4) AS mean_px
+        |FROM b GROUP BY media_id, frame_idx, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_pipeline_incremental" ->
       s"""WITH $duckItemsRaw

@@ -142,7 +142,8 @@ object VectorQueries {
            | GROUP BY centroid_id)""".stripMargin
       s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |dim AS (SELECT unnest(range(1, 65)) AS pos),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS cv FROM corp WHERE vec_id < 8),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, v AS cv
+         |  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 8)),
          |a1 AS (SELECT * FROM ${assign("corp", "c0")}),
          |c1 AS (SELECT * FROM ${recompute("a1")}),
          |a2 AS (SELECT * FROM ${assign("corp", "c1")}),

@@ -70,6 +70,59 @@ class MultimodalSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("planted corrupt blobs become counted error rows, good rows unchanged") {
+    val goodDocs = Tables.documents(spark, sfTiny).limit(30)
+    val good = Multimodal.deriveMediaTable(goodDocs).as[MediaRow]
+    // Planted corruption, one per codec family:
+    //  - truncated BMP (header cut mid-way) -> ImageIO.read returns null
+    //  - garbage WAV header -> AudioSystem throws UnsupportedAudioFileException
+    //  - hostile frame length prefix (Int.MaxValue) -> allocation bomb if trusted
+    val truncatedBmp = Multimodal.encodeBmp(Multimodal.digestVals("x"), 16, 16).take(20)
+    val garbageWav = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(1); dos.writeInt(Int.MaxValue)
+      dos.write(Array.fill[Byte](32)(0))
+      out.toByteArray
+    }
+    val corrupt = Seq(
+      MediaRow(90001L, "image", truncatedBmp, 16, 16, 0),
+      MediaRow(90002L, "audio", garbageWav, 0, 0, 16000),
+      MediaRow(90003L, "video", bomb, 16, 16, 0)).toDS()
+    val mixed = good.union(corrupt)
+
+    val results = Multimodal.decodeResults(mixed).cache()
+    val bad = results.filter(!_.ok).collect().sortBy(_.media_id)
+    assert(bad.map(_.media_id).toSeq === Seq(90001L, 90002L, 90003L))
+    assert(bad.forall(r => r.error != null && r.error.nonEmpty))
+    // The hostile length prefix must be rejected by validation, not attempted.
+    assert(bad.last.error.contains("frame"), s"got: ${bad.last.error}")
+
+    // Good rows decode to exactly what the clean-corpus decode produces.
+    val cleanFeats = Multimodal.decodeFeatures(good)
+      .orderBy("media_id").select("media_id", "mean_val").as[(Long, Double)].collect()
+    val mixedFeats = Multimodal.decodeFeatures(mixed)
+      .orderBy("media_id").select("media_id", "mean_val").as[(Long, Double)].collect()
+    assert(mixedFeats.toSeq === cleanFeats.toSeq)
+  }
+
+  test("frameSample and frameFeatures skip corrupt containers instead of throwing") {
+    val corrupt = Seq(
+      MediaRow(91001L, "video", Array[Byte](0, 0), 16, 16, 0), // too short
+      MediaRow(91002L, "video", Multimodal.encodeVideo("ok", 16, 16), 16, 16, 0))
+      .toDS()
+    val frames = Multimodal.frameSample(corrupt, everyK = 1)
+    assert(frames.select("media_id").distinct().as[Long].collect().toSeq === Seq(91002L))
+    val feats = Multimodal.frameFeatures(corrupt, everyK = 1)
+    assert(feats.count() === Multimodal.VideoFrames.toLong)
+    // Per-frame means recover the planted per-frame digests exactly.
+    val means = feats.orderBy("frame_idx").select("mean_px").as[Double].collect()
+    val expected = (0 until Multimodal.VideoFrames)
+      .map(f => Multimodal.digestVals("ok:" + f).sum.toDouble / 16)
+    assert(means.toSeq === expected)
+  }
+
   test("frameSample keeps every k-th decodable frame of video blobs only") {
     val frames = Multimodal.frameSample(media.as[MediaRow], everyK = 2)
     // 3-frame containers, kept frames 0 and 2.

@@ -80,6 +80,35 @@ class VectorExpressionSpec extends GraftSuite {
     assert(recall > 0.2, s"trained-IVF recall $recall vs exact") // nprobe=2 of 8
   }
 
+  test("kmeans at iters=10 keeps a constant-size plan (no lineage blow-up)") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
+    val c10 = Similarity.kmeansCentroids(corpus, 4, 10)
+    // Centroids are driver-materialized between Lloyd steps, so the returned plan is
+    // a LocalRelation whose size is independent of iters — at iters=10 the lineage
+    // would otherwise be 10 unrolled corpus passes deep.
+    val planLines = c10.queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(planLines <= 3, s"plan must not grow with iters; got $planLines lines")
+    assert(c10.count() >= 1 && c10.count() <= 4)
+  }
+
+  test("hash-sampled training is deterministic and feeds full-corpus IVF") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
+    def run() = Similarity.kmeansCentroids(corpus, 8, 2, trainFraction = 0.5)
+      .select(col("centroid_id"), col("c_vec"))
+      .as[(Int, Array[Double])].collect().map { case (id, v) => (id, v.toSeq) }.toMap
+    val c1 = run(); val c2 = run()
+    assert(c1 === c2, "sampled training must be reproducible (hash sample, no RNG)")
+    assert(c1.nonEmpty && c1.values.forall(_.size === 64))
+    // Sample-trained centroids still bucket the FULL corpus for probing.
+    val centroids = Similarity.kmeansCentroids(corpus, 8, 2, trainFraction = 0.5)
+    val qs = Tables.embeddings(spark, sfTiny).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Similarity.ivfTopK(qs, corpus, centroids, 5, 2).count()
+    assert(hits > 0)
+  }
+
   test("IVF top-k achieves reasonable recall against the exact brute force") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
