@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.Relational
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -63,57 +64,213 @@ object StreamingPipeline {
   /** Number of hash buckets the upsert store is directory-partitioned into. */
   val DefaultStoreBuckets = 16
 
+  private val ManifestDirName = "_manifests"
+
   /**
-   * A9: last-write-wins keyed upsert of one micro-batch into a parquet store — the
-   * Cassandra PK insert semantics (consume_items.py:50-58 of the reference).
+   * Store manifest: one per committed generation. `numBuckets` pins the store's
+   * bucket count (a merge with a different count would silently strand keys across
+   * bucket dirs — rejected instead); `files` lists, per bucket, the EXACT data files
+   * that make up this generation. Readers resolve the store through the latest
+   * manifest only, so the store flips old -> new atomically at the manifest rename.
+   */
+  private[streaming] case class StoreManifest(generation: Long, numBuckets: Int,
+                                              files: Map[Int, Seq[String]])
+
+  private def bucketOf(p: Path): Option[Int] = {
+    val n = p.getName
+    if (n.startsWith("__bucket=")) scala.util.Try(n.substring(9).toInt).toOption else None
+  }
+
+  /** Latest committed manifest, or None for an empty / legacy pre-manifest store.
+    * Generations are zero-padded in the filename so lexicographic max = newest. */
+  private[streaming] def latestManifest(fs: FileSystem, root: Path): Option[StoreManifest] = {
+    val dir = new Path(root, ManifestDirName)
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".manifest") && !n.startsWith("."))
+    if (names.isEmpty) return None
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new Path(dir, names.max)), "UTF-8"))
+    try {
+      var numBuckets = -1; var generation = -1L
+      val files = scala.collection.mutable.Map.empty[Int, List[String]]
+      var line = in.readLine()
+      while (line != null) {
+        if (line.startsWith("numBuckets=")) numBuckets = line.substring(11).toInt
+        else if (line.startsWith("generation=")) generation = line.substring(11).toLong
+        else if (line.startsWith("f\t")) {
+          val parts = line.split("\t", 3)
+          val b = parts(1).toInt
+          files(b) = parts(2) :: files.getOrElse(b, Nil)
+        }
+        line = in.readLine()
+      }
+      Some(StoreManifest(generation, numBuckets,
+        files.view.mapValues(_.reverse.toSeq).toMap))
+    } finally in.close()
+  }
+
+  /** Write-then-rename manifest commit: the rename is the atomic commit point. */
+  private def writeManifest(fs: FileSystem, root: Path, m: StoreManifest): Unit = {
+    val dir = new Path(root, ManifestDirName)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID}")
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
+    try {
+      out.println(s"numBuckets=${m.numBuckets}")
+      out.println(s"generation=${m.generation}")
+      m.files.toSeq.sortBy(_._1).foreach { case (b, fl) =>
+        fl.foreach(rel => out.println(s"f\t$b\t$rel"))
+      }
+    } finally out.close()
+    val committed = new Path(dir, f"${m.generation}%020d.manifest")
+    require(fs.rename(tmp, committed), s"manifest commit failed: $committed")
+  }
+
+  /**
+   * A9: last-write-wins keyed upsert of one micro-batch into a manifest-committed
+   * parquet store — the Cassandra PK insert semantics (consume_items.py:50-58 of
+   * the reference), with atomic visibility.
    *
    * The store is directory-partitioned by `__bucket = pmod(hash(keys), numBuckets)`,
-   * so a micro-batch merges ONLY the buckets its keys land in: read touched bucket
-   * dirs, union the batch, re-rank latest-per-key, dynamic-partition-overwrite the
-   * touched buckets. Cost is O(batch × bucket-size) per batch — the per-key cost
-   * model of the reference's Cassandra PK store — instead of O(store) per batch.
-   * Untouched buckets are never read or written.
+   * so a micro-batch merges ONLY the buckets its keys land in: read the touched
+   * buckets' manifest-listed files, union the batch, re-rank latest-per-key, write
+   * the replacement content as NEW files, then commit a new manifest. Cost is
+   * O(batch × bucket-size) per batch — the per-key cost model of the reference's
+   * Cassandra PK store — instead of O(store) per batch. Untouched buckets are never
+   * read or written; their file lists carry forward in the manifest.
    *
-   * Durability: dynamic partition overwrite stages all new files under the output
-   * path and swaps each partition directory at job commit (delete + rename per
-   * touched bucket), so there is no window where the store exists only in executor
-   * memory (the previous `localCheckpoint` + full overwrite had one). The residual
-   * non-transactionality is a crash between a partition's delete and rename — the
-   * same window every non-transactional table format has; a Delta/Iceberg store
-   * closes it with a metadata swap, with this same bucketed layout underneath.
+   * Durability: nothing is ever deleted or overwritten on the data path. New files
+   * stage under `_staging-*` and move into the bucket dirs under their (UUID-unique)
+   * part names; superseded files simply drop out of the new manifest. A crash at ANY
+   * point before the manifest rename leaves the previous generation fully intact and
+   * fully visible (orphaned new files are invisible to [[readStore]] and reclaimed
+   * by [[vacuumStore]]); the single-file manifest rename is the atomic commit —
+   * the same from-scratch mechanism Delta/Iceberg build their commit on.
+   *
+   * `numBuckets` is pinned by the store's manifest: a merge against an existing
+   * store with a different count is rejected (it would split keys across bucket
+   * dirs and break last-write-wins).
    */
   def upsertBatch(batch: DataFrame, path: String, keys: Seq[String],
                   ordering: Seq[Column], numBuckets: Int = DefaultStoreBuckets): Unit = {
     val spark = batch.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = latestManifest(fs, root)
+    prev.foreach { m =>
+      require(m.numBuckets == numBuckets,
+        s"store at $path is pinned to numBuckets=${m.numBuckets}; merging with " +
+          s"numBuckets=$numBuckets would strand keys across buckets")
+    }
     val bucketed = batch.withColumn("__bucket",
       pmod(hash(keys.map(col): _*), lit(numBuckets)))
     // Partition pruning metadata, not data: at most `numBuckets` small integers.
     val touched = bucketed.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existingDirs = touched.map(b => new org.apache.hadoop.fs.Path(path, s"__bucket=$b"))
-      .filter(fs.exists(_)).map(_.toString)
+    if (touched.isEmpty) return
+    // A legacy pre-manifest store falls back to directory listing once and becomes
+    // manifest-committed from this generation on.
+    def legacyList(b: Int): Seq[String] = {
+      val d = new Path(root, s"__bucket=$b")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => s"__bucket=$b/${s.getPath.getName}").toSeq
+    }
+    val prevFiles: Int => Seq[String] =
+      b => prev.map(_.files.getOrElse(b, Seq.empty)).getOrElse(legacyList(b))
+    val oldPaths = touched.flatMap(prevFiles).map(rel => new Path(root, rel).toString)
     val merged =
-      if (existingDirs.isEmpty) Relational.latestPerKey(bucketed, keys, ordering)
+      if (oldPaths.isEmpty) Relational.latestPerKey(bucketed, keys, ordering)
       else {
-        // basePath keeps the __bucket partition column; root paths are the bucket
-        // subdirectories, so the overwrite below never targets a path being read.
-        val old = spark.read.option("basePath", path).parquet(existingDirs: _*)
+        // basePath keeps the __bucket partition column; inputs are the touched
+        // buckets' committed files only.
+        val old = spark.read.option("basePath", path).parquet(oldPaths.toSeq: _*)
         Relational.latestPerKey(old.unionByName(bucketed), keys, ordering)
       }
-    merged
-      .repartition(col("__bucket"))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .mode("overwrite")
-      .parquet(path)
+    // Stage replacement content as new files, then move into the bucket dirs
+    // (part names embed a write UUID, so moves can never collide with committed
+    // files). The moved files stay invisible until the manifest commit below.
+    val staging = new Path(root, s"_staging-${java.util.UUID.randomUUID}")
+    val newFiles = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    try {
+      merged.repartition(col("__bucket"))
+        .write.partitionBy("__bucket").parquet(staging.toString)
+      fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+        bucketOf(d.getPath).foreach { b =>
+          val dest = new Path(root, s"__bucket=$b")
+          fs.mkdirs(dest)
+          newFiles(b) = fs.listStatus(d.getPath)
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+            .map { s =>
+              val to = new Path(dest, s.getPath.getName)
+              require(fs.rename(s.getPath, to), s"staging move failed: $to")
+              s"__bucket=$b/${s.getPath.getName}"
+            }.toSeq
+        }
+      }
+    } finally fs.delete(staging, true)
+    val allBuckets: Set[Int] = prev.map(_.files.keySet).getOrElse {
+      if (fs.exists(root)) fs.listStatus(root).flatMap(s => bucketOf(s.getPath)).toSet
+      else Set.empty[Int]
+    }
+    val carried = (allBuckets -- touched).iterator
+      .map(b => b -> prevFiles(b)).filter(_._2.nonEmpty).toMap
+    writeManifest(fs, root, StoreManifest(
+      prev.map(_.generation + 1).getOrElse(1L), numBuckets,
+      carried ++ touched.map(b => b -> newFiles.getOrElse(b, Seq.empty)).toMap))
   }
 
-  /** Read the upsert store back without its internal bucketing column. */
-  def readStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__bucket")
+  /**
+   * Read the upsert store back without its internal bucketing column, resolving the
+   * current generation through the latest committed manifest — stale files from a
+   * crashed writer are never visible. A store without manifests (legacy layout)
+   * falls back to a plain directory read.
+   */
+  def readStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, root) match {
+      case Some(m) =>
+        val files = m.files.toSeq.sortBy(_._1)
+          .flatMap(_._2).map(rel => new Path(root, rel).toString)
+        if (files.isEmpty) spark.emptyDataFrame
+        else spark.read.option("basePath", path).parquet(files: _*).drop("__bucket")
+      case None => spark.read.parquet(path).drop("__bucket")
+    }
+  }
+
+  /**
+   * Reclaim data files no longer referenced by the LATEST manifest (superseded
+   * generations, crashed-writer orphans) and drop older manifest files. Safe to run
+   * any time after readers of older generations have finished — the current
+   * generation is untouched. Returns the number of deleted data files.
+   */
+  def vacuumStore(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, root) match {
+      case None => 0L
+      case Some(m) =>
+        val live: Set[String] = m.files.iterator.flatMap(_._2).toSet
+        var deleted = 0L
+        fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+          bucketOf(d.getPath).foreach { b =>
+            fs.listStatus(d.getPath).filter(_.isFile).foreach { s =>
+              val rel = s"__bucket=$b/${s.getPath.getName}"
+              if (!live.contains(rel)) { fs.delete(s.getPath, false); deleted += 1 }
+            }
+          }
+        }
+        val dir = new Path(root, ManifestDirName)
+        val current = f"${m.generation}%020d.manifest"
+        fs.listStatus(dir).map(_.getPath).foreach { p =>
+          if (p.getName != current) fs.delete(p, false)
+        }
+        deleted
+    }
+  }
 
   /** A9 as a streaming sink: foreachBatch keyed upsert. */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
