@@ -31,15 +31,22 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
+    // contention with identical plans (observed r1<->r2), which makes a one-sample
+    // 2x gate noisy; min-of-k measures the plan, not the neighbors.
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      val times = (0 until samples).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+        }
       }
       // A failed query must not masquerade as a fast one: record -1, not its
       // time-to-failure.
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      val ok = times.forall(_ >= 0)
+      (name, if (ok) times.min else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

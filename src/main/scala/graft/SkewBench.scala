@@ -6,8 +6,8 @@ import graft.operators.Relational
 
 /**
  * Planted-skew measurement for DESIGN.md §6 (not part of the driver bench): one
- * hot key owns 20% of a 5M-row fact side joined (shuffle join — broadcast
- * disabled) against a 100k-key dim. Compares:
+ * hot key owns 50% of a 10M-row fact side (every 2nd row) joined (shuffle join —
+ * broadcast disabled) against a 100k-key dim. Compares:
  *   1. plain sort-merge join, AQE off       — one straggler reducer gets 1M rows
  *   2. `Relational.saltedJoin` (8), AQE off — the hot key spreads over 8 reducers
  *   3. plain join, AQE skew-split on        — runtime re-plan splits the partition
