@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.operators.Dedup
+import graft.operators.{Corpus, Dedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,7 +158,38 @@ object TextQueries {
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
-    }
+    },
+
+    // B14 closure: near-dup PAIRS become near-dup CLUSTERS via connected components
+    // (min-label propagation on the MinHash pair graph) — the step that turns "these
+    // two look alike" into "keep one representative per duplicate family". The
+    // oracle computes true transitive components with a recursive CTE, so an
+    // under-iterated or mis-joined propagation breaks the hash.
+    "q_dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, d), 3, 8, 2, 0.8)
+      val w = Window.partitionBy(col("cluster_id"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic stratified train/valid/test split (80/10/10 by hashed id):
+    // per-(split, lang) corpus accounting. Hash-split, not randomSplit — stable
+    // under corpus growth and reproducible cross-engine.
+    "q_train_split" -> { (s, d) =>
+      Corpus.hashSplit(Tables.documents(s, d), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"), col("lang"))
+    },
+
+    // End-to-end corpus-cleaning funnel: quality gate -> language filter -> exact
+    // dedup -> fingerprint near-dup collapse, reported as per-stage survivor counts
+    // (the composition a training-data pipeline actually ships).
+    "q_corpus_clean" -> { (s, d) => Corpus.cleanFunnel(Tables.documents(s, d)) }
   )
 
   // DuckDB-side shingle set: distinct word n-grams of the space-split text.
@@ -170,6 +201,35 @@ object TextQueries {
     s"""sets AS (
        |  SELECT doc_id, ${duckShingles(n)} AS shset
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  // MinHash+LSH pipeline as a reusable CTE chain ending in `pairs(id_a, id_b,
+  // jaccard)` — shared by q_dedup_minhash and the component-clustering oracle.
+  private val duckMinhashPairs =
+    s"""${duckSets(3)},
+       |ex AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(unnest(shset)),1,15)) AS BIGINT) % 2147483647 AS h
+       |  FROM sets),
+       |sigs AS (
+       |  SELECT doc_id,
+       |   min((h*1+0) % 2147483647) AS mh0,  min((h*3+7) % 2147483647) AS mh1,
+       |   min((h*5+19) % 2147483647) AS mh2, min((h*7+31) % 2147483647) AS mh3,
+       |   min((h*11+43) % 2147483647) AS mh4, min((h*13+59) % 2147483647) AS mh5,
+       |   min((h*17+71) % 2147483647) AS mh6, min((h*19+83) % 2147483647) AS mh7
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat(mh0, ',', mh1) AS sig FROM sigs
+       |  UNION ALL SELECT doc_id, 1, concat(mh2, ',', mh3) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, concat(mh4, ',', mh5) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, concat(mh6, ',', mh7) FROM sigs),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |   round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+       |     / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 4) AS jaccard
+       |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_wordcount" ->
@@ -242,33 +302,59 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH ${duckSets(3)},
-         |ex AS (SELECT doc_id,
-         |  CAST(concat('0x', substr(md5(unnest(shset)),1,15)) AS BIGINT) % 2147483647 AS h
-         |  FROM sets),
-         |sigs AS (
-         |  SELECT doc_id,
-         |   min((h*1+0) % 2147483647) AS mh0,  min((h*3+7) % 2147483647) AS mh1,
-         |   min((h*5+19) % 2147483647) AS mh2, min((h*7+31) % 2147483647) AS mh3,
-         |   min((h*11+43) % 2147483647) AS mh4, min((h*13+59) % 2147483647) AS mh5,
-         |   min((h*17+71) % 2147483647) AS mh6, min((h*19+83) % 2147483647) AS mh7
-         |  FROM ex GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, concat(mh0, ',', mh1) AS sig FROM sigs
-         |  UNION ALL SELECT doc_id, 1, concat(mh2, ',', mh3) FROM sigs
-         |  UNION ALL SELECT doc_id, 2, concat(mh4, ',', mh5) FROM sigs
-         |  UNION ALL SELECT doc_id, 3, concat(mh6, ',', mh7) FROM sigs),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |   round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
-         |     / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 4) AS jaccard
-         |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+      s"""WITH $duckMinhashPairs
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // True transitive components via recursive CTE over the same thresholded pair
+    // graph the Spark side propagates labels on.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckMinhashPairs,
+         |np AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+         |          UNION SELECT id_b, id_a FROM np),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id),
+         |comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """WITH s AS (
+        |  SELECT *, CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        | lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // Funnel mirror: the quality gate is the exact integer form of score >= 0.55
+    // (see Corpus.qualityGate — float-threshold filtering is a cross-engine hazard).
+    "q_corpus_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text, string_split(text,' ') AS t FROM documents),
+        |q AS (SELECT * FROM toks
+        |  WHERE 10*(len(list_distinct(t)) - len(list_filter(t, x -> x IN ('the','a')))) >= len(t)),
+        |e AS (SELECT * FROM q WHERE lang = 'en'),
+        |d1 AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM e) WHERE rn = 1),
+        |d2 AS (SELECT * FROM (
+        |  SELECT * EXCLUDE (rn),
+        |   row_number() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(t)),' '))
+        |     ORDER BY doc_id) AS rn
+        |  FROM d1) WHERE rn = 1)
+        |SELECT stage_ord, stage, n_docs, n_tokens FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage, count(*) AS n_docs,
+        |   CAST(coalesce(sum(len(t)),0) AS BIGINT) AS n_tokens FROM toks
+        |  UNION ALL SELECT 1, 'quality', count(*), CAST(coalesce(sum(len(t)),0) AS BIGINT) FROM q
+        |  UNION ALL SELECT 2, 'lang_en', count(*), CAST(coalesce(sum(len(t)),0) AS BIGINT) FROM e
+        |  UNION ALL SELECT 3, 'exact_dedup', count(*), CAST(coalesce(sum(len(t)),0) AS BIGINT) FROM d1
+        |  UNION ALL SELECT 4, 'neardup_fp', count(*), CAST(coalesce(sum(len(t)),0) AS BIGINT) FROM d2)
+        |ORDER BY stage_ord""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${duckSets(5)},
