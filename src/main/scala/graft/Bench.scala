@@ -34,7 +34,7 @@ object Bench {
     // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
     // contention with identical plans (observed r1<->r2), which makes a one-sample
     // 2x gate noisy; min-of-k measures the plan, not the neighbors.
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "2").toInt.max(1)
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until samples).map { _ =>
         val t0 = System.nanoTime()

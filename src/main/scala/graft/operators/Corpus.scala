@@ -35,6 +35,22 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /**
+   * Deterministic per-group cap (data-mixing primitive: "at most k docs per
+   * source/domain"): rank rows within each group by an md5-derived hash of their id
+   * and keep the first `k` — uniform-in-expectation like a random sample, but
+   * reproducible, engine-independent, and re-runnable to the same result. One
+   * window shuffle on the group key; a group's ranking never depends on other
+   * groups, so skewed sources cost only their own partition.
+   */
+  def perGroupSample(docs: DataFrame, groupCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(
+      TextOps.md5Long(concat(lit("sample:"), col(idCol).cast("string"))), col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Stopword list shared by the quality filter and its oracle SQL. */
   val Stopwords: Seq[String] = Seq("the", "a")
 
@@ -61,29 +77,44 @@ object Corpus {
    *   per-stage survivor counts.
    *
    * Output: one row per stage (stage_ord, stage, n_docs, n_tokens) — the funnel
-   * report every corpus job publishes. Each dedup stage shuffles once on a
-   * fixed-width hash key (never on raw text); everything else is a codegen'd scan.
+   * report every corpus job publishes.
+   *
+   * Scale shape: SINGLE PASS. Every doc is classified with its per-stage survival
+   * flags in one scan (the naive per-stage-DataFrame union would rescan the corpus
+   * once per stage and recompute each stage's predecessors — 5 scans at 100 TB);
+   * the two dedup ranks come from windows partitioned by a fixed-width content
+   * hash (never by raw text); the funnel rows are then unpivoted from ONE
+   * aggregation row with `stack`.
    */
   def cleanFunnel(docs: DataFrame, keepLang: String = "en"): DataFrame = {
-    val quality = docs.filter(qualityGate(col("text")))
-    val inLang = quality.filter(col("lang") === keepLang)
-    val exactW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exact = inLang.withColumn("rn", row_number().over(exactW))
-      .filter(col("rn") === 1).drop("rn")
-    val fpW = Window.partitionBy(TextOps.tokenSetFingerprint(col("text")))
+    val exactW = Window.partitionBy(col("l_ok"), md5(col("text")))
       .orderBy(col("doc_id"))
-    val nearDup = exact.withColumn("rn", row_number().over(fpW))
-      .filter(col("rn") === 1).drop("rn")
-    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(TextOps.tokenCount(col("text"))), lit(0L)).as("n_tokens"))
-        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    stage(docs, 0, "raw")
-      .unionByName(stage(quality, 1, "quality"))
-      .unionByName(stage(inLang, 2, s"lang_$keepLang"))
-      .unionByName(stage(exact, 3, "exact_dedup"))
-      .unionByName(stage(nearDup, 4, "neardup_fp"))
+    val fpW = Window.partitionBy(col("e_keep"), TextOps.tokenSetFingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    // Flags are cumulative: a row only competes in a dedup window among rows that
+    // survived every earlier stage (the flag is part of the partition key, so
+    // non-survivors rank in their own irrelevant partitions).
+    val flagged = docs
+      .withColumn("q_ok", qualityGate(col("text")))
+      .withColumn("l_ok", col("q_ok") && col("lang") === keepLang)
+      .withColumn("e_keep", col("l_ok") && row_number().over(exactW) === 1)
+      .withColumn("nd_keep", col("e_keep") && row_number().over(fpW) === 1)
+      .withColumn("tok", TextOps.tokenCount(col("text")))
+    def c(cond: Column) = count(when(cond, lit(1)))
+    def t(cond: Column) = coalesce(sum(when(cond, col("tok"))), lit(0L))
+    flagged.agg(
+        count(lit(1)).as("c0"), coalesce(sum(col("tok")), lit(0L)).as("t0"),
+        c(col("q_ok")).as("c1"), t(col("q_ok")).as("t1"),
+        c(col("l_ok")).as("c2"), t(col("l_ok")).as("t2"),
+        c(col("e_keep")).as("c3"), t(col("e_keep")).as("t3"),
+        c(col("nd_keep")).as("c4"), t(col("nd_keep")).as("t4"))
+      .select(expr(
+        s"""stack(5,
+           | 0L, 'raw',         c0, t0,
+           | 1L, 'quality',     c1, t1,
+           | 2L, 'lang_$keepLang', c2, t2,
+           | 3L, 'exact_dedup', c3, t3,
+           | 4L, 'neardup_fp',  c4, t4) AS (stage_ord, stage, n_docs, n_tokens)""".stripMargin))
       .orderBy(col("stage_ord"))
   }
 }

@@ -189,7 +189,15 @@ object TextQueries {
     // End-to-end corpus-cleaning funnel: quality gate -> language filter -> exact
     // dedup -> fingerprint near-dup collapse, reported as per-stage survivor counts
     // (the composition a training-data pipeline actually ships).
-    "q_corpus_clean" -> { (s, d) => Corpus.cleanFunnel(Tables.documents(s, d)) }
+    "q_corpus_clean" -> { (s, d) => Corpus.cleanFunnel(Tables.documents(s, d)) },
+
+    // Data-mixing primitive: deterministic hash-ranked cap of 20 docs per source;
+    // the exact sampled membership is hash-verified, not just the counts.
+    "q_sample_per_source" -> { (s, d) =>
+      Corpus.perGroupSample(Tables.documents(s, d), "source", "doc_id", 20)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("source"), col("sample_rank"))
+    }
   )
 
   // DuckDB-side shingle set: distinct word n-grams of the space-split text.
@@ -355,6 +363,14 @@ object TextQueries {
         |  UNION ALL SELECT 3, 'exact_dedup', count(*), CAST(coalesce(sum(len(t)),0) AS BIGINT) FROM d1
         |  UNION ALL SELECT 4, 'neardup_fp', count(*), CAST(coalesce(sum(len(t)),0) AS BIGINT) FROM d2)
         |ORDER BY stage_ord""".stripMargin,
+
+    "q_sample_per_source" ->
+      """SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, sample_rank""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${duckSets(5)},

@@ -56,6 +56,20 @@ class CorpusSpec extends GraftSuite {
     assert(half.forall { case (id, s) => a(id) == s })
   }
 
+  test("perGroupSample caps every group at k with a reproducible membership") {
+    val docs = Tables.documents(spark, sfTiny)
+    val s1 = Corpus.perGroupSample(docs, "source", "doc_id", 5)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val s2 = Corpus.perGroupSample(docs, "source", "doc_id", 5)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1 === s2)
+    val perGroup = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ <= 5))
+    val groupSizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // Groups with >= 5 docs yield exactly 5; smaller groups yield all their docs.
+    perGroup.foreach { case (g, n) => assert(n === math.min(5L, groupSizes(g))) }
+  }
+
   test("cleanFunnel stages are monotone and start from the full corpus") {
     val docs = Tables.documents(spark, sfTiny)
     val stages = Corpus.cleanFunnel(docs)

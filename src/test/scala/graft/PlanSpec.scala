@@ -59,4 +59,35 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("vec_cosine"))
     assert(!p.contains("zip_with"))
   }
+
+  test("q_sample_per_source never reads the text column (metadata-only sampling)") {
+    // The sample ranks on md5(id) and projects (source, rank, doc_id) — the wide
+    // text column must be pruned out of the scan or the 100 TB cost is the corpus.
+    val p = planOf("q_sample_per_source")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("text"), s"scan must not read text: $read")
+  }
+
+  test("q_join_left plans a real left-outer join, no nested-loop fallback") {
+    val p = planOf("q_join_left")
+    assert(p.contains("LeftOuter"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_corpus_clean windows are key-partitioned (no single-partition window)") {
+    // A Window without PARTITION BY pulls the corpus into one task; both dedup
+    // stages must partition by their content hash.
+    val plan = SparkEntry.queries("q_corpus_clean")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    val windowSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty)
+    // Partitioned spec: windowspecdefinition(<partitionCols...>, <sort> ASC/DESC, frame).
+    // Unpartitioned: the FIRST argument is already a sort spec — that's the 100 TB
+    // failure mode this test pins out.
+    assert(windowSpecs.forall { l =>
+      val inner = l.substring(l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+      val firstArg = inner.takeWhile(_ != ',')
+      !firstArg.contains(" ASC") && !firstArg.contains(" DESC")
+    }, s"every window must declare partition columns:\n${windowSpecs.mkString("\n")}")
+  }
 }
