@@ -69,6 +69,84 @@ object Corpus {
   }
 
   /**
+   * Gopher/C4-style rule-filter battery: per-document boolean flags for the
+   * heuristic quality rules production corpus pipelines apply before training.
+   * Every threshold is expressed in EXACT integer arithmetic (cross-multiplied
+   * ratios), so no float boundary can flip a flag between engines:
+   *
+   *  - `r_len`:     token count within [minTok, maxTok]
+   *  - `r_wordlen`: mean token length within [2, 12] chars. Token lengths sum to
+   *                 `length(text) - (n_tok - 1)` for space-joined text (counted
+   *                 without re-tokenizing), so the test is
+   *                 `2*n_tok <= sum_len <= 12*n_tok`.
+   *  - `r_stop`:    at least one stopword present (Gopher's "has common words").
+   *  - `r_rep`:     3-gram repetition bounded: distinct 3-grams >= 30% of total
+   *                 (10*distinct >= 3*total) — heavy internal repetition is the
+   *                 classic low-quality signal.
+   *  - `r_pass`:    conjunction of all rules.
+   */
+  def ruleFlags(docs: DataFrame, minTok: Int = 10, maxTok: Int = 1000): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val nTok = size(t)
+    val sumLen = length(col("text")) - (nTok - lit(1))
+    val stops = array(Stopwords.map(lit): _*)
+    val sh = TextOps.shingles(col("text"), 3)
+    val rLen = nTok.between(minTok, maxTok)
+    val rWordlen = (sumLen >= nTok * lit(2)) && (sumLen <= nTok * lit(12))
+    val rStop = size(filter(t, tok => array_contains(stops, tok))) > 0
+    val rRep = size(array_distinct(sh)) * lit(10) >= size(sh) * lit(3)
+    docs.withColumn("r_len", rLen)
+      .withColumn("r_wordlen", rWordlen)
+      .withColumn("r_stop", rStop)
+      .withColumn("r_rep", rRep)
+      .withColumn("r_pass", rLen && rWordlen && rStop && rRep)
+  }
+
+  /**
+   * Benchmark decontamination (the eval-leak scan every serious training-data
+   * pipeline runs): find corpus documents sharing at least `minShared` distinct
+   * word `n`-grams with any benchmark document. Returns one row per contaminated
+   * (doc, benchmark) pair with the shared-shingle count.
+   *
+   * Scale shape: the benchmark set is tiny relative to the corpus — its exploded
+   * shingles broadcast; the corpus streams once through a shingle equi-join
+   * (never a doc × benchmark cross join), then one (doc, bench) count-agg. At
+   * 100 TB this is a linear scan of the corpus against an in-memory shingle map.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    minShared: Int = 3): DataFrame = {
+    val corpusSh = corpus.select(col("doc_id"),
+      explode(TextOps.shingleSet(col("text"), n)).as("sh"))
+    val benchSh = benchmark.select(col("doc_id").as("bench_id"),
+      explode(TextOps.shingleSet(col("text"), n)).as("sh"))
+    corpusSh.join(broadcast(benchSh), "sh")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * Unigram language-model score per document (the CCNet-style "how much does
+   * this text look like the corpus" signal, with the corpus itself as the LM):
+   * token negative log-likelihood -ln(count(tok)/total), averaged per document.
+   * Two linear aggregations (global token counts, per-doc score join) — no
+   * quadratic stage; the token-frequency table is corpus-vocabulary-sized and
+   * broadcastable in practice.
+   */
+  def unigramLogLoss(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("cnt").cast("double") / col("total").cast("double"))), 4)
+          .as("avg_nll"))
+  }
+
+  /**
    * End-to-end corpus-cleaning funnel (the composition a training-data pipeline
    * actually runs, built from the individually hash-verified operators):
    *

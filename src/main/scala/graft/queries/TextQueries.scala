@@ -197,6 +197,36 @@ object TextQueries {
       Corpus.perGroupSample(Tables.documents(s, d), "source", "doc_id", 20)
         .select(col("source"), col("sample_rank"), col("doc_id"))
         .orderBy(col("source"), col("sample_rank"))
+    },
+
+    // Gopher/C4-style rule-filter battery: per-language pass counts for each
+    // heuristic quality rule (all thresholds integer-exact; see Corpus.ruleFlags).
+    "q_text_rules" -> { (s, d) =>
+      Corpus.ruleFlags(Tables.documents(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("r_len"), lit(1))).as("n_len"),
+          count(when(col("r_wordlen"), lit(1))).as("n_wordlen"),
+          count(when(col("r_stop"), lit(1))).as("n_stop"),
+          count(when(col("r_rep"), lit(1))).as("n_rep"),
+          count(when(col("r_pass"), lit(1))).as("n_pass"))
+        .orderBy(col("lang"))
+    },
+
+    // Benchmark decontamination: corpus docs sharing >= 3 distinct 5-grams with a
+    // (deterministically chosen) benchmark subset — the eval-leak scan. Benchmark
+    // shingles broadcast; the corpus streams once. doc_id % 7 lands several of the
+    // corpus's planted near-dup pairs across the bench/corpus boundary, so the
+    // query is verified on real contamination hits, not an empty result.
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0), 5, 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // Unigram-LM corpus-likelihood score per doc (CCNet-style quality signal).
+    "q_text_unigram" -> { (s, d) =>
+      Corpus.unigramLogLoss(Tables.documents(s, d)).orderBy(col("doc_id"))
     }
   )
 
@@ -371,6 +401,52 @@ object TextQueries {
         |      doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, sample_rank""".stripMargin,
+
+    // Integer-exact mirrors of Corpus.ruleFlags: token-length sum is derived as
+    // length(text) - (n_tok - 1) for space-joined text on both sides.
+    "q_text_rules" ->
+      """WITH f AS (
+        |  SELECT lang, len(t) AS ntok,
+        |   length(text) - (len(t) - 1) AS sumlen,
+        |   len(list_filter(t, x -> x IN ('the','a'))) AS nstop,
+        |   CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS shtot,
+        |   CASE WHEN len(t) >= 3
+        |    THEN len(list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))))
+        |    ELSE 0 END AS shdis
+        |  FROM (SELECT lang, text, string_split(text,' ') AS t FROM documents)),
+        |g AS (
+        |  SELECT lang,
+        |   ntok BETWEEN 10 AND 1000 AS r_len,
+        |   (sumlen >= 2*ntok AND sumlen <= 12*ntok) AS r_wordlen,
+        |   nstop > 0 AS r_stop,
+        |   10*shdis >= 3*shtot AS r_rep
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        | count(CASE WHEN r_len THEN 1 END) AS n_len,
+        | count(CASE WHEN r_wordlen THEN 1 END) AS n_wordlen,
+        | count(CASE WHEN r_stop THEN 1 END) AS n_stop,
+        | count(CASE WHEN r_rep THEN 1 END) AS n_rep,
+        | count(CASE WHEN r_len AND r_wordlen AND r_stop AND r_rep THEN 1 END) AS n_pass
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH ${duckSets(5)},
+         |bench AS (SELECT doc_id AS bench_id, shset FROM sets WHERE doc_id % 7 = 0),
+         |c AS (SELECT doc_id, unnest(shset) AS sh FROM sets),
+         |b AS (SELECT bench_id, unnest(shset) AS sh FROM bench)
+         |SELECT doc_id, bench_id, count(*) AS n_shared
+         |FROM c JOIN b USING (sh) WHERE doc_id <> bench_id
+         |GROUP BY doc_id, bench_id HAVING count(*) >= 3
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q_text_unigram" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tok,
+        | round(avg(-ln(cnt::DOUBLE / total::DOUBLE)), 4) AS avg_nll
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${duckSets(5)},

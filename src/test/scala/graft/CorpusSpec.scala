@@ -70,6 +70,49 @@ class CorpusSpec extends GraftSuite {
     perGroup.foreach { case (g, n) => assert(n === math.min(5L, groupSizes(g))) }
   }
 
+  test("ruleFlags: each rule fires on its designed failure mode") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (2L, "en", "too short"),                                        // fails r_len
+      (3L, "en", ("spam " * 20).trim),                                // fails r_rep (1 distinct 3-gram)
+      (4L, "en", "quick brown fox jumps over lazy dog near river bank today again soon"),
+      (5L, "en", "the " + Seq.fill(12)("pneumonoultramicroscopicsilicovolcanoconiosis").mkString(" "))
+    ).toDF("doc_id", "lang", "text")                                  // 5: fails r_wordlen
+    val flags = Corpus.ruleFlags(docs)
+      .select("doc_id", "r_len", "r_wordlen", "r_stop", "r_rep", "r_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(flags(1L)._6, "doc 1 passes everything")
+    assert(!flags(2L)._2 && !flags(2L)._6, "short doc fails r_len")
+    assert(!flags(3L)._5 && !flags(3L)._6, "repeated token fails r_rep")
+    assert(!flags(4L)._4 && !flags(4L)._6, "no stopword fails r_stop")
+    assert(!flags(5L)._3 && !flags(5L)._6, "long words fail r_wordlen")
+  }
+
+  test("decontaminate flags only docs sharing enough shingles with the benchmark") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"$shared plus unrelated trailing words here"), // 4 shared 5-grams
+      (2L, "completely different text with no overlap at all whatsoever today"),
+      (3L, "alpha beta gamma here but then it diverges entirely afterwards")
+    ).toDF("doc_id", "text") // doc 3: no full 5-gram in common
+    val bench = Seq((100L, s"$shared and its own continuation")).toDF("doc_id", "text")
+    val hits = Corpus.decontaminate(corpus, bench, 5, 3)
+      .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)].collect()
+    assert(hits.map(_._1).toSeq === Seq(1L))
+    assert(hits.head._2 === 100L && hits.head._3 >= 3)
+  }
+
+  test("unigramLogLoss ranks rare-token docs as less corpus-like") {
+    val docs = Seq(
+      (1L, "common common common common common"),
+      (2L, "rareword otherrare thirdrare fourthrare fifthrare"))
+      .toDF("doc_id", "text")
+    val nll = Corpus.unigramLogLoss(docs)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(nll(2L) > nll(1L), s"rare tokens must score higher NLL: $nll")
+  }
+
   test("cleanFunnel stages are monotone and start from the full corpus") {
     val docs = Tables.documents(spark, sfTiny)
     val stages = Corpus.cleanFunnel(docs)
