@@ -69,6 +69,31 @@ object Corpus {
   }
 
   /**
+   * Sequence packing (the pre-training "concat and split" layout): documents are
+   * laid out in deterministic `doc_id` order and cut into fixed-capacity token
+   * bins; a document may span bins (it is split at the capacity boundary, exactly
+   * like GPT-style corpus packing). Emits, per doc: its shard, the bin and offset
+   * where it starts, and the bin where it ends — everything downstream chunk
+   * assembly needs.
+   *
+   * Scale shape: packing is computed WITHIN shards (`doc_id % nShards`), so the
+   * cumulative-sum window never serializes the corpus through a single task; bins
+   * are globally unique as (shard, bin). All arithmetic is integer-exact
+   * (cumulative longs + floor division) — no float in the layout.
+   */
+  def packSequences(docs: DataFrame, seqLen: Int, nShards: Int = 32): DataFrame = {
+    require(seqLen > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"(cum - n_tok) div $seqLen").as("bin_start"),
+        expr(s"(cum - n_tok) % $seqLen").as("off_start"),
+        expr(s"(cum - 1) div $seqLen").as("bin_end"))
+  }
+
+  /**
    * Gopher/C4-style rule-filter battery: per-document boolean flags for the
    * heuristic quality rules production corpus pipelines apply before training.
    * Every threshold is expressed in EXACT integer arithmetic (cross-multiplied

@@ -121,6 +121,23 @@ object Relational {
   }
 
   /**
+   * SCD2 history build (the temporal complement of [[latestPerKey]]): from a
+   * change stream of keyed versions, derive validity intervals — each version is
+   * valid from its own timestamp until the next version's timestamp for the same
+   * key (`valid_to` NULL = current). The reference's Cassandra upsert keeps only
+   * the last write; this keeps the full history as the warehouse SCD-type-2 shape,
+   * from the same input, with one shuffle on the key and one window pass.
+   * `tsCol` must be unique per key (a total version order) for determinism.
+   */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("version", row_number().over(w).cast("long"))
+  }
+
+  /**
    * Gaps-and-islands sessionization (batch twin of Structured Streaming's
    * `session_window`, SURVEY.md B11): a session breaks when the gap since the previous
    * event of the same key exceeds `gapSeconds`. Adds `session_id` (0-based per key).

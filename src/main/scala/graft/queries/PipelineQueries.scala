@@ -126,6 +126,18 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // SCD2 history over the keyed change stream (the temporal complement of the
+    // A9 last-write-wins store): per-key version chains with validity intervals;
+    // the driver-verified epoch-us encoding keeps timestamps cross-engine-stable.
+    "q_scd2_history" -> { (s, d) =>
+      graft.operators.Relational.scd2(itemsRaw(s, d), Seq("item_name"), "ingestion_ts")
+        .select(col("item_name"), col("version"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"),
+          col("is_current"))
+        .orderBy(col("item_name"), col("version"))
+    },
+
     // A22 idempotence as a query: tombstoned/malformed keys never reach the output,
     // and re-deriving from the same source yields zero new keys (anti-join is empty
     // -> count by reason).
@@ -212,6 +224,16 @@ object PipelineQueries {
         | CAST(w*h AS BIGINT) AS n_px, round(avg(v), 4) AS mean_px
         |FROM b GROUP BY media_id, frame_idx, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_scd2_history" ->
+      s"""WITH $duckItemsRaw
+         |SELECT item_name, version, vf_us, vt_us, vt_us IS NULL AS is_current FROM (
+         |  SELECT item_name,
+         |   CAST(row_number() OVER (PARTITION BY item_name ORDER BY ingestion_ts) AS BIGINT) AS version,
+         |   epoch_us(ingestion_ts) AS vf_us,
+         |   epoch_us(lead(ingestion_ts) OVER (PARTITION BY item_name ORDER BY ingestion_ts)) AS vt_us
+         |  FROM items_raw)
+         |ORDER BY item_name, version""".stripMargin,
 
     "q_pipeline_incremental" ->
       s"""WITH $duckItemsRaw

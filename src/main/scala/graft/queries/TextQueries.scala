@@ -227,6 +227,12 @@ object TextQueries {
     // Unigram-LM corpus-likelihood score per doc (CCNet-style quality signal).
     "q_text_unigram" -> { (s, d) =>
       Corpus.unigramLogLoss(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Pre-training sequence packing (concat-and-split into 512-token bins, 8
+    // shards): per-doc bin/offset layout, integer-exact on both engines.
+    "q_pack_sequences" -> { (s, d) =>
+      Corpus.packSequences(Tables.documents(s, d), 512, 8).orderBy(col("doc_id"))
     }
   )
 
@@ -447,6 +453,17 @@ object TextQueries {
         | round(avg(-ln(cnt::DOUBLE / total::DOUBLE)), 4) AS avg_nll
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, len(string_split(text,' ')) AS n_tok,
+        |   sum(len(string_split(text,' '))) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tok AS BIGINT) AS n_tok,
+        | CAST((cum - n_tok) // 512 AS BIGINT) AS bin_start,
+        | CAST((cum - n_tok) % 512 AS BIGINT) AS off_start,
+        | CAST((cum - 1) // 512 AS BIGINT) AS bin_end
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${duckSets(5)},

@@ -70,6 +70,43 @@ class CorpusSpec extends GraftSuite {
     perGroup.foreach { case (g, n) => assert(n === math.min(5L, groupSizes(g))) }
   }
 
+  test("packSequences lays out docs contiguously and splits across bin boundaries") {
+    // One shard (nShards=1), seqLen=10; token counts 4, 4, 5, 9:
+    //   doc 0: cum 4  -> bin 0 off 0..3
+    //   doc 1: cum 8  -> bin 0 off 4..7
+    //   doc 2: cum 13 -> starts bin 0 off 8, SPANS into bin 1 (ends at cum-1=12)
+    //   doc 3: cum 22 -> starts bin 1 off 3, ends bin 2
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((0L, doc(4)), (1L, doc(4)), (2L, doc(5)), (3L, doc(9)))
+      .toDF("doc_id", "text")
+    val packed = Corpus.packSequences(docs, 10, 1)
+      .select("doc_id", "bin_start", "off_start", "bin_end")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq === Seq(
+      (0L, 0L, 0L, 0L), (1L, 0L, 4L, 0L), (2L, 0L, 8L, 1L), (3L, 1L, 3L, 2L)))
+    // Conservation: total tokens == last cum; every offset < seqLen.
+    assert(packed.forall(_._3 < 10))
+  }
+
+  test("scd2 builds per-key version chains with exactly one current row") {
+    import graft.operators.Relational
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val changes = Seq(
+      ("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-02 00:00:00")),
+      ("a", ts("2024-01-03 00:00:00")), ("b", ts("2024-01-01 12:00:00")))
+      .toDF("k", "ts")
+    val hist = Relational.scd2(changes, Seq("k"), "ts")
+    assert(hist.filter(col("is_current")).count() === 2) // one per key
+    val aChain = hist.filter(col("k") === "a").orderBy("version")
+      .select("version", "valid_to").collect()
+    assert(aChain.length === 3)
+    // Interval chaining: version v's valid_to == version v+1's valid_from.
+    val a = hist.filter(col("k") === "a").orderBy("version")
+      .select("valid_from", "valid_to").as[(Timestamp, Option[Timestamp])].collect()
+    assert(a(0)._2.contains(a(1)._1) && a(1)._2.contains(a(2)._1) && a(2)._2.isEmpty)
+  }
+
   test("ruleFlags: each rule fires on its designed failure mode") {
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps over a lazy dog near the river bank today"),
