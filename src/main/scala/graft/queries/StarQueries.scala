@@ -109,6 +109,58 @@ object StarQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // B1: full-outer join — per-nation counts of deeply-negative-balance customers
+    // vs negative-balance suppliers; both sides are sparse, so nulls appear on BOTH
+    // sides and the coalesce/missing-flag semantics are hash-verified.
+    "q_join_full" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") < -650)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).filter(col("s_acctbal") < 1000)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          col("n_cust").isNull.as("cust_missing"),
+          col("n_supp").isNull.as("supp_missing"))
+        .orderBy(col("nk"))
+    },
+
+    // SQL entry surface: TPC-H Q3 (shipping-priority) adapted to the fixture
+    // columns, submitted as SQL TEXT through spark.sql — exercising the parser /
+    // analyzer path a ClickHouse/Superset user would migrate through. The oracle
+    // is the same statement run by DuckDB.
+    "q_sql_tpch3" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > DATE '1997-01-01'
+        GROUP BY l_orderkey, order_date, o_orderpriority
+        ORDER BY revenue DESC, order_date, l_orderkey
+        LIMIT 10""")
+    },
+
+    // SQL entry surface 2: correlated EXISTS subquery (the decorrelation planner
+    // path — not expressible as a plain join node in the API surface above).
+    "q_sql_exists" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+
     // B3: range (theta) join against a tiny in-memory band dimension — broadcast
     // nested-loop by construction, the only sane plan for a non-equi join at scale.
     "q_join_range" -> { (s, d) =>
@@ -581,6 +633,38 @@ object StarQueries {
         |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
         |  ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal < -650 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal < 1000 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        | CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        | CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+        | n_cust IS NULL AS cust_missing, n_supp IS NULL AS supp_missing
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+
+    "q_sql_tpch3" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate  > DATE '1997-01-01'
+        |GROUP BY l_orderkey, order_date, o_orderpriority
+        |ORDER BY revenue DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_sql_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_range" ->
       """SELECT band_id, count(*) AS n, round(sum(o_totalprice),2) AS sum_price

@@ -326,6 +326,34 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("corpus operators compose into a streaming ingest unchanged") {
+    // The batch corpus ops are pure column transforms, so the same code runs in a
+    // micro-batch stream: rule-filter -> content-fingerprint dedup (stateful
+    // across batches via dropDuplicates on the derived fingerprint).
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Corpus
+    import graft.functions.TextOps
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF.toDF("doc_id", "lang", "text")
+    val cleaned = Corpus.ruleFlags(docs).filter(col("r_pass"))
+      .withColumn("fp", TextOps.tokenSetFingerprint(col("text")))
+      .dropDuplicates("fp")
+    val q = cleaned.writeStream.format("memory").queryName("corpus_t")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over a lazy dog near the river bank"
+      val aPerm = "quick the brown fox jumps over a lazy dog near the river bank"
+      in.addData((1L, "en", a), (2L, "en", aPerm), (3L, "en", "too short"))
+      q.processAllAvailable()
+      in.addData((4L, "en", a), // cross-batch duplicate: state must drop it
+        (5L, "en", "a second document with plenty of distinct interesting words beyond the minimum count"))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_t").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 5L),
+        "permutation + cross-batch dup deduped, short doc rule-filtered")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-key state across batches") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.{Stateful, UserEvent}
