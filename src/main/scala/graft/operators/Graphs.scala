@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over edge lists (extension family alongside
+ * [[Dedup.connectedComponents]]): authority scoring of the kind web-corpus
+ * curation uses for domain quality (PageRank-family centrality).
+ *
+ * Determinism stance: ranks are computed in INTEGER fixed-point (mass scale
+ * [[Graphs.Scale]], damping as the rational dampNum/dampDen, `div` floor
+ * division) — no floating point anywhere, so results are bit-identical across
+ * engines, partitionings, and summation orders. Floating-point PageRank is
+ * famously irreproducible on distributed sums; fixed-point sidesteps it rather
+ * than rounding it away.
+ */
+object Graphs {
+
+  /** Fixed-point mass scale: total rank mass ≈ 1e9 integer units. */
+  val Scale = 1000000000L
+
+  /**
+   * Weighted PageRank with a FIXED number of iterations over `edges(src, dst,
+   * weight)`. Per iteration: each node sends `rank * w / outw` along its edges
+   * (floor division), and new rank = (1-d) * Scale/n + d * inflow with
+   * d = dampNum/dampDen (all integer). Nodes with no in-edges keep the teleport
+   * term only; dangling-node mass is dropped (the standard simplified variant).
+   *
+   * Scale shape: per iteration one equi-join of edges against ranks plus one
+   * dst-keyed sum — linear shuffles, the canonical distributed PageRank step.
+   * Ranks are localCheckpointed per iteration (constant plan depth, same
+   * reasoning as [[Similarity.kmeansCentroids]]); overflow-safe for
+   * rank*weight < 2^63 (weight up to ~9e9 at full mass).
+   */
+  def pagerank(edges: DataFrame, iters: Int,
+               dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
+    require(iters >= 0 && dampNum > 0 && dampNum < dampDen,
+      s"need 0 < dampNum < dampDen and iters >= 0; got $dampNum/$dampDen, $iters")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outw = edges.groupBy(col("src")).agg(sum(col("weight")).as("outw"))
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$Scale div n").as("rank"), col("n"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val inflow = edges
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          expr("(rank * weight) div outw").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      ranks = ranks.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(($Scale div n) * ${dampDen - dampNum}) div $dampDen + " +
+            s"($dampNum * coalesce(inflow, 0L)) div $dampDen").as("rank"),
+          col("n"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

@@ -154,10 +154,50 @@ object EventQueries {
           sum(col("n_events")).as("n_events"),
           max(col("dur_us")).as("max_dur_us"))
         .orderBy(col("user_id"))
+    },
+
+    // Graph authority (web-corpus domain-quality shape): event-type transition
+    // graph (per-user consecutive events -> weighted directed edges) scored with
+    // 3 iterations of INTEGER fixed-point PageRank — bit-identical across engines
+    // by construction, no float anywhere (see graft.operators.Graphs).
+    "q_graph_pagerank" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      graft.operators.Graphs.pagerank(edges, 3).orderBy(col("node"))
     }
   )
 
+  // One integer fixed-point PageRank step over CTE `prev` (mirrors Graphs.pagerank).
+  private def duckPrStep(prev: String): String =
+    s"""(SELECT r.node,
+       |  ((1000000000 // r.n) * 3) // 20 + (17 * coalesce(i.inflow, 0)) // 20 AS rank, r.n
+       | FROM $prev r LEFT JOIN (
+       |   SELECT e.dst AS node, sum((p.rank * e.weight) // o.outw) AS inflow
+       |   FROM edg e JOIN $prev p ON e.src = p.node JOIN ow o ON e.src = o.src
+       |   GROUP BY e.dst) i ON r.node = i.node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH edg AS (
+         |  SELECT prev AS src, event_type AS dst, count(*) AS weight FROM (
+         |    SELECT event_type,
+         |     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |    FROM events)
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM edg UNION SELECT dst FROM edg),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |ow AS (SELECT src, sum(weight) AS outw FROM edg GROUP BY src),
+         |r0 AS (SELECT node, 1000000000 // n AS rank, n FROM nodes CROSS JOIN nn),
+         |r1 AS (SELECT * FROM ${duckPrStep("r0")}),
+         |r2 AS (SELECT * FROM ${duckPrStep("r1")}),
+         |r3 AS (SELECT * FROM ${duckPrStep("r2")})
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin,
+
     "q_latest_per_key" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id

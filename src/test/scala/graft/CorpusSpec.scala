@@ -107,6 +107,23 @@ class CorpusSpec extends GraftSuite {
     assert(a(0)._2.contains(a(1)._1) && a(1)._2.contains(a(2)._1) && a(2)._2.isEmpty)
   }
 
+  test("integer pagerank: authority concentrates, symmetric nodes tie exactly") {
+    import graft.operators.Graphs
+    // a -> c, b -> c, c -> a: c is the authority; a and b are symmetric sources
+    // (a additionally receives c's mass, so a > b).
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight")
+    val r1 = Graphs.pagerank(edges, 3).as[(String, Long)].collect().toMap
+    val r2 = Graphs.pagerank(edges, 3).as[(String, Long)].collect().toMap
+    assert(r1 === r2, "integer fixed-point must be bit-identical across runs")
+    assert(r1("c") > r1("a") && r1("a") > r1("b"),
+      s"authority ordering c > a > b expected: $r1")
+    // Weighted edges shift mass proportionally.
+    val weighted = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val rw = Graphs.pagerank(weighted, 2).as[(String, Long)].collect().toMap
+    assert(rw("b") > rw("c"))
+  }
+
   test("ruleFlags: each rule fires on its designed failure mode") {
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps over a lazy dog near the river bank today"),
