@@ -74,6 +74,12 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_decontaminate broadcasts the benchmark shingles (corpus streams once)") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast — a shuffle join here re-shuffles the corpus")
+  }
+
   test("q_corpus_clean windows are key-partitioned (no single-partition window)") {
     // A Window without PARTITION BY pulls the corpus into one task; both dedup
     // stages must partition by their content hash.
