@@ -33,17 +33,20 @@ object Graphs {
    * reasoning as [[Similarity.kmeansCentroids]]); overflow-safe for
    * rank*weight < 2^63 (weight up to ~9e9 at full mass).
    */
-  def pagerank(edges: DataFrame, iters: Int,
+  def pagerank(edges0: DataFrame, iters: Int,
                dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampNum < dampDen,
       s"need 0 < dampNum < dampDen and iters >= 0; got $dampNum/$dampDen, $iters")
+    // Materialize the edge list ONCE: it is referenced by outw, the node set, and
+    // every iteration's join — without this the caller's edge derivation (often a
+    // window + aggregation over raw data) re-executes once per reference.
+    val edges = Iterate.materialize(edges0.select(col("src"), col("dst"), col("weight")))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val outw = edges.groupBy(col("src")).agg(sum(col("weight")).as("outw"))
     val nDf = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$Scale div n").as("rank"), col("n"))
-      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val inflow = edges
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
@@ -51,12 +54,13 @@ object Graphs {
         .select(col("dst").as("node"),
           expr("(rank * weight) div outw").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = ranks.join(inflow, Seq("node"), "left")
+      // Lazy materialization: no action follows until the next round's (or the
+      // caller's) job, so folding it in halves the per-round job count.
+      ranks = Iterate.materialize(ranks.join(inflow, Seq("node"), "left")
         .select(col("node"),
           expr(s"(($Scale div n) * ${dampDen - dampNum}) div $dampDen + " +
             s"($dampNum * coalesce(inflow, 0L)) div $dampDen").as("rank"),
-          col("n"))
-        .localCheckpoint(true)
+          col("n")), eager = false)
     }
     ranks.select(col("node"), col("rank"))
   }

@@ -107,6 +107,20 @@ class CorpusSpec extends GraftSuite {
     assert(a(0)._2.contains(a(1)._1) && a(1)._2.contains(a(2)._1) && a(2)._2.isEmpty)
   }
 
+  test("iterative ops switch to reliable checkpoints when a checkpoint dir is set") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("reliable-ckpt")
+    // setCheckpointDir has no unset API; reliable checkpoints stay on for the
+    // rest of this JVM, which only changes durability (still correct everywhere).
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir)).nonEmpty,
+      "rounds must have checkpointed into the reliable dir")
+  }
+
   test("integer pagerank: authority concentrates, symmetric nodes tie exactly") {
     import graft.operators.Graphs
     // a -> c, b -> c, c -> a: c is the authority; a and b are symmetric sources
