@@ -128,6 +128,108 @@ object Corpus {
   }
 
   /**
+   * Sliding-window document chunking with overlap (the RAG/pre-training layout
+   * complementary to [[packSequences]]: packing concatenates docs into fixed bins,
+   * chunking splits one doc into overlapping windows). Chunk `i` starts at token
+   * `i*stride` and takes up to `chunkSize` tokens; `nChunks = 1` for short docs,
+   * else `ceil((n - chunkSize)/stride) + 1` so the final window always reaches the
+   * last token. Emits per chunk: index, token start, width, and the md5 of the
+   * chunk text (the chunk's content identity, verifiable cross-engine).
+   *
+   * Scale shape: one `explode` over a per-row integer sequence — output rows =
+   * total chunks, no shuffle at all; chunk assembly is a codegen'd `slice` +
+   * `concat_ws` on the already-split token array.
+   */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize; got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(n_tok - $chunkSize + ${stride - 1}) div $stride") + lit(1L)))
+      .select(col("doc_id"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("n_tok_chunk",
+        least(lit(chunkSize.toLong), col("n_tok") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("n_tok_chunk"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("tok_start") + 1).cast("int"),
+            col("n_tok_chunk").cast("int")))).as("chunk_md5"))
+  }
+
+  /**
+   * Frequent-span removal — the bounded-window form of exact-substring dedup
+   * [Lee et al., "Deduplicating Training Data Makes Language Models Better"]:
+   * any word `n`-gram occurring in >= `minDf` distinct documents is boilerplate;
+   * every token covered by such a gram is removed from all documents EXCEPT the
+   * gram's owner (the minimum doc_id containing it), so exactly one copy of each
+   * duplicated span survives the corpus. Emits per doc: token count, removed-token
+   * count, and the md5 of the reassembled cleaned text.
+   *
+   * Scale shape (all linear, no quadratic stage): one posexplode to grams, one
+   * gram-key agg for (df, owner), coverage explosion only for *frequent-gram
+   * occurrences* (a tiny fraction of the corpus), one anti-join on (doc, pos),
+   * one per-doc reassembly agg. The true suffix-array ExactSubstr finds unbounded
+   * match lengths; fixed `n` trades that for a pure dataflow shape — a span of
+   * length >= n is still fully covered by its constituent n-grams.
+   */
+  def stripFrequentSpans(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && minDf >= 2, s"need n >= 2, minDf >= 2; got n=$n minDf=$minDf")
+    val grams = docs.select(col("doc_id"),
+      posexplode(TextOps.shingles(col("text"), n)).as(Seq("s", "gram")))
+    val bad = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") >= minDf)
+    val covered = grams.join(bad, "gram")
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+    // Reassembly: order-preserving concat of surviving tokens (sort_array on
+    // struct(pos, tok) sorts by pos first — deterministic regardless of partitioning).
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")))).as("clean_md5"))
+    docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /**
+   * Domain-mixing planner: per-source token inventory plus the integer basis-point
+   * repeat factor that would rebalance every source to a uniform share of the
+   * training mix (the "how many epochs of each domain" table a data-mixture run
+   * starts from). All arithmetic is integer floor division — `share_bp` is the
+   * source's observed share, `repeat_bp` the up/down-sampling factor, and
+   * `tokens_after` the resulting contribution; no float can drift cross-engine.
+   *
+   * Scale shape: one agg by source (sources are few — the totals row broadcasts),
+   * then a scalar projection. Overflow-safe to ~9e14 total tokens (x10000 < 2^63).
+   */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tok"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div total_tok").as("share_bp"),
+        expr("(total_tok * 10000) div (n_sources * n_tokens)").as("repeat_bp"),
+        expr("(n_tokens * ((total_tok * 10000) div (n_sources * n_tokens))) div 10000")
+          .as("tokens_after"))
+  }
+
+  /**
    * Benchmark decontamination (the eval-leak scan every serious training-data
    * pipeline runs): find corpus documents sharing at least `minShared` distinct
    * word `n`-grams with any benchmark document. Returns one row per contaminated

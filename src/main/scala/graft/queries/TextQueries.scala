@@ -233,6 +233,26 @@ object TextQueries {
     // shards): per-doc bin/offset layout, integer-exact on both engines.
     "q_pack_sequences" -> { (s, d) =>
       Corpus.packSequences(Tables.documents(s, d), 512, 8).orderBy(col("doc_id"))
+    },
+
+    // Sliding-window chunking with overlap (32-token chunks, stride 24): the full
+    // per-chunk layout plus each chunk's content md5 is hash-verified.
+    "q_chunk_overlap" -> { (s, d) =>
+      Corpus.chunkDocs(Tables.documents(s, d), 32, 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Bounded-window exact-substring dedup: 5-gram spans occurring in >= 2 docs are
+    // removed everywhere but their owner doc; the reassembled cleaned text's md5 is
+    // verified per doc (36 docs lose spans at sf0.01, 14 fully vanish — real hits).
+    "q_dedup_spans" -> { (s, d) =>
+      Corpus.stripFrequentSpans(Tables.documents(s, d), 5, 2).orderBy(col("doc_id"))
+    },
+
+    // Domain-mixing planner: per-source token shares and uniform-rebalance repeat
+    // factors in integer basis points.
+    "q_mix_weights" -> { (s, d) =>
+      Corpus.mixWeights(Tables.documents(s, d)).orderBy(col("source"))
     }
   )
 
@@ -453,6 +473,45 @@ object TextQueries {
         | round(avg(-ln(cnt::DOUBLE / total::DOUBLE)), 4) AS avg_nll
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |       CASE WHEN len(tk) <= 32 THEN 1 ELSE (len(tk) - 32 + 23) // 24 + 1 END AS nch FROM t),
+        |e AS (SELECT doc_id, tk, n, unnest(range(nch)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(i*24 AS BIGINT) AS tok_start,
+        | CAST(least(32, n - i*24) AS BIGINT) AS n_tok_chunk,
+        | md5(array_to_string(tk[i*24+1 : i*24+least(32, n - i*24)], ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i AS s, array_to_string(tk[i+1:i+5],' ') AS gram
+        |      FROM (SELECT doc_id, tk, unnest(range(len(tk)-4)) AS i FROM t WHERE len(tk) >= 5)),
+        |bad AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.s + r.u AS p
+        |        FROM g JOIN bad USING (gram) CROSS JOIN range(5) r(u)
+        |        WHERE g.doc_id > bad.owner),
+        |tok AS (SELECT doc_id, u AS p, tk[u+1] AS tok
+        |        FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS u FROM t)),
+        |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+        |         md5(array_to_string(list(k.tok ORDER BY k.p), ' ')) AS clean_md5
+        |         FROM (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, p)) k
+        |         GROUP BY k.doc_id)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+        | CAST(len(t.tk) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        | coalesce(kept.clean_md5, md5('')) AS clean_md5
+        |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  sum(len(string_split(text,' '))) AS n_tokens FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens) AS total_tok, count(*) AS n_sources FROM per)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST((n_tokens * 10000) // total_tok AS BIGINT) AS share_bp,
+        | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
+        | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH p AS (

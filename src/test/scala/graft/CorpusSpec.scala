@@ -107,6 +107,52 @@ class CorpusSpec extends GraftSuite {
     assert(a(0)._2.contains(a(1)._1) && a(1)._2.contains(a(2)._1) && a(2)._2.isEmpty)
   }
 
+  test("chunkDocs: windows tile the doc with the given stride and reach the last token") {
+    // 10 tokens, chunk 4, stride 3: chunks at 0,3,6 — nChunks = ceil((10-4)/3)+1 = 3;
+    // the final chunk is the full 4 wide (6+4 = 10 = n).
+    val docs = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Corpus.chunkDocs(docs, chunkSize = 4, stride = 3)
+      .select("chunk_idx", "tok_start", "n_tok_chunk")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(rows === Array((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // A doc shorter than one chunk yields exactly one full-width window of itself.
+    val short = Seq((2L, "a b")).toDF("doc_id", "text")
+    val one = Corpus.chunkDocs(short, 4, 3)
+      .select("chunk_idx", "tok_start", "n_tok_chunk").as[(Long, Long, Long)].collect()
+    assert(one === Array((0L, 0L, 2L)))
+  }
+
+  test("stripFrequentSpans keeps the owner's copy and strips later docs' spans") {
+    // Docs 1 and 2 share the 5-gram "p q r s t"; doc 1 (min id) owns it and stays
+    // intact; doc 2 loses exactly those 5 tokens; doc 3 is untouched.
+    val docs = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "x y p q r s t z"),
+      (3L, "m n o m n o m n")).toDF("doc_id", "text")
+    val out = Corpus.stripFrequentSpans(docs, n = 5, minDf = 2)
+      .select("doc_id", "n_tok", "n_removed", "clean_md5")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Array((1L, 7L, 0L), (2L, 8L, 5L), (3L, 8L, 0L)))
+    // Doc 2's cleaned text is its surviving tokens in order.
+    val expectMd5 = spark.sql("select md5('x y z') as h").as[String].head()
+    assert(out(1)._4 === expectMd5)
+  }
+
+  test("mixWeights: integer basis-point shares and uniform-rebalance repeat factors") {
+    // Two sources, 300 vs 100 tokens: shares 7500/2500 bp; uniform target is 200
+    // each, so repeat factors are 200/300 = 6666 bp and 200/100 = 20000 bp.
+    val docs = Seq(
+      (1L, "s1", (1 to 300).map(_ => "t").mkString(" ")),
+      (2L, "s2", (1 to 100).map(_ => "t").mkString(" "))).toDF("doc_id", "source", "text")
+    val out = Corpus.mixWeights(docs)
+      .select("source", "n_tokens", "share_bp", "repeat_bp", "tokens_after")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("s1", 300L, 7500L, 6666L, 199L),
+      ("s2", 100L, 2500L, 20000L, 200L)))
+  }
+
   test("iterative ops switch to reliable checkpoints when a checkpoint dir is set") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("reliable-ckpt")
