@@ -83,6 +83,27 @@ object VectorQueries {
           round(avg(VectorOps.l2Norm(col("embedding"))), 4).as("avg_norm"),
           round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_c1"))
         .orderBy(col("label"))
+    },
+
+    // Symmetric int8 quantization (the 100 TB embedding-store compression layout):
+    // per-vector scale = max |x_i|, codes = floor(127*x/scale). The full code
+    // vector's identity (md5 + integer checksum + saturation count) is verified.
+    // `scale_bp` is floor(scale*10000): floor of the shared IEEE double is
+    // engine-safe where round-to-decimal on a dyadic float is not.
+    "q_vec_quantize" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+        .withColumn("codes",
+          when(col("scale") === 0, transform(col("e"), _ => lit(0)))
+            .otherwise(transform(col("e"),
+              x => floor(lit(127.0) * x / col("scale")).cast("int"))))
+        .select(col("vec_id"),
+          floor(col("scale") * 10000).cast("long").as("scale_bp"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_sat"),
+          md5(concat_ws(",", transform(col("codes"), _.cast("string")))).as("code_md5"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -206,6 +227,19 @@ object VectorQueries {
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),4) AS avg_norm,
         | round(avg(CAST(embedding[1] AS DOUBLE)),4) AS avg_c1
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, CAST(floor(scale * 10000) AS BIGINT) AS scale_bp,
+        |       CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |            ELSE list_transform(e, x -> CAST(floor(127.0 * x / scale) AS INT)) END AS codes
+        |      FROM s)
+        |SELECT vec_id, scale_bp,
+        | CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        | CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+        | md5(array_to_string(codes, ',')) AS code_md5
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

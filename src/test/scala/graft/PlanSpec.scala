@@ -96,4 +96,28 @@ class PlanSpec extends GraftSuite {
       !firstArg.contains(" ASC") && !firstArg.contains(" DESC")
     }, s"every window must declare partition columns:\n${windowSpecs.mkString("\n")}")
   }
+
+  test("q_chunk_overlap plans with zero shuffles (pure per-row explode)") {
+    // Chunking must stay embarrassingly parallel: any Exchange here would mean the
+    // layout serializes the corpus through a shuffle at 100 TB. (The final ORDER BY
+    // is presentation-only; inspect the pre-sort child.)
+    val p = SparkEntry.queries("q_chunk_overlap")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    val preSort = p.linesIterator.dropWhile(l => !l.contains("Generate")).mkString("\n")
+    assert(!preSort.contains("Exchange hashpartitioning"),
+      s"chunk layout must not shuffle:\n$preSort")
+  }
+
+  test("q_dedup_spans never falls back to a nested-loop or cartesian join") {
+    val p = SparkEntry.queries("q_dedup_spans")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span removal must stay equi-join-only")
+  }
+
+  test("q_mix_weights broadcasts the totals row (no shuffle of the per-source agg)") {
+    val p = SparkEntry.queries("q_mix_weights")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
 }

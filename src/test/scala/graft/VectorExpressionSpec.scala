@@ -145,6 +145,30 @@ class VectorExpressionSpec extends GraftSuite {
     assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
+  test("int8 quantization roundtrips within one quantization step") {
+    // Dequantized codes (code * scale / 127) must sit within scale/127 of the
+    // original value for every element — the invariant that makes the quantized
+    // store usable for recall-bounded ANN at scale.
+    val q = SparkEntry.queries("q_vec_quantize")(spark, sfTiny)
+    val joined = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+      .join(q.select(col("vec_id"), col("scale_bp"), col("code_md5")), "vec_id")
+    assert(joined.count() > 0)
+    // Recompute codes locally for a few vectors and check the error bound.
+    val rows = Tables.embeddings(spark, sfTiny).limit(10)
+      .select(col("vec_id"), col("embedding")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val scale = v.map(math.abs).max
+      v.foreach { x =>
+        val code = math.floor(127.0 * x / scale)
+        val deq = code * scale / 127.0
+        assert(math.abs(deq - x) <= scale / 127.0 + 1e-12,
+          s"vec ${r.getLong(0)}: |$deq - $x| > step")
+      }
+    }
+  }
+
   test("SQL registration works") {
     VectorExpressions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_t")
