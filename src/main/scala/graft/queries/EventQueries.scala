@@ -169,6 +169,69 @@ object EventQueries {
         .groupBy(col("prev").as("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("weight"))
       graft.operators.Graphs.pagerank(edges, 3).orderBy(col("node"))
+    },
+
+    // Cohort retention (day granularity): cohort = a user's first active epoch-day;
+    // cell (cohort, offset) counts distinct users active that many days later. All
+    // integer epoch-day arithmetic. Scale shape: one user-key agg for cohort
+    // assignment (co-partitioned join back) + one (cohort, offset) agg — linear.
+    "q_cohort_retention" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val c = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(c, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // Conversion funnel with a 24h step deadline: signup -> first view within 24h
+    // -> first click within 24h of that -> first purchase within 24h of that.
+    // Each stage is a user-key equi-join + min-agg (all co-partitioned on user_id
+    // — one logical shuffle reused); strictly-after semantics via µs comparison.
+    "q_event_funnel" -> { (s, d) =>
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val u1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("tp"))
+      def nextStage(prev: DataFrame, typ: String): DataFrame =
+        ev.join(prev.select(col("user_id"), col("tp").as("t0")), "user_id")
+          .filter(col("event_type") === typ &&
+            col("t") > col("t0") && col("t") <= col("t0") + dayUs)
+          .groupBy(col("user_id")).agg(min(col("t")).as("tp"))
+      val u2 = nextStage(u1, "view")
+      val u3 = nextStage(u2, "click")
+      val u4 = nextStage(u3, "purchase")
+      def stageRow(u: DataFrame, ord: Long, name: String) =
+        u.agg(count(lit(1)).as("n_users"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("n_users"))
+      stageRow(u1, 0, "signup")
+        .unionAll(stageRow(u2, 1, "view_24h"))
+        .unionAll(stageRow(u3, 2, "click_24h"))
+        .unionAll(stageRow(u4, 3, "purchase_24h"))
+        .orderBy(col("stage_ord"))
+    },
+
+    // Time-series resample: dense per-user daily grid over each user's active span,
+    // zero-filled event counts + forward-filled last-active day (integer ffill via
+    // running conditional max — no floats). Grid explode is bounded by span days;
+    // the window is user-partitioned, never global.
+    "q_gapfill" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.events(s, d).filter(col("user_id") < 10)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      val grid = cnt.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(cnt, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+        .withColumn("last_active_day",
+          max(when(col("n_events") > 0, col("day"))).over(w))
+        .orderBy(col("user_id"), col("day"))
     }
   )
 
@@ -283,6 +346,41 @@ object EventQueries {
         |SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
         | CAST(sum(n_events) AS BIGINT) AS n_events,
         | max(dur_us) AS max_dur_us
-        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        | CAST(day - cohort_day AS BIGINT) AS day_offset,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |u1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type='signup' GROUP BY user_id),
+        |u2 AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN u1 USING (user_id)
+        |       WHERE event_type='view' AND t > t1 AND t <= t1 + 86400000000 GROUP BY ev.user_id),
+        |u3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN u2 USING (user_id)
+        |       WHERE event_type='click' AND t > t2 AND t <= t2 + 86400000000 GROUP BY ev.user_id),
+        |u4 AS (SELECT ev.user_id, min(t) AS t4 FROM ev JOIN u3 USING (user_id)
+        |       WHERE event_type='purchase' AND t > t3 AND t <= t3 + 86400000000 GROUP BY ev.user_id)
+        |SELECT * FROM (
+        | SELECT CAST(0 AS BIGINT) AS stage_ord, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM u1
+        | UNION ALL SELECT 1, 'view_24h', count(*) FROM u2
+        | UNION ALL SELECT 2, 'click_24h', count(*) FROM u3
+        | UNION ALL SELECT 3, 'purchase_24h', count(*) FROM u4)
+        |ORDER BY stage_ord""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events WHERE user_id < 10),
+        |cnt AS (SELECT user_id, day, count(*) AS n FROM d GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM cnt GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(d0, d1+1)) AS day FROM span),
+        |j AS (SELECT g.user_id, g.day, coalesce(cnt.n, 0) AS n FROM grid g LEFT JOIN cnt USING (user_id, day))
+        |SELECT user_id, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_events,
+        | CAST(max(CASE WHEN n > 0 THEN day END) OVER (
+        |   PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS last_active_day
+        |FROM j ORDER BY user_id, day""".stripMargin
   )
 }
