@@ -84,13 +84,22 @@ object StreamingPipeline {
   /** Latest committed manifest, or None for an empty / legacy pre-manifest store.
     * Generations are zero-padded in the filename so lexicographic max = newest. */
   private[streaming] def latestManifest(fs: FileSystem, root: Path): Option[StoreManifest] = {
+    manifestNames(fs, root) match {
+      case Seq() => None
+      case names => Some(parseManifest(fs, root, names.max))
+    }
+  }
+
+  private def manifestNames(fs: FileSystem, root: Path): Seq[String] = {
     val dir = new Path(root, ManifestDirName)
-    if (!fs.exists(dir)) return None
-    val names = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.endsWith(".manifest") && !n.startsWith("."))
-    if (names.isEmpty) return None
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".manifest") && !n.startsWith(".")).toSeq
+  }
+
+  private def parseManifest(fs: FileSystem, root: Path, name: String): StoreManifest = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(new Path(dir, names.max)), "UTF-8"))
+      fs.open(new Path(new Path(root, ManifestDirName), name)), "UTF-8"))
     try {
       var numBuckets = -1; var generation = -1L
       val files = scala.collection.mutable.Map.empty[Int, List[String]]
@@ -105,8 +114,8 @@ object StreamingPipeline {
         }
         line = in.readLine()
       }
-      Some(StoreManifest(generation, numBuckets,
-        files.view.mapValues(_.reverse.toSeq).toMap))
+      StoreManifest(generation, numBuckets,
+        files.view.mapValues(_.reverse.toSeq).toMap)
     } finally in.close()
   }
 
@@ -239,6 +248,36 @@ object StreamingPipeline {
         else spark.read.option("basePath", path).parquet(files: _*).drop("__bucket")
       case None => spark.read.parquet(path).drop("__bucket")
     }
+  }
+
+  /** Committed generations still resolvable for [[readStoreAsOf]], ascending.
+    * Older generations survive until [[vacuumStore]] reclaims them. */
+  def storeGenerations(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestNames(fs, root).map(_.stripSuffix(".manifest").toLong).sorted
+  }
+
+  /**
+   * Time-travel read: the store EXACTLY as of a committed generation. Every commit
+   * only adds data files and a new manifest (superseded files drop out of newer
+   * manifests but stay on disk), so any un-vacuumed generation remains a fully
+   * consistent snapshot — the same mechanism backing Delta/Iceberg `VERSION AS OF`.
+   * Fails fast if the generation was never committed or has been vacuumed.
+   */
+  def readStoreAsOf(spark: org.apache.spark.sql.SparkSession, path: String,
+                    generation: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = f"$generation%020d.manifest"
+    require(manifestNames(fs, root).contains(name),
+      s"generation $generation is not resolvable at $path (never committed, or vacuumed); " +
+        s"available: ${storeGenerations(spark, path).mkString(",")}")
+    val m = parseManifest(fs, root, name)
+    val files = m.files.toSeq.sortBy(_._1)
+      .flatMap(_._2).map(rel => new Path(root, rel).toString)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", path).parquet(files: _*).drop("__bucket")
   }
 
   /**

@@ -142,6 +142,38 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(store).count() === committed.size)
   }
 
+  test("time travel: each committed generation stays a consistent snapshot until vacuum") {
+    val store = tmpDir("timetravel") + "/store"
+    val keys = Seq("item_name")
+    val ord = Seq(col("ingestion_ts").desc)
+    def batch(rows: (String, java.sql.Timestamp, Double)*) =
+      rows.toDF("item_name", "ingestion_ts", "calories")
+    StreamingPipeline.upsertBatch(
+      batch(("a", ts("2024-01-01 00:00:00"), 1.0), ("b", ts("2024-01-01 00:00:00"), 2.0)),
+      store, keys, ord)
+    StreamingPipeline.upsertBatch(
+      batch(("a", ts("2024-01-02 00:00:00"), 100.0), ("c", ts("2024-01-02 00:00:00"), 3.0)),
+      store, keys, ord)
+    assert(StreamingPipeline.storeGenerations(spark, store) === Seq(1L, 2L))
+    // Generation 1 is the pre-second-batch world: a=1.0, no c.
+    val g1 = StreamingPipeline.readStoreAsOf(spark, store, 1L)
+      .select("item_name", "calories").as[(String, Double)].collect().toMap
+    assert(g1 === Map("a" -> 1.0, "b" -> 2.0))
+    // Generation 2 == the live store.
+    val g2 = StreamingPipeline.readStoreAsOf(spark, store, 2L)
+      .select("item_name", "calories").as[(String, Double)].collect().toMap
+    val live = StreamingPipeline.readStore(spark, store)
+      .select("item_name", "calories").as[(String, Double)].collect().toMap
+    assert(g2 === Map("a" -> 100.0, "b" -> 2.0, "c" -> 3.0) && g2 === live)
+    // Vacuum retires generation 1; the time-travel read now fails fast.
+    StreamingPipeline.vacuumStore(spark, store)
+    assert(StreamingPipeline.storeGenerations(spark, store) === Seq(2L))
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.readStoreAsOf(spark, store, 1L)
+    }
+    assert(e.getMessage.contains("not resolvable"))
+  }
+
   test("merge with a different numBuckets is rejected (store pins its bucket count)") {
     val store = tmpDir("pinned") + "/store"
     val keys = Seq("item_name")
