@@ -281,6 +281,34 @@ object StreamingPipeline {
   }
 
   /**
+   * Change-data-capture between two committed generations: one row per key whose
+   * state differs, tagged `insert` / `update` / `delete`, with the full old and new
+   * row state as structs. This is the "what changed since snapshot X" feed a
+   * downstream incremental consumer wants, derived purely from the store's own
+   * time travel — no write-path hooks, no log.
+   *
+   * Scale shape: one full-outer equi-join of two snapshots on the key columns
+   * (both sides are bucket-partitioned parquet of the same store, so at cluster
+   * scale the join co-partitions), then a codegen'd comparison on the non-key
+   * struct. Cost is O(|old| + |new|) — the same as any snapshot-diff CDC.
+   */
+  def storeDiff(spark: org.apache.spark.sql.SparkSession, path: String,
+                fromGen: Long, toGen: Long, keys: Seq[String]): DataFrame = {
+    val oldDf = readStoreAsOf(spark, path, fromGen)
+    val newDf = readStoreAsOf(spark, path, toGen)
+    val nonKey = oldDf.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ struct(nonKey.map(col): _*).as(as): _*)
+    packed(oldDf, "old_state").join(packed(newDf, "new_state"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("old_state").isNull, "insert")
+          .when(col("new_state").isNull, "delete")
+          .otherwise("update"))
+      .filter(col("old_state").isNull || col("new_state").isNull ||
+        col("old_state") =!= col("new_state"))
+  }
+
+  /**
    * Reclaim data files no longer referenced by the LATEST manifest (superseded
    * generations, crashed-writer orphans) and drop older manifest files. Safe to run
    * any time after readers of older generations have finished — the current

@@ -174,6 +174,30 @@ class StreamingSpec extends GraftSuite {
     assert(e.getMessage.contains("not resolvable"))
   }
 
+  test("storeDiff emits exactly the insert/update/delete delta between generations") {
+    val store = tmpDir("cdc") + "/store"
+    val keys = Seq("item_name")
+    val ord = Seq(col("ingestion_ts").desc)
+    def batch(rows: (String, java.sql.Timestamp, Double)*) =
+      rows.toDF("item_name", "ingestion_ts", "calories")
+    // gen1: a=1, b=2, d=4. gen2 updates a, inserts c, leaves b and d untouched
+    // (d lives in a bucket the second batch never writes — carried files diff too).
+    StreamingPipeline.upsertBatch(
+      batch(("a", ts("2024-01-01 00:00:00"), 1.0), ("b", ts("2024-01-01 00:00:00"), 2.0),
+        ("d", ts("2024-01-01 00:00:00"), 4.0)), store, keys, ord)
+    StreamingPipeline.upsertBatch(
+      batch(("a", ts("2024-01-02 00:00:00"), 100.0), ("c", ts("2024-01-02 00:00:00"), 3.0)),
+      store, keys, ord)
+    val diff = StreamingPipeline.storeDiff(spark, store, 1L, 2L, keys)
+      .select("item_name", "change_type").as[(String, String)].collect().toMap
+    assert(diff === Map("a" -> "update", "c" -> "insert"),
+      "unchanged keys (b, d) must not appear in the delta")
+    // The reverse diff sees the inverse delta.
+    val back = StreamingPipeline.storeDiff(spark, store, 2L, 1L, keys)
+      .select("item_name", "change_type").as[(String, String)].collect().toMap
+    assert(back === Map("a" -> "update", "c" -> "delete"))
+  }
+
   test("merge with a different numBuckets is rejected (store pins its bucket count)") {
     val store = tmpDir("pinned") + "/store"
     val keys = Seq("item_name")
