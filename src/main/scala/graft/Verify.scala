@@ -9,6 +9,10 @@ object Verify {
     // the driver passes none and gets the full surface.
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — a typo here " +
+        "would otherwise dump nothing and exit 0, looking like a passing run")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

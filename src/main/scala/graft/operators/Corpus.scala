@@ -164,10 +164,14 @@ object Corpus {
    * Frequent-span removal — the bounded-window form of exact-substring dedup
    * [Lee et al., "Deduplicating Training Data Makes Language Models Better"]:
    * any word `n`-gram occurring in >= `minDf` distinct documents is boilerplate;
-   * every token covered by such a gram is removed from all documents EXCEPT the
-   * gram's owner (the minimum doc_id containing it), so exactly one copy of each
-   * duplicated span survives the corpus. Emits per doc: token count, removed-token
-   * count, and the md5 of the reassembled cleaned text.
+   * tokens covered by such a gram are removed from every document EXCEPT where the
+   * position is also covered by a gram the document itself OWNS (owner = the
+   * minimum doc_id containing the gram). The owner-protection rule makes the
+   * invariant hold even when frequent grams overlap: every frequent gram's
+   * owner occurrence survives intact — without it, removing doc 2's copy of a
+   * gram owned by doc 1 could destroy doc 2's own owned copy of an overlapping
+   * gram, leaving zero surviving copies corpus-wide. Emits per doc: token count,
+   * removed-token count, and the md5 of the reassembled cleaned text.
    *
    * Scale shape (all linear, no quadratic stage): one posexplode to grams, one
    * gram-key agg for (df, owner), coverage explosion only for *frequent-gram
@@ -183,10 +187,14 @@ object Corpus {
     val bad = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("owner"))
       .filter(col("df") >= minDf)
-    val covered = grams.join(bad, "gram")
-      .filter(col("doc_id") > col("owner"))
+    val occ = grams.join(bad.select(col("gram"), col("owner")), "gram")
+    def positions(df: DataFrame) = df
       .select(col("doc_id"), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
       .distinct()
+    // Positions covered by a gram this doc owns are protected — the surviving copy.
+    val owned = positions(occ.filter(col("doc_id") === col("owner")))
+    val covered = positions(occ.filter(col("doc_id") > col("owner")))
+      .join(owned, Seq("doc_id", "p"), "left_anti")
     val toks = docs.select(col("doc_id"),
       posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
     // Reassembly: order-preserving concat of surviving tokens (sort_array on

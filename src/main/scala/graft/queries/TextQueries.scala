@@ -523,9 +523,14 @@ object TextQueries {
         |g AS (SELECT doc_id, i AS s, array_to_string(tk[i+1:i+5],' ') AS gram
         |      FROM (SELECT doc_id, tk, unnest(range(len(tk)-4)) AS i FROM t WHERE len(tk) >= 5)),
         |bad AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |cov AS (SELECT DISTINCT g.doc_id, g.s + r.u AS p
+        |own AS (SELECT DISTINCT g.doc_id, g.s + r.u AS p
         |        FROM g JOIN bad USING (gram) CROSS JOIN range(5) r(u)
-        |        WHERE g.doc_id > bad.owner),
+        |        WHERE g.doc_id = bad.owner),
+        |cov AS (SELECT * FROM (
+        |         SELECT DISTINCT g.doc_id, g.s + r.u AS p
+        |         FROM g JOIN bad USING (gram) CROSS JOIN range(5) r(u)
+        |         WHERE g.doc_id > bad.owner) c
+        |        ANTI JOIN own USING (doc_id, p)),
         |tok AS (SELECT doc_id, u AS p, tk[u+1] AS tok
         |        FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS u FROM t)),
         |kept AS (SELECT k.doc_id, count(*) AS n_kept,

@@ -90,11 +90,14 @@ object StreamingPipeline {
     }
   }
 
+  // Only canonical zero-padded-generation names count as committed manifests:
+  // a stray hand-copied file (e.g. "backup.manifest") must neither win the
+  // lexicographic latest-pick nor crash generation parsing.
   private def manifestNames(fs: FileSystem, root: Path): Seq[String] = {
     val dir = new Path(root, ManifestDirName)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.endsWith(".manifest") && !n.startsWith(".")).toSeq
+      .filter(_.matches("\\d{20}\\.manifest")).toSeq
   }
 
   private def parseManifest(fs: FileSystem, root: Path, name: String): StoreManifest = {
@@ -241,11 +244,7 @@ object StreamingPipeline {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, root) match {
-      case Some(m) =>
-        val files = m.files.toSeq.sortBy(_._1)
-          .flatMap(_._2).map(rel => new Path(root, rel).toString)
-        if (files.isEmpty) spark.emptyDataFrame
-        else spark.read.option("basePath", path).parquet(files: _*).drop("__bucket")
+      case Some(m) => manifestDf(spark, path, m)
       case None => spark.read.parquet(path).drop("__bucket")
     }
   }
@@ -273,7 +272,14 @@ object StreamingPipeline {
     require(manifestNames(fs, root).contains(name),
       s"generation $generation is not resolvable at $path (never committed, or vacuumed); " +
         s"available: ${storeGenerations(spark, path).mkString(",")}")
-    val m = parseManifest(fs, root, name)
+    manifestDf(spark, path, parseManifest(fs, root, name))
+  }
+
+  /** Resolve a manifest's file list into the store DataFrame (shared by
+    * [[readStore]] and [[readStoreAsOf]] so the two read paths cannot drift). */
+  private def manifestDf(spark: org.apache.spark.sql.SparkSession, path: String,
+                         m: StoreManifest): DataFrame = {
+    val root = new Path(path)
     val files = m.files.toSeq.sortBy(_._1)
       .flatMap(_._2).map(rel => new Path(root, rel).toString)
     if (files.isEmpty) spark.emptyDataFrame

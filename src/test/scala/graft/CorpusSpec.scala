@@ -139,6 +139,27 @@ class CorpusSpec extends GraftSuite {
     assert(out(1)._4 === expectMd5)
   }
 
+  test("stripFrequentSpans: overlapping frequent grams never destroy the owner's copy") {
+    // Gram "a b c d e" is owned by doc 1; gram "b c d e f" is owned by doc 2 and
+    // OVERLAPS doc 2's removable copy of the first gram. Without owner protection,
+    // removing positions 0-4 from doc 2 would destroy its owned "b c d e f" span,
+    // leaving zero surviving copies corpus-wide.
+    val docs = Seq(
+      (1L, "x1 a b c d e"),
+      (2L, "a b c d e f"),
+      (3L, "b c d e f y")).toDF("doc_id", "text")
+    val out = Corpus.stripFrequentSpans(docs, n = 5, minDf = 2)
+      .select("doc_id", "n_removed", "clean_md5")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    def h(s: String) = spark.sql(s"select md5('$s') as h").as[String].head()
+    // Doc 1 intact; doc 2 loses only position 0 ("a"), keeping its owned span;
+    // doc 3 loses its non-owned copy of "b c d e f" entirely.
+    assert(out === Array(
+      (1L, 0L, h("x1 a b c d e")),
+      (2L, 1L, h("b c d e f")),
+      (3L, 5L, h("y"))))
+  }
+
   test("mixWeights: integer basis-point shares and uniform-rebalance repeat factors") {
     // Two sources, 300 vs 100 tokens: shares 7500/2500 bp; uniform target is 200
     // each, so repeat factors are 200/300 = 6666 bp and 200/100 = 20000 bp.

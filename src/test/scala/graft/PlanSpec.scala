@@ -104,6 +104,8 @@ class PlanSpec extends GraftSuite {
     val p = SparkEntry.queries("q_chunk_overlap")(spark, sfTiny)
       .queryExecution.executedPlan.toString
     val preSort = p.linesIterator.dropWhile(l => !l.contains("Generate")).mkString("\n")
+    assert(preSort.nonEmpty,
+      s"expected an explode (Generate) node in the chunk plan — pin is vacuous without it:\n$p")
     assert(!preSort.contains("Exchange hashpartitioning"),
       s"chunk layout must not shuffle:\n$preSort")
   }

@@ -145,26 +145,32 @@ class VectorExpressionSpec extends GraftSuite {
     assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
-  test("int8 quantization roundtrips within one quantization step") {
-    // Dequantized codes (code * scale / 127) must sit within scale/127 of the
-    // original value for every element — the invariant that makes the quantized
-    // store usable for recall-bounded ANN at scale.
+  test("int8 quantization matches a local reference and roundtrips within one step") {
+    // The query's emitted identity (scale_bp, code_sum, code_md5) must equal an
+    // independent local recomputation — not just satisfy a bound any floor-based
+    // codes would meet — and the dequantized codes must sit within scale/127 of
+    // the original values (the invariant that makes the quantized store usable
+    // for recall-bounded ANN).
     val q = SparkEntry.queries("q_vec_quantize")(spark, sfTiny)
-    val joined = Tables.embeddings(spark, sfTiny)
-      .select(col("vec_id"), col("embedding"))
-      .join(q.select(col("vec_id"), col("scale_bp"), col("code_md5")), "vec_id")
-    assert(joined.count() > 0)
-    // Recompute codes locally for a few vectors and check the error bound.
+      .select("vec_id", "scale_bp", "code_sum", "code_md5")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
     val rows = Tables.embeddings(spark, sfTiny).limit(10)
       .select(col("vec_id"), col("embedding")).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
+      val id = r.getLong(0)
       val v = r.getSeq[Float](1).map(_.toDouble)
       val scale = v.map(math.abs).max
-      v.foreach { x =>
-        val code = math.floor(127.0 * x / scale)
+      val codes = v.map(x => math.floor(127.0 * x / scale).toInt)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(codes.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(q(id) === ((id, math.floor(scale * 10000).toLong,
+        codes.map(_.toLong).sum, md5)), s"vec $id: query != local reference")
+      codes.zip(v).foreach { case (code, x) =>
         val deq = code * scale / 127.0
         assert(math.abs(deq - x) <= scale / 127.0 + 1e-12,
-          s"vec ${r.getLong(0)}: |$deq - $x| > step")
+          s"vec $id: |$deq - $x| > step")
       }
     }
   }
