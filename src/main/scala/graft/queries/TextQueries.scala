@@ -256,39 +256,69 @@ object TextQueries {
     },
 
     // BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf): top-20 docs for a fixed
-    // 3-term query. Per-term scores land in their own single-element conditional
-    // sums and are added in FIXED order — a plain float groupBy-sum would be
-    // aggregation-order-nondeterministic across engines/partitionings.
+    // 3-term query (see bm25Scores for the determinism contract).
     "q_text_bm25" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        sum(TextOps.tokenCount(col("text"))).as("total_tok"))
-      val tf = docs
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
-          explode(TextOps.tokens(col("text"))).as("tok"))
-        .filter(col("tok").isin(Bm25Terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val denom = col("tf") + lit(1.2) * (lit(0.25) +
-        lit(0.75) * (col("dl") * col("n_docs")).cast("double") / col("total_tok").cast("double"))
-      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
-        .withColumn("s", idf * (col("tf") * lit(2.2)) / denom)
-      def termSum(t: String, c: Column, zero: Column) =
-        coalesce(sum(when(col("tok") === t, c)), zero)
-      scored.groupBy(col("doc_id"))
-        .agg(termSum("spark", col("tf"), lit(0L)).cast("long").as("tf_spark"),
-          termSum("join", col("tf"), lit(0L)).cast("long").as("tf_join"),
-          termSum("stream", col("tf"), lit(0L)).cast("long").as("tf_stream"),
-          round(termSum("spark", col("s"), lit(0.0))
-            + termSum("join", col("s"), lit(0.0))
-            + termSum("stream", col("s"), lit(0.0)), 4).as("bm25"))
+      bm25Scores(Tables.documents(s, d))
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     }
   )
 
-  /** Fixed query terms for q_text_bm25 (all present in the corpus vocabulary). */
+  /** Fixed query terms for q_text_bm25 / q_hybrid_retrieval (all in-vocabulary). */
   private val Bm25Terms = Seq("spark", "join", "stream")
+
+  /** DuckDB CTE chain ending in `bm(doc_id, tf_spark, tf_join, tf_stream, bm25)` —
+    * the oracle mirror of [[bm25Scores]], shared by q_text_bm25 and
+    * q_hybrid_retrieval. */
+  private[queries] val duckBm25: String =
+    """stats AS (SELECT count(*) AS n_docs, sum(len(string_split(text,' '))) AS total_tok FROM documents),
+      |t AS (SELECT doc_id, len(string_split(text,' ')) AS dl, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM t WHERE tok IN ('spark','join','stream') GROUP BY doc_id, dl, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |sc AS (
+      |  SELECT doc_id, tok, tf,
+      |   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |     (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl * n_docs AS DOUBLE) / CAST(total_tok AS DOUBLE))) AS s
+      |  FROM tf JOIN df USING (tok) CROSS JOIN stats),
+      |bm AS (SELECT doc_id,
+      | CAST(coalesce(sum(CASE WHEN tok='spark' THEN tf END), 0) AS BIGINT) AS tf_spark,
+      | CAST(coalesce(sum(CASE WHEN tok='join' THEN tf END), 0) AS BIGINT) AS tf_join,
+      | CAST(coalesce(sum(CASE WHEN tok='stream' THEN tf END), 0) AS BIGINT) AS tf_stream,
+      | round(coalesce(sum(CASE WHEN tok='spark' THEN s END), 0.0)
+      |     + coalesce(sum(CASE WHEN tok='join' THEN s END), 0.0)
+      |     + coalesce(sum(CASE WHEN tok='stream' THEN s END), 0.0), 4) AS bm25
+      |FROM sc GROUP BY doc_id)""".stripMargin
+
+  /**
+   * Per-doc BM25 scores (k1=1.2, b=0.75, Lucene idf) for the fixed [[Bm25Terms]]
+   * query — only docs containing at least one term appear. Per-term scores land in
+   * their own single-element conditional sums and are added in FIXED order: a
+   * plain float groupBy-sum would be aggregation-order-nondeterministic across
+   * engines/partitionings. Shared by q_text_bm25 and q_hybrid_retrieval.
+   */
+  private[queries] def bm25Scores(docs: DataFrame): DataFrame = {
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text"))).as("total_tok"))
+    val tf = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("dl"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) * (lit(0.25) +
+      lit(0.75) * (col("dl") * col("n_docs")).cast("double") / col("total_tok").cast("double"))
+    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+      .withColumn("s", idf * (col("tf") * lit(2.2)) / denom)
+    def termSum(t: String, c: Column, zero: Column) =
+      coalesce(sum(when(col("tok") === t, c)), zero)
+    scored.groupBy(col("doc_id"))
+      .agg(termSum("spark", col("tf"), lit(0L)).cast("long").as("tf_spark"),
+        termSum("join", col("tf"), lit(0L)).cast("long").as("tf_join"),
+        termSum("stream", col("tf"), lit(0L)).cast("long").as("tf_stream"),
+        round(termSum("spark", col("s"), lit(0.0))
+          + termSum("join", col("s"), lit(0.0))
+          + termSum("stream", col("s"), lit(0.0)), 4).as("bm25"))
+  }
 
   // DuckDB-side shingle set: distinct word n-grams of the space-split text.
   private def duckShingles(n: Int) =
@@ -556,24 +586,9 @@ object TextQueries {
     // association order) so the IEEE double arithmetic is bit-identical; only the
     // final display value is rounded.
     "q_text_bm25" ->
-      """WITH stats AS (SELECT count(*) AS n_docs, sum(len(string_split(text,' '))) AS total_tok FROM documents),
-        |t AS (SELECT doc_id, len(string_split(text,' ')) AS dl, unnest(string_split(text,' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM t WHERE tok IN ('spark','join','stream') GROUP BY doc_id, dl, tok),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
-        |sc AS (
-        |  SELECT doc_id, tok, tf,
-        |   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |     (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl * n_docs AS DOUBLE) / CAST(total_tok AS DOUBLE))) AS s
-        |  FROM tf JOIN df USING (tok) CROSS JOIN stats)
-        |SELECT doc_id,
-        | CAST(coalesce(sum(CASE WHEN tok='spark' THEN tf END), 0) AS BIGINT) AS tf_spark,
-        | CAST(coalesce(sum(CASE WHEN tok='join' THEN tf END), 0) AS BIGINT) AS tf_join,
-        | CAST(coalesce(sum(CASE WHEN tok='stream' THEN tf END), 0) AS BIGINT) AS tf_stream,
-        | round(coalesce(sum(CASE WHEN tok='spark' THEN s END), 0.0)
-        |     + coalesce(sum(CASE WHEN tok='join' THEN s END), 0.0)
-        |     + coalesce(sum(CASE WHEN tok='stream' THEN s END), 0.0), 4) AS bm25
-        |FROM sc GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $duckBm25
+         |SELECT doc_id, tf_spark, tf_join, tf_stream, bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH p AS (

@@ -104,6 +104,35 @@ object VectorQueries {
           size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_sat"),
           md5(concat_ws(",", transform(col("codes"), _.cast("string")))).as("code_md5"))
         .orderBy(col("vec_id"))
+    },
+
+    // Hybrid retrieval (the RAG-shaped pipeline): BM25 keyword candidates and
+    // cosine vector candidates (query = vec 0) fused by reciprocal-rank fusion in
+    // INTEGER arithmetic (1e6 div (60+rank)), top-10. Both candidate lists are
+    // top-50 via TakeOrderedAndProject; the rank windows run over the already
+    // limited 50-row sets, never the corpus. Documents and embeddings share ids.
+    "q_hybrid_retrieval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bmTop = TextQueries.bm25Scores(Tables.documents(s, d))
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      val bmRank = bmTop.withColumn("r_bm25",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_bm25"))
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val cosTop = emb.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("embedding"), col("q_vec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      val vecRank = cosTop.withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      bmRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_bm25"), col("r_vec"),
+          (coalesce(expr("1000000 div (60 + r_bm25)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_vec)"), lit(0L))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }
   )
 
@@ -240,6 +269,22 @@ object VectorQueries {
         | CAST(list_sum(codes) AS BIGINT) AS code_sum,
         | CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
         | md5(array_to_string(codes, ',')) AS code_md5
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_hybrid_retrieval" ->
+      s"""WITH ${TextQueries.duckBm25},
+         |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+         |          FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+         |qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         |cos AS (SELECT vec_id,
+         |         round(list_dot_product(e,q)/(sqrt(list_dot_product(e,e))*sqrt(list_dot_product(q,q))),4) AS cos
+         |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id > 0)
+         |        CROSS JOIN qv),
+         |vtop AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+         |         FROM (SELECT vec_id AS doc_id, cos FROM cos ORDER BY cos DESC, vec_id LIMIT 50))
+         |SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_vec AS BIGINT) AS r_vec,
+         | coalesce(1000000 // (60 + r_bm25), 0) + coalesce(1000000 // (60 + r_vec), 0) AS rrf
+         |FROM bmtop FULL OUTER JOIN vtop USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
 }
