@@ -235,8 +235,10 @@ object EventQueries {
     }
   )
 
-  // One integer fixed-point PageRank step over CTE `prev` (mirrors Graphs.pagerank).
-  private def duckPrStep(prev: String): String =
+  // One integer fixed-point PageRank step over CTE `prev` (mirrors Graphs.pagerank;
+  // expects CTEs `edg(src,dst,weight)` and `ow(src,outw)` in scope). Shared with
+  // TextQueries' TextRank oracle.
+  private[queries] def duckPrStep(prev: String): String =
     s"""(SELECT r.node,
        |  ((1000000000 // r.n) * 3) // 20 + (17 * coalesce(i.inflow, 0)) // 20 AS rank, r.n
        | FROM $prev r LEFT JOIN (

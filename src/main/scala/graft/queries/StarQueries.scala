@@ -161,6 +161,13 @@ object StarQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // SQL entry surface 3: window functions through the parser (same SQL text runs
+    // verbatim on both engines — the strongest possible B31 check).
+    "q_sql_window" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlWindowText)
+    },
+
     // B3: range (theta) join against a tiny in-memory band dimension — broadcast
     // nested-loop by construction, the only sane plan for a non-equi join at scale.
     "q_join_range" -> { (s, d) =>
@@ -579,7 +586,22 @@ object StarQueries {
     }
   )
 
+  /** Shared verbatim SQL for q_sql_window: top-3 orders per customer with a
+    * running revenue sum — the same text parses and runs on Spark and DuckDB. */
+  private val SqlWindowText: String =
+    """SELECT o_custkey, rn, o_orderkey, round(run_sum, 2) AS run_sum
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+      |    sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ROWS UNBOUNDED PRECEDING) AS run_sum
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sql_window" -> SqlWindowText,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

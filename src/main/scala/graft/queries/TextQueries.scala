@@ -260,6 +260,21 @@ object TextQueries {
     "q_text_bm25" -> { (s, d) =>
       bm25Scores(Tables.documents(s, d))
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    },
+
+    // TextRank keyword extraction: integer fixed-point PageRank over the word
+    // co-occurrence graph (adjacent-token bigrams, both directions), top-20 words.
+    // Composes Graphs.pagerank — bit-identical across engines by construction.
+    "q_text_textrank" -> { (s, d) =>
+      val bi = Tables.documents(s, d)
+        .select(explode(TextOps.shingles(col("text"), 2)).as("sh"))
+        .select(split(col("sh"), " ").as("pair"))
+        .select(element_at(col("pair"), 1).as("a"), element_at(col("pair"), 2).as("b"))
+      val edges = bi.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(bi.select(col("b").as("src"), col("a").as("dst")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+      graft.operators.Graphs.pagerank(edges, 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)
     }
   )
 
@@ -581,6 +596,24 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_text_textrank" ->
+      s"""WITH bi AS (
+         |  SELECT tk[i+1] AS a, tk[i+2] AS b
+         |  FROM (SELECT tk, unnest(range(len(tk)-1)) AS i
+         |        FROM (SELECT string_split(text,' ') AS tk FROM documents))),
+         |edg AS (SELECT src, dst, count(*) AS weight FROM (
+         |  SELECT a AS src, b AS dst FROM bi UNION ALL SELECT b, a FROM bi)
+         | GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM edg UNION SELECT dst FROM edg),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |ow AS (SELECT src, sum(weight) AS outw FROM edg GROUP BY src),
+         |r0 AS (SELECT node, 1000000000 // n AS rank, n FROM nodes CROSS JOIN nn),
+         |r1 AS (SELECT * FROM ${EventQueries.duckPrStep("r0")}),
+         |r2 AS (SELECT * FROM ${EventQueries.duckPrStep("r1")}),
+         |r3 AS (SELECT * FROM ${EventQueries.duckPrStep("r2")})
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     // Structurally mirrors the Spark expression tree (same literal constants, same
     // association order) so the IEEE double arithmetic is bit-identical; only the
