@@ -139,6 +139,31 @@ class CorpusSpec extends GraftSuite {
     assert(out(1)._4 === expectMd5)
   }
 
+  test("property: chunkDocs covers every token and respects the stride law") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      c <- Gen.chooseNum(1, 40)
+      s <- Gen.chooseNum(1, 40) if s <= c
+    } yield (n, c, s)
+    val prop = Prop.forAll(gen) { case (n, c, s) =>
+      val docs = Seq((1L, (0 until n).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = Corpus.chunkDocs(docs, c, s)
+        .select("chunk_idx", "tok_start", "n_tok_chunk")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val starts = chunks.map(_._2)
+      val coveredAll = chunks.flatMap(ch => ch._2 until (ch._2 + ch._3)).toSet ==
+        (0L until n.toLong).toSet
+      val strideLaw = starts.sameElements(chunks.indices.map(_.toLong * s))
+      val widths = chunks.forall(ch => ch._3 == math.min(c.toLong, n - ch._2))
+      val lastReaches = chunks.last._2 + chunks.last._3 == n.toLong
+      coveredAll && strideLaw && widths && lastReaches
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("stripFrequentSpans: overlapping frequent grams never destroy the owner's copy") {
     // Gram "a b c d e" is owned by doc 1; gram "b c d e f" is owned by doc 2 and
     // OVERLAPS doc 2's removable copy of the first gram. Without owner protection,
