@@ -161,6 +161,21 @@ object StarQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // Equi-width histogram (50k-wide buckets over order totals) with the bucket
+    // derived in integer CENTS — floor(x*100) div 5_000_000 — so no float-boundary
+    // bucket flip is possible cross-engine. One agg, no shuffle beyond it.
+    "q_histogram" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(expr("floor(o_totalprice * 100) div 5000000").cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("o_totalprice"))).as("lo"),
+          r2(max(col("o_totalprice"))).as("hi"),
+          r2(sum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("bucket"))
+    },
+
     // SQL entry surface 3: window functions through the parser (same SQL text runs
     // verbatim on both engines — the strongest possible B31 check).
     "q_sql_window" -> { (s, d) =>
@@ -602,6 +617,17 @@ object StarQueries {
 
   val oracle: Map[String, String] = Map(
     "q_sql_window" -> SqlWindowText,
+
+    // NB: DuckDB floor() returns DECIMAL and `//` on non-integers is PLAIN division
+    // (the BIGINT cast would then round-half-up the quotient) — cast to BIGINT
+    // before dividing so `//` is true integer division.
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+        | count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
