@@ -276,8 +276,7 @@ object VectorQueries {
          |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
          |          FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
          |qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
-         |cos AS (SELECT vec_id,
-         |         round(list_dot_product(e,q)/(sqrt(list_dot_product(e,e))*sqrt(list_dot_product(q,q))),4) AS cos
+         |cos AS (SELECT vec_id, ${dcos("e", "q")} AS cos
          |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id > 0)
          |        CROSS JOIN qv),
          |vtop AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
