@@ -262,6 +262,21 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     },
 
+    // Inverted-index build (the search-index materialization BM25 would serve
+    // from): per term, document frequency and the full sorted postings list's
+    // content identity. One explode + one term-key agg — linear; postings are
+    // per-term, so the index shards naturally by term at any scale.
+    "q_inverted_index" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokenSet(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_set(col("doc_id"))), _.cast("string"))))
+            .as("postings_md5"))
+        .orderBy(col("term"))
+    },
+
     // TextRank keyword extraction: integer fixed-point PageRank over the word
     // co-occurrence graph (adjacent-token bigrams, both directions), top-20 words.
     // Composes Graphs.pagerank — bit-identical across engines by construction.
@@ -596,6 +611,12 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_inverted_index" ->
+      """SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        | md5(array_to_string(list_sort(list(DISTINCT doc_id)), ',')) AS postings_md5
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term FROM documents)
+        |GROUP BY term ORDER BY term""".stripMargin,
 
     "q_text_textrank" ->
       s"""WITH bi AS (

@@ -122,4 +122,16 @@ class PlanSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("retrieval queries cut candidates with TakeOrderedAndProject, not global sorts") {
+    // Both BM25's top-20 and hybrid's two top-50 cuts must be top-k pushdowns; a
+    // global range-partitioned sort of scored candidates is the 100 TB failure mode.
+    val bm = SparkEntry.queries("q_text_bm25")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(bm.contains("TakeOrderedAndProject"))
+    val hy = SparkEntry.queries("q_hybrid_retrieval")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(hy.contains("TakeOrderedAndProject"))
+    assert(hy.contains("BroadcastExchange"), "query vector must broadcast")
+  }
 }
