@@ -25,6 +25,35 @@ class CorpusSpec extends GraftSuite {
     assert(labels === expected)
   }
 
+  test("star contraction solves a 120-node chain in O(log n) rounds") {
+    // Diameter 119: min-label propagation would need 119 rounds (its default 25
+    // refuses); the large-star/small-star variant lands well inside 20.
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 120)
+    assert(labels.map(_._2).toSet === Set(0L))
+  }
+
+  test("property: star contraction agrees with min-label propagation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 30L); b <- Gen.chooseNum(0L, 30L)
+    } yield (a, b))
+    val prop = Prop.forAll(genEdges) { es =>
+      val pairs = es.filter { case (a, b) => a != b }
+      pairs.isEmpty || {
+        val df = pairs.toDF("id_a", "id_b")
+        val star = Dedup.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+        val label = Dedup.connectedComponents(df, maxIters = 40)
+          .as[(Long, Long)].collect().toMap
+        star == label
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
