@@ -213,6 +213,38 @@ object EventQueries {
         .orderBy(col("stage_ord"))
     },
 
+    // Market-basket association rules over session item co-occurrence: items are
+    // props.k div 10 (bucketed to make baskets collide), baskets are 30-min
+    // sessions; support / confidence / lift are emitted in integer basis points
+    // (cross-multiplied counts — a float conf = c_ab/c_a is the classic .xxxx5
+    // cross-engine trap). The pair join runs WITHIN baskets only (keys co-partition
+    // on (user, session)); top-20 by lift.
+    "q_assoc_rules" -> { (s, d) =>
+      val items = Relational
+        .sessionize(Tables.events(s, d), "user_id", "ts", 1800L, Seq(col("event_id")))
+        .select(col("user_id"), col("session_id"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").as("item"))
+        .distinct()
+      val nBaskets = items.select(col("user_id"), col("session_id")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val cItem = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val pairs = items.join(
+          items.select(col("user_id"), col("session_id"), col("item").as("item_b")),
+          Seq("user_id", "session_id"))
+        .filter(col("item") < col("item_b"))
+        .groupBy(col("item").as("a"), col("item_b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      pairs
+        .join(broadcast(cItem.select(col("item").as("a"), col("c").as("c_a"))), "a")
+        .join(broadcast(cItem.select(col("item").as("b"), col("c").as("c_b"))), "b")
+        .crossJoin(broadcast(nBaskets))
+        .filter(col("c_ab") >= 2)
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("(10000 * c_ab) div c_a").as("conf_bp"),
+          expr("(10000 * c_ab * n_baskets) div (c_a * c_b)").as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("a"), col("b")).limit(20)
+    },
+
     // Time-series resample: dense per-user daily grid over each user's active span,
     // zero-filled event counts + forward-filled last-active day (integer ffill via
     // running conditional max — no floats). Grid explode is bounded by span days;
@@ -349,6 +381,39 @@ object EventQueries {
         | CAST(sum(n_events) AS BIGINT) AS n_events,
         | max(dur_us) AS max_dur_us
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, props,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, props,
+        |   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |  FROM flagged),
+        |items AS (
+        |  SELECT DISTINCT user_id, session_id,
+        |   CAST(json_extract(props,'$.k') AS BIGINT) // 10 AS item
+        |  FROM sessions),
+        |nb AS (SELECT count(*) AS n_baskets FROM
+        |  (SELECT DISTINCT user_id, session_id FROM items)),
+        |ci AS (SELECT item, count(*) AS c FROM items GROUP BY item),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, count(*) AS c_ab
+        |  FROM items x JOIN items y USING (user_id, session_id)
+        |  WHERE x.item < y.item GROUP BY 1, 2)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        | CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+        | (10000 * c_ab) // ca.c AS conf_bp,
+        | (10000 * c_ab * n_baskets) // (ca.c * cb.c) AS lift_bp
+        |FROM pairs JOIN ci ca ON pairs.a = ca.item
+        |           JOIN ci cb ON pairs.b = cb.item
+        |           CROSS JOIN nb
+        |WHERE c_ab >= 2
+        |ORDER BY lift_bp DESC, a, b LIMIT 20""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
