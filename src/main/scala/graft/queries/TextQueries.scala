@@ -262,6 +262,28 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     },
 
+    // Bigram-LM corpus-likelihood score (the Markov upgrade of q_text_unigram's
+    // CCNet signal): per-doc average -ln(c(prev,tok)/c(prev,·)) over bigram
+    // positions. Two linear aggs over the corpus bigram table + one per-doc agg —
+    // same float-determinism posture as unigram (ln at round(,4) after division,
+    // verified precedent).
+    "q_text_bigram" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val bi = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val cab = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c_ab"))
+      val ca = cab.groupBy(col("prev")).agg(sum(col("c_ab")).as("c_a"))
+      bi.join(cab, Seq("prev", "tok")).join(ca, Seq("prev"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(col("c_ab").cast("double") / col("c_a").cast("double"))), 4)
+            .as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // Inverted-index build (the search-index materialization BM25 would serve
     // from): per term, document frequency and the full sorted postings list's
     // content identity. One explode + one term-key agg — linear; postings are
@@ -611,6 +633,20 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_text_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok,
+        |   lag(tok) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         unnest(range(len(string_split(text,' ')))) AS p FROM documents)),
+        |bi AS (SELECT doc_id, prev, tok FROM toks WHERE prev IS NOT NULL),
+        |cab AS (SELECT prev, tok, count(*) AS c_ab FROM bi GROUP BY prev, tok),
+        |ca AS (SELECT prev, sum(c_ab) AS c_a FROM cab GROUP BY prev)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(-ln(c_ab::DOUBLE / c_a::DOUBLE)), 4) AS avg_nll
+        |FROM bi JOIN cab USING (prev, tok) JOIN ca USING (prev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_inverted_index" ->
       """SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
