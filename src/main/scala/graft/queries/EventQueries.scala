@@ -220,19 +220,26 @@ object EventQueries {
     // cross-engine trap). The pair join runs WITHIN baskets only (keys co-partition
     // on (user, session)); top-20 by lift.
     "q_assoc_rules" -> { (s, d) =>
-      val items = Relational
+      // Materialized ONCE: the basket derivation (a sessionize window) feeds the
+      // basket total, the item counts, and the pair table — without this the
+      // window recomputes per reference (no ReusedExchange across the differing
+      // projections). Pairs come from in-basket enumeration over the sorted item
+      // set (the Dedup.pairsFromBlocks shape) — one pass, no self-join.
+      val items = graft.operators.Iterate.materialize(Relational
         .sessionize(Tables.events(s, d), "user_id", "ts", 1800L, Seq(col("event_id")))
         .select(col("user_id"), col("session_id"),
           expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").as("item"))
-        .distinct()
+        .distinct())
       val nBaskets = items.select(col("user_id"), col("session_id")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val cItem = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
-      val pairs = items.join(
-          items.select(col("user_id"), col("session_id"), col("item").as("item_b")),
-          Seq("user_id", "session_id"))
-        .filter(col("item") < col("item_b"))
-        .groupBy(col("item").as("a"), col("item_b").as("b"))
+      val pairs = items.groupBy(col("user_id"), col("session_id"))
+        .agg(sort_array(collect_set(col("item"))).as("its"))
+        .filter(size(col("its")) > 1)
+        .select(explode(flatten(transform(col("its"), (x, i) =>
+          transform(slice(col("its"), i + 2, size(col("its"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("c_ab"))
       pairs
         .join(broadcast(cItem.select(col("item").as("a"), col("c").as("c_a"))), "a")
