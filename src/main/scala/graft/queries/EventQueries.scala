@@ -236,9 +236,7 @@ object EventQueries {
       val pairs = items.groupBy(col("user_id"), col("session_id"))
         .agg(sort_array(collect_set(col("item"))).as("its"))
         .filter(size(col("its")) > 1)
-        .select(explode(flatten(transform(col("its"), (x, i) =>
-          transform(slice(col("its"), i + 2, size(col("its"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(graft.operators.Dedup.enumeratePairs(col("its"), "a", "b").as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("c_ab"))
       pairs
@@ -248,7 +246,11 @@ object EventQueries {
         .filter(col("c_ab") >= 2)
         .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
           expr("(10000 * c_ab) div c_a").as("conf_bp"),
-          expr("(10000 * c_ab * n_baskets) div (c_a * c_b)").as("lift_bp"))
+          // Two-step division keeps every intermediate <= 1e4 * n_baskets: the
+          // one-shot 10000*c_ab*n_baskets wraps past Long at ~3e7 baskets in
+          // Spark while DuckDB errors — the engines would diverge exactly at
+          // the scale this operator is for.
+          expr("(((10000 * c_ab) div c_a) * n_baskets) div c_b").as("lift_bp"))
         .orderBy(col("lift_bp").desc, col("a"), col("b")).limit(20)
     },
 
@@ -415,7 +417,7 @@ object EventQueries {
         |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
         | CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
         | (10000 * c_ab) // ca.c AS conf_bp,
-        | (10000 * c_ab * n_baskets) // (ca.c * cb.c) AS lift_bp
+        | (((10000 * c_ab) // ca.c) * n_baskets) // cb.c AS lift_bp
         |FROM pairs JOIN ci ca ON pairs.a = ca.item
         |           JOIN ci cb ON pairs.b = cb.item
         |           CROSS JOIN nb

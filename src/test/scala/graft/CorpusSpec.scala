@@ -44,10 +44,12 @@ class CorpusSpec extends GraftSuite {
       val pairs = es.filter { case (a, b) => a != b }
       pairs.isEmpty || {
         val df = pairs.toDF("id_a", "id_b")
-        val star = Dedup.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+        val starRows = Dedup.connectedComponentsStar(df).as[(Long, Long)].collect()
         val label = Dedup.connectedComponents(df, maxIters = 40)
           .as[(Long, Long)].collect().toMap
-        star == label
+        // Length check first: toMap would silently collapse a duplicate-id row
+        // (the multi-parent failure mode of a wrong star fixed point).
+        starRows.length == label.size && starRows.toMap == label
       }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
