@@ -213,6 +213,62 @@ object Corpus {
   }
 
   /**
+   * Gopher-style TOP-SHARE repetition signals (complementary to [[ruleFlags]]'s
+   * distinct-shingle ratio): the fraction of tokens claimed by the single most
+   * frequent word / bigram. Heavy boilerplate (navigation strings, templated spam)
+   * concentrates mass on one term in a way vocabulary-ratio rules miss. Flags use
+   * exact integer cross-multiplication (word share > 20%, bigram share > 18% — the
+   * Gopher thresholds) so no float boundary can flip them cross-engine.
+   *
+   * Scale shape: two explode → (doc, term) count → per-doc max aggs. Both are
+   * linear with map-side partial aggregation; nothing per-doc is held in memory
+   * (the token array is never collected), so a 1 GB document costs its share of
+   * rows, not a task's heap.
+   */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def topShare(exploded: DataFrame, termCol: String) =
+      exploded.groupBy(col("doc_id"), col(termCol)).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as(s"c_top_$termCol"))
+    val topWord = topShare(docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("word")), "word")
+    val topBigram = topShare(docs.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), 2)).as("bigram")), "bigram")
+    docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .join(topWord, Seq("doc_id"))
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("c_top_word"),
+        coalesce(col("c_top_bigram"), lit(0L)).as("c_top_bigram"),
+        (lit(5) * col("c_top_word") > col("n_tok")).as("flag_word"),
+        (lit(100) * coalesce(col("c_top_bigram"), lit(0L)) >
+          lit(18) * (col("n_tok") - 1)).as("flag_bigram"))
+  }
+
+  /**
+   * Per-document word-distribution entropy (quality/diversity signal): for token
+   * counts c over total n, H = sum_w (c/n) ln(n/c). Emitted as a SCALED-INTEGER sum
+   * of per-term floor(1e6 * c * ln(n/c) / n) — each term floors independently, so
+   * the cross-partition/cross-engine SUM is over integers and order-independent
+   * (a plain float entropy sum would drift with aggregation order). `ln` agrees
+   * bit-for-bit across engines in practice (tfidf/unigram-NLL precedent); a term
+   * would have to land within ~1 ulp of an integer boundary to flip.
+   *
+   * Scale shape: one (doc, tok) count agg + one per-doc sum — linear, partial-agg
+   * friendly, vocabulary never materialized per task.
+   */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("n_tok"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_uniq"),
+        sum(expr("CAST(floor(1000000.0 * c * ln(n_tok / c) / n_tok) AS BIGINT)"))
+          .as("entropy_scaled"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("entropy_scaled"))
+  }
+
+  /**
    * Domain-mixing planner: per-source token inventory plus the integer basis-point
    * repeat factor that would rebalance every source to a uniform share of the
    * training mix (the "how many epochs of each domain" table a data-mixture run

@@ -312,6 +312,18 @@ object TextQueries {
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
       graft.operators.Graphs.pagerank(edges, 3)
         .orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
+    // Gopher top-share repetition signals: most-frequent word / bigram mass per
+    // doc with integer-exact threshold flags (share > 20% / 18%).
+    "q_text_repetition" -> { (s, d) =>
+      Corpus.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Word-distribution entropy per doc as an order-independent scaled-integer
+    // sum (see Corpus.wordEntropy for the determinism contract).
+    "q_text_entropy" -> { (s, d) =>
+      Corpus.wordEntropy(Tables.documents(s, d)).orderBy(col("doc_id"))
     }
   )
 
@@ -766,6 +778,42 @@ object TextQueries {
         |     list_transform(string_split(text,' '),
         |       t -> CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) % 2147483647)),
         |   (a, b) -> (a * 31 + b) % 2147483647) AS rhash
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH tw AS (
+        |  SELECT doc_id, max(c) AS c_top_word FROM (
+        |    SELECT doc_id, tok, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+        |    GROUP BY doc_id, tok) GROUP BY doc_id),
+        |tb AS (
+        |  SELECT doc_id, max(c) AS c_top_bigram FROM (
+        |    SELECT doc_id, bg, count(*) AS c FROM (
+        |      SELECT doc_id,
+        |       unnest(CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))
+        |         ELSE [] END) AS bg
+        |      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+        |    GROUP BY doc_id, bg) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tok,
+        | CAST(tw.c_top_word AS BIGINT) AS c_top_word,
+        | CAST(coalesce(tb.c_top_bigram, 0) AS BIGINT) AS c_top_bigram,
+        | (5 * tw.c_top_word > len(string_split(d.text,' '))) AS flag_word,
+        | (100 * coalesce(tb.c_top_bigram, 0) > 18 * (len(string_split(d.text,' ')) - 1)) AS flag_bigram
+        |FROM documents d JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, n_tok, CAST(count(*) AS BIGINT) AS n_uniq,
+        | CAST(sum(CAST(floor(1000000.0 * c * ln(n_tok / c) / n_tok) AS BIGINT)) AS BIGINT)
+        |   AS entropy_scaled
+        |FROM c JOIN n USING (doc_id) GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
   )
 }

@@ -318,4 +318,32 @@ class CorpusSpec extends GraftSuite {
     val tokens = stages.map(_._3)
     assert(tokens.zip(tokens.tail).forall { case (p, nx) => nx <= p })
   }
+
+  test("repetitionSignals: top shares, single-token and uniform docs") {
+    val docs = Seq(
+      (1L, "solo"),                      // no bigrams: c_top_bigram 0, flags false
+      (2L, "x x x x x"),                 // uniform: word share 100%, bigram 100%
+      (3L, "a b c d e f g h i j")        // all distinct: shares 10% / ~11%
+    ).toDF("doc_id", "text")
+    val rows = Corpus.repetitionSignals(docs)
+      .select("doc_id", "n_tok", "c_top_word", "c_top_bigram", "flag_word", "flag_bigram")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L) === ((1L, 1L, 1L, 0L, true, false)))  // 5*1 > 1: one token IS >20%
+    assert(rows(2L) === ((2L, 5L, 5L, 4L, true, true)))
+    assert(rows(3L) === ((3L, 10L, 1L, 1L, false, false)))
+  }
+
+  test("wordEntropy: uniform doc scores 0, diverse doc scores ln(n)") {
+    val docs = Seq(
+      (1L, "x x x x"),                   // one word: H = 0 exactly
+      (2L, "a b c d")                    // 4 uniform words: H = ln(4)
+    ).toDF("doc_id", "text")
+    val rows = Corpus.wordEntropy(docs)
+      .select("doc_id", "n_uniq", "entropy_scaled").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L) === ((1L, 0L)))
+    // 4 terms of floor(1e6 * 1 * ln(4) / 4) = floor(346573.59) = 346573
+    assert(rows(2L) === ((4L, 4L * 346573L)))
+  }
 }
