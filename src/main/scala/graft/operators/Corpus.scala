@@ -213,6 +213,34 @@ object Corpus {
   }
 
   /**
+   * PII scrub patterns: (name, regex, replacement), applied IN ORDER (email first —
+   * after it runs, its replacements contain no digits, so the later numeric
+   * patterns can't partially re-match a redacted span). The regex dialect is the
+   * intersection of Java regex and RE2 (`\b`, `\d`, bounded repetition — verified
+   * equivalent), so the oracle mirrors the exact patterns.
+   */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /**
+   * PII redaction (the pre-training scrub pass every public-web corpus runs):
+   * sequential regexp_replace of email / IPv4 / phone patterns. Pure codegen'd
+   * per-row expression — no shuffle, no UDF; at 100 TB this fuses into the scan.
+   */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
+  /** Per-pattern match counts on the UNredacted text (audit trail for the scrub). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> regexp_count(text, lit(pat)).cast("long")
+    }
+
+  /**
    * Gopher-style TOP-SHARE repetition signals (complementary to [[ruleFlags]]'s
    * distinct-shingle ratio): the fraction of tokens claimed by the single most
    * frequent word / bigram. Heavy boilerplate (navigation strings, templated spam)

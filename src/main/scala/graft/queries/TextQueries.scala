@@ -324,6 +324,27 @@ object TextQueries {
     // sum (see Corpus.wordEntropy for the determinism contract).
     "q_text_entropy" -> { (s, d) =>
       Corpus.wordEntropy(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // PII redaction over text augmented with PLANTED deterministic PII (the corpus
+    // is synthetic word-salad with none — both engines derive identical plants
+    // from doc_id; docs with doc_id % 3 = 2 stay unaugmented to exercise the
+    // zero-match path). Counts audit each pattern; the redacted text's md5 and the
+    // removed-char balance verify the actual replacements, not just the counts.
+    "q_pii_redact" -> { (s, d) =>
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.com from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" call 555-123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val base = Tables.documents(s, d)
+        .withColumn("aug", when(col("doc_id") % 3 < 2, planted).otherwise(col("text")))
+        .withColumn("red", Corpus.scrubPii(col("aug")))
+      val countCols = Corpus.piiCounts(col("aug")).map { case (n, c) => c.as(n) }
+      base.select(col("doc_id") +: countCols :+
+          md5(col("red")).as("redacted_md5") :+
+          (length(col("aug")) - length(col("red"))).cast("long").as("n_chars_removed"): _*)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -814,6 +835,31 @@ object TextQueries {
         |SELECT doc_id, n_tok, CAST(count(*) AS BIGINT) AS n_uniq,
         | CAST(sum(CAST(floor(1000000.0 * c * ln(n_tok / c) / n_tok) AS BIGINT)) AS BIGINT)
         |   AS entropy_scaled
-        |FROM c JOIN n USING (doc_id) GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
+        |FROM c JOIN n USING (doc_id) GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      raw"""WITH aug AS (
+        |  SELECT doc_id,
+        |   CASE WHEN doc_id % 3 < 2
+        |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.com from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |         '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+        |         ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS aug
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, aug,
+        |   regexp_replace(regexp_replace(regexp_replace(aug,
+        |     '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        | md5(r) AS redacted_md5,
+        | CAST(length(aug) - length(r) AS BIGINT) AS n_chars_removed
+        |FROM red ORDER BY doc_id""".stripMargin
   )
 }

@@ -346,4 +346,16 @@ class CorpusSpec extends GraftSuite {
     // 4 terms of floor(1e6 * 1 * ln(4) / 4) = floor(346573.59) = 346573
     assert(rows(2L) === ((4L, 4L * 346573L)))
   }
+
+  test("scrubPii redacts all three pattern families and respects boundaries") {
+    val docs = Seq(
+      (1L, "mail u7@mail.com from 10.7.0.49 call 555-123-0007 end"),
+      // Boundary cases that must NOT match: 4-digit octet runs, over-long phone.
+      (2L, "clean 1234.5.6.7890 or 5555-123-00071 text")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), Corpus.scrubPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail <EMAIL> from <IP> call <PHONE> end")
+    assert(out(2L) === "clean 1234.5.6.7890 or 5555-123-00071 text")
+  }
 }
