@@ -64,4 +64,59 @@ object Graphs {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /**
+   * Per-node triangle participation counts over an undirected edge list `(a, b)`
+   * (self-loops ignored), via DEGREE-ORDERED wedge enumeration — the standard
+   * distributed-triangle algorithm [Suri & Vassilvitskii, "Counting Triangles and
+   * the Curse of the Last Reducer", WWW'11]: orient every edge from the endpoint
+   * with smaller (degree, id) to the larger, enumerate wedges only at each
+   * node's out-neighbors, and close them against the oriented edge list. Every
+   * triangle is counted exactly once, at its lowest-ordered vertex.
+   *
+   * Why the degree ordering matters at scale: out-degrees are bounded by
+   * O(sqrt(edges)) under this orientation, so the wedge count — the shuffle
+   * volume — is O(E^1.5) worst-case instead of the O(sum deg^2) a hub vertex
+   * causes under naive enumeration; the "curse of the last reducer" (one celebrity
+   * node owning almost all wedges) is exactly what it removes.
+   *
+   * Plan shape: one dedup shuffle, one degree agg (broadcast back), one
+   * out-neighbor collect per node with in-array pair enumeration (the
+   * [[Dedup.enumeratePairs]] shape — no wedge self-join recompute), one equi-join
+   * against the oriented edges, one 3-way explode + count.
+   */
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    val und = edges0
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Total order: (deg, node). Orient u->v iff ord(u) < ord(v). No broadcast
+    // hint: the degree table is node-count-sized — tiny for vocabulary graphs,
+    // arbitrarily large for id graphs — so AQE's runtime size decides.
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), struct(col("dv").as("d"), col("v").as("n")).as("dst")))
+        .otherwise(
+          struct(col("v").as("src"), struct(col("du").as("d"), col("u").as("n")).as("dst")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // Wedges at src: ordered pairs of out-neighbors; sort_array on (deg, node)
+    // structs yields exactly the orientation order, so pair (y, z) needs edge
+    // y->z (never z->y) to close.
+    val wedges = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .filter(size(col("nbrs")) > 1)
+      .select(col("src"), Dedup.enumeratePairs(col("nbrs"), "y", "z").as("p"))
+      .select(col("src"), col("p.y.n").as("y"), col("p.z.n").as("z"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("y"), col("dst.n").as("z")), Seq("y", "z"))
+    closed.select(explode(array(col("src"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

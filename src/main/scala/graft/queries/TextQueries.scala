@@ -345,6 +345,19 @@ object TextQueries {
           md5(col("red")).as("redacted_md5") :+
           (length(col("aug")) - length(col("red"))).cast("long").as("n_chars_removed"): _*)
         .orderBy(col("doc_id"))
+    },
+
+    // Per-node triangle counts over the word co-occurrence graph (the TextRank
+    // edge set, undirected): degree-ordered wedge enumeration — each triangle
+    // found once at its lowest-(degree,id) vertex. The oracle enumerates
+    // triangles by plain id-ordered 3-way join; identical triangle set, so a
+    // mis-orientation or double-count breaks the hash.
+    "q_graph_triangles" -> { (s, d) =>
+      val bi = Tables.documents(s, d)
+        .select(explode(TextOps.shingles(col("text"), 2)).as("sh"))
+        .select(split(col("sh"), " ").as("pair"))
+        .select(element_at(col("pair"), 1).as("a"), element_at(col("pair"), 2).as("b"))
+      graft.operators.Graphs.triangleCounts(bi).orderBy(col("node"))
     }
   )
 
@@ -860,6 +873,26 @@ object TextQueries {
         | CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
         | md5(r) AS redacted_md5,
         | CAST(length(aug) - length(r) AS BIGINT) AS n_chars_removed
-        |FROM red ORDER BY doc_id""".stripMargin
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH bg AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents)),
+        |e0 AS (SELECT string_split(sh,' ')[1] AS a, string_split(sh,' ')[2] AS b FROM bg),
+        |und AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM e0 WHERE a <> b),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -261,6 +261,20 @@ class CorpusSpec extends GraftSuite {
     assert(rw("b") > rw("c"))
   }
 
+  test("triangleCounts: K4 plus a pendant edge, duplicates and loops ignored") {
+    import graft.operators.Graphs
+    // K4 on {a,b,c,d} = 4 triangles, each node in exactly 3. Pendant e-a joins no
+    // triangle; duplicate/reversed/self edges must not inflate counts.
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("b", "a"), ("a", "b"),            // duplicates in both orientations
+      ("a", "a"),                        // self loop
+      ("e", "a")                         // pendant
+    ).toDF("a", "b")
+    val tri = Graphs.triangleCounts(edges).as[(String, Long)].collect().toMap
+    assert(tri === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
   test("ruleFlags: each rule fires on its designed failure mode") {
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps over a lazy dog near the river bank today"),
