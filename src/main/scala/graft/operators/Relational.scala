@@ -138,6 +138,49 @@ object Relational {
   }
 
   /**
+   * MERGE INTO semantics (the Delta/Iceberg upsert matrix, as a pure relational
+   * operator over the manifest-committed store or any keyed snapshot):
+   *
+   *   - matched + `deleteWhen`                 → row dropped
+   *   - matched + `updateWhen` (not delete)    → source row wins
+   *   - matched + neither                      → target row kept
+   *   - source-only                            → inserted
+   *   - target-only                            → kept
+   *
+   * Conditions reference the two sides as structs: `col("t.x")` / `col("s.x")`.
+   * Precondition (as in Delta): `keys` are unique in BOTH inputs — a multi-match
+   * would nondeterministically pick a source row. Returns the merged table plus
+   * an `action` column (`insert`/`update`/`keep`) for auditability; deletions are
+   * absent by definition.
+   *
+   * Scale shape: ONE full-outer shuffle join on the key — both sides hash-
+   * partition once, conditions evaluate row-local, no broadcast required at any
+   * size (AQE may still pick one when a side is small). This is the relational
+   * core of a low-shuffle MERGE; a table-format implementation adds only file
+   * pruning and the commit protocol (see streaming.StreamingPipeline's store).
+   */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+            updateWhen: Column, deleteWhen: Column = lit(false)): DataFrame = {
+    val valueCols = target.columns.filterNot(keys.contains).toSeq
+    require(source.columns.filterNot(keys.contains).toSeq == valueCols,
+      s"target/source value columns must match: $valueCols vs " +
+        source.columns.filterNot(keys.contains).toSeq)
+    val t = target.select(keys.map(col) :+ struct(valueCols.map(col): _*).as("t"): _*)
+    val s = source.select(keys.map(col) :+ struct(valueCols.map(col): _*).as("s"): _*)
+    val action = when(col("t").isNull, "insert")
+      .when(col("s").isNull, "keep")
+      .when(deleteWhen, "delete")
+      .when(updateWhen, "update")
+      .otherwise("keep")
+    val chosen = when(col("action").isin("insert", "update"), col("s")).otherwise(col("t"))
+    t.join(s, keys, "full_outer")
+      .withColumn("action", action)
+      .filter(col("action") =!= "delete")
+      .withColumn("__r", chosen)
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__r.$c").as(c)) :+ col("action"): _*)
+  }
+
+  /**
    * Gaps-and-islands sessionization (batch twin of Structured Streaming's
    * `session_window`, SURVEY.md B11): a session breaks when the gap since the previous
    * event of the same key exceeds `gapSeconds`. Adds `session_id` (0-based per key).

@@ -273,6 +273,29 @@ object EventQueries {
         .withColumn("last_active_day",
           max(when(col("n_events") > 0, col("day"))).over(w))
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // MERGE INTO semantics over two per-user snapshots (state before day 19738 vs
+    // activity after): matched rows update when the source carries more cents,
+    // delete when second-half activity is thin (< 25 events), insert/keep on the
+    // one-sided cases. The modular user filters guarantee every action arm
+    // executes. Cents are per-row floored integers (a float sum would be
+    // aggregation-order nondeterministic); one full-outer key shuffle, no
+    // broadcast dependence.
+    "q_merge_upsert" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      def snap(cond: Column, excluded: Int) = ev
+        .filter(cond && col("user_id") % 4 =!= excluded)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"), sum(col("cents")).as("cents"))
+      val target = snap(col("day") < 19738, 3)   // u%4==3 source-only -> insert
+      val source = snap(col("day") >= 19738, 0)  // u%4==0 target-only -> keep
+      Relational.merge(target, source, Seq("user_id"),
+          updateWhen = col("s.cents") > col("t.cents"),
+          deleteWhen = col("s.n_ev") < 25)
+        .orderBy(col("user_id"))
     }
   )
 
@@ -457,6 +480,29 @@ object EventQueries {
         |SELECT user_id, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_events,
         | CAST(max(CASE WHEN n > 0 THEN day END) OVER (
         |   PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS last_active_day
-        |FROM j ORDER BY user_id, day""".stripMargin
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |   CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT user_id, count(*) AS n_ev, CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM ev WHERE day < 19738 AND user_id % 4 <> 3 GROUP BY user_id),
+        |s AS (SELECT user_id, count(*) AS n_ev, CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM ev WHERE day >= 19738 AND user_id % 4 <> 0 GROUP BY user_id),
+        |m AS (
+        |  SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |   t.n_ev AS t_nev, t.cents AS t_c, s.n_ev AS s_nev, s.cents AS s_c,
+        |   CASE WHEN t.user_id IS NULL THEN 'insert'
+        |        WHEN s.user_id IS NULL THEN 'keep'
+        |        WHEN s.n_ev < 25 THEN 'delete'
+        |        WHEN s.cents > t.cents THEN 'update'
+        |        ELSE 'keep' END AS action
+        |  FROM t FULL OUTER JOIN s ON t.user_id = s.user_id)
+        |SELECT user_id,
+        | CAST(CASE WHEN action IN ('insert','update') THEN s_nev ELSE t_nev END AS BIGINT) AS n_ev,
+        | CAST(CASE WHEN action IN ('insert','update') THEN s_c ELSE t_c END AS BIGINT) AS cents,
+        | action
+        |FROM m WHERE action <> 'delete' ORDER BY user_id""".stripMargin
   )
 }

@@ -101,4 +101,18 @@ class RelationalSpec extends GraftSuite {
       total == xs.sum
     })
   }
+
+  test("merge executes the full MERGE INTO action matrix") {
+    val target = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+    val source = Seq((2L, 99L), (3L, 1L), (4L, 0L), (5L, 50L)).toDF("k", "v")
+    val out = Relational.merge(target, source, Seq("k"),
+        updateWhen = col("s.v") > col("t.v"),   // k=2: 99 > 20 -> update
+        deleteWhen = col("s.v") === 0L)         // k=4: delete
+      .select("k", "v", "action").as[(Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 10L, "keep"),     // target-only
+      (2L, 99L, "update"),
+      (3L, 30L, "keep"),     // matched, no condition fires -> target wins
+      (5L, 50L, "insert")))  // source-only
+  }
 }
