@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-layout operators: Z-order (Morton) clustering for multi-dimensional file
+ * pruning — the OPTIMIZE ZORDER BY of Delta/Iceberg, as a pure column expression
+ * plus a write composition.
+ *
+ * Why it matters at 100 TB: a table range-clustered on ONE key prunes scans on
+ * that key only; queries filtering the second dimension read everything. The
+ * Morton key interleaves the bits of two dimensions, so any contiguous key range
+ * is a quadtree tile — bounded in BOTH dimensions — and parquet min/max stats
+ * prune files for filters on either column. The key is a handful of codegen'd
+ * bitwise ops per row; the layout cost is one range shuffle at write time.
+ */
+object Layout {
+
+  /** (shift, mask) ladder spreading a 16-bit value's bits to even positions:
+    * classic magic-number bit spreading — x = (x | x<<8) & 0x00FF00FF, etc. */
+  private val SpreadLadder = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  /** Low 16 bits of `c` spread to the even bit positions of a 32-bit value.
+    * Values wider than 16 bits are masked first (document the truncation at the
+    * call site if the domain can exceed 65535 — for layout purposes a wrapped
+    * high key only costs locality, never correctness). */
+  def spread16(c: Column): Column =
+    SpreadLadder.foldLeft(c.cast("long").bitwiseAND(lit(65535L))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** 32-bit Morton key interleaving x (even bits) and y (odd bits): bit i of x
+    * lands at position 2i, bit i of y at 2i+1. Pure codegen'd expression. */
+  def zorderKey(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Z-order clustered write: range-partition + sort on the Morton key so each
+    * file owns a quadtree tile of (x, y) space and parquet stats prune on both
+    * columns. Composes [[Relational.clusteredWrite]]. */
+  def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
+                  numFiles: Option[Int] = None): Unit =
+    Relational.clusteredWrite(df.withColumn("__zkey", zorderKey(x, y)), path,
+      Seq("__zkey"), numFiles)
+}

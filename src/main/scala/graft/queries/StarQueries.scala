@@ -598,6 +598,23 @@ object StarQueries {
         .agg(r4(wm(col("l_extendedprice"), col("l_quantity"))).as("wmean_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Z-order layout audit: Morton key over (custkey, orderdate-epoch-day), rows
+    // grouped into aligned zkey blocks (>> 16, i.e. 256x256-cell quadtree tiles). Each block's min/max in BOTH
+    // dimensions is emitted — the bounding boxes parquet pruning would get if
+    // files were cut on this key. The bit-interleave ladder is mirrored
+    // integer-exactly in the oracle, so one wrong mask breaks every bucket.
+    "q_layout_zorder" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("day"))
+      o.withColumn("zkey", graft.operators.Layout.zorderKey(col("ck"), col("day")))
+        .groupBy(shiftright(col("zkey"), 16).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy(col("z_bucket"))
     }
   )
 
@@ -958,6 +975,22 @@ object StarQueries {
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity),4) AS wmean_price,
         | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_layout_zorder" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS ck, date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+        |   o_custkey & 65535 AS x,
+        |   date_diff('day', DATE '1970-01-01', o_orderdate) & 65535 AS y
+        |  FROM orders),
+        |s1 AS (SELECT ck, day, (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y FROM b),
+        |s2 AS (SELECT ck, day, (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT ck, day, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT ck, day, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3),
+        |z AS (SELECT ck, day, (x | (y << 1)) AS zkey FROM s4)
+        |SELECT zkey >> 16 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(ck) AS BIGINT) AS min_ck, CAST(max(ck) AS BIGINT) AS max_ck,
+        | CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   )
 }

@@ -102,6 +102,35 @@ class RelationalSpec extends GraftSuite {
     })
   }
 
+  test("zorderKey matches the bitwise reference and tiles space as a quadtree") {
+    import graft.operators.Layout
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === mortonRef(x, y), s"($x,$y)") }
+
+    // Aligned 256-key blocks are exact 16x16 tiles: a full 64x64 grid yields 16
+    // blocks, each spanning <= 15 in BOTH dims — the two-dimensional bound that
+    // makes parquet min/max stats prune on either column.
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val tiles = grid
+      .select(col("x"), col("y"), (Layout.zorderKey(col("x"), col("y")) / 256).cast("long").as("tile"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        (max(col("x")) - min(col("x"))).as("sx"), (max(col("y")) - min(col("y"))).as("sy"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(tiles.length === 16)
+    tiles.foreach { case (t, n, sx, sy) =>
+      assert(n === 256L && sx === 15L && sy === 15L, s"tile $t: n=$n sx=$sx sy=$sy")
+    }
+  }
+
   test("merge executes the full MERGE INTO action matrix") {
     val target = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
     val source = Seq((2L, 99L), (3L, 1L), (4L, 0L), (5L, 50L)).toDF("k", "v")
