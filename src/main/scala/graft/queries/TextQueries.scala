@@ -347,6 +347,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Character-level near-dup: MinHash-banded candidates verified by exact
+    // Levenshtein on 200-char prefixes (edit distance <= 20). Complements the
+    // token-set families with single-character-edit sensitivity.
+    "q_dedup_edit" -> { (s, d) =>
+      Dedup.editDistanceNearDupPairs(Tables.documents(s, d), 200, 20)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Per-node triangle counts over the word co-occurrence graph (the TextRank
     // edge set, undirected): degree-ordered wedge enumeration — each triangle
     // found once at its lowest-(degree,id) vertex. The oracle enumerates
@@ -874,6 +882,15 @@ object TextQueries {
         | md5(r) AS redacted_md5,
         | CAST(length(aug) - length(r) AS BIGINT) AS n_chars_removed
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_edit" ->
+      s"""WITH $duckMinhashPairs,
+         |pre AS (SELECT doc_id, substr(text, 1, 200) AS pre FROM documents)
+         |SELECT c.id_a, c.id_b,
+         | CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+         |FROM cands c JOIN pre a ON a.doc_id = c.id_a JOIN pre b ON b.doc_id = c.id_b
+         |WHERE levenshtein(a.pre, b.pre) <= 20
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH bg AS (

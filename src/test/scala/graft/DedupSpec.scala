@@ -59,6 +59,16 @@ class DedupSpec extends GraftSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
   }
 
+  test("editDistanceNearDupPairs: one-char edit found with exact distance") {
+    val pairs = Dedup.editDistanceNearDupPairs(corpus, 200, 20)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    // dog -> cat: 3 substitutions; the exact copy is distance 0. The permutation
+    // (doc 2) is character-far even though token-set-identical — must be absent.
+    assert(pairs.contains((0L, 1L, 3L)))
+    assert(pairs.contains((0L, 3L, 0L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.exactByText(corpus)
     val renamed = once.select(col("keep_id").as("doc_id"), col("text_hash").as("text"))
