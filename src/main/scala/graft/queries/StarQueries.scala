@@ -176,6 +176,45 @@ object StarQueries {
         .orderBy(col("bucket"))
     },
 
+    // Equi-DEPTH histogram (quantile binning — the feature-binning twin of
+    // q_histogram's equi-width): 7 exact percentile boundaries over integer
+    // cents, broadcast back, bucket = 1 + #boundaries strictly below. NO global
+    // sort/ntile — the rank-based formulation would serialize the table through
+    // one window; this is one tiny boundary agg + a linear broadcast pass, the
+    // shape that survives 100 TB. Spark percentile() == DuckDB quantile_cont()
+    // exactly (verified precedent), so boundaries are bit-equal.
+    "q_histogram_eqdepth" -> { (s, d) =>
+      val cents = Tables.orders(s, d)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val ps = (1 to 7).map(k => percentile(col("cents"), lit(k / 8.0)).as(s"b$k"))
+      val bounds = cents.agg(ps.head, ps.tail: _*)
+      val bucket = (1 to 7).foldLeft(lit(1L)) { (acc, k) =>
+        acc + (col("cents") > col(s"b$k")).cast("long")
+      }
+      cents.crossJoin(broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy(col("bucket"))
+    },
+
+    // Approximate count-distinct (HLL++) audited against the exact count: the
+    // emitted boolean asserts |approx - exact| <= 5% of exact with rsd 0.01 —
+    // the bound comes from the sketch's own accuracy parameter (5 sigma), NOT
+    // from the data distribution, so it holds at any scale factor (contrast
+    // q_approx_sketch's data-derived rank bound). The raw approx value is
+    // engine-specific and never emitted.
+    "q_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")) <= col("exact_nd") * lit(0.05))
+            .as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // SQL entry surface 3: window functions through the parser (same SQL text runs
     // verbatim on both engines — the strongest possible B31 check).
     "q_sql_window" -> { (s, d) =>
@@ -975,6 +1014,29 @@ object StarQueries {
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity),4) AS wmean_price,
         | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram_eqdepth" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT
+        |  quantile_cont(cents, 0.125) AS b1, quantile_cont(cents, 0.25) AS b2,
+        |  quantile_cont(cents, 0.375) AS b3, quantile_cont(cents, 0.5) AS b4,
+        |  quantile_cont(cents, 0.625) AS b5, quantile_cont(cents, 0.75) AS b6,
+        |  quantile_cont(cents, 0.875) AS b7 FROM c),
+        |a AS (SELECT cents,
+        |  1 + (CASE WHEN cents > b1 THEN 1 ELSE 0 END) + (CASE WHEN cents > b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b3 THEN 1 ELSE 0 END) + (CASE WHEN cents > b4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b5 THEN 1 ELSE 0 END) + (CASE WHEN cents > b6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b7 THEN 1 ELSE 0 END) AS bucket
+        |  FROM c CROSS JOIN b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(cents) AS BIGINT) AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+        | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_layout_zorder" ->
