@@ -275,6 +275,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // Sequence mining (user journeys): the first four event types of each session
+    // as a '>'-joined path, top-20 paths by session count. Per-session assembly
+    // is one sort_array over (ts, event_id, type) structs — order-deterministic
+    // regardless of partitioning; the path agg is linear on the path key.
+    "q_event_paths" -> { (s, d) =>
+      val sess = Relational.sessionize(Tables.events(s, d), "user_id", "ts", 1800L,
+        Seq(col("event_id")))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          slice(transform(col("evs"), e => e.getField("event_type")), 1, 4)).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    },
+
     // MERGE INTO semantics over two per-user snapshots (state before day 19738 vs
     // activity after): matched rows update when the source carries more cents,
     // delete when second-half activity is thin (< 25 events), insert/keep on the
@@ -481,6 +497,25 @@ object EventQueries {
         | CAST(max(CASE WHEN n > 0 THEN day END) OVER (
         |   PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS last_active_day
         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM flagged),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |   array_to_string(list(event_type ORDER BY ts, event_id)[1:4], '>') AS path
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH ev AS (

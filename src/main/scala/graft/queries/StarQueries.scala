@@ -215,6 +215,25 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // percent_rank / cume_dist in INTEGER basis points: the built-ins return
+    // (rank-1)/(n-1) doubles whose round-trip through round() is the classic
+    // .xxxx5 cross-engine trap — the integer-div formulation over a unique total
+    // order is exact. One window shuffle; both windows share the sort.
+    "q_window_pctrank" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wn = Window.partitionBy(col("c_mktsegment"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("c_mktsegment"), col("c_custkey"), col("rn"),
+          expr("CAST(CASE WHEN n = 1 THEN 10000 ELSE ((rn - 1) * 10000) div (n - 1) END AS BIGINT)")
+            .as("pctrank_bp"),
+          expr("(rn * 10000) div n").as("cumedist_bp"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
     // SQL entry surface 3: window functions through the parser (same SQL text runs
     // verbatim on both engines — the strongest possible B31 check).
     "q_sql_window" -> { (s, d) =>
@@ -1015,6 +1034,17 @@ object StarQueries {
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity),4) AS wmean_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_pctrank" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |   row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |   count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_mktsegment, c_custkey, CAST(rn AS BIGINT) AS rn,
+        | CAST(CASE WHEN n = 1 THEN 10000 ELSE ((rn - 1) * 10000) // (n - 1) END AS BIGINT) AS pctrank_bp,
+        | CAST((rn * 10000) // n AS BIGINT) AS cumedist_bp
+        |FROM r ORDER BY c_mktsegment, rn""".stripMargin,
 
     "q_histogram_eqdepth" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

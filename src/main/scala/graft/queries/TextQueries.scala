@@ -347,6 +347,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source table checksum (anti-entropy / replication audit): order-
+    // independent content identity as md5 over the SORTED per-doc hashes. Two
+    // linear aggs; comparing two replicas' checksums detects divergence without
+    // moving data — the 100 TB integrity check.
+    "q_table_checksum" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("checksum"))
+        .orderBy(col("source"))
+    },
+
     // Character-level near-dup: MinHash-banded candidates verified by exact
     // Levenshtein on 200-char prefixes (edit distance <= 20). Complements the
     // token-set families with single-character-edit sensitivity.
@@ -882,6 +895,11 @@ object TextQueries {
         | md5(r) AS redacted_md5,
         | CAST(length(aug) - length(r) AS BIGINT) AS n_chars_removed
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_edit" ->
       s"""WITH $duckMinhashPairs,
