@@ -134,4 +134,33 @@ class PlanSpec extends GraftSuite {
     assert(hy.contains("TakeOrderedAndProject"))
     assert(hy.contains("BroadcastExchange"), "query vector must broadcast")
   }
+
+  test("runtime Bloom-filter pruning injects into a selective fact-fact join") {
+    // At 100 TB a shuffle join where one side is selectively filtered should
+    // runtime-prune the OTHER side before the exchange (Spark's InjectRuntimeFilter
+    // — the dynamic twin of static pushdown). Thresholds are floored here because
+    // test-SF tables are below the 10 GB default; the point is that the engine's
+    // join shapes are eligible — an extra aggregate/projection between scan and
+    // join would silently disqualify them.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sfTiny)
+      val o = Tables.orders(spark, sfTiny).filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter on the lineitem side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
