@@ -86,10 +86,14 @@ object Graphs {
    * against the oriented edges, one 3-way explode + count.
    */
   def triangleCounts(edges0: DataFrame): DataFrame = {
-    val und = edges0
+    // Materialized ONCE: the deduped edge list feeds the degree agg, both
+    // orientation joins, and the closing join — unmaterialized, the caller's edge
+    // derivation (often an explode over raw data, far larger than the edge list)
+    // re-executes per reference (measured 3x on the word graph).
+    val und = Iterate.materialize(edges0
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
