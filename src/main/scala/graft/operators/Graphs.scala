@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -63,6 +63,37 @@ object Graphs {
           col("n")), eager = false)
     }
     ranks.select(col("node"), col("rank"))
+  }
+
+  /**
+   * Single-source BFS levels over an undirected edge list `(a, b)`: exactly
+   * `maxDepth` rounds of frontier min-propagation, so on return `lvl` is the
+   * true shortest-path distance for every node within `maxDepth` hops of
+   * `source`; farther nodes are absent. The same wavefront shape as
+   * [[Dedup.connectedComponents]] (one edge⋈levels join + one dst-keyed min per
+   * round, levels materialized per round for constant plan depth) with distance
+   * `+1` in place of label minimum — all integer, bit-identical anywhere.
+   */
+  def bfsLevels(edges0: DataFrame, source: Column, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val edges = Iterate.materialize(
+      edges0.filter(col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(edges0.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
+    var levels = Iterate.materialize(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"),
+          when(col("node") === source, 0L).otherwise(lit(null).cast("long")).as("lvl")))
+    for (_ <- 0 until maxDepth) {
+      val reach = edges
+        .join(levels.filter(col("lvl").isNotNull)
+          .select(col("node").as("src"), col("lvl")), "src")
+        .groupBy(col("dst").as("node")).agg((min(col("lvl")) + 1L).as("nlvl"))
+      levels = Iterate.materialize(levels.join(reach, Seq("node"), "left")
+        .select(col("node"), least(col("lvl"), col("nlvl")).as("lvl")), eager = false)
+    }
+    levels.filter(col("lvl").isNotNull)
   }
 
   /**

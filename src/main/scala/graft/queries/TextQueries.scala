@@ -374,13 +374,26 @@ object TextQueries {
     // triangles by plain id-ordered 3-way join; identical triangle set, so a
     // mis-orientation or double-count breaks the hash.
     "q_graph_triangles" -> { (s, d) =>
-      val bi = Tables.documents(s, d)
-        .select(explode(TextOps.shingles(col("text"), 2)).as("sh"))
-        .select(split(col("sh"), " ").as("pair"))
-        .select(element_at(col("pair"), 1).as("a"), element_at(col("pair"), 2).as("b"))
-      graft.operators.Graphs.triangleCounts(bi).orderBy(col("node"))
+      graft.operators.Graphs.triangleCounts(wordEdges(s, d)).orderBy(col("node"))
+    },
+
+    // Single-source shortest paths (BFS levels) from 'the' over the same word
+    // graph, depth-bounded at 8: iterative frontier min-propagation vs the
+    // oracle's depth-bounded recursive closure — an off-by-one hop or a
+    // mis-joined frontier shifts a level and breaks the hash.
+    "q_graph_bfs" -> { (s, d) =>
+      graft.operators.Graphs.bfsLevels(wordEdges(s, d), lit("the"), 8)
+        .orderBy(col("node"))
     }
   )
+
+  /** Word co-occurrence edges (adjacent-token bigrams) — the shared graph-family
+    * input (TextRank / triangles / BFS). */
+  private def wordEdges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.shingles(col("text"), 2)).as("sh"))
+      .select(split(col("sh"), " ").as("pair"))
+      .select(element_at(col("pair"), 1).as("a"), element_at(col("pair"), 2).as("b"))
 
   /** Fixed query terms for q_text_bm25 / q_hybrid_retrieval (all in-vocabulary). */
   private val Bm25Terms = Seq("spark", "join", "stream")
@@ -909,6 +922,23 @@ object TextQueries {
          |FROM cands c JOIN pre a ON a.doc_id = c.id_a JOIN pre b ON b.doc_id = c.id_b
          |WHERE levenshtein(a.pre, b.pre) <= 20
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_graph_bfs" ->
+      """WITH RECURSIVE bg AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents)),
+        |e0 AS (SELECT string_split(sh,' ')[1] AS a, string_split(sh,' ')[2] AS b FROM bg),
+        |bi AS (
+        |  SELECT DISTINCT a AS src, b AS dst FROM e0 WHERE a <> b
+        |  UNION SELECT b, a FROM e0 WHERE a <> b),
+        |walk(node, lvl) AS (
+        |  SELECT 'the', 0
+        |  UNION
+        |  SELECT e.dst, w.lvl + 1 FROM bi e JOIN walk w ON e.src = w.node WHERE w.lvl < 8)
+        |SELECT node, CAST(min(lvl) AS BIGINT) AS lvl
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH bg AS (

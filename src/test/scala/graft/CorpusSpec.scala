@@ -261,6 +261,18 @@ class CorpusSpec extends GraftSuite {
     assert(rw("b") > rw("c"))
   }
 
+  test("bfsLevels: chain distances, depth bound, disconnected node absent") {
+    import graft.operators.Graphs
+    // Chain a-b-c-d-e plus isolated pair x-y. From 'a': distances 0..4; x,y absent.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("a", "b")
+    val lv = Graphs.bfsLevels(edges, lit("a"), 8).as[(String, Long)].collect().toMap
+    assert(lv === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // Depth 2 truncates the frontier: d and e not yet reached.
+    val lv2 = Graphs.bfsLevels(edges, lit("a"), 2).as[(String, Long)].collect().toMap
+    assert(lv2 === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("triangleCounts: K4 plus a pendant edge, duplicates and loops ignored") {
     import graft.operators.Graphs
     // K4 on {a,b,c,d} = 4 triangles, each node in exactly 3. Pendant e-a joins no
