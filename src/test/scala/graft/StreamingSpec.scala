@@ -349,6 +349,42 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null rows once the watermark expires") {
+    // The outer side can only emit after the watermark proves no match can still
+    // arrive — the state-expiry semantics an inner join never exercises.
+    implicit val ctx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF.toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF.toDF("c_ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val joined = imp.join(clk,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_t").outputMode("append").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      clicks.addData((1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // Matched row may emit immediately; ad 2 must NOT have emitted yet — its
+      // match window is still open.
+      val early = spark.table("ssoj_t").select("ad_id").as[Long].collect().toSeq
+      assert(!early.contains(2L), s"unmatched row emitted before watermark: $early")
+      // Advance event time far past ad 2's join window + watermark on BOTH streams.
+      impressions.addData((9L, ts("2024-01-01 03:00:00")))
+      clicks.addData((9L, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ssoj_t")
+        .select(col("ad_id"), col("c_ad_id").isNull.as("unmatched"))
+        .as[(Long, Boolean)].collect().toSet
+      assert(rows.contains((1L, false)), s"matched row missing: $rows")
+      assert(rows.contains((2L, true)),
+        s"expired unmatched row must emit with nulls: $rows")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider drives the full ingest+upsert topology") {
     // The bounded-state knob DESIGN names for 100 TB streaming dedup, demonstrated
     // end to end: stateful dedup -> stream-static enrichment join -> validity filter
