@@ -70,6 +70,15 @@ object TextOps {
   /** Token count (B13). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Jaro-Winkler similarity (record linkage / entity resolution) — native
+    * expression, bit-exact to DuckDB's `jaro_winkler_similarity` (see
+    * [[graft.plans.JaroWinkler]] for the pinned variant). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.JaroWinkler(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** Ratio of tokens present in `stopwords` (quality-scoring ingredient). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * }}}
  *
  * Injected SQL functions: `vec_dot`, `vec_cosine` (fused array<float> kernels),
- * `word_shingles(text, n)` (one-pass word n-grams).
+ * `word_shingles(text, n)` (one-pass word n-grams), `jaro_winkler(a, b)`
+ * (record-linkage similarity, DuckDB-bit-exact).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -39,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(args.head, n)
       }))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]."),
+      (args: Seq[Expression]) => JaroWinkler(args.head, args(1))))
   }
 }

@@ -660,6 +660,27 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Entity resolution over part names: first-letter blocking (the classic
+    // record-linkage blocking key) + native jaro_winkler verification, emitted
+    // as floor-scaled basis points. The expression is pinned bit-exact to
+    // DuckDB's jaro_winkler_similarity, so the oracle verifies the actual
+    // similarity arithmetic, not just the pair set. In-block pair enumeration —
+    // no name x name cross join at any scale.
+    "q_entity_jaro" -> { (s, d) =>
+      import graft.functions.TextOps
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("blk", substring(col("p_name"), 1, 1))
+      names.groupBy(col("blk"))
+        .agg(sort_array(collect_set(col("p_name"))).as("ns"))
+        .filter(size(col("ns")) > 1)
+        .select(graft.operators.Dedup.enumeratePairs(col("ns"), "name_a", "name_b").as("p"))
+        .select(col("p.name_a").as("name_a"), col("p.name_b").as("name_b"))
+        .withColumn("jw_bp",
+          floor(TextOps.jaroWinkler(col("name_a"), col("name_b")) * 10000).cast("long"))
+        .filter(col("jw_bp") >= 8500)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
     // Z-order layout audit: Morton key over (custkey, orderdate-epoch-day), rows
     // grouped into aligned zkey blocks (>> 16, i.e. 256x256-cell quadtree tiles). Each block's min/max in BOTH
     // dimensions is emitted — the bounding boxes parquet pruning would get if
@@ -1070,6 +1091,16 @@ object StarQueries {
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_entity_jaro" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT substr(p_name,1,1) AS blk, p_name FROM n),
+        |p AS (SELECT a.p_name AS name_a, b2.p_name AS name_b
+        |      FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name)
+        |SELECT name_a, name_b,
+        | CAST(floor(jaro_winkler_similarity(name_a, name_b) * 10000) AS BIGINT) AS jw_bp
+        |FROM p WHERE floor(jaro_winkler_similarity(name_a, name_b) * 10000) >= 8500
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "q_layout_zorder" ->
       """WITH b AS (

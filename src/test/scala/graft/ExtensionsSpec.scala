@@ -20,9 +20,11 @@ class ExtensionsSpec extends GraftSuite {
       val r = s.sql(
         """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
-          |       word_shingles('a b c d', 2) AS sh""".stripMargin).collect().head
+          |       word_shingles('a b c d', 2) AS sh,
+          |       jaro_winkler('MARTHA', 'MARHTA') AS jw""".stripMargin).collect().head
       assert(r.getDouble(0) === 11.0)
       assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
+      assert(r.getDouble(2) === 0.9611111111111111)
       s
     } finally {
       SparkSession.setDefaultSession(base)

@@ -70,4 +70,19 @@ class TextOpsSpec extends GraftSuite {
       .as[Double].collect().head
     assert(r === 0.5)
   }
+
+  test("jaroWinkler: canonical values, edge cases, threshold gating") {
+    val pairs = Seq(
+      ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", "abc"), ("", ""),
+      ("same", "same"), ("ab", "cd"))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), TextOps.jaroWinkler(col("a"), col("b")).as("jw"))
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("MARTHA", "MARHTA")) === 0.9611111111111111) // textbook value
+    assert(got(("DIXON", "DICKSONX")) === 0.8133333333333332)
+    assert(got(("", "abc")) === 0.0)
+    assert(got(("", "")) === 0.0)     // DuckDB-pinned: both-empty is 0, not 1
+    assert(got(("same", "same")) === 1.0)
+    assert(got(("ab", "cd")) === 0.0) // no matches
+  }
 }
