@@ -660,6 +660,24 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // DECIMAL exact money arithmetic: the one aggregation family that needs NO
+    // round() anywhere — fixed-point sums are exact by type, the strongest
+    // determinism posture for financial columns (the double-sum queries above
+    // must round because their binary sums carry ~1e-7 drift). Explicit output
+    // casts pin scale so both engines emit the identical decimal rendering.
+    "q_agg_decimal" -> { (s, d) =>
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(price).cast("decimal(18,2)").as("sum_price"),
+          sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("decimal(18,4)")
+            .as("sum_disc"),
+          max(price).cast("decimal(12,2)").as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Entity resolution over part names: first-letter blocking (the classic
     // record-linkage blocking key) + native jaro_winkler verification, emitted
     // as floor-scaled basis points. The expression is pinned bit-exact to
@@ -1090,6 +1108,15 @@ object StarQueries {
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
         | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_decimal" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc,
+        | CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
+        | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_entity_jaro" ->
