@@ -275,6 +275,21 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // Incremental aggregate maintenance: a per-user (count, cents) snapshot of
+    // history (day < 19738) is refreshed with the later days' RAW delta —
+    // |snapshot| + |delta| work, no history rescan. The oracle is the full
+    // recompute over all days, so the merge must be exactly lossless.
+    "q_incremental_agg" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val prev = ev.filter(col("day") < 19738).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("count_n"), sum(col("cents")).as("cents"))
+      val delta = ev.filter(col("day") >= 19738)
+      Relational.incrementalAgg(prev, delta, Seq("user_id"), Seq("cents"))
+        .orderBy(col("user_id"))
+    },
+
     // Sequence mining (user journeys): the first four event types of each session
     // as a '>'-joined path, top-20 paths by session count. Per-session assembly
     // is one sort_array over (ts, event_id, type) structs — order-deterministic
@@ -497,6 +512,13 @@ object EventQueries {
         | CAST(max(CASE WHEN n > 0 THEN day END) OVER (
         |   PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS last_active_day
         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS count_n,
+        | CAST(sum(cents) AS BIGINT) AS cents
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_event_paths" ->
       """WITH flagged AS (

@@ -131,6 +131,24 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("incrementalAgg: snapshot + delta equals full recompute at any split") {
+    val rows = (1L to 200L).map(i => (i % 7, i, i * 3)).toDF("k", "seq", "v")
+    val full = rows.groupBy(col("k"))
+      .agg(count(lit(1)).as("count_n"), sum(col("v")).as("v"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (split <- Seq(0L, 50L, 200L)) {  // empty-delta and empty-prev included
+      val prev = rows.filter(col("seq") <= split).groupBy(col("k"))
+        .agg(count(lit(1)).as("count_n"), sum(col("v")).as("v"))
+      val merged = Relational.incrementalAgg(
+          prev, rows.filter(col("seq") > split).select("k", "v"), Seq("k"), Seq("v"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged === full, s"split=$split")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.incrementalAgg(rows, rows, Seq("k"), Seq("v"))  // wrong snapshot shape
+    }
+  }
+
   test("merge executes the full MERGE INTO action matrix") {
     val target = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
     val source = Seq((2L, 99L), (3L, 1L), (4L, 0L), (5L, 50L)).toDF("k", "v")
