@@ -76,10 +76,13 @@ object Graphs {
    */
   def bfsLevels(edges0: DataFrame, source: Column, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    // Self-loops filtered BEFORE symmetrization (both legs): a loop-only node
+    // would otherwise enter the node set forever unreached and permanently
+    // defeat the early-exit below.
+    val noLoops = edges0.filter(col("a") =!= col("b"))
     val edges = Iterate.materialize(
-      edges0.filter(col("a") =!= col("b"))
-        .select(col("a").as("src"), col("b").as("dst"))
-        .union(edges0.select(col("b").as("src"), col("a").as("dst")))
+      noLoops.select(col("a").as("src"), col("b").as("dst"))
+        .union(noLoops.select(col("b").as("src"), col("a").as("dst")))
         .distinct())
     var levels = Iterate.materialize(
       edges.select(col("src").as("node")).distinct()
@@ -132,9 +135,12 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct())
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // deg is joined twice under differing projections — no ReusedExchange, so
+    // materialize it too (the same multiply-referenced-subplan rule as und).
+    val deg = Iterate.materialize(
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     // Total order: (deg, node). Orient u->v iff ord(u) < ord(v). No broadcast
     // hint: the degree table is node-count-sized — tiny for vocabulary graphs,
     // arbitrarily large for id graphs — so AQE's runtime size decides.

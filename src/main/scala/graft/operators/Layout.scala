@@ -38,9 +38,17 @@ object Layout {
 
   /** Z-order clustered write: range-partition + sort on the Morton key so each
     * file owns a quadtree tile of (x, y) space and parquet stats prune on both
-    * columns. Composes [[Relational.clusteredWrite]]. */
+    * columns. The key is layout-only and DROPPED before write (as in Delta's
+    * OPTIMIZE ZORDER, the table schema is unchanged); dropping after the sort
+    * is a projection, so the partitioning and in-file order survive. */
   def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
-                  numFiles: Option[Int] = None): Unit =
-    Relational.clusteredWrite(df.withColumn("__zkey", zorderKey(x, y)), path,
-      Seq("__zkey"), numFiles)
+                  numFiles: Option[Int] = None): Unit = {
+    val keyed = df.withColumn("__zkey", zorderKey(x, y))
+    val repart = numFiles match {
+      case Some(n) => keyed.repartitionByRange(n, col("__zkey"))
+      case None    => keyed.repartitionByRange(col("__zkey"))
+    }
+    repart.sortWithinPartitions(col("__zkey")).drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

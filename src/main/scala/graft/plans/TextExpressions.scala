@@ -57,15 +57,18 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression with CodegenFa
  * `jaro_winkler(a, b)`: Jaro-Winkler similarity, the record-linkage/entity-
  * resolution scalar Spark lacks natively (DuckDB, Postgres fuzzystrmatch and
  * every MDM product ship it). Variant pinned BIT-EXACTLY to DuckDB's
- * `jaro_winkler_similarity` (probed on 3000 random pairs + the part-name
- * corpus, zero double mismatches): match window `floor(max(|a|,|b|)/2) - 1`,
- * transpositions halved, prefix bonus `l <= 4, p = 0.1` applied only when
- * jaro > 0.7, identical non-empty strings 1.0, any empty side 0.0. The IEEE
- * operation ORDER below (`(m/la + m/lb + (m-t)/m) / 3`, then `j + l*0.1*(1-j)`)
- * is part of that contract — reordering it can flip the last ulp and break the
- * oracle's floor-scaled comparison.
+ * `jaro_winkler_similarity` (probed on 6000 random pairs — ASCII AND
+ * multi-byte UTF-8 — plus the part-name corpus, zero double mismatches):
+ * computed over UTF-8 BYTES, not code points, because DuckDB's implementation
+ * is byte-oriented ('café' vs 'cafe' is a 5-vs-4-byte comparison there); match
+ * window `floor(max(|a|,|b|)/2) - 1`, transpositions halved, prefix bonus
+ * `l <= 4 bytes, p = 0.1` applied only when jaro > 0.7, identical non-empty
+ * strings 1.0, any empty side 0.0. The IEEE operation ORDER below
+ * (`(m/la + m/lb + (m-t)/m) / 3`, then `j + l*0.1*(1-j)`) is part of that
+ * contract — reordering it can flip the last ulp and break the oracle's
+ * floor-scaled comparison.
  *
- * One eval per row over the two strings (CodegenFallback: the O(|a|*window)
+ * One eval per row over the two byte arrays (CodegenFallback: the O(|a|*window)
  * match loop IS the work; codegen would only inline the call).
  */
 case class JaroWinkler(left: Expression, right: Expression)
@@ -74,12 +77,12 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[UTF8String].toString
-    val b = r.asInstanceOf[UTF8String].toString
+    val a = l.asInstanceOf[UTF8String].getBytes
+    val b = r.asInstanceOf[UTF8String].getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
     val w = math.max(la, lb) / 2 - 1
     val ma = new Array[Boolean](la)
     val mb = new Array[Boolean](lb)
@@ -91,7 +94,7 @@ case class JaroWinkler(left: Expression, right: Expression)
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!mb(j) && b.charAt(j) == a.charAt(i)) {
+        if (!mb(j) && b(j) == a(i)) {
           ma(i) = true; mb(j) = true; m += 1; found = true
         }
         j += 1
@@ -105,7 +108,7 @@ case class JaroWinkler(left: Expression, right: Expression)
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -113,7 +116,7 @@ case class JaroWinkler(left: Expression, right: Expression)
     t /= 2
     val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3
     var p = 0
-    while (p < math.min(4, math.min(la, lb)) && a.charAt(p) == b.charAt(p)) p += 1
+    while (p < math.min(4, math.min(la, lb)) && a(p) == b(p)) p += 1
     if (jaro > 0.7) jaro + p * 0.1 * (1 - jaro) else jaro
   }
 

@@ -202,17 +202,19 @@ object StarQueries {
     },
 
     // Approximate count-distinct (HLL++) audited against the exact count: the
-    // emitted boolean asserts |approx - exact| <= 5% of exact with rsd 0.01 —
-    // the bound comes from the sketch's own accuracy parameter (5 sigma), NOT
-    // from the data distribution, so it holds at any scale factor (contrast
-    // q_approx_sketch's data-derived rank bound). The raw approx value is
-    // engine-specific and never emitted.
+    // emitted boolean asserts |approx - exact| <= 10% of exact with rsd 0.01 —
+    // the bound comes from the sketch's accuracy parameter, NOT from the data
+    // distribution, so it holds at any scale factor (contrast q_approx_sketch's
+    // data-derived rank bound). 10x the rsd because HLL++ error is not strictly
+    // Gaussian near its bias-correction crossovers — the audit must never fail
+    // on a correctly-behaving sketch over regenerated data. The raw approx
+    // value is engine-specific and never emitted.
     "q_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_nd"),
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
         .select(col("l_returnflag"), col("exact_nd"),
-          (abs(col("approx_nd") - col("exact_nd")) <= col("exact_nd") * lit(0.05))
+          (abs(col("approx_nd") - col("exact_nd")) <= col("exact_nd") * lit(0.10))
             .as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },

@@ -934,7 +934,7 @@ object TextQueries {
         |  SELECT DISTINCT a AS src, b AS dst FROM e0 WHERE a <> b
         |  UNION SELECT b, a FROM e0 WHERE a <> b),
         |walk(node, lvl) AS (
-        |  SELECT 'the', 0
+        |  SELECT 'the', 0 WHERE EXISTS (SELECT 1 FROM bi WHERE src = 'the')
         |  UNION
         |  SELECT e.dst, w.lvl + 1 FROM bi e JOIN walk w ON e.src = w.node WHERE w.lvl < 8)
         |SELECT node, CAST(min(lvl) AS BIGINT) AS lvl

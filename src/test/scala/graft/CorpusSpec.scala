@@ -271,6 +271,11 @@ class CorpusSpec extends GraftSuite {
     // Depth 2 truncates the frontier: d and e not yet reached.
     val lv2 = Graphs.bfsLevels(edges, lit("a"), 2).as[(String, Long)].collect().toMap
     assert(lv2 === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // A self-loop-only node must not enter the node set (it would otherwise
+    // stay unreached forever and defeat the full-reach early exit).
+    val loops = Seq(("a", "b"), ("z", "z")).toDF("a", "b")
+    val lv3 = Graphs.bfsLevels(loops, lit("a"), 4).as[(String, Long)].collect().toMap
+    assert(lv3 === Map("a" -> 0L, "b" -> 1L))
   }
 
   test("triangleCounts: K4 plus a pendant edge, duplicates and loops ignored") {

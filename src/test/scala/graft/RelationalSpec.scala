@@ -131,6 +131,16 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("zorderWrite drops the layout key: output schema equals input schema") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("zw").toString
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    Layout.zorderWrite(df, dir, col("x"), col("y"), numFiles = Some(4))
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.toSeq === Seq("x", "y"), "layout key must not leak")
+    assert(back.count() === 1024L)
+  }
+
   test("incrementalAgg: snapshot + delta equals full recompute at any split") {
     val rows = (1L to 200L).map(i => (i % 7, i, i * 3)).toDF("k", "seq", "v")
     val full = rows.groupBy(col("k"))

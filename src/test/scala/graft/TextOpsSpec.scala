@@ -85,4 +85,12 @@ class TextOpsSpec extends GraftSuite {
     assert(got(("same", "same")) === 1.0)
     assert(got(("ab", "cd")) === 0.0) // no matches
   }
+
+  test("jaroWinkler works on UTF-8 BYTES (DuckDB byte-oriented contract)") {
+    // DuckDB-probed values: 'café' is 5 bytes there, not 4 chars.
+    val got = Seq(("café", "cafe"), ("日本", "日木")).toDF("a", "b")
+      .select(TextOps.jaroWinkler(col("a"), col("b")).as("jw"))
+      .as[Double].collect().toSeq
+    assert(got === Seq(0.8483333333333334, 0.9333333333333333))
+  }
 }
