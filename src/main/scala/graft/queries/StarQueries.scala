@@ -219,6 +219,20 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // RANGE frame windows (value-based bounds — the frame family q_window_frame's
+    // ROWS variants don't cover): per customer, running sum/count over orders
+    // within 5000.00 below the current total. RANGE includes peers at equal
+    // order-key values in both engines; integer cents keep the sums exact.
+    "q_window_range" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+        .rangeBetween(-500000L, 0L)
+      o.withColumn("near_sum", sum(col("cents")).over(w))
+        .withColumn("near_n", count(lit(1)).over(w))
+        .orderBy(col("o_custkey"), col("cents"), col("o_orderkey"))
+    },
+
     // percent_rank / cume_dist in INTEGER basis points: the built-ins return
     // (rank-1)/(n-1) doubles whose round-trip through round() is the classic
     // .xxxx5 cross-engine trap — the integer-div formulation over a unique total
@@ -1077,6 +1091,17 @@ object StarQueries {
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity),4) AS wmean_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_range" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey, cents,
+        | CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+        |   RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum,
+        | CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY cents
+        |   RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_n
+        |FROM o ORDER BY o_custkey, cents, o_orderkey""".stripMargin,
 
     "q_window_pctrank" ->
       """WITH r AS (

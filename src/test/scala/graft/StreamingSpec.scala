@@ -349,6 +349,37 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch maintains an incremental aggregate snapshot across batches") {
+    // Streaming materialized view: each micro-batch folds into the per-key
+    // (count, sum) snapshot via Relational.incrementalAgg — |snapshot|+|batch|
+    // work per batch, and the final snapshot must equal the batch recompute
+    // over everything ever streamed.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Iterate
+    val in = MemoryStream[(Long, Long)]
+    var snapshot = Seq.empty[(Long, Long, Long)].toDF("k", "count_n", "v")
+    val q = in.toDF.toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapshot = Iterate.materialize(
+          Relational.incrementalAgg(snapshot, batch, Seq("k"), Seq("v")))
+        ()
+      }
+      .start()
+    try {
+      val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for (b <- 0 until 3) {
+        val rows = (0 until 20).map(i => ((b * 7 + i) % 5L, (b * 100 + i).toLong))
+        all ++= rows
+        in.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      val got = snapshot.as[(Long, Long, Long)].collect().toSet
+      val want = all.groupBy(_._1)
+        .map { case (k, vs) => (k, vs.size.toLong, vs.map(_._2).sum) }.toSet
+      assert(got === want, "snapshot after 3 batches must equal full recompute")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits null rows once the watermark expires") {
     // The outer side can only emit after the watermark proves no match can still
     // arrive — the state-expiry semantics an inner join never exercises.
