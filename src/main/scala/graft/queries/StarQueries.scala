@@ -219,6 +219,27 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Null-semantics battery: nulls PLANTED via nullif (the fixtures carry
+    // none), then the full null algebra — count(*) vs count(col), null-safe
+    // equality (<=> / IS NOT DISTINCT FROM), nvl2 three-way branching,
+    // null-propagating arithmetic — hash-verified. Cross-engine null handling
+    // is the classic silent-divergence source; this pins it.
+    "q_null_semantics" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        expr("nullif(CAST(floor(l_discount * 100) AS BIGINT), 0)").as("disc_c"),
+        // tax_c nullable TOO: both-null rows are the only place null-safe
+        // equality differs from plain equality (197 such rows at sf0.01).
+        expr("nullif(CAST(floor(l_tax * 100) AS BIGINT), 0)").as("tax_c"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("disc_c")).as("n_disc"),                      // nulls excluded
+          sum(when(expr("disc_c <=> tax_c"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+          sum(when(col("disc_c") === col("tax_c"), 1L).otherwise(0L)).as("n_plain_eq"),
+          sum(expr("nvl2(disc_c, 1L, 0L)")).as("n_nvl2"),
+          sum(coalesce(col("disc_c") + col("tax_c"), lit(-1L))).as("sum_null_arith"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // RANGE frame windows (value-based bounds — the frame family q_window_frame's
     // ROWS variants don't cover): per customer, running sum/count over orders
     // within 5000.00 below the current total. RANGE includes peers at equal
@@ -1091,6 +1112,21 @@ object StarQueries {
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity),4) AS wmean_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |   nullif(CAST(floor(l_discount * 100) AS BIGINT), 0) AS disc_c,
+        |   nullif(CAST(floor(l_tax * 100) AS BIGINT), 0) AS tax_c
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(disc_c) AS BIGINT) AS n_disc,
+        | CAST(sum(CASE WHEN disc_c IS NOT DISTINCT FROM tax_c THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        | CAST(sum(CASE WHEN disc_c = tax_c THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+        | CAST(sum(CASE WHEN disc_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nvl2,
+        | CAST(sum(coalesce(disc_c + tax_c, -1)) AS BIGINT) AS sum_null_arith
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_window_range" ->
       """WITH o AS (

@@ -53,4 +53,20 @@ class SourcesSpec extends GraftSuite {
     val batch = base.groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(streamed === batch)
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet batches") {
+    // The ingest reality at 100 TB: a column added mid-stream must not strand
+    // the history. Old batch lacks `source`; merged read nulls it there.
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.parquet(s"$dir/batch=0")
+    Seq((3L, "c", "api"), (4L, "d", "crawl")).toDF("id", "payload", "source")
+      .write.parquet(s"$dir/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("batch", "id", "payload", "source"))
+    val rows = merged.select("id", "source").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some("api"), 4L -> Some("crawl")))
+  }
 }
