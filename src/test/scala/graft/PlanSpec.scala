@@ -135,6 +135,24 @@ class PlanSpec extends GraftSuite {
     assert(hy.contains("BroadcastExchange"), "query vector must broadcast")
   }
 
+  test("wave-2/3 queries keep their designed plan shapes") {
+    // q_merge_upsert: ONE key-shuffle full-outer join, never a nested loop.
+    val mu = planOf("q_merge_upsert")
+    assert(mu.contains("FullOuter") && !mu.contains("BroadcastNestedLoopJoin"), mu.take(500))
+    // q_pii_redact: pure per-row scrub — no aggregation exchange before the
+    // final presentation sort (regex work fuses into the scan stage).
+    val pii = planOf("q_pii_redact")
+    assert(!pii.contains("Exchange hashpartitioning"), "scrub must not shuffle")
+    // q_entity_jaro: in-block enumeration — no cartesian/nested-loop pair join.
+    val ej = planOf("q_entity_jaro")
+    assert(!ej.contains("CartesianProduct") && !ej.contains("BroadcastNestedLoopJoin"))
+    // q_histogram_eqdepth: boundaries broadcast back, never a range-partitioned
+    // global sort of the data (the ntile failure mode).
+    val hq = planOf("q_histogram_eqdepth")
+    assert(hq.contains("BroadcastExchange"))
+    assert(!hq.contains("Exchange rangepartitioning(cents"), "no global data sort")
+  }
+
   test("runtime Bloom-filter pruning injects into a selective fact-fact join") {
     // At 100 TB a shuffle join where one side is selectively filtered should
     // runtime-prune the OTHER side before the exchange (Spark's InjectRuntimeFilter
