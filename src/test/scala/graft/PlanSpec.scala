@@ -14,6 +14,13 @@ class PlanSpec extends GraftSuite {
     SparkEntry.queries(q)(spark, sfTiny).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
 
+  /** Simple-mode plan string — REQUIRED for negative assertions on exchange
+    * partitioning: formatted mode prints bare `Exchange` nodes with their
+    * `hashpartitioning(...)` arguments in a separate detail block, so substring
+    * negations like "Exchange hashpartitioning" are vacuously true there. */
+  private def simplePlanOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfTiny).queryExecution.executedPlan.toString
+
   test("q_agg_pricing pushes the shipdate predicate into the parquet scan") {
     val p = planOf("q_agg_pricing")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
@@ -38,7 +45,7 @@ class PlanSpec extends GraftSuite {
   }
 
   test("q_topk uses TakeOrderedAndProject (no global sort)") {
-    val p = planOf("q_topk")
+    val p = simplePlanOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Exchange rangepartitioning"))
   }
@@ -141,14 +148,14 @@ class PlanSpec extends GraftSuite {
     assert(mu.contains("FullOuter") && !mu.contains("BroadcastNestedLoopJoin"), mu.take(500))
     // q_pii_redact: pure per-row scrub — no aggregation exchange before the
     // final presentation sort (regex work fuses into the scan stage).
-    val pii = planOf("q_pii_redact")
+    val pii = simplePlanOf("q_pii_redact")
     assert(!pii.contains("Exchange hashpartitioning"), "scrub must not shuffle")
     // q_entity_jaro: in-block enumeration — no cartesian/nested-loop pair join.
     val ej = planOf("q_entity_jaro")
     assert(!ej.contains("CartesianProduct") && !ej.contains("BroadcastNestedLoopJoin"))
     // q_histogram_eqdepth: boundaries broadcast back, never a range-partitioned
     // global sort of the data (the ntile failure mode).
-    val hq = planOf("q_histogram_eqdepth")
+    val hq = simplePlanOf("q_histogram_eqdepth")
     assert(hq.contains("BroadcastExchange"))
     assert(!hq.contains("Exchange rangepartitioning(cents"), "no global data sort")
   }
