@@ -268,6 +268,51 @@ object Multimodal {
   }
 
   /**
+   * Nearest-neighbor image resize: decode -> integer-sampled raster
+   * (`ix = ox*w div ow`) -> re-encode BMP. Nearest-neighbor (not bilinear)
+   * because the sampling is pure integer arithmetic — deterministic across
+   * JVMs and exactly replayable by the oracle, which re-derives every sampled
+   * pixel from the planted digest cycle. An interpolating kernel drops in here
+   * unchanged; what the operator pins is the decode -> raster transform ->
+   * encode plumbing.
+   */
+  def resizeImage(bytes: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    require(ow > 0 && oh > 0, s"resize dims must be positive: ${ow}x$oh")
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image container (${bytes.length} bytes)")
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < oh) {
+      val iy = y * img.getHeight / oh
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / ow, iy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Resize features: resize every image blob and decode the RE-ENCODED output
+   * (round-trips the encoder, so a raster or header bug in either direction
+   * breaks the stats). Corrupt inputs are skipped, not thrown (A19 semantics).
+   */
+  def resizeFeatures(media: Dataset[MediaRow], ow: Int, oh: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .flatMap { r =>
+        Try {
+          val (w, h, units, mean, _) = decodeImage(resizeImage(r.content, ow, oh))
+          (r.media_id, w.toLong, h.toLong, units, mean)
+        }.toOption
+      }.toDF("media_id", "rs_w", "rs_h", "n_px", "mean_px")
+  }
+
+  /**
    * Video frame-sampling: parse the container, keep every `everyK`-th decoded frame;
    * returns (media_id, frame_idx, frame) with `frame` the raw BMP blob. Corrupt
    * containers contribute no frames (error-row-skip, not a throw).

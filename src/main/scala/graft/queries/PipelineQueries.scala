@@ -126,6 +126,20 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // Image resize (the remaining multimodal primitive): nearest-neighbor to
+    // 12x8 with an encode round-trip; the oracle re-derives every sampled
+    // pixel from the digest cycle with the same integer sampling arithmetic,
+    // so a one-pixel offset in the resampler breaks the per-image mean.
+    "q_multimodal_resize" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .deriveMediaTable(Tables.documents(s, d)).as[graft.multimodal.MediaRow]
+      graft.multimodal.Multimodal.resizeFeatures(media, 12, 8)
+        .select(col("media_id"), col("rs_w"), col("rs_h"), col("n_px"),
+          round(col("mean_px"), 4).as("mean_px"))
+        .orderBy(col("media_id"))
+    },
+
     // SCD2 history over the keyed change stream (the temporal complement of the
     // A9 last-write-wins store): per-key version chains with validity intervals;
     // the driver-verified epoch-us encoding keeps timestamps cross-engine-stable.
@@ -224,6 +238,26 @@ object PipelineQueries {
         | CAST(w*h AS BIGINT) AS n_px, round(avg(v), 4) AS mean_px
         |FROM b GROUP BY media_id, frame_idx, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Resized pixel (ox, oy) samples source linear index (oy*h//8)*w + ox*w//12,
+    // whose value is digest byte ((..) % 16) — the exact nearest-neighbor
+    // arithmetic of Multimodal.resizeImage replayed per output pixel.
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |   (16 + (doc_id % 4) * 8) AS w, (16 + (doc_id % 2) * 16) AS h, md5(text) AS hx
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id,
+        |   CAST(concat('0x',
+        |     substr(hx, 2 * ((((oy.y * h) // 8) * w + ((ox.x * w) // 12)) % 16) + 1, 2))
+        |    AS INT) AS v
+        |  FROM m
+        |  CROSS JOIN (SELECT unnest(range(12)) AS x) ox
+        |  CROSS JOIN (SELECT unnest(range(8)) AS y) oy)
+        |SELECT media_id, CAST(12 AS BIGINT) AS rs_w, CAST(8 AS BIGINT) AS rs_h,
+        | CAST(count(*) AS BIGINT) AS n_px, round(avg(v), 4) AS mean_px
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "q_scd2_history" ->
       s"""WITH $duckItemsRaw

@@ -134,4 +134,23 @@ class MultimodalSpec extends GraftSuite {
     val (w, h, _, _, _) = Multimodal.decodeImage(first)
     assert(w >= 16 && h >= 16)
   }
+
+  test("resizeImage round-trips down- and up-scales; corrupt inputs skipped") {
+    val src = Multimodal.encodeBmp(Multimodal.digestVals("resize-me"), 16, 16)
+    val (dw, dh, n, _, _) = Multimodal.decodeImage(Multimodal.resizeImage(src, 4, 6))
+    assert((dw, dh, n) === ((4, 6, 24L)))
+    // Upscale: nearest-neighbor replicates pixels; mean of a 2x source block
+    // structure is preserved exactly when dims divide.
+    val (uw, uh, un, _, _) = Multimodal.decodeImage(Multimodal.resizeImage(src, 32, 32))
+    assert((uw, uh, un) === ((32, 32, 1024L)))
+    // Exact pixel check: output (x,y) must equal source (x*16/32, y*16/32).
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(src, 32, 32)))
+    val s0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+    assert(up.getRGB(31, 31) === s0.getRGB(15, 15))
+    assert(up.getRGB(2, 3) === s0.getRGB(1, 1))
+    // Corrupt input: resizeFeatures drops the row, never throws.
+    val bad = Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3), 16, 16, 0)).toDS()
+    assert(Multimodal.resizeFeatures(bad, 4, 4).count() === 0L)
+  }
 }
