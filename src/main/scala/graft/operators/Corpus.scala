@@ -322,6 +322,33 @@ object Corpus {
   }
 
   /**
+   * Domain-mixing materialization: apply [[mixWeights]]'s integer repeat factors to
+   * the corpus itself, emitting one row per (document, copy). A factor of
+   * `repeat_bp` basis points becomes `repeat_bp div 10000` whole copies plus one
+   * extra copy for the deterministic `repeat_bp mod 10000` / 10000 fraction of
+   * documents, selected by an md5 hash of the doc id (same RNG-free posture as
+   * [[hashSplit]] — membership is stable under corpus growth and re-runs).
+   *
+   * Scale shape: the per-source weights table broadcasts (sources are few), the
+   * corpus streams once through `explode(sequence(...))` — output size is the
+   * planned token budget, never an intermediate blow-up. Fractional selection uses
+   * a different hash salt than the train split so epoch-resampling never correlates
+   * with split assignment.
+   */
+  def materializeMix(docs: DataFrame): DataFrame = {
+    val w = mixWeights(docs).select(col("source"), col("repeat_bp"))
+    val frac = pmod(
+      TextOps.md5Long(concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000))
+    docs.join(broadcast(w), "source")
+      .withColumn("n_copies",
+        expr("repeat_bp div 10000") +
+          when(frac < col("repeat_bp") % 10000L, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
+  /**
    * Benchmark decontamination (the eval-leak scan every serious training-data
    * pipeline runs): find corpus documents sharing at least `minShared` distinct
    * word `n`-grams with any benchmark document. Returns one row per contaminated

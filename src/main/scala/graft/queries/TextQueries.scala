@@ -255,6 +255,14 @@ object TextQueries {
       Corpus.mixWeights(Tables.documents(s, d)).orderBy(col("source"))
     },
 
+    // Mixing plan APPLIED: the per-(doc, copy) resample q_mix_weights only plans.
+    // Whole copies from repeat_bp div 10000, the fractional remainder by md5-hash
+    // membership — every emitted row is individually hash-verified.
+    "q_mix_materialize" -> { (s, d) =>
+      Corpus.materializeMix(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+
     // BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf): top-20 docs for a fixed
     // 3-term query (see bm25Scores for the determinism contract).
     "q_text_bm25" -> { (s, d) =>
@@ -713,6 +721,21 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_mix_materialize" ->
+      """WITH per AS (SELECT source, sum(len(string_split(text,' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens) AS total_tok, count(*) AS n_sources FROM per),
+        |w AS (SELECT source,
+        |  CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp
+        |  FROM per CROSS JOIN tot),
+        |d AS (SELECT doc_id, d.source,
+        |  repeat_bp // 10000 +
+        |  CASE WHEN CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000
+        |       < repeat_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+        |FROM d WHERE n_copies >= 1 ORDER BY doc_id, copy_idx""".stripMargin,
 
     "q_text_bigram" ->
       """WITH toks AS (

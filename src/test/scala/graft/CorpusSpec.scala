@@ -230,6 +230,25 @@ class CorpusSpec extends GraftSuite {
       ("s2", 100L, 2500L, 20000L, 200L)))
   }
 
+  test("materializeMix applies whole copies exactly and fractions by stable hash") {
+    // Same 300/100-token fixture as mixWeights: s1 repeats at 6666 bp (0 whole
+    // copies — the single doc survives iff its hash lands under 6666/10000),
+    // s2 at 20000 bp (exactly 2 whole copies, fraction 0 — never a third).
+    val docs = Seq(
+      (1L, "s1", (1 to 300).map(_ => "t").mkString(" ")),
+      (2L, "s2", (1 to 100).map(_ => "t").mkString(" "))).toDF("doc_id", "source", "text")
+    val out = Corpus.materializeMix(docs)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted
+    val s2Copies = out.filter(_._1 == 2L).map(_._2)
+    assert(s2Copies === Array(1L, 2L), "20000 bp must yield exactly 2 copies")
+    val s1Copies = out.filter(_._1 == 1L)
+    assert(s1Copies.length <= 1, "6666 bp can never yield more than 1 copy")
+    // Determinism: a second evaluation reproduces the same membership.
+    val again = Corpus.materializeMix(docs)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted
+    assert(again === out)
+  }
+
   test("iterative ops switch to reliable checkpoints when a checkpoint dir is set") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("reliable-ckpt")
