@@ -79,6 +79,20 @@ object TextOps {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Unicode NFC normalization (see [[graft.plans.NormalizeNfc]]; oracle twin is
+    * DuckDB's `nfc_normalize`). */
+  def normalizeNfc(s: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.NormalizeNfc(GraftBridge.expression(s)))
+  }
+
+  /** Accent folding via NFD + combining-mark removal (see
+    * [[graft.plans.StripAccents]]; oracle twin is DuckDB's `strip_accents`). */
+  def stripAccents(s: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.StripAccents(GraftBridge.expression(s)))
+  }
+
   /** Ratio of tokens present in `stopwords` (quality-scoring ingredient). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

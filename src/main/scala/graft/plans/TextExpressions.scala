@@ -153,3 +153,61 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/**
+ * `normalize_nfc(s)`: Unicode NFC normalization (canonical decomposition followed
+ * by canonical composition) — the corpus-ingest primitive that makes byte-level
+ * dedup/hashing meaningful across sources that emit the same text in composed vs
+ * decomposed form (e.g. "é" as U+00E9 vs "e"+U+0301 hash differently until
+ * normalized). Spark has no built-in; DuckDB ships `nfc_normalize` — the oracle
+ * pins this expression byte-identical to it. One `java.text.Normalizer` call per
+ * row (CodegenFallback: the library call IS the work).
+ */
+case class NormalizeNfc(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // Fast path: NFC-normalized is the common case (all-ASCII trivially is);
+    // isNormalized is a scan without allocation.
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `strip_accents(s)`: accent/diacritic folding — canonical decomposition (NFD),
+ * drop combining marks (Unicode category Mn), recompose (NFC). The text-cleaning
+ * step language-ID and fuzzy matching run before comparing tokens ("café" ==
+ * "cafe"). Matches DuckDB's `strip_accents` on all Latin-1 accented letters (both
+ * reduce them to the base letter by removing the combining mark NFD exposes);
+ * letters with no canonical decomposition (ø, ł) are left alone by both dialects'
+ * decomposition path.
+ */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.forall(_ < 0x80)) return input  // pure-ASCII fast path (ASCII is NFC)
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -255,6 +255,27 @@ object TextQueries {
       Corpus.mixWeights(Tables.documents(s, d)).orderBy(col("source"))
     },
 
+    // Unicode normalization (B67): the corpus is re-accented deterministically
+    // (translate aiou -> precomposed accents, e -> decomposed e+U+0301), then NFC
+    // must compose the combining pairs (len shrinks to the original), byte-hash
+    // identically to DuckDB's nfc_normalize, and accent-folding must round-trip to
+    // the original text. Exercises both native expressions on every document.
+    "q_text_normalize" -> { (s, d) =>
+      val accented = regexp_replace(
+        translate(col("text"), "aiou", "àîöú"),
+        "e", "é") // decomposed: e + U+0301 COMBINING ACUTE
+      Tables.documents(s, d)
+        .select(col("doc_id"), accented.as("accented"))
+        .select(col("doc_id"),
+          length(col("accented")).cast("long").as("len_raw"),
+          TextOps.normalizeNfc(col("accented")).as("nfc"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          md5(col("nfc")).as("nfc_md5"),
+          md5(TextOps.stripAccents(col("nfc"))).as("stripped_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Mixing plan APPLIED: the per-(doc, copy) resample q_mix_weights only plans.
     // Whole copies from repeat_bp div 10000, the fractional remainder by md5-hash
     // membership — every emitted row is individually hash-verified.
@@ -721,6 +742,20 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // chr(224/238/246/250) = precomposed à î ö ú; chr(769) = COMBINING ACUTE —
+    // spelled as codepoints so the SQL dump is encoding-proof.
+    "q_text_normalize" ->
+      """WITH a AS (SELECT doc_id, text,
+        |  regexp_replace(
+        |    translate(text, 'aiou', chr(224)||chr(238)||chr(246)||chr(250)),
+        |    'e', 'e'||chr(769), 'g') AS accented FROM documents),
+        |n AS (SELECT doc_id, text, accented, nfc_normalize(accented) AS nfc FROM a)
+        |SELECT doc_id, CAST(length(accented) AS BIGINT) AS len_raw,
+        | CAST(length(nfc) AS BIGINT) AS len_nfc,
+        | md5(nfc) AS nfc_md5,
+        | md5(strip_accents(nfc)) AS stripped_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_mix_materialize" ->
       """WITH per AS (SELECT source, sum(len(string_split(text,' '))) AS n_tokens

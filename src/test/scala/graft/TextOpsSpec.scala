@@ -93,4 +93,32 @@ class TextOpsSpec extends GraftSuite {
       .as[Double].collect().toSeq
     assert(got === Seq(0.8483333333333334, 0.9333333333333333))
   }
+
+  test("normalizeNfc composes decomposed sequences and is identity on NFC text") {
+    // "e" + U+0301 composes to U+00E9; already-composed and ASCII pass through.
+    val df = Seq(("e\u0301", "caf\u00e9", "plain")).toDF("d", "c", "p")
+    val r = df.select(
+      TextOps.normalizeNfc(col("d")).as("d2"),
+      length(TextOps.normalizeNfc(col("d"))).as("dl"),
+      TextOps.normalizeNfc(col("c")).as("c2"),
+      TextOps.normalizeNfc(col("p")).as("p2")).collect().head
+    assert(r.getString(0) === "\u00e9" && r.getInt(1) === 1)
+    assert(r.getString(2) === "caf\u00e9" && r.getString(3) === "plain")
+  }
+
+  test("stripAccents folds composed AND decomposed accents; ascii and null safe") {
+    val df = Seq(
+      (s"caf\u00e9 na\u00efve e\u0301clair", Option("x")),
+      ("ascii only", Option.empty[String])).toDF("t", "n")
+    val got = df.select(
+      TextOps.stripAccents(col("t")).as("s"),
+      TextOps.stripAccents(col("n")).as("sn")).collect()
+    assert(got(0).getString(0) === "cafe naive eclair")
+    assert(got(1).getString(0) === "ascii only")
+    assert(got(1).isNullAt(1))
+    // Non-decomposable letters are untouched (same posture as DuckDB's NFD path).
+    val od = Seq("bl\u00f8d").toDF("t")
+      .select(TextOps.stripAccents(col("t"))).collect().head.getString(0)
+    assert(od === "bl\u00f8d")
+  }
 }
