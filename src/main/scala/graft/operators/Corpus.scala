@@ -322,6 +322,36 @@ object Corpus {
   }
 
   /**
+   * Audited count-min-sketch heavy hitters (same contract family as
+   * q_approx_distinct's HLL audit): the top-`k` terms by EXACT count, each carrying
+   * two sketch-audit booleans — `est_ge_exact` (CMS can only overestimate — holds
+   * unconditionally) and `est_within_bound` (estimate ≤ exact + ⌈eps·N⌉, the sketch's
+   * accuracy guarantee at `confidence`). The estimates themselves are
+   * hash-seed-dependent, so the verified surface is the exact counts plus the
+   * guarantee booleans — deterministic under the fixed seed.
+   *
+   * Scale shape: the sketch is the 100 TB path — one mergeable pass, fixed
+   * O(width·depth) memory per executor, no shuffle of term space; probing is
+   * driver-side O(k). The exact top-k here is the AUDIT side (one term-keyed agg),
+   * present precisely so the oracle can check the sketch against ground truth.
+   */
+  def heavyHittersAudited(docs: DataFrame, k: Int = 20, eps: Double = 5e-4,
+                          confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+    val sketch = toks.stat.countMinSketch("term", eps, confidence, seed)
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(k)
+      .as[(String, Long)].collect()
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    spark.createDataset(exact.toSeq.map { case (term, cnt) =>
+      val est = sketch.estimateCount(term)
+      (term, cnt, est >= cnt, est <= cnt + bound)
+    }).toDF("term", "exact_cnt", "est_ge_exact", "est_within_bound")
+  }
+
+  /**
    * Domain-mixing materialization: apply [[mixWeights]]'s integer repeat factors to
    * the corpus itself, emitting one row per (document, copy). A factor of
    * `repeat_bp` basis points becomes `repeat_bp div 10000` whole copies plus one

@@ -255,6 +255,14 @@ object TextQueries {
       Corpus.mixWeights(Tables.documents(s, d)).orderBy(col("source"))
     },
 
+    // Audited CMS heavy hitters (B68): exact top-20 terms + the sketch's two
+    // guarantee booleans (overestimate-only, eps-bound) under a fixed seed —
+    // the q_approx_distinct contract applied to count-min.
+    "q_approx_heavyhitters" -> { (s, d) =>
+      Corpus.heavyHittersAudited(Tables.documents(s, d))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    },
+
     // Unicode normalization (B67): the corpus is re-accented deterministically
     // (translate aiou -> precomposed accents, e -> decomposed e+U+0301), then NFC
     // must compose the combining pairs (len shrinks to the original), byte-hash
@@ -742,6 +750,14 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_approx_heavyhitters" ->
+      """SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        | TRUE AS est_ge_exact, TRUE AS est_within_bound
+        |FROM (SELECT term, count(*) AS exact_cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |      GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20)
+        |ORDER BY exact_cnt DESC, term""".stripMargin,
 
     // chr(224/238/246/250) = precomposed à î ö ú; chr(769) = COMBINING ACUTE —
     // spelled as codepoints so the SQL dump is encoding-proof.

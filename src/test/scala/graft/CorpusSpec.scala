@@ -249,6 +249,20 @@ class CorpusSpec extends GraftSuite {
     assert(again === out)
   }
 
+  test("heavyHittersAudited: exact top-k ranks, CMS guarantees hold on planted skew") {
+    // 60 docs: "hot" appears 3x/doc (180), "warm" 1x/doc (60), plus per-doc unique
+    // noise terms - the classic heavy-hitter shape CMS is built for.
+    val docs = (1 to 60).map { i =>
+      (i.toLong, "s", s"hot hot hot warm noise$i")
+    }.toDF("doc_id", "source", "text")
+    val out = Corpus.heavyHittersAudited(docs, k = 2)
+      .as[(String, Long, Boolean, Boolean)].collect()
+      .sortBy { case (t, c, _, _) => (-c, t) }
+    assert(out.map(r => (r._1, r._2)) === Array(("hot", 180L), ("warm", 60L)))
+    assert(out.forall(_._3), "CMS must never underestimate")
+    assert(out.forall(_._4), "estimates must sit inside the eps*N bound")
+  }
+
   test("iterative ops switch to reliable checkpoints when a checkpoint dir is set") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("reliable-ckpt")
