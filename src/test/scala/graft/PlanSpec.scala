@@ -160,6 +160,23 @@ class PlanSpec extends GraftSuite {
     assert(!hq.contains("Exchange rangepartitioning(cents"), "no global data sort")
   }
 
+  test("round-3 additions keep their designed plan shapes") {
+    // q_mix_materialize: the per-source weights join must broadcast (the corpus
+    // never shuffles on source), and the copy explosion is a Generate node.
+    val mm = SparkEntry.queries("q_mix_materialize")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(mm.contains("BroadcastHashJoin") && mm.contains("Generate"),
+      mm.take(600))
+    assert(!mm.contains("SortMergeJoin"), "weights join must not shuffle the corpus")
+    // q_text_normalize: pure per-row expression work - no exchange before the
+    // presentation sort.
+    val tn = simplePlanOf("q_text_normalize")
+    assert(tn.contains("normalize_nfc") || tn.contains("NormalizeNfc") ||
+      tn.contains("staticinvoke") || tn.contains("strip_accents"),
+      s"native expressions must appear in the plan:\n${tn.take(600)}")
+    assert(!tn.contains("Exchange hashpartitioning"), "normalization must not shuffle")
+  }
+
   test("runtime Bloom-filter pruning injects into a selective fact-fact join") {
     // At 100 TB a shuffle join where one side is selectively filtered should
     // runtime-prune the OTHER side before the exchange (Spark's InjectRuntimeFilter
