@@ -697,6 +697,18 @@ object StarQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ANALYZE surface (B69): per-column CBO statistics in one table pass —
+    // row count, non-null count, exact NDV, min/max. Timestamp column pre-cast
+    // to DATE so both engines render min/max identically.
+    "q_table_stats" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("l_ship_day", to_date(col("l_shipdate")))
+      Relational.tableStats(li,
+        Seq("l_orderkey", "l_partkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_ship_day"))
+        .orderBy(col("col_name"))
+    },
+
     // DECIMAL exact money arithmetic: the one aggregation family that needs NO
     // round() anywhere — fixed-point sums are exact by type, the strongest
     // determinism posture for financial columns (the double-sum queries above
@@ -1172,6 +1184,27 @@ object StarQueries {
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_table_stats" ->
+      """WITH t AS (SELECT l_orderkey, l_partkey, l_linenumber, l_returnflag,
+        |  l_linestatus, CAST(l_shipdate AS DATE) AS l_ship_day FROM lineitem),
+        |s AS (
+        | SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(l_orderkey) AS n_nonnull,
+        |  count(DISTINCT l_orderkey) AS ndv, CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM t
+        | UNION ALL SELECT 'l_partkey', count(*), count(l_partkey), count(DISTINCT l_partkey),
+        |  CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM t
+        | UNION ALL SELECT 'l_linenumber', count(*), count(l_linenumber), count(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM t
+        | UNION ALL SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag) FROM t
+        | UNION ALL SELECT 'l_linestatus', count(*), count(l_linestatus), count(DISTINCT l_linestatus),
+        |  min(l_linestatus), max(l_linestatus) FROM t
+        | UNION ALL SELECT 'l_ship_day', count(*), count(l_ship_day), count(DISTINCT l_ship_day),
+        |  CAST(min(l_ship_day) AS VARCHAR), CAST(max(l_ship_day) AS VARCHAR) FROM t)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        | CAST(ndv AS BIGINT) AS ndv, min_val, max_val
+        |FROM s ORDER BY col_name""".stripMargin,
 
     "q_agg_decimal" ->
       """SELECT l_returnflag,

@@ -172,4 +172,19 @@ class RelationalSpec extends GraftSuite {
       (3L, 30L, "keep"),     // matched, no condition fires -> target wins
       (5L, 50L, "insert")))  // source-only
   }
+
+  test("tableStats: exact NDV, null accounting, string min/max in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("c")),
+      (None, Some("a"))).toDF("k", "v")
+    val stats = Relational.tableStats(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats("k") === ("k", 4L, 3L, 2L, "1", "2"))
+    assert(stats("v") === ("v", 4L, 3L, 2L, "a", "c"))
+    // One pass: a single leaf scan feeds the whole stats plan.
+    val plan = Relational.tableStats(df, Seq("k", "v")).queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    assert(leaves.length === 1, s"expected one scan, got ${leaves.length}")
+  }
 }
