@@ -255,6 +255,21 @@ object TextQueries {
       Corpus.mixWeights(Tables.documents(s, d)).orderBy(col("source"))
     },
 
+    // Row-level provenance (B70): the engine's hidden _metadata columns give every
+    // row its source file and in-file position — the lineage a 100 TB debugging
+    // session starts from ("which shard produced this bad doc?"). The driver
+    // writes documents.parquet ordered by doc_id, so the oracle predicts
+    // row_index exactly; read directly (not via Tables) since _metadata resolves
+    // on the file-source relation.
+    "q_provenance" -> { (s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").cast("long").as("row_idx"))
+        .withColumn("idx_matches_id", col("row_idx") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Audited CMS heavy hitters (B68): exact top-20 terms + the sketch's two
     // guarantee booleans (overestimate-only, eps-bound) under a fixed seed —
     // the q_approx_distinct contract applied to count-min.
@@ -750,6 +765,11 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_provenance" ->
+      """SELECT doc_id, 'documents.parquet' AS file_name,
+        | CAST(doc_id AS BIGINT) AS row_idx, TRUE AS idx_matches_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_approx_heavyhitters" ->
       """SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,

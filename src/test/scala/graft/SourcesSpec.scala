@@ -69,4 +69,19 @@ class SourcesSpec extends GraftSuite {
       .collect().toMap
     assert(rows === Map(1L -> None, 2L -> None, 3L -> Some("api"), 4L -> Some("crawl")))
   }
+
+  test("_metadata row_index stays file-absolute when the read splits") {
+    // Force many tiny splits: row_index must still be the position in the FILE,
+    // not within a split - the invariant q_provenance's oracle relies on.
+    val dir = tmpDir("prov")
+    spark.range(0, 1000).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val tight = spark.read.parquet(dir)
+        .select(col("id"), col("_metadata.row_index").as("ri"))
+      assert(tight.rdd.getNumPartitions > 1, "split forcing must engage")
+      assert(tight.filter(col("id") =!= col("ri")).count() === 0L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
