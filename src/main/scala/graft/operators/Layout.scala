@@ -51,4 +51,33 @@ object Layout {
     repart.sortWithinPartitions(col("__zkey")).drop("__zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Small-file compaction (the OPTIMIZE of Delta/Iceberg, minus the table format):
+   * rewrite a parquet directory into `ceil(totalBytes / targetBytes)` files.
+   * Small files are the silent 100 TB killer — a 1 M-file table spends more time
+   * in scheduler/namenode round trips than in I/O, and every downstream scan pays
+   * it again. Compaction here is a shuffle-free `coalesce` (pack existing
+   * partitions; no reordering needed — layout-preserving), written to a fresh
+   * directory the caller swaps in: compaction must never rewrite in place, or a
+   * mid-job failure destroys the only copy.
+   *
+   * Returns (filesBefore, filesAfter, bytesBefore) for the caller's audit log.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long): (Int, Int, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(hconf)
+    val parts = fs.listStatus(in)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, outFiles, bytes)
+  }
 }

@@ -44,6 +44,21 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // Deterministic pseudonymization (B71): GDPR-shaped key tokenization — user
+    // ids become salted SHA-256 tokens (versioned pepper: rotate the literal to
+    // re-key the corpus), analytics re-aggregate on the token with no way back to
+    // the id. Pure codegen'd scalar + one keyed agg; the oracle recomputes the
+    // same tokens, so the hash gate also proves cross-engine token stability.
+    "q_pseudonymize" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(sha2(concat(lit("pepper-v1:"), col("user_id").cast("string")), 256)
+          .as("token"), col("event_type"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("token"))
+    },
+
     // A14/B15: schema-on-read JSON extraction from the props payload.
     "q_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -371,6 +386,11 @@ object EventQueries {
         |  AND NOT EXISTS (SELECT 1 FROM events p
         |    WHERE p.event_id % 3 = 0 AND p.event_id = e.event_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT sha256('pepper-v1:' || CAST(user_id AS VARCHAR)) AS token,
+        | count(*) AS n_events, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY 1 ORDER BY token""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract(props,'$.k') AS BIGINT) % 10 AS k_mod,

@@ -187,4 +187,26 @@ class RelationalSpec extends GraftSuite {
     val leaves = plan.collectLeaves()
     assert(leaves.length === 1, s"expected one scan, got ${leaves.length}")
   }
+
+  test("compact rewrites many small files into the byte-targeted count, losslessly") {
+    import graft.operators.Layout
+    val in = tmpDir("compact_in"); val out = tmpDir("compact_out")
+    val df = spark.range(0, 2000).toDF("id").withColumn("v", col("id") % 7)
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    val (before, after, bytes) = Layout.compact(spark, in, out, targetBytes = bytesFor(in) / 2 + 1)
+    assert(before === 40)
+    assert(after <= 2, s"expected <=2 output files, got $after")
+    assert(bytes > 0)
+    // Lossless: same row multiset, same schema.
+    val a = spark.read.parquet(in); val b = spark.read.parquet(out)
+    assert(b.schema === a.schema)
+    assert(b.exceptAll(a).count() === 0 && a.exceptAll(b).count() === 0)
+  }
+
+  private def bytesFor(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
 }
