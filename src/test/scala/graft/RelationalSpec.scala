@@ -173,7 +173,7 @@ class RelationalSpec extends GraftSuite {
       (5L, 50L, "insert")))  // source-only
   }
 
-  test("tableStats: exact NDV, null accounting, string min/max in one pass") {
+  test("tableStats: exact NDV, null accounting, per-column pruned scans") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("c")),
       (None, Some("a"))).toDF("k", "v")
@@ -182,10 +182,12 @@ class RelationalSpec extends GraftSuite {
       .map(r => r._1 -> r).toMap
     assert(stats("k") === ("k", 4L, 3L, 2L, "1", "2"))
     assert(stats("v") === ("v", 4L, 3L, 2L, "a", "c"))
-    // One pass: a single leaf scan feeds the whole stats plan.
+    // Per-column pruned scans: one leaf per column, each reading ONLY its
+    // column (the wide-pass alternative Expands every row once per distinct).
     val plan = Relational.tableStats(df, Seq("k", "v")).queryExecution.optimizedPlan
     val leaves = plan.collectLeaves()
-    assert(leaves.length === 1, s"expected one scan, got ${leaves.length}")
+    assert(leaves.length === 2, s"expected one pruned scan per column:\n$plan")
+    assert(leaves.forall(_.output.length === 1), s"scans must prune to 1 column:\n$plan")
   }
 
   test("compact rewrites many small files into the byte-targeted count, losslessly") {
