@@ -364,9 +364,16 @@ object Corpus {
    * planned token budget, never an intermediate blow-up. Fractional selection uses
    * a different hash salt than the train split so epoch-resampling never correlates
    * with split assignment.
+   *
+   * `maxRepeatBp` caps the up-sampling factor (default 20 epochs): uniform
+   * rebalance against a rare source would otherwise demand an unbounded repeat —
+   * a 1-token source in a 1M-token mix asks for ~10^9 bp, and `sequence()` would
+   * materialize it. Every real mixing recipe caps epochs for the same reason
+   * (repetition stops helping long before that); the cap is mirrored in the oracle.
    */
-  def materializeMix(docs: DataFrame): DataFrame = {
-    val w = mixWeights(docs).select(col("source"), col("repeat_bp"))
+  def materializeMix(docs: DataFrame, maxRepeatBp: Long = 200000L): DataFrame = {
+    val w = mixWeights(docs)
+      .select(col("source"), least(col("repeat_bp"), lit(maxRepeatBp)).as("repeat_bp"))
     val frac = pmod(
       TextOps.md5Long(concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000))
     docs.join(broadcast(w), "source")

@@ -798,7 +798,7 @@ object TextQueries {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT sum(n_tokens) AS total_tok, count(*) AS n_sources FROM per),
         |w AS (SELECT source,
-        |  CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp
+        |  LEAST(CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT), 200000) AS repeat_bp
         |  FROM per CROSS JOIN tot),
         |d AS (SELECT doc_id, d.source,
         |  repeat_bp // 10000 +

@@ -247,6 +247,14 @@ class CorpusSpec extends GraftSuite {
     val again = Corpus.materializeMix(docs)
       .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted
     assert(again === out)
+    // Epoch cap: a 1-token source in a 3000-token mix asks for a huge repeat
+    // factor; the cap must clamp it (here to 3 copies), not materialize it.
+    val skewed = Seq(
+      (1L, "big", (1 to 3000).map(_ => "t").mkString(" ")),
+      (2L, "rare", "t")).toDF("doc_id", "source", "text")
+    val capped = Corpus.materializeMix(skewed, maxRepeatBp = 30000L)
+      .filter(col("doc_id") === 2L).count()
+    assert(capped === 3L, s"cap must clamp the rare source, got $capped copies")
   }
 
   test("heavyHittersAudited: exact top-k ranks, CMS guarantees hold on planted skew") {
