@@ -39,6 +39,12 @@ object Bench {
     // nothing and times the full surface).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")} " +
+          "— a typo would otherwise bench nothing and print total=0 as a clean run")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -334,6 +334,11 @@ object Corpus {
    * O(width·depth) memory per executor, no shuffle of term space; probing is
    * driver-side O(k). The exact top-k here is the AUDIT side (one term-keyed agg),
    * present precisely so the oracle can check the sketch against ground truth.
+   *
+   * NOTE: unlike the rest of the query surface, this executes EAGERLY at call time
+   * (sketch build + audit collect) and returns a small local DataFrame — the same
+   * driver-materialized posture as [[Similarity.kmeansCentroids]]' Lloyd steps;
+   * callers wanting only a plan/schema should not call it.
    */
   def heavyHittersAudited(docs: DataFrame, k: Int = 20, eps: Double = 5e-4,
                           confidence: Double = 0.999, seed: Int = 42): DataFrame = {

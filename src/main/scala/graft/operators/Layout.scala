@@ -70,14 +70,29 @@ object Layout {
     val hconf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inPath)
     val fs = in.getFileSystem(hconf)
-    val parts = fs.listStatus(in)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // Enforce the never-in-place contract on QUALIFIED paths (trailing slashes,
+    // relative paths, and scheme aliases must not slip past it): overwrite mode
+    // deletes outPath before the read job runs.
+    val inQ = fs.makeQualified(in)
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(inQ != outQ, s"compact must never rewrite in place: $inQ")
+    // Recursive listing: partitioned tables keep their files under key=val/
+    // subdirectories; a top-level listing would size them at zero.
+    def parquetFiles(root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) out += s
+      }
+      out.result()
+    }
+    val parts = parquetFiles(in)
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath).coalesce(nOut)
       .write.mode("overwrite").parquet(outPath)
-    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val outFiles = parquetFiles(outQ).length
     (parts.length, outFiles, bytes)
   }
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *
  * Injected SQL functions: `vec_dot`, `vec_cosine` (fused array<float> kernels),
  * `word_shingles(text, n)` (one-pass word n-grams), `jaro_winkler(a, b)`
- * (record-linkage similarity, DuckDB-bit-exact).
+ * (record-linkage similarity, DuckDB-bit-exact), `md5_prefix60(s)` (60-bit md5
+ * hash), `normalize_nfc(s)` / `strip_accents(s)` (Unicode normalization,
+ * DuckDB-byte-exact).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -43,5 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]."),
       (args: Seq[Expression]) => JaroWinkler(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60", "md5_prefix60(s) - first 60 md5 bits as a non-negative bigint."),
+      (args: Seq[Expression]) => Md5Prefix60(args.head)))
+    e.injectFunction((FunctionIdentifier("normalize_nfc"),
+      info("normalize_nfc", "normalize_nfc(s) - Unicode NFC normalization."),
+      (args: Seq[Expression]) => NormalizeNfc(args.head)))
+    e.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(s) - fold accents via NFD + Mn removal."),
+      (args: Seq[Expression]) => StripAccents(args.head)))
   }
 }

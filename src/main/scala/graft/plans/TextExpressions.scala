@@ -199,11 +199,14 @@ case class StripAccents(child: Expression)
     if (s.forall(_ < 0x80)) return input  // pure-ASCII fast path (ASCII is NFC)
     val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // Iterate by CODEPOINT: Character.getType on a bare surrogate char reports
+    // SURROGATE, so char-wise filtering would let astral (non-BMP) combining
+    // marks through — diverging from DuckDB, which strips them.
     var i = 0
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))

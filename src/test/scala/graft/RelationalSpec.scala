@@ -203,6 +203,11 @@ class RelationalSpec extends GraftSuite {
     val a = spark.read.parquet(in); val b = spark.read.parquet(out)
     assert(b.schema === a.schema)
     assert(b.exceptAll(a).count() === 0 && a.exceptAll(b).count() === 0)
+    // The never-in-place contract is enforced, even through path aliasing.
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, in + "/", targetBytes = 1L)
+    }
+    assert(e.getMessage.contains("in place"))
   }
 
   private def bytesFor(dir: String): Long = {

@@ -120,5 +120,11 @@ class TextOpsSpec extends GraftSuite {
     val od = Seq("bl\u00f8d").toDF("t")
       .select(TextOps.stripAccents(col("t"))).collect().head.getString(0)
     assert(od === "bl\u00f8d")
+    // Astral (non-BMP) combining marks strip too: U+11100 CHAKMA CANDRABINDU is
+    // Mn but lives above the BMP - char-wise getType sees surrogates and would
+    // keep it (DuckDB strips it; codepoint iteration matches).
+    val astral = Seq("a\ud804\udd00b").toDF("t")
+      .select(TextOps.stripAccents(col("t"))).collect().head.getString(0)
+    assert(astral === "ab")
   }
 }
