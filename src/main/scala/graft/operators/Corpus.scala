@@ -322,6 +322,29 @@ object Corpus {
   }
 
   /**
+   * Leakage-safe train/valid/test split: near-duplicate documents must never
+   * straddle a split boundary — a test doc with a train-side near-twin is silent
+   * eval contamination, the failure mode a per-doc hash split cannot prevent.
+   * Composition: connected components over the near-dup pair graph assign every
+   * doc a group id (its cluster minimum; singletons group with themselves), then
+   * the [[hashSplit]] hash is taken over the GROUP id, so whole clusters move as
+   * one. Using the same `split:` salt keeps singleton assignments identical to
+   * the plain per-doc split — adding dedup pairs only ever moves cluster members,
+   * never the untouched majority.
+   *
+   * Scale shape: CC is the iterative min-label kernel (checkpointed lineage), the
+   * label join is one shuffle on doc_id, the split itself is a per-row hash.
+   */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl"))
+    val grouped = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("lbl"), col("doc_id"))).drop("lbl")
+    hashSplit(grouped, "group_id", trainPct, validPct)
+  }
+
+  /**
    * Audited count-min-sketch heavy hitters (same contract family as
    * q_approx_distinct's HLL audit): the top-`k` terms by EXACT count, each carrying
    * two sketch-audit booleans — `est_ge_exact` (CMS can only overestimate — holds

@@ -174,6 +174,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Leakage-safe split (B73): whole near-dup clusters move to one split —
+    // the hash is taken over the connected-component group id, so a test doc
+    // can never have a train-side near-twin. Singletons keep their plain
+    // per-doc assignment (same split: salt).
+    "q_split_leakage_safe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, 3, 8, 2, 0.8)
+      Corpus.leakageSafeSplit(docs, pairs)
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic stratified train/valid/test split (80/10/10 by hashed id):
     // per-(split, lang) corpus accounting. Hash-split, not randomSplit — stable
     // under corpus growth and reproducible cross-engine.
@@ -633,6 +645,25 @@ object TextQueries {
          |SELECT id AS doc_id, cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $duckMinhashPairs,
+         |np AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+         |          UNION SELECT id_b, id_a FROM np),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id),
+         |comp AS (SELECT id, min(lbl) AS lbl FROM walk GROUP BY id),
+         |g AS (SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, group_id,
+         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT *,
+         |  CAST(concat('0x', substr(md5('split:' || CAST(group_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+         |  FROM g)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_train_split" ->
       """WITH s AS (

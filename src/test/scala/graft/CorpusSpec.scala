@@ -257,6 +257,25 @@ class CorpusSpec extends GraftSuite {
     assert(capped === 3L, s"cap must clamp the rare source, got $capped copies")
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons keep per-doc split") {
+    val docs = Tables.documents(spark, sfTiny)
+    val pairs = Dedup.minhashNearDupPairs(docs, 3, 8, 2, 0.8)
+    assert(pairs.count() > 0, "fixture must contain planted near-dup pairs")
+    val out = Corpus.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "group_id", "split").as[(Long, Long, String)].collect()
+    // Co-assignment: every group maps to exactly one split.
+    val perGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(perGroup.values.forall(_ === 1), "a cluster straddles a split boundary")
+    // Singletons (group == own id, no pair membership) match the plain hash split.
+    val paired = pairs.select("id_a").union(pairs.select("id_b"))
+      .distinct().as[Long].collect().toSet
+    val plain = Corpus.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(r => !paired.contains(r._1)).foreach { case (id, g, s) =>
+      assert(g === id && s === plain(id), s"singleton $id moved: $s vs ${plain(id)}")
+    }
+  }
+
   test("heavyHittersAudited: exact top-k ranks, CMS guarantees hold on planted skew") {
     // 60 docs: "hot" appears 3x/doc (180), "warm" 1x/doc (60), plus per-doc unique
     // noise terms - the classic heavy-hitter shape CMS is built for.
