@@ -59,6 +59,22 @@ object EventQueries {
         .orderBy(col("token"))
     },
 
+    // VARIANT semi-structured type (B74): parse_json once into the binary
+    // variant encoding, extract many times with variant_get — the Spark-4-native
+    // path for 100 TB semi-structured columns (string JSON re-parses per
+    // extraction; variant decodes a typed binary). Same oracle family as
+    // q_json_extract, exercised through the variant kernel instead.
+    "q_json_variant" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
     // A14/B15: schema-on-read JSON extraction from the props payload.
     "q_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -391,6 +407,13 @@ object EventQueries {
       """SELECT sha256('pepper-v1:' || CAST(user_id AS VARCHAR)) AS token,
         | count(*) AS n_events, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM events GROUP BY 1 ORDER BY token""".stripMargin,
+
+    "q_json_variant" ->
+      """SELECT event_type, count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_k,
+        | sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS sum_k,
+        | min(CAST(json_extract(props,'$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props,'$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract(props,'$.k') AS BIGINT) % 10 AS k_mod,
