@@ -358,6 +358,39 @@ object EventQueries {
           updateWhen = col("s.cents") > col("t.cents"),
           deleteWhen = col("s.n_ev") < 25)
         .orderBy(col("user_id"))
+    },
+
+    // Time-series linear interpolation of missing readings (the sensor/metric
+    // gap-fill that q_gapfill's row-insertion doesn't cover): every 7th reading
+    // is deterministically masked NULL, then reconstructed from its nearest
+    // non-null neighbors weighted by actual timestamp distance. The prev/next
+    // carries are ignoreNulls last()/first() frame windows — one shuffle on
+    // event_type, two linear passes per partition, no self-join; edge rows fall
+    // back to the single available neighbor.
+    "q_interpolate" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      val wPast = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFut  = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val t = ev
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPast))
+        .withColumn("pt", last(when(col("v").isNotNull, col("ts_us")), ignoreNulls = true).over(wPast))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFut))
+        .withColumn("nt", first(when(col("v").isNotNull, col("ts_us")), ignoreNulls = true).over(wFut))
+      val interp = when(col("pv").isNull, col("nv"))
+        .when(col("nv").isNull, col("pv"))
+        .otherwise(col("pv") +
+          (col("nv") - col("pv")) * (col("ts_us") - col("pt")) / (col("nt") - col("pt")))
+      t.filter(col("v").isNull)
+        .select(col("event_id"), col("event_type"), col("ts_us"),
+          round(interp, 4).as("v_interp"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+        .limit(500)
     }
   )
 
@@ -603,6 +636,34 @@ object EventQueries {
         | CAST(CASE WHEN action IN ('insert','update') THEN s_nev ELSE t_nev END AS BIGINT) AS n_ev,
         | CAST(CASE WHEN action IN ('insert','update') THEN s_c ELSE t_c END AS BIGINT) AS cents,
         | action
-        |FROM m WHERE action <> 'delete' ORDER BY user_id""".stripMargin
+        |FROM m WHERE action <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM base)
+        |SELECT event_id, event_type, ts_us,
+        |  round(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (ts_us - pt) / (nt - pt) END, 4) AS v_interp
+        |FROM w WHERE v IS NULL
+        |ORDER BY event_type, ts_us, event_id
+        |LIMIT 500""".stripMargin
   )
 }

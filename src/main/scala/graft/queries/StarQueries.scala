@@ -763,6 +763,109 @@ object StarQueries {
           min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
           min(col("day")).as("min_day"), max(col("day")).as("max_day"))
         .orderBy(col("z_bucket"))
+    },
+
+    // B1/B2 at full width: TPC-H Q5 — the 6-table join (two fact tables, four
+    // dims) that exercises join ORDERING, not just join execution. The date
+    // filter lands on orders before its join (pushdown), supplier/nation/region
+    // are explicit broadcasts (the fact side never shuffles for them), and the
+    // customer⋈supplier nation equality rides the already-shuffled fact rows as
+    // a post-join predicate-free equi-key. At 100 TB this is the canonical
+    // "one big shuffle on orderkey, everything else map-side" plan.
+    "q_sql_tpch5" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") <  to_timestamp(lit("1997-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(sum(rev)).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Skyline / Pareto frontier (min price, max size): the O(n log n) window
+    // formulation — per-price max size, one running max over the price order,
+    // and a lag for the strictly-cheaper bound — instead of the O(n²)
+    // NOT-EXISTS self-join the oracle runs. The only global sort runs on the
+    // per-DISTINCT-PRICE aggregate (already reduced), so at 100 TB the frontier
+    // costs one agg shuffle plus a metadata-scale window, never an all-pairs.
+    "q_skyline" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val wOrd = Window.orderBy(col("p_retailprice"))
+      val perPrice = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("ms"))
+        .withColumn("run_ms",
+          max(col("ms")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cheaper_ms", lag(col("run_ms"), 1).over(wOrd))
+      // Keep iff no strictly-cheaper part is at-least-as-big, and nothing at the
+      // same price is strictly bigger (same price+size ties all survive).
+      p.join(broadcast(perPrice), Seq("p_retailprice"))
+        .filter((col("cheaper_ms").isNull || col("cheaper_ms") < col("p_size")) &&
+          col("p_size") === col("ms"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+    },
+
+    // Robust outlier detection via median absolute deviation — the
+    // training-data-pipeline "drop anomalous records" gate, using medians so a
+    // heavy tail can't drag its own threshold (the classic z-score failure).
+    // Two exact-percentile aggregations + two broadcast joins of the tiny
+    // per-group stats back onto the fact: linear, no sort of the full data.
+    "q_anomaly_mad" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val med = o.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+      val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val mad = dev.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2(first(col("med"))).as("med"),
+          r2(first(col("mad"))).as("mad"),
+          sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Sink/source format fidelity: write a deterministic lineitem slice to ORC,
+    // CSV and JSON, read each back, and reduce every copy to the same exact
+    // integer signature (floor-cents, not float sums — a lossy writer or a
+    // locale-bent parser breaks the hash). The oracle predicts the signature
+    // from parquet alone, so all three format round-trips must be bit-faithful.
+    // The slice is 10% of lineitem to keep the bench cost of 3 writes honest.
+    "q_format_roundtrip" -> { (s, d) =>
+      val sub = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+      sub.write.mode("overwrite").orc(s"$tmp/orc")
+      sub.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      sub.write.mode("overwrite").json(s"$tmp/json")
+      val back = Seq(
+        "csv"  -> s.read.schema(sub.schema).option("header", "true").csv(s"$tmp/csv"),
+        "json" -> s.read.schema(sub.schema).json(s"$tmp/json"),
+        "orc"  -> s.read.orc(s"$tmp/orc"))
+      back.map { case (fmt, df) =>
+        df.agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey") * col("l_linenumber")).as("key_sum"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+            sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+            countDistinct(col("l_returnflag")).as("n_flags"))
+          .withColumn("fmt", lit(fmt))
+          .select(col("fmt"), col("n"), col("key_sum"), col("price_cents"),
+            col("qty_cents"), col("n_flags"))
+      }.reduce(_ unionByName _).orderBy(col("fmt"))
     }
   )
 
@@ -1239,6 +1342,61 @@ object StarQueries {
         |SELECT zkey >> 16 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
         | CAST(min(ck) AS BIGINT) AS min_ck, CAST(max(ck) AS BIGINT) AS max_ck,
         | CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
-        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+
+    "q_sql_tpch5" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, median(o_totalprice) AS med
+        |  FROM orders GROUP BY o_orderpriority),
+        |dev AS (
+        |  SELECT o.o_orderpriority, o.o_totalprice, m.med,
+        |    abs(o.o_totalprice - m.med) AS adev
+        |  FROM orders o JOIN med m USING (o_orderpriority)),
+        |mad AS (
+        |  SELECT o_orderpriority, median(adev) AS mad
+        |  FROM dev GROUP BY o_orderpriority)
+        |SELECT d.o_orderpriority, count(*) AS n,
+        |  round(any_value(d.med), 2) AS med,
+        |  round(any_value(m.mad), 2) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority
+        |ORDER BY d.o_orderpriority""".stripMargin,
+
+    "q_format_roundtrip" ->
+      """SELECT f.fmt, s.n, s.key_sum, s.price_cents, s.qty_cents, s.n_flags
+        |FROM (SELECT count(*) AS n,
+        |        CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_sum,
+        |        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |        CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+        |      FROM lineitem WHERE l_orderkey % 10 = 0) s
+        |CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+        |ORDER BY f.fmt""".stripMargin
   )
 }
