@@ -866,6 +866,44 @@ object StarQueries {
           .select(col("fmt"), col("n"), col("key_sum"), col("price_cents"),
             col("qty_cents"), col("n_flags"))
       }.reduce(_ unionByName _).orderBy(col("fmt"))
+    },
+
+    // SQL entry surface 3: correlated LATERAL subquery with per-row ORDER BY +
+    // LIMIT — the "top-2 orders for each customer" shape that stresses the
+    // DECORRELATION planner path (DomainJoin rewrite), not the join executor.
+    // Catalyst rewrites it into a ranked window over one key shuffle, which is
+    // exactly the plan you'd hand-write — pinned in PlanSpec.
+    "q_sql_lateral" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey % 50 = 0
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+
+    // TPC-H Q18 (large-volume customers): the agg-side-first join — lineitem
+    // reduces to per-order quantity sums BEFORE touching orders/customer, so the
+    // expensive shuffle carries one row per qualifying order, not one per line
+    // item. The > 300 gate is exact (quantities are integral doubles; their sums
+    // never sit on a float boundary).
+    "q_sql_tpch18" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          r2(col("o_totalprice")).as("price"),
+          r2(col("sum_qty")).as("sum_qty"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(100)
     }
   )
 
@@ -1397,6 +1435,25 @@ object StarQueries {
         |        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
         |      FROM lineitem WHERE l_orderkey % 10 = 0) s
         |CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
-        |ORDER BY f.fmt""".stripMargin
+        |ORDER BY f.fmt""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey % 50 = 0
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_sql_tpch18" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  round(o_totalprice, 2) AS price, round(sum_qty, 2) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY price DESC, o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }

@@ -205,4 +205,35 @@ class PlanSpec extends GraftSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("wave-5 queries keep their designed plan shapes") {
+    // q_sql_tpch5: the four dims ride broadcasts; sort-merge shuffles are
+    // reserved for the two fact tables (lineitem⋈orders, then ⋈customer).
+    val t5 = simplePlanOf("q_sql_tpch5")
+    assert(t5.contains("BroadcastHashJoin"), t5.take(600))
+    assert(!t5.contains("CartesianProduct") && !t5.contains("BroadcastNestedLoopJoin"),
+      "tpch5 must stay equi-key end to end")
+    // q_skyline: frontier via per-price agg + window + broadcast join back —
+    // never an all-pairs product (the oracle's NOT EXISTS is the O(n²) spec,
+    // not the plan).
+    val sky = simplePlanOf("q_skyline")
+    assert(!sky.contains("CartesianProduct") && !sky.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan an all-pairs join:\n${sky.take(600)}")
+    assert(sky.contains("BroadcastHashJoin"), "per-price frontier stats must broadcast")
+    // q_anomaly_mad: both per-group stats joins broadcast — the fact table
+    // never shuffles on the group key for them.
+    val mad = simplePlanOf("q_anomaly_mad")
+    assert(mad.contains("BroadcastHashJoin") && !mad.contains("SortMergeJoin"),
+      s"MAD stats must broadcast back onto the fact:\n${mad.take(600)}")
+    // q_sql_lateral: Catalyst must decorrelate the LATERAL ORDER BY/LIMIT into
+    // a ranked window over one key shuffle — no nested-loop per-customer scan.
+    val lat = simplePlanOf("q_sql_lateral")
+    assert(!lat.contains("CartesianProduct") && !lat.contains("BroadcastNestedLoopJoin"),
+      s"lateral top-k must decorrelate, not nested-loop:\n${lat.take(600)}")
+    // q_sql_tpch18: the lineitem aggregate reduces BEFORE the orders join (the
+    // join input is the HAVING-filtered agg, so HashAggregate must sit below
+    // the first join) and the top-100 is TakeOrderedAndProject, not a global sort.
+    val t18 = simplePlanOf("q_sql_tpch18")
+    assert(t18.contains("TakeOrderedAndProject"), t18.take(600))
+  }
 }
