@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Keyed input event for the custom-state operator. */
 case class UserEvent(user_id: Long, value: Double)
@@ -36,5 +37,41 @@ object Stateful {
           state.update(next)
           Iterator.single(next)
         })(enc, enc)
+  }
+
+  /**
+   * The same running per-user (count, total) on Spark 4's `transformWithState`
+   * (SPARK-46815, the arbitrary-state API that supersedes
+   * `flatMapGroupsWithState`): typed named state (`ValueState`) acquired from a
+   * `StatefulProcessorHandle`, with per-state TTL and timer support — the
+   * operational knobs the old API lacked (state here is unbounded running
+   * totals, so TTL is explicitly NONE). Requires the RocksDB state store
+   * provider; StreamingSpec runs it under RocksDB and asserts totals identical
+   * to [[runningTotals]].
+   */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      var n = 0L
+      var total = 0.0
+      rows.foreach { e => n += 1; total += e.value }
+      val prev = Option(state.get()).getOrElse(UserRunning(uid, 0L, 0.0))
+      val next = UserRunning(uid, prev.n + n, prev.total + total)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

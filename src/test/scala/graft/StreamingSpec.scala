@@ -496,4 +496,35 @@ class StreamingSpec extends GraftSuite {
       assert(last === Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("transformWithState (Spark 4 arbitrary-state API) matches the fMGWS twin") {
+    // Same per-key running totals on the new StatefulProcessor API: typed named
+    // ValueState from the handle, TTL/timer-capable, RocksDB-only. Feeding the
+    // identical batches must yield the identical per-key history.
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{Stateful, UserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[UserEvent]
+    val q = Stateful.runningTotalsTws(in.toDS())
+      .writeStream.format("memory").queryName("tws_t").outputMode("update").start()
+    try {
+      in.addData(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 10.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("tws_t").groupBy("user_id")
+        .agg(max(struct(col("n"), col("total"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.total"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(last === Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
