@@ -904,11 +904,95 @@ object StarQueries {
           r2(col("sum_qty")).as("sum_qty"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(100)
+    },
+
+    // Welch's t-test / scalar subquery: one SQL text, two engines (see the
+    // constants above) — the statistical-inference surface of the engine.
+    "q_stats_ttest" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlTtestText)
+    },
+
+    "q_sql_scalar_subq" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlScalarSubqText)
+    },
+
+    // Deterministic Poisson bootstrap (the error bar every data-quality metric
+    // needs at 100 TB, where you cannot resample by shuffling): each of 40
+    // replicates weights every order by a Poisson(1) draw derived from
+    // md5(orderkey, replicate) — reproducible, engine-independent, and
+    // embarrassingly parallel (one explode + one agg; no data movement beyond
+    // the group-by). Replicate means are exact integer-cent ratios, so the
+    // quantile interpolation sees bit-identical inputs on both engines.
+    "q_bootstrap_ci" -> { (s, d) =>
+      import graft.functions.TextOps
+      val reps = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("b", explode(sequence(lit(0), lit(39))))
+      val u = pmod(TextOps.md5Long(concat(
+          lit("boot:"), col("o_orderkey").cast("string"),
+          lit(":"), col("b").cast("string"))), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      // Poisson(1) inverse CDF: cumulative e^-1 * sum(1/i!)
+      val w = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+        .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+        .when(u < 0.9963401532, 4L).when(u < 0.9994058152, 5L)
+        .when(u < 0.9999167589, 6L).otherwise(7L)
+      val means = reps.withColumn("w", w)
+        .groupBy(col("o_orderpriority"), col("b"))
+        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("nw"))
+        .select(col("o_orderpriority"),
+          (col("sw").cast("double") / (col("nw").cast("double") * lit(100.0)))
+            .as("mean_b"))
+      means.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_reps"),
+          r2(percentile(col("mean_b"), lit(0.025))).as("ci_lo"),
+          r2(percentile(col("mean_b"), lit(0.975))).as("ci_hi"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
   /** Shared verbatim SQL for q_sql_window: top-3 orders per customer with a
     * running revenue sum — the same text parses and runs on Spark and DuckDB. */
+  /** Welch's two-sample t-test of each priority's order totals against the
+    * '3-MEDIUM' baseline, shared VERBATIM by Spark and DuckDB (one SQL text, two
+    * engines — arithmetic order is identical by construction). All moments are
+    * exact integer-cent DECIMAL sums; only the final t/df arithmetic is double.
+    * Scale shape: one 5-row agg, broadcast-sized cross join with the baseline row. */
+  private val SqlTtestText: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |    sum(CAST(floor(o_totalprice * 100) AS DECIMAL(18,0))) AS s1,
+      |    sum(CAST(floor(o_totalprice * 100) AS DECIMAL(18,0)) *
+      |        CAST(floor(o_totalprice * 100) AS DECIMAL(18,0))) AS s2
+      |  FROM orders GROUP BY o_orderpriority),
+      |m AS (
+      |  SELECT o_orderpriority, n,
+      |    CAST(s1 AS DOUBLE) / n / 100.0 AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |      / (n - 1) / 10000.0 AS var
+      |  FROM g),
+      |b AS (SELECT n AS n0, mean AS mean0, var AS var0 FROM m
+      |      WHERE o_orderpriority = '3-MEDIUM')
+      |SELECT o_orderpriority, n, round(mean, 2) AS mean,
+      |  round((mean - mean0) / sqrt(var / n + var0 / n0), 4) AS t_welch,
+      |  round((var / n + var0 / n0) * (var / n + var0 / n0) /
+      |        ((var / n) * (var / n) / (n - 1) +
+      |         (var0 / n0) * (var0 / n0) / (n0 - 1)), 1) AS df
+      |FROM m CROSS JOIN b
+      |WHERE o_orderpriority <> '3-MEDIUM'
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Uncorrelated scalar subquery (the ScalarSubquery planner node): shared
+    * verbatim by both engines. */
+  private val SqlScalarSubqText: String =
+    """SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_sel
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val SqlWindowText: String =
     """SELECT o_custkey, rn, o_orderkey, round(run_sum, 2) AS run_sum
       |FROM (
@@ -1454,6 +1538,37 @@ object StarQueries {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY price DESC, o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q_stats_ttest" -> SqlTtestText,
+
+    "q_sql_scalar_subq" -> SqlScalarSubqText,
+
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    unnest(range(0, 40)) AS b
+        |  FROM orders),
+        |weighted AS (
+        |  SELECT o_orderpriority, b, cents,
+        |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+        |         WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+        |         WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+        |         WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
+        |  FROM (SELECT *,
+        |    (CAST(concat('0x', substr(md5('boot:' || o_orderkey || ':' || b), 1, 15))
+        |       AS BIGINT) % 1000000) / 1000000.0 AS u
+        |    FROM reps)),
+        |means AS (
+        |  SELECT o_orderpriority, b,
+        |    CAST(sum(w * cents) AS DOUBLE) /
+        |      (CAST(sum(w) AS DOUBLE) * 100.0) AS mean_b
+        |  FROM weighted GROUP BY o_orderpriority, b)
+        |SELECT o_orderpriority, count(*) AS n_reps,
+        |  round(quantile_cont(mean_b, 0.025), 2) AS ci_lo,
+        |  round(quantile_cont(mean_b, 0.975), 2) AS ci_hi
+        |FROM means GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

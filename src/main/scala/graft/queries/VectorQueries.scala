@@ -133,6 +133,36 @@ object VectorQueries {
           (coalesce(expr("1000000 div (60 + r_bm25)"), lit(0L)) +
             coalesce(expr("1000000 div (60 + r_vec)"), lit(0L))).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // ANN evaluation harness: recall@5 of the IVF probe against the exact
+    // brute-force top-5, per query — the metric every ANN deployment is tuned
+    // by (nlist/nprobe trade-offs are meaningless without it). Both arms reuse
+    // the operators verified by their own queries; the hit join is on (q_id,
+    // vec_id) over two 25-row sets — metadata-scale after the heavy lifting.
+    "q_sim_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("c_vec"))
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        corpus, 5).select(col("q_id"), col("vec_id"))
+      val approx = Similarity.ivfTopK(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        corpus, centroids, 5, 2).select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0), 4)
+            .as("recall"))
+        .orderBy(col("q_id"))
     }
   )
 
@@ -284,6 +314,41 @@ object VectorQueries {
          |SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_vec AS BIGINT) AS r_vec,
          | coalesce(1000000 // (60 + r_bm25), 0) + coalesce(1000000 // (60 + r_vec), 0) AS rrf
          |FROM bmtop FULL OUTER JOIN vtop USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_sim_recall" ->
+      s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+         |cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id
+         |     ORDER BY ${dcos("v", "qv")} DESC, vec_id) AS rnk
+         |  FROM corp CROSS JOIN q WHERE vec_id <> q_id) WHERE rnk <= 5),
+         |bucketed AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |  SELECT c.vec_id, c.v, t.centroid_id,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY ${dcos("c.v", "t.cv")} DESC, t.centroid_id) AS crnk
+         |  FROM corp c CROSS JOIN cent t) WHERE crnk = 1),
+         |probes AS (SELECT q_id, qv, centroid_id AS bucket FROM (
+         |  SELECT q.q_id, q.qv, t.centroid_id,
+         |   row_number() OVER (PARTITION BY q.q_id
+         |     ORDER BY ${dcos("q.qv", "t.cv")} DESC, t.centroid_id) AS crnk
+         |  FROM q CROSS JOIN cent t) WHERE crnk <= 2),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT p.q_id, b.vec_id,
+         |   row_number() OVER (PARTITION BY p.q_id
+         |     ORDER BY ${dcos("p.qv", "b.v")} DESC, b.vec_id) AS rnk
+         |  FROM bucketed b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.q_id) WHERE rnk <= 5),
+         |hits AS (SELECT e.q_id, count(*) AS n
+         |  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |  GROUP BY e.q_id)
+         |SELECT q.q_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0, 4) AS recall
+         |FROM q LEFT JOIN hits h USING (q_id)
+         |ORDER BY q.q_id""".stripMargin
   )
 }
