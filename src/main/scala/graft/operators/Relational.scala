@@ -258,4 +258,34 @@ object Relational {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
       .drop("__new")
   }
+
+  /**
+   * Piggybacked data-quality audit via Spark's `observe` API: row count, per-column
+   * null counts, and min/max of an optional numeric column are accumulated as a SIDE
+   * EFFECT of whatever action the caller runs — zero extra scans, zero shuffles
+   * (observe metrics ride the task accumulators). At 100 TB this is the only
+   * affordable way to audit every batch: a separate `df.count()`/null-profile pass
+   * would double the I/O. Works identically on batch (read via `Observation.get`)
+   * and streaming (per-batch via `StreamingQueryProgress.observedMetrics`).
+   *
+   * Returns the observed frame and the `Observation` handle (batch only; for
+   * streams pass a plain name via `df.observe(name, ...)` — Spark forbids
+   * `Observation` objects on streaming frames).
+   */
+  def observeQuality(df: DataFrame, name: String, nullCols: Seq[String],
+                     rangeCol: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val ms = qualityMetrics(nullCols, rangeCol)
+    (df.observe(obs, ms.head, ms.tail: _*), obs)
+  }
+
+  /** The standard audit aggregate set shared by batch and streaming observers. */
+  def qualityMetrics(nullCols: Seq[String], rangeCol: Option[String] = None)
+      : Seq[Column] = {
+    val base = count(lit(1)).as("n_rows") +:
+      nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    base ++ rangeCol.toSeq.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+  }
 }

@@ -216,4 +216,19 @@ class RelationalSpec extends GraftSuite {
     fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
   }
+
+  test("observeQuality audits a pass as a side effect (no second scan)") {
+    // The piggybacked audit: metrics come back from the SAME action that
+    // produced the output — at 100 TB a separate count()/null-profile pass
+    // would double the I/O.
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(5.0)), (4L, None))
+      .toDF("k", "v")
+    val (audited, obs) = Relational.observeQuality(df, "audit", Seq("v"), Some("k"))
+    val n = audited.filter(col("k") > 0).count() // the one and only action
+    assert(n === 4)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("n_null_v") === 2L)
+    assert(m("min_k") === 1L && m("max_k") === 4L)
+  }
 }

@@ -527,4 +527,28 @@ class StreamingSpec extends GraftSuite {
       }
     }
   }
+
+  test("observed metrics audit every micro-batch without a second pass") {
+    // The streaming face of Relational.observeQuality: the same audit aggregate
+    // set rides the micro-batch as task accumulators and surfaces per batch in
+    // StreamingQueryProgress.observedMetrics — per-batch data-quality gating
+    // with zero extra scans.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val in = MemoryStream[(Long, java.lang.Double)]
+    val audited = in.toDF.toDF("k", "v")
+      .observe("audit", Relational.qualityMetrics(Seq("v"), Some("k")).head,
+        Relational.qualityMetrics(Seq("v"), Some("k")).tail: _*)
+    val q = audited.writeStream.format("memory").queryName("obs_t")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, java.lang.Double.valueOf(2.0)), (2L, null),
+        (3L, java.lang.Double.valueOf(5.0)))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("audit")
+      assert(m.getAs[Long]("n_rows") === 3L)
+      assert(m.getAs[Long]("n_null_v") === 1L)
+      assert(m.getAs[Long]("min_k") === 1L && m.getAs[Long]("max_k") === 3L)
+    } finally q.stop()
+  }
 }
