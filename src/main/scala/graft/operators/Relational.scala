@@ -34,6 +34,39 @@ object Relational {
   }
 
   /**
+   * Top-k rows per group via the custom `TopKPerKey` operator
+   * ([[graft.plans.TopKPerKey]]): unlike the window formulation above — which
+   * must shuffle EVERY row before discarding any — this plans a map-side
+   * partial phase that caps each partition's contribution at k rows per key,
+   * so the exchange carries at most `keys * k * partitions` rows. For
+   * low-cardinality groups ("top 10 per event type" over 100 TB) that turns
+   * the shuffle from the full input into megabytes. Registers the planner
+   * strategy on the session idempotently; `ordering` must be a total order.
+   * Output is the surviving rows (unranked — rank if needed with a cheap
+   * window over the tiny result).
+   */
+  def topKPerGroupNative(df: DataFrame, keys: Seq[Column], ordering: Seq[Column],
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    GraftBridge.addStrategy(df.sparkSession, graft.plans.TopKPerKeyStrategy)
+    // Column -> resolved catalyst expressions: route through standard Sort /
+    // Project nodes so the analyzer does the resolution (the raw Column bridge
+    // yields lazy column-node wrappers that only standard operators resolve).
+    val sortPlan = GraftBridge.analyzed(df.sort(ordering: _*)) match {
+      case s: Sort => s
+      case other => throw new IllegalStateException(s"expected Sort, got: $other")
+    }
+    val keyExprs = GraftBridge.analyzed(df.select(keys: _*)) match {
+      case p: Project => p.projectList.map(identity[
+        org.apache.spark.sql.catalyst.expressions.Expression])
+      case other => throw new IllegalStateException(s"expected Project, got: $other")
+    }
+    GraftBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerKey(keyExprs, sortPlan.order, k, sortPlan.child))
+  }
+
+  /**
    * Exact deduplication keeping a deterministic representative per key (NOT
    * `dropDuplicates`, whose surviving row is partition-order dependent): the reference's
    * producer-side dedup set (produce_items.py:48-64) re-expressed as a keyed shuffle.

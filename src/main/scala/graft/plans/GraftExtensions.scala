@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * (record-linkage similarity, DuckDB-bit-exact), `md5_prefix60(s)` (60-bit md5
  * hash), `normalize_nfc(s)` / `strip_accents(s)` (Unicode normalization,
  * DuckDB-byte-exact).
+ *
+ * Injected planner strategy: [[TopKPerKeyStrategy]] — the whole-operator
+ * map-side-partial top-k per key (see [[TopKPerKey]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -26,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: map-side-partial top-k per key (see TopKPlan).
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float arrays (double)."),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

@@ -391,6 +391,18 @@ object EventQueries {
           round(interp, 4).as("v_interp"))
         .orderBy(col("event_type"), col("ts_us"), col("event_id"))
         .limit(500)
+    },
+
+    // B7 via the custom whole-operator plan (graft.plans.TopKPerKey): top-10
+    // events per type through the map-side-partial physical operator — the
+    // exchange carries at most keys*k*partitions rows instead of the full
+    // table (the window formulation this oracle runs must shuffle every row).
+    "q_topk_native" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      Relational.topKPerGroupNative(ev, Seq(col("event_type")),
+          Seq(col("cents").desc, col("event_id")), 10)
+        .orderBy(col("event_type"), col("cents").desc, col("event_id"))
     }
   )
 
@@ -664,6 +676,16 @@ object EventQueries {
         |             ELSE pv + (nv - pv) * (ts_us - pt) / (nt - pt) END, 4) AS v_interp
         |FROM w WHERE v IS NULL
         |ORDER BY event_type, ts_us, event_id
-        |LIMIT 500""".stripMargin
+        |LIMIT 500""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT event_id, event_type, cents FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, event_id) AS rnk
+        |  FROM events) t
+        |WHERE rnk <= 10
+        |ORDER BY event_type, cents DESC, event_id""".stripMargin
   )
 }

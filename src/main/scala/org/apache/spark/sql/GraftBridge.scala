@@ -13,4 +13,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a custom logical node as a DataFrame (the `Dataset.ofRows` every
+    * extension library with whole-operator plans needs; `private[sql]`). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a frame (attribute-resolved, safe to embed as a
+    * child of a custom node). */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Idempotently add a planner strategy to a running session — the runtime
+    * twin of `SparkSessionExtensions.injectPlannerStrategy` for sessions built
+    * without `spark.sql.extensions`. */
+  def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    if (!cls.experimental.extraStrategies.contains(s))
+      cls.experimental.extraStrategies = s +: cls.experimental.extraStrategies
+  }
 }
