@@ -62,6 +62,16 @@ object Relational {
         org.apache.spark.sql.catalyst.expressions.Expression])
       case other => throw new IllegalStateException(s"expected Project, got: $other")
     }
+    // The exec groups by raw UnsafeRow byte equality and the optimizer's
+    // NormalizeFloatingNumbers rule does not visit custom nodes, so -0.0 vs 0.0
+    // (and NaN bit patterns) in a float/double key would silently split groups.
+    // Top-k keys are categorical in every real use; refuse rather than diverge.
+    keyExprs.find(e => e.dataType == org.apache.spark.sql.types.DoubleType ||
+        e.dataType == org.apache.spark.sql.types.FloatType).foreach { e =>
+      throw new IllegalArgumentException(
+        s"topKPerGroupNative: float/double group key ${e.sql} is not supported " +
+          "(-0.0/NaN normalization); cast to a discrete type or use topKPerGroup")
+    }
     GraftBridge.ofRows(df.sparkSession,
       graft.plans.TopKPerKey(keyExprs, sortPlan.order, k, sortPlan.child))
   }

@@ -384,6 +384,9 @@ object EventQueries {
         .withColumn("nt", first(when(col("v").isNotNull, col("ts_us")), ignoreNulls = true).over(wFut))
       val interp = when(col("pv").isNull, col("nv"))
         .when(col("nv").isNull, col("pv"))
+        // equal neighbor timestamps: 0/0 is engine-divergent (Spark NULL,
+        // DuckDB NaN) — fall back to the prev neighbor
+        .when(col("nt") === col("pt"), col("pv"))
         .otherwise(col("pv") +
           (col("nv") - col("pv")) * (col("ts_us") - col("pt")) / (col("nt") - col("pt")))
       t.filter(col("v").isNull)
@@ -673,6 +676,7 @@ object EventQueries {
         |SELECT event_id, event_type, ts_us,
         |  round(CASE WHEN pv IS NULL THEN nv
         |             WHEN nv IS NULL THEN pv
+        |             WHEN nt = pt THEN pv
         |             ELSE pv + (nv - pv) * (ts_us - pt) / (nt - pt) END, 4) AS v_interp
         |FROM w WHERE v IS NULL
         |ORDER BY event_type, ts_us, event_id

@@ -820,20 +820,25 @@ object StarQueries {
     // heavy tail can't drag its own threshold (the classic z-score failure).
     // Two exact-percentile aggregations + two broadcast joins of the tiny
     // per-group stats back onto the fact: linear, no sort of the full data.
+    // All quantities live in integer CENTS (medians of integers are exact
+    // half-integers — representable doubles), so the `adev > 3*mad` gate and
+    // the emitted med/mad are engine-exact, never sub-ULP coin flips.
     "q_anomaly_mad" -> { (s, d) =>
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
       val med = o.groupBy(col("o_orderpriority"))
-        .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+        .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
       val dev = o.join(broadcast(med), Seq("o_orderpriority"))
-        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
       val mad = dev.groupBy(col("o_orderpriority"))
-        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad_cents"))
       dev.join(broadcast(mad), Seq("o_orderpriority"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          r2(first(col("med"))).as("med"),
-          r2(first(col("mad"))).as("mad"),
-          sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+          first(col("med_cents")).as("med_cents"),
+          first(col("mad_cents")).as("mad_cents"),
+          sum(when(col("adev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+            .as("n_outliers"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -848,7 +853,10 @@ object StarQueries {
         .filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+      // Stable per-sfDir scratch path: repeated runs OVERWRITE (mode above)
+      // instead of leaking a fresh temp dir per invocation.
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_roundtrip_${math.abs(d.hashCode)}").toString
       sub.write.mode("overwrite").orc(s"$tmp/orc")
       sub.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       sub.write.mode("overwrite").json(s"$tmp/json")
@@ -1492,20 +1500,24 @@ object StarQueries {
         |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin,
 
     "q_anomaly_mad" ->
-      """WITH med AS (
-        |  SELECT o_orderpriority, median(o_totalprice) AS med
-        |  FROM orders GROUP BY o_orderpriority),
+      """WITH o AS (
+        |  SELECT o_orderpriority, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |med AS (
+        |  SELECT o_orderpriority, median(cents) AS med_cents
+        |  FROM o GROUP BY o_orderpriority),
         |dev AS (
-        |  SELECT o.o_orderpriority, o.o_totalprice, m.med,
-        |    abs(o.o_totalprice - m.med) AS adev
-        |  FROM orders o JOIN med m USING (o_orderpriority)),
+        |  SELECT o.o_orderpriority, o.cents, m.med_cents,
+        |    abs(o.cents - m.med_cents) AS adev
+        |  FROM o JOIN med m USING (o_orderpriority)),
         |mad AS (
-        |  SELECT o_orderpriority, median(adev) AS mad
+        |  SELECT o_orderpriority, median(adev) AS mad_cents
         |  FROM dev GROUP BY o_orderpriority)
         |SELECT d.o_orderpriority, count(*) AS n,
-        |  round(any_value(d.med), 2) AS med,
-        |  round(any_value(m.mad), 2) AS mad,
-        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  any_value(d.med_cents) AS med_cents,
+        |  any_value(m.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
         |FROM dev d JOIN mad m USING (o_orderpriority)
         |GROUP BY d.o_orderpriority
         |ORDER BY d.o_orderpriority""".stripMargin,
