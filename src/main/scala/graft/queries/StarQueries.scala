@@ -894,6 +894,47 @@ object StarQueries {
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
     },
 
+    // SQL entry surface: NATIVE recursive CTE (Spark 4's WITH RECURSIVE →
+    // UnionLoop planner path) — the account-hierarchy rollup every OLAP
+    // migration eventually needs. A balanced binary tree is derived over the
+    // 25 nations (parent = (key-1) div 2); one recursion computes depth +
+    // root path per node, a second computes the ancestor-descendant closure,
+    // and the rollup sums customer counts over each node's subtree. Unlike
+    // the hand-iterated graph family (q_graph_bfs), the ENGINE owns the
+    // fixpoint here; the oracle runs the same recursion in DuckDB. At scale
+    // the recursion depth is log-bounded by the hierarchy (5 levels here) and
+    // each step is one equi-join of the frontier against the edge table.
+    "q_sql_recursive" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""
+        WITH RECURSIVE
+        tree AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS k,
+                 CASE WHEN n_nationkey = 0 THEN CAST(NULL AS BIGINT)
+                      ELSE CAST((n_nationkey - 1) div 2 AS BIGINT) END AS parent
+          FROM nation),
+        walk(k, depth, path) AS (
+          SELECT k, 0, CAST(k AS STRING) FROM tree WHERE parent IS NULL
+          UNION ALL
+          SELECT t.k, w.depth + 1, concat(w.path, '>', CAST(t.k AS STRING))
+          FROM tree t JOIN walk w ON t.parent = w.k),
+        closure(anc, node) AS (
+          SELECT k, k FROM tree
+          UNION ALL
+          SELECT c.anc, t.k FROM tree t JOIN closure c ON t.parent = c.node),
+        cust AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS k, count(*) AS n_cust
+          FROM customer GROUP BY c_nationkey)
+        SELECT w.k AS nationkey, CAST(w.depth AS BIGINT) AS depth, w.path,
+               count(*) AS n_desc,
+               CAST(sum(coalesce(cu.n_cust, 0)) AS BIGINT) AS subtree_cust
+        FROM walk w JOIN closure c ON c.anc = w.k
+        LEFT JOIN cust cu ON cu.k = c.node
+        GROUP BY w.k, w.depth, w.path
+        ORDER BY nationkey""")
+    },
+
     // TPC-H Q18 (large-volume customers): the agg-side-first join — lineitem
     // reduces to per-order quantity sums BEFORE touching orders/customer, so the
     // expensive shuffle carries one row per qualifying order, not one per line
@@ -1541,6 +1582,34 @@ object StarQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // Same recursion, DuckDB dialect: `div` -> `//`; everything else verbatim.
+    "q_sql_recursive" ->
+      """WITH RECURSIVE
+        |tree AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         CASE WHEN n_nationkey = 0 THEN CAST(NULL AS BIGINT)
+        |              ELSE CAST((n_nationkey - 1) // 2 AS BIGINT) END AS parent
+        |  FROM nation),
+        |walk(k, depth, path) AS (
+        |  SELECT k, 0, CAST(k AS STRING) FROM tree WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT t.k, w.depth + 1, concat(w.path, '>', CAST(t.k AS STRING))
+        |  FROM tree t JOIN walk w ON t.parent = w.k),
+        |closure(anc, node) AS (
+        |  SELECT k, k FROM tree
+        |  UNION ALL
+        |  SELECT c.anc, t.k FROM tree t JOIN closure c ON t.parent = c.node),
+        |cust AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS k, count(*) AS n_cust
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT w.k AS nationkey, CAST(w.depth AS BIGINT) AS depth, w.path,
+        |       count(*) AS n_desc,
+        |       CAST(sum(coalesce(cu.n_cust, 0)) AS BIGINT) AS subtree_cust
+        |FROM walk w JOIN closure c ON c.anc = w.k
+        |LEFT JOIN cust cu ON cu.k = c.node
+        |GROUP BY w.k, w.depth, w.path
+        |ORDER BY nationkey""".stripMargin,
 
     "q_sql_tpch18" ->
       """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,

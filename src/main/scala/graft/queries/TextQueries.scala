@@ -424,6 +424,39 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Schema-drift-tolerant ingest: a real corpus accretes schema over years —
+    // columns appear mid-history and every scan must still read the union. Two
+    // parquet generations of documents are written (gen2 adds `lang`), read
+    // back through parquet schema merging, and aggregated with the drifted
+    // column surfacing as NULL for pre-drift rows. The oracle predicts the
+    // merged result from the unsplit table, so a generation-dropping scan, a
+    // schema-resolution bug, or wrong NULL semantics on the missing column
+    // all break the hash. At 100 TB, mergeSchema's footer-sampling cost is
+    // bounded by spark.sql.files settings; the read itself stays one pass.
+    "q_schema_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // Stable per-sfDir scratch path (q_format_roundtrip's convention):
+      // repeated runs overwrite instead of leaking temp dirs.
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_drift_${math.abs(d.hashCode)}").toString
+      // Split on doc_id % 3: 3 does not divide the 20-source id stride, so
+      // every source holds BOTH generations (a %2 split degenerates to
+      // whole-sources because doc_id ≡ source-index mod 20).
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen1", s"$tmp/gen2")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lang").isNull.cast("long")).as("n_pre_drift"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy(col("source"))
+    },
+
     // Character-level near-dup: MinHash-banded candidates verified by exact
     // Levenshtein on 200-char prefixes (edit distance <= 20). Complements the
     // token-set families with single-character-edit sensitivity.
@@ -1033,6 +1066,17 @@ object TextQueries {
         | md5(r) AS redacted_md5,
         | CAST(length(aug) - length(r) AS BIGINT) AS n_chars_removed
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // The oracle sees only the unsplit table: pre-drift rows (doc_id % 3 = 0)
+    // must come back with NULL lang after the schema merge.
+    "q_schema_drift" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_drift,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN lang END) AS BIGINT)
+        |    AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_table_checksum" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

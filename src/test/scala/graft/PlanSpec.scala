@@ -236,4 +236,14 @@ class PlanSpec extends GraftSuite {
     val t18 = simplePlanOf("q_sql_tpch18")
     assert(t18.contains("TakeOrderedAndProject"), t18.take(600))
   }
+
+  test("q_sql_recursive runs the ENGINE's fixpoint (UnionLoop), not a hand unroll") {
+    // Spark 4's recursive CTE plans a UnionLoop node — the engine owns the
+    // iteration. If the parser/planner ever silently degraded the recursion to
+    // a one-shot union, the rollup would lose levels and the oracle hash would
+    // catch it; this pin catches the PLAN regression directly.
+    val qe = SparkEntry.queries("q_sql_recursive")(spark, sfTiny).queryExecution
+    assert(qe.optimizedPlan.toString.contains("UnionLoop"),
+      s"expected UnionLoop in the optimized plan:\n${qe.optimizedPlan.toString.take(800)}")
+  }
 }
