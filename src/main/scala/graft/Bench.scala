@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -45,27 +48,72 @@ object Bench {
         s"unknown query name(s) in SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")} " +
           "— a typo would otherwise bench nothing and print total=0 as a clean run")
     }
+    // Scale evidence, not just seconds: per-query shuffle-write and spill bytes
+    // from stage-completion events. Shuffle volume is the number that predicts
+    // 100 TB behavior — a query whose time looks fine but whose shuffle grows
+    // super-linearly is the one that falls over on a cluster. Events arrive
+    // async after count() returns, so deltas are read once the totals go quiet
+    // (stable for 100 ms, 2 s cap) — informational metrics, never gating.
+    val shuffleBytes = new AtomicLong; val spillBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
+    def quiesce(): (Long, Long) = {
+      val deadline = System.nanoTime() + 2_000_000_000L
+      var last = (shuffleBytes.get, spillBytes.get)
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - stableSince < 60_000_000L) {
+        Thread.sleep(10)
+        val now = (shuffleBytes.get, spillBytes.get)
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+      last
+    }
+    // One boundary read per run: the post-run quiesce doubles as the next
+    // run's baseline, and its wait sits OUTSIDE the query timer.
+    var baseline = quiesce()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (0 until samples).map { _ =>
+      val runs = (0 until samples).map { _ =>
+        val (sh0, sp0) = baseline
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          baseline = quiesce()
+          (t, baseline._1 - sh0, baseline._2 - sp0)
+        } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            baseline = quiesce()
+            (-1.0, 0L, 0L)
         }
       }
       // A failed query must not masquerade as a fast one: record -1, not its
       // time-to-failure.
-      val ok = times.forall(_ >= 0)
-      (name, if (ok) times.min else -1.0, ok)
+      val ok = runs.forall(_._1 >= 0)
+      val best = if (ok) runs.minBy(_._1) else (-1.0, 0L, 0L)
+      (name, best._1, ok, best._2, best._3)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+    val shuffle = results.map { case (k, _, _, sh, _) => "\"" + k + "\":" + mb(sh) }
+      .mkString("{", ",", "}")
+    val spill = results.collect { case (k, _, _, _, sp) if sp > 0 => "\"" + k + "\":" + mb(sp) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

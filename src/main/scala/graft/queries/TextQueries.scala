@@ -457,6 +457,63 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // URL parse + canonicalization (the C4/CommonCrawl ingest step): planted
+    // deterministic URLs (mixed-case hosts, utm_* tracking params) are parsed
+    // with Spark's native parse_url (HOST / PATH / keyed QUERY param), then
+    // canonicalized (lowercased host, tracking params dropped) and rolled up
+    // per registered domain with a content identity over the canonical URL
+    // set. The oracle re-derives every part with regexes, so a parse_url
+    // component or canonicalization bug breaks the hash. Linear: one
+    // projection + one agg; no UDFs — parse_url and regexp_* are codegen'd.
+    "q_url_parse" -> { (s, d) =>
+      val host = expr("""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'www.Example.COM' WHEN 1 THEN 'cdn.example.com'
+        WHEN 2 THEN 'blog.example.org' ELSE 'Data.Example.Org' END""")
+      val url = concat(lit("https://"), host,
+        lit("/p/"), (col("doc_id") % 10).cast("string"),
+        lit("/page?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+        lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(
+          lower(expr("parse_url(url, 'HOST')")).as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").cast("long").as("id"))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z]+)$", 1))
+        .withColumn("canon",
+          concat(lit("https://"), col("host"), col("path"),
+            lit("?id="), col("id").cast("string")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("path")).as("n_paths"),
+          sum(col("id")).as("id_sum"),
+          md5(concat_ws("|", sort_array(collect_set(col("canon")))))
+            .as("canon_md5"))
+        .orderBy(col("domain"))
+    },
+
+    // Spark 4 collation semantics: grouping under UTF8_LCASE merges case
+    // variants WITHOUT rewriting the data (the collation travels in the type,
+    // so comparisons/joins/aggs all honor it — unlike a lower() rewrite, the
+    // original strings survive). The grouping key itself is an arbitrary
+    // case representative, so the output emits the deterministic binary-min
+    // representative instead. The oracle models the collation with lower().
+    "q_collation" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("lang_mixed",
+          when(col("doc_id") % 2 === 0, upper(col("lang"))).otherwise(col("lang")))
+        .filter(collate(col("lang_mixed"), "UTF8_LCASE") =!= lit("ZH"))
+        .groupBy(collate(col("lang_mixed"), "UTF8_LCASE").as("k"))
+        .agg(min(collate(col("lang_mixed"), "UTF8_BINARY")).as("rep"),
+          count(lit(1)).as("n"),
+          countDistinct(collate(col("lang_mixed"), "UTF8_BINARY"))
+            .as("n_variants"))
+        .select(col("rep"), col("n"), col("n_variants"))
+        .orderBy(col("rep"))
+    },
+
     // Character-level near-dup: MinHash-banded candidates verified by exact
     // Levenshtein on 200-char prefixes (edit distance <= 20). Complements the
     // token-set families with single-character-edit sensitivity.
@@ -1077,6 +1134,47 @@ object TextQueries {
         |    AS n_langs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Every parse_url component re-derived with regexes; the canonical-URL
+    // set identity (sorted, distinct, md5) pins the whole canonicalization.
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT 'https://' ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'www.Example.COM' WHEN 1 THEN 'cdn.example.com'
+        |      WHEN 2 THEN 'blog.example.org' ELSE 'Data.Example.Org' END ||
+        |    '/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    '/page?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host,
+        |         regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |         CAST(regexp_extract(url, '[?&]id=([0-9]+)', 1) AS BIGINT) AS id
+        |  FROM u),
+        |c AS (
+        |  SELECT regexp_extract(host, '([a-z0-9-]+\.[a-z]+)$', 1) AS domain,
+        |         host, path, id,
+        |         'https://' || host || path || '?id=' || CAST(id AS VARCHAR) AS canon
+        |  FROM p)
+        |SELECT domain, count(*) AS n,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+        |  CAST(sum(id) AS BIGINT) AS id_sum,
+        |  md5(array_to_string(list_sort(list(DISTINCT canon)), '|')) AS canon_md5
+        |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // The oracle models UTF8_LCASE with lower(); the representative is the
+    // binary min over the surviving case variants in both engines.
+    "q_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+        |    AS lang_mixed
+        |  FROM documents)
+        |SELECT min(lang_mixed) AS rep, count(*) AS n,
+        |  CAST(count(DISTINCT lang_mixed) AS BIGINT) AS n_variants
+        |FROM m WHERE lower(lang_mixed) <> 'zh'
+        |GROUP BY lower(lang_mixed) ORDER BY rep""".stripMargin,
 
     "q_table_checksum" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
