@@ -55,26 +55,38 @@ object Bench {
     // async after count() returns, so deltas are read once the totals go quiet
     // (stable for 100 ms, 2 s cap) — informational metrics, never gating.
     val shuffleBytes = new AtomicLong; val spillBytes = new AtomicLong
+    val submitted = new AtomicLong; val completed = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        submitted.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         if (m != null) {
           shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spillBytes.addAndGet(m.memoryBytesSpilled)
         }
+        completed.incrementAndGet()
       }
     })
+    // Drained = submitted == completed observed twice, 5 ms apart (a queued
+    // submit+complete PAIR keeps the counters equal, so one observation can
+    // lie; two in a row across a bus-drain interval is enough for an
+    // informational ledger). Fast path ~5-10 ms; stable-for-60 ms byte poll
+    // as fallback; 2 s cap.
     def quiesce(): (Long, Long) = {
       val deadline = System.nanoTime() + 2_000_000_000L
       var last = (shuffleBytes.get, spillBytes.get)
       var stableSince = System.nanoTime()
-      while (System.nanoTime() < deadline &&
+      var quietChecks = if (submitted.get == completed.get) 1 else 0
+      while (quietChecks < 2 && System.nanoTime() < deadline &&
              System.nanoTime() - stableSince < 60_000_000L) {
-        Thread.sleep(10)
+        Thread.sleep(5)
         val now = (shuffleBytes.get, spillBytes.get)
         if (now != last) { last = now; stableSince = System.nanoTime() }
+        quietChecks = if (submitted.get == completed.get) quietChecks + 1 else 0
       }
-      last
+      (shuffleBytes.get, spillBytes.get)
     }
     // One boundary read per run: the post-run quiesce doubles as the next
     // run's baseline, and its wait sits OUTSIDE the query timer.
@@ -107,7 +119,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+    // Locale.ROOT: the default-locale f-interpolator writes "12,34" on
+    // comma-decimal locales, which is malformed JSON.
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1048576.0))
     val shuffle = results.map { case (k, _, _, sh, _) => "\"" + k + "\":" + mb(sh) }
       .mkString("{", ",", "}")
     val spill = results.collect { case (k, _, _, _, sp) if sp > 0 => "\"" + k + "\":" + mb(sp) }

@@ -89,6 +89,13 @@ object Tables {
     else df
   }
 
+  /** Stable per-(purpose, sfDir) scratch path for queries that must write
+    * (format round-trips, schema-drift generations): repeated runs OVERWRITE
+    * the same dir instead of leaking a fresh temp dir per invocation. */
+  def scratchDir(purpose: String, sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${purpose}_${math.abs(sfDir.hashCode)}").toString
+
   def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")

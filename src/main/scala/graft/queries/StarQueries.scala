@@ -853,10 +853,7 @@ object StarQueries {
         .filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
-      // Stable per-sfDir scratch path: repeated runs OVERWRITE (mode above)
-      // instead of leaking a fresh temp dir per invocation.
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_roundtrip_${math.abs(d.hashCode)}").toString
+      val tmp = Tables.scratchDir("roundtrip", d)
       sub.write.mode("overwrite").orc(s"$tmp/orc")
       sub.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       sub.write.mode("overwrite").json(s"$tmp/json")

@@ -435,10 +435,7 @@ object TextQueries {
     // bounded by spark.sql.files settings; the read itself stays one pass.
     "q_schema_drift" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // Stable per-sfDir scratch path (q_format_roundtrip's convention):
-      // repeated runs overwrite instead of leaking temp dirs.
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_drift_${math.abs(d.hashCode)}").toString
+      val tmp = Tables.scratchDir("drift", d)
       // Split on doc_id % 3: 3 does not divide the 20-source id stride, so
       // every source holds BOTH generations (a %2 split degenerates to
       // whole-sources because doc_id ≡ source-index mod 20).
