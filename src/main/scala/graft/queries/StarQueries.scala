@@ -161,6 +161,43 @@ object StarQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // Rolling exact median over a 7-row frame per priority (robust smoothing —
+    // the moving-window twin of q_anomaly_mad's group MAD): an aggregate
+    // percentile used as a FRAME window function, ordered by a unique
+    // (date, key) tiebreak. Output is 2×median in half-cents: a partial frame
+    // at partition start has an even count, so the interpolated median lands
+    // on .5 — doubling keeps the contract integer-exact with no float round.
+    // Per-key frames at 100 TB: one shuffle on the partition key, linear scan.
+    "q_window_median" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-6, 0)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("med2", percentile(col("cents"), lit(0.5)).over(w) * 2)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("med2").cast("long").as("med7_halfcents"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // SQL entry surface: the FILTER (WHERE ...) aggregate modifier — the
+    // standard-SQL form of conditional aggregation (one pass, N conditions),
+    // submitted as SQL text so the parser path is exercised; the oracle runs
+    // the identical statement.
+    "q_agg_filter" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority,
+          count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+          count(*) FILTER (WHERE o_totalprice <= 200000) AS n_small,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+            AS BIGINT) AS cents_97plus
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
     // Equi-width histogram (50k-wide buckets over order totals) with the bucket
     // derived in integer CENTS — floor(x*100) div 5_000_000 — so no float-boundary
     // bucket flip is possible cross-engine. One agg, no shuffle beyond it.
@@ -1579,6 +1616,28 @@ object StarQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // quantile_cont over the same frame; 2×median keeps half-cent
+    // interpolation integer-exact (see the Spark side).
+    "q_window_median" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(2 * quantile_cont(CAST(floor(o_totalprice * 100) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS med7_halfcents
+        |FROM orders
+        |QUALIFY o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  count(*) FILTER (WHERE o_totalprice <= 200000) AS n_small,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |    AS BIGINT) AS cents_97plus
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Same recursion, DuckDB dialect: `div` -> `//`; everything else verbatim.
     "q_sql_recursive" ->
