@@ -91,10 +91,15 @@ object Tables {
 
   /** Stable per-(purpose, sfDir) scratch path for queries that must write
     * (format round-trips, schema-drift generations): repeated runs OVERWRITE
-    * the same dir instead of leaking a fresh temp dir per invocation. */
-  def scratchDir(purpose: String, sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${purpose}_${math.abs(sfDir.hashCode)}").toString
+    * the same dir instead of leaking a fresh temp dir per invocation.
+    * Local java.io.tmpdir is single-node semantics — on a cluster, set
+    * `spark.graft.scratchDir` to a shared filesystem URI (HDFS/S3/NFS) and
+    * every executor resolves the same path through the Hadoop FS layer. */
+  def scratchDir(spark: SparkSession, purpose: String, sfDir: String): String = {
+    val base = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft_${purpose}_${math.abs(sfDir.hashCode)}"
+  }
 
   def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")

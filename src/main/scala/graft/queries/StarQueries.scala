@@ -890,7 +890,7 @@ object StarQueries {
         .filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
-      val tmp = Tables.scratchDir("roundtrip", d)
+      val tmp = Tables.scratchDir(s, "roundtrip", d)
       sub.write.mode("overwrite").orc(s"$tmp/orc")
       sub.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       sub.write.mode("overwrite").json(s"$tmp/json")

@@ -435,7 +435,7 @@ object TextQueries {
     // bounded by spark.sql.files settings; the read itself stays one pass.
     "q_schema_drift" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tmp = Tables.scratchDir("drift", d)
+      val tmp = Tables.scratchDir(s, "drift", d)
       // Split on doc_id % 3: 3 does not divide the 20-source id stride, so
       // every source holds BOTH generations (a %2 split degenerates to
       // whole-sources because doc_id ≡ source-index mod 20).
