@@ -237,6 +237,24 @@ class PlanSpec extends GraftSuite {
     assert(t18.contains("TakeOrderedAndProject"), t18.take(600))
   }
 
+  test("recursive CTE sustains deep fixpoints (60-level chain, exact closure)") {
+    // q_sql_recursive's nation tree is only 5 levels; this pins that the
+    // UnionLoop iteration is a real fixpoint at depth (60 iterations, each a
+    // frontier-edge equi-join), not something that happens to work shallow.
+    // Depths beyond spark.sql.cteRecursionLevelLimit (default 100) need that
+    // conf raised — the knob a deeper hierarchy would tune.
+    spark.range(0, 60).selectExpr("id AS k",
+      "CASE WHEN id = 0 THEN CAST(NULL AS BIGINT) ELSE id - 1 END AS parent")
+      .createOrReplaceTempView("chain")
+    val row = spark.sql("""
+      WITH RECURSIVE walk(k, depth) AS (
+        SELECT k, 0 FROM chain WHERE parent IS NULL
+        UNION ALL
+        SELECT c.k, w.depth + 1 FROM chain c JOIN walk w ON c.parent = w.k)
+      SELECT max(depth), count(*), sum(depth) FROM walk""").collect()(0)
+    assert(row.getInt(0) == 59 && row.getLong(1) == 60L && row.getLong(2) == 59L * 60 / 2)
+  }
+
   test("q_sql_recursive runs the ENGINE's fixpoint (UnionLoop), not a hand unroll") {
     // Spark 4's recursive CTE plans a UnionLoop node — the engine owns the
     // iteration. If the parser/planner ever silently degraded the recursion to
