@@ -161,6 +161,32 @@ object StarQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // CUSUM drift detection per priority (the classic change-point detector,
+    // complement of q_anomaly_mad's pointwise outlier gate): the recurrence
+    // S_i = max(0, S_{i-1} + x_i - k) is exactly S_i = P_i - min_{j<=i} P_j
+    // with P the prefix sum of (x - k) — so the sequential-looking detector
+    // becomes two linear window passes over a per-key day series, the shape
+    // that survives 100 TB. All integer: daily cents, k = per-priority mean
+    // daily cents by integer division, flag when drift exceeds one average
+    // day's volume.
+    "q_anomaly_cusum" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val k = daily.groupBy(col("o_orderpriority"))
+        .agg(expr("CAST(sum(cents) div count(1) AS BIGINT)").as("k"))
+      val wRun = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(k), Seq("o_orderpriority"))
+        .withColumn("p", sum(col("cents") - col("k")).over(wRun))
+        .withColumn("cusum", col("p") - min(col("p")).over(wRun))
+        .select(col("o_orderpriority"), col("day"), col("cents"),
+          col("cusum"), (col("cusum") > col("k")).as("drift_flag"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    },
+
     // Rolling exact median over a 7-row frame per priority (robust smoothing —
     // the moving-window twin of q_anomaly_mad's group MAD): an aggregate
     // percentile used as a FRAME window function, ordered by a unique
@@ -1616,6 +1642,29 @@ object StarQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // Same prefix-sum-minus-running-min formulation; `div` -> `//`.
+    "q_anomaly_cusum" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |k AS (
+        |  SELECT o_orderpriority, CAST(sum(cents) // count(*) AS BIGINT) AS k
+        |  FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT d.o_orderpriority, d.day, d.cents, k.k,
+        |    sum(d.cents - k.k) OVER (PARTITION BY d.o_orderpriority ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM daily d JOIN k USING (o_orderpriority)),
+        |c AS (
+        |  SELECT o_orderpriority, day, cents, k,
+        |    CAST(p - min(p) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |  FROM p)
+        |SELECT o_orderpriority, day, cents, cusum, cusum > k AS drift_flag
+        |FROM c ORDER BY o_orderpriority, day""".stripMargin,
 
     // quantile_cont over the same frame; 2×median keeps half-cent
     // interpolation integer-exact (see the Spark side).
