@@ -202,6 +202,32 @@ object EventQueries {
       graft.operators.Graphs.pagerank(edges, 3).orderBy(col("node"))
     },
 
+    // Mergeable-sketch incremental distinct (the 100 TB pattern B55's one-shot
+    // audit can't show): per-(event_type, week) Datasketches HLL sketches are
+    // built in one pass — the artifact a real pipeline PERSISTS per period —
+    // then re-aggregated with hll_union_agg so an all-time distinct-user count
+    // never rescans history. The sketch estimate itself is implementation-
+    // defined, so the hash contract emits the exact count plus a guarantee
+    // boolean (|approx − exact| ≤ ⌈5% · exact⌉ — lgK=12's ~3σ envelope, and
+    // sketches this small are exact-mode anyway); the oracle pins it TRUE.
+    "q_approx_hll_merge" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      val weekly = ev.groupBy(col("event_type"), col("week"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = weekly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_weeks"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+      val exact = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_nd"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_nd"), col("n_weeks"),
+          (abs(col("approx") - col("exact_nd")) <=
+            ceil(col("exact_nd") * lit(0.05))).as("within_5pct"))
+        .orderBy(col("event_type"))
+    },
+
     // Cohort retention (day granularity): cohort = a user's first active epoch-day;
     // cell (cohort, offset) counts distinct users active that many days later. All
     // integer epoch-day arithmetic. Scale shape: one user-key agg for cohort
@@ -436,6 +462,15 @@ object EventQueries {
          |r2 AS (SELECT * FROM ${duckPrStep("r1")}),
          |r3 AS (SELECT * FROM ${duckPrStep("r2")})
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Exact distinct + distinct-week count; the sketch-estimate guarantee
+    // boolean is pinned TRUE (see the Spark side for the bound derivation).
+    "q_approx_hll_merge" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd,
+        |  CAST(count(DISTINCT epoch_us(ts) // 86400000000 // 7) AS BIGINT)
+        |    AS n_weeks,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
