@@ -161,6 +161,46 @@ object StarQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // Percent-of-total window (ratio-to-report): each supplier nation's revenue
+    // share within its region, in integer basis points (cents*10000 div
+    // region_cents — both operands positive, so Spark's truncating div and
+    // DuckDB's flooring // agree). The share window runs over the 25-row
+    // post-aggregate, not the fact table: at 100 TB the fact reduces first,
+    // the analytic reads the reduction.
+    "q_window_share" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey")).agg(sum(col("cents")).as("cents"))
+      val n = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      val w = Window.partitionBy(col("n_regionkey"))
+      nat.join(n, col("s_nationkey") === col("n_nationkey"))
+        .withColumn("region_cents", sum(col("cents")).over(w))
+        .select(col("n_regionkey").cast("long").as("regionkey"), col("n_name"),
+          col("cents"),
+          expr("CAST(cents * 10000 div region_cents AS BIGINT)").as("share_bp"))
+        .orderBy(col("regionkey"), col("n_name"))
+    },
+
+    // SQL entry surface: the PIVOT clause (parser path; the DataFrame pivot is
+    // q_pivot) with a MULTI-aggregate pivot — count and cent-sum per pivoted
+    // priority — which the clause names `<value>_<aggAlias>`. Every (year,
+    // priority) cell is populated at all test SFs, so the pivot's absent-cell
+    // NULL semantics never diverge from the oracle's FILTER formulation.
+    "q_sql_pivot" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT * FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        PIVOT (count(*) AS n, sum(cents) AS c
+               FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low))
+        ORDER BY yr""")
+    },
+
     // CUSUM drift detection per priority (the classic change-point detector,
     // complement of q_anomaly_mad's pointwise outlier gate): the recurrence
     // S_i = max(0, S_{i-1} + x_i - k) is exactly S_i = P_i - min_{j<=i} P_j
@@ -1642,6 +1682,29 @@ object StarQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_window_share" ->
+      """WITH nat AS (
+        |  SELECT s_nationkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey)
+        |SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name, cents,
+        |  CAST(cents * 10000 // sum(cents) OVER (PARTITION BY n_regionkey)
+        |    AS BIGINT) AS share_bp
+        |FROM nat JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY regionkey, n_name""".stripMargin,
+
+    "q_sql_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_c,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low_c
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
 
     // Same prefix-sum-minus-running-min formulation; `div` -> `//`.
     "q_anomaly_cusum" ->
