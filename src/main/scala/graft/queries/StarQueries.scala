@@ -161,6 +161,24 @@ object StarQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // argmax/argmin aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min): WHICH
+    // order is the biggest, not just how big — one hash agg, no window, no
+    // join-back (the self-join formulation rescans; the window formulation
+    // sorts). Ordering key is uniquified (cents·10^7 + orderkey) because both
+    // engines leave argmax under ties implementation-defined.
+    "q_agg_argmax" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+          .as("ord"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      o.groupBy(col("o_orderpriority"))
+        .agg(expr("max_by(o_orderkey, ord)").as("top_orderkey"),
+          expr("max_by(cents, ord)").as("top_cents"),
+          expr("min_by(o_orderkey, ord)").as("bottom_orderkey"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Percent-of-total window (ratio-to-report): each supplier nation's revenue
     // share within its region, in integer basis points (cents*10000 div
     // region_cents — both operands positive, so Spark's truncating div and
@@ -1682,6 +1700,20 @@ object StarQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_agg_argmax" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey
+        |      AS ord,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  arg_max(o_orderkey, ord) AS top_orderkey,
+        |  arg_max(cents, ord) AS top_cents,
+        |  arg_min(o_orderkey, ord) AS bottom_orderkey,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_share" ->
       """WITH nat AS (
