@@ -164,11 +164,14 @@ object StarQueries {
     // argmax/argmin aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min): WHICH
     // order is the biggest, not just how big — one hash agg, no window, no
     // join-back (the self-join formulation rescans; the window formulation
-    // sorts). Ordering key is uniquified (cents·10^7 + orderkey) because both
-    // engines leave argmax under ties implementation-defined.
+    // sorts). Ordering key is uniquified (cents·10^11 + orderkey) because both
+    // engines leave argmax under ties implementation-defined. Bounds: the
+    // multiplier dominates orderkey up to 10^11 (TPC-H orderkey 6M·SF → safe
+    // beyond SF 10^4), and cents < 9.2·10^7 keeps the product inside Int64 —
+    // TPC-H o_totalprice tops out near 600k regardless of SF, 15× inside that.
     "q_agg_argmax" -> { (s, d) =>
       val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000000 + o_orderkey")
           .as("ord"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
       o.groupBy(col("o_orderpriority"))
@@ -221,12 +224,13 @@ object StarQueries {
 
     // CUSUM drift detection per priority (the classic change-point detector,
     // complement of q_anomaly_mad's pointwise outlier gate): the recurrence
-    // S_i = max(0, S_{i-1} + x_i - k) is exactly S_i = P_i - min_{j<=i} P_j
-    // with P the prefix sum of (x - k) — so the sequential-looking detector
-    // becomes two linear window passes over a per-key day series, the shape
-    // that survives 100 TB. All integer: daily cents, k = per-priority mean
-    // daily cents by integer division, flag when drift exceeds one average
-    // day's volume.
+    // S_i = max(0, S_{i-1} + x_i - k) is exactly S_i = P_i - min_{0<=j<=i} P_j
+    // with P the prefix sum of (x - k) AND P_0 = 0 — the empty prefix MUST be
+    // in the min (least(0, window_min)), or every series whose running sums
+    // stay positive has its first-day drift forced to 0. Two linear window
+    // passes over a per-key day series, the shape that survives 100 TB. All
+    // integer: daily cents, k = per-priority mean daily cents by integer
+    // division, flag when drift exceeds one average day's volume.
     "q_anomaly_cusum" -> { (s, d) =>
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"),
@@ -239,7 +243,7 @@ object StarQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.join(broadcast(k), Seq("o_orderpriority"))
         .withColumn("p", sum(col("cents") - col("k")).over(wRun))
-        .withColumn("cusum", col("p") - min(col("p")).over(wRun))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(wRun)))
         .select(col("o_orderpriority"), col("day"), col("cents"),
           col("cusum"), (col("cusum") > col("k")).as("drift_flag"))
         .orderBy(col("o_orderpriority"), col("day"))
@@ -1704,7 +1708,7 @@ object StarQueries {
     "q_agg_argmax" ->
       """WITH o AS (
         |  SELECT o_orderpriority, o_orderkey,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000000 + o_orderkey
         |      AS ord,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders)
@@ -1755,8 +1759,8 @@ object StarQueries {
         |  FROM daily d JOIN k USING (o_orderpriority)),
         |c AS (
         |  SELECT o_orderpriority, day, cents, k,
-        |    CAST(p - min(p) OVER (PARTITION BY o_orderpriority ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |    CAST(p - least(0, min(p) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum
         |  FROM p)
         |SELECT o_orderpriority, day, cents, cusum, cusum > k AS drift_flag
         |FROM c ORDER BY o_orderpriority, day""".stripMargin,
