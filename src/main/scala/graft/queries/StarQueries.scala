@@ -222,6 +222,23 @@ object StarQueries {
         ORDER BY yr""")
     },
 
+    // SQL entry surface: the UNPIVOT clause (parser twin of q_sql_pivot; the
+    // DataFrame melt is q_unpivot) — wide per-year priority counts fold back
+    // to (yr, metric, val) rows. The oracle is the UNION ALL formulation.
+    "q_sql_unpivot" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT yr, metric, val FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS urgent,
+            CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+              AS BIGINT) AS low
+          FROM orders GROUP BY yr)
+        UNPIVOT (val FOR metric IN (urgent, low))
+        ORDER BY yr, metric""")
+    },
+
     // CUSUM drift detection per priority (the classic change-point detector,
     // complement of q_anomaly_mad's pointwise outlier gate): the recurrence
     // S_i = max(0, S_{i-1} + x_i - k) is exactly S_i = P_i - min_{0<=j<=i} P_j
@@ -1741,6 +1758,18 @@ object StarQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
         |    FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low_c
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_sql_unpivot" ->
+      """WITH a AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS urgent,
+        |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS low
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, 'urgent' AS metric, urgent AS val FROM a
+        |UNION ALL SELECT yr, 'low', low FROM a
+        |ORDER BY yr, metric""".stripMargin,
 
     // Same prefix-sum-minus-running-min formulation; `div` -> `//`.
     "q_anomaly_cusum" ->
