@@ -36,8 +36,17 @@ object Bench {
     }
     // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
     // contention with identical plans (observed r1<->r2), which makes a one-sample
-    // 2x gate noisy; min-of-k measures the plan, not the neighbors.
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt.max(1)
+    // 2x gate noisy; min-of-k measures the plan, not the neighbors. Default is 1:
+    // at 151 queries, best-of-3 (453 timed runs + warmup + sbt startup) blew the
+    // driver's wall-clock window in r3 and recorded rc=124 with NO result — a noisy
+    // single sample beats a timed-out perfect one. Raise K explicitly when
+    // iterating locally on a subset.
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "1").toInt.max(1)
+    // Belt-and-braces deadline: once total timed wall exceeds this, remaining
+    // queries fall back to single samples even if K>1, so the drive always
+    // emits its JSON line inside the driver's window.
+    val deadlineNanos =
+      (sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "120").toDouble * 1e9).toLong
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset (driver sets
     // nothing and times the full surface).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -72,17 +81,20 @@ object Bench {
     // Drained = submitted == completed observed twice, 5 ms apart (a queued
     // submit+complete PAIR keeps the counters equal, so one observation can
     // lie; two in a row across a bus-drain interval is enough for an
-    // informational ledger). Fast path ~5-10 ms; stable-for-60 ms byte poll
-    // as fallback; 2 s cap.
+    // informational ledger). Fast path ~5-10 ms; stable-for-60 ms poll as
+    // fallback; 2 s cap. The fallback tuple includes the stage COUNTERS, not
+    // just bytes: a zero-shuffle stage whose completion event lands >60 ms
+    // late would otherwise let the fallback return with submitted != completed
+    // and attribute that stage's metrics to the next query's delta.
     def quiesce(): (Long, Long) = {
       val deadline = System.nanoTime() + 2_000_000_000L
-      var last = (shuffleBytes.get, spillBytes.get)
+      var last = (shuffleBytes.get, spillBytes.get, submitted.get, completed.get)
       var stableSince = System.nanoTime()
       var quietChecks = if (submitted.get == completed.get) 1 else 0
       while (quietChecks < 2 && System.nanoTime() < deadline &&
              System.nanoTime() - stableSince < 60_000_000L) {
         Thread.sleep(5)
-        val now = (shuffleBytes.get, spillBytes.get)
+        val now = (shuffleBytes.get, spillBytes.get, submitted.get, completed.get)
         if (now != last) { last = now; stableSince = System.nanoTime() }
         quietChecks = if (submitted.get == completed.get) quietChecks + 1 else 0
       }
@@ -91,10 +103,14 @@ object Bench {
     // One boundary read per run: the post-run quiesce doubles as the next
     // run's baseline, and its wait sits OUTSIDE the query timer.
     var baseline = quiesce()
+    val benchStart = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val runs = (0 until samples).map { _ =>
+      // Past the deadline, degrade to single samples rather than dropping
+      // queries: every query still gets timed, the drive still completes.
+      val k = if (System.nanoTime() - benchStart > deadlineNanos) 1 else samples
+      val runs = (0 until k).map { _ =>
         val (sh0, sp0) = baseline
         val t0 = System.nanoTime()
         try {

@@ -493,7 +493,7 @@ object EventQueries {
 
     "q_json_variant" ->
       """SELECT event_type, count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_k,
-        | sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | min(CAST(json_extract(props,'$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract(props,'$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

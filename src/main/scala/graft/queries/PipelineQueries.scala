@@ -59,7 +59,7 @@ object PipelineQueries {
        |   coalesce(CAST(json_extract(data, '$$[0].calories') AS DOUBLE), 0.0) AS calories,
        |   coalesce(CAST(json_extract(data, '$$[0].protein_g') AS DOUBLE), 0.0) AS protein_g,
        |   coalesce(CAST(json_extract(data, '$$[0].serving_size_g') AS DOUBLE), 0.0) AS serving_size_g,
-       |   0.0 AS sodium_mg, 0.0 AS fiber_g
+       |   CAST(0.0 AS DOUBLE) AS sodium_mg, CAST(0.0 AS DOUBLE) AS fiber_g
        |  FROM items_raw
        |  WHERE json_valid(data) AND json_array_length(data) > 0),
        |latest AS (

@@ -854,17 +854,20 @@ object StarQueries {
     // DECIMAL exact money arithmetic: the one aggregation family that needs NO
     // round() anywhere — fixed-point sums are exact by type, the strongest
     // determinism posture for financial columns (the double-sum queries above
-    // must round because their binary sums carry ~1e-7 drift). Explicit output
-    // casts pin scale so both engines emit the identical decimal rendering.
+    // must round because their binary sums carry ~1e-7 drift). All arithmetic
+    // stays DECIMAL; the OUTPUT is scaled integers (cents / 1e-4 units) because
+    // decimal-typed columns hash differently across engines in the driver's
+    // comparator even when values are bit-identical (r3 lesson) — BIGINT is the
+    // one exact-integer rendering both engines agree on.
     "q_agg_decimal" -> { (s, d) =>
       val price = col("l_extendedprice").cast("decimal(12,2)")
       val disc = col("l_discount").cast("decimal(4,2)")
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sum(price).cast("decimal(18,2)").as("sum_price"),
-          sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("decimal(18,4)")
-            .as("sum_disc"),
-          max(price).cast("decimal(12,2)").as("max_price"),
+        .agg((sum(price) * lit(100)).cast("long").as("sum_price_cents"),
+          (sum(price * (lit(1).cast("decimal(4,2)") - disc)) * lit(10000))
+            .cast("long").as("sum_disc_e4"),
+          (max(price) * lit(100)).cast("long").as("max_price_cents"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     },
@@ -1293,7 +1296,7 @@ object StarQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_range" ->
-      """SELECT band_id, count(*) AS n, round(sum(o_totalprice),2) AS sum_price
+      """SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n, round(sum(o_totalprice),2) AS sum_price
         |FROM orders JOIN (VALUES (0,0.0,100000.0),(1,100000.0,200000.0),
         |  (2,200000.0,300000.0),(3,300000.0,400000.0),(4,400000.0,1000000.0))
         |  AS bands(band_id, lo, hi)
@@ -1621,10 +1624,10 @@ object StarQueries {
 
     "q_agg_decimal" ->
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price_cents,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc,
-        | CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS sum_disc_e4,
+        | CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS max_price_cents,
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

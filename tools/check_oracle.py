@@ -45,6 +45,31 @@ def main():
         gc, wc = sorted(got.column_names), sorted(want.column_names)
         if gc != wc:
             print(f"FAIL {name}: columns differ spark={gc} duck={wc}"); n_fail += 1; continue
+        # TYPE-SENSITIVE gate (r3 lesson): the driver hashes typed arrow data, so
+        # value-equal results with different arrow types (DuckDB sum(BIGINT) ->
+        # HUGEINT/decimal128 vs Spark BIGINT) FAIL the driver while a pure Python
+        # value compare passes. Require exact arrow-type equality per column, and
+        # ban decimal output columns outright — r3's q_agg_decimal had bit-identical
+        # DECIMAL values on both sides and still hash-failed in the driver's
+        # comparator, so decimal is not a safe output encoding at all; emit scaled
+        # BIGINT or pinned-scale strings instead (DECIMAL arithmetic internally is
+        # fine).
+        type_errs = []
+        gt = {f.name: f.type for f in got.schema}
+        wt = {f.name: f.type for f in want.schema}
+        for c in gc:
+            if str(gt[c]) != str(wt[c]):
+                type_errs.append(f"column {c}: spark={gt[c]} duck={wt[c]}")
+            for side, t in (("spark", gt[c]), ("duck", wt[c])):
+                if "decimal" in str(t):
+                    type_errs.append(
+                        f"column {c}: {side} emits {t} — decimal output is "
+                        "driver-hash-unsafe; emit scaled BIGINT or STRING")
+        if type_errs:
+            print(f"FAIL {name}: output types unsafe/mismatched:")
+            for e in type_errs:
+                print(f"   {e}")
+            n_fail += 1; continue
         def norm(tbl):
             rows = list(zip(*[tbl.column(c).to_pylist() for c in sorted(tbl.column_names)]))
             return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
