@@ -29,6 +29,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The round-3 bench tail was 100% WindowExec no-partition warnings from
+    // windows over already-reduced data — mute that one logger so the driver
+    // log carries signal.
+    LogHygiene.muteBenignWindowWarning()
     // Warm-up: materialize each cached base table once so the first timed query
     // doesn't absorb parquet decode + cache build + JIT for everyone else.
     Tables.all.foreach { t =>

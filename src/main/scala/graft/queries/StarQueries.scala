@@ -183,9 +183,12 @@ object StarQueries {
     },
 
     // Percent-of-total window (ratio-to-report): each supplier nation's revenue
-    // share within its region, in integer basis points (cents*10000 div
-    // region_cents — both operands positive, so Spark's truncating div and
-    // DuckDB's flooring // agree). The share window runs over the 25-row
+    // share within its region, in integer basis points. The ×10000 runs in
+    // DECIMAL(38,0) — per-nation cent sums reach ~9e14 around SF 1000, so the
+    // scale-up would overflow Int64 well inside the 100 TB posture if done in
+    // BIGINT (DuckDB survives via silent HUGEINT promotion; Spark must widen
+    // explicitly). Both operands positive, so Spark's truncating div and
+    // DuckDB's flooring // agree. The share window runs over the 25-row
     // post-aggregate, not the fact table: at 100 TB the fact reduces first,
     // the analytic reads the reduction.
     "q_window_share" -> { (s, d) =>
@@ -201,7 +204,8 @@ object StarQueries {
         .withColumn("region_cents", sum(col("cents")).over(w))
         .select(col("n_regionkey").cast("long").as("regionkey"), col("n_name"),
           col("cents"),
-          expr("CAST(cents * 10000 div region_cents AS BIGINT)").as("share_bp"))
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * 10000 div region_cents AS BIGINT)")
+            .as("share_bp"))
         .orderBy(col("regionkey"), col("n_name"))
     },
 
@@ -1747,7 +1751,7 @@ object StarQueries {
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  GROUP BY s_nationkey)
         |SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name, cents,
-        |  CAST(cents * 10000 // sum(cents) OVER (PARTITION BY n_regionkey)
+        |  CAST(CAST(cents AS HUGEINT) * 10000 // sum(cents) OVER (PARTITION BY n_regionkey)
         |    AS BIGINT) AS share_bp
         |FROM nat JOIN nation ON n_nationkey = s_nationkey
         |ORDER BY regionkey, n_name""".stripMargin,
