@@ -551,4 +551,68 @@ class StreamingSpec extends GraftSuite {
       assert(m.getAs[Long]("min_k") === 1L && m.getAs[Long]("max_k") === 3L)
     } finally q.stop()
   }
+
+  test("streaming interval join reproduces the batch q_join_interval result") {
+    // Batch-equivalence drive for the stream-stream interval join (the B82
+    // posture): the SAME event rows flow once through the streaming twin of
+    // q_join_interval — one stream filtered into errors/clicks branches,
+    // watermarked, equi-joined on user_id with the [err-2h, err) residual —
+    // and once through the batch formulation; the per-error click rollups
+    // must be identical. The watermark bound mirrors the batch interval, so
+    // streaming state holds exactly the join window, never unbounded history.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val events = in.toDF.toDF("user_id", "event_id", "event_type", "ts")
+    val errS = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val clkS = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = errS.join(clkS,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 2 HOURS") &&
+        col("click_ts") < col("err_ts"))
+    val q = joined.writeStream.format("memory").queryName("ivj_t")
+      .outputMode("append").start()
+    try {
+      // Two users; clicks straddling the 2-hour bound, one click after the
+      // error (excluded: strictly-before), a user with no error at all, and
+      // out-of-order arrival across micro-batches.
+      val rows = Seq(
+        (1L, 10L, "click", ts("2024-01-01 08:30:00")), // 90 min before -> in
+        (1L, 11L, "click", ts("2024-01-01 07:59:00")), // 121 min before -> out
+        (1L, 100L, "error", ts("2024-01-01 10:00:00")),
+        (1L, 12L, "click", ts("2024-01-01 10:30:00")), // after the error -> out
+        (2L, 20L, "click", ts("2024-01-01 09:59:00")), // 1 min before -> in
+        (2L, 200L, "error", ts("2024-01-01 10:00:00")),
+        (3L, 30L, "click", ts("2024-01-01 09:00:00"))) // no error for user 3
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*) // late-ish second batch, still inside watermark
+      q.processAllAvailable()
+      val streamed = spark.table("ivj_t")
+        .groupBy(col("user_id"), col("err_id"))
+        .agg(count(lit(1)).as("n_clicks_2h"),
+          max(unix_micros(col("click_ts"))).as("last_click_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val ev = rows.toDF("user_id", "event_id", "event_type", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("err_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val batch = errors.join(clicks, Seq("user_id"))
+        .filter(col("click_us") >= col("err_us") - lit(7200000000L) &&
+          col("click_us") < col("err_us"))
+        .groupBy(col("user_id"), col("err_id"))
+        .agg(count(lit(1)).as("n_clicks_2h"), max(col("click_us")).as("last_click_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streaming interval join diverged from batch twin: $streamed vs $batch")
+      assert(streamed.map(_._2) === Set(100L, 200L))
+    } finally q.stop()
+  }
 }
