@@ -35,8 +35,16 @@ object Bench {
     LogHygiene.muteBenignWindowWarning()
     // Warm-up: materialize each cached base table once so the first timed query
     // doesn't absorb parquet decode + cache build + JIT for everyone else.
-    Tables.all.foreach { t =>
-      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+    // Concurrent: ten sequential counts leave 32 cores mostly idle; Spark's
+    // scheduler interleaves the jobs and the warmup stops paying ten startup
+    // latencies back to back (wall-clock trim only — nothing here is timed).
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      Await.result(Future.traverse(Tables.all.toList) { t =>
+        Future { try Tables(spark, sfDir, t).count() catch { case _: Throwable => () } }
+      }, 10.minutes)
     }
     // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
     // contention with identical plans (observed r1<->r2), which makes a one-sample
