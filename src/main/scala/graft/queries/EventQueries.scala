@@ -208,12 +208,15 @@ object EventQueries {
     // then re-aggregated with hll_union_agg so an all-time distinct-user count
     // never rescans history. The sketch estimate itself is implementation-
     // defined, so the hash contract emits the exact count plus a guarantee
-    // boolean the oracle pins TRUE. The 5% bound is only ASSERTED while the
-    // merged sketch is provably in exact/coupon mode (lgK=12 holds ≲2^11
-    // coupons before promoting to HLL mode, where the estimate is exact and
-    // the delta is 0); past that the bound is a ~4σ statistical envelope, not
-    // a certainty, so the contract auto-passes rather than coin-flipping at
-    // untested scale factors — the hash check pins the exact counts either way.
+    // boolean the oracle pins TRUE. The 5% bound is only ASSERTED while every
+    // sketch is provably in exact/coupon mode: DataSketches lgK=12 promotes
+    // coupon→HLL estimating mode at 3/4 · 2^(lgK−3) = 384 coupons
+    // (CouponHashSet.checkGrowOrPromote), and per-week distinct ≤ per-type
+    // distinct, so exact_nd ≤ 256 keeps every weekly sketch AND the union
+    // gadget under the promotion point with margin — estimate ≡ exact, delta
+    // 0. Past that the bound is a ~4σ statistical envelope, not a certainty,
+    // so the contract auto-passes rather than coin-flipping at untested scale
+    // factors — the hash check pins the exact counts either way.
     "q_approx_hll_merge" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
@@ -227,7 +230,7 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("exact_nd"))
       merged.join(exact, Seq("event_type"))
         .select(col("event_type"), col("exact_nd"), col("n_weeks"),
-          (col("exact_nd") > lit(2048L) ||
+          (col("exact_nd") > lit(256L) ||
             abs(col("approx") - col("exact_nd")) <=
               ceil(col("exact_nd") * lit(0.05))).as("within_5pct"))
         .orderBy(col("event_type"))
