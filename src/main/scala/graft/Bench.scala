@@ -152,20 +152,36 @@ object Bench {
       val best = if (ok) runs.minBy(_._1) else (-1.0, 0L, 0L)
       (name, best._1, ok, best._2, best._3)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // Locale.ROOT: the default-locale f-interpolator writes "12,34" on
     // comma-decimal locales, which is malformed JSON.
-    def mb(b: Long): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1048576.0))
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def mb(b: Long): String = num(b / 1048576.0, 2)
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val shuffle = results.map { case (k, _, _, sh, _) => "\"" + k + "\":" + mb(sh) }
       .mkString("{", ",", "}")
     val spill = results.collect { case (k, _, _, _, sp) if sp > 0 => "\"" + k + "\":" + mb(sp) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir"}""")
+    // The full per-query ledger (seconds + shuffle-write + spill for all ~150
+    // queries) is ~8 KB of JSON — but the drive harness keeps only the LAST
+    // 2000 BYTES of output, which is why every recorded round so far has
+    // `parsed: null` even on clean rc=0 runs: the line's head (with "metric"
+    // and the total) scrolled out of the capture window. So the ledger goes to
+    // a committed sidecar file, and stdout carries one COMPACT line — total,
+    // failure list, movement totals, and the ten slowest queries as the
+    // headline "queries" dict — sized well under the capture window.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+      fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] details write failed: $e") }
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"shuffle_write_mb_total":${mb(results.map(_._4).sum)},"spill_mb_total":${mb(results.map(_._5).sum)},"sf":"$sfDir","full_ledger":"BENCH_DETAILS.json"}"""
     // Stderr diagnostic (never in the JSON contract): how much wall the metric
     // ledger's quiesce waits cost, and whether the stage counters ever ended a
     // query desynchronized (a lost listener event would make every later
@@ -174,6 +190,10 @@ object Bench {
       s"[bench] quiesce total ${quiesceNanos.get / 1e9} s, " +
         s"slow(>100ms)=${quiesceSlow.get}, " +
         s"leftover submitted-completed=${submitted.get - completed.get}")
+    // Stop Spark BEFORE the contract line so no shutdown log can land after it
+    // and push it out of the harness's tail window.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }
