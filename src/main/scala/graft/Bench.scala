@@ -175,9 +175,13 @@ object Bench {
     // failure list, movement totals, and the ten slowest queries as the
     // headline "queries" dict — sized well under the capture window.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
-      fullLine + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] details write failed: $e") }
+    // Only a FULL-surface drive may overwrite the committed ledger — a
+    // BENCH_ONLY subset run would otherwise clobber it with a 2-query file.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+        fullLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] details write failed: $e") }
+    }
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
