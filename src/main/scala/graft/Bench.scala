@@ -49,6 +49,33 @@ object Bench {
         Future { try Tables(spark, sfDir, t).count() catch { case _: Throwable => () } }
       }, 10.minutes)
     } catch { case _: Throwable => () }
+    // Engine warm-up: the table pass above warms parquet decode + cache build but
+    // not the JVM's compilation of Spark itself — Catalyst, Janino, the codegen'd
+    // operator templates, shuffle writers, window/join internals. Without it the
+    // alphabetically-FIRST timed queries absorb that meta-JIT: observed
+    // q_agg_argmax at 2.7 s single-sample with ZERO shuffle vs ~0.1 s
+    // steady-state, and the whole q_agg_*/q_anomaly_* block inflated 5-20x. A
+    // handful of synthetic queries over spark.range touch each operator family
+    // once, untimed. Per-query generated code is unique so its Janino compile
+    // still lands in the timed run — but the compiler and operators run hot.
+    // Best-effort like the table pass: a failure here must not kill the drive.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.range(200000).select(col("id"), (col("id") % 97).as("k"),
+        concat(lit("v"), col("id") % 1000).as("s"), (col("id") * 1.5).as("x"))
+      r.groupBy("k").agg(sum("x"), count("*"), approx_count_distinct("s"),
+        collect_list("id")).count()                                  // hash agg paths
+      r.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
+        .filter(col("rn") <= 3).count()                              // WindowExec + sort
+      val right = r.select(col("id").as("rid"), col("x").as("rx"))
+      r.join(right, col("id") === col("rid")).count()                // sort-merge join
+      r.join(broadcast(r.limit(100).select(col("k").as("bk"))),
+        col("k") === col("bk")).count()                              // broadcast join
+      r.select(explode(split(col("s"), "v")).as("t"))
+        .where(regexp_extract(col("t"), "(\\d+)", 1) =!= "").count() // explode + regexp
+      r.orderBy(col("x").desc).limit(50).count()                     // TakeOrdered
+    } catch { case _: Throwable => () }
     // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
     // contention with identical plans (observed r1<->r2), which makes a one-sample
     // 2x gate noisy; min-of-k measures the plan, not the neighbors. Default is 1:
@@ -185,7 +212,11 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"shuffle_write_mb_total":${mb(results.map(_._4).sum)},"spill_mb_total":${mb(results.map(_._5).sum)},"sf":"$sfDir","full_ledger":"BENCH_DETAILS.json"}"""
+    // "samples" makes the sampling posture part of the record: a K=1 total
+    // carries contention noise that a best-of-3 rerun will beat by ~2x on the
+    // same binaries (observed r3: judge 43.3 s min-of-3 vs ~90 s single-sample)
+    // — the field lets a reader compare like with like.
+    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"queries":$slowest,"n_queries":${results.size},"failed":$failed,"shuffle_write_mb_total":${mb(results.map(_._4).sum)},"spill_mb_total":${mb(results.map(_._5).sum)},"sf":"$sfDir","full_ledger":"BENCH_DETAILS.json"}"""
     // Stderr diagnostic (never in the JSON contract): how much wall the metric
     // ledger's quiesce waits cost, and whether the stage counters ever ended a
     // query desynchronized (a lost listener event would make every later
