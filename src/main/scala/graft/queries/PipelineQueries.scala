@@ -164,6 +164,45 @@ object PipelineQueries {
         .groupBy(col("reason")).agg(count(lit(1)).as("n"),
           countDistinct(col("item_name")).as("n_keys"))
         .orderBy(col("reason"))
+    },
+
+    // Source-format coverage: the `binaryFile` source — the ingestion path an
+    // object-store multimodal corpus actually lands through (one opaque blob
+    // per object plus path/length metadata; Spark parallelizes the listing and
+    // assigns whole files to tasks). A deterministic document slice is sharded
+    // to one .bin file per doc by a DISTRIBUTED per-partition writer (Hadoop
+    // FS API resolved on the executors — no driver loop, the same code path
+    // works against file:// here and hdfs://-or-s3a:// on a cluster), read
+    // back whole-file through binaryFile, and reduced to a per-doc
+    // (byte-length, md5) signature the oracle predicts from the parquet table
+    // alone — path mangling, truncation, or UTF-8 drift in either direction
+    // breaks the hash. Many-small-files is the known cost of this layout at
+    // scale; that is exactly what the compaction operator (B72) exists for.
+    "q_source_binaryfile" -> { (s, d) =>
+      val dir = Tables.scratchDir(s, "blobshard", d)
+      val hPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      fs.mkdirs(hPath)
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(7)) === 0 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pfs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val out = pfs.create(
+              new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"), true)
+            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -275,6 +314,18 @@ object PipelineQueries {
          |            WHEN data = 'not json' THEN 'malformed'
          |            ELSE 'valid' END AS reason,
          | count(*) AS n, count(DISTINCT item_name) AS n_keys
-         |FROM items_raw GROUP BY 1 ORDER BY reason""".stripMargin
+         |FROM items_raw GROUP BY 1 ORDER BY reason""".stripMargin,
+
+    // Predicts the binaryFile round-trip from the parquet table alone:
+    // octet_length(encode(..)) is the UTF-8 byte count Spark's writer produces,
+    // and DuckDB's md5(VARCHAR) hashes the same UTF-8 bytes as Spark's
+    // md5(BINARY) over the file content.
+    "q_source_binaryfile" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_md5
+        |FROM documents
+        |WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 }

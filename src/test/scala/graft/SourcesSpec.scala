@@ -70,6 +70,24 @@ class SourcesSpec extends GraftSuite {
     assert(rows === Map(1L -> None, 2L -> None, 3L -> Some("api"), 4L -> Some("crawl")))
   }
 
+  test("binaryFile source reads distributed-written blob shards back byte-exact") {
+    // The q_source_binaryfile shape end to end on tiny data: per-partition
+    // Hadoop-FS writes (executor-side), whole-file binaryFile read, and the
+    // (length, md5) signature must match what the table itself predicts.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+      .filter(pmod(col("doc_id"), lit(7)) === 0 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val got = queries.PipelineQueries.queries("q_source_binaryfile")(spark, sfTiny)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val want = docs
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long"),
+        md5(encode(col("text"), "UTF-8")))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("_metadata row_index stays file-absolute when the read splits") {
     // Force many tiny splits: row_index must still be the position in the FILE,
     // not within a split - the invariant q_provenance's oracle relies on.
