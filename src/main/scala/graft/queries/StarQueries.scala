@@ -1022,6 +1022,29 @@ object StarQueries {
       }.reduce(_ unionByName _).orderBy(col("fmt"))
     },
 
+    // Source-format coverage, XML: Spark 4's NATIVE xml datasource (rowTag
+    // record framing), the enterprise-feed ingest path. Integer/string columns
+    // only cross the text boundary (cents pre-computed as LONG before the
+    // write) so no float-rendering drift can enter; read-back declares the
+    // schema explicitly — schema-on-read is never inferred, per SURVEY §1.3.
+    // The per-flag signature is predicted by the oracle from parquet alone, so
+    // any escaping, framing, or type-coercion defect in writer or reader
+    // breaks the hash.
+    "q_source_xml" -> { (s, d) =>
+      val sub = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      val dir = Tables.scratchDir(s, "xmlsrc", d)
+      sub.write.mode("overwrite").option("rowTag", "item").format("xml").save(dir)
+      s.read.option("rowTag", "item").schema(sub.schema).format("xml").load(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey") * col("l_linenumber")).as("key_sum"),
+          sum(col("price_cents")).as("price_cents_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // SQL entry surface 3: correlated LATERAL subquery with per-row ORDER BY +
     // LIMIT — the "top-2 orders for each customer" shape that stresses the
     // DECORRELATION planner path (DomainJoin rewrite), not the join executor.
@@ -1719,6 +1742,14 @@ object StarQueries {
         |      FROM lineitem WHERE l_orderkey % 10 = 0) s
         |CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
         |ORDER BY f.fmt""".stripMargin,
+
+    "q_source_xml" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS price_cents_sum
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sql_lateral" ->
       """SELECT c_custkey, o_orderkey, o_totalprice

@@ -39,6 +39,10 @@ class SourcesSpec extends GraftSuite {
     roundtrip("orc")
   }
 
+  test("xml round-trips with an explicit schema (Spark 4 native source)") {
+    roundtrip("xml", Map("rowTag" -> "item"))
+  }
+
   test("streaming file source over json matches the batch read") {
     val dir = tmpDir("srcstream") + "/json"
     base.write.format("json").save(dir)
