@@ -184,9 +184,16 @@ object PipelineQueries {
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(hPath)) fs.delete(hPath, true)
       fs.mkdirs(hPath)
+      // Slice sized for the drive (1 doc in 29), and repartitioned so file
+      // CREATION parallelizes — the per-file Hadoop FS round-trip (~5 ms
+      // create+write+close on LocalFileSystem) is the cost of this layout,
+      // and it serializes if the cached table sits in one partition. The
+      // shuffle moves a few hundred tiny rows; sink parallelism is what
+      // Spark's own file committers buy the same way.
       Tables.documents(s, d)
-        .filter(pmod(col("doc_id"), lit(7)) === 0 && col("text").isNotNull)
+        .filter(pmod(col("doc_id"), lit(29)) === 0 && col("text").isNotNull)
         .select(col("doc_id"), col("text"))
+        .repartition(8)
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
           val pfs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -325,7 +332,7 @@ object PipelineQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS content_md5
         |FROM documents
-        |WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        |WHERE doc_id % 29 = 0 AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin
   )
 }

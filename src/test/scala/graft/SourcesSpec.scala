@@ -80,7 +80,7 @@ class SourcesSpec extends GraftSuite {
     // (length, md5) signature must match what the table itself predicts.
     import spark.implicits._
     val docs = Tables.documents(spark, sfTiny)
-      .filter(pmod(col("doc_id"), lit(7)) === 0 && col("text").isNotNull)
+      .filter(pmod(col("doc_id"), lit(29)) === 0 && col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val got = queries.PipelineQueries.queries("q_source_binaryfile")(spark, sfTiny)
       .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
