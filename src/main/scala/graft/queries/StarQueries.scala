@@ -685,6 +685,34 @@ object StarQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // B16 addendum, XML scalar functions (the B15 JSON-extraction twin for XML
+    // columns): a per-nation XML document is BUILT deterministically from table
+    // columns, then pulled apart three independent ways — schema'd from_xml
+    // struct extraction, Hive-surface xpath_string, and the array-returning
+    // xpath (node-set → size). The oracle predicts every output from the source
+    // columns alone, so parser, xpath engine, and schema coercion all have to
+    // agree with the values that went in. (to_xml's write side is pinned by the
+    // SourcesSpec round-trip test; nation names are A-Z/space only, so no
+    // XML-escaping ambiguity enters the hash.)
+    "q_xml_funcs" -> { (s, d) =>
+      val xmlSchema = new org.apache.spark.sql.types.StructType()
+        .add("key", "long").add("name", "string").add("region", "long")
+      Tables.nation(s, d)
+        .withColumn("doc", concat(
+          lit("<nation><key>"), col("n_nationkey"),
+          lit("</key><name>"), col("n_name"),
+          lit("</name><region>"), col("n_regionkey"),
+          lit("</region></nation>")))
+        .withColumn("p", from_xml(col("doc"), xmlSchema))
+        .select(
+          col("n_nationkey").cast("long").as("nationkey"),
+          expr("xpath_string(doc, '/nation/name')").as("x_name"),
+          col("p.key").as("p_key"),
+          col("p.region").as("p_region"),
+          size(expr("xpath(doc, '/nation/*/text()')")).cast("long").as("n_parts"))
+        .orderBy(col("nationkey"))
+    },
+
     // B16: map functions — build, extract, introspect (oracle verifies the extracted
     // scalars, which is all a map can deterministically externalize to parquet).
     "q_map_funcs" -> { (s, d) =>
@@ -1471,6 +1499,14 @@ object StarQueries {
         | concat_ws('|', p_brand, p_type) AS bt,
         | CAST(p_partkey % 7 AS BIGINT) AS k7
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_xml_funcs" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        | n_name AS x_name,
+        | CAST(n_nationkey AS BIGINT) AS p_key,
+        | CAST(n_regionkey AS BIGINT) AS p_region,
+        | CAST(3 AS BIGINT) AS n_parts
+        |FROM nation ORDER BY nationkey""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

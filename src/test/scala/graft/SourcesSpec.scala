@@ -43,6 +43,17 @@ class SourcesSpec extends GraftSuite {
     roundtrip("xml", Map("rowTag" -> "item"))
   }
 
+  test("to_xml/from_xml scalar round-trip is the identity on structs") {
+    // Pins the WRITE side of the XML scalar surface (q_xml_funcs exercises the
+    // read side against the oracle): serialize a struct, parse it back with
+    // the declared schema, and nothing may change.
+    val st = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val df = spark.range(5).select(
+      struct(col("id").as("k"), concat(lit("n"), col("id")).as("s")).as("st"))
+    val back = df.select(from_xml(to_xml(col("st")), st).as("rt"), col("st"))
+    assert(back.filter(col("rt") =!= col("st")).count() === 0)
+  }
+
   test("streaming file source over json matches the batch read") {
     val dir = tmpDir("srcstream") + "/json"
     base.write.format("json").save(dir)
