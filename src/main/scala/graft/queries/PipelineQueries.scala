@@ -210,6 +210,27 @@ object PipelineQueries {
           col("length").as("n_bytes"),
           md5(col("content")).as("content_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // Custom DataSource V2 (graft.sources.SynthProvider): deterministic corpus
+    // synthesis from pure id arithmetic — the reference's generator posture as
+    // a first-class Spark source with real column pruning, id-range partition
+    // pruning, and reported statistics (all pinned in PlanSpec). Ignores sfDir
+    // by design: a synthesis source has zero input IO and scales to any
+    // requested size by splitting the id range. The doc_id range predicate
+    // below drops 4 of 16 splits at PLANNING time; the oracle recomputes the
+    // whole content from DuckDB's range() — engine-independent proof the
+    // generated table is what the arithmetic says.
+    "q_source_synth" -> { (s, _) =>
+      s.read.format("graft-synth")
+        .option("rows", "200000").option("parts", "16").load()
+        .filter(col("doc_id") >= 25000 && col("doc_id") < 175000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_tokens")).as("tok_sum"),
+          sum(col("doc_id")).as("id_sum"),
+          countDistinct(col("week")).as("n_weeks"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -333,6 +354,21 @@ object PipelineQueries {
         | md5(text) AS content_md5
         |FROM documents
         |WHERE doc_id % 29 = 0 AND text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the synthesized table from range(): % and * are left-assoc
+    // same-precedence in both engines, so (id % 1000003) * 31 needs no parens;
+    // // is DuckDB integer division, matching Spark's LongType /.
+    "q_source_synth" ->
+      """SELECT CASE WHEN id % 5 = 0 THEN 'en' WHEN id % 5 = 1 THEN 'fr'
+        |            WHEN id % 5 = 2 THEN 'de' WHEN id % 5 = 3 THEN 'es'
+        |            ELSE 'pt' END AS lang,
+        | count(*) AS n,
+        | CAST(sum((id % 1000003 * 31 + 7) % 997) AS BIGINT) AS tok_sum,
+        | CAST(sum(id) AS BIGINT) AS id_sum,
+        | CAST(count(DISTINCT id // 7000) AS BIGINT) AS n_weeks
+        |FROM range(200000) t(id)
+        |WHERE id >= 25000 AND id < 175000
+        |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

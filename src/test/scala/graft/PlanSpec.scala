@@ -264,4 +264,35 @@ class PlanSpec extends GraftSuite {
     assert(qe.optimizedPlan.toString.contains("UnionLoop"),
       s"expected UnionLoop in the optimized plan:\n${qe.optimizedPlan.toString.take(800)}")
   }
+
+  test("graft-synth DSv2 source prunes columns, prunes id-range splits, reports stats") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+    val base = spark.read.format("graft-synth")
+      .option("rows", "160000").option("parts", "16").load()
+
+    // Column pruning: only the selected column reaches the reader.
+    assert(scanOf(base.select(col("lang"))).scan.readSchema().fieldNames.toSeq
+      === Seq("lang"))
+
+    // Partition pruning: doc_id < 10000 keeps 1 of 16 id-range splits — and the
+    // row-level residual filter keeps the pruning honest (count unchanged).
+    val narrow = base.filter(col("doc_id") < 10000)
+    assert(scanOf(narrow).inputRDD.getNumPartitions === 1,
+      "id-range pushdown must drop 15 of 16 splits at planning time")
+    assert(narrow.count() === 10000L)
+    // Un-filtered scan keeps all 16 splits (pruning is predicate-driven).
+    assert(scanOf(base.select(col("doc_id"))).inputRDD.getNumPartitions === 16)
+
+    // Reported statistics shrink with the pushed bounds — what lets the
+    // optimizer broadcast a tightly-bounded synth side.
+    val bounded = base.filter(col("doc_id") < 100).queryExecution
+      .optimizedPlan.stats.sizeInBytes
+    val full = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bounded < full,
+      s"pruned stats ($bounded) must be smaller than full-table stats ($full)")
+  }
 }
