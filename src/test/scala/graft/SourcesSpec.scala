@@ -103,6 +103,34 @@ class SourcesSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("graft-audit DSv2 sink commits a partitioning-invariant manifest atomically") {
+    import java.nio.file.{Files, Paths}
+    def manifest(dir: String): String =
+      new String(Files.readAllBytes(Paths.get(dir, "manifest.json")))
+    val df = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .filter(col("l_orderkey") < 2000)
+    val d1 = tmpDir("audit1"); val d2 = tmpDir("audit2")
+    // Same multiset through different partitionings must commit identical
+    // rows + content_hash (n_tasks legitimately differs).
+    df.repartition(3).write.format("graft-audit").option("path", d1)
+      .mode("append").save()
+    df.repartition(11, col("l_orderkey")).write.format("graft-audit")
+      .option("path", d2).mode("overwrite").save()
+    val (m1, m2) = (manifest(d1), manifest(d2))
+    def field(m: String, k: String): String =
+      k + ":" + m.split("\"" + k + "\":")(1).split("[,}]")(0)
+    assert(field(m1, "rows") === field(m2, "rows"))
+    assert(field(m1, "content_hash") === field(m2, "content_hash"))
+    assert(field(m1, "rows") === s"rows:${df.count()}")
+    // Atomic publish: no temp file survives a successful commit.
+    assert(!Files.exists(Paths.get(d1, "_manifest.json.tmp")))
+    // A changed multiset must change the signature.
+    df.limit(100).write.format("graft-audit").option("path", d1)
+      .mode("overwrite").save()
+    assert(field(manifest(d1), "content_hash") !== field(m2, "content_hash"))
+  }
+
   test("_metadata row_index stays file-absolute when the read splits") {
     // Force many tiny splits: row_index must still be the position in the FILE,
     // not within a split - the invariant q_provenance's oracle relies on.
