@@ -74,7 +74,7 @@ class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
   override def name(): String = s"graft-synth($rows rows, $parts parts)"
   override def schema(): StructType = Synth.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(rows, parts)
 }
@@ -117,6 +117,8 @@ class SynthScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      streaming.MicroBatchStream = new SynthMicroBatchStream(rows, parts, required)
   // Shows up in .explain as the scan description — PlanSpec greps it.
   override def description(): String =
     s"graft-synth rows=$rows parts=$parts cols=${required.fieldNames.mkString(",")} " +
@@ -149,6 +151,61 @@ class SynthScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long
 }
 
 case class SynthRange(start: Long, end: Long) extends InputPartition
+
+/**
+ * Streaming read path: the id sequence as an offset-tracked micro-batch source —
+ * the reference's rate-limited producer (produce_items.py:48-66) with REAL
+ * recovery semantics: the committed offset (a plain id high-watermark, serialized
+ * as JSON) fully determines the next batch, so a restart from the checkpoint
+ * re-synthesizes exactly the uncommitted suffix and nothing else. Each micro-batch
+ * emits up to `rows/parts` ids (one split's worth) until the configured `rows` are
+ * exhausted — with AvailableNow the stream drains in ~`parts` batches and the
+ * union of all batches is EXACTLY the batch-mode table (pinned in SourcesSpec).
+ */
+class SynthMicroBatchStream(rows: Long, parts: Int, required: StructType)
+    extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+  case class SynthOffset(id: Long) extends Offset {
+    override def json(): String = s"""{"id":$id}"""
+  }
+  private val batchSize = math.max(1L, rows / parts)
+  // Captured once when an AvailableNow run starts (the SupportsTriggerAvailableNow
+  // contract): the drain target is frozen so the run terminates even if `rows`
+  // were a moving head. For synthesis the head is already static.
+  private var drainEnd: Long = rows
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def latestOffset(): Offset = SynthOffset(rows)
+  override def reportLatestOffset(): Offset = SynthOffset(rows)
+  override def prepareForTriggerAvailableNow(): Unit = { drainEnd = rows }
+  // Admission control IS the producer's rate limit (A10): each micro-batch
+  // admits at most one split's worth of ids, so AvailableNow drains the table
+  // in ~`parts` paced batches instead of one monolith.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].id
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => batchSize
+    }
+    SynthOffset(math.min(drainEnd, s + math.max(1L, step)))
+  }
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.replaceAll("[^0-9]", "").toLong)
+  // Synthesis is pure arithmetic: nothing to clean up or retain per offset.
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].id
+    val e = end.asInstanceOf[SynthOffset].id
+    // One id-range split per micro-batch unit, same generation code as batch.
+    (s until e by batchSize)
+      .map(b => SynthRange(b, math.min(e, b + batchSize)): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+}
 
 class SynthReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -103,6 +103,26 @@ class SourcesSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("graft-synth MicroBatchStream: paced AvailableNow drain equals the batch read") {
+    // The DSv2 streaming read path with real admission control: the committed
+    // id offset fully determines each batch, AvailableNow drains the table in
+    // multiple paced micro-batches (A10's rate limit), and the union of all
+    // batches must be EXACTLY the batch-mode table.
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", "40000").option("parts", "8").load()
+      .writeStream.format("memory").queryName("synth_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("synth_stream")
+    val want = spark.read.format("graft-synth")
+      .option("rows", "40000").option("parts", "8").load()
+    assert(got.count() === 40000L)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    assert(q.recentProgress.map(_.numInputRows).sum === 40000L)
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "admission control must pace the drain into multiple micro-batches")
+  }
+
   test("graft-audit DSv2 sink commits a partitioning-invariant manifest atomically") {
     import java.nio.file.{Files, Paths}
     def manifest(dir: String): String =
