@@ -103,8 +103,9 @@ object Bench {
     // from stage-completion events. Shuffle volume is the number that predicts
     // 100 TB behavior — a query whose time looks fine but whose shuffle grows
     // super-linearly is the one that falls over on a cluster. Events arrive
-    // async after count() returns, so deltas are read once the totals go quiet
-    // (stable for 100 ms, 2 s cap) — informational metrics, never gating.
+    // async after count() returns, so deltas are read once the bus has drained
+    // (submitted == completed counters, double-checked; 500 ms stillness
+    // fallback, 2 s cap — see quiesce below) — informational, never gating.
     val shuffleBytes = new AtomicLong; val spillBytes = new AtomicLong
     val submitted = new AtomicLong; val completed = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -120,29 +121,41 @@ object Bench {
         completed.incrementAndGet()
       }
     })
-    // Drained = submitted == completed observed twice, 5 ms apart (a queued
-    // submit+complete PAIR keeps the counters equal, so one observation can
-    // lie; two in a row across a bus-drain interval is enough for an
-    // informational ledger). Fast path ~5-10 ms. While the counters are
-    // UNequal the only early exit is total stillness for 500 ms — long enough
-    // that a merely-late completion event (tens of ms) is always captured,
-    // short enough that a listener-bus-dropped event (the reason the fallback
-    // exists at all) costs 0.5 s, not the full 2 s cap.
+    // Drained = submitted == completed (modulo a recorded lost-event residue)
+    // observed twice, 5 ms apart (a queued submit+complete PAIR keeps the
+    // counters equal, so one observation can lie; two in a row across a
+    // bus-drain interval is enough for an informational ledger). Fast path
+    // ~5-10 ms. While the counters are UNequal the only early exit is total
+    // stillness for 500 ms — long enough that a merely-late completion event
+    // (tens of ms) is always captured, short enough that a listener-bus-dropped
+    // event (the reason the fallback exists at all) costs 0.5 s once. When the
+    // stillness fallback fires, the leftover gap is recorded as PERMANENTLY
+    // LOST (`lostResidue`) so every subsequent quiesce takes the fast path
+    // again — without it one dropped event would put all ~165 later quiesces
+    // on the 500 ms path (~80 s of dead wall, the same window-blowing failure
+    // mode the K=3 default caused in r3). If the "lost" event does arrive
+    // later, the gap shrinks below the residue and the residue is lowered.
     val quiesceNanos = new AtomicLong; val quiesceSlow = new AtomicLong
+    val lostResidue = new AtomicLong
+    def drained: Boolean = {
+      val gap = submitted.get - completed.get
+      if (gap < lostResidue.get) lostResidue.set(math.max(0L, gap))
+      gap <= lostResidue.get
+    }
     def quiesce(): (Long, Long) = {
       val t0 = System.nanoTime()
       val deadline = t0 + 2_000_000_000L
       var last = (shuffleBytes.get, spillBytes.get, submitted.get, completed.get)
       var stableSince = t0
-      var quietChecks = if (submitted.get == completed.get) 1 else 0
+      var quietChecks = if (drained) 1 else 0
       while (quietChecks < 2 && System.nanoTime() < deadline &&
-             !(submitted.get != completed.get &&
-               System.nanoTime() - stableSince > 500_000_000L)) {
+             !(!drained && System.nanoTime() - stableSince > 500_000_000L)) {
         Thread.sleep(5)
         val now = (shuffleBytes.get, spillBytes.get, submitted.get, completed.get)
         if (now != last) { last = now; stableSince = System.nanoTime() }
-        quietChecks = if (submitted.get == completed.get) quietChecks + 1 else 0
+        quietChecks = if (drained) quietChecks + 1 else 0
       }
+      if (!drained) lostResidue.set(submitted.get - completed.get)
       val dt = System.nanoTime() - t0
       quiesceNanos.addAndGet(dt)
       if (dt > 100_000_000L) quiesceSlow.incrementAndGet()
@@ -187,6 +200,7 @@ object Bench {
     // cost), spent precisely on the numbers the compact line publishes. Each
     // retouch re-checks the deadline so a contended machine can cut it short.
     val retouched = scala.collection.mutable.Map[String, (Double, Long, Long)]()
+    var retouchRuns = 0
     if (samples == 1) {
       val queryFn = SparkEntry.queries
       for ((name, t0q, ok, _, _) <- results.sortBy(-_._2).take(10)
@@ -197,6 +211,7 @@ object Bench {
           queryFn(name)(spark, sfDir).count()
           val t = (System.nanoTime() - t0) / 1e9
           baseline = quiesce()
+          retouchRuns += 1
           if (t < t0q) retouched(name) = (t, baseline._1 - sh0, baseline._2 - sp0)
         } catch { case _: Throwable => baseline = quiesce() }
       }
@@ -243,8 +258,10 @@ object Bench {
     // "samples" makes the sampling posture part of the record: a K=1 total
     // carries contention noise that a best-of-3 rerun will beat by ~2x on the
     // same binaries (observed r3: judge 43.3 s min-of-3 vs ~90 s single-sample)
-    // — the field lets a reader compare like with like.
-    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"queries":$slowest,"n_queries":${finalResults.size},"failed":$failed,"shuffle_write_mb_total":${mb(finalResults.map(_._4).sum)},"spill_mb_total":${mb(finalResults.map(_._5).sum)},"sf":"$sfDir","full_ledger":"BENCH_DETAILS.json"}"""
+    // — the field lets a reader compare like with like. "retouched" keeps it
+    // honest: the N slowest queries got one extra sample (min kept), so those
+    // headline numbers are effectively best-of-2, not samples=1.
+    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"retouched":$retouchRuns,"queries":$slowest,"n_queries":${finalResults.size},"failed":$failed,"shuffle_write_mb_total":${mb(finalResults.map(_._4).sum)},"spill_mb_total":${mb(finalResults.map(_._5).sum)},"sf":"$sfDir","full_ledger":"BENCH_DETAILS.json"}"""
     // Stderr diagnostic (never in the JSON contract): how much wall the metric
     // ledger's quiesce waits cost, and whether the stage counters ever ended a
     // query desynchronized (a lost listener event would make every later

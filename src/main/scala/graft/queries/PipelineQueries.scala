@@ -190,13 +190,16 @@ object PipelineQueries {
       // and it serializes if the cached table sits in one partition. The
       // shuffle moves a few hundred tiny rows; sink parallelism is what
       // Spark's own file committers buy the same way.
+      // Ship the SESSION Hadoop conf to the tasks — a fresh Configuration()
+      // would drop spark.hadoop.* settings (s3a credentials, nameservices)
+      // and break exactly the hdfs://-or-s3a:// posture claimed above.
+      val shipConf = new graft.SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
       Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(29)) === 0 && col("text").isNotNull)
         .select(col("doc_id"), col("text"))
         .repartition(8)
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          val pfs = new org.apache.hadoop.fs.Path(dir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val pfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(shipConf.value)
           it.foreach { r =>
             val out = pfs.create(
               new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"), true)

@@ -59,14 +59,16 @@ object Synth {
 
   private val langs = Array("en", "fr", "de", "es", "pt")
 
-  /** One synthesized value; overflow-free (id < 2^31 in practice, constants small)
-    * so DuckDB's widened integer arithmetic computes the identical result. */
-  def col(name: String, id: Long): Any = name match {
-    case "doc_id"   => id
-    case "lang"     => UTF8String.fromString(langs((id % 5).toInt))
-    case "source"   => UTF8String.fromString("src_" + id % 7)
-    case "n_tokens" => ((id % 1000003L) * 31 + 7) % 997
-    case "week"     => id / 7000
+  /** Per-column generator, resolved ONCE per reader — the name dispatch must not
+    * run per row in the generation hot loop. Values are overflow-free (id < 2^31
+    * in practice, constants small) so DuckDB's widened integer arithmetic
+    * computes the identical result. */
+  def gen(name: String): Long => Any = name match {
+    case "doc_id"   => id => id
+    case "lang"     => id => UTF8String.fromString(langs((id % 5).toInt))
+    case "source"   => id => UTF8String.fromString("src_" + id % 7)
+    case "n_tokens" => id => ((id % 1000003L) * 31 + 7) % 997
+    case "week"     => id => id / 7000
   }
 }
 
@@ -93,13 +95,18 @@ class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Values arrive boxed (java.lang.Long after the LongType cast, but be
     // liberal: any integral Number works — a missed match only costs pruning).
+    // Saturating +1: `doc_id <= Long.MaxValue` would otherwise wrap hi to
+    // Long.MinValue and prune EVERY split — the one way the "pruning can never
+    // change results" invariant could break, since residual re-apply cannot
+    // resurrect a dropped split.
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     pushed = filters.filter {
       case GreaterThanOrEqual("doc_id", v: Number) => lo = math.max(lo, v.longValue); true
-      case GreaterThan("doc_id", v: Number)        => lo = math.max(lo, v.longValue + 1); true
+      case GreaterThan("doc_id", v: Number)        => lo = math.max(lo, inc(v.longValue)); true
       case LessThan("doc_id", v: Number)           => hi = math.min(hi, v.longValue); true
-      case LessThanOrEqual("doc_id", v: Number)    => hi = math.min(hi, v.longValue + 1); true
+      case LessThanOrEqual("doc_id", v: Number)    => hi = math.min(hi, inc(v.longValue)); true
       case EqualTo("doc_id", v: Number)            =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1); true
+        lo = math.max(lo, v.longValue); hi = math.min(hi, inc(v.longValue)); true
       case _ => false
     }
     // Return EVERYTHING as residual: the bounds only prune whole splits; Spark
@@ -211,10 +218,17 @@ class SynthReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val SynthRange(start, end) = partition
     new PartitionReader[InternalRow] {
+      // Column dispatch resolved once; get() does one array fill per row.
+      // (A fresh array per row — Spark may buffer rows, so no backing reuse.)
+      private val gens = cols.map(Synth.gen)
       private var id = start - 1
       override def next(): Boolean = { id += 1; id < end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(cols.toSeq.map(Synth.col(_, id)))
+      override def get(): InternalRow = {
+        val arr = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { arr(i) = gens(i)(id); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+      }
       override def close(): Unit = ()
     }
   }

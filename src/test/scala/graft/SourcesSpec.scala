@@ -123,6 +123,18 @@ class SourcesSpec extends GraftSuite {
       "admission control must pace the drain into multiple micro-batches")
   }
 
+  test("graft-synth pushdown bounds saturate at Long.MaxValue instead of wrapping") {
+    // Regression: `doc_id <= Long.MaxValue` used to push hi = MaxValue + 1 ==
+    // Long.MinValue, pruning EVERY split at planning time — the one way the
+    // "pruning never changes results" invariant could break, since the
+    // row-level residual cannot resurrect a dropped split.
+    val base = spark.read.format("graft-synth")
+      .option("rows", "10000").option("parts", "4").load()
+    assert(base.filter(col("doc_id") <= Long.MaxValue).count() === 10000L)
+    assert(base.filter(col("doc_id") === Long.MaxValue).count() === 0L)
+    assert(base.filter(col("doc_id") > Long.MaxValue).count() === 0L)
+  }
+
   test("graft-audit DSv2 sink commits a partitioning-invariant manifest atomically") {
     import java.nio.file.{Files, Paths}
     def manifest(dir: String): String =
