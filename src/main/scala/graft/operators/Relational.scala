@@ -331,4 +331,72 @@ object Relational {
     base ++ rangeCol.toSeq.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
   }
+
+  /**
+   * Big-big point-in-interval join WITHOUT a nested loop. Spark plans a bare
+   * `points JOIN intervals ON p BETWEEN lo AND hi` as BroadcastNestedLoopJoin
+   * (or cartesian) — fine while one side broadcasts, quadratic death when both
+   * sides are large. The standard scale fix is bin-overlap rewriting: quantize
+   * the axis into fixed-width bins, assign each point its single covering bin,
+   * explode each interval to every bin it touches, and equi-join on the bin id
+   * with the exact predicate kept as a residual filter. One hash/sort-merge
+   * shuffle on `__bin`; the quadratic pair space is never materialized.
+   *
+   * Exactness: a point's bin is unique, and an interval containing the point
+   * necessarily covers that bin, so every qualifying pair meets in EXACTLY one
+   * bin — no duplicate elimination is needed. The residual discards the
+   * same-bin near-misses.
+   *
+   * `binWidth` tunes the explosion factor: each interval produces
+   * `(hi-lo)/binWidth + 1..2` rows, so pick the p95 interval length (explosion
+   * ≈ 2×, join fan-in stays linear). Too-small widths inflate the interval
+   * side; too-large widths degrade the residual selectivity toward the
+   * nested-loop pair count per bin. Interval semantics are `[lo, hi)` by
+   * default (`hiInclusive = true` for closed). Column-name sets of the two
+   * inputs must be disjoint (same rule as any natural join composition).
+   */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double, hiInclusive: Boolean = false): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    val iv = intervals
+      .filter(if (hiInclusive) col(loCol) <= col(hiCol) else col(loCol) < col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val upper = if (hiInclusive) col(pointCol) <= col(hiCol) else col(pointCol) < col(hiCol)
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && upper)
+      .drop("__bin")
+  }
+
+  /**
+   * Big-big interval-OVERLAP join (both sides are interval sets), the binned
+   * twin of [[rangeJoinBinned]]. Here a qualifying pair can share MANY bins,
+   * so the classic dedup trick applies: count the pair only in the first bin
+   * both intervals cover, which is `max(firstBin(a), firstBin(b))` — a pure
+   * per-row predicate, no distinct/shuffle needed. Overlap is the half-open
+   * test `aLo < bHi AND bLo < aHi` (`closed = true` for `<=`, i.e. touching
+   * endpoints count). Same disjoint-column-names and binWidth guidance as
+   * [[rangeJoinBinned]].
+   */
+  def intervalOverlapJoinBinned(a: DataFrame, aLoCol: String, aHiCol: String,
+                                b: DataFrame, bLoCol: String, bHiCol: String,
+                                binWidth: Double, closed: Boolean = false): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String, first: String): DataFrame =
+      df.filter(if (closed) col(lo) <= col(hi) else col(lo) < col(hi))
+        .withColumn(first, floor(col(lo) / binWidth).cast("long"))
+        .withColumn("__bin", explode(sequence(
+          col(first), floor(col(hi) / binWidth).cast("long"))))
+    val ab = binned(a, aLoCol, aHiCol, "__a_first")
+    val bb = binned(b, bLoCol, bHiCol, "__b_first")
+    val overlap =
+      if (closed) col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol)
+      else col(aLoCol) < col(bHiCol) && col(bLoCol) < col(aHiCol)
+    ab.join(bb, Seq("__bin"))
+      .filter(overlap && col("__bin") === greatest(col("__a_first"), col("__b_first")))
+      .drop("__bin", "__a_first", "__b_first")
+  }
 }

@@ -187,6 +187,30 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // B108: BIG-BIG interval-OVERLAP join via the binned rewrite
+    // (Relational.intervalOverlapJoinBinned) — the two-interval-set twin of
+    // q_join_bins. Session spans (gaps-and-islands per user, closed intervals so
+    // single-event sessions survive) are overlap-joined against ±10-minute
+    // windows around every error event, GLOBALLY (no equi key anywhere — the
+    // shuffle key is the 1-hour time bin, each qualifying pair deduped to the
+    // first bin both intervals cover, a per-row predicate, no distinct pass).
+    "q_join_overlap" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sess = Relational
+        .sessionize(ev, "user_id", "ts", 1800L, Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("s_lo"), max(unix_micros(col("ts"))).as("s_hi"))
+      val wins = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (unix_micros(col("ts")) - 600000000L).as("w_lo"),
+          (unix_micros(col("ts")) + 600000000L).as("w_hi"))
+      Relational.intervalOverlapJoinBinned(sess, "s_lo", "s_hi", wins, "w_lo", "w_hi",
+          binWidth = 3600e6, closed = true)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("err_id"))
+    },
+
     // Graph authority (web-corpus domain-quality shape): event-type transition
     // graph (per-user consecutive events -> weighted directed edges) scored with
     // 3 iterations of INTEGER fixed-point PageRank — bit-identical across engines
@@ -578,6 +602,29 @@ object EventQueries {
         | CAST(sum(n_events) AS BIGINT) AS n_events,
         | max(dur_us) AS max_dur_us
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_overlap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |   min(epoch_us(ts)) AS s_lo, max(epoch_us(ts)) AS s_hi
+        |  FROM (SELECT user_id, ts,
+        |          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |        FROM flagged)
+        |  GROUP BY user_id, session_id),
+        |w AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) - 600000000 AS w_lo,
+        |   epoch_us(ts) + 600000000 AS w_hi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT err_id, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+        |FROM w JOIN sess ON s_lo <= w_hi AND w_lo <= s_hi
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH flagged AS (

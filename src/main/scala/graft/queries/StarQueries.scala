@@ -441,6 +441,27 @@ object StarQueries {
         .orderBy(col("band_id"))
     },
 
+    // B107: BIG-BIG point-in-interval join via bin-overlap rewrite
+    // (Relational.rangeJoinBinned). A bare theta join plans as
+    // BroadcastNestedLoopJoin — fine for q_join_range's 5-row band dim, dead
+    // when the interval side is a full table. Here every supplier defines a
+    // balance band [s_acctbal-500, s_acctbal+500) and every customer balance
+    // is matched against every band: the rewrite quantizes balances into
+    // width-1000 bins (≈ the interval length, so each band explodes to ~2
+    // bins), equi-joins on the bin id and keeps the exact bounds as a
+    // residual — one linear shuffle, never a quadratic pair space, and the
+    // plan is pinned nested-loop-free in PlanSpec.
+    "q_join_bins" -> { (s, d) =>
+      val bands = Tables.supplier(s, d).select(col("s_suppkey"),
+        (col("s_acctbal") - 500.0).as("lo"), (col("s_acctbal") + 500.0).as("hi"))
+      val points = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.Relational
+        .rangeJoinBinned(points, "c_acctbal", bands, "lo", "hi", binWidth = 1000.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // B5: rollup with grouping indicators over the geography hierarchy.
     "q_agg_rollup" -> { (s, d) =>
       Tables.customer(s, d)
@@ -1357,6 +1378,12 @@ object StarQueries {
         |  AS bands(band_id, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_join_bins" ->
+      """SELECT s_suppkey, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 500 AND c_acctbal < s_acctbal + 500
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT coalesce(r_name,'ALL') AS r_name, coalesce(n_name,'ALL') AS n_name,

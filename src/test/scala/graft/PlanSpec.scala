@@ -295,4 +295,29 @@ class PlanSpec extends GraftSuite {
     assert(bounded < full,
       s"pruned stats ($bounded) must be smaller than full-table stats ($full)")
   }
+
+  test("binned range joins stay equi-join-only where the theta join nested-loops") {
+    // The whole point of the bin rewrite: with broadcast OFF (both sides "big",
+    // the 100 TB posture), the rewritten joins must plan as shuffle equi joins
+    // while the naive theta formulation of the SAME predicate falls back to a
+    // nested loop — proving the pin is non-vacuous.
+    import org.apache.spark.sql.functions.col
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("q_join_bins", "q_join_overlap")) {
+        val p = SparkEntry.queries(q)(spark, sfTiny).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q must never nested-loop:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q must carry a real equi join on the bin id:\n$p")
+      }
+      val naive = Tables.customer(spark, sfTiny).join(Tables.supplier(spark, sfTiny),
+        col("c_acctbal") >= col("s_acctbal") - 500 &&
+          col("c_acctbal") < col("s_acctbal") + 500)
+      val np = naive.queryExecution.executedPlan.toString
+      assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"),
+        s"naive theta join unexpectedly avoided the nested loop — contrast is stale:\n$np")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }

@@ -231,4 +231,53 @@ class RelationalSpec extends GraftSuite {
     assert(m("n_null_v") === 2L)
     assert(m("min_k") === 1L && m("max_k") === 4L)
   }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame, l: String, r: String) =
+    df.select(col(l), col(r)).as[(Long, Long)].collect().toSeq.sorted
+
+  test("rangeJoinBinned equals the naive theta join (negatives, empties, inclusive hi)") {
+    // Deterministic mix: points in [-100, 400), intervals starting in [-120, 280)
+    // with lengths 0..59 — zero-length intervals exercise the validity filter,
+    // width 25 makes intervals span 1-4 bins, negatives exercise floor-division.
+    val points = spark.range(0, 400).select(col("id").as("pid"),
+      ((col("id") * 37 % 500) - 100).cast("double").as("x"))
+    val intervals = spark.range(0, 150).select(col("id").as("iid"),
+      ((col("id") * 53 % 400) - 120).cast("double").as("lo"))
+      .withColumn("hi", col("lo") + (col("iid") % 60).cast("double"))
+    for (inclusive <- Seq(false, true)) {
+      val upper = if (inclusive) col("x") <= col("hi") else col("x") < col("hi")
+      // An empty interval ([x,x) half-open) contains nothing — the naive twin
+      // needs the same validity filter the operator applies.
+      val valid = if (inclusive) col("lo") <= col("hi") else col("lo") < col("hi")
+      val naive = points.join(intervals.filter(valid), col("x") >= col("lo") && upper)
+      val binned = Relational.rangeJoinBinned(points, "x", intervals, "lo", "hi",
+        binWidth = 25.0, hiInclusive = inclusive)
+      assert(pairsOf(binned, "pid", "iid") === pairsOf(naive, "pid", "iid"))
+      assert(pairsOf(naive, "pid", "iid").nonEmpty, "vacuous fixture")
+    }
+  }
+
+  test("intervalOverlapJoinBinned equals the naive overlap join (multi-bin dedup)") {
+    // Interval lengths up to ~90 against binWidth 20: overlapping pairs share up
+    // to ~5 bins, so the first-shared-bin dedup predicate is doing real work —
+    // a duplicate would show up as a repeated (aid, bid) in the sorted multiset.
+    val a = spark.range(0, 200).select(col("id").as("aid"),
+      ((col("id") * 41 % 300) - 50).cast("double").as("alo"))
+      .withColumn("ahi", col("alo") + (col("aid") * 7 % 90).cast("double"))
+    val b = spark.range(0, 120).select(col("id").as("bid"),
+      ((col("id") * 29 % 280) - 70).cast("double").as("blo"))
+      .withColumn("bhi", col("blo") + (col("bid") * 11 % 70).cast("double"))
+    for (closed <- Seq(false, true)) {
+      val overlap =
+        if (closed) col("alo") <= col("bhi") && col("blo") <= col("ahi")
+        else col("alo") < col("bhi") && col("blo") < col("ahi")
+      val validA = if (closed) col("alo") <= col("ahi") else col("alo") < col("ahi")
+      val validB = if (closed) col("blo") <= col("bhi") else col("blo") < col("bhi")
+      val naive = a.filter(validA).join(b.filter(validB), overlap)
+      val binned = Relational.intervalOverlapJoinBinned(a, "alo", "ahi",
+        b, "blo", "bhi", binWidth = 20.0, closed = closed)
+      assert(pairsOf(binned, "aid", "bid") === pairsOf(naive, "aid", "bid"))
+      assert(pairsOf(naive, "aid", "bid").size > 500, "vacuous fixture")
+    }
+  }
 }
