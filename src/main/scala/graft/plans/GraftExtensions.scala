@@ -22,6 +22,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *
  * Injected planner strategy: [[TopKPerKeyStrategy]] — the whole-operator
  * map-side-partial top-k per key (see [[TopKPerKey]]).
+ *
+ * Injected optimizer rule: [[BinRangeJoinRule]] — conf-gated auto-rewrite of
+ * point-in-interval theta joins into binned equi joins
+ * (`spark.graft.rangeJoin.binWidth`, see [[BinRangeJoinRule]]'s scaladoc).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // Whole-operator extension: map-side-partial top-k per key (see TopKPlan).
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // Optimizer rule: auto-rewrite point-in-interval theta joins to binned
+    // equi joins (opt-in via spark.graft.rangeJoin.binWidth; see BinRangeJoin).
+    e.injectOptimizerRule(session => BinRangeJoinRule(session))
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float arrays (double)."),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
