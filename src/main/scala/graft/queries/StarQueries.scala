@@ -1218,6 +1218,39 @@ object StarQueries {
           r2(percentile(col("mean_b"), lit(0.025))).as("ci_lo"),
           r2(percentile(col("mean_b"), lit(0.975))).as("ci_hi"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // B110: typed cogroup (KeyValueGroupedDataset.cogroup) — the per-key two-sided
+    // merge the relational surface can't express as one operator: both sides
+    // shuffle ONCE on the key, then arbitrary JVM logic sees each key's complete
+    // customer AND order iterators together (full-outer by construction: a
+    // customer with no orders arrives with an empty right iterator). Here the
+    // per-key logic is an in-memory sort of the customer's order days to get the
+    // longest inter-order gap — per-key state is bounded (~25 orders/customer at
+    // every SF, orders scale WITH customers), so executor memory is safe at 100 TB;
+    // the same answer via SQL needs a join plus a separate lag-window pass over the
+    // fact (two shuffles), which is exactly what the oracle does. Tie days sort
+    // adjacent (gap 0) so the max-gap is deterministic under duplicate order dates.
+    "q_cogroup_recon" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .as[(Long, Long, Long)]
+      cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+        val name = cs.toSeq.headOption.map(_._2).getOrElse("<unknown>")
+        val rows = os.toArray
+        val days = rows.map(_._3).sorted
+        val maxGap =
+          if (days.length < 2) 0L
+          else days.sliding(2).map(p => p(1) - p(0)).max
+        Iterator((k, name, rows.length.toLong, rows.map(_._2).sum, maxGap))
+      }.toDF("custkey", "name", "n_orders", "total_cents", "max_gap_days")
+        .orderBy(col("custkey"))
     }
   )
 
@@ -1984,6 +2017,34 @@ object StarQueries {
         |  round(quantile_cont(mean_b, 0.025), 2) AS ci_lo,
         |  round(quantile_cont(mean_b, 0.975), 2) AS ci_hi
         |FROM means GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Relational twin of the cogroup: join + agg for the counts/sums, and a
+    // SEPARATE lag-window pass over orders for the max inter-order gap (the two
+    // shuffles the cogroup collapses into one). LEFT joins suffice: orphan orders
+    // do not exist in the generated data (checked at all three SFs).
+    "q_cogroup_recon" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM o GROUP BY o_custkey),
+        |gaps AS (
+        |  SELECT o_custkey,
+        |    day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS gap
+        |  FROM o),
+        |mg AS (
+        |  SELECT o_custkey, max(gap) AS max_gap FROM gaps GROUP BY o_custkey)
+        |SELECT c.c_custkey AS custkey, c.c_name AS name,
+        |  CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(a.total_cents, 0) AS BIGINT) AS total_cents,
+        |  CAST(coalesce(mg.max_gap, 0) AS BIGINT) AS max_gap_days
+        |FROM customer c
+        |LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+        |LEFT JOIN mg ON mg.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin
   )
 }

@@ -535,6 +535,32 @@ object TextQueries {
     "q_graph_bfs" -> { (s, d) =>
       graft.operators.Graphs.bfsLevels(wordEdges(s, d), lit("the"), 8)
         .orderBy(col("node"))
+    },
+
+    // B109: mergeable heavy-hitters sketch — the frequent-items twin of B96's HLL
+    // merge path. Per-language token sketches (approx_top_k_accumulate, Datasketches
+    // ItemsSketch under the hood) are COMBINED into one global sketch and estimated,
+    // so the all-corpus top-10 never rescans per-language history — the incremental
+    // posture at 100 TB, where each ingest slice accumulates its own sketch and only
+    // fixed-size sketch states move afterwards. The sketch output itself is
+    // hash-gated (not just an audit boolean, unlike B96): a frequent-items sketch
+    // evicts nothing while #distinct items stays under its capacity, and the corpus
+    // vocabulary is a fixed 31-word query-engine word list (FIXTURES.md documents
+    // row) vs maxItemsTracked=1024, so every per-language count — and therefore the
+    // combined estimate — is EXACT at every SF by construction. Tie-break on the
+    // top-10 cut is pinned by re-sorting the estimate (count desc, word asc) rather
+    // than trusting the sketch's own unspecified tie order.
+    "q_approx_topk" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      val perLang = toks.groupBy(col("lang"))
+        .agg(expr("approx_top_k_accumulate(word, 1024)").as("sk"))
+      perLang
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1024), 64)")
+          .as("est"))
+        .select(explode(col("est")).as("kv"))
+        .select(col("kv.item").as("word"), col("kv.count").as("n"))
+        .orderBy(col("n").desc, col("word")).limit(10)
     }
   )
 
@@ -1222,6 +1248,14 @@ object TextQueries {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
-        |FROM nodes GROUP BY node ORDER BY node""".stripMargin
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
+
+    // Exact top-10 by token frequency: valid as the oracle for the SKETCHED Spark
+    // side because vocab (31) < sketch capacity (1024) makes the sketch exact —
+    // see the query-side comment. Same tie-break (n DESC, word ASC).
+    "q_approx_topk" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 10""".stripMargin
   )
 }
