@@ -1251,6 +1251,33 @@ object StarQueries {
         Iterator((k, name, rows.length.toLong, rows.map(_._2).sum, maxGap))
       }.toDF("custkey", "name", "n_orders", "total_cents", "max_gap_days")
         .orderBy(col("custkey"))
+    },
+
+    // B111: dynamic partition overwrite — the incremental-backfill primitive.
+    // A restatement batch covering only SOME partitions is written with
+    // partitionOverwriteMode=dynamic, which replaces exactly the partitions
+    // present in the batch and leaves the rest untouched (static overwrite
+    // would wipe them — difference pinned in SourcesSpec). At 100 TB this is
+    // the difference between rewriting a day and rewriting the table: the
+    // write's file footprint is proportional to the restated partitions only.
+    // The oracle predicts the post-backfill table from parquet alone: touched
+    // partitions carry doubled cents, untouched carry the original.
+    "q_write_dpo" -> { (s, d) =>
+      val sub = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(5)).cast("int").as("pk"))
+      val dir = Tables.scratchDir(s, "dpo", d)
+      sub.write.mode("overwrite").partitionBy("pk").parquet(dir)
+      val restated = sub.filter(col("pk").isin(1, 3))
+        .withColumn("cents", col("cents") * 2)
+      restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pk").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("pk").cast("long").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("pk"))
     }
   )
 
@@ -2045,6 +2072,17 @@ object StarQueries {
         |FROM customer c
         |LEFT JOIN agg a ON a.o_custkey = c.c_custkey
         |LEFT JOIN mg ON mg.o_custkey = c.c_custkey
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    // Predicts the post-backfill table from parquet alone: partitions 1 and 3
+    // were dynamically overwritten with doubled cents, the rest kept original
+    // rows — so a wiped untouched partition (static-overwrite bug) or a
+    // double-applied restatement breaks count or sum.
+    "q_write_dpo" ->
+      """SELECT CAST(o_orderkey % 5 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 5 IN (1, 3)
+        |    THEN 2 * CAST(floor(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin
   )
 }

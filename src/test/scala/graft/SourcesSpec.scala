@@ -177,4 +177,28 @@ class SourcesSpec extends GraftSuite {
       assert(tight.filter(col("id") =!= col("ri")).count() === 0L)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("dynamic partition overwrite replaces only the batch's partitions; static wipes the rest") {
+    import spark.implicits._
+    val dir = tmpDir("dpo")
+    val full = Seq((1L, 10L, 0), (2L, 20L, 1), (3L, 30L, 2)).toDF("id", "v", "pk")
+    full.write.mode("overwrite").partitionBy("pk").parquet(dir)
+    val batch = Seq((2L, 99L, 1)).toDF("id", "v", "pk")
+
+    // dynamic: pk=1 replaced, pk=0 and pk=2 untouched
+    batch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pk").parquet(dir)
+    val afterDyn = spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("pk").cast("int"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(afterDyn === Array((1L, 10L, 0), (2L, 99L, 1), (3L, 30L, 2)))
+
+    // static (the default): the whole table is replaced by the batch
+    batch.write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("pk").parquet(dir)
+    val afterStatic = spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("pk").cast("int"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(afterStatic === Array((2L, 99L, 1)))
+  }
 }
