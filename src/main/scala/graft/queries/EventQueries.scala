@@ -464,6 +464,27 @@ object EventQueries {
       Relational.topKPerGroupNative(ev, Seq(col("event_type")),
           Seq(col("cents").desc, col("event_id")), 10)
         .orderBy(col("event_type"), col("cents").desc, col("event_id"))
+    },
+
+    // B112: NATIVE session windows (`session_window`, SessionWindowing +
+    // UpdatingSessionsExec) — the engine-owned twin of B11's hand-rolled
+    // gaps-and-islands sessionize. Semantics pinned by probe and spec: an event
+    // exactly `gap` after its predecessor MERGES (a new session starts only when
+    // the gap is strictly exceeded — same rule as q_sessionize), and the session
+    // end is last-event + gap. Unlike the window formulation (full sort per key),
+    // the native operator merges sessions in one pass after the key shuffle and
+    // is the ONLY sessionization Spark admits in streaming aggregations — the
+    // streaming twin (same operator, watermarked, append mode) is proven
+    // batch-equivalent in StreamingSpec.
+    "q_session_native" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
     }
   )
 
@@ -780,6 +801,20 @@ object EventQueries {
         |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, event_id) AS rnk
         |  FROM events) t
         |WHERE rnk <= 10
-        |ORDER BY event_type, cents DESC, event_id""".stripMargin
+        |ORDER BY event_type, cents DESC, event_id""".stripMargin,
+
+    // Gaps-and-islands twin of the native session_window: a session breaks only
+    // when the inter-event gap STRICTLY exceeds 30 min (equal-to-gap merges),
+    // end = last event + gap. All integer µs.
+    "q_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |         > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
   )
 }

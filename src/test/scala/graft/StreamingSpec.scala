@@ -615,4 +615,52 @@ class StreamingSpec extends GraftSuite {
       assert(streamed.map(_._2) === Set(100L, 200L))
     } finally q.stop()
   }
+
+  test("streaming session_window reproduces the batch q_session_native result") {
+    // B112 batch-equivalence: the SAME rows flow through the watermarked
+    // streaming session_window agg (append mode — only closed sessions emit)
+    // and the batch formulation; results must match. A far-future flush row for
+    // a sentinel user advances the watermark past every real session's end so
+    // all real sessions close; the sentinel is excluded from the comparison.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    // 2h delay keeps the deliberately out-of-order 08:10 row (batch 2, behind
+    // batch 1's 09:00 max) ahead of the watermark instead of dropped-as-late.
+    val events = in.toDF.toDF("user_id", "ts").withWatermark("ts", "2 hours")
+    val agg = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, ts("2024-01-01 08:00:00")), // s1
+        (1L, ts("2024-01-01 08:30:00")), // exactly 30 min -> merges into s1
+        (1L, ts("2024-01-01 09:00:01")), // 30 min + 1 s   -> new session s2
+        (2L, ts("2024-01-01 08:05:00")), // single-event session
+        (1L, ts("2024-01-01 08:10:00"))) // out-of-order, inside s1
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      in.addData((99L, ts("2024-01-02 00:00:00"))) // watermark flush sentinel
+      q.processAllAvailable()
+      val streamed = spark.table("sess_t").filter(col("user_id") < 99L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = rows.toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streaming session_window diverged from batch: $streamed vs $batch")
+      // the equal-to-gap event merged, the +1s event did not
+      assert(batch.count(_._1 == 1L) === 2)
+    } finally q.stop()
+  }
 }
