@@ -1253,6 +1253,31 @@ object StarQueries {
         .orderBy(col("custkey"))
     },
 
+    // B113: SQL session variables + EXECUTE IMMEDIATE (Spark 4 parser surface) —
+    // parameterized SQL where the parameter VALUE is itself computed by a query
+    // (`SET VAR x = (SELECT …)`), then bound positionally via USING. This is the
+    // dynamic-threshold posture of every ops dashboard: derive the cutoff from
+    // the data, feed it into a prepared statement; no string interpolation, no
+    // client round-trip. Exactness: the threshold is floor(avg(cents)) over
+    // BIGINT cents — the sum stays below 2^53 through SF ~100 (1.5e8 orders ×
+    // ~1.5e7 cents ≈ 2.3e15 > 2^53 only past SF ~400), so the double division
+    // is bit-identical across engines at every tested SF; beyond that, compute
+    // the threshold in DECIMAL.
+    "q_sql_exec_immediate" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("DECLARE OR REPLACE VARIABLE floor_cents BIGINT DEFAULT 0")
+      s.sql("""SET VAR floor_cents = (SELECT CAST(floor(avg(
+               |  CAST(floor(o_totalprice * 100) AS BIGINT))) AS BIGINT)
+               |  FROM orders)""".stripMargin)
+      s.sql("""EXECUTE IMMEDIATE
+               |  'SELECT o_orderpriority, count(*) AS n_above,
+               |     sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+               |   FROM orders
+               |   WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > ?
+               |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+               |  USING floor_cents""".stripMargin)
+    },
+
     // B111: dynamic partition overwrite — the incremental-backfill primitive.
     // A restatement batch covering only SOME partitions is written with
     // partitionOverwriteMode=dynamic, which replaces exactly the partitions
@@ -2073,6 +2098,18 @@ object StarQueries {
         |LEFT JOIN agg a ON a.o_custkey = c.c_custkey
         |LEFT JOIN mg ON mg.o_custkey = c.c_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // The prepared statement with its derived parameter inlined as a scalar
+    // subquery — same integer-cents threshold arithmetic (exact through the
+    // documented SF bound).
+    "q_sql_exec_immediate" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |thr AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS floor_cents FROM o)
+        |SELECT o_orderpriority, count(*) AS n_above,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o, thr WHERE o.cents > thr.floor_cents
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Predicts the post-backfill table from parquet alone: partitions 1 and 3
     // were dynamically overwritten with doubled cents, the rest kept original
