@@ -320,4 +320,30 @@ class PlanSpec extends GraftSuite {
         s"naive theta join unexpectedly avoided the nested loop — contrast is stale:\n$np")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
+
+  test("join strategy hints override the planner's default choice") {
+    // The escape hatch when statistics mislead AQE at 100 TB: the SAME equi-join
+    // is forced through each physical strategy by hint alone. Broadcast is
+    // disabled so the contrast is the hint's doing, not sizes.
+    import org.apache.spark.sql.functions.col
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val c = Tables.customer(spark, sfTiny).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(spark, sfTiny).select(col("o_custkey"), col("o_totalprice"))
+      def planWith(hint: String): String =
+        c.hint(hint).join(o, col("c_custkey") === col("o_custkey"))
+          .queryExecution.executedPlan.toString
+      assert(planWith("shuffle_hash").contains("ShuffledHashJoin"),
+        "SHUFFLE_HASH hint must force a shuffled hash join")
+      assert(planWith("merge").contains("SortMergeJoin"),
+        "MERGE hint must force a sort-merge join")
+      assert(planWith("broadcast").contains("BroadcastHashJoin"),
+        "BROADCAST hint must force a broadcast join even with the threshold off")
+      // default under disabled broadcast: sort-merge
+      val default = c.join(o, col("c_custkey") === col("o_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(default.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
