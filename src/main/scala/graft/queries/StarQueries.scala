@@ -1253,6 +1253,49 @@ object StarQueries {
         .orderBy(col("custkey"))
     },
 
+    // B115: catalog DDL with column DEFAULTs — the managed-table surface (CREATE
+    // TABLE … USING parquet in the session catalog) with three default-value
+    // behaviors the lakehouse migration path depends on: (1) a partial-column
+    // INSERT materializes the declared DEFAULT, (2) a full INSERT overrides it,
+    // and (3) ALTER TABLE ADD COLUMN … DEFAULT back-fills EXISTING rows at read
+    // time via the column's exists-default metadata — no table rewrite, which at
+    // 100 TB is the difference between a metadata operation and rewriting every
+    // file. The oracle predicts the final table from the orders parquet alone.
+    // %3 split (doc'd gotcha: %2/%4/%5 degenerate on some generated keys).
+    "q_sql_ddl_default" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("DROP TABLE IF EXISTS graft_ddl_default")
+      // The default session catalog is in-memory: a previous PROCESS's table is
+      // forgotten by DROP but its warehouse directory survives and would fail
+      // CREATE with LOCATION_ALREADY_EXISTS — remove the stale location too.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_ddl_default")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      s.sql("""CREATE TABLE graft_ddl_default (
+               |  o_orderkey BIGINT, prio STRING, cents BIGINT DEFAULT 0)
+               |USING parquet""".stripMargin)
+      // partial-column insert: cents takes its DEFAULT
+      s.sql("""INSERT INTO graft_ddl_default (o_orderkey, prio)
+               |SELECT o_orderkey, o_orderpriority FROM orders
+               |WHERE o_orderkey % 3 = 0""".stripMargin)
+      // full insert: explicit cents
+      s.sql("""INSERT INTO graft_ddl_default
+               |SELECT o_orderkey, o_orderpriority,
+               |  CAST(floor(o_totalprice * 100) AS BIGINT)
+               |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      // metadata-only backfill: rows already written above read 'legacy'
+      s.sql("ALTER TABLE graft_ddl_default ADD COLUMN src STRING DEFAULT 'legacy'")
+      s.sql("""INSERT INTO graft_ddl_default
+               |SELECT o_orderkey, o_orderpriority,
+               |  CAST(floor(o_totalprice * 100) AS BIGINT), 'new'
+               |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)
+      s.table("graft_ddl_default")
+        .groupBy(col("src"), col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          count(when(col("cents") === 0L, 1)).as("n_defaulted"))
+        .orderBy(col("src"), col("prio"))
+    },
+
     // B113: SQL session variables + EXECUTE IMMEDIATE (Spark 4 parser surface) —
     // parameterized SQL where the parameter VALUE is itself computed by a query
     // (`SET VAR x = (SELECT …)`), then bound positionally via USING. This is the
@@ -2098,6 +2141,20 @@ object StarQueries {
         |LEFT JOIN agg a ON a.o_custkey = c.c_custkey
         |LEFT JOIN mg ON mg.o_custkey = c.c_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // Predicts the managed table's final state from orders alone: %3=0 rows
+    // carry the declared default (cents 0, src backfilled 'legacy'), %3=1
+    // explicit cents + backfilled src, %3=2 explicit everything. TPC-H prices
+    // are >900 so an explicit floor(price*100)=0 can never alias the default.
+    "q_sql_ddl_default" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS m FROM orders)
+        |SELECT CASE WHEN m = 2 THEN 'new' ELSE 'legacy' END AS src, prio,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN m = 0 THEN 0 ELSE cents END) AS BIGINT) AS cents,
+        |  CAST(count(CASE WHEN m = 0 THEN 1 END) AS BIGINT) AS n_defaulted
+        |FROM o GROUP BY 1, 2 ORDER BY src, prio""".stripMargin,
 
     // The prepared statement with its derived parameter inlined as a scalar
     // subquery — same integer-cents threshold arithmetic (exact through the
