@@ -537,6 +537,32 @@ object TextQueries {
         .orderBy(col("node"))
     },
 
+    // B116: feature hashing (the HashingTF trick) — tokens mapped to a fixed
+    // 256-dim index space via the DuckDB-equal md5-prefix hash, so the feature
+    // vector's width is independent of vocabulary size: the property that lets a
+    // 100 TB corpus train without a driver-side vocabulary broadcast (new tokens
+    // hash somewhere instead of growing a dictionary). Collisions are the
+    // technique's price, so the query AUDITS them: per-language sum of distinct
+    // tokens minus distinct indices. Per-doc distinct-token set (tokenSet) keeps
+    // the count pair well-defined; everything stays in codegen (native
+    // Md5Prefix60, no UDF).
+    "q_feature_hash" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokenSet(col("text"))).as("tok"))
+      val perDoc = tok
+        .withColumn("fidx",
+          pmod(TextOps.md5Long(concat(lit("fh:"), col("tok"))), lit(256L)))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(countDistinct(col("tok")).as("n_tok"),
+          countDistinct(col("fidx")).as("nnz"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nnz")).as("sum_nnz"),
+          sum(col("n_tok") - col("nnz")).as("sum_collisions"))
+        .orderBy(col("lang"))
+    },
+
     // B109: mergeable heavy-hitters sketch — the frequent-items twin of B96's HLL
     // merge path. Per-language token sketches (approx_top_k_accumulate, Datasketches
     // ItemsSketch under the hood) are COMBINED into one global sketch and estimated,
@@ -1256,6 +1282,22 @@ object TextQueries {
     "q_approx_topk" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |GROUP BY word ORDER BY n DESC, word LIMIT 10""".stripMargin
+        |GROUP BY word ORDER BY n DESC, word LIMIT 10""".stripMargin,
+
+    // Same md5-prefix feature hash (non-negative 60-bit, so % == pmod), same
+    // 256-bin fold; a collision-count drift on either side breaks the hash.
+    "q_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang, tok,
+        |  CAST(concat('0x', substr(md5('fh:' || tok), 1, 15)) AS BIGINT) % 256
+        |    AS fidx FROM tok),
+        |pd AS (SELECT doc_id, lang, count(DISTINCT tok) AS n_tok,
+        |  count(DISTINCT fidx) AS nnz FROM h GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(nnz) AS BIGINT) AS sum_nnz,
+        |  CAST(sum(n_tok - nnz) AS BIGINT) AS sum_collisions
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
