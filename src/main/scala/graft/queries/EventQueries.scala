@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.Relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,6 +19,7 @@ import org.apache.spark.sql.functions._
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
   private def r2(c: Column) = round(c, 2)
+  private def r4(c: Column) = round(c, 4)
 
   val queries: Map[String, Q] = Map(
     // A9/A27: latest-per-key — the reference's Cassandra PK upsert (last-write-wins)
@@ -485,6 +487,48 @@ object EventQueries {
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"))
         .orderBy(col("user_id"), col("start_us"))
+    },
+
+    // B121: IGNORE NULLS window semantics — last-observation-carried-forward
+    // (the standard sensor/tick gap-fill) plus skip-null lag, over a per-user
+    // time ordering. Nulls are injected deterministically (event_id % 3) so the
+    // oracle sees the identical gap pattern. One shuffle on user_id; the final
+    // per-type re-agg keeps output O(|event_type|).
+    "q_window_ignorenulls" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("v",
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("locf", last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("locf")).as("n_locf"),
+          r2(sum(col("locf"))).as("sum_locf"),
+          count(col("prev")).as("n_prev"),
+          r2(sum(when(col("v").isNull, col("locf")))).as("sum_filled"))
+        .orderBy(col("event_type"))
+    },
+
+    // B122: time-decayed aggregation — recency-weighted engagement with weight
+    // 0.5^weeks_ago (training-data recency weighting). The exponent is an
+    // INTEGER week count, so pow is a bit-exact power of two on both engines
+    // and the only float drift is summation order (absorbed by round). The
+    // global high-watermark is a 1-row broadcast, not a second pass per group.
+    "q_time_decay" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val maxTs = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      ev.crossJoin(broadcast(maxTs))
+        .withColumn("weeks_ago",
+          floor((col("max_us") - unix_micros(col("ts"))) / lit(604800000000L))
+            .cast("int"))
+        .withColumn("wt", pow(lit(0.5), col("weeks_ago")))
+        .groupBy(col("event_type"))
+        .agg(r2(sum(col("value") * col("wt"))).as("decayed_value"),
+          r4(sum(col("wt"))).as("decayed_n"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -500,6 +544,36 @@ object EventQueries {
        |   GROUP BY e.dst) i ON r.node = i.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_window_ignorenulls" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id, ts, event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |wn AS (
+        |  SELECT event_type, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        |    lag(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM b)
+        |SELECT event_type, count(locf) AS n_locf, round(sum(locf), 2) AS sum_locf,
+        |  count(prev) AS n_prev,
+        |  round(sum(CASE WHEN v IS NULL THEN locf END), 2) AS sum_filled
+        |FROM wn GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_decay" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        |SELECT event_type,
+        |  round(sum(value * pow(0.5,
+        |    CAST(floor((max_us - epoch_us(ts)) / 604800000000) AS INT))), 2)
+        |    AS decayed_value,
+        |  round(sum(pow(0.5,
+        |    CAST(floor((max_us - epoch_us(ts)) / 604800000000) AS INT))), 4)
+        |    AS decayed_n,
+        |  count(*) AS n
+        |FROM events, mx GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_graph_pagerank" ->
       s"""WITH edg AS (
          |  SELECT prev AS src, event_type AS dst, count(*) AS weight FROM (

@@ -1346,6 +1346,85 @@ object StarQueries {
         .groupBy(col("pk").cast("long").as("pk"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy(col("pk"))
+    },
+
+    // B117: linear-regression aggregate family (regr_slope/intercept/r2/avgx/avgy/
+    // count) — per-group OLS of extended price on quantity in ONE hash-agg pass
+    // (each regr_* is a pair-moment accumulator; no second scan, no window).
+    // The whole family is partial-aggregatable, so at 100 TB it map-side combines
+    // like any sum. Both engines use the SQL-standard (y, x) argument order.
+    "q_regr_funcs" -> { (s, d) =>
+      val y = col("l_extendedprice"); val x = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(regr_slope(y, x)).as("slope"),
+          r2(regr_intercept(y, x)).as("intercept"),
+          round(regr_r2(y, x), 6).as("r2"),
+          regr_count(y, x).cast("long").as("n_pairs"),
+          r4(regr_avgx(y, x)).as("avg_x"),
+          r4(regr_avgy(y, x)).as("avg_y"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B118: order-sensitive / positional aggregates — deterministic mode
+    // (ties broken to the smallest value: Spark's mode(e, deterministic=true);
+    // the oracle re-derives it with a (count DESC, value ASC) ranking so the
+    // tie-break contract is verified, not assumed), exact interpolated median,
+    // LISTAGG ... WITHIN GROUP (the SQL:2016 ordered string agg), and count_if.
+    // All four are single-pass hash aggregates; listagg is bounded here by the
+    // 5-value priority domain (DISTINCT before concat), so state stays O(domain).
+    "q_agg_mode" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(
+          mode(col("o_orderpriority"), deterministic = true).as("top_priority"),
+          r4(median(col("o_totalprice"))).as("median_price"),
+          expr("listagg(DISTINCT o_orderpriority, '|') " +
+            "WITHIN GROUP (ORDER BY o_orderpriority)").as("prio_set"),
+          count_if(col("o_totalprice") > 150000).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy(col("y"))
+    },
+
+    // B119: gaps-and-islands — consecutive-month order streaks per customer via
+    // the classic (value - row_number) island key, then the streak-length
+    // distribution. One shuffle on custkey (window + first agg share it thanks to
+    // the partial agg on the window's partitioning), then a tiny re-agg by length.
+    "q_gaps_islands" -> { (s, d) =>
+      val months = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      months
+        .withColumn("grp", col("m") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("len"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("len"))
+    },
+
+    // B120: CSV scalar codec — to_csv(struct) ↔ from_csv round-trip entirely in
+    // expressions (codegen'd, no line-based source needed). Integer/enum columns
+    // only: float→text rendering differs across engines, so the text boundary
+    // stays on exactly-representable values (same posture as q_source_xml).
+    // The oracle predicts both the parsed-back values and the wire length.
+    "q_csv_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("line",
+          to_csv(struct(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))))
+        .withColumn("back",
+          expr("from_csv(line, 'k BIGINT, prio STRING, st STRING')"))
+        .groupBy(col("back.st").as("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("back.k")).as("key_sum"),
+          countDistinct(col("back.prio")).as("n_prio"),
+          max(length(col("line"))).cast("long").as("max_len"))
+        .orderBy(col("st"))
     }
   )
 
@@ -1402,6 +1481,63 @@ object StarQueries {
 
   val oracle: Map[String, String] = Map(
     "q_sql_window" -> SqlWindowText,
+
+    "q_regr_funcs" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        | round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The mode tie-break contract (smallest value among max-count) is re-derived
+    // with an explicit (count DESC, value ASC) ranking rather than DuckDB's
+    // mode() (whose tie order is unspecified) — the oracle verifies the contract.
+    "q_agg_mode" ->
+      """WITH pc AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderpriority AS p,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |md AS (
+        |  SELECT y, p, row_number() OVER (PARTITION BY y ORDER BY c DESC, p ASC) AS rn
+        |  FROM pc),
+        |g AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    round(median(o_totalprice), 4) AS median_price,
+        |    string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prio_set,
+        |    CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT g.y, md.p AS top_priority, g.median_price, g.prio_set, g.n_big, g.n
+        |FROM g JOIN md ON md.y = g.y AND md.rn = 1
+        |ORDER BY g.y""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH mo AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders),
+        |isl AS (
+        |  SELECT o_custkey,
+        |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        |  FROM mo),
+        |st AS (SELECT o_custkey, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT len, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  count(*) AS n_streaks
+        |FROM st GROUP BY len ORDER BY len""".stripMargin,
+
+    // The csv wire format for these columns is plain comma-join (no value
+    // contains a delimiter/quote), so the oracle predicts the parsed-back
+    // fields from the originals and the wire length from string lengths.
+    "q_csv_funcs" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        | CAST(max(length(CAST(o_orderkey AS VARCHAR)) + length(o_orderpriority)
+        |   + length(o_orderstatus) + 2) AS BIGINT) AS max_len
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
 
     // NB: DuckDB floor() returns DECIMAL and `//` on non-integers is PLAIN division
     // (the BIGINT cast would then round-half-up the quotient) — cast to BIGINT
