@@ -1408,6 +1408,90 @@ object StarQueries {
         .orderBy(col("len"))
     },
 
+    // B123: SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN) — a scalar
+    // UDF battery the analyzer INLINES into the plan (no black-box function call
+    // survives optimization: the band CASE and cents floor fold straight into the
+    // aggregate's project, staying inside whole-stage codegen — the opposite of a
+    // JVM UDF). The oracle runs the hand-inlined equivalent.
+    "q_sql_udf" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+              |RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'low'
+              |  WHEN p < 150000 THEN 'mid' ELSE 'high' END""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION order_cents(p DOUBLE)
+              |RETURNS BIGINT RETURN CAST(floor(p * 100) AS BIGINT)""".stripMargin)
+      // SQL TABLE function (RETURNS TABLE) composing the scalar UDFs — also
+      // inlined: it analyzes to a plain filtered subquery, so the scalar
+      // subquery over it is one pushed-down-filter aggregate, not a function
+      // call. (A parameter can feed a WHERE but not a LIMIT — Spark requires
+      // the limit expression to fold to a constant, and an inlined table-
+      // function argument stays an outer reference.)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cents_above(thr DOUBLE)
+              |RETURNS TABLE(cents BIGINT)
+              |RETURN SELECT order_cents(o_totalprice) FROM orders
+              |  WHERE o_totalprice >= thr""".stripMargin)
+      s.sql("""SELECT price_band(o_totalprice) AS band, count(*) AS n,
+              |  sum(order_cents(o_totalprice)) AS cents,
+              |  (SELECT sum(cents) FROM cents_above(400000.0)) AS big_cents
+              |FROM orders GROUP BY band ORDER BY band""".stripMargin)
+    },
+
+    // B124: nested data model — a STRUCT as the grouping key, then an
+    // array-of-struct sorted by a COMPARATOR LAMBDA (count desc, status asc)
+    // and rendered to a flat string. collect_list's arrival order is
+    // non-deterministic, so determinism comes from the comparator being a total
+    // order — exactly the contract the lambda has to get right. Arrays are
+    // bounded by the status domain (≤4 per flag), so state is O(domain).
+    "q_struct_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(struct(col("l_returnflag").as("f"), col("l_linestatus").as("st")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("k.f").as("flag"))
+        .agg(collect_list(struct(col("n"), col("k.st").as("st"))).as("arr"))
+        .withColumn("by_n", expr(
+          """array_sort(arr, (a, b) -> CASE
+            |  WHEN a.n > b.n THEN -1 WHEN a.n < b.n THEN 1
+            |  WHEN a.st < b.st THEN -1 WHEN a.st > b.st THEN 1 ELSE 0 END)""".stripMargin))
+        .select(col("flag"),
+          expr("array_join(transform(by_n, x -> concat(x.st, ':', x.n)), '|')")
+            .as("ranked"),
+          size(col("by_n")).cast("long").as("n_status"))
+        .orderBy(col("flag"))
+    },
+
+    // B125: 2D spatial neighbor join — the binned-range-join family (B107/B108)
+    // lifted to two dimensions: deterministic integer tenth-degree coordinates,
+    // points binned once into radius-sized grid cells, the probe side exploded
+    // to its 3×3 cell neighborhood, equi-join on cell id, exact integer squared-
+    // distance residual. Cell size = radius guarantees every qualifying pair
+    // shares a probed cell, and each pair meets exactly once (the build point
+    // lives in ONE cell). All-integer arithmetic: no float boundary drift, and
+    // the oracle can brute-force the cross product at test SF while the engine
+    // plan stays equi-join-only at any SF.
+    "q_join_spatial" -> { (s, d) =>
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        (col("c_custkey") * 131 % 3600).as("clat"),
+        (col("c_custkey") * 197 % 7200).as("clon"))
+        .withColumn("cx", expr("clat div 50"))
+        .withColumn("cy", expr("clon div 50"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
+        (col("s_suppkey") * 131 % 3600).as("slat"),
+        (col("s_suppkey") * 197 % 7200).as("slon"))
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("cx", expr("slat div 50") + col("dx"))
+        .withColumn("cy", expr("slon div 50") + col("dy"))
+      cust.join(supp, Seq("cx", "cy"))
+        .withColumn("d2",
+          (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+          (col("clon") - col("slon")) * (col("clon") - col("slon")))
+        .filter(col("d2") <= 2500)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),
+          sum(col("d2")).as("sum_d2"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // B120: CSV scalar codec — to_csv(struct) ↔ from_csv round-trip entirely in
     // expressions (codegen'd, no line-based source needed). Integer/enum columns
     // only: float→text rendering differs across engines, so the text boundary
@@ -1527,6 +1611,47 @@ object StarQueries {
         |SELECT len, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  count(*) AS n_streaks
         |FROM st GROUP BY len ORDER BY len""".stripMargin,
+
+    "q_sql_udf" ->
+      """WITH big AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice >= 400000.0)
+        |SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band,
+        | count(*) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | (SELECT CAST(sum(cents) AS BIGINT) FROM big) AS big_cents
+        |FROM orders GROUP BY band ORDER BY band""".stripMargin,
+
+    // The comparator-lambda sort is re-derived as an ordered string_agg —
+    // same total order (count DESC, status ASC), no nested types at the boundary.
+    "q_struct_funcs" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS st, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT flag,
+        |  string_agg(st || ':' || n, '|' ORDER BY n DESC, st) AS ranked,
+        |  CAST(count(*) AS BIGINT) AS n_status
+        |FROM g GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // Brute-force cross product is fine at oracle SF; the engine side must make
+    // the same pairs through the grid equi-join.
+    "q_join_spatial" ->
+      """WITH c AS (
+        |  SELECT c_custkey * 131 % 3600 AS clat, c_custkey * 197 % 7200 AS clon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_nationkey, s_suppkey * 131 % 3600 AS slat,
+        |    s_suppkey * 197 % 7200 AS slon
+        |  FROM supplier)
+        |SELECT s_nationkey, count(*) AS n_pairs,
+        |  CAST(min((clat-slat)*(clat-slat) + (clon-slon)*(clon-slon)) AS BIGINT)
+        |    AS min_d2,
+        |  CAST(sum((clat-slat)*(clat-slat) + (clon-slon)*(clon-slon)) AS BIGINT)
+        |    AS sum_d2
+        |FROM c, s
+        |WHERE (clat-slat)*(clat-slat) + (clon-slon)*(clon-slon) <= 2500
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     // The csv wire format for these columns is plain comma-join (no value
     // contains a delimiter/quote), so the oracle predicts the parsed-back

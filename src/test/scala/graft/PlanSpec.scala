@@ -346,4 +346,13 @@ class PlanSpec extends GraftSuite {
       assert(default.contains("SortMergeJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
+
+  test("q_join_spatial stays a grid equi-join — no all-pairs distance product") {
+    // The 2D neighbor join must reach every qualifying pair through the 3×3
+    // cell-id equi-join; a CartesianProduct/nested-loop here would be the
+    // O(|C|·|S|) distance join the grid exists to avoid at 100 TB.
+    val p = simplePlanOf("q_join_spatial")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must bin, not cross:\n${p.take(600)}")
+  }
 }
