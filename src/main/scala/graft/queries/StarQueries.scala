@@ -1492,6 +1492,76 @@ object StarQueries {
         .orderBy(col("s_nationkey"))
     },
 
+    // B126: exact distinct counting via roaring-style bitmaps — the classic
+    // bitmap-index acceleration: keys map to (bucket, bit) with
+    // bitmap_bucket_number/bitmap_bit_position, per-bucket bitmaps build in one
+    // hash agg (bitmap_construct_agg), cardinality is a popcount sum, and the
+    // GLOBAL distinct re-uses the per-group bitmaps through bitmap_or_agg —
+    // merging sketches instead of re-scanning the fact, the property that makes
+    // bitmap indexes composable at 100 TB (unlike count(DISTINCT) whose Expand
+    // re-shuffles raw rows per grouping). Exact, so the oracle is plain
+    // count(DISTINCT).
+    "q_bitmap_distinct" -> { (s, d) =>
+      val perBucket = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          bitmap_bucket_number(col("o_custkey")).as("bkt"),
+          bitmap_bit_position(col("o_custkey")).as("pos"))
+        .groupBy(col("prio"), col("bkt"))
+        .agg(bitmap_construct_agg(col("pos")).as("bm"))
+      val global = perBucket
+        .groupBy(col("bkt")).agg(bitmap_or_agg(col("bm")).as("bm"))
+        .agg(sum(bitmap_count(col("bm"))).as("nd_all"))
+      perBucket.groupBy(col("prio"))
+        .agg(sum(bitmap_count(col("bm"))).as("nd"))
+        .crossJoin(broadcast(global))
+        .orderBy(col("prio"))
+    },
+
+    // B127: column-level encryption — AES-128-ECB/PKCS round-trip entirely in
+    // expressions. ECB is chosen deliberately: its determinism is what makes
+    // the contract oracle-checkable (same plaintext → same ciphertext, so
+    // distinct-ciphertext = distinct-plaintext and PKCS length is a pure
+    // function of plaintext length; GCM's random IV would be unverifiable —
+    // and is the right choice in production for exactly that reason).
+    // try_aes_decrypt's error channel: a non-block-multiple ciphertext yields
+    // NULL, not a dead job (A19 posture).
+    "q_aes_roundtrip" -> { (s, d) =>
+      val k = "'0123456789abcdef'"
+      Tables.orders(s, d)
+        .withColumn("pt", concat(col("o_orderpriority"), lit(":"), col("o_orderkey")))
+        .withColumn("ct", expr(s"aes_encrypt(pt, $k, 'ECB')"))
+        .withColumn("rt", expr(s"CAST(aes_decrypt(ct, $k, 'ECB') AS STRING)"))
+        .withColumn("corrupt", expr(s"try_aes_decrypt(substring(ct, 1, 8), $k, 'ECB')"))
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("rt") === col("pt"), 1)).as("n_roundtrip"),
+          countDistinct(col("ct")).as("nd_ct"),
+          count(when(col("corrupt").isNull, 1)).as("n_corrupt_null"),
+          max(length(col("ct"))).cast("long").as("max_ct_len"))
+        .orderBy(col("prio"))
+    },
+
+    // B128: SQL scripting (Spark 4 BEGIN…END) — DECLAREd accumulators mutated
+    // by a WHILE loop of scalar queries: the procedural control-flow surface
+    // (migration target for stored-procedure workloads). The script's last
+    // statement is its result; the oracle is the closed form of the loop.
+    "q_sql_script" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""BEGIN
+              |  DECLARE thr DOUBLE DEFAULT 0.0;
+              |  DECLARE bands BIGINT DEFAULT 0;
+              |  DECLARE grand BIGINT DEFAULT 0;
+              |  WHILE thr < 500000.0 DO
+              |    SET grand = grand +
+              |      (SELECT count(*) FROM orders WHERE o_totalprice >= thr);
+              |    SET bands = bands + 1;
+              |    SET thr = thr + 100000.0;
+              |  END WHILE;
+              |  SELECT bands, grand;
+              |END""".stripMargin)
+    },
+
     // B120: CSV scalar codec — to_csv(struct) ↔ from_csv round-trip entirely in
     // expressions (codegen'd, no line-based source needed). Integer/enum columns
     // only: float→text rendering differs across engines, so the text boundary
@@ -1633,6 +1703,31 @@ object StarQueries {
         |  string_agg(st || ':' || n, '|' ORDER BY n DESC, st) AS ranked,
         |  CAST(count(*) AS BIGINT) AS n_status
         |FROM g GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT o_orderpriority AS prio,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd,
+        | (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS nd_all
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // ECB determinism makes every output a pure function of the plaintext:
+    // round-trip count = n, distinct ciphertexts = distinct plaintexts = n
+    // (orderkey is unique), corrupt 8-byte slice always NULLs, and PKCS#7
+    // length = 16 * (len/16 + 1).
+    "q_aes_roundtrip" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        | count(*) AS n_roundtrip,
+        | count(*) AS nd_ct,
+        | count(*) AS n_corrupt_null,
+        | CAST(max(16 * (length(o_orderpriority || ':' || o_orderkey) // 16 + 1))
+        |   AS BIGINT) AS max_ct_len
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q_sql_script" ->
+      """WITH t AS (SELECT unnest([0, 100000, 200000, 300000, 400000]) AS thr)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS bands,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     JOIN t ON o.o_totalprice >= t.thr) AS grand""".stripMargin,
 
     // Brute-force cross product is fine at oracle SF; the engine side must make
     // the same pairs through the grid equi-join.
