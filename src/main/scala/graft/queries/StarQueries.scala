@@ -26,6 +26,14 @@ object StarQueries {
   private def r2(c: Column) = round(c, 2)
   private def r4(c: Column) = round(c, 4)
 
+  /** Register the graft TableCatalog rooted in this sf-dir's scratch space.
+   *  Same-name/same-root re-sets are no-ops (the CatalogManager caches the
+   *  instance after first resolution, keyed by catalog name). */
+  private def GraftCatalogSetup(s: SparkSession, d: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", Tables.scratchDir(s, "catalog", d))
+  }
+
   val queries: Map[String, Q] = Map(
     // B4: multi-aggregate hash aggregation with a pushed-down scan predicate
     // (the reference's "macronutrient bars per item" A25, generalized).
@@ -1562,6 +1570,51 @@ object StarQueries {
               |END""".stripMargin)
     },
 
+    // B129: DataFrameWriterV2 against the graft TableCatalog (sources/
+    // GraftCatalog.scala — manifest-committed table format): create (CTAS),
+    // append, and overwritePartitions all land as atomic manifest generations;
+    // the read-back goes through manifest-pruned scanning. The V2 twin of
+    // q_write_dpo with a real catalog underneath instead of path options.
+    "q_writeto_v2" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.wt")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).cast("int").as("pk"))
+      base.filter(col("pk") =!= 3).writeTo("graft.wt")
+        .partitionedBy(col("pk")).create()
+      base.filter(col("pk") === 3).writeTo("graft.wt").append()
+      base.filter(col("pk") === 1).withColumn("cents", col("cents") * 2)
+        .writeTo("graft.wt").overwritePartitions()
+      s.table("graft.wt")
+        .groupBy(col("pk").cast("long").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("pk"))
+    },
+
+    // B130: snapshot time travel — every catalog commit keeps its manifest, so
+    // VERSION AS OF replays any generation with zero data copying (the read
+    // path just resolves an older entry list; gen dirs are immutable). Current
+    // and pre-restatement snapshots are compared in one query.
+    "q_catalog_timetravel" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.tt")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("int").as("pk"))
+      base.writeTo("graft.tt").partitionedBy(col("pk")).create() // gen 1
+      base.filter(col("pk") === 1).withColumn("cents", col("cents") * 3)
+        .writeTo("graft.tt").overwritePartitions()               // gen 2
+      s.sql("""SELECT 'cur' AS snap, CAST(pk AS BIGINT) AS pk, count(*) AS n,
+              |  sum(cents) AS cents
+              |FROM graft.tt GROUP BY pk
+              |UNION ALL
+              |SELECT 'v1' AS snap, CAST(pk AS BIGINT) AS pk, count(*) AS n,
+              |  sum(cents) AS cents
+              |FROM graft.tt VERSION AS OF 1 GROUP BY pk
+              |ORDER BY snap, pk""".stripMargin)
+    },
+
     // B120: CSV scalar codec — to_csv(struct) ↔ from_csv round-trip entirely in
     // expressions (codegen'd, no line-based source needed). Integer/enum columns
     // only: float→text rendering differs across engines, so the text boundary
@@ -1728,6 +1781,26 @@ object StarQueries {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS bands,
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
         |     JOIN t ON o.o_totalprice >= t.thr) AS grand""".stripMargin,
+
+    "q_writeto_v2" ->
+      """WITH o AS (SELECT o_orderkey % 4 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT pk, count(*) AS n,
+        |  CAST(sum(CASE WHEN pk = 1 THEN cents * 2 ELSE cents END) AS BIGINT)
+        |    AS cents
+        |FROM o GROUP BY pk ORDER BY pk""".stripMargin,
+
+    "q_catalog_timetravel" ->
+      """WITH o AS (SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT 'cur' AS snap, pk, count(*) AS n,
+        |  CAST(sum(CASE WHEN pk = 1 THEN cents * 3 ELSE cents END) AS BIGINT)
+        |    AS cents
+        |FROM o GROUP BY pk
+        |UNION ALL
+        |SELECT 'v1' AS snap, pk, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o GROUP BY pk
+        |ORDER BY snap, pk""".stripMargin,
 
     // Brute-force cross product is fine at oracle SF; the engine side must make
     // the same pairs through the grid equi-join.

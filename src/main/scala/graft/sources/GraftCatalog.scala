@@ -1,0 +1,520 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, EqualNullSafe, EqualTo, Filter, In, IsNotNull, TableScan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.rdd.RDD
+
+import graft.SerializableHadoopConf
+
+/**
+ * `graft`: a DataSource V2 **TableCatalog** — a minimal manifest-committed table
+ * format (the Delta/Iceberg idea reduced to its observable core) registered as a
+ * catalog plugin:
+ *
+ * {{{
+ *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+ *   spark.sql.catalog.graft.root = /some/dir
+ * }}}
+ *
+ * Layout per table: `root/<table>/gen-<g>/…` immutable parquet data written once
+ * per commit, plus `manifest-<g>.txt` snapshots listing `(partition → data dir)`
+ * entries, plus a `CURRENT` pointer published by atomic temp+rename (the same
+ * idiom as [[AuditBatchWrite.commit]]). Readers resolve CURRENT once and then
+ * read only immutable files — snapshot isolation without locks. Old manifests
+ * are never deleted, so every generation stays queryable:
+ * `SELECT … FROM graft.t VERSION AS OF 2` (TableCatalog.loadTable(ident, version)).
+ *
+ * Write modes (all through the table's WriteBuilder, so `INSERT INTO`,
+ * `INSERT OVERWRITE`, and the DataFrameWriterV2 `writeTo(...)` verbs all land
+ * here): append (new entries union old), truncate, dynamic partition overwrite
+ * (old entries for exactly the partitions present in the batch are replaced —
+ * q_write_dpo's semantics as a catalog-level commit), and static
+ * `overwrite(filters)` on partition-key equality. A failed write never
+ * publishes: data lands in a new `gen-` dir first and only the CURRENT rename
+ * makes it visible.
+ *
+ * Scan path: partition pruning happens against the MANIFEST (pushed partition
+ * filters drop entries before any file IO — at 100 TB this is the difference
+ * between listing 3 directories and 30 000) and column pruning is pushed into
+ * the parquet read. Read execution rides the public V1Scan bridge
+ * (`BaseRelation`), reusing Spark's battle-tested parquet IO; residual row
+ * filters are re-applied by Spark above the scan. The WRITE path is native V2
+ * ([[GraftWrite]]): Spark clusters rows by partition key, tasks stream through
+ * Spark's own ParquetWriteSupport codec, and the driver's commit publishes a
+ * file-granular manifest — uncommitted files are invisible by construction.
+ * Reference anchor: the reference's Cassandra keyspace is its only "catalog"
+ * (consumer/consume_items.py:34-40); this is the lakehouse-native replacement.
+ *
+ * Single-writer discipline per table (commit = read CURRENT g, write g+1,
+ * rename): concurrent writers would need a CAS on CURRENT, which HDFS rename
+ * gives and object stores approximate with conditional PUTs — documented, not
+ * implemented, same posture as real single-cluster Delta deployments.
+ */
+class GraftCatalog extends TableCatalog {
+  private var catName: String = _
+  private var root: Path = _
+
+  private def conf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog '$name' requires spark.sql.catalog.$name.root=<dir>")
+    root = new Path(r)
+  }
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(root, (ident.namespace() :+ ident.name()).mkString("__"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory).map { st =>
+      val parts = st.getPath.getName.split("__")
+      Identifier.of(parts.init, parts.last)
+    }.filter(_.namespace().sameElements(namespace))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    dir.getFileSystem(conf).exists(new Path(dir, "CURRENT"))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    new GraftTable(ident, dir, GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf))
+  }
+
+  /** Time travel: every generation's manifest survives, so any is loadable. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    new GraftTable(ident, dir, GraftManifest.load(dir, version.toLong, conf))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.map { t =>
+      require(t.name == "identity",
+        s"graft catalog supports identity partitioning only, got $t")
+      t.references().head.fieldNames().head
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c missing from schema"))
+    val dir = tableDir(ident)
+    val m = GraftManifest(0L, schema, partCols.toSeq, Seq.empty)
+    GraftManifest.publish(dir, m, conf)
+    new GraftTable(ident, dir, m)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog tables are immutable-schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val fs = root.getFileSystem(conf)
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(tableDir(oldIdent), tableDir(newIdent)), "rename failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+}
+
+/** One committed snapshot: entries are (partition path like "pk=3" or "", data dir). */
+case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
+    entries: Seq[(String, String)]) {
+  def dataSchema: StructType =
+    StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+}
+
+object GraftManifest {
+  def currentGen(dir: Path, conf: Configuration): Long = {
+    val fs = dir.getFileSystem(conf)
+    val in = fs.open(new Path(dir, "CURRENT"))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  def load(dir: Path, gen: Long, conf: Configuration): GraftManifest = {
+    val fs = dir.getFileSystem(conf)
+    val p = new Path(dir, s"manifest-$gen.txt")
+    require(fs.exists(p), s"no generation $gen at $dir")
+    val in = fs.open(p)
+    val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8).split("\n")
+      finally in.close()
+    var schema: StructType = null
+    var parts: Seq[String] = Seq.empty
+    val entries = ArrayBuffer.empty[(String, String)]
+    lines.filter(_.nonEmpty).foreach { line =>
+      val i = line.indexOf('=')
+      (line.substring(0, i), line.substring(i + 1)) match {
+        case ("schema", ddl) => schema = StructType.fromDDL(ddl)
+        case ("parts", cs)   => parts = if (cs.isEmpty) Seq.empty else cs.split(",").toSeq
+        case ("entry", e)    =>
+          val t = e.split("\t", -1); entries += ((t(0), t(1)))
+        case _ => // gen=… line is informational
+      }
+    }
+    GraftManifest(gen, schema, parts, entries.toSeq)
+  }
+
+  /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
+  def publish(dir: Path, m: GraftManifest, conf: Configuration): Unit = {
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val body = new StringBuilder
+    body ++= s"gen=${m.gen}\n"
+    body ++= s"schema=${m.schema.toDDL}\n"
+    body ++= s"parts=${m.partCols.mkString(",")}\n"
+    m.entries.foreach { case (p, d) => body ++= s"entry=$p\t$d\n" }
+    val mf = new Path(dir, s"manifest-${m.gen}.txt")
+    val out = fs.create(mf, true)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val tmp = new Path(dir, "_CURRENT.tmp")
+    val o2 = fs.create(tmp, true)
+    try o2.write(m.gen.toString.getBytes(StandardCharsets.UTF_8)) finally o2.close()
+    val cur = new Path(dir, "CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"atomic publish failed: $cur")
+  }
+}
+
+class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
+    extends Table with SupportsRead with SupportsWrite with TruncatableTable {
+  override def name(): String = s"graft.${ident.name()}@${manifest.gen}"
+  override def schema(): StructType = manifest.schema
+  override def partitioning(): Array[Transform] =
+    manifest.partCols.map(c => Expressions.identity(c): Transform).toArray
+
+  /** SQL TRUNCATE TABLE: a new generation with an empty entry list — the data
+    * of every prior generation stays on disk and time-travel readable. */
+  override def truncateTable(): Boolean = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1, entries = Seq.empty), conf)
+    true
+  }
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, manifest)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, manifest, info)
+}
+
+class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = manifest.schema
+  private var partFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  // Accept (and fully handle) partition-key filters we can evaluate against the
+  // manifest; everything else stays Spark's to re-check above the scan.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (part, rest) = filters.partition(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
+    partFilters = part
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = partFilters
+
+  override def build(): Scan = {
+    val kept = manifest.entries.filter { case (partPath, _) =>
+      val values = GraftScanBuilder.partValues(partPath)
+      partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema))
+    }
+    new GraftScan(dir, manifest, kept, required)
+  }
+}
+
+object GraftScanBuilder {
+  def isPartitionFilter(f: Filter, partCols: Seq[String]): Boolean = f match {
+    case EqualTo(a, _)       => partCols.contains(a)
+    case EqualNullSafe(a, _) => partCols.contains(a)
+    case In(a, _)            => partCols.contains(a)
+    case IsNotNull(a)        => partCols.contains(a)
+    case _                   => false
+  }
+
+  def partValues(partPath: String): Map[String, String] =
+    if (partPath.isEmpty) Map.empty
+    else partPath.split("/").map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> seg.substring(i + 1)
+    }.toMap
+
+  private def typed(raw: String, dt: DataType): Any = dt match {
+    case LongType | IntegerType | ShortType => raw.toLong
+    case _ => raw
+  }
+
+  private def widen(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case other => other
+  }
+
+  /** Scan-side pruning: conservative — an unevaluable filter keeps the entry. */
+  def matches(f: Filter, values: Map[String, String], schema: StructType): Boolean = f match {
+    case EqualTo(a, v) =>
+      values.get(a).forall(raw => typed(raw, schema(a).dataType) == widen(v))
+    case EqualNullSafe(a, v) =>
+      values.get(a).forall(raw => typed(raw, schema(a).dataType) == widen(v))
+    case In(a, vs) =>
+      values.get(a).forall { raw =>
+        val t = typed(raw, schema(a).dataType); vs.exists(v => t == widen(v))
+      }
+    case IsNotNull(a) => values.get(a).forall(_ != "__HIVE_DEFAULT_PARTITION__")
+    case _ => true
+  }
+
+  /** Overwrite-side selection: STRICT — deleting on a filter we cannot evaluate
+    * would silently widen an overwrite into a truncate, so refuse instead. */
+  def matchesStrict(f: Filter, values: Map[String, String], schema: StructType): Boolean =
+    f match {
+      case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) | IsNotNull(_) =>
+        matches(f, values, schema)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog cannot overwrite by filter $other — partition-key equality only")
+    }
+}
+
+/** Manifest-pruned scan; rows flow through the public V1 bridge. */
+class GraftScan(dir: Path, manifest: GraftManifest,
+    entries: Seq[(String, String)], required: StructType) extends V1Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftScan(gen=${manifest.gen}, entries=${entries.size}/${manifest.entries.size})"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new GraftRelation(ctx, dir, manifest, entries, required).asInstanceOf[T]
+}
+
+class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
+    entries: Seq[(String, String)], required: StructType)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required).rdd
+    val reqPart = manifest.partCols.filter(required.fieldNames.contains)
+    val reqData = StructType(manifest.dataSchema.fields
+      .filter(f => required.fieldNames.contains(f.name)))
+    // Parquet column pruning: read only the required data columns (a data
+    // column is always read so the row count survives an all-partition-column
+    // projection).
+    val readSchema =
+      if (reqData.isEmpty) StructType(manifest.dataSchema.fields.take(1)) else reqData
+    val perPartition = entries.groupBy(_._1).toSeq.map { case (partPath, es) =>
+      val dirs = es.map { case (_, rel) => new Path(dir, rel).toString }
+      var df = spark.read.schema(readSchema).parquet(dirs: _*)
+      val values = GraftScanBuilder.partValues(partPath)
+      reqPart.foreach { c =>
+        df = df.withColumn(c, lit(values(c)).cast(manifest.schema(c).dataType))
+      }
+      df.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    perPartition.reduce(_ unionAll _).rdd
+  }
+}
+
+class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsDynamicOverwrite with SupportsOverwrite {
+  // Append unless a truncate/overwrite verb retargets the commit.
+  private var mode: String = "append"
+  private var staticFilters: Array[Filter] = Array.empty
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+  override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) mode = "truncate"
+    else { mode = "static"; staticFilters = filters }
+    this
+  }
+
+  override def build(): Write = new GraftWrite(dir, manifest, info.schema(), mode, staticFilters)
+}
+
+/**
+ * Native V2 write: Spark clusters the incoming data by the partition columns
+ * (RequiresDistributionAndOrdering), each task writes immutable parquet files
+ * under the next generation dir through Spark's own ParquetWriteSupport (the
+ * exact codec `df.write.parquet` uses), and ONLY the driver's commit publishes
+ * a manifest referencing exactly the files the committed task attempts
+ * reported — a speculative or failed attempt's files exist on disk but are
+ * never visible, which is what lets the format skip rename-based task commits
+ * entirely (object-store friendly: one atomic publish per job, zero per-task
+ * renames).
+ */
+class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
+    mode: String, staticFilters: Array[Filter])
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution: Distribution =
+    if (manifest.partCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      manifest.partCols.map(c => Expressions.identity(c): Expression).toArray)
+  override def requiredOrdering: Array[SortOrder] = Array.empty
+  override def requiredNumPartitions: Int = 0
+
+  override def toBatch: BatchWrite = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val gen = GraftManifest.currentGen(dir, conf) + 1
+    new GraftBatchWrite(dir, manifest, writeSchema, mode, staticFilters, gen,
+      new SerializableHadoopConf(conf))
+  }
+}
+
+case class GraftFilesMessage(files: Seq[(String, String)], rows: Long)
+  extends WriterCommitMessage
+
+class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
+    mode: String, staticFilters: Array[Filter], gen: Long,
+    conf: SerializableHadoopConf) extends BatchWrite {
+  private val genRel = s"gen-$gen"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(writeSchema, prev.partCols,
+      new Path(dir, genRel).toString, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.flatMap { case GraftFilesMessage(fs, _) => fs }
+      .map { case (partPath, rel) => (partPath, rel) }.toSeq
+    val entries = mode match {
+      case "append"   => prev.entries ++ fresh
+      case "truncate" => fresh
+      case "dynamic"  =>
+        val touched = fresh.map(_._1).toSet
+        prev.entries.filterNot { case (p, _) => touched(p) } ++ fresh
+      case "static"   =>
+        // Drop the partitions the filters select, then add the new data.
+        prev.entries.filterNot { case (p, _) =>
+          val values = GraftScanBuilder.partValues(p)
+          staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, prev.schema))
+        } ++ fresh
+    }
+    GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries), conf.value)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Nothing was published; drop the orphaned generation dir.
+    val genDir = new Path(dir, genRel)
+    genDir.getFileSystem(conf.value).delete(genDir, true)
+  }
+}
+
+class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
+    genDir: String, conf: SerializableHadoopConf) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
+      private val dataIdx =
+        writeSchema.fields.indices.filterNot(partIdx.contains).toArray
+      private val dataSchema = StructType(dataIdx.map(writeSchema.fields))
+      // Strip partition columns from the stored rows (they live in the path).
+      private val project = UnsafeProjection.create(dataIdx.map(i =>
+        BoundReference(i, writeSchema.fields(i).dataType,
+          writeSchema.fields(i).nullable): org.apache.spark.sql.catalyst.expressions.Expression))
+      // Spark's own parquet codec, wired the way ParquetFileFormat.prepareWrite
+      // does: schema + write-path options pinned in the task conf.
+      private val taskConf = {
+        val c = new Configuration(conf.value)
+        ParquetWriteSupport.setSchema(dataSchema, c)
+        c.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
+        c.set("spark.sql.parquet.writeLegacyFormat", "false")
+        c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        c.set("spark.sql.parquet.fieldId.write.enabled", "false")
+        c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+        c
+      }
+      private val writers =
+        scala.collection.mutable.LinkedHashMap.empty[String, (ParquetOutputWriter, String)]
+      private var rows = 0L
+
+      private def partPath(row: InternalRow): String =
+        partCols.indices.map { k =>
+          val i = partIdx(k)
+          val v = if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+            else row.get(i, writeSchema.fields(i).dataType).toString
+          s"${partCols(k)}=$v"
+        }.mkString("/")
+
+      override def write(row: InternalRow): Unit = {
+        val pp = partPath(row)
+        val (w, _) = writers.getOrElseUpdate(pp, {
+          val fileName = s"part-$partitionId-$taskId.parquet"
+          val file = if (pp.isEmpty) s"$genDir/$fileName" else s"$genDir/$pp/$fileName"
+          val ctx = new TaskAttemptContextImpl(taskConf,
+            new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
+              taskId.toInt))
+          (new ParquetOutputWriter(file, ctx), fileName)
+        })
+        w.write(project(row))
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._1.close())
+        val genName = new Path(genDir).getName
+        GraftFilesMessage(writers.toSeq.map { case (pp, (_, fileName)) =>
+          val rel = if (pp.isEmpty) s"$genName/$fileName" else s"$genName/$pp/$fileName"
+          (pp, rel)
+        }, rows)
+      }
+
+      override def abort(): Unit = {
+        writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })
+        val fs = new Path(genDir).getFileSystem(taskConf)
+        writers.foreach { case (pp, (_, fileName)) =>
+          val file = if (pp.isEmpty) new Path(genDir, fileName)
+            else new Path(s"$genDir/$pp", fileName)
+          fs.delete(file, false)
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/**
+ * Behavioral pins for the graft TableCatalog (sources/GraftCatalog.scala) —
+ * each test asserts a property the manifest design exists to provide, not an
+ * implementation detail.
+ */
+class CatalogSpec extends GraftSuite {
+
+  private lazy val root = {
+    val r = tmpDir("graft_cat")
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", r)
+    r
+  }
+
+  private def freshTable(name: String): String = {
+    val _ = root // force catalog registration before the first gtest.* SQL
+    spark.sql(s"DROP TABLE IF EXISTS gtest.$name")
+    s"gtest.$name"
+  }
+
+  private def base = {
+    import spark.implicits._
+    (0L until 300L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+  }
+
+  test("manifest partition pruning: a pruned partition's files are never opened") {
+    val t = freshTable("prune")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    // Vandalize partition pk=2 on disk: replace its parquet files with garbage.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tblDir = new Path(root, "prune")
+    val pk2 = fs.globStatus(new Path(tblDir, "gen-*/pk=2/*.parquet"))
+    assert(pk2.nonEmpty, "expected files under pk=2")
+    pk2.foreach { st =>
+      val out = fs.create(st.getPath, true)
+      try out.write("not parquet".getBytes) finally out.close()
+    }
+    // A partition-filtered read must succeed: the manifest prunes pk=2 away
+    // before any file IO. An unfiltered read must hit the corruption.
+    val ok = spark.table(t).filter(col("pk") === 1)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(ok.getLong(0) == 100 && ok.getLong(1) == (1L until 300L by 3).sum)
+    intercept[Exception] { spark.table(t).count() }
+  }
+
+  test("snapshot isolation: every generation survives truncate and stays queryable") {
+    val t = freshTable("snap")
+    base.writeTo(t).partitionedBy(col("pk")).create()              // gen 1
+    base.filter(col("pk") === 0).writeTo(t).append()               // gen 2
+    spark.sql(s"TRUNCATE TABLE $t")                                // gen 3
+    assert(spark.table(t).count() == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 300)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").collect()(0).getLong(0) == 400)
+    // And the publish is atomic: no temp pointer survives any commit.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(new Path(root, "snap"), "_CURRENT.tmp")))
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces exactly the named partition") {
+    val t = freshTable("stat")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (pk = 1) SELECT id, s FROM (VALUES (9999, 'x')) AS v(id, s)")
+    val rows = spark.table(t).groupBy("pk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 100L, 1L -> 1L, 2L -> 100L), rows.toString)
+  }
+
+  test("dynamic partition overwrite replaces only the partitions in the batch") {
+    val t = freshTable("dyn")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    base.filter(col("pk") === 2).withColumn("s", lit("w"))
+      .writeTo(t).overwritePartitions()
+    val df = spark.table(t)
+    assert(df.count() == 300)
+    assert(df.filter(col("s") === "w").count() == 100)
+    assert(df.filter(col("pk") =!= 2 && col("s") === "w").count() == 0)
+  }
+
+  test("uncommitted files are invisible: manifest is file-granular") {
+    val t = freshTable("ghost")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    // Simulate a speculative/failed attempt's leftover: a stray (valid) parquet
+    // file inside the live generation's partition dir, never committed.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.globStatus(new Path(new Path(root, "ghost"), "gen-*/pk=0"))
+    assert(dirs.nonEmpty)
+    base.limit(7).select(col("id"), col("s"))
+      .coalesce(1).write.mode("overwrite").parquet(s"${dirs.head.getPath}_stray")
+    val strayFile = fs.globStatus(new Path(s"${dirs.head.getPath}_stray/*.parquet")).head
+    fs.rename(strayFile.getPath, new Path(dirs.head.getPath.toString, "part-ghost.parquet"))
+    // A dir-listing reader would count 307; the manifest reader must see 300.
+    assert(spark.table(t).count() == 300)
+  }
+}
