@@ -1615,6 +1615,26 @@ object StarQueries {
               |ORDER BY snap, pk""".stripMargin)
     },
 
+    // B131: catalog commit history (DESCRIBE HISTORY analogue) — a fixed op
+    // sequence (create / append / TRUNCATE / append) leaves a fully determined
+    // manifest trail: the clustered write distribution makes file counts exact
+    // (one file per partition per commit), so the whole history is predictable
+    // down to file granularity and the oracle is the literal expected ledger.
+    "q_catalog_history" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.hist")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("int").as("pk"))
+      base.writeTo("graft.hist").partitionedBy(col("pk")).create()   // gen 1: 3 files
+      base.filter(col("pk") === 1).writeTo("graft.hist").append()    // gen 2: +1
+      s.sql("TRUNCATE TABLE graft.hist")                             // gen 3: empty
+      base.filter(col("pk") === 2).writeTo("graft.hist").append()    // gen 4: 1
+      graft.sources.GraftCatalogOps
+        .history(s, Tables.scratchDir(s, "catalog", d), "hist")
+        .orderBy(col("gen"))
+    },
+
     // B120: CSV scalar codec — to_csv(struct) ↔ from_csv round-trip entirely in
     // expressions (codegen'd, no line-based source needed). Integer/enum columns
     // only: float→text rendering differs across engines, so the text boundary
@@ -1781,6 +1801,15 @@ object StarQueries {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS bands,
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
         |     JOIN t ON o.o_totalprice >= t.thr) AS grand""".stripMargin,
+
+    // The expected ledger is a constant by construction (see the query's
+    // comment); the oracle pins it literally.
+    "q_catalog_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (1, 3, 3, 0), (2, 4, 3, 0), (3, 0, 0, 0), (4, 1, 1, 0))
+        |  AS t(gen, n_files, n_partitions, n_txns)
+        |ORDER BY gen""".stripMargin,
 
     "q_writeto_v2" ->
       """WITH o AS (SELECT o_orderkey % 4 AS pk,

@@ -19,6 +19,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, EqualNullSafe, EqualTo, Filter, In, IsNotNull, TableScan}
@@ -134,8 +135,25 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident, dir, m)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are immutable-schema")
+  /** Metadata-only schema evolution: ADD COLUMN publishes a new generation
+    * with a widened schema and untouched entries — existing files simply lack
+    * the column and the schema'd parquet read fills it with NULL (zero
+    * rewrite, the same trick q_sql_ddl_default pins on the session catalog). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    var schema = cur.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested columns not supported")
+        schema = schema.add(add.fieldNames()(0), add.dataType(), true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports ADD COLUMN only, got $other")
+    }
+    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1, schema = schema), conf)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -153,9 +171,11 @@ class GraftCatalog extends TableCatalog {
   override def invalidateTable(ident: Identifier): Unit = ()
 }
 
-/** One committed snapshot: entries are (partition path like "pk=3" or "", data dir). */
+/** One committed snapshot: entries are (partition path like "pk=3" or "", data
+  * file); `txns` records (queryId:epochId) streaming commits already visible,
+  * so a replayed micro-batch after restart is recognized and skipped. */
 case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
-    entries: Seq[(String, String)]) {
+    entries: Seq[(String, String)], txns: Set[String] = Set.empty) {
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
 }
@@ -178,6 +198,7 @@ object GraftManifest {
     var schema: StructType = null
     var parts: Seq[String] = Seq.empty
     val entries = ArrayBuffer.empty[(String, String)]
+    val txns = ArrayBuffer.empty[String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
@@ -185,10 +206,11 @@ object GraftManifest {
         case ("parts", cs)   => parts = if (cs.isEmpty) Seq.empty else cs.split(",").toSeq
         case ("entry", e)    =>
           val t = e.split("\t", -1); entries += ((t(0), t(1)))
+        case ("txn", t)      => txns += t
         case _ => // gen=… line is informational
       }
     }
-    GraftManifest(gen, schema, parts, entries.toSeq)
+    GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -200,6 +222,7 @@ object GraftManifest {
     body ++= s"schema=${m.schema.toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) => body ++= s"entry=$p\t$d\n" }
+    m.txns.foreach(t => body ++= s"txn=$t\n")
     val mf = new Path(dir, s"manifest-${m.gen}.txt")
     val out = fs.create(mf, true)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -230,7 +253,7 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-    TableCapability.OVERWRITE_DYNAMIC)
+    TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, manifest)
@@ -372,7 +395,8 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
     this
   }
 
-  override def build(): Write = new GraftWrite(dir, manifest, info.schema(), mode, staticFilters)
+  override def build(): Write =
+    new GraftWrite(dir, manifest, info.schema(), info.queryId(), mode, staticFilters)
 }
 
 /**
@@ -387,7 +411,7 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
  * renames).
  */
 class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
-    mode: String, staticFilters: Array[Filter])
+    queryId: String, mode: String, staticFilters: Array[Filter])
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution: Distribution =
@@ -402,6 +426,39 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     val gen = GraftManifest.currentGen(dir, conf) + 1
     new GraftBatchWrite(dir, manifest, writeSchema, mode, staticFilters, gen,
       new SerializableHadoopConf(conf))
+  }
+
+  /** Streaming append: each micro-batch commits one manifest generation, keyed
+    * (queryId, epochId) in the txn ledger so a post-restart replay of an
+    * already-visible epoch publishes nothing — exactly-once table contents on
+    * top of Spark's at-least-once epoch redelivery. */
+  override def toStreaming: StreamingWrite = {
+    require(mode == "append",
+      s"graft streaming sink supports append output mode, got $mode")
+    new GraftStreamingWrite(dir, manifest, writeSchema, queryId,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
+    queryId: String, conf: SerializableHadoopConf) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(writeSchema, prev.partCols, dir.toString, queryId, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val c = conf.value
+    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, c), c)
+    val key = s"$queryId:$epochId"
+    if (cur.txns.contains(key)) return // replayed epoch — already visible
+    val fresh = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
+    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1,
+      entries = cur.entries ++ fresh, txns = cur.txns + key), c)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ep = new Path(dir, s"ep-$queryId-$epochId")
+    ep.getFileSystem(conf.value).delete(ep, true)
   }
 }
 
@@ -443,11 +500,30 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   }
 }
 
+/** Ships only serializable state (paths as strings, schema, conf wrapper) —
+  * the streaming engine serializes the factory into every task. */
+class GraftStreamingWriterFactory(writeSchema: StructType, partCols: Seq[String],
+    tableDir: String, queryId: String, conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftRowWriter(writeSchema, partCols,
+      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId)
+}
+
 class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
+    new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId)
+}
+
+/** Per-task writer shared by the batch and streaming paths: one parquet file
+  * per partition value seen by this task (the clustered write distribution
+  * makes that exactly one file per partition per commit). */
+class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
+    genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
       private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
       private val dataIdx =
         writeSchema.fields.indices.filterNot(partIdx.contains).toArray
@@ -516,5 +592,21 @@ class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
       }
 
       override def close(): Unit = ()
-    }
+}
+
+object GraftCatalogOps {
+  /** Generation history of a table (DESCRIBE HISTORY analogue): one row per
+    * committed manifest, driver-side metadata reads only — the row count is
+    * the number of commits, never data-scale. */
+  def history(spark: SparkSession, root: String, table: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = GraftManifest.currentGen(dir, conf)
+    (0L to cur).map { g =>
+      val m = GraftManifest.load(dir, g, conf)
+      (g, m.entries.size.toLong,
+        m.entries.map(_._1).distinct.size.toLong, m.txns.size.toLong)
+    }.toDF("gen", "n_files", "n_partitions", "n_txns")
+  }
 }
