@@ -1635,6 +1635,43 @@ object StarQueries {
         .orderBy(col("gen"))
     },
 
+    // B132: SQL DELETE on the catalog — metadata-only partition deletes
+    // (SupportsDelete): the commit drops entries, files stay, and the
+    // pre-delete snapshot remains queryable via VERSION AS OF in the same
+    // statement. Undecidable predicates are refused at analysis, not guessed.
+    "q_catalog_delete" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.del")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("int").as("pk"))
+        .writeTo("graft.del").partitionedBy(col("pk")).create()
+      s.sql("DELETE FROM graft.del WHERE pk = 1")
+      s.sql("""SELECT 'cur' AS snap, CAST(pk AS BIGINT) AS pk, count(*) AS n,
+              |  sum(cents) AS cents
+              |FROM graft.del GROUP BY pk
+              |UNION ALL
+              |SELECT 'v1' AS snap, CAST(pk AS BIGINT) AS pk, count(*) AS n,
+              |  sum(cents) AS cents
+              |FROM graft.del VERSION AS OF 1 GROUP BY pk
+              |ORDER BY snap, pk""".stripMargin)
+    },
+
+    // B133: SQL pipe syntax (Spark 4 |> operators) — the linear query form
+    // (FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY): each stage
+    // is a plain logical operator, so the optimized plan is identical to the
+    // nested-SELECT equivalent the oracle runs.
+    "q_sql_pipe" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""FROM orders
+              ||> WHERE o_totalprice > 50000
+              ||> EXTEND CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              ||> AGGREGATE count(*) AS n, sum(cents) AS cents
+              |   GROUP BY o_orderpriority
+              ||> SELECT o_orderpriority AS prio, n, cents
+              ||> ORDER BY prio""".stripMargin)
+    },
+
     // B120: CSV scalar codec — to_csv(struct) ↔ from_csv round-trip entirely in
     // expressions (codegen'd, no line-based source needed). Integer/enum columns
     // only: float→text rendering differs across engines, so the text boundary
@@ -1810,6 +1847,22 @@ object StarQueries {
         |  (1, 3, 3, 0), (2, 4, 3, 0), (3, 0, 0, 0), (4, 1, 1, 0))
         |  AS t(gen, n_files, n_partitions, n_txns)
         |ORDER BY gen""".stripMargin,
+
+    "q_catalog_delete" ->
+      """WITH o AS (SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT 'cur' AS snap, pk, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o WHERE pk <> 1 GROUP BY pk
+        |UNION ALL
+        |SELECT 'v1' AS snap, pk, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o GROUP BY pk
+        |ORDER BY snap, pk""".stripMargin,
+
+    "q_sql_pipe" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_totalprice > 50000
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
 
     "q_writeto_v2" ->
       """WITH o AS (SELECT o_orderkey % 4 AS pk,

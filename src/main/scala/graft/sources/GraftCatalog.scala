@@ -236,11 +236,31 @@ object GraftManifest {
 }
 
 class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
-    extends Table with SupportsRead with SupportsWrite with TruncatableTable {
+    extends Table with SupportsRead with SupportsWrite with TruncatableTable
+    with SupportsDelete {
   override def name(): String = s"graft.${ident.name()}@${manifest.gen}"
   override def schema(): StructType = manifest.schema
   override def partitioning(): Array[Transform] =
     manifest.partCols.map(c => Expressions.identity(c): Transform).toArray
+
+  /** SQL DELETE FROM … WHERE on partition keys: a metadata-only commit that
+    * drops the selected partitions' entries (files stay for time travel).
+    * canDeleteWhere is strict — a predicate that cannot be decided per
+    * partition is refused at analysis time rather than half-applied, the same
+    * posture real metadata-delete formats take before falling back to
+    * row-level rewrite (which this catalog deliberately does not implement). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftScanBuilder.isPartitionFilter(f, manifest.partCols))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val kept = cur.entries.filterNot { case (p, _) =>
+      val values = GraftScanBuilder.partValues(p)
+      filters.forall(f => GraftScanBuilder.matchesStrict(f, values, cur.schema))
+    }
+    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1, entries = kept), conf)
+  }
 
   /** SQL TRUNCATE TABLE: a new generation with an empty entry list — the data
     * of every prior generation stays on disk and time-travel readable. */

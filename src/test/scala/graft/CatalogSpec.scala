@@ -126,6 +126,44 @@ class CatalogSpec extends GraftSuite {
     assert(df.agg(sum(col("extra"))).collect()(0).getLong(0) == (300L until 310L).map(_ * 10).sum)
   }
 
+  test("DELETE FROM on a partition key is metadata-only; non-key predicates refused") {
+    val t = freshTable("del")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    spark.sql(s"DELETE FROM $t WHERE pk = 1")
+    val left = spark.table(t).groupBy("pk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(left == Map(0L -> 100L, 2L -> 100L), left.toString)
+    // Pre-delete snapshot intact.
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 300)
+    // A row-level predicate cannot be decided per partition: refuse, don't guess.
+    intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE id = 7") }
+    assert(spark.table(t).count() == 200, "refused delete must change nothing")
+  }
+
+  test("compaction: self-rewrite via overwritePartitions collapses files, keeps data") {
+    val t = freshTable("opt")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    (1 to 3).foreach(_ => base.limit(30).writeTo(t).append()) // fragment
+    val before = spark.table(t).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.globStatus(new Path(new Path(root, "opt"), "*/pk=*/*.parquet"))
+      .length
+    val fragmented = files()
+    // OPTIMIZE: read the table, rewrite it into itself — clustered distribution
+    // yields one file per partition, dynamic overwrite swaps all touched
+    // partitions in one atomic commit.
+    spark.table(t).writeTo(t).overwritePartitions()
+    val after = spark.table(t).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(after == before, "compaction must not change data")
+    val live = spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0)
+    assert(live == before.getLong(0))
+    // Live file set is 3 (one per partition); disk still holds old gens.
+    val hist = graft.sources.GraftCatalogOps.history(spark, root, "opt")
+      .orderBy(col("gen").desc).limit(1).collect()(0)
+    assert(hist.getLong(1) == 3, s"expected 3 live files, got ${hist.getLong(1)}")
+    assert(files() > 3 && fragmented > 3, "old generations stay on disk for time travel")
+  }
+
   test("uncommitted files are invisible: manifest is file-granular") {
     val t = freshTable("ghost")
     base.writeTo(t).partitionedBy(col("pk")).create()
