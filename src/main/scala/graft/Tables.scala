@@ -77,11 +77,21 @@ object Tables {
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = name match {
       case "events" =>
-        // TIMESTAMP(NANOS) parquet: read the raw int64 nanos, truncate to micros.
+        // `ts` has shipped in two parquet vintages: TIMESTAMP(NANOS) (readable
+        // only as raw int64 via nanosAsLong, truncated to micros here exactly
+        // like DuckDB's ns->us read) and TIMESTAMP(MICROS) NTZ (read directly;
+        // NTZ->LTZ cast is value-preserving under the UTC session timezone both
+        // mains pin). Branch on the observed type so either vintage loads to
+        // the same TimestampType micros column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read
-          .parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw
+        }
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }
