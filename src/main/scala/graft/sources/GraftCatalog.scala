@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjecti
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
@@ -286,14 +287,17 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = manifest.schema
   private var partFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   // Accept (and fully handle) partition-key filters we can evaluate against the
-  // manifest; everything else stays Spark's to re-check above the scan.
+  // manifest; everything else stays Spark's to re-check above the scan — but is
+  // ALSO handed to the parquet reader for row-group statistics skipping.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (part, rest) = filters.partition(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
     partFilters = part
+    dataFilters = rest
     rest
   }
   override def pushedFilters(): Array[Filter] = partFilters
@@ -303,7 +307,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema))
     }
-    new GraftScan(dir, manifest, kept, required)
+    new GraftScan(dir, manifest, kept, required, dataFilters)
   }
 }
 
