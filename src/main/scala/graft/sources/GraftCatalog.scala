@@ -17,13 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjecti
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, EqualNullSafe, EqualTo, Filter, In, IsNotNull, TableScan}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith, TableScan}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.rdd.RDD
@@ -365,20 +364,26 @@ object GraftScanBuilder {
 
 /** Manifest-pruned scan; rows flow through the public V1 bridge. */
 class GraftScan(dir: Path, manifest: GraftManifest,
-    entries: Seq[(String, String)], required: StructType) extends V1Scan {
+    entries: Seq[(String, String)], required: StructType,
+    dataFilters: Array[Filter]) extends V1Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftScan(gen=${manifest.gen}, entries=${entries.size}/${manifest.entries.size})"
+    s"GraftScan(gen=${manifest.gen}, entries=${entries.size}/${manifest.entries.size}, " +
+      s"dataFilters=${dataFilters.length})"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-    new GraftRelation(ctx, dir, manifest, entries, required).asInstanceOf[T]
+    new GraftRelation(ctx, dir, manifest, entries, required, dataFilters).asInstanceOf[T]
 }
 
 class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
-    entries: Seq[(String, String)], required: StructType)
+    entries: Seq[(String, String)], required: StructType,
+    dataFilters: Array[Filter])
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
+  override def toString: String =
+    s"GraftRelation(gen=${manifest.gen}, entries=${entries.size}, " +
+      s"dataFilters=${dataFilters.length})"
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
@@ -399,9 +404,43 @@ class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
       reqPart.foreach { c =>
         df = df.withColumn(c, lit(values(c)).cast(manifest.schema(c).dataType))
       }
+      // Re-express the pushed-but-unhandled data filters as Column predicates so
+      // Catalyst pushes them into the inner parquet scan (row-group statistics
+      // skipping).  Untranslatable filters are simply skipped — Spark re-applies
+      // every filter in `rest` above this scan, so this is purely an optimization.
+      GraftRelation.toPredicate(dataFilters).foreach(p => df = df.filter(p))
       df.select(required.fieldNames.map(col).toIndexedSeq: _*)
     }
     perPartition.reduce(_ unionAll _).rdd
+  }
+}
+
+object GraftRelation {
+  import org.apache.spark.sql.Column
+
+  /** Conjunction of the translatable subset of `filters` (None if empty). */
+  def toPredicate(filters: Array[Filter]): Option[Column] =
+    filters.flatMap(toColumn).reduceOption(_ && _)
+
+  /** V1 `Filter` → `Column`, for the fragment the parquet reader can exploit.
+    * Returns None for anything outside it (safe: filters are re-checked above). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r)                => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r)                 => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c)                   => toColumn(c).map(!_)
+    case _                        => None
   }
 }
 

@@ -179,4 +179,26 @@ class CatalogSpec extends GraftSuite {
     // A dir-listing reader would count 307; the manifest reader must see 300.
     assert(spark.table(t).count() == 300)
   }
+
+  test("non-partition filters reach the inner parquet scan (row-group skipping)") {
+    val t = freshTable("push")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    // The scan must advertise the pushed data filters (correctness is separate:
+    // Spark re-applies them above, so we also check the values).
+    val q = spark.table(t).filter(col("id") >= 290 && col("pk") === 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dataFilters=") && !plan.contains("dataFilters=0"),
+      s"expected a non-empty dataFilters marker in:\n$plan")
+    assert(q.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(292L, 295L, 298L))
+
+    // The Filter→Column translator covers the parquet-exploitable fragment and
+    // declines (None) on what it can't express, rather than mistranslating.
+    import org.apache.spark.sql.sources._
+    val some = graft.sources.GraftRelation.toPredicate(Array(
+      GreaterThanOrEqual("id", 10L), StringStartsWith("s", "v"),
+      Or(EqualTo("pk", 1L), IsNull("s"))))
+    assert(some.isDefined)
+    assert(graft.sources.GraftRelation.toColumn(
+      Or(EqualTo("pk", 1L), AlwaysFalse())).isEmpty)
+  }
 }
