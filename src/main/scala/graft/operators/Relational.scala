@@ -399,4 +399,40 @@ object Relational {
       .filter(overlap && col("__bin") === greatest(col("__a_first"), col("__b_first")))
       .drop("__bin", "__a_first", "__b_first")
   }
+
+  /**
+   * Global dense row numbers (surrogate keys) WITHOUT the single-partition
+   * sort that `row_number() OVER (ORDER BY key)` plans — the classic 100 TB
+   * faceplant where every row funnels through one task. Instead:
+   *
+   *   1. range-partition on the key (`repartitionByRange`): each partition owns
+   *      a contiguous key range, and partition INDEX increases with the range —
+   *      the one big-data move;
+   *   2. sort within partitions, then `monotonically_increasing_id()`, whose
+   *      documented layout is `partitionId << 33 | localRowIndex` — the local
+   *      index therefore follows key order with NO second shuffle;
+   *   3. per-partition row counts (a numPartitions-row aggregate — metadata
+   *      scale) prefix-summed into offsets and broadcast back.
+   *
+   * `sk` = offset(partition) + localIndex + 1 == the global rank. Equal keys
+   * land in one partition (range partitioning), so the result is total and
+   * deterministic when `key` is unique. The offset prefix-sum runs a global
+   * window over numPartitions rows — the acceptable driver-scale sort.
+   */
+  def globalRowNumber(df: DataFrame, key: Column, parts: Int,
+                      out: String = "sk"): DataFrame = {
+    val ranged = df.repartitionByRange(parts, key).sortWithinPartitions(key)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__loc") + lit(1L))
+      .drop("__mid", "__pid", "__loc", "__off")
+  }
 }

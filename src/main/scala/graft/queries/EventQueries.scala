@@ -529,6 +529,26 @@ object EventQueries {
           r4(sum(col("wt"))).as("decayed_n"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    },
+
+    // B142: sliding-window COUNT DISTINCT — trailing-7-day distinct users per
+    // (event_type, day). Window frames can't express DISTINCT, so the scale-
+    // safe re-expression is: dedup to (type, user, day) FIRST (the big
+    // reduction), then a BOUNDED explode of each presence-day to the ≤7 window
+    // ends it can serve, semi-joined to observed days, then an exact distinct
+    // count per (type, end-day). Work is O(presences × 7), never O(rows × 7)
+    // and never a range self-join of the fact table.
+    "q_window_distinct" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val grid = ud.select(col("event_type"), col("day").as("end_day")).distinct()
+      ud.withColumn("end_day", explode(sequence(col("day"), col("day") + 6)))
+        .join(grid, Seq("event_type", "end_day"), "left_semi")
+        .groupBy(col("event_type"), col("end_day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy(col("event_type"), col("end_day"))
     }
   )
 
@@ -544,6 +564,19 @@ object EventQueries {
        |   GROUP BY e.dst) i ON r.node = i.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // B142: the range-join formulation — same trailing-7-day semantics as the
+    // engine's bounded-explode plan, both over the deduped presence set.
+    "q_window_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |grid AS (SELECT DISTINCT event_type, day AS end_day FROM ud)
+        |SELECT u.event_type, g.end_day, count(DISTINCT u.user_id) AS u7
+        |FROM ud u JOIN grid g ON g.event_type = u.event_type
+        |  AND u.day BETWEEN g.end_day - 6 AND g.end_day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_window_ignorenulls" ->
       """WITH b AS (
         |  SELECT event_type, user_id, ts, event_id,

@@ -1689,8 +1689,173 @@ object StarQueries {
           countDistinct(col("back.prio")).as("n_prio"),
           max(length(col("line"))).cast("long").as("max_len"))
         .orderBy(col("st"))
+    },
+
+    // B134: GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB shared dialect) — the
+    // grouping set is inferred from the non-aggregate select items, the sort from
+    // the whole select list. ONE SQL text runs verbatim on both engines, so the
+    // oracle is literally the same query.
+    "q_sql_groupall" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(GroupAllText)
+    },
+
+    // B135: IDENTIFIER() dynamic names + named parameter markers (Spark 4
+    // parameterized SQL): table, grouping column, and measure column arrive as
+    // *constants bound at parse time*, the threshold as a typed named parameter —
+    // the injection-safe templating surface (a quote inside a parameter is data,
+    // never SQL). The oracle runs the fully-resolved query.
+    "q_sql_identifier" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT IDENTIFIER(:gcol) AS grp, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(floor(IDENTIFIER(:vcol) * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM IDENTIFIER(:tbl)
+          |WHERE IDENTIFIER(:vcol) > :minp
+          |GROUP BY IDENTIFIER(:gcol)
+          |ORDER BY grp""".stripMargin,
+        Map("gcol" -> "o_orderpriority", "vcol" -> "o_totalprice",
+          "tbl" -> "orders", "minp" -> Int.box(50000)))
+    },
+
+    // B136: table-valued function in FROM — range() generates the dense year
+    // grid driver-free (a generated relation, not a collected literal), LEFT
+    // JOIN preserves empty years with explicit zeros. The dense-grid-from-TVF
+    // pattern is the scale-safe spine for gap-filling reports: the grid is
+    // O(domain), never O(rows).
+    "q_sql_tvf" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT g.id AS y, CAST(count(o.o_orderkey) AS BIGINT) AS n,
+          |  CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+          |FROM range(1994, 2003) g
+          |LEFT JOIN orders o ON year(o.o_orderdate) = g.id
+          |GROUP BY g.id ORDER BY y""".stripMargin)
+    },
+
+    // B137: generator battery — stack (wide→long unpivot generator), posexplode
+    // over sequence() (positional explode of a generated array), and LATERAL
+    // VIEW OUTER inline over an empty struct-array (outer semantics must keep
+    // the parent row with NULLs). All three are Generate-node row multipliers;
+    // DuckDB re-derives them with UNION ALL + lateral generate_series, with the
+    // posexplode position reconstructed as value − start.
+    "q_generators" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH base AS (
+          |  SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders GROUP BY o_orderpriority)
+          |SELECT p, 'stack' AS fam, metric AS k, val AS v
+          |  FROM base LATERAL VIEW stack(2, 'n', n, 'cents', cents) AS metric, val
+          |UNION ALL
+          |SELECT p, 'seq' AS fam, CAST(pos AS STRING) AS k, v
+          |  FROM base LATERAL VIEW posexplode(sequence(n % 3 + 1, n % 3 + 3)) AS pos, v
+          |UNION ALL
+          |SELECT p, 'outer' AS fam, k, v
+          |  FROM base LATERAL VIEW OUTER inline(
+          |    CASE WHEN n < 0 THEN array(named_struct('k', 'x', 'v', CAST(0 AS BIGINT)))
+          |         ELSE array() END) AS k, v
+          |ORDER BY p, fam, k, v""".stripMargin)
+    },
+
+    // B138: scalable surrogate keys — global dense row numbers WITHOUT the
+    // single-partition sort that `row_number() OVER (ORDER BY …)` would plan
+    // (the classic 100 TB faceplant: every row through one task). See
+    // Relational.globalRowNumber: one range shuffle + local sort + a
+    // numPartitions-row offset table broadcast back.
+    "q_surrogate_keys" -> { (s, d) =>
+      graft.operators.Relational
+        .globalRowNumber(Tables.orders(s, d).select(col("o_orderkey")),
+          col("o_orderkey"), 16, "sk")
+        .select(col("o_orderkey"), col("sk"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // B139: snapshot diff (CDC) — classify every key as insert/update/delete/
+    // unchanged between two table versions via ONE full-outer join on the key
+    // with md5 row-fingerprint comparison (no column-by-column CASE ladder; at
+    // 100 TB the fingerprint collapses change detection to one string compare).
+    // The "new" snapshot is derived deterministically from orders: keys %13==0
+    // deleted, %7==0 repriced (+100000 cents), %17==0 cloned to a new key space
+    // (inserts). Output: per-change-type row counts and cents movement.
+    "q_snapshot_diff" -> { (s, d) =>
+      val cents = expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+      val old = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"), cents.as("cents"))
+      val survivors = old.filter(col("k") % 13 =!= 0)
+      val updated = survivors.withColumn("cents",
+        when(col("k") % 7 === 0, col("cents") + 100000L).otherwise(col("cents")))
+      val inserts = survivors.filter(col("k") % 17 === 0)
+        .select((col("k") + 1000000000L).as("k"), col("st"), (col("cents") + 1L).as("cents"))
+      val newSnap = updated.unionAll(inserts)
+      val fp = (t: String) => md5(concat_ws("|", col(s"$t.st"), col(s"$t.cents")))
+      old.as("a").join(newSnap.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .withColumn("change",
+          when(col("a.k").isNull, "insert")
+            .when(col("b.k").isNull, "delete")
+            .when(fp("a") =!= fp("b"), "update")
+            .otherwise("unchanged"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("a.cents"), lit(0L))).as("cents_before"),
+          sum(coalesce(col("b.cents"), lit(0L))).as("cents_after"))
+        .orderBy(col("change"))
+    },
+
+    // B141: audited approximate quantiles — approx_percentile is Greenwald-
+    // Khanna: its rank error is a DETERMINISTIC worst-case bound (≤ n/accuracy,
+    // merge-order independent), unlike a probabilistic sketch. The sketch VALUE
+    // is engine-internal, so the contract emits the exact interpolated
+    // percentiles (cross-engine comparable) plus a rank-audit boolean the
+    // oracle pins TRUE: rank(approx_p_q) must lie in [(q−ε)n − 1, (q+ε)n + 1].
+    // The audit join is against a 5-row broadcast — metadata, not a rescan.
+    "q_approx_quantiles" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val ap = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(value, array(0.5, 0.9), 100)").as("ap"),
+        expr("round(percentile(value, 0.5), 4)").as("p50_exact"),
+        expr("round(percentile(value, 0.9), 4)").as("p90_exact"))
+      val audit = ev.join(broadcast(ap.select(col("event_type"), col("ap"))), "event_type")
+        .groupBy(col("event_type")).agg(
+          sum(when(col("value") <= element_at(col("ap"), 1), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= element_at(col("ap"), 2), 1L).otherwise(0L)).as("r90"))
+      def ok(r: Column, q: Double) =
+        abs(r - lit(q) * col("n")) <= lit(0.01) * col("n") + lit(1.0)
+      ap.join(audit, "event_type")
+        .select(col("event_type"), col("n"), col("p50_exact"), col("p90_exact"),
+          ok(col("r50"), 0.5).as("ok50"), ok(col("r90"), 0.9).as("ok90"))
+        .orderBy(col("event_type"))
+    },
+
+    // B143: period-over-period — monthly revenue with month-over-month delta
+    // and year-over-year ratio in integer basis points (DECIMAL-widened like
+    // B97, so the arithmetic survives SF 1000). The lag window runs over the
+    // ~96-row post-aggregate series, never the fact table: at 100 TB the fact
+    // reduces first, the analytic reads the reduction.
+    "q_period_over_period" -> { (s, d) =>
+      val monthly = Tables.orders(s, d)
+        .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("y"),
+          expr("CAST(month(o_orderdate) AS BIGINT)").as("m"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+      val w = Window.orderBy(col("y"), col("m"))
+      monthly
+        .withColumn("mom_delta", col("cents") - lag(col("cents"), 1).over(w))
+        .withColumn("yoy_bp",
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * 10000 div lag(cents, 12) OVER (ORDER BY y, m) AS BIGINT)"))
+        .orderBy(col("y"), col("m"))
     }
   )
+
+  /** B134's shared verbatim SQL — parses and runs identically on Spark and DuckDB. */
+  val GroupAllText: String =
+    """SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
 
   /** Shared verbatim SQL for q_sql_window: top-3 orders per customer with a
     * running revenue sum — the same text parses and runs on Spark and DuckDB. */
@@ -2688,6 +2853,101 @@ object StarQueries {
         |  CAST(sum(CASE WHEN o_orderkey % 5 IN (1, 3)
         |    THEN 2 * CAST(floor(o_totalprice * 100) AS BIGINT)
         |    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents
-        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B134: the SAME text Spark ran — GROUP BY ALL / ORDER BY ALL are shared
+    // Spark 4 / DuckDB dialect.
+    "q_sql_groupall" -> GroupAllText,
+
+    // B135: the IDENTIFIER/parameter query with every dynamic name resolved.
+    "q_sql_identifier" ->
+      """SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_totalprice > 50000
+        |GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
+
+    // B136: DuckDB's range() table function is end-exclusive like Spark's.
+    "q_sql_tvf" ->
+      """SELECT t.y, CAST(count(o.o_orderkey) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        |FROM range(1994, 2003) t(y)
+        |LEFT JOIN orders o ON year(o.o_orderdate) = t.y
+        |GROUP BY t.y ORDER BY y""".stripMargin,
+
+    // B137: stack → UNION ALL; posexplode(sequence) → lateral generate_series
+    // with position reconstructed as value − start; LATERAL VIEW OUTER over an
+    // empty array → one literal NULL row per parent.
+    "q_generators" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT p, 'stack' AS fam, 'n' AS k, n AS v FROM base
+        |UNION ALL
+        |SELECT p, 'stack' AS fam, 'cents' AS k, cents AS v FROM base
+        |UNION ALL
+        |SELECT p, 'seq' AS fam, CAST(v - start AS VARCHAR) AS k, CAST(v AS BIGINT) AS v
+        |FROM (SELECT p, n % 3 + 1 AS start,
+        |        unnest(generate_series(n % 3 + 1, n % 3 + 3)) AS v
+        |      FROM base)
+        |UNION ALL
+        |SELECT p, 'outer' AS fam, CAST(NULL AS VARCHAR) AS k, CAST(NULL AS BIGINT) AS v
+        |FROM base
+        |ORDER BY p, fam, k, v""".stripMargin,
+
+    // B138: the single-partition window IS the oracle's job (DuckDB local);
+    // the engine side must produce the identical ranks distributively.
+    "q_surrogate_keys" ->
+      """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS sk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // B139: same deterministic snapshot derivation + full-outer diff.
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |surv AS (SELECT * FROM old WHERE k % 13 <> 0),
+        |newsnap AS (
+        |  SELECT k, st, CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+        |  FROM surv
+        |  UNION ALL
+        |  SELECT k + 1000000000, st, cents + 1 FROM surv WHERE k % 17 = 0),
+        |j AS (
+        |  SELECT a.cents AS ac, b.cents AS bc,
+        |    CASE WHEN a.k IS NULL THEN 'insert'
+        |         WHEN b.k IS NULL THEN 'delete'
+        |         WHEN md5(a.st || '|' || CAST(a.cents AS VARCHAR))
+        |           <> md5(b.st || '|' || CAST(b.cents AS VARCHAR)) THEN 'update'
+        |         ELSE 'unchanged' END AS change
+        |  FROM old a FULL OUTER JOIN newsnap b ON a.k = b.k)
+        |SELECT change, count(*) AS n,
+        |  CAST(sum(coalesce(ac, 0)) AS BIGINT) AS cents_before,
+        |  CAST(sum(coalesce(bc, 0)) AS BIGINT) AS cents_after
+        |FROM j GROUP BY change ORDER BY change""".stripMargin,
+
+    // B141: exact interpolated percentiles (quantile_cont ≡ Spark percentile);
+    // the rank-audit booleans are pinned TRUE — Greenwald-Khanna's error bound
+    // is a deterministic worst-case guarantee, not a probabilistic one.
+    "q_approx_quantiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 4) AS p90_exact,
+        |  true AS ok50, true AS ok90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // B143: // is DuckDB's floor division — both operands positive, so it
+    // agrees with Spark's truncating `div`; HUGEINT cast mirrors Spark's
+    // DECIMAL(38,0) widening.
+    "q_period_over_period" ->
+      """WITH mm AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, cents,
+        |  cents - lag(cents, 1) OVER (ORDER BY y, m) AS mom_delta,
+        |  CAST(CAST(cents AS HUGEINT) * 10000 // lag(cents, 12) OVER (ORDER BY y, m)
+        |    AS BIGINT) AS yoy_bp
+        |FROM mm ORDER BY y, m""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, Dedup, Relational}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -587,6 +587,25 @@ object TextQueries {
         .select(explode(col("est")).as("kv"))
         .select(col("kv.item").as("word"), col("kv.count").as("n"))
         .orderBy(col("n").desc, col("word")).limit(10)
+    },
+
+    // B140: deterministic weight-biased sampling — per-language top-5 documents
+    // by priority = (md5-derived uniform % 1000003) × n_chars, the integer-exact
+    // variant of A-Res weighted reservoir sampling (the float u^(1/w) key is
+    // cross-engine fragile; the integer product keeps the same weight-biased
+    // selection EXACT on both engines). No RNG state, no driver pass: rank rows
+    // within each group by the hash-derived priority — growth-stable (adding
+    // documents never changes an existing doc's priority) and reproducible.
+    // Bound: hash % 1000003 < 2^20 and n_chars < 2^31 keep the product far from
+    // Int64 overflow at any SF.
+    "q_sample_weighted" -> { (s, d) =>
+      val pri = (TextOps.md5Long(concat(lit("wsample:"), col("doc_id").cast("string")))
+        % 1000003L) * col("n_chars")
+      Relational.topKPerGroup(
+        Tables.documents(s, d).withColumn("priority", pri),
+        Seq("lang"), Seq(col("priority").desc, col("doc_id")), 5, "rank")
+        .select(col("lang"), col("rank"), col("doc_id"), col("priority"))
+        .orderBy(col("lang"), col("rank"))
     }
   )
 
@@ -695,6 +714,21 @@ object TextQueries {
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // B140: identical integer priority on both engines (md5-60bit % 1000003 ×
+    // n_chars), so the sampled membership itself is hash-verified.
+    "q_sample_weighted" ->
+      """WITH pri AS (
+        |  SELECT lang, doc_id,
+        |    (CAST(concat('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) % 1000003) * n_chars AS priority
+        |  FROM documents),
+        |rk AS (
+        |  SELECT lang, doc_id, priority,
+        |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rank
+        |  FROM pri)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, priority
+        |FROM rk WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
     "q_text_wordcount" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -280,4 +280,33 @@ class RelationalSpec extends GraftSuite {
       assert(pairsOf(naive, "aid", "bid").size > 500, "vacuous fixture")
     }
   }
+
+  test("globalRowNumber equals the global window rank without a one-partition sort") {
+    import spark.implicits._
+    // Skewed, shuffled, non-contiguous keys — including duplicates of none
+    // (unique key contract) and a value column that must survive untouched.
+    val df = spark.range(0, 5000).select(
+      ((col("id") * 2654435761L) % 100000L).as("key"), col("id").as("payload"))
+      .distinct()
+    val got = Relational.globalRowNumber(df, col("key"), 8, "sk")
+    // 1. sk is exactly the global dense rank by key.
+    val check = got.withColumn("want",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("key"))).cast("long"))
+    assert(check.filter(col("sk") =!= col("want")).count() == 0)
+    // 2. payload column untouched, no rows lost.
+    assert(got.count() == df.count())
+    assert(got.columns.toSet == Set("key", "payload", "sk"))
+    // 3. Plan shape: the big data range-partitions; the ONLY Window allowed is
+    // the numPartitions-row offsets prefix sum — no Window node may see the
+    // big-data lineage (the payload column), which is what the naive
+    // `row_number() OVER (ORDER BY key)` one-partition formulation would do.
+    got.count() // finalize the adaptive plan before inspecting it
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range partition in:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(l => !l.contains("payload")),
+      s"a Window node sees the big-data lineage:\n$plan")
+  }
 }
