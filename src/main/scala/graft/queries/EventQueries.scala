@@ -549,6 +549,117 @@ object EventQueries {
         .groupBy(col("event_type"), col("end_day"))
         .agg(countDistinct(col("user_id")).as("u7"))
         .orderBy(col("event_type"), col("end_day"))
+    },
+
+    // B144: sequence-pattern matching (MATCH_RECOGNIZE-lite) — each user's
+    // event stream becomes one character string (first letter per type, all
+    // five types distinct: c/e/p/s/v) in (ts, event_id) total order, then
+    // regex analytics run per user: adjacent view→click pairs and
+    // view-…-purchase funnels as NON-OVERLAPPING leftmost matches (the
+    // semantics Java regex and DuckDB's RE2 agree on for alternation-free
+    // patterns). The per-user string is bounded by the per-user event count —
+    // the grouping collapses BEFORE the regex, so the pattern pass is one
+    // codegen'd projection over 150 rows, not a window over the fact table.
+    "q_event_regex" -> { (s, d) =>
+      val seqStr = array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c")), "")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(seqStr.as("seq"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          md5(col("seq")).as("seq_md5"),
+          regexp_count(col("seq"), lit("vc")).cast("long").as("n_view_click"),
+          regexp_count(col("seq"), lit("v[^vp]*p")).cast("long").as("n_funnel"))
+        .orderBy(col("user_id"))
+    },
+
+    // B145: sliding-window distinct via MERGEABLE sketches — B142's exact
+    // answer needs the presence set under every window; at billions of users
+    // the persistable artifact is one HLL sketch per (type, day), and a 7-day
+    // window is a UNION of 7 sketches (never a rescan). Same exact-mode gate
+    // as B96: while every daily sketch and the 7-way union stay under the
+    // lgK=12 coupon-promotion point (exact ≤ 256), estimate ≡ exact and the
+    // contract boolean is a certainty; past it the check auto-passes and the
+    // exact count (computed the B142 way for the oracle) carries the hash.
+    "q_window_distinct_hll" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val grid = ev.select(col("event_type"), col("day").as("end_day")).distinct()
+      val merged = daily
+        .withColumn("end_day", explode(sequence(col("day"), col("day") + 6)))
+        .join(grid, Seq("event_type", "end_day"), "left_semi")
+        .groupBy(col("event_type"), col("end_day"))
+        .agg(count(lit(1)).as("n_days_merged"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+      val exact = ev.distinct()
+        .withColumn("end_day", explode(sequence(col("day"), col("day") + 6)))
+        .join(grid, Seq("event_type", "end_day"), "left_semi")
+        .groupBy(col("event_type"), col("end_day"))
+        .agg(countDistinct(col("user_id")).as("exact_u7"))
+      merged.join(exact, Seq("event_type", "end_day"))
+        .select(col("event_type"), col("end_day"), col("exact_u7"), col("n_days_merged"),
+          (col("exact_u7") > 256L || col("approx") === col("exact_u7")).as("sketch_ok"))
+        .orderBy(col("event_type"), col("end_day"))
+    },
+
+    // B147: crypto-shredding (GDPR right-to-be-forgotten at 100 TB) — every
+    // user's payload is AES-encrypted under a per-user key derived up front;
+    // "forgetting" a user deletes ONE key row, never rewrites the fact table.
+    // The query drives the full round trip: encrypt under the owner key, then
+    // decrypt via the RETAINED key table (users %10==0 shredded) — missing key
+    // ⇒ try_aes_decrypt yields NULL ⇒ the row is cryptographically gone. The
+    // oracle knows only the membership rule, so equality proves both recovery
+    // completeness (retained rows decrypt to the original cents) and shred
+    // completeness (no shredded row leaks a value).
+    "q_crypto_shred" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val keys = ev.select(col("user_id")).distinct()
+        .withColumn("ukey", substring(md5(concat(lit("key:"), col("user_id"))), 1, 16))
+      val retained = keys.filter(col("user_id") % 10 =!= 0)
+        .withColumnRenamed("ukey", "rkey")
+      ev.join(broadcast(keys), "user_id")
+        .withColumn("ct", expr("aes_encrypt(CAST(cents AS STRING), ukey, 'ECB')"))
+        .drop("ukey", "cents")
+        .join(broadcast(retained), Seq("user_id"), "left")
+        .withColumn("pt", expr("CAST(try_aes_decrypt(ct, rkey, 'ECB') AS STRING)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("pt")).as("n_recovered"),
+          sum(col("pt").cast("long")).as("recovered_cents"))
+        .orderBy(col("event_type"))
+    },
+
+    // B148: incremental join-view maintenance — the materialized join aggregate
+    // absorbs a delta batch as Δfact ⋈ dim re-aggregated into the snapshot
+    // (outer-union + re-sum), never re-scanning the historical fact. Here the
+    // "historical" snapshot is orders %10≠0, the arriving delta %10==0; the
+    // output is the maintained per-nation cents, which the oracle checks
+    // against a from-scratch recompute — maintenance must be exact, not close.
+    "q_incremental_join" -> { (s, d) =>
+      val cents = expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")))
+      val orders = Tables.orders(s, d)
+      val hist = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val delta = orders.filter(col("o_orderkey") % 10 === 0)
+      def perNation(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("cents", cents)
+          .join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      perNation(hist).unionByName(perNation(delta))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+        .select(col("c_nationkey").cast("long").as("nationkey"), col("cents"), col("n"))
+        .orderBy(col("nationkey"))
     }
   )
 
@@ -564,6 +675,60 @@ object EventQueries {
        |   GROUP BY e.dst) i ON r.node = i.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // B144: ordered string_agg rebuilds the identical per-user sequence;
+    // regexp_extract_all length == non-overlapping leftmost match count.
+    "q_event_regex" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, md5(seq) AS seq_md5,
+        |  CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT) AS n_view_click,
+        |  CAST(len(regexp_extract_all(seq, 'v[^vp]*p')) AS BIGINT) AS n_funnel
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // B145: exact twin of the sketch-merge plan; sketch_ok is pinned TRUE by
+    // the exact-mode gate (see the query comment).
+    "q_window_distinct_hll" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |grid AS (SELECT DISTINCT event_type, day AS end_day FROM ud),
+        |dd AS (SELECT DISTINCT event_type, day FROM ud),
+        |ex AS (
+        |  SELECT u.event_type, g.end_day, count(DISTINCT u.user_id) AS exact_u7
+        |  FROM ud u JOIN grid g ON g.event_type = u.event_type
+        |    AND u.day BETWEEN g.end_day - 6 AND g.end_day
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d.event_type, g.end_day, count(*) AS n_days_merged
+        |  FROM dd d JOIN grid g ON g.event_type = d.event_type
+        |    AND d.day BETWEEN g.end_day - 6 AND g.end_day
+        |  GROUP BY 1, 2)
+        |SELECT ex.event_type, ex.end_day, ex.exact_u7, nd.n_days_merged,
+        |  true AS sketch_ok
+        |FROM ex JOIN nd ON nd.event_type = ex.event_type AND nd.end_day = ex.end_day
+        |ORDER BY 1, 2""".stripMargin,
+
+    // B147: the oracle knows only the retention rule — matching counts and
+    // sums prove the engine's encrypt→shred→decrypt loop is lossless for
+    // retained users and total for shredded ones.
+    "q_crypto_shred" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  CAST(count_if(user_id % 10 <> 0) AS BIGINT) AS n_recovered,
+        |  CAST(sum(CASE WHEN user_id % 10 <> 0
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS recovered_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // B148: from-scratch recompute — incremental maintenance must equal it.
+    "q_incremental_join" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  count(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // B142: the range-join formulation — same trailing-7-day semantics as the
     // engine's bounded-explode plan, both over the deduped presence set.
     "q_window_distinct" ->

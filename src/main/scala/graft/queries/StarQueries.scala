@@ -1845,6 +1845,59 @@ object StarQueries {
         .withColumn("yoy_bp",
           expr("CAST(CAST(cents AS DECIMAL(38,0)) * 10000 div lag(cents, 12) OVER (ORDER BY y, m) AS BIGINT)"))
         .orderBy(col("y"), col("m"))
+    },
+
+    // B146: declarative data-quality expectations (the dbt-test/Deequ shape) —
+    // not-null, uniqueness, accepted-values, and range constraints evaluated in
+    // ONE map-side-combinable aggregate pass over the fact (stack unpivots the
+    // result to a per-constraint report), plus a referential-integrity check as
+    // a broadcast anti-join. One scan + one tiny join for the whole battery —
+    // never a scan per constraint.
+    "q_dq_expectations" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val scalar = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("uq"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("av"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("rg"))
+        .selectExpr(
+          """stack(4,
+            | 'not_null:o_custkey', nn,
+            | 'unique:o_orderkey', uq,
+            | 'accepted_values:o_orderstatus', av,
+            | 'range:o_totalprice_positive', rg) AS (check_name, violations)""".stripMargin)
+      val ri = o.join(
+          broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("ri:o_custkey->customer").as("check_name"), col("violations"))
+      scalar.unionByName(ri)
+        .withColumn("ok", col("violations") === 0L)
+        .orderBy(col("check_name"))
+    },
+
+    // B149: chi-square test of independence (status × priority) — the
+    // categorical complement to B85's t-test. Observed cell counts are one
+    // hash aggregate; expected counts come from row/column marginals via two
+    // tiny broadcast joins of the 15-cell contingency table with itself — the
+    // fact is scanned ONCE. chi² sums 15 double terms; round(…,4) absorbs
+    // order drift.
+    "q_stats_chisq" -> { (s, d) =>
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("obs"))
+      val rowTot = cells.groupBy(col("st")).agg(sum(col("obs")).as("rt"))
+      val colTot = cells.groupBy(col("pr")).agg(sum(col("obs")).as("ct"))
+      val grand = cells.agg(sum(col("obs")).as("n"))
+      cells.join(broadcast(rowTot), "st").join(broadcast(colTot), "pr")
+        .crossJoin(broadcast(grand))
+        .withColumn("exp", col("rt") * col("ct") / col("n"))
+        .withColumn("term", pow(col("obs") - col("exp"), 2) / col("exp"))
+        .agg(
+          first(col("n")).as("n"),
+          ((countDistinct(col("st")) - 1) * (countDistinct(col("pr")) - 1)).as("dof"),
+          r4(sum(col("term"))).as("chi2"))
+        .select(col("n"), col("dof"), col("chi2"))
     }
   )
 
@@ -2934,6 +2987,47 @@ object StarQueries {
         |  round(quantile_cont(value, 0.9), 4) AS p90_exact,
         |  true AS ok50, true AS ok90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // B146: each expectation as its own scalar SQL — the one-pass engine-side
+    // battery must agree constraint by constraint.
+    "q_dq_expectations" ->
+      """WITH checks AS (
+        |  SELECT 'not_null:o_custkey' AS check_name,
+        |    CAST(count_if(o_custkey IS NULL) AS BIGINT) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values:o_orderstatus',
+        |    CAST(count_if(o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'range:o_totalprice_positive',
+        |    CAST(count_if(o_totalprice <= 0) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'ri:o_custkey->customer',
+        |    CAST((SELECT count(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
+        |SELECT check_name, violations, violations = 0 AS ok
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    // B149: same marginal-product expected counts; integer marginals keep
+    // exp exact before the one double division, round absorbs sum order.
+    "q_stats_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT st, sum(obs) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT pr, sum(obs) AS ct FROM cells GROUP BY 1),
+        |g AS (SELECT sum(obs) AS n FROM cells)
+        |SELECT CAST(g.n AS BIGINT) AS n,
+        |  CAST((SELECT count(DISTINCT st) - 1 FROM cells)
+        |     * (SELECT count(DISTINCT pr) - 1 FROM cells) AS BIGINT) AS dof,
+        |  round(sum(pow(cells.obs - (rt.rt * ct.ct / g.n), 2)
+        |    / (rt.rt * ct.ct / g.n)), 4) AS chi2
+        |FROM cells
+        |JOIN rt USING (st) JOIN ct USING (pr) CROSS JOIN g
+        |GROUP BY g.n""".stripMargin,
 
     // B143: // is DuckDB's floor division — both operands positive, so it
     // agrees with Spark's truncating `div`; HUGEINT cast mirrors Spark's
