@@ -23,7 +23,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{AlwaysTrue, And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith, TableScan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.rdd.RDD
 
@@ -58,8 +58,10 @@ import graft.SerializableHadoopConf
  *
  * Scan path: partition pruning happens against the MANIFEST (pushed partition
  * filters drop entries before any file IO — at 100 TB this is the difference
- * between listing 3 directories and 30 000) and column pruning is pushed into
- * the parquet read. Read execution rides the public V1Scan bridge
+ * between listing 3 directories and 30 000), per-file min/max statistics
+ * collected at write time prune individual FILES a data predicate provably
+ * excludes ([[GraftFileStats]] — Delta-style data skipping), and column
+ * pruning is pushed into the parquet read. Read execution rides the public V1Scan bridge
  * (`BaseRelation`), reusing Spark's battle-tested parquet IO; residual row
  * filters are re-applied by Spark above the scan. The WRITE path is native V2
  * ([[GraftWrite]]): Spark clusters rows by partition key, tasks stream through
@@ -175,7 +177,8 @@ class GraftCatalog extends TableCatalog {
   * file); `txns` records (queryId:epochId) streaming commits already visible,
   * so a replayed micro-batch after restart is recognized and skipped. */
 case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
-    entries: Seq[(String, String)], txns: Set[String] = Set.empty) {
+    entries: Seq[(String, String)], txns: Set[String] = Set.empty,
+    fileStats: Map[String, String] = Map.empty) {
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
 }
@@ -199,18 +202,21 @@ object GraftManifest {
     var parts: Seq[String] = Seq.empty
     val entries = ArrayBuffer.empty[(String, String)]
     val txns = ArrayBuffer.empty[String]
+    val stats = scala.collection.mutable.Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
         case ("schema", ddl) => schema = StructType.fromDDL(ddl)
         case ("parts", cs)   => parts = if (cs.isEmpty) Seq.empty else cs.split(",").toSeq
         case ("entry", e)    =>
+          // 2-field lines are pre-stats vintage manifests — still readable.
           val t = e.split("\t", -1); entries += ((t(0), t(1)))
+          if (t.length > 2 && t(2).nonEmpty) stats(t(1)) = t(2)
         case ("txn", t)      => txns += t
         case _ => // gen=… line is informational
       }
     }
-    GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet)
+    GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -221,7 +227,12 @@ object GraftManifest {
     body ++= s"gen=${m.gen}\n"
     body ++= s"schema=${m.schema.toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
-    m.entries.foreach { case (p, d) => body ++= s"entry=$p\t$d\n" }
+    m.entries.foreach { case (p, d) =>
+      m.fileStats.get(d) match {
+        case Some(st) => body ++= s"entry=$p\t$d\t$st\n"
+        case None     => body ++= s"entry=$p\t$d\n"
+      }
+    }
     m.txns.foreach(t => body ++= s"txn=$t\n")
     val mf = new Path(dir, s"manifest-${m.gen}.txt")
     val out = fs.create(mf, true)
@@ -302,9 +313,14 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = partFilters
 
   override def build(): Scan = {
-    val kept = manifest.entries.filter { case (partPath, _) =>
+    // Two manifest-side pruning layers, both before ANY file IO: partition
+    // filters drop whole partitions; file min/max stats drop individual files
+    // a data predicate provably excludes (Delta-style data skipping).
+    val kept = manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
-      partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema))
+      partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
+        GraftFileStats.mayMatch(manifest.fileStats.get(rel), dataFilters,
+          manifest.dataSchema)
     }
     new GraftScan(dir, manifest, kept, required, dataFilters)
   }
@@ -516,7 +532,10 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
     if (cur.txns.contains(key)) return // replayed epoch — already visible
     val fresh = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
     GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1,
-      entries = cur.entries ++ fresh, txns = cur.txns + key), c)
+      entries = cur.entries ++ fresh.map { case (p, r, _) => (p, r) },
+      txns = cur.txns + key,
+      fileStats = cur.fileStats ++
+        fresh.collect { case (_, r, st) if st.nonEmpty => r -> st }), c)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -525,8 +544,164 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
   }
 }
 
-case class GraftFilesMessage(files: Seq[(String, String)], rows: Long)
+/** files: (partitionPath, relFilePath, statsString — "" when none). */
+case class GraftFilesMessage(files: Seq[(String, String, String)], rows: Long)
   extends WriterCommitMessage
+
+/**
+ * Per-file column statistics: the manifest-side data-skipping core (the
+ * Delta/Iceberg "file stats" idea). Writers collect min/max/nullCount per
+ * stats-eligible data column while streaming rows out; the scan evaluates
+ * pushed data filters against each file's stats and drops files a predicate
+ * PROVABLY excludes — before any file IO. At 100 TB this is the difference
+ * between opening every file in a partition and opening the 2 whose key range
+ * overlaps the predicate.
+ *
+ * Wire format (one string per file, tab-free/newline-free by URL-encoding):
+ * `col:nullCount:enc(min):enc(max)` joined by `;`; a 2-field `col:nullCount`
+ * arity means every value was null. Strings compare with Java String order on
+ * BOTH the collect and prune side — internally consistent, which is all
+ * pruning soundness needs. Only Int/Long/Short/Float/Double/String columns
+ * carry stats; anything else simply never prunes.
+ */
+object GraftFileStats {
+  import java.net.{URLDecoder, URLEncoder}
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+
+  def eligible(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
+  /** col -> (nullCount, min, max); None min/max = all-null column. */
+  def parse(stats: String): Map[String, (Long, Option[String], Option[String])] =
+    stats.split(";").filter(_.nonEmpty).flatMap { part =>
+      part.split(":", -1) match {
+        case Array(n, nulls)         => Some(dec(n) -> (nulls.toLong, None, None))
+        case Array(n, nulls, mn, mx) => Some(dec(n) -> (nulls.toLong, Some(dec(mn)), Some(dec(mx))))
+        case _                       => None
+      }
+    }.toMap
+
+  def encodeCol(name: String, nulls: Long, mn: Option[String], mx: Option[String]): String =
+    mn match {
+      case Some(m) => s"${enc(name)}:$nulls:${enc(m)}:${enc(mx.get)}"
+      case None    => s"${enc(name)}:$nulls"
+    }
+
+  /** Stats-string comparison under the column's type order; None = incomparable. */
+  private def cmp(dt: DataType, a: String, b: Any): Option[Int] =
+    if (b == null) None
+    else dt match {
+      case StringType => Some(a.compareTo(b.toString))
+      case IntegerType | LongType | ShortType | DoubleType | FloatType =>
+        try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b.toString)))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** true ⇒ the file may contain matching rows (keep); false ⇒ provably not. */
+  def mayMatch(statsStr: Option[String], filters: Array[Filter],
+               dataSchema: StructType): Boolean = {
+    if (statsStr.isEmpty || filters.isEmpty) return true
+    val st = parse(statsStr.get)
+    def dt(a: String): Option[DataType] =
+      dataSchema.fields.find(_.name == a).map(_.dataType)
+    // min/max bounds for column a, None when untracked.
+    def bounds(a: String): Option[(Long, Option[String], Option[String])] = st.get(a)
+    def outside(a: String, v: Any): Boolean = bounds(a) match {
+      case Some((_, None, None)) => v != null // all-null column never equals a value
+      case Some((_, Some(mn), Some(mx))) =>
+        dt(a).exists(t =>
+          cmp(t, mn, v).exists(_ > 0) || cmp(t, mx, v).exists(_ < 0))
+      case _ => false
+    }
+    def provablyEmpty(f: Filter): Boolean = f match {
+      case EqualTo(a, v)                    => outside(a, v)
+      case EqualNullSafe(a, v) if v != null => outside(a, v)
+      case GreaterThan(a, v) => bounds(a) match {
+        case Some((_, _, Some(mx))) => dt(a).exists(t => cmp(t, mx, v).exists(_ <= 0))
+        case Some((_, None, None))  => true // all null
+        case _ => false
+      }
+      case GreaterThanOrEqual(a, v) => bounds(a) match {
+        case Some((_, _, Some(mx))) => dt(a).exists(t => cmp(t, mx, v).exists(_ < 0))
+        case Some((_, None, None))  => true
+        case _ => false
+      }
+      case LessThan(a, v) => bounds(a) match {
+        case Some((_, Some(mn), _)) => dt(a).exists(t => cmp(t, mn, v).exists(_ >= 0))
+        case Some((_, None, None))  => true
+        case _ => false
+      }
+      case LessThanOrEqual(a, v) => bounds(a) match {
+        case Some((_, Some(mn), _)) => dt(a).exists(t => cmp(t, mn, v).exists(_ > 0))
+        case Some((_, None, None))  => true
+        case _ => false
+      }
+      case In(a, vs)    => vs.nonEmpty && vs.forall(v => v == null || outside(a, v))
+      case IsNull(a)    => bounds(a).exists(_._1 == 0L)
+      case IsNotNull(a) => bounds(a).exists(b => b._2.isEmpty && b._3.isEmpty)
+      // A string starting with prefix p sorts within [p, p∞): the file range
+      // excludes every such string iff max < p or min's p-length prefix > p.
+      case StringStartsWith(a, p) if p != null => bounds(a) match {
+        case Some((_, Some(mn), Some(mx))) =>
+          mx.compareTo(p) < 0 || mn.take(p.length).compareTo(p) > 0
+        case Some((_, None, None)) => true
+        case _ => false
+      }
+      case And(l, r)    => provablyEmpty(l) || provablyEmpty(r)
+      case Or(l, r)     => provablyEmpty(l) && provablyEmpty(r)
+      case _            => false
+    }
+    !filters.exists(provablyEmpty)
+  }
+}
+
+/** Streams per-file min/max/nullCount while rows are written (no second pass). */
+class GraftStatsCollector(dataSchema: StructType) {
+  private val cols = dataSchema.fields.zipWithIndex
+    .filter { case (f, _) => GraftFileStats.eligible(f.dataType) }
+  private val nulls = Array.fill[Long](cols.length)(0L)
+  private val mins = Array.fill[String](cols.length)(null)
+  private val maxs = Array.fill[String](cols.length)(null)
+
+  def update(row: InternalRow): Unit = {
+    var k = 0
+    while (k < cols.length) {
+      val (f, i) = cols(k)
+      if (row.isNullAt(i)) nulls(k) += 1
+      else {
+        // Materialize once; numeric strings compare via BigDecimal at prune
+        // time, strings via Java order on both sides (consistent = sound).
+        val v = f.dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case IntegerType => row.getInt(i).toString
+          case LongType => row.getLong(i).toString
+          case ShortType => row.getShort(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case FloatType => row.getFloat(i).toString
+          case _ => null
+        }
+        if (v != null) {
+          def lt(a: String, b: String): Boolean = f.dataType match {
+            case StringType => a.compareTo(b) < 0
+            case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+          }
+          if (mins(k) == null || lt(v, mins(k))) mins(k) = v
+          if (maxs(k) == null || lt(maxs(k), v)) maxs(k) = v
+        }
+      }
+      k += 1
+    }
+  }
+
+  def encode: String = cols.indices.map { k =>
+    GraftFileStats.encodeCol(cols(k)._1.name, nulls(k),
+      Option(mins(k)), Option(maxs(k)))
+  }.mkString(";")
+}
 
 class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     mode: String, staticFilters: Array[Filter], gen: Long,
@@ -538,8 +713,10 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
       new Path(dir, genRel).toString, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.flatMap { case GraftFilesMessage(fs, _) => fs }
-      .map { case (partPath, rel) => (partPath, rel) }.toSeq
+    val freshAll = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
+    val fresh = freshAll.map { case (partPath, rel, _) => (partPath, rel) }
+    val freshStats =
+      freshAll.collect { case (_, rel, st) if st.nonEmpty => rel -> st }.toMap
     val entries = mode match {
       case "append"   => prev.entries ++ fresh
       case "truncate" => fresh
@@ -553,7 +730,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
           staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, prev.schema))
         } ++ fresh
     }
-    GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries), conf.value)
+    GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries,
+      fileStats = prev.fileStats ++ freshStats), conf.value)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -609,8 +787,8 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
         c
       }
-      private val writers =
-        scala.collection.mutable.LinkedHashMap.empty[String, (ParquetOutputWriter, String)]
+      private val writers = scala.collection.mutable.LinkedHashMap
+        .empty[String, (ParquetOutputWriter, String, GraftStatsCollector)]
       private var rows = 0L
 
       private def partPath(row: InternalRow): String =
@@ -623,31 +801,33 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
 
       override def write(row: InternalRow): Unit = {
         val pp = partPath(row)
-        val (w, _) = writers.getOrElseUpdate(pp, {
+        val (w, _, stats) = writers.getOrElseUpdate(pp, {
           val fileName = s"part-$partitionId-$taskId.parquet"
           val file = if (pp.isEmpty) s"$genDir/$fileName" else s"$genDir/$pp/$fileName"
           val ctx = new TaskAttemptContextImpl(taskConf,
             new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
               taskId.toInt))
-          (new ParquetOutputWriter(file, ctx), fileName)
+          (new ParquetOutputWriter(file, ctx), fileName, new GraftStatsCollector(dataSchema))
         })
-        w.write(project(row))
+        val projected = project(row)
+        w.write(projected)
+        stats.update(projected)
         rows += 1
       }
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())
         val genName = new Path(genDir).getName
-        GraftFilesMessage(writers.toSeq.map { case (pp, (_, fileName)) =>
+        GraftFilesMessage(writers.toSeq.map { case (pp, (_, fileName, stats)) =>
           val rel = if (pp.isEmpty) s"$genName/$fileName" else s"$genName/$pp/$fileName"
-          (pp, rel)
+          (pp, rel, stats.encode)
         }, rows)
       }
 
       override def abort(): Unit = {
         writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })
         val fs = new Path(genDir).getFileSystem(taskConf)
-        writers.foreach { case (pp, (_, fileName)) =>
+        writers.foreach { case (pp, (_, fileName, _)) =>
           val file = if (pp.isEmpty) new Path(genDir, fileName)
             else new Path(s"$genDir/$pp", fileName)
           fs.delete(file, false)

@@ -180,6 +180,40 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 300)
   }
 
+  test("file min/max stats skip files a data predicate provably excludes") {
+    import spark.implicits._
+    val t = freshTable("skipstats")
+    // Two commits with disjoint id ranges → two files whose manifest stats
+    // don't overlap (unpartitioned table: every filter is a data filter).
+    (0L until 100L).map(i => (i, s"lo$i")).toDF("id", "s")
+      .coalesce(1).writeTo(t).create()
+    (1000L until 1100L).map(i => (i, s"hi$i")).toDF("id", "s")
+      .coalesce(1).writeTo(t).append()
+    // The manifest carries stats for both files.
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(root, "skipstats")
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.entries.size == 2 && m.fileStats.size == 2,
+      s"expected 2 files with stats, got ${m.entries} / ${m.fileStats}")
+    // Vandalize the high-range file. A read whose predicate excludes it must
+    // succeed WITHOUT opening it; an unfiltered read must hit the corruption.
+    val fs = dir.getFileSystem(conf)
+    val hi = fs.globStatus(new Path(dir, "gen-2/*.parquet"))
+    assert(hi.nonEmpty)
+    hi.foreach { st =>
+      val out = fs.create(st.getPath, true)
+      try out.write("not parquet".getBytes) finally out.close()
+    }
+    assert(spark.table(t).filter(col("id") < 100).count() == 100)
+    assert(spark.table(t).filter(col("id") === 7L).count() == 1)
+    assert(spark.table(t).filter(col("s").startsWith("lo")).count() == 100)
+    intercept[Exception] { spark.table(t).count() }
+    // Skipping is sound, not just lucky: a predicate that DOES touch the
+    // vandalized range must try to read it and fail.
+    intercept[Exception] { spark.table(t).filter(col("id") >= 1000).count() }
+  }
+
   test("non-partition filters reach the inner parquet scan (row-group skipping)") {
     val t = freshTable("push")
     base.writeTo(t).partitionedBy(col("pk")).create()
