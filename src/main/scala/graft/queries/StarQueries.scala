@@ -1876,6 +1876,47 @@ object StarQueries {
         .orderBy(col("check_name"))
     },
 
+    // B150 query witness: four range-clustered commits land four files whose
+    // manifest min/max key ranges are disjoint; a key-range read then provably
+    // skips 3 of 4 files. files_skipped is computed with the LIBRARY's own
+    // stats evaluator (GraftFileStats.mayMatch) over the live manifest — the
+    // oracle pins it to the literal 3, so a regression that stops skipping
+    // (or skips wrongly) flips a hash-checked column, not just a plan detail.
+    // The maxKey collect is one row — metadata, not a data pass.
+    "q_catalog_skipping" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.sk")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val maxk = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val bw = maxk / 4 + 1
+      (0L until 4L).foreach { b =>
+        base.filter(col("o_orderkey") >= b * bw && col("o_orderkey") < (b + 1) * bw)
+          .coalesce(1).writeTo("graft.sk") match {
+            case w if b == 0 => w.create()
+            case w           => w.append()
+          }
+      }
+      val (lo, hi) = (bw, 2 * bw) // band 1
+      val agg = s.table("graft.sk")
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // Library-evaluator witness over the committed manifest.
+      import graft.sources.{GraftFileStats, GraftManifest}
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.catalog.graft.root"), "sk")
+      val conf = s.sessionState.newHadoopConf()
+      val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val filters: Array[org.apache.spark.sql.sources.Filter] =
+        Array(GreaterThanOrEqual("o_orderkey", lo), LessThan("o_orderkey", hi))
+      val skipped = m.entries.count { case (_, rel) =>
+        !GraftFileStats.mayMatch(m.fileStats.get(rel), filters, m.dataSchema) }
+      agg.select(col("n"), col("cents"),
+        lit(m.entries.size.toLong).as("files_total"),
+        lit(skipped.toLong).as("files_skipped"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3010,6 +3051,17 @@ object StarQueries {
         |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
         |SELECT check_name, violations, violations = 0 AS ok
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // B150: the oracle reproduces band 1 from parquet alone and pins the
+    // skip count: 4 single-file commits, 3 provably outside the predicate.
+    "q_catalog_skipping" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |b AS (SELECT mx // 4 + 1 AS bw FROM mk)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
+        |FROM orders, b
+        |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
 
     // B149: same marginal-product expected counts; integer marginals keep
     // exp exact before the one double division, round absorbs sum order.

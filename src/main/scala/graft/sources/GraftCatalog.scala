@@ -838,6 +838,52 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
 }
 
 object GraftCatalogOps {
+  /**
+   * VACUUM with retention: physically reclaim files unreferenced by the last
+   * `keepGens` manifests and drop the older manifests themselves (time travel
+   * past the horizon becomes unavailable — that is the contract of a vacuum).
+   *
+   * Safety order matters: a file written by gen-k can still be referenced by
+   * the CURRENT manifest (appends carry old entries forward), so liveness is
+   * decided by membership in any RETAINED manifest's entry list — never by
+   * the age of the gen- directory the file happens to sit in. Metadata-only
+   * driver work: entry-list set union + a listing walk, no data reads.
+   * Returns (filesDeleted, manifestsDeleted).
+   */
+  def vacuum(spark: SparkSession, root: String, table: String,
+             keepGens: Int = 1): (Long, Long) = {
+    require(keepGens >= 1, "must retain at least the current generation")
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val cur = GraftManifest.currentGen(dir, conf)
+    val horizon = math.max(0L, cur - keepGens + 1)
+    val live: Set[String] = (horizon to cur).flatMap { g =>
+      GraftManifest.load(dir, g, conf).entries.map(_._2)
+    }.toSet
+    var filesDeleted = 0L
+    fs.globStatus(new Path(dir, "gen-*")).foreach { genSt =>
+      val genName = genSt.getPath.getName
+      val it = fs.listFiles(genSt.getPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = genName + f.getPath.toString.stripPrefix(genSt.getPath.toString)
+        if (!live.contains(rel)) { fs.delete(f.getPath, false); filesDeleted += 1 }
+      }
+      // Drop directories emptied by the reclaim (best-effort; non-recursive
+      // delete refuses non-empty dirs, so a live file can never be lost here).
+      fs.listStatus(genSt.getPath).filter(_.isDirectory)
+        .foreach(d => try fs.delete(d.getPath, false) catch { case _: Exception => () })
+      try fs.delete(genSt.getPath, false) catch { case _: Exception => () }
+    }
+    var manifestsDeleted = 0L
+    (0L until horizon).foreach { g =>
+      val p = new Path(dir, s"manifest-$g.txt")
+      if (fs.exists(p)) { fs.delete(p, false); manifestsDeleted += 1 }
+    }
+    (filesDeleted, manifestsDeleted)
+  }
+
   /** Generation history of a table (DESCRIBE HISTORY analogue): one row per
     * committed manifest, driver-side metadata reads only — the row count is
     * the number of commits, never data-scale. */

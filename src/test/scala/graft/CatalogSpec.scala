@@ -180,6 +180,32 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 300)
   }
 
+  test("vacuum reclaims only unreferenced files; live snapshot stays readable") {
+    val t = freshTable("vac")
+    base.writeTo(t).partitionedBy(col("pk")).create()   // gen-1 files
+    base.writeTo(t).append()                            // gen-2 files (gen-1 still live)
+    // Dynamic overwrite of every partition: gen-1/gen-2 files all become dead.
+    base.writeTo(t).overwritePartitions()               // gen-3
+    val dir = new Path(root, "vac")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preDead = fs.globStatus(new Path(dir, "gen-{1,2}/pk=*/*.parquet")).length
+    assert(preDead > 0, "fixture needs dead files")
+    val (files, manifests) =
+      graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", keepGens = 1)
+    assert(files == preDead, s"expected $preDead reclaimed, got $files")
+    assert(manifests == 3) // manifest-0 (create), -1, -2; current manifest-3 kept
+    // Live data intact, byte for byte.
+    assert(spark.table(t).count() == 300)
+    assert(spark.table(t).agg(sum(col("id"))).collect()(0).getLong(0)
+      == (0L until 300L).sum)
+    // Time travel past the horizon is gone — that's the vacuum contract.
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    // Idempotent: nothing left to reclaim.
+    assert(graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", 1) == ((0L, 0L)))
+  }
+
   test("file min/max stats skip files a data predicate provably excludes") {
     import spark.implicits._
     val t = freshTable("skipstats")
