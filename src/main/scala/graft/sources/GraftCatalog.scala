@@ -284,7 +284,8 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-    TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
+    TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE,
+    TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, manifest)
@@ -389,6 +390,149 @@ class GraftScan(dir: Path, manifest: GraftManifest,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     new GraftRelation(ctx, dir, manifest, entries, required, dataFilters).asInstanceOf[T]
+
+  /** Streaming read: the catalog table as a micro-batch SOURCE — each committed
+    * generation is an offset (see [[GraftMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(dir, manifest, required)
+}
+
+/** Generation number as a streaming offset. */
+case class GenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
+
+case class GraftFileSlice(partPath: String, rel: String, len: Long)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/**
+ * The catalog table as a STREAMING SOURCE (Delta-style table streaming): the
+ * offset axis is the manifest generation number, and batch (from, to] is the
+ * file-set difference entries(to) ∖ entries(from) — exactly the files the
+ * commits in that range added, resolved from immutable manifests, so replays
+ * are deterministic forever. A fresh query starts at generation 0 (the empty
+ * pre-create manifest), so the current snapshot arrives as the first batch and
+ * every later commit arrives incrementally — streaming and batch reads of the
+ * same table can never disagree on contents.
+ *
+ * Semantics are append-derived (like Delta's new-files mode): overwrites and
+ * deletes REMOVE entries, which a file-addition stream intentionally does not
+ * re-emit. Rows are decoded on executors through Spark's own parquet reader
+ * (`ParquetFileFormat.buildReaderWithPartitionValues` — the exact code path
+ * batch file scans use), with the vectorized reader disabled on a cloned
+ * session so the iterator yields true rows, and partition-column values
+ * re-attached from the directory path the same way the batch scan does.
+ */
+class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(GraftManifest.currentGen(dir, conf))
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset =
+    GenOffset(availableNowTarget.getOrElse(GraftManifest.currentGen(dir, conf)))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def deserializeOffset(json: String): Offset = GenOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GenOffset].gen, end.asInstanceOf[GenOffset].gen)
+    if (s >= e) return Array.empty
+    val c = conf
+    val before = GraftManifest.load(dir, s, c).entries.map(_._2).toSet
+    val added = GraftManifest.load(dir, e, c).entries.filterNot { case (_, r) => before(r) }
+    val fs = dir.getFileSystem(c)
+    added.map { case (pp, rel) =>
+      GraftFileSlice(pp, rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rowSession = SparkSession.active
+    val dataFields = required.fields.filterNot(f => manifest.partCols.contains(f.name))
+    val partFields = manifest.partCols.filter(required.fieldNames.contains)
+      .map(manifest.schema.apply)
+    val readerFn = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        rowSession,
+        dataSchema = manifest.dataSchema,
+        partitionSchema = StructType(partFields),
+        requiredSchema = StructType(dataFields),
+        filters = Nil,
+        // Rows, not ColumnarBatches: the vectorized reader still runs inside,
+        // but hands back row views — the contract our PartitionReader needs.
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = rowSession.sessionState.newHadoopConf())
+    val tableDir = dir.toString
+    // The parquet reader emits dataFields ++ partFields; the scan's readSchema
+    // (`required`) may interleave partition columns in table order — realign
+    // with an executor-side unsafe projection when the orders differ.
+    val readerOrder = (dataFields ++ partFields).map(_.name)
+    val outIdx = required.fields.map(f => readerOrder.indexOf(f.name))
+    val needsRealign = !outIdx.sameElements(outIdx.indices)
+    val outFields = required.fields
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val slice = p.asInstanceOf[GraftFileSlice]
+        val values = GraftScanBuilder.partValues(slice.partPath)
+        val partRow = InternalRow.fromSeq(partFields.toIndexedSeq.map { f =>
+          GraftMicroBatchStream.catalystValue(values(f.name), f.dataType)
+        })
+        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+          partRow,
+          org.apache.spark.paths.SparkPath.fromPathString(s"$tableDir/${slice.rel}"),
+          0L, slice.len)
+        // The reader function yields plain rows OR ColumnarBatches (vectorized
+        // path) behind an InternalRow-typed iterator — the same duality
+        // FileScanRDD handles; unwrap batches to their row views here.
+        import scala.jdk.CollectionConverters._
+        val raw = readerFn(pf).asInstanceOf[Iterator[Any]].flatMap {
+          case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+            b.rowIterator().asScala
+          case r => Iterator.single(r.asInstanceOf[InternalRow])
+        }
+        val it = if (!needsRealign) raw else {
+          val proj = UnsafeProjection.create(outFields.zip(outIdx).map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          }.toIndexedSeq)
+          raw.map(proj)
+        }
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = it.hasNext
+          override def get(): InternalRow = it.next()
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+object GraftMicroBatchStream {
+  import org.apache.spark.unsafe.types.UTF8String
+  /** Partition-path string → catalyst value (same fragment partValues emits). */
+  def catalystValue(s: String, dt: DataType): Any = dt match {
+    case StringType  => UTF8String.fromString(s)
+    case IntegerType => s.toInt
+    case LongType    => s.toLong
+    case ShortType   => s.toShort
+    case other => throw new UnsupportedOperationException(
+      s"graft streaming read: unsupported partition column type $other")
+  }
 }
 
 class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,

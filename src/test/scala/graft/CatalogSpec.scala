@@ -180,6 +180,40 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 300)
   }
 
+  test("catalog table is a streaming source: snapshot first, then commit-granular batches") {
+    import spark.implicits._
+    val t = freshTable("src")
+    base.writeTo(t).partitionedBy(col("pk")).create()       // gens 0(create)+1
+    val ckpt = tmpDir("graft_src_ckpt")
+    val sinkName = "graft_stream_sink"
+    def drain(): Unit = {
+      val q = spark.readStream.table(t)
+        .groupBy(col("pk")).agg(count(lit(1)).as("n"), sum(col("id")).as("ids"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("complete").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // First drain: the existing snapshot arrives as the first batch.
+    drain()
+    val snap1 = spark.table(sinkName).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap1 == Map(0L -> 100L, 1L -> 100L, 2L -> 100L), s"got $snap1")
+    // Two more commits; a resumed stream (same checkpoint) must pick up exactly
+    // the new files — the aggregate over old+new proves no re-emit, no loss.
+    (300L until 400L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()
+    (400L until 450L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()
+    drain()
+    val snap2 = spark.table(sinkName).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap2 == Map(0L -> 150L, 1L -> 150L, 2L -> 150L), s"got $snap2")
+    // Streaming totals equal the batch read — the two paths cannot disagree.
+    val batchIds = spark.table(t).agg(sum(col("id"))).collect()(0).getLong(0)
+    val streamIds = spark.sql(s"SELECT sum(ids) FROM $sinkName").collect()(0).getLong(0)
+    assert(streamIds == batchIds)
+  }
+
   test("vacuum reclaims only unreferenced files; live snapshot stays readable") {
     val t = freshTable("vac")
     base.writeTo(t).partitionedBy(col("pk")).create()   // gen-1 files
