@@ -1917,6 +1917,41 @@ object StarQueries {
         lit(skipped.toLong).as("files_skipped"))
     },
 
+    // B152 query witness: the catalog table driven END TO END as a streaming
+    // source — snapshot commit, AvailableNow drain, a second commit, a resumed
+    // drain from the same checkpoint — and the STREAM-maintained aggregate is
+    // what ships to the oracle, which predicts it from parquet alone. Equality
+    // proves snapshot-first + commit-granular increments with no re-emit and
+    // no loss. Checkpoint/sink state is reset up front so the query is
+    // idempotent across Verify/Bench runs in fresh or shared sessions.
+    "q_catalog_stream" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.cs")
+      val ckpt = Tables.scratchDir(s, "cs_ckpt", d)
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sessionState.newHadoopConf()).delete(ckptPath, true)
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("int").as("pk"))
+      base.filter(col("pk") =!= 2).writeTo("graft.cs")
+        .partitionedBy(col("pk")).create()
+      def drain(): Unit = {
+        val q = s.readStream.table("graft.cs")
+          .groupBy(col("pk")).agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("complete").format("memory").queryName("graft_cs_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000); q.stop()
+      }
+      drain()                                           // snapshot batch
+      base.filter(col("pk") === 2).writeTo("graft.cs").append()
+      drain()                                           // incremental batch
+      s.table("graft_cs_sink")
+        .select(col("pk").cast("long").as("pk"), col("n"), col("cents"))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3062,6 +3097,13 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B152: the stream-maintained aggregate must equal the plain per-pk
+    // aggregate over ALL orders — snapshot plus increment, nothing else.
+    "q_catalog_stream" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B149: same marginal-product expected counts; integer marginals keep
     // exp exact before the one double division, round absorbs sum order.
