@@ -132,7 +132,14 @@ class GraftCatalog extends TableCatalog {
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c missing from schema"))
     val dir = tableDir(ident)
-    val m = GraftManifest(0L, schema, partCols.toSeq, Seq.empty)
+    // Persist user table properties (notably `cluster` / `cluster.parts`, the
+    // write-clustering knobs GraftWrite reads) into the manifest.
+    val keep = properties.asScala.filterNot { case (k, _) =>
+      k.startsWith("option.") || k == "provider" || k == "owner" || k == "location"
+    }.toMap
+    keep.get("cluster").foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column $c missing from schema"))
+    val m = GraftManifest(0L, schema, partCols.toSeq, Seq.empty, props = keep)
     GraftManifest.publish(dir, m, conf)
     new GraftTable(ident, dir, m)
   }
@@ -178,7 +185,9 @@ class GraftCatalog extends TableCatalog {
   * so a replayed micro-batch after restart is recognized and skipped. */
 case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     entries: Seq[(String, String)], txns: Set[String] = Set.empty,
-    fileStats: Map[String, String] = Map.empty) {
+    fileStats: Map[String, String] = Map.empty,
+    fileBytes: Map[String, Long] = Map.empty,
+    props: Map[String, String] = Map.empty) {
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
 }
@@ -203,20 +212,26 @@ object GraftManifest {
     val entries = ArrayBuffer.empty[(String, String)]
     val txns = ArrayBuffer.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, String]
+    val bytes = scala.collection.mutable.Map.empty[String, Long]
+    val props = scala.collection.mutable.Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
         case ("schema", ddl) => schema = StructType.fromDDL(ddl)
         case ("parts", cs)   => parts = if (cs.isEmpty) Seq.empty else cs.split(",").toSeq
         case ("entry", e)    =>
-          // 2-field lines are pre-stats vintage manifests — still readable.
+          // Shorter-arity lines are earlier manifest vintages — still readable.
           val t = e.split("\t", -1); entries += ((t(0), t(1)))
           if (t.length > 2 && t(2).nonEmpty) stats(t(1)) = t(2)
+          if (t.length > 3 && t(3).nonEmpty) bytes(t(1)) = t(3).toLong
         case ("txn", t)      => txns += t
+        case ("prop", kv)    =>
+          val j = kv.indexOf('\t'); if (j > 0) props(kv.take(j)) = kv.drop(j + 1)
         case _ => // gen=… line is informational
       }
     }
-    GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap)
+    GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap,
+      bytes.toMap, props.toMap)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -228,11 +243,14 @@ object GraftManifest {
     body ++= s"schema=${m.schema.toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) =>
-      m.fileStats.get(d) match {
-        case Some(st) => body ++= s"entry=$p\t$d\t$st\n"
-        case None     => body ++= s"entry=$p\t$d\n"
+      val st = m.fileStats.getOrElse(d, "")
+      m.fileBytes.get(d) match {
+        case Some(b)               => body ++= s"entry=$p\t$d\t$st\t$b\n"
+        case None if st.nonEmpty   => body ++= s"entry=$p\t$d\t$st\n"
+        case None                  => body ++= s"entry=$p\t$d\n"
       }
     }
+    m.props.foreach { case (k, v) => body ++= s"prop=$k\t$v\n" }
     m.txns.foreach(t => body ++= s"txn=$t\n")
     val mf = new Path(dir, s"manifest-${m.gen}.txt")
     val out = fs.create(mf, true)
@@ -545,6 +563,18 @@ class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
     s"GraftRelation(gen=${manifest.gen}, entries=${entries.size}, " +
       s"dataFilters=${dataFilters.length})"
 
+  /** Honest optimizer statistics from the manifest: the byte sum of exactly
+    * the files this scan will read (post partition + stats pruning). Without
+    * this a V1 relation reports `spark.sql.defaultSizeInBytes` (≈ Long.Max)
+    * and a 10 KB catalog dimension would NEVER be broadcast — the single
+    * biggest join-planning lever at 100 TB. Files from pre-bytes-vintage
+    * manifests fall back to the conservative default. */
+  override def sizeInBytes: Long = {
+    val known = entries.flatMap { case (_, rel) => manifest.fileBytes.get(rel) }
+    if (known.size == entries.size) math.max(1L, known.sum)
+    else super.sizeInBytes
+  }
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     if (entries.isEmpty)
@@ -637,12 +667,32 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     queryId: String, mode: String, staticFilters: Array[Filter])
     extends Write with RequiresDistributionAndOrdering {
 
+  // Write clustering (liquid-clustering-lite): a `cluster=<col>` table
+  // property makes every commit range-distribute + sort on that column, so
+  // each data file covers a tight, near-disjoint value range and the
+  // manifest's min/max stats actually bite on key-range predicates. With
+  // partition columns the clustering degrades to within-partition ORDERING
+  // (hash distribution on the partition key stays authoritative).
+  private def clusterCol: Option[String] =
+    manifest.props.get("cluster").filter(manifest.schema.fieldNames.contains)
+
   override def requiredDistribution: Distribution =
-    if (manifest.partCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(
-      manifest.partCols.map(c => Expressions.identity(c): Expression).toArray)
-  override def requiredOrdering: Array[SortOrder] = Array.empty
-  override def requiredNumPartitions: Int = 0
+    if (manifest.partCols.nonEmpty)
+      Distributions.clustered(
+        manifest.partCols.map(c => Expressions.identity(c): Expression).toArray)
+    else clusterCol match {
+      case Some(c) => Distributions.ordered(Array(
+        Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      case None => Distributions.unspecified()
+    }
+  override def requiredOrdering: Array[SortOrder] = clusterCol match {
+    case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    case None => Array.empty
+  }
+  override def requiredNumPartitions: Int =
+    manifest.props.get("cluster.parts").map(_.toInt).getOrElse(0)
 
   override def toBatch: BatchWrite = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -676,10 +726,11 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
     if (cur.txns.contains(key)) return // replayed epoch — already visible
     val fresh = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
     GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1,
-      entries = cur.entries ++ fresh.map { case (p, r, _) => (p, r) },
+      entries = cur.entries ++ fresh.map(f => (f.part, f.rel)),
       txns = cur.txns + key,
       fileStats = cur.fileStats ++
-        fresh.collect { case (_, r, st) if st.nonEmpty => r -> st }), c)
+        fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
+      fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes)), c)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -688,8 +739,11 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
   }
 }
 
-/** files: (partitionPath, relFilePath, statsString — "" when none). */
-case class GraftFilesMessage(files: Seq[(String, String, String)], rows: Long)
+/** One committed data file: partition path, rel path, stats string ("" when
+  * none), byte size (what feeds the table's optimizer statistics). */
+case class GraftFileRecord(part: String, rel: String, stats: String, bytes: Long)
+
+case class GraftFilesMessage(files: Seq[GraftFileRecord], rows: Long)
   extends WriterCommitMessage
 
 /**
@@ -858,9 +912,10 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val freshAll = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
-    val fresh = freshAll.map { case (partPath, rel, _) => (partPath, rel) }
+    val fresh = freshAll.map(f => (f.part, f.rel))
     val freshStats =
-      freshAll.collect { case (_, rel, st) if st.nonEmpty => rel -> st }.toMap
+      freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats }.toMap
+    val freshBytes = freshAll.map(f => f.rel -> f.bytes).toMap
     val entries = mode match {
       case "append"   => prev.entries ++ fresh
       case "truncate" => fresh
@@ -875,7 +930,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
         } ++ fresh
     }
     GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries,
-      fileStats = prev.fileStats ++ freshStats), conf.value)
+      fileStats = prev.fileStats ++ freshStats,
+      fileBytes = prev.fileBytes ++ freshBytes), conf.value)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -962,9 +1018,12 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())
         val genName = new Path(genDir).getName
+        val fs = new Path(genDir).getFileSystem(taskConf)
         GraftFilesMessage(writers.toSeq.map { case (pp, (_, fileName, stats)) =>
           val rel = if (pp.isEmpty) s"$genName/$fileName" else s"$genName/$pp/$fileName"
-          (pp, rel, stats.encode)
+          val abs = if (pp.isEmpty) new Path(genDir, fileName)
+            else new Path(s"$genDir/$pp", fileName)
+          GraftFileRecord(pp, rel, stats.encode, fs.getFileStatus(abs).getLen)
         }, rows)
       }
 

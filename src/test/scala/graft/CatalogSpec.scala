@@ -214,6 +214,58 @@ class CatalogSpec extends GraftSuite {
     assert(streamIds == batchIds)
   }
 
+  test("manifest byte stats make small catalog tables broadcast automatically") {
+    import spark.implicits._
+    val t = freshTable("dim")
+    (0L until 50L).map(i => (i, s"name$i")).toDF("k", "nm")
+      .coalesce(1).writeTo(t).create()
+    val fact = spark.range(0, 100000).select((col("id") % 50).as("k"), col("id"))
+    // No broadcast() hint anywhere: the decision must come from the relation's
+    // manifest-derived sizeInBytes (a V1 default would report ~Long.Max and
+    // force a sort-merge join).
+    val joined = fact.join(spark.table(t), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected an automatic broadcast join in:\n$plan")
+    assert(joined.count() == 100000)
+  }
+
+  test("cluster table property range-clusters commits so file stats are disjoint") {
+    import spark.implicits._
+    val t = freshTable("clus")
+    // Shuffled insert order; the WRITE PATH must impose the clustering.
+    val df = (0L until 4000L).map(i => ((i * 2654435761L) % 4000L, i))
+      .toDF("ck", "payload").distinct()
+    df.writeTo(t)
+      .tableProperty("cluster", "ck").tableProperty("cluster.parts", "4")
+      .create()
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(root, "clus")
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.entries.size == 4, s"cluster.parts=4 should pin 4 files, got ${m.entries}")
+    // Each file's ck range from the manifest stats; ranges must be pairwise
+    // disjoint (range distribution) — which is exactly what makes min/max
+    // skipping bite on key predicates.
+    val ranges = m.entries.map { case (_, rel) =>
+      val st = graft.sources.GraftFileStats.parse(m.fileStats(rel))("ck")
+      (st._2.get.toLong, st._3.get.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    // And a key-range predicate provably skips most files via the evaluator.
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThanOrEqual("ck", 0L), LessThan("ck", 100L))
+    val skipped = m.entries.count { case (_, rel) =>
+      !graft.sources.GraftFileStats.mayMatch(m.fileStats.get(rel), filters, m.dataSchema) }
+    assert(skipped == 3, s"expected 3 of 4 files skipped, got $skipped")
+    assert(spark.table(t).filter(col("ck") < 100).count() ==
+      df.filter(col("ck") < 100).count())
+  }
+
   test("vacuum reclaims only unreferenced files; live snapshot stays readable") {
     val t = freshTable("vac")
     base.writeTo(t).partitionedBy(col("pk")).create()   // gen-1 files
