@@ -1952,6 +1952,37 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B155 query witness: the catalog's full SQL DML surface — UPDATE, MERGE
+    // INTO (matched update + unmatched insert), and a non-partition DELETE —
+    // each a group-based copy-on-write rewrite that swaps only the files its
+    // scan planned. The oracle replays the same edits relationally from
+    // parquet, so the final table state (including which rows each statement
+    // touched) is hash-verified end to end.
+    "q_catalog_merge" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.dml")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.dml").partitionedBy(col("pk")).create()
+      s.sql("UPDATE graft.dml SET cents = cents + 7 WHERE o_orderkey % 5 = 0")
+      s.sql("DELETE FROM graft.dml WHERE cents % 11 = 3")
+      Tables.orders(s, d).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT) + 100000").as("cents"),
+          pmod(col("o_orderkey") + 1, lit(3)).cast("long").as("pk"))
+        .createOrReplaceTempView("dml_src")
+      s.sql(
+        """MERGE INTO graft.dml t USING dml_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, cents, pk)
+          |  VALUES (s.o_orderkey, s.cents, s.pk)""".stripMargin)
+      s.table("graft.dml")
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3086,6 +3117,28 @@ object StarQueries {
         |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
         |SELECT check_name, violations, violations = 0 AS ok
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // B155: the same UPDATE → DELETE → MERGE replayed relationally.
+    "q_catalog_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders),
+        |upd AS (SELECT k, CASE WHEN k % 5 = 0 THEN cents + 7 ELSE cents END AS cents, pk
+        |        FROM base),
+        |del AS (SELECT * FROM upd WHERE cents % 11 <> 3),
+        |src AS (SELECT o_orderkey AS k,
+        |          CAST(floor(o_totalprice * 100) AS BIGINT) + 100000 AS cents,
+        |          (o_orderkey + 1) % 3 AS pk
+        |        FROM orders WHERE o_orderkey % 4 = 0),
+        |merged AS (
+        |  SELECT d.k, coalesce(s.cents, d.cents) AS cents, d.pk
+        |  FROM del d LEFT JOIN src s ON s.k = d.k
+        |  UNION ALL
+        |  SELECT s.k, s.cents, s.pk FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.k = s.k))
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM merged GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B150: the oracle reproduces band 1 from parquet alone and pins the
     // skip count: 4 single-file commits, 3 provably outside the predicate.

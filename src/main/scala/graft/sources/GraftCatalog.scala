@@ -266,20 +266,55 @@ object GraftManifest {
 
 class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
     extends Table with SupportsRead with SupportsWrite with TruncatableTable
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = s"graft.${ident.name()}@${manifest.gen}"
   override def schema(): StructType = manifest.schema
   override def partitioning(): Array[Transform] =
     manifest.partCols.map(c => Expressions.identity(c): Transform).toArray
 
+  /** Queryable provenance metadata (`SELECT *, _gen, _file FROM graft.t`):
+    * `_gen` is the manifest generation that committed each row's file (-1 for
+    * streaming-epoch files), `_file` the file's manifest rel path. `_file` is
+    * also the row-level operations' required metadata attribute — the handle
+    * Spark's runtime group filtering prunes rewrite targets by (the same
+    * design Iceberg uses), and what routes the rewrite through the
+    * metadata-projection write path so writers see clean table-schema rows. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_gen"
+      override def dataType(): DataType = LongType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "manifest generation that committed this row's file"
+    },
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "manifest rel path of this row's file"
+    })
+
+  /** UPDATE / MERGE / non-partition DELETE via group-based copy-on-write:
+    * the operation's scan records which files it planned (the GROUPS), Spark
+    * rewrites their full content with changes applied, and the commit swaps
+    * exactly those files for the new ones — one atomic manifest publish. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(dir, manifest, info.command())
+
   /** SQL DELETE FROM … WHERE on partition keys: a metadata-only commit that
     * drops the selected partitions' entries (files stay for time travel).
-    * canDeleteWhere is strict — a predicate that cannot be decided per
-    * partition is refused at analysis time rather than half-applied, the same
-    * posture real metadata-delete formats take before falling back to
-    * row-level rewrite (which this catalog deliberately does not implement). */
+    * canDeleteWhere accepts ONLY the filter shapes matchesStrict can decide
+    * per partition — everything else reports false so Spark routes the
+    * statement through the row-level copy-on-write rewrite below instead of
+    * this table erroring out. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftScanBuilder.isPartitionFilter(f, manifest.partCols))
+    filters.forall { f =>
+      GraftScanBuilder.isPartitionFilter(f, manifest.partCols) && (f match {
+        case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) | IsNotNull(_) => true
+        case _ => false
+      })
+    }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -314,9 +349,9 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
 
 class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var required: StructType = manifest.schema
-  private var partFilters: Array[Filter] = Array.empty
-  private var dataFilters: Array[Filter] = Array.empty
+  protected var required: StructType = manifest.schema
+  protected var partFilters: Array[Filter] = Array.empty
+  protected var dataFilters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -331,18 +366,19 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = partFilters
 
-  override def build(): Scan = {
-    // Two manifest-side pruning layers, both before ANY file IO: partition
-    // filters drop whole partitions; file min/max stats drop individual files
-    // a data predicate provably excludes (Delta-style data skipping).
-    val kept = manifest.entries.filter { case (partPath, rel) =>
+  /** Two manifest-side pruning layers, both before ANY file IO: partition
+    * filters drop whole partitions; file min/max stats drop individual files
+    * a data predicate provably excludes (Delta-style data skipping). */
+  protected def keptEntries: Seq[(String, String)] =
+    manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
         GraftFileStats.mayMatch(manifest.fileStats.get(rel), dataFilters,
           manifest.dataSchema)
     }
-    new GraftScan(dir, manifest, kept, required, dataFilters)
-  }
+
+  override def build(): Scan =
+    new GraftScan(dir, manifest, keptEntries, required, dataFilters)
 }
 
 object GraftScanBuilder {
@@ -399,7 +435,7 @@ object GraftScanBuilder {
 
 /** Manifest-pruned scan; rows flow through the public V1 bridge. */
 class GraftScan(dir: Path, manifest: GraftManifest,
-    entries: Seq[(String, String)], required: StructType,
+    val entries: Seq[(String, String)], required: StructType,
     dataFilters: Array[Filter]) extends V1Scan {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -478,11 +514,37 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetRead.readerFactory(dir.toString, manifest, required)
+}
+
+/** Shared executor-side parquet decode for the catalog's native V2 reads
+  * (streaming source batches and row-level-operation scans): rows flow
+  * through Spark's own `ParquetFileFormat.buildReaderWithPartitionValues`
+  * (the exact code path batch file scans use) with partition-column values
+  * re-attached from the directory path. */
+object GraftParquetRead {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+
+  /** Generation a rel path's file was committed by (-1 for streaming epochs). */
+  def genOf(rel: String): Long = {
+    val head = rel.takeWhile(_ != '/')
+    if (head.startsWith("gen-")) head.drop(4).toLong else -1L
+  }
+
+  def readerFactory(tableDir: String, manifest: GraftManifest,
+                    required: StructType): PartitionReaderFactory = {
     val rowSession = SparkSession.active
-    val dataFields = required.fields.filterNot(f => manifest.partCols.contains(f.name))
+    val metaNames = Set("_gen", "_file")
+    val dataFields = required.fields.filterNot(f =>
+      manifest.partCols.contains(f.name) || metaNames(f.name))
+    // `_gen` / `_file` ride the partition-values channel: per-file constants
+    // the parquet reader appends without the file containing them.
     val partFields = manifest.partCols.filter(required.fieldNames.contains)
-      .map(manifest.schema.apply)
+      .map(manifest.schema.apply) ++
+      required.fields.filter(f => metaNames(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = false))
     val readerFn = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .buildReaderWithPartitionValues(
         rowSession,
@@ -495,7 +557,6 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
         options = Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = rowSession.sessionState.newHadoopConf())
-    val tableDir = dir.toString
     // The parquet reader emits dataFields ++ partFields; the scan's readSchema
     // (`required`) may interleave partition columns in table order — realign
     // with an executor-side unsafe projection when the orders differ.
@@ -508,7 +569,11 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
         val slice = p.asInstanceOf[GraftFileSlice]
         val values = GraftScanBuilder.partValues(slice.partPath)
         val partRow = InternalRow.fromSeq(partFields.toIndexedSeq.map { f =>
-          GraftMicroBatchStream.catalystValue(values(f.name), f.dataType)
+          f.name match {
+            case "_gen"  => genOf(slice.rel)
+            case "_file" => org.apache.spark.unsafe.types.UTF8String.fromString(slice.rel)
+            case _ => GraftMicroBatchStream.catalystValue(values(f.name), f.dataType)
+          }
         })
         val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
           partRow,
@@ -538,6 +603,59 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
       }
     }
   }
+}
+
+/** Native V2 batch scan over a pruned entry list — the scan the row-level
+  * (copy-on-write) operations plan (the normal read path rides the V1 bridge;
+  * ReplaceData requires a true Batch). `currentEntries` doubles as the GROUP
+  * list the rewrite's commit replaces, and it shrinks further under RUNTIME
+  * filtering: a keyed MERGE pushes the source keys back into this scan, so
+  * only files whose partition values / min-max stats overlap the keys are
+  * read — or rewritten. Without this every MERGE would rewrite the table. */
+class GraftBatchScan(dir: Path, manifest: GraftManifest,
+    val entries: Seq[(String, String)], required: StructType)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  @volatile private var kept: Seq[(String, String)] = entries
+  def currentEntries: Seq[(String, String)] = kept
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftBatchScan(gen=${manifest.gen}, entries=${kept.size}/${manifest.entries.size})"
+
+  /** Runtime filtering keys on `_file` (the Iceberg design): the group-filter
+    * subquery collects the DISTINCT files containing matched rows, and this
+    * scan keeps exactly those — a single-attribute IN that survives the V1
+    * translation, unlike a multi-column struct-IN. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("_file", vs) =>
+        val keep = vs.map(String.valueOf(_)).toSet
+        kept = kept.filter { case (_, rel) => keep(rel) }
+      case EqualTo("_file", v) =>
+        kept = kept.filter { case (_, rel) => rel == String.valueOf(v) }
+      case _ => // unknown runtime filter — ignore (purely an optimization)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    lazy val fs = dir.getFileSystem(conf)
+    kept.map { case (pp, rel) =>
+      val len = manifest.fileBytes.getOrElse(rel,
+        fs.getFileStatus(new Path(dir, rel)).getLen)
+      GraftFileSlice(pp, rel, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetRead.readerFactory(dir.toString, manifest, required)
 }
 
 object GraftMicroBatchStream {
@@ -587,13 +705,24 @@ class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
     // projection).
     val readSchema =
       if (reqData.isEmpty) StructType(manifest.dataSchema.fields.take(1)) else reqData
-    val perPartition = entries.groupBy(_._1).toSeq.map { case (partPath, es) =>
+    // Group by (partition, generation): partition values AND the `_gen`
+    // metadata column are per-group constants attached as literals. When the
+    // per-FILE `_file` column is requested, the grouping refines to single
+    // entries so the literal is exact (rare path — provenance queries).
+    val wantsGen = required.fieldNames.contains("_gen")
+    val wantsFile = required.fieldNames.contains("_file")
+    val perPartition = entries
+      .groupBy(e => (e._1, GraftParquetRead.genOf(e._2),
+        if (wantsFile) e._2 else "")).toSeq
+      .map { case ((partPath, gen, relKey), es) =>
       val dirs = es.map { case (_, rel) => new Path(dir, rel).toString }
       var df = spark.read.schema(readSchema).parquet(dirs: _*)
       val values = GraftScanBuilder.partValues(partPath)
       reqPart.foreach { c =>
         df = df.withColumn(c, lit(values(c)).cast(manifest.schema(c).dataType))
       }
+      if (wantsGen) df = df.withColumn("_gen", lit(gen))
+      if (wantsFile) df = df.withColumn("_file", lit(relKey))
       // Re-express the pushed-but-unhandled data filters as Column predicates so
       // Catalyst pushes them into the inner parquet scan (row-group statistics
       // skipping).  Untranslatable filters are simply skipped — Spark re-applies
@@ -634,6 +763,60 @@ object GraftRelation {
   }
 }
 
+/**
+ * Group-based (copy-on-write) row-level operation: the engine side of SQL
+ * UPDATE, MERGE INTO, and non-partition DELETE on catalog tables. Spark plans
+ * the operation's OWN scan over the affected rows' files, rewrites each
+ * affected file's full content with the changes applied, and hands the result
+ * to this operation's write — whose commit atomically swaps exactly the
+ * scanned files for the rewritten ones. Files the scan pruned (partition and
+ * min/max stats pruning both apply!) are never read OR rewritten: a keyed
+ * MERGE into a clustered table touches only the files whose range overlaps
+ * the keys. That per-file write amplification is the copy-on-write contract —
+ * the right trade for analytic tables at 100 TB.
+ */
+class GraftRowLevelOperation(dir: Path, manifest: GraftManifest,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  // The operation's scan — its (runtime-filtered) entry list is the group set
+  // the commit replaces, read LAZILY so late pruning is honored.
+  @volatile private var scanRef: Option[GraftBatchScan] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation($cmd)"
+
+  /** Requiring `_file` does two jobs: (1) it routes the rewrite through
+    * Spark's metadata-projection write task, whose row projection hands the
+    * writer CLEAN table-schema rows (without it, the raw plan output —
+    * operation column first — would reach the writer misaligned); (2) it is
+    * the attribute the runtime group filter collects from matched rows, so
+    * the scan can prune the rewrite set to exactly the touched files. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, manifest) {
+      // ReplaceData requires a true V2 Batch (the V1 bridge is read-only
+      // surface); prune the same two manifest layers, then remember the scan —
+      // its final (runtime-filtered) file list is the group set the rewrite
+      // commit swaps.
+      override def build(): Scan = {
+        val s = new GraftBatchScan(dir, manifest, keptEntries, required)
+        scanRef = Some(s)
+        s
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftWrite(dir, manifest, info.schema(), info.queryId(),
+          "replace-groups", Array.empty,
+          () => scanRef.map(_.currentEntries).getOrElse(Seq.empty))
+    }
+}
+
 class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsDynamicOverwrite with SupportsOverwrite {
   // Append unless a truncate/overwrite verb retargets the commit.
@@ -664,7 +847,8 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
  * renames).
  */
 class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
-    queryId: String, mode: String, staticFilters: Array[Filter])
+    queryId: String, mode: String, staticFilters: Array[Filter],
+    replaceGroups: () => Seq[(String, String)] = () => Seq.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   // Write clustering (liquid-clustering-lite): a `cluster=<col>` table
@@ -698,7 +882,7 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val gen = GraftManifest.currentGen(dir, conf) + 1
     new GraftBatchWrite(dir, manifest, writeSchema, mode, staticFilters, gen,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), replaceGroups)
   }
 
   /** Streaming append: each micro-batch commits one manifest generation, keyed
@@ -903,7 +1087,8 @@ class GraftStatsCollector(dataSchema: StructType) {
 
 class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     mode: String, staticFilters: Array[Filter], gen: Long,
-    conf: SerializableHadoopConf) extends BatchWrite {
+    conf: SerializableHadoopConf,
+    replaceGroups: () => Seq[(String, String)] = () => Seq.empty) extends BatchWrite {
   private val genRel = s"gen-$gen"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -928,6 +1113,11 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
           val values = GraftScanBuilder.partValues(p)
           staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, prev.schema))
         } ++ fresh
+      case "replace-groups" =>
+        // Row-level copy-on-write: swap exactly the files the operation's
+        // scan planned for their rewritten successors.
+        val replaced = replaceGroups().toSet
+        prev.entries.filterNot(replaced) ++ fresh
     }
     GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries,
       fileStats = prev.fileStats ++ freshStats,

@@ -126,18 +126,25 @@ class CatalogSpec extends GraftSuite {
     assert(df.agg(sum(col("extra"))).collect()(0).getLong(0) == (300L until 310L).map(_ * 10).sum)
   }
 
-  test("DELETE FROM on a partition key is metadata-only; non-key predicates refused") {
+  test("DELETE FROM on a partition key is metadata-only; non-key predicates rewrite") {
     val t = freshTable("del")
     base.writeTo(t).partitionedBy(col("pk")).create()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = fs.globStatus(new Path(new Path(root, "del"), "gen-*/pk=*/*.parquet")).length
     spark.sql(s"DELETE FROM $t WHERE pk = 1")
+    // Metadata-only: no new data files written for the partition-key delete.
+    val filesAfterMeta = fs.globStatus(new Path(new Path(root, "del"), "gen-*/pk=*/*.parquet")).length
+    assert(filesAfterMeta == filesBefore, "partition-key delete must not rewrite data")
     val left = spark.table(t).groupBy("pk").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(left == Map(0L -> 100L, 2L -> 100L), left.toString)
     // Pre-delete snapshot intact.
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 300)
-    // A row-level predicate cannot be decided per partition: refuse, don't guess.
-    intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE id = 7") }
-    assert(spark.table(t).count() == 200, "refused delete must change nothing")
+    // A row-level predicate cannot be decided per partition: it routes through
+    // the copy-on-write rewrite and deletes exactly the matching row.
+    spark.sql(s"DELETE FROM $t WHERE id = 9")
+    assert(spark.table(t).count() == 199)
+    assert(spark.table(t).filter(col("id") === 9).count() == 0)
   }
 
   test("compaction: self-rewrite via overwritePartitions collapses files, keeps data") {
@@ -212,6 +219,50 @@ class CatalogSpec extends GraftSuite {
     val batchIds = spark.table(t).agg(sum(col("id"))).collect()(0).getLong(0)
     val streamIds = spark.sql(s"SELECT sum(ids) FROM $sinkName").collect()(0).getLong(0)
     assert(streamIds == batchIds)
+  }
+
+  test("row-level ops: UPDATE, non-partition DELETE, MERGE INTO via copy-on-write") {
+    import spark.implicits._
+    val t = freshTable("rlo")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    // UPDATE rewrites only the rows' files; values change in place.
+    spark.sql(s"UPDATE $t SET s = 'upd' WHERE id % 10 = 0")
+    assert(spark.table(t).filter(col("s") === "upd").count() == 30)
+    assert(spark.table(t).count() == 300)
+    // Non-partition DELETE must route through the rewrite (metadata delete
+    // can't decide `id >= 290` per partition) and remove exactly those rows.
+    spark.sql(s"DELETE FROM $t WHERE id >= 290")
+    assert(spark.table(t).count() == 290)
+    // MERGE INTO: one matched update, one unmatched insert.
+    (Seq((0L, 0L, "merged"), (1000L, 1L, "new")))
+      .toDF("id", "pk", "s").createOrReplaceTempView("rlo_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING rlo_src src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET s = src.s
+         |WHEN NOT MATCHED THEN INSERT (id, pk, s) VALUES (src.id, src.pk, src.s)
+         |""".stripMargin)
+    assert(spark.table(t).count() == 291)
+    assert(spark.table(t).filter(col("id") === 0).select(col("s"))
+      .collect()(0).getString(0) == "merged")
+    assert(spark.table(t).filter(col("id") === 1000).count() == 1)
+    // Copy-on-write granularity: partition pk=2 was never touched by the
+    // MERGE's keys (0 and 1000 are pk 0 and 1) — its files must be the
+    // pre-merge ones (group replacement is per-file, not table-wide).
+    val hist = graft.sources.GraftCatalogOps.history(spark, root, "rlo").collect()
+    assert(hist.length >= 4, s"expected create+update+delete+merge commits: ${hist.toSeq}")
+    // And the whole table still equals a from-scratch prediction.
+    val want = (0L until 290L).map { i =>
+      val s0 = if (i % 10 == 0) "upd" else s"v$i"
+      (i, i % 3, if (i == 0) "merged" else s0)
+    } :+ ((1000L, 1L, "new"))
+    assert(spark.table(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSet == want.toSet)
+    // _gen metadata column: rewritten rows carry the rewriting commit's
+    // generation; every row reports a positive gen (no ep- files here).
+    val gens = spark.table(t).select(col("id"), col("_gen")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gens.values.forall(_ >= 1))
+    assert(gens(1000L) > gens.values.min, "merged insert must carry a later gen")
   }
 
   test("manifest byte stats make small catalog tables broadcast automatically") {
