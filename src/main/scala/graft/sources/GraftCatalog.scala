@@ -139,6 +139,8 @@ class GraftCatalog extends TableCatalog {
     }.toMap
     keep.get("cluster").foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c missing from schema"))
+    keep.get("bloom").foreach(c => require(schema.fieldNames.contains(c),
+      s"bloom column $c missing from schema"))
     val m = GraftManifest(0L, schema, partCols.toSeq, Seq.empty, props = keep)
     GraftManifest.publish(dir, m, conf)
     new GraftTable(ident, dir, m)
@@ -187,9 +189,13 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     entries: Seq[(String, String)], txns: Set[String] = Set.empty,
     fileStats: Map[String, String] = Map.empty,
     fileBytes: Map[String, Long] = Map.empty,
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    fileBlooms: Map[String, String] = Map.empty) {
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+  /** Column carrying a per-file Bloom filter (`bloom=<col>` table property). */
+  def bloomCol: Option[String] = props.get("bloom").filter(c =>
+    dataSchema.fields.exists(f => f.name == c && GraftBloom.eligible(f.dataType)))
 }
 
 object GraftManifest {
@@ -214,6 +220,7 @@ object GraftManifest {
     val stats = scala.collection.mutable.Map.empty[String, String]
     val bytes = scala.collection.mutable.Map.empty[String, Long]
     val props = scala.collection.mutable.Map.empty[String, String]
+    val blooms = scala.collection.mutable.Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
@@ -224,6 +231,7 @@ object GraftManifest {
           val t = e.split("\t", -1); entries += ((t(0), t(1)))
           if (t.length > 2 && t(2).nonEmpty) stats(t(1)) = t(2)
           if (t.length > 3 && t(3).nonEmpty) bytes(t(1)) = t(3).toLong
+          if (t.length > 4 && t(4).nonEmpty) blooms(t(1)) = t(4)
         case ("txn", t)      => txns += t
         case ("prop", kv)    =>
           val j = kv.indexOf('\t'); if (j > 0) props(kv.take(j)) = kv.drop(j + 1)
@@ -231,7 +239,7 @@ object GraftManifest {
       }
     }
     GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap,
-      bytes.toMap, props.toMap)
+      bytes.toMap, props.toMap, blooms.toMap)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -244,10 +252,12 @@ object GraftManifest {
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) =>
       val st = m.fileStats.getOrElse(d, "")
-      m.fileBytes.get(d) match {
-        case Some(b)               => body ++= s"entry=$p\t$d\t$st\t$b\n"
-        case None if st.nonEmpty   => body ++= s"entry=$p\t$d\t$st\n"
-        case None                  => body ++= s"entry=$p\t$d\n"
+      val bloom = m.fileBlooms.getOrElse(d, "")
+      (m.fileBytes.get(d), bloom) match {
+        case (Some(b), bl) if bl.nonEmpty => body ++= s"entry=$p\t$d\t$st\t$b\t$bl\n"
+        case (Some(b), _)                 => body ++= s"entry=$p\t$d\t$st\t$b\n"
+        case (None, _) if st.nonEmpty     => body ++= s"entry=$p\t$d\t$st\n"
+        case _                            => body ++= s"entry=$p\t$d\n"
       }
     }
     m.props.foreach { case (k, v) => body ++= s"prop=$k\t$v\n" }
@@ -374,7 +384,9 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
         GraftFileStats.mayMatch(manifest.fileStats.get(rel), dataFilters,
-          manifest.dataSchema)
+          manifest.dataSchema) &&
+        manifest.bloomCol.forall(bc =>
+          GraftBloom.mayMatch(manifest.fileBlooms.get(rel), bc, dataFilters))
     }
 
   override def build(): Scan =
@@ -901,7 +913,8 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
     queryId: String, conf: SerializableHadoopConf) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(writeSchema, prev.partCols, dir.toString, queryId, conf)
+    new GraftStreamingWriterFactory(writeSchema, prev.partCols, dir.toString, queryId,
+      conf, prev.bloomCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val c = conf.value
@@ -914,7 +927,9 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
       txns = cur.txns + key,
       fileStats = cur.fileStats ++
         fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
-      fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes)), c)
+      fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes),
+      fileBlooms = cur.fileBlooms ++
+        fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom }), c)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -925,7 +940,8 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
 
 /** One committed data file: partition path, rel path, stats string ("" when
   * none), byte size (what feeds the table's optimizer statistics). */
-case class GraftFileRecord(part: String, rel: String, stats: String, bytes: Long)
+case class GraftFileRecord(part: String, rel: String, stats: String, bytes: Long,
+    bloom: String = "")
 
 case class GraftFilesMessage(files: Seq[GraftFileRecord], rows: Long)
   extends WriterCommitMessage
@@ -1041,6 +1057,55 @@ object GraftFileStats {
   }
 }
 
+/**
+ * Per-file Bloom filters — the point-lookup complement to min/max stats: on a
+ * column the table is NOT clustered by, every file's [min,max] overlaps every
+ * equality probe, but a 2 KiB Bloom answers "provably absent" for most files.
+ * 2048 bits / 4 md5-derived probes ≈ 0.1% false-positive at 100 distinct
+ * values per file; a false positive only costs reading one extra file —
+ * skipping stays sound. Enabled by the `bloom=<col>` table property; the
+ * filter is built DURING the write and rides the manifest like min/max stats.
+ */
+object GraftBloom {
+  val Bits = 2048
+  private val Probes = 4
+
+  def eligible(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | StringType => true
+    case _ => false
+  }
+
+  /** Deterministic probe positions for a value's canonical string form. */
+  def positions(v: String): Array[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(StandardCharsets.UTF_8))
+    Array.tabulate(Probes) { k =>
+      val hi = d(2 * k) & 0xff; val lo = d(2 * k + 1) & 0xff
+      ((hi << 8) | lo) % Bits
+    }
+  }
+
+  def encode(bits: java.util.BitSet): String =
+    java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+
+  /** true ⇒ the file may contain `v`; false ⇒ provably not. */
+  def mightContain(encoded: String, v: String): Boolean = {
+    val bits = java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(encoded))
+    positions(v).forall(bits.get)
+  }
+
+  /** Prune decision for the pushed data filters against one file's bloom. */
+  def mayMatch(encoded: Option[String], bloomCol: String,
+               filters: Array[Filter]): Boolean =
+    encoded.isEmpty || !filters.exists {
+      case EqualTo(a, v) if a == bloomCol && v != null =>
+        !mightContain(encoded.get, String.valueOf(v))
+      case In(a, vs) if a == bloomCol && vs.nonEmpty =>
+        vs.forall(v => v == null || !mightContain(encoded.get, String.valueOf(v)))
+      case _ => false
+    }
+}
+
 /** Streams per-file min/max/nullCount while rows are written (no second pass). */
 class GraftStatsCollector(dataSchema: StructType) {
   private val cols = dataSchema.fields.zipWithIndex
@@ -1093,7 +1158,7 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(writeSchema, prev.partCols,
-      new Path(dir, genRel).toString, conf)
+      new Path(dir, genRel).toString, conf, prev.bloomCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val freshAll = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
@@ -1101,6 +1166,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     val freshStats =
       freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats }.toMap
     val freshBytes = freshAll.map(f => f.rel -> f.bytes).toMap
+    val freshBlooms =
+      freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom }.toMap
     val entries = mode match {
       case "append"   => prev.entries ++ fresh
       case "truncate" => fresh
@@ -1121,7 +1188,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     }
     GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries,
       fileStats = prev.fileStats ++ freshStats,
-      fileBytes = prev.fileBytes ++ freshBytes), conf.value)
+      fileBytes = prev.fileBytes ++ freshBytes,
+      fileBlooms = prev.fileBlooms ++ freshBlooms), conf.value)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1134,26 +1202,29 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
 /** Ships only serializable state (paths as strings, schema, conf wrapper) —
   * the streaming engine serializes the factory into every task. */
 class GraftStreamingWriterFactory(writeSchema: StructType, partCols: Seq[String],
-    tableDir: String, queryId: String, conf: SerializableHadoopConf)
+    tableDir: String, queryId: String, conf: SerializableHadoopConf,
+    bloomCol: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols,
-      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId)
+      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol)
 }
 
 class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
-    genDir: String, conf: SerializableHadoopConf) extends DataWriterFactory {
+    genDir: String, conf: SerializableHadoopConf,
+    bloomCol: Option[String] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId)
+    new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId, bloomCol)
 }
 
 /** Per-task writer shared by the batch and streaming paths: one parquet file
   * per partition value seen by this task (the clustered write distribution
   * makes that exactly one file per partition per commit). */
 class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
-    genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long)
+    genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
+    bloomCol: Option[String] = None)
     extends DataWriter[InternalRow] {
       private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
       private val dataIdx =
@@ -1178,8 +1249,14 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         c
       }
       private val writers = scala.collection.mutable.LinkedHashMap
-        .empty[String, (ParquetOutputWriter, String, GraftStatsCollector)]
+        .empty[String, (ParquetOutputWriter, String, GraftStatsCollector, java.util.BitSet)]
       private var rows = 0L
+      // Bloom column's index in the PROJECTED (data) row, when configured.
+      private val bloomIdx: Option[Int] = bloomCol.flatMap { c =>
+        val i = dataSchema.fieldNames.indexOf(c)
+        if (i >= 0 && GraftBloom.eligible(dataSchema.fields(i).dataType)) Some(i)
+        else None
+      }
 
       private def partPath(row: InternalRow): String =
         partCols.indices.map { k =>
@@ -1191,17 +1268,30 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
 
       override def write(row: InternalRow): Unit = {
         val pp = partPath(row)
-        val (w, _, stats) = writers.getOrElseUpdate(pp, {
+        val (w, _, stats, bloom) = writers.getOrElseUpdate(pp, {
           val fileName = s"part-$partitionId-$taskId.parquet"
           val file = if (pp.isEmpty) s"$genDir/$fileName" else s"$genDir/$pp/$fileName"
           val ctx = new TaskAttemptContextImpl(taskConf,
             new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
               taskId.toInt))
-          (new ParquetOutputWriter(file, ctx), fileName, new GraftStatsCollector(dataSchema))
+          (new ParquetOutputWriter(file, ctx), fileName,
+            new GraftStatsCollector(dataSchema), new java.util.BitSet(GraftBloom.Bits))
         })
         val projected = project(row)
         w.write(projected)
         stats.update(projected)
+        bloomIdx.foreach { i =>
+          if (!projected.isNullAt(i)) {
+            val v = dataSchema.fields(i).dataType match {
+              case StringType => projected.getUTF8String(i).toString
+              case LongType => projected.getLong(i).toString
+              case IntegerType => projected.getInt(i).toString
+              case ShortType => projected.getShort(i).toString
+              case _ => null
+            }
+            if (v != null) GraftBloom.positions(v).foreach(bloom.set)
+          }
+        }
         rows += 1
       }
 
@@ -1209,18 +1299,19 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         writers.values.foreach(_._1.close())
         val genName = new Path(genDir).getName
         val fs = new Path(genDir).getFileSystem(taskConf)
-        GraftFilesMessage(writers.toSeq.map { case (pp, (_, fileName, stats)) =>
+        GraftFilesMessage(writers.toSeq.map { case (pp, (_, fileName, stats, bloom)) =>
           val rel = if (pp.isEmpty) s"$genName/$fileName" else s"$genName/$pp/$fileName"
           val abs = if (pp.isEmpty) new Path(genDir, fileName)
             else new Path(s"$genDir/$pp", fileName)
-          GraftFileRecord(pp, rel, stats.encode, fs.getFileStatus(abs).getLen)
+          GraftFileRecord(pp, rel, stats.encode, fs.getFileStatus(abs).getLen,
+            if (bloomIdx.isDefined) GraftBloom.encode(bloom) else "")
         }, rows)
       }
 
       override def abort(): Unit = {
         writers.values.foreach(w => try w._1.close() catch { case _: Exception => () })
         val fs = new Path(genDir).getFileSystem(taskConf)
-        writers.foreach { case (pp, (_, fileName, _)) =>
+        writers.foreach { case (pp, (_, fileName, _, _)) =>
           val file = if (pp.isEmpty) new Path(genDir, fileName)
             else new Path(s"$genDir/$pp", fileName)
           fs.delete(file, false)

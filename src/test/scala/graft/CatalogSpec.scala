@@ -317,6 +317,45 @@ class CatalogSpec extends GraftSuite {
       df.filter(col("ck") < 100).count())
   }
 
+  test("bloom table property prunes equality probes min/max stats cannot") {
+    import spark.implicits._
+    val t = freshTable("bloomy")
+    // Two commits whose s-value SETS are disjoint but whose s RANGES fully
+    // overlap (even vs odd ids, same lexical span) — min/max can never prune
+    // an equality probe here; only the per-file bloom can.
+    (0L until 200L by 2).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1).writeTo(t).tableProperty("bloom", "s").create()
+    (1L until 200L by 2).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1).writeTo(t).append()
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(root, "bloomy")
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.fileBlooms.size == 2, s"expected 2 blooms, got ${m.fileBlooms.keys}")
+    assert(m.bloomCol.contains("s"))
+    // min/max genuinely cannot decide: both files' s-ranges contain "v33".
+    val evenRel = m.entries.map(_._2).find(_.startsWith("gen-1")).get
+    val oddRel = m.entries.map(_._2).find(_.startsWith("gen-2")).get
+    // Find an odd value the bloom provably excludes from the EVEN file (fp
+    // rate ~0.1%, deterministic hashes — scan a few candidates).
+    val probe = (1L until 200L by 2).map(i => s"v$i").find(v =>
+      !graft.sources.GraftBloom.mightContain(m.fileBlooms(evenRel), v)).get
+    // Vandalize the even file; an equality read for `probe` must succeed
+    // without opening it, and return exactly the one odd row.
+    val fs = dir.getFileSystem(conf)
+    val evenFile = fs.globStatus(new Path(dir, "gen-1/*.parquet"))
+    evenFile.foreach { st =>
+      val out = fs.create(st.getPath, true)
+      try out.write("junk".getBytes) finally out.close()
+    }
+    val got = spark.table(t).filter(col("s") === probe).collect()
+    assert(got.length == 1 && got(0).getString(1) == probe)
+    // Soundness: a value genuinely in the even file must try to read it.
+    intercept[Exception] {
+      spark.table(t).filter(col("s") === "v42").collect()
+    }
+  }
+
   test("vacuum reclaims only unreferenced files; live snapshot stays readable") {
     val t = freshTable("vac")
     base.writeTo(t).partitionedBy(col("pk")).create()   // gen-1 files
