@@ -589,6 +589,49 @@ object TextQueries {
         .orderBy(col("n").desc, col("word")).limit(10)
     },
 
+    // B157: distributed BPE merge learning — the tokenizer-training kernel.
+    // Classic BPE at corpus scale: the word-frequency table is the ONLY
+    // distributed state (vocab-sized, not corpus-sized — the corpus collapses
+    // to (word, count) in one shuffle), each round counts adjacent symbol
+    // pairs weighted by word frequency (one hash agg), and the argmax pair
+    // (count DESC, pair ASC tie-break) becomes the next merge applied to
+    // every word's symbol string. The per-round argmax collect is ONE row —
+    // metadata-scale, the same posture as the IVF centroid loop. The merge
+    // pass is a contract shared verbatim with the oracle: pad with spaces,
+    // three left-to-right `replace`s (the second/third catch occurrences
+    // whose boundary space the previous replace consumed), trim — identical
+    // non-overlap semantics on both engines without regex lookbehind (which
+    // DuckDB's RE2 lacks).
+    "q_bpe_learn" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      var vocab = tok.select(
+        array_join(split(col("w"), ""), " ").as("sym"), col("c"))
+      // Spark's sequence(1, 0) runs DESCENDING, so single-symbol words must be
+      // fenced out before pair generation (they contribute no pairs anyway).
+      val pairsOf = expr(
+        """transform(sequence(1, size(split(sym, ' ')) - 1),
+          |  i -> concat(element_at(split(sym, ' '), i), ' ',
+          |              element_at(split(sym, ' '), i + 1)))""".stripMargin)
+      val merges = (1 to 3).map { step =>
+        val best = vocab.filter(size(split(col("sym"), " ")) >= 2)
+          .select(explode(pairsOf).as("pair"), col("c"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+        val (bp, bn) = (best.getString(0), best.getLong(1))
+        val merged = bp.replace(" ", "")
+        val (pat, rep) = (s" $bp ", s" $merged ")
+        def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
+        vocab = vocab.withColumn("sym",
+          trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))
+        (step.toLong, bp, merged, bn)
+      }
+      import s.implicits._
+      merges.toDF("step", "pair", "merged", "n").orderBy(col("step"))
+    },
+
     // B140: deterministic weight-biased sampling — per-language top-5 documents
     // by priority = (md5-derived uniform % 1000003) × n_chars, the integer-exact
     // variant of A-Res weighted reservoir sampling (the float u^(1/w) key is
@@ -714,6 +757,55 @@ object TextQueries {
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // B157: the full three-round BPE replayed pure-SQL — same tie-break
+    // (count DESC, pair ASC), same padded triple-replace merge contract.
+    "q_bpe_learn" ->
+      """WITH tok AS (
+        |  SELECT word AS w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |v0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sym, c FROM tok),
+        |p1 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(string_split(sym,' '))-1),
+        |    i -> string_split(sym,' ')[i] || ' ' || string_split(sym,' ')[i+1])) AS pair, c
+        |  FROM v0),
+        |a1 AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p1 GROUP BY 1
+        |       ORDER BY n DESC, pair LIMIT 1),
+        |v1 AS (SELECT trim(replace(replace(replace(' ' || sym || ' ',
+        |         ' ' || (SELECT pair FROM a1) || ' ',
+        |         ' ' || (SELECT replace(pair, ' ', '') FROM a1) || ' '),
+        |         ' ' || (SELECT pair FROM a1) || ' ',
+        |         ' ' || (SELECT replace(pair, ' ', '') FROM a1) || ' '),
+        |         ' ' || (SELECT pair FROM a1) || ' ',
+        |         ' ' || (SELECT replace(pair, ' ', '') FROM a1) || ' ')) AS sym, c
+        |       FROM v0),
+        |p2 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(string_split(sym,' '))-1),
+        |    i -> string_split(sym,' ')[i] || ' ' || string_split(sym,' ')[i+1])) AS pair, c
+        |  FROM v1),
+        |a2 AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p2 GROUP BY 1
+        |       ORDER BY n DESC, pair LIMIT 1),
+        |v2 AS (SELECT trim(replace(replace(replace(' ' || sym || ' ',
+        |         ' ' || (SELECT pair FROM a2) || ' ',
+        |         ' ' || (SELECT replace(pair, ' ', '') FROM a2) || ' '),
+        |         ' ' || (SELECT pair FROM a2) || ' ',
+        |         ' ' || (SELECT replace(pair, ' ', '') FROM a2) || ' '),
+        |         ' ' || (SELECT pair FROM a2) || ' ',
+        |         ' ' || (SELECT replace(pair, ' ', '') FROM a2) || ' ')) AS sym, c
+        |       FROM v1),
+        |p3 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(string_split(sym,' '))-1),
+        |    i -> string_split(sym,' ')[i] || ' ' || string_split(sym,' ')[i+1])) AS pair, c
+        |  FROM v2),
+        |a3 AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p3 GROUP BY 1
+        |       ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, n FROM a1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), n FROM a2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), n FROM a3
+        |ORDER BY step""".stripMargin,
+
     // B140: identical integer priority on both engines (md5-60bit % 1000003 ×
     // n_chars), so the sampled membership itself is hash-verified.
     "q_sample_weighted" ->
