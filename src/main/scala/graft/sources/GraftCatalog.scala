@@ -350,14 +350,19 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
     TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE,
     TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, manifest)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Streaming admission control: readStream.option("maxGensPerTrigger", N)
+    // caps how many manifest generations one micro-batch may absorb.
+    val maxGens = Option(options.get("maxGensPerTrigger")).map(_.toLong)
+    new GraftScanBuilder(dir, manifest, maxGens)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir, manifest, info)
 }
 
-class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
+class GraftScanBuilder(dir: Path, manifest: GraftManifest,
+    maxGensPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   protected var required: StructType = manifest.schema
   protected var partFilters: Array[Filter] = Array.empty
@@ -390,7 +395,8 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest) extends ScanBuilder
     }
 
   override def build(): Scan =
-    new GraftScan(dir, manifest, keptEntries, required, dataFilters)
+    new GraftScan(dir, manifest, keptEntries, required, dataFilters,
+      maxGensPerTrigger)
 }
 
 object GraftScanBuilder {
@@ -448,7 +454,8 @@ object GraftScanBuilder {
 /** Manifest-pruned scan; rows flow through the public V1 bridge. */
 class GraftScan(dir: Path, manifest: GraftManifest,
     val entries: Seq[(String, String)], required: StructType,
-    dataFilters: Array[Filter]) extends V1Scan {
+    dataFilters: Array[Filter],
+    maxGensPerTrigger: Option[Long] = None) extends V1Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftScan(gen=${manifest.gen}, entries=${entries.size}/${manifest.entries.size}, " +
@@ -461,7 +468,7 @@ class GraftScan(dir: Path, manifest: GraftManifest,
     * generation is an offset (see [[GraftMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(dir, manifest, required)
+    new GraftMicroBatchStream(dir, manifest, required, maxGensPerTrigger)
 }
 
 /** Generation number as a streaming offset. */
@@ -491,7 +498,8 @@ case class GraftFileSlice(partPath: String, rel: String, len: Long)
  * session so the iterator yields true rows, and partition-column values
  * re-attached from the directory path the same way the batch scan does.
  */
-class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: StructType)
+class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: StructType,
+    maxGensPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -505,9 +513,16 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
   override def initialOffset(): Offset = GenOffset(0L)
   override def latestOffset(): Offset =
     GenOffset(availableNowTarget.getOrElse(GraftManifest.currentGen(dir, conf)))
+  /** Admission control: a batch may advance at most maxGensPerTrigger
+    * generations — AvailableNow then drains in several micro-batches until
+    * reportLatestOffset is reached (the paced-drain contract the synth source
+    * pins in its spec). */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[GenOffset].gen
+    val from = start.asInstanceOf[GenOffset].gen
+    GenOffset(maxGensPerTrigger.fold(target)(m => math.min(target, from + m)))
+  }
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset = GenOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

@@ -317,6 +317,31 @@ class CatalogSpec extends GraftSuite {
       df.filter(col("ck") < 100).count())
   }
 
+  test("streaming source admission control: maxGensPerTrigger paces the drain") {
+    import spark.implicits._
+    val t = freshTable("paced")
+    base.writeTo(t).partitionedBy(col("pk")).create()        // gen 1
+    (300L until 350L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 2
+    (350L until 400L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 3
+    val ckpt = tmpDir("graft_paced_ckpt")
+    val q = spark.readStream.option("maxGensPerTrigger", "1").table(t)
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("graft_paced_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    // One generation per micro-batch: the drain must have taken >= 3 batches
+    // with input, and still land on the complete table.
+    val withInput = q.recentProgress.count(_.numInputRows > 0)
+    assert(withInput >= 3, s"expected a paced >=3-batch drain, got $withInput")
+    val snap = spark.table("graft_paced_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap.values.sum == 400, s"got $snap")
+  }
+
   test("bloom table property prunes equality probes min/max stats cannot") {
     import spark.implicits._
     val t = freshTable("bloomy")
