@@ -603,33 +603,36 @@ object TextQueries {
     // non-overlap semantics on both engines without regex lookbehind (which
     // DuckDB's RE2 lacks).
     "q_bpe_learn" -> { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
+      import s.implicits._
+      learnBpeMerges(s, d).toDF("step", "pair", "merged", "n").orderBy(col("step"))
+    },
+
+    // B159: BPE APPLICATION — the deploy side of B157's training: the learned
+    // (global) merges are applied to every language's vocabulary and the
+    // compression they buy is measured per language as integer basis points.
+    // Same vocab-level trick: the corpus never re-materializes — post-merge
+    // token counts are Σ symbols(word) × count over the (lang, word) table.
+    "q_bpe_apply" -> { (s, d) =>
+      val merges = learnBpeMerges(s, d)
+      val tokL = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      var vocab = tok.select(
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      var vocabL = tokL.select(col("lang"),
         array_join(split(col("w"), ""), " ").as("sym"), col("c"))
-      // Spark's sequence(1, 0) runs DESCENDING, so single-symbol words must be
-      // fenced out before pair generation (they contribute no pairs anyway).
-      val pairsOf = expr(
-        """transform(sequence(1, size(split(sym, ' ')) - 1),
-          |  i -> concat(element_at(split(sym, ' '), i), ' ',
-          |              element_at(split(sym, ' '), i + 1)))""".stripMargin)
-      val merges = (1 to 3).map { step =>
-        val best = vocab.filter(size(split(col("sym"), " ")) >= 2)
-          .select(explode(pairsOf).as("pair"), col("c"))
-          .groupBy(col("pair")).agg(sum(col("c")).as("n"))
-          .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
-        val (bp, bn) = (best.getString(0), best.getLong(1))
-        val merged = bp.replace(" ", "")
+      merges.foreach { case (_, bp, merged, _) =>
         val (pat, rep) = (s" $bp ", s" $merged ")
         def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
-        vocab = vocab.withColumn("sym",
+        vocabL = vocabL.withColumn("sym",
           trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))
-        (step.toLong, bp, merged, bn)
       }
-      import s.implicits._
-      merges.toDF("step", "pair", "merged", "n").orderBy(col("step"))
+      val pre = tokL.groupBy(col("lang"))
+        .agg(sum(length(col("w")) * col("c")).cast("long").as("n_pre"))
+      val post = vocabL.groupBy(col("lang"))
+        .agg(sum(size(split(col("sym"), " ")) * col("c")).cast("long").as("n_post"))
+      pre.join(post, "lang")
+        .withColumn("saved_bp", expr("(n_pre - n_post) * 10000 div n_pre"))
+        .orderBy(col("lang"))
     },
 
     // B140: deterministic weight-biased sampling — per-language top-5 documents
@@ -756,6 +759,36 @@ object TextQueries {
        |     / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 4) AS jaccard
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
 
+  /** B157's learn loop: three rounds of (pair-count hash agg → 1-row argmax →
+    * vocab merge). Spark's sequence(1, 0) runs DESCENDING, so single-symbol
+    * words are fenced out before pair generation. Returns
+    * (step, pair, merged, weighted pair count). */
+  private def learnBpeMerges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    var vocab = tok.select(
+      array_join(split(col("w"), ""), " ").as("sym"), col("c"))
+    val pairsOf = expr(
+      """transform(sequence(1, size(split(sym, ' ')) - 1),
+        |  i -> concat(element_at(split(sym, ' '), i), ' ',
+        |              element_at(split(sym, ' '), i + 1)))""".stripMargin)
+    (1 to 3).map { step =>
+      val best = vocab.filter(size(split(col("sym"), " ")) >= 2)
+        .select(explode(pairsOf).as("pair"), col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+      val (bp, bn) = (best.getString(0), best.getLong(1))
+      val merged = bp.replace(" ", "")
+      val (pat, rep) = (s" $bp ", s" $merged ")
+      def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
+      vocab = vocab.withColumn("sym",
+        trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))
+      (step.toLong, bp, merged, bn)
+    }
+  }
+
   val oracle: Map[String, String] = Map(
     // B157: the full three-round BPE replayed pure-SQL — same tie-break
     // (count DESC, pair ASC), same padded triple-replace merge contract.
@@ -805,6 +838,48 @@ object TextQueries {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), n FROM a3
         |ORDER BY step""".stripMargin,
+
+    // B159: global merges from the same three-round chain, applied to the
+    // per-language vocab; compression measured in integer basis points.
+    "q_bpe_apply" -> {
+      def pairStep(i: Int, src: String) =
+        s"""p$i AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(string_split(sym,' '))-1),
+           |    j -> string_split(sym,' ')[j] || ' ' || string_split(sym,' ')[j+1])) AS pair, c
+           |  FROM $src),
+           |a$i AS (SELECT pair FROM p$i GROUP BY pair
+           |        ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1)""".stripMargin
+      def mergeExpr(a: String) =
+        s"""trim(replace(replace(replace(' ' || sym || ' ',
+           |  ' ' || (SELECT pair FROM $a) || ' ', ' ' || (SELECT replace(pair,' ','') FROM $a) || ' '),
+           |  ' ' || (SELECT pair FROM $a) || ' ', ' ' || (SELECT replace(pair,' ','') FROM $a) || ' '),
+           |  ' ' || (SELECT pair FROM $a) || ' ', ' ' || (SELECT replace(pair,' ','') FROM $a) || ' '))""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT word AS w, count(*) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |v0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sym, c FROM tok),
+         |${pairStep(1, "v0")},
+         |v1 AS (SELECT ${mergeExpr("a1")} AS sym, c FROM v0),
+         |${pairStep(2, "v1")},
+         |v2 AS (SELECT ${mergeExpr("a2")} AS sym, c FROM v1),
+         |${pairStep(3, "v2")},
+         |tokL AS (
+         |  SELECT lang, word AS w, count(*) AS c
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1, 2),
+         |l0 AS (SELECT lang, array_to_string(string_split(w, ''), ' ') AS sym, c FROM tokL),
+         |l1 AS (SELECT lang, ${mergeExpr("a1")} AS sym, c FROM l0),
+         |l2 AS (SELECT lang, ${mergeExpr("a2")} AS sym, c FROM l1),
+         |l3 AS (SELECT lang, ${mergeExpr("a3")} AS sym, c FROM l2),
+         |pre AS (SELECT lang, CAST(sum(length(w) * c) AS BIGINT) AS n_pre FROM tokL GROUP BY 1),
+         |post AS (SELECT lang, CAST(sum(len(string_split(sym, ' ')) * c) AS BIGINT) AS n_post
+         |         FROM l3 GROUP BY 1)
+         |SELECT pre.lang, n_pre, n_post,
+         |  CAST((n_pre - n_post) * 10000 // n_pre AS BIGINT) AS saved_bp
+         |FROM pre JOIN post ON post.lang = pre.lang
+         |ORDER BY pre.lang""".stripMargin
+    },
 
     // B140: identical integer priority on both engines (md5-60bit % 1000003 ×
     // n_chars), so the sampled membership itself is hash-verified.

@@ -342,6 +342,28 @@ class CatalogSpec extends GraftSuite {
     assert(snap.values.sum == 400, s"got $snap")
   }
 
+  test("streaming source reads across ADD COLUMN evolution: old files NULL-fill") {
+    import spark.implicits._
+    val t = freshTable("evostream")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra BIGINT")
+    (300L until 320L).map(i => (i, i % 3, s"v$i", i * 2))
+      .toDF("id", "pk", "s", "extra").writeTo(t).append()
+    val ckpt = tmpDir("graft_evo_ckpt")
+    val q = spark.readStream.table(t)
+      .agg(count(lit(1)).as("n"), count(col("extra")).as("n_extra"),
+        sum(col("extra")).as("sum_extra"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("graft_evo_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val r = spark.table("graft_evo_sink").collect()(0)
+    assert(r.getLong(0) == 320, "all rows, old and new generations")
+    assert(r.getLong(1) == 20, "pre-evolution rows NULL-fill the new column")
+    assert(r.getLong(2) == (300L until 320L).map(_ * 2).sum)
+  }
+
   test("bloom table property prunes equality probes min/max stats cannot") {
     import spark.implicits._
     val t = freshTable("bloomy")
