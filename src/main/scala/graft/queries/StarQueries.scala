@@ -1817,15 +1817,23 @@ object StarQueries {
         expr("approx_percentile(value, array(0.5, 0.9), 100)").as("ap"),
         expr("round(percentile(value, 0.5), 4)").as("p50_exact"),
         expr("round(percentile(value, 0.9), 4)").as("p90_exact"))
+      // GK guarantees SOME rank of the returned value lies in (q±eps)n — the
+      // value's rank INTERVAL is [count(<v)+1, count(<=v)], so the audit must
+      // check interval overlap, not a single endpoint (duplicate-heavy data
+      // would otherwise flip the boolean while the sketch meets its bound).
       val audit = ev.join(broadcast(ap.select(col("event_type"), col("ap"))), "event_type")
         .groupBy(col("event_type")).agg(
-          sum(when(col("value") <= element_at(col("ap"), 1), 1L).otherwise(0L)).as("r50"),
-          sum(when(col("value") <= element_at(col("ap"), 2), 1L).otherwise(0L)).as("r90"))
-      def ok(r: Column, q: Double) =
-        abs(r - lit(q) * col("n")) <= lit(0.01) * col("n") + lit(1.0)
+          sum(when(col("value") < element_at(col("ap"), 1), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= element_at(col("ap"), 1), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < element_at(col("ap"), 2), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("value") <= element_at(col("ap"), 2), 1L).otherwise(0L)).as("le90"))
+      def ok(ltR: Column, leR: Column, q: Double) =
+        leR >= lit(q - 0.01) * col("n") - lit(1.0) &&
+          (ltR + lit(1L)) <= lit(q + 0.01) * col("n") + lit(1.0)
       ap.join(audit, "event_type")
         .select(col("event_type"), col("n"), col("p50_exact"), col("p90_exact"),
-          ok(col("r50"), 0.5).as("ok50"), ok(col("r90"), 0.9).as("ok90"))
+          ok(col("lt50"), col("le50"), 0.5).as("ok50"),
+          ok(col("lt90"), col("le90"), 0.9).as("ok90"))
         .orderBy(col("event_type"))
     },
 
@@ -1942,7 +1950,11 @@ object StarQueries {
           .outputMode("complete").format("memory").queryName("graft_cs_sink")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000); q.stop()
+        // A timed-out drain would ship a PARTIAL aggregate that reads as a
+        // correctness bug — fail loudly instead.
+        val done = q.awaitTermination(240000)
+        q.stop()
+        require(done, "q_catalog_stream: AvailableNow drain did not finish in 240s")
       }
       drain()                                           // snapshot batch
       base.filter(col("pk") === 2).writeTo("graft.cs").append()

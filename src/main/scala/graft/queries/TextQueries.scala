@@ -621,7 +621,7 @@ object TextQueries {
       var vocabL = tokL.select(col("lang"),
         array_join(split(col("w"), ""), " ").as("sym"), col("c"))
       merges.foreach { case (_, bp, merged, _) =>
-        val (pat, rep) = (s" $bp ", s" $merged ")
+        val (pat, rep) = (s" $bp ", java.util.regex.Matcher.quoteReplacement(s" $merged "))
         def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
         vocabL = vocabL.withColumn("sym",
           trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))
@@ -781,7 +781,7 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
       val (bp, bn) = (best.getString(0), best.getLong(1))
       val merged = bp.replace(" ", "")
-      val (pat, rep) = (s" $bp ", s" $merged ")
+      val (pat, rep) = (s" $bp ", java.util.regex.Matcher.quoteReplacement(s" $merged "))
       def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
       vocab = vocab.withColumn("sym",
         trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))

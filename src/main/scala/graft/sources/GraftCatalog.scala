@@ -141,6 +141,11 @@ class GraftCatalog extends TableCatalog {
       s"cluster column $c missing from schema"))
     keep.get("bloom").foreach(c => require(schema.fieldNames.contains(c),
       s"bloom column $c missing from schema"))
+    keep.foreach { case (k, v) =>
+      require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
+        s"table property '$k' contains a control character — " +
+          "the line-oriented manifest cannot store it")
+    }
     val m = GraftManifest(0L, schema, partCols.toSeq, Seq.empty, props = keep)
     GraftManifest.publish(dir, m, conf)
     new GraftTable(ident, dir, m)
@@ -319,12 +324,7 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
     * statement through the row-level copy-on-write rewrite below instead of
     * this table erroring out. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall { f =>
-      GraftScanBuilder.isPartitionFilter(f, manifest.partCols) && (f match {
-        case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) | IsNotNull(_) => true
-        case _ => false
-      })
-    }
+    filters.forall(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -510,7 +510,9 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(GraftManifest.currentGen(dir, conf))
-  override def initialOffset(): Offset = GenOffset(0L)
+  /** -1 = "the empty table before any commit": a fresh query's first batch is
+    * the full current snapshot even when VACUUM has deleted manifest-0. */
+  override def initialOffset(): Offset = GenOffset(-1L)
   override def latestOffset(): Offset =
     GenOffset(availableNowTarget.getOrElse(GraftManifest.currentGen(dir, conf)))
   /** Admission control: a batch may advance at most maxGensPerTrigger
@@ -532,12 +534,24 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
     val (s, e) = (start.asInstanceOf[GenOffset].gen, end.asInstanceOf[GenOffset].gen)
     if (s >= e) return Array.empty
     val c = conf
-    val before = GraftManifest.load(dir, s, c).entries.map(_._2).toSet
-    val added = GraftManifest.load(dir, e, c).entries.filterNot { case (_, r) => before(r) }
-    val fs = dir.getFileSystem(c)
+    // A vacuumed-away start generation means this checkpoint's position no
+    // longer exists — fail with the cause rather than re-emitting the world.
+    val before: Set[String] =
+      if (s < 0) Set.empty
+      else {
+        val fs = dir.getFileSystem(c)
+        require(fs.exists(new Path(dir, s"manifest-$s.txt")),
+          s"stream offset generation $s was removed by VACUUM — " +
+            "restart the query with a fresh checkpoint")
+        GraftManifest.load(dir, s, c).entries.map(_._2).toSet
+      }
+    val endManifest = GraftManifest.load(dir, e, c)
+    val added = endManifest.entries.filterNot { case (_, r) => before(r) }
+    lazy val fs = dir.getFileSystem(c)
     added.map { case (pp, rel) =>
-      GraftFileSlice(pp, rel, fs.getFileStatus(new Path(dir, rel)).getLen)
-        : InputPartition
+      val len = endManifest.fileBytes.getOrElse(rel,
+        fs.getFileStatus(new Path(dir, rel)).getLen)
+      GraftFileSlice(pp, rel, len): InputPartition
     }.toArray
   }
 
@@ -1003,11 +1017,19 @@ object GraftFileStats {
       case None    => s"${enc(name)}:$nulls"
     }
 
-  /** Stats-string comparison under the column's type order; None = incomparable. */
+  private def ascii(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** Stats-string comparison under the column's type order; None = incomparable.
+    * Strings compare ONLY when both sides are pure ASCII: above 0x7F Java's
+    * UTF-16 order and Spark's UTF-8 binary order diverge (surrogate range vs
+    * U+E000..U+FFFF), and range pruning must follow the order Spark evaluates
+    * predicates in — declining is sound, mis-ordering is not. */
   private def cmp(dt: DataType, a: String, b: Any): Option[Int] =
     if (b == null) None
     else dt match {
-      case StringType => Some(a.compareTo(b.toString))
+      case StringType =>
+        val bs = b.toString
+        if (ascii(a) && ascii(bs)) Some(a.compareTo(bs)) else None
       case IntegerType | LongType | ShortType | DoubleType | FloatType =>
         try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b.toString)))
         catch { case _: NumberFormatException => None }
@@ -1059,7 +1081,7 @@ object GraftFileStats {
       // A string starting with prefix p sorts within [p, p∞): the file range
       // excludes every such string iff max < p or min's p-length prefix > p.
       case StringStartsWith(a, p) if p != null => bounds(a) match {
-        case Some((_, Some(mn), Some(mx))) =>
+        case Some((_, Some(mn), Some(mx))) if ascii(mn) && ascii(mx) && ascii(p) =>
           mx.compareTo(p) < 0 || mn.take(p.length).compareTo(p) > 0
         case Some((_, None, None)) => true
         case _ => false
@@ -1126,6 +1148,7 @@ class GraftStatsCollector(dataSchema: StructType) {
   private val cols = dataSchema.fields.zipWithIndex
     .filter { case (f, _) => GraftFileStats.eligible(f.dataType) }
   private val nulls = Array.fill[Long](cols.length)(0L)
+  private val nonNulls = Array.fill[Long](cols.length)(0L)
   private val mins = Array.fill[String](cols.length)(null)
   private val maxs = Array.fill[String](cols.length)(null)
 
@@ -1135,15 +1158,21 @@ class GraftStatsCollector(dataSchema: StructType) {
       val (f, i) = cols(k)
       if (row.isNullAt(i)) nulls(k) += 1
       else {
+        nonNulls(k) += 1
         // Materialize once; numeric strings compare via BigDecimal at prune
         // time, strings via Java order on both sides (consistent = sound).
+        // NaN/Infinity have no BigDecimal form and no place in a range — they
+        // are counted as non-null but excluded from min/max (the column is
+        // then published WITHOUT bounds, see encode — never mis-pruned).
         val v = f.dataType match {
           case StringType => row.getUTF8String(i).toString
           case IntegerType => row.getInt(i).toString
           case LongType => row.getLong(i).toString
           case ShortType => row.getShort(i).toString
-          case DoubleType => row.getDouble(i).toString
-          case FloatType => row.getFloat(i).toString
+          case DoubleType =>
+            val d = row.getDouble(i); if (java.lang.Double.isFinite(d)) d.toString else null
+          case FloatType =>
+            val fl = row.getFloat(i); if (java.lang.Float.isFinite(fl)) fl.toString else null
           case _ => null
         }
         if (v != null) {
@@ -1159,9 +1188,16 @@ class GraftStatsCollector(dataSchema: StructType) {
     }
   }
 
-  def encode: String = cols.indices.map { k =>
-    GraftFileStats.encodeCol(cols(k)._1.name, nulls(k),
-      Option(mins(k)), Option(maxs(k)))
+  def encode: String = cols.indices.flatMap { k =>
+    // Three shapes: bounds known -> 4-field; provably all-null -> 2-field;
+    // non-nulls exist but no bounds (non-finite floats) -> OMIT the column,
+    // which the prune side treats as "never prune".
+    if (mins(k) != null)
+      Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k),
+        Option(mins(k)), Option(maxs(k))))
+    else if (nonNulls(k) == 0L)
+      Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k), None, None))
+    else None
   }.mkString(";")
 }
 

@@ -456,6 +456,8 @@ class CatalogSpec extends GraftSuite {
     }
     assert(spark.table(t).filter(col("id") < 100).count() == 100)
     assert(spark.table(t).filter(col("id") === 7L).count() == 1)
+    // Every file pruned: the scan must produce an empty relation, not crash.
+    assert(spark.table(t).filter(col("id") === 555L).count() == 0)
     assert(spark.table(t).filter(col("s").startsWith("lo")).count() == 100)
     intercept[Exception] { spark.table(t).count() }
     // Skipping is sound, not just lucky: a predicate that DOES touch the
