@@ -261,6 +261,9 @@ object GraftManifest {
       (m.fileBytes.get(d), bloom) match {
         case (Some(b), bl) if bl.nonEmpty => body ++= s"entry=$p\t$d\t$st\t$b\t$bl\n"
         case (Some(b), _)                 => body ++= s"entry=$p\t$d\t$st\t$b\n"
+        // No byte size but a bloom (mixed-vintage manifests): keep the bloom
+        // alive with an empty bytes placeholder — load skips the empty field.
+        case (None, bl) if bl.nonEmpty    => body ++= s"entry=$p\t$d\t$st\t\t$bl\n"
         case (None, _) if st.nonEmpty     => body ++= s"entry=$p\t$d\t$st\n"
         case _                            => body ++= s"entry=$p\t$d\n"
       }
@@ -523,7 +526,23 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val target = latestOffset().asInstanceOf[GenOffset].gen
     val from = start.asInstanceOf[GenOffset].gen
-    GenOffset(maxGensPerTrigger.fold(target)(m => math.min(target, from + m)))
+    val paced = maxGensPerTrigger.fold(target)(m => math.min(target, from + m))
+    // VACUUM deletes manifests below its retention horizon: a paced
+    // intermediate end offset (from+m) may name a deleted manifest — e.g. a
+    // fresh query (start=-1) over a vacuumed table would try manifest-0.
+    // Clamp the end FORWARD to the oldest retained generation so the first
+    // batch lands on a manifest that still exists (its entry list carries the
+    // full surviving snapshot, so no rows are skipped by the jump).
+    GenOffset(if (paced >= target) paced else math.max(paced, oldestRetainedGen))
+  }
+
+  /** Smallest generation whose manifest still exists (VACUUM reclaims from 0
+    * upward, so retained manifests are always a contiguous suffix). */
+  private def oldestRetainedGen: Long = {
+    val fs = dir.getFileSystem(conf)
+    val st = fs.globStatus(new Path(dir, "manifest-*.txt"))
+    if (st == null || st.isEmpty) 0L
+    else st.map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong).min
   }
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset = GenOffset(json.trim.toLong)
@@ -545,6 +564,11 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
             "restart the query with a fresh checkpoint")
         GraftManifest.load(dir, s, c).entries.map(_._2).toSet
       }
+    // Backstop for the end offset too (a checkpointed intermediate end can be
+    // vacuumed between restarts): fail with the cause, not a raw read error.
+    require(dir.getFileSystem(c).exists(new Path(dir, s"manifest-$e.txt")),
+      s"stream offset generation $e was removed by VACUUM — " +
+        "restart the query with a fresh checkpoint")
     val endManifest = GraftManifest.load(dir, e, c)
     val added = endManifest.entries.filterNot { case (_, r) => before(r) }
     lazy val fs = dir.getFileSystem(c)
@@ -1151,6 +1175,11 @@ class GraftStatsCollector(dataSchema: StructType) {
   private val nonNulls = Array.fill[Long](cols.length)(0L)
   private val mins = Array.fill[String](cols.length)(null)
   private val maxs = Array.fill[String](cols.length)(null)
+  // NaN/Infinity sit OUTSIDE any finite [min,max] under Spark's ordering
+  // (NaN > everything, ±Inf beyond every finite bound), so a file that mixes
+  // finite and non-finite values must publish NO bounds at all — finite
+  // bounds would let `x > 10` prune a file holding +Infinity.
+  private val sawNonFinite = Array.fill[Boolean](cols.length)(false)
 
   def update(row: InternalRow): Unit = {
     var k = 0
@@ -1170,9 +1199,13 @@ class GraftStatsCollector(dataSchema: StructType) {
           case LongType => row.getLong(i).toString
           case ShortType => row.getShort(i).toString
           case DoubleType =>
-            val d = row.getDouble(i); if (java.lang.Double.isFinite(d)) d.toString else null
+            val d = row.getDouble(i)
+            if (java.lang.Double.isFinite(d)) d.toString
+            else { sawNonFinite(k) = true; null }
           case FloatType =>
-            val fl = row.getFloat(i); if (java.lang.Float.isFinite(fl)) fl.toString else null
+            val fl = row.getFloat(i)
+            if (java.lang.Float.isFinite(fl)) fl.toString
+            else { sawNonFinite(k) = true; null }
           case _ => null
         }
         if (v != null) {
@@ -1189,10 +1222,13 @@ class GraftStatsCollector(dataSchema: StructType) {
   }
 
   def encode: String = cols.indices.flatMap { k =>
-    // Three shapes: bounds known -> 4-field; provably all-null -> 2-field;
-    // non-nulls exist but no bounds (non-finite floats) -> OMIT the column,
-    // which the prune side treats as "never prune".
-    if (mins(k) != null)
+    // Three shapes: finite-only bounds -> 4-field; provably all-null ->
+    // 2-field; ANY non-finite value seen (even alongside finite ones) ->
+    // OMIT the column, which the prune side treats as "never prune". Mixed
+    // finite+NaN/Inf files must not publish their finite sub-range: the
+    // non-finite values live outside it and a range predicate would mis-prune.
+    if (sawNonFinite(k)) None
+    else if (mins(k) != null)
       Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k),
         Option(mins(k)), Option(maxs(k))))
     else if (nonNulls(k) == 0L)

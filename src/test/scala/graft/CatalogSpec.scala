@@ -465,6 +465,91 @@ class CatalogSpec extends GraftSuite {
     intercept[Exception] { spark.table(t).filter(col("id") >= 1000).count() }
   }
 
+  test("mixed finite+NaN/Inf files publish no bounds and are never mis-pruned") {
+    import spark.implicits._
+    val t = freshTable("nonfinite")
+    // One file whose double column mixes finite values with +Inf and NaN: its
+    // finite sub-range [1,2] must NOT become the published bounds — `x > 10`
+    // would then prune a file that contains +Infinity (which satisfies it).
+    Seq((1L, 1.0), (2L, 2.0), (3L, Double.PositiveInfinity), (4L, Double.NaN))
+      .toDF("id", "x").coalesce(1).writeTo(t).create()
+    // And a finite-only file far below the predicate, to prove skipping still
+    // works where it is sound.
+    Seq((10L, 5.0), (11L, 6.0)).toDF("id", "x").coalesce(1).writeTo(t).append()
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(root, "nonfinite")
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    val mixedRel = m.entries.map(_._2).find(_.startsWith("gen-1")).get
+    val finiteRel = m.entries.map(_._2).find(_.startsWith("gen-2")).get
+    val mixedStats = graft.sources.GraftFileStats.parse(m.fileStats(mixedRel))
+    assert(!mixedStats.contains("x"),
+      s"mixed finite+non-finite column must publish NO bounds, got $mixedStats")
+    assert(mixedStats.contains("id"), "finite columns in the same file keep stats")
+    assert(graft.sources.GraftFileStats.parse(m.fileStats(finiteRel)).contains("x"))
+    // The range predicate keeps the mixed file (Inf and NaN both exceed 10
+    // under Spark's ordering) and may skip the finite file.
+    import org.apache.spark.sql.sources.GreaterThan
+    val filters: Array[org.apache.spark.sql.sources.Filter] = Array(GreaterThan("x", 10.0))
+    assert(graft.sources.GraftFileStats.mayMatch(
+      m.fileStats.get(mixedRel), filters, m.dataSchema), "must keep the Inf/NaN file")
+    assert(!graft.sources.GraftFileStats.mayMatch(
+      m.fileStats.get(finiteRel), filters, m.dataSchema), "finite file provably excluded")
+    // End to end: the rows actually come back.
+    val got = spark.table(t).filter(col("x") > 10.0).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 4L), s"Inf and NaN rows must survive skipping, got $got")
+  }
+
+  test("paced stream on a vacuumed table clamps its first offset forward") {
+    import spark.implicits._
+    val t = freshTable("pacedvac")
+    base.writeTo(t).partitionedBy(col("pk")).create()        // gens 0,1
+    (300L until 350L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 2
+    (350L until 400L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 3
+    // Reclaim everything below the current generation: manifests 0..2 die.
+    val (_, manifests) =
+      graft.sources.GraftCatalogOps.vacuum(spark, root, "pacedvac", keepGens = 1)
+    assert(manifests == 3)
+    // A FRESH paced query starts at -1; its first paced end (-1+1 = 0) names a
+    // vacuumed manifest. The source must clamp forward to the oldest retained
+    // generation and deliver the full surviving snapshot — not crash on
+    // manifest-0.
+    val ckpt = tmpDir("graft_pacedvac_ckpt")
+    val q = spark.readStream.option("maxGensPerTrigger", "1").table(t)
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("ids"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("graft_pacedvac_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val r = spark.table("graft_pacedvac_sink").collect()(0)
+    assert(r.getLong(0) == 400, s"full snapshot must arrive, got ${r.getLong(0)}")
+    assert(r.getLong(1) == (0L until 400L).sum)
+  }
+
+  test("manifest publish keeps a bloom even when the file has no byte size") {
+    // Mixed-vintage manifests can carry a bloom without a byte entry; the
+    // line encoding must not silently drop it into a shorter arity.
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(tmpDir("graft_bloomkeep"), "t")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, s STRING")
+    val bloom = graft.sources.GraftBloom.encode {
+      val b = new java.util.BitSet(graft.sources.GraftBloom.Bits)
+      graft.sources.GraftBloom.positions("v1").foreach(b.set); b
+    }
+    val m = graft.sources.GraftManifest(0L, schema, Seq.empty,
+      entries = Seq(("", "gen-0/f.parquet")),
+      fileBlooms = Map("gen-0/f.parquet" -> bloom)) // note: no fileBytes entry
+    graft.sources.GraftManifest.publish(dir, m, conf)
+    val back = graft.sources.GraftManifest.load(dir, 0L, conf)
+    assert(back.fileBlooms.get("gen-0/f.parquet").contains(bloom),
+      "bloom must survive a publish/load roundtrip without byte stats")
+    assert(back.fileBytes.isEmpty && back.entries == m.entries)
+  }
+
   test("non-partition filters reach the inner parquet scan (row-group skipping)") {
     val t = freshTable("push")
     base.writeTo(t).partitionedBy(col("pk")).create()
