@@ -1995,6 +1995,79 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B160 query witness: merge-on-read row-level DML via positional deletion
+    // vectors (`dml=dv`). DELETE, UPDATE, and MERGE run against the catalog
+    // table WITHOUT rewriting any existing data file — deletes become DV
+    // entries, updates delete+insert — and the query proves it structurally:
+    // `no_rewrite` checks every original (gen-1) file survives verbatim in
+    // the final manifest, `has_dvs` that deletion vectors actually exist.
+    // The oracle replays the DML relationally and pins both booleans true.
+    "q_catalog_dv" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.dvt")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.dvt").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()
+      s.sql("DELETE FROM graft.dvt WHERE o_orderkey % 7 = 3")
+      s.sql("UPDATE graft.dvt SET cents = cents + 11 WHERE o_orderkey % 13 = 0")
+      Tables.orders(s, d).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (expr("CAST(floor(o_totalprice * 100) AS BIGINT)") + 200000).as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .createOrReplaceTempView("dvt_src")
+      s.sql(
+        """MERGE INTO graft.dvt t USING dvt_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, cents, pk)
+          |  VALUES (s.o_orderkey, s.cents, s.pk)""".stripMargin)
+      // Structural proof, manifest-scale driver reads only: the original
+      // commit's files all survive, and DVs carry the deletes.
+      import org.apache.hadoop.fs.Path
+      val conf = s.sessionState.newHadoopConf()
+      val dir = new Path(Tables.scratchDir(s, "catalog", d), "dvt")
+      val cur = graft.sources.GraftManifest.load(dir,
+        graft.sources.GraftManifest.currentGen(dir, conf), conf)
+      val orig = graft.sources.GraftManifest.load(dir, 1L, conf)
+      val noRewrite = orig.entries.toSet.subsetOf(cur.entries.toSet)
+      val hasDvs = cur.fileDVs.nonEmpty
+      s.table("graft.dvt").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("has_dvs", lit(hasDvs))
+        .orderBy(col("pk"))
+    },
+
+    // B161 query witness: OPTIMIZE — catalog compaction that collapses a
+    // fragmented file set (4 commits × 3 partitions) to one file per
+    // partition AND materializes deletion vectors away, in one atomic
+    // dynamic-overwrite commit. `compacted` / `dvs_cleared` pin the
+    // structural outcome; the hash-verified aggregate pins losslessness.
+    "q_catalog_optimize" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.optq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .writeTo("graft.optq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()
+      (1 to 3).foreach { r =>
+        base.filter(pmod(col("o_orderkey"), lit(4)) === r)
+          .writeTo("graft.optq").append()
+      }
+      s.sql("DELETE FROM graft.optq WHERE o_orderkey % 9 = 5")
+      val (filesBefore, dvsBefore, filesAfter, dvsAfter) =
+        graft.sources.GraftCatalogOps.optimize(s, "graft.optq",
+          Tables.scratchDir(s, "catalog", d), "optq")
+      s.table("graft.optq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("compacted", lit(filesAfter < filesBefore))
+        .withColumn("dvs_cleared", lit(dvsBefore > 0 && dvsAfter == 0))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3151,6 +3224,42 @@ object StarQueries {
         |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B160: DELETE → UPDATE → MERGE replayed relationally; the structural
+    // booleans (no file rewritten, DVs present) are pinned true — the engine
+    // computes them from the manifests and a false value hash-fails.
+    "q_catalog_dv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders),
+        |d1 AS (SELECT * FROM base WHERE k % 7 <> 3),
+        |u1 AS (SELECT k, CASE WHEN k % 13 = 0 THEN cents + 11 ELSE cents END AS cents, pk
+        |       FROM d1),
+        |src AS (SELECT o_orderkey AS k,
+        |          CAST(floor(o_totalprice * 100) AS BIGINT) + 200000 AS cents,
+        |          o_orderkey % 3 AS pk
+        |        FROM orders WHERE o_orderkey % 4 = 0),
+        |merged AS (
+        |  SELECT u.k, coalesce(s.cents, u.cents) AS cents, u.pk
+        |  FROM u1 u LEFT JOIN src s ON s.k = u.k
+        |  UNION ALL
+        |  SELECT s.k, s.cents, s.pk FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM u1 u WHERE u.k = s.k))
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS no_rewrite, true AS has_dvs
+        |FROM merged GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B161: OPTIMIZE losslessness — live data equals orders minus the DV
+    // deletes; compaction/dv-reclaim outcomes pinned true.
+    "q_catalog_optimize" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS compacted, true AS dvs_cleared
+        |FROM base WHERE k % 9 <> 5 GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B150: the oracle reproduces band 1 from parquet alone and pins the
     // skip count: 4 single-file commits, 3 provably outside the predicate.

@@ -141,6 +141,8 @@ class GraftCatalog extends TableCatalog {
       s"cluster column $c missing from schema"))
     keep.get("bloom").foreach(c => require(schema.fieldNames.contains(c),
       s"bloom column $c missing from schema"))
+    keep.get("dml").foreach(v => require(v == "cow" || v == "dv",
+      s"dml table property must be cow or dv, got $v"))
     keep.foreach { case (k, v) =>
       require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
         s"table property '$k' contains a control character — " +
@@ -195,7 +197,8 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     fileStats: Map[String, String] = Map.empty,
     fileBytes: Map[String, Long] = Map.empty,
     props: Map[String, String] = Map.empty,
-    fileBlooms: Map[String, String] = Map.empty) {
+    fileBlooms: Map[String, String] = Map.empty,
+    fileDVs: Map[String, String] = Map.empty) {
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
   /** Column carrying a per-file Bloom filter (`bloom=<col>` table property). */
@@ -226,6 +229,7 @@ object GraftManifest {
     val bytes = scala.collection.mutable.Map.empty[String, Long]
     val props = scala.collection.mutable.Map.empty[String, String]
     val blooms = scala.collection.mutable.Map.empty[String, String]
+    val dvs = scala.collection.mutable.Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
@@ -237,6 +241,7 @@ object GraftManifest {
           if (t.length > 2 && t(2).nonEmpty) stats(t(1)) = t(2)
           if (t.length > 3 && t(3).nonEmpty) bytes(t(1)) = t(3).toLong
           if (t.length > 4 && t(4).nonEmpty) blooms(t(1)) = t(4)
+          if (t.length > 5 && t(5).nonEmpty) dvs(t(1)) = t(5)
         case ("txn", t)      => txns += t
         case ("prop", kv)    =>
           val j = kv.indexOf('\t'); if (j > 0) props(kv.take(j)) = kv.drop(j + 1)
@@ -244,7 +249,7 @@ object GraftManifest {
       }
     }
     GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap,
-      bytes.toMap, props.toMap, blooms.toMap)
+      bytes.toMap, props.toMap, blooms.toMap, dvs.toMap)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -256,17 +261,15 @@ object GraftManifest {
     body ++= s"schema=${m.schema.toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) =>
-      val st = m.fileStats.getOrElse(d, "")
-      val bloom = m.fileBlooms.getOrElse(d, "")
-      (m.fileBytes.get(d), bloom) match {
-        case (Some(b), bl) if bl.nonEmpty => body ++= s"entry=$p\t$d\t$st\t$b\t$bl\n"
-        case (Some(b), _)                 => body ++= s"entry=$p\t$d\t$st\t$b\n"
-        // No byte size but a bloom (mixed-vintage manifests): keep the bloom
-        // alive with an empty bytes placeholder — load skips the empty field.
-        case (None, bl) if bl.nonEmpty    => body ++= s"entry=$p\t$d\t$st\t\t$bl\n"
-        case (None, _) if st.nonEmpty     => body ++= s"entry=$p\t$d\t$st\n"
-        case _                            => body ++= s"entry=$p\t$d\n"
-      }
+      // Fixed field order (stats, bytes, bloom, dv) with trailing empties
+      // trimmed: earlier-vintage arities stay byte-identical, and a present
+      // later field (e.g. a bloom without bytes) keeps its position via empty
+      // placeholders — load skips empty fields, so nothing is silently lost.
+      val fields = Seq(m.fileStats.getOrElse(d, ""),
+        m.fileBytes.get(d).map(_.toString).getOrElse(""),
+        m.fileBlooms.getOrElse(d, ""), m.fileDVs.getOrElse(d, ""))
+      val trimmed = fields.reverse.dropWhile(_.isEmpty).reverse
+      body ++= (Seq(s"entry=$p", d) ++ trimmed).mkString("\t") + "\n"
     }
     m.props.foreach { case (k, v) => body ++= s"prop=$k\t$v\n" }
     m.txns.foreach(t => body ++= s"txn=$t\n")
@@ -309,16 +312,29 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
       override def dataType(): DataType = StringType
       override def isNullable(): Boolean = false
       override def comment(): String = "manifest rel path of this row's file"
+    },
+    new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "row ordinal within this row's file (deletion-vector row id)"
     })
 
-  /** UPDATE / MERGE / non-partition DELETE via group-based copy-on-write:
-    * the operation's scan records which files it planned (the GROUPS), Spark
-    * rewrites their full content with changes applied, and the commit swaps
-    * exactly those files for the new ones — one atomic manifest publish. */
+  /** UPDATE / MERGE / non-partition DELETE. Two engines, chosen by the
+    * `dml` table property:
+    *  - copy-on-write (default): Spark rewrites the touched files' full
+    *    content and the commit swaps them — read-optimized, write-amplified.
+    *  - `dml=dv` merge-on-read: the operation emits per-row deltas keyed by
+    *    (_file, _pos); deletes become deletion-vector entries, updates become
+    *    delete+insert, and NO existing file is rewritten — the scale-safe
+    *    shape for frequent point DML on huge files. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(dir, manifest, info.command())
+    () =>
+      if (manifest.props.get("dml").contains("dv"))
+        new GraftDeltaRowLevelOperation(dir, manifest, info.command())
+      else new GraftRowLevelOperation(dir, manifest, info.command())
 
   /** SQL DELETE FROM … WHERE on partition keys: a metadata-only commit that
     * drops the selected partitions' entries (files stay for time travel).
@@ -480,7 +496,8 @@ case class GenOffset(gen: Long)
   override def json(): String = gen.toString
 }
 
-case class GraftFileSlice(partPath: String, rel: String, len: Long)
+case class GraftFileSlice(partPath: String, rel: String, len: Long,
+    dvRel: String = "")
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /**
@@ -575,7 +592,12 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
     added.map { case (pp, rel) =>
       val len = endManifest.fileBytes.getOrElse(rel,
         fs.getFileStatus(new Path(dir, rel)).getLen)
-      GraftFileSlice(pp, rel, len): InputPartition
+      // A file streams with the deletion vector it carried AT ITS EMITTING
+      // generation — the snapshot the batch claims to deliver. (Later DV
+      // growth is a row REMOVAL, which an append-derived stream intentionally
+      // does not re-emit — same posture as entry removals above.)
+      GraftFileSlice(pp, rel, len,
+        endManifest.fileDVs.getOrElse(rel, "")): InputPartition
     }.toArray
   }
 
@@ -600,14 +622,17 @@ object GraftParquetRead {
   def readerFactory(tableDir: String, manifest: GraftManifest,
                     required: StructType): PartitionReaderFactory = {
     val rowSession = SparkSession.active
-    val metaNames = Set("_gen", "_file")
+    val conf = new SerializableHadoopConf(rowSession.sessionState.newHadoopConf())
+    val metaNames = Set("_gen", "_file", "_pos")
+    val wantsPos = required.fieldNames.contains("_pos")
     val dataFields = required.fields.filterNot(f =>
       manifest.partCols.contains(f.name) || metaNames(f.name))
     // `_gen` / `_file` ride the partition-values channel: per-file constants
-    // the parquet reader appends without the file containing them.
+    // the parquet reader appends without the file containing them. `_pos`
+    // varies per row — appended by the ordinal counter below instead.
     val partFields = manifest.partCols.filter(required.fieldNames.contains)
       .map(manifest.schema.apply) ++
-      required.fields.filter(f => metaNames(f.name))
+      required.fields.filter(f => f.name == "_gen" || f.name == "_file")
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = false))
     val readerFn = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
@@ -622,10 +647,12 @@ object GraftParquetRead {
         options = Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = rowSession.sessionState.newHadoopConf())
-    // The parquet reader emits dataFields ++ partFields; the scan's readSchema
-    // (`required`) may interleave partition columns in table order — realign
-    // with an executor-side unsafe projection when the orders differ.
-    val readerOrder = (dataFields ++ partFields).map(_.name)
+    // The parquet reader emits dataFields ++ partFields (++ _pos when asked);
+    // the scan's readSchema (`required`) may interleave partition columns in
+    // table order — realign with an executor-side unsafe projection when the
+    // orders differ.
+    val readerOrder = (dataFields ++ partFields).map(_.name) ++
+      (if (wantsPos) Seq("_pos") else Nil)
     val outIdx = required.fields.map(f => readerOrder.indexOf(f.name))
     val needsRealign = !outIdx.sameElements(outIdx.indices)
     val outFields = required.fields
@@ -653,12 +680,32 @@ object GraftParquetRead {
             b.rowIterator().asScala
           case r => Iterator.single(r.asInstanceOf[InternalRow])
         }
-        val it = if (!needsRealign) raw else {
+        // Deletion-vector merge + `_pos` row ids. The ordinal counts the
+        // row's ORIGINAL position in the file (pre-filter), so DVs composed
+        // from a later operation still reference true file ordinals. The
+        // slice is always the whole file from offset 0, so iteration order
+        // IS file order.
+        var ord = -1L
+        val merged: Iterator[InternalRow] =
+          if (slice.dvRel.isEmpty && !wantsPos) raw
+          else {
+            val dv = if (slice.dvRel.isEmpty) null
+              else GraftDV.read(new Path(tableDir), slice.dvRel, conf.value)
+            val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+            val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+            raw.flatMap { r =>
+              ord += 1
+              if (dv != null && GraftDV.contains(dv, ord)) None
+              else if (!wantsPos) Some(r)
+              else { posRow.update(0, ord); Some(joined(r, posRow)) }
+            }
+          }
+        val it = if (!needsRealign) merged else {
           val proj = UnsafeProjection.create(outFields.zip(outIdx).map { case (f, i) =>
             BoundReference(i, f.dataType, f.nullable)
               : org.apache.spark.sql.catalyst.expressions.Expression
           }.toIndexedSeq)
-          raw.map(proj)
+          merged.map(proj)
         }
         new PartitionReader[InternalRow] {
           override def next(): Boolean = it.hasNext
@@ -715,7 +762,8 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
     kept.map { case (pp, rel) =>
       val len = manifest.fileBytes.getOrElse(rel,
         fs.getFileStatus(new Path(dir, rel)).getLen)
-      GraftFileSlice(pp, rel, len): InputPartition
+      GraftFileSlice(pp, rel, len,
+        manifest.fileDVs.getOrElse(rel, "")): InputPartition
     }.toArray
   }
 
@@ -772,22 +820,43 @@ class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
       if (reqData.isEmpty) StructType(manifest.dataSchema.fields.take(1)) else reqData
     // Group by (partition, generation): partition values AND the `_gen`
     // metadata column are per-group constants attached as literals. When the
-    // per-FILE `_file` column is requested, the grouping refines to single
-    // entries so the literal is exact (rare path — provenance queries).
+    // per-FILE `_file` column is requested — or a file carries a deletion
+    // vector (whose positions are file-local) — the grouping refines to
+    // single entries so the literal / position space is exact.
     val wantsGen = required.fieldNames.contains("_gen")
     val wantsFile = required.fieldNames.contains("_file")
+    val wantsPos = required.fieldNames.contains("_pos")
+    val hConf = spark.sessionState.newHadoopConf()
     val perPartition = entries
       .groupBy(e => (e._1, GraftParquetRead.genOf(e._2),
-        if (wantsFile) e._2 else "")).toSeq
+        if (wantsFile || manifest.fileDVs.contains(e._2)) e._2 else "")).toSeq
       .map { case ((partPath, gen, relKey), es) =>
       val dirs = es.map { case (_, rel) => new Path(dir, rel).toString }
       var df = spark.read.schema(readSchema).parquet(dirs: _*)
+      // Deletion-vector merge: read the file WITH its parquet row index and
+      // anti-join the (tiny, broadcast) deleted-position list. Positions are
+      // file-local, which the single-file grouping above guarantees. A DV
+      // large enough to strain a broadcast should have been a copy-on-write
+      // rewrite in the first place — that is the documented dv-vs-cow policy.
+      val dvRel = manifest.fileDVs.get(relKey)
+      val needPos = wantsPos || dvRel.isDefined
+      if (needPos)
+        df = df.select(col("*"),
+          col("_metadata.row_index").as("__graft_pos"))
+      dvRel.foreach { dv =>
+        val positions = GraftDV.read(dir, dv, hConf)
+        val posDf = spark.createDataset(positions.toIndexedSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("__graft_pos")
+        df = df.join(org.apache.spark.sql.functions.broadcast(posDf),
+          Seq("__graft_pos"), "left_anti")
+      }
       val values = GraftScanBuilder.partValues(partPath)
       reqPart.foreach { c =>
         df = df.withColumn(c, lit(values(c)).cast(manifest.schema(c).dataType))
       }
       if (wantsGen) df = df.withColumn("_gen", lit(gen))
       if (wantsFile) df = df.withColumn("_file", lit(relKey))
+      if (wantsPos) df = df.withColumn("_pos", col("__graft_pos"))
       // Re-express the pushed-but-unhandled data filters as Column predicates so
       // Catalyst pushes them into the inner parquet scan (row-group statistics
       // skipping).  Untranslatable filters are simply skipped — Spark re-applies
@@ -880,6 +949,168 @@ class GraftRowLevelOperation(dir: Path, manifest: GraftManifest,
           "replace-groups", Array.empty,
           () => scanRef.map(_.currentEntries).getOrElse(Seq.empty))
     }
+}
+
+/**
+ * Delta-based (merge-on-read) row-level operation — the `dml=dv` engine for
+ * SQL UPDATE / MERGE / non-partition DELETE. Spark plans the operation's scan
+ * over ONLY the matching rows (the WHERE predicate pushes into the scan, with
+ * manifest partition + min/max + bloom pruning all applying), tags each
+ * output row with an operation and its (_file, _pos) row id, and streams the
+ * deltas to this operation's write: deletes become deletion-vector positions,
+ * updates are split into delete+insert, inserts append new files. NO existing
+ * file is read in full or rewritten — a point delete in a 1 GB file costs a
+ * few bytes of DV, which is the scale-safe shape for frequent small DML at
+ * 100 TB (copy-on-write remains the read-optimized default).
+ */
+class GraftDeltaRowLevelOperation(dir: Path, manifest: GraftManifest,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDeltaRowLevelOperation($cmd)"
+
+  /** Row identity = (file, ordinal within file) — exactly what a positional
+    * deletion vector encodes. Both are metadata columns the scan produces. */
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** Updates arrive as delete+insert pairs: the deleted position joins the
+    * file's DV and the new row appends — no in-place file mutation exists in
+    * an immutable-file format. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, manifest) {
+      // A true V2 Batch (WriteDelta needs one); the builder's manifest-side
+      // pruning (partition, min/max, bloom) all applies — unlike the
+      // copy-on-write path, pruned files here just mean fewer rows SCANNED,
+      // never a correctness-relevant group set.
+      override def build(): Scan =
+        new GraftBatchScan(dir, manifest, keptEntries, required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(dir, manifest, info.schema())
+    }
+}
+
+class GraftDeltaWrite(dir: Path, prev: GraftManifest, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val gen = GraftManifest.currentGen(dir, conf) + 1
+    new GraftDeltaBatchWrite(dir, prev, writeSchema, gen,
+      new SerializableHadoopConf(conf))
+  }
+}
+
+/** Per-task delta payload: inserted files + per-file deleted positions. */
+case class GraftDeltaMessage(files: Seq[GraftFileRecord],
+    deletes: Map[String, Array[Long]], rows: Long) extends WriterCommitMessage
+
+class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
+    gen: Long, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  private val genRel = s"gen-$gen"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftDeltaWriterFactory(writeSchema, prev.partCols,
+      new Path(dir, genRel).toString, conf, prev.bloomCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftDeltaMessage])
+    val freshAll = msgs.flatMap(_.files).toSeq
+    // Merge per-file deletions across tasks, then union each file's NEW
+    // positions with its existing DV (immutable: a merged DV is a new file
+    // under this generation; old manifests keep the old one for time travel).
+    val byFile = scala.collection.mutable.Map.empty[String, ArrayBuffer[Long]]
+    msgs.foreach(_.deletes.foreach { case (rel, ps) =>
+      byFile.getOrElseUpdate(rel, ArrayBuffer.empty) ++= ps })
+    val c = conf.value
+    var dvIdx = 0
+    val newDVs = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
+      val existing = prev.fileDVs.get(rel)
+        .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
+      val dvRel = s"$genRel/dv-$dvIdx.dv"
+      dvIdx += 1
+      GraftDV.write(dir, dvRel, existing ++ ps, c)
+      rel -> dvRel
+    }.toMap
+    GraftManifest.publish(dir, prev.copy(gen = gen,
+      entries = prev.entries ++ freshAll.map(f => (f.part, f.rel)),
+      fileStats = prev.fileStats ++
+        freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
+      fileBytes = prev.fileBytes ++ freshAll.map(f => f.rel -> f.bytes),
+      fileBlooms = prev.fileBlooms ++
+        freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
+      fileDVs = prev.fileDVs ++ newDVs), c)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val genDir = new Path(dir, genRel)
+    genDir.getFileSystem(conf.value).delete(genDir, true)
+  }
+}
+
+class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
+    genDir: String, conf: SerializableHadoopConf, bloomCol: Option[String])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaRowWriter(writeSchema, partCols, genDir, conf,
+      partitionId, taskId, bloomCol)
+}
+
+/** Task side of the merge-on-read write: inserts reuse the ordinary parquet
+  * row writer (one file per partition value); deletes buffer (file → ordinal)
+  * pairs — a few longs per deleted row, never row data. */
+class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
+    genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
+    bloomCol: Option[String])
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  // LAZY: a pure DELETE's write schema is EMPTY (no row data travels with a
+  // delete) — constructing the parquet writer would fail resolving partition
+  // columns, and no file should be opened anyway.
+  private var innerOpt: Option[GraftRowWriter] = None
+  private def inner: GraftRowWriter = innerOpt.getOrElse {
+    val w = new GraftRowWriter(writeSchema, partCols, genDir, conf,
+      partitionId, taskId, bloomCol)
+    innerOpt = Some(w); w
+  }
+  private val deletes =
+    scala.collection.mutable.Map.empty[String, ArrayBuffer[Long]]
+
+  /** `id` rows follow rowId() order: (_file STRING, _pos BIGINT). */
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes.getOrElseUpdate(id.getUTF8String(0).toString,
+      ArrayBuffer.empty) += id.getLong(1)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val (files, rows) = innerOpt match {
+      case Some(w) =>
+        val GraftFilesMessage(fs, n) = w.commit(): @unchecked; (fs, n)
+      case None => (Seq.empty[GraftFileRecord], 0L)
+    }
+    GraftDeltaMessage(files, deletes.map { case (k, v) => k -> v.toArray }.toMap, rows)
+  }
+  override def abort(): Unit = innerOpt.foreach(_.abort())
+  override def close(): Unit = innerOpt.foreach(_.close())
 }
 
 class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteInfo)
@@ -1167,6 +1398,76 @@ object GraftBloom {
     }
 }
 
+/**
+ * Positional deletion vectors — merge-on-read row-level DML (the Iceberg v2
+ * position-delete / Delta deletion-vector idea): instead of rewriting a whole
+ * data file to drop one row (copy-on-write amplification: a point delete in a
+ * 1 GB file costs a 1 GB write), a DELETE records the deleted rows' ordinal
+ * POSITIONS within their file in a tiny sidecar, and every reader merges the
+ * sidecar at scan time. OPTIMIZE later materializes the deletes away.
+ *
+ * On-disk format: magic byte + varint-delta encoding of the sorted position
+ * list (~1-2 bytes per position for clustered deletes — the bitmap posture
+ * without a bitmap library). A DV is immutable once written: a later delete
+ * on the same file writes a NEW merged DV under the committing generation and
+ * repoints the manifest — old manifests keep referencing the old DV, so time
+ * travel sees exactly the rows that were live at that generation.
+ */
+object GraftDV {
+  private val Magic = 0x47.toByte // 'G'
+
+  def encode(positions: Array[Long]): Array[Byte] = {
+    val sorted = positions.distinct.sorted
+    val out = new java.io.ByteArrayOutputStream(sorted.length * 2 + 1)
+    out.write(Magic)
+    var prev = -1L
+    sorted.foreach { p =>
+      require(p >= 0, s"negative row position $p")
+      var delta = p - prev // >= 1 between distinct sorted positions
+      while ((delta & ~0x7fL) != 0) { out.write(((delta & 0x7f) | 0x80).toInt); delta >>>= 7 }
+      out.write(delta.toInt)
+      prev = p
+    }
+    out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.nonEmpty && bytes(0) == Magic, "not a graft deletion vector")
+    val out = ArrayBuffer.empty[Long]
+    var i = 1
+    var prev = -1L
+    while (i < bytes.length) {
+      var delta = 0L; var shift = 0
+      var b = bytes(i); i += 1
+      while ((b & 0x80) != 0) {
+        delta |= (b & 0x7fL) << shift; shift += 7
+        b = bytes(i); i += 1
+      }
+      delta |= (b & 0x7fL) << shift
+      prev += delta
+      out += prev
+    }
+    out.toArray
+  }
+
+  def write(dir: Path, rel: String, positions: Array[Long], conf: Configuration): Unit = {
+    val p = new Path(dir, rel)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(encode(positions)) finally out.close()
+  }
+
+  /** Sorted position array (binary-searchable) for one DV file. */
+  def read(dir: Path, rel: String, conf: Configuration): Array[Long] = {
+    val p = new Path(dir, rel)
+    val in = p.getFileSystem(conf).open(p)
+    try decode(in.readAllBytes()) finally in.close()
+  }
+
+  def contains(sorted: Array[Long], pos: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, pos) >= 0
+}
+
 /** Streams per-file min/max/nullCount while rows are written (no second pass). */
 class GraftStatsCollector(dataSchema: StructType) {
   private val cols = dataSchema.fields.zipWithIndex
@@ -1430,7 +1731,10 @@ object GraftCatalogOps {
     val cur = GraftManifest.currentGen(dir, conf)
     val horizon = math.max(0L, cur - keepGens + 1)
     val live: Set[String] = (horizon to cur).flatMap { g =>
-      GraftManifest.load(dir, g, conf).entries.map(_._2)
+      val m = GraftManifest.load(dir, g, conf)
+      // A data file's deletion vector is as live as the file: reclaiming a
+      // referenced DV would silently resurrect deleted rows.
+      m.entries.map(_._2) ++ m.entries.flatMap(e => m.fileDVs.get(e._2))
     }.toSet
     var filesDeleted = 0L
     fs.globStatus(new Path(dir, "gen-*")).foreach { genSt =>
@@ -1453,6 +1757,37 @@ object GraftCatalogOps {
       if (fs.exists(p)) { fs.delete(p, false); manifestsDeleted += 1 }
     }
     (filesDeleted, manifestsDeleted)
+  }
+
+  /**
+   * OPTIMIZE (compaction): read the current snapshot — deletion vectors merge
+   * at scan time — and rewrite it through the table's normal clustered write
+   * path, committing one generation whose touched partitions carry exactly
+   * the fresh files. Small files collapse (clustered distribution → one file
+   * per partition per commit) and deletion vectors are materialized away:
+   * the rewritten files physically exclude deleted rows, so the fresh entries
+   * carry no DV references. Old generations stay time-travel readable until
+   * VACUUM. Returns (filesBefore, dvsBefore, filesAfter, dvsAfter).
+   *
+   * Scale shape: one distributed read + clustered write of the LIVE data
+   * only; driver work is two manifest loads. At 100 TB this runs per
+   * partition-subset in practice (compact WHERE pk IN …) — the same
+   * mechanism, scoped by the caller's filter before writeTo.
+   */
+  def optimize(spark: SparkSession, tableRef: String, root: String,
+               table: String): (Long, Long, Long, Long) = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    def snap() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    def liveDvs(m: GraftManifest): Long =
+      m.entries.flatMap(e => m.fileDVs.get(e._2)).size.toLong
+    val before = snap()
+    // Self-rewrite is safe: the scan reads immutable old files, the write
+    // lands in a new gen dir, and only the commit swaps the manifest.
+    spark.table(tableRef).writeTo(tableRef).overwritePartitions()
+    val after = snap()
+    (before.entries.size.toLong, liveDvs(before),
+      after.entries.size.toLong, liveDvs(after))
   }
 
   /** Generation history of a table (DESCRIBE HISTORY analogue): one row per

@@ -465,6 +465,107 @@ class CatalogSpec extends GraftSuite {
     intercept[Exception] { spark.table(t).filter(col("id") >= 1000).count() }
   }
 
+  test("deletion vectors: merge-on-read DML never rewrites existing files") {
+    import spark.implicits._
+    val t = freshTable("dv")
+    base.writeTo(t).partitionedBy(col("pk")).tableProperty("dml", "dv").create()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.globStatus(new Path(new Path(root, "dv"), "gen-*/pk=*/*.parquet"))
+      .map(_.getPath.toString).toSet
+    val created = dataFiles()
+    def manifest() = {
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new Path(root, "dv")
+      graft.sources.GraftManifest.load(dir,
+        graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    }
+    // Point DELETE: zero data files written — only a deletion vector.
+    spark.sql(s"DELETE FROM $t WHERE id = 7")
+    assert(dataFiles() == created, "a DV delete must not write or rewrite data files")
+    assert(spark.table(t).count() == 299)
+    assert(spark.table(t).filter(col("id") === 7).count() == 0)
+    assert(manifest().fileDVs.size == 1, s"expected one DV, got ${manifest().fileDVs}")
+    // Second delete hitting the same file: DVs merge, still no data writes.
+    spark.sql(s"DELETE FROM $t WHERE id = 10")
+    assert(dataFiles() == created)
+    assert(spark.table(t).count() == 298)
+    // UPDATE = delete+insert: the old file is untouched; a new file carries
+    // the updated row.
+    spark.sql(s"UPDATE $t SET s = 'upd' WHERE id = 20")
+    assert(created.subsetOf(dataFiles()), "update must not rewrite existing files")
+    assert(dataFiles().size == created.size + 1, "update appends exactly one new file")
+    assert(spark.table(t).filter(col("s") === "upd").select(col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(20L))
+    assert(spark.table(t).count() == 298)
+    // MERGE INTO: matched update + unmatched insert, same merge-on-read shape.
+    Seq((1L, 1L, "merged"), (2000L, 2L, "new")).toDF("id", "pk", "s")
+      .createOrReplaceTempView("dv_src")
+    val filesBeforeMerge = dataFiles()
+    spark.sql(
+      s"""MERGE INTO $t tgt USING dv_src src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET s = src.s
+         |WHEN NOT MATCHED THEN INSERT (id, pk, s) VALUES (src.id, src.pk, src.s)
+         |""".stripMargin)
+    assert(filesBeforeMerge.subsetOf(dataFiles()), "merge must not rewrite existing files")
+    assert(spark.table(t).count() == 299)
+    assert(spark.table(t).filter(col("id") === 1).select(col("s"))
+      .collect()(0).getString(0) == "merged")
+    assert(spark.table(t).filter(col("id") === 2000).count() == 1)
+    // Untouched provenance: rows outside the DML keys keep their original
+    // generation — the DML-without-rewrite proof.
+    val gens = spark.table(t).filter(col("pk") === 0).select(col("_gen"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(gens == Set(1L), s"pk=0 rows must still come from gen 1, got $gens")
+    // Whole-table contents equal a from-scratch prediction.
+    val want = (0L until 300L).filterNot(i => i == 7 || i == 10).map { i =>
+      val s = if (i == 20) "upd" else if (i == 1) "merged" else s"v$i"
+      (i, i % 3, s)
+    } :+ ((2000L, 2L, "new"))
+    assert(spark.table(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSet == want.toSet)
+    // Time travel: the pre-DML snapshot still reads all 300 original rows
+    // (old manifests reference old DVs — or none).
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 300)
+    // The streaming source's snapshot batch applies DVs too.
+    val ckpt = tmpDir("graft_dv_ckpt")
+    val q = spark.readStream.table(t)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("graft_dv_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(spark.table("graft_dv_sink").collect()(0).getLong(0) == 299)
+    // VACUUM keeps referenced DVs alive: live data still correct after.
+    graft.sources.GraftCatalogOps.vacuum(spark, root, "dv", keepGens = 1)
+    assert(spark.table(t).count() == 299)
+    assert(spark.table(t).filter(col("id").isin(7L, 10L)).count() == 0)
+  }
+
+  test("deletion-vector codec roundtrip and _pos metadata column") {
+    // Varint-delta codec: sparse, dense, dup, and boundary positions.
+    val cases = Seq(Array.empty[Long], Array(0L), Array(0L, 1L, 2L),
+      Array(5L, 1000000L, 1234567890123L), Array(7L, 7L, 3L))
+    cases.foreach { ps =>
+      val back = graft.sources.GraftDV.decode(graft.sources.GraftDV.encode(ps))
+      assert(back.toSeq == ps.distinct.sorted.toSeq, s"roundtrip failed for ${ps.toSeq}")
+    }
+    // _pos rides the normal read path: (file, pos) is unique and stable.
+    val t = freshTable("posmeta")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    val rows = spark.table(t).select(col("_file"), col("_pos"), col("id")).collect()
+    assert(rows.length == 300)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == 300,
+      "(_file,_pos) must be a unique row id")
+    val perFile = rows.groupBy(_.getString(0)).values
+    perFile.foreach { fr =>
+      val ps = fr.map(_.getLong(1)).sorted
+      assert(ps.head == 0 && ps.last == ps.length - 1,
+        s"per-file positions must be dense 0..n-1, got ${ps.take(5).toSeq}…")
+    }
+  }
+
   test("mixed finite+NaN/Inf files publish no bounds and are never mis-pruned") {
     import spark.implicits._
     val t = freshTable("nonfinite")
