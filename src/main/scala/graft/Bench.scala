@@ -277,10 +277,33 @@ object Bench {
       val cores = Runtime.getRuntime.availableProcessors()
       val contended = startLoadAvg > 0.5 * cores
       val inflated = prevTotal.exists(pt => pt > 0 && total > 2.0 * pt)
-      if (contended || inflated)
+      //   3. PER-QUERY inflation: total-level inflation can hide under new
+      //      queries (r5: +24 queries made the total incomparable while the
+      //      common surface quietly ran 1.4x slow). When >=5 queries that both
+      //      ledgers time above noise (>=50 ms committed) each inflate >3x on
+      //      identical binaries, that is the contention tail signature — refuse
+      //      the overwrite so the committed ledger stays the clean-machine one.
+      val prevQ: Map[String, Double] = prev
+        .filter(p => field(p, "\"sf\":\"([^\"]+)\"").contains(sfDir))
+        .flatMap { p =>
+          val i = p.indexOf("\"queries\":{")
+          if (i < 0) None
+          else {
+            val body = p.substring(i + 11, p.indexOf('}', i))
+            Some("\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          }
+        }.getOrElse(Map.empty)
+      val perQInflated = finalResults.collect {
+        case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.05 && v > 3.0 * p) => k
+      }
+      val tailInflated = perQInflated.size >= 5
+      if (contended || inflated || tailInflated)
         System.err.println(f"[bench] committed ledger NOT overwritten " +
           f"(contended=$contended startLoadAvg=$startLoadAvg%.1f/$cores, " +
-          f"inflated=$inflated vs ${prevTotal.getOrElse(Double.NaN)}%.1f s committed); " +
+          f"inflated=$inflated vs ${prevTotal.getOrElse(Double.NaN)}%.1f s committed, " +
+          s"tailInflated=$tailInflated [${perQInflated.size} queries >3x: " +
+          s"${perQInflated.take(8).mkString(",")}]); " +
           s"this run's ledger is in BENCH_DETAILS.$sfName.json")
       else {
         try Files.writeString(main, fullLine + "\n")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.operators.{Corpus, Dedup, Relational}
+import graft.operators.{Corpus, Dedup, Iterate, Relational}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -620,11 +620,14 @@ object TextQueries {
         .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
       var vocabL = tokL.select(col("lang"),
         array_join(split(col("w"), ""), " ").as("sym"), col("c"))
-      merges.foreach { case (_, bp, merged, _) =>
+      merges.foreach { case (step, bp, merged, _) =>
         val (pat, rep) = (s" $bp ", java.util.regex.Matcher.quoteReplacement(s" $merged "))
         def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
         vocabL = vocabL.withColumn("sym",
           trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))
+        // Same lineage bound as learnBpeMerges: constant plan depth at real
+        // merge counts (the apply side replays EVERY learned merge).
+        if (step % BpeCheckpointEvery == 0) vocabL = Iterate.materialize(vocabL)
       }
       val pre = tokL.groupBy(col("lang"))
         .agg(sum(length(col("w")) * col("c")).cast("long").as("n_pre"))
@@ -785,9 +788,21 @@ object TextQueries {
       def r(c: Column) = regexp_replace(c, java.util.regex.Pattern.quote(pat), rep)
       vocab = vocab.withColumn("sym",
         trim(r(r(r(concat(lit(" "), col("sym"), lit(" ")))))))
+      // Lineage bound: each round stacks 3 regexp_replace nodes on the vocab
+      // plan, so at real merge counts (30k+ rounds) the un-truncated plan is
+      // O(rounds) deep — analyzer/codegen cost grows per round and eventually
+      // overflows. Materializing the (vocab-sized, not corpus-sized) frame
+      // every BpeCheckpointEvery rounds keeps plan depth constant, the same
+      // posture as the PageRank/CC loops.
+      if (step % BpeCheckpointEvery == 0) vocab = Iterate.materialize(vocab)
       (step.toLong, bp, merged, bn)
     }
   }
+
+  /** Merge-loop materialization cadence shared by [[learnBpeMerges]] and
+    * q_bpe_apply: small enough that plan depth never exceeds ~24 stacked
+    * regexp_replace nodes, large enough that checkpoint overhead is noise. */
+  private val BpeCheckpointEvery = 8
 
   val oracle: Map[String, String] = Map(
     // B157: the full three-round BPE replayed pure-SQL — same tie-break
