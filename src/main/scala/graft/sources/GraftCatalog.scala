@@ -10,22 +10,21 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{AlwaysTrue, And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith, TableScan}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.rdd.RDD
 
 import graft.SerializableHadoopConf
 
@@ -61,8 +60,10 @@ import graft.SerializableHadoopConf
  * between listing 3 directories and 30 000), per-file min/max statistics
  * collected at write time prune individual FILES a data predicate provably
  * excludes ([[GraftFileStats]] — Delta-style data skipping), and column
- * pruning is pushed into the parquet read. Read execution rides the public V1Scan bridge
- * (`BaseRelation`), reusing Spark's battle-tested parquet IO; residual row
+ * pruning is pushed into the parquet read. Read execution is NATIVE V2
+ * ([[GraftBatchScan]] → [[GraftParquetRead]], Spark's own parquet reader per
+ * file slice), which keeps manifest statistics ([[GraftScan.estimateStatistics]])
+ * visible to the optimizer; residual row
  * filters are re-applied by Spark above the scan. The WRITE path is native V2
  * ([[GraftWrite]]): Spark clusters rows by partition key, tasks stream through
  * Spark's own ParquetWriteSupport codec, and the driver's commit publishes a
@@ -198,7 +199,9 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     fileBytes: Map[String, Long] = Map.empty,
     props: Map[String, String] = Map.empty,
     fileBlooms: Map[String, String] = Map.empty,
-    fileDVs: Map[String, String] = Map.empty) {
+    fileDVs: Map[String, String] = Map.empty,
+    fileRows: Map[String, Long] = Map.empty,
+    fileNdvs: Map[String, String] = Map.empty) {
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
   /** Column carrying a per-file Bloom filter (`bloom=<col>` table property). */
@@ -230,6 +233,8 @@ object GraftManifest {
     val props = scala.collection.mutable.Map.empty[String, String]
     val blooms = scala.collection.mutable.Map.empty[String, String]
     val dvs = scala.collection.mutable.Map.empty[String, String]
+    val rowsM = scala.collection.mutable.Map.empty[String, Long]
+    val ndvs = scala.collection.mutable.Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
@@ -242,6 +247,8 @@ object GraftManifest {
           if (t.length > 3 && t(3).nonEmpty) bytes(t(1)) = t(3).toLong
           if (t.length > 4 && t(4).nonEmpty) blooms(t(1)) = t(4)
           if (t.length > 5 && t(5).nonEmpty) dvs(t(1)) = t(5)
+          if (t.length > 6 && t(6).nonEmpty) rowsM(t(1)) = t(6).toLong
+          if (t.length > 7 && t(7).nonEmpty) ndvs(t(1)) = t(7)
         case ("txn", t)      => txns += t
         case ("prop", kv)    =>
           val j = kv.indexOf('\t'); if (j > 0) props(kv.take(j)) = kv.drop(j + 1)
@@ -249,7 +256,7 @@ object GraftManifest {
       }
     }
     GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap,
-      bytes.toMap, props.toMap, blooms.toMap, dvs.toMap)
+      bytes.toMap, props.toMap, blooms.toMap, dvs.toMap, rowsM.toMap, ndvs.toMap)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -261,13 +268,16 @@ object GraftManifest {
     body ++= s"schema=${m.schema.toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) =>
-      // Fixed field order (stats, bytes, bloom, dv) with trailing empties
-      // trimmed: earlier-vintage arities stay byte-identical, and a present
-      // later field (e.g. a bloom without bytes) keeps its position via empty
-      // placeholders — load skips empty fields, so nothing is silently lost.
+      // Fixed field order (stats, bytes, bloom, dv, rows, ndv) with trailing
+      // empties trimmed: earlier-vintage arities stay byte-identical, and a
+      // present later field (e.g. a bloom without bytes) keeps its position
+      // via empty placeholders — load skips empty fields, so nothing is
+      // silently lost.
       val fields = Seq(m.fileStats.getOrElse(d, ""),
         m.fileBytes.get(d).map(_.toString).getOrElse(""),
-        m.fileBlooms.getOrElse(d, ""), m.fileDVs.getOrElse(d, ""))
+        m.fileBlooms.getOrElse(d, ""), m.fileDVs.getOrElse(d, ""),
+        m.fileRows.get(d).map(_.toString).getOrElse(""),
+        m.fileNdvs.getOrElse(d, ""))
       val trimmed = fields.reverse.dropWhile(_.isEmpty).reverse
       body ++= (Seq(s"entry=$p", d) ++ trimmed).mkString("\t") + "\n"
     }
@@ -371,17 +381,28 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Streaming admission control: readStream.option("maxGensPerTrigger", N)
-    // caps how many manifest generations one micro-batch may absorb.
-    val maxGens = Option(options.get("maxGensPerTrigger")).map(_.toLong)
-    new GraftScanBuilder(dir, manifest, maxGens)
+    // caps how many manifest generations one micro-batch may absorb;
+    // option("maxBytesPerTrigger", B) caps a batch by the byte sum of the
+    // files it would emit (the manifest's per-file byte stats — no file IO).
+    val streamOpts = GraftStreamOptions(
+      maxGensPerTrigger = Option(options.get("maxGensPerTrigger")).map(_.toLong),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+    new GraftScanBuilder(dir, manifest, streamOpts)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir, manifest, info)
 }
 
+/** Streaming-source admission knobs (both optional, combined as the tighter
+  * of the two when set together). */
+case class GraftStreamOptions(maxGensPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) {
+  def paced: Boolean = maxGensPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+}
+
 class GraftScanBuilder(dir: Path, manifest: GraftManifest,
-    maxGensPerTrigger: Option[Long] = None) extends ScanBuilder
+    streamOpts: GraftStreamOptions = GraftStreamOptions()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   protected var required: StructType = manifest.schema
   protected var partFilters: Array[Filter] = Array.empty
@@ -415,7 +436,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
 
   override def build(): Scan =
     new GraftScan(dir, manifest, keptEntries, required, dataFilters,
-      maxGensPerTrigger)
+      streamOpts)
 }
 
 object GraftScanBuilder {
@@ -471,23 +492,121 @@ object GraftScanBuilder {
 }
 
 /** Manifest-pruned scan; rows flow through the public V1 bridge. */
+/**
+ * The table's default scan: the NATIVE V2 batch read (inherited — file
+ * slices through [[GraftParquetRead]], deletion-vector merge, runtime `_file`
+ * filtering, parquet-level data-filter pushdown) plus the streaming source
+ * and manifest-fed optimizer statistics. Native-V2 rather than a `V1Scan`
+ * bridge on purpose: the V1 wrapper Spark puts around a V1Scan drops
+ * `SupportsReportStatistics`, so a bridged scan can never feed numRows/NDV
+ * to cost-based join planning — and the bridge pays a double row conversion
+ * (InternalRow→Row→InternalRow) the native path doesn't.
+ */
 class GraftScan(dir: Path, manifest: GraftManifest,
-    val entries: Seq[(String, String)], required: StructType,
+    entries: Seq[(String, String)], required: StructType,
     dataFilters: Array[Filter],
-    maxGensPerTrigger: Option[Long] = None) extends V1Scan {
-  override def readSchema(): StructType = required
+    streamOpts: GraftStreamOptions = GraftStreamOptions())
+    extends GraftBatchScan(dir, manifest, entries, required, dataFilters)
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def description(): String =
     s"GraftScan(gen=${manifest.gen}, entries=${entries.size}/${manifest.entries.size}, " +
       s"dataFilters=${dataFilters.length})"
 
-  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-    new GraftRelation(ctx, dir, manifest, entries, required, dataFilters).asInstanceOf[T]
+  /** Widen runtime filtering to projected PARTITION columns: Spark's dynamic
+    * partition pruning then drops whole manifest partitions at runtime from a
+    * joined dim's build-side values (the V2 twin of DPP on Hive layouts) —
+    * each planned as its own single-attribute IN, so the V1 translation that
+    * the struct-IN caveat on the base class describes is never involved.
+    * Only PROJECTED attributes: the DPP rule resolves these names against the
+    * scan output and fails the QUERY on a miss, not just the pruning. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = required.fieldNames.toSet
+    (super.filterAttributes().toSeq ++
+      manifest.partCols.filter(out).map(Expressions.column)).toArray
+  }
+
+  /**
+   * Manifest-fed optimizer statistics for exactly the files this scan kept
+   * (post partition/min-max/bloom pruning) — all driver-side metadata, zero
+   * file IO:
+   *  - sizeInBytes / numRows from the per-file byte and row counts (row
+   *    counts ignore deletion vectors — a small overestimate is the safe
+   *    direction for planning);
+   *  - per-column distinctCount from merging the kept files' HLL sketches
+   *    (data columns) or from the distinct directory values (partition
+   *    columns — exact and free);
+   *  - per-column nullCount from the file stats strings.
+   * This is what `spark.sql.cbo.enabled` join-size estimation and join
+   * reordering consume; without column NDV the CBO treats every join as
+   * cardinality-unknown. Columns/files from pre-NDV-vintage manifests simply
+   * contribute no column stats — never wrong stats.
+   */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val rels = entries.map(_._2)
+    val bytesKnown = rels.flatMap(manifest.fileBytes.get)
+    val size =
+      if (bytesKnown.size == rels.size) OptionalLong.of(math.max(1L, bytesKnown.sum))
+      else OptionalLong.empty()
+    val rowsKnown = rels.flatMap(manifest.fileRows.get)
+    val rows =
+      if (rowsKnown.size == rels.size) OptionalLong.of(rowsKnown.sum)
+      else OptionalLong.empty()
+    val cstats = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    def put(name: String, ndv: Option[Long], nulls: Option[Long]): Unit =
+      if (ndv.isDefined || nulls.isDefined)
+        cstats.put(Expressions.column(name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            ndv.fold(OptionalLong.empty())(OptionalLong.of)
+          override def nullCount(): OptionalLong =
+            nulls.fold(OptionalLong.empty())(OptionalLong.of)
+        })
+    // Partition columns: the manifest IS the exact value list.
+    val partVals = entries.map { case (pp, _) => GraftScanBuilder.partValues(pp) }
+    manifest.partCols.filter(required.fieldNames.contains).foreach { pc =>
+      put(pc, Some(math.max(1L, partVals.flatMap(_.get(pc)).distinct.size.toLong)),
+        None)
+    }
+    // Data columns: merged HLL union across kept files + summed null counts.
+    lazy val ndvByFile = rels.map(r => manifest.fileNdvs.get(r).map(GraftNdv.parseCols))
+    lazy val statsByFile = rels.map(r => manifest.fileStats.get(r).map(GraftFileStats.parse))
+    required.fields
+      .filter(f => !manifest.partCols.contains(f.name))
+      .filter(f => GraftFileStats.eligible(f.dataType))
+      .foreach { f =>
+        val ndv: Option[Long] =
+          if (rels.nonEmpty && ndvByFile.forall(_.isDefined)) {
+            val regs = new Array[Byte](GraftNdv.Registers)
+            var saw = false
+            ndvByFile.foreach(_.get.get(f.name).foreach { r =>
+              GraftNdv.merge(regs, r); saw = true })
+            // Every kept file carries sketches but none has this column's ⇒
+            // the column is all-null across the scan: NDV 0 is exact.
+            Some(if (saw) GraftNdv.estimate(regs) else 0L)
+          } else None
+        val nulls: Option[Long] =
+          if (rels.nonEmpty && statsByFile.forall(_.isDefined)) {
+            val per = statsByFile.map(_.get.get(f.name).map(_._1))
+            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+          } else None
+        put(f.name, ndv, nulls)
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong = size
+      override def numRows(): OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = cstats
+    }
+  }
 
   /** Streaming read: the catalog table as a micro-batch SOURCE — each committed
     * generation is an offset (see [[GraftMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(dir, manifest, required, maxGensPerTrigger)
+    new GraftMicroBatchStream(dir, manifest, required, streamOpts,
+      Option(checkpointLocation))
 }
 
 /** Generation number as a streaming offset. */
@@ -519,7 +638,8 @@ case class GraftFileSlice(partPath: String, rel: String, len: Long,
  * re-attached from the directory path the same way the batch scan does.
  */
 class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: StructType,
-    maxGensPerTrigger: Option[Long] = None)
+    streamOpts: GraftStreamOptions = GraftStreamOptions(),
+    checkpointLocation: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -536,21 +656,58 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
   override def latestOffset(): Offset =
     GenOffset(availableNowTarget.getOrElse(GraftManifest.currentGen(dir, conf)))
   /** Admission control: a batch may advance at most maxGensPerTrigger
-    * generations — AvailableNow then drains in several micro-batches until
-    * reportLatestOffset is reached (the paced-drain contract the synth source
-    * pins in its spec). */
+    * generations AND at most ~maxBytesPerTrigger of emitted file bytes
+    * (tighter bound wins) — AvailableNow then drains in several micro-batches
+    * until reportLatestOffset is reached (the paced-drain contract the synth
+    * source pins in its spec). Called once per trigger with the stream's
+    * current committed position, which makes it the natural place to renew
+    * this reader's VACUUM lease (see [[GraftLease]]): the lease records the
+    * oldest generation this checkpoint still needs, and vacuum refuses to
+    * reclaim at-or-past it. */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val target = latestOffset().asInstanceOf[GenOffset].gen
     val from = start.asInstanceOf[GenOffset].gen
-    val paced = maxGensPerTrigger.fold(target)(m => math.min(target, from + m))
+    checkpointLocation.foreach(ck => GraftLease.renew(dir, ck, from, conf))
+    val pacedGens = streamOpts.maxGensPerTrigger.fold(target)(m => math.min(target, from + m))
     // VACUUM deletes manifests below its retention horizon: a paced
     // intermediate end offset (from+m) may name a deleted manifest — e.g. a
     // fresh query (start=-1) over a vacuumed table would try manifest-0.
     // Clamp the end FORWARD to the oldest retained generation so the first
     // batch lands on a manifest that still exists (its entry list carries the
     // full surviving snapshot, so no rows are skipped by the jump).
-    GenOffset(if (paced >= target) paced else math.max(paced, oldestRetainedGen))
+    val lo = math.max(math.min(from + 1, target), math.min(oldestRetainedGen, target))
+    val paced =
+      if (pacedGens >= target) pacedGens
+      else math.max(pacedGens, lo)
+    GenOffset(streamOpts.maxBytesPerTrigger match {
+      case None => paced
+      case Some(_) if from >= target => paced
+      case Some(maxBytes) =>
+        // Byte pacing: a batch [from → e] emits entries(e) \ entries(from)
+        // (exactly what planInputPartitions delivers), so walk candidate end
+        // generations forward while that cumulative diff's manifest byte sum
+        // stays under the cap. Always admit at least one generation (progress
+        // guarantee — same posture as maxGensPerTrigger), and never loosen a
+        // tighter generation cap. Driver-side manifest reads only, no file
+        // IO; files from pre-byte-vintage manifests count 0 (admission is
+        // pacing, not correctness — planInputPartitions stays byte-exact).
+        val base: Set[String] =
+          if (from < 0) Set.empty
+          else if (!dir.getFileSystem(conf).exists(new Path(dir, s"manifest-$from.txt"))) Set.empty
+          else GraftManifest.load(dir, from, conf).entries.map(_._2).toSet
+        def diffBytes(g: Long): Long = {
+          val m = GraftManifest.load(dir, g, conf)
+          m.entries.collect { case (_, rel) if !base(rel) =>
+            m.fileBytes.getOrElse(rel, 0L) }.sum
+        }
+        var end = lo
+        var g = lo + 1
+        while (g <= math.min(paced, target) && diffBytes(g) <= maxBytes) {
+          end = g; g += 1
+        }
+        math.min(end, paced)
+    })
   }
 
   /** Smallest generation whose manifest still exists (VACUUM reclaims from 0
@@ -563,7 +720,11 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
   }
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset = GenOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit = ()
+  /** Batch [.. → end] durably committed by the engine: this checkpoint now
+    * needs nothing older than `end` — advance the lease so VACUUM can move. */
+  override def commit(end: Offset): Unit =
+    checkpointLocation.foreach(ck =>
+      GraftLease.renew(dir, ck, end.asInstanceOf[GenOffset].gen, conf))
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -620,13 +781,24 @@ object GraftParquetRead {
   }
 
   def readerFactory(tableDir: String, manifest: GraftManifest,
-                    required: StructType): PartitionReaderFactory = {
+                    required: StructType,
+                    dataFilters: Seq[Filter] = Nil): PartitionReaderFactory = {
     val rowSession = SparkSession.active
     val conf = new SerializableHadoopConf(rowSession.sessionState.newHadoopConf())
     val metaNames = Set("_gen", "_file", "_pos")
     val wantsPos = required.fieldNames.contains("_pos")
     val dataFields = required.fields.filterNot(f =>
       manifest.partCols.contains(f.name) || metaNames(f.name))
+    // Row-group skipping: hand the parquet reader the pushed filters that
+    // reference data columns only (partition/metadata columns never exist in
+    // the files). Spark re-applies every unhandled filter above the scan, so
+    // this is purely pruning — ParquetFilters drops what it can't convert.
+    // CAVEAT: a filtered read skips rows, which would corrupt the `_pos`
+    // ordinal counter below (ordinals must be TRUE file positions for
+    // deletion vectors to land on the right rows) — so slices that carry a
+    // DV or feed `_pos` read through an UNfiltered twin instead.
+    val dataNames = manifest.dataSchema.fieldNames.toSet
+    val parquetFilters = dataFilters.filter(_.references.forall(dataNames))
     // `_gen` / `_file` ride the partition-values channel: per-file constants
     // the parquet reader appends without the file containing them. `_pos`
     // varies per row — appended by the ordinal counter below instead.
@@ -635,18 +807,23 @@ object GraftParquetRead {
       required.fields.filter(f => f.name == "_gen" || f.name == "_file")
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = false))
-    val readerFn = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .buildReaderWithPartitionValues(
-        rowSession,
-        dataSchema = manifest.dataSchema,
-        partitionSchema = StructType(partFields),
-        requiredSchema = StructType(dataFields),
-        filters = Nil,
-        // Rows, not ColumnarBatches: the vectorized reader still runs inside,
-        // but hands back row views — the contract our PartitionReader needs.
-        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "false"),
-        hadoopConf = rowSession.sessionState.newHadoopConf())
+    def buildReader(filters: Seq[Filter]) =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .buildReaderWithPartitionValues(
+          rowSession,
+          dataSchema = manifest.dataSchema,
+          partitionSchema = StructType(partFields),
+          requiredSchema = StructType(dataFields),
+          filters = filters,
+          // Rows, not ColumnarBatches: the vectorized reader still runs inside,
+          // but hands back row views — the contract our PartitionReader needs.
+          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> "false"),
+          hadoopConf = rowSession.sessionState.newHadoopConf())
+    val readerFn = buildReader(parquetFilters)
+    // Position-exact twin for DV/_pos slices (see caveat above).
+    val unfilteredReaderFn =
+      if (parquetFilters.isEmpty) readerFn else buildReader(Nil)
     // The parquet reader emits dataFields ++ partFields (++ _pos when asked);
     // the scan's readSchema (`required`) may interleave partition columns in
     // table order — realign with an executor-side unsafe projection when the
@@ -675,7 +852,9 @@ object GraftParquetRead {
         // path) behind an InternalRow-typed iterator — the same duality
         // FileScanRDD handles; unwrap batches to their row views here.
         import scala.jdk.CollectionConverters._
-        val raw = readerFn(pf).asInstanceOf[Iterator[Any]].flatMap {
+        val chosenFn =
+          if (slice.dvRel.nonEmpty || wantsPos) unfilteredReaderFn else readerFn
+        val raw = chosenFn(pf).asInstanceOf[Iterator[Any]].flatMap {
           case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
             b.rowIterator().asScala
           case r => Iterator.single(r.asInstanceOf[InternalRow])
@@ -725,7 +904,8 @@ object GraftParquetRead {
   * only files whose partition values / min-max stats overlap the keys are
   * read — or rewritten. Without this every MERGE would rewrite the table. */
 class GraftBatchScan(dir: Path, manifest: GraftManifest,
-    val entries: Seq[(String, String)], required: StructType)
+    val entries: Seq[(String, String)], required: StructType,
+    dataFilters: Array[Filter] = Array.empty)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -738,13 +918,19 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
   override def description(): String =
     s"GraftBatchScan(gen=${manifest.gen}, entries=${kept.size}/${manifest.entries.size})"
 
-  /** Runtime filtering keys on `_file` (the Iceberg design): the group-filter
-    * subquery collects the DISTINCT files containing matched rows, and this
-    * scan keeps exactly those — a single-attribute IN that survives the V1
-    * translation, unlike a multi-column struct-IN. */
+  /** Runtime filtering key for the ROW-LEVEL (group-based) scans: `_file`
+    * alone, and only when projected (the Iceberg design — the group-filter
+    * subquery collects the DISTINCT files containing matched rows and this
+    * scan keeps exactly those). `_file` ALONE matters: advertising several
+    * attributes makes the group-filter rule emit a multi-column struct-IN,
+    * which has no V1 `Filter` form — the runtime filter then silently never
+    * reaches [[filter]] and every file gets rewritten. The default read scan
+    * ([[GraftScan]]) widens this with partition columns for join DPP, where
+    * Spark plans one single-attribute IN per column instead. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column("_file"))
+    if (required.fieldNames.contains("_file")) Array(Expressions.column("_file"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
@@ -753,6 +939,12 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
         kept = kept.filter { case (_, rel) => keep(rel) }
       case EqualTo("_file", v) =>
         kept = kept.filter { case (_, rel) => rel == String.valueOf(v) }
+      case f if GraftScanBuilder.isPartitionFilter(f, manifest.partCols) =>
+        // Runtime partition pruning: evaluate against the manifest's
+        // directory values, exactly like the static partition filters.
+        kept = kept.filter { case (pp, _) =>
+          GraftScanBuilder.matches(f, GraftScanBuilder.partValues(pp),
+            manifest.schema) }
       case _ => // unknown runtime filter — ignore (purely an optimization)
     }
 
@@ -768,7 +960,8 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetRead.readerFactory(dir.toString, manifest, required)
+    GraftParquetRead.readerFactory(dir.toString, manifest, required,
+      dataFilters.toIndexedSeq)
 }
 
 object GraftMicroBatchStream {
@@ -784,118 +977,6 @@ object GraftMicroBatchStream {
   }
 }
 
-class GraftRelation(ctx: SQLContext, dir: Path, manifest: GraftManifest,
-    entries: Seq[(String, String)], required: StructType,
-    dataFilters: Array[Filter])
-    extends BaseRelation with TableScan {
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = required
-  override def toString: String =
-    s"GraftRelation(gen=${manifest.gen}, entries=${entries.size}, " +
-      s"dataFilters=${dataFilters.length})"
-
-  /** Honest optimizer statistics from the manifest: the byte sum of exactly
-    * the files this scan will read (post partition + stats pruning). Without
-    * this a V1 relation reports `spark.sql.defaultSizeInBytes` (≈ Long.Max)
-    * and a 10 KB catalog dimension would NEVER be broadcast — the single
-    * biggest join-planning lever at 100 TB. Files from pre-bytes-vintage
-    * manifests fall back to the conservative default. */
-  override def sizeInBytes: Long = {
-    val known = entries.flatMap { case (_, rel) => manifest.fileBytes.get(rel) }
-    if (known.size == entries.size) math.max(1L, known.sum)
-    else super.sizeInBytes
-  }
-
-  override def buildScan(): RDD[Row] = {
-    val spark = ctx.sparkSession
-    if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required).rdd
-    val reqPart = manifest.partCols.filter(required.fieldNames.contains)
-    val reqData = StructType(manifest.dataSchema.fields
-      .filter(f => required.fieldNames.contains(f.name)))
-    // Parquet column pruning: read only the required data columns (a data
-    // column is always read so the row count survives an all-partition-column
-    // projection).
-    val readSchema =
-      if (reqData.isEmpty) StructType(manifest.dataSchema.fields.take(1)) else reqData
-    // Group by (partition, generation): partition values AND the `_gen`
-    // metadata column are per-group constants attached as literals. When the
-    // per-FILE `_file` column is requested — or a file carries a deletion
-    // vector (whose positions are file-local) — the grouping refines to
-    // single entries so the literal / position space is exact.
-    val wantsGen = required.fieldNames.contains("_gen")
-    val wantsFile = required.fieldNames.contains("_file")
-    val wantsPos = required.fieldNames.contains("_pos")
-    val hConf = spark.sessionState.newHadoopConf()
-    val perPartition = entries
-      .groupBy(e => (e._1, GraftParquetRead.genOf(e._2),
-        if (wantsFile || manifest.fileDVs.contains(e._2)) e._2 else "")).toSeq
-      .map { case ((partPath, gen, relKey), es) =>
-      val dirs = es.map { case (_, rel) => new Path(dir, rel).toString }
-      var df = spark.read.schema(readSchema).parquet(dirs: _*)
-      // Deletion-vector merge: read the file WITH its parquet row index and
-      // anti-join the (tiny, broadcast) deleted-position list. Positions are
-      // file-local, which the single-file grouping above guarantees. A DV
-      // large enough to strain a broadcast should have been a copy-on-write
-      // rewrite in the first place — that is the documented dv-vs-cow policy.
-      val dvRel = manifest.fileDVs.get(relKey)
-      val needPos = wantsPos || dvRel.isDefined
-      if (needPos)
-        df = df.select(col("*"),
-          col("_metadata.row_index").as("__graft_pos"))
-      dvRel.foreach { dv =>
-        val positions = GraftDV.read(dir, dv, hConf)
-        val posDf = spark.createDataset(positions.toIndexedSeq)(
-          org.apache.spark.sql.Encoders.scalaLong).toDF("__graft_pos")
-        df = df.join(org.apache.spark.sql.functions.broadcast(posDf),
-          Seq("__graft_pos"), "left_anti")
-      }
-      val values = GraftScanBuilder.partValues(partPath)
-      reqPart.foreach { c =>
-        df = df.withColumn(c, lit(values(c)).cast(manifest.schema(c).dataType))
-      }
-      if (wantsGen) df = df.withColumn("_gen", lit(gen))
-      if (wantsFile) df = df.withColumn("_file", lit(relKey))
-      if (wantsPos) df = df.withColumn("_pos", col("__graft_pos"))
-      // Re-express the pushed-but-unhandled data filters as Column predicates so
-      // Catalyst pushes them into the inner parquet scan (row-group statistics
-      // skipping).  Untranslatable filters are simply skipped — Spark re-applies
-      // every filter in `rest` above this scan, so this is purely an optimization.
-      GraftRelation.toPredicate(dataFilters).foreach(p => df = df.filter(p))
-      df.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    }
-    perPartition.reduce(_ unionAll _).rdd
-  }
-}
-
-object GraftRelation {
-  import org.apache.spark.sql.Column
-
-  /** Conjunction of the translatable subset of `filters` (None if empty). */
-  def toPredicate(filters: Array[Filter]): Option[Column] =
-    filters.flatMap(toColumn).reduceOption(_ && _)
-
-  /** V1 `Filter` → `Column`, for the fragment the parquet reader can exploit.
-    * Returns None for anything outside it (safe: filters are re-checked above). */
-  def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v)        => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v)           => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a)                => Some(col(a).isNull)
-    case IsNotNull(a)             => Some(col(a).isNotNull)
-    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
-    case StringContains(a, v)     => Some(col(a).contains(v))
-    case And(l, r)                => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case Or(l, r)                 => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c)                   => toColumn(c).map(!_)
-    case _                        => None
-  }
-}
 
 /**
  * Group-based (copy-on-write) row-level operation: the engine side of SQL
@@ -1053,7 +1134,11 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
       fileBytes = prev.fileBytes ++ freshAll.map(f => f.rel -> f.bytes),
       fileBlooms = prev.fileBlooms ++
         freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
-      fileDVs = prev.fileDVs ++ newDVs), c)
+      fileDVs = prev.fileDVs ++ newDVs,
+      fileRows = prev.fileRows ++
+        freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+      fileNdvs = prev.fileNdvs ++
+        freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv }), c)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1213,7 +1298,11 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
         fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
       fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes),
       fileBlooms = cur.fileBlooms ++
-        fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom }), c)
+        fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
+      fileRows = cur.fileRows ++
+        fresh.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+      fileNdvs = cur.fileNdvs ++
+        fresh.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv }), c)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1225,7 +1314,7 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
 /** One committed data file: partition path, rel path, stats string ("" when
   * none), byte size (what feeds the table's optimizer statistics). */
 case class GraftFileRecord(part: String, rel: String, stats: String, bytes: Long,
-    bloom: String = "")
+    bloom: String = "", rows: Long = -1L, ndv: String = "")
 
 case class GraftFilesMessage(files: Seq[GraftFileRecord], rows: Long)
   extends WriterCommitMessage
@@ -1413,6 +1502,138 @@ object GraftBloom {
  * repoints the manifest — old manifests keep referencing the old DV, so time
  * travel sees exactly the rows that were live at that generation.
  */
+/**
+ * Per-file, per-column distinct-count sketches: the manifest-side NDV source
+ * for cost-based optimization (the Iceberg puffin/theta-sketch idea, sized
+ * for a text manifest). A plain 256-register HyperLogLog: fixed 256 bytes per
+ * column per file, mergeable across files by register-wise max — so a SCAN's
+ * column NDV is the union of its kept files' sketches, computed driver-side
+ * from metadata with zero data IO. ~6.5% standard error (1.04/√256), which is
+ * exactly the accuracy class join-reorder cost models need (they compare
+ * cardinalities across orders of magnitude, not percent). Values hash through
+ * two-seed Murmur3 into a synthetic 64-bit key; null values are not counted
+ * (NDV is distinct NON-NULL values, matching Spark's ColumnStat contract).
+ */
+object GraftNdv {
+  val Registers = 256 // p = 8
+  private val Alpha = 0.7213 / (1 + 1.079 / Registers) // standard HLL alpha_m
+
+  private def hash64(v: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(v, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(v, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  def update(regs: Array[Byte], v: String): Unit = {
+    val h = hash64(v)
+    val idx = (h >>> 56).toInt
+    val w = h << 8
+    val rank = (if (w == 0) 57 else java.lang.Long.numberOfLeadingZeros(w) + 1).toByte
+    if (rank > regs(idx)) regs(idx) = rank
+  }
+
+  /** Register-wise max — the union sketch (exactly how per-file sketches roll
+    * up to a scan-level NDV without rescanning data). */
+  def merge(into: Array[Byte], from: Array[Byte]): Unit = {
+    var i = 0
+    while (i < Registers) { if (from(i) > into(i)) into(i) = from(i); i += 1 }
+  }
+
+  /** Standard HLL estimate with the small-range linear-counting correction. */
+  def estimate(regs: Array[Byte]): Long = {
+    var sum = 0.0; var zeros = 0; var i = 0
+    while (i < Registers) {
+      sum += math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = Alpha * Registers * Registers / sum
+    val corrected =
+      if (raw <= 2.5 * Registers && zeros > 0)
+        Registers * math.log(Registers.toDouble / zeros)
+      else raw
+    math.max(1L, math.round(corrected))
+  }
+
+  def encode(regs: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(regs)
+  def decode(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+  /** `col:base64;...` per-file wire form (URL-encoded names, like file stats). */
+  def encodeCols(cols: Seq[(String, Array[Byte])]): String =
+    cols.map { case (n, r) =>
+      s"${java.net.URLEncoder.encode(n, "UTF-8")}:${encode(r)}" }.mkString(";")
+  def parseCols(s: String): Map[String, Array[Byte]] =
+    s.split(";").filter(_.nonEmpty).flatMap { part =>
+      part.split(":", 2) match {
+        case Array(n, b) if b.nonEmpty =>
+          Some(java.net.URLDecoder.decode(n, "UTF-8") -> decode(b))
+        case _ => None
+      }
+    }.toMap
+}
+
+/**
+ * Reader leases: the VACUUM-vs-open-reader guard (closes DESIGN §8's one
+ * unsafe interleaving). Each streaming query renews a lease file under the
+ * table's `_leases/` dir — named by a digest of its checkpoint location,
+ * containing the oldest generation that checkpoint still needs (its committed
+ * offset). VACUUM clamps its reclaim horizon to the minimum gen across
+ * ACTIVE leases (mtime within the TTL), so it never deletes a manifest an
+ * in-flight paced drain will come back for. Leases expire by TTL rather than
+ * explicit release: a crashed driver can't release, and an expired-but-live
+ * reader still fails LOUDLY (the existing manifest-existence require) rather
+ * than reading wrong data — the lease narrows the window, the require keeps
+ * the failure honest. Driver-side metadata IO only; lease IO is best-effort
+ * and never fails the stream (a lost renewal degrades to today's posture,
+ * never to silent corruption).
+ */
+object GraftLease {
+  /** 6h: generous vs any realistic trigger interval, small enough that a dead
+    * checkpoint stops blocking reclaim the same day. */
+  val DefaultTtlMs: Long = 6L * 3600 * 1000
+
+  private def leaseDir(dir: Path) = new Path(dir, "_leases")
+
+  private def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def renew(dir: Path, checkpoint: String, gen: Long, conf: Configuration): Unit =
+    try {
+      val fs = dir.getFileSystem(conf)
+      val f = new Path(leaseDir(dir), s"${digest(checkpoint)}.lease")
+      fs.mkdirs(leaseDir(dir))
+      val out = fs.create(f, true)
+      try out.write(s"$gen\t$checkpoint\n".getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () } // best-effort: see scaladoc
+
+  /** Oldest generation any active (non-expired) lease still needs; None when
+    * no active lease exists. Expired lease files are reaped in passing. */
+  def activeMinGen(dir: Path, conf: Configuration, ttlMs: Long,
+                   nowMs: Long): Option[Long] = {
+    val fs = dir.getFileSystem(conf)
+    val ld = leaseDir(dir)
+    if (!fs.exists(ld)) return None
+    val gens = fs.listStatus(ld).toSeq
+      .filter(_.getPath.getName.endsWith(".lease"))
+      .flatMap { st =>
+        if (nowMs - st.getModificationTime > ttlMs) {
+          try fs.delete(st.getPath, false) catch { case _: Exception => () }
+          None
+        } else {
+          try {
+            val in = fs.open(st.getPath)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                      finally in.close()
+            txt.split("\t", 2).headOption.map(_.trim.toLong)
+          } catch { case _: Exception => Some(-1L) } // unreadable ⇒ maximally safe
+        }
+      }
+    if (gens.isEmpty) None else Some(gens.min)
+  }
+}
+
 object GraftDV {
   private val Magic = 0x47.toByte // 'G'
 
@@ -1476,6 +1697,9 @@ class GraftStatsCollector(dataSchema: StructType) {
   private val nonNulls = Array.fill[Long](cols.length)(0L)
   private val mins = Array.fill[String](cols.length)(null)
   private val maxs = Array.fill[String](cols.length)(null)
+  // Per-column NDV sketches (CBO feed) + the file's row count.
+  private val hlls = Array.fill(cols.length)(new Array[Byte](GraftNdv.Registers))
+  private var rows = 0L
   // NaN/Infinity sit OUTSIDE any finite [min,max] under Spark's ordering
   // (NaN > everything, ±Inf beyond every finite bound), so a file that mixes
   // finite and non-finite values must publish NO bounds at all — finite
@@ -1483,6 +1707,7 @@ class GraftStatsCollector(dataSchema: StructType) {
   private val sawNonFinite = Array.fill[Boolean](cols.length)(false)
 
   def update(row: InternalRow): Unit = {
+    rows += 1
     var k = 0
     while (k < cols.length) {
       val (f, i) = cols(k)
@@ -1516,6 +1741,10 @@ class GraftStatsCollector(dataSchema: StructType) {
           }
           if (mins(k) == null || lt(v, mins(k))) mins(k) = v
           if (maxs(k) == null || lt(maxs(k), v)) maxs(k) = v
+          // NDV sketch rides the same materialized string (NaN/Inf values are
+          // excluded — a ≤6.5%-error estimate is unharmed by a handful of
+          // sentinel values, and they have no canonical string either).
+          GraftNdv.update(hlls(k), v)
         }
       }
       k += 1
@@ -1536,6 +1765,14 @@ class GraftStatsCollector(dataSchema: StructType) {
       Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k), None, None))
     else None
   }.mkString(";")
+
+  /** Rows this collector saw — the file's exact row count. */
+  def rowCount: Long = rows
+
+  /** Per-column NDV sketches for columns that saw a non-null value. */
+  def encodeNdv: String = GraftNdv.encodeCols(
+    cols.indices.collect { case k if nonNulls(k) > 0L =>
+      cols(k)._1.name -> hlls(k) })
 }
 
 class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
@@ -1577,7 +1814,11 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries,
       fileStats = prev.fileStats ++ freshStats,
       fileBytes = prev.fileBytes ++ freshBytes,
-      fileBlooms = prev.fileBlooms ++ freshBlooms), conf.value)
+      fileBlooms = prev.fileBlooms ++ freshBlooms,
+      fileRows = prev.fileRows ++
+        freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+      fileNdvs = prev.fileNdvs ++
+        freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv }), conf.value)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1692,7 +1933,8 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
           val abs = if (pp.isEmpty) new Path(genDir, fileName)
             else new Path(s"$genDir/$pp", fileName)
           GraftFileRecord(pp, rel, stats.encode, fs.getFileStatus(abs).getLen,
-            if (bloomIdx.isDefined) GraftBloom.encode(bloom) else "")
+            if (bloomIdx.isDefined) GraftBloom.encode(bloom) else "",
+            stats.rowCount, stats.encodeNdv)
         }, rows)
       }
 
@@ -1720,16 +1962,27 @@ object GraftCatalogOps {
    * decided by membership in any RETAINED manifest's entry list — never by
    * the age of the gen- directory the file happens to sit in. Metadata-only
    * driver work: entry-list set union + a listing walk, no data reads.
+   *
+   * Reader-lease guard: the reclaim horizon is additionally clamped to the
+   * oldest generation any ACTIVE streaming lease still needs (see
+   * [[GraftLease]]) — vacuum during an in-flight paced drain blocks the
+   * part of the reclaim that drain would trip over, instead of racing it.
+   * `leaseTtlMs = 0` disables the guard (every lease reads as expired).
    * Returns (filesDeleted, manifestsDeleted).
    */
   def vacuum(spark: SparkSession, root: String, table: String,
-             keepGens: Int = 1): (Long, Long) = {
+             keepGens: Int = 1,
+             leaseTtlMs: Long = GraftLease.DefaultTtlMs): (Long, Long) = {
     require(keepGens >= 1, "must retain at least the current generation")
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dir.getFileSystem(conf)
     val cur = GraftManifest.currentGen(dir, conf)
-    val horizon = math.max(0L, cur - keepGens + 1)
+    val requested = math.max(0L, cur - keepGens + 1)
+    val leaseFloor =
+      if (leaseTtlMs <= 0) None
+      else GraftLease.activeMinGen(dir, conf, leaseTtlMs, System.currentTimeMillis())
+    val horizon = leaseFloor.fold(requested)(g => math.min(requested, math.max(0L, g)))
     val live: Set[String] = (horizon to cur).flatMap { g =>
       val m = GraftManifest.load(dir, g, conf)
       // A data file's deletion vector is as live as the file: reclaiming a

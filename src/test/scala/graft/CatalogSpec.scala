@@ -281,6 +281,82 @@ class CatalogSpec extends GraftSuite {
     assert(joined.count() == 100000)
   }
 
+  test("manifest NDV sketches feed estimateStatistics with usable accuracy") {
+    import spark.implicits._
+    val t = freshTable("ndvstats")
+    (0L until 10000L).map(i =>
+        (i, i % 7, s"v${i % 123}", if (i % 4 == 0) null else s"w$i"))
+      .toDF("id", "g", "s", "w")
+      .writeTo(t).partitionedBy(col("g")).create()
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val scan = spark.table(t).filter(col("id") >= 0).queryExecution.optimizedPlan
+      .collectLeaves().collectFirst {
+        case sr: DataSourceV2ScanRelation => sr.scan
+      }.get.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 10000L, "row count is exact (manifest sum)")
+    val cs = st.columnStats()
+    def ndv(c: String): Long = {
+      val k = cs.keySet().toArray.collectFirst {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().sameElements(Array(c)) => r
+      }.get
+      cs.get(k).distinctCount().getAsLong
+    }
+    // Partition column: exact from the manifest's directory values.
+    assert(ndv("g") == 7L)
+    // Data columns: HLL-merged across files — deterministic, ≲7% error class.
+    assert(math.abs(ndv("id") - 10000L) <= 700, s"id ndv=${ndv("id")}")
+    assert(math.abs(ndv("s") - 123L) <= 12, s"s ndv=${ndv("s")}")
+    // Null counts ride the existing file stats: exact.
+    val wKey = cs.keySet().toArray.collectFirst {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames().sameElements(Array("w")) => r
+    }.get
+    assert(cs.get(wKey).nullCount().getAsLong == 2500L)
+  }
+
+  test("CBO join reorder: manifest NDV stats flip a mis-written join order") {
+    import spark.implicits._
+    val fact = freshTable("cbo_fact")
+    val d1 = freshTable("cbo_d1")
+    val d2 = freshTable("cbo_d2")
+    // fact joins d1 on a (every key matches: output stays 20k rows) and d2 on
+    // b (2 of 1000 keys match: output ~40 rows). Written with the UNSELECTIVE
+    // join first — only cardinality estimates can justify flipping it.
+    (0L until 20000L).map(i => (i % 1000L, i % 1000L, i)).toDF("a", "b", "p")
+      .writeTo(fact).create()
+    (0L until 1000L).map(i => (i, s"d1-$i")).toDF("a", "nm1").writeTo(d1).create()
+    Seq((3L, "d2-3"), (7L, "d2-7")).toDF("b", "nm2").writeTo(d2).create()
+    val sql = s"""SELECT p, nm1, nm2 FROM $fact f
+                  JOIN $d1 ON f.a = $d1.a
+                  JOIN $d2 ON f.b = $d2.b"""
+    def joinOrder(): Seq[String] = {
+      val plan = spark.sql(sql).queryExecution.optimizedPlan
+      plan.collectLeaves().map(_.toString)
+        .map(s => Seq("cbo_fact", "cbo_d1", "cbo_d2").find(s.contains).getOrElse("?"))
+    }
+    val flipped = withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")(joinOrder())
+    // With stats, the selective d2 join must execute first (appear before d1
+    // in the depth-first leaf order).
+    assert(flipped.indexOf("cbo_d2") < flipped.indexOf("cbo_d1"),
+      s"CBO should reorder the selective join first, got $flipped")
+    val asWritten = joinOrder() // CBO off: order stays as the SQL wrote it
+    assert(asWritten.indexOf("cbo_d1") < asWritten.indexOf("cbo_d2"),
+      s"without CBO the written order should survive, got $asWritten")
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("cluster table property range-clusters commits so file stats are disjoint") {
     import spark.implicits._
     val t = freshTable("clus")
@@ -631,6 +707,81 @@ class CatalogSpec extends GraftSuite {
     assert(r.getLong(1) == (0L until 400L).sum)
   }
 
+  test("reader leases: streams renew them, vacuum honors them, TTL expires them") {
+    import spark.implicits._
+    val t = freshTable("leased")
+    base.writeTo(t).partitionedBy(col("pk")).create()        // gens 0,1
+    (300L until 350L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 2
+    (350L until 400L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 3
+    val ckpt = tmpDir("graft_lease_ckpt")
+    val q = spark.readStream.option("maxGensPerTrigger", "1").table(t)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("graft_lease_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    // The drain's commits must have left a lease recording its position.
+    val conf = spark.sessionState.newHadoopConf()
+    val tdir = new Path(root, "leased")
+    val leaseMin = graft.sources.GraftLease.activeMinGen(
+      tdir, conf, graft.sources.GraftLease.DefaultTtlMs, System.currentTimeMillis())
+    assert(leaseMin.contains(3L), s"drained stream's lease should sit at gen 3, got $leaseMin")
+    // Simulate a SECOND drain mid-flight: its checkpoint has committed gen 1
+    // and will come back for manifest-1. Vacuum must clamp its horizon there.
+    graft.sources.GraftLease.renew(tdir, "fake-ckpt-midway", 1L, conf)
+    val (_, m1) = graft.sources.GraftCatalogOps.vacuum(spark, root, "leased", keepGens = 1)
+    assert(m1 == 1, s"lease at gen 1 must limit reclaim to manifest-0, deleted $m1")
+    val fs = tdir.getFileSystem(conf)
+    assert(fs.exists(new Path(tdir, "manifest-1.txt")),
+      "the leased generation's manifest must survive vacuum")
+    // Expired leases stop blocking: ttl=0 disables the guard and the same
+    // vacuum now reclaims through the requested horizon.
+    val (_, m2) = graft.sources.GraftCatalogOps.vacuum(spark, root, "leased",
+      keepGens = 1, leaseTtlMs = 0L)
+    assert(m2 == 2, s"with leases expired, manifests 1..2 reclaim, deleted $m2")
+    assert(spark.table(t).count() == 400, "live snapshot must stay readable")
+  }
+
+  test("streaming source admission control: maxBytesPerTrigger paces by file bytes") {
+    import spark.implicits._
+    val t = freshTable("bytepaced")
+    base.writeTo(t).partitionedBy(col("pk")).create()        // gens 0,1
+    (300L until 350L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 2
+    (350L until 400L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).append()                                   // gen 3
+    // A 1-byte cap can never admit a whole extra generation, so the drain
+    // advances one generation per batch (progress guarantee) — same cadence
+    // the maxGensPerTrigger pin shows, but driven by the manifest byte stats.
+    val ckpt = tmpDir("graft_bytepace_ckpt")
+    val q = spark.readStream.option("maxBytesPerTrigger", "1").table(t)
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("graft_bytepace_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val withInput = q.recentProgress.count(_.numInputRows > 0)
+    assert(withInput >= 3, s"1-byte cap must pace the drain, got $withInput batches")
+    assert(spark.table("graft_bytepace_sink").collect().map(_.getLong(1)).sum == 400)
+    // A generous cap admits everything in ONE batch: byte pacing must not
+    // fragment a drain that fits the budget.
+    val ckpt2 = tmpDir("graft_bytepace2_ckpt")
+    val q2 = spark.readStream.option("maxBytesPerTrigger", s"${1L << 30}").table(t)
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt2)
+      .outputMode("complete").format("memory").queryName("graft_bytepace2_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000); q2.stop()
+    val withInput2 = q2.recentProgress.count(_.numInputRows > 0)
+    assert(withInput2 <= 1, s"1 GiB cap must drain in one batch, got $withInput2")
+    assert(spark.table("graft_bytepace2_sink").collect().map(_.getLong(1)).sum == 400)
+  }
+
   test("manifest publish keeps a bloom even when the file has no byte size") {
     // Mixed-vintage manifests can carry a bloom without a byte entry; the
     // line encoding must not silently drop it into a shorter arity.
@@ -661,15 +812,5 @@ class CatalogSpec extends GraftSuite {
     assert(plan.contains("dataFilters=") && !plan.contains("dataFilters=0"),
       s"expected a non-empty dataFilters marker in:\n$plan")
     assert(q.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(292L, 295L, 298L))
-
-    // The Filter→Column translator covers the parquet-exploitable fragment and
-    // declines (None) on what it can't express, rather than mistranslating.
-    import org.apache.spark.sql.sources._
-    val some = graft.sources.GraftRelation.toPredicate(Array(
-      GreaterThanOrEqual("id", 10L), StringStartsWith("s", "v"),
-      Or(EqualTo("pk", 1L), IsNull("s"))))
-    assert(some.isDefined)
-    assert(graft.sources.GraftRelation.toColumn(
-      Or(EqualTo("pk", 1L), AlwaysFalse())).isEmpty)
   }
 }
