@@ -2068,6 +2068,81 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B164 query witness: manifest-fed CBO statistics, audited end to end —
+    // a partitioned catalog table's scan-level estimateStatistics (per-file
+    // HLL sketches merged driver-side, zero data IO) is compared against the
+    // EXACT distinct counts computed from the data. The hash-gated output is
+    // the exact values plus audit booleans: `audit_ok` pins numRows and
+    // partition-column NDV EXACT (manifest row sums / directory values) and
+    // data-column NDV within the 256-register HLL guarantee band (15% > 2σ;
+    // the per-dataset error is deterministic, so the boolean is hash-stable).
+    "q_catalog_ndv" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.ndvq")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.ndvq").partitionedBy(col("pk")).create()
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val scan = s.table("graft.ndvq").filter(col("o_orderkey") >= 0)
+        .queryExecution.optimizedPlan.collectLeaves().collectFirst {
+          case sr: DataSourceV2ScanRelation => sr.scan
+        }.get.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      val st = scan.estimateStatistics()
+      def est(c: String): Long = {
+        val k = st.columnStats().keySet().toArray.collectFirst {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames().sameElements(Array(c)) => r
+        }
+        k.map(st.columnStats().get(_).distinctCount().getAsLong).getOrElse(-1L)
+      }
+      val ex = s.table("graft.ndvq").agg(
+        count(lit(1)), countDistinct(col("o_orderkey")),
+        countDistinct(col("o_custkey")), countDistinct(col("o_orderstatus")),
+        countDistinct(col("pk"))).collect()(0)
+      val exact = Map("_rows" -> ex.getLong(0), "o_orderkey" -> ex.getLong(1),
+        "o_custkey" -> ex.getLong(2), "o_orderstatus" -> ex.getLong(3),
+        "pk" -> ex.getLong(4))
+      def within(c: String): Boolean =
+        math.abs(est(c) - exact(c)) <= math.max(2L, (0.15 * exact(c)).toLong)
+      val rows = Seq(
+        ("_rows", exact("_rows"), st.numRows().getAsLong == exact("_rows")),
+        ("o_custkey", exact("o_custkey"), within("o_custkey")),
+        ("o_orderkey", exact("o_orderkey"), within("o_orderkey")),
+        ("o_orderstatus", exact("o_orderstatus"), within("o_orderstatus")),
+        ("pk", exact("pk"), est("pk") == exact("pk")))
+      import s.implicits._
+      rows.toDF("column", "exact", "audit_ok").orderBy(col("column"))
+    },
+
+    // B166 query witness: METADATA-ONLY aggregates — an ungrouped
+    // COUNT(*) / COUNT(col) / MIN / MAX over a catalog table answers from the
+    // manifest's row counts and file bounds on the driver, zero file IO (the
+    // lakehouse "count from metadata" optimization; see
+    // GraftScanBuilder.supportCompletePushDown for the soundness gates). The
+    // `metadata_only` boolean pins the PLAN (LocalTableScan, no BatchScan) so
+    // the hash gate fails if the pushdown silently stops applying; the values
+    // themselves are hash-checked against DuckDB computing them from data.
+    "q_catalog_agg" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.aggq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.aggq").partitionedBy(col("pk")).create()
+      val q = s.sql(
+        """SELECT count(*) AS n, count(o_orderstatus) AS n_status,
+          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          |  min(cents) AS min_cents, max(cents) AS max_cents,
+          |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+          |  min(pk) AS min_pk, max(pk) AS max_pk
+          |FROM graft.aggq""".stripMargin)
+      val planStr = q.queryExecution.executedPlan.toString
+      q.withColumn("metadata_only",
+        lit(planStr.contains("LocalTableScan") && !planStr.contains("BatchScan")))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3271,6 +3346,30 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B166: DuckDB computes the same aggregates from the parquet data; the
+    // metadata_only plan pin is predicted true.
+    "q_catalog_agg" ->
+      """SELECT count(*) AS n, count(o_orderstatus) AS n_status,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  CAST(min(o_orderkey % 3) AS BIGINT) AS min_pk,
+        |  CAST(max(o_orderkey % 3) AS BIGINT) AS max_pk,
+        |  true AS metadata_only
+        |FROM orders""".stripMargin,
+
+    // B164: the oracle predicts the EXACT distinct counts from parquet and
+    // pins every audit boolean true — numRows and partition NDV exact, data
+    // NDV inside the HLL guarantee band.
+    "q_catalog_ndv" ->
+      """SELECT '_rows' AS "column", count(*) AS exact, true AS audit_ok FROM orders
+        |UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey), true FROM orders
+        |UNION ALL SELECT 'o_orderkey', count(DISTINCT o_orderkey), true FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus), true FROM orders
+        |UNION ALL SELECT 'pk', count(DISTINCT o_orderkey % 3), true FROM orders
+        |ORDER BY "column"""".stripMargin,
 
     // B152: the stream-maintained aggregate must equal the plain per-pk
     // aggregate over ALL orders — snapshot plus increment, nothing else.

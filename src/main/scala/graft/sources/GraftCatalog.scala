@@ -403,10 +403,12 @@ case class GraftStreamOptions(maxGensPerTrigger: Option[Long] = None,
 
 class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     streamOpts: GraftStreamOptions = GraftStreamOptions()) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   protected var required: StructType = manifest.schema
   protected var partFilters: Array[Filter] = Array.empty
   protected var dataFilters: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -434,9 +436,155 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
           GraftBloom.mayMatch(manifest.fileBlooms.get(rel), bc, dataFilters))
     }
 
-  override def build(): Scan =
-    new GraftScan(dir, manifest, keptEntries, required, dataFilters,
-      streamOpts)
+  /**
+   * METADATA-ONLY aggregates (the lakehouse "answer count(*) from the
+   * manifest" optimization): an ungrouped COUNT(*) / COUNT(col) / MIN(col) /
+   * MAX(col) whose inputs the manifest fully determines is answered on the
+   * DRIVER with zero file IO — at 100 TB this turns a 30 000-file scan into a
+   * map lookup. Soundness gates, each refusing (→ normal scan) rather than
+   * approximating:
+   *  - no unhandled (data) filters — Spark only attempts the pushdown when
+   *    every remaining filter was fully handled, and partition filters prune
+   *    the entry list the totals sum over;
+   *  - no deletion vectors on any kept file (deleted rows invalidate both
+   *    row counts and bounds);
+   *  - COUNT needs every kept file's exact row count; COUNT(col) needs its
+   *    null count (data columns: file stats; partition columns: the
+   *    __HIVE_DEFAULT_PARTITION__ marker + row counts);
+   *  - MIN/MAX need every kept file to publish bounds for the column (a
+   *    NaN/Inf or pre-stats-vintage file publishes none → refuse), with the
+   *    ASCII guard on strings (Java vs UTF8 order diverge above 0x7F);
+   *    partition columns read bounds from the directory values instead.
+   * Complete-only: a refused aggregation falls back to the full scan, never
+   * to a partial result.
+   */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggResult(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggResult(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+
+  private def aggResult(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || dataFilters.nonEmpty) return None
+    val entries = keptEntries
+    val rels = entries.map(_._2)
+    if (rels.exists(manifest.fileDVs.contains)) return None
+    lazy val statsByFile = rels.map(r => manifest.fileStats.get(r).map(GraftFileStats.parse))
+    lazy val totalRows: Option[Long] = {
+      val per = rels.map(manifest.fileRows.get)
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    def dataType(c: String): Option[DataType] =
+      manifest.schema.fields.find(_.name == c).map(_.dataType)
+    def typedVal(dt: DataType, s: String): Any = dt match {
+      case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType    => s.toLong
+      case ShortType   => s.toShort
+      case DoubleType  => s.toDouble
+      case FloatType   => s.toFloat
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    def lt(dt: DataType, a: String, b: String): Boolean = dt match {
+      case StringType => a.compareTo(b) < 0
+      case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+    }
+    val isPart = manifest.partCols.toSet
+    // Per-file candidate bound strings for column c (None = file unusable;
+    // Some(None) = file provably contributes nothing, e.g. all-null).
+    def boundsOf(c: String): Option[Seq[Option[(String, String)]]] =
+      if (isPart(c)) Some(entries.map { case (pp, _) =>
+        GraftScanBuilder.partValues(pp).get(c)
+          .filter(_ != "__HIVE_DEFAULT_PARTITION__").map(v => (v, v))
+      })
+      else {
+        val per = rels.indices.map { i =>
+          statsByFile(i).flatMap(_.get(c)).flatMap {
+            case (_, Some(mn), Some(mx)) => Some(Some((mn, mx)))
+            case (_, None, None)         => Some(None) // provably all-null
+            case _                       => None
+          }
+        }
+        if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+      }
+    def extreme(c: String, wantMin: Boolean): Option[(DataType, Any)] =
+      dataType(c).filter(GraftFileStats.eligible).flatMap { dt =>
+        boundsOf(c).flatMap { per =>
+          val cands = per.flatten.map(b => if (wantMin) b._1 else b._2)
+          if (dt == StringType && cands.exists(_.exists(_ >= 0x80))) None // ASCII guard
+          else if (cands.isEmpty) Some((dt, null)) // zero non-null values ⇒ SQL null
+          else Some((dt, typedVal(dt,
+            cands.reduce((a, b) => if (lt(dt, a, b) == wantMin) a else b))))
+        }
+      }
+    def nonNullCount(c: String): Option[Long] =
+      if (isPart(c)) {
+        val per = entries.map { case (pp, rel) =>
+          if (GraftScanBuilder.partValues(pp).get(c)
+                .contains("__HIVE_DEFAULT_PARTITION__")) Some(0L)
+          else manifest.fileRows.get(rel)
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      } else {
+        val per = rels.indices.map { i =>
+          for {
+            st <- statsByFile(i)
+            col <- st.get(c)
+            rows <- manifest.fileRows.get(rels(i))
+          } yield rows - col._1
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+    val resolved: Seq[Option[(DataType, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => totalRows.map(n => (LongType: DataType, n: Any))
+      case c: Count if !c.isDistinct =>
+        colName(c.column).flatMap(nonNullCount).map(n => (LongType: DataType, n: Any))
+      case m: Min => colName(m.column).flatMap(extreme(_, wantMin = true))
+      case m: Max => colName(m.column).flatMap(extreme(_, wantMin = false))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val fields = resolved.map(_.get).zipWithIndex.map { case ((dt, v), i) =>
+        org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = v == null)
+      }
+      Some((StructType(fields),
+        InternalRow.fromSeq(resolved.map(_.get._2))))
+    }
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((schema, row)) =>
+      new GraftLocalAggScan(schema, Array(row),
+        s"GraftLocalAggScan(gen=${manifest.gen}, metadata-only aggregate)")
+    case None =>
+      new GraftScan(dir, manifest, keptEntries, required, dataFilters,
+        streamOpts)
+  }
+}
+
+/** Driver-computed aggregate result delivered as a V2 [[LocalScan]]: Spark
+  * plans it as a LocalTableScan — no tasks, no file IO (see the pushdown
+  * soundness gates on [[GraftScanBuilder.supportCompletePushDown]]). */
+class GraftLocalAggScan(schema: StructType, result: Array[InternalRow], desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = result
+  override def description(): String = desc
 }
 
 object GraftScanBuilder {
@@ -571,7 +719,9 @@ class GraftScan(dir: Path, manifest: GraftManifest,
         None)
     }
     // Data columns: merged HLL union across kept files + summed null counts.
-    lazy val ndvByFile = rels.map(r => manifest.fileNdvs.get(r).map(GraftNdv.parseCols))
+    lazy val allSketches = GraftNdv.parsedSketches(dir.toString, manifest)
+    lazy val ndvByFile = rels.map(r =>
+      if (manifest.fileNdvs.contains(r)) Some(allSketches(r)) else None)
     lazy val statsByFile = rels.map(r => manifest.fileStats.get(r).map(GraftFileStats.parse))
     required.fields
       .filter(f => !manifest.partCols.contains(f.name))
@@ -1571,6 +1721,36 @@ object GraftNdv {
         case _ => None
       }
     }.toMap
+
+  /** Decoded sketches for a whole manifest, cached per manifest CONTENT: the
+    * optimizer may request scan statistics several times per query, and on a
+    * 100k-file manifest re-decoding every sketch each time is O(files×cols)
+    * base64 work on the DRIVER. The key carries the fileNdvs hashCode besides
+    * (dir, gen) because (dir, gen) alone is NOT unique — DROP TABLE +
+    * recreate restarts generation numbers at the same path (the repeated
+    * catalog-query pattern), and a stale hit would miss the new files. The
+    * hash walk is O(files) driver work per lookup, ~1000× cheaper than the
+    * decode it saves; 8 entries bound the footprint. Cached register arrays
+    * are never mutated — [[merge]] always folds INTO a caller-owned fresh
+    * array. */
+  private val parseCache =
+    new java.util.LinkedHashMap[(String, Long, Int), Map[String, Map[String, Array[Byte]]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int), Map[String, Map[String, Array[Byte]]]]): Boolean =
+        size() > 8
+    }
+  def parsedSketches(dir: String, m: GraftManifest): Map[String, Map[String, Array[Byte]]] =
+    parseCache.synchronized {
+      val key = (dir, m.gen, m.fileNdvs.hashCode)
+      val hit = parseCache.get(key)
+      if (hit != null) hit
+      else {
+        val parsed = m.fileNdvs.map { case (rel, s) => rel -> parseCols(s) }
+        parseCache.put(key, parsed)
+        parsed
+      }
+    }
 }
 
 /**
@@ -1599,38 +1779,62 @@ object GraftLease {
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Lease state is encoded in the FILENAME (`<digest>.<gen>.lease`), never
+    * parsed from contents — a concurrent reader can race a create, but a
+    * name is atomic where partial file contents are not. Renewing at the
+    * SAME position (an idle ProcessingTime stream) is a pure mtime touch;
+    * advancing creates the new gen's file first and reaps older ones after,
+    * so a racing reader always sees at least one file and MAX-per-digest
+    * resolves duplicates to the newest position. */
   def renew(dir: Path, checkpoint: String, gen: Long, conf: Configuration): Unit =
     try {
       val fs = dir.getFileSystem(conf)
-      val f = new Path(leaseDir(dir), s"${digest(checkpoint)}.lease")
-      fs.mkdirs(leaseDir(dir))
-      val out = fs.create(f, true)
-      try out.write(s"$gen\t$checkpoint\n".getBytes("UTF-8")) finally out.close()
+      val dg = digest(checkpoint)
+      val f = new Path(leaseDir(dir), s"$dg.$gen.lease")
+      if (fs.exists(f)) {
+        val now = System.currentTimeMillis()
+        fs.setTimes(f, now, now)
+      } else {
+        fs.mkdirs(leaseDir(dir))
+        val out = fs.create(f, true)
+        try out.write(s"$checkpoint\n".getBytes("UTF-8")) finally out.close()
+        val st = fs.globStatus(new Path(leaseDir(dir), s"$dg.*.lease"))
+        if (st != null) st.foreach { s0 =>
+          if (parseGen(s0.getPath.getName).exists(_ != gen))
+            try fs.delete(s0.getPath, false) catch { case _: Exception => () }
+        }
+      }
     } catch { case _: Exception => () } // best-effort: see scaladoc
 
+  private def parseGen(name: String): Option[Long] = {
+    // <40-hex-digest>.<gen>.lease
+    val parts = name.stripSuffix(".lease").split("\\.", 2)
+    if (parts.length == 2) parts(1).toLongOption else None
+  }
+
   /** Oldest generation any active (non-expired) lease still needs; None when
-    * no active lease exists. Expired lease files are reaped in passing. */
+    * no active lease exists. Per checkpoint the NEWEST (max-gen) active file
+    * wins — older twins only exist inside a renew's create→reap window.
+    * Expired lease files are reaped in passing; an unparseable name reads as
+    * the maximally safe -1. */
   def activeMinGen(dir: Path, conf: Configuration, ttlMs: Long,
                    nowMs: Long): Option[Long] = {
     val fs = dir.getFileSystem(conf)
     val ld = leaseDir(dir)
     if (!fs.exists(ld)) return None
-    val gens = fs.listStatus(ld).toSeq
+    val live = fs.listStatus(ld).toSeq
       .filter(_.getPath.getName.endsWith(".lease"))
       .flatMap { st =>
         if (nowMs - st.getModificationTime > ttlMs) {
           try fs.delete(st.getPath, false) catch { case _: Exception => () }
           None
         } else {
-          try {
-            val in = fs.open(st.getPath)
-            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                      finally in.close()
-            txt.split("\t", 2).headOption.map(_.trim.toLong)
-          } catch { case _: Exception => Some(-1L) } // unreadable ⇒ maximally safe
+          val name = st.getPath.getName
+          Some(name.takeWhile(_ != '.') -> parseGen(name).getOrElse(-1L))
         }
       }
-    if (gens.isEmpty) None else Some(gens.min)
+    if (live.isEmpty) None
+    else Some(live.groupBy(_._1).values.map(_.map(_._2).max).min)
   }
 }
 

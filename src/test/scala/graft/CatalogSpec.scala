@@ -45,7 +45,12 @@ class CatalogSpec extends GraftSuite {
     val ok = spark.table(t).filter(col("pk") === 1)
       .agg(count(lit(1)), sum(col("id"))).collect()(0)
     assert(ok.getLong(0) == 100 && ok.getLong(1) == (1L until 300L by 3).sum)
-    intercept[Exception] { spark.table(t).count() }
+    // SUM is not metadata-answerable, so this must open pk=2 and fail. (A
+    // plain count() would now SUCCEED — correctly — via the manifest's
+    // metadata-only aggregate, without touching the vandalized bytes.)
+    intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
+    assert(spark.table(t).count() == 300,
+      "count(*) answers from the manifest even with vandalized data files")
   }
 
   test("snapshot isolation: every generation survives truncate and stays queryable") {
@@ -535,7 +540,8 @@ class CatalogSpec extends GraftSuite {
     // Every file pruned: the scan must produce an empty relation, not crash.
     assert(spark.table(t).filter(col("id") === 555L).count() == 0)
     assert(spark.table(t).filter(col("s").startsWith("lo")).count() == 100)
-    intercept[Exception] { spark.table(t).count() }
+    // SUM must read files (count(*) alone is metadata-answered these days).
+    intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
     // Skipping is sound, not just lucky: a predicate that DOES touch the
     // vandalized range must try to read it and fail.
     intercept[Exception] { spark.table(t).filter(col("id") >= 1000).count() }
@@ -780,6 +786,84 @@ class CatalogSpec extends GraftSuite {
     val withInput2 = q2.recentProgress.count(_.numInputRows > 0)
     assert(withInput2 <= 1, s"1 GiB cap must drain in one batch, got $withInput2")
     assert(spark.table("graft_bytepace2_sink").collect().map(_.getLong(1)).sum == 400)
+  }
+
+  test("continuous rate-limited drain keeps pace with live commits") {
+    import spark.implicits._
+    val t = freshTable("livedrain")
+    base.writeTo(t).partitionedBy(col("pk")).create()        // gens 0,1
+    val ckpt = tmpDir("graft_livedrain_ckpt")
+    // ProcessingTime trigger (a real long-running drain, not AvailableNow):
+    // admission still paces each micro-batch to one generation, so commits
+    // that land WHILE the stream runs are absorbed incrementally.
+    val q = spark.readStream.option("maxGensPerTrigger", "1").table(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("memory").queryName("graft_livedrain_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable() // snapshot drained
+      (300L until 350L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+        .writeTo(t).append()                                 // gen 2, mid-flight
+      q.processAllAvailable()
+      (350L until 400L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+        .writeTo(t).append()                                 // gen 3, mid-flight
+      q.processAllAvailable()
+      val got = spark.table("graft_livedrain_sink").agg(
+        count(lit(1)), sum(col("id"))).collect()(0)
+      assert(got.getLong(0) == 400, s"live commits must stream in, got ${got.getLong(0)}")
+      assert(got.getLong(1) == (0L until 400L).sum, "no duplicates, no loss")
+      // The long-running reader's lease tracks its committed position, so a
+      // concurrent VACUUM cannot reclaim the generations it still needs.
+      val conf = spark.sessionState.newHadoopConf()
+      val leaseMin = graft.sources.GraftLease.activeMinGen(
+        new Path(root, "livedrain"), conf,
+        graft.sources.GraftLease.DefaultTtlMs, System.currentTimeMillis())
+      assert(leaseMin.exists(_ >= 0L), s"running drain must hold a lease, got $leaseMin")
+    } finally q.stop()
+  }
+
+  test("metadata-only aggregates: COUNT/MIN/MAX answer from the manifest, no file IO") {
+    import spark.implicits._
+    val t = freshTable("aggpush")
+    (0L until 1000L).map(i => (i, i % 3, s"v${1000 + i}",
+        if (i % 5 == 0) null else s"w$i"))
+      .toDF("id", "pk", "s", "w")
+      .writeTo(t).partitionedBy(col("pk")).create()
+    // Ungrouped COUNT(*)/COUNT(col)/MIN/MAX with no residual filters: the
+    // plan must be a LocalTableScan (driver-computed from the manifest) —
+    // no BatchScan, no tasks touching parquet.
+    val q = spark.sql(s"SELECT count(*), count(w), min(id), max(id), min(s), max(s), min(pk), max(pk) FROM $t")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"expected a metadata-only LocalTableScan plan, got:\n$plan")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (1000L, 800L, 0L, 999L))
+    assert((r.getString(4), r.getString(5)) == ("v1000", "v1999"))
+    assert((r.getLong(6), r.getLong(7)) == (0L, 2L))
+    // Partition filters compose: they prune the entry list the totals sum
+    // over (fully-handled, so the pushdown stays legal).
+    val q2 = spark.sql(s"SELECT count(*), min(id) FROM $t WHERE pk = 1")
+    assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val r2 = q2.collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == (333L, 1L))
+    // Soundness fallbacks — each of these must NOT be metadata-answered:
+    // a residual data filter, a distinct count, and a deletion vector.
+    val q3 = spark.sql(s"SELECT count(*) FROM $t WHERE id >= 500")
+    assert(!q3.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q3.collect()(0).getLong(0) == 500L)
+    val q4 = spark.sql(s"SELECT count(DISTINCT pk) FROM $t")
+    assert(!q4.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q4.collect()(0).getLong(0) == 3L)
+    val tdv = freshTable("aggpushdv")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .writeTo(tdv).tableProperty("dml", "dv").create()
+    spark.sql(s"DELETE FROM $tdv WHERE id = 0") // DV: min(id) is now 1
+    val q5 = spark.sql(s"SELECT count(*), min(id) FROM $tdv")
+    assert(!q5.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "deletion vectors must refuse the metadata answer")
+    val r5 = q5.collect()(0)
+    assert((r5.getLong(0), r5.getLong(1)) == (99L, 1L))
   }
 
   test("manifest publish keeps a bloom even when the file has no byte size") {
