@@ -2143,6 +2143,30 @@ object StarQueries {
         lit(planStr.contains("LocalTableScan") && !planStr.contains("BatchScan")))
     },
 
+    // B167 query witness: per-partition metadata profile — GROUP BY over the
+    // PARTITION column pushes completely (group keys = manifest directory
+    // values, per-group COUNT/MIN/MAX from the same file stats), so the whole
+    // partition profile (a SHOW PARTITIONS that also answers "how big / what
+    // key range") is one driver-side LocalTableScan: zero tasks, zero file
+    // IO, at any table size. Plan pinned inside the hash gate like B166.
+    "q_catalog_partitions" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.partq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(4)).cast("long").as("pk"))
+        .writeTo("graft.partq").partitionedBy(col("pk")).create()
+      val q = s.sql(
+        """SELECT pk, count(*) AS n_rows, min(o_orderkey) AS min_key,
+          |  max(o_orderkey) AS max_key, min(cents) AS min_cents,
+          |  max(cents) AS max_cents
+          |FROM graft.partq GROUP BY pk""".stripMargin)
+      val planStr = q.queryExecution.executedPlan.toString
+      q.withColumn("metadata_only",
+        lit(planStr.contains("LocalTableScan") && !planStr.contains("BatchScan")))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3359,6 +3383,16 @@ object StarQueries {
         |  CAST(max(o_orderkey % 3) AS BIGINT) AS max_pk,
         |  true AS metadata_only
         |FROM orders""".stripMargin,
+
+    // B167: the oracle groups the parquet data by the same partition key;
+    // the metadata_only plan pin is predicted true.
+    "q_catalog_partitions" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS pk, count(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+        |  true AS metadata_only
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B164: the oracle predicts the EXACT distinct counts from parquet and
     // pins every audit boolean true — numRows and partition NDV exact, data

@@ -408,7 +408,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   protected var required: StructType = manifest.schema
   protected var partFilters: Array[Filter] = Array.empty
   protected var dataFilters: Array[Filter] = Array.empty
-  private var aggPushed: Option[(StructType, InternalRow)] = None
+  private var aggPushed: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -471,18 +471,13 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
 
   private def aggResult(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty || dataFilters.nonEmpty) return None
-    val entries = keptEntries
-    val rels = entries.map(_._2)
-    if (rels.exists(manifest.fileDVs.contains)) return None
-    lazy val statsByFile = rels.map(r => manifest.fileStats.get(r).map(GraftFileStats.parse))
-    lazy val totalRows: Option[Long] = {
-      val per = rels.map(manifest.fileRows.get)
-      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-    }
+    if (dataFilters.nonEmpty) return None
+    val allEntries = keptEntries
+    if (allEntries.map(_._2).exists(manifest.fileDVs.contains)) return None
+    val isPart = manifest.partCols.toSet
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
@@ -503,73 +498,135 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       case StringType => a.compareTo(b) < 0
       case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
     }
-    val isPart = manifest.partCols.toSet
-    // Per-file candidate bound strings for column c (None = file unusable;
-    // Some(None) = file provably contributes nothing, e.g. all-null).
-    def boundsOf(c: String): Option[Seq[Option[(String, String)]]] =
-      if (isPart(c)) Some(entries.map { case (pp, _) =>
-        GraftScanBuilder.partValues(pp).get(c)
-          .filter(_ != "__HIVE_DEFAULT_PARTITION__").map(v => (v, v))
-      })
-      else {
-        val per = rels.indices.map { i =>
-          statsByFile(i).flatMap(_.get(c)).flatMap {
-            case (_, Some(mn), Some(mx)) => Some(Some((mn, mx)))
-            case (_, None, None)         => Some(None) // provably all-null
-            case _                       => None
+    // GROUP BY is supported exactly over PARTITION columns: the manifest's
+    // directory values ARE the group keys (a SHOW-PARTITIONS-grade profile
+    // for free); anything else refuses.
+    val groupCols: Seq[String] = {
+      val ns = agg.groupByExpressions.toSeq.map(colName)
+      if (!ns.forall(_.exists(isPart))) return None
+      ns.map(_.get)
+    }
+
+    /** Aggregate values over one entry subset; None = not metadata-decidable. */
+    def computeFor(entries: Seq[(String, String)]): Option[Seq[(DataType, Any)]] = {
+      val rels = entries.map(_._2)
+      lazy val statsByFile = rels.map(r => manifest.fileStats.get(r).map(GraftFileStats.parse))
+      lazy val totalRows: Option[Long] = {
+        val per = rels.map(manifest.fileRows.get)
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+      // Per-file candidate bound strings for column c (None = file unusable;
+      // Some(None) = file provably contributes nothing, e.g. all-null).
+      def boundsOf(c: String): Option[Seq[Option[(String, String)]]] =
+        if (isPart(c)) Some(entries.map { case (pp, _) =>
+          GraftScanBuilder.partValues(pp).get(c)
+            .filter(_ != "__HIVE_DEFAULT_PARTITION__").map(v => (v, v))
+        })
+        else {
+          val per = rels.indices.map { i =>
+            statsByFile(i).flatMap(_.get(c)).flatMap {
+              case (_, Some(mn), Some(mx)) => Some(Some((mn, mx)))
+              case (_, None, None)         => Some(None) // provably all-null
+              case _                       => None
+            }
+          }
+          if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+        }
+      def extreme(c: String, wantMin: Boolean): Option[(DataType, Any)] =
+        dataType(c).filter(GraftFileStats.eligible).flatMap { dt =>
+          boundsOf(c).flatMap { per =>
+            val cands = per.flatten.map(b => if (wantMin) b._1 else b._2)
+            if (dt == StringType && cands.exists(_.exists(_ >= 0x80))) None // ASCII guard
+            else if (cands.isEmpty) Some((dt, null)) // zero non-null values ⇒ SQL null
+            else Some((dt, typedVal(dt,
+              cands.reduce((a, b) => if (lt(dt, a, b) == wantMin) a else b))))
           }
         }
-        if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
-      }
-    def extreme(c: String, wantMin: Boolean): Option[(DataType, Any)] =
-      dataType(c).filter(GraftFileStats.eligible).flatMap { dt =>
-        boundsOf(c).flatMap { per =>
-          val cands = per.flatten.map(b => if (wantMin) b._1 else b._2)
-          if (dt == StringType && cands.exists(_.exists(_ >= 0x80))) None // ASCII guard
-          else if (cands.isEmpty) Some((dt, null)) // zero non-null values ⇒ SQL null
-          else Some((dt, typedVal(dt,
-            cands.reduce((a, b) => if (lt(dt, a, b) == wantMin) a else b))))
+      def nonNullCount(c: String): Option[Long] =
+        if (isPart(c)) {
+          val per = entries.map { case (pp, rel) =>
+            if (GraftScanBuilder.partValues(pp).get(c)
+                  .contains("__HIVE_DEFAULT_PARTITION__")) Some(0L)
+            else manifest.fileRows.get(rel)
+          }
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+        } else {
+          val per = rels.indices.map { i =>
+            for {
+              st <- statsByFile(i)
+              col <- st.get(c)
+              rows <- manifest.fileRows.get(rels(i))
+            } yield rows - col._1
+          }
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         }
+      val resolved: Seq[Option[(DataType, Any)]] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => totalRows.map(n => (LongType: DataType, n: Any))
+        case c: Count if !c.isDistinct =>
+          colName(c.column).flatMap(nonNullCount).map(n => (LongType: DataType, n: Any))
+        case m: Min => colName(m.column).flatMap(extreme(_, wantMin = true))
+        case m: Max => colName(m.column).flatMap(extreme(_, wantMin = false))
+        case _ => None
       }
-    def nonNullCount(c: String): Option[Long] =
-      if (isPart(c)) {
-        val per = entries.map { case (pp, rel) =>
-          if (GraftScanBuilder.partValues(pp).get(c)
-                .contains("__HIVE_DEFAULT_PARTITION__")) Some(0L)
-          else manifest.fileRows.get(rel)
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-      } else {
-        val per = rels.indices.map { i =>
-          for {
-            st <- statsByFile(i)
-            col <- st.get(c)
-            rows <- manifest.fileRows.get(rels(i))
-          } yield rows - col._1
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-      }
-    val resolved: Seq[Option[(DataType, Any)]] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => totalRows.map(n => (LongType: DataType, n: Any))
-      case c: Count if !c.isDistinct =>
-        colName(c.column).flatMap(nonNullCount).map(n => (LongType: DataType, n: Any))
-      case m: Min => colName(m.column).flatMap(extreme(_, wantMin = true))
-      case m: Max => colName(m.column).flatMap(extreme(_, wantMin = false))
-      case _ => None
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
     }
-    if (resolved.exists(_.isEmpty)) None
-    else {
-      val fields = resolved.map(_.get).zipWithIndex.map { case ((dt, v), i) =>
-        org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = v == null)
+
+    def aggFields(vals: Seq[(DataType, Any)]): Seq[org.apache.spark.sql.types.StructField] =
+      vals.zipWithIndex.map { case ((dt, _), i) =>
+        // MIN/MAX of an all-null group is null; counts never are.
+        org.apache.spark.sql.types.StructField(s"agg_$i", dt,
+          nullable = dt != LongType ||
+            !agg.aggregateExpressions()(i).isInstanceOf[CountStar])
       }
-      Some((StructType(fields),
-        InternalRow.fromSeq(resolved.map(_.get._2))))
+
+    if (groupCols.isEmpty) {
+      computeFor(allEntries).map { vals =>
+        (StructType(aggFields(vals)), Seq(InternalRow.fromSeq(vals.map(_._2))))
+      }
+    } else {
+      val keyTypes = groupCols.map(c => manifest.schema(c).dataType)
+      if (!keyTypes.forall {
+        case StringType | IntegerType | LongType | ShortType => true
+        case _ => false
+      }) return None
+      // One group per distinct directory-value tuple, sorted for determinism.
+      // Groups whose files hold zero rows are DROPPED: a real GROUP BY emits
+      // no group for zero input rows — so all row counts must be known.
+      val grouped = allEntries.groupBy { case (pp, _) =>
+        val values = GraftScanBuilder.partValues(pp)
+        groupCols.map(values.get(_).filter(_ != "__HIVE_DEFAULT_PARTITION__"))
+      }.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+      val perGroup = grouped.map { case (key, entries) =>
+        val rows = entries.map(e => manifest.fileRows.get(e._2))
+        if (rows.exists(_.isEmpty)) None
+        else if (rows.flatten.sum == 0L) Some(None) // empty group: emit nothing
+        else computeFor(entries).map(vals => Some((key, vals)))
+      }
+      if (perGroup.exists(_.isEmpty)) None
+      else {
+        val present = perGroup.flatten.flatten
+        val sample = present.headOption.map(_._2)
+          .orElse(computeFor(Seq.empty)) // schema even for an all-empty table
+        sample.map { vals =>
+          val keyFields = groupCols.zip(keyTypes).map { case (c, dt) =>
+            org.apache.spark.sql.types.StructField(c, dt, nullable = true) }
+          val schema = StructType(keyFields ++ aggFields(vals))
+          val rows = present.map { case (key, v) =>
+            InternalRow.fromSeq(
+              key.zip(keyTypes).map {
+                case (Some(raw), dt) => typedVal(dt, raw)
+                case (None, _)       => null
+              } ++ v.map(_._2))
+          }
+          (schema, rows)
+        }
+      }
     }
   }
 
   override def build(): Scan = aggPushed match {
-    case Some((schema, row)) =>
-      new GraftLocalAggScan(schema, Array(row),
+    case Some((schema, rows)) =>
+      new GraftLocalAggScan(schema, rows.toArray,
         s"GraftLocalAggScan(gen=${manifest.gen}, metadata-only aggregate)")
     case None =>
       new GraftScan(dir, manifest, keptEntries, required, dataFilters,

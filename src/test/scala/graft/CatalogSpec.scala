@@ -864,6 +864,18 @@ class CatalogSpec extends GraftSuite {
       "deletion vectors must refuse the metadata answer")
     val r5 = q5.collect()(0)
     assert((r5.getLong(0), r5.getLong(1)) == (99L, 1L))
+    // GROUP BY over partition columns: the directory values are the group
+    // keys, per-group totals come from the same manifest stats — still a
+    // LocalTableScan. GROUP BY a DATA column must refuse.
+    val q6 = spark.sql(
+      s"SELECT pk, count(*) AS n, min(id) AS mn, max(id) AS mx FROM $t GROUP BY pk ORDER BY pk")
+    assert(q6.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val r6 = q6.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r6.toSeq == Seq((0L, 334L, 0L, 999L), (1L, 333L, 1L, 997L), (2L, 333L, 2L, 998L)))
+    val q7 = spark.sql(s"SELECT s, count(*) FROM $t GROUP BY s")
+    assert(!q7.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "group-by on a data column must take the real scan")
+    assert(q7.count() == 1000)
   }
 
   test("manifest publish keeps a bloom even when the file has no byte size") {
