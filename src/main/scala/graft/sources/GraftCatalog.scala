@@ -595,7 +595,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       val grouped = allEntries.groupBy { case (pp, _) =>
         val values = GraftScanBuilder.partValues(pp)
         groupCols.map(values.get(_).filter(_ != "__HIVE_DEFAULT_PARTITION__"))
-      }.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+      }.toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("|"))
       val perGroup = grouped.map { case (key, entries) =>
         val rows = entries.map(e => manifest.fileRows.get(e._2))
         if (rows.exists(_.isEmpty)) None
@@ -970,7 +970,10 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetRead.readerFactory(dir.toString, manifest, required)
+    // Row-based on purpose: streamed slices carry their at-emission DV, and
+    // the engine forbids mixing columnar and row partitions in one batch.
+    GraftParquetRead.readerFactory(dir.toString, manifest, required,
+      allowColumnar = false)
 }
 
 /** Shared executor-side parquet decode for the catalog's native V2 reads
@@ -989,7 +992,8 @@ object GraftParquetRead {
 
   def readerFactory(tableDir: String, manifest: GraftManifest,
                     required: StructType,
-                    dataFilters: Seq[Filter] = Nil): PartitionReaderFactory = {
+                    dataFilters: Seq[Filter] = Nil,
+                    allowColumnar: Boolean = true): PartitionReaderFactory = {
     val rowSession = SparkSession.active
     val conf = new SerializableHadoopConf(rowSession.sessionState.newHadoopConf())
     val metaNames = Set("_gen", "_file", "_pos")
@@ -1014,23 +1018,35 @@ object GraftParquetRead {
       required.fields.filter(f => f.name == "_gen" || f.name == "_file")
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = false))
-    def buildReader(filters: Seq[Filter]) =
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-        .buildReaderWithPartitionValues(
-          rowSession,
-          dataSchema = manifest.dataSchema,
-          partitionSchema = StructType(partFields),
-          requiredSchema = StructType(dataFields),
-          filters = filters,
-          // Rows, not ColumnarBatches: the vectorized reader still runs inside,
-          // but hands back row views — the contract our PartitionReader needs.
-          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-            .OPTION_RETURNING_BATCH -> "false"),
-          hadoopConf = rowSession.sessionState.newHadoopConf())
-    val readerFn = buildReader(parquetFilters)
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
+      fmt.buildReaderWithPartitionValues(
+        rowSession,
+        dataSchema = manifest.dataSchema,
+        partitionSchema = StructType(partFields),
+        requiredSchema = StructType(dataFields),
+        filters = filters,
+        // returningBatch=false: the vectorized reader still runs inside but
+        // hands back row views — the contract the row PartitionReader needs.
+        // =true: whole ColumnarBatches flow out for the columnar path below.
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> returningBatch.toString),
+        hadoopConf = rowSession.sessionState.newHadoopConf())
+    val readerFn = buildReader(parquetFilters, returningBatch = false)
     // Position-exact twin for DV/_pos slices (see caveat above).
     val unfilteredReaderFn =
-      if (parquetFilters.isEmpty) readerFn else buildReader(Nil)
+      if (parquetFilters.isEmpty) readerFn else buildReader(Nil, returningBatch = false)
+    // COLUMNAR path: when the vectorized reader covers the result schema and
+    // no row-ordinal bookkeeping is needed, ship whole ColumnarBatches —
+    // BatchScanExec then stays columnar into ColumnarToRow/codegen instead of
+    // paying a per-row materialization at the scan boundary (the difference
+    // between a vectorized and a row-at-a-time 100 TB scan). Slices carrying
+    // a deletion vector force the scan row-based (columnarSupportMode is
+    // PARTITION_DEFINED: Spark only goes columnar when EVERY slice agrees).
+    val batchOk = allowColumnar && !wantsPos &&
+      fmt.supportBatch(rowSession, StructType(dataFields ++ partFields))
+    val columnarReaderFn =
+      if (batchOk) buildReader(parquetFilters, returningBatch = true) else null
     // The parquet reader emits dataFields ++ partFields (++ _pos when asked);
     // the scan's readSchema (`required`) may interleave partition columns in
     // table order — realign with an executor-side unsafe projection when the
@@ -1041,8 +1057,8 @@ object GraftParquetRead {
     val needsRealign = !outIdx.sameElements(outIdx.indices)
     val outFields = required.fields
     new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val slice = p.asInstanceOf[GraftFileSlice]
+      private def partitionedFile(slice: GraftFileSlice)
+          : org.apache.spark.sql.execution.datasources.PartitionedFile = {
         val values = GraftScanBuilder.partValues(slice.partPath)
         val partRow = InternalRow.fromSeq(partFields.toIndexedSeq.map { f =>
           f.name match {
@@ -1051,10 +1067,36 @@ object GraftParquetRead {
             case _ => GraftMicroBatchStream.catalystValue(values(f.name), f.dataType)
           }
         })
-        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+        org.apache.spark.sql.execution.datasources.PartitionedFile(
           partRow,
           org.apache.spark.paths.SparkPath.fromPathString(s"$tableDir/${slice.rel}"),
           0L, slice.len)
+      }
+
+      override def supportColumnarReads(p: InputPartition): Boolean = batchOk
+
+      override def createColumnarReader(p: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+        val slice = p.asInstanceOf[GraftFileSlice]
+        val raw = columnarReaderFn(partitionedFile(slice))
+          .asInstanceOf[Iterator[Any]]
+          .map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch])
+        // Column realign without materialization: a reordered view over the
+        // same vectors (the underlying reader owns and closes them).
+        val it = if (!needsRealign) raw else raw.map { b =>
+          new org.apache.spark.sql.vectorized.ColumnarBatch(
+            outIdx.map(b.column), b.numRows())
+        }
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          override def next(): Boolean = it.hasNext
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = it.next()
+          override def close(): Unit = ()
+        }
+      }
+
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val slice = p.asInstanceOf[GraftFileSlice]
+        val pf = partitionedFile(slice)
         // The reader function yields plain rows OR ColumnarBatches (vectorized
         // path) behind an InternalRow-typed iterator — the same duality
         // FileScanRDD handles; unwrap batches to their row views here.
@@ -1167,8 +1209,11 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // Columnar is a SCAN-level decision (the engine forbids mixed row and
+    // columnar partitions): one DV'd file drops the whole scan to rows.
     GraftParquetRead.readerFactory(dir.toString, manifest, required,
-      dataFilters.toIndexedSeq)
+      dataFilters.toIndexedSeq,
+      allowColumnar = !kept.exists { case (_, rel) => manifest.fileDVs.contains(rel) })
 }
 
 object GraftMicroBatchStream {

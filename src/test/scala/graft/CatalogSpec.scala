@@ -878,6 +878,29 @@ class CatalogSpec extends GraftSuite {
     assert(q7.count() == 1000)
   }
 
+  test("native reads are columnar (vectorized) until a deletion vector forces rows") {
+    import spark.implicits._
+    val t = freshTable("colread")
+    (0L until 1000L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).tableProperty("dml", "dv").create()
+    // Plain scan: ColumnarToRow above the BatchScan = whole ColumnarBatches
+    // flow out of the scan (vectorized end to end, no per-row materialization
+    // at the scan boundary).
+    val q = spark.table(t).filter(col("id") >= 10)
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"expected a columnar scan:\n${q.queryExecution.executedPlan}")
+    assert(q.count() == 990)
+    // A deletion vector needs exact row ordinals — the scan must drop to the
+    // row-based reader (and still be correct).
+    spark.sql(s"DELETE FROM $t WHERE id = 500")
+    val q2 = spark.table(t).filter(col("id") >= 10)
+    assert(!q2.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a DV'd snapshot must read row-based")
+    assert(q2.count() == 989)
+    assert(q2.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (10L until 1000L).sum - 500L)
+  }
+
   test("manifest publish keeps a bloom even when the file has no byte size") {
     // Mixed-vintage manifests can carry a bloom without a byte entry; the
     // line encoding must not silently drop it into a shorter arity.
