@@ -2167,6 +2167,80 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B168 query witness: STORAGE-PARTITIONED JOIN — two catalog tables
+    // partitioned the same way join with ZERO shuffle (each scan reports its
+    // physical layout as a KeyGroupedPartitioning; Spark matches the two and
+    // drops both exchanges — at 100 TB this deletes the dominant cost of
+    // every co-partitioned fact join). The `spj` boolean pins the PLAN (no
+    // hash-partition exchange under the join) inside the hash gate, planned
+    // under V2 bucketing with broadcast off; the join values themselves are
+    // hash-checked against DuckDB joining the raw parquet.
+    "q_catalog_spj" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.spjf")
+      s.sql("DROP TABLE IF EXISTS graft.spjd")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(16)).cast("long").as("pk"))
+        .writeTo("graft.spjf").partitionedBy(col("pk")).create()
+      Tables.lineitem(s, d)
+        .groupBy(pmod(col("l_orderkey"), lit(16)).cast("long").as("pk"))
+        .agg(count(lit(1)).as("items"),
+          expr("CAST(sum(l_quantity) AS BIGINT)").as("qty"))
+        .writeTo("graft.spjd").partitionedBy(col("pk")).create()
+      // Plan the join under SPJ conditions, capture the structural boolean,
+      // then restore — the RETURNED frame re-plans under ambient conf, so the
+      // values never depend on the flipped settings.
+      val flips = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = flips.map { case (k, _) => k -> s.conf.getOption(k) }
+      val spj =
+        try {
+          flips.foreach { case (k, v) => s.conf.set(k, v) }
+          val plan = s.table("graft.spjf").join(s.table("graft.spjd"), "pk")
+            .queryExecution.executedPlan.toString
+          !plan.contains("Exchange hashpartitioning")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      s.table("graft.spjf").join(s.table("graft.spjd"), "pk")
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          first(col("items")).as("items"), first(col("qty")).as("qty"))
+        .withColumn("spj", lit(spj))
+        .orderBy(col("pk"))
+    },
+
+    // B169 query witness: CHANGE DATA FEED — row-level changes across a
+    // create → append → DV-delete → delta-update history, recovered from
+    // manifest diffs + deletion-vector deltas + `_file`-pruned snapshot reads
+    // (no change files written at commit time; see GraftCatalogOps.changes).
+    // The oracle replays the same history relationally: appends surface as
+    // inserts, DV deletes as deletes, updates as their delete+insert pairs —
+    // per-commit counts and value sums hash-verified.
+    "q_catalog_cdf" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.cdfq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.cdfq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()                          // gen 1
+      base.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.cdfq").append()                               // gen 2
+      s.sql("DELETE FROM graft.cdfq WHERE o_orderkey % 7 = 0")        // gen 3
+      s.sql("UPDATE graft.cdfq SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // gen 4
+      graft.sources.GraftCatalogOps.changes(s, "graft.cdfq",
+          Tables.scratchDir(s, "catalog", d), "cdfq", 1L, 4L)
+        .groupBy(col("_commit_version").as("gen"), col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("gen"), col("change"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3404,6 +3478,39 @@ object StarQueries {
         |UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus), true FROM orders
         |UNION ALL SELECT 'pk', count(DISTINCT o_orderkey % 3), true FROM orders
         |ORDER BY "column"""".stripMargin,
+
+    // B168: DuckDB replays the co-partitioned join from raw parquet; the
+    // zero-shuffle plan boolean is predicted true.
+    "q_catalog_spj" ->
+      """WITH f AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 16 AS pk FROM orders),
+        |d AS (SELECT l_orderkey % 16 AS pk, count(*) AS items,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1)
+        |SELECT CAST(f.pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents,
+        |  CAST(max(d.items) AS BIGINT) AS items, CAST(max(d.qty) AS BIGINT) AS qty,
+        |  true AS spj
+        |FROM f JOIN d ON f.pk = d.pk
+        |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B169: the oracle replays the table history relationally — gen 2 inserts
+    // the odd keys, gen 3 DV-deletes the %7 keys, gen 4 updates the surviving
+    // %11 keys (a delete+insert pair each, insert carrying the new value).
+    "q_catalog_cdf" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS gen, 'insert' AS change, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents FROM base WHERE k % 2 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT 4, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
+        |UNION ALL
+        |SELECT 4, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
+        |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
+        |ORDER BY gen, change""".stripMargin,
 
     // B152: the stream-maintained aggregate must equal the plain per-pk
     // aggregate over ALL orders — snapshot plus increment, nothing else.

@@ -408,6 +408,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   protected var required: StructType = manifest.schema
   protected var partFilters: Array[Filter] = Array.empty
   protected var dataFilters: Array[Filter] = Array.empty
+  protected var fileFilters: Array[Filter] = Array.empty
   private var aggPushed: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -415,10 +416,22 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   // Accept (and fully handle) partition-key filters we can evaluate against the
   // manifest; everything else stays Spark's to re-check above the scan — but is
   // ALSO handed to the parquet reader for row-group statistics skipping.
+  // `_file` equality/IN predicates prune the entry list at BUILD time (an
+  // entry's rel path IS the `_file` value of every row it holds, so the prune
+  // is exact) — this is what lets the change-data-feed read "the files commit
+  // g added" out of a 30 000-file snapshot without opening the other 29 990.
+  // They are still returned as residual (Spark re-checks above the scan) and
+  // are kept OUT of dataFilters: `_file` is no parquet column, and the
+  // min/max evaluator has no stats row for it.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (part, rest) = filters.partition(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
     partFilters = part
-    dataFilters = rest
+    val (onFile, data) = rest.partition {
+      case EqualTo("_file", _) | In("_file", _) => true
+      case _ => false
+    }
+    fileFilters = onFile
+    dataFilters = data
     rest
   }
   override def pushedFilters(): Array[Filter] = partFilters
@@ -430,6 +443,11 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
+        fileFilters.forall {
+          case EqualTo("_file", v) => rel == String.valueOf(v)
+          case In("_file", vs) => vs.exists(v => rel == String.valueOf(v))
+          case _ => true
+        } &&
         GraftFileStats.mayMatch(manifest.fileStats.get(rel), dataFilters,
           manifest.dataSchema) &&
         manifest.bloomCol.forall(bc =>
@@ -474,7 +492,11 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (dataFilters.nonEmpty) return None
+    // `_file` filters refuse too: Spark only attempts aggregate pushdown with
+    // zero residual filters (and ours stay residual), but a future residual-
+    // handling change must not silently aggregate under a filter whose
+    // re-check column the LocalScan wouldn't carry.
+    if (dataFilters.nonEmpty || fileFilters.nonEmpty) return None
     val allEntries = keptEntries
     if (allEntries.map(_._2).exists(manifest.fileDVs.contains)) return None
     val isPart = manifest.partCols.toSet
@@ -712,10 +734,34 @@ class GraftScan(dir: Path, manifest: GraftManifest,
     dataFilters: Array[Filter],
     streamOpts: GraftStreamOptions = GraftStreamOptions())
     extends GraftBatchScan(dir, manifest, entries, required, dataFilters)
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def description(): String =
     s"GraftScan(gen=${manifest.gen}, entries=${entries.size}/${manifest.entries.size}, " +
       s"dataFilters=${dataFilters.length})"
+
+  /** Storage-partitioned joins (B168, the Iceberg SPJ design): report the
+    * table's physical layout as a [[KeyGroupedPartitioning]] over the
+    * partition columns — each input slice carries its partition-key row
+    * ([[GraftFileSlice.partitionKey]]), Spark groups slices per key, and a
+    * join of two tables partitioned the same way satisfies both sides'
+    * distribution WITHOUT a shuffle (`spark.sql.sources.v2.bucketing.enabled`;
+    * at 100 TB this deletes the dominant exchange of every co-partitioned
+    * fact-fact join). Reported only when every partition column survives into
+    * the scan output — Spark resolves the key expressions against the scan
+    * schema, so advertising a pruned column would fail the query, not just
+    * the optimization. Unpartitioned (or pruned) scans report unknown. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val keySchema = spjKeySchema
+    if (keySchema.nonEmpty) {
+      val nGroups = currentEntries.map(_._1).distinct.size
+      new KeyGroupedPartitioning(
+        keySchema.map { case (c, _) => Expressions.identity(c): Expression }.toArray,
+        math.max(1, nGroups))
+    } else new UnknownPartitioning(math.max(1, currentEntries.size))
+  }
 
   /** Widen runtime filtering to projected PARTITION columns: Spark's dynamic
     * partition pruning then drops whole manifest partitions at runtime from a
@@ -823,8 +869,23 @@ case class GenOffset(gen: Long)
 }
 
 case class GraftFileSlice(partPath: String, rel: String, len: Long,
-    dvRel: String = "")
+    dvRel: String = "", partKeySchema: Seq[(String, DataType)] = Nil)
   extends org.apache.spark.sql.connector.read.InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Partition-key row for storage-partitioned joins (B168): Spark groups
+    * slices by this row when the scan reports [[KeyGroupedPartitioning]], so
+    * two tables partitioned the same way join with ZERO shuffle. Values come
+    * from the slice's directory path — the same source of truth the batch
+    * reader re-attaches partition columns from, so key and data can't
+    * disagree. Only consulted when `partKeySchema` is non-empty (the scan
+    * reports unknown partitioning otherwise). */
+  override def partitionKey(): InternalRow = {
+    val values = GraftScanBuilder.partValues(partPath)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      partKeySchema.map { case (c, dt) =>
+        GraftMicroBatchStream.catalystValue(values(c), dt) }.toArray[Any])
+  }
+}
 
 /**
  * The catalog table as a STREAMING SOURCE (Delta-style table streaming): the
@@ -1197,14 +1258,28 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
       case _ => // unknown runtime filter — ignore (purely an optimization)
     }
 
+  /** Partition-key schema for SPJ slice grouping — only when every partition
+    * column survives into the scan output AND has a directory-codec type
+    * ([[GraftMicroBatchStream.catalystValue]]); must agree with
+    * [[GraftScan.outputPartitioning]]'s decision to report key grouping. */
+  protected def spjKeySchema: Seq[(String, DataType)] = {
+    val pcs = manifest.partCols
+    val codecable = Set[DataType](StringType, IntegerType, LongType, ShortType)
+    if (pcs.nonEmpty && pcs.forall(required.fieldNames.contains) &&
+        pcs.forall(c => codecable(manifest.schema(c).dataType)))
+      pcs.map(c => c -> manifest.schema(c).dataType)
+    else Nil
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     lazy val fs = dir.getFileSystem(conf)
+    val keySchema = spjKeySchema
     kept.map { case (pp, rel) =>
       val len = manifest.fileBytes.getOrElse(rel,
         fs.getFileStatus(new Path(dir, rel)).getLen)
       GraftFileSlice(pp, rel, len,
-        manifest.fileDVs.getOrElse(rel, "")): InputPartition
+        manifest.fileDVs.getOrElse(rel, ""), keySchema): InputPartition
     }.toArray
   }
 
@@ -2347,6 +2422,108 @@ object GraftCatalogOps {
     val after = snap()
     (before.entries.size.toLong, liveDvs(before),
       after.entries.size.toLong, liveDvs(after))
+  }
+
+  /**
+   * CHANGE DATA FEED (B169, the Delta CDF / Iceberg changelog-scan semantics):
+   * the row-level changes a table underwent across generations
+   * (fromGen, toGen], each row tagged `_change_type` ('insert' | 'delete';
+   * an update is its delete+insert pair) and `_commit_version`.
+   *
+   * Computed from what the format already records — no extra change files at
+   * write time. Per generation g, the manifest diff names the touched files:
+   *   - delete candidates = rows live at g-1 in files g REMOVED, plus rows at
+   *     positions g's DELETION VECTORS newly cover (read from the g-1
+   *     snapshot via the `_file`/`_pos` metadata columns and a broadcast
+   *     semi-join against the driver-decoded DV position delta — DV deltas
+   *     are metadata-scale by design);
+   *   - insert candidates = rows live at g in files g ADDED;
+   *   - changes = candidates minus their cross-side multiset intersection
+   *     (`exceptAll` both ways): an append emits pure inserts, a DV delete
+   *     pure deletes, a delta UPDATE its delete+insert pairs — and a
+   *     copy-on-write rewrite or OPTIMIZE, which re-copies rows verbatim,
+   *     emits NOTHING for the unchanged rows. One formulation, every commit
+   *     type.
+   *
+   * Scale shape: every read is `_file`-pruned to the touched files (the scan
+   * builder prunes manifest entries on `_file` predicates before any IO), the
+   * exceptAll shuffles only those files' rows, and manifest/DV work is
+   * driver-side metadata. A 10-file commit on a 30 000-file table reads 10
+   * files (+ the DV'd ones), never the table.
+   *
+   * Schema evolution: candidates align to toGen's schema (ADD COLUMN only
+   * evolves forward; pre-evolution rows surface null for the new columns,
+   * exactly as the snapshots themselves do). Requires manifests ≥ fromGen to
+   * still exist — a VACUUM past that horizon fails the feed loudly.
+   */
+  def changes(spark: SparkSession, tableRef: String, root: String, table: String,
+              fromGen: Long, toGen: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(fromGen >= 0 && toGen > fromGen,
+      s"need 0 <= fromGen < toGen, got ($fromGen, $toGen]")
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    (fromGen to toGen).foreach { g =>
+      require(dir.getFileSystem(conf).exists(new Path(dir, s"manifest-$g.txt")),
+        s"change feed needs manifest-$g, which VACUUM has reclaimed — " +
+          "narrow the range to retained generations")
+    }
+    val mTo = GraftManifest.load(dir, toGen, conf)
+    val outCols = mTo.dataSchema.fields.map(f => f.name -> f.dataType).toSeq
+    def aligned(df: DataFrame): DataFrame =
+      df.select(outCols.map { case (n, dt) =>
+        (if (df.columns.contains(n)) col(n) else lit(null).cast(dt)).as(n) }: _*)
+    def snap(g: Long): DataFrame =
+      spark.sql(s"SELECT *, _file, _pos FROM $tableRef VERSION AS OF $g")
+    val frames: Seq[DataFrame] = (fromGen + 1 to toGen).flatMap { g =>
+      val mPrev = GraftManifest.load(dir, g - 1, conf)
+      val mCur = GraftManifest.load(dir, g, conf)
+      val prevRels = mPrev.entries.map(_._2).toSet
+      val curRels = mCur.entries.map(_._2).toSet
+      val added = (curRels -- prevRels).toSeq.sorted
+      val removed = (prevRels -- curRels).toSeq.sorted
+      // Positions newly dead at g on carried-forward files: DV(g) ∖ DV(g-1).
+      val dvPairs: Seq[(String, Long)] =
+        (prevRels & curRels).toSeq.sorted.flatMap { rel =>
+          val curDv = mCur.fileDVs.get(rel)
+          val prevDv = mPrev.fileDVs.get(rel)
+          if (curDv == prevDv) Nil
+          else {
+            val curPos = curDv.map(GraftDV.read(dir, _, conf)).getOrElse(Array.empty[Long])
+            val prevPos = prevDv.map(GraftDV.read(dir, _, conf)).getOrElse(Array.empty[Long]).toSet
+            curPos.filterNot(prevPos).map(rel -> _).toSeq
+          }
+        }
+      val insCand =
+        if (added.isEmpty) None
+        else Some(aligned(snap(g).where(col("_file").isin(added: _*))))
+      val delFromRemoved =
+        if (removed.isEmpty) None
+        else Some(snap(g - 1).where(col("_file").isin(removed: _*)))
+      val delFromDv =
+        if (dvPairs.isEmpty) None
+        else {
+          import spark.implicits._
+          val pairs = dvPairs.toDF("cdf_file", "cdf_pos")
+          Some(snap(g - 1).join(broadcast(pairs),
+            col("_file") === col("cdf_file") && col("_pos") === col("cdf_pos"),
+            "left_semi"))
+        }
+      val delCand = (delFromRemoved.toSeq ++ delFromDv.toSeq)
+        .reduceOption(_ unionByName _).map(aligned)
+      val (dels, inss) = (delCand, insCand) match {
+        case (Some(dc), Some(ic)) => (Some(dc.exceptAll(ic)), Some(ic.exceptAll(dc)))
+        case _ => (delCand, insCand)
+      }
+      (dels.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
+        inss.map(_.withColumn("_change_type", lit("insert"))).toSeq)
+        .map(_.withColumn("_commit_version", lit(g)))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      aligned(snap(toGen)).limit(0)
+        .withColumn("_change_type", lit("").cast(StringType))
+        .withColumn("_commit_version", lit(toGen)))
   }
 
   /** Generation history of a table (DESCRIBE HISTORY analogue): one row per

@@ -932,4 +932,98 @@ class CatalogSpec extends GraftSuite {
       s"expected a non-empty dataFilters marker in:\n$plan")
     assert(q.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(292L, 295L, 298L))
   }
+
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("storage-partitioned join: co-partitioned catalog tables join with zero shuffle") {
+    val a = freshTable("spja")
+    val b = freshTable("spjb")
+    base.writeTo(a).partitionedBy(col("pk")).create()
+    base.select(col("id").as("bid"), col("pk"), (col("id") * 2).as("d"))
+      .writeTo(b).partitionedBy(col("pk")).create()
+    def joined = spark.table(a).join(spark.table(b), "pk")
+      .agg(count(lit(1)).as("n"), sum(col("id") + col("d")).as("t"))
+    // Both scans report KeyGroupedPartitioning over pk; with V2 bucketing on
+    // (and broadcast off so the planner can't sidestep the distribution
+    // question) the join's children already satisfy clustering — NO exchange.
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val q = joined
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected a shuffle-free storage-partitioned join, got:\n$plan")
+      val r = q.collect()(0)
+      assert(r.getLong(0) == 3 * 100L * 100L, s"row count ${r.getLong(0)}")
+    }
+    // Negative control: same query without V2 bucketing shuffles both sides.
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"negative control should shuffle:\n$plan")
+    }
+  }
+
+  test("_file predicates prune manifest entries before any IO") {
+    val t = freshTable("fprune")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    val dir = new Path(root, "fprune")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    val target = m.entries.collectFirst { case ("pk=1", rel) => rel }.get
+    // Vandalize every OTHER data file: only manifest-entry pruning on the
+    // `_file` predicate (before IO) lets the filtered read succeed.
+    val fs = dir.getFileSystem(conf)
+    m.entries.filter(_._2 != target).foreach { case (_, rel) =>
+      val out = fs.create(new Path(dir, rel), true)
+      try out.write("not parquet".getBytes) finally out.close()
+    }
+    val got = spark.table(t).where(col("_file") === target)
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("ids")).collect()(0)
+    assert(got.getLong(0) == 100 && got.getLong(1) == (1L until 300L by 3).sum)
+    intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
+  }
+
+  test("change data feed: appends, DV deletes, delta updates, OPTIMIZE emit exactly their logical changes") {
+    val t = freshTable("cdf")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    base.withColumn("id", col("id") + 1000L).writeTo(t).append()     // gen 2
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3 AND id < 1000")     // gen 3 (DVs)
+    spark.sql(s"UPDATE $t SET s = 'upd' WHERE id = 7")               // gen 4 (delta)
+    graft.sources.GraftCatalogOps.optimize(spark, t, root, "cdf")    // gen 5 (rewrite)
+    val cdf = graft.sources.GraftCatalogOps.changes(spark, t, root, "cdf", 1L, 5L)
+    val byGen = cdf.groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byGen == Map(
+      (2L, "insert") -> 300L,   // plain append
+      (3L, "delete") -> 30L,    // DV point deletes
+      (4L, "delete") -> 1L,     // update = its delete+insert pair
+      (4L, "insert") -> 1L),
+      s"unexpected change profile: $byGen")   // gen 5 (OPTIMIZE): no logical change
+    val upd = cdf.filter(col("_commit_version") === 4).orderBy(col("_change_type"))
+      .select(col("_change_type"), col("s")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(upd == Seq("delete" -> "v7", "insert" -> "upd"), upd.toString)
+    // A feed window covering only the rewrite is empty, and a window past the
+    // vacuum horizon fails loudly rather than under-reporting.
+    assert(graft.sources.GraftCatalogOps.changes(spark, t, root, "cdf", 4L, 5L).isEmpty)
+    graft.sources.GraftCatalogOps.vacuum(spark, root, "cdf", keepGens = 1)
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftCatalogOps.changes(spark, t, root, "cdf", 1L, 5L)
+    }
+  }
 }
