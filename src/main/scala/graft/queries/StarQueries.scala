@@ -2241,6 +2241,51 @@ object StarQueries {
         .orderBy(col("gen"), col("change"))
     },
 
+    // B170 query witness: STREAMING change data feed — the `$changes` twin of
+    // a dv-mode catalog table streamed through a checkpointed file sink: the
+    // first drain delivers the live snapshot as inserts, the second streams
+    // the delta commits exactly — appended files as inserts, DV growth as
+    // deletes read at the newly-dead positions, a delta UPDATE as its
+    // delete+insert pair. The oracle replays the same history relationally;
+    // per-commit change counts and value sums are hash-verified end to end.
+    "q_catalog_cdf_stream" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.cdfs")
+      val hconf = s.sessionState.newHadoopConf()
+      val ckpt = Tables.scratchDir(s, "cdfs_ckpt", d)
+      val out = Tables.scratchDir(s, "cdfs_out", d)
+      Seq(ckpt, out).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).delete(hp, true)
+      }
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.cdfs").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()                          // gen 1
+      def drain(): Unit = {
+        val q = s.readStream.table("graft.`cdfs$changes`")
+          .writeStream.option("checkpointLocation", ckpt)
+          .format("parquet")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        val done = q.awaitTermination(240000)
+        q.stop()
+        require(done, "q_catalog_cdf_stream: AvailableNow drain did not finish in 240s")
+      }
+      drain()                                      // snapshot batch: inserts @1
+      base.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.cdfs").append()                               // gen 2
+      s.sql("DELETE FROM graft.cdfs WHERE o_orderkey % 7 = 0")        // gen 3
+      s.sql("UPDATE graft.cdfs SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // gen 4
+      drain()                                      // delta batches @2..@4
+      s.read.parquet(out)
+        .groupBy(col("_commit_version").as("gen"), col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("gen"), col("change"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3501,6 +3546,29 @@ object StarQueries {
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |SELECT CAST(2 AS BIGINT) AS gen, 'insert' AS change, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents FROM base WHERE k % 2 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT 4, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
+        |UNION ALL
+        |SELECT 4, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
+        |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
+        |ORDER BY gen, change""".stripMargin,
+
+    // B170: the oracle replays the streamed history — the snapshot drain
+    // delivers the evens as version-1 inserts, then each commit streams its
+    // exact delta (matching q_catalog_cdf's batch-feed profile plus the
+    // snapshot row the stream's fresh start adds).
+    "q_catalog_cdf_stream" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS gen, 'insert' AS change, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents FROM base WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT 2, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE k % 2 = 1
         |UNION ALL
         |SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
         |FROM base WHERE k % 7 = 0

@@ -110,6 +110,18 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$changes` resolves the CHANGE FEED twin of table t (the Delta
+    // `table_changes` / Iceberg metadata-table idiom): a streaming-only view
+    // whose rows are t's row-level changes tagged _change_type /
+    // _commit_version — see [[GraftChangesTable]].
+    if (ident.name().endsWith("$changes")) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$changes"))
+      if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
+      val dir = tableDir(baseIdent)
+      return new GraftChangesTable(baseIdent, dir,
+        GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf))
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     new GraftTable(ident, dir, GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf))
@@ -1035,6 +1047,244 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
     // the engine forbids mixing columnar and row partitions in one batch.
     GraftParquetRead.readerFactory(dir.toString, manifest, required,
       allowColumnar = false)
+}
+
+/**
+ * STREAMING CHANGE DATA FEED (B170): the `t$changes` twin of a catalog table —
+ * a streaming-only relation whose rows are t's row-level changes, each tagged
+ * `_change_type` ('insert' | 'delete') and `_commit_version`. Offsets are
+ * manifest generations (same axis, pacing, vacuum leases, and checkpoint
+ * semantics as the base table's stream); a fresh query's first batch delivers
+ * the live snapshot as inserts, and each later commit streams its exact delta:
+ * added files as inserts, deletion-vector growth as deletes read back from the
+ * base files at precisely the newly-dead positions (a delta UPDATE therefore
+ * streams as its delete+insert pair). No change files are written at commit
+ * time — the feed is recovered from what the format already records.
+ *
+ * Rewrite generations (overwrite / copy-on-write DML / OPTIMIZE) REMOVE
+ * entries, which a streaming feed cannot represent without a cross-batch
+ * diff — those fail the stream loudly with a pointer to the batch
+ * [[GraftCatalogOps.changes]] (which cancels rewrite-copied rows exactly).
+ * On `dml=dv` tables every DML is delta-based, so the feed covers the full
+ * DML surface there.
+ */
+class GraftChangesTable(ident: Identifier, dir: Path, manifest: GraftManifest)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.${ident.name()}$$changes@${manifest.gen}"
+  override def schema(): StructType = GraftChangesTable.changeSchema(manifest)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val streamOpts = GraftStreamOptions(
+      maxGensPerTrigger = Option(options.get("maxGensPerTrigger")).map(_.toLong),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+    new GraftChangesScanBuilder(dir, manifest, streamOpts)
+  }
+}
+
+object GraftChangesTable {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+  def changeSchema(manifest: GraftManifest): StructType =
+    StructType(manifest.schema.fields :+
+      org.apache.spark.sql.types.StructField(ChangeType, StringType, false) :+
+      org.apache.spark.sql.types.StructField(CommitVersion, LongType, false))
+}
+
+class GraftChangesScanBuilder(dir: Path, manifest: GraftManifest,
+    streamOpts: GraftStreamOptions) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftChangesTable.changeSchema(manifest)
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"GraftChangesScan(gen=${manifest.gen})"
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new GraftChangesMicroBatchStream(dir, manifest, required, streamOpts,
+        Option(checkpointLocation))
+  }
+}
+
+/** One change-feed work unit: a base-table file read as inserts (role 0, with
+  * its at-emission DV) or probed for deletes (role 1, keeping exactly the
+  * newly-dead `keepPositions` — driver-decoded DV deltas, metadata-scale). */
+case class GraftChangeSlice(partPath: String, rel: String, len: Long,
+    role: Byte, version: Long, dvRel: String = "",
+    keepPositions: Array[Long] = null)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftChangesMicroBatchStream(dir: Path, manifest: GraftManifest,
+    required: StructType, streamOpts: GraftStreamOptions,
+    checkpointLocation: Option[String])
+    extends GraftMicroBatchStream(dir, manifest,
+      GraftChangesMicroBatchStream.innerSchema(manifest, required),
+      streamOpts, checkpointLocation) {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import GraftChangesTable.{ChangeType, CommitVersion}
+
+  private def hconf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GenOffset].gen, end.asInstanceOf[GenOffset].gen)
+    if (s >= e) return Array.empty
+    val c = hconf
+    val fs = dir.getFileSystem(c)
+    require(fs.exists(new Path(dir, s"manifest-$e.txt")),
+      s"change-feed offset generation $e was removed by VACUUM — " +
+        "restart the query with a fresh checkpoint")
+    if (s < 0) {
+      // Fresh query: the live snapshot arrives as inserts (files with their
+      // at-e DV), versioned by each file's committing generation.
+      val m = GraftManifest.load(dir, e, c)
+      return m.entries.map { case (pp, rel) =>
+        val len = m.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+        val v = GraftParquetRead.genOf(rel)
+        GraftChangeSlice(pp, rel, len, 0, if (v >= 0) v else e,
+          m.fileDVs.getOrElse(rel, "")): InputPartition
+      }.toArray
+    }
+    require(fs.exists(new Path(dir, s"manifest-$s.txt")),
+      s"change-feed offset generation $s was removed by VACUUM — " +
+        "restart the query with a fresh checkpoint")
+    (s + 1 to e).flatMap { g =>
+      val mPrev = GraftManifest.load(dir, g - 1, c)
+      val mCur = GraftManifest.load(dir, g, c)
+      val prevRels = mPrev.entries.map(_._2).toSet
+      val curRels = mCur.entries.map(_._2).toSet
+      val removed = prevRels -- curRels
+      require(removed.isEmpty,
+        s"generation $g removed ${removed.size} file(s) (overwrite / " +
+          "copy-on-write DML / OPTIMIZE) — a streaming change feed cannot " +
+          "represent rewrites; use GraftCatalogOps.changes for batch history " +
+          "across them (dml=dv tables stream their full DML surface)")
+      val inserts = mCur.entries.collect { case (pp, rel) if !prevRels(rel) =>
+        val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+        GraftChangeSlice(pp, rel, len, 0, g,
+          mCur.fileDVs.getOrElse(rel, "")): InputPartition
+      }
+      val deletes = mPrev.entries.collect {
+        case (pp, rel) if curRels(rel) &&
+            mCur.fileDVs.get(rel) != mPrev.fileDVs.get(rel) =>
+          val curPos = mCur.fileDVs.get(rel)
+            .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
+          val prevPos = mPrev.fileDVs.get(rel)
+            .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long]).toSet
+          val delta = curPos.filterNot(prevPos)
+          val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+          GraftChangeSlice(pp, rel, len, 1, g, "", delta): InputPartition
+      }.filter(_.asInstanceOf[GraftChangeSlice].keepPositions.nonEmpty)
+      inserts ++ deletes
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = GraftChangesMicroBatchStream.innerSchema(manifest, required)
+    GraftChangesMicroBatchStream.readerFactory(dir.toString, manifest, required, inner)
+  }
+}
+
+object GraftChangesMicroBatchStream {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+  import GraftChangesTable.{ChangeType, CommitVersion}
+
+  /** The base-table columns behind a pruned change-feed schema. Parquet reads
+    * need at least one physical stream, so an all-change-columns projection
+    * (e.g. `count(*)` over versions) keeps one narrow base column. */
+  def innerSchema(manifest: GraftManifest, required: StructType): StructType = {
+    val base = StructType(required.fields.filterNot(f =>
+      f.name == ChangeType || f.name == CommitVersion))
+    if (base.fields.nonEmpty) base
+    else StructType(Seq(manifest.schema.fields.head))
+  }
+
+  /** Wraps the shared parquet decode: insert slices re-project each inner row
+    * plus the two constant change fields; delete slices read the file with
+    * true `_pos` ordinals (the unfiltered-twin path), keep exactly the
+    * newly-dead positions, and re-project the same way. */
+  def readerFactory(tableDir: String, manifest: GraftManifest,
+      required: StructType, inner: StructType): PartitionReaderFactory = {
+    val insertInner = GraftParquetRead.readerFactory(tableDir, manifest, inner,
+      allowColumnar = false)
+    // `_pos` is never in `inner` (the change schema carries no metadata
+    // columns), so the delete read appends it and indices of inner fields
+    // stay aligned between the two schemas.
+    val deleteSchema = StructType(inner.fields :+
+      org.apache.spark.sql.types.StructField("_pos", LongType, false))
+    val posIdx = inner.fields.length
+    val deleteInner = GraftParquetRead.readerFactory(tableDir, manifest,
+      deleteSchema, allowColumnar = false)
+    val innerTypes = inner.fields.map(_.dataType)
+    // Map each output ordinal to its inner ordinal (change cols → -1/-2).
+    val outMap = required.fields.map { f =>
+      if (f.name == ChangeType) -1
+      else if (f.name == CommitVersion) -2
+      else inner.fieldNames.indexOf(f.name)
+    }
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val slice = p.asInstanceOf[GraftChangeSlice]
+        val tag = org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (slice.role == 0) "insert" else "delete")
+        val version = slice.version
+        if (slice.role == 0) {
+          val it = insertInner.createReader(
+            GraftFileSlice(slice.partPath, slice.rel, slice.len, slice.dvRel))
+          new PartitionReader[InternalRow] {
+            private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+            override def next(): Boolean = it.next()
+            override def get(): InternalRow = {
+              val row = it.get()
+              var i = 0
+              while (i < required.length) {
+                outMap(i) match {
+                  case -1 => out.update(i, tag)
+                  case -2 => out.update(i, version)
+                  case j  => out.update(i, row.get(j, innerTypes(j)))
+                }
+                i += 1
+              }
+              out
+            }
+            override def close(): Unit = it.close()
+          }
+        } else {
+          val keep = slice.keepPositions.sorted
+          val it = deleteInner.createReader(
+            GraftFileSlice(slice.partPath, slice.rel, slice.len, ""))
+          new PartitionReader[InternalRow] {
+            private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+            private var current: InternalRow = _
+            override def next(): Boolean = {
+              while (it.next()) {
+                val row = it.get()
+                if (GraftDV.contains(keep, row.getLong(posIdx))) {
+                  current = row
+                  return true
+                }
+              }
+              false
+            }
+            override def get(): InternalRow = {
+              var i = 0
+              while (i < required.length) {
+                outMap(i) match {
+                  case -1 => out.update(i, tag)
+                  case -2 => out.update(i, version)
+                  case j  => out.update(i, current.get(j, innerTypes(j)))
+                }
+                i += 1
+              }
+              out
+            }
+            override def close(): Unit = it.close()
+          }
+        }
+      }
+    }
+  }
 }
 
 /** Shared executor-side parquet decode for the catalog's native V2 reads

@@ -996,6 +996,58 @@ class CatalogSpec extends GraftSuite {
     intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
   }
 
+  test("streaming change feed: $changes streams snapshot inserts, DV deletes, update pairs; rewrites fail loudly") {
+    val t = freshTable("scdf")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    val ckpt = tmpDir("scdf_ckpt")
+    val out = tmpDir("scdf_out")
+    // Parquet file sink: append-mode with exactly-once checkpoint recovery
+    // (the memory sink cannot resume a checkpoint in append mode).
+    def drain(): Unit = {
+      val q = spark.readStream.table("gtest.`scdf$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      assert(q.awaitTermination(120000), "change-feed drain timed out")
+      q.stop()
+    }
+    drain() // snapshot batch: the live table arrives as inserts @ version 1
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")                   // gen 2
+    spark.sql(s"UPDATE $t SET s = 'upd' WHERE id = 7")               // gen 3
+    drain() // delta batches: 30 deletes @2, delete+insert pair @3
+    val sink = spark.read.parquet(out)
+    val byGen = sink.groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byGen == Map(
+      (1L, "insert") -> 300L, (2L, "delete") -> 30L,
+      (3L, "delete") -> 1L, (3L, "insert") -> 1L), byGen.toString)
+    val pair = sink.filter(col("_commit_version") === 3)
+      .orderBy(col("_change_type")).select(col("_change_type"), col("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(pair == Seq("delete" -> "v7", "insert" -> "upd"), pair.toString)
+    // The stream's delta window must agree with the batch feed over (1, 3].
+    val batch = graft.sources.GraftCatalogOps.changes(spark, t, root, "scdf", 1L, 3L)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch == byGen.filter(_._1._1 > 1L), s"stream $byGen vs batch $batch")
+    // A rewrite generation cannot stream: OPTIMIZE then drain fails loudly
+    // (the batch feed remains the documented path across rewrites).
+    graft.sources.GraftCatalogOps.optimize(spark, t, root, "scdf")   // gen 4
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.table("gtest.`scdf$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    assert(ex.getMessage.contains("cannot") || ex.getCause != null)
+  }
+
   test("change data feed: appends, DV deletes, delta updates, OPTIMIZE emit exactly their logical changes") {
     val t = freshTable("cdf")
     base.writeTo(t).partitionedBy(col("pk"))
