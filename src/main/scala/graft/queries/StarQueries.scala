@@ -2286,6 +2286,48 @@ object StarQueries {
         .orderBy(col("gen"), col("change"))
     },
 
+    // B171 query witness: CHECK constraints — the `check` table property is a
+    // boolean SQL expression every write path must satisfy row-by-row (batch
+    // append, streaming epochs, delta DML, CoW rewrites); a violation fails
+    // the task and the commit NEVER publishes, so rejection is all-or-nothing.
+    // The query drives a valid create, a wholly-violating append, a violating
+    // UPDATE, then a compliant UPDATE; `rejected_*` pin that both bad writes
+    // threw, `atomic` that the generation pointer never advanced across them,
+    // and the hash gate proves the final state is exactly
+    // create+compliant-update — the rejected writes left zero rows.
+    "q_catalog_check" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.chkq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.writeTo("graft.chkq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv")
+        .tableProperty("check", "cents >= 0").create()
+      val dir = new org.apache.hadoop.fs.Path(
+        Tables.scratchDir(s, "catalog", d), "chkq")
+      val hconf = s.sessionState.newHadoopConf()
+      def gen = graft.sources.GraftManifest.currentGen(dir, hconf)
+      val g1 = gen
+      val rejectedAppend =
+        try {
+          base.withColumn("cents", -col("cents") - 1)
+            .writeTo("graft.chkq").append(); false
+        } catch { case _: Exception => true }
+      val rejectedUpdate =
+        try {
+          s.sql("UPDATE graft.chkq SET cents = -5 WHERE o_orderkey % 10 = 0"); false
+        } catch { case _: Exception => true }
+      val atomic = gen == g1
+      s.sql("UPDATE graft.chkq SET cents = cents + 3 WHERE o_orderkey % 10 = 0")
+      s.table("graft.chkq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("rejected_append", lit(rejectedAppend))
+        .withColumn("rejected_update", lit(rejectedUpdate))
+        .withColumn("atomic", lit(atomic))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3579,6 +3621,18 @@ object StarQueries {
         |SELECT 4, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
         |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
         |ORDER BY gen, change""".stripMargin,
+
+    // B171: the oracle replays only the writes that should have LANDED —
+    // create plus the compliant update; the rejected append and update
+    // contribute nothing, and all three structural booleans pin true.
+    "q_catalog_check" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 10 = 0 THEN cents + 3 ELSE cents END) AS BIGINT) AS cents,
+        |  true AS rejected_append, true AS rejected_update, true AS atomic
+        |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B152: the stream-maintained aggregate must equal the plain per-pk
     // aggregate over ALL orders — snapshot plus increment, nothing else.

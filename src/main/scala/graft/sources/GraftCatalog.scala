@@ -156,6 +156,9 @@ class GraftCatalog extends TableCatalog {
       s"bloom column $c missing from schema"))
     keep.get("dml").foreach(v => require(v == "cow" || v == "dv",
       s"dml table property must be cow or dv, got $v"))
+    // CHECK constraint: fail at CREATE on bad SQL / unknown columns / a
+    // non-boolean expression — never at first write.
+    keep.get(GraftCheck.Prop).foreach(sql => GraftCheck.resolve(sql, schema))
     keep.foreach { case (k, v) =>
       require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
         s"table property '$k' contains a control character — " +
@@ -1683,7 +1686,8 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new GraftDeltaWriterFactory(writeSchema, prev.partCols,
-      new Path(dir, genRel).toString, conf, prev.bloomCol)
+      new Path(dir, genRel).toString, conf, prev.bloomCol,
+      GraftCheck.compiled(prev.props, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftDeltaMessage])
@@ -1725,12 +1729,13 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
 }
 
 class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
-    genDir: String, conf: SerializableHadoopConf, bloomCol: Option[String])
+    genDir: String, conf: SerializableHadoopConf, bloomCol: Option[String],
+    check: Option[GraftCheckPredicate] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol)
+      partitionId, taskId, bloomCol, check)
 }
 
 /** Task side of the merge-on-read write: inserts reuse the ordinary parquet
@@ -1738,7 +1743,7 @@ class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * pairs — a few longs per deleted row, never row data. */
 class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String])
+    bloomCol: Option[String], check: Option[GraftCheckPredicate] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   // LAZY: a pure DELETE's write schema is EMPTY (no row data travels with a
   // delete) — constructing the parquet writer would fail resolving partition
@@ -1746,7 +1751,7 @@ class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
   private var innerOpt: Option[GraftRowWriter] = None
   private def inner: GraftRowWriter = innerOpt.getOrElse {
     val w = new GraftRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol)
+      partitionId, taskId, bloomCol, check)
     innerOpt = Some(w); w
   }
   private val deletes =
@@ -1860,7 +1865,7 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(writeSchema, prev.partCols, dir.toString, queryId,
-      conf, prev.bloomCol)
+      conf, prev.bloomCol, GraftCheck.compiled(prev.props, writeSchema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val c = conf.value
@@ -2265,6 +2270,92 @@ object GraftLease {
   }
 }
 
+/**
+ * CHECK constraints (B171, the Delta `CHECK` / SQL-standard table-constraint
+ * semantics): the `check=<boolean sql expr>` table property is parsed and
+ * resolved ONCE on the driver against the write schema (session-free
+ * `CatalystSqlParser` + builtin function registry, so the compiled expression
+ * serializes to executors), then every row of every write path — batch
+ * append/overwrite, streaming epochs, delta (DV) inserts/updates, and
+ * copy-on-write rewrites — must satisfy it. A violating row fails its task,
+ * the job aborts, and the commit NEVER publishes: constraint enforcement
+ * inherits the manifest's all-or-nothing atomicity, so a 10-row batch with
+ * one bad row lands zero rows. SQL tri-state semantics: NULL passes (unknown
+ * is not a violation — the standard's CHECK rule), only literal FALSE rejects.
+ */
+case class GraftCheckPredicate(sql: String,
+    expr: org.apache.spark.sql.catalyst.expressions.Expression) {
+  def validate(row: InternalRow, schema: StructType): Unit = {
+    val v = expr.eval(row)
+    if (v != null && !v.asInstanceOf[Boolean]) {
+      val rendered = schema.fields.zipWithIndex.map { case (f, i) =>
+        val value = if (row.isNullAt(i)) "NULL" else row.get(i, f.dataType)
+        s"${f.name}=$value"
+      }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"CHECK constraint ($sql) violated by row [$rendered] — " +
+          "the whole write is rejected, nothing was committed")
+    }
+  }
+}
+
+object GraftCheck {
+  val Prop = "check"
+
+  /** Compile the table's CHECK property against a write schema — driver-side;
+    * the result ships to tasks. Interpreted eval on purpose: `Predicate`
+    * codegen erases the NULL/FALSE distinction tri-state CHECK needs, and
+    * writes are IO-bound anyway. */
+  def compiled(props: Map[String, String], schema: StructType): Option[GraftCheckPredicate] =
+    props.get(Prop).map(sql => GraftCheckPredicate(sql, resolve(sql, schema)))
+
+  /** Parse + resolve + bind a boolean SQL expression against a schema, with
+    * no SparkSession in sight (write factories construct off the live session
+    * thread). Unknown columns and non-boolean expressions fail LOUDLY — at
+    * CREATE TABLE time via the same call. */
+  def resolve(sql: String,
+      schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
+    import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction}
+    val attrs = schema.fields.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)()).toIndexedSeq
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    val resolved = parsed.transformUp {
+      case ua: UnresolvedAttribute =>
+        attrs.find(_.name == ua.nameParts.mkString(".")).getOrElse(
+          throw new IllegalArgumentException(
+            s"CHECK constraint ($sql) references unknown column '${ua.name}' — " +
+              s"schema has [${schema.fieldNames.mkString(", ")}]"))
+      case uf: UnresolvedFunction =>
+        FunctionRegistry.builtin.lookupFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(uf.nameParts.last),
+          uf.arguments)
+    }
+    // Type coercion is an analyzer concern (`id >= 0` is bigint-vs-int until
+    // the implicit cast lands): run the engine's own ANSI coercion rules to a
+    // fixed point over a single-Filter wrapper plan — the same casts a
+    // session query would get, without needing a session.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+    var plan: LogicalPlan = Filter(resolved, LocalRelation(attrs))
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      val next = org.apache.spark.sql.catalyst.analysis.AnsiTypeCoercion
+        .typeCoercionRules.foldLeft(plan)((p, r) => r(p))
+      changed = !next.fastEquals(plan)
+      plan = next
+      rounds += 1
+    }
+    val coerced = plan.asInstanceOf[Filter].condition
+    require(coerced.resolved,
+      s"CHECK constraint ($sql) did not fully resolve: $coerced")
+    require(coerced.dataType == org.apache.spark.sql.types.BooleanType,
+      s"CHECK constraint ($sql) must be BOOLEAN, got ${coerced.dataType.sql}")
+    BindReferences.bindReference(coerced,
+      org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+  }
+}
+
 object GraftDV {
   private val Magic = 0x47.toByte // 'G'
 
@@ -2414,7 +2505,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(writeSchema, prev.partCols,
-      new Path(dir, genRel).toString, conf, prev.bloomCol)
+      new Path(dir, genRel).toString, conf, prev.bloomCol,
+      GraftCheck.compiled(prev.props, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val freshAll = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
@@ -2463,20 +2555,22 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   * the streaming engine serializes the factory into every task. */
 class GraftStreamingWriterFactory(writeSchema: StructType, partCols: Seq[String],
     tableDir: String, queryId: String, conf: SerializableHadoopConf,
-    bloomCol: Option[String] = None)
+    bloomCol: Option[String] = None, check: Option[GraftCheckPredicate] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols,
-      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol)
+      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol, check)
 }
 
 class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf,
-    bloomCol: Option[String] = None) extends DataWriterFactory {
+    bloomCol: Option[String] = None,
+    check: Option[GraftCheckPredicate] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId, bloomCol)
+    new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId,
+      bloomCol, check)
 }
 
 /** Per-task writer shared by the batch and streaming paths: one parquet file
@@ -2484,7 +2578,7 @@ class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * makes that exactly one file per partition per commit). */
 class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String] = None)
+    bloomCol: Option[String] = None, check: Option[GraftCheckPredicate] = None)
     extends DataWriter[InternalRow] {
       private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
       private val dataIdx =
@@ -2527,6 +2621,10 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         }.mkString("/")
 
       override def write(row: InternalRow): Unit = {
+        // CHECK constraint gate (B171): a FALSE evaluation fails this task,
+        // the job aborts, and the manifest never publishes — whole-commit
+        // atomicity for free. NULL passes (SQL tri-state CHECK).
+        check.foreach(_.validate(row, writeSchema))
         val pp = partPath(row)
         val (w, _, stats, bloom) = writers.getOrElseUpdate(pp, {
           val fileName = s"part-$partitionId-$taskId.parquet"

@@ -1048,6 +1048,59 @@ class CatalogSpec extends GraftSuite {
     assert(ex.getMessage.contains("cannot") || ex.getCause != null)
   }
 
+  test("CHECK constraints: every write path enforces, violations reject the WHOLE commit") {
+    import spark.implicits._
+    val t = freshTable("chk")
+    (0L until 100L).map(i => (i, i % 3, s"v$i")).toDF("id", "pk", "s")
+      .writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv")
+      .tableProperty("check", "id >= 0 AND length(s) < 10").create()
+    assert(spark.table(t).count() == 100)
+    // Batch append with ONE bad row in 50: nothing lands (atomicity), the
+    // generation pointer does not advance.
+    val genBefore = graft.sources.GraftManifest.currentGen(
+      new Path(root, "chk"), spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[Exception] {
+      (100L until 150L).map(i => (i, i % 3, if (i == 137) "wayTooLongValue" else s"v$i"))
+        .toDF("id", "pk", "s").writeTo(t).append()
+    }
+    assert(serializedCauses(ex).exists(_.contains("CHECK constraint")), ex.toString)
+    assert(spark.table(t).count() == 100, "failed append must land zero rows")
+    assert(graft.sources.GraftManifest.currentGen(
+      new Path(root, "chk"), spark.sparkContext.hadoopConfiguration) == genBefore)
+    // Row-level DML writes enforce too: an UPDATE whose result violates fails
+    // and the table is untouched; a compliant UPDATE passes.
+    val ex2 = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET s = 'alsoWayTooLong' WHERE id = 7")
+    }
+    assert(serializedCauses(ex2).exists(_.contains("CHECK constraint")), ex2.toString)
+    assert(spark.table(t).filter(col("id") === 7).select("s").collect()(0).getString(0) == "v7")
+    spark.sql(s"UPDATE $t SET s = 'ok' WHERE id = 7")
+    assert(spark.table(t).filter(col("id") === 7).select("s").collect()(0).getString(0) == "ok")
+    // SQL tri-state: NULL is not a violation (the standard CHECK rule).
+    Seq((200L, 0L, null.asInstanceOf[String])).toDF("id", "pk", "s").writeTo(t).append()
+    assert(spark.table(t).filter(col("id") === 200).count() == 1)
+    // CREATE-time validation: unknown column and non-boolean both fail fast.
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.chkbad (id BIGINT) TBLPROPERTIES ('check' = 'nope > 0')")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.chkbad2 (id BIGINT) TBLPROPERTIES ('check' = 'id + 1')")
+    }
+  }
+
+  /** Task failures surface wrapped (SparkException → ... → our message):
+    * collect every message down the cause chain. */
+  private def serializedCauses(e: Throwable): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur: Throwable = e
+    while (cur != null && buf.size < 10) {
+      if (cur.getMessage != null) buf += cur.getMessage
+      cur = cur.getCause
+    }
+    buf.toSeq
+  }
+
   test("change data feed: appends, DV deletes, delta updates, OPTIMIZE emit exactly their logical changes") {
     val t = freshTable("cdf")
     base.writeTo(t).partitionedBy(col("pk"))
