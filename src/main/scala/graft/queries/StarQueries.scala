@@ -2328,6 +2328,80 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B172 query witness: BUCKETED co-located join — the bucketed-table
+    // pattern on the catalog: both fact tables carry a derived bucket column
+    // (murmur3(key) mod 8) as their partition key, so a BIG-BIG join on the
+    // REAL key (join keys ⊇ partition keys, subset-cluster satisfaction)
+    // runs with ZERO exchange on either side — at 100 TB this is the
+    // fact-fact join without the two dominant shuffles. `spj` pins the plan
+    // inside the hash gate; values are hash-checked vs DuckDB joining the
+    // raw parquet on the key alone (the bucket column is derived from the
+    // key on both sides, so bucket equality adds nothing semantically).
+    "q_catalog_spj_bucket" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.bspf")
+      s.sql("DROP TABLE IF EXISTS graft.bspl")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("bk", pmod(hash(col("o_orderkey")), lit(8)).cast("int"))
+        .writeTo("graft.bspf").partitionedBy(col("bk")).create()
+      Tables.lineitem(s, d).select(col("l_orderkey"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .withColumn("bk", pmod(hash(col("l_orderkey")), lit(8)).cast("int"))
+        .writeTo("graft.bspl").partitionedBy(col("bk")).create()
+      val flips = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = flips.map { case (k, _) => k -> s.conf.getOption(k) }
+      val spj =
+        try {
+          flips.foreach { case (k, v) => s.conf.set(k, v) }
+          val plan = s.table("graft.bspf").as("f")
+            .join(s.table("graft.bspl").as("l"),
+              col("f.bk") === col("l.bk") && col("o_orderkey") === col("l_orderkey"))
+            .queryExecution.executedPlan.toString
+          !plan.contains("Exchange hashpartitioning")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      s.table("graft.bspf").as("f")
+        .join(s.table("graft.bspl").as("l"),
+          col("f.bk") === col("l.bk") && col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty"),
+          sum(col("cents")).as("cents"))
+        .withColumn("spj", lit(spj))
+        .orderBy(col("status"))
+    },
+
+    // B115/B165 query witness (schema evolution on the CATALOG): ALTER TABLE
+    // ADD COLUMN publishes a widened-schema generation with untouched entries
+    // — zero rewrite; pre-evolution files surface NULL for the new column
+    // straight from the schema'd parquet read, post-evolution appends carry
+    // real values. The hash gate proves the null-fill boundary lands exactly
+    // on the evolution commit.
+    "q_catalog_evolution" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.evoq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.evoq").partitionedBy(col("pk")).create()     // gen 1
+      s.sql("ALTER TABLE graft.evoq ADD COLUMN bonus BIGINT")        // gen 2
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("bonus", col("o_orderkey") % 100)
+        .writeTo("graft.evoq").append()                              // gen 3
+      s.table("graft.evoq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          count(col("bonus")).as("n_bonus"),
+          sum(coalesce(col("bonus"), lit(0L))).as("bonus"))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3621,6 +3695,31 @@ object StarQueries {
         |SELECT 4, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
         |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
         |ORDER BY gen, change""".stripMargin,
+
+    // Catalog ADD COLUMN: even keys predate the evolution (NULL bonus, so
+    // count(bonus) sees odds only), odd keys carry k % 100.
+    "q_catalog_evolution" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 100 END AS bonus
+        |  FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  count(bonus) AS n_bonus,
+        |  CAST(sum(coalesce(bonus, 0)) AS BIGINT) AS bonus
+        |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B172: the oracle joins the raw parquet on the order key alone — the
+    // bucket column both sides derive from that key is semantically inert —
+    // and predicts the zero-exchange plan boolean true.
+    "q_catalog_spj_bucket" ->
+      """SELECT o.o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS spj
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     // B171: the oracle replays only the writes that should have LANDED —
     // create plus the compliant update; the rejected append and update

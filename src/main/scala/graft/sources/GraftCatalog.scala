@@ -134,6 +134,31 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident, dir, GraftManifest.load(dir, version.toLong, conf))
   }
 
+  /** `TIMESTAMP AS OF` time travel (B173): resolve to the LARGEST generation
+    * committed at or before the requested instant. Commit time is the
+    * manifest file's modification time — the atomic publish rename stamps it,
+    * so it IS the commit instant (the Delta design: commit-file mtimes drive
+    * timestamp resolution; no clock rides the format itself). Spark hands the
+    * instant in MICROseconds since epoch. A timestamp before the table
+    * existed fails loudly, like a vacuumed version does. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val fs = dir.getFileSystem(conf)
+    val tsMillis = timestamp / 1000L
+    val candidates = fs.globStatus(new Path(dir, "manifest-*.txt")).toSeq
+      .map { st =>
+        val g = st.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong
+        (g, st.getModificationTime)
+      }
+      .filter(_._2 <= tsMillis)
+    require(candidates.nonEmpty,
+      s"no committed snapshot of ${ident.name()} at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} — the table is newer " +
+        "(or VACUUM reclaimed the older generations)")
+    new GraftTable(ident, dir, GraftManifest.load(dir, candidates.map(_._1).max, conf))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

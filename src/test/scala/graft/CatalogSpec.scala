@@ -975,6 +975,64 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("bucketed SPJ: join on the real key over bucket-partitioned tables needs no shuffle; agg on partition key too") {
+    import spark.implicits._
+    val a = freshTable("bspja")
+    val b = freshTable("bspjb")
+    // The bucketed-table pattern at this catalog's surface: a derived bucket
+    // column (Spark's own murmur3 hash mod N) as the partition key. Both
+    // sides derive it identically, so co-location is by construction.
+    val left = (0L until 500L).map(i => (i, s"l$i")).toDF("k", "lv")
+      .withColumn("bk", pmod(hash(col("k")), lit(8)).cast("int"))
+    val right = (0L until 500L by 2).map(i => (i, i * 10)).toDF("k", "rv")
+      .withColumn("bk", pmod(hash(col("k")), lit(8)).cast("int"))
+    left.writeTo(a).partitionedBy(col("bk")).create()
+    right.writeTo(b).partitionedBy(col("bk")).create()
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // Join keys (bk, k) ⊇ partition keys (bk): the key-grouped layout
+      // satisfies both sides' clustering — no exchange anywhere.
+      val q = spark.table(a).join(spark.table(b), Seq("bk", "k"))
+        .agg(count(lit(1)).as("n"), sum(col("rv")).as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      val r = q.collect()(0)
+      assert(r.getLong(0) == 250 && r.getLong(1) == (0L until 500L by 2).map(_ * 10).sum)
+      // Aggregation keyed on the partition column rides the same layout:
+      // partial+final hash agg collapse onto the key-grouped scan, exchange-free.
+      val agg = spark.table(a).groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free partition-key aggregation:\n$aggPlan")
+      assert(agg.collect().map(_.getLong(1)).sum == 500)
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves to the last commit at or before the instant") {
+    val t = freshTable("tsasof")
+    base.writeTo(t).partitionedBy(col("pk")).create()                // gen 1
+    Thread.sleep(1100)
+    val mid = java.time.Instant.now()
+    Thread.sleep(1100)
+    base.limit(50).writeTo(t).append()                               // gen 2
+    val midStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(mid)
+    val n = spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '$midStr'")
+      .collect()(0).getLong(0)
+    assert(n == 300, s"mid-instant snapshot should be gen 1, got $n rows")
+    assert(spark.table(t).count() == 350)
+    // An instant before the table existed fails loudly.
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '2001-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
   test("_file predicates prune manifest entries before any IO") {
     val t = freshTable("fprune")
     base.writeTo(t).partitionedBy(col("pk")).create()
