@@ -2402,6 +2402,36 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B174 query witness: RESTORE — roll the table back to generation 1
+    // after a DV delete and a delta update, as ONE metadata-only commit (no
+    // data file moves; the restored manifest carries gen 1's exact entries).
+    // `restored` pins the new generation number, `no_copy` pins entry-level
+    // identity with gen 1, and the hash gate proves the content is the
+    // original orders projection — the rolled-back DML left no trace.
+    "q_catalog_restore" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.rstq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.writeTo("graft.rstq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()                          // gen 1
+      s.sql("DELETE FROM graft.rstq WHERE o_orderkey % 7 = 0")        // gen 2
+      s.sql("UPDATE graft.rstq SET cents = cents + 9 WHERE o_orderkey % 5 = 0") // gen 3
+      val root = Tables.scratchDir(s, "catalog", d)
+      val newGen = graft.sources.GraftCatalogOps.restore(s, root, "rstq", 1L)
+      val hconf = s.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(root, "rstq")
+      val m1 = graft.sources.GraftManifest.load(dir, 1L, hconf)
+      val mNew = graft.sources.GraftManifest.load(dir, newGen, hconf)
+      val noCopy = mNew.entries == m1.entries && mNew.fileDVs.isEmpty
+      s.table("graft.rstq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("restored", lit(newGen == 4L))
+        .withColumn("no_copy", lit(noCopy))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3709,6 +3739,14 @@ object StarQueries {
         |  count(bonus) AS n_bonus,
         |  CAST(sum(coalesce(bonus, 0)) AS BIGINT) AS bonus
         |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B174: a restored table IS its original projection — the rolled-back
+    // delete and update contribute nothing; both structural booleans true.
+    "q_catalog_restore" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS restored, true AS no_copy
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B172: the oracle joins the raw parquet on the order key alone — the
     // bucket column both sides derive from that key is semantically inert —

@@ -923,6 +923,8 @@ case class GraftFileSlice(partPath: String, rel: String, len: Long,
     val values = GraftScanBuilder.partValues(partPath)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       partKeySchema.map { case (c, dt) =>
+        // catalystValue maps the writer's null marker to NULL, so the key
+        // row and the reader's re-attached value agree on null partitions.
         GraftMicroBatchStream.catalystValue(values(c), dt) }.toArray[Any])
   }
 }
@@ -1571,15 +1573,20 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
 
 object GraftMicroBatchStream {
   import org.apache.spark.unsafe.types.UTF8String
-  /** Partition-path string → catalyst value (same fragment partValues emits). */
-  def catalystValue(s: String, dt: DataType): Any = dt match {
-    case StringType  => UTF8String.fromString(s)
-    case IntegerType => s.toInt
-    case LongType    => s.toLong
-    case ShortType   => s.toShort
-    case other => throw new UnsupportedOperationException(
-      s"graft streaming read: unsupported partition column type $other")
-  }
+  /** Partition-path string → catalyst value (same fragment partValues emits).
+    * The writer's null marker decodes to NULL for every type — a numeric
+    * decode of the marker would otherwise crash the read, and a string one
+    * would resurrect the marker text as a value. */
+  def catalystValue(s: String, dt: DataType): Any =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType    => s.toLong
+      case ShortType   => s.toShort
+      case other => throw new UnsupportedOperationException(
+        s"graft streaming read: unsupported partition column type $other")
+    }
 }
 
 
@@ -2376,6 +2383,11 @@ object GraftCheck {
       s"CHECK constraint ($sql) did not fully resolve: $coerced")
     require(coerced.dataType == org.apache.spark.sql.types.BooleanType,
       s"CHECK constraint ($sql) must be BOOLEAN, got ${coerced.dataType.sql}")
+    // A nondeterministic constraint (rand(), current_timestamp, …) is
+    // semantically meaningless for a row invariant AND would crash the
+    // uninitialized interpreted eval — refuse at definition time.
+    require(coerced.deterministic,
+      s"CHECK constraint ($sql) must be deterministic")
     BindReferences.bindReference(coerced,
       org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
   }
@@ -2856,33 +2868,51 @@ object GraftCatalogOps {
       val curRels = mCur.entries.map(_._2).toSet
       val added = (curRels -- prevRels).toSeq.sorted
       val removed = (prevRels -- curRels).toSeq.sorted
-      // Positions newly dead at g on carried-forward files: DV(g) ∖ DV(g-1).
-      val dvPairs: Seq[(String, Long)] =
-        (prevRels & curRels).toSeq.sorted.flatMap { rel =>
+      // DV deltas on carried-forward files, both directions: positions newly
+      // dead at g (DV(g) ∖ DV(g-1) → deletes) and positions RESURRECTED at g
+      // (DV(g-1) ∖ DV(g) → inserts — a RESTORE rewinds deletion vectors, and
+      // the rows it brings back are real row-level changes).
+      val (dvPairs, resurrected) = {
+        val dead = Seq.newBuilder[(String, Long)]
+        val back = Seq.newBuilder[(String, Long)]
+        (prevRels & curRels).toSeq.sorted.foreach { rel =>
           val curDv = mCur.fileDVs.get(rel)
           val prevDv = mPrev.fileDVs.get(rel)
-          if (curDv == prevDv) Nil
-          else {
+          if (curDv != prevDv) {
             val curPos = curDv.map(GraftDV.read(dir, _, conf)).getOrElse(Array.empty[Long])
-            val prevPos = prevDv.map(GraftDV.read(dir, _, conf)).getOrElse(Array.empty[Long]).toSet
-            curPos.filterNot(prevPos).map(rel -> _).toSeq
+            val prevPos = prevDv.map(GraftDV.read(dir, _, conf)).getOrElse(Array.empty[Long])
+            val prevSet = prevPos.toSet
+            val curSet = curPos.toSet
+            curPos.filterNot(prevSet).foreach(p => dead += (rel -> p))
+            prevPos.filterNot(curSet).foreach(p => back += (rel -> p))
           }
         }
-      val insCand =
+        (dead.result(), back.result())
+      }
+      def posSemiJoin(snapDf: DataFrame, pairs: Seq[(String, Long)]): DataFrame = {
+        import spark.implicits._
+        val pdf = pairs.toDF("cdf_file", "cdf_pos")
+        // `_file` prune first (manifest-entry pruning, zero IO on untouched
+        // files), then the broadcast semi-join picks the exact positions.
+        snapDf.where(col("_file").isin(pairs.map(_._1).distinct: _*))
+          .join(broadcast(pdf),
+            col("_file") === col("cdf_file") && col("_pos") === col("cdf_pos"),
+            "left_semi")
+      }
+      val insFromAdded =
         if (added.isEmpty) None
-        else Some(aligned(snap(g).where(col("_file").isin(added: _*))))
+        else Some(snap(g).where(col("_file").isin(added: _*)))
+      val insFromDv =
+        if (resurrected.isEmpty) None
+        else Some(posSemiJoin(snap(g), resurrected))
+      val insCand = (insFromAdded.toSeq ++ insFromDv.toSeq)
+        .reduceOption(_ unionByName _).map(aligned)
       val delFromRemoved =
         if (removed.isEmpty) None
         else Some(snap(g - 1).where(col("_file").isin(removed: _*)))
       val delFromDv =
         if (dvPairs.isEmpty) None
-        else {
-          import spark.implicits._
-          val pairs = dvPairs.toDF("cdf_file", "cdf_pos")
-          Some(snap(g - 1).join(broadcast(pairs),
-            col("_file") === col("cdf_file") && col("_pos") === col("cdf_pos"),
-            "left_semi"))
-        }
+        else Some(posSemiJoin(snap(g - 1), dvPairs))
       val delCand = (delFromRemoved.toSeq ++ delFromDv.toSeq)
         .reduceOption(_ unionByName _).map(aligned)
       val (dels, inss) = (delCand, insCand) match {
@@ -2897,6 +2927,36 @@ object GraftCatalogOps {
       aligned(snap(toGen)).limit(0)
         .withColumn("_change_type", lit("").cast(StringType))
         .withColumn("_commit_version", lit(toGen)))
+  }
+
+  /**
+   * RESTORE (B174, Delta RESTORE semantics): roll the table back to an
+   * earlier generation by publishing a NEW generation carrying that
+   * snapshot's exact content — entries, schema, properties, and deletion
+   * vectors. Metadata-only: no data file moves (the restored manifest's
+   * files are still live — VACUUM's liveness rule keeps every retained
+   * manifest's entries on disk, and restore targets must still have their
+   * manifest). History is preserved: the rolled-back generations stay
+   * time-travel readable, and the operation itself appears as one commit.
+   * The CURRENT txn ledger is carried forward (not the target's old one) so
+   * a restarted streaming sink still recognizes every epoch it already
+   * published — restore rewinds CONTENT, never exactly-once bookkeeping.
+   * Returns the new generation number.
+   */
+  def restore(spark: SparkSession, root: String, table: String,
+              version: Long): Long = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = GraftManifest.currentGen(dir, conf)
+    require(version >= 0 && version < cur,
+      s"RESTORE needs an earlier committed generation: table is at $cur, got $version")
+    require(dir.getFileSystem(conf).exists(new Path(dir, s"manifest-$version.txt")),
+      s"generation $version was reclaimed by VACUUM — cannot restore past the horizon")
+    val target = GraftManifest.load(dir, version, conf)
+    val current = GraftManifest.load(dir, cur, conf)
+    val next = target.copy(gen = cur + 1, txns = target.txns ++ current.txns)
+    GraftManifest.publish(dir, next, conf)
+    cur + 1
   }
 
   /** Generation history of a table (DESCRIBE HISTORY analogue): one row per

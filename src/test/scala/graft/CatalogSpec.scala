@@ -1145,6 +1145,34 @@ class CatalogSpec extends GraftSuite {
     intercept[Exception] {
       spark.sql("CREATE TABLE gtest.chkbad2 (id BIGINT) TBLPROPERTIES ('check' = 'id + 1')")
     }
+    // Nondeterministic constraints are refused at definition time.
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.chkbad3 (id BIGINT) TBLPROPERTIES ('check' = 'rand() < 0.5')")
+    }
+  }
+
+  test("null partition values roundtrip: marker on disk, NULL on read, SPJ groups them") {
+    import spark.implicits._
+    val t = freshTable("nullpart")
+    Seq((1L, java.lang.Long.valueOf(1L), "a"),
+        (2L, null.asInstanceOf[java.lang.Long], "b"),
+        (3L, java.lang.Long.valueOf(1L), "c"))
+      .toDF("id", "pk", "s").writeTo(t).partitionedBy(col("pk")).create()
+    val all = spark.table(t).select("id", "pk").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(all == Map(1L -> 1L, 2L -> -1L, 3L -> 1L), all.toString)
+    assert(spark.table(t).filter(col("pk").isNull).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // SPJ grouping must not crash on (and must group) the null key.
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val agg = spark.table(t).groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      val got = agg.collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 2L, -1L -> 1L), got.toString)
+    }
   }
 
   /** Task failures surface wrapped (SparkException → ... → our message):
@@ -1157,6 +1185,38 @@ class CatalogSpec extends GraftSuite {
       cur = cur.getCause
     }
     buf.toSeq
+  }
+
+  test("RESTORE rolls content back metadata-only; history survives; the change feed sees the rewind") {
+    val t = freshTable("rst")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    base.limit(50).withColumn("id", col("id") + 1000L)
+      .writeTo(t).append()                                           // gen 2
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3 AND id < 1000")     // gen 3 (30 DVs)
+    assert(spark.table(t).count() == 320)
+    val newGen = graft.sources.GraftCatalogOps.restore(spark, root, "rst", 1L)
+    assert(newGen == 4L)
+    // Content is exactly generation 1; the rolled-back history stays readable.
+    assert(spark.table(t).count() == 300)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 3")
+      .collect()(0).getLong(0) == 320)
+    // Metadata-only: the restored manifest carries generation 1's exact entries.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(root, "rst")
+    val m1 = graft.sources.GraftManifest.load(dir, 1L, conf)
+    val m4 = graft.sources.GraftManifest.load(dir, 4L, conf)
+    assert(m4.entries == m1.entries && m4.fileDVs.isEmpty)
+    // The batch change feed represents the rewind exactly: gen 2's 50 rows
+    // leave (removed files), the 30 DV-deleted rows come back (DV rewind).
+    val cdf = graft.sources.GraftCatalogOps.changes(spark, t, root, "rst", 3L, 4L)
+    val prof = cdf.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof == Map("delete" -> 50L, "insert" -> 30L), prof.toString)
+    // Restoring past a reclaimed horizon fails loudly.
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftCatalogOps.restore(spark, root, "rst", 9L)
+    }
   }
 
   test("change data feed: appends, DV deletes, delta updates, OPTIMIZE emit exactly their logical changes") {
