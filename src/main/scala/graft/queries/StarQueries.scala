@@ -2432,6 +2432,39 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B175 query witness: OPTIMIZE ZORDER — a catalog maintenance rewrite
+    // that Morton-clusters the table on two uniform hash-derived columns;
+    // afterwards a single-axis min/max probe on x AND one on y each provably
+    // exclude files (the library's own stats evaluator counts them — the
+    // property a one-column sort cannot give both axes). Layout columns never
+    // reach the output: the hash gate rides the per-pk aggregate (lossless
+    // rewrite) plus the skip booleans and the exact rewritten file count.
+    "q_catalog_zorder_opt" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.zoq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+          pmod(hash(col("o_orderkey")), lit(64)).cast("long").as("x"),
+          pmod(hash(col("o_orderkey") + 7), lit(64)).cast("long").as("y"))
+        .repartition(8)
+        .writeTo("graft.zoq").create()
+      val root = Tables.scratchDir(s, "catalog", d)
+      val (_, nFiles) = graft.sources.GraftCatalogOps.optimizeZorder(
+        s, "graft.zoq", root, "zoq", "x", "y", numFiles = 8)
+      import org.apache.spark.sql.sources.LessThan
+      val (skipX, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zoq", Array(LessThan("x", 16L)))
+      val (skipY, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zoq", Array(LessThan("y", 16L)))
+      s.table("graft.zoq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("zorder_files", lit(nFiles))
+        .withColumn("skip_x", lit(skipX >= 2L))
+        .withColumn("skip_y", lit(skipY >= 2L))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3739,6 +3772,15 @@ object StarQueries {
         |  count(bonus) AS n_bonus,
         |  CAST(sum(coalesce(bonus, 0)) AS BIGINT) AS bonus
         |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B175: the z-order rewrite is lossless — the aggregate is the plain
+    // per-pk profile — and the structural outcomes are pinned: 8 tiles,
+    // both single-axis probes prune.
+    "q_catalog_zorder_opt" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(8 AS BIGINT) AS zorder_files, true AS skip_x, true AS skip_y
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B174: a restored table IS its original projection — the rolled-back
     // delete and update contribute nothing; both structural booleans true.

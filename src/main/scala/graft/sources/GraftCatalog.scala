@@ -2930,6 +2930,54 @@ object GraftCatalogOps {
   }
 
   /**
+   * OPTIMIZE ZORDER (B175, the Delta `OPTIMIZE ... ZORDER BY (x, y)` op): a
+   * maintenance rewrite that MORTON-clusters the live snapshot on two
+   * columns — each rewritten file owns a quadtree tile of (x, y) space, so
+   * B150's min/max skipping prunes scans filtering on EITHER column (a table
+   * range-clustered on one key prunes that key only; z-order is how a second
+   * frequent filter column gets file-level pruning without a second copy).
+   * The Morton key is layout-only: computed, range-partitioned + sorted on,
+   * then dropped before the write — schema unchanged, content unchanged, one
+   * dynamic-overwrite commit (old generations stay time-travel readable).
+   * Requires an unpartitioned, non-`cluster`ed table: both would impose their
+   * own write distribution over the z-layout and silently undo it — refuse
+   * loudly instead.
+   */
+  def optimizeZorder(spark: SparkSession, tableRef: String, root: String,
+                     table: String, xCol: String, yCol: String,
+                     numFiles: Int): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    def snap() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val before = snap()
+    require(before.partCols.isEmpty && !before.props.contains("cluster"),
+      "OPTIMIZE ZORDER needs an unpartitioned, non-clustered table — " +
+        "partition/cluster write distributions would override the z-layout")
+    spark.table(tableRef)
+      .withColumn("__zkey", graft.operators.Layout.zorderKey(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .writeTo(tableRef).overwritePartitions()
+    (before.entries.size.toLong, snap().entries.size.toLong)
+  }
+
+  /** Files of the CURRENT snapshot a data predicate provably excludes, by the
+    * library's own stats evaluator — the audit twin of B150's scan-side
+    * skipping, for maintenance-op proofs. */
+  def filesSkippedBy(spark: SparkSession, root: String, table: String,
+                     filters: Array[Filter]): (Long, Long) = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val skipped = m.entries.count { case (_, rel) =>
+      !GraftFileStats.mayMatch(m.fileStats.get(rel), filters, m.dataSchema)
+    }
+    (skipped.toLong, m.entries.size.toLong)
+  }
+
+  /**
    * RESTORE (B174, Delta RESTORE semantics): roll the table back to an
    * earlier generation by publishing a NEW generation carrying that
    * snapshot's exact content — entries, schema, properties, and deletion

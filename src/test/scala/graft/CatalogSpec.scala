@@ -1187,6 +1187,83 @@ class CatalogSpec extends GraftSuite {
     buf.toSeq
   }
 
+  test("streaming CDC replication: applying $changes via MERGE keeps a replica exact") {
+    val src = freshTable("repsrc")
+    val dst = freshTable("repdst")
+    base.writeTo(src).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()
+    base.limit(0).writeTo(dst).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()
+    val ckpt = tmpDir("rep_ckpt")
+    // The canonical CDC-apply loop: per commit version in order, deletes
+    // first (MERGE ... WHEN MATCHED THEN DELETE on the key), then inserts —
+    // an update's delete+insert pair lands as an exact row replacement.
+    def sync(): Unit = {
+      val q = spark.readStream.table("gtest.`repsrc$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val versions = df.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          // foreachBatch hands an isolated session clone — run the MERGE on
+          // IT so the temp view resolves.
+          val ss = df.sparkSession
+          versions.foreach { v =>
+            val batch = df.filter(col("_commit_version") === v)
+            batch.filter(col("_change_type") === "delete")
+              .select("id").createOrReplaceTempView("rep_dels")
+            ss.sql(s"MERGE INTO $dst t USING rep_dels d ON t.id = d.id " +
+              "WHEN MATCHED THEN DELETE")
+            batch.filter(col("_change_type") === "insert")
+              .select("id", "pk", "s").writeTo(dst).append()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "replication drain timed out")
+      q.stop()
+    }
+    sync() // snapshot lands the full table
+    spark.sql(s"DELETE FROM $src WHERE id % 10 = 3")
+    spark.sql(s"UPDATE $src SET s = 'upd' WHERE id % 50 = 7")
+    base.limit(20).withColumn("id", col("id") + 5000L).writeTo(src).append()
+    sync() // delta commits replicate
+    val srcRows = spark.table(src).select("id", "pk", "s")
+    val dstRows = spark.table(dst).select("id", "pk", "s")
+    assert(srcRows.exceptAll(dstRows).isEmpty && dstRows.exceptAll(srcRows).isEmpty,
+      s"replica diverged: src=${srcRows.count()} dst=${dstRows.count()}")
+  }
+
+  test("OPTIMIZE ZORDER: rewritten files prune probes on BOTH columns, content lossless") {
+    import spark.implicits._
+    val t = freshTable("zopt")
+    // Uniform (x, y) in [0, 64)² with decorrelated axes, scattered input order.
+    (0L until 4096L).map(i => (i, i % 64, (i * 31) % 64)).toDF("id", "x", "y")
+      .repartition(8).writeTo(t).create()
+    val before = spark.table(t).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val (_, filesAfter) = graft.sources.GraftCatalogOps.optimizeZorder(
+      spark, t, root, "zopt", "x", "y", numFiles = 8)
+    assert(filesAfter == 8, s"expected 8 z-files, got $filesAfter")
+    val after = spark.table(t).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(before == after, "z-order rewrite must be lossless")
+    // Each z-file is a quadtree tile: a single-axis probe on x AND one on y
+    // must each provably exclude files by min/max stats alone — the property
+    // a one-column sort cannot give both axes.
+    import org.apache.spark.sql.sources.LessThan
+    val (skipX, totX) = graft.sources.GraftCatalogOps.filesSkippedBy(
+      spark, root, "zopt", Array(LessThan("x", 16L)))
+    val (skipY, totY) = graft.sources.GraftCatalogOps.filesSkippedBy(
+      spark, root, "zopt", Array(LessThan("y", 16L)))
+    assert(totX == 8 && skipX >= 2, s"x-probe skipped $skipX of $totX")
+    assert(totY == 8 && skipY >= 2, s"y-probe skipped $skipY of $totY")
+    // A partitioned or clustered table refuses: its write distribution would
+    // silently undo the z-layout.
+    val t2 = freshTable("zoptp")
+    base.writeTo(t2).partitionedBy(col("pk")).create()
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftCatalogOps.optimizeZorder(spark, t2, root, "zoptp", "id", "pk", 4)
+    }
+  }
+
   test("RESTORE rolls content back metadata-only; history survives; the change feed sees the rewind") {
     val t = freshTable("rst")
     base.writeTo(t).partitionedBy(col("pk"))
