@@ -89,7 +89,13 @@ object Similarity {
    * iterations touch a sample and only the final bucketing pass sees the corpus.
    */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
-                      trainFraction: Double = 1.0): DataFrame = {
+                      trainFraction: Double = 1.0,
+                      metric: String = "cosine"): DataFrame = {
+    // Assignment similarity: cosine (IVF default) or negated squared L2 (the
+    // PQ codebook metric — Lloyd's mean update IS the L2 centroid).
+    def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (metric == "l2") -round(vecL2sq(a, b), 4)
+      else round(vecCosine(a, b), 4)
     val train =
       if (trainFraction >= 1.0) corpus
       else corpus.filter(
@@ -103,7 +109,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
       val assigned = train.crossJoin(broadcast(centroids))
-        .withColumn("cdist", round(vecCosine(col("embedding"), col("c_vec")), 4))
+        .withColumn("cdist", sim(col("embedding").cast("array<double>"), col("c_vec")))
         .withColumn("crnk", row_number().over(w))
         .filter(col("crnk") === 1)
         .select(col("centroid_id"), col("embedding"))
@@ -117,6 +123,72 @@ object Similarity {
       centroids = materializeCentroids(recomputed)
     }
     centroids
+  }
+
+  /** Squared L2 distance between two array columns — native HOFs, codegen'd. */
+  private def vecL2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /**
+   * Product-quantization ANN (the FAISS `IndexPQ` design, Spark-first): the
+   * vector splits into `m` subvectors; each subspace gets its own small
+   * codebook (trained by the SAME deterministic seeded Lloyd as the IVF path,
+   * on the sliced corpus); the corpus is then ENCODED once — `m` small ints
+   * per vector. At 100 TB this is the memory story: a 64-float embedding
+   * becomes m bytes in the index, and the scan compares codes, not floats.
+   * Queries never decode: each query precomputes an ADC table (its distance
+   * to every codeword, m × k doubles — metadata-scale, broadcast with the
+   * query row), and a candidate's approximate distance is m table lookups
+   * (`element_at`) summed — native expressions end to end, no UDF.
+   *
+   * Determinism: codebooks inherit kmeansCentroids' contract; encoding takes
+   * the FIRST minimal codeword (`array_position` of `array_min` over
+   * round(·,4) distances); ranking breaks ties on vec_id. Recall < 1 by
+   * design — audit it against the exact arm (q_sim_ann_pq pins a floor).
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, codebookK: Int = 32, iters: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val sub = dim / m
+    // Per-subspace codebooks: k × sub doubles each — driver-materialized by
+    // kmeansCentroids already (MLlib posture), shipped as literal arrays.
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      import spark.implicits._
+      kmeansCentroids(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        codebookK, iters)
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+    }
+    def bookLit(j: Int) = typedlit(books(j))
+    // Encode the corpus: code_j = index of the nearest codeword in subspace j.
+    def subvec(c: org.apache.spark.sql.Column, j: Int) = slice(c, j * sub + 1, sub)
+    def code(c: org.apache.spark.sql.Column, j: Int) = {
+      val dists = transform(bookLit(j), cw => round(vecL2sq(subvec(c, j), cw), 4))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = corpus.select(
+      col("vec_id") +: (0 until m).map(j =>
+        code(col("embedding").cast("array<double>"), j).as(s"code_$j")): _*)
+    // ADC tables ride the (tiny) query rows; the encoded corpus is scanned
+    // once for all queries, distance = m element_at lookups.
+    val withTables = queries.select(
+      col("q_id") +: (0 until m).map(j =>
+        transform(bookLit(j), cw =>
+          round(vecL2sq(subvec(col("q_vec").cast("array<double>"), j), cw), 4))
+          .as(s"adc_$j")): _*)
+    val approx = (0 until m).map(j =>
+      element_at(col(s"adc_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(withTables))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", round(approx, 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
   }
 
   /** Collect the k centroid rows and rebuild a local DataFrame — truncates lineage

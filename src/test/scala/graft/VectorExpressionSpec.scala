@@ -80,6 +80,34 @@ class VectorExpressionSpec extends GraftSuite {
     assert(recall > 0.2, s"trained-IVF recall $recall vs exact") // nprobe=2 of 8
   }
 
+  test("PQ: deterministic codes, perfect cluster consistency on clusterable data") {
+    import graft.operators.Similarity
+    // 3 well-separated centers + small deterministic per-dim noise: the
+    // regime PQ is FOR. On this data the quantizer must basically solve it.
+    val dim = 16
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      val v = (0 until dim).map(d =>
+        (if (d % 3 == c) 5.0 else 0.0) + ((i * 7 + d) % 10) / 100.0).toArray
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq1 = pairs(Similarity.pqTopK(qs, corpus, 5, m = 4, codebookK = 8, iters = 2))
+    val pq2 = pairs(Similarity.pqTopK(qs, corpus, 5, m = 4, codebookK = 8, iters = 2))
+    assert(pq1 === pq2, "PQ must be deterministic across runs")
+    assert(pq1.size == 6 * 5)
+    // Within a cluster the vectors are near-duplicates — top-5 ORDER there is
+    // noise-determined and no quantizer preserves it. The property PQ must
+    // deliver is cluster consistency: every returned neighbor shares the
+    // query's cluster (inter-cluster distance >> quantization error).
+    val offCluster = pq1.filterNot { case (qid, cid) => qid % 3 == cid % 3 }
+    assert(offCluster.isEmpty, s"PQ returned off-cluster neighbors: $offCluster")
+  }
+
   test("kmeans at iters=10 keeps a constant-size plan (no lineage blow-up)") {
     import graft.operators.Similarity
     val corpus = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
