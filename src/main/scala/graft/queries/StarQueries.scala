@@ -2465,6 +2465,46 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B177 query witness: OPTIMISTIC CONCURRENCY — three writers append
+    // disjoint slices of orders to the same catalog table CONCURRENTLY; the
+    // CAS commit protocol hands each a distinct generation (losers rebase
+    // their metadata, nothing re-executes) so the union lands exactly once.
+    // The interleaving is nondeterministic, the CONTENT is not: the hash gate
+    // rides the per-pk aggregate of the full table, `serialized` pins one
+    // contiguous generation per commit, and `all_landed` the exact row count.
+    "q_catalog_concurrent" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.ccw")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.limit(0).writeTo("graft.ccw").partitionedBy(col("pk")).create()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until 3).map { w =>
+        new Thread(() => {
+          try base.filter(pmod(col("o_orderkey"), lit(3)) === w)
+            .writeTo("graft.ccw").append()
+          catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(240000))
+      require(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+      val dir = new org.apache.hadoop.fs.Path(
+        Tables.scratchDir(s, "catalog", d), "ccw")
+      val hconf = s.sessionState.newHadoopConf()
+      val cur = graft.sources.GraftManifest.currentGen(dir, hconf)
+      val fs = dir.getFileSystem(hconf)
+      val contiguous = (0L to cur).forall(g =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, s"manifest-$g.txt")))
+      val nRows = s.table("graft.ccw").count()
+      val expected = Tables.orders(s, d).count()
+      s.table("graft.ccw").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("serialized", lit(cur == 4L && contiguous))
+        .withColumn("all_landed", lit(nRows == expected))
+        .orderBy(col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3780,6 +3820,14 @@ object StarQueries {
       """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  CAST(8 AS BIGINT) AS zorder_files, true AS skip_x, true AS skip_y
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B177: three racing appenders of disjoint slices serialize losslessly —
+    // the union is plain orders; both protocol booleans pin true.
+    "q_catalog_concurrent" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS serialized, true AS all_landed
         |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B174: a restored table IS its original projection — the rolled-back

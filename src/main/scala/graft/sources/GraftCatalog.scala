@@ -71,10 +71,12 @@ import graft.SerializableHadoopConf
  * Reference anchor: the reference's Cassandra keyspace is its only "catalog"
  * (consumer/consume_items.py:34-40); this is the lakehouse-native replacement.
  *
- * Single-writer discipline per table (commit = read CURRENT g, write g+1,
- * rename): concurrent writers would need a CAS on CURRENT, which HDFS rename
- * gives and object stores approximate with conditional PUTs — documented, not
- * implemented, same posture as real single-cluster Delta deployments.
+ * Concurrent writers are SUPPORTED (B177, the Delta optimistic-concurrency
+ * protocol): every commit claims its generation by atomic exclusive create of
+ * the manifest file ([[GraftManifest.publishCas]]); a loser reloads the
+ * winner's snapshot and rebases metadata-only, with per-write-mode conflict
+ * rules in [[GraftCommitProtocol]] — appends always serialize, replacing
+ * writes fail loudly when a concurrent commit touched what they replace.
  */
 class GraftCatalog extends TableCatalog {
   private var catName: String = _
@@ -201,16 +203,17 @@ class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
-    var schema = cur.schema
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1, "nested columns not supported")
-        schema = schema.add(add.fieldNames()(0), add.dataType(), true)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog supports ADD COLUMN only, got $other")
+    GraftManifest.publishNext(dir, conf) { cur =>
+      var schema = cur.schema
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1, "nested columns not supported")
+          schema = schema.add(add.fieldNames()(0), add.dataType(), true)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog supports ADD COLUMN only, got $other")
+      }
+      cur.copy(gen = cur.gen + 1, schema = schema)
     }
-    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1, schema = schema), conf)
     loadTable(ident)
   }
 
@@ -252,9 +255,20 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
 object GraftManifest {
   def currentGen(dir: Path, conf: Configuration): Long = {
     val fs = dir.getFileSystem(conf)
-    val in = fs.open(new Path(dir, "CURRENT"))
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
+    // The pointer advance is delete+rename; a reader can land in the gap.
+    // Retry across it (ms-scale) before failing for real.
+    var last: Throwable = null
+    (0 until 20).foreach { i =>
+      try {
+        val in = fs.open(new Path(dir, "CURRENT"))
+        try return new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException if i < 19 =>
+          last = e; Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException(s"CURRENT unreadable: $dir", last)
   }
 
   def load(dir: Path, gen: Long, conf: Configuration): GraftManifest = {
@@ -300,9 +314,8 @@ object GraftManifest {
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
-  def publish(dir: Path, m: GraftManifest, conf: Configuration): Unit = {
-    val fs = dir.getFileSystem(conf)
-    fs.mkdirs(dir)
+  /** Serialized manifest body (the line format `load` parses). */
+  private def encode(m: GraftManifest): String = {
     val body = new StringBuilder
     body ++= s"gen=${m.gen}\n"
     body ++= s"schema=${m.schema.toDDL}\n"
@@ -323,15 +336,208 @@ object GraftManifest {
     }
     m.props.foreach { case (k, v) => body ++= s"prop=$k\t$v\n" }
     m.txns.foreach(t => body ++= s"txn=$t\n")
+    body.toString
+  }
+
+  def publish(dir: Path, m: GraftManifest, conf: Configuration): Unit = {
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
     val mf = new Path(dir, s"manifest-${m.gen}.txt")
     val out = fs.create(mf, true)
-    try out.write(body.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val tmp = new Path(dir, "_CURRENT.tmp")
-    val o2 = fs.create(tmp, true)
-    try o2.write(m.gen.toString.getBytes(StandardCharsets.UTF_8)) finally o2.close()
+    try out.write(encode(m).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    advanceCurrent(dir, m.gen, conf)
+  }
+
+  /**
+   * Optimistic-concurrency publish (B177, the Delta commit protocol): CLAIM
+   * generation `m.gen` by exclusive create of its manifest file — exactly one
+   * writer can win a generation (HDFS create-no-overwrite is atomic; object
+   * stores give the same via conditional PUT). Returns false when another
+   * writer already owns the slot — the caller reloads the winner's manifest
+   * ([[loadClaimed]]) and REBASES. The content rides the claiming stream, so
+   * a concurrent rebase read may catch it mid-write — loadClaimed retries
+   * parse for that millisecond window (a conditional PUT is content-atomic,
+   * so the window is a local-FS artifact, not a protocol hole).
+   */
+  def publishCas(dir: Path, m: GraftManifest, conf: Configuration): Boolean = {
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val mf = new Path(dir, s"manifest-${m.gen}.txt")
+    // Atomic claim. Hadoop's LOCAL create(overwrite=false) is check-then-act
+    // — two racers can both pass the exists probe — so file-scheme claims go
+    // through POSIX O_EXCL (java.nio createFile), which is the real atomic
+    // primitive there. HDFS create-no-overwrite is namenode-atomic and object
+    // stores use conditional PUT; both take the generic branch.
+    val won =
+      if (Option(mf.toUri.getScheme).getOrElse(fs.getScheme) == "file") {
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(mf.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        try { fs.create(mf, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    if (!won) return false
+    // The slot is ours: write the body (loadClaimed retries across this
+    // window for concurrent rebasers).
+    val out = fs.create(mf, true)
+    try out.write(encode(m).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    advanceCurrent(dir, m.gen, conf)
+    true
+  }
+
+  /** Highest CLAIMED generation — includes a slot whose CURRENT advance is
+    * still in flight (the rebase base must be the claim, not the pointer). */
+  def highestClaimedGen(dir: Path, conf: Configuration): Long = {
+    val fs = dir.getFileSystem(conf)
+    val st = fs.globStatus(new Path(dir, "manifest-*.txt"))
+    if (st == null || st.isEmpty) -1L
+    else st.map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong).max
+  }
+
+  /** Load a claimed manifest, retrying across the claimer's content-write
+    * window (small file; the claim create and the body write are one stream). */
+  def loadClaimed(dir: Path, gen: Long, conf: Configuration): GraftManifest = {
+    var last: Throwable = null
+    (0 until 40).foreach { _ =>
+      try {
+        val m = load(dir, gen, conf)
+        // A claim whose body is still being written parses as an empty shell
+        // (no schema/gen lines) rather than throwing — treat it as not-yet.
+        if (m.schema != null && m.gen == gen) return m
+        last = new IllegalStateException(s"manifest-$gen body not yet complete")
+      } catch { case e: Exception => last = e }
+      Thread.sleep(50)
+    }
+    throw new IllegalStateException(s"manifest-$gen unreadable after claim", last)
+  }
+
+  /** CAS-retry loop for metadata-only commits (ALTER/TRUNCATE/RESTORE/
+    * metadata DELETE): recompute the next manifest against the latest CLAIMED
+    * snapshot until the exclusive-create claim wins — these ops rebase
+    * trivially because `f` re-derives them from whatever snapshot they land
+    * on. */
+  def publishNext(dir: Path, conf: Configuration)
+                 (f: GraftManifest => GraftManifest): GraftManifest = {
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = loadClaimed(dir, highestClaimedGen(dir, conf), conf)
+      val next = f(cur)
+      require(next.gen == cur.gen + 1,
+        s"publishNext must advance exactly one generation (got ${next.gen} after ${cur.gen})")
+      if (publishCas(dir, next, conf)) return next
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"metadata commit on $dir lost $attempts CAS races")
+  }
+
+  /** Move CURRENT forward to `gen`, never backward: concurrent winners of
+    * later generations may already have advanced it, and a stale writer's
+    * pointer update must not roll the table back. Verified post-rename with
+    * bounded retries (the rename itself is atomic; the read-check-rename
+    * cycle is what loops). */
+  private val currentSwapLock = new Object
+
+  def advanceCurrent(dir: Path, gen: Long, conf: Configuration): Unit = currentSwapLock.synchronized {
+    val fs = dir.getFileSystem(conf)
     val cur = new Path(dir, "CURRENT")
-    if (fs.exists(cur)) fs.delete(cur, false)
-    require(fs.rename(tmp, cur), s"atomic publish failed: $cur")
+    var attempts = 0
+    while (attempts < 10) {
+      val existing =
+        if (!fs.exists(cur)) -1L
+        else {
+          val in = fs.open(cur)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (existing >= gen) return
+      val tmp = new Path(dir, s"_CURRENT.tmp-$gen")
+      val o2 = fs.create(tmp, true)
+      try o2.write(gen.toString.getBytes(StandardCharsets.UTF_8)) finally o2.close()
+      if (fs.exists(cur)) fs.delete(cur, false)
+      if (fs.rename(tmp, cur)) {
+        // Re-check: a racer may have replaced the pointer between our delete
+        // and rename — loop until the pointer is at or past our generation.
+        attempts += 1
+        val in2 = fs.open(cur)
+        val now =
+          try new String(in2.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in2.close()
+        if (now >= gen) return
+      } else {
+        fs.delete(tmp, false)
+        attempts += 1
+      }
+    }
+    require(fs.exists(cur), s"CURRENT pointer lost under contention: $cur")
+  }
+}
+
+/**
+ * Commit-time entry computation with optimistic-concurrency REBASE rules
+ * (B177, the Delta conflict matrix): `orig` is the snapshot the writer
+ * planned against, `base` the (possibly newer) snapshot it is committing on.
+ * Appends always rebase; snapshot-replacing modes conflict exactly when a
+ * concurrent commit touched what they replace.
+ */
+object GraftCommitProtocol {
+  def conflict(msg: String): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"concurrent catalog commit conflict: $msg — re-run the statement " +
+        "against the new table state")
+
+  def rebasedEntries(mode: String, orig: GraftManifest, base: GraftManifest,
+      fresh: Seq[(String, String)], staticFilters: Array[Filter],
+      replaced: Set[(String, String)]): Seq[(String, String)] = mode match {
+    case "append" =>
+      // Blind append: serializes after ANY concurrent commit untouched.
+      base.entries ++ fresh
+    case "truncate" =>
+      // Full-snapshot replace: the result claims "exactly these rows", which
+      // a concurrent commit of any kind invalidates.
+      if (base.gen != orig.gen)
+        conflict(s"table changed (gen ${orig.gen} -> ${base.gen}) under a truncating write")
+      fresh
+    case "dynamic" =>
+      val touched = fresh.map(_._1).toSet
+      if (base.gen != orig.gen) {
+        val origBy = orig.entries.groupBy(_._1)
+        val baseBy = base.entries.groupBy(_._1)
+        val changed = touched.filter(p =>
+          origBy.getOrElse(p, Nil) != baseBy.getOrElse(p, Nil))
+        if (changed.nonEmpty)
+          conflict(s"partition(s) ${changed.mkString(", ")} were modified concurrently " +
+            "under a dynamic partition overwrite")
+      }
+      base.entries.filterNot { case (p, _) => touched(p) } ++ fresh
+    case "static" =>
+      def selected(m: GraftManifest) = m.entries.filter { case (p, _) =>
+        val values = GraftScanBuilder.partValues(p)
+        staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, m.schema))
+      }
+      if (base.gen != orig.gen && selected(orig) != selected(base))
+        conflict("the partitions selected by a static overwrite changed concurrently")
+      base.entries.filterNot(selected(base).toSet) ++ fresh
+    case "replace-groups" =>
+      // Row-level copy-on-write: every file the scan planned must still be
+      // live and carry the DV it was read with — a concurrent rewrite or
+      // delete of the same rows is a lost-update hazard, never silent.
+      val baseSet = base.entries.toSet
+      val gone = replaced.filterNot(baseSet)
+      if (gone.nonEmpty)
+        conflict(s"file(s) ${gone.map(_._2).mkString(", ")} were rewritten or removed " +
+          "concurrently under a row-level operation")
+      val dvChanged = replaced.filter { case (_, rel) =>
+        base.fileDVs.get(rel) != orig.fileDVs.get(rel) }
+      if (dvChanged.nonEmpty)
+        conflict(s"deletion vectors on ${dvChanged.map(_._2).mkString(", ")} changed " +
+          "concurrently under a row-level operation")
+      base.entries.filterNot(replaced) ++ fresh
   }
 }
 
@@ -397,20 +603,21 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
-    val kept = cur.entries.filterNot { case (p, _) =>
-      val values = GraftScanBuilder.partValues(p)
-      filters.forall(f => GraftScanBuilder.matchesStrict(f, values, cur.schema))
+    GraftManifest.publishNext(dir, conf) { cur =>
+      val kept = cur.entries.filterNot { case (p, _) =>
+        val values = GraftScanBuilder.partValues(p)
+        filters.forall(f => GraftScanBuilder.matchesStrict(f, values, cur.schema))
+      }
+      cur.copy(gen = cur.gen + 1, entries = kept)
     }
-    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1, entries = kept), conf)
   }
 
   /** SQL TRUNCATE TABLE: a new generation with an empty entry list — the data
     * of every prior generation stays on disk and time-travel readable. */
   override def truncateTable(): Boolean = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
-    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1, entries = Seq.empty), conf)
+    GraftManifest.publishNext(dir, conf)(cur =>
+      cur.copy(gen = cur.gen + 1, entries = Seq.empty))
     true
   }
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
@@ -1328,7 +1535,10 @@ object GraftParquetRead {
   /** Generation a rel path's file was committed by (-1 for streaming epochs). */
   def genOf(rel: String): Long = {
     val head = rel.takeWhile(_ != '/')
-    if (head.startsWith("gen-")) head.drop(4).toLong else -1L
+    if (head.startsWith("gen-")) {
+      val digits = head.drop(4).takeWhile(_.isDigit)
+      if (digits.nonEmpty) digits.toLong else -1L
+    } else -1L
   }
 
   def readerFactory(tableDir: String, manifest: GraftManifest,
@@ -1713,7 +1923,12 @@ case class GraftDeltaMessage(files: Seq[GraftFileRecord],
 class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     gen: Long, conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
-  private val genRel = s"gen-$gen"
+  // Unique per WRITER, not per generation: a concurrent writer that planned
+  // the same next gen writes elsewhere, so aborts and rebases never touch
+  // another writer's files (the manifest records rel paths, and genOf reads
+  // the numeric vintage prefix regardless of the uniquifier).
+  private val genRel =
+    s"gen-$gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -1731,27 +1946,63 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
     msgs.foreach(_.deletes.foreach { case (rel, ps) =>
       byFile.getOrElseUpdate(rel, ArrayBuffer.empty) ++= ps })
     val c = conf.value
-    var dvIdx = 0
-    val newDVs = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
-      val existing = prev.fileDVs.get(rel)
-        .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
-      val dvRel = s"$genRel/dv-$dvIdx.dv"
-      dvIdx += 1
-      GraftDV.write(dir, dvRel, existing ++ ps, c)
-      rel -> dvRel
-    }.toMap
-    GraftManifest.publish(dir, prev.copy(gen = gen,
-      entries = prev.entries ++ freshAll.map(f => (f.part, f.rel)),
-      fileStats = prev.fileStats ++
-        freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
-      fileBytes = prev.fileBytes ++ freshAll.map(f => f.rel -> f.bytes),
-      fileBlooms = prev.fileBlooms ++
-        freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
-      fileDVs = prev.fileDVs ++ newDVs,
-      fileRows = prev.fileRows ++
-        freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
-      fileNdvs = prev.fileNdvs ++
-        freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv }), c)
+    // CAS loop (B177): rebase-or-conflict like the group write — a delta
+    // commit touches exactly the files it adds DVs to, so it rebases iff
+    // those files are still live with UNCHANGED deletion vectors (the DV
+    // union below reads the base's DV; a concurrent delete on the same file
+    // would be silently dropped otherwise — conflict instead). First attempt
+    // bases on the highest CLAIMED manifest, like the group write.
+    var base = GraftManifest.loadClaimed(dir,
+      math.max(GraftManifest.highestClaimedGen(dir, c), prev.gen), c)
+    var g = base.gen + 1
+    var attempts = 0
+    var committed = false
+    while (!committed && attempts < 20) {
+      if (base.gen != prev.gen) {
+        val baseEntrySet = base.entries.map(_._2).toSet
+        val gone = byFile.keySet.filterNot(baseEntrySet)
+        if (gone.nonEmpty)
+          GraftCommitProtocol.conflict(
+            s"delta-DML target file(s) ${gone.mkString(", ")} were rewritten or " +
+              "removed concurrently")
+        val dvChanged = byFile.keySet.filter(rel =>
+          base.fileDVs.get(rel) != prev.fileDVs.get(rel))
+        if (dvChanged.nonEmpty)
+          GraftCommitProtocol.conflict(
+            s"deletion vectors on ${dvChanged.mkString(", ")} changed concurrently " +
+              "under a delta DML commit")
+      }
+      var dvIdx = 0
+      val newDVs = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
+        val existing = base.fileDVs.get(rel)
+          .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
+        val dvRel = s"$genRel/dv-$g-$dvIdx.dv"
+        dvIdx += 1
+        GraftDV.write(dir, dvRel, existing ++ ps, c)
+        rel -> dvRel
+      }.toMap
+      val m = base.copy(gen = g,
+        entries = base.entries ++ freshAll.map(f => (f.part, f.rel)),
+        fileStats = base.fileStats ++
+          freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
+        fileBytes = base.fileBytes ++ freshAll.map(f => f.rel -> f.bytes),
+        fileBlooms = base.fileBlooms ++
+          freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
+        fileDVs = base.fileDVs ++ newDVs,
+        fileRows = base.fileRows ++
+          freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+        fileNdvs = base.fileNdvs ++
+          freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+      if (GraftManifest.publishCas(dir, m, c)) committed = true
+      else {
+        val claimed = GraftManifest.highestClaimedGen(dir, c)
+        base = GraftManifest.loadClaimed(dir, claimed, c)
+        g = claimed + 1
+        attempts += 1
+      }
+    }
+    if (!committed) throw new IllegalStateException(
+      s"delta commit on $dir lost $attempts CAS races — giving up under contention")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1901,22 +2152,33 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val c = conf.value
-    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, c), c)
-    val key = s"$queryId:$epochId"
-    if (cur.txns.contains(key)) return // replayed epoch — already visible
     val fresh = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
-    GraftManifest.publish(dir, cur.copy(gen = cur.gen + 1,
-      entries = cur.entries ++ fresh.map(f => (f.part, f.rel)),
-      txns = cur.txns + key,
-      fileStats = cur.fileStats ++
-        fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
-      fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes),
-      fileBlooms = cur.fileBlooms ++
-        fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
-      fileRows = cur.fileRows ++
-        fresh.collect { case f if f.rows >= 0 => f.rel -> f.rows },
-      fileNdvs = cur.fileNdvs ++
-        fresh.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv }), c)
+    val key = s"$queryId:$epochId"
+    // CAS loop (B177): an epoch commit is a pure append + txn mark, so it
+    // rebases onto ANY concurrent commit; the exactly-once dedup check
+    // re-evaluates per attempt against the snapshot it actually lands on.
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = GraftManifest.loadClaimed(dir,
+        GraftManifest.highestClaimedGen(dir, c), c)
+      if (cur.txns.contains(key)) return // replayed epoch — already visible
+      val m = cur.copy(gen = cur.gen + 1,
+        entries = cur.entries ++ fresh.map(f => (f.part, f.rel)),
+        txns = cur.txns + key,
+        fileStats = cur.fileStats ++
+          fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
+        fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes),
+        fileBlooms = cur.fileBlooms ++
+          fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
+        fileRows = cur.fileRows ++
+          fresh.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+        fileNdvs = cur.fileNdvs ++
+          fresh.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+      if (GraftManifest.publishCas(dir, m, c)) return
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"streaming epoch commit on $dir lost $attempts CAS races")
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -2538,7 +2800,12 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     mode: String, staticFilters: Array[Filter], gen: Long,
     conf: SerializableHadoopConf,
     replaceGroups: () => Seq[(String, String)] = () => Seq.empty) extends BatchWrite {
-  private val genRel = s"gen-$gen"
+  // Unique per WRITER, not per generation: a concurrent writer that planned
+  // the same next gen writes elsewhere, so aborts and rebases never touch
+  // another writer's files (the manifest records rel paths, and genOf reads
+  // the numeric vintage prefix regardless of the uniquifier).
+  private val genRel =
+    s"gen-$gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(writeSchema, prev.partCols,
@@ -2553,32 +2820,41 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     val freshBytes = freshAll.map(f => f.rel -> f.bytes).toMap
     val freshBlooms =
       freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom }.toMap
-    val entries = mode match {
-      case "append"   => prev.entries ++ fresh
-      case "truncate" => fresh
-      case "dynamic"  =>
-        val touched = fresh.map(_._1).toSet
-        prev.entries.filterNot { case (p, _) => touched(p) } ++ fresh
-      case "static"   =>
-        // Drop the partitions the filters select, then add the new data.
-        prev.entries.filterNot { case (p, _) =>
-          val values = GraftScanBuilder.partValues(p)
-          staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, prev.schema))
-        } ++ fresh
-      case "replace-groups" =>
-        // Row-level copy-on-write: swap exactly the files the operation's
-        // scan planned for their rewritten successors.
-        val replaced = replaceGroups().toSet
-        prev.entries.filterNot(replaced) ++ fresh
+    val replaced = if (mode == "replace-groups") replaceGroups().toSet
+                   else Set.empty[(String, String)]
+    // Optimistic concurrency (B177): claim the next generation by exclusive
+    // manifest create; on losing the race, REBASE onto the winner's snapshot
+    // (GraftCommitProtocol decides rebasable vs conflict per write mode) and
+    // claim again. The data files were already written under this writer's
+    // own gen-dir — rebasing re-points METADATA only, nothing re-executes.
+    // EVERY attempt (including the first) bases on the highest CLAIMED
+    // manifest, never the planning-time snapshot: a concurrent commit may
+    // have landed between plan and commit, and claiming a later free slot
+    // from the stale base would silently drop it.
+    val c0 = conf.value
+    var base = GraftManifest.loadClaimed(dir,
+      math.max(GraftManifest.highestClaimedGen(dir, c0), prev.gen), c0)
+    var g = base.gen + 1
+    var attempts = 0
+    while (attempts < 20) {
+      val entries = GraftCommitProtocol.rebasedEntries(
+        mode, prev, base, fresh, staticFilters, replaced)
+      val m = base.copy(gen = g, entries = entries,
+        fileStats = base.fileStats ++ freshStats,
+        fileBytes = base.fileBytes ++ freshBytes,
+        fileBlooms = base.fileBlooms ++ freshBlooms,
+        fileRows = base.fileRows ++
+          freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+        fileNdvs = base.fileNdvs ++
+          freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+      if (GraftManifest.publishCas(dir, m, conf.value)) return
+      val claimed = GraftManifest.highestClaimedGen(dir, conf.value)
+      base = GraftManifest.loadClaimed(dir, claimed, conf.value)
+      g = claimed + 1
+      attempts += 1
     }
-    GraftManifest.publish(dir, prev.copy(gen = gen, entries = entries,
-      fileStats = prev.fileStats ++ freshStats,
-      fileBytes = prev.fileBytes ++ freshBytes,
-      fileBlooms = prev.fileBlooms ++ freshBlooms,
-      fileRows = prev.fileRows ++
-        freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
-      fileNdvs = prev.fileNdvs ++
-        freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv }), conf.value)
+    throw new IllegalStateException(
+      s"catalog commit on $dir lost $attempts CAS races — giving up under contention")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -3001,10 +3277,8 @@ object GraftCatalogOps {
     require(dir.getFileSystem(conf).exists(new Path(dir, s"manifest-$version.txt")),
       s"generation $version was reclaimed by VACUUM — cannot restore past the horizon")
     val target = GraftManifest.load(dir, version, conf)
-    val current = GraftManifest.load(dir, cur, conf)
-    val next = target.copy(gen = cur + 1, txns = target.txns ++ current.txns)
-    GraftManifest.publish(dir, next, conf)
-    cur + 1
+    GraftManifest.publishNext(dir, conf)(current =>
+      target.copy(gen = current.gen + 1, txns = target.txns ++ current.txns)).gen
   }
 
   /** Generation history of a table (DESCRIBE HISTORY analogue): one row per

@@ -462,8 +462,8 @@ class CatalogSpec extends GraftSuite {
     assert(m.fileBlooms.size == 2, s"expected 2 blooms, got ${m.fileBlooms.keys}")
     assert(m.bloomCol.contains("s"))
     // min/max genuinely cannot decide: both files' s-ranges contain "v33".
-    val evenRel = m.entries.map(_._2).find(_.startsWith("gen-1")).get
-    val oddRel = m.entries.map(_._2).find(_.startsWith("gen-2")).get
+    val evenRel = m.entries.map(_._2).find(_.startsWith("gen-1-")).get
+    val oddRel = m.entries.map(_._2).find(_.startsWith("gen-2-")).get
     // Find an odd value the bloom provably excludes from the EVEN file (fp
     // rate ~0.1%, deterministic hashes — scan a few candidates).
     val probe = (1L until 200L by 2).map(i => s"v$i").find(v =>
@@ -471,7 +471,7 @@ class CatalogSpec extends GraftSuite {
     // Vandalize the even file; an equality read for `probe` must succeed
     // without opening it, and return exactly the one odd row.
     val fs = dir.getFileSystem(conf)
-    val evenFile = fs.globStatus(new Path(dir, "gen-1/*.parquet"))
+    val evenFile = fs.globStatus(new Path(dir, "gen-1-*/*.parquet"))
     evenFile.foreach { st =>
       val out = fs.create(st.getPath, true)
       try out.write("junk".getBytes) finally out.close()
@@ -492,7 +492,7 @@ class CatalogSpec extends GraftSuite {
     base.writeTo(t).overwritePartitions()               // gen-3
     val dir = new Path(root, "vac")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val preDead = fs.globStatus(new Path(dir, "gen-{1,2}/pk=*/*.parquet")).length
+    val preDead = fs.globStatus(new Path(dir, "gen-{1,2}-*/pk=*/*.parquet")).length
     assert(preDead > 0, "fixture needs dead files")
     val (files, manifests) =
       graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", keepGens = 1)
@@ -529,7 +529,7 @@ class CatalogSpec extends GraftSuite {
     // Vandalize the high-range file. A read whose predicate excludes it must
     // succeed WITHOUT opening it; an unfiltered read must hit the corruption.
     val fs = dir.getFileSystem(conf)
-    val hi = fs.globStatus(new Path(dir, "gen-2/*.parquet"))
+    val hi = fs.globStatus(new Path(dir, "gen-2-*/*.parquet"))
     assert(hi.nonEmpty)
     hi.foreach { st =>
       val out = fs.create(st.getPath, true)
@@ -663,8 +663,8 @@ class CatalogSpec extends GraftSuite {
     val dir = new Path(root, "nonfinite")
     val m = graft.sources.GraftManifest.load(dir,
       graft.sources.GraftManifest.currentGen(dir, conf), conf)
-    val mixedRel = m.entries.map(_._2).find(_.startsWith("gen-1")).get
-    val finiteRel = m.entries.map(_._2).find(_.startsWith("gen-2")).get
+    val mixedRel = m.entries.map(_._2).find(_.startsWith("gen-1-")).get
+    val finiteRel = m.entries.map(_._2).find(_.startsWith("gen-2-")).get
     val mixedStats = graft.sources.GraftFileStats.parse(m.fileStats(mixedRel))
     assert(!mixedStats.contains("x"),
       s"mixed finite+non-finite column must publish NO bounds, got $mixedStats")
@@ -1261,6 +1261,102 @@ class CatalogSpec extends GraftSuite {
     base.writeTo(t2).partitionedBy(col("pk")).create()
     intercept[IllegalArgumentException] {
       graft.sources.GraftCatalogOps.optimizeZorder(spark, t2, root, "zoptp", "id", "pk", 4)
+    }
+  }
+
+  test("optimistic concurrency: CAS claims one winner per generation, CURRENT never moves backward") {
+    import graft.sources.GraftManifest
+    val t = freshTable("casprim")
+    base.writeTo(t).partitionedBy(col("pk")).create() // gen 0 + gen 1
+    val dir = new Path(root, "casprim")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val next = cur.copy(gen = cur.gen + 1)
+    assert(GraftManifest.publishCas(dir, next, conf), "first claim must win")
+    assert(!GraftManifest.publishCas(dir, next, conf), "second claim of the same generation must lose")
+    // A stale writer's pointer update must not roll the table back.
+    GraftManifest.advanceCurrent(dir, cur.gen, conf)
+    assert(GraftManifest.currentGen(dir, conf) == next.gen)
+  }
+
+  test("optimistic concurrency: the conflict matrix rebases appends, rejects overlapping replaces") {
+    import graft.sources.{GraftCommitProtocol, GraftManifest}
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT, pk BIGINT")
+    def m(gen: Long, entries: (String, String)*) =
+      GraftManifest(gen, schema, Seq("pk"), entries.toSeq)
+    val orig = m(1, "pk=0" -> "gen-1/a", "pk=1" -> "gen-1/b")
+    val fresh = Seq("pk=0" -> "gen-2/c")
+    // Append rebases over any concurrent commit.
+    val moved = m(2, "pk=0" -> "gen-1/a", "pk=1" -> "gen-2/b2")
+    assert(GraftCommitProtocol.rebasedEntries("append", orig, moved, fresh,
+      Array.empty, Set.empty) == moved.entries ++ fresh)
+    // Truncate conflicts with ANY concurrent commit.
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCommitProtocol.rebasedEntries("truncate", orig, moved, fresh,
+        Array.empty, Set.empty)
+    }
+    // Dynamic overwrite: rebases when the concurrent commit touched OTHER
+    // partitions, conflicts when it touched an overwritten one.
+    val r = GraftCommitProtocol.rebasedEntries("dynamic", orig, moved, fresh,
+      Array.empty, Set.empty)
+    assert(r.toSet == Set("pk=1" -> "gen-2/b2", "pk=0" -> "gen-2/c"))
+    val movedSame = m(2, "pk=0" -> "gen-2/a2", "pk=1" -> "gen-1/b")
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCommitProtocol.rebasedEntries("dynamic", orig, movedSame, fresh,
+        Array.empty, Set.empty)
+    }
+    // Row-level CoW: conflicts when a replaced file is gone or its DV moved.
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCommitProtocol.rebasedEntries("replace-groups", orig, movedSame, fresh,
+        Array.empty, Set("pk=0" -> "gen-1/a"))
+    }
+    val dvMoved = m(2, orig.entries: _*).copy(fileDVs = Map("gen-1/a" -> "gen-2/dv"))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCommitProtocol.rebasedEntries("replace-groups", orig, dvMoved, fresh,
+        Array.empty, Set("pk=0" -> "gen-1/a"))
+    }
+    assert(GraftCommitProtocol.rebasedEntries("replace-groups", orig, moved, fresh,
+      Array.empty, Set("pk=0" -> "gen-1/a"))
+      .toSet == Set("pk=1" -> "gen-2/b2", "pk=0" -> "gen-2/c"))
+  }
+
+  test("optimistic concurrency: racing appenders all land, no rows lost, generations contiguous") {
+    import spark.implicits._
+    val t = freshTable("casrace")
+    base.limit(0).writeTo(t).partitionedBy(col("pk")).create()
+    val writers = 2
+    val rounds = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try (0 until rounds).foreach { r =>
+          (0L until 10L).map(i => (w * 1000L + r * 10L + i, i % 3, s"w$w-r$r-$i"))
+            .toDF("id", "pk", "s").writeTo(t).append()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    if (!errs.isEmpty) {
+      val e = errs.peek()
+      var c: Throwable = e
+      while (c != null) { System.err.println(s"[race] cause: $c"); c = c.getCause }
+    }
+    assert(errs.isEmpty, s"racing appends must all succeed, got: ${errs.peek()}")
+    // Every row from every append is present exactly once...
+    assert(spark.table(t).count() == writers * rounds * 10L)
+    assert(spark.table(t).select("id").distinct().count() == writers * rounds * 10L)
+    // ...and the claimed generations are contiguous (one CAS winner each).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(root, "casrace")
+    val cur = graft.sources.GraftManifest.currentGen(dir, conf)
+    // create publishes gen 0 and the CTAS write commits gen 1; each append
+    // then claims exactly one slot.
+    assert(cur == writers * rounds + 1,
+      s"expected ${writers * rounds + 1} commit generations, CURRENT at $cur")
+    (0L to cur).foreach { g =>
+      assert(dir.getFileSystem(conf).exists(new Path(dir, s"manifest-$g.txt")),
+        s"generation $g missing — CAS must hand out contiguous slots")
     }
   }
 
