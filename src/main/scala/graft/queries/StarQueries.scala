@@ -2505,6 +2505,41 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B178 query witness: named snapshot TAGS — `VERSION AS OF 'baseline'`
+    // reads the tagged generation after later commits AND after an aggressive
+    // VACUUM that reclaimed every other old generation (the tag is a durable
+    // retention pin, not an alias). Both the current and the tagged snapshot
+    // ride the hash gate; `tag_survived_vacuum` pins the retention behavior.
+    "q_catalog_tag" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.tagq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.tagq").partitionedBy(col("pk")).create()     // gen 1
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.tag(s, root, "tagq", "baseline", 1L)
+      base.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.tagq").append()                              // gen 2
+      base.limit(0).writeTo("graft.tagq").append()                   // gen 3
+      graft.sources.GraftCatalogOps.vacuum(s, root, "tagq", keepGens = 1,
+        leaseTtlMs = 0)
+      val survived =
+        try {
+          s.sql("SELECT count(*) FROM graft.tagq VERSION AS OF 'baseline'")
+            .collect()(0).getLong(0) > 0
+        } catch { case _: Exception => false }
+      s.sql(
+        """SELECT 'cur' AS snap, CAST(pk AS BIGINT) AS pk, count(*) AS n,
+          |  sum(cents) AS cents FROM graft.tagq GROUP BY pk
+          |UNION ALL
+          |SELECT 'tagged', CAST(pk AS BIGINT), count(*), sum(cents)
+          |FROM graft.tagq VERSION AS OF 'baseline' GROUP BY pk""".stripMargin)
+        .withColumn("tag_survived_vacuum", lit(survived))
+        .orderBy(col("snap"), col("pk"))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3829,6 +3864,20 @@ object StarQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  true AS serialized, true AS all_landed
         |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B178: the tagged snapshot is the even-key create, the current one all
+    // orders; the vacuum-retention boolean pins true.
+    "q_catalog_tag" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders)
+        |SELECT 'cur' AS snap, CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, true AS tag_survived_vacuum
+        |FROM base GROUP BY pk
+        |UNION ALL
+        |SELECT 'tagged', CAST(pk AS BIGINT), count(*), CAST(sum(cents) AS BIGINT), true
+        |FROM base WHERE k % 2 = 0 GROUP BY pk
+        |ORDER BY snap, pk""".stripMargin,
 
     // B174: a restored table IS its original projection — the rolled-back
     // delete and update contribute nothing; both structural booleans true.

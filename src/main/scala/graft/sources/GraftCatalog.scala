@@ -129,11 +129,21 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident, dir, GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf))
   }
 
-  /** Time travel: every generation's manifest survives, so any is loadable. */
+  /** Time travel: every generation's manifest survives, so any is loadable —
+    * by NUMBER, or by a named TAG (B178, `VERSION AS OF 'stable'`): a ref
+    * file pinning a generation, created via [[GraftCatalogOps.tag]]. Tagged
+    * generations are exempt from VACUUM, so a tag is a durable snapshot
+    * handle, not just a name. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    new GraftTable(ident, dir, GraftManifest.load(dir, version.toLong, conf))
+    val gen =
+      if (version.forall(_.isDigit)) version.toLong
+      else GraftCatalogOps.resolveTag(dir, version, conf).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tag '$version' on table ${ident.name()} — " +
+            s"known tags: ${GraftCatalogOps.listTags(dir, conf).keys.toSeq.sorted.mkString(", ")}"))
+    new GraftTable(ident, dir, GraftManifest.load(dir, gen, conf))
   }
 
   /** `TIMESTAMP AS OF` time travel (B173): resolve to the LARGEST generation
@@ -3025,7 +3035,12 @@ object GraftCatalogOps {
       if (leaseTtlMs <= 0) None
       else GraftLease.activeMinGen(dir, conf, leaseTtlMs, System.currentTimeMillis())
     val horizon = leaseFloor.fold(requested)(g => math.min(requested, math.max(0L, g)))
-    val live: Set[String] = (horizon to cur).flatMap { g =>
+    // Tagged generations (B178) are retained REGARDLESS of the horizon: a tag
+    // is a durable snapshot pin, and reclaiming its manifest or files would
+    // silently break `VERSION AS OF '<tag>'`.
+    val tagged = listTags(dir, conf).values.filter(_ >= 0).toSet
+    val retainedGens = ((horizon to cur).toSet ++ tagged).toSeq.sorted
+    val live: Set[String] = retainedGens.flatMap { g =>
       val m = GraftManifest.load(dir, g, conf)
       // A data file's deletion vector is as live as the file: reclaiming a
       // referenced DV would silently resurrect deleted rows.
@@ -3047,7 +3062,7 @@ object GraftCatalogOps {
       try fs.delete(genSt.getPath, false) catch { case _: Exception => () }
     }
     var manifestsDeleted = 0L
-    (0L until horizon).foreach { g =>
+    (0L until horizon).filterNot(tagged).foreach { g =>
       val p = new Path(dir, s"manifest-$g.txt")
       if (fs.exists(p)) { fs.delete(p, false); manifestsDeleted += 1 }
     }
@@ -3203,6 +3218,60 @@ object GraftCatalogOps {
       aligned(snap(toGen)).limit(0)
         .withColumn("_change_type", lit("").cast(StringType))
         .withColumn("_commit_version", lit(toGen)))
+  }
+
+  /**
+   * Named snapshot TAGS (B178, the Iceberg tag design): `tag` pins a
+   * generation under a durable name — readable forever via
+   * `VERSION AS OF '<name>'` — and VACUUM treats every tagged generation as
+   * retained (its manifest and files survive any horizon), so a tag is a
+   * compliance-grade snapshot handle, not a convenience alias. `untag`
+   * releases the pin; the next VACUUM may then reclaim it. Tag state is one
+   * tiny ref file per name (`ref-<name>.txt`), atomic by tmp+rename.
+   */
+  def tag(spark: SparkSession, root: String, table: String,
+          name: String, gen: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"tag name must be [A-Za-z0-9_-]+, got '$name'")
+    require(name.exists(!_.isDigit), s"tag '$name' would shadow numeric time travel")
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(new Path(dir, s"manifest-$gen.txt")),
+      s"cannot tag generation $gen — no such committed manifest")
+    val tmp = new Path(dir, s"_ref-$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val ref = new Path(dir, s"ref-$name.txt")
+    if (fs.exists(ref)) fs.delete(ref, false)
+    require(fs.rename(tmp, ref), s"tag publish failed: $ref")
+  }
+
+  def untag(spark: SparkSession, root: String, table: String, name: String): Boolean = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    dir.getFileSystem(conf).delete(new Path(dir, s"ref-$name.txt"), false)
+  }
+
+  def resolveTag(dir: Path, name: String, conf: Configuration): Option[Long] = {
+    val fs = dir.getFileSystem(conf)
+    val ref = new Path(dir, s"ref-$name.txt")
+    if (!fs.exists(ref)) None
+    else {
+      val in = fs.open(ref)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  def listTags(dir: Path, conf: Configuration): Map[String, Long] = {
+    val fs = dir.getFileSystem(conf)
+    val st = fs.globStatus(new Path(dir, "ref-*.txt"))
+    if (st == null) Map.empty
+    else st.map { s =>
+      val name = s.getPath.getName.stripPrefix("ref-").stripSuffix(".txt")
+      name -> resolveTag(dir, name, conf).getOrElse(-1L)
+    }.toMap
   }
 
   /**

@@ -1360,6 +1360,42 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("tags: named time travel, VACUUM retention, untag releases the pin") {
+    import graft.sources.GraftCatalogOps
+    val t = freshTable("tagt")
+    base.writeTo(t).partitionedBy(col("pk")).create()               // gen 1
+    GraftCatalogOps.tag(spark, root, "tagt", "baseline", 1L)
+    base.limit(40).withColumn("id", col("id") + 1000L).writeTo(t).append() // gen 2
+    base.limit(10).withColumn("id", col("id") + 2000L).writeTo(t).append() // gen 3
+    // Named time travel reads the pinned generation.
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'baseline'")
+      .collect()(0).getLong(0) == 300)
+    // Aggressive vacuum keeps the tagged generation fully readable...
+    GraftCatalogOps.vacuum(spark, root, "tagt", keepGens = 1, leaseTtlMs = 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'baseline'")
+      .collect()(0).getLong(0) == 300)
+    // ...while an untagged old generation is gone.
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").collect()
+    }
+    // Unknown tags fail with the known-tag list; bad names refuse.
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'nope'").collect()
+    }
+    assert(ex.getMessage.contains("baseline") ||
+      Option(ex.getCause).exists(_.getMessage.contains("baseline")))
+    intercept[IllegalArgumentException] {
+      GraftCatalogOps.tag(spark, root, "tagt", "123", 1L)
+    }
+    // Untag releases the pin: the next vacuum reclaims generation 1.
+    assert(GraftCatalogOps.untag(spark, root, "tagt", "baseline"))
+    GraftCatalogOps.vacuum(spark, root, "tagt", keepGens = 1, leaseTtlMs = 0)
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'baseline'").collect()
+    }
+    assert(spark.table(t).count() == 350, "current snapshot untouched throughout")
+  }
+
   test("RESTORE rolls content back metadata-only; history survives; the change feed sees the rewind") {
     val t = freshTable("rst")
     base.writeTo(t).partitionedBy(col("pk"))
