@@ -147,44 +147,103 @@ object Similarity {
    * round(·,4) distances); ranking breaks ties on vec_id. Recall < 1 by
    * design — audit it against the exact arm (q_sim_ann_pq pins a floor).
    */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, codebookK: Int = 32, iters: Int = 3): DataFrame = {
-    val spark = queries.sparkSession
+  /** Trained PQ model: per-subspace codebooks as driver-side literals. */
+  private case class PqModel(books: Seq[Seq[Seq[Double]]], m: Int, sub: Int) {
+    private def bookLit(j: Int) = typedlit(books(j))
+    private def subvec(c: org.apache.spark.sql.Column, j: Int) =
+      slice(c, j * sub + 1, sub)
+    /** code_j = index of the nearest codeword in subspace j (L2, first-min). */
+    def codeCols(c: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      (0 until m).map { j =>
+        val dists = transform(bookLit(j), cw =>
+          round(vecL2sq(subvec(c.cast("array<double>"), j), cw), 4))
+        ((array_position(dists, array_min(dists)) - 1).cast("int")).as(s"code_$j")
+      }
+    /** ADC table per subspace: the query's distance to every codeword. */
+    def adcCols(qv: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      (0 until m).map { j =>
+        transform(bookLit(j), cw =>
+          round(vecL2sq(subvec(qv.cast("array<double>"), j), cw), 4)).as(s"adc_$j")
+      }
+    /** Candidate distance = m table lookups summed. */
+    def adist: org.apache.spark.sql.Column =
+      round((0 until m).map(j =>
+        element_at(col(s"adc_$j"), col(s"code_$j") + 1)).reduce(_ + _), 4)
+  }
+
+  private def trainPq(corpus: DataFrame, m: Int, codebookK: Int,
+                      iters: Int): PqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val sub = dim / m
     // Per-subspace codebooks: k × sub doubles each — driver-materialized by
     // kmeansCentroids already (MLlib posture), shipped as literal arrays.
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      import spark.implicits._
+    val books = (0 until m).map { j =>
       kmeansCentroids(
         corpus.select(col("vec_id"),
           slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        codebookK, iters)
+        codebookK, iters, metric = "l2")
         .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
     }
-    def bookLit(j: Int) = typedlit(books(j))
-    // Encode the corpus: code_j = index of the nearest codeword in subspace j.
-    def subvec(c: org.apache.spark.sql.Column, j: Int) = slice(c, j * sub + 1, sub)
-    def code(c: org.apache.spark.sql.Column, j: Int) = {
-      val dists = transform(bookLit(j), cw => round(vecL2sq(subvec(c, j), cw), 4))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    val encoded = corpus.select(
-      col("vec_id") +: (0 until m).map(j =>
-        code(col("embedding").cast("array<double>"), j).as(s"code_$j")): _*)
+    PqModel(books, m, sub)
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, codebookK: Int = 32, iters: Int = 3): DataFrame = {
+    val model = trainPq(corpus, m, codebookK, iters)
+    val encoded = corpus.select(col("vec_id") +: model.codeCols(col("embedding")): _*)
     // ADC tables ride the (tiny) query rows; the encoded corpus is scanned
     // once for all queries, distance = m element_at lookups.
-    val withTables = queries.select(
-      col("q_id") +: (0 until m).map(j =>
-        transform(bookLit(j), cw =>
-          round(vecL2sq(subvec(col("q_vec").cast("array<double>"), j), cw), 4))
-          .as(s"adc_$j")): _*)
-    val approx = (0 until m).map(j =>
-      element_at(col(s"adc_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val withTables = queries.select(col("q_id") +: model.adcCols(col("q_vec")): _*)
     val scored = encoded.crossJoin(broadcast(withTables))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(approx, 4))
+      .withColumn("adist", model.adist)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+  }
+
+  /**
+   * IVF-PQ (the FAISS `IndexIVFPQ` composition — the production ANN shape):
+   * coarse quantizer buckets the corpus by nearest centroid (one shuffle,
+   * the IVF step), PQ codes score candidates WITHIN the probed buckets only.
+   * At 100 TB both levers stack: the probe touches nprobe/nlist of the
+   * corpus, and what it touches is m-byte codes, not full vectors. Built by
+   * composing the two existing kernels — the bucketed-join shape of
+   * [[ivfTopK]] with [[pqTopK]]'s candidate scoring restricted per bucket.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                k: Int, nprobe: Int, m: Int = 8, codebookK: Int = 32,
+                iters: Int = 3): DataFrame = {
+    def nearest(idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= n)
+        .drop("c_vec", "cdist", "crnk")
+        .withColumnRenamed("centroid_id", idOut)
+    }
+    // Codebooks train and the corpus ENCODES once, unbucketed (unbiased, one
+    // pass); buckets then carry codes, not vectors — the index a 100 TB
+    // deployment would materialize.
+    val model = trainPq(corpus, m, codebookK, iters)
+    val bucketedCodes = nearest("vec_id", "embedding", "bucket", 1)(corpus)
+      .select(col("bucket") +: col("vec_id") +: model.codeCols(col("embedding")): _*)
+    val probes = nearest("q_id", "q_vec", "bucket", nprobe)(
+      queries.select(col("q_id"), col("q_vec")))
+      .select(col("q_id"), col("bucket"))
+    val qTables = queries.select(col("q_id") +: model.adcCols(col("q_vec")): _*)
+    // Candidates = probed buckets' codes, keyed by owner query; scoring is an
+    // EQUI-join on q_id against the broadcast ADC tables — per-query work is
+    // its own candidate set, never |Q| × corpus.
+    val scored = bucketedCodes.join(probes, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qTables), "q_id")
+      .withColumn("adist", model.adist)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

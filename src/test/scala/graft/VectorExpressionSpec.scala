@@ -108,6 +108,28 @@ class VectorExpressionSpec extends GraftSuite {
     assert(offCluster.isEmpty, s"PQ returned off-cluster neighbors: $offCluster")
   }
 
+  test("IVF-PQ composition: probed-bucket candidates, PQ scoring, cluster-consistent") {
+    import graft.operators.Similarity
+    val dim = 16
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      val v = (0 until dim).map(d =>
+        (if (d % 3 == c) 5.0 else 0.0) + ((i * 7 + d) % 10) / 100.0).toArray
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = Similarity.kmeansCentroids(corpus, 3, 2)
+    val got = Similarity.ivfPqTopK(qs, corpus, centroids, 5, nprobe = 1,
+      m = 4, codebookK = 8, iters = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.size == 6 * 5)
+    val offCluster = got.filterNot { case (qid, cid) => qid % 3 == cid % 3 }
+    assert(offCluster.isEmpty,
+      s"IVF-PQ returned off-cluster neighbors: $offCluster")
+  }
+
   test("kmeans at iters=10 keeps a constant-size plan (no lineage blow-up)") {
     import graft.operators.Similarity
     val corpus = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
