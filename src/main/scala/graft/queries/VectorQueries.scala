@@ -84,7 +84,7 @@ object VectorQueries {
       val normQs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
         .select(col("vec_id").as("q_id"), normalized(col("embedding")).as("q_vec"))
       val exact = Similarity.bruteForceTopK(qs, corpus, 5)
-      val pq = Similarity.pqTopK(normQs, normCorpus, 5)
+      val pq = Similarity.pqTopK(normQs, normCorpus, 5, trainFraction = 0.3)
         .select(col("q_id"), col("vec_id"))
       val totalHits = exact.select(col("q_id"), col("vec_id"))
         .join(pq, Seq("q_id", "vec_id")).count()
