@@ -2540,6 +2540,33 @@ object StarQueries {
         .orderBy(col("snap"), col("pk"))
     },
 
+    // B179 query witness: METADATA TWIN TABLES — `t$partitions`, `t$files`,
+    // and `t$history` are batch-queryable relations answered from manifests
+    // on the driver (LocalTableScan, zero tasks, zero data IO at any table
+    // size — the Iceberg metadata-table surface). Clustered writes make the
+    // profile fully deterministic: one file per partition per commit, so
+    // per-partition file counts, row totals, live-file count, and commit
+    // count are all exact; the plan pin rides the hash gate.
+    "q_catalog_meta" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.metaq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.metaq").partitionedBy(col("pk")).create()    // gen 1
+      base.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.metaq").append()                             // gen 2
+      val q = s.sql(
+        """SELECT p.partition, p.n_files, p.rows,
+          |  (SELECT count(*) FROM graft.`metaq$history`) AS n_commits,
+          |  (SELECT count(*) FROM graft.`metaq$files`) AS n_live_files
+          |FROM graft.`metaq$partitions` p ORDER BY p.partition""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      q.withColumn("metadata_only",
+        lit(plan.contains("LocalTableScan") && !plan.contains("BatchScan")))
+    },
+
     // B149: chi-square test of independence (status × priority) — the
     // categorical complement to B85's t-test. Observed cell counts are one
     // hash aggregate; expected counts come from row/column marginals via two
@@ -3878,6 +3905,16 @@ object StarQueries {
         |SELECT 'tagged', CAST(pk AS BIGINT), count(*), CAST(sum(cents) AS BIGINT), true
         |FROM base WHERE k % 2 = 0 GROUP BY pk
         |ORDER BY snap, pk""".stripMargin,
+
+    // B179: the oracle predicts the whole metadata profile from parquet —
+    // clustered writes mean exactly 2 files per partition (create + append),
+    // 3 commits (0,1,2), 6 live files; rows are the per-pk counts.
+    "q_catalog_meta" ->
+      """SELECT concat('pk=', CAST(o_orderkey % 3 AS VARCHAR)) AS partition,
+        |  CAST(2 AS BIGINT) AS n_files, count(*) AS rows,
+        |  CAST(3 AS BIGINT) AS n_commits, CAST(6 AS BIGINT) AS n_live_files,
+        |  true AS metadata_only
+        |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
 
     // B174: a restored table IS its original projection — the rolled-back
     // delete and update contribute nothing; both structural booleans true.

@@ -124,6 +124,16 @@ class GraftCatalog extends TableCatalog {
       return new GraftChangesTable(baseIdent, dir,
         GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf))
     }
+    // `t$history` / `t$files` / `t$partitions` resolve batch-queryable
+    // METADATA twin tables (the Iceberg metadata-table surface): driver-side
+    // manifest reads only — a SELECT over them is metadata-scale at ANY
+    // table size. See [[GraftMetaTable]].
+    GraftMetaTable.Kinds.find(k => ident.name().endsWith("$" + k)).foreach { kind =>
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$" + kind))
+      if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
+      return new GraftMetaTable(baseIdent, tableDir(baseIdent), kind)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     new GraftTable(ident, dir, GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf))
@@ -1336,6 +1346,96 @@ object GraftChangesTable {
     StructType(manifest.schema.fields :+
       org.apache.spark.sql.types.StructField(ChangeType, StringType, false) :+
       org.apache.spark.sql.types.StructField(CommitVersion, LongType, false))
+}
+
+/**
+ * Batch-queryable METADATA twin tables (the Iceberg metadata-table surface):
+ *   - `t$history`    — one row per committed generation (commits over time);
+ *   - `t$files`      — one row per live data file of the CURRENT snapshot
+ *                      (partition, size, rows, whether it carries a DV);
+ *   - `t$partitions` — one row per live partition (file/row/byte totals).
+ * All three answer from manifests on the DRIVER — the scan is a V2
+ * LocalScan, zero tasks and zero data IO at any table size — and compose
+ * with the full SQL surface (joins, filters, aggregates) like any relation.
+ */
+class GraftMetaTable(ident: Identifier, dir: Path, kind: String)
+    extends Table with SupportsRead {
+  import GraftMetaTable._
+  override def name(): String = s"graft.${ident.name()}$$$kind"
+  override def schema(): StructType = schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        new GraftLocalAggScan(schemaOf(kind), rowsOf(kind, dir, conf).toArray,
+          s"GraftMetaScan($kind, metadata-only)")
+      }
+    }
+}
+
+object GraftMetaTable {
+  val Kinds = Seq("history", "files", "partitions")
+
+  import org.apache.spark.sql.types.StructField
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("gen", LongType, false),
+      StructField("n_files", LongType, false),
+      StructField("n_partitions", LongType, false),
+      StructField("n_txns", LongType, false)))
+    case "files" => StructType(Seq(
+      StructField("partition", StringType, false),
+      StructField("file", StringType, false),
+      StructField("bytes", LongType, true),
+      StructField("rows", LongType, true),
+      StructField("has_dv", org.apache.spark.sql.types.BooleanType, false)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, false),
+      StructField("n_files", LongType, false),
+      StructField("rows", LongType, true),
+      StructField("bytes", LongType, true)))
+  }
+
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  def rowsOf(kind: String, dir: Path, conf: Configuration): Seq[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val cur = GraftManifest.currentGen(dir, conf)
+    kind match {
+      case "history" =>
+        (0L to cur).flatMap { g =>
+          // VACUUM may have dropped old manifests — history shows what remains.
+          try {
+            val m = GraftManifest.load(dir, g, conf)
+            Some(new GenericInternalRow(Array[Any](g, m.entries.size.toLong,
+              m.entries.map(_._1).distinct.size.toLong, m.txns.size.toLong)): InternalRow)
+          } catch { case _: Exception => None }
+        }
+      case "files" =>
+        val m = GraftManifest.load(dir, cur, conf)
+        m.entries.map { case (pp, rel) =>
+          new GenericInternalRow(Array[Any](utf8(pp), utf8(rel),
+            m.fileBytes.get(rel).map(Long.box).orNull,
+            m.fileRows.get(rel).map(Long.box).orNull,
+            m.fileDVs.contains(rel))): InternalRow
+        }
+      case "partitions" =>
+        val m = GraftManifest.load(dir, cur, conf)
+        m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (pp, es) =>
+          val rels = es.map(_._2)
+          val rows =
+            if (rels.forall(m.fileRows.contains)) Long.box(rels.map(m.fileRows).sum)
+            else null
+          val bytes =
+            if (rels.forall(m.fileBytes.contains)) Long.box(rels.map(m.fileBytes).sum)
+            else null
+          new GenericInternalRow(Array[Any](utf8(pp), rels.size.toLong,
+            rows, bytes)): InternalRow
+        }
+    }
+  }
 }
 
 class GraftChangesScanBuilder(dir: Path, manifest: GraftManifest,

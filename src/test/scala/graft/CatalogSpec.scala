@@ -1360,6 +1360,33 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("metadata twin tables: $history/$files/$partitions answer from manifests, zero tasks") {
+    val t = freshTable("meta")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    base.limit(60).withColumn("id", col("id") + 1000L).writeTo(t).append() // gen 2
+    spark.sql(s"DELETE FROM $t WHERE id = 5")                        // gen 3 (DV)
+    // $history: one row per commit, file counts grow with the append.
+    val hist = spark.sql(s"SELECT gen, n_files FROM gtest.`meta$$history` ORDER BY gen")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), hist.toSeq.toString)
+    assert(hist(1)._2 == 3 && hist(2)._2 == 6, hist.toSeq.toString)
+    // $files: live files of the current snapshot with rows/bytes/DV flags.
+    val files = spark.table("gtest.`meta$files`").collect()
+    assert(files.length == 6)
+    assert(files.count(_.getAs[Boolean]("has_dv")) == 1, "exactly one file carries the DV")
+    assert(files.map(_.getAs[Long]("rows")).sum == 360)
+    // $partitions: per-partition rollup, joinable like any relation.
+    val parts = spark.sql(
+      s"SELECT partition, n_files, rows FROM gtest.`meta$$partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.length == 3 && parts.forall(_._2 == 2))
+    assert(parts.map(_._3).sum == 360)
+    // Metadata-only: the plan is a LocalTableScan, no BatchScan, zero file IO.
+    val plan = spark.table("gtest.`meta$files`").queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"), plan)
+  }
+
   test("tags: named time travel, VACUUM retention, untag releases the pin") {
     import graft.sources.GraftCatalogOps
     val t = freshTable("tagt")
