@@ -3124,7 +3124,8 @@ object GraftCatalogOps {
    */
   def vacuum(spark: SparkSession, root: String, table: String,
              keepGens: Int = 1,
-             leaseTtlMs: Long = GraftLease.DefaultTtlMs): (Long, Long) = {
+             leaseTtlMs: Long = GraftLease.DefaultTtlMs,
+             uncommittedGraceMs: Long = 0L): (Long, Long) = {
     require(keepGens >= 1, "must retain at least the current generation")
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -3146,6 +3147,16 @@ object GraftCatalogOps {
       // referenced DV would silently resurrect deleted rows.
       m.entries.map(_._2) ++ m.entries.flatMap(e => m.fileDVs.get(e._2))
     }.toSet
+    // Concurrent-writer grace (the Delta VACUUM retention posture): a file
+    // not referenced by any retained manifest is either DEAD or an in-flight
+    // writer's PRE-COMMIT data — indistinguishable by metadata alone. With
+    // `uncommittedGraceMs > 0`, only unreferenced files older than the grace
+    // window are reclaimed, so a commit that lands within the window never
+    // references deleted bytes. 0 keeps the aggressive single-writer
+    // behavior (this sandbox's tests); production multi-writer deployments
+    // set it comfortably above their longest write, exactly as Delta refuses
+    // sub-retention vacuums without an override.
+    val reclaimableBefore = System.currentTimeMillis() - uncommittedGraceMs
     var filesDeleted = 0L
     fs.globStatus(new Path(dir, "gen-*")).foreach { genSt =>
       val genName = genSt.getPath.getName
@@ -3153,7 +3164,9 @@ object GraftCatalogOps {
       while (it.hasNext) {
         val f = it.next()
         val rel = genName + f.getPath.toString.stripPrefix(genSt.getPath.toString)
-        if (!live.contains(rel)) { fs.delete(f.getPath, false); filesDeleted += 1 }
+        if (!live.contains(rel) && f.getModificationTime <= reclaimableBefore) {
+          fs.delete(f.getPath, false); filesDeleted += 1
+        }
       }
       // Drop directories emptied by the reclaim (best-effort; non-recursive
       // delete refuses non-empty dirs, so a live file can never be lost here).

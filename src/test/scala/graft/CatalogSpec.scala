@@ -1360,6 +1360,25 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("vacuum grace window protects an in-flight writer's uncommitted files") {
+    val t = freshTable("vacgrace")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    base.writeTo(t).overwritePartitions() // gen-1 files now dead
+    val dir = new Path(root, "vacgrace")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = fs.globStatus(new Path(dir, "gen-1-*/pk=*/*.parquet")).length
+    assert(dead > 0)
+    // With a generous grace window the just-written dead files are spared —
+    // metadata alone cannot distinguish them from a concurrent writer's
+    // pre-commit data. With grace 0 they reclaim.
+    val (spared, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "vacgrace",
+      keepGens = 1, uncommittedGraceMs = 3600000L)
+    assert(spared == 0, s"grace window must spare fresh files, reclaimed $spared")
+    val (reclaimed, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "vacgrace",
+      keepGens = 1, uncommittedGraceMs = 0L)
+    assert(reclaimed == dead, s"expected $dead reclaimed, got $reclaimed")
+  }
+
   test("metadata twin tables: $history/$files/$partitions answer from manifests, zero tasks") {
     val t = freshTable("meta")
     base.writeTo(t).partitionedBy(col("pk"))
