@@ -1360,6 +1360,30 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("change-feed stream honors admission pacing (inherits the base source's knobs)") {
+    val t = freshTable("cdfpace")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    base.limit(30).withColumn("id", col("id") + 1000L).writeTo(t).append() // gen 2
+    spark.sql(s"DELETE FROM $t WHERE id = 7")                        // gen 3
+    val ckpt = tmpDir("cdfpace_ckpt")
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.option("maxGensPerTrigger", "1")
+      .table("gtest.`cdfpace$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches.incrementAndGet(): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "paced change-feed drain timed out")
+    q.stop()
+    // Snapshot batch (start=-1 jumps to the paced end) + one batch per later
+    // commit: the drain is bounded per trigger, never one giant batch.
+    assert(batches.get() >= 3,
+      s"expected >=3 paced non-empty batches, got ${batches.get()}")
+  }
+
   test("vacuum grace window protects an in-flight writer's uncommitted files") {
     val t = freshTable("vacgrace")
     base.writeTo(t).partitionedBy(col("pk")).create()
