@@ -191,6 +191,16 @@ class GraftCatalog extends TableCatalog {
     }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c missing from schema"))
+    // Directory-codec types only ([[GraftMicroBatchStream.catalystValue]]):
+    // a DOUBLE partition key would silently mis-prune equality filters (the
+    // string round-trip never equals the typed literal) and crash the
+    // partition re-attach — reject at CREATE, not at first read.
+    partCols.foreach { c =>
+      val dt = schema(schema.fieldIndex(c)).dataType
+      require(Set[DataType](StringType, IntegerType, LongType, ShortType)(dt),
+        s"partition column $c has unsupported type ${dt.sql} — " +
+          "STRING/INT/BIGINT/SMALLINT partition keys only")
+    }
     val dir = tableDir(ident)
     // Persist user table properties (notably `cluster` / `cluster.parts`, the
     // write-clustering knobs GraftWrite reads) into the manifest.
@@ -265,6 +275,21 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     fileDVs: Map[String, String] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
     fileNdvs: Map[String, String] = Map.empty) {
+  /** This manifest with `fresh` files' per-file metadata merged in (stats,
+    * bytes, blooms, rows, NDV). Entries, gen, txns, and DVs stay the
+    * caller's business — this exists so a NEW per-file field is threaded
+    * through every commit path by editing exactly one place. */
+  def withFileMeta(fresh: Seq[GraftFileRecord]): GraftManifest = copy(
+    fileStats = fileStats ++
+      fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
+    fileBytes = fileBytes ++ fresh.map(f => f.rel -> f.bytes),
+    fileBlooms = fileBlooms ++
+      fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
+    fileRows = fileRows ++
+      fresh.collect { case f if f.rows >= 0 => f.rel -> f.rows },
+    fileNdvs = fileNdvs ++
+      fresh.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
   /** Column carrying a per-file Bloom filter (`bloom=<col>` table property). */
@@ -938,6 +963,7 @@ object GraftScanBuilder {
     case EqualTo(a, _)       => partCols.contains(a)
     case EqualNullSafe(a, _) => partCols.contains(a)
     case In(a, _)            => partCols.contains(a)
+    case IsNull(a)           => partCols.contains(a)
     case IsNotNull(a)        => partCols.contains(a)
     case _                   => false
   }
@@ -946,8 +972,38 @@ object GraftScanBuilder {
     if (partPath.isEmpty) Map.empty
     else partPath.split("/").map { seg =>
       val i = seg.indexOf('=')
-      seg.substring(0, i) -> seg.substring(i + 1)
+      seg.substring(0, i) -> unescapePartValue(seg.substring(i + 1))
     }.toMap
+
+  /** Hive-style percent-escaping for partition VALUES: '/', '=', '%', '\',
+    * and control characters would corrupt the path- and line-oriented
+    * manifest (a value 'a/b' used to crash every later read of the table) —
+    * the same hazard set Hive's own partition-path escaping covers. */
+  def escapePartValue(v: String): String = {
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c == '/' || c == '=' || c == '%' || c == '\\' || c < ' ' || c == 0x7f)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescapePartValue(v: String): String = {
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val NullMarker = "__HIVE_DEFAULT_PARTITION__"
 
   private def typed(raw: String, dt: DataType): Any = dt match {
     case LongType | IntegerType | ShortType => raw.toLong
@@ -960,17 +1016,29 @@ object GraftScanBuilder {
     case other => other
   }
 
-  /** Scan-side pruning: conservative — an unevaluable filter keeps the entry. */
+  /** Scan-side pruning: conservative — an unevaluable filter keeps the entry.
+    * The null-partition marker takes SQL null semantics BEFORE any numeric
+    * decode: equality/IN against a null partition is never-match (prune),
+    * never a NumberFormatException (a `WHERE pk = 1` on a table holding a
+    * null-pk partition used to crash the whole scan). */
   def matches(f: Filter, values: Map[String, String], schema: StructType): Boolean = f match {
     case EqualTo(a, v) =>
-      values.get(a).forall(raw => typed(raw, schema(a).dataType) == widen(v))
+      values.get(a).forall(raw =>
+        raw != NullMarker && typed(raw, schema(a).dataType) == widen(v))
     case EqualNullSafe(a, v) =>
-      values.get(a).forall(raw => typed(raw, schema(a).dataType) == widen(v))
+      values.get(a).forall { raw =>
+        if (raw == NullMarker) v == null
+        else v != null && typed(raw, schema(a).dataType) == widen(v)
+      }
     case In(a, vs) =>
       values.get(a).forall { raw =>
-        val t = typed(raw, schema(a).dataType); vs.exists(v => t == widen(v))
+        raw != NullMarker && {
+          val t = typed(raw, schema(a).dataType)
+          vs.exists(v => v != null && t == widen(v))
+        }
       }
-    case IsNotNull(a) => values.get(a).forall(_ != "__HIVE_DEFAULT_PARTITION__")
+    case IsNull(a) => values.get(a).forall(_ == NullMarker)
+    case IsNotNull(a) => values.get(a).forall(_ != NullMarker)
     case _ => true
   }
 
@@ -978,7 +1046,7 @@ object GraftScanBuilder {
     * would silently widen an overwrite into a truncate, so refuse instead. */
   def matchesStrict(f: Filter, values: Map[String, String], schema: StructType): Boolean =
     f match {
-      case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) | IsNotNull(_) =>
+      case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) | IsNull(_) | IsNotNull(_) =>
         matches(f, values, schema)
       case other => throw new UnsupportedOperationException(
         s"graft catalog cannot overwrite by filter $other — partition-key equality only")
@@ -1247,13 +1315,22 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
     })
   }
 
-  /** Smallest generation whose manifest still exists (VACUUM reclaims from 0
-    * upward, so retained manifests are always a contiguous suffix). */
+  /** Oldest generation of the CONTIGUOUS manifest suffix ending at the
+    * newest one. Not simply the minimum on disk: a TAGGED old generation
+    * survives VACUUM as an isolated island (B178), and clamping a paced
+    * stream's first batch to an island would emit a stale snapshot and then
+    * wedge on the reclaimed gap right after it. */
   private def oldestRetainedGen: Long = {
     val fs = dir.getFileSystem(conf)
     val st = fs.globStatus(new Path(dir, "manifest-*.txt"))
     if (st == null || st.isEmpty) 0L
-    else st.map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong).min
+    else {
+      val gens = st.map(_.getPath.getName.stripPrefix("manifest-")
+        .stripSuffix(".txt").toLong).toSet
+      var g = gens.max
+      while (gens.contains(g - 1)) g -= 1
+      g
+    }
   }
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset = GenOffset(json.trim.toLong)
@@ -1455,8 +1532,10 @@ class GraftChangesScanBuilder(dir: Path, manifest: GraftManifest,
 }
 
 /** One change-feed work unit: a base-table file read as inserts (role 0, with
-  * its at-emission DV) or probed for deletes (role 1, keeping exactly the
-  * newly-dead `keepPositions` — driver-decoded DV deltas, metadata-scale). */
+  * its at-emission DV), probed for deletes (role 1, keeping exactly the
+  * newly-dead `keepPositions`), or probed for RESURRECTED inserts (role 2,
+  * keeping the positions a DV rewind brought back) — position sets are
+  * driver-decoded DV deltas, metadata-scale. */
 case class GraftChangeSlice(partPath: String, rel: String, len: Long,
     role: Byte, version: Long, dvRel: String = "",
     keepPositions: Array[Long] = null)
@@ -1512,18 +1591,26 @@ class GraftChangesMicroBatchStream(dir: Path, manifest: GraftManifest,
         GraftChangeSlice(pp, rel, len, 0, g,
           mCur.fileDVs.getOrElse(rel, "")): InputPartition
       }
-      val deletes = mPrev.entries.collect {
+      // DV deltas in BOTH directions: growth streams deletes, shrinkage
+      // (a RESTORE rewinding deletion vectors) streams the resurrected rows
+      // as positional inserts — the batch feed and this stream must agree.
+      val dvChanges = mPrev.entries.collect {
         case (pp, rel) if curRels(rel) &&
             mCur.fileDVs.get(rel) != mPrev.fileDVs.get(rel) =>
           val curPos = mCur.fileDVs.get(rel)
             .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
           val prevPos = mPrev.fileDVs.get(rel)
-            .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long]).toSet
-          val delta = curPos.filterNot(prevPos)
+            .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
+          val prevSet = prevPos.toSet
+          val curSet = curPos.toSet
           val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
-          GraftChangeSlice(pp, rel, len, 1, g, "", delta): InputPartition
-      }.filter(_.asInstanceOf[GraftChangeSlice].keepPositions.nonEmpty)
-      inserts ++ deletes
+          Seq(
+            GraftChangeSlice(pp, rel, len, 1, g, "",
+              curPos.filterNot(prevSet)): InputPartition,
+            GraftChangeSlice(pp, rel, len, 2, g, "",
+              prevPos.filterNot(curSet)): InputPartition)
+      }.flatten.filter(_.asInstanceOf[GraftChangeSlice].keepPositions.nonEmpty)
+      inserts ++ dvChanges
     }.toArray
   }
 
@@ -1574,7 +1661,7 @@ object GraftChangesMicroBatchStream {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val slice = p.asInstanceOf[GraftChangeSlice]
         val tag = org.apache.spark.unsafe.types.UTF8String.fromString(
-          if (slice.role == 0) "insert" else "delete")
+          if (slice.role == 1) "delete" else "insert")
         val version = slice.version
         if (slice.role == 0) {
           val it = insertInner.createReader(
@@ -2091,18 +2178,9 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
         GraftDV.write(dir, dvRel, existing ++ ps, c)
         rel -> dvRel
       }.toMap
-      val m = base.copy(gen = g,
+      val m = base.withFileMeta(freshAll).copy(gen = g,
         entries = base.entries ++ freshAll.map(f => (f.part, f.rel)),
-        fileStats = base.fileStats ++
-          freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
-        fileBytes = base.fileBytes ++ freshAll.map(f => f.rel -> f.bytes),
-        fileBlooms = base.fileBlooms ++
-          freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
-        fileDVs = base.fileDVs ++ newDVs,
-        fileRows = base.fileRows ++
-          freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
-        fileNdvs = base.fileNdvs ++
-          freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+        fileDVs = base.fileDVs ++ newDVs)
       if (GraftManifest.publishCas(dir, m, c)) committed = true
       else {
         val claimed = GraftManifest.highestClaimedGen(dir, c)
@@ -2272,18 +2350,9 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
       val cur = GraftManifest.loadClaimed(dir,
         GraftManifest.highestClaimedGen(dir, c), c)
       if (cur.txns.contains(key)) return // replayed epoch — already visible
-      val m = cur.copy(gen = cur.gen + 1,
+      val m = cur.withFileMeta(fresh).copy(gen = cur.gen + 1,
         entries = cur.entries ++ fresh.map(f => (f.part, f.rel)),
-        txns = cur.txns + key,
-        fileStats = cur.fileStats ++
-          fresh.collect { case f if f.stats.nonEmpty => f.rel -> f.stats },
-        fileBytes = cur.fileBytes ++ fresh.map(f => f.rel -> f.bytes),
-        fileBlooms = cur.fileBlooms ++
-          fresh.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom },
-        fileRows = cur.fileRows ++
-          fresh.collect { case f if f.rows >= 0 => f.rel -> f.rows },
-        fileNdvs = cur.fileNdvs ++
-          fresh.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+        txns = cur.txns + key)
       if (GraftManifest.publishCas(dir, m, c)) return
       attempts += 1
     }
@@ -2925,11 +2994,6 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val freshAll = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
     val fresh = freshAll.map(f => (f.part, f.rel))
-    val freshStats =
-      freshAll.collect { case f if f.stats.nonEmpty => f.rel -> f.stats }.toMap
-    val freshBytes = freshAll.map(f => f.rel -> f.bytes).toMap
-    val freshBlooms =
-      freshAll.collect { case f if f.bloom.nonEmpty => f.rel -> f.bloom }.toMap
     val replaced = if (mode == "replace-groups") replaceGroups().toSet
                    else Set.empty[(String, String)]
     // Optimistic concurrency (B177): claim the next generation by exclusive
@@ -2949,14 +3013,7 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     while (attempts < 20) {
       val entries = GraftCommitProtocol.rebasedEntries(
         mode, prev, base, fresh, staticFilters, replaced)
-      val m = base.copy(gen = g, entries = entries,
-        fileStats = base.fileStats ++ freshStats,
-        fileBytes = base.fileBytes ++ freshBytes,
-        fileBlooms = base.fileBlooms ++ freshBlooms,
-        fileRows = base.fileRows ++
-          freshAll.collect { case f if f.rows >= 0 => f.rel -> f.rows },
-        fileNdvs = base.fileNdvs ++
-          freshAll.collect { case f if f.ndv.nonEmpty => f.rel -> f.ndv })
+      val m = base.withFileMeta(freshAll).copy(gen = g, entries = entries)
       if (GraftManifest.publishCas(dir, m, conf.value)) return
       val claimed = GraftManifest.highestClaimedGen(dir, conf.value)
       base = GraftManifest.loadClaimed(dir, claimed, conf.value)
@@ -3039,7 +3096,8 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         partCols.indices.map { k =>
           val i = partIdx(k)
           val v = if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-            else row.get(i, writeSchema.fields(i).dataType).toString
+            else GraftScanBuilder.escapePartValue(
+              row.get(i, writeSchema.fields(i).dataType).toString)
           s"${partCols(k)}=$v"
         }.mkString("/")
 
@@ -3050,7 +3108,13 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         check.foreach(_.validate(row, writeSchema))
         val pp = partPath(row)
         val (w, _, stats, bloom) = writers.getOrElseUpdate(pp, {
-          val fileName = s"part-$partitionId-$taskId.parquet"
+          // The uuid keeps REPLAYED streaming epochs from colliding with the
+          // original attempt's committed files (epoch dirs are deterministic
+          // by design; a restarted context reuses low task ids) — the replay
+          // writes fresh names, its commit is txn-deduped, and vacuum
+          // reclaims the orphans.
+          val fileName = s"part-$partitionId-$taskId-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
           val file = if (pp.isEmpty) s"$genDir/$fileName" else s"$genDir/$pp/$fileName"
           val ctx = new TaskAttemptContextImpl(taskConf,
             new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
@@ -3158,7 +3222,11 @@ object GraftCatalogOps {
     // sub-retention vacuums without an override.
     val reclaimableBefore = System.currentTimeMillis() - uncommittedGraceMs
     var filesDeleted = 0L
-    fs.globStatus(new Path(dir, "gen-*")).foreach { genSt =>
+    // Walk BOTH vintages of data dirs: batch/DML generations (gen-*) and
+    // streaming epochs (ep-*) — dead epoch files previously accumulated
+    // forever because only gen-* was scanned.
+    (fs.globStatus(new Path(dir, "gen-*")) ++
+      fs.globStatus(new Path(dir, "ep-*"))).foreach { genSt =>
       val genName = genSt.getPath.getName
       val it = fs.listFiles(genSt.getPath, true)
       while (it.hasNext) {
@@ -3259,7 +3327,11 @@ object GraftCatalogOps {
           "narrow the range to retained generations")
     }
     val mTo = GraftManifest.load(dir, toGen, conf)
-    val outCols = mTo.dataSchema.fields.map(f => f.name -> f.dataType).toSeq
+    // FULL schema including partition columns (the streaming twin agrees):
+    // a change row without its partition key cannot be replayed, and a
+    // cross-partition row move differing only in the partition column would
+    // otherwise cancel in the exceptAll and vanish from the feed.
+    val outCols = mTo.schema.fields.map(f => f.name -> f.dataType).toSeq
     def aligned(df: DataFrame): DataFrame =
       df.select(outCols.map { case (n, dt) =>
         (if (df.columns.contains(n)) col(n) else lit(null).cast(dt)).as(n) }: _*)
@@ -3471,10 +3543,14 @@ object GraftCatalogOps {
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
     val cur = GraftManifest.currentGen(dir, conf)
-    (0L to cur).map { g =>
-      val m = GraftManifest.load(dir, g, conf)
-      (g, m.entries.size.toLong,
-        m.entries.map(_._1).distinct.size.toLong, m.txns.size.toLong)
+    // VACUUM may have reclaimed old manifests — history shows what remains
+    // (same posture as the $history metadata twin), never crashes on a gap.
+    (0L to cur).flatMap { g =>
+      try {
+        val m = GraftManifest.load(dir, g, conf)
+        Some((g, m.entries.size.toLong,
+          m.entries.map(_._1).distinct.size.toLong, m.txns.size.toLong))
+      } catch { case _: Exception => None }
     }.toDF("gen", "n_files", "n_partitions", "n_txns")
   }
 }

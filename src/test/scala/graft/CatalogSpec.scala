@@ -1403,6 +1403,115 @@ class CatalogSpec extends GraftSuite {
     assert(reclaimed == dead, s"expected $dead reclaimed, got $reclaimed")
   }
 
+  test("partition values with path/manifest hazards escape and roundtrip") {
+    import spark.implicits._
+    val t = freshTable("escparts")
+    Seq((1L, "a/b=c%d", "x"), (2L, "tab\there", "y"), (3L, "plain", "z"))
+      .toDF("id", "pk", "s").writeTo(t).partitionedBy(col("pk")).create()
+    val got = spark.table(t).select("id", "pk").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a/b=c%d", 2L -> "tab\there", 3L -> "plain"), got.toString)
+    // Partition-filter equality on the hazardous value prunes correctly.
+    assert(spark.table(t).filter(col("pk") === "a/b=c%d").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table(t).count() == 3)
+  }
+
+  test("numeric partition filters take null semantics on the null partition, never crash") {
+    import spark.implicits._
+    val t = freshTable("nullfilt")
+    Seq((1L, java.lang.Long.valueOf(1L)), (2L, null.asInstanceOf[java.lang.Long]),
+        (3L, java.lang.Long.valueOf(3L)))
+      .toDF("id", "pk").writeTo(t).partitionedBy(col("pk")).create()
+    // Equality against a numeric partition key used to NumberFormatException
+    // on the null marker; now it prunes the null partition (SQL semantics).
+    assert(spark.table(t).filter(col("pk") === 1L).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table(t).filter(col("pk").isNull).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    spark.sql(s"DELETE FROM $t WHERE pk = 3")   // metadata delete on a keyed filter
+    assert(spark.table(t).count() == 2)
+    // Unsupported partition-key types refuse at CREATE, not at first read.
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.badpart (id BIGINT, d DOUBLE) PARTITIONED BY (d)")
+    }
+  }
+
+  test("streaming change feed emits rows a RESTORE resurrects, matching the batch feed") {
+    val t = freshTable("scdfrst")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")                   // gen 2 (30 DVs)
+    val ckpt = tmpDir("scdfrst_ckpt")
+    val out = tmpDir("scdfrst_out")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gtest.`scdfrst$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+    drain() // snapshot (270 live rows as inserts)
+    graft.sources.GraftCatalogOps.restore(spark, root, "scdfrst", 1L) // gen 3: DV rewind only
+    drain() // must stream the 30 resurrected rows as inserts @3
+    val byGen = spark.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byGen == Map((1L, "insert") -> 270L, (3L, "insert") -> 30L), byGen.toString)
+  }
+
+  test("vacuum reclaims dead streaming-epoch files; history survives vacuum") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = freshTable("epvac")
+    base.limit(0).writeTo(t).partitionedBy(col("pk")).create()
+    val src = MemoryStream[Long]
+    val q = src.toDF().select(col("value").as("id"), (col("value") % 3).as("pk"),
+        concat(lit("v"), col("value")).as("s"))
+      .writeStream.option("checkpointLocation", tmpDir("epvac_ckpt"))
+      .toTable(t)
+    src.addData(0L until 50L: _*)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(t).count() == 50)
+    spark.sql(s"TRUNCATE TABLE $t") // epoch files now dead
+    val dir = new Path(root, "epvac")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadEp = fs.globStatus(new Path(dir, "ep-*/pk=*/*.parquet")).length
+    assert(deadEp > 0, "fixture needs dead epoch files")
+    val (files, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "epvac", keepGens = 1)
+    assert(files >= deadEp, s"expected >= $deadEp epoch files reclaimed, got $files")
+    assert(fs.globStatus(new Path(dir, "ep-*/pk=*/*.parquet")).isEmpty)
+    // history() tolerates the vacuumed gap instead of crashing.
+    val hist = graft.sources.GraftCatalogOps.history(spark, root, "epvac")
+      .select("gen").collect().map(_.getLong(0))
+    assert(hist.nonEmpty && hist.forall(_ >= 0))
+  }
+
+  test("paced stream on a tag-island table starts at the contiguous suffix, not the island") {
+    import graft.sources.GraftCatalogOps
+    val t = freshTable("tagisle")
+    base.writeTo(t).partitionedBy(col("pk")).create()               // gen 1
+    GraftCatalogOps.tag(spark, root, "tagisle", "old", 1L)
+    base.limit(40).writeTo(t).append()                               // gen 2
+    base.limit(20).writeTo(t).append()                               // gen 3
+    GraftCatalogOps.vacuum(spark, root, "tagisle", keepGens = 1, leaseTtlMs = 0)
+    // Manifests left: 1 (tagged island) and 3 (current). A fresh paced drain
+    // must start from the suffix (gen 3's full snapshot), not wedge on the
+    // gap after the island.
+    val ckpt = tmpDir("tagisle_ckpt")
+    val q = spark.readStream.option("maxGensPerTrigger", "1").table(t)
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete").format("memory").queryName("tagisle_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000)); q.stop()
+    assert(spark.table("tagisle_sink").agg(sum(col("n"))).collect()(0).getLong(0) == 360)
+  }
+
   test("metadata twin tables: $history/$files/$partitions answer from manifests, zero tasks") {
     val t = freshTable("meta")
     base.writeTo(t).partitionedBy(col("pk"))
