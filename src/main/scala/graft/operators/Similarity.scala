@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Shared top-k tail: rank per query on the score with explicit NULL
+    * ordering (a null score must NEVER outrank a real candidate — ascending
+    * sorts default NULLS FIRST, which put a dim-mismatched vector at rank 1)
+    * and the vec_id tiebreak that makes the cut deterministic. */
+  private def rankTopK(scored: DataFrame, scoreCol: String,
+                       ascending: Boolean, k: Int): DataFrame = {
+    val order =
+      if (ascending) col(scoreCol).asc_nulls_last else col(scoreCol).desc_nulls_last
+    val w = Window.partitionBy(col("q_id")).orderBy(order, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col(scoreCol))
+  }
+
   /**
    * Exact brute-force top-k cosine neighbors for each query vector.
    * `queries`: (q_id, q_vec); `corpus`: (vec_id, embedding). The broadcast join
@@ -28,10 +42,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+    rankTopK(scored, "cos", ascending = false, k)
   }
 
   /**
@@ -43,25 +54,29 @@ object Similarity {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    def nearest(idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(
-        col("cdist").desc, col("centroid_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= n)
-        .drop("c_vec", "cdist", "crnk")
-        .withColumnRenamed("centroid_id", idOut)
-    }
-    val bucketed = nearest("vec_id", "embedding", "bucket", 1)(corpus)
-    val probes = nearest("q_id", "q_vec", "bucket", nprobe)(queries)
+    val bucketed = nearestCentroid(centroids)("vec_id", "embedding", "bucket", 1)(corpus)
+    val probes = nearestCentroid(centroids)("q_id", "q_vec", "bucket", nprobe)(queries)
     val scored = bucketed.join(probes, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+    rankTopK(scored, "cos", ascending = false, k)
+  }
+
+  /** Assign each row its `n` nearest centroids (cosine, round-4, id
+    * tiebreak). Rows whose similarity to EVERY centroid is null (a
+    * dim-mismatched vector) drop out instead of silently joining the
+    * lowest-id cluster. Shared by the IVF and IVF-PQ paths. */
+  private def nearestCentroid(centroids: DataFrame)(
+      idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      col("cdist").desc, col("centroid_id"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
+      .filter(col("cdist").isNotNull)
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= n)
+      .drop("c_vec", "cdist", "crnk")
+      .withColumnRenamed("centroid_id", idOut)
   }
 
   /**
@@ -69,8 +84,8 @@ object Similarity {
    * IVF centroids `(centroid_id, c_vec: array<double>)` for [[ivfTopK]].
    *
    * Determinism contract (what makes the result oracle-expressible cross-engine):
-   * initialization is the TRUE `k` smallest `vec_id` rows (orderBy + limit — ids
-   * need not be dense from 0), re-identified 0..k-1 in `vec_id` order; a FIXED
+   * initialization is the `k` smallest `vec_id` rows OF THE TRAINING SET
+   * (orderBy + limit — ids need not be dense from 0), re-identified 0..k-1 in `vec_id` order; a FIXED
    * number of Lloyd iterations (no convergence test); assignment ranks on
    * `round(cosine, 4)` with `centroid_id` tiebreak; each recomputed centroid
    * component is `round(avg, 4)`, which absorbs floating-point sum-order drift
@@ -91,6 +106,10 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
                       trainFraction: Double = 1.0,
                       metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2",
+      s"kmeans metric must be cosine or l2, got '$metric'")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     // Assignment similarity: cosine (IVF default) or negated squared L2 (the
     // PQ codebook metric — Lloyd's mean update IS the L2 centroid).
     def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -99,8 +118,11 @@ object Similarity {
     val train =
       if (trainFraction >= 1.0) corpus
       else corpus.filter(
-        pmod(hash(col("vec_id")), lit(10000)) < lit((trainFraction * 10000).toInt))
-    val init = corpus.orderBy(col("vec_id")).limit(k)
+        pmod(hash(col("vec_id")), lit(10000)) <
+          lit(math.round(trainFraction * 10000).toInt))
+    // Initialize from the TRAINING set: under sampling, an init pass over the
+    // full corpus would be an extra full scan per training (x m for PQ).
+    val init = train.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("c_vec"))
       .withColumn("centroid_id",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
@@ -110,6 +132,7 @@ object Similarity {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
       val assigned = train.crossJoin(broadcast(centroids))
         .withColumn("cdist", sim(col("embedding").cast("array<double>"), col("c_vec")))
+        .filter(col("cdist").isNotNull) // dim-mismatch drops out, never joins cluster 0
         .withColumn("crnk", row_number().over(w))
         .filter(col("crnk") === 1)
         .select(col("centroid_id"), col("embedding"))
@@ -185,18 +208,23 @@ object Similarity {
     // back (serial training was 8×3 sequential mini-jobs ≈ 14 s at bench
     // scale; concurrent lands ~4×faster on idle cores). Results are
     // collected per subspace — determinism is untouched.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.duration.Duration
     val books = Await.result(Future.sequence((0 until m).map { j =>
       Future {
-        kmeansCentroids(
-          corpus.select(col("vec_id"),
-            slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-          codebookK, iters, trainFraction, metric = "l2")
-          .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+        blocking { // Spark actions block; tell the pool so it can grow
+          kmeansCentroids(
+            corpus.select(col("vec_id"),
+              slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+            codebookK, iters, trainFraction, metric = "l2")
+            .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+        }
       }
-    }), 10.minutes)
+      // No wall-clock cap: a long training is legitimate at scale, and a
+      // timeout here would orphan Futures still submitting Spark jobs — a
+      // genuine hang surfaces in the Spark UI with full context instead.
+    }), Duration.Inf)
     PqModel(books, m, sub)
   }
 
@@ -213,10 +241,7 @@ object Similarity {
     val scored = encoded.crossJoin(broadcast(withTables))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adist", model.adist)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+    rankTopK(scored, "adist", ascending = true, k)
   }
 
   /**
@@ -230,23 +255,14 @@ object Similarity {
    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 k: Int, nprobe: Int, m: Int = 8, codebookK: Int = 32,
-                iters: Int = 3): DataFrame = {
-    def nearest(idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("centroid_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= n)
-        .drop("c_vec", "cdist", "crnk")
-        .withColumnRenamed("centroid_id", idOut)
-    }
+                iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
     // Codebooks train and the corpus ENCODES once, unbucketed (unbiased, one
     // pass); buckets then carry codes, not vectors — the index a 100 TB
     // deployment would materialize.
-    val model = trainPq(corpus, m, codebookK, iters)
-    val bucketedCodes = nearest("vec_id", "embedding", "bucket", 1)(corpus)
+    val model = trainPq(corpus, m, codebookK, iters, trainFraction)
+    val bucketedCodes = nearestCentroid(centroids)("vec_id", "embedding", "bucket", 1)(corpus)
       .select(col("bucket") +: col("vec_id") +: model.codeCols(col("embedding")): _*)
-    val probes = nearest("q_id", "q_vec", "bucket", nprobe)(
+    val probes = nearestCentroid(centroids)("q_id", "q_vec", "bucket", nprobe)(
       queries.select(col("q_id"), col("q_vec")))
       .select(col("q_id"), col("bucket"))
     val qTables = queries.select(col("q_id") +: model.adcCols(col("q_vec")): _*)
@@ -257,10 +273,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qTables), "q_id")
       .withColumn("adist", model.adist)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("adist"))
+    rankTopK(scored, "adist", ascending = true, k)
   }
 
   /** Collect the k centroid rows and rebuild a local DataFrame — truncates lineage
@@ -288,10 +301,7 @@ object Similarity {
     val scored = bucketedCorpus.join(bucketedQueries, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+    rankTopK(scored, "cos", ascending = false, k)
   }
 
   /**
@@ -312,6 +322,11 @@ object Similarity {
       keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
         col("a.vec_id") < col("b.vec_id"))
     joined
+      // Zero-norm vectors can never be cosine near-dups — and without this
+      // guard 0/0 = NaN would PASS the >= filter (Spark orders NaN above all
+      // numerics), reporting spurious pairs. Matches the native
+      // CosineSimilarity contract (zero norm scores 0.0).
+      .filter(col("a.nrm") > 0 && col("b.nrm") > 0)
       .withColumn("cos", round(
         vecDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= threshold)
