@@ -593,6 +593,9 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
   override def schema(): StructType = manifest.schema
   override def partitioning(): Array[Transform] =
     manifest.partCols.map(c => Expressions.identity(c): Transform).toArray
+  /** User table properties from the manifest — `SHOW TBLPROPERTIES` and
+    * DESCRIBE EXTENDED read these. */
+  override def properties(): util.Map[String, String] = manifest.props.asJava
 
   /** Queryable provenance metadata (`SELECT *, _gen, _file FROM graft.t`):
     * `_gen` is the manifest generation that committed each row's file (-1 for
@@ -1453,7 +1456,7 @@ class GraftMetaTable(ident: Identifier, dir: Path, kind: String)
 }
 
 object GraftMetaTable {
-  val Kinds = Seq("history", "files", "partitions")
+  val Kinds = Seq("history", "files", "partitions", "tags")
 
   import org.apache.spark.sql.types.StructField
   def schemaOf(kind: String): StructType = kind match {
@@ -1473,6 +1476,9 @@ object GraftMetaTable {
       StructField("n_files", LongType, false),
       StructField("rows", LongType, true),
       StructField("bytes", LongType, true)))
+    case "tags" => StructType(Seq(
+      StructField("name", StringType, false),
+      StructField("gen", LongType, false)))
   }
 
   private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -1497,6 +1503,10 @@ object GraftMetaTable {
             m.fileBytes.get(rel).map(Long.box).orNull,
             m.fileRows.get(rel).map(Long.box).orNull,
             m.fileDVs.contains(rel))): InternalRow
+        }
+      case "tags" =>
+        GraftCatalogOps.listTags(dir, conf).toSeq.sortBy(_._1).map { case (n, g) =>
+          new GenericInternalRow(Array[Any](utf8(n), g)): InternalRow
         }
       case "partitions" =>
         val m = GraftManifest.load(dir, cur, conf)

@@ -1539,6 +1539,21 @@ class CatalogSpec extends GraftSuite {
     assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"), plan)
   }
 
+  test("SHOW TBLPROPERTIES reads manifest properties; $tags lists the refs") {
+    val t = freshTable("propst")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").tableProperty("check", "id >= 0").create()
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("dml").contains("dv") && props.get("check").contains("id >= 0"),
+      props.toString)
+    graft.sources.GraftCatalogOps.tag(spark, root, "propst", "v1", 1L)
+    graft.sources.GraftCatalogOps.tag(spark, root, "propst", "stable", 1L)
+    val tags = spark.table("gtest.`propst$tags`").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags == Map("v1" -> 1L, "stable" -> 1L), tags.toString)
+  }
+
   test("tags: named time travel, VACUUM retention, untag releases the pin") {
     import graft.sources.GraftCatalogOps
     val t = freshTable("tagt")
