@@ -681,7 +681,8 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
     // files it would emit (the manifest's per-file byte stats — no file IO).
     val streamOpts = GraftStreamOptions(
       maxGensPerTrigger = Option(options.get("maxGensPerTrigger")).map(_.toLong),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong))
     new GraftScanBuilder(dir, manifest, streamOpts)
   }
 
@@ -692,7 +693,8 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
 /** Streaming-source admission knobs (both optional, combined as the tighter
   * of the two when set together). */
 case class GraftStreamOptions(maxGensPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) {
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) {
   def paced: Boolean = maxGensPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 }
 
@@ -1259,8 +1261,13 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(GraftManifest.currentGen(dir, conf))
   /** -1 = "the empty table before any commit": a fresh query's first batch is
-    * the full current snapshot even when VACUUM has deleted manifest-0. */
-  override def initialOffset(): Offset = GenOffset(-1L)
+    * the full current snapshot even when VACUUM has deleted manifest-0.
+    * `startingVersion` (the Delta knob) starts AFTER a known generation
+    * instead — batch 1 is then commit N+1's delta, no snapshot re-emit
+    * (the CDC-resume case: a replica bootstrapped from a batch read of
+    * version N subscribes to changes from there). */
+  override def initialOffset(): Offset =
+    GenOffset(streamOpts.startingVersion.getOrElse(-1L))
   override def latestOffset(): Offset =
     GenOffset(availableNowTarget.getOrElse(GraftManifest.currentGen(dir, conf)))
   /** Admission control: a batch may advance at most maxGensPerTrigger
@@ -1414,7 +1421,8 @@ class GraftChangesTable(ident: Identifier, dir: Path, manifest: GraftManifest)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val streamOpts = GraftStreamOptions(
       maxGensPerTrigger = Option(options.get("maxGensPerTrigger")).map(_.toLong),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong))
     new GraftChangesScanBuilder(dir, manifest, streamOpts)
   }
 }

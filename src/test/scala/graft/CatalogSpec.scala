@@ -1539,6 +1539,35 @@ class CatalogSpec extends GraftSuite {
     assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"), plan)
   }
 
+  test("startingVersion streams only commits AFTER the named generation (no snapshot re-emit)") {
+    val t = freshTable("startv")
+    base.writeTo(t).partitionedBy(col("pk"))
+      .tableProperty("dml", "dv").create()                           // gen 1
+    base.limit(40).withColumn("id", col("id") + 1000L).writeTo(t).append() // gen 2
+    spark.sql(s"DELETE FROM $t WHERE id = 3")                        // gen 3
+    // Base-table stream from version 1: only gen 2's 40 appended rows.
+    val q1 = spark.readStream.option("startingVersion", "1").table(t)
+      .writeStream.option("checkpointLocation", tmpDir("startv_c1"))
+      .format("memory").queryName("startv_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q1.awaitTermination(120000)); q1.stop()
+    assert(spark.table("startv_sink").count() == 40)
+    // Change-feed stream from version 1: gen 2's inserts + gen 3's delete,
+    // never the 300-row snapshot — the CDC-resume shape.
+    val out = tmpDir("startv_out")
+    val q2 = spark.readStream.option("startingVersion", "1")
+      .table("gtest.`startv$changes`")
+      .writeStream.option("checkpointLocation", tmpDir("startv_c2"))
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(out)
+    assert(q2.awaitTermination(120000)); q2.stop()
+    val prof = spark.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(prof == Map((2L, "insert") -> 40L, (3L, "delete") -> 1L), prof.toString)
+  }
+
   test("SHOW TBLPROPERTIES reads manifest properties; $tags lists the refs") {
     val t = freshTable("propst")
     base.writeTo(t).partitionedBy(col("pk"))
