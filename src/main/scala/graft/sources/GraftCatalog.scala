@@ -2283,8 +2283,22 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
     this
   }
 
-  override def build(): Write =
-    new GraftWrite(dir, manifest, info.schema(), info.queryId(), mode, staticFilters)
+  override def build(): Write = {
+    // Idempotent batch writes (B180, the Delta txnAppId/txnVersion knobs):
+    // a (appId, version) pair rides the commit's txn ledger — replaying the
+    // same batch job (orchestrator retry, speculative re-run) publishes
+    // nothing the second time, the same exactly-once contract streaming
+    // epochs already have.
+    val txnKey = (Option(info.options.get("txnAppId")),
+        Option(info.options.get("txnVersion"))) match {
+      case (Some(app), Some(ver)) => Some(s"batch:$app:$ver")
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together for idempotent writes")
+    }
+    new GraftWrite(dir, manifest, info.schema(), info.queryId(), mode,
+      staticFilters, txnKey = txnKey)
+  }
 }
 
 /**
@@ -2300,7 +2314,8 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
  */
 class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     queryId: String, mode: String, staticFilters: Array[Filter],
-    replaceGroups: () => Seq[(String, String)] = () => Seq.empty)
+    replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
+    txnKey: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // Write clustering (liquid-clustering-lite): a `cluster=<col>` table
@@ -2334,7 +2349,7 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val gen = GraftManifest.currentGen(dir, conf) + 1
     new GraftBatchWrite(dir, manifest, writeSchema, mode, staticFilters, gen,
-      new SerializableHadoopConf(conf), replaceGroups)
+      new SerializableHadoopConf(conf), replaceGroups, txnKey)
   }
 
   /** Streaming append: each micro-batch commits one manifest generation, keyed
@@ -2996,7 +3011,8 @@ class GraftStatsCollector(dataSchema: StructType) {
 class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     mode: String, staticFilters: Array[Filter], gen: Long,
     conf: SerializableHadoopConf,
-    replaceGroups: () => Seq[(String, String)] = () => Seq.empty) extends BatchWrite {
+    replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
+    txnKey: Option[String] = None) extends BatchWrite {
   // Unique per WRITER, not per generation: a concurrent writer that planned
   // the same next gen writes elsewhere, so aborts and rebases never touch
   // another writer's files (the manifest records rel paths, and genOf reads
@@ -3029,9 +3045,13 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     var g = base.gen + 1
     var attempts = 0
     while (attempts < 20) {
+      // Idempotent-write dedup: a replayed (txnAppId, txnVersion) batch is
+      // already visible — publish nothing, drop the orphaned gen dir.
+      if (txnKey.exists(base.txns.contains)) { abort(messages); return }
       val entries = GraftCommitProtocol.rebasedEntries(
         mode, prev, base, fresh, staticFilters, replaced)
-      val m = base.withFileMeta(freshAll).copy(gen = g, entries = entries)
+      val m = base.withFileMeta(freshAll)
+        .copy(gen = g, entries = entries, txns = base.txns ++ txnKey)
       if (GraftManifest.publishCas(dir, m, conf.value)) return
       val claimed = GraftManifest.highestClaimedGen(dir, conf.value)
       base = GraftManifest.loadClaimed(dir, claimed, conf.value)

@@ -1539,6 +1539,29 @@ class CatalogSpec extends GraftSuite {
     assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"), plan)
   }
 
+  test("idempotent batch writes: a replayed (txnAppId, txnVersion) publishes nothing") {
+    val t = freshTable("idem")
+    base.limit(0).writeTo(t).partitionedBy(col("pk")).create()
+    def push(ver: String): Unit =
+      base.limit(30).writeTo(t)
+        .option("txnAppId", "loader").option("txnVersion", ver).append()
+    push("1")
+    assert(spark.table(t).count() == 30)
+    push("1") // orchestrator retry of the same version: no-op
+    assert(spark.table(t).count() == 30, "replayed txn version must publish nothing")
+    push("2") // next version lands normally
+    assert(spark.table(t).count() == 60)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(root, "idem")
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.txns == Set("batch:loader:1", "batch:loader:2"), m.txns.toString)
+    // Half-specified keys refuse.
+    intercept[Exception] {
+      base.limit(1).writeTo(t).option("txnAppId", "loader").append()
+    }
+  }
+
   test("startingVersion streams only commits AFTER the named generation (no snapshot re-emit)") {
     val t = freshTable("startv")
     base.writeTo(t).partitionedBy(col("pk"))
