@@ -194,6 +194,24 @@ object Similarity {
         element_at(col(s"adc_$j"), col(s"code_$j") + 1)).reduce(_ + _), 4)
   }
 
+  /**
+   * SINGLE-PASS multi-subspace Lloyd (the 100 TB training shape): all m
+   * codebooks train together — ONE job per Lloyd iteration over the sampled
+   * corpus exploded to (vec_id, subspace, subvec) rows, instead of m
+   * independent trainings each re-scanning the sample (m×iters mini-jobs;
+   * the round-6 plan's one identified scale-weakness). All m×k centroids
+   * broadcast as one (subspace, centroid_id, c_vec) table; assignment is an
+   * equi-join on the subspace key; the recompute is one
+   * (subspace, centroid, pos) aggregation. The exploded sample persists
+   * across iterations so iteration i+1 re-reads the cache, not the source.
+   *
+   * Determinism is UNCHANGED from the per-subspace formulation (hash-pinned):
+   * init takes the k smallest-vec_id training rows — the same rows seed every
+   * subspace, exactly as each independent training's init did (slicing
+   * preserves vec_id order); assignment ranks round-4 L2 within
+   * (vec_id, subspace) with centroid_id tiebreak; each recomputed component
+   * is round(avg, 4); empty clusters drop (inner join).
+   */
   private def trainPq(corpus: DataFrame, m: Int, codebookK: Int,
                       iters: Int, trainFraction: Double = 1.0): PqModel = {
     val spark = corpus.sparkSession
@@ -201,31 +219,51 @@ object Similarity {
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val sub = dim / m
-    // Per-subspace codebooks: k × sub doubles each — driver-materialized by
-    // kmeansCentroids already (MLlib posture), shipped as literal arrays.
-    // The m trainings are INDEPENDENT — submit them concurrently so Spark
-    // interleaves the m×iters small jobs instead of running them back to
-    // back (serial training was 8×3 sequential mini-jobs ≈ 14 s at bench
-    // scale; concurrent lands ~4×faster on idle cores). Results are
-    // collected per subspace — determinism is untouched.
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val books = Await.result(Future.sequence((0 until m).map { j =>
-      Future {
-        blocking { // Spark actions block; tell the pool so it can grow
-          kmeansCentroids(
-            corpus.select(col("vec_id"),
-              slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-            codebookK, iters, trainFraction, metric = "l2")
-            .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
-        }
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(hash(col("vec_id")), lit(10000)) <
+          lit(math.round(trainFraction * 10000).toInt))
+    def slices(c: org.apache.spark.sql.Column) = array(
+      (0 until m).map(j => slice(c.cast("array<double>"), j * sub + 1, sub)): _*)
+    // (vec_id, j, subvec): m rows per sampled vector, one linear explode.
+    val exploded = train.select(col("vec_id"),
+      posexplode(slices(col("embedding"))).as(Seq("j", "subvec")))
+    exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Seed every subspace from the k smallest-vec_id training rows.
+      var books: Seq[(Int, Int, Seq[Double])] =
+        train.orderBy(col("vec_id")).limit(codebookK)
+          .withColumn("centroid_id",
+            (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+          .select(col("centroid_id"), posexplode(slices(col("embedding"))).as(Seq("j", "c_vec")))
+          .select(col("j"), col("centroid_id"), col("c_vec"))
+          .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
+      for (_ <- 0 until iters) {
+        val cents = books.toDF("j", "centroid_id", "c_vec")
+        val w = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("cdist").desc, col("centroid_id"))
+        val assigned = exploded.join(broadcast(cents), "j")
+          .withColumn("cdist", -round(vecL2sq(col("subvec"), col("c_vec")), 4))
+          .filter(col("cdist").isNotNull)
+          .withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") === 1)
+          .select(col("j"), col("centroid_id"), col("subvec"))
+        // New codebooks collect to the driver: m × k × sub doubles —
+        // metadata-scale, the same per-step materialization MLlib does.
+        books = assigned
+          .select(col("j"), col("centroid_id"), posexplode(col("subvec")))
+          .groupBy(col("j"), col("centroid_id"), col("pos"))
+          .agg(round(avg(col("col")), 4).as("cval"))
+          .groupBy(col("j"), col("centroid_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pv"))
+          .select(col("j"), col("centroid_id"), expr("transform(pv, p -> p.cval)").as("c_vec"))
+          .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
       }
-      // No wall-clock cap: a long training is legitimate at scale, and a
-      // timeout here would orphan Futures still submitting Spark jobs — a
-      // genuine hang surfaces in the Spark UI with full context instead.
-    }), Duration.Inf)
-    PqModel(books, m, sub)
+      val byJ = books.groupBy(_._1)
+      PqModel((0 until m).map(j =>
+        byJ.getOrElse(j, Seq.empty).sortBy(_._2).map(_._3)), m, sub)
+    } finally exploded.unpersist(blocking = false)
   }
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -2524,7 +2524,7 @@ object StarQueries {
         .writeTo("graft.tagq").append()                              // gen 2
       base.limit(0).writeTo("graft.tagq").append()                   // gen 3
       graft.sources.GraftCatalogOps.vacuum(s, root, "tagq", keepGens = 1,
-        leaseTtlMs = 0)
+        leaseTtlMs = 0, uncommittedGraceMs = 0)
       val survived =
         try {
           s.sql("SELECT count(*) FROM graft.tagq VERSION AS OF 'baseline'")

@@ -168,12 +168,16 @@ class GraftCatalog extends TableCatalog {
     val dir = tableDir(ident)
     val fs = dir.getFileSystem(conf)
     val tsMillis = timestamp / 1000L
+    // Cap candidates at the COMMITTED generation: the raw glob also sees a
+    // claim whose body never completed (crashed writer) or an in-flight
+    // commit — resolving into either would read uncommitted state.
+    val committed = GraftManifest.currentGen(dir, conf)
     val candidates = fs.globStatus(new Path(dir, "manifest-*.txt")).toSeq
       .map { st =>
         val g = st.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong
         (g, st.getModificationTime)
       }
-      .filter(_._2 <= tsMillis)
+      .filter { case (g, mt) => g <= committed && mt <= tsMillis }
     require(candidates.nonEmpty,
       s"no committed snapshot of ${ident.name()} at or before " +
         s"${java.time.Instant.ofEpochMilli(tsMillis)} — the table is newer " +
@@ -298,22 +302,40 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
 }
 
 object GraftManifest {
-  def currentGen(dir: Path, conf: Configuration): Long = {
+  /** Raw CURRENT pointer value, -1 when missing/unreadable. The pointer is a
+    * read CACHE over the claims (see [[currentGen]]) — never the source of
+    * truth, so a transiently-missing or regressed pointer is recoverable. */
+  def pointerGen(dir: Path, conf: Configuration): Long = {
     val fs = dir.getFileSystem(conf)
-    // The pointer advance is delete+rename; a reader can land in the gap.
-    // Retry across it (ms-scale) before failing for real.
-    var last: Throwable = null
-    (0 until 20).foreach { i =>
-      try {
-        val in = fs.open(new Path(dir, "CURRENT"))
-        try return new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      } catch {
-        case e: java.io.FileNotFoundException if i < 19 =>
-          last = e; Thread.sleep(25)
-      }
+    try {
+      val in = fs.open(new Path(dir, "CURRENT"))
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } catch { case _: Exception => -1L }
+  }
+
+  /** Committed generation = max(pointer, highest claim with a COMPLETE body).
+    *
+    * The claims are the source of truth (exactly what concurrent writers
+    * rebase on — a commit is durable the instant its manifest body lands,
+    * the Delta commit-file design); the CURRENT pointer is a cache that a
+    * crashed or stale cross-process writer can leave behind or (briefly)
+    * regress. Deriving the read snapshot from the claims makes both failure
+    * modes self-healing: a regressed pointer serves no stale read, and a
+    * missing pointer (crash inside the swap) costs nothing. The probe walks
+    * DOWN from the highest claim to the pointer, accepting the first
+    * complete body — gens are claimed contiguously, so this loop is the
+    * number of in-flight writers, not table history. */
+  def currentGen(dir: Path, conf: Configuration): Long = {
+    val pointer = pointerGen(dir, conf)
+    var g = highestClaimedGen(dir, conf)
+    while (g > pointer) {
+      if (bodyComplete(dir, g, conf)) return g
+      g -= 1
     }
-    throw new IllegalStateException(s"CURRENT unreadable: $dir", last)
+    if (pointer >= 0) return pointer
+    throw new IllegalStateException(
+      s"no committed generation at $dir (CURRENT missing and no complete manifest claim)")
   }
 
   def load(dir: Path, gen: Long, conf: Configuration): GraftManifest = {
@@ -381,7 +403,24 @@ object GraftManifest {
     }
     m.props.foreach { case (k, v) => body ++= s"prop=$k\t$v\n" }
     m.txns.foreach(t => body ++= s"txn=$t\n")
+    // End marker: a manifest body is COMPLETE iff this line landed. Readers
+    // probing claims above the CURRENT pointer (currentGen self-heal) use it
+    // to distinguish a committed claim from a mid-write body — `load` itself
+    // stays lenient so pre-marker-vintage manifests remain readable.
+    body ++= "eof=1\n"
     body.toString
+  }
+
+  /** Is the manifest body at `gen` complete (end marker present)? A claim
+    * file exists the instant it is won; its BODY is the commit. */
+  def bodyComplete(dir: Path, gen: Long, conf: Configuration): Boolean = {
+    val fs = dir.getFileSystem(conf)
+    val p = new Path(dir, s"manifest-$gen.txt")
+    try {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      text.endsWith("eof=1\n")
+    } catch { case _: Exception => false }
   }
 
   def publish(dir: Path, m: GraftManifest, conf: Configuration): Unit = {
@@ -408,29 +447,42 @@ object GraftManifest {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val mf = new Path(dir, s"manifest-${m.gen}.txt")
-    // Atomic claim. Hadoop's LOCAL create(overwrite=false) is check-then-act
-    // — two racers can both pass the exists probe — so file-scheme claims go
-    // through POSIX O_EXCL (java.nio createFile), which is the real atomic
-    // primitive there. HDFS create-no-overwrite is namenode-atomic and object
-    // stores use conditional PUT; both take the generic branch.
-    val won =
-      if (Option(mf.toUri.getScheme).getOrElse(fs.getScheme) == "file") {
-        try {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(mf.toUri.getPath))
-          true
-        } catch {
+    // CONTENT-ATOMIC claim on the file scheme: write the full body to a
+    // writer-private temp file, then claim the slot via hard LINK — link(2)
+    // is both atomic and exclusive (EEXIST when another writer owns the
+    // slot), so the claim appears with its complete body in one syscall. A
+    // writer crashing pre-link leaves only an unreferenced temp (VACUUM
+    // fodder), never a permanently-empty claim shell that wedges the table.
+    // Hadoop's LOCAL create(overwrite=false) is check-then-act, which is why
+    // the claim cannot ride fs.create here. HDFS create-no-overwrite is
+    // namenode-atomic and object stores use conditional PUT (content-atomic
+    // by definition); both take the generic single-stream branch, where the
+    // residual mid-write window is covered by loadClaimed's retry + the
+    // stale-claim reaper in publishNext.
+    if (Option(mf.toUri.getScheme).getOrElse(fs.getScheme) == "file") {
+      val target = java.nio.file.Paths.get(mf.toUri.getPath)
+      val tmp = target.resolveSibling(
+        s".manifest-${m.gen}.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, encode(m).getBytes(StandardCharsets.UTF_8))
+      val won =
+        try { java.nio.file.Files.createLink(target, tmp); true }
+        catch {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: java.io.IOException => false
         }
-      } else {
-        try { fs.create(mf, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
-    if (!won) return false
-    // The slot is ours: write the body (loadClaimed retries across this
-    // window for concurrent rebasers).
-    val out = fs.create(mf, true)
-    try out.write(encode(m).getBytes(StandardCharsets.UTF_8)) finally out.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+      if (!won) return false
+    } else {
+      // Single stream: claim + body together, no second create. On a
+      // conditional-PUT store the object materializes complete or not at all.
+      val won =
+        try {
+          val out = fs.create(mf, false)
+          try out.write(encode(m).getBytes(StandardCharsets.UTF_8)) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!won) return false
+    }
     advanceCurrent(dir, m.gen, conf)
     true
   }
@@ -451,14 +503,34 @@ object GraftManifest {
     (0 until 40).foreach { _ =>
       try {
         val m = load(dir, gen, conf)
-        // A claim whose body is still being written parses as an empty shell
-        // (no schema/gen lines) rather than throwing — treat it as not-yet.
-        if (m.schema != null && m.gen == gen) return m
+        // A claim whose body is still being written parses as an empty or
+        // truncated shell rather than throwing — the end marker decides.
+        // (Pre-marker-vintage manifests can only be AT or BELOW the pointer,
+        // where loadClaimed is never racing a writer — accept them by the
+        // legacy schema probe.)
+        if (bodyComplete(dir, gen, conf) || (m.schema != null && m.gen == gen &&
+            gen <= pointerGen(dir, conf))) return m
         last = new IllegalStateException(s"manifest-$gen body not yet complete")
       } catch { case e: Exception => last = e }
       Thread.sleep(50)
     }
     throw new IllegalStateException(s"manifest-$gen unreadable after claim", last)
+  }
+
+  /** Backstop for a writer that died between claim and body (possible only on
+    * the generic non-link branch — file-scheme claims are content-atomic):
+    * delete a claim whose body never completed once it is older than
+    * `staleClaimMs`, so one crashed writer cannot wedge every later commit.
+    * Never touches a generation at or below the committed pointer. */
+  def reapStaleClaim(dir: Path, gen: Long, conf: Configuration,
+      staleClaimMs: Long = 30000L): Boolean = {
+    val fs = dir.getFileSystem(conf)
+    val p = new Path(dir, s"manifest-$gen.txt")
+    if (gen <= pointerGen(dir, conf) || bodyComplete(dir, gen, conf)) return false
+    val age = try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      catch { case _: Exception => return false }
+    if (age < staleClaimMs) return false
+    fs.delete(p, false)
   }
 
   /** CAS-retry loop for metadata-only commits (ALTER/TRUNCATE/RESTORE/
@@ -470,7 +542,16 @@ object GraftManifest {
                  (f: GraftManifest => GraftManifest): GraftManifest = {
     var attempts = 0
     while (attempts < 20) {
-      val cur = loadClaimed(dir, highestClaimedGen(dir, conf), conf)
+      val top = highestClaimedGen(dir, conf)
+      val cur =
+        try loadClaimed(dir, top, conf)
+        catch {
+          case e: IllegalStateException =>
+            // A dead writer's body-less claim: reap it after the staleness
+            // window so the table un-wedges, then rebase on the survivor.
+            if (reapStaleClaim(dir, top, conf)) loadClaimed(dir, highestClaimedGen(dir, conf), conf)
+            else throw e
+        }
       val next = f(cur)
       require(next.gen == cur.gen + 1,
         s"publishNext must advance exactly one generation (got ${next.gen} after ${cur.gen})")
@@ -493,31 +574,38 @@ object GraftManifest {
     val cur = new Path(dir, "CURRENT")
     var attempts = 0
     while (attempts < 10) {
-      val existing =
-        if (!fs.exists(cur)) -1L
-        else {
-          val in = fs.open(cur)
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
-      if (existing >= gen) return
+      attempts += 1
+      if (pointerGen(dir, conf) >= gen) return
       val tmp = new Path(dir, s"_CURRENT.tmp-$gen")
       val o2 = fs.create(tmp, true)
       try o2.write(gen.toString.getBytes(StandardCharsets.UTF_8)) finally o2.close()
-      if (fs.exists(cur)) fs.delete(cur, false)
-      if (fs.rename(tmp, cur)) {
-        // Re-check: a racer may have replaced the pointer between our delete
-        // and rename — loop until the pointer is at or past our generation.
-        attempts += 1
-        val in2 = fs.open(cur)
-        val now =
-          try new String(in2.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-          finally in2.close()
-        if (now >= gen) return
+      // Re-read immediately before the swap: a cross-process racer may have
+      // advanced the pointer past us since the loop-top read — backing off
+      // here (instead of swapping blind) closes most of the stale-overwrite
+      // window. The residue (racer lands BETWEEN this read and the rename) is
+      // harmless: [[currentGen]] derives reads from the claims, so a briefly
+      // regressed pointer self-heals on the next read or commit.
+      if (pointerGen(dir, conf) >= gen) { fs.delete(tmp, false); return }
+      if (Option(cur.toUri.getScheme).getOrElse(fs.getScheme) == "file") {
+        // rename(2) replaces atomically: no delete, no CURRENT-missing gap.
+        // The raw move bypasses Hadoop's ChecksumFileSystem, so any `.crc`
+        // sidecar a checksummed writer left for CURRENT is now stale — drop
+        // it (a reader racing the drop gets a ChecksumException, which
+        // pointerGen absorbs and currentGen self-heals from the claims).
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(cur.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          fs.delete(new Path(dir, ".CURRENT.crc"), false)
+          fs.delete(new Path(dir, s"._CURRENT.tmp-$gen.crc"), false)
+        }
+        catch { case _: java.io.IOException => fs.delete(tmp, false) }
       } else {
-        fs.delete(tmp, false)
-        attempts += 1
+        if (fs.exists(cur)) fs.delete(cur, false)
+        if (!fs.rename(tmp, cur)) fs.delete(tmp, false)
       }
+      if (pointerGen(dir, conf) >= gen) return
     }
     require(fs.exists(cur), s"CURRENT pointer lost under contention: $cur")
   }
@@ -2296,8 +2384,15 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together for idempotent writes")
     }
+    // `layout=managed` (maintenance rewrites, B175): the CALLER's partitioning
+    // and order are authoritative — the write must not impose its own
+    // distribution, or the hash exchange would undo the Morton layout the
+    // rewrite exists to produce. Data correctness is untouched: writers key
+    // files by partition VALUE, so a partition spread over several tasks
+    // simply commits several (tile) files.
     new GraftWrite(dir, manifest, info.schema(), info.queryId(), mode,
-      staticFilters, txnKey = txnKey)
+      staticFilters, txnKey = txnKey,
+      layoutManaged = Option(info.options.get("layout")).contains("managed"))
   }
 }
 
@@ -2315,7 +2410,8 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
 class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     queryId: String, mode: String, staticFilters: Array[Filter],
     replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
-    txnKey: Option[String] = None)
+    txnKey: Option[String] = None,
+    layoutManaged: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   // Write clustering (liquid-clustering-lite): a `cluster=<col>` table
@@ -2328,7 +2424,8 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     manifest.props.get("cluster").filter(manifest.schema.fieldNames.contains)
 
   override def requiredDistribution: Distribution =
-    if (manifest.partCols.nonEmpty)
+    if (layoutManaged) Distributions.unspecified()
+    else if (manifest.partCols.nonEmpty)
       Distributions.clustered(
         manifest.partCols.map(c => Expressions.identity(c): Expression).toArray)
     else clusterCol match {
@@ -2337,13 +2434,16 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
       case None => Distributions.unspecified()
     }
-  override def requiredOrdering: Array[SortOrder] = clusterCol match {
-    case Some(c) => Array(Expressions.sort(Expressions.identity(c),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-    case None => Array.empty
-  }
+  override def requiredOrdering: Array[SortOrder] =
+    if (layoutManaged) Array.empty
+    else clusterCol match {
+      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
   override def requiredNumPartitions: Int =
-    manifest.props.get("cluster.parts").map(_.toInt).getOrElse(0)
+    if (layoutManaged) 0
+    else manifest.props.get("cluster.parts").map(_.toInt).getOrElse(0)
 
   override def toBatch: BatchWrite = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -2828,10 +2928,20 @@ object GraftCheck {
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
     val resolved = parsed.transformUp {
       case ua: UnresolvedAttribute =>
-        attrs.find(_.name == ua.nameParts.mkString(".")).getOrElse(
-          throw new IllegalArgumentException(
+        // Case-INSENSITIVE resolution, like the session analyzer's default
+        // (spark.sql.caseSensitive=false): an exact match wins; otherwise a
+        // UNIQUE case-insensitive match; two columns differing only by case
+        // are ambiguous and refuse, mirroring the analyzer's error.
+        val name = ua.nameParts.mkString(".")
+        attrs.find(_.name == name).getOrElse {
+          val ci = attrs.filter(_.name.equalsIgnoreCase(name))
+          if (ci.length > 1) throw new IllegalArgumentException(
+            s"CHECK constraint ($sql) reference '${ua.name}' is ambiguous — " +
+              s"matches [${ci.map(_.name).mkString(", ")}]")
+          ci.headOption.getOrElse(throw new IllegalArgumentException(
             s"CHECK constraint ($sql) references unknown column '${ua.name}' — " +
               s"schema has [${schema.fieldNames.mkString(", ")}]"))
+        }
       case uf: UnresolvedFunction =>
         FunctionRegistry.builtin.lookupFunction(
           org.apache.spark.sql.catalyst.FunctionIdentifier(uf.nameParts.last),
@@ -3224,10 +3334,16 @@ object GraftCatalogOps {
    * `leaseTtlMs = 0` disables the guard (every lease reads as expired).
    * Returns (filesDeleted, manifestsDeleted).
    */
+  /** Default pre-commit grace: one hour — safely above any reasonable write
+    * duration, so a DEFAULT vacuum can never delete a concurrent writer's
+    * in-flight files (the Delta posture: retention defaults safe, going
+    * aggressive requires the explicit override `uncommittedGraceMs = 0`). */
+  val DefaultUncommittedGraceMs: Long = 60L * 60L * 1000L
+
   def vacuum(spark: SparkSession, root: String, table: String,
              keepGens: Int = 1,
              leaseTtlMs: Long = GraftLease.DefaultTtlMs,
-             uncommittedGraceMs: Long = 0L): (Long, Long) = {
+             uncommittedGraceMs: Long = DefaultUncommittedGraceMs): (Long, Long) = {
     require(keepGens >= 1, "must retain at least the current generation")
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -3254,10 +3370,10 @@ object GraftCatalogOps {
     // writer's PRE-COMMIT data — indistinguishable by metadata alone. With
     // `uncommittedGraceMs > 0`, only unreferenced files older than the grace
     // window are reclaimed, so a commit that lands within the window never
-    // references deleted bytes. 0 keeps the aggressive single-writer
-    // behavior (this sandbox's tests); production multi-writer deployments
-    // set it comfortably above their longest write, exactly as Delta refuses
-    // sub-retention vacuums without an override.
+    // references deleted bytes. The DEFAULT is a safe hour (concurrent
+    // writers are on by default, so the default reclaim must be too);
+    // passing 0 is the explicit aggressive single-writer override (this
+    // repo's tests, which assert exact reclaim counts on seconds-old files).
     val reclaimableBefore = System.currentTimeMillis() - uncommittedGraceMs
     var filesDeleted = 0L
     // Walk BOTH vintages of data dirs: batch/DML generations (gen-*) and
@@ -3284,6 +3400,14 @@ object GraftCatalogOps {
     (0L until horizon).filterNot(tagged).foreach { g =>
       val p = new Path(dir, s"manifest-$g.txt")
       if (fs.exists(p)) { fs.delete(p, false); manifestsDeleted += 1 }
+    }
+    // Crashed-writer litter: a CAS publisher that died before its hard-link
+    // claim leaves a `.manifest-*.tmp-*` body (and a failed pointer swap can
+    // leave `_CURRENT.tmp-*`). Both are invisible to readers — reclaim them
+    // past the same grace window that protects in-flight writers.
+    (fs.globStatus(new Path(dir, ".manifest-*.tmp-*")) ++
+      fs.globStatus(new Path(dir, "_CURRENT.tmp-*"))).foreach { st =>
+      if (st.getModificationTime <= reclaimableBefore) fs.delete(st.getPath, false)
     }
     (filesDeleted, manifestsDeleted)
   }
@@ -3519,15 +3643,27 @@ object GraftCatalogOps {
     val conf = spark.sessionState.newHadoopConf()
     def snap() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
     val before = snap()
-    require(before.partCols.isEmpty && !before.props.contains("cluster"),
-      "OPTIMIZE ZORDER needs an unpartitioned, non-clustered table — " +
-        "partition/cluster write distributions would override the z-layout")
+    require(!before.props.contains("cluster"),
+      "OPTIMIZE ZORDER refuses a `cluster`ed table — the clustering contract " +
+        "(near-disjoint single-column file ranges) and the z-layout are " +
+        "mutually exclusive on the same table copy")
+    require(!before.partCols.contains(xCol) && !before.partCols.contains(yCol),
+      "ZORDER columns must be data columns — a partition column already " +
+        "prunes at partition granularity")
+    // PARTITIONED tables Morton-cluster WITHIN each partition (the Delta
+    // `OPTIMIZE ... ZORDER BY` semantics): range-partition over
+    // (partition cols, zkey) keeps partition values contiguous while carving
+    // each partition into zkey tiles, and the `layout=managed` write option
+    // keeps the table's own hash-on-partition-key distribution from undoing
+    // that shape (writers key files by partition VALUE, so a partition spread
+    // across tasks commits one tile file per task — exactly the layout).
+    val rangeCols = before.partCols.map(col) :+ col("__zkey")
     spark.table(tableRef)
       .withColumn("__zkey", graft.operators.Layout.zorderKey(col(xCol), col(yCol)))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
+      .repartitionByRange(numFiles, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .drop("__zkey")
-      .writeTo(tableRef).overwritePartitions()
+      .writeTo(tableRef).option("layout", "managed").overwritePartitions()
     (before.entries.size.toLong, snap().entries.size.toLong)
   }
 

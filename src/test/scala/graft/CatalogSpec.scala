@@ -495,7 +495,7 @@ class CatalogSpec extends GraftSuite {
     val preDead = fs.globStatus(new Path(dir, "gen-{1,2}-*/pk=*/*.parquet")).length
     assert(preDead > 0, "fixture needs dead files")
     val (files, manifests) =
-      graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", keepGens = 1)
+      graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", keepGens = 1, uncommittedGraceMs = 0)
     assert(files == preDead, s"expected $preDead reclaimed, got $files")
     assert(manifests == 3) // manifest-0 (create), -1, -2; current manifest-3 kept
     // Live data intact, byte for byte.
@@ -507,7 +507,7 @@ class CatalogSpec extends GraftSuite {
       spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
     }
     // Idempotent: nothing left to reclaim.
-    assert(graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", 1) == ((0L, 0L)))
+    assert(graft.sources.GraftCatalogOps.vacuum(spark, root, "vac", 1, uncommittedGraceMs = 0) == ((0L, 0L)))
   }
 
   test("file min/max stats skip files a data predicate provably excludes") {
@@ -620,7 +620,7 @@ class CatalogSpec extends GraftSuite {
     q.awaitTermination(120000); q.stop()
     assert(spark.table("graft_dv_sink").collect()(0).getLong(0) == 299)
     // VACUUM keeps referenced DVs alive: live data still correct after.
-    graft.sources.GraftCatalogOps.vacuum(spark, root, "dv", keepGens = 1)
+    graft.sources.GraftCatalogOps.vacuum(spark, root, "dv", keepGens = 1, uncommittedGraceMs = 0)
     assert(spark.table(t).count() == 299)
     assert(spark.table(t).filter(col("id").isin(7L, 10L)).count() == 0)
   }
@@ -694,7 +694,7 @@ class CatalogSpec extends GraftSuite {
       .writeTo(t).append()                                   // gen 3
     // Reclaim everything below the current generation: manifests 0..2 die.
     val (_, manifests) =
-      graft.sources.GraftCatalogOps.vacuum(spark, root, "pacedvac", keepGens = 1)
+      graft.sources.GraftCatalogOps.vacuum(spark, root, "pacedvac", keepGens = 1, uncommittedGraceMs = 0)
     assert(manifests == 3)
     // A FRESH paced query starts at -1; its first paced end (-1+1 = 0) names a
     // vacuumed manifest. The source must clamp forward to the oldest retained
@@ -738,7 +738,7 @@ class CatalogSpec extends GraftSuite {
     // Simulate a SECOND drain mid-flight: its checkpoint has committed gen 1
     // and will come back for manifest-1. Vacuum must clamp its horizon there.
     graft.sources.GraftLease.renew(tdir, "fake-ckpt-midway", 1L, conf)
-    val (_, m1) = graft.sources.GraftCatalogOps.vacuum(spark, root, "leased", keepGens = 1)
+    val (_, m1) = graft.sources.GraftCatalogOps.vacuum(spark, root, "leased", keepGens = 1, uncommittedGraceMs = 0)
     assert(m1 == 1, s"lease at gen 1 must limit reclaim to manifest-0, deleted $m1")
     val fs = tdir.getFileSystem(conf)
     assert(fs.exists(new Path(tdir, "manifest-1.txt")),
@@ -746,7 +746,7 @@ class CatalogSpec extends GraftSuite {
     // Expired leases stop blocking: ttl=0 disables the guard and the same
     // vacuum now reclaims through the requested horizon.
     val (_, m2) = graft.sources.GraftCatalogOps.vacuum(spark, root, "leased",
-      keepGens = 1, leaseTtlMs = 0L)
+      keepGens = 1, leaseTtlMs = 0L, uncommittedGraceMs = 0)
     assert(m2 == 2, s"with leases expired, manifests 1..2 reclaim, deleted $m2")
     assert(spark.table(t).count() == 400, "live snapshot must stay readable")
   }
@@ -1255,13 +1255,54 @@ class CatalogSpec extends GraftSuite {
       spark, root, "zopt", Array(LessThan("y", 16L)))
     assert(totX == 8 && skipX >= 2, s"x-probe skipped $skipX of $totX")
     assert(totY == 8 && skipY >= 2, s"y-probe skipped $skipY of $totY")
-    // A partitioned or clustered table refuses: its write distribution would
-    // silently undo the z-layout.
+    // Z-ordering ON a partition column refuses (it already prunes at
+    // partition granularity), as does a `cluster`ed table (the two layout
+    // contracts are mutually exclusive on one copy).
     val t2 = freshTable("zoptp")
     base.writeTo(t2).partitionedBy(col("pk")).create()
     intercept[IllegalArgumentException] {
       graft.sources.GraftCatalogOps.optimizeZorder(spark, t2, root, "zoptp", "id", "pk", 4)
     }
+    val t3 = freshTable("zoptc")
+    spark.sql(s"CREATE TABLE $t3 (id BIGINT, x BIGINT, y BIGINT) TBLPROPERTIES ('cluster' = 'id')")
+    spark.sql(s"INSERT INTO $t3 VALUES (1, 2, 3)")
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftCatalogOps.optimizeZorder(spark, t3, root, "zoptc", "x", "y", 4)
+    }
+  }
+
+  test("OPTIMIZE ZORDER on a PARTITIONED table: per-partition tiles, both axes prune, lossless") {
+    import spark.implicits._
+    val t = freshTable("zoptpart")
+    // Two partitions, each with uniform decorrelated (x, y) in [0, 64)².
+    (0L until 8192L).map(i => (i, i % 2, (i / 2) % 64, ((i / 2) * 31) % 64))
+      .toDF("id", "pk", "x", "y")
+      .repartition(8).writeTo(t).partitionedBy(col("pk")).create()
+    val before = spark.table(t).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    graft.sources.GraftCatalogOps.optimizeZorder(
+      spark, t, root, "zoptpart", "x", "y", numFiles = 8)
+    val after = spark.table(t).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(before == after, "per-partition z-order rewrite must be lossless")
+    // The partition layout survived: files live under their pk dirs, and the
+    // table's partition pruning still works.
+    assert(spark.table(t).filter(col("pk") === 1).count() == 4096)
+    val m = graft.sources.GraftManifest.load(new Path(root, "zoptpart"),
+      graft.sources.GraftManifest.currentGen(new Path(root, "zoptpart"),
+        spark.sparkContext.hadoopConfiguration),
+      spark.sparkContext.hadoopConfiguration)
+    val byPart = m.entries.groupBy(_._1)
+    assert(byPart.keySet == Set("pk=0", "pk=1"), byPart.keySet.toString)
+    assert(byPart.values.forall(_.size >= 2),
+      s"each partition must split into multiple z-tiles: ${byPart.view.mapValues(_.size).toMap}")
+    // WITHIN each partition the tiles are quadtree cells: single-axis probes
+    // on x AND y each exclude files by min/max stats alone.
+    import org.apache.spark.sql.sources.LessThan
+    val (skipX, tot) = graft.sources.GraftCatalogOps.filesSkippedBy(
+      spark, root, "zoptpart", Array(LessThan("x", 16L)))
+    val (skipY, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+      spark, root, "zoptpart", Array(LessThan("y", 16L)))
+    assert(skipX >= 2, s"x-probe skipped $skipX of $tot")
+    assert(skipY >= 2, s"y-probe skipped $skipY of $tot")
   }
 
   test("optimistic concurrency: CAS claims one winner per generation, CURRENT never moves backward") {
@@ -1481,7 +1522,7 @@ class CatalogSpec extends GraftSuite {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deadEp = fs.globStatus(new Path(dir, "ep-*/pk=*/*.parquet")).length
     assert(deadEp > 0, "fixture needs dead epoch files")
-    val (files, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "epvac", keepGens = 1)
+    val (files, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "epvac", keepGens = 1, uncommittedGraceMs = 0)
     assert(files >= deadEp, s"expected >= $deadEp epoch files reclaimed, got $files")
     assert(fs.globStatus(new Path(dir, "ep-*/pk=*/*.parquet")).isEmpty)
     // history() tolerates the vacuumed gap instead of crashing.
@@ -1497,7 +1538,7 @@ class CatalogSpec extends GraftSuite {
     GraftCatalogOps.tag(spark, root, "tagisle", "old", 1L)
     base.limit(40).writeTo(t).append()                               // gen 2
     base.limit(20).writeTo(t).append()                               // gen 3
-    GraftCatalogOps.vacuum(spark, root, "tagisle", keepGens = 1, leaseTtlMs = 0)
+    GraftCatalogOps.vacuum(spark, root, "tagisle", keepGens = 1, leaseTtlMs = 0, uncommittedGraceMs = 0)
     // Manifests left: 1 (tagged island) and 3 (current). A fresh paced drain
     // must start from the suffix (gen 3's full snapshot), not wedge on the
     // gap after the island.
@@ -1617,7 +1658,7 @@ class CatalogSpec extends GraftSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'baseline'")
       .collect()(0).getLong(0) == 300)
     // Aggressive vacuum keeps the tagged generation fully readable...
-    GraftCatalogOps.vacuum(spark, root, "tagt", keepGens = 1, leaseTtlMs = 0)
+    GraftCatalogOps.vacuum(spark, root, "tagt", keepGens = 1, leaseTtlMs = 0, uncommittedGraceMs = 0)
     assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'baseline'")
       .collect()(0).getLong(0) == 300)
     // ...while an untagged old generation is gone.
@@ -1635,7 +1676,7 @@ class CatalogSpec extends GraftSuite {
     }
     // Untag releases the pin: the next vacuum reclaims generation 1.
     assert(GraftCatalogOps.untag(spark, root, "tagt", "baseline"))
-    GraftCatalogOps.vacuum(spark, root, "tagt", keepGens = 1, leaseTtlMs = 0)
+    GraftCatalogOps.vacuum(spark, root, "tagt", keepGens = 1, leaseTtlMs = 0, uncommittedGraceMs = 0)
     intercept[Exception] {
       spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'baseline'").collect()
     }
@@ -1699,9 +1740,140 @@ class CatalogSpec extends GraftSuite {
     // A feed window covering only the rewrite is empty, and a window past the
     // vacuum horizon fails loudly rather than under-reporting.
     assert(graft.sources.GraftCatalogOps.changes(spark, t, root, "cdf", 4L, 5L).isEmpty)
-    graft.sources.GraftCatalogOps.vacuum(spark, root, "cdf", keepGens = 1)
+    graft.sources.GraftCatalogOps.vacuum(spark, root, "cdf", keepGens = 1, uncommittedGraceMs = 0)
     intercept[IllegalArgumentException] {
       graft.sources.GraftCatalogOps.changes(spark, t, root, "cdf", 1L, 5L)
     }
+  }
+
+  test("crashed CAS writer: a body-less claim never serves reads, never wedges, reaps stale") {
+    import graft.sources.GraftManifest
+    val t = freshTable("casheal")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    val dir = new Path(root, "casheal")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val committed = GraftManifest.currentGen(dir, conf)
+    // Simulate a writer that died between claim and body (the pre-round-7
+    // failure shape): an EMPTY claim shell above the committed generation.
+    val shell = new Path(dir, s"manifest-${committed + 1}.txt")
+    fs.create(shell, true).close()
+    // Reads are untouched: currentGen skips the incomplete claim.
+    assert(GraftManifest.currentGen(dir, conf) == committed)
+    assert(spark.table(t).count() == 300)
+    // The reaper refuses fresh claims (could be a live writer mid-PUT on an
+    // object store) and committed generations, reaps past the window.
+    assert(!GraftManifest.reapStaleClaim(dir, committed + 1, conf, staleClaimMs = 60000L))
+    assert(!GraftManifest.reapStaleClaim(dir, committed, conf, staleClaimMs = 0L))
+    assert(GraftManifest.reapStaleClaim(dir, committed + 1, conf, staleClaimMs = 0L))
+    assert(!fs.exists(shell), "reaped claim must be gone")
+    // The table is un-wedged: the next commit claims the freed slot.
+    base.limit(10).writeTo(t).append()
+    assert(GraftManifest.currentGen(dir, conf) == committed + 1)
+    assert(spark.table(t).count() == 310)
+  }
+
+  test("CAS claims are content-atomic on the file scheme: visible => complete, no temp residue") {
+    import graft.sources.GraftManifest
+    val t = freshTable("casatomic")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    val dir = new Path(root, "casatomic")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    assert(GraftManifest.publishCas(dir, cur.copy(gen = cur.gen + 1), conf))
+    // The claim appeared via hard link of a fully-written body: complete the
+    // instant it is visible, and the link source is cleaned up.
+    assert(GraftManifest.bodyComplete(dir, cur.gen + 1, conf))
+    val fs = dir.getFileSystem(conf)
+    assert(fs.globStatus(new Path(dir, ".manifest-*.tmp-*")).isEmpty,
+      "no claim temp files may survive a successful publish")
+  }
+
+  test("a regressed CURRENT pointer self-heals: reads derive from the claims") {
+    import graft.sources.GraftManifest
+    import java.nio.charset.StandardCharsets
+    val t = freshTable("ptrheal")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    base.limit(50).writeTo(t).append()
+    val dir = new Path(root, "ptrheal")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val latest = GraftManifest.currentGen(dir, conf)
+    // Simulate the cross-process stale-writer race losing at the worst
+    // moment: the pointer rolls back to an older generation.
+    val out = fs.create(new Path(dir, "CURRENT"), true)
+    try out.write("1".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    assert(GraftManifest.pointerGen(dir, conf) == 1L, "precondition: pointer regressed")
+    // Readers never see the regression — the committed claims win …
+    assert(GraftManifest.currentGen(dir, conf) == latest)
+    assert(spark.table(t).count() == 350)
+    // … and time travel by number still addresses every generation.
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $latest")
+      .collect()(0).getLong(0) == 350)
+    // The next commit repairs the cache for good.
+    base.limit(10).writeTo(t).append()
+    assert(GraftManifest.pointerGen(dir, conf) == latest + 1)
+  }
+
+  test("TIMESTAMP AS OF never resolves into an uncommitted claim") {
+    import graft.sources.GraftManifest
+    val t = freshTable("tsuncommitted")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    val dir = new Path(root, "tsuncommitted")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val committed = GraftManifest.currentGen(dir, conf)
+    Thread.sleep(30)
+    // A crashed/in-flight writer's claim with a FRESHER mtime than any commit.
+    fs.create(new Path(dir, s"manifest-${committed + 1}.txt"), true).close()
+    Thread.sleep(30)
+    // Resolving "now" must land on the committed generation, not the shell
+    // (which would either read uncommitted state or fail to load).
+    val nowTs = java.sql.Timestamp.from(java.time.Instant.now())
+    val n = spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$nowTs'")
+      .collect()(0).getLong(0)
+    assert(n == 300, s"expected the committed snapshot, got $n rows")
+    assert(GraftManifest.reapStaleClaim(dir, committed + 1, conf, staleClaimMs = 0L))
+  }
+
+  test("CHECK constraints resolve columns case-insensitively; true ambiguity refuses") {
+    import org.apache.spark.sql.types.StructType
+    // The analyzer default (spark.sql.caseSensitive=false): 'Cents >= 0'
+    // binds to column 'cents'.
+    val schema = StructType.fromDDL("id BIGINT, cents INT")
+    graft.sources.GraftCheck.resolve("Cents >= 0 AND ID >= 0", schema)
+    // Two columns differing only by case make a case-mismatched reference
+    // ambiguous (an EXACT match always wins, so 'aa' itself still resolves).
+    val dup = StructType.fromDDL("aa INT, aA INT, id BIGINT")
+    graft.sources.GraftCheck.resolve("aa > 0", dup)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraftCheck.resolve("AA > 0", dup)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // End to end: the case-mismatched constraint enforces on writes.
+    val t = freshTable("checkci")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, cents INT) TBLPROPERTIES ('check' = 'Cents >= 0')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 5)")
+    intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (2, -1)") }
+    assert(spark.table(t).count() == 1)
+  }
+
+  test("default VACUUM spares fresh unreferenced files (concurrent-writer-safe by default)") {
+    val t = freshTable("vacdefault")
+    base.writeTo(t).partitionedBy(col("pk")).create()
+    base.limit(30).writeTo(t).overwritePartitions()   // strands gen-1's files
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, "vacdefault")
+    val deadBefore = fs.globStatus(new Path(dir, "gen-1-*/pk=*/*.parquet")).length
+    assert(deadBefore > 0)
+    // No uncommittedGraceMs argument: the DEFAULT must be the safe hour, so a
+    // seconds-old dead file — indistinguishable from an in-flight writer's
+    // pre-commit data — survives.
+    val (files, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "vacdefault", keepGens = 1)
+    assert(files == 0, s"default vacuum must spare fresh files, reclaimed $files")
+    // The explicit aggressive override reclaims them.
+    val (files2, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "vacdefault",
+      keepGens = 1, uncommittedGraceMs = 0)
+    assert(files2 == deadBefore, s"expected $deadBefore reclaimed, got $files2")
   }
 }
