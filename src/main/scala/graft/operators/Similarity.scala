@@ -171,7 +171,7 @@ object Similarity {
    * design — audit it against the exact arm (q_sim_ann_pq pins a floor).
    */
   /** Trained PQ model: per-subspace codebooks as driver-side literals. */
-  private case class PqModel(books: Seq[Seq[Seq[Double]]], m: Int, sub: Int) {
+  private[graft] case class PqModel(books: Seq[Seq[Seq[Double]]], m: Int, sub: Int) {
     private def bookLit(j: Int) = typedlit(books(j))
     private def subvec(c: org.apache.spark.sql.Column, j: Int) =
       slice(c, j * sub + 1, sub)
@@ -212,7 +212,7 @@ object Similarity {
    * (vec_id, subspace) with centroid_id tiebreak; each recomputed component
    * is round(avg, 4); empty clusters drop (inner join).
    */
-  private def trainPq(corpus: DataFrame, m: Int, codebookK: Int,
+  private[graft] def trainPq(corpus: DataFrame, m: Int, codebookK: Int,
                       iters: Int, trainFraction: Double = 1.0): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -268,10 +268,12 @@ object Similarity {
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, codebookK: Int = 32, iters: Int = 3,
-             trainFraction: Double = 1.0): DataFrame = {
+             trainFraction: Double = 1.0,
+             trained: Option[PqModel] = None): DataFrame = {
     // Codebook training on a deterministic hash sample is the 100 TB posture
     // (FAISS trains quantizers on samples); encoding still sees every vector.
-    val model = trainPq(corpus, m, codebookK, iters, trainFraction)
+    // A caller evaluating several PQ arms passes the model in (train once).
+    val model = trained.getOrElse(trainPq(corpus, m, codebookK, iters, trainFraction))
     val encoded = corpus.select(col("vec_id") +: model.codeCols(col("embedding")): _*)
     // ADC tables ride the (tiny) query rows; the encoded corpus is scanned
     // once for all queries, distance = m element_at lookups.
@@ -293,11 +295,12 @@ object Similarity {
    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 k: Int, nprobe: Int, m: Int = 8, codebookK: Int = 32,
-                iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+                iters: Int = 3, trainFraction: Double = 1.0,
+                trained: Option[PqModel] = None): DataFrame = {
     // Codebooks train and the corpus ENCODES once, unbucketed (unbiased, one
     // pass); buckets then carry codes, not vectors — the index a 100 TB
     // deployment would materialize.
-    val model = trainPq(corpus, m, codebookK, iters, trainFraction)
+    val model = trained.getOrElse(trainPq(corpus, m, codebookK, iters, trainFraction))
     val bucketedCodes = nearestCentroid(centroids)("vec_id", "embedding", "bucket", 1)(corpus)
       .select(col("bucket") +: col("vec_id") +: model.codeCols(col("embedding")): _*)
     val probes = nearestCentroid(centroids)("q_id", "q_vec", "bucket", nprobe)(

@@ -2068,6 +2068,37 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B182 query witness: DV-TARGETED OPTIMIZE — `minDeletedRatio` makes
+    // compaction pay for dead rows only (the Delta OPTIMIZE-on-DV-debt
+    // heuristic): pk=0's file is ~50% deleted (≥ the 0.2 threshold) and gets
+    // rewritten DV-free in one surgical replace-groups commit; pk=1's file is
+    // ~1% deleted and KEEPS its cheap deletion vector (rewriting a big file
+    // to drop 1% of rows is the write amplification merge-on-read avoids).
+    // Targets are picked from manifest metadata alone (DV cardinality ÷
+    // per-file row count, driver-side); the rewrite reads `_file`-pruned.
+    // The hash gate rides the per-pk aggregate (live content unchanged) plus
+    // the targeting booleans.
+    "q_catalog_optimize_dv" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.odvq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.odvq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()
+      s.sql("DELETE FROM graft.odvq WHERE pk = 0 AND o_orderkey % 2 = 0")
+      s.sql("DELETE FROM graft.odvq WHERE pk = 1 AND o_orderkey % 97 = 0")
+      val root = Tables.scratchDir(s, "catalog", d)
+      val (filesBefore, dvsBefore, filesAfter, dvsAfter) =
+        graft.sources.GraftCatalogOps.optimize(s, "graft.odvq", root, "odvq",
+          minDeletedRatio = 0.2)
+      s.table("graft.odvq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("targeted", lit(filesBefore == 3L && filesAfter == 3L))
+        .withColumn("heavy_cleared", lit(dvsBefore == 2L && dvsAfter == 1L))
+        .orderBy(col("pk"))
+    },
+
     // B164 query witness: manifest-fed CBO statistics, audited end to end —
     // a partitioned catalog table's scan-level estimateStatistics (per-file
     // HLL sketches merged driver-side, zero data IO) is compared against the
@@ -2301,13 +2332,21 @@ object StarQueries {
       val base = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      // MULTI-constraint surface: the legacy unnamed `check` plus a NAMED
+      // `check.key_min` at CREATE; `check.cents_cap` added later via
+      // ALTER TABLE SET TBLPROPERTIES (the ADD CONSTRAINT surface) and
+      // `check.key_min` dropped via UNSET TBLPROPERTIES.
       base.writeTo("graft.chkq").partitionedBy(col("pk"))
         .tableProperty("dml", "dv")
-        .tableProperty("check", "cents >= 0").create()
+        .tableProperty("check", "cents >= 0")
+        .tableProperty("check.key_min", "o_orderkey >= 0").create()
       val dir = new org.apache.hadoop.fs.Path(
         Tables.scratchDir(s, "catalog", d), "chkq")
       val hconf = s.sessionState.newHadoopConf()
       def gen = graft.sources.GraftManifest.currentGen(dir, hconf)
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
       val g1 = gen
       val rejectedAppend =
         try {
@@ -2318,12 +2357,32 @@ object StarQueries {
         try {
           s.sql("UPDATE graft.chkq SET cents = -5 WHERE o_orderkey % 10 = 0"); false
         } catch { case _: Exception => true }
+      import s.implicits._
+      val keyNeg = Seq((-1L, 42L, 2L)).toDF("o_orderkey", "cents", "pk")
+      // Violating the NAMED constraint must name it — the per-constraint
+      // error message a multi-constraint table owes its operator.
+      val namedError =
+        try { keyNeg.writeTo("graft.chkq").append(); false }
+        catch { case e: Exception => chain(e).contains("key_min") }
       val atomic = gen == g1
+      s.sql("ALTER TABLE graft.chkq SET TBLPROPERTIES" +
+        "('check.cents_cap'='cents < 100000000000')")
+      val addEnforced =
+        try {
+          Seq((9L, 100000000000L, 0L)).toDF("o_orderkey", "cents", "pk")
+            .writeTo("graft.chkq").append(); false
+        } catch { case e: Exception => chain(e).contains("cents_cap") }
+      s.sql("ALTER TABLE graft.chkq UNSET TBLPROPERTIES('check.key_min')")
       s.sql("UPDATE graft.chkq SET cents = cents + 3 WHERE o_orderkey % 10 = 0")
+      // The formerly-violating row now lands: drop released exactly one
+      // constraint, the other two still stand (addEnforced proved cents_cap).
+      keyNeg.writeTo("graft.chkq").append()
       s.table("graft.chkq").groupBy(col("pk"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("rejected_append", lit(rejectedAppend))
         .withColumn("rejected_update", lit(rejectedUpdate))
+        .withColumn("named_error", lit(namedError))
+        .withColumn("add_enforced", lit(addEnforced))
         .withColumn("atomic", lit(atomic))
         .orderBy(col("pk"))
     },
@@ -2462,6 +2521,40 @@ object StarQueries {
         .withColumn("zorder_files", lit(nFiles))
         .withColumn("skip_x", lit(skipX >= 2L))
         .withColumn("skip_y", lit(skipY >= 2L))
+        .orderBy(col("pk"))
+    },
+
+    // B183 query witness: OPTIMIZE ZORDER on a PARTITIONED table (the Delta
+    // within-partition Z-ordering semantics round 6 refused): range-partition
+    // over (partition cols, morton key) keeps partition values contiguous
+    // while carving each partition into z-tiles, and the layout=managed write
+    // option lets that distribution through. Afterwards BOTH single-axis
+    // min/max probes provably exclude files inside the still-partitioned
+    // table (x and y are data columns; pk still prunes at partition
+    // granularity). The hash gate rides the per-pk aggregate (lossless
+    // rewrite) plus conservative skip floors on each axis.
+    "q_catalog_zorder_part" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.zpq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+          pmod(hash(col("o_orderkey")), lit(64)).cast("long").as("x"),
+          pmod(hash(col("o_orderkey") + 7), lit(64)).cast("long").as("y"))
+        .writeTo("graft.zpq").partitionedBy(col("pk")).create()
+      val root = Tables.scratchDir(s, "catalog", d)
+      val (_, nFiles) = graft.sources.GraftCatalogOps.optimizeZorder(
+        s, "graft.zpq", root, "zpq", "x", "y", numFiles = 24)
+      import org.apache.spark.sql.sources.LessThan
+      val (skipX, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zpq", Array(LessThan("x", 16L)))
+      val (skipY, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zpq", Array(LessThan("y", 16L)))
+      s.table("graft.zpq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("tiled", lit(nFiles >= 12L))
+        .withColumn("skip_x", lit(skipX >= 3L))
+        .withColumn("skip_y", lit(skipY >= 3L))
         .orderBy(col("pk"))
     },
 
@@ -3760,6 +3853,29 @@ object StarQueries {
         |  true AS compacted, true AS dvs_cleared
         |FROM base WHERE k % 9 <> 5 GROUP BY 1 ORDER BY pk""".stripMargin,
 
+    // B182: live data after the targeted pass = orders minus both delete
+    // sets (content untouched by the rewrite); both targeting booleans pin
+    // true — pk=0's 50%-deleted file compacted, pk=1's 1%-deleted survived.
+    "q_catalog_optimize_dv" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS targeted, true AS heavy_cleared
+        |FROM base
+        |WHERE NOT (pk = 0 AND k % 2 = 0) AND NOT (pk = 1 AND k % 97 = 0)
+        |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B183: the within-partition z-order rewrite is lossless — the aggregate
+    // is the plain per-pk profile — and the structural outcomes are pinned:
+    // tiling happened and both single-axis probes prune.
+    "q_catalog_zorder_part" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS tiled, true AS skip_x, true AS skip_y
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
+
     // B150: the oracle reproduces band 1 from parquet alone and pins the
     // skip count: 4 single-file commits, 3 provably outside the predicate.
     "q_catalog_skipping" ->
@@ -3936,16 +4052,22 @@ object StarQueries {
         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     // B171: the oracle replays only the writes that should have LANDED —
-    // create plus the compliant update; the rejected append and update
-    // contribute nothing, and all three structural booleans pin true.
+    // create, the compliant update, and the key-0 row admitted after its
+    // named constraint was dropped; the three rejected writes contribute
+    // nothing, and all five structural booleans pin true.
     "q_catalog_check" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-        |    o_orderkey % 3 AS pk FROM orders)
+        |    o_orderkey % 3 AS pk FROM orders),
+        |landed AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN cents + 3 ELSE cents END AS cents, pk
+        |  FROM base
+        |  UNION ALL SELECT -1, 42, 2)
         |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
-        |  CAST(sum(CASE WHEN k % 10 = 0 THEN cents + 3 ELSE cents END) AS BIGINT) AS cents,
-        |  true AS rejected_append, true AS rejected_update, true AS atomic
-        |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS rejected_append, true AS rejected_update,
+        |  true AS named_error, true AS add_enforced, true AS atomic
+        |FROM landed GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B152: the stream-maintained aggregate must equal the plain per-pk
     // aggregate over ALL orders — snapshot plus increment, nothing else.

@@ -199,6 +199,58 @@ object VectorQueries {
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0), 4)
             .as("recall"))
         .orderBy(col("q_id"))
+    },
+
+    // B181: per-ARM ANN recall harness — the audit that makes the
+    // nlist/nprobe/m/k trade-offs measurable side by side: every approximate
+    // arm (IVF, PQ, IVF-PQ) scored as recall@5 against the SAME brute-force
+    // truth over the SAME 5-query batch. The PQ model trains ONCE and both PQ
+    // arms reuse it (the single-pass multi-subspace Lloyd), so the harness
+    // costs one training, three candidate scans. The IVF arm is
+    // SQL-replayable, so its mean recall rides the hash gate exactly; the PQ
+    // arms' k-means codebooks are not DuckDB-expressible — their measured
+    // recall is pinned as a deterministic floor boolean (`recall_ok`, the
+    // same honest channel q_sim_ann_pq uses) with mean_recall_bp = -1
+    // marking "measured, floor-audited, not SQL-replayed" (the spec suite
+    // pins the exact per-arm values).
+    "q_sim_recall_arms" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      def normalized(c: org.apache.spark.sql.Column) = {
+        val n = sqrt(aggregate(transform(c, x => x.cast("double") * x),
+          lit(0.0), (acc, v) => acc + v))
+        transform(c, x => x.cast("double") / n)
+      }
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("c_vec"))
+      val exact = Similarity.bruteForceTopK(qs, corpus, 5)
+        .select(col("q_id"), col("vec_id"))
+      val normCorpus = emb.select(col("vec_id"),
+        normalized(col("embedding")).as("embedding"))
+      val normQs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("q_id"), normalized(col("embedding")).as("q_vec"))
+      val normCentroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          normalized(col("embedding")).as("c_vec"))
+      val model = Similarity.trainPq(normCorpus, 8, 32, 3, trainFraction = 0.3)
+      def hitsOf(arm: DataFrame): Long =
+        exact.join(arm.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id")).count()
+      val ivfHits = hitsOf(Similarity.ivfTopK(qs, corpus, centroids, 5, 2))
+      val pqHits = hitsOf(Similarity.pqTopK(normQs, normCorpus, 5,
+        trainFraction = 0.3, trained = Some(model)))
+      val ivfPqHits = hitsOf(Similarity.ivfPqTopK(normQs, normCorpus,
+        normCentroids, 5, 2, trainFraction = 0.3, trained = Some(model)))
+      import s.implicits._
+      Seq(
+        ("ivf", 5L, ivfHits * 10000L / 25L, true),
+        ("pq", 5L, -1L, pqHits >= 4L),
+        ("ivfpq", 5L, -1L, ivfPqHits >= 2L)
+      ).toDF("arm", "n_queries", "mean_recall_bp", "recall_ok")
+        .orderBy(col("arm"))
     }
   )
 
@@ -402,6 +454,45 @@ object VectorQueries {
          |SELECT q.q_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
          |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0, 4) AS recall
          |FROM q LEFT JOIN hits h USING (q_id)
-         |ORDER BY q.q_id""".stripMargin
+         |ORDER BY q.q_id""".stripMargin,
+
+    // B181: the IVF arm's mean recall is replayed exactly (same CTE chain as
+    // q_sim_recall); the PQ arms' codebooks are not SQL-expressible — the
+    // oracle pins their deterministic floor booleans and the -1 sentinel.
+    "q_sim_recall_arms" ->
+      s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+         |cent AS (SELECT CAST(vec_id AS INT) AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id
+         |     ORDER BY ${dcos("v", "qv")} DESC, vec_id) AS rnk
+         |  FROM corp CROSS JOIN q WHERE vec_id <> q_id) WHERE rnk <= 5),
+         |bucketed AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+         |  SELECT c.vec_id, c.v, t.centroid_id,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY ${dcos("c.v", "t.cv")} DESC, t.centroid_id) AS crnk
+         |  FROM corp c CROSS JOIN cent t) WHERE crnk = 1),
+         |probes AS (SELECT q_id, qv, centroid_id AS bucket FROM (
+         |  SELECT q.q_id, q.qv, t.centroid_id,
+         |   row_number() OVER (PARTITION BY q.q_id
+         |     ORDER BY ${dcos("q.qv", "t.cv")} DESC, t.centroid_id) AS crnk
+         |  FROM q CROSS JOIN cent t) WHERE crnk <= 2),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT p.q_id, b.vec_id,
+         |   row_number() OVER (PARTITION BY p.q_id
+         |     ORDER BY ${dcos("p.qv", "b.v")} DESC, b.vec_id) AS rnk
+         |  FROM bucketed b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.q_id) WHERE rnk <= 5),
+         |ivf_hits AS (SELECT count(*) AS n
+         |  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
+         |SELECT 'ivf' AS arm, CAST(5 AS BIGINT) AS n_queries,
+         |  CAST((SELECT n FROM ivf_hits) * 10000 // 25 AS BIGINT) AS mean_recall_bp,
+         |  true AS recall_ok
+         |UNION ALL SELECT 'ivfpq', 5, -1, true
+         |UNION ALL SELECT 'pq', 5, -1, true
+         |ORDER BY arm""".stripMargin
   )
 }

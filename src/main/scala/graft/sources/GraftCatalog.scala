@@ -217,9 +217,11 @@ class GraftCatalog extends TableCatalog {
       s"bloom column $c missing from schema"))
     keep.get("dml").foreach(v => require(v == "cow" || v == "dv",
       s"dml table property must be cow or dv, got $v"))
-    // CHECK constraint: fail at CREATE on bad SQL / unknown columns / a
-    // non-boolean expression — never at first write.
-    keep.get(GraftCheck.Prop).foreach(sql => GraftCheck.resolve(sql, schema))
+    // CHECK constraints (unnamed `check` plus every named `check.<name>`):
+    // fail at CREATE on bad SQL / unknown columns / a non-boolean
+    // expression — never at first write.
+    GraftCheck.declared(keep).foreach { case (_, sql) =>
+      GraftCheck.resolve(sql, schema) }
     keep.foreach { case (k, v) =>
       require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
         s"table property '$k' contains a control character — " +
@@ -230,23 +232,46 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident, dir, m)
   }
 
-  /** Metadata-only schema evolution: ADD COLUMN publishes a new generation
-    * with a widened schema and untouched entries — existing files simply lack
-    * the column and the schema'd parquet read fills it with NULL (zero
-    * rewrite, the same trick q_sql_ddl_default pins on the session catalog). */
+  /** Metadata-only schema + property evolution, each ALTER one commit:
+    * ADD COLUMN publishes a new generation with a widened schema and
+    * untouched entries — existing files simply lack the column and the
+    * schema'd parquet read fills it with NULL (zero rewrite, the same trick
+    * q_sql_ddl_default pins on the session catalog). SET/UNSET TBLPROPERTIES
+    * edits the manifest's property map — the add/drop surface for NAMED CHECK
+    * constraints (`check.<name>`, validated against the live schema at ALTER
+    * time, like `ALTER TABLE … ADD CONSTRAINT`) and the other table knobs. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     GraftManifest.publishNext(dir, conf) { cur =>
       var schema = cur.schema
+      var props = cur.props
       changes.foreach {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1, "nested columns not supported")
           schema = schema.add(add.fieldNames()(0), add.dataType(), true)
+        case set: TableChange.SetProperty =>
+          val (k, v) = (set.property(), set.value())
+          require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
+            s"table property '$k' contains a control character — " +
+              "the line-oriented manifest cannot store it")
+          // A new/changed CHECK must resolve against the CURRENT schema now,
+          // not fail the next write.
+          if (k == GraftCheck.Prop || k.startsWith(GraftCheck.Prop + "."))
+            GraftCheck.resolve(v, schema)
+          if (k == "bloom" || k == "cluster")
+            require(schema.fieldNames.contains(v),
+              s"$k column $v missing from schema")
+          if (k == "dml") require(v == "cow" || v == "dv",
+            s"dml table property must be cow or dv, got $v")
+          props = props + (k -> v)
+        case rm: TableChange.RemoveProperty =>
+          props = props - rm.property()
         case other => throw new UnsupportedOperationException(
-          s"graft catalog supports ADD COLUMN only, got $other")
+          "graft catalog supports ADD COLUMN / SET TBLPROPERTIES / " +
+            s"UNSET TBLPROPERTIES only, got $other")
       }
-      cur.copy(gen = cur.gen + 1, schema = schema)
+      cur.copy(gen = cur.gen + 1, schema = schema, props = props)
     }
     loadTable(ident)
   }
@@ -2307,12 +2332,12 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
 
 class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, bloomCol: Option[String],
-    check: Option[GraftCheckPredicate] = None)
+    checks: Seq[GraftCheckPredicate] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol, check)
+      partitionId, taskId, bloomCol, checks)
 }
 
 /** Task side of the merge-on-read write: inserts reuse the ordinary parquet
@@ -2320,7 +2345,7 @@ class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * pairs — a few longs per deleted row, never row data. */
 class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String], check: Option[GraftCheckPredicate] = None)
+    bloomCol: Option[String], checks: Seq[GraftCheckPredicate] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   // LAZY: a pure DELETE's write schema is EMPTY (no row data travels with a
   // delete) — constructing the parquet writer would fail resolving partition
@@ -2328,7 +2353,7 @@ class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
   private var innerOpt: Option[GraftRowWriter] = None
   private def inner: GraftRowWriter = innerOpt.getOrElse {
     val w = new GraftRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol, check)
+      partitionId, taskId, bloomCol, checks)
     innerOpt = Some(w); w
   }
   private val deletes =
@@ -2384,14 +2409,32 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together for idempotent writes")
     }
+    // `replaceFiles=<rel\n rel…>` (targeted OPTIMIZE, B161): commit as a
+    // surgical group replace — the named live files swap for the fresh ones
+    // in ONE generation, with the row-level-operation conflict rules (files
+    // must still be live with unchanged DVs). Newline-separated: partition
+    // escaping (%-encodes control chars) guarantees no rel path contains one.
+    val replaceSet = Option(info.options.get("replaceFiles"))
+      .map(_.split('\n').filter(_.nonEmpty).toSet)
+    val (effMode, effGroups) = replaceSet match {
+      case Some(rels) =>
+        require(mode == "append",
+          s"replaceFiles composes with append writes only, got $mode")
+        val entries = manifest.entries.filter(e => rels(e._2))
+        require(entries.size == rels.size, "replaceFiles names file(s) not " +
+          s"live in generation ${manifest.gen}: " +
+          (rels -- entries.map(_._2).toSet).mkString(", "))
+        ("replace-groups", () => entries)
+      case None => (mode, () => Seq.empty[(String, String)])
+    }
     // `layout=managed` (maintenance rewrites, B175): the CALLER's partitioning
     // and order are authoritative — the write must not impose its own
     // distribution, or the hash exchange would undo the Morton layout the
     // rewrite exists to produce. Data correctness is untouched: writers key
     // files by partition VALUE, so a partition spread over several tasks
     // simply commits several (tile) files.
-    new GraftWrite(dir, manifest, info.schema(), info.queryId(), mode,
-      staticFilters, txnKey = txnKey,
+    new GraftWrite(dir, manifest, info.schema(), info.queryId(), effMode,
+      staticFilters, replaceGroups = effGroups, txnKey = txnKey,
       layoutManaged = Option(info.options.get("layout")).contains("managed"))
   }
 }
@@ -2878,18 +2921,21 @@ object GraftLease {
 
 /**
  * CHECK constraints (B171, the Delta `CHECK` / SQL-standard table-constraint
- * semantics): the `check=<boolean sql expr>` table property is parsed and
- * resolved ONCE on the driver against the write schema (session-free
- * `CatalystSqlParser` + builtin function registry, so the compiled expression
- * serializes to executors), then every row of every write path — batch
- * append/overwrite, streaming epochs, delta (DV) inserts/updates, and
- * copy-on-write rewrites — must satisfy it. A violating row fails its task,
- * the job aborts, and the commit NEVER publishes: constraint enforcement
- * inherits the manifest's all-or-nothing atomicity, so a 10-row batch with
- * one bad row lands zero rows. SQL tri-state semantics: NULL passes (unknown
- * is not a violation — the standard's CHECK rule), only literal FALSE rejects.
+ * semantics): the `check=<boolean sql expr>` table property — and any number
+ * of NAMED constraints `check.<name>=<expr>` (the `ALTER TABLE … ADD
+ * CONSTRAINT <name> CHECK (…)` surface; add/drop via SET/UNSET TBLPROPERTIES)
+ * — are parsed and resolved ONCE on the driver against the write schema
+ * (session-free `CatalystSqlParser` + builtin function registry, so the
+ * compiled expressions serialize to executors), then every row of every write
+ * path — batch append/overwrite, streaming epochs, delta (DV)
+ * inserts/updates, and copy-on-write rewrites — must satisfy ALL of them. A
+ * violating row fails its task naming the violated constraint, the job
+ * aborts, and the commit NEVER publishes: constraint enforcement inherits the
+ * manifest's all-or-nothing atomicity, so a 10-row batch with one bad row
+ * lands zero rows. SQL tri-state semantics: NULL passes (unknown is not a
+ * violation — the standard's CHECK rule), only literal FALSE rejects.
  */
-case class GraftCheckPredicate(sql: String,
+case class GraftCheckPredicate(name: String, sql: String,
     expr: org.apache.spark.sql.catalyst.expressions.Expression) {
   def validate(row: InternalRow, schema: StructType): Unit = {
     val v = expr.eval(row)
@@ -2899,7 +2945,7 @@ case class GraftCheckPredicate(sql: String,
         s"${f.name}=$value"
       }.mkString(", ")
       throw new IllegalArgumentException(
-        s"CHECK constraint ($sql) violated by row [$rendered] — " +
+        s"CHECK constraint $name ($sql) violated by row [$rendered] — " +
           "the whole write is rejected, nothing was committed")
     }
   }
@@ -2907,13 +2953,24 @@ case class GraftCheckPredicate(sql: String,
 
 object GraftCheck {
   val Prop = "check"
+  private val NamedPrefix = "check."
 
-  /** Compile the table's CHECK property against a write schema — driver-side;
-    * the result ships to tasks. Interpreted eval on purpose: `Predicate`
-    * codegen erases the NULL/FALSE distinction tri-state CHECK needs, and
-    * writes are IO-bound anyway. */
-  def compiled(props: Map[String, String], schema: StructType): Option[GraftCheckPredicate] =
-    props.get(Prop).map(sql => GraftCheckPredicate(sql, resolve(sql, schema)))
+  /** The (name, sql) constraint set a property map declares: the legacy
+    * unnamed `check` plus every named `check.<name>`, name-ordered so the
+    * evaluation (and first-violation error) order is deterministic. */
+  def declared(props: Map[String, String]): Seq[(String, String)] =
+    (props.get(Prop).map(Prop -> _).toSeq ++
+      props.collect { case (k, v) if k.startsWith(NamedPrefix) &&
+        k.length > NamedPrefix.length => k.stripPrefix(NamedPrefix) -> v })
+      .sortBy(_._1)
+
+  /** Compile the table's CHECK properties against a write schema —
+    * driver-side; the result ships to tasks. Interpreted eval on purpose:
+    * `Predicate` codegen erases the NULL/FALSE distinction tri-state CHECK
+    * needs, and writes are IO-bound anyway. */
+  def compiled(props: Map[String, String], schema: StructType): Seq[GraftCheckPredicate] =
+    declared(props).map { case (name, sql) =>
+      GraftCheckPredicate(name, sql, resolve(sql, schema)) }
 
   /** Parse + resolve + bind a boolean SQL expression against a schema, with
     * no SparkSession in sight (write factories construct off the live session
@@ -3183,22 +3240,22 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   * the streaming engine serializes the factory into every task. */
 class GraftStreamingWriterFactory(writeSchema: StructType, partCols: Seq[String],
     tableDir: String, queryId: String, conf: SerializableHadoopConf,
-    bloomCol: Option[String] = None, check: Option[GraftCheckPredicate] = None)
+    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols,
-      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol, check)
+      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol, checks)
 }
 
 class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf,
     bloomCol: Option[String] = None,
-    check: Option[GraftCheckPredicate] = None) extends DataWriterFactory {
+    checks: Seq[GraftCheckPredicate] = Seq.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId,
-      bloomCol, check)
+      bloomCol, checks)
 }
 
 /** Per-task writer shared by the batch and streaming paths: one parquet file
@@ -3206,7 +3263,7 @@ class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * makes that exactly one file per partition per commit). */
 class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String] = None, check: Option[GraftCheckPredicate] = None)
+    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty)
     extends DataWriter[InternalRow] {
       private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
       private val dataIdx =
@@ -3253,7 +3310,7 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         // CHECK constraint gate (B171): a FALSE evaluation fails this task,
         // the job aborts, and the manifest never publishes — whole-commit
         // atomicity for free. NULL passes (SQL tri-state CHECK).
-        check.foreach(_.validate(row, writeSchema))
+        checks.foreach(_.validate(row, writeSchema))
         val pp = partPath(row)
         val (w, _, stats, bloom) = writers.getOrElseUpdate(pp, {
           // The uuid keeps REPLAYED streaming epochs from colliding with the
@@ -3426,18 +3483,48 @@ object GraftCatalogOps {
    * only; driver work is two manifest loads. At 100 TB this runs per
    * partition-subset in practice (compact WHERE pk IN …) — the same
    * mechanism, scoped by the caller's filter before writeTo.
+   *
+   * `minDeletedRatio > 0` switches to DV-TARGETED compaction (the Delta
+   * `OPTIMIZE`-on-DV-debt heuristic): only files whose deletion-vector
+   * dead-row share meets the threshold are rewritten — the rewrite cost is
+   * proportional to the DV-heavy files, never the live table. Targets are
+   * picked from manifest metadata alone (DV cardinality / per-file row
+   * count, driver-side), read `_file`-pruned with DVs merging at scan time,
+   * and swapped in ONE atomic replace-groups commit under the row-level
+   * conflict rules. Lightly-deleted files keep their cheap DVs — rewriting
+   * a 1 GB file to drop 1% of its rows is exactly the write amplification
+   * merge-on-read exists to avoid.
    */
   def optimize(spark: SparkSession, tableRef: String, root: String,
-               table: String): (Long, Long, Long, Long) = {
+               table: String, minDeletedRatio: Double = 0.0): (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
     def snap() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
     def liveDvs(m: GraftManifest): Long =
       m.entries.flatMap(e => m.fileDVs.get(e._2)).size.toLong
     val before = snap()
-    // Self-rewrite is safe: the scan reads immutable old files, the write
-    // lands in a new gen dir, and only the commit swaps the manifest.
-    spark.table(tableRef).writeTo(tableRef).overwritePartitions()
+    if (minDeletedRatio <= 0.0) {
+      // Full compaction. Self-rewrite is safe: the scan reads immutable old
+      // files, the write lands in a new gen dir, and only the commit swaps
+      // the manifest.
+      spark.table(tableRef).writeTo(tableRef).overwritePartitions()
+    } else {
+      val targets = before.entries.map(_._2).filter { rel =>
+        before.fileDVs.get(rel).exists { dv =>
+          val dead = GraftDV.read(dir, dv, conf).length.toDouble
+          // An unknown row count (legacy manifest) never qualifies — the
+          // heuristic refuses to guess at rewrite cost.
+          before.fileRows.get(rel).exists(n => n > 0 && dead / n >= minDeletedRatio)
+        }
+      }
+      if (targets.nonEmpty) {
+        spark.table(tableRef).select(col("*"), col("_file"))
+          .where(col("_file").isin(targets: _*)).drop("_file")
+          .writeTo(tableRef).option("replaceFiles", targets.mkString("\n"))
+          .append()
+      }
+    }
     val after = snap()
     (before.entries.size.toLong, liveDvs(before),
       after.entries.size.toLong, liveDvs(after))
