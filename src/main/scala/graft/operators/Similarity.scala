@@ -241,13 +241,16 @@ object Similarity {
           .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
       for (_ <- 0 until iters) {
         val cents = books.toDF("j", "centroid_id", "c_vec")
-        val w = Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("cdist").desc, col("centroid_id"))
+        // Nearest-centroid via max_by over the unique (cdist, -centroid_id)
+        // order — a hash AGGREGATE with map-side partials, not the window's
+        // sort shuffle; picks exactly the row_number()=1 row of the previous
+        // formulation (cdist DESC, centroid_id ASC), bit-identically.
         val assigned = exploded.join(broadcast(cents), "j")
           .withColumn("cdist", -round(vecL2sq(col("subvec"), col("c_vec")), 4))
           .filter(col("cdist").isNotNull)
-          .withColumn("crnk", row_number().over(w))
-          .filter(col("crnk") === 1)
+          .groupBy(col("vec_id"), col("j"), col("subvec"))
+          .agg(max_by(col("centroid_id"),
+            struct(col("cdist"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
           .select(col("j"), col("centroid_id"), col("subvec"))
         // New codebooks collect to the driver: m × k × sub doubles —
         // metadata-scale, the same per-step materialization MLlib does.

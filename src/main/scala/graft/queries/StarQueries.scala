@@ -1944,17 +1944,26 @@ object StarQueries {
       base.filter(col("pk") =!= 2).writeTo("graft.cs")
         .partitionedBy(col("pk")).create()
       def drain(): Unit = {
-        val q = s.readStream.table("graft.cs")
-          .groupBy(col("pk")).agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-          .writeStream.option("checkpointLocation", ckpt)
-          .outputMode("complete").format("memory").queryName("graft_cs_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        // A timed-out drain would ship a PARTIAL aggregate that reads as a
-        // correctness bug — fail loudly instead.
-        val done = q.awaitTermination(240000)
-        q.stop()
-        require(done, "q_catalog_stream: AvailableNow drain did not finish in 240s")
+        // 3 groups don't need 32 state stores: the stateful aggregate's
+        // shuffle-partition count is baked into the checkpoint at first
+        // start, and each AvailableNow drain pays state-store init PER
+        // partition — 4 keeps the fixed cost proportional to the state, not
+        // the session default (values are partition-count invariant).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = s.readStream.table("graft.cs")
+            .groupBy(col("pk")).agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode("complete").format("memory").queryName("graft_cs_sink")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // A timed-out drain would ship a PARTIAL aggregate that reads as a
+          // correctness bug — fail loudly instead.
+          val done = q.awaitTermination(240000)
+          q.stop()
+          require(done, "q_catalog_stream: AvailableNow drain did not finish in 240s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       drain()                                           // snapshot batch
       base.filter(col("pk") === 2).writeTo("graft.cs").append()

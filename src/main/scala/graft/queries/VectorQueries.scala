@@ -236,9 +236,14 @@ object VectorQueries {
         .select(col("vec_id").cast("int").as("centroid_id"),
           normalized(col("embedding")).as("c_vec"))
       val model = Similarity.trainPq(normCorpus, 8, 32, 3, trainFraction = 0.3)
-      def hitsOf(arm: DataFrame): Long =
-        exact.join(arm.select(col("q_id"), col("vec_id")),
-          Seq("q_id", "vec_id")).count()
+      // Each arm's top-k is <= 25 rows: collect the id pairs and intersect on
+      // the driver (metadata-scale), so the brute-force truth is computed
+      // ONCE, not re-derived inside three join plans.
+      def pairsOf(arm: DataFrame): Set[(Long, Long)] =
+        arm.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairsOf(exact)
+      def hitsOf(arm: DataFrame): Long = pairsOf(arm).count(truth).toLong
       val ivfHits = hitsOf(Similarity.ivfTopK(qs, corpus, centroids, 5, 2))
       val pqHits = hitsOf(Similarity.pqTopK(normQs, normCorpus, 5,
         trainFraction = 0.3, trained = Some(model)))
