@@ -164,6 +164,70 @@ object Relational {
   }
 
   /**
+   * Two-table point-in-time (as-of) join, B185: for every left row, attach the
+   * single most recent right row with `right.tsCol <= left.tsCol` on the same
+   * key — the kdb/pandas `merge_asof` backward join (feature-store
+   * point-in-time-correct lookup, trade-to-quote matching).
+   *
+   * Shape — the scale argument: a naive formulation is a non-equi join
+   * (`l.key = r.key AND r.ts <= l.ts`) + argmax, which Spark plans as a
+   * BIG-BIG theta join with per-key candidate explosion (every left row pairs
+   * with ALL earlier right rows before the argmax discards them). This
+   * operator instead TAGS and UNIONS the two inputs and runs ONE keyed window
+   * (`last(rightPayload, ignoreNulls)` over rows up to current): one shuffle
+   * on the key, linear work, no join node at all — each right row is carried
+   * forward, never replicated. Ties at equal ts sort the right row first
+   * (inclusive as-of, `allow_exact_matches=True`); equal-ts right rows within
+   * a key are won deterministically by the largest payload struct.
+   *
+   * `toleranceSec` (backward tolerance, the `merge_asof` knob): a match older
+   * than the tolerance is nulled out. Measured on the ts columns cast to long
+   * (= floor epoch seconds for timestamps); the left row is KEPT with null
+   * right columns — left-outer semantics throughout.
+   *
+   * Contract: `left` and `right` column names must be disjoint apart from the
+   * keys, and `rightTsCol` must not equal `leftTsCol` (it is emitted so callers
+   * can compute staleness).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTsCol: String, rightTsCol: String,
+               toleranceSec: Option[Long] = None): DataFrame = {
+    require(leftTsCol != rightTsCol, "leftTsCol and rightTsCol must differ")
+    val leftOthers = left.columns.filterNot(c => keys.contains(c) || c == leftTsCol).toSeq
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq // includes rightTsCol
+    val clash = leftOthers.toSet.intersect(rightPayload.toSet)
+    require(clash.isEmpty, s"ambiguous columns in asofJoin: ${clash.mkString(", ")}")
+
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTsCol).as("__ts"), lit(0).as("__tag")) ++
+        leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(null).cast(left.schema(leftTsCol).dataType).as(leftTsCol),
+          rStruct.as("__r")): _*)
+    val leftTagged = left.select(
+      keys.map(col) ++ Seq(col(leftTsCol).as("__ts"), lit(1).as("__tag")) ++
+        leftOthers.map(col) ++
+        Seq(col(leftTsCol), lit(null).cast(rType).as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightTagged.unionByName(leftTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val within = toleranceSec match {
+      case Some(tol) => col("__asof").isNotNull &&
+        (col(leftTsCol).cast("long") -
+          col("__asof").getField(rightTsCol).cast("long")) <= tol
+      case None => col("__asof").isNotNull
+    }
+    carried.select(
+      keys.map(col) ++ Seq(col(leftTsCol)) ++ leftOthers.map(col) ++
+        rightPayload.map(c => when(within, col("__asof").getField(c)).as(c)): _*)
+  }
+
+  /**
    * ANALYZE-style per-column statistics — the inputs a cost-based optimizer (and a
    * human sizing a join) needs: row count, non-null count, exact NDV, min/max.
    * One PRUNED scan per column, unioned: each single-column aggregate reads only

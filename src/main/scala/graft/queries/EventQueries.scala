@@ -660,6 +660,30 @@ object EventQueries {
         .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
         .select(col("c_nationkey").cast("long").as("nationkey"), col("cents"), col("n"))
         .orderBy(col("nationkey"))
+    },
+
+    // B185: two-table as-of join — every purchase picks up the most recent
+    // view by the same user at-or-before it (the feature-store point-in-time
+    // lookup / trade-to-quote match), 1-day backward tolerance. Planned as
+    // [[Relational.asofJoin]]'s tagged union + ONE keyed window — one shuffle,
+    // no theta join, no per-key candidate explosion (see the operator doc).
+    // Purchases with no in-tolerance view keep null right columns
+    // (left-outer), pinning the tolerance path cross-engine.
+    "q_join_asof" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      Relational.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+          toleranceSec = Some(86400L))
+        .select(col("event_id"), col("user_id"),
+          r2(col("purchase_value")).as("purchase_value"),
+          r2(col("view_value")).as("view_value"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("staleness_us"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -675,6 +699,36 @@ object EventQueries {
        |   GROUP BY e.dst) i ON r.node = i.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // B185: the oracle replays the identical tagged-union + keyed-window shape
+    // (no ASOF JOIN dialect dependence); the two IGNORE NULLS carries always
+    // come from the same row because (user_id, ts) is unique in the fixture.
+    // Tolerance compares floor epoch seconds exactly like Spark's
+    // cast(timestamp as long).
+    "q_join_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS o_ts, 0 AS tag,
+        |    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS pval,
+        |    ts AS v_ts, value AS v_val
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, value,
+        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN tag = 0 THEN v_ts END IGNORE NULLS) OVER pit AS a_ts,
+        |    last_value(CASE WHEN tag = 0 THEN v_val END IGNORE NULLS) OVER pit AS a_val
+        |  FROM u
+        |  WINDOW pit AS (
+        |    PARTITION BY user_id ORDER BY o_ts, tag ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT *, a_ts IS NOT NULL AND
+        |    (epoch_us(o_ts) // 1000000 - epoch_us(a_ts) // 1000000) <= 86400 AS ok
+        |  FROM w WHERE tag = 1)
+        |SELECT event_id, user_id, round(pval, 2) AS purchase_value,
+        |  CASE WHEN ok THEN round(a_val, 2) END AS view_value,
+        |  CASE WHEN ok THEN epoch_us(o_ts) - epoch_us(a_ts) END AS staleness_us
+        |FROM m ORDER BY event_id""".stripMargin,
     // B144: ordered string_agg rebuilds the identical per-user sequence;
     // regexp_extract_all length == non-overlapping leftmost match count.
     "q_event_regex" ->

@@ -281,6 +281,50 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("asofJoin equals the naive theta-join argmax, with a join-free plan") {
+    // 7 keys, colliding ts values on both sides so exact-match inclusivity and
+    // the equal-ts tie-break are exercised, not just the common strict case.
+    val left = spark.range(0, 300).select(col("id").as("lid"),
+      (col("id") % 7).as("k"), ((col("id") * 37) % 200).as("lts"))
+    val right = spark.range(0, 120).select(
+      (col("id") % 7).as("k"), ((col("id") * 53) % 200).as("rts"),
+      (col("id") * 10).as("rv"))
+    for (tol <- Seq(None, Some(40L))) {
+      val got = Relational.asofJoin(left, right, Seq("k"), "lts", "rts", tol)
+      assert(got.count() === 300, "left-outer: every left row survives")
+      // Naive twin: per-key theta join + argmax under the SAME tie order the
+      // operator documents (largest (rts, payload...) struct wins).
+      val cond = col("k") === col("rk") && col("rts") <= col("lts") &&
+        tol.map(t => (col("lts") - col("rts")) <= t).getOrElse(lit(true))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+        .orderBy(col("rts").desc_nulls_last, col("rv").desc_nulls_last)
+      val naive = left.join(right.withColumnRenamed("k", "rk"), cond, "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("lid"), col("rts"), col("rv"))
+          .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(shape(got) === shape(naive))
+      assert(shape(got).exists(_._2.isDefined), "vacuous fixture")
+      // The point of the operator: ONE keyed window, zero join nodes.
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"asofJoin planned a join:\n$plan")
+    }
+    // Pinned boundary semantics on an explicit fixture.
+    val r = Seq((1L, 100L, 5L), (1L, 100L, 7L), (1L, 90L, 4L))
+      .toDF("k", "rts", "rv")
+    val l = Seq((10L, 1L, 100L), (11L, 1L, 99L), (12L, 1L, 89L), (13L, 1L, 131L))
+      .toDF("lid", "k", "lts")
+    val m = Relational.asofJoin(l, r, Seq("k"), "lts", "rts", Some(40L))
+      .select(col("lid"), col("rv")).as[(Long, Option[Long])].collect().toMap
+    assert(m(10L) === Some(7L), "inclusive exact match; equal-ts tie -> larger payload")
+    assert(m(11L) === Some(4L), "strictly-earlier match")
+    assert(m(12L) === None, "no earlier right row")
+    assert(m(13L) === Some(7L), "staleness 31 within tolerance 40")
+    val mNoTol = Relational.asofJoin(
+      l.filter(col("lid") === 12L), r, Seq("k"), "lts", "rts", Some(0L))
+    assert(mNoTol.select(col("rv")).as[Option[Long]].collect() === Seq(None))
+  }
+
   test("globalRowNumber equals the global window rank without a one-partition sort") {
     import spark.implicits._
     // Skewed, shuffled, non-contiguous keys — including duplicates of none
