@@ -269,19 +269,32 @@ object Similarity {
     } finally exploded.unpersist(blocking = false)
   }
 
+  /** Materialized PQ index: `(vec_id, embedding, code_0..code_{m-1})` — the
+    * FAISS index-BUILD step as a reusable DataFrame. Encoding is the expensive
+    * per-row pass (m × k codeword distances); a caller running several PQ arms
+    * (flat PQ + IVF-PQ, a recall harness) encodes ONCE, persists, and hands
+    * the index to each arm via their `encoded` parameter. */
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame =
+    corpus.select(col("vec_id") +: col("embedding") +:
+      model.codeCols(col("embedding")): _*)
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, codebookK: Int = 32, iters: Int = 3,
              trainFraction: Double = 1.0,
-             trained: Option[PqModel] = None): DataFrame = {
+             trained: Option[PqModel] = None,
+             encoded: Option[DataFrame] = None): DataFrame = {
     // Codebook training on a deterministic hash sample is the 100 TB posture
     // (FAISS trains quantizers on samples); encoding still sees every vector.
-    // A caller evaluating several PQ arms passes the model in (train once).
+    // A caller evaluating several PQ arms passes the model in (train once)
+    // and optionally the pre-encoded index (encode once).
     val model = trained.getOrElse(trainPq(corpus, m, codebookK, iters, trainFraction))
-    val encoded = corpus.select(col("vec_id") +: model.codeCols(col("embedding")): _*)
+    val codeNames = (0 until model.m).map(j => s"code_$j")
+    val encodedAll = encoded.getOrElse(pqEncode(corpus, model))
+    val enc = encodedAll.select((col("vec_id") +: codeNames.map(col)): _*)
     // ADC tables ride the (tiny) query rows; the encoded corpus is scanned
     // once for all queries, distance = m element_at lookups.
     val withTables = queries.select(col("q_id") +: model.adcCols(col("q_vec")): _*)
-    val scored = encoded.crossJoin(broadcast(withTables))
+    val scored = enc.crossJoin(broadcast(withTables))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adist", model.adist)
     rankTopK(scored, "adist", ascending = true, k)
@@ -299,13 +312,18 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 k: Int, nprobe: Int, m: Int = 8, codebookK: Int = 32,
                 iters: Int = 3, trainFraction: Double = 1.0,
-                trained: Option[PqModel] = None): DataFrame = {
+                trained: Option[PqModel] = None,
+                encoded: Option[DataFrame] = None): DataFrame = {
     // Codebooks train and the corpus ENCODES once, unbucketed (unbiased, one
     // pass); buckets then carry codes, not vectors — the index a 100 TB
-    // deployment would materialize.
+    // deployment would materialize (and a caller evaluating several arms
+    // materializes literally, via `encoded` = [[pqEncode]] output).
     val model = trained.getOrElse(trainPq(corpus, m, codebookK, iters, trainFraction))
-    val bucketedCodes = nearestCentroid(centroids)("vec_id", "embedding", "bucket", 1)(corpus)
-      .select(col("bucket") +: col("vec_id") +: model.codeCols(col("embedding")): _*)
+    val codeNames = (0 until model.m).map(j => s"code_$j")
+    val encodedAll = encoded.getOrElse(pqEncode(corpus, model))
+    val bucketedCodes =
+      nearestCentroid(centroids)("vec_id", "embedding", "bucket", 1)(encodedAll)
+        .select((col("bucket") +: col("vec_id") +: codeNames.map(col)): _*)
     val probes = nearestCentroid(centroids)("q_id", "q_vec", "bucket", nprobe)(
       queries.select(col("q_id"), col("q_vec")))
       .select(col("q_id"), col("bucket"))

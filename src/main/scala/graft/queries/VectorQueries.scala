@@ -236,6 +236,11 @@ object VectorQueries {
         .select(col("vec_id").cast("int").as("centroid_id"),
           normalized(col("embedding")).as("c_vec"))
       val model = Similarity.trainPq(normCorpus, 8, 32, 3, trainFraction = 0.3)
+      // The PQ index (codes + normalized embedding) materializes ONCE and both
+      // PQ arms scan it — encoding is the expensive per-row pass (m × k
+      // codeword distances) and is exactly what a deployment would persist.
+      val index = Similarity.pqEncode(normCorpus, model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Each arm's top-k is <= 25 rows: collect the id pairs and intersect on
       // the driver (metadata-scale), so the brute-force truth is computed
       // ONCE, not re-derived inside three join plans.
@@ -246,9 +251,11 @@ object VectorQueries {
       def hitsOf(arm: DataFrame): Long = pairsOf(arm).count(truth).toLong
       val ivfHits = hitsOf(Similarity.ivfTopK(qs, corpus, centroids, 5, 2))
       val pqHits = hitsOf(Similarity.pqTopK(normQs, normCorpus, 5,
-        trainFraction = 0.3, trained = Some(model)))
+        trainFraction = 0.3, trained = Some(model), encoded = Some(index)))
       val ivfPqHits = hitsOf(Similarity.ivfPqTopK(normQs, normCorpus,
-        normCentroids, 5, 2, trainFraction = 0.3, trained = Some(model)))
+        normCentroids, 5, 2, trainFraction = 0.3, trained = Some(model),
+        encoded = Some(index)))
+      index.unpersist(blocking = false)
       import s.implicits._
       Seq(
         ("ivf", 5L, ivfHits * 10000L / 25L, true),
