@@ -662,6 +662,54 @@ object EventQueries {
         .orderBy(col("nationkey"))
     },
 
+    // B186: watermarked STREAM-STREAM interval join ([[graft.streaming.StreamJoins]]):
+    // views and purchases arrive as two independent file streams; every
+    // (view, purchase-within-2h) pair by the same user is emitted exactly once
+    // through Spark's StreamingSymmetricHashJoin into a parquet sink. Both
+    // sides are watermarked (1h late allowance) and the condition carries the
+    // event-time interval, so buffered state is evicted as the watermarks
+    // advance — O(rate x window) state, never O(stream). The inner join's
+    // result is watermark-INDEPENDENT, which is what makes the plain batch
+    // join the oracle.
+    "q_stream_join" -> { (s, d) =>
+      val scratch = Tables.scratchDir(s, "ssjoin", d)
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/out"), true)
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+      views.write.mode("overwrite").parquet(s"$scratch/views")
+      purchases.write.mode("overwrite").parquet(s"$scratch/purch")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val vS = s.readStream.schema(views.schema).parquet(s"$scratch/views")
+        val pS = s.readStream.schema(purchases.schema).parquet(s"$scratch/purch")
+        val joined = graft.streaming.StreamJoins.intervalJoin(
+          vS, "v_ts", pS, "p_ts", "1 hour",
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+        val q = joined
+          .select(col("v_id"), col("p_id"), col("user_id"),
+            r2(col("p_value")).as("p_value"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+          .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+          .format("parquet").option("path", s"$scratch/out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val done = q.awaitTermination(240000)
+        q.stop()
+        require(done, "q_stream_join: AvailableNow drain did not finish in 240s")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$scratch/out").orderBy(col("v_id"), col("p_id"))
+    },
+
     // B185: two-table as-of join — every purchase picks up the most recent
     // view by the same user at-or-before it (the feature-store point-in-time
     // lookup / trade-to-quote match), 1-day backward tolerance. Planned as
@@ -699,6 +747,22 @@ object EventQueries {
        |   GROUP BY e.dst) i ON r.node = i.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // B186: the batch replay of the stream-stream interval join — sound
+    // because an inner interval join's match set is watermark-independent
+    // (see the query comment).
+    "q_stream_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS v_id, user_id, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.v_id, p.p_id, v.user_id, round(p.value, 2) AS p_value,
+        |  epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
+        |ORDER BY v_id, p_id""".stripMargin,
+
     // B185: the oracle replays the identical tagged-union + keyed-window shape
     // (no ASOF JOIN dialect dependence); the two IGNORE NULLS carries always
     // come from the same row because (user_id, ts) is unique in the fixture.

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Stream-stream joins (SURVEY.md B186): both inputs are unbounded streams and
+ * every matching pair must be emitted exactly once — Spark's
+ * `StreamingSymmetricHashJoin`: each side's rows are buffered in the keyed
+ * state store AND probed against the other side's buffer as micro-batches
+ * arrive, so a match is found regardless of which side's row lands first.
+ *
+ * Scale posture (100 TB / unbounded): the ONLY thing that keeps this viable is
+ * the watermark + time-bound pair. Both sides are watermarked and the join
+ * condition carries an event-time interval (`rightTs ∈ [leftTs, leftTs + w]`),
+ * which lets the engine evict a buffered row as soon as the other side's
+ * watermark passes the last instant it could still match — state is
+ * O(rate × (window + delay)) per side, NOT O(stream length). An equi-key in
+ * the condition is equally load-bearing: it makes the join plan a keyed
+ * shuffle on both sides (state store per partition, RocksDB-backed on a
+ * cluster) instead of a broadcast-everything theta join. Callers omit either
+ * at their peril — Spark rejects un-watermarked append-mode outer joins but
+ * will happily run an inner join with unbounded state.
+ *
+ * Deterministic batch twin: an inner interval join's RESULT is watermark-
+ * independent (the watermark bounds state and latency, never which pairs
+ * match), so the same join over the same bounded inputs in batch mode is the
+ * oracle — q_stream_join's DuckDB SQL replays exactly that.
+ */
+object StreamJoins {
+
+  /**
+   * Watermarked inner interval join. `left`/`right` must be streaming
+   * DataFrames with disjoint column names; `cond` must include the equi-key
+   * and both-sided event-time bounds as described above. `delay` is the
+   * late-data allowance for BOTH watermarks (e.g. "1 hour").
+   */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   delay: String, cond: Column): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay), cond)
+}

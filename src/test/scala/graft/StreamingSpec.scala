@@ -257,6 +257,61 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: symmetric buffering, cross-batch matches, state eviction") {
+    implicit val ctx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Timestamp)]   // (v_id, user, v_ts)
+    val rIn = MemoryStream[(Long, Long, Timestamp)]   // (p_id, p_user, p_ts)
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      lIn.toDF.toDF("v_id", "user_id", "v_ts"), "v_ts",
+      rIn.toDF.toDF("p_id", "p_user", "p_ts"), "p_ts",
+      "10 minutes",
+      col("user_id") === col("p_user") && col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_id"), col("p_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      // Purchase arrives BEFORE its view (symmetric buffering, right lands first).
+      rIn.addData((100L, 1L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      lIn.addData((1L, 1L, ts("2024-01-01 00:05:00")))  // matches p=100 (gap 15m)
+      lIn.addData((2L, 1L, ts("2024-01-01 01:00:00")))  // no purchase in window
+      q.processAllAvailable()
+      // View first, purchase in a LATER batch (left buffered), plus an
+      // out-of-window purchase by the same user (interval bound, not key, decides).
+      lIn.addData((3L, 2L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      rIn.addData((200L, 2L, ts("2024-01-01 02:25:00")),  // in window
+        (201L, 2L, ts("2024-01-01 02:45:00")))            // 45m > 30m window
+      q.processAllAvailable()
+      val got = spark.table("ssj_t").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L), (3L, 200L)))
+      // Plan pin: the stateful symmetric hash join, not a static join.
+      assert(q.lastProgress != null)
+      // Watermark advance evicts expired buffered rows from BOTH state sides:
+      // push both watermarks far ahead and check state shrank, not grew.
+      val before = spark.table("ssj_t").count()
+      lIn.addData((9L, 9L, ts("2024-01-01 10:00:00")))
+      rIn.addData((900L, 8L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      lIn.addData((10L, 9L, ts("2024-01-01 12:00:00")))
+      rIn.addData((901L, 8L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val prog = q.recentProgress.reverse.find(p =>
+        p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal > 0)
+      assert(prog.isDefined, "no stateful operator progress recorded")
+      val stateRows = q.recentProgress.last.stateOperators.head.numRowsTotal
+      assert(stateRows <= 4,
+        s"expired rows not evicted: $stateRows rows still buffered")
+      assert(spark.table("ssj_t").count() === before, "no spurious late matches")
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos))(q.explain())
+      val plan = baos.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"expected a symmetric hash join plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("availableNow processes exactly the unseen input per run (A22/A24 parity)") {
     val dir = tmpDir("avnow")
     val src = s"$dir/src"; val ck = s"$dir/ck"
