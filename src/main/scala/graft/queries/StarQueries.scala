@@ -1925,6 +1925,52 @@ object StarQueries {
         lit(skipped.toLong).as("files_skipped"))
     },
 
+    // B187 query witness: predicate overwrite (Delta replaceWhere) with
+    // file-level pruning — four orderkey-banded files, a backfill replaces
+    // band 1's rows with repriced copies (+7 cents) in ONE commit.
+    // `pruned` pins that the manifest's min/max stats narrowed the rewrite
+    // to 1 candidate file of 4; `surgical` pins that every out-of-band file
+    // rides the manifest forward with its IDENTITY (rel path) intact — the
+    // other three files were neither read nor rewritten. The per-status
+    // aggregate hash-verifies the row-level replace semantics.
+    "q_catalog_replacewhere" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.rw")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderstatus"))
+      val maxk = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val bw = maxk / 4 + 1
+      (0L until 4L).foreach { b =>
+        base.filter(col("o_orderkey") >= b * bw && col("o_orderkey") < (b + 1) * bw)
+          .coalesce(1).writeTo("graft.rw") match {
+            case w if b == 0 => w.create()
+            case w           => w.append()
+          }
+      }
+      import graft.sources.{GraftCatalogOps, GraftManifest}
+      val root = Tables.scratchDir(s, "catalog", d)
+      val dir = new org.apache.hadoop.fs.Path(root, "rw")
+      val conf = s.sessionState.newHadoopConf()
+      val before = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val (lo, hi) = (bw, 2 * bw)
+      val repriced = base
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .withColumn("cents", col("cents") + lit(7L))
+      val (cand, total) = GraftCatalogOps.replaceWhere(s, "graft.rw", root, "rw",
+        s"o_orderkey >= $lo AND o_orderkey < $hi", repriced)
+      val after = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val afterSet = after.entries.toSet
+      val removed = before.entries.map(_._2).toSet -- after.entries.map(_._2).toSet
+      val surgical = removed.size.toLong == cand &&
+        before.entries.filter(e => !removed(e._2)).forall(afterSet)
+      s.table("graft.rw").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("pruned", lit(cand == 1L && total == 4L))
+        .withColumn("surgical", lit(surgical))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // B152 query witness: the catalog table driven END TO END as a streaming
     // source — snapshot commit, AvailableNow drain, a second commit, a resumed
     // drain from the same checkpoint — and the STREAM-maintained aggregate is
@@ -3895,6 +3941,20 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B187: relational replay of the predicate overwrite — band-1 rows carry
+    // the repriced cents, everything else the original; the pruning and
+    // surgical-manifest pins are predicted true.
+    "q_catalog_replacewhere" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |b AS (SELECT mx // 4 + 1 AS bw FROM mk)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey >= b.bw AND o_orderkey < 2 * b.bw
+        |    THEN CAST(floor(o_totalprice * 100) AS BIGINT) + 7
+        |    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents,
+        |  true AS pruned, true AS surgical
+        |FROM orders, b
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // B166: DuckDB computes the same aggregates from the parquet data; the
     // metadata_only plan pin is predicted true.

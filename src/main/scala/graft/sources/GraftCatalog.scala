@@ -2975,9 +2975,11 @@ object GraftCheck {
   /** Parse + resolve + bind a boolean SQL expression against a schema, with
     * no SparkSession in sight (write factories construct off the live session
     * thread). Unknown columns and non-boolean expressions fail LOUDLY — at
-    * CREATE TABLE time via the same call. */
-  def resolve(sql: String,
-      schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    * CREATE TABLE time via the same call. `bind=false` keeps the resolved
+    * AttributeReferences unbound — the form V1-filter translation wants
+    * (replaceWhere's manifest pruning). */
+  def resolve(sql: String, schema: StructType,
+      bind: Boolean = true): org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
     import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction}
     val attrs = schema.fields.map(f =>
@@ -3029,7 +3031,8 @@ object GraftCheck {
     // uninitialized interpreted eval — refuse at definition time.
     require(coerced.deterministic,
       s"CHECK constraint ($sql) must be deterministic")
-    BindReferences.bindReference(coerced,
+    if (!bind) coerced
+    else BindReferences.bindReference(coerced,
       org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
   }
 }
@@ -3528,6 +3531,87 @@ object GraftCatalogOps {
     val after = snap()
     (before.entries.size.toLong, liveDvs(before),
       after.entries.size.toLong, liveDvs(after))
+  }
+
+  /** Manifest entries a data predicate MAY touch: partition-value, min/max
+    * file-stats, and bloom pruning — the scan's three metadata layers, shared
+    * with maintenance ops ([[replaceWhere]]). Driver-side, zero file IO. */
+  def mayTouch(m: GraftManifest, filters: Array[Filter]): Seq[(String, String)] = {
+    val (part, data) = filters.partition(
+      GraftScanBuilder.isPartitionFilter(_, m.partCols))
+    m.entries.filter { case (partPath, rel) =>
+      val values = GraftScanBuilder.partValues(partPath)
+      part.forall(f => GraftScanBuilder.matches(f, values, m.schema)) &&
+        GraftFileStats.mayMatch(m.fileStats.get(rel), data, m.dataSchema) &&
+        m.bloomCol.forall(bc =>
+          GraftBloom.mayMatch(m.fileBlooms.get(rel), bc, data))
+    }
+  }
+
+  /**
+   * Predicate overwrite (B187, the Delta `replaceWhere` semantics): in ONE
+   * atomic commit, delete every row matching `predicateSql` and insert `data`
+   * — the idempotent-backfill primitive ("replace March for source=x with
+   * this recomputation") that dynamic partition overwrite can't express when
+   * the boundary isn't a partition.
+   *
+   * Scale shape: the predicate resolves against the table schema
+   * (case-insensitive + ANSI-coerced, the CHECK machinery), translates to a
+   * V1 filter, and prunes the manifest through the scan's own three metadata
+   * layers (partition values, file min/max stats, blooms) — only files that
+   * MAY hold matching rows are touched. Their surviving (non-matching) rows
+   * are read back `_file`-pruned and rewritten together with `data` in one
+   * surgical replace-groups commit; every other file rides the manifest
+   * forward untouched. On a date-clustered 100 TB table, replacing one day
+   * rewrites that day's files, not the table. Deletion vectors merge on the
+   * survivor read and the replace-groups conflict rules abort if a concurrent
+   * writer moved them (B177).
+   *
+   * Delta's write invariant holds: every row of `data` must itself satisfy
+   * the predicate (else the "replace" could smuggle rows the predicate would
+   * not reclaim on re-run); rows where it evaluates NULL count as violations,
+   * exactly like Delta. An untranslatable predicate degrades soundly to
+   * all-files candidacy — correct, just unpruned.
+   *
+   * Returns (candidateFiles, totalFiles) — the pruning audit.
+   */
+  def replaceWhere(spark: SparkSession, tableRef: String, root: String,
+      table: String, predicateSql: String,
+      data: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val pred = expr(predicateSql)
+    val violating = data.where(not(coalesce(pred, lit(false)))).limit(1).count()
+    require(violating == 0,
+      s"replaceWhere data contains rows not satisfying '$predicateSql' — " +
+        "every inserted row must match the predicate it replaces")
+    val resolved = GraftCheck.resolve(predicateSql, m.schema, bind = false)
+    // Fold constant subtrees (the coercion step leaves casts around literals,
+    // which V1 translation refuses) so `key >= 100` translates after ANSI
+    // coercion rewrote it to `key >= CAST(100 AS BIGINT)`.
+    val folded = resolved.transformUp {
+      case e if e.foldable && !e.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(null), e.dataType)
+    }
+    val candidates =
+      org.apache.spark.sql.GraftBridge.translateFilter(folded) match {
+        case Some(f) => mayTouch(m, Array(f)).map(_._2)
+        case None => m.entries.map(_._2)
+      }
+    val aligned = data.select(m.schema.fieldNames.map(col).toSeq: _*)
+    if (candidates.nonEmpty) {
+      val survivors = spark.table(tableRef).select(col("*"), col("_file"))
+        .where(col("_file").isin(candidates: _*))
+        .where(not(coalesce(pred, lit(false)))).drop("_file")
+      survivors.unionByName(aligned)
+        .writeTo(tableRef).option("replaceFiles", candidates.mkString("\n"))
+        .append()
+    } else aligned.writeTo(tableRef).append()
+    (candidates.size.toLong, m.entries.size.toLong)
   }
 
   /**

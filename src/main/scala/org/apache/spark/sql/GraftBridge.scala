@@ -25,6 +25,13 @@ object GraftBridge {
   def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Catalyst predicate -> V1 `Filter` translation (`protected[sql]` on
+    * DataSourceStrategy) — what lets maintenance ops reuse the scan's
+    * manifest-pruning layers on a user-supplied SQL predicate. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Idempotently add a planner strategy to a running session — the runtime
     * twin of `SparkSessionExtensions.injectPlannerStrategy` for sessions built
     * without `spark.sql.extensions`. */

@@ -1996,4 +1996,55 @@ class CatalogSpec extends GraftSuite {
       "remaining named constraint must still enforce")
     assert(spark.table(t).count() == 52)
   }
+
+  test("replaceWhere: stats-pruned surgical rewrite, write invariant, DV merge, fallback") {
+    import spark.implicits._
+    val t = freshTable("rw")
+    // 3 id-banded files with disjoint stats, dv-mode for the DV interaction leg.
+    def band(b: Long) = (b * 100L until (b + 1) * 100L).map(i => (i, s"v$i"))
+      .toDF("id", "s").coalesce(1)
+    band(0).writeTo(t).tableProperty("dml", "dv").create()
+    band(1).writeTo(t).append()
+    band(2).writeTo(t).append()
+    val dir = new Path(root, "rw")
+    val conf = spark.sessionState.newHadoopConf()
+    def manifest() = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    // A DV delete inside the target band: the survivor read must MERGE it —
+    // the dead row must not resurrect through the rewrite.
+    spark.sql(s"DELETE FROM $t WHERE id = 150")
+    val before = manifest()
+    // Write invariant: data outside the predicate refuses, nothing commits.
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.GraftCatalogOps.replaceWhere(spark, t, root, "rw",
+        "id >= 100 AND id < 200", Seq((999L, "x")).toDF("id", "s"))
+    }
+    assert(ex.getMessage.contains("not satisfying"))
+    assert(manifest().gen == before.gen, "refused replaceWhere must not commit")
+    // The real replace: band 1 rows become 50 fresh rows (ids 100-149).
+    val fresh = (100L until 150L).map(i => (i, s"NEW$i")).toDF("id", "s")
+    val (cand, total) = graft.sources.GraftCatalogOps.replaceWhere(
+      spark, t, root, "rw", "id >= 100 AND id < 200", fresh)
+    assert(total == 3L && cand == 1L,
+      s"min/max stats must prune to the one banded file, got $cand/$total")
+    val after = manifest()
+    assert(after.gen == before.gen + 1, "one atomic commit")
+    // Surgical: the two out-of-band files survive with identical rel paths.
+    val removed = before.entries.map(_._2).toSet -- after.entries.map(_._2).toSet
+    assert(removed.size == 1)
+    assert(before.entries.filterNot(e => removed(e._2)).forall(after.entries.toSet))
+    // Content: bands 0/2 intact, band 1 replaced (DV'd row 150 NOT resurrected).
+    val ids = spark.table(t).select("id").as[Long].collect().toSet
+    assert(ids == ((0L until 100L) ++ (100L until 150L) ++ (200L until 300L)).toSet)
+    assert(spark.table(t).filter(col("s").startsWith("NEW")).count() == 50)
+    assert(spark.table(t).filter(col("id") === 150L).count() == 0)
+    // Untranslatable predicate (modulo): sound fallback — all files candidate,
+    // result still exact.
+    val (cand2, total2) = graft.sources.GraftCatalogOps.replaceWhere(
+      spark, t, root, "rw", "id % 100 = 0",
+      Seq((0L, "Z0"), (100L, "Z100"), (200L, "Z200")).toDF("id", "s"))
+    assert(cand2 == total2, "untranslatable predicate must fall back to all files")
+    assert(spark.table(t).filter(col("s").startsWith("Z")).count() == 3)
+    assert(spark.table(t).count() == 250)
+  }
 }
