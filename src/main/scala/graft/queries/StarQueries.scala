@@ -1971,6 +1971,40 @@ object StarQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B188 query witness: SHALLOW CLONE — a metadata-only table fork whose
+    // gen-0 manifest references the source's files by absolute path (zero
+    // data bytes move; `metadata_only` pins that the clone dir holds no data
+    // files at clone time), inheriting the source's deletion vectors. The
+    // two tables then DIVERGE: the clone DV-deletes against an inherited
+    // file and appends; the source row proves it saw none of it. Both
+    // sides' aggregates ride the hash gate.
+    "q_catalog_clone" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.cls")
+      s.sql("DROP TABLE IF EXISTS graft.cld")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .coalesce(2).writeTo("graft.cls").tableProperty("dml", "dv").create()
+      s.sql("DELETE FROM graft.cls WHERE o_orderkey % 10 = 0") // source DV
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "cls", "cld")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val cloneDataFiles = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(root, "cld/gen-*")))
+        .getOrElse(Array.empty).length
+      s.sql("DELETE FROM graft.cld WHERE o_orderkey % 7 = 0") // DV on inherited file
+      import s.implicits._
+      Seq((-1L, 100L), (-2L, 200L)).toDF("o_orderkey", "cents")
+        .writeTo("graft.cld").append()
+      def side(name: String, t: String) = s.table(t)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(lit(name).as("side"), col("n"), col("cents"),
+          lit(cloneDataFiles == 0).as("metadata_only"))
+      side("clone", "graft.cld").unionByName(side("src", "graft.cls"))
+        .orderBy(col("side"))
+    },
+
     // B152 query witness: the catalog table driven END TO END as a streaming
     // source — snapshot commit, AvailableNow drain, a second commit, a resumed
     // drain from the same checkpoint — and the STREAM-maintained aggregate is
@@ -3941,6 +3975,24 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B188: relational replay of the clone fork — src = orders minus the %10
+    // DV deletes; clone additionally drops %7 and gains the two appends; the
+    // metadata-only pin is predicted true.
+    "q_catalog_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |cl AS (
+        |  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(100 AS BIGINT)),
+        |    (CAST(-2 AS BIGINT), CAST(200 AS BIGINT))) t(o_orderkey, cents))
+        |SELECT 'clone' AS side, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS metadata_only FROM cl
+        |UNION ALL
+        |SELECT 'src', count(*), CAST(sum(cents) AS BIGINT), true FROM base
+        |ORDER BY side""".stripMargin,
 
     // B187: relational replay of the predicate overwrite — band-1 rows carry
     // the repriced cents, everything else the original; the pruning and

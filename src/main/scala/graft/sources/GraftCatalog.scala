@@ -327,6 +327,13 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
 }
 
 object GraftManifest {
+  /** Resolve a manifest rel path against the table dir. Entries are normally
+    * table-relative; a SHALLOW CLONE's inherited entries and DV refs
+    * ([[GraftCatalogOps.cloneTable]], the Delta CLONE design) are ABSOLUTE
+    * paths into the source table and resolve as themselves. */
+  def resolveRel(dir: Path, rel: String): Path =
+    if (new Path(rel).isAbsolute) new Path(rel) else new Path(dir, rel)
+
   /** Raw CURRENT pointer value, -1 when missing/unreadable. The pointer is a
     * read CACHE over the claims (see [[currentGen]]) — never the source of
     * truth, so a transiently-missing or regressed pointer is recoverable. */
@@ -1489,7 +1496,7 @@ class GraftMicroBatchStream(dir: Path, manifest: GraftManifest, required: Struct
     lazy val fs = dir.getFileSystem(c)
     added.map { case (pp, rel) =>
       val len = endManifest.fileBytes.getOrElse(rel,
-        fs.getFileStatus(new Path(dir, rel)).getLen)
+        fs.getFileStatus(GraftManifest.resolveRel(dir, rel)).getLen)
       // A file streams with the deletion vector it carried AT ITS EMITTING
       // generation — the snapshot the batch claims to deliver. (Later DV
       // growth is a row REMOVAL, which an append-derived stream intentionally
@@ -1697,7 +1704,7 @@ class GraftChangesMicroBatchStream(dir: Path, manifest: GraftManifest,
       // at-e DV), versioned by each file's committing generation.
       val m = GraftManifest.load(dir, e, c)
       return m.entries.map { case (pp, rel) =>
-        val len = m.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+        val len = m.fileBytes.getOrElse(rel, fs.getFileStatus(GraftManifest.resolveRel(dir, rel)).getLen)
         val v = GraftParquetRead.genOf(rel)
         GraftChangeSlice(pp, rel, len, 0, if (v >= 0) v else e,
           m.fileDVs.getOrElse(rel, "")): InputPartition
@@ -1718,7 +1725,7 @@ class GraftChangesMicroBatchStream(dir: Path, manifest: GraftManifest,
           "represent rewrites; use GraftCatalogOps.changes for batch history " +
           "across them (dml=dv tables stream their full DML surface)")
       val inserts = mCur.entries.collect { case (pp, rel) if !prevRels(rel) =>
-        val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+        val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(GraftManifest.resolveRel(dir, rel)).getLen)
         GraftChangeSlice(pp, rel, len, 0, g,
           mCur.fileDVs.getOrElse(rel, "")): InputPartition
       }
@@ -1734,7 +1741,7 @@ class GraftChangesMicroBatchStream(dir: Path, manifest: GraftManifest,
             .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
           val prevSet = prevPos.toSet
           val curSet = curPos.toSet
-          val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(new Path(dir, rel)).getLen)
+          val len = mCur.fileBytes.getOrElse(rel, fs.getFileStatus(GraftManifest.resolveRel(dir, rel)).getLen)
           Seq(
             GraftChangeSlice(pp, rel, len, 1, g, "",
               curPos.filterNot(prevSet)): InputPartition,
@@ -1948,7 +1955,8 @@ object GraftParquetRead {
         })
         org.apache.spark.sql.execution.datasources.PartitionedFile(
           partRow,
-          org.apache.spark.paths.SparkPath.fromPathString(s"$tableDir/${slice.rel}"),
+          org.apache.spark.paths.SparkPath.fromPath(
+            GraftManifest.resolveRel(new Path(tableDir), slice.rel)),
           0L, slice.len)
       }
 
@@ -2095,7 +2103,7 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
     val keySchema = spjKeySchema
     kept.map { case (pp, rel) =>
       val len = manifest.fileBytes.getOrElse(rel,
-        fs.getFileStatus(new Path(dir, rel)).getLen)
+        fs.getFileStatus(GraftManifest.resolveRel(dir, rel)).getLen)
       GraftFileSlice(pp, rel, len,
         manifest.fileDVs.getOrElse(rel, ""), keySchema): InputPartition
     }.toArray
@@ -3083,7 +3091,7 @@ object GraftDV {
 
   /** Sorted position array (binary-searchable) for one DV file. */
   def read(dir: Path, rel: String, conf: Configuration): Array[Long] = {
-    val p = new Path(dir, rel)
+    val p = GraftManifest.resolveRel(dir, rel)
     val in = p.getFileSystem(conf).open(p)
     try decode(in.readAllBytes()) finally in.close()
   }
@@ -3612,6 +3620,64 @@ object GraftCatalogOps {
         .append()
     } else aligned.writeTo(tableRef).append()
     (candidates.size.toLong, m.entries.size.toLong)
+  }
+
+  /**
+   * SHALLOW CLONE (B188, the Delta `CREATE TABLE … SHALLOW CLONE` design):
+   * create `dstTable` as a METADATA-ONLY copy of `srcTable`'s current
+   * snapshot — zero data bytes move, the clone's gen-0 manifest references
+   * the source's files by ABSOLUTE path (the same mechanism Delta's clone
+   * uses: absolute `add` paths into the source table). On a 100 TB table the
+   * clone costs one manifest write; dev/test forks, experiment branches, and
+   * migration dry-runs start instantly.
+   *
+   * Post-clone the tables diverge INDEPENDENTLY: appends, CoW rewrites, and
+   * DV DML on the clone land under the clone's own directory (a DV on an
+   * inherited file is keyed by its absolute rel — merge-on-read composes);
+   * nothing the clone does can touch source bytes, and the clone's VACUUM
+   * walks only its own gen dirs so inherited files are never reclaimed by it.
+   * Schema, properties (CHECKs, clustering, bloom), per-file stats/blooms/
+   * NDVs/row counts, and deletion vectors all carry over, so data skipping
+   * and CBO statistics work on the clone from the first query. The txn
+   * ledger does NOT carry (a clone is a new table; a replayed writer must
+   * not be deduped against the source's history). The current snapshot is
+   * cloned — clone an older state by RESTORE-then-clone or clone-then-RESTORE.
+   *
+   * The Delta-documented hazard is inherited deliberately: the clone does
+   * NOT pin source files against the SOURCE's own maintenance. A source
+   * rewrite (OPTIMIZE/overwrite) followed by source VACUUM past its horizon
+   * reclaims bytes only the clone still references, and the clone's next
+   * read fails LOUDLY (missing file) — exactly Delta's shallow-clone
+   * contract. Returns the clone's generation (always 0).
+   */
+  def cloneTable(spark: SparkSession, root: String, srcTable: String,
+      dstTable: String): Long = {
+    val srcDir = new Path(root, srcTable)
+    val dstDir = new Path(root, dstTable)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dstDir.getFileSystem(conf)
+    require(fs.globStatus(new Path(dstDir, "manifest-*.txt")).isEmpty,
+      s"clone target $dstTable already exists")
+    val m = GraftManifest.load(srcDir,
+      GraftManifest.currentGen(srcDir, conf), conf)
+    def abs(rel: String): String =
+      if (new Path(rel).isAbsolute) rel else new Path(srcDir, rel).toString
+    def remap[T](mm: Map[String, T]): Map[String, T] =
+      mm.map { case (k, v) => abs(k) -> v }
+    val cloned = GraftManifest(gen = 0L, schema = m.schema,
+      partCols = m.partCols,
+      entries = m.entries.map { case (p, rel) => (p, abs(rel)) },
+      txns = Set.empty,
+      fileStats = remap(m.fileStats),
+      fileBytes = remap(m.fileBytes),
+      props = m.props,
+      fileBlooms = remap(m.fileBlooms),
+      fileDVs = remap(m.fileDVs).map { case (k, dv) => k -> abs(dv) },
+      fileRows = remap(m.fileRows),
+      fileNdvs = remap(m.fileNdvs))
+    fs.mkdirs(dstDir)
+    GraftManifest.publish(dstDir, cloned, conf)
+    0L
   }
 
   /**

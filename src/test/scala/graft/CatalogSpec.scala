@@ -1997,6 +1997,52 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 52)
   }
 
+  test("shallow clone: metadata-only, inherited DVs, independent divergence, vacuum contract") {
+    import spark.implicits._
+    val src = freshTable("clsrc")
+    spark.sql("DROP TABLE IF EXISTS gtest.cldst")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "cldst"), true)
+    (0L until 200L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(2).writeTo(src).tableProperty("dml", "dv").create()
+    spark.sql(s"DELETE FROM $src WHERE id = 5") // a source DV the clone must inherit
+    graft.sources.GraftCatalogOps.cloneTable(spark, root, "clsrc", "cldst")
+    def files(t: String) = Option(fs.globStatus(new Path(new Path(root, t), "gen-*")))
+      .getOrElse(Array.empty).flatMap { g =>
+        val it = fs.listFiles(g.getPath, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getPath.toString
+        b.result()
+      }.toSet
+    // Metadata-only: the clone's directory holds no data bytes at all.
+    assert(files("cldst").isEmpty, s"clone copied data: ${files("cldst")}")
+    // Identical content, DV included.
+    assert(spark.table("gtest.cldst").count() == 199)
+    assert(spark.table("gtest.cldst").filter(col("id") === 5).count() == 0)
+    // Divergence: DV DML against an INHERITED (absolute-path) file plus an
+    // append — both land under the CLONE's dirs, the source is untouched.
+    val srcFilesBefore = files("clsrc")
+    spark.sql("DELETE FROM gtest.cldst WHERE id = 7")
+    Seq((1000L, "new")).toDF("id", "s").writeTo("gtest.cldst").append()
+    assert(spark.table("gtest.cldst").count() == 199) // -1 DV'd, +1 appended
+    assert(spark.table("gtest.cldst").filter(col("id") === 7).count() == 0)
+    assert(files("clsrc") == srcFilesBefore, "clone DML wrote into the source dir")
+    assert(spark.table(src).filter(col("id") === 7).count() == 1)
+    // The clone's VACUUM walks only its own gen dirs: inherited source
+    // files are structurally un-reclaimable by it.
+    graft.sources.GraftCatalogOps.vacuum(spark, root, "cldst",
+      keepGens = 1, uncommittedGraceMs = 0)
+    assert(spark.table("gtest.cldst").count() == 199)
+    assert(spark.table(src).count() == 199)
+    // The Delta-documented hazard, honestly pinned: source rewrite + source
+    // vacuum reclaims bytes only the clone references -> clone fails LOUDLY.
+    graft.sources.GraftCatalogOps.optimize(spark, src, root, "clsrc")
+    graft.sources.GraftCatalogOps.vacuum(spark, root, "clsrc",
+      keepGens = 1, uncommittedGraceMs = 0)
+    assert(spark.table(src).count() == 199, "source itself stays intact")
+    intercept[Exception] { spark.table("gtest.cldst").count() }
+  }
+
   test("replaceWhere: stats-pruned surgical rewrite, write invariant, DV merge, fallback") {
     import spark.implicits._
     val t = freshTable("rw")
