@@ -1971,6 +1971,46 @@ object StarQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B189 query witness: GENERATED COLUMNS — the table partitions by
+    // o_month, declared as `generate.o_month = month(o_orderdate)`; the
+    // caller appends WITHOUT the column (insertGenerated computes it), a
+    // write carrying a WRONG value is rejected by the per-row invariant
+    // (`enforced`, commit atomicity implies the hash can't include those
+    // rows), and an equality probe on the generated column partition-prunes
+    // (`pruned`, from the library's own metadata evaluator). The per-month
+    // aggregate rides the hash gate — the derived key itself is verified.
+    "q_catalog_generated" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.gcol")
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderdate"))
+      src.limit(0).withColumn("o_month", expr("CAST(month(o_orderdate) AS INT)"))
+        .writeTo("graft.gcol").partitionedBy(col("o_month"))
+        .tableProperty("generate.o_month", "CAST(month(o_orderdate) AS INT)")
+        .create()
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.insertGenerated(s, "graft.gcol", root, "gcol", src)
+      val rejected =
+        try {
+          src.limit(5).withColumn("o_month", lit(99))
+            .writeTo("graft.gcol").append()
+          false
+        } catch { case _: Exception => true }
+      import graft.sources.{GraftCatalogOps, GraftManifest}
+      val dir = new org.apache.hadoop.fs.Path(root, "gcol")
+      val conf = s.sessionState.newHadoopConf()
+      val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val kept = GraftCatalogOps.mayTouch(m,
+        Array(org.apache.spark.sql.sources.EqualTo("o_month", 3)))
+      val pruned = kept.nonEmpty && kept.size < m.entries.size
+      s.table("graft.gcol").groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("enforced", lit(rejected))
+        .withColumn("pruned", lit(pruned))
+        .orderBy(col("o_month"))
+    },
+
     // B188 query witness: SHALLOW CLONE — a metadata-only table fork whose
     // gen-0 manifest references the source's files by absolute path (zero
     // data bytes move; `metadata_only` pins that the clone dir holds no data
@@ -3975,6 +4015,15 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B189: the oracle derives the generated key itself — hash equality
+    // proves the engine's auto-computed o_month is exactly month(o_orderdate);
+    // the enforcement and pruning pins are predicted true.
+    "q_catalog_generated" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS enforced, true AS pruned
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // B188: relational replay of the clone fork — src = orders minus the %10
     // DV deletes; clone additionally drops %7 and gains the two appends; the

@@ -222,6 +222,8 @@ class GraftCatalog extends TableCatalog {
     // expression — never at first write.
     GraftCheck.declared(keep).foreach { case (_, sql) =>
       GraftCheck.resolve(sql, schema) }
+    // Generated columns (B189): declarations fail at CREATE, not first write.
+    GraftGenerated.validate(keep, schema)
     keep.foreach { case (k, v) =>
       require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
         s"table property '$k' contains a control character — " +
@@ -259,6 +261,8 @@ class GraftCatalog extends TableCatalog {
           // not fail the next write.
           if (k == GraftCheck.Prop || k.startsWith(GraftCheck.Prop + "."))
             GraftCheck.resolve(v, schema)
+          if (k.startsWith(GraftGenerated.Prefix))
+            GraftGenerated.validate(props + (k -> v), schema)
           if (k == "bloom" || k == "cluster")
             require(schema.fieldNames.contains(v),
               s"$k column $v missing from schema")
@@ -2978,7 +2982,8 @@ object GraftCheck {
     * needs, and writes are IO-bound anyway. */
   def compiled(props: Map[String, String], schema: StructType): Seq[GraftCheckPredicate] =
     declared(props).map { case (name, sql) =>
-      GraftCheckPredicate(name, sql, resolve(sql, schema)) }
+      GraftCheckPredicate(name, sql, resolve(sql, schema)) } ++
+      GraftGenerated.checks(props, schema) // B189: generated-column invariants
 
   /** Parse + resolve + bind a boolean SQL expression against a schema, with
     * no SparkSession in sight (write factories construct off the live session
@@ -2987,7 +2992,8 @@ object GraftCheck {
     * AttributeReferences unbound — the form V1-filter translation wants
     * (replaceWhere's manifest pruning). */
   def resolve(sql: String, schema: StructType,
-      bind: Boolean = true): org.apache.spark.sql.catalyst.expressions.Expression = {
+      bind: Boolean = true, requireBoolean: Boolean = true)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
     import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedAttribute, UnresolvedFunction}
     val attrs = schema.fields.map(f =>
@@ -3018,8 +3024,13 @@ object GraftCheck {
     // the implicit cast lands): run the engine's own ANSI coercion rules to a
     // fixed point over a single-Filter wrapper plan — the same casts a
     // session query would get, without needing a session.
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
-    var plan: LogicalPlan = Filter(resolved, LocalRelation(attrs))
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+    // Non-boolean expressions (generated-column generation expressions) ride
+    // a Project wrapper — a Filter would imply a boolean condition.
+    var plan: LogicalPlan =
+      if (requireBoolean) Filter(resolved, LocalRelation(attrs))
+      else Project(Seq(Alias(resolved, "e")()), LocalRelation(attrs))
     var rounds = 0
     var changed = true
     while (changed && rounds < 10) {
@@ -3029,10 +3040,15 @@ object GraftCheck {
       plan = next
       rounds += 1
     }
-    val coerced = plan.asInstanceOf[Filter].condition
+    val coerced = plan match {
+      case f: Filter => f.condition
+      case p: Project => p.projectList.head.asInstanceOf[Alias].child
+      case other => throw new IllegalStateException(s"unexpected wrapper $other")
+    }
     require(coerced.resolved,
       s"CHECK constraint ($sql) did not fully resolve: $coerced")
-    require(coerced.dataType == org.apache.spark.sql.types.BooleanType,
+    require(!requireBoolean ||
+      coerced.dataType == org.apache.spark.sql.types.BooleanType,
       s"CHECK constraint ($sql) must be BOOLEAN, got ${coerced.dataType.sql}")
     // A nondeterministic constraint (rand(), current_timestamp, …) is
     // semantically meaningless for a row invariant AND would crash the
@@ -3043,6 +3059,80 @@ object GraftCheck {
     else BindReferences.bindReference(coerced,
       org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
   }
+}
+
+/**
+ * GENERATED COLUMNS (B189, the Delta generated-column design): a
+ * `generate.<col> = <sql expr>` table property declares `col`'s value as a
+ * pure function of other columns. Two halves:
+ *  - the write-path INVARIANT: every write path (batch, streaming epoch,
+ *    delta DV insert/update, CoW rewrite) enforces `col <=> (expr)` per row
+ *    through the same task-side machinery as CHECK constraints — a provided
+ *    value that disagrees with the expression rejects the WHOLE commit
+ *    (manifest atomicity), so the column can never silently drift from its
+ *    definition and partition layouts keyed on it stay trustworthy;
+ *  - the write-side AUTO-COMPUTE ([[GraftCatalogOps.insertGenerated]]): a
+ *    frame lacking the column gets it computed from the expression before
+ *    the append — the Delta UX where callers never materialize the derived
+ *    key themselves.
+ * Declarations validate at CREATE/ALTER time: unknown columns, an
+ * unresolvable expression, a type mismatch with the declared column, and
+ * generation expressions referencing other GENERATED columns all refuse
+ * before any data lands. Partitioning by a generated column composes with
+ * everything keyed on partition values (pruning, SPJ, metadata twins) — at
+ * 100 TB this is "partition by month(ts) without trusting writers to derive
+ * month(ts) correctly".
+ */
+object GraftGenerated {
+  val Prefix = "generate."
+
+  def declared(props: Map[String, String]): Seq[(String, String)] =
+    props.collect { case (k, v) if k.startsWith(Prefix) &&
+      k.length > Prefix.length => k.stripPrefix(Prefix) -> v }
+      .toSeq.sortBy(_._1)
+
+  /** CREATE/ALTER-time validation — fail the DDL, never the first write. */
+  def validate(props: Map[String, String], schema: StructType): Unit = {
+    val gen = declared(props)
+    val genCols = gen.map(_._1).toSet
+    gen.foreach { case (c, e) =>
+      require(schema.fieldNames.contains(c),
+        s"generated column $c missing from schema " +
+          s"[${schema.fieldNames.mkString(", ")}]")
+      val resolved = GraftCheck.resolve(e, schema, requireBoolean = false)
+      val declaredType = schema(schema.fieldIndex(c)).dataType
+      require(resolved.dataType == declaredType,
+        s"generation expression for $c has type ${resolved.dataType.sql}, " +
+          s"column is declared ${declaredType.sql} — cast the expression")
+      val refs = resolved.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }.toSet
+      require(!refs.exists(genCols.contains),
+        s"generation expression for $c references a generated column " +
+          s"(${refs.intersect(genCols).mkString(", ")}) — " +
+          "generated columns derive from plain columns only")
+    }
+  }
+
+  /** The per-row write invariants, as CHECK predicates: `col <=> (expr)`.
+    * EqualNullSafe is never NULL, so a disagreeing row always rejects. */
+  def checks(props: Map[String, String],
+      schema: StructType): Seq[GraftCheckPredicate] =
+    declared(props).filter { case (c, _) => schema.fieldNames.contains(c) }
+      .map { case (c, e) =>
+        val sql = s"$c <=> ($e)"
+        GraftCheckPredicate(s"generated($c)", sql, GraftCheck.resolve(sql, schema))
+      }
+
+  /** Compute any generated columns the frame lacks (provided ones are left
+    * for the write invariant to judge). */
+  def fill(df: org.apache.spark.sql.DataFrame,
+      props: Map[String, String]): org.apache.spark.sql.DataFrame =
+    declared(props).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
 }
 
 object GraftDV {
@@ -3620,6 +3710,21 @@ object GraftCatalogOps {
         .append()
     } else aligned.writeTo(tableRef).append()
     (candidates.size.toLong, m.entries.size.toLong)
+  }
+
+  /** Append with generated-column auto-compute (B189, the Delta write UX):
+    * any generated column the frame lacks is computed from its declared
+    * expression before the append; provided columns pass through and the
+    * write-path invariant judges them per row. */
+  def insertGenerated(spark: SparkSession, tableRef: String, root: String,
+      table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    GraftGenerated.fill(df, m.props)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+      .writeTo(tableRef).append()
   }
 
   /**

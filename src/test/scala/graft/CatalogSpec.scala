@@ -1997,6 +1997,48 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 52)
   }
 
+  test("generated columns: DDL validation, every-write-path invariant, auto-compute") {
+    import spark.implicits._
+    val t = freshTable("gencol")
+    def df(rows: (Long, Long)*) = rows.toDF("id", "twice")
+    // DDL validation: unknown column, type mismatch, gen-referencing-gen all
+    // fail the CREATE, not the first write.
+    intercept[Exception] {
+      df().writeTo(s"${t}_bad").tableProperty("generate.nope", "id * 2").create()
+    }
+    intercept[Exception] {
+      df().writeTo(s"${t}_bad").tableProperty("generate.twice", "id * 2.5").create()
+    }
+    df((1L, 2L)).writeTo(t).tableProperty("dml", "dv")
+      .tableProperty("generate.twice", "id * 2").create()
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('generate.id'='twice / 2')")
+    }
+    // Batch append with a WRONG provided value rejects the whole commit.
+    val n0 = spark.table(t).count()
+    intercept[Exception] { df((5L, 11L)).writeTo(t).append() }
+    assert(spark.table(t).count() == n0, "rejected write must land zero rows")
+    df((5L, 10L)).writeTo(t).append()
+    // Delta DV UPDATE path: the update's re-inserted row is judged too.
+    intercept[Exception] { spark.sql(s"UPDATE $t SET twice = 99 WHERE id = 5") }
+    spark.sql(s"UPDATE $t SET twice = 10 WHERE id = 5") // agreeing update passes
+    // Auto-compute: a frame WITHOUT the generated column gets it derived.
+    graft.sources.GraftCatalogOps.insertGenerated(spark, t, root, "gencol",
+      Seq(7L, 8L).toDF("id"))
+    assert(spark.table(t).select("id", "twice").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (5L, 10L), (7L, 14L), (8L, 16L)))
+    // ALTER can add a generation rule for a later-added column.
+    spark.sql(s"ALTER TABLE $t ADD COLUMN thrice BIGINT")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('generate.thrice'='id * 3')")
+    intercept[Exception] {
+      Seq((9L, 18L, 0L)).toDF("id", "twice", "thrice").writeTo(t).append()
+    }
+    graft.sources.GraftCatalogOps.insertGenerated(spark, t, root, "gencol",
+      Seq((9L, 18L)).toDF("id", "twice"))
+    assert(spark.table(t).filter(col("id") === 9L)
+      .select("thrice").as[Long].collect().toSeq == Seq(27L))
+  }
+
   test("shallow clone: metadata-only, inherited DVs, independent divergence, vacuum contract") {
     import spark.implicits._
     val src = freshTable("clsrc")
