@@ -1971,6 +1971,45 @@ object StarQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B190 query witness: RENAME COLUMN via column mapping — two renames on
+    // a two-file banded table are metadata-only commits (`no_rewrite` pins
+    // entry-set identity across the ALTERs); reads, writes (the marker row
+    // appends under the NEW names), and file-stat pruning (`pruned`, via the
+    // library evaluator probing the RENAMED key) all follow the logical
+    // names while every parquet footer keeps the original physical name.
+    "q_catalog_rename" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.ren")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderstatus"))
+      val maxk = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val bw = maxk / 2 + 1
+      base.filter(col("o_orderkey") < bw).coalesce(1).writeTo("graft.ren").create()
+      base.filter(col("o_orderkey") >= bw).coalesce(1).writeTo("graft.ren").append()
+      import graft.sources.{GraftCatalogOps, GraftManifest}
+      val root = Tables.scratchDir(s, "catalog", d)
+      val dir = new org.apache.hadoop.fs.Path(root, "ren")
+      val conf = s.sessionState.newHadoopConf()
+      val before = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      s.sql("ALTER TABLE graft.ren RENAME COLUMN o_orderkey TO order_id")
+      s.sql("ALTER TABLE graft.ren RENAME COLUMN cents TO price_cents")
+      val after = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val noRewrite = before.entries.toSet == after.entries.toSet
+      import s.implicits._
+      Seq((-1L, 777L, "X")).toDF("order_id", "price_cents", "o_orderstatus")
+        .writeTo("graft.ren").append()
+      val m2 = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val kept = GraftCatalogOps.mayTouch(m2, Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("order_id", bw)))
+      val pruned = kept.nonEmpty && kept.size < m2.entries.size
+      s.table("graft.ren").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("pruned", lit(pruned))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // B189 query witness: GENERATED COLUMNS — the table partitions by
     // o_month, declared as `generate.o_month = month(o_orderdate)`; the
     // caller appends WITHOUT the column (insertGenerated computes it), a
@@ -4015,6 +4054,18 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B190: rename is invisible to the data — the oracle replays orders plus
+    // the marker row appended under the NEW names; the metadata pins are
+    // predicted true.
+    "q_catalog_rename" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL SELECT 'X', CAST(777 AS BIGINT))
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS no_rewrite, true AS pruned
+        |FROM all_rows GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // B189: the oracle derives the generated key itself — hash equality
     // proves the engine's auto-computed o_month is exactly month(o_orderdate);

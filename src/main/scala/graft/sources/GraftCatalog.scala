@@ -224,6 +224,10 @@ class GraftCatalog extends TableCatalog {
       GraftCheck.resolve(sql, schema) }
     // Generated columns (B189): declarations fail at CREATE, not first write.
     GraftGenerated.validate(keep, schema)
+    // Column-mapping props are engine-managed (written by RENAME COLUMN and
+    // carried by CLONE) — a user-supplied one would silently re-key stats.
+    keep.keys.foreach(k => require(!k.startsWith("physical."),
+      s"table property '$k' is reserved for the engine's column mapping"))
     keep.foreach { case (k, v) =>
       require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
         s"table property '$k' contains a control character — " +
@@ -271,9 +275,47 @@ class GraftCatalog extends TableCatalog {
           props = props + (k -> v)
         case rm: TableChange.RemoveProperty =>
           props = props - rm.property()
+        case rn: TableChange.RenameColumn =>
+          // COLUMN MAPPING rename (B190): one metadata commit, zero rewrites.
+          // The column keeps its PHYSICAL name (what every existing AND
+          // future parquet footer, stat, bloom, and NDV sketch is keyed by);
+          // only the logical name moves, recorded as `physical.<new>`.
+          require(rn.fieldNames().length == 1, "nested columns not supported")
+          val from = rn.fieldNames()(0)
+          val to = rn.newName()
+          require(schema.fieldNames.contains(from),
+            s"cannot rename unknown column $from")
+          require(!schema.fieldNames.contains(to),
+            s"cannot rename $from to $to: column exists")
+          // Surfaces addressed by NAME outside the schema refuse the rename
+          // loudly instead of silently dangling: partition directories parse
+          // the name from paths; bloom/cluster props and CHECK / generated
+          // expressions store SQL text referencing it.
+          require(!cur.partCols.contains(from),
+            s"cannot rename partition column $from")
+          Seq("bloom", "cluster").foreach(pk =>
+            require(!props.get(pk).contains(from),
+              s"cannot rename $from: it is the table's $pk column"))
+          require(!props.contains(GraftGenerated.Prefix + from),
+            s"cannot rename generated column $from")
+          (GraftCheck.declared(props) ++ GraftGenerated.declared(props))
+            .foreach { case (_, sql) =>
+              val refs = GraftCheck.resolve(sql, schema, bind = false,
+                requireBoolean = false).collect {
+                case a: org.apache.spark.sql.catalyst.expressions
+                    .AttributeReference => a.name
+              }.toSet
+              require(!refs.contains(from),
+                s"cannot rename $from: referenced by constraint/generation " +
+                  s"expression '$sql' — drop or rewrite it first")
+            }
+          val physical = props.getOrElse("physical." + from, from)
+          props = props - ("physical." + from) + ("physical." + to -> physical)
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
         case other => throw new UnsupportedOperationException(
-          "graft catalog supports ADD COLUMN / SET TBLPROPERTIES / " +
-            s"UNSET TBLPROPERTIES only, got $other")
+          "graft catalog supports ADD COLUMN / RENAME COLUMN / " +
+            s"SET TBLPROPERTIES / UNSET TBLPROPERTIES only, got $other")
       }
       cur.copy(gen = cur.gen + 1, schema = schema, props = props)
     }
@@ -325,6 +367,23 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
 
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+
+  /** COLUMN MAPPING (B190, the Delta name-mapping design): logical → physical
+    * column names. A column's PHYSICAL name — what parquet footers, file
+    * stats, blooms, and NDV sketches are keyed by — is fixed at creation;
+    * RENAME COLUMN moves only the logical name and records the mapping as a
+    * `physical.<logical>` property, so a rename is one metadata commit and
+    * ZERO file rewrites at any table size. Empty map = identity (untouched
+    * tables pay nothing). */
+  def colMap: Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("physical.") &&
+      k.length > "physical.".length => k.stripPrefix("physical.") -> v }
+
+  def physicalName(c: String): String = props.getOrElse("physical." + c, c)
+
+  def physicalize(st: StructType): StructType =
+    if (colMap.isEmpty) st
+    else StructType(st.fields.map(f => f.copy(name = physicalName(f.name))))
   /** Column carrying a per-file Bloom filter (`bloom=<col>` table property). */
   def bloomCol: Option[String] = props.get("bloom").filter(c =>
     dataSchema.fields.exists(f => f.name == c && GraftBloom.eligible(f.dataType)))
@@ -860,7 +919,13 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   /** Two manifest-side pruning layers, both before ANY file IO: partition
     * filters drop whole partitions; file min/max stats drop individual files
     * a data predicate provably excludes (Delta-style data skipping). */
-  protected def keptEntries: Seq[(String, String)] =
+  protected def keptEntries: Seq[(String, String)] = {
+    // Column mapping (B190): stats/blooms are keyed by PHYSICAL names —
+    // translate the pushed logical filters once for the whole entry walk.
+    val physFilters =
+      if (manifest.colMap.isEmpty) dataFilters
+      else dataFilters.map(GraftScanBuilder.renameFilter(_, manifest.physicalName))
+    val physSchema = manifest.physicalize(manifest.dataSchema)
     manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
@@ -869,11 +934,12 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
           case In("_file", vs) => vs.exists(v => rel == String.valueOf(v))
           case _ => true
         } &&
-        GraftFileStats.mayMatch(manifest.fileStats.get(rel), dataFilters,
-          manifest.dataSchema) &&
+        GraftFileStats.mayMatch(manifest.fileStats.get(rel), physFilters,
+          physSchema) &&
         manifest.bloomCol.forall(bc =>
-          GraftBloom.mayMatch(manifest.fileBlooms.get(rel), bc, dataFilters))
+          GraftBloom.mayMatch(manifest.fileBlooms.get(rel), bc, physFilters))
     }
+  }
 
   /**
    * METADATA-ONLY aggregates (the lakehouse "answer count(*) from the
@@ -967,7 +1033,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
         })
         else {
           val per = rels.indices.map { i =>
-            statsByFile(i).flatMap(_.get(c)).flatMap {
+            statsByFile(i).flatMap(_.get(manifest.physicalName(c))).flatMap {
               case (_, Some(mn), Some(mx)) => Some(Some((mn, mx)))
               case (_, None, None)         => Some(None) // provably all-null
               case _                       => None
@@ -997,7 +1063,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
           val per = rels.indices.map { i =>
             for {
               st <- statsByFile(i)
-              col <- st.get(c)
+              col <- st.get(manifest.physicalName(c))
               rows <- manifest.fileRows.get(rels(i))
             } yield rows - col._1
           }
@@ -1088,6 +1154,30 @@ class GraftLocalAggScan(schema: StructType, result: Array[InternalRow], desc: St
 }
 
 object GraftScanBuilder {
+  /** Rewrite every attribute reference in a V1 filter (column mapping:
+    * logical filter names → the physical names stats and parquet footers
+    * are keyed by). Unknown shapes pass through untouched — they are only
+    * ever used for pruning, where an untranslated name is merely unpruned,
+    * never wrong. */
+  def renameFilter(f: Filter, m: String => String): Filter = f match {
+    case EqualTo(a, v)            => EqualTo(m(a), v)
+    case EqualNullSafe(a, v)      => EqualNullSafe(m(a), v)
+    case GreaterThan(a, v)        => GreaterThan(m(a), v)
+    case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(m(a), v)
+    case LessThan(a, v)           => LessThan(m(a), v)
+    case LessThanOrEqual(a, v)    => LessThanOrEqual(m(a), v)
+    case In(a, vs)                => In(m(a), vs)
+    case IsNull(a)                => IsNull(m(a))
+    case IsNotNull(a)             => IsNotNull(m(a))
+    case StringStartsWith(a, v)   => StringStartsWith(m(a), v)
+    case StringEndsWith(a, v)     => StringEndsWith(m(a), v)
+    case StringContains(a, v)     => StringContains(m(a), v)
+    case And(l, r)                => And(renameFilter(l, m), renameFilter(r, m))
+    case Or(l, r)                 => Or(renameFilter(l, m), renameFilter(r, m))
+    case Not(c)                   => Not(renameFilter(c, m))
+    case other                    => other
+  }
+
   def isPartitionFilter(f: Filter, partCols: Seq[String]): Boolean = f match {
     case EqualTo(a, _)       => partCols.contains(a)
     case EqualNullSafe(a, _) => partCols.contains(a)
@@ -1298,7 +1388,7 @@ class GraftScan(dir: Path, manifest: GraftManifest,
           if (rels.nonEmpty && ndvByFile.forall(_.isDefined)) {
             val regs = new Array[Byte](GraftNdv.Registers)
             var saw = false
-            ndvByFile.foreach(_.get.get(f.name).foreach { r =>
+            ndvByFile.foreach(_.get.get(manifest.physicalName(f.name)).foreach { r =>
               GraftNdv.merge(regs, r); saw = true })
             // Every kept file carries sketches but none has this column's ⇒
             // the column is all-null across the scan: NDV 0 is exact.
@@ -1306,7 +1396,7 @@ class GraftScan(dir: Path, manifest: GraftManifest,
           } else None
         val nulls: Option[Long] =
           if (rels.nonEmpty && statsByFile.forall(_.isDefined)) {
-            val per = statsByFile.map(_.get.get(f.name).map(_._1))
+            val per = statsByFile.map(_.get.get(manifest.physicalName(f.name)).map(_._1))
             if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
           } else None
         put(f.name, ndv, nulls)
@@ -1899,7 +1989,13 @@ object GraftParquetRead {
     // deletion vectors to land on the right rows) — so slices that carry a
     // DV or feed `_pos` read through an UNfiltered twin instead.
     val dataNames = manifest.dataSchema.fieldNames.toSet
+    // Column mapping (B190): the parquet FILES carry physical names — request
+    // and filter by them. Output rows are consumed positionally, so logical
+    // naming above the scan is untouched.
+    val phys: String => String = manifest.physicalName
     val parquetFilters = dataFilters.filter(_.references.forall(dataNames))
+      .map(f => if (manifest.colMap.isEmpty) f
+                else GraftScanBuilder.renameFilter(f, phys))
     // `_gen` / `_file` ride the partition-values channel: per-file constants
     // the parquet reader appends without the file containing them. `_pos`
     // varies per row — appended by the ordinal counter below instead.
@@ -1912,9 +2008,9 @@ object GraftParquetRead {
     def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
       fmt.buildReaderWithPartitionValues(
         rowSession,
-        dataSchema = manifest.dataSchema,
+        dataSchema = manifest.physicalize(manifest.dataSchema),
         partitionSchema = StructType(partFields),
-        requiredSchema = StructType(dataFields),
+        requiredSchema = manifest.physicalize(StructType(dataFields)),
         filters = filters,
         // returningBatch=false: the vectorized reader still runs inside but
         // hands back row views — the contract the row PartitionReader needs.
@@ -2274,7 +2370,7 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new GraftDeltaWriterFactory(writeSchema, prev.partCols,
       new Path(dir, genRel).toString, conf, prev.bloomCol,
-      GraftCheck.compiled(prev.props, writeSchema))
+      GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftDeltaMessage])
@@ -2344,12 +2440,13 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
 
 class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, bloomCol: Option[String],
-    checks: Seq[GraftCheckPredicate] = Seq.empty)
+    checks: Seq[GraftCheckPredicate] = Seq.empty,
+    colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol, checks)
+      partitionId, taskId, bloomCol, checks, colMap)
 }
 
 /** Task side of the merge-on-read write: inserts reuse the ordinary parquet
@@ -2357,7 +2454,8 @@ class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * pairs — a few longs per deleted row, never row data. */
 class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String], checks: Seq[GraftCheckPredicate] = Seq.empty)
+    bloomCol: Option[String], checks: Seq[GraftCheckPredicate] = Seq.empty,
+    colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   // LAZY: a pure DELETE's write schema is EMPTY (no row data travels with a
   // delete) — constructing the parquet writer would fail resolving partition
@@ -2365,7 +2463,7 @@ class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
   private var innerOpt: Option[GraftRowWriter] = None
   private def inner: GraftRowWriter = innerOpt.getOrElse {
     val w = new GraftRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol, checks)
+      partitionId, taskId, bloomCol, checks, colMap)
     innerOpt = Some(w); w
   }
   private val deletes =
@@ -2524,7 +2622,7 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(writeSchema, prev.partCols, dir.toString, queryId,
-      conf, prev.bloomCol, GraftCheck.compiled(prev.props, writeSchema))
+      conf, prev.bloomCol, GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val c = conf.value
@@ -3291,7 +3389,7 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(writeSchema, prev.partCols,
       new Path(dir, genRel).toString, conf, prev.bloomCol,
-      GraftCheck.compiled(prev.props, writeSchema))
+      GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val freshAll = messages.flatMap { case GraftFilesMessage(fs, _) => fs }.toSeq
@@ -3341,22 +3439,25 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   * the streaming engine serializes the factory into every task. */
 class GraftStreamingWriterFactory(writeSchema: StructType, partCols: Seq[String],
     tableDir: String, queryId: String, conf: SerializableHadoopConf,
-    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty)
+    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty,
+    colMap: Map[String, String] = Map.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols,
-      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol, checks)
+      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol,
+      checks, colMap)
 }
 
 class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf,
     bloomCol: Option[String] = None,
-    checks: Seq[GraftCheckPredicate] = Seq.empty) extends DataWriterFactory {
+    checks: Seq[GraftCheckPredicate] = Seq.empty,
+    colMap: Map[String, String] = Map.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId,
-      bloomCol, checks)
+      bloomCol, checks, colMap)
 }
 
 /** Per-task writer shared by the batch and streaming paths: one parquet file
@@ -3364,12 +3465,16 @@ class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * makes that exactly one file per partition per commit). */
 class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty)
+    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty,
+    colMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
       private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
       private val dataIdx =
         writeSchema.fields.indices.filterNot(partIdx.contains).toArray
-      private val dataSchema = StructType(dataIdx.map(writeSchema.fields))
+      // Column mapping (B190): parquet footers, stats, blooms and NDV sketches
+      // key by PHYSICAL names — stable across logical renames.
+      private val dataSchema = StructType(dataIdx.map(writeSchema.fields).map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))))
       // Strip partition columns from the stored rows (they live in the path).
       private val project = UnsafeProjection.create(dataIdx.map(i =>
         BoundReference(i, writeSchema.fields(i).dataType,
@@ -3393,7 +3498,7 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
       private var rows = 0L
       // Bloom column's index in the PROJECTED (data) row, when configured.
       private val bloomIdx: Option[Int] = bloomCol.flatMap { c =>
-        val i = dataSchema.fieldNames.indexOf(c)
+        val i = dataSchema.fieldNames.indexOf(colMap.getOrElse(c, c))
         if (i >= 0 && GraftBloom.eligible(dataSchema.fields(i).dataType)) Some(i)
         else None
       }
@@ -3635,12 +3740,16 @@ object GraftCatalogOps {
     * file-stats, and bloom pruning — the scan's three metadata layers, shared
     * with maintenance ops ([[replaceWhere]]). Driver-side, zero file IO. */
   def mayTouch(m: GraftManifest, filters: Array[Filter]): Seq[(String, String)] = {
-    val (part, data) = filters.partition(
+    val (part, data0) = filters.partition(
       GraftScanBuilder.isPartitionFilter(_, m.partCols))
+    // Stats/blooms key by PHYSICAL names (column mapping, B190).
+    val data = if (m.colMap.isEmpty) data0
+      else data0.map(GraftScanBuilder.renameFilter(_, m.physicalName))
+    val physSchema = m.physicalize(m.dataSchema)
     m.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       part.forall(f => GraftScanBuilder.matches(f, values, m.schema)) &&
-        GraftFileStats.mayMatch(m.fileStats.get(rel), data, m.dataSchema) &&
+        GraftFileStats.mayMatch(m.fileStats.get(rel), data, physSchema) &&
         m.bloomCol.forall(bc =>
           GraftBloom.mayMatch(m.fileBlooms.get(rel), bc, data))
     }
@@ -4017,8 +4126,11 @@ object GraftCatalogOps {
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
     val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val phys = if (m.colMap.isEmpty) filters
+      else filters.map(GraftScanBuilder.renameFilter(_, m.physicalName))
     val skipped = m.entries.count { case (_, rel) =>
-      !GraftFileStats.mayMatch(m.fileStats.get(rel), filters, m.dataSchema)
+      !GraftFileStats.mayMatch(m.fileStats.get(rel), phys,
+        m.physicalize(m.dataSchema))
     }
     (skipped.toLong, m.entries.size.toLong)
   }

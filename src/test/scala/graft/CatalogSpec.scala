@@ -1997,6 +1997,62 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 52)
   }
 
+  test("RENAME COLUMN: zero-rewrite column mapping; stats, filters, writes and travel follow") {
+    import spark.implicits._
+    val t = freshTable("ren")
+    def band(b: Long) = (b * 100L until (b + 1) * 100L).map(i => (i, s"v$i"))
+      .toDF("id", "s").coalesce(1)
+    band(0).writeTo(t).tableProperty("dml", "dv").create()
+    band(1).writeTo(t).append()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.globStatus(new Path(new Path(root, "ren"), "gen-*/*.parquet"))
+      .map(st => (st.getPath.toString, st.getModificationTime, st.getLen)).toSet
+    val before = dataFiles()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO item_id")
+    // Metadata-only: not one data file moved, rewrote, or changed size.
+    assert(dataFiles() == before)
+    // Reads resolve the NEW name against the OLD physical footers.
+    assert(spark.table(t).agg(org.apache.spark.sql.functions.sum("item_id"))
+      .head.getLong(0) == (0L until 200L).sum)
+    intercept[Exception] { spark.table(t).select("id").collect() }
+    // File-stat pruning follows the rename (stats are keyed physically).
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    def manifest() = {
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new Path(root, "ren")
+      graft.sources.GraftManifest.load(dir,
+        graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    }
+    assert(graft.sources.GraftCatalogOps.mayTouch(manifest(),
+      Array(LessThan("item_id", 50L))).size == 1)
+    assert(spark.table(t).filter(col("item_id") < 50).count() == 50)
+    // Writes after the rename keep the PHYSICAL footer name, so old and new
+    // files stay uniformly keyed: the new band is stats-prunable too.
+    Seq((200L, "v200")).toDF("item_id", "s").writeTo(t).append()
+    assert(spark.table(t).count() == 201)
+    assert(graft.sources.GraftCatalogOps.mayTouch(manifest(),
+      Array(EqualTo("item_id", 200L))).size == 1)
+    // Row-level DML addresses the new name; time travel keeps each
+    // generation's OWN schema (pre-rename snapshots read as `id`).
+    spark.sql(s"DELETE FROM $t WHERE item_id = 150")
+    assert(spark.table(t).count() == 200)
+    val old = spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
+    assert(old.columns.contains("id") && !old.columns.contains("item_id"))
+    assert(old.count() == 200)
+    // A second rename chains through to the ORIGINAL physical name.
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN item_id TO thing")
+    assert(spark.table(t).filter(col("thing") === 42L).count() == 1)
+    // Refusals: unknown column, collision, partition column.
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN nope TO x") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN thing TO s") }
+    val tp = freshTable("renpart")
+    band(0).writeTo(tp).partitionedBy(col("id")).create()
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tp RENAME COLUMN id TO pid") }
+  }
+
   test("generated columns: DDL validation, every-write-path invariant, auto-compute") {
     import spark.implicits._
     val t = freshTable("gencol")
