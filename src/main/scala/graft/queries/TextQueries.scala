@@ -225,6 +225,26 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // B191: C4-style BLOCKLIST document filtering — membership of any
+    // blocklist term among the document's tokens, via `arrays_overlap`
+    // against a broadcast literal term set (a hash-set probe per doc, the
+    // scale shape; NOT a regex alternation, whose NFA cost grows with the
+    // list and which C4's word-boundary semantics don't want anyway). At
+    // 100 TB the blocklist rides the closure as a literal array — no join,
+    // no shuffle, pure codegen'd per-row work on the existing scan.
+    "q_text_blocklist" -> { (s, d) =>
+      val block = Seq("slow", "crash", "error", "spill")
+      Tables.documents(s, d)
+        .withColumn("blocked",
+          arrays_overlap(split(lower(col("text")), "\\s+"), typedlit(block)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("blocked"), lit(1))).as("n_blocked"))
+        .withColumn("blocked_bp",
+          expr("CAST(n_blocked * 10000 DIV n_docs AS BIGINT)"))
+        .orderBy(col("lang"))
+    },
+
     // Benchmark decontamination: corpus docs sharing >= 3 distinct 5-grams with a
     // (deterministically chosen) benchmark subset — the eval-leak scan. Benchmark
     // shingles broadcast; the corpus streams once. doc_id % 7 lands several of the
@@ -1061,6 +1081,18 @@ object TextQueries {
         |      doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, sample_rank""".stripMargin,
+
+    // B191: list_has_any is DuckDB's hash-membership twin of arrays_overlap;
+    // integer basis points divide identically (DIV vs //).
+    "q_text_blocklist" ->
+      """WITH d AS (
+        |  SELECT lang, list_has_any(string_split_regex(lower(text), '\s+'),
+        |    ['slow', 'crash', 'error', 'spill']) AS blocked
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(count_if(blocked) AS BIGINT) AS n_blocked,
+        |  CAST(count_if(blocked) * 10000 // count(*) AS BIGINT) AS blocked_bp
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Integer-exact mirrors of Corpus.ruleFlags: token-length sum is derived as
     // length(text) - (n_tok - 1) for space-joined text on both sides.
