@@ -269,6 +269,35 @@ object Similarity {
     } finally exploded.unpersist(blocking = false)
   }
 
+  /**
+   * Scalar-quantization ANN (the FAISS `IndexScalarQuantizer` SQ8 shape,
+   * asymmetric variant): the index stores per-vector (scale, int8 codes) —
+   * B36's symmetric quantization layout, 4x less memory than float32 — and
+   * the float query scores AGAINST THE CODES: dot(q, dequant(codes)) =
+   * (scale/127)·dot(q, codes), one scalar multiply after the
+   * integer-weighted sum. No training, no codebook, one corpus pass; ranking
+   * error is bounded by the per-vector quantization step. Unlike the
+   * k-means-trained arms the whole computation is deterministic integer
+   * math over IEEE doubles, so the APPROXIMATE scores themselves are
+   * SQL-replayable — the only ANN arm whose scores ride the hash gate
+   * directly.
+   */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(e, x => abs(x)))
+    val encoded = corpus.select(col("vec_id"), scale.as("sq_scale"),
+      when(scale === 0, transform(e, _ => lit(0)))
+        .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
+        .as("codes"))
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sqdot", round(
+        aggregate(zip_with(transform(col("q_vec"), x => x.cast("double")),
+            col("codes"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+          * col("sq_scale") / lit(127.0), 4))
+    rankTopK(scored, "sqdot", ascending = false, k)
+  }
+
   /** Materialized PQ index: `(vec_id, embedding, code_0..code_{m-1})` — the
     * FAISS index-BUILD step as a reusable DataFrame. Encoding is the expensive
     * per-row pass (m × k codeword distances); a caller running several PQ arms

@@ -93,6 +93,19 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // B192: scalar-quantization ANN (FAISS SQ8, asymmetric) — the corpus
+    // compresses to per-vector (scale, int8 codes) and queries score against
+    // the codes; deterministic integer math makes the approximate scores
+    // themselves SQL-replayable, so this arm's ranking rides the hash gate
+    // directly (no floor booleans needed).
+    "q_sim_ann_sq" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 305)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.sqTopK(qs, emb.select(col("vec_id"), col("embedding")), 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // B12 approximate path 2: sign-LSH bucketed top-k (no training, one equi-join).
     "q_sim_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -404,6 +417,30 @@ object VectorQueries {
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),4) AS avg_norm,
         | round(avg(CAST(embedding[1] AS DOUBLE)),4) AS avg_c1
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // B192: full SQL replay of the SQ8 arm — same quantization, same
+    // index-order dot product, same (·scale/127) dequantization, same
+    // round-4 ranking cut.
+    "q_sim_ann_sq" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |enc AS (SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |         ELSE list_transform(e, x -> CAST(floor(127.0 * x / scale) AS INT)) END AS codes
+        |  FROM s),
+        |q AS (SELECT vec_id AS q_id, e AS qv FROM v
+        |  WHERE vec_id >= 300 AND vec_id < 305),
+        |scored AS (
+        |  SELECT q_id, enc.vec_id,
+        |    round(list_dot_product(qv, list_transform(codes, c -> CAST(c AS DOUBLE)))
+        |      * enc.scale / 127.0, 4) AS sqdot
+        |  FROM enc CROSS JOIN q WHERE enc.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sqdot,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sqdot DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, vec_id, sqdot FROM ranked WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "q_vec_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -130,6 +130,32 @@ class VectorExpressionSpec extends GraftSuite {
       s"IVF-PQ returned off-cluster neighbors: $offCluster")
   }
 
+  test("SQ8: lossless on {-1,0,1} vectors — ranking equals brute force exactly") {
+    import graft.operators.Similarity
+    // Components in {-1,0,1} quantize to {-127,0,127} and dequantize EXACTLY,
+    // so the SQ arm must reproduce the exact arm's ranking bit-for-bit.
+    val dims = 8
+    val corpus = spark.range(1, 40).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dims - 1}), " +
+        "j -> CAST(CAST(pmod(id * (j + 3), 3) AS INT) - 1 AS FLOAT))")
+        .as("embedding"))
+    val qs = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sq = Similarity.sqTopK(qs, corpus, 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val exactDot = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", round(VectorOps.dot(col("embedding"), col("q_vec")), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc_nulls_last, col("vec_id"))
+    val exact = exactDot.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5).select(col("q_id"), col("rnk"), col("vec_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sq === exact)
+    assert(sq.size === 15, "3 queries x top-5")
+  }
+
   test("kmeans at iters=10 keeps a constant-size plan (no lineage blow-up)") {
     import graft.operators.Similarity
     val corpus = Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
