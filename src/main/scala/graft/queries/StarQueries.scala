@@ -1971,6 +1971,40 @@ object StarQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // B193 query witness: CALL procedures — the maintenance surface driven
+    // from pure SQL with named arguments: DV-targeted OPTIMIZE and snapshot
+    // TAG run via `CALL graft.system.*`, their one-row result sets feed the
+    // pinned booleans (`opt_ok`: exactly the DV-heavy file compacted;
+    // `tag_ok`), and the tagged pre-delete snapshot is read back through
+    // `VERSION AS OF '<name>'` into the hash-gated output alongside the live
+    // per-partition aggregate.
+    "q_catalog_call" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.pcall")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.pcall").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()
+      s.sql("DELETE FROM graft.pcall WHERE pk = 0 AND o_orderkey % 2 = 0")
+      val opt = s.sql(
+        "CALL graft.system.optimize(table => 'pcall', min_deleted_ratio => 0.2)")
+        .collect()(0)
+      val optOk = opt.getLong(1) == 1L && opt.getLong(3) == 0L
+      val tagOk = s.sql(
+        "CALL graft.system.tag(table => 'pcall', name => 'audit', version => 1)")
+        .collect()(0).getBoolean(0)
+      val taggedN = s.sql(
+        "SELECT count(*) FROM graft.pcall VERSION AS OF 'audit'")
+        .collect()(0).getLong(0)
+      s.table("graft.pcall").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("tagged_n", lit(taggedN))
+        .withColumn("opt_ok", lit(optOk))
+        .withColumn("tag_ok", lit(tagOk))
+        .orderBy(col("pk"))
+    },
+
     // B190 query witness: RENAME COLUMN via column mapping — two renames on
     // a two-file banded table are metadata-only commits (`no_rewrite` pins
     // entry-set identity across the ALTERs); reads, writes (the marker row
@@ -4054,6 +4088,21 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B193: relational replay of the CALLed maintenance — live state is
+    // orders minus the pk-0 even deletes, the tagged snapshot is the full
+    // pre-delete count, and the CALL result booleans are predicted true.
+    "q_catalog_call" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders),
+        |live AS (
+        |  SELECT * FROM base WHERE NOT (pk = 0 AND o_orderkey % 2 = 0))
+        |SELECT pk, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  (SELECT count(*) FROM base) AS tagged_n,
+        |  true AS opt_ok, true AS tag_ok
+        |FROM live GROUP BY pk ORDER BY pk""".stripMargin,
 
     // B190: rename is invisible to the data — the oracle replays orders plus
     // the marker row appended under the NEW names; the metadata pins are

@@ -78,9 +78,24 @@ import graft.SerializableHadoopConf
  * rules in [[GraftCommitProtocol]] — appends always serialize, replacing
  * writes fail loudly when a concurrent commit touched what they replace.
  */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var root: Path = _
+
+  /** CALL-procedure surface (B193, the Iceberg `CALL cat.system.proc(...)`
+    * maintenance API): every driver-side maintenance op is SQL-reachable. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the `system` namespace: CALL $catName.system.<proc>(...), got $ident")
+    GraftProcedures.load(ident.name(), catName, root.toString)
+  }
 
   private def conf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
@@ -4180,5 +4195,127 @@ object GraftCatalogOps {
           m.entries.map(_._1).distinct.size.toLong, m.txns.size.toLong))
       } catch { case _: Exception => None }
     }.toDF("gen", "n_files", "n_partitions", "n_txns")
+  }
+}
+
+/**
+ * CALL-procedure registry (B193, the Iceberg `CALL catalog.system.proc(...)`
+ * surface via Spark 4's ProcedureCatalog): every driver-side maintenance
+ * operation — vacuum, optimize, zorder, restore, clone, tag/untag — is
+ * reachable from pure SQL with named arguments and defaults, so an operator
+ * (or an orchestrator with only a SQL gateway) never needs library code on
+ * the classpath. Each procedure runs its [[GraftCatalogOps]] twin on the
+ * driver and returns a one-row summary as a [[GraftLocalAggScan]] (a
+ * LocalScan: zero tasks), which `CALL` surfaces as the statement's result
+ * set. Procedures are non-deterministic by declaration (they mutate tables);
+ * argument binding, coercion, and named-vs-positional matching are Spark's.
+ */
+object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType}
+
+  private def in(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inDef(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+  private def out(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, dt) =>
+      org.apache.spark.sql.types.StructField(n, dt, nullable = false) })
+
+  private case class ProcDef(name: String, description: String,
+      params: Seq[ProcedureParameter], outSchema: StructType,
+      run: (SparkSession, String, String, InternalRow) => Seq[Any])
+
+  private def ref(cat: String, t: String) = s"$cat.`$t`"
+
+  private val defs: Seq[ProcDef] = Seq(
+    ProcDef("vacuum",
+      "reclaim files unreferenced by the retained manifests (leases + tags honored)",
+      Seq(in("table", StringType), inDef("keep_gens", IntegerType, "1"),
+        inDef("grace_ms", LongType, GraftCatalogOps.DefaultUncommittedGraceMs.toString)),
+      out("files_deleted" -> LongType, "manifests_deleted" -> LongType),
+      (s, _, root, a) => {
+        val (f, m) = GraftCatalogOps.vacuum(s, root, a.getUTF8String(0).toString,
+          keepGens = a.getInt(1), uncommittedGraceMs = a.getLong(2))
+        Seq(f, m)
+      }),
+    ProcDef("optimize",
+      "compact the live snapshot; min_deleted_ratio > 0 targets DV-heavy files only",
+      Seq(in("table", StringType), inDef("min_deleted_ratio", DoubleType, "0.0")),
+      out("files_before" -> LongType, "dvs_before" -> LongType,
+        "files_after" -> LongType, "dvs_after" -> LongType),
+      (s, cat, root, a) => {
+        val t = a.getUTF8String(0).toString
+        val (fb, db, fa, da) =
+          GraftCatalogOps.optimize(s, ref(cat, t), root, t, a.getDouble(1))
+        Seq(fb, db, fa, da)
+      }),
+    ProcDef("zorder",
+      "Morton-cluster the live snapshot on two columns (within partitions when partitioned)",
+      Seq(in("table", StringType), in("col_x", StringType), in("col_y", StringType),
+        inDef("num_files", IntegerType, "8")),
+      out("files_before" -> LongType, "files_after" -> LongType),
+      (s, cat, root, a) => {
+        val t = a.getUTF8String(0).toString
+        val (fb, fa) = GraftCatalogOps.optimizeZorder(s, ref(cat, t), root, t,
+          a.getUTF8String(1).toString, a.getUTF8String(2).toString, a.getInt(3))
+        Seq(fb, fa)
+      }),
+    ProcDef("restore",
+      "roll the table back to an earlier generation as one metadata-only commit",
+      Seq(in("table", StringType), in("version", LongType)),
+      out("restored_to_generation" -> LongType),
+      (s, _, root, a) => Seq(GraftCatalogOps.restore(s, root,
+        a.getUTF8String(0).toString, a.getLong(1))),
+    ),
+    ProcDef("clone",
+      "shallow-clone the source's current snapshot as a metadata-only new table",
+      Seq(in("source", StringType), in("target", StringType)),
+      out("clone_generation" -> LongType),
+      (s, _, root, a) => Seq(GraftCatalogOps.cloneTable(s, root,
+        a.getUTF8String(0).toString, a.getUTF8String(1).toString)),
+    ),
+    ProcDef("tag",
+      "pin a generation under a durable name (vacuum-exempt; VERSION AS OF '<name>')",
+      Seq(in("table", StringType), in("name", StringType), in("version", LongType)),
+      out("tagged" -> BooleanType),
+      (s, _, root, a) => {
+        GraftCatalogOps.tag(s, root, a.getUTF8String(0).toString,
+          a.getUTF8String(1).toString, a.getLong(2))
+        Seq(true)
+      }),
+    ProcDef("untag",
+      "release a named snapshot pin; returns whether the tag existed",
+      Seq(in("table", StringType), in("name", StringType)),
+      out("removed" -> BooleanType),
+      (s, _, root, a) => Seq(GraftCatalogOps.untag(s, root,
+        a.getUTF8String(0).toString, a.getUTF8String(1).toString)),
+    ))
+
+  def names: Seq[String] = defs.map(_.name)
+
+  def load(procName: String, catName: String, root: String): UnboundProcedure = {
+    val d = defs.find(_.name == procName).getOrElse(throw new NoSuchTableException(
+      Identifier.of(Array("system"), procName)) {
+      override def getMessage: String =
+        s"unknown procedure $procName — known: ${names.mkString(", ")}"
+    })
+    new UnboundProcedure {
+      override def name(): String = d.name
+      override def description(): String = d.description
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = d.name
+        override def description(): String = d.description
+        override def parameters(): Array[ProcedureParameter] = d.params.toArray
+        override def isDeterministic(): Boolean = false
+        override def call(input: InternalRow)
+            : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+          val vs = d.run(SparkSession.active, catName, root, input)
+          java.util.Collections.singletonList[org.apache.spark.sql.connector.read.Scan](
+            new GraftLocalAggScan(d.outSchema, Array(InternalRow.fromSeq(vs)),
+              s"CALL $catName.system.${d.name}")).iterator()
+        }
+      }
+    }
   }
 }

@@ -1997,6 +1997,46 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 52)
   }
 
+  test("CALL procedures: the maintenance surface is SQL-reachable with named args and defaults") {
+    import spark.implicits._
+    val t = freshTable("proc")
+    (0L until 120L).map(i => (i, i % 3)).toDF("id", "pk")
+      .writeTo(t).partitionedBy(col("pk")).tableProperty("dml", "dv").create()
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 0 AND pk = 0") // 50% DV debt in pk=0
+    // tag + untag round trip, named args.
+    val tagged = spark.sql(
+      "CALL gtest.system.tag(table => 'proc', name => 'v-one', version => 1)")
+      .as[Boolean].collect()
+    assert(tagged.toSeq == Seq(true))
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'v-one'")
+      .as[Long].head == 120L)
+    // optimize via CALL: DV-targeted (positional + default composition).
+    val opt = spark.sql(
+      "CALL gtest.system.optimize(table => 'proc', min_deleted_ratio => 0.2)")
+      .as[(Long, Long, Long, Long)].head
+    assert(opt._2 == 1L && opt._4 == 0L, s"DV should compact away, got $opt")
+    assert(spark.table(t).count() == 100L)
+    // clone via CALL, then restore the clone back after divergence.
+    spark.sql("DROP TABLE IF EXISTS gtest.proc2")
+    val cg = spark.sql(
+      "CALL gtest.system.clone(source => 'proc', target => 'proc2')")
+      .as[Long].head
+    assert(cg == 0L)
+    spark.sql("DELETE FROM gtest.proc2 WHERE pk = 1")
+    assert(spark.table("gtest.proc2").count() < 100L)
+    spark.sql("CALL gtest.system.restore(table => 'proc2', version => 0)")
+    assert(spark.table("gtest.proc2").count() == 100L)
+    // vacuum via CALL with the aggressive override; defaulted keep_gens.
+    val vac = spark.sql(
+      "CALL gtest.system.vacuum(table => 'proc', grace_ms => 0)")
+      .as[(Long, Long)].head
+    assert(vac._1 >= 1L, s"optimize left dead files to reclaim, got $vac")
+    assert(spark.table(t).count() == 100L)
+    // unknown procedure errors with the known list.
+    val ex = intercept[Exception] { spark.sql("CALL gtest.system.nope()") }
+    assert(ex.getMessage.contains("nope"))
+  }
+
   test("RENAME COLUMN: zero-rewrite column mapping; stats, filters, writes and travel follow") {
     import spark.implicits._
     val t = freshTable("ren")
