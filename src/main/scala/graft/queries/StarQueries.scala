@@ -2726,6 +2726,39 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B194 query witness: HILBERT clustering — the same maintenance op under
+    // `curve => 'hilbert'`, driven through the CALL surface (B193): the
+    // native loop expression (graft.plans.HilbertIndex) Hilbert-orders the
+    // table so a contiguous key range is a compact, diagonal-jump-free tile;
+    // both single-axis probes still prune by file stats, and the rewrite is
+    // lossless (per-pk aggregate rides the hash gate).
+    "q_catalog_zorder_hilbert" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.zhq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+          pmod(hash(col("o_orderkey")), lit(64)).cast("long").as("x"),
+          pmod(hash(col("o_orderkey") + 7), lit(64)).cast("long").as("y"))
+        .repartition(8)
+        .writeTo("graft.zhq").create()
+      val root = Tables.scratchDir(s, "catalog", d)
+      val nFiles = s.sql("CALL graft.system.zorder(table => 'zhq', " +
+          "col_x => 'x', col_y => 'y', curve => 'hilbert')")
+        .collect()(0).getLong(1)
+      import org.apache.spark.sql.sources.LessThan
+      val (skipX, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zhq", Array(LessThan("x", 16L)))
+      val (skipY, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zhq", Array(LessThan("y", 16L)))
+      s.table("graft.zhq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("hilbert_files", lit(nFiles))
+        .withColumn("skip_x", lit(skipX >= 2L))
+        .withColumn("skip_y", lit(skipY >= 2L))
+        .orderBy(col("pk"))
+    },
+
     // B183 query witness: OPTIMIZE ZORDER on a PARTITIONED table (the Delta
     // within-partition Z-ordering semantics round 6 refused): range-partition
     // over (partition cols, morton key) keeps partition values contiguous
@@ -4268,6 +4301,14 @@ object StarQueries {
       """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  CAST(8 AS BIGINT) AS zorder_files, true AS skip_x, true AS skip_y
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B194: the Hilbert rewrite is lossless and prunes both axes — same
+    // relational replay as the Morton twin, default num_files=8 via CALL.
+    "q_catalog_zorder_hilbert" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(8 AS BIGINT) AS hilbert_files, true AS skip_x, true AS skip_y
         |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B177: three racing appenders of disjoint slices serialize losslessly —

@@ -4103,7 +4103,7 @@ object GraftCatalogOps {
    */
   def optimizeZorder(spark: SparkSession, tableRef: String, root: String,
                      table: String, xCol: String, yCol: String,
-                     numFiles: Int): (Long, Long) = {
+                     numFiles: Int, curve: String = "morton"): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -4124,8 +4124,16 @@ object GraftCatalogOps {
     // that shape (writers key files by partition VALUE, so a partition spread
     // across tasks commits one tile file per task — exactly the layout).
     val rangeCols = before.partCols.map(col) :+ col("__zkey")
+    // `curve`: morton (B52's shift/mask ladder) or hilbert (B194's native
+    // loop expression — no diagonal jumps, tighter tiles per key range).
+    val key = curve match {
+      case "morton"  => graft.operators.Layout.zorderKey(col(xCol), col(yCol))
+      case "hilbert" => graft.plans.LayoutExpressions.hilbertKey(col(xCol), col(yCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown space-filling curve '$other' — morton | hilbert")
+    }
     spark.table(tableRef)
-      .withColumn("__zkey", graft.operators.Layout.zorderKey(col(xCol), col(yCol)))
+      .withColumn("__zkey", key)
       .repartitionByRange(numFiles, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zkey")
@@ -4251,14 +4259,17 @@ object GraftProcedures {
         Seq(fb, db, fa, da)
       }),
     ProcDef("zorder",
-      "Morton-cluster the live snapshot on two columns (within partitions when partitioned)",
+      "space-filling-curve-cluster the live snapshot on two columns " +
+        "(within partitions when partitioned); curve = morton | hilbert",
       Seq(in("table", StringType), in("col_x", StringType), in("col_y", StringType),
-        inDef("num_files", IntegerType, "8")),
+        inDef("num_files", IntegerType, "8"),
+        inDef("curve", StringType, "'morton'")),
       out("files_before" -> LongType, "files_after" -> LongType),
       (s, cat, root, a) => {
         val t = a.getUTF8String(0).toString
         val (fb, fa) = GraftCatalogOps.optimizeZorder(s, ref(cat, t), root, t,
-          a.getUTF8String(1).toString, a.getUTF8String(2).toString, a.getInt(3))
+          a.getUTF8String(1).toString, a.getUTF8String(2).toString, a.getInt(3),
+          a.getUTF8String(4).toString)
         Seq(fb, fa)
       }),
     ProcDef("restore",

@@ -131,6 +131,33 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("hilbertKey: bijective contiguous traversal with grid-adjacent steps") {
+    // The 64x64 aligned subgrid is a node of the Hilbert recursion: its 4096
+    // cells occupy ONE contiguous d-range and consecutive cells are
+    // grid-ADJACENT (|dx|+|dy| == 1) — the locality property Morton lacks
+    // (diagonal jumps between quadrants).
+    val cells = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val keyed = cells.withColumn("d",
+        graft.plans.LayoutExpressions.hilbertKey(col("x"), col("y")))
+      .select("x", "y", "d").as[(Long, Long, Long)].collect()
+    val ds = keyed.map(_._3)
+    assert(ds.distinct.length === 4096, "bijective on the subgrid")
+    assert(ds.max - ds.min === 4095L, "one contiguous curve segment")
+    keyed.sortBy(_._3).sliding(2).foreach { w =>
+      val Seq((x1, y1, _), (x2, y2, _)) = w.toSeq
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"non-adjacent Hilbert step ($x1,$y1)->($x2,$y2)")
+    }
+    // Interpreted eval (the codegen-fallback path) agrees with codegen.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byCell = keyed.map(t => (t._1, t._2) -> t._3).toMap
+    Seq((0L, 0L), (5L, 9L), (63L, 63L), (17L, 42L)).foreach { case (x, y) =>
+      val interp = graft.plans.HilbertIndex(Literal(x), Literal(y)).eval(null)
+      assert(interp === byCell((x, y)), s"interpreted != codegen at ($x,$y)")
+    }
+  }
+
   test("zorderWrite drops the layout key: output schema equals input schema") {
     import graft.operators.Layout
     val dir = java.nio.file.Files.createTempDirectory("zw").toString
