@@ -1978,6 +1978,43 @@ object StarQueries {
     // `tag_ok`), and the tagged pre-delete snapshot is read back through
     // `VERSION AS OF '<name>'` into the hash-gated output alongside the live
     // per-partition aggregate.
+    // B195 query witness: WAP branches — fork, write two batches to the
+    // branch (main provably isolated), audit-read the branch head via
+    // VERSION AS OF, then fast_forward publishes BOTH branch commits as ONE
+    // main generation (metadata-only: data files never move). The final
+    // aggregate hashes the published state; the isolation + publish pins
+    // ride the gate as booleans.
+    "q_catalog_branch" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.wapq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0).writeTo("graft.wapq").create()
+      val mainN = s.table("graft.wapq").count()
+      val forkBase = s.sql(
+        "CALL graft.system.branch(table => 'wapq', name => 'audit')")
+        .collect()(0).getLong(0)
+      base.filter(col("o_orderkey") % 4 === 1)
+        .writeTo("graft.wapq").option("branch", "audit").append()
+      base.filter(col("o_orderkey") % 4 === 3)
+        .writeTo("graft.wapq").option("branch", "audit").append()
+      val isolated = s.table("graft.wapq").count() == mainN
+      val auditN = s.sql("SELECT count(*) FROM graft.wapq VERSION AS OF 'audit'")
+        .collect()(0).getLong(0)
+      val published = s.sql(
+        "CALL graft.system.fast_forward(table => 'wapq', name => 'audit')")
+        .collect()(0).getLong(0)
+      val ffOk = published == forkBase + 1 &&
+        s.table("graft.wapq").count() == auditN
+      s.table("graft.wapq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("audit_n", lit(auditN))
+        .withColumn("main_isolated", lit(isolated))
+        .withColumn("ff_ok", lit(ffOk))
+        .orderBy(col("pk"))
+    },
+
     "q_catalog_call" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       s.sql("DROP TABLE IF EXISTS graft.pcall")
@@ -4121,6 +4158,16 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B195: the published WAP state is plain orders (both branch batches
+    // fast-forwarded onto the even-key base); the audit count is the full
+    // table and the isolation/publish pins are predicted true.
+    "q_catalog_branch" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  (SELECT count(*) FROM orders) AS audit_n,
+        |  true AS main_isolated, true AS ff_ok
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B193: relational replay of the CALLed maintenance — live state is
     // orders minus the pk-0 even deletes, the tagged snapshot is the full

@@ -162,12 +162,21 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
+    if (!version.forall(_.isDigit)) {
+      // Named refs: a live BRANCH head (B195, audit reads in the WAP cycle)
+      // resolves first; tags are immutable pins. Creation keeps the two
+      // namespaces disjoint, so order is etiquette, not semantics.
+      GraftCatalogOps.resolveBranch(dir, version, conf).foreach { bm =>
+        return new GraftTable(ident, dir, bm)
+      }
+    }
     val gen =
       if (version.forall(_.isDigit)) version.toLong
       else GraftCatalogOps.resolveTag(dir, version, conf).getOrElse(
         throw new IllegalArgumentException(
-          s"no tag '$version' on table ${ident.name()} — " +
-            s"known tags: ${GraftCatalogOps.listTags(dir, conf).keys.toSeq.sorted.mkString(", ")}"))
+          s"no tag or branch '$version' on table ${ident.name()} — " +
+            s"known tags: ${GraftCatalogOps.listTags(dir, conf).keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${GraftCatalogOps.listBranches(dir, conf).keys.toSeq.sorted.mkString(", ")}"))
     new GraftTable(ident, dir, GraftManifest.load(dir, gen, conf))
   }
 
@@ -2534,6 +2543,19 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together for idempotent writes")
     }
+    // `branch=<name>` (B195, the WAP write): the commit targets the branch's
+    // shadow lineage — planning bases on the BRANCH head (schema, props,
+    // checks, entries all the branch's own), and main's snapshot is
+    // untouched until fast_forward publishes the audited head.
+    val branch = Option(info.options.get("branch"))
+    val effManifest = branch match {
+      case Some(b) =>
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        GraftCatalogOps.resolveBranch(dir, b, conf).getOrElse(
+          throw new IllegalArgumentException(
+            s"no branch '$b' — create it first (CALL <cat>.system.branch)"))
+      case None => manifest
+    }
     // `replaceFiles=<rel\n rel…>` (targeted OPTIMIZE, B161): commit as a
     // surgical group replace — the named live files swap for the fresh ones
     // in ONE generation, with the row-level-operation conflict rules (files
@@ -2545,9 +2567,9 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
       case Some(rels) =>
         require(mode == "append",
           s"replaceFiles composes with append writes only, got $mode")
-        val entries = manifest.entries.filter(e => rels(e._2))
+        val entries = effManifest.entries.filter(e => rels(e._2))
         require(entries.size == rels.size, "replaceFiles names file(s) not " +
-          s"live in generation ${manifest.gen}: " +
+          s"live in generation ${effManifest.gen}: " +
           (rels -- entries.map(_._2).toSet).mkString(", "))
         ("replace-groups", () => entries)
       case None => (mode, () => Seq.empty[(String, String)])
@@ -2558,9 +2580,10 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
     // rewrite exists to produce. Data correctness is untouched: writers key
     // files by partition VALUE, so a partition spread over several tasks
     // simply commits several (tile) files.
-    new GraftWrite(dir, manifest, info.schema(), info.queryId(), effMode,
+    new GraftWrite(dir, effManifest, info.schema(), info.queryId(), effMode,
       staticFilters, replaceGroups = effGroups, txnKey = txnKey,
-      layoutManaged = Option(info.options.get("layout")).contains("managed"))
+      layoutManaged = Option(info.options.get("layout")).contains("managed"),
+      branch = branch)
   }
 }
 
@@ -2579,7 +2602,8 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     queryId: String, mode: String, staticFilters: Array[Filter],
     replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
     txnKey: Option[String] = None,
-    layoutManaged: Boolean = false)
+    layoutManaged: Boolean = false,
+    branch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // Write clustering (liquid-clustering-lite): a `cluster=<col>` table
@@ -2615,9 +2639,14 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
 
   override def toBatch: BatchWrite = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val gen = GraftManifest.currentGen(dir, conf) + 1
+    // Branch writes (B195) claim generations in the branch's own lineage dir;
+    // data files land under the TABLE dir either way (entries table-relative,
+    // so fast_forward is metadata-only).
+    val metaDir = branch.map(b => GraftCatalogOps.branchDir(dir, b)).getOrElse(dir)
+    val gen = GraftManifest.currentGen(metaDir, conf) + 1
     new GraftBatchWrite(dir, manifest, writeSchema, mode, staticFilters, gen,
-      new SerializableHadoopConf(conf), replaceGroups, txnKey)
+      new SerializableHadoopConf(conf), replaceGroups, txnKey,
+      metaDirOpt = branch.map(b => GraftCatalogOps.branchDir(dir, b)))
   }
 
   /** Streaming append: each micro-batch commits one manifest generation, keyed
@@ -2627,6 +2656,8 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
   override def toStreaming: StreamingWrite = {
     require(mode == "append",
       s"graft streaming sink supports append output mode, got $mode")
+    require(branch.isEmpty,
+      "streaming writes target the main lineage — branches are batch WAP scratch")
     new GraftStreamingWrite(dir, manifest, writeSchema, queryId,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
   }
@@ -3393,13 +3424,23 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     mode: String, staticFilters: Array[Filter], gen: Long,
     conf: SerializableHadoopConf,
     replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
-    txnKey: Option[String] = None) extends BatchWrite {
+    txnKey: Option[String] = None,
+    metaDirOpt: Option[Path] = None) extends BatchWrite {
+  // Branch writes (B195): manifests claim in the branch lineage dir; data
+  // files stay under the table dir so entries are table-relative and
+  // fast_forward is metadata-only.
+  private val metaDir = metaDirOpt.getOrElse(dir)
   // Unique per WRITER, not per generation: a concurrent writer that planned
   // the same next gen writes elsewhere, so aborts and rebases never touch
   // another writer's files (the manifest records rel paths, and genOf reads
-  // the numeric vintage prefix regardless of the uniquifier).
+  // the numeric vintage prefix regardless of the uniquifier). Branch data
+  // dirs carry NO numeric vintage (gen-wap-…): their gen numbers are
+  // branch-local, and aliasing an old MAIN generation would mislead genOf
+  // (_gen column, CDF seed versioning) after fast_forward — vintage-unknown
+  // is the streaming-epoch posture, already first-class everywhere.
   private val genRel =
-    s"gen-$gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (metaDirOpt.isEmpty) s"gen-$gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    else s"gen-wap-${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(writeSchema, prev.partCols,
@@ -3421,8 +3462,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     // have landed between plan and commit, and claiming a later free slot
     // from the stale base would silently drop it.
     val c0 = conf.value
-    var base = GraftManifest.loadClaimed(dir,
-      math.max(GraftManifest.highestClaimedGen(dir, c0), prev.gen), c0)
+    var base = GraftManifest.loadClaimed(metaDir,
+      math.max(GraftManifest.highestClaimedGen(metaDir, c0), prev.gen), c0)
     var g = base.gen + 1
     var attempts = 0
     while (attempts < 20) {
@@ -3433,14 +3474,14 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
         mode, prev, base, fresh, staticFilters, replaced)
       val m = base.withFileMeta(freshAll)
         .copy(gen = g, entries = entries, txns = base.txns ++ txnKey)
-      if (GraftManifest.publishCas(dir, m, conf.value)) return
-      val claimed = GraftManifest.highestClaimedGen(dir, conf.value)
-      base = GraftManifest.loadClaimed(dir, claimed, conf.value)
+      if (GraftManifest.publishCas(metaDir, m, conf.value)) return
+      val claimed = GraftManifest.highestClaimedGen(metaDir, conf.value)
+      base = GraftManifest.loadClaimed(metaDir, claimed, conf.value)
       g = claimed + 1
       attempts += 1
     }
     throw new IllegalStateException(
-      s"catalog commit on $dir lost $attempts CAS races — giving up under contention")
+      s"catalog commit on $metaDir lost $attempts CAS races — giving up under contention")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -3637,8 +3678,17 @@ object GraftCatalogOps {
     // silently break `VERSION AS OF '<tag>'`.
     val tagged = listTags(dir, conf).values.filter(_ >= 0).toSet
     val retainedGens = ((horizon to cur).toSet ++ tagged).toSeq.sorted
-    val live: Set[String] = retainedGens.flatMap { g =>
-      val m = GraftManifest.load(dir, g, conf)
+    // Live-branch liveness (B195): every generation of every branch lineage
+    // is retained — branch data files sit under the table dir's gen-wap-*
+    // dirs and would otherwise read as unreferenced. Branch lineages are
+    // short-lived WAP scratch (dropped at fast_forward), so this union is a
+    // handful of manifests, never table history.
+    val branchManifests: Seq[GraftManifest] =
+      listBranches(dir, conf).toSeq.flatMap { case (name, head) =>
+        (0L to head).map(g => GraftManifest.load(branchDir(dir, name), g, conf))
+      }
+    val live: Set[String] = (retainedGens.map(g => GraftManifest.load(dir, g, conf)) ++
+        branchManifests).flatMap { m =>
       // A data file's deletion vector is as live as the file: reclaiming a
       // referenced DV would silently resurrect deleted rows.
       m.entries.map(_._2) ++ m.entries.flatMap(e => m.fileDVs.get(e._2))
@@ -4052,6 +4102,9 @@ object GraftCatalogOps {
     val fs = dir.getFileSystem(conf)
     require(fs.exists(new Path(dir, s"manifest-$gen.txt")),
       s"cannot tag generation $gen — no such committed manifest")
+    require(!fs.exists(branchDir(dir, name)),
+      s"a branch '$name' already exists on $table — tag and branch names " +
+        "share the VERSION AS OF namespace")
     val tmp = new Path(dir, s"_ref-$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -4085,6 +4138,98 @@ object GraftCatalogOps {
       val name = s.getPath.getName.stripPrefix("ref-").stripSuffix(".txt")
       name -> resolveTag(dir, name, conf).getOrElse(-1L)
     }.toMap
+  }
+
+  /**
+   * BRANCHES — the write-audit-publish pattern (B195, the Iceberg branch +
+   * `fast_forward` design, Delta's WAP idiom): a branch is a SHADOW MANIFEST
+   * LINEAGE in `<table>/branch-<name>/` that reuses the exact main commit
+   * protocol (CAS manifest claims, CURRENT cache, rebase loop) on its own
+   * directory — zero new concurrency machinery. Branch writes land data
+   * files under the TABLE dir (entries stay table-relative), so publishing
+   * is pure metadata: `fastForward` re-publishes the branch HEAD manifest as
+   * main's next generation through [[GraftManifest.publishNext]], refusing
+   * if main advanced past the recorded fork base (the WAP contract — a
+   * diverged branch needs a fresh fork, never a silent merge). Data files a
+   * dropped branch strands are reclaimed by the next VACUUM; files a LIVE
+   * branch references are vacuum-exempt (see the liveness union in
+   * [[vacuum]]). Branch data dirs are named `gen-wap-<uuid>` — genOf reads
+   * them as vintage-unknown (the streaming-epoch posture), so a
+   * fast-forwarded file never masquerades as an old main generation.
+   */
+  def branchDir(dir: Path, name: String): Path = new Path(dir, s"branch-$name")
+
+  def createBranch(spark: SparkSession, root: String, table: String,
+                   name: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9_-]+, got '$name'")
+    require(name.exists(!_.isDigit), s"branch '$name' would shadow numeric time travel")
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    require(resolveTag(dir, name, conf).isEmpty,
+      s"a tag '$name' already exists on $table — tag and branch names share " +
+        "the VERSION AS OF namespace")
+    val bd = branchDir(dir, name)
+    require(!fs.exists(bd), s"branch '$name' already exists on $table")
+    val cur = GraftManifest.currentGen(dir, conf)
+    val m = GraftManifest.load(dir, cur, conf)
+    val seed = m.copy(gen = 0L,
+      props = m.props + ("branch.name" -> name) + ("branch.base" -> cur.toString))
+    require(GraftManifest.publishCas(bd, seed, conf),
+      s"branch '$name' seed commit lost a race — another creator won")
+    cur
+  }
+
+  /** Head manifest of a live branch (branch-local gen numbering; entries are
+    * table-relative and resolve against the TABLE dir). */
+  def resolveBranch(dir: Path, name: String, conf: Configuration): Option[GraftManifest] = {
+    val bd = branchDir(dir, name)
+    if (!bd.getFileSystem(conf).exists(bd)) None
+    else Some(GraftManifest.load(bd, GraftManifest.currentGen(bd, conf), conf))
+  }
+
+  def listBranches(dir: Path, conf: Configuration): Map[String, Long] = {
+    val fs = dir.getFileSystem(conf)
+    val st = fs.globStatus(new Path(dir, "branch-*"))
+    if (st == null) Map.empty
+    else st.filter(_.isDirectory).map { s =>
+      val name = s.getPath.getName.stripPrefix("branch-")
+      name -> GraftManifest.currentGen(s.getPath, conf)
+    }.toMap
+  }
+
+  /** Publish the branch head as main's next generation (the audited WAP
+    * publish). Refuses when main advanced past the fork base — fast-forward
+    * only, never a merge. Drops the branch on success (its manifests are
+    * scratch; the published main generation owns the snapshot now). Returns
+    * the published main generation. */
+  def fastForward(spark: SparkSession, root: String, table: String,
+                  name: String): Long = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val bm = resolveBranch(dir, name, conf).getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' on $table — known branches: " +
+        listBranches(dir, conf).keys.toSeq.sorted.mkString(", ")))
+    val base = bm.props.getOrElse("branch.base",
+      throw new IllegalStateException(s"branch '$name' carries no fork base")).toLong
+    val published = GraftManifest.publishNext(dir, conf) { cur =>
+      require(cur.gen == base,
+        s"cannot fast-forward branch '$name': main advanced from fork base " +
+          s"$base to ${cur.gen} — diverged; re-fork and replay the branch work")
+      bm.copy(gen = cur.gen + 1, props = bm.props - "branch.name" - "branch.base")
+    }
+    dropBranch(spark, root, table, name)
+    published.gen
+  }
+
+  /** Delete a branch lineage. Stranded branch-written data files become
+    * vacuum fodder (they are referenced by no retained manifest). */
+  def dropBranch(spark: SparkSession, root: String, table: String,
+                 name: String): Boolean = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    dir.getFileSystem(conf).delete(branchDir(dir, name), true)
   }
 
   /**
@@ -4301,7 +4446,27 @@ object GraftProcedures {
       out("removed" -> BooleanType),
       (s, _, root, a) => Seq(GraftCatalogOps.untag(s, root,
         a.getUTF8String(0).toString, a.getUTF8String(1).toString)),
-    ))
+    ),
+    ProcDef("branch",
+      "fork a WAP branch at the current snapshot; write to it via " +
+        "option(branch=<name>), audit via VERSION AS OF '<name>'",
+      Seq(in("table", StringType), in("name", StringType)),
+      out("base_gen" -> LongType),
+      (s, _, root, a) => Seq(GraftCatalogOps.createBranch(s, root,
+        a.getUTF8String(0).toString, a.getUTF8String(1).toString))),
+    ProcDef("fast_forward",
+      "publish the audited branch head as main's next generation " +
+        "(refuses when main diverged); drops the branch",
+      Seq(in("table", StringType), in("name", StringType)),
+      out("published_gen" -> LongType),
+      (s, _, root, a) => Seq(GraftCatalogOps.fastForward(s, root,
+        a.getUTF8String(0).toString, a.getUTF8String(1).toString))),
+    ProcDef("drop_branch",
+      "abandon a branch lineage; stranded branch files become vacuum fodder",
+      Seq(in("table", StringType), in("name", StringType)),
+      out("dropped" -> BooleanType),
+      (s, _, root, a) => Seq(GraftCatalogOps.dropBranch(s, root,
+        a.getUTF8String(0).toString, a.getUTF8String(1).toString))))
 
   def names: Seq[String] = defs.map(_.name)
 

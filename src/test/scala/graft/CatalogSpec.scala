@@ -2231,4 +2231,67 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).filter(col("s").startsWith("Z")).count() == 3)
     assert(spark.table(t).count() == 250)
   }
+
+  test("WAP branches: isolated writes, audit reads, fast-forward publish, divergence refusal") {
+    import spark.implicits._
+    val t = freshTable("wap")
+    def batch(b: Long) = (b * 100L until (b + 1) * 100L).map(i => (i, i % 3))
+      .toDF("id", "pk")
+    batch(0).writeTo(t).create()                                   // main gen 1
+    val dir = new Path(root, "wap")
+    val conf = spark.sessionState.newHadoopConf()
+    def mainGen() = graft.sources.GraftManifest.currentGen(dir, conf)
+    val forkBase = spark.sql("CALL gtest.system.branch(table => 'wap', name => 'audit')")
+      .as[Long].head
+    assert(forkBase == mainGen(), "fork base records the live main generation")
+    // Two branch commits: main must not move, branch head must accumulate.
+    batch(1).writeTo(t).option("branch", "audit").append()
+    batch(2).writeTo(t).option("branch", "audit").append()
+    assert(spark.table(t).count() == 100L, "main isolated from branch writes")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'audit'")
+      .as[Long].head == 300L, "audit read sees the branch head")
+    // The audited publish: ONE main generation carries both branch commits.
+    val published = spark.sql(
+      "CALL gtest.system.fast_forward(table => 'wap', name => 'audit')").as[Long].head
+    assert(published == forkBase + 1, "fast-forward is one main commit")
+    assert(mainGen() == published)
+    assert(spark.table(t).count() == 300L)
+    assert(spark.table(t).agg(sum(col("id"))).as[Long].head == (0L until 300L).sum)
+    // The branch is gone after publish; its name errors as unknown.
+    val exGone = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'audit'").collect()
+    }
+    assert(exGone.getMessage.contains("audit"))
+    // Divergence: a main commit after the fork makes fast-forward refuse,
+    // and the refused branch's rows never leak into main.
+    spark.sql("CALL gtest.system.branch(table => 'wap', name => 'stale')")
+    batch(3).writeTo(t).option("branch", "stale").append()
+    batch(4).writeTo(t).append()                                   // main moves
+    val exDiv = intercept[Exception] {
+      spark.sql("CALL gtest.system.fast_forward(table => 'wap', name => 'stale')").collect()
+    }
+    assert(exDiv.getMessage.contains("diverged"))
+    assert(spark.table(t).count() == 400L, "refused branch rows stay out of main")
+    // VACUUM honors a LIVE branch's files; dropping the branch strands them.
+    val (del1, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "wap",
+      keepGens = 1, uncommittedGraceMs = 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'stale'")
+      .as[Long].head == 400L, s"live branch survives vacuum (reclaimed $del1)")
+    spark.sql("CALL gtest.system.drop_branch(table => 'wap', name => 'stale')")
+    val (del2, _) = graft.sources.GraftCatalogOps.vacuum(spark, root, "wap",
+      keepGens = 1, uncommittedGraceMs = 0L)
+    assert(del2 >= 1L, "dropped branch's stranded files reclaim")
+    assert(spark.table(t).count() == 400L)
+    // Ref namespaces are disjoint at creation, both directions.
+    graft.sources.GraftCatalogOps.tag(spark, root, "wap", "pinned", mainGen())
+    val exTag = intercept[Exception] {
+      spark.sql("CALL gtest.system.branch(table => 'wap', name => 'pinned')").collect()
+    }
+    assert(exTag.getMessage.contains("tag"))
+    spark.sql("CALL gtest.system.branch(table => 'wap', name => 'b-name')")
+    val exBr = intercept[Exception] {
+      graft.sources.GraftCatalogOps.tag(spark, root, "wap", "b-name", mainGen())
+    }
+    assert(exBr.getMessage.contains("branch"))
+  }
 }
