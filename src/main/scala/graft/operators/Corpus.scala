@@ -51,6 +51,30 @@ object Corpus {
       .filter(col("sample_rank") <= k)
   }
 
+  /**
+   * Deterministic stratified Bernoulli sampling (B196 — the
+   * `DataFrameStatFunctions.sampleBy` contract made reproducible): each
+   * stratum keeps its own fraction, expressed in integer BASIS POINTS so the
+   * keep decision is an exact integer compare, never a float threshold. The
+   * coin is an md5-derived hash of the row id (engine-independent,
+   * re-runnable to the same membership — resampling a 100 TB corpus must not
+   * depend on partition layout or RNG state), so the sample is uniform in
+   * expectation within each stratum and IDENTICAL across runs and engines.
+   * Strata absent from `fractionsBp` drop entirely. Pure scan + filter: no
+   * shuffle, no driver state, fractions ride a literal map expression.
+   */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
+                       fractionsBp: Map[String, Int]): DataFrame = {
+    require(fractionsBp.nonEmpty && fractionsBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      s"fractions must be basis points in [0, 10000]: $fractionsBp")
+    val bpMap = map(fractionsBp.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val coin = pmod(
+      TextOps.md5Long(concat(lit("strat:"), col(idCol).cast("string"))), lit(10000))
+    docs.filter(coin < coalesce(
+      element_at(bpMap, col(stratumCol).cast("string")), lit(0)))
+  }
+
   /** Stopword list shared by the quality filter and its oracle SQL. */
   val Stopwords: Seq[String] = Seq("the", "a")
 

@@ -211,6 +211,20 @@ object TextQueries {
         .orderBy(col("source"), col("sample_rank"))
     },
 
+    // B196: stratified Bernoulli sampling with per-language fractions (the
+    // sampleBy contract, deterministic): integer-basis-point thresholds over
+    // an md5 coin keyed by doc_id — exact membership is engine-replayable, a
+    // stratum missing from the plan (de) drops entirely. Scan + filter only.
+    "q_sample_stratified" -> { (s, d) =>
+      Corpus.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 2500, "fr" -> 5000, "es" -> 1000, "zh" -> 7500))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     // Gopher/C4-style rule-filter battery: per-language pass counts for each
     // heuristic quality rule (all thresholds integer-exact; see Corpus.ruleFlags).
     "q_text_rules" -> { (s, d) =>
@@ -1039,6 +1053,18 @@ object TextQueries {
          |  CAST(concat('0x', substr(md5('split:' || CAST(group_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
          |  FROM g)
          |ORDER BY doc_id""".stripMargin,
+
+    // B196: identical md5 coin + integer basis-point thresholds per language.
+    "q_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT *, CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 AS coin
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s
+        |WHERE coin < CASE lang WHEN 'en' THEN 2500 WHEN 'fr' THEN 5000
+        |                       WHEN 'es' THEN 1000 WHEN 'zh' THEN 7500 ELSE 0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_train_split" ->
       """WITH s AS (

@@ -101,6 +101,29 @@ class CorpusSpec extends GraftSuite {
     perGroup.foreach { case (g, n) => assert(n === math.min(5L, groupSizes(g))) }
   }
 
+  test("stratifiedSample: per-stratum rates, absent strata drop, membership growth-stable") {
+    val docs = Tables.documents(spark, sfTiny)
+    val fr = Map("en" -> 2500, "fr" -> 5000, "es" -> 1000, "zh" -> 7500)
+    val s1 = Corpus.stratifiedSample(docs, "lang", "doc_id", fr)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1 === Corpus.stratifiedSample(docs, "lang", "doc_id", fr)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet)
+    // A stratum missing from the plan keeps nothing.
+    assert(!s1.exists(_._1 == "de"))
+    // Rates land near their basis points (loose bands — small corpus).
+    val tot = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    fr.foreach { case (lang, bp) =>
+      val kept = s1.count(_._1 == lang).toDouble / tot(lang)
+      assert(math.abs(kept - bp / 10000.0) < 0.15, s"$lang kept $kept vs ${bp / 10000.0}")
+    }
+    // Growth stability: sampling half the corpus keeps exactly the shared members
+    // (the property randomSplit/sample cannot promise; hash-of-own-id can).
+    val half = Corpus.stratifiedSample(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "doc_id", fr)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(half === s1.filter(_._2 % 2 == 0))
+  }
+
   test("packSequences lays out docs contiguously and splits across bin boundaries") {
     // One shard (nShards=1), seqLen=10; token counts 4, 4, 5, 9:
     //   doc 0: cum 4  -> bin 0 off 0..3
