@@ -46,6 +46,31 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining (B197, the contrastive-training miner): for each
+   * anchor, the k corpus vectors MOST cosine-similar to it that carry a
+   * DIFFERENT label — exactly the near-miss negatives a triplet/InfoNCE
+   * trainer wants (random negatives are trivially far; hard ones define the
+   * decision boundary). `anchors`: (q_id, q_vec, q_label); `corpus`:
+   * (vec_id, embedding, label). The anchor batch broadcasts (mining runs in
+   * per-batch waves, |anchors| << |corpus|), the corpus streams through ONE
+   * un-shuffled scan, and the label-mismatch filter prunes before scoring —
+   * map-side work ending in the same partial top-k aggregation as
+   * [[bruteForceTopK]]; round-4 scores + vec_id tiebreak keep the cut
+   * deterministic across engines.
+   */
+  def mineHardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("rnk"), col("vec_id"),
+        col("label").as("neg_label"), col("cos"))
+  }
+
+  /**
    * IVF-style approximate top-k: the corpus is pre-bucketed by nearest centroid (one
    * shuffle, amortized over all queries); each query probes only its `nprobe` nearest
    * centroid buckets. Recall < 1 by design; at 100 TB the probed fraction is

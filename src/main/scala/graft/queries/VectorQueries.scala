@@ -32,6 +32,19 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // B197: hard-negative mining — for 5 anchors, the 5 most-similar corpus
+    // vectors with a DIFFERENT label (the contrastive near-miss set). One
+    // broadcast anchor batch, one corpus scan, label filter before scoring.
+    "q_mine_hardneg" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      Similarity.mineHardNegatives(anchors,
+          emb.select(col("vec_id"), col("embedding"), col("label")), 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // B12 approximate path: IVF with 8 fixed centroids, nprobe=2, top-5.
     "q_sim_ann_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -293,6 +306,20 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+
+    // B197: identical brute-force replay with the label-mismatch filter.
+    "q_mine_hardneg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, q_label, vec_id, label AS neg_label, ${dcos("qv", "v")} AS cos
+         |  FROM c CROSS JOIN q WHERE vec_id <> q_id AND label <> q_label),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, q_label, rnk, vec_id, neg_label, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     // B176: the oracle replays the EXACT arm (the SQL-expressible truth) and
     // pins the PQ arm's deterministic recall floor.

@@ -251,6 +251,34 @@ class VectorExpressionSpec extends GraftSuite {
     }
   }
 
+  test("hard negatives: never same-label, never self, and are the label-filtered top-k") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val anchors = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val mined = Similarity.mineHardNegatives(anchors, corpus, 3)
+      .as[(Long, Int, Long, Long, Int, Double)].collect()
+    assert(mined.forall { case (q, ql, _, v, nl, _) => v != q && nl != ql })
+    assert(mined.groupBy(_._1).forall(_._2.length == 3))
+    // Agreement with the naive formulation: label-filter the full brute-force
+    // ranking and the mined set must be exactly its per-anchor prefix.
+    val labels = corpus.select(col("vec_id").as("c_id"), col("label").as("c_label"))
+    val naive = Similarity.bruteForceTopK(
+        anchors.select(col("q_id"), col("q_vec")), corpus.drop("label"), 1000)
+      .join(labels, col("vec_id") === col("c_id"))
+      .join(anchors.select(col("q_id"), col("q_label")), "q_id")
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("rnk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk2") <= 3)
+      .select(col("q_id"), col("rnk2"), col("vec_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mined.map(t => (t._1, t._3, t._4)).toSet === naive)
+  }
+
   test("SQL registration works") {
     VectorExpressions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_t")
