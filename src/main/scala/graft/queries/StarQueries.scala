@@ -2491,6 +2491,35 @@ object StarQueries {
     // The oracle replays the same history relationally: appends surface as
     // inserts, DV deletes as deletes, updates as their delete+insert pairs —
     // per-commit counts and value sums hash-verified.
+    // B198 query witness: incremental materialized view — seed an aggregate
+    // view of a dv-mode table, run the full DML mix (append, DV delete,
+    // delta update) on the SOURCE, then ONE refresh folds the change feed:
+    // the view must equal the full recompute while having read only the
+    // delta. The refresh range and the no-op idempotence pin ride the gate.
+    "q_catalog_mview" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.mvq")
+      s.sql("DROP TABLE IF EXISTS graft.mvqv")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.mvq").tableProperty("dml", "dv").create()      // gen 1
+      s.sql("CALL graft.system.create_mview(source => 'mvq', name => 'mvqv', " +
+        "keys => 'pk', sum_col => 'cents')")
+      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.mvq").append() // 2
+      s.sql("DELETE FROM graft.mvq WHERE o_orderkey % 7 = 0")          // gen 3
+      s.sql("UPDATE graft.mvq SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // 4
+      val r1 = s.sql("CALL graft.system.refresh_mview(name => 'mvqv')").collect()(0)
+      val foldedDelta = r1.getLong(0) == 1L && r1.getLong(1) == 4L
+      val r2 = s.sql("CALL graft.system.refresh_mview(name => 'mvqv')").collect()(0)
+      val noop = r2.getLong(0) == 4L && r2.getLong(1) == 4L
+      s.table("graft.mvqv")
+        .withColumn("folded_delta", lit(foldedDelta))
+        .withColumn("noop_ok", lit(noop))
+        .orderBy(col("pk"))
+    },
+
     "q_catalog_cdf" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       s.sql("DROP TABLE IF EXISTS graft.cdfq")
@@ -4158,6 +4187,20 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B198: the view equals the full recompute of the source's final state
+    // (deletes removed, surviving %11 keys updated +5); the refresh-range
+    // and idempotence pins are predicted true.
+    "q_catalog_mview" ->
+      """WITH live AS (
+        |  SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 11 = 0 THEN 5 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS mv_count,
+        |  CAST(sum(cents) AS BIGINT) AS mv_sum,
+        |  true AS folded_delta, true AS noop_ok
+        |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B195: the published WAP state is plain orders (both branch batches
     // fast-forwarded onto the even-key base); the audit count is the full

@@ -2232,6 +2232,51 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 250)
   }
 
+  test("materialized views: delta-only refresh matches full recompute; replay is a no-op") {
+    import spark.implicits._
+    val t = freshTable("mvsrc")
+    spark.sql("DROP TABLE IF EXISTS gtest.mv1")
+    (0L until 300L).map(i => (i, i % 3, i % 7)).toDF("id", "pk", "v")
+      .writeTo(t).tableProperty("dml", "dv").create()                 // gen 1
+    val g0 = spark.sql(
+      "CALL gtest.system.create_mview(source => 'mvsrc', name => 'mv1', " +
+        "keys => 'pk', sum_col => 'v')").as[Long].head
+    assert(g0 == 1L)
+    def full() = spark.table(t).groupBy("pk")
+      .agg(count(lit(1)).as("mv_count"), sum(col("v")).cast("long").as("mv_sum"))
+      .as[(Long, Long, Long)].collect().toSet
+    def view() = spark.table("gtest.mv1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(view() === full(), "seed equals the full aggregate")
+    // Mixed DML history: append, DV delete, delta update — then ONE refresh.
+    (300L until 400L).map(i => (i, i % 3, i % 7)).toDF("id", "pk", "v")
+      .writeTo(t).append()                                            // gen 2
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")                     // gen 3
+    spark.sql(s"UPDATE $t SET v = v + 10 WHERE id % 4 = 1")           // gen 4
+    val (f1, t1) = spark.sql("CALL gtest.system.refresh_mview(name => 'mv1')")
+      .as[(Long, Long)].head
+    assert((f1, t1) == (1L, 4L))
+    assert(view() === full(), "folded feed equals full recompute")
+    // Refresh with no new commits: no-op, nothing published.
+    val dir = new Path(root, "mv1")
+    val conf = spark.sessionState.newHadoopConf()
+    val genBefore = graft.sources.GraftManifest.currentGen(dir, conf)
+    val (f2, t2) = spark.sql("CALL gtest.system.refresh_mview(name => 'mv1')")
+      .as[(Long, Long)].head
+    assert(f2 == t2 && t2 == 4L)
+    assert(graft.sources.GraftManifest.currentGen(dir, conf) == genBefore,
+      "a current view publishes nothing")
+    // A group emptied by deletes leaves the view entirely.
+    spark.sql(s"DELETE FROM $t WHERE pk = 2")                         // gen 5
+    spark.sql("CALL gtest.system.refresh_mview(name => 'mv1')")
+    assert(view() === full())
+    assert(!view().exists(_._1 == 2L), "emptied group drops from the view")
+    // The fold floor is readable from the view's own manifest (ledger wins).
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(graft.sources.GraftCatalogOps.mviewFoldFloor(m) == 5L)
+  }
+
   test("WAP branches: isolated writes, audit reads, fast-forward publish, divergence refusal") {
     import spark.implicits._
     val t = freshTable("wap")
