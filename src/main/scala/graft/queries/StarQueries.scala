@@ -2491,6 +2491,38 @@ object StarQueries {
     // The oracle replays the same history relationally: appends surface as
     // inserts, DV deletes as deletes, updates as their delete+insert pairs —
     // per-commit counts and value sums hash-verified.
+    // B199 query witness: column DEFAULTs on the catalog — ALTER ADD COLUMN
+    // with DEFAULT is one metadata commit (`no_rewrite` pins entry identity),
+    // yet every pre-ALTER row answers the folded constant instead of NULL
+    // (existence default, filled per file by the parquet reader); a
+    // post-ALTER append carries explicit values that survive, and the
+    // default participates in filters and aggregates exactly.
+    "q_catalog_default" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.defq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0).writeTo("graft.defq").create()
+      val root = Tables.scratchDir(s, "catalog", d)
+      val dir = new org.apache.hadoop.fs.Path(root, "defq")
+      val hconf = s.sessionState.newHadoopConf()
+      import graft.sources.GraftManifest
+      val before = GraftManifest.load(dir, GraftManifest.currentGen(dir, hconf), hconf)
+      s.sql("ALTER TABLE graft.defq ADD COLUMN bonus BIGINT DEFAULT 7")
+      val after = GraftManifest.load(dir, GraftManifest.currentGen(dir, hconf), hconf)
+      val noRewrite = before.entries.toSet == after.entries.toSet
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("bonus", pmod(col("o_orderkey"), lit(100)))
+        .writeTo("graft.defq").append()
+      s.table("graft.defq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("bonus") === 7L, 1)).as("n_default"),
+          sum(col("cents")).as("cents"), sum(col("bonus")).as("bonus"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .orderBy(col("pk"))
+    },
+
     // B198 query witness: incremental materialized view — seed an aggregate
     // view of a dv-mode table, run the full DML mix (append, DV delete,
     // delta update) on the SOURCE, then ONE refresh folds the change feed:
@@ -4187,6 +4219,20 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B199: even keys predate the column (existence default 7), odd keys
+    // carry their explicit o_orderkey % 100; the metadata pin rides the gate.
+    "q_catalog_default" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE o_orderkey % 100 END AS bonus
+        |  FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  count(CASE WHEN bonus = 7 THEN 1 END) AS n_default,
+        |  CAST(sum(cents) AS BIGINT) AS cents, CAST(sum(bonus) AS BIGINT) AS bonus,
+        |  true AS no_rewrite
+        |FROM rows_ GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B198: the view equals the full recompute of the source's final state
     // (deletes removed, surviving %11 keys updated +5); the refresh-range

@@ -257,10 +257,27 @@ class GraftCatalog extends TableCatalog
         s"table property '$k' contains a control character — " +
           "the line-oriented manifest cannot store it")
     }
-    val m = GraftManifest(0L, schema, partCols.toSeq, Seq.empty, props = keep)
+    // Column DEFAULTs declared at CREATE (B199): capture each field's folded
+    // default into `default.<col>` props; the stored schema stays
+    // metadata-free (load re-attaches).
+    val declaredDefaults = schema.fields.collect {
+      case f if f.metadata.contains("EXISTS_DEFAULT") || f.metadata.contains("CURRENT_DEFAULT") =>
+        val sql = if (f.metadata.contains("EXISTS_DEFAULT"))
+          f.metadata.getString("EXISTS_DEFAULT") else f.metadata.getString("CURRENT_DEFAULT")
+        (GraftDefaults.Prefix + f.name) -> GraftDefaults.fold(sql, f.dataType)
+    }.toMap
+    val allProps = keep ++ declaredDefaults
+    val cleanSchema = GraftDefaults.strip(schema)
+    val m = GraftManifest(0L, GraftDefaults.attach(cleanSchema, allProps),
+      partCols.toSeq, Seq.empty, props = allProps)
     GraftManifest.publish(dir, m, conf)
     new GraftTable(ident, dir, m)
   }
+
+  /** Column DEFAULT DDL is supported (B199): `CREATE/ALTER ... DEFAULT x`
+    * reaches the catalog instead of failing analysis. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Metadata-only schema + property evolution, each ALTER one commit:
     * ADD COLUMN publishes a new generation with a widened schema and
@@ -279,7 +296,20 @@ class GraftCatalog extends TableCatalog
       changes.foreach {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1, "nested columns not supported")
-          schema = schema.add(add.fieldNames()(0), add.dataType(), true)
+          val colName = add.fieldNames()(0)
+          schema = schema.add(colName, add.dataType(), true)
+          // ADD COLUMN ... DEFAULT (B199): fold the analyzed constant once at
+          // ALTER time and record it — existing files answer it (existence
+          // default, zero rewrite), later INSERTs may omit the column.
+          Option(add.defaultValue()).foreach { dv =>
+            val v2 = dv.getValue()
+            require(v2 != null,
+              s"DEFAULT for $colName must be a foldable constant, got ${dv.getSql}")
+            val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+              v2.value(), v2.dataType())
+            props = props + ((GraftDefaults.Prefix + colName) ->
+              GraftDefaults.fold(lit.sql, add.dataType()))
+          }
         case set: TableChange.SetProperty =>
           val (k, v) = (set.property(), set.value())
           require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
@@ -335,6 +365,11 @@ class GraftCatalog extends TableCatalog
             }
           val physical = props.getOrElse("physical." + from, from)
           props = props - ("physical." + from) + ("physical." + to -> physical)
+          // A declared DEFAULT (B199) is keyed by logical name — follow it.
+          props.get(GraftDefaults.Prefix + from).foreach { d =>
+            props = props - (GraftDefaults.Prefix + from) +
+              ((GraftDefaults.Prefix + to) -> d)
+          }
           schema = StructType(schema.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f))
         case other => throw new UnsupportedOperationException(
@@ -495,7 +530,8 @@ object GraftManifest {
         case _ => // gen=… line is informational
       }
     }
-    GraftManifest(gen, schema, parts, entries.toSeq, txns.toSet, stats.toMap,
+    GraftManifest(gen, GraftDefaults.attach(schema, props.toMap), parts,
+      entries.toSeq, txns.toSet, stats.toMap,
       bytes.toMap, props.toMap, blooms.toMap, dvs.toMap, rowsM.toMap, ndvs.toMap)
   }
 
@@ -504,7 +540,10 @@ object GraftManifest {
   private def encode(m: GraftManifest): String = {
     val body = new StringBuilder
     body ++= s"gen=${m.gen}\n"
-    body ++= s"schema=${m.schema.toDDL}\n"
+    // Default-value metadata lives in `default.<col>` props and re-attaches
+    // at load — strip it here so the stored DDL stays metadata-free and
+    // byte-stable across round trips.
+    body ++= s"schema=${GraftDefaults.strip(m.schema).toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) =>
       // Fixed field order (stats, bytes, bloom, dv, rows, ndv) with trailing
@@ -3104,6 +3143,62 @@ case class GraftCheckPredicate(name: String, sql: String,
         s"CHECK constraint $name ($sql) violated by row [$rendered] — " +
           "the whole write is rejected, nothing was committed")
     }
+  }
+}
+
+/**
+ * Column DEFAULT values (B199, the Delta existence-default design): a
+ * `default.<col>=<folded literal sql>` table property declares the value
+ * rows READ when their file predates the column — `ALTER TABLE ADD COLUMN
+ * ... DEFAULT x` is ONE metadata commit and ZERO rewrites at any table
+ * size, yet existing rows answer `x` instead of NULL. The mechanism is
+ * Spark's own: the manifest schema re-attaches the declaration as
+ * `EXISTS_DEFAULT`/`CURRENT_DEFAULT` field metadata at load, and the
+ * vectorized parquet reader fills columns MISSING from a file's footer with
+ * the existence default — per file, so later files that DO carry the column
+ * keep their stored values including explicit NULLs, exactly the Delta
+ * semantics. The same metadata makes the analyzer fill omitted columns and
+ * the `DEFAULT` keyword on INSERT (write-side current default). Defaults
+ * are folded to a CONSTANT at DDL time (the existence value must never
+ * drift with the reading session).
+ */
+object GraftDefaults {
+  val Prefix = "default."
+
+  /** `schema` with each `default.<col>` prop attached as default metadata. */
+  def attach(schema: StructType, props: Map[String, String]): StructType =
+    if (!props.keys.exists(_.startsWith(Prefix))) schema
+    else StructType(schema.fields.map { f =>
+      props.get(Prefix + f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", sql).putString("CURRENT_DEFAULT", sql)
+            .build())
+        case None => f
+      }
+    })
+
+  /** `schema` with default metadata removed (the stored-DDL twin). */
+  def strip(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT") && !f.metadata.contains("CURRENT_DEFAULT")) f
+      else f.copy(metadata = {
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        b.remove("EXISTS_DEFAULT"); b.remove("CURRENT_DEFAULT"); b.build()
+      })
+    })
+
+  /** Fold a declared default to a typed constant literal's SQL (refuses
+    * non-constants; casts to the column type under the pinned UTC session). */
+  def fold(sql: String, dt: DataType): String = {
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    require(parsed.foldable, s"DEFAULT must be a foldable constant, got '$sql'")
+    val v = org.apache.spark.sql.catalyst.expressions.Cast(
+      parsed, dt, Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI).eval(null)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+    require(!lit.sql.exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
+      s"DEFAULT literal contains a control character: '$sql'")
+    lit.sql
   }
 }
 

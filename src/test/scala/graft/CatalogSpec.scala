@@ -2232,6 +2232,52 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 250)
   }
 
+  test("column DEFAULTs: existing files answer the existence default, zero rewrite") {
+    import spark.implicits._
+    val t = freshTable("defs")
+    (0L until 100L).map(i => (i, i % 3)).toDF("id", "pk").coalesce(1)
+      .writeTo(t).create()                                            // gen 0+1
+    val dir = new Path(root, "defs")
+    val conf = spark.sessionState.newHadoopConf()
+    def manifest() = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    val entriesBefore = manifest().entries.toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMN bonus BIGINT DEFAULT 6 + 1")
+    assert(manifest().entries.toSet === entriesBefore, "ALTER rewrites nothing")
+    // Existence default: every pre-ALTER row answers 7, not NULL.
+    assert(spark.table(t).filter(col("bonus") === 7L).count() == 100L)
+    assert(spark.table(t).filter(col("bonus").isNull).count() == 0L)
+    // A later file that CARRIES the column keeps stored values incl. NULL.
+    Seq((100L, 1L, Some(5L)), (101L, 2L, None: Option[Long]))
+      .toDF("id", "pk", "bonus").coalesce(1).writeTo(t).append()
+    val got = spark.table(t).filter(col("id") >= 100L)
+      .select("id", "bonus").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(5L) && got(101L).isEmpty,
+      "explicit values and NULLs in newer files survive the default")
+    // Write-side current default: INSERT omitting the column fills it.
+    spark.sql(s"INSERT INTO $t (id, pk) VALUES (102, 0)")
+    spark.sql(s"INSERT INTO $t VALUES (103, 0, DEFAULT)")
+    assert(spark.table(t).filter(col("id") >= 102L)
+      .select("bonus").as[Long].collect().toSeq == Seq(7L, 7L))
+    // Aggregate over the mixed generations is exact.
+    assert(spark.table(t).agg(sum(col("bonus"))).as[Long].head ==
+      100L * 7 + 5 + 7 + 7)
+    // RENAME keeps the default wired to the column.
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN bonus TO extra")
+    assert(spark.table(t).filter(col("extra") === 7L).count() == 102L)
+    // CREATE TABLE with an inline DEFAULT takes the same path.
+    spark.sql("DROP TABLE IF EXISTS gtest.defs2")
+    spark.sql("CREATE TABLE gtest.defs2 (id BIGINT, tier STRING DEFAULT 'basic')")
+    spark.sql("INSERT INTO gtest.defs2 (id) VALUES (1)")
+    assert(spark.table("gtest.defs2").select("tier").as[String].head == "basic")
+    // Non-constant defaults refuse at DDL time.
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN r DOUBLE DEFAULT rand()")
+    }
+    assert(ex.getMessage.toLowerCase.contains("constant") ||
+      ex.getMessage.toLowerCase.contains("deterministic"), ex.getMessage)
+  }
+
   test("materialized views: delta-only refresh matches full recompute; replay is a no-op") {
     import spark.implicits._
     val t = freshTable("mvsrc")
