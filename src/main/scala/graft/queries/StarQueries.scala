@@ -2491,6 +2491,47 @@ object StarQueries {
     // The oracle replays the same history relationally: appends surface as
     // inserts, DV deletes as deletes, updates as their delete+insert pairs —
     // per-commit counts and value sums hash-verified.
+    // B200 query witness: COPY INTO — stage orders as raw landing files,
+    // load them exactly-once across three calls: first call ingests both
+    // staged files, a blind re-run loads zero (`rerun_ok`), a later third
+    // file loads alone (`delta_ok`); the final aggregate is plain orders.
+    "q_catalog_copyinto" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.cpq")
+      s.sql("CREATE TABLE graft.cpq (o_orderkey BIGINT, cents BIGINT, pk BIGINT)")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      val land = Tables.scratchDir(s, "cp_land", d)
+      val fs = new org.apache.hadoop.fs.Path(land)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(land), true)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$land/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))(0).getPath
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$land/$name.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      stage("a", base.filter(col("o_orderkey") % 3 === 0))
+      stage("b", base.filter(col("o_orderkey") % 3 === 1))
+      def copy() = s.sql(
+        s"CALL graft.system.copy_into(table => 'cpq', path => '$land')")
+        .collect()(0)
+      val r1 = copy()
+      val r2 = copy()
+      val rerunOk = r1.getLong(0) == 2L && r2.getLong(0) == 0L && r2.getLong(1) == 2L
+      stage("c", base.filter(col("o_orderkey") % 3 === 2))
+      val r3 = copy()
+      val deltaOk = r3.getLong(0) == 1L && r3.getLong(1) == 2L
+      s.table("graft.cpq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("rerun_ok", lit(rerunOk))
+        .withColumn("delta_ok", lit(deltaOk))
+        .orderBy(col("pk"))
+    },
+
     // B199 query witness: column DEFAULTs on the catalog — ALTER ADD COLUMN
     // with DEFAULT is one metadata commit (`no_rewrite` pins entry identity),
     // yet every pre-ALTER row answers the folded constant instead of NULL
@@ -4219,6 +4260,14 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B200: three exactly-once loads reassemble plain orders; the
+    // idempotence and delta pins are predicted true.
+    "q_catalog_copyinto" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS rerun_ok, true AS delta_ok
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B199: even keys predate the column (existence default 7), odd keys
     // carry their explicit o_orderkey % 100; the metadata pin rides the gate.

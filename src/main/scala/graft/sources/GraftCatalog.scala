@@ -2622,7 +2622,10 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
     new GraftWrite(dir, effManifest, info.schema(), info.queryId(), effMode,
       staticFilters, replaceGroups = effGroups, txnKey = txnKey,
       layoutManaged = Option(info.options.get("layout")).contains("managed"),
-      branch = branch)
+      branch = branch,
+      // `txnFiles` (B200): newline-separated per-source-file ledger markers.
+      txnFiles = Option(info.options.get("txnFiles"))
+        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
   }
 }
 
@@ -2642,7 +2645,8 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
     txnKey: Option[String] = None,
     layoutManaged: Boolean = false,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    txnFiles: Seq[String] = Seq.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   // Write clustering (liquid-clustering-lite): a `cluster=<col>` table
@@ -2685,7 +2689,8 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     val gen = GraftManifest.currentGen(metaDir, conf) + 1
     new GraftBatchWrite(dir, manifest, writeSchema, mode, staticFilters, gen,
       new SerializableHadoopConf(conf), replaceGroups, txnKey,
-      metaDirOpt = branch.map(b => GraftCatalogOps.branchDir(dir, b)))
+      metaDirOpt = branch.map(b => GraftCatalogOps.branchDir(dir, b)),
+      txnFiles = txnFiles)
   }
 
   /** Streaming append: each micro-batch commits one manifest generation, keyed
@@ -3520,7 +3525,8 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     conf: SerializableHadoopConf,
     replaceGroups: () => Seq[(String, String)] = () => Seq.empty,
     txnKey: Option[String] = None,
-    metaDirOpt: Option[Path] = None) extends BatchWrite {
+    metaDirOpt: Option[Path] = None,
+    txnFiles: Seq[String] = Seq.empty) extends BatchWrite {
   // Branch writes (B195): manifests claim in the branch lineage dir; data
   // files stay under the table dir so entries are table-relative and
   // fast_forward is metadata-only.
@@ -3565,10 +3571,23 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
       // Idempotent-write dedup: a replayed (txnAppId, txnVersion) batch is
       // already visible — publish nothing, drop the orphaned gen dir.
       if (txnKey.exists(base.txns.contains)) { abort(messages); return }
+      // Per-file load markers (B200, COPY INTO): a commit may carry a set of
+      // `copy:<path>` ledger keys. Re-evaluated against the snapshot the
+      // commit actually lands on: a FULL replay (every marker present)
+      // publishes nothing; a PARTIAL overlap means a concurrent COPY INTO
+      // ingested some of these source files since planning — refuse rather
+      // than double-load.
+      if (txnFiles.nonEmpty) {
+        val dup = txnFiles.filter(base.txns.contains)
+        if (dup.size == txnFiles.size) { abort(messages); return }
+        require(dup.isEmpty,
+          s"COPY INTO conflict: ${dup.size} of ${txnFiles.size} source files " +
+            "were loaded by a concurrent copy — re-run to load the remainder")
+      }
       val entries = GraftCommitProtocol.rebasedEntries(
         mode, prev, base, fresh, staticFilters, replaced)
       val m = base.withFileMeta(freshAll)
-        .copy(gen = g, entries = entries, txns = base.txns ++ txnKey)
+        .copy(gen = g, entries = entries, txns = base.txns ++ txnKey ++ txnFiles)
       if (GraftManifest.publishCas(metaDir, m, conf.value)) return
       val claimed = GraftManifest.highestClaimedGen(metaDir, conf.value)
       base = GraftManifest.loadClaimed(metaDir, claimed, conf.value)
@@ -4328,6 +4347,53 @@ object GraftCatalogOps {
   }
 
   /**
+   * COPY INTO (B200, the Delta/Databricks `COPY INTO` design — exactly-once
+   * landing-zone ingestion): load a directory of raw files into a catalog
+   * table such that EVERY source file is ingested AT MOST ONCE across any
+   * number of re-runs, crashes, and concurrent copies — the idempotent
+   * bulk-load primitive an orchestrator retries blindly. Each ingested
+   * source file leaves a `copy:<path>` marker in the commit's txn ledger, so
+   * the loaded-set travels WITH the snapshot (same channel as B180's batch
+   * keys — no side-table, no listing-state file): planning diffs the
+   * directory listing against the ledger and loads only the remainder in ONE
+   * atomic commit carrying both the rows and the markers. A replayed commit
+   * (all markers present at rebase time) publishes nothing; a PARTIAL
+   * overlap (a concurrent copy won some files) refuses rather than
+   * double-loads. The source schema is ENFORCED to the table's (reads with
+   * the table schema, so drift fails loudly, not by column shift).
+   * Returns (filesLoaded, filesSkipped).
+   */
+  def copyInto(spark: SparkSession, catalog: String, root: String,
+               table: String, srcDir: String,
+               format: String = "parquet"): (Long, Long) = {
+    require(Set("parquet", "csv", "json")(format),
+      s"COPY INTO supports parquet | csv | json, got $format")
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val listed = Option(fs.globStatus(new Path(src, "*"))).getOrElse(Array.empty)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted.toSeq
+    listed.foreach(p => require(!p.exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
+      s"source path contains a control character: $p"))
+    val fresh = listed.filterNot(p => m.txns.contains("copy:" + p))
+    if (fresh.isEmpty) return (0L, listed.size.toLong)
+    val reader = format match {
+      case "csv"  => spark.read.schema(m.schema).option("header", "true").csv(fresh: _*)
+      case "json" => spark.read.schema(m.schema).json(fresh: _*)
+      case _      => spark.read.schema(m.schema).parquet(fresh: _*)
+    }
+    reader.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .writeTo(s"$catalog.`$table`")
+      .option("txnFiles", fresh.map("copy:" + _).mkString("\n"))
+      .append()
+    (fresh.size.toLong, (listed.size - fresh.size).toLong)
+  }
+
+  /**
    * INCREMENTAL MATERIALIZED VIEWS (B198, the Delta Live Tables / DB
    * materialized-view maintenance pattern — what the change data feed
    * exists to serve): a view is a normal catalog TABLE holding a grouped
@@ -4659,6 +4725,18 @@ object GraftProcedures {
       out("dropped" -> BooleanType),
       (s, _, root, a) => Seq(GraftCatalogOps.dropBranch(s, root,
         a.getUTF8String(0).toString, a.getUTF8String(1).toString))),
+    ProcDef("copy_into",
+      "exactly-once landing-zone ingestion: load only source files not yet " +
+        "in the table's load ledger; format = parquet | csv | json",
+      Seq(in("table", StringType), in("path", StringType),
+        inDef("format", StringType, "'parquet'")),
+      out("files_loaded" -> LongType, "files_skipped" -> LongType),
+      (s, cat, root, a) => {
+        val (l, k) = GraftCatalogOps.copyInto(s, cat, root,
+          a.getUTF8String(0).toString, a.getUTF8String(1).toString,
+          a.getUTF8String(2).toString)
+        Seq(l, k)
+      }),
     ProcDef("create_mview",
       "materialize count/sum grouped by keys over a source table; " +
         "refresh_mview folds only the change feed",

@@ -2232,6 +2232,61 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 250)
   }
 
+  test("COPY INTO: per-file exactly-once across re-runs, new files load, drift refuses") {
+    import spark.implicits._
+    val t = freshTable("cpin")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    val land = tmpDir("graft_land")
+    def drop(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$land/stage_$name")
+    def promote(name: String): Unit = {
+      val fs = new Path(land).getFileSystem(spark.sessionState.newHadoopConf())
+      val part = fs.globStatus(new Path(s"$land/stage_$name/part-*.parquet"))(0).getPath
+      fs.rename(part, new Path(s"$land/$name.parquet"))
+      fs.delete(new Path(s"$land/stage_$name"), true)
+    }
+    drop("a", Seq((1L, 10L), (2L, 20L))); promote("a")
+    drop("b", Seq((3L, 30L))); promote("b")
+    val r1 = spark.sql(
+      s"CALL gtest.system.copy_into(table => 'cpin', path => '$land')")
+      .as[(Long, Long)].head
+    assert(r1 == ((2L, 0L)), s"first copy loads both files, got $r1")
+    assert(spark.table(t).count() == 3L)
+    // Blind re-run: nothing loads, nothing publishes.
+    val dir = new Path(root, "cpin")
+    val conf = spark.sessionState.newHadoopConf()
+    val genBefore = graft.sources.GraftManifest.currentGen(dir, conf)
+    val r2 = spark.sql(
+      s"CALL gtest.system.copy_into(table => 'cpin', path => '$land')")
+      .as[(Long, Long)].head
+    assert(r2 == ((0L, 2L)) && spark.table(t).count() == 3L)
+    assert(graft.sources.GraftManifest.currentGen(dir, conf) == genBefore)
+    // A new landing file loads alone; the old two stay skipped.
+    drop("c", Seq((4L, 40L), (5L, 50L))); promote("c")
+    val r3 = spark.sql(
+      s"CALL gtest.system.copy_into(table => 'cpin', path => '$land')")
+      .as[(Long, Long)].head
+    assert(r3 == ((1L, 2L)))
+    assert(spark.table(t).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    // The markers ride the snapshot's own ledger.
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.txns.count(_.startsWith("copy:")) == 3)
+    // CSV arm with enforced schema.
+    val t2 = freshTable("cpin2")
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, v BIGINT)")
+    val land2 = tmpDir("graft_land2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(land2, "x.csv"),
+      "id,v\n7,70\n8,80\n".getBytes)
+    val rc = spark.sql(s"CALL gtest.system.copy_into(table => 'cpin2', " +
+      s"path => '$land2', format => 'csv')").as[(Long, Long)].head
+    assert(rc == ((1L, 0L)))
+    assert(spark.table(t2).as[(Long, Long)].collect().toSet ===
+      Set((7L, 70L), (8L, 80L)))
+  }
+
   test("column DEFAULTs: existing files answer the existence default, zero rewrite") {
     import spark.implicits._
     val t = freshTable("defs")
