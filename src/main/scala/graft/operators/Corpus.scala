@@ -346,6 +346,31 @@ object Corpus {
   }
 
   /**
+   * Temperature-scaled domain mixing (B201, the multilingual-sampling `T`
+   * parameter — mBERT/XLM-R's p_i ∝ share_i^(1/T)): at T=2 small sources
+   * upweight and the head flattens, the standard correction for
+   * head-domain dominance. Exponent fixed at 1/2 because `sqrt` is
+   * IEEE-correctly-rounded in EVERY engine (generic `pow` is not a
+   * cross-engine contract), and the per-source √tokens are QUANTIZED to
+   * integers (floor(√·10^6)) BEFORE the normalizing sum — integer sums are
+   * exact and order-independent, so the resulting basis points replay
+   * bit-identically regardless of partition layout or engine. One grouped
+   * aggregation + a broadcast 1-row total; no shuffle beyond the groupBy.
+   */
+  def mixWeightsTemperature(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("sq", floor(sqrt(col("n_tokens").cast("double")) * 1000000d)
+        .cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tok"), sum(col("sq")).as("total_sq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("(n_tokens * 10000) div total_tok").as("share_bp"),
+        expr("(sq * 10000) div total_sq").as("temp_bp"))
+      .withColumn("upweighted", col("temp_bp") > col("share_bp"))
+  }
+
+  /**
    * Leakage-safe train/valid/test split: near-duplicate documents must never
    * straddle a split boundary — a test doc with a train-side near-twin is silent
    * eval contamination, the failure mode a per-doc hash split cannot prevent.

@@ -301,6 +301,13 @@ object TextQueries {
       Corpus.mixWeights(Tables.documents(s, d)).orderBy(col("source"))
     },
 
+    // B201: temperature-scaled mixing (T=2, p ∝ √share) — small sources
+    // upweight; √tokens quantizes to integers before the normalizing sum so
+    // the basis points are order-independent and engine-exact.
+    "q_mix_temperature" -> { (s, d) =>
+      Corpus.mixWeightsTemperature(Tables.documents(s, d)).orderBy(col("source"))
+    },
+
     // Row-level provenance (B70): the engine's hidden _metadata columns give every
     // row its source file and in-file position — the lineage a 100 TB debugging
     // session starts from ("which shard produced this bad doc?"). The driver
@@ -1209,6 +1216,20 @@ object TextQueries {
         | CAST((total_tok * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_bp,
         | CAST((n_tokens * ((total_tok * 10000) // (n_sources * n_tokens))) // 10000 AS BIGINT) AS tokens_after
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // B201: same integer quantization — floor(sqrt·1e6) per source, integer
+    // division for both basis-point columns.
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT source,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sq FROM per),
+        |tot AS (SELECT sum(n_tokens) AS total_tok, sum(sq) AS total_sq FROM q)
+        |SELECT source, n_tokens,
+        | CAST((n_tokens * 10000) // total_tok AS BIGINT) AS share_bp,
+        | CAST((sq * 10000) // total_sq AS BIGINT) AS temp_bp,
+        | (sq * 10000) // total_sq > (n_tokens * 10000) // total_tok AS upweighted
+        |FROM q CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q_provenance" ->
       """SELECT doc_id, 'documents.parquet' AS file_name,

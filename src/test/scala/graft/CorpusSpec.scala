@@ -253,6 +253,25 @@ class CorpusSpec extends GraftSuite {
       ("s2", 100L, 2500L, 20000L, 200L)))
   }
 
+  test("mixWeightsTemperature: flattens the head, upweights the tail, conserves mass") {
+    val w = Corpus.mixWeightsTemperature(Tables.documents(spark, sfTiny))
+      .select("source", "share_bp", "temp_bp", "upweighted")
+      .as[(String, Long, Long, Boolean)].collect()
+    // Temperature-2 scaling compresses the share distribution: the largest
+    // source loses share, the smallest gains (strictly, unless degenerate).
+    val maxSrc = w.maxBy(_._2); val minSrc = w.minBy(_._2)
+    assert(maxSrc._3 < maxSrc._2, s"head must flatten: $maxSrc")
+    assert(minSrc._3 > minSrc._2, s"tail must upweight: $minSrc")
+    assert(w.forall(r => r._4 == (r._3 > r._2)))
+    // Both plans distribute ~the whole budget (floor loses < #sources bp).
+    assert(math.abs(w.map(_._2).sum - 10000L) < w.length)
+    assert(math.abs(w.map(_._3).sum - 10000L) < w.length)
+    // Rank order is preserved: scaling is monotone in share.
+    val byShare = w.sortBy(_._2).map(_._1).toSeq
+    val byTemp = w.sortBy(r => (r._3, r._2)).map(_._1).toSeq
+    assert(byShare === byTemp)
+  }
+
   test("materializeMix applies whole copies exactly and fractions by stable hash") {
     // Same 300/100-token fixture as mixWeights: s1 repeats at 6666 bp (0 whole
     // copies — the single doc survives iff its hash lands under 6666/10000),
