@@ -2413,6 +2413,35 @@ object StarQueries {
         lit(planStr.contains("LocalTableScan") && !planStr.contains("BatchScan")))
     },
 
+    // B202 query witness: metadata-only SUM/AVG — per-file exact integral
+    // sums (the 5th stats field) answer ungrouped and partition-grouped SUM
+    // from the manifest, and Spark's sum/count decomposition makes AVG ride
+    // the same path; `metadata_only` pins the LocalTableScan plan inside the
+    // hash gate. At 100 TB this turns a revenue-total scan into a map lookup.
+    "q_catalog_sum" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.sumq")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        .writeTo("graft.sumq").partitionedBy(col("pk")).create()
+      val q0 = s.sql(
+        "SELECT sum(cents) AS total_cents, sum(o_orderkey) AS total_keys, " +
+          "sum(pk) AS total_pk, count(*) AS n FROM graft.sumq")
+      val plan0 = q0.queryExecution.executedPlan.toString
+      val q1 = s.sql(
+        """SELECT pk, sum(cents) AS cents, count(*) AS n,
+          |  CAST(floor(avg(cents)) AS BIGINT) AS avg_cents_floor
+          |FROM graft.sumq GROUP BY pk""".stripMargin)
+      val plan1 = q1.queryExecution.executedPlan.toString
+      val totals = q0.collect()(0)
+      q1.withColumn("total_cents", lit(totals.getLong(0)))
+        .withColumn("metadata_only", lit(
+          plan0.contains("LocalTableScan") && !plan0.contains("BatchScan") &&
+            plan1.contains("LocalTableScan") && !plan1.contains("BatchScan")))
+        .orderBy(col("pk"))
+    },
+
     // B167 query witness: per-partition metadata profile — GROUP BY over the
     // PARTITION column pushes completely (group keys = manifest directory
     // values, per-group COUNT/MIN/MAX from the same file stats), so the whole
@@ -4387,6 +4416,19 @@ object StarQueries {
         |  CAST(max(o_orderkey % 3) AS BIGINT) AS max_pk,
         |  true AS metadata_only
         |FROM orders""".stripMargin,
+
+    // B202: grouped sums + floored average replayed relationally; the
+    // LocalTableScan plan pin is predicted true.
+    "q_catalog_sum" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, CAST(sum(cents) AS BIGINT) AS cents,
+        |  count(*) AS n,
+        |  CAST(floor(sum(cents) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_cents_floor,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM base) AS total_cents,
+        |  true AS metadata_only
+        |FROM base GROUP BY pk ORDER BY pk""".stripMargin,
 
     // B167: the oracle groups the parquet data by the same partition key;
     // the metadata_only plan pin is predicted true.

@@ -1041,7 +1041,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     // `_file` filters refuse too: Spark only attempts aggregate pushdown with
     // zero residual filters (and ours stay residual), but a future residual-
     // handling change must not silently aggregate under a filter whose
@@ -1132,12 +1132,47 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
           }
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         }
+      // SUM over an INTEGRAL column (B202): per-file exact sums from the 5th
+      // stats field compose by wrapping Long addition (associative — order
+      // never matters, and the wrap matches Spark's non-ANSI BIGINT sum). A
+      // partition column's sum is dirValue × rows per file. SQL null iff the
+      // column has zero non-null values. Any file lacking a recorded sum
+      // (all-null shape contributes 0; float column or pre-B202 vintage
+      // refuses) falls back to the full scan.
+      def sumOf(c: String): Option[(DataType, Any)] = dataType(c).collect {
+        case IntegerType | LongType | ShortType => ()
+      }.flatMap { _ =>
+        val perFile: Seq[Option[Long]] =
+          if (isPart(c)) entries.map { case (pp, rel) =>
+            GraftScanBuilder.partValues(pp).get(c) match {
+              case Some("__HIVE_DEFAULT_PARTITION__") => Some(0L)
+              case Some(v) => manifest.fileRows.get(rel).map(_ * v.toLong)
+              case None => None
+            }
+          }
+          else rels.indices.map { i =>
+            statsByFile(i).flatMap { st =>
+              val phys = manifest.physicalName(c)
+              st.get(phys) match {
+                case Some((_, None, None)) => Some(0L) // all-null file
+                case Some(_) => manifest.fileStats.get(rels(i))
+                  .flatMap(s => GraftFileStats.parseSums(s).get(phys))
+                case None => None
+              }
+            }
+          }
+        if (perFile.exists(_.isEmpty)) None
+        else nonNullCount(c).map { nn =>
+          (LongType: DataType, if (nn == 0L) null else (perFile.flatten.sum: Any))
+        }
+      }
       val resolved: Seq[Option[(DataType, Any)]] = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => totalRows.map(n => (LongType: DataType, n: Any))
         case c: Count if !c.isDistinct =>
           colName(c.column).flatMap(nonNullCount).map(n => (LongType: DataType, n: Any))
         case m: Min => colName(m.column).flatMap(extreme(_, wantMin = true))
         case m: Max => colName(m.column).flatMap(extreme(_, wantMin = false))
+        case s: Sum if !s.isDistinct => colName(s.column).flatMap(sumOf)
         case _ => None
       }
       if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
@@ -2780,16 +2815,32 @@ object GraftFileStats {
   def parse(stats: String): Map[String, (Long, Option[String], Option[String])] =
     stats.split(";").filter(_.nonEmpty).flatMap { part =>
       part.split(":", -1) match {
-        case Array(n, nulls)         => Some(dec(n) -> (nulls.toLong, None, None))
-        case Array(n, nulls, mn, mx) => Some(dec(n) -> (nulls.toLong, Some(dec(mn)), Some(dec(mx))))
-        case _                       => None
+        case Array(n, nulls)             => Some(dec(n) -> (nulls.toLong, None, None))
+        case Array(n, nulls, mn, mx)     => Some(dec(n) -> (nulls.toLong, Some(dec(mn)), Some(dec(mx))))
+        case Array(n, nulls, mn, mx, _)  => Some(dec(n) -> (nulls.toLong, Some(dec(mn)), Some(dec(mx))))
+        case _                           => None
       }
     }.toMap
 
-  def encodeCol(name: String, nulls: Long, mn: Option[String], mx: Option[String]): String =
-    mn match {
-      case Some(m) => s"${enc(name)}:$nulls:${enc(m)}:${enc(mx.get)}"
-      case None    => s"${enc(name)}:$nulls"
+  /** col -> exact per-file SUM of an INTEGRAL column's non-null values
+    * (B202: the 5th stats field; Long arithmetic wraps like Spark's non-ANSI
+    * BIGINT sum — wrapping addition is associative, so per-file sums compose
+    * order-independently). Columns without a recorded sum (all-null shape,
+    * float columns, pre-B202 vintages) are simply absent. */
+  def parseSums(stats: String): Map[String, Long] =
+    stats.split(";").filter(_.nonEmpty).flatMap { part =>
+      part.split(":", -1) match {
+        case Array(n, _, _, _, sum) if sum.nonEmpty => Some(dec(n) -> sum.toLong)
+        case _ => None
+      }
+    }.toMap
+
+  def encodeCol(name: String, nulls: Long, mn: Option[String], mx: Option[String],
+                sum: Option[Long] = None): String =
+    (mn, sum) match {
+      case (Some(m), Some(s)) => s"${enc(name)}:$nulls:${enc(m)}:${enc(mx.get)}:$s"
+      case (Some(m), None)    => s"${enc(name)}:$nulls:${enc(m)}:${enc(mx.get)}"
+      case (None, _)          => s"${enc(name)}:$nulls"
     }
 
   private def ascii(s: String): Boolean = s.forall(_ < 0x80)
@@ -3442,6 +3493,13 @@ class GraftStatsCollector(dataSchema: StructType) {
   private val nonNulls = Array.fill[Long](cols.length)(0L)
   private val mins = Array.fill[String](cols.length)(null)
   private val maxs = Array.fill[String](cols.length)(null)
+  // Per-file SUM of integral columns (B202, feeds metadata-only SUM):
+  // wrapping Long adds — associative, so order never matters.
+  private val sums = Array.fill[Long](cols.length)(0L)
+  private val isIntegral = cols.map(_._1.dataType match {
+    case IntegerType | LongType | ShortType => true
+    case _ => false
+  })
   // Per-column NDV sketches (CBO feed) + the file's row count.
   private val hlls = Array.fill(cols.length)(new Array[Byte](GraftNdv.Registers))
   private var rows = 0L
@@ -3464,6 +3522,11 @@ class GraftStatsCollector(dataSchema: StructType) {
         // NaN/Infinity have no BigDecimal form and no place in a range — they
         // are counted as non-null but excluded from min/max (the column is
         // then published WITHOUT bounds, see encode — never mis-pruned).
+        if (isIntegral(k)) sums(k) += (f.dataType match {
+          case IntegerType => row.getInt(i).toLong
+          case LongType    => row.getLong(i)
+          case _           => row.getShort(i).toLong
+        })
         val v = f.dataType match {
           case StringType => row.getUTF8String(i).toString
           case IntegerType => row.getInt(i).toString
@@ -3505,7 +3568,8 @@ class GraftStatsCollector(dataSchema: StructType) {
     if (sawNonFinite(k)) None
     else if (mins(k) != null)
       Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k),
-        Option(mins(k)), Option(maxs(k))))
+        Option(mins(k)), Option(maxs(k)),
+        if (isIntegral(k)) Some(sums(k)) else None))
     else if (nonNulls(k) == 0L)
       Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k), None, None))
     else None

@@ -43,14 +43,18 @@ class CatalogSpec extends GraftSuite {
     // A partition-filtered read must succeed: the manifest prunes pk=2 away
     // before any file IO. An unfiltered read must hit the corruption.
     val ok = spark.table(t).filter(col("pk") === 1)
-      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+      .agg(count(lit(1)), sum(col("id") + lit(0))).collect()(0)
     assert(ok.getLong(0) == 100 && ok.getLong(1) == (1L until 300L by 3).sum)
-    // SUM is not metadata-answerable, so this must open pk=2 and fail. (A
-    // plain count() would now SUCCEED — correctly — via the manifest's
-    // metadata-only aggregate, without touching the vandalized bytes.)
-    intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
+    // An EXPRESSION-input aggregate is not metadata-answerable (id*id is no
+    // column reference, and unlike id+0 it does not fold back into one), so
+    // this must open pk=2 and fail. (COUNT — and since B202, SUM and even
+    // AVG, which Spark decomposes into pushable sum/count — SUCCEED via the
+    // manifest's metadata-only aggregate, without touching the bytes.)
+    intercept[Exception] { spark.table(t).agg(sum(col("id") * col("id"))).collect() }
     assert(spark.table(t).count() == 300,
       "count(*) answers from the manifest even with vandalized data files")
+    assert(spark.table(t).agg(sum(col("id"))).collect()(0).getLong(0) == 44850L,
+      "sum answers from per-file manifest sums even with vandalized data files")
   }
 
   test("snapshot isolation: every generation survives truncate and stays queryable") {
@@ -540,8 +544,9 @@ class CatalogSpec extends GraftSuite {
     // Every file pruned: the scan must produce an empty relation, not crash.
     assert(spark.table(t).filter(col("id") === 555L).count() == 0)
     assert(spark.table(t).filter(col("s").startsWith("lo")).count() == 100)
-    // SUM must read files (count(*) alone is metadata-answered these days).
-    intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
+    // An expression-input SUM must read files (plain count(*) AND sum(col)
+    // are metadata-answered these days — B166/B202).
+    intercept[Exception] { spark.table(t).agg(sum(col("id") * col("id"))).collect() }
     // Skipping is sound, not just lucky: a predicate that DOES touch the
     // vandalized range must try to read it and fail.
     intercept[Exception] { spark.table(t).filter(col("id") >= 1000).count() }
@@ -876,6 +881,22 @@ class CatalogSpec extends GraftSuite {
     assert(!q7.queryExecution.executedPlan.toString.contains("LocalTableScan"),
       "group-by on a data column must take the real scan")
     assert(q7.count() == 1000)
+    // SUM over integral columns (B202): per-file manifest sums answer it —
+    // ungrouped, over a partition column, and per partition group.
+    val q8 = spark.sql(s"SELECT sum(id), sum(pk) FROM $t")
+    assert(q8.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"sum must be metadata-only:\n${q8.queryExecution.executedPlan}")
+    val r8 = q8.collect()(0)
+    assert((r8.getLong(0), r8.getLong(1)) ==
+      ((0L until 1000L).sum, (0L until 1000L).map(_ % 3).sum))
+    val q9 = spark.sql(s"SELECT pk, sum(id) AS s FROM $t GROUP BY pk ORDER BY pk")
+    assert(q9.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q9.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(0L, 1L, 2L).map(p => (p, (0L until 1000L).filter(_ % 3 == p).sum)))
+    // Fallbacks: DISTINCT sums and string columns take the real scan.
+    val q10 = spark.sql(s"SELECT sum(DISTINCT id) FROM $t")
+    assert(!q10.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q10.collect()(0).getLong(0) == (0L until 1000L).sum)
   }
 
   test("native reads are columnar (vectorized) until a deletion vector forces rows") {
@@ -1051,7 +1072,9 @@ class CatalogSpec extends GraftSuite {
     val got = spark.table(t).where(col("_file") === target)
       .agg(count(lit(1)).as("n"), sum(col("id")).as("ids")).collect()(0)
     assert(got.getLong(0) == 100 && got.getLong(1) == (1L until 300L by 3).sum)
-    intercept[Exception] { spark.table(t).agg(sum(col("id"))).collect() }
+    // Expression-input sum: not metadata-answerable (B202 answers plain
+    // sum(col) from the manifest), so the unfiltered read hits the vandalism.
+    intercept[Exception] { spark.table(t).agg(sum(col("id") * col("id"))).collect() }
   }
 
   test("streaming change feed: $changes streams snapshot inserts, DV deletes, update pairs; rewrites fail loudly") {
