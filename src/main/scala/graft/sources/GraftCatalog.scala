@@ -1776,7 +1776,7 @@ class GraftMetaTable(ident: Identifier, dir: Path, kind: String)
 }
 
 object GraftMetaTable {
-  val Kinds = Seq("history", "files", "partitions", "tags")
+  val Kinds = Seq("history", "files", "partitions", "tags", "branches")
 
   import org.apache.spark.sql.types.StructField
   def schemaOf(kind: String): StructType = kind match {
@@ -1799,6 +1799,10 @@ object GraftMetaTable {
     case "tags" => StructType(Seq(
       StructField("name", StringType, false),
       StructField("gen", LongType, false)))
+    case "branches" => StructType(Seq(
+      StructField("name", StringType, false),
+      StructField("head_gen", LongType, false),
+      StructField("base_gen", LongType, false)))
   }
 
   private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -1827,6 +1831,12 @@ object GraftMetaTable {
       case "tags" =>
         GraftCatalogOps.listTags(dir, conf).toSeq.sortBy(_._1).map { case (n, g) =>
           new GenericInternalRow(Array[Any](utf8(n), g)): InternalRow
+        }
+      case "branches" =>
+        GraftCatalogOps.listBranches(dir, conf).toSeq.sortBy(_._1).map { case (n, head) =>
+          val base = GraftCatalogOps.resolveBranch(dir, n, conf)
+            .flatMap(_.props.get("branch.base")).map(_.toLong).getOrElse(-1L)
+          new GenericInternalRow(Array[Any](utf8(n), head, base)): InternalRow
         }
       case "partitions" =>
         val m = GraftManifest.load(dir, cur, conf)

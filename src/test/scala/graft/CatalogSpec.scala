@@ -2435,6 +2435,9 @@ class CatalogSpec extends GraftSuite {
     // and the refused branch's rows never leak into main.
     spark.sql("CALL gtest.system.branch(table => 'wap', name => 'stale')")
     batch(3).writeTo(t).option("branch", "stale").append()
+    // The $branches metadata twin lists (name, head, base) driver-side.
+    assert(spark.sql(s"SELECT * FROM gtest.`wap$$branches`")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("stale", 1L, 2L)))
     batch(4).writeTo(t).append()                                   // main moves
     val exDiv = intercept[Exception] {
       spark.sql("CALL gtest.system.fast_forward(table => 'wap', name => 'stale')").collect()
