@@ -323,6 +323,28 @@ object Similarity {
     rankTopK(scored, "sqdot", ascending = false, k)
   }
 
+  /**
+   * Two-stage retrieval (B203, the production ANN serving pattern: cheap
+   * approximate scoring over the whole index → EXACT re-rank of the short
+   * candidate list): stage 1 is [[sqTopK]]'s SQ8 asymmetric scan (4× smaller
+   * index, approximate scores), keeping `candK` per query; stage 2 joins the
+   * ≤ ¦Q¦·candK candidates — broadcast, the corpus never shuffles — back to
+   * their TRUE float vectors and re-ranks by exact cosine. Recall is set by
+   * candK (errors the quantizer introduces inside the candidate set are
+   * repaired; only candidates it dropped entirely stay lost), while the
+   * exact-scoring cost is candidate-proportional, not corpus-proportional.
+   * Both stages are deterministic and SQL-replayable, so the final ranking
+   * rides the hash gate directly — no floor booleans.
+   */
+  def sqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                   k: Int, candK: Int): DataFrame = {
+    val cands = sqTopK(queries, corpus, candK).select(col("q_id"), col("vec_id"))
+    val scored = corpus.join(broadcast(cands), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
+    rankTopK(scored, "cos", ascending = false, k)
+  }
+
   /** Materialized PQ index: `(vec_id, embedding, code_0..code_{m-1})` — the
     * FAISS index-BUILD step as a reusable DataFrame. Encoding is the expensive
     * per-row pass (m × k codeword distances); a caller running several PQ arms

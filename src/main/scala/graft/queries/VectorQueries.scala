@@ -119,6 +119,17 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // B203: two-stage retrieval — SQ8 approximate scan keeps 25 candidates
+    // per query, exact cosine re-ranks them to a top-5; candidate join is
+    // broadcast (corpus never shuffles), final ranking fully SQL-replayable.
+    "q_sim_rerank" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 305)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.sqRerankTopK(qs, emb.select(col("vec_id"), col("embedding")), 5, 25)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // B12 approximate path 2: sign-LSH bucketed top-k (no training, one equi-join).
     "q_sim_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -467,6 +478,35 @@ object VectorQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sqdot DESC, vec_id) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT q_id, rnk, vec_id, sqdot FROM ranked WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // B203: replay stage 1 (SQ8 top-25) then stage 2 (exact cosine top-5).
+    "q_sim_rerank" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |enc AS (SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |         ELSE list_transform(e, x -> CAST(floor(127.0 * x / scale) AS INT)) END AS codes
+        |  FROM s),
+        |q AS (SELECT vec_id AS q_id, e AS qv FROM v
+        |  WHERE vec_id >= 300 AND vec_id < 305),
+        |stage1 AS (
+        |  SELECT q_id, enc.vec_id,
+        |    round(list_dot_product(qv, list_transform(codes, c -> CAST(c AS DOUBLE)))
+        |      * enc.scale / 127.0, 4) AS sqdot
+        |  FROM enc CROSS JOIN q WHERE enc.vec_id <> q_id),
+        |cands AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sqdot DESC, vec_id) AS r
+        |    FROM stage1) WHERE r <= 25),
+        |rescored AS (
+        |  SELECT c.q_id, c.vec_id, ${dcos("q.qv", "v.e")} AS cos
+        |  FROM cands c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM rescored)
+        |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
 
     "q_vec_quantize" ->

@@ -251,6 +251,33 @@ class VectorExpressionSpec extends GraftSuite {
     }
   }
 
+  test("two-stage re-rank: exact scores inside candidates, full-candidate recall repair") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val qs = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // With candK = |corpus|, stage 1 drops nothing — the re-rank must equal
+    // brute force EXACTLY (the quantizer's ranking errors are fully repaired).
+    val n = corpus.count().toInt
+    val full = Similarity.sqRerankTopK(qs, corpus, 5, n)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(qs, corpus, 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full === brute, "full-candidate re-rank must equal brute force")
+    // With a narrow candidate list the output scores are still EXACT cosines
+    // (stage 2 rescores), and each query still yields k rows.
+    val narrow = Similarity.sqRerankTopK(qs, corpus, 5, 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(narrow.groupBy(_._1).forall(_._2.length == 5))
+    val bruteScores = brute.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(r => r._3 -> r._4).toMap }
+    narrow.foreach { case (q, _, v, c) =>
+      bruteScores(q).get(v).foreach(exact => assert(exact === c,
+        s"re-ranked score must be the exact cosine for ($q,$v)"))
+    }
+  }
+
   test("hard negatives: never same-label, never self, and are the label-filtered top-k") {
     import graft.operators.Similarity
     val corpus = Tables.embeddings(spark, sfTiny)
