@@ -129,6 +129,15 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // B204: asymmetric containment near-dup — |A∩B|/|A| ≥ 0.8 over 3-shingle
+    // sets catches "page contains pasted paragraph" subset duplication that
+    // symmetric Jaccard misses; prefix-filter blocking on the containee's
+    // rarest shingles, integer-basis-point verdicts.
+    "q_dedup_containment" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), 3, 0.8)
+        .orderBy(col("contained_id"), col("container_id"))
+    },
+
     // B13/B16: positional tokenization — first occurrence position (1-based) of a
     // marker token per containing document (posexplode / list_position twins).
     "q_text_positions" -> { (s, d) =>
@@ -1329,6 +1338,32 @@ object TextQueries {
         | CAST((cum - n_tok) % 512 AS BIGINT) AS off_start,
         | CAST((cum - 1) // 512 AS BIGINT) AS bin_end
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // B204: blocking replayed with the oracle's own (df, shingle) order —
+    // recall-exact blocking + exact integer verify make the orders agree on
+    // the final pair set, the q_dedup_ngram argument verbatim.
+    "q_dedup_containment" ->
+      s"""WITH ${duckSets(3)},
+         |ex AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sets),
+         |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+         |prefix AS (
+         |  SELECT doc_id, sz, sh AS block FROM (
+         |    SELECT e.doc_id, e.sz, e.sh,
+         |     row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
+         |    FROM ex e JOIN df d USING (sh)) WHERE rn <= sz - ceil(0.8 * sz) + 1),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM prefix a JOIN ex b ON a.block = b.sh AND a.doc_id <> b.doc_id
+         |  WHERE b.sz * 10000 >= a.sz * 8000),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |   (len(list_intersect(sa.shset, sb.shset)) * 10000) // len(sa.shset)
+         |     AS containment_bp
+         |  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+         |SELECT id_a AS contained_id, id_b AS container_id,
+         |  CAST(containment_bp AS BIGINT) AS containment_bp
+         |FROM pairs WHERE containment_bp >= 8000
+         |ORDER BY contained_id, container_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${duckSets(5)},

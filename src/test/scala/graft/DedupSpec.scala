@@ -69,6 +69,30 @@ class DedupSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("containmentPairs: asymmetric paragraph-in-page detection Jaccard misses") {
+    // 10: a short paragraph; 11: a long page CONTAINING it verbatim plus 3x
+    // more unrelated text; 12: unrelated. Jaccard(10,11) is far below 0.8,
+    // containment C(10,11) = 1.0 — only the asymmetric measure fires.
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val page = "intro words before the body " + para +
+      " then a very long tail of unrelated filler tokens continues here with" +
+      " many more words about engines partitions shuffles and columnar scans"
+    val docs = Seq((10L, para), (11L, page), (12L, "nothing shared at all in this one"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, 3, 0.8)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((10L, 11L)),
+      s"only para-in-page must fire, got ${pairs.toSeq}")
+    assert(pairs.head._3 === 10000L, "verbatim containment is exactly 100%")
+    // The symmetric Jaccard join at the same threshold finds NOTHING here —
+    // the gap this operator exists to close.
+    assert(Dedup.ngramJaccardPairs(docs, 3, 0.8).count() === 0L)
+    // And on the planted corpus: exact copies contain each other BOTH ways.
+    val sym = Dedup.containmentPairs(corpus, 3, 0.9)
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(sym.contains((0L, 3L)) && sym.contains((3L, 0L)))
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.exactByText(corpus)
     val renamed = once.select(col("keep_id").as("doc_id"), col("text_hash").as("text"))
