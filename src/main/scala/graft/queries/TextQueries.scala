@@ -398,6 +398,36 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // B205: interpolated Kneser-Ney bigram LM (D = 0.75, the Chen–Goodman
+    // fixed-discount form) — the production upgrade of B45's MLE bigram:
+    // P(w|v) = max(c(vw)−D,0)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/B. The
+    // continuation probability ranks words by how many CONTEXTS they follow,
+    // not raw frequency (the "San Francisco" correction). All counts are
+    // exact integers from two grouped aggregations; only the final per-doc
+    // avg(−ln P) is float, rounded like every LM score in this family.
+    "q_text_kneserney" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val bi = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val cab = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c_ab"))
+      val ca = cab.groupBy(col("prev"))
+        .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_fwd"))
+      val cont = cab.groupBy(col("tok")).agg(count(lit(1)).as("n1p_bwd"))
+      val btypes = cab.agg(count(lit(1)).as("b_types"))
+      val p = (greatest(col("c_ab").cast("double") - lit(0.75), lit(0.0)) /
+          col("c_a").cast("double")) +
+        (lit(0.75) * col("n1p_fwd").cast("double") / col("c_a").cast("double")) *
+          (col("n1p_bwd").cast("double") / col("b_types").cast("double"))
+      bi.join(cab, Seq("prev", "tok")).join(ca, Seq("prev"))
+        .join(cont, Seq("tok")).crossJoin(broadcast(btypes))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(-log(p)), 4).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // Inverted-index build (the search-index materialization BM25 would serve
     // from): per term, document frequency and the full sorted postings list's
     // content identity. One explode + one term-key agg — linear; postings are
@@ -1294,6 +1324,28 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(avg(-ln(c_ab::DOUBLE / c_a::DOUBLE)), 4) AS avg_nll
         |FROM bi JOIN cab USING (prev, tok) JOIN ca USING (prev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // B205: identical KN decomposition — integer counts, the same float-only-
+    // at-the-end rounding contract as q_text_bigram.
+    "q_text_kneserney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok,
+        |   lag(tok) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         unnest(range(len(string_split(text,' ')))) AS p FROM documents)),
+        |bi AS (SELECT doc_id, prev, tok FROM toks WHERE prev IS NOT NULL),
+        |cab AS (SELECT prev, tok, count(*) AS c_ab FROM bi GROUP BY prev, tok),
+        |ca AS (SELECT prev, sum(c_ab) AS c_a, count(*) AS n1p_fwd FROM cab GROUP BY prev),
+        |cont AS (SELECT tok, count(*) AS n1p_bwd FROM cab GROUP BY tok),
+        |bt AS (SELECT count(*) AS b_types FROM cab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(-ln(
+        |   greatest(c_ab::DOUBLE - 0.75, 0.0) / c_a::DOUBLE
+        |   + (0.75 * n1p_fwd::DOUBLE / c_a::DOUBLE) * (n1p_bwd::DOUBLE / b_types::DOUBLE)
+        | )), 4) AS avg_nll
+        |FROM bi JOIN cab USING (prev, tok) JOIN ca USING (prev)
+        |  JOIN cont USING (tok) CROSS JOIN bt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_inverted_index" ->
