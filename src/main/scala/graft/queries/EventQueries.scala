@@ -710,6 +710,73 @@ object EventQueries {
       s.read.parquet(s"$scratch/out").orderBy(col("v_id"), col("p_id"))
     },
 
+    // B206: stream-stream LEFT OUTER interval join — unmatched views emit
+    // null-padded once the right watermark proves no purchase can still
+    // match; AvailableNow's terminal no-data batch advances the watermark
+    // past all state, so the drained result equals the batch left join.
+    "q_stream_join_outer" -> { (s, d) =>
+      val scratch = Tables.scratchDir(s, "ssjoino", d)
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/out"), true)
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+      views.write.mode("overwrite").parquet(s"$scratch/views")
+      purchases.write.mode("overwrite").parquet(s"$scratch/purch")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit = {
+          val vS = s.readStream.schema(views.schema).parquet(s"$scratch/views")
+          val pS = s.readStream.schema(purchases.schema).parquet(s"$scratch/purch")
+          val joined = graft.streaming.StreamJoins.intervalJoinOuter(
+            vS, "v_ts", pS, "p_ts", "1 hour",
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("v_ts") &&
+              col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+          val q = joined
+            .select(col("v_id"), col("p_id"), col("user_id"),
+              r2(col("p_value")).as("p_value"),
+              (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+            .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+            .format("parquet").option("path", s"$scratch/out")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          val done = q.awaitTermination(240000)
+          q.stop()
+          require(done, "q_stream_join_outer: AvailableNow drain did not finish in 240s")
+        }
+        // Outer-join stream CLOSURE: the terminal watermark stops at
+        // max(event_time) − delay, so left rows whose match window closes
+        // inside the final (bound + delay) hours are still buffered when the
+        // data drain ends. A second drain feeds a far-future SENTINEL row
+        // into EACH side (the global watermark is the min across inputs, so
+        // both must advance — and the sentinel must flow through the
+        // watermark operator UNfiltered: a pre-join filter would be pushed
+        // below it and the watermark would never move); the watermark
+        // advance triggers the run's no-data batch, which evicts and emits
+        // every remaining unmatched row null-padded — the bounded-backfill
+        // close idiom. Sentinels carry unmatchable negative keys, filtered
+        // from the OUTPUT read-back, never inside the streaming plan.
+        drain()
+        val closeTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        import s.implicits._
+        val t = new java.sql.Timestamp(closeTs.getTime + 86400000L)
+        Seq((-1L, -999L, t)).toDF("v_id", "user_id", "v_ts")
+          .write.mode("append").parquet(s"$scratch/views")
+        Seq((-1L, -998L, t, 0.0)).toDF("p_id", "p_user", "p_ts", "p_value")
+          .write.mode("append").parquet(s"$scratch/purch")
+        drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$scratch/out").filter(col("v_id") >= 0L)
+        .orderBy(col("v_id"), col("p_id"))
+    },
+
     // B185: two-table as-of join — every purchase picks up the most recent
     // view by the same user at-or-before it (the feature-store point-in-time
     // lookup / trade-to-quote match), 1-day backward tolerance. Planned as
@@ -760,6 +827,21 @@ object EventQueries {
         |SELECT v.v_id, p.p_id, v.user_id, round(p.value, 2) AS p_value,
         |  epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us
         |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
+        |ORDER BY v_id, p_id""".stripMargin,
+
+    // B206: the batch LEFT join is the exact oracle — the drained stream
+    // emits every unmatched view null-padded (watermark-independent result).
+    "q_stream_join_outer" ->
+      """WITH v AS (
+        |  SELECT event_id AS v_id, user_id, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.v_id, p.p_id, v.user_id, round(p.value, 2) AS p_value,
+        |  epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
         |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
         |ORDER BY v_id, p_id""".stripMargin,
 

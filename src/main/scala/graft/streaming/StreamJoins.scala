@@ -39,4 +39,23 @@ object StreamJoins {
                    delay: String, cond: Column): DataFrame =
     left.withWatermark(leftTs, delay)
       .join(right.withWatermark(rightTs, delay), cond)
+
+  /**
+   * Watermarked LEFT OUTER interval join (B206). The outer semantics are
+   * WHERE the watermark earns its keep twice over: a left row's null-padded
+   * result can only emit once the RIGHT watermark proves no match can still
+   * arrive (the engine holds the row exactly until `rightWm > leftTs +
+   * upperBound + delay`, then emits it padded) — without the time bound the
+   * row would wait forever and the join would silently be inner. Matched
+   * pairs stream out exactly like [[intervalJoin]]; with a bounded drain
+   * (AvailableNow) Spark's terminal no-data batch advances the watermark
+   * past all buffered state, so every unmatched left row emits and the
+   * result set equals the batch left join — which is what makes the DuckDB
+   * replay an exact oracle, not an approximation.
+   */
+  def intervalJoinOuter(left: DataFrame, leftTs: String,
+                        right: DataFrame, rightTs: String,
+                        delay: String, cond: Column): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay), cond, "left_outer")
 }

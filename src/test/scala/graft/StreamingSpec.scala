@@ -441,13 +441,14 @@ class StreamingSpec extends GraftSuite {
     implicit val ctx = spark.sqlContext
     val impressions = MemoryStream[(Long, Timestamp)]
     val clicks = MemoryStream[(Long, Timestamp)]
-    val imp = impressions.toDF.toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
-    val clk = clicks.toDF.toDF("c_ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
-    val joined = imp.join(clk,
+    val imp = impressions.toDF.toDF("ad_id", "imp_ts")
+    val clk = clicks.toDF.toDF("c_ad_id", "click_ts")
+    // Through the module surface (B206): watermarks applied inside.
+    val joined = graft.streaming.StreamJoins.intervalJoinOuter(
+      imp, "imp_ts", clk, "click_ts", "10 minutes",
       col("ad_id") === col("c_ad_id") &&
         col("click_ts") >= col("imp_ts") &&
-        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
-      "left_outer")
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
     val q = joined.writeStream.format("memory").queryName("ssoj_t").outputMode("append").start()
     try {
       impressions.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
