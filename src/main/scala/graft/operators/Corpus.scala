@@ -346,6 +346,31 @@ object Corpus {
   }
 
   /**
+   * Model-based quality scoring (B207 — the "apply a pretrained classifier
+   * at corpus scale" step every production pipeline has: CCNet/fastText
+   * quality filters, NSFW gates): a LINEAR model over hashed token features,
+   * scored as one scan — per token, feature index = md5-hash mod `dims`
+   * (B116's feature-hashing trick: no vocabulary object ships anywhere),
+   * weight = a fixed INTEGER function of the index (the "frozen model";
+   * swap in real trained weights via the same map-literal slot), per-doc
+   * score = the exact integer sum of its tokens' weights. Integer weights
+   * are the load-bearing choice: the score is order-independent and
+   * engine-exact, so the classify-and-gate decision (`score ≥ 0`) replays
+   * bit-for-bit — no sigmoid, no float sum, no threshold jitter. Work is
+   * one explode + one grouped sum; the model never leaves the expression.
+   */
+  def modelQualityScore(docs: DataFrame, dims: Int = 256): DataFrame = {
+    val idx = pmod(TextOps.md5Long(col("tok")), lit(dims))
+    // Knuth-multiplicative spread over the index, centered: w ∈ [-10^6, 10^6].
+    val weight = pmod(idx * lit(2654435761L), lit(2000001L)) - lit(1000000L)
+    docs.select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+      .withColumn("keep", col("score") >= 0L)
+  }
+
+  /**
    * Temperature-scaled domain mixing (B201, the multilingual-sampling `T`
    * parameter — mBERT/XLM-R's p_i ∝ share_i^(1/T)): at T=2 small sources
    * upweight and the head flattens, the standard correction for

@@ -220,6 +220,18 @@ object TextQueries {
         .orderBy(col("source"), col("sample_rank"))
     },
 
+    // B207: hashed-linear-classifier quality gate — per-language kept/total
+    // and exact integer score stats; the whole model rides one expression.
+    "q_quality_model" -> { (s, d) =>
+      Corpus.modelQualityScore(Tables.documents(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum(col("score")).as("sum_score"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
+    },
+
     // B196: stratified Bernoulli sampling with per-language fractions (the
     // sampleBy contract, deterministic): integer-basis-point thresholds over
     // an md5 coin keyed by doc_id — exact membership is engine-replayable, a
@@ -1099,6 +1111,25 @@ object TextQueries {
          |  CAST(concat('0x', substr(md5('split:' || CAST(group_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
          |  FROM g)
          |ORDER BY doc_id""".stripMargin,
+
+    // B207: identical hash→index→integer-weight chain; exact integer sums.
+    "q_quality_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |   ((CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 256) * 2654435761)
+        |     % 2000001 - 1000000 AS w
+        |  FROM tok),
+        |per AS (
+        |  SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score,
+        |    count(*) AS n_tokens
+        |  FROM w GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN score >= 0 THEN 1 END) AS n_kept,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
 
     // B196: identical md5 coin + integer basis-point thresholds per language.
     "q_sample_stratified" ->

@@ -253,6 +253,24 @@ class CorpusSpec extends GraftSuite {
       ("s2", 100L, 2500L, 20000L, 200L)))
   }
 
+  test("modelQualityScore: exact, order-independent, non-degenerate gate") {
+    val docs = Tables.documents(spark, sfTiny)
+    val s1 = Corpus.modelQualityScore(docs)
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect()
+    // Deterministic across runs AND partition layouts (integer sums).
+    val s2 = Corpus.modelQualityScore(docs.repartition(13))
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect()
+    assert(s1.toSet === s2.toSet)
+    // The gate discriminates: both classes exist, and keep == (score >= 0).
+    assert(s1.exists(_._3) && s1.exists(!_._3))
+    assert(s1.forall(r => r._3 == (r._2 >= 0L)))
+    // Scoring a doc ignores every other doc: a singleton scores identically.
+    val one = docs.orderBy("doc_id").limit(1)
+    val solo = Corpus.modelQualityScore(one)
+      .select("doc_id", "score").as[(Long, Long)].collect().head
+    assert(s1.find(_._1 == solo._1).get._2 === solo._2)
+  }
+
   test("mixWeightsTemperature: flattens the head, upweights the tail, conserves mass") {
     val w = Corpus.mixWeightsTemperature(Tables.documents(spark, sfTiny))
       .select("source", "share_bp", "temp_bp", "upweighted")
