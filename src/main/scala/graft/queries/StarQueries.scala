@@ -2520,6 +2520,43 @@ object StarQueries {
     // The oracle replays the same history relationally: appends surface as
     // inserts, DV deletes as deletes, updates as their delete+insert pairs —
     // per-commit counts and value sums hash-verified.
+    // B208 query witness: OPTIMIZE ... WHERE — three fragmenting appends per
+    // partition, then a compaction scoped to pk = 1: the out-of-scope
+    // partitions' files ride forward byte-identical (`scoped_ok`), the
+    // in-scope partition collapses to one fresh file, and the content is
+    // untouched (plain orders, hash-verified).
+    "q_catalog_optimize_where" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.optwq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      // Fragment every partition: the split axis is independent of pk, so
+      // each append drops one file into EACH partition.
+      val band = pmod(hash(col("o_orderkey")), lit(3))
+      base.filter(band === 0)
+        .writeTo("graft.optwq").partitionedBy(col("pk")).create()
+      base.filter(band === 1).writeTo("graft.optwq").append()
+      base.filter(band === 2).writeTo("graft.optwq").append()
+      val root = Tables.scratchDir(s, "catalog", d)
+      val dir = new org.apache.hadoop.fs.Path(root, "optwq")
+      val hconf = s.sessionState.newHadoopConf()
+      import graft.sources.GraftManifest
+      def files(m: GraftManifest, pk: Long) =
+        m.entries.filter(_._1 == s"pk=$pk").map(_._2).toSet
+      val before = GraftManifest.load(dir, GraftManifest.currentGen(dir, hconf), hconf)
+      s.sql("CALL graft.system.optimize(table => 'optwq', where => 'pk = 1')")
+      val after = GraftManifest.load(dir, GraftManifest.currentGen(dir, hconf), hconf)
+      val scopedOk = files(after, 0L) == files(before, 0L) &&
+        files(after, 2L) == files(before, 2L) &&
+        files(after, 1L).size < files(before, 1L).size &&
+        files(after, 1L).intersect(files(before, 1L)).isEmpty
+      s.table("graft.optwq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("scoped_ok", lit(scopedOk))
+        .orderBy(col("pk"))
+    },
+
     // B200 query witness: COPY INTO — stage orders as raw landing files,
     // load them exactly-once across three calls: first call ingests both
     // staged files, a blind re-run loads zero (`rerun_ok`), a later third
@@ -4289,6 +4326,14 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B208: a scoped compaction never changes content — plain orders, with
+    // the file-surgery pin predicted true.
+    "q_catalog_optimize_where" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS scoped_ok
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B200: three exactly-once loads reassemble plain orders; the
     // idempotence and delta pins are predicted true.

@@ -3955,7 +3955,8 @@ object GraftCatalogOps {
    * merge-on-read exists to avoid.
    */
   def optimize(spark: SparkSession, tableRef: String, root: String,
-               table: String, minDeletedRatio: Double = 0.0): (Long, Long, Long, Long) = {
+               table: String, minDeletedRatio: Double = 0.0,
+               whereSql: String = ""): (Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -3963,20 +3964,45 @@ object GraftCatalogOps {
     def liveDvs(m: GraftManifest): Long =
       m.entries.flatMap(e => m.fileDVs.get(e._2)).size.toLong
     val before = snap()
-    if (minDeletedRatio <= 0.0) {
+    // `OPTIMIZE ... WHERE` (B208, the Delta partition-scoped maintenance
+    // idiom): a predicate narrows the compaction to the files it MAY touch —
+    // resolved/coerced/folded by the same machinery as replaceWhere and
+    // pruned through the scan's three metadata layers, so "compact
+    // yesterday's partition" on a 100 TB table reads yesterday, not the
+    // table. OPTIMIZE rewrites whole FILES (content unchanged, DVs
+    // materialized away); it never evaluates the predicate per row, so an
+    // untranslatable predicate degrades soundly to all-files candidacy.
+    val scoped: Set[String] =
+      if (whereSql.isEmpty) before.entries.map(_._2).toSet
+      else {
+        val resolved = GraftCheck.resolve(whereSql, before.schema, bind = false)
+        val folded = resolved.transformUp {
+          case e if e.foldable && !e.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Literal] =>
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              e.eval(null), e.dataType)
+        }
+        org.apache.spark.sql.GraftBridge.translateFilter(folded) match {
+          case Some(f) => mayTouch(before, Array(f)).map(_._2).toSet
+          case None => before.entries.map(_._2).toSet
+        }
+      }
+    if (minDeletedRatio <= 0.0 && whereSql.isEmpty) {
       // Full compaction. Self-rewrite is safe: the scan reads immutable old
       // files, the write lands in a new gen dir, and only the commit swaps
       // the manifest.
       spark.table(tableRef).writeTo(tableRef).overwritePartitions()
     } else {
-      val targets = before.entries.map(_._2).filter { rel =>
-        before.fileDVs.get(rel).exists { dv =>
-          val dead = GraftDV.read(dir, dv, conf).length.toDouble
-          // An unknown row count (legacy manifest) never qualifies — the
-          // heuristic refuses to guess at rewrite cost.
-          before.fileRows.get(rel).exists(n => n > 0 && dead / n >= minDeletedRatio)
+      val targets = before.entries.map(_._2)
+        .filter(scoped.contains)
+        .filter { rel =>
+          minDeletedRatio <= 0.0 || before.fileDVs.get(rel).exists { dv =>
+            val dead = GraftDV.read(dir, dv, conf).length.toDouble
+            // An unknown row count (legacy manifest) never qualifies — the
+            // heuristic refuses to guess at rewrite cost.
+            before.fileRows.get(rel).exists(n => n > 0 && dead / n >= minDeletedRatio)
+          }
         }
-      }
       if (targets.nonEmpty) {
         spark.table(tableRef).select(col("*"), col("_file"))
           .where(col("_file").isin(targets: _*)).drop("_file")
@@ -4725,14 +4751,16 @@ object GraftProcedures {
         Seq(f, m)
       }),
     ProcDef("optimize",
-      "compact the live snapshot; min_deleted_ratio > 0 targets DV-heavy files only",
-      Seq(in("table", StringType), inDef("min_deleted_ratio", DoubleType, "0.0")),
+      "compact the live snapshot; min_deleted_ratio > 0 targets DV-heavy " +
+        "files only; where narrows to files the predicate may touch",
+      Seq(in("table", StringType), inDef("min_deleted_ratio", DoubleType, "0.0"),
+        inDef("where", StringType, "''")),
       out("files_before" -> LongType, "dvs_before" -> LongType,
         "files_after" -> LongType, "dvs_after" -> LongType),
       (s, cat, root, a) => {
         val t = a.getUTF8String(0).toString
-        val (fb, db, fa, da) =
-          GraftCatalogOps.optimize(s, ref(cat, t), root, t, a.getDouble(1))
+        val (fb, db, fa, da) = GraftCatalogOps.optimize(s, ref(cat, t), root, t,
+          a.getDouble(1), a.getUTF8String(2).toString)
         Seq(fb, db, fa, da)
       }),
     ProcDef("zorder",

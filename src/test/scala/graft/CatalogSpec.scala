@@ -2255,6 +2255,42 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 250)
   }
 
+  test("OPTIMIZE WHERE: compaction scoped to the predicate's partitions, rest untouched") {
+    import spark.implicits._
+    val t = freshTable("optw")
+    // Two partitions, each fragmented into 3 small files by 3 appends.
+    def slab(lo: Long) = (lo until lo + 50L).map(i => (i, i % 2)).toDF("id", "pk")
+    slab(0).writeTo(t).partitionedBy(col("pk")).tableProperty("dml", "dv").create()
+    slab(50).writeTo(t).append()
+    slab(100).writeTo(t).append()
+    val dir = new Path(root, "optw")
+    val conf = spark.sessionState.newHadoopConf()
+    def manifest() = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    def filesOf(pk: Long) = manifest().entries.filter(_._1 == s"pk=$pk").map(_._2).toSet
+    val pk0Before = filesOf(0L); val pk1Before = filesOf(1L)
+    assert(pk0Before.size == 3 && pk1Before.size == 3)
+    // A DV on pk=1 proves the scoped rewrite materializes it away.
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    val r = spark.sql(
+      "CALL gtest.system.optimize(table => 'optw', where => 'pk = 1')")
+      .as[(Long, Long, Long, Long)].head
+    assert(r._2 == 1L && r._4 == 0L, s"scoped optimize must clear pk=1's DV: $r")
+    assert(filesOf(0L) === pk0Before, "out-of-scope partition rides forward untouched")
+    assert(filesOf(1L).size == 1 && filesOf(1L).intersect(pk1Before).isEmpty,
+      "in-scope partition compacts to fresh file(s)")
+    assert(spark.table(t).count() == 149L)
+    assert(spark.table(t).filter(col("pk") === 1L).agg(sum(col("id")))
+      .as[Long].head == (0L until 150L).filter(i => i % 2 == 1 && i != 1L).sum)
+    // Composition with the DV-debt heuristic: a scoped call with a ratio no
+    // file meets rewrites nothing.
+    val gen = graft.sources.GraftManifest.currentGen(dir, conf)
+    spark.sql("CALL gtest.system.optimize(table => 'optw', " +
+      "min_deleted_ratio => 0.9, where => 'pk = 0')").collect()
+    assert(graft.sources.GraftManifest.currentGen(dir, conf) == gen,
+      "nothing qualified — nothing published")
+  }
+
   test("COPY INTO: per-file exactly-once across re-runs, new files load, drift refuses") {
     import spark.implicits._
     val t = freshTable("cpin")
