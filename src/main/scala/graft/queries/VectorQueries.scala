@@ -293,11 +293,20 @@ object VectorQueries {
         normCentroids, 5, 2, trainFraction = 0.3, trained = Some(model),
         encoded = Some(index)))
       index.unpersist(blocking = false)
+      // B192/B203 arms: SQ8 and its exact re-rank are DETERMINISTIC (integer
+      // quantization, no trained codebooks), so their recall is an exact
+      // SQL-replayable basis-point number, like the IVF arm. Re-rank recall
+      // dominates SQ8 recall BY CONSTRUCTION: every truth member inside the
+      // candidate list is exact-cosine-selected, so repair is monotone.
+      val sqHits = hitsOf(Similarity.sqTopK(qs, corpus, 5))
+      val rerankHits = hitsOf(Similarity.sqRerankTopK(qs, corpus, 5, 25))
       import s.implicits._
       Seq(
         ("ivf", 5L, ivfHits * 10000L / 25L, true),
         ("pq", 5L, -1L, pqHits >= 4L),
-        ("ivfpq", 5L, -1L, ivfPqHits >= 2L)
+        ("ivfpq", 5L, -1L, ivfPqHits >= 2L),
+        ("sq", 5L, sqHits * 10000L / 25L, true),
+        ("rerank", 5L, rerankHits * 10000L / 25L, rerankHits >= sqHits)
       ).toDF("arm", "n_queries", "mean_recall_bp", "recall_ok")
         .orderBy(col("arm"))
     }
@@ -603,12 +612,41 @@ object VectorQueries {
          |  FROM bucketed b JOIN probes p USING (bucket)
          |  WHERE b.vec_id <> p.q_id) WHERE rnk <= 5),
          |ivf_hits AS (SELECT count(*) AS n
-         |  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
+         |  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id),
+         |enc AS (SELECT vec_id, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+         |         ELSE list_transform(v, x -> CAST(floor(127.0 * x / scale) AS INT)) END AS codes
+         |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM corp)),
+         |sq_scored AS (
+         |  SELECT q_id, enc.vec_id,
+         |    round(list_dot_product(qv, list_transform(codes, c -> CAST(c AS DOUBLE)))
+         |      * enc.scale / 127.0, 4) AS sqdot
+         |  FROM enc CROSS JOIN q WHERE enc.vec_id <> q_id),
+         |sq5 AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sqdot DESC, vec_id) AS r
+         |  FROM sq_scored) WHERE r <= 5),
+         |sq_hits AS (SELECT count(*) AS n
+         |  FROM exact e JOIN sq5 a ON e.q_id = a.q_id AND e.vec_id = a.vec_id),
+         |sq25 AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sqdot DESC, vec_id) AS r
+         |  FROM sq_scored) WHERE r <= 25),
+         |rr5 AS (SELECT q_id, vec_id FROM (
+         |  SELECT c.q_id, c.vec_id,
+         |   row_number() OVER (PARTITION BY c.q_id
+         |     ORDER BY ${dcos("q.qv", "cv.v")} DESC, c.vec_id) AS r
+         |  FROM sq25 c JOIN corp cv ON cv.vec_id = c.vec_id
+         |    JOIN q ON q.q_id = c.q_id) WHERE r <= 5),
+         |rr_hits AS (SELECT count(*) AS n
+         |  FROM exact e JOIN rr5 a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
          |SELECT 'ivf' AS arm, CAST(5 AS BIGINT) AS n_queries,
          |  CAST((SELECT n FROM ivf_hits) * 10000 // 25 AS BIGINT) AS mean_recall_bp,
          |  true AS recall_ok
          |UNION ALL SELECT 'ivfpq', 5, -1, true
          |UNION ALL SELECT 'pq', 5, -1, true
+         |UNION ALL SELECT 'sq', 5,
+         |  CAST((SELECT n FROM sq_hits) * 10000 // 25 AS BIGINT), true
+         |UNION ALL SELECT 'rerank', 5,
+         |  CAST((SELECT n FROM rr_hits) * 10000 // 25 AS BIGINT), true
          |ORDER BY arm""".stripMargin
   )
 }
