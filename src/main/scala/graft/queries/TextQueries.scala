@@ -183,6 +183,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // B210: keep-BEST dedup collapse — the production canonical-selection
+    // policy: per near-dup cluster keep the HIGHEST-quality member (B207's
+    // exact integer score; min doc_id breaks ties), not the arbitrary min-id.
+    // Composes minhash pairs → connected components → per-cluster argmax via
+    // max_by over the (score, -id) struct — one window-free aggregation.
+    "q_dedup_keep_best" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, 3, 8, 2, 0.8)
+      val labels = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl"))
+      val scored = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+        .join(Corpus.modelQualityScore(docs).select(col("doc_id"), col("score")),
+          "doc_id")
+      // Composite argmax key: (score, then smaller id) as ONE integer —
+      // score × 10⁹ dominates, −doc_id breaks ties toward the smaller id;
+      // scores are ≤ ~10⁶·n_tokens, far inside BIGINT at this scaling.
+      val best = scored.groupBy(col("cluster_id"))
+        .agg(expr("max_by(doc_id, score * 1000000000 - doc_id)").as("keep_id"))
+      scored.join(best, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("kept"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+
     // Leakage-safe split (B73): whole near-dup clusters move to one split —
     // the hash is taken over the connected-component group id, so a test doc
     // can never have a train-side near-twin. Singletons keep their plain
@@ -1092,6 +1117,32 @@ object TextQueries {
          |SELECT id AS doc_id, cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // B210: same CC replay + the same integer quality score; argmax replays
+    // as max_by over (score, -doc_id).
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $duckMinhashPairs,
+         |np AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+         |          UNION SELECT id_b, id_a FROM np),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id),
+         |comp AS (SELECT id, min(lbl) AS lbl FROM walk GROUP BY id),
+         |qual AS (
+         |  SELECT doc_id, CAST(sum(
+         |    ((CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % 256) * 2654435761)
+         |      % 2000001 - 1000000) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+         |  GROUP BY doc_id),
+         |g AS (SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id, q.score
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |      JOIN qual q ON q.doc_id = d.doc_id),
+         |best AS (SELECT cluster_id, max_by(doc_id, score * 1000000000 - doc_id) AS keep_id
+         |         FROM g GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS kept, score
+         |FROM g JOIN best USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "q_split_leakage_safe" ->
       s"""WITH RECURSIVE $duckMinhashPairs,

@@ -3850,7 +3850,8 @@ object GraftCatalogOps {
   def vacuum(spark: SparkSession, root: String, table: String,
              keepGens: Int = 1,
              leaseTtlMs: Long = GraftLease.DefaultTtlMs,
-             uncommittedGraceMs: Long = DefaultUncommittedGraceMs): (Long, Long) = {
+             uncommittedGraceMs: Long = DefaultUncommittedGraceMs,
+             dryRun: Boolean = false): (Long, Long) = {
     require(keepGens >= 1, "must retain at least the current generation")
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -3903,20 +3904,30 @@ object GraftCatalogOps {
         val f = it.next()
         val rel = genName + f.getPath.toString.stripPrefix(genSt.getPath.toString)
         if (!live.contains(rel) && f.getModificationTime <= reclaimableBefore) {
-          fs.delete(f.getPath, false); filesDeleted += 1
+          // DRY RUN (B209, the Delta `VACUUM ... DRY RUN` audit): count what
+          // WOULD reclaim, touch nothing — the pre-flight an operator runs
+          // before an irreversible retention change.
+          if (!dryRun) fs.delete(f.getPath, false)
+          filesDeleted += 1
         }
       }
-      // Drop directories emptied by the reclaim (best-effort; non-recursive
-      // delete refuses non-empty dirs, so a live file can never be lost here).
-      fs.listStatus(genSt.getPath).filter(_.isDirectory)
-        .foreach(d => try fs.delete(d.getPath, false) catch { case _: Exception => () })
-      try fs.delete(genSt.getPath, false) catch { case _: Exception => () }
+      if (!dryRun) {
+        // Drop directories emptied by the reclaim (best-effort; non-recursive
+        // delete refuses non-empty dirs, so a live file can never be lost here).
+        fs.listStatus(genSt.getPath).filter(_.isDirectory)
+          .foreach(d => try fs.delete(d.getPath, false) catch { case _: Exception => () })
+        try fs.delete(genSt.getPath, false) catch { case _: Exception => () }
+      }
     }
     var manifestsDeleted = 0L
     (0L until horizon).filterNot(tagged).foreach { g =>
       val p = new Path(dir, s"manifest-$g.txt")
-      if (fs.exists(p)) { fs.delete(p, false); manifestsDeleted += 1 }
+      if (fs.exists(p)) {
+        if (!dryRun) fs.delete(p, false)
+        manifestsDeleted += 1
+      }
     }
+    if (dryRun) return (filesDeleted, manifestsDeleted)
     // Crashed-writer litter: a CAS publisher that died before its hard-link
     // claim leaves a `.manifest-*.tmp-*` body (and a failed pointer swap can
     // leave `_CURRENT.tmp-*`). Both are invisible to readers — reclaim them
@@ -4741,13 +4752,16 @@ object GraftProcedures {
 
   private val defs: Seq[ProcDef] = Seq(
     ProcDef("vacuum",
-      "reclaim files unreferenced by the retained manifests (leases + tags honored)",
+      "reclaim files unreferenced by the retained manifests (leases + tags " +
+        "honored); dry_run audits without deleting",
       Seq(in("table", StringType), inDef("keep_gens", IntegerType, "1"),
-        inDef("grace_ms", LongType, GraftCatalogOps.DefaultUncommittedGraceMs.toString)),
+        inDef("grace_ms", LongType, GraftCatalogOps.DefaultUncommittedGraceMs.toString),
+        inDef("dry_run", org.apache.spark.sql.types.BooleanType, "false")),
       out("files_deleted" -> LongType, "manifests_deleted" -> LongType),
       (s, _, root, a) => {
         val (f, m) = GraftCatalogOps.vacuum(s, root, a.getUTF8String(0).toString,
-          keepGens = a.getInt(1), uncommittedGraceMs = a.getLong(2))
+          keepGens = a.getInt(1), uncommittedGraceMs = a.getLong(2),
+          dryRun = a.getBoolean(3))
         Seq(f, m)
       }),
     ProcDef("optimize",

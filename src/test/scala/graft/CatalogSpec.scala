@@ -2255,6 +2255,31 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() == 250)
   }
 
+  test("VACUUM DRY RUN: predicts the exact reclaim, touches nothing") {
+    import spark.implicits._
+    val t = freshTable("vdry")
+    (0L until 100L).map(i => (i, i % 2)).toDF("id", "pk").writeTo(t).create()
+    spark.sql(s"TRUNCATE TABLE $t")                 // gen 2: gen-1 files dead
+    val dir = new Path(root, "vdry")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    def nFiles() = fs.globStatus(new Path(dir, "gen-*/*/*.parquet")).length +
+      fs.globStatus(new Path(dir, "gen-*/*.parquet")).length
+    val filesBefore = nFiles()
+    assert(filesBefore > 0)
+    val dry = spark.sql("CALL gtest.system.vacuum(table => 'vdry', " +
+      "grace_ms => 0, dry_run => true)").as[(Long, Long)].head
+    assert(dry._1 > 0L && dry._2 > 0L, s"dry run must predict a reclaim: $dry")
+    assert(nFiles() == filesBefore, "dry run must delete nothing")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").as[Long].head == 100L,
+      "time travel intact after dry run")
+    // The real vacuum reclaims EXACTLY what the dry run predicted.
+    val real = spark.sql("CALL gtest.system.vacuum(table => 'vdry', " +
+      "grace_ms => 0)").as[(Long, Long)].head
+    assert(real == dry, s"dry-run prediction $dry != actual reclaim $real")
+    assert(nFiles() == filesBefore - dry._1.toInt)
+  }
+
   test("OPTIMIZE WHERE: compaction scoped to the predicate's partitions, rest untouched") {
     import spark.implicits._
     val t = freshTable("optw")
