@@ -2520,6 +2520,50 @@ object StarQueries {
     // The oracle replays the same history relationally: appends surface as
     // inserts, DV deletes as deletes, updates as their delete+insert pairs —
     // per-commit counts and value sums hash-verified.
+    // B211 query witness: multi-column per-file blooms — two files whose key
+    // SETS are disjoint (even/odd) but whose lexical RANGES fully overlap on
+    // BOTH bloom columns, so min/max can never prune an equality probe;
+    // `skip_s`/`skip_u` pin that a point probe on EITHER column excludes the
+    // other file via its own named bloom. Aggregate is plain orders.
+    "q_catalog_bloom_multi" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.bmq")
+      // Fixed key range at every SF: a 2048-bit bloom saturates past a few
+      // hundred distinct values per file — the fixture must stay inside the
+      // filter's working cardinality, which is the honest modeling of "one
+      // bloom per FILE of bounded size" (real tables bound file size, so
+      // per-file cardinality is bounded too).
+      val base = Tables.orders(s, d).filter(col("o_orderkey") <= 600)
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          concat(lit("v"), col("o_orderkey")).as("sk"),
+          concat(lit("w"), col("o_orderkey")).as("uk"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+        .writeTo("graft.bmq").tableProperty("bloom", "sk,uk").create()
+      base.filter(col("o_orderkey") % 2 === 1).coalesce(1)
+        .writeTo("graft.bmq").append()
+      val root = Tables.scratchDir(s, "catalog", d)
+      val dir = new org.apache.hadoop.fs.Path(root, "bmq")
+      val hconf = s.sessionState.newHadoopConf()
+      import graft.sources.{GraftCatalogOps, GraftManifest}
+      import org.apache.spark.sql.sources.EqualTo
+      val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, hconf), hconf)
+      val evenRel = m.entries.map(_._2).find(_.startsWith("gen-1-")).get
+      // A handful of odd keys is a metadata-scale driver probe list.
+      val oddKeys = s.table("graft.bmq").filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(50)
+        .collect().map(_.getLong(0))
+      def prunes(c: String, prefix: String) = oddKeys.exists(k =>
+        !GraftCatalogOps.mayTouch(m, Array(EqualTo(c, s"$prefix$k")))
+          .exists(_._2 == evenRel))
+      s.table("graft.bmq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("skip_s", lit(prunes("sk", "v")))
+        .withColumn("skip_u", lit(prunes("uk", "w")))
+        .orderBy(col("pk"))
+    },
+
     // B208 query witness: OPTIMIZE ... WHERE — three fragmenting appends per
     // partition, then a compaction scoped to pk = 1: the out-of-scope
     // partitions' files ride forward byte-identical (`scoped_ok`), the
@@ -4326,6 +4370,14 @@ object StarQueries {
         |  CAST(4 AS BIGINT) AS files_total, CAST(3 AS BIGINT) AS files_skipped
         |FROM orders, b
         |WHERE o_orderkey >= b.bw AND o_orderkey < 2 * b.bw""".stripMargin,
+
+    // B211: content is plain orders; both per-column bloom-skipping pins are
+    // predicted true (deterministic md5 probes over ≥ dozens of candidates).
+    "q_catalog_bloom_multi" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS skip_s, true AS skip_u
+        |FROM orders WHERE o_orderkey <= 600 GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B208: a scoped compaction never changes content — plain orders, with
     // the file-surgery pin predicted true.

@@ -237,8 +237,13 @@ class GraftCatalog extends TableCatalog
     }.toMap
     keep.get("cluster").foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c missing from schema"))
-    keep.get("bloom").foreach(c => require(schema.fieldNames.contains(c),
-      s"bloom column $c missing from schema"))
+    keep.get("bloom").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"bloom column $c missing from schema")
+        require(!c.exists(ch => ch == ':' || ch == ';'),
+          s"bloom column name '$c' may not contain ':' or ';' (payload delimiters)")
+      }
     keep.get("dml").foreach(v => require(v == "cow" || v == "dv",
       s"dml table property must be cow or dv, got $v"))
     // CHECK constraints (unnamed `check` plus every named `check.<name>`):
@@ -321,7 +326,14 @@ class GraftCatalog extends TableCatalog
             GraftCheck.resolve(v, schema)
           if (k.startsWith(GraftGenerated.Prefix))
             GraftGenerated.validate(props + (k -> v), schema)
-          if (k == "bloom" || k == "cluster")
+          if (k == "bloom")
+            v.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+              require(schema.fieldNames.contains(c),
+                s"bloom column $c missing from schema")
+              require(!c.exists(ch => ch == ':' || ch == ';'),
+                s"bloom column name '$c' may not contain ':' or ';' (payload delimiters)")
+            }
+          if (k == "cluster")
             require(schema.fieldNames.contains(v),
               s"$k column $v missing from schema")
           if (k == "dml") require(v == "cow" || v == "dv",
@@ -347,9 +359,11 @@ class GraftCatalog extends TableCatalog
           // expressions store SQL text referencing it.
           require(!cur.partCols.contains(from),
             s"cannot rename partition column $from")
-          Seq("bloom", "cluster").foreach(pk =>
-            require(!props.get(pk).contains(from),
-              s"cannot rename $from: it is the table's $pk column"))
+          require(!props.get("bloom").toSeq.flatMap(_.split(','))
+              .map(_.trim).contains(from),
+            s"cannot rename $from: it is one of the table's bloom columns")
+          require(!props.get("cluster").contains(from),
+            s"cannot rename $from: it is the table's cluster column")
           require(!props.contains(GraftGenerated.Prefix + from),
             s"cannot rename generated column $from")
           (GraftCheck.declared(props) ++ GraftGenerated.declared(props))
@@ -443,9 +457,18 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
   def physicalize(st: StructType): StructType =
     if (colMap.isEmpty) st
     else StructType(st.fields.map(f => f.copy(name = physicalName(f.name))))
-  /** Column carrying a per-file Bloom filter (`bloom=<col>` table property). */
-  def bloomCol: Option[String] = props.get("bloom").filter(c =>
-    dataSchema.fields.exists(f => f.name == c && GraftBloom.eligible(f.dataType)))
+  /** Columns carrying per-file Bloom filters (`bloom=<col>[,<col>…]` table
+    * property, B211): each listed eligible column gets its own filter in the
+    * file's bloom payload, so equality probes on ANY of them prune files —
+    * the second-frequent-filter-column story z-order tells for ranges, told
+    * for point lookups at the cost of 256 bytes per column per file. */
+  def bloomCols: Seq[String] = props.get("bloom").toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    .filter(c => dataSchema.fields.exists(f =>
+      f.name == c && GraftBloom.eligible(f.dataType)))
+
+  /** First bloom column (single-column vintage accessor). */
+  def bloomCol: Option[String] = bloomCols.headOption
 }
 
 object GraftManifest {
@@ -999,8 +1022,8 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
         } &&
         GraftFileStats.mayMatch(manifest.fileStats.get(rel), physFilters,
           physSchema) &&
-        manifest.bloomCol.forall(bc =>
-          GraftBloom.mayMatch(manifest.fileBlooms.get(rel), bc, physFilters))
+        GraftBloom.mayMatchCols(manifest.fileBlooms.get(rel),
+          manifest.bloomCols, physFilters)
     }
   }
 
@@ -2477,7 +2500,7 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new GraftDeltaWriterFactory(writeSchema, prev.partCols,
-      new Path(dir, genRel).toString, conf, prev.bloomCol,
+      new Path(dir, genRel).toString, conf, prev.bloomCols,
       GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2547,14 +2570,14 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
 }
 
 class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
-    genDir: String, conf: SerializableHadoopConf, bloomCol: Option[String],
+    genDir: String, conf: SerializableHadoopConf, bloomCols: Seq[String],
     checks: Seq[GraftCheckPredicate] = Seq.empty,
     colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol, checks, colMap)
+      partitionId, taskId, bloomCols, checks, colMap)
 }
 
 /** Task side of the merge-on-read write: inserts reuse the ordinary parquet
@@ -2562,7 +2585,7 @@ class GraftDeltaWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * pairs — a few longs per deleted row, never row data. */
 class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String], checks: Seq[GraftCheckPredicate] = Seq.empty,
+    bloomCols: Seq[String], checks: Seq[GraftCheckPredicate] = Seq.empty,
     colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   // LAZY: a pure DELETE's write schema is EMPTY (no row data travels with a
@@ -2571,7 +2594,7 @@ class GraftDeltaRowWriter(writeSchema: StructType, partCols: Seq[String],
   private var innerOpt: Option[GraftRowWriter] = None
   private def inner: GraftRowWriter = innerOpt.getOrElse {
     val w = new GraftRowWriter(writeSchema, partCols, genDir, conf,
-      partitionId, taskId, bloomCol, checks, colMap)
+      partitionId, taskId, bloomCols, checks, colMap)
     innerOpt = Some(w); w
   }
   private val deletes =
@@ -2757,7 +2780,7 @@ class GraftStreamingWrite(dir: Path, prev: GraftManifest, writeSchema: StructTyp
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(writeSchema, prev.partCols, dir.toString, queryId,
-      conf, prev.bloomCol, GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
+      conf, prev.bloomCols, GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val c = conf.value
@@ -2977,6 +3000,31 @@ object GraftBloom {
         vs.forall(v => v == null || !mightContain(encoded.get, String.valueOf(v)))
       case _ => false
     }
+
+  /** Multi-column payload (B211): ONE column keeps the legacy raw-base64
+    * shape (old manifests and single-bloom tables parse unchanged); two or
+    * more encode as `col:b64;col:b64` — ':' and ';' are outside the base64
+    * alphabet, so the marker is unambiguous. */
+  def encodeCols(cols: Seq[(String, java.util.BitSet)]): String = cols match {
+    case Seq((_, only)) => encode(only)
+    case many => many.map { case (c, b) => s"$c:${encode(b)}" }.mkString(";")
+  }
+
+  /** The named column's filter within a payload; None = untracked (never
+    * prune). Legacy raw payloads belong to the FIRST declared bloom column. */
+  def bloomFor(encoded: String, col: String,
+               firstCol: Option[String]): Option[String] =
+    if (!encoded.contains(':'))
+      if (firstCol.contains(col)) Some(encoded) else None
+    else encoded.split(';').collectFirst {
+      case e if e.startsWith(col + ":") => e.substring(col.length + 1)
+    }
+
+  /** Prune decision across every declared bloom column. */
+  def mayMatchCols(encoded: Option[String], bloomCols: Seq[String],
+                   filters: Array[Filter]): Boolean =
+    encoded.isEmpty || bloomCols.forall(bc =>
+      mayMatch(bloomFor(encoded.get, bc, bloomCols.headOption), bc, filters))
 }
 
 /**
@@ -3619,7 +3667,7 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(writeSchema, prev.partCols,
-      new Path(dir, genRel).toString, conf, prev.bloomCol,
+      new Path(dir, genRel).toString, conf, prev.bloomCols,
       GraftCheck.compiled(prev.props, writeSchema), prev.colMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3683,25 +3731,25 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
   * the streaming engine serializes the factory into every task. */
 class GraftStreamingWriterFactory(writeSchema: StructType, partCols: Seq[String],
     tableDir: String, queryId: String, conf: SerializableHadoopConf,
-    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty, checks: Seq[GraftCheckPredicate] = Seq.empty,
     colMap: Map[String, String] = Map.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols,
-      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCol,
+      s"$tableDir/ep-$queryId-$epochId", conf, partitionId, taskId, bloomCols,
       checks, colMap)
 }
 
 class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf,
-    bloomCol: Option[String] = None,
+    bloomCols: Seq[String] = Seq.empty,
     checks: Seq[GraftCheckPredicate] = Seq.empty,
     colMap: Map[String, String] = Map.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftRowWriter(writeSchema, partCols, genDir, conf, partitionId, taskId,
-      bloomCol, checks, colMap)
+      bloomCols, checks, colMap)
 }
 
 /** Per-task writer shared by the batch and streaming paths: one parquet file
@@ -3709,7 +3757,7 @@ class GraftWriterFactory(writeSchema: StructType, partCols: Seq[String],
   * makes that exactly one file per partition per commit). */
 class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
     genDir: String, conf: SerializableHadoopConf, partitionId: Int, taskId: Long,
-    bloomCol: Option[String] = None, checks: Seq[GraftCheckPredicate] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty, checks: Seq[GraftCheckPredicate] = Seq.empty,
     colMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
       private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
@@ -3738,12 +3786,14 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         c
       }
       private val writers = scala.collection.mutable.LinkedHashMap
-        .empty[String, (ParquetOutputWriter, String, GraftStatsCollector, java.util.BitSet)]
+        .empty[String, (ParquetOutputWriter, String, GraftStatsCollector, Array[java.util.BitSet])]
       private var rows = 0L
-      // Bloom column's index in the PROJECTED (data) row, when configured.
-      private val bloomIdx: Option[Int] = bloomCol.flatMap { c =>
+      // Bloom columns' (name, index in the PROJECTED data row) — one filter
+      // per declared column (B211); the name keys the multi-column payload.
+      private val bloomIdxs: Seq[(String, Int)] = bloomCols.flatMap { c =>
         val i = dataSchema.fieldNames.indexOf(colMap.getOrElse(c, c))
-        if (i >= 0 && GraftBloom.eligible(dataSchema.fields(i).dataType)) Some(i)
+        if (i >= 0 && GraftBloom.eligible(dataSchema.fields(i).dataType))
+          Some((c, i))
         else None
       }
 
@@ -3775,12 +3825,15 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
             new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
               taskId.toInt))
           (new ParquetOutputWriter(file, ctx), fileName,
-            new GraftStatsCollector(dataSchema), new java.util.BitSet(GraftBloom.Bits))
+            new GraftStatsCollector(dataSchema),
+            Array.fill(bloomIdxs.size)(new java.util.BitSet(GraftBloom.Bits)))
         })
         val projected = project(row)
         w.write(projected)
         stats.update(projected)
-        bloomIdx.foreach { i =>
+        var bk = 0
+        while (bk < bloomIdxs.size) {
+          val i = bloomIdxs(bk)._2
           if (!projected.isNullAt(i)) {
             val v = dataSchema.fields(i).dataType match {
               case StringType => projected.getUTF8String(i).toString
@@ -3789,8 +3842,9 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
               case ShortType => projected.getShort(i).toString
               case _ => null
             }
-            if (v != null) GraftBloom.positions(v).foreach(bloom.set)
+            if (v != null) GraftBloom.positions(v).foreach(bloom(bk).set)
           }
+          bk += 1
         }
         rows += 1
       }
@@ -3804,7 +3858,8 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
           val abs = if (pp.isEmpty) new Path(genDir, fileName)
             else new Path(s"$genDir/$pp", fileName)
           GraftFileRecord(pp, rel, stats.encode, fs.getFileStatus(abs).getLen,
-            if (bloomIdx.isDefined) GraftBloom.encode(bloom) else "",
+            if (bloomIdxs.isEmpty) ""
+            else GraftBloom.encodeCols(bloomIdxs.map(_._1).zip(bloom)),
             stats.rowCount, stats.encodeNdv)
         }, rows)
       }
@@ -4040,8 +4095,7 @@ object GraftCatalogOps {
       val values = GraftScanBuilder.partValues(partPath)
       part.forall(f => GraftScanBuilder.matches(f, values, m.schema)) &&
         GraftFileStats.mayMatch(m.fileStats.get(rel), data, physSchema) &&
-        m.bloomCol.forall(bc =>
-          GraftBloom.mayMatch(m.fileBlooms.get(rel), bc, data))
+        GraftBloom.mayMatchCols(m.fileBlooms.get(rel), m.bloomCols, data)
     }
   }
 

@@ -488,6 +488,57 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("multi-column blooms: equality probes on EITHER column prune independently") {
+    import spark.implicits._
+    val t = freshTable("bloomy2")
+    // Two files with disjoint value SETS but fully-overlapping RANGES on
+    // BOTH columns — only the per-column blooms can prune equality probes.
+    (0L until 200L by 2).map(i => (i, s"v$i", s"w$i")).toDF("id", "s", "u")
+      .coalesce(1).writeTo(t).tableProperty("bloom", "s,u").create()
+    (1L until 200L by 2).map(i => (i, s"v$i", s"w$i")).toDF("id", "s", "u")
+      .coalesce(1).writeTo(t).append()
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(root, "bloomy2")
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.bloomCols == Seq("s", "u"))
+    assert(m.fileBlooms.values.forall(_.contains(":")),
+      "two declared columns must use the named multi payload")
+    val evenRel = m.entries.map(_._2).find(_.startsWith("gen-1-")).get
+    import graft.sources.{GraftBloom, GraftCatalogOps}
+    import org.apache.spark.sql.sources.EqualTo
+    // Per-column pruning, via the library evaluator: find odd values each
+    // column's bloom provably excludes from the even file.
+    val probeS = (1L until 200L by 2).map(i => s"v$i").find(v =>
+      !GraftCatalogOps.mayTouch(m, Array(EqualTo("s", v)))
+        .exists(_._2 == evenRel)).get
+    val probeU = (1L until 200L by 2).map(i => s"w$i").find(v =>
+      !GraftCatalogOps.mayTouch(m, Array(EqualTo("u", v)))
+        .exists(_._2 == evenRel)).get
+    // Vandalize the even file: probes on EITHER column succeed without it.
+    val fs = dir.getFileSystem(conf)
+    fs.globStatus(new Path(dir, "gen-1-*/*.parquet")).foreach { st =>
+      val out = fs.create(st.getPath, true)
+      try out.write("junk".getBytes) finally out.close()
+    }
+    assert(spark.table(t).filter(col("s") === probeS).count() == 1L)
+    assert(spark.table(t).filter(col("u") === probeU).count() == 1L)
+    // Soundness: values genuinely in the even file must try to read it.
+    intercept[Exception] { spark.table(t).filter(col("s") === "v42").collect() }
+    intercept[Exception] { spark.table(t).filter(col("u") === "w42").collect() }
+    // Legacy single-column payloads still parse (raw base64, no marker).
+    val legacy = GraftBloom.encode {
+      val b = new java.util.BitSet(); GraftBloom.positions("x").foreach(b.set); b
+    }
+    assert(GraftBloom.mayMatchCols(Some(legacy), Seq("s"), Array(EqualTo("s", "x"))))
+    assert(!GraftBloom.mayMatchCols(Some(legacy), Seq("s"), Array(EqualTo("s", "zz"))))
+    // A rename of either bloom column refuses.
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN u TO u2")
+    }
+    assert(ex.getMessage.contains("bloom"))
+  }
+
   test("vacuum reclaims only unreferenced files; live snapshot stays readable") {
     val t = freshTable("vac")
     base.writeTo(t).partitionedBy(col("pk")).create()   // gen-1 files
