@@ -1799,7 +1799,7 @@ class GraftMetaTable(ident: Identifier, dir: Path, kind: String)
 }
 
 object GraftMetaTable {
-  val Kinds = Seq("history", "files", "partitions", "tags", "branches")
+  val Kinds = Seq("history", "files", "partitions", "tags", "branches", "txns")
 
   import org.apache.spark.sql.types.StructField
   def schemaOf(kind: String): StructType = kind match {
@@ -1826,6 +1826,12 @@ object GraftMetaTable {
       StructField("name", StringType, false),
       StructField("head_gen", LongType, false),
       StructField("base_gen", LongType, false)))
+    // The txn ledger, parsed: kind ∈ {batch, epoch, copy, mview} — the
+    // idempotence keys (B180), exactly-once epochs, COPY INTO file markers
+    // (B200), and materialized-view fold floors (B198) all ride it.
+    case "txns" => StructType(Seq(
+      StructField("kind", StringType, false),
+      StructField("key", StringType, false)))
   }
 
   private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -1860,6 +1866,16 @@ object GraftMetaTable {
           val base = GraftCatalogOps.resolveBranch(dir, n, conf)
             .flatMap(_.props.get("branch.base")).map(_.toLong).getOrElse(-1L)
           new GenericInternalRow(Array[Any](utf8(n), head, base)): InternalRow
+        }
+      case "txns" =>
+        val m = GraftManifest.load(dir, cur, conf)
+        m.txns.toSeq.sorted.map { t =>
+          val (kind, key) =
+            if (t.startsWith("batch:mview:")) ("mview", t.stripPrefix("batch:mview:"))
+            else if (t.startsWith("batch:")) ("batch", t.stripPrefix("batch:"))
+            else if (t.startsWith("copy:")) ("copy", t.stripPrefix("copy:"))
+            else ("epoch", t)
+          new GenericInternalRow(Array[Any](utf8(kind), utf8(key))): InternalRow
         }
       case "partitions" =>
         val m = GraftManifest.load(dir, cur, conf)

@@ -2405,10 +2405,12 @@ class CatalogSpec extends GraftSuite {
     assert(r3 == ((1L, 2L)))
     assert(spark.table(t).as[(Long, Long)].collect().toSet ===
       Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
-    // The markers ride the snapshot's own ledger.
+    // The markers ride the snapshot's own ledger, listed by the $txns twin.
     val m = graft.sources.GraftManifest.load(dir,
       graft.sources.GraftManifest.currentGen(dir, conf), conf)
     assert(m.txns.count(_.startsWith("copy:")) == 3)
+    assert(spark.sql(s"SELECT count(*) FROM gtest.`cpin$$txns` WHERE kind = 'copy'")
+      .collect()(0).getLong(0) == 3L)
     // CSV arm with enforced schema.
     val t2 = freshTable("cpin2")
     spark.sql(s"CREATE TABLE $t2 (id BIGINT, v BIGINT)")
