@@ -1484,11 +1484,12 @@ object TextQueries {
          |  SELECT doc_id, sz, sh AS block FROM (
          |    SELECT e.doc_id, e.sz, e.sh,
          |     row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
-         |    FROM ex e JOIN df d USING (sh)) WHERE rn <= sz - ceil(0.8 * sz) + 1),
+         |    FROM ex e JOIN df d USING (sh))
+         |  WHERE rn <= sz - (sz * 8000 + 9999) // 10000 + 1),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM prefix a JOIN ex b ON a.block = b.sh AND a.doc_id <> b.doc_id
-         |  WHERE b.sz * 10000 >= a.sz * 8000),
+         |  WHERE b.sz >= (a.sz * 8000 + 9999) // 10000),
          |pairs AS (
          |  SELECT id_a, id_b,
          |   (len(list_intersect(sa.shset, sb.shset)) * 10000) // len(sa.shset)
@@ -1507,7 +1508,8 @@ object TextQueries {
          |  SELECT doc_id, sh AS block FROM (
          |    SELECT e.doc_id, e.sz, e.sh,
          |     row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
-         |    FROM ex e JOIN df d USING (sh)) WHERE rn <= sz - ceil(0.8 * sz) + 1),
+         |    FROM ex e JOIN df d USING (sh))
+         |  WHERE rn <= sz - (sz * 8000 + 9999) // 10000 + 1),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM prefix a JOIN prefix b

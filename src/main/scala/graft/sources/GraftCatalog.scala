@@ -320,19 +320,39 @@ class GraftCatalog extends TableCatalog
           require(!(k + v).exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
             s"table property '$k' contains a control character — " +
               "the line-oriented manifest cannot store it")
+          // Column-mapping props are engine-managed (mirrors the createTable
+          // guard): a user SET would silently re-key every stat/bloom/read.
+          require(!k.startsWith("physical."),
+            s"table property '$k' is reserved for the engine's column mapping")
           // A new/changed CHECK must resolve against the CURRENT schema now,
           // not fail the next write.
           if (k == GraftCheck.Prop || k.startsWith(GraftCheck.Prop + "."))
             GraftCheck.resolve(v, schema)
           if (k.startsWith(GraftGenerated.Prefix))
             GraftGenerated.validate(props + (k -> v), schema)
-          if (k == "bloom")
-            v.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+          if (k == "bloom") {
+            val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            cols.foreach { c =>
               require(schema.fieldNames.contains(c),
                 s"bloom column $c missing from schema")
               require(!c.exists(ch => ch == ':' || ch == ';'),
                 s"bloom column name '$c' may not contain ':' or ';' (payload delimiters)")
             }
+            // Legacy raw (un-keyed) payloads are attributed to the FIRST
+            // declared bloom column; moving that column while such payloads
+            // exist would hand column-a bits to probes on column b — a
+            // soundness hole (false prune → silently dropped rows). New
+            // writes always key payloads by name, so this only bites
+            // pre-column-keyed files: refuse loudly, pointing at OPTIMIZE.
+            val oldFirst = props.get("bloom").toSeq.flatMap(_.split(','))
+              .map(_.trim).filter(_.nonEmpty).headOption
+            val rawPayloads = cur.fileBlooms.values.exists(!_.contains(':'))
+            require(!rawPayloads || oldFirst == cols.headOption,
+              s"cannot change the first bloom column (${oldFirst.getOrElse("")} " +
+                s"-> ${cols.headOption.getOrElse("")}): files in this table " +
+                "carry legacy un-keyed bloom payloads owned by the first " +
+                "column; run OPTIMIZE to rewrite them first")
+          }
           if (k == "cluster")
             require(schema.fieldNames.contains(v),
               s"$k column $v missing from schema")
@@ -340,6 +360,12 @@ class GraftCatalog extends TableCatalog
             s"dml table property must be cow or dv, got $v")
           props = props + (k -> v)
         case rm: TableChange.RemoveProperty =>
+          // UNSET of an engine-written column mapping would re-key reads to
+          // the wrong physical parquet column (all-NULL results) and mis-key
+          // stat/bloom pruning — refuse, mirroring the SET guard.
+          require(!rm.property().startsWith("physical."),
+            s"table property '${rm.property()}' is reserved for the " +
+              "engine's column mapping")
           props = props - rm.property()
         case rn: TableChange.RenameColumn =>
           // COLUMN MAPPING rename (B190): one metadata commit, zero rewrites.
@@ -3017,17 +3043,22 @@ object GraftBloom {
       case _ => false
     }
 
-  /** Multi-column payload (B211): ONE column keeps the legacy raw-base64
-    * shape (old manifests and single-bloom tables parse unchanged); two or
-    * more encode as `col:b64;col:b64` — ':' and ';' are outside the base64
-    * alphabet, so the marker is unambiguous. */
-  def encodeCols(cols: Seq[(String, java.util.BitSet)]): String = cols match {
-    case Seq((_, only)) => encode(only)
-    case many => many.map { case (c, b) => s"$c:${encode(b)}" }.mkString(";")
-  }
+  /** Multi-column payload (B211): every payload is keyed by its owning
+    * column — `col:b64[;col:b64…]` — ':' and ';' are outside the base64
+    * alphabet, so the marker is unambiguous. NEW writes always carry the
+    * column name, even for a single declared bloom column: a payload's
+    * owner is a property of the FILE (what was hashed into it at write
+    * time), not of whatever the table's `bloom` property says later, so the
+    * name must travel with the bits or an ALTER that reorders the property
+    * would silently re-attribute old filters and falsely prune. */
+  def encodeCols(cols: Seq[(String, java.util.BitSet)]): String =
+    cols.map { case (c, b) => s"$c:${encode(b)}" }.mkString(";")
 
   /** The named column's filter within a payload; None = untracked (never
-    * prune). Legacy raw payloads belong to the FIRST declared bloom column. */
+    * prune). Legacy raw payloads (pre-column-keyed manifests) belong to the
+    * FIRST declared bloom column — sound because [[GraftCatalog.alterTable]]
+    * refuses any `bloom` property change that would move the first column
+    * while raw payloads still exist in the manifest. */
   def bloomFor(encoded: String, col: String,
                firstCol: Option[String]): Option[String] =
     if (!encoded.contains(':'))
@@ -3658,6 +3689,24 @@ class GraftStatsCollector(dataSchema: StructType) {
       cols(k)._1.name -> hlls(k) })
 }
 
+/** Driver-side channel reporting whether the LAST catalog batch commit on
+  * this thread actually published a generation, or was silently absorbed as
+  * an idempotent/COPY-INTO full replay (`abort` + no publication). V2
+  * `BatchWrite.commit` runs on the driver in the same call stack as the
+  * `df.writeTo(...).append()` that triggered it, so a ThreadLocal is exact —
+  * callers that need the outcome ([[GraftCatalogOps.copyInto]]) reset before
+  * the write and read after, instead of trusting planning-time state that a
+  * concurrent committer may have invalidated. */
+object GraftCommitOutcome {
+  private val last = new ThreadLocal[Option[Boolean]] {
+    override def initialValue: Option[Boolean] = None
+  }
+  private[sources] def record(published: Boolean): Unit = last.set(Some(published))
+  def reset(): Unit = last.set(None)
+  /** Some(true)=published, Some(false)=absorbed as replay, None=no commit ran. */
+  def lastPublished: Option[Boolean] = last.get()
+}
+
 class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     mode: String, staticFilters: Array[Filter], gen: Long,
     conf: SerializableHadoopConf,
@@ -3708,7 +3757,9 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
     while (attempts < 20) {
       // Idempotent-write dedup: a replayed (txnAppId, txnVersion) batch is
       // already visible — publish nothing, drop the orphaned gen dir.
-      if (txnKey.exists(base.txns.contains)) { abort(messages); return }
+      if (txnKey.exists(base.txns.contains)) {
+        abort(messages); GraftCommitOutcome.record(published = false); return
+      }
       // Per-file load markers (B200, COPY INTO): a commit may carry a set of
       // `copy:<path>` ledger keys. Re-evaluated against the snapshot the
       // commit actually lands on: a FULL replay (every marker present)
@@ -3717,7 +3768,9 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
       // than double-load.
       if (txnFiles.nonEmpty) {
         val dup = txnFiles.filter(base.txns.contains)
-        if (dup.size == txnFiles.size) { abort(messages); return }
+        if (dup.size == txnFiles.size) {
+          abort(messages); GraftCommitOutcome.record(published = false); return
+        }
         require(dup.isEmpty,
           s"COPY INTO conflict: ${dup.size} of ${txnFiles.size} source files " +
             "were loaded by a concurrent copy — re-run to load the remainder")
@@ -3726,7 +3779,9 @@ class GraftBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructType,
         mode, prev, base, fresh, staticFilters, replaced)
       val m = base.withFileMeta(freshAll)
         .copy(gen = g, entries = entries, txns = base.txns ++ txnKey ++ txnFiles)
-      if (GraftManifest.publishCas(metaDir, m, conf.value)) return
+      if (GraftManifest.publishCas(metaDir, m, conf.value)) {
+        GraftCommitOutcome.record(published = true); return
+      }
       val claimed = GraftManifest.highestClaimedGen(metaDir, conf.value)
       base = GraftManifest.loadClaimed(metaDir, claimed, conf.value)
       g = claimed + 1
@@ -4567,11 +4622,19 @@ object GraftCatalogOps {
       case "json" => spark.read.schema(m.schema).json(fresh: _*)
       case _      => spark.read.schema(m.schema).parquet(fresh: _*)
     }
+    GraftCommitOutcome.reset()
     reader.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
       .writeTo(s"$catalog.`$table`")
       .option("txnFiles", fresh.map("copy:" + _).mkString("\n"))
       .append()
-    (fresh.size.toLong, (listed.size - fresh.size).toLong)
+    // The counts reflect the COMMIT outcome, not planning-time state: a
+    // concurrent copy that ingested every planned file between planning and
+    // commit absorbs our write as a full replay (nothing published) — those
+    // files were loaded by the OTHER invocation, so this one reports them
+    // skipped. (A partial overlap threw inside the commit.)
+    if (GraftCommitOutcome.lastPublished.contains(false))
+      (0L, listed.size.toLong)
+    else (fresh.size.toLong, (listed.size - fresh.size).toLong)
   }
 
   /**
@@ -4626,12 +4689,23 @@ object GraftCatalogOps {
   }
 
   /** Largest source generation already folded into the view: the seed prop
-    * or the newest refresh commit in the txn ledger, whichever is later. */
+    * or the newest refresh commit in the txn ledger, whichever is later.
+    * The `mview` txnAppId is reserved on view tables — a user idempotent
+    * write claiming it with a non-numeric version would corrupt the floor,
+    * so ledger keys that don't parse as generations refuse loudly (and a
+    * view missing its seed prop gets a clear error, not a `.max` on empty). */
   def mviewFoldFloor(m: GraftManifest): Long = {
     val ledger = m.txns.collect {
-      case t if t.startsWith("batch:mview:") => t.stripPrefix("batch:mview:").toLong
+      case t if t.startsWith("batch:mview:") =>
+        val v = t.stripPrefix("batch:mview:")
+        v.toLongOption.getOrElse(throw new IllegalStateException(
+          s"txn ledger entry 'mview:$v' is not a source generation — the " +
+            "'mview' txnAppId is reserved for refresh commits on view tables"))
     }
-    (m.props.get("mview.gen").map(_.toLong).toSet ++ ledger).max
+    (m.props.get("mview.gen").map(_.toLong).toSet ++ ledger).maxOption
+      .getOrElse(throw new IllegalStateException(
+        "view has neither an mview.gen seed property nor a refresh ledger " +
+          "entry — not a materialized view, or its seed commit was lost"))
   }
 
   /** Fold the source change feed (floor, current] into the view in one

@@ -469,9 +469,12 @@ class CatalogSpec extends GraftSuite {
     val evenRel = m.entries.map(_._2).find(_.startsWith("gen-1-")).get
     val oddRel = m.entries.map(_._2).find(_.startsWith("gen-2-")).get
     // Find an odd value the bloom provably excludes from the EVEN file (fp
-    // rate ~0.1%, deterministic hashes — scan a few candidates).
+    // rate ~0.1%, deterministic hashes — scan a few candidates). Payloads
+    // are column-keyed even for a single declared column.
+    val evenBloom = graft.sources.GraftBloom.bloomFor(
+      m.fileBlooms(evenRel), "s", m.bloomCol).get
     val probe = (1L until 200L by 2).map(i => s"v$i").find(v =>
-      !graft.sources.GraftBloom.mightContain(m.fileBlooms(evenRel), v)).get
+      !graft.sources.GraftBloom.mightContain(evenBloom, v)).get
     // Vandalize the even file; an equality read for `probe` must succeed
     // without opening it, and return exactly the one odd row.
     val fs = dir.getFileSystem(conf)
@@ -2579,5 +2582,74 @@ class CatalogSpec extends GraftSuite {
       graft.sources.GraftCatalogOps.tag(spark, root, "wap", "b-name", mainGen())
     }
     assert(exBr.getMessage.contains("branch"))
+  }
+
+  test("ALTER cannot touch engine-managed column-mapping props") {
+    val t = freshTable("physguard")
+    base.writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO s2")   // engine writes physical.s2
+    // A user SET of a physical.* key would silently re-key reads/stats.
+    val exSet = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('physical.id' = 'pk')")
+    }
+    assert(exSet.getMessage.contains("reserved"))
+    // A user UNSET of the engine-written mapping would point reads at a
+    // physical parquet column that does not exist (all-NULL results).
+    val exUnset = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('physical.s2')")
+    }
+    assert(exUnset.getMessage.contains("reserved"))
+    // The mapping survived both refusals: renamed column still reads its data.
+    assert(spark.table(t).filter(col("s2") === "v7").count() == 1L)
+  }
+
+  test("bloom first-column change refuses while legacy raw payloads exist") {
+    val t = freshTable("bloomalter")
+    base.writeTo(t).tableProperty("bloom", "s").create()
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(root, "bloomalter")
+    // New writes key payloads by column; reordering that KEEPS the first
+    // column, or any change over keyed payloads, is always allowed.
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom' = 's,id')")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom' = 'id')")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom' = 's')")
+    // Forge a pre-column-keyed manifest: strip the `s:` owner markers so the
+    // payloads are raw base64, as old engines wrote them.
+    graft.sources.GraftManifest.publishNext(dir, conf) { cur =>
+      cur.copy(gen = cur.gen + 1,
+        fileBlooms = cur.fileBlooms.map { case (rel, enc) =>
+          rel -> enc.split(';').map(_.dropWhile(_ != ':').drop(1)).mkString(";") })
+    }
+    val m = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf)
+    assert(m.fileBlooms.values.forall(!_.contains(':')), "forged raw payloads")
+    // Moving the FIRST bloom column would hand s-built bits to probes on id:
+    // an id-equality probe could falsely prune files and drop matching rows.
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom' = 'id,s')")
+    }
+    assert(ex.getMessage.contains("legacy") && ex.getMessage.contains("OPTIMIZE"))
+    // Appending the new column AFTER the owner is fine (raw stays owned by s).
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom' = 's,id')")
+    assert(spark.table(t).filter(col("s") === "v7").count() == 1L)
+  }
+
+  test("the mview txnAppId is reserved: a foreign claim fails the floor loudly") {
+    import spark.implicits._
+    val src = freshTable("mvsrc2")
+    (0L until 100L).map(i => (i % 5, i)).toDF("k", "v").writeTo(src).create()
+    graft.sources.GraftCatalogOps.createMview(
+      spark, "gtest", root, "mv2", "mvsrc2", Seq("k"), "v")
+    // A user idempotent write onto the VIEW claiming txnAppId='mview' with a
+    // non-numeric version would otherwise crash refresh with a bare
+    // NumberFormatException deep in the fold-floor scan.
+    spark.table("gtest.mv2")
+      .writeTo("gtest.mv2")
+      .option("txnAppId", "mview").option("txnVersion", "oops")
+      .overwrite(lit(true))
+    val ex = intercept[IllegalStateException] {
+      graft.sources.GraftCatalogOps.refreshMview(spark, "gtest", root, "mv2")
+    }
+    assert(ex.getMessage.contains("reserved"))
   }
 }
