@@ -307,14 +307,22 @@ object Similarity {
    * SQL-replayable — the only ANN arm whose scores ride the hash gate
    * directly.
    */
-  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val e = transform(col("embedding"), x => x.cast("double"))
-    val scale = array_max(transform(e, x => abs(x)))
-    val encoded = corpus.select(col("vec_id"), scale.as("sq_scale"),
-      when(scale === 0, transform(e, _ => lit(0)))
-        .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
-        .as("codes"))
-    val scored = encoded.crossJoin(broadcast(queries))
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             encoded: Option[DataFrame] = None): DataFrame = {
+    // A caller holding a MATERIALIZED SQ8 index (VectorIndex.sq — the
+    // deployment posture: encode once, every query reads codes) passes it in;
+    // otherwise encode inline in the same pass (identical values — integer
+    // quantization over IEEE doubles survives the parquet round trip exactly).
+    val enc = encoded.map(_.select(col("vec_id"), col("sq_scale"), col("codes")))
+      .getOrElse {
+        val e = transform(col("embedding"), x => x.cast("double"))
+        val scale = array_max(transform(e, x => abs(x)))
+        corpus.select(col("vec_id"), scale.as("sq_scale"),
+          when(scale === 0, transform(e, _ => lit(0)))
+            .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
+            .as("codes"))
+      }
+    val scored = enc.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sqdot", round(
         aggregate(zip_with(transform(col("q_vec"), x => x.cast("double")),
@@ -337,8 +345,10 @@ object Similarity {
    * rides the hash gate directly — no floor booleans.
    */
   def sqRerankTopK(queries: DataFrame, corpus: DataFrame,
-                   k: Int, candK: Int): DataFrame = {
-    val cands = sqTopK(queries, corpus, candK).select(col("q_id"), col("vec_id"))
+                   k: Int, candK: Int,
+                   encoded: Option[DataFrame] = None): DataFrame = {
+    val cands = sqTopK(queries, corpus, candK, encoded)
+      .select(col("q_id"), col("vec_id"))
     val scored = corpus.join(broadcast(cands), "vec_id")
       .join(broadcast(queries), "q_id")
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))

@@ -2418,27 +2418,40 @@ object StarQueries {
     // from the manifest, and Spark's sum/count decomposition makes AVG ride
     // the same path; `metadata_only` pins the LocalTableScan plan inside the
     // hash gate. At 100 TB this turns a revenue-total scan into a map lookup.
+    // Round-8 extension: the table is merge-on-read (`dml=dv`) and a DV
+    // delete lands mid-query — the metadata path now SUBTRACTS the per-file
+    // deleted-row aggregates recorded at delete time (GraftDVAggs), so the
+    // post-delete totals stay LocalTableScan too (`metadata_only` pins all
+    // four plans, before AND after the delete).
     "q_catalog_sum" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       s.sql("DROP TABLE IF EXISTS graft.sumq")
       Tables.orders(s, d).select(col("o_orderkey"),
           expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
           pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
-        .writeTo("graft.sumq").partitionedBy(col("pk")).create()
+        .writeTo("graft.sumq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv").create()
       val q0 = s.sql(
         "SELECT sum(cents) AS total_cents, sum(o_orderkey) AS total_keys, " +
           "sum(pk) AS total_pk, count(*) AS n FROM graft.sumq")
       val plan0 = q0.queryExecution.executedPlan.toString
+      val totals = q0.collect()(0)
+      s.sql("DELETE FROM graft.sumq WHERE o_orderkey % 7 = 3")
+      val q2 = s.sql(
+        "SELECT sum(cents) AS total_cents, count(*) AS n FROM graft.sumq")
+      val plan2 = q2.queryExecution.executedPlan.toString
+      val after = q2.collect()(0)
       val q1 = s.sql(
         """SELECT pk, sum(cents) AS cents, count(*) AS n,
           |  CAST(floor(avg(cents)) AS BIGINT) AS avg_cents_floor
           |FROM graft.sumq GROUP BY pk""".stripMargin)
       val plan1 = q1.queryExecution.executedPlan.toString
-      val totals = q0.collect()(0)
-      q1.withColumn("total_cents", lit(totals.getLong(0)))
-        .withColumn("metadata_only", lit(
-          plan0.contains("LocalTableScan") && !plan0.contains("BatchScan") &&
-            plan1.contains("LocalTableScan") && !plan1.contains("BatchScan")))
+      def metaOnly(p: String) = p.contains("LocalTableScan") && !p.contains("BatchScan")
+      q1.withColumn("total_cents_before", lit(totals.getLong(0)))
+        .withColumn("n_before", lit(totals.getLong(3)))
+        .withColumn("total_cents_after", lit(after.getLong(0)))
+        .withColumn("metadata_only",
+          lit(metaOnly(plan0) && metaOnly(plan1) && metaOnly(plan2)))
         .orderBy(col("pk"))
     },
 
@@ -2510,6 +2523,34 @@ object StarQueries {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
           first(col("items")).as("items"), first(col("qty")).as("qty"))
         .withColumn("spj", lit(spj))
+        .orderBy(col("pk"))
+    },
+
+    // B212 query witness: RUNTIME PARTITION PRUNING (dynamic partition
+    // pruning lifted to DataSource V2): the catalog scan advertises its
+    // partition columns via SupportsRuntimeFiltering.filterAttributes, so a
+    // selective broadcast-dim join pushes the dim's pk VALUES back into the
+    // fact scan AT RUNTIME — whole manifest partitions drop before any file
+    // IO (at 100 TB: a date-dim filter prunes years of a fact table the
+    // static optimizer could not, because the surviving keys only exist in
+    // the dim's data). `dpp` pins the dynamicpruning expression in the plan
+    // inside the hash gate; CatalogSpec additionally pins that the runtime
+    // filter REACHED the scan and shrank its kept-entry list to exactly the
+    // probed partitions.
+    "q_catalog_dpp" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.dppf")
+      Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(8)).cast("long").as("pk"))
+        .writeTo("graft.dppf").partitionedBy(col("pk")).create()
+      import s.implicits._
+      val dim = Seq((2L, "a"), (5L, "b")).toDF("pk", "tag")
+      val joined = s.table("graft.dppf").join(broadcast(dim), "pk")
+      val planStr = joined.queryExecution.executedPlan.toString
+      joined.groupBy(col("pk"), col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("dpp", lit(planStr.contains("dynamicpruning")))
         .orderBy(col("pk"))
     },
 
@@ -4516,16 +4557,21 @@ object StarQueries {
 
     // B202: grouped sums + floored average replayed relationally; the
     // LocalTableScan plan pin is predicted true.
+    // Round-8: `base` is the pre-delete table, `live` the post-DV-delete
+    // survivors — the grouped columns replay the SUBTRACTED metadata answers.
     "q_catalog_sum" ->
       """WITH base AS (
-        |  SELECT o_orderkey % 3 AS pk,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |  SELECT o_orderkey, o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |live AS (SELECT * FROM base WHERE o_orderkey % 7 <> 3)
         |SELECT CAST(pk AS BIGINT) AS pk, CAST(sum(cents) AS BIGINT) AS cents,
         |  count(*) AS n,
         |  CAST(floor(sum(cents) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_cents_floor,
-        |  (SELECT CAST(sum(cents) AS BIGINT) FROM base) AS total_cents,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM base) AS total_cents_before,
+        |  (SELECT count(*) FROM base) AS n_before,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM live) AS total_cents_after,
         |  true AS metadata_only
-        |FROM base GROUP BY pk ORDER BY pk""".stripMargin,
+        |FROM live GROUP BY pk ORDER BY pk""".stripMargin,
 
     // B167: the oracle groups the parquet data by the same partition key;
     // the metadata_only plan pin is predicted true.
@@ -4561,6 +4607,18 @@ object StarQueries {
         |  true AS spj
         |FROM f JOIN d ON f.pk = d.pk
         |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B212: the oracle replays the pruned join relationally and pins the
+    // dynamicpruning plan boolean TRUE — if V2 runtime filtering ever stops
+    // planning, the hash gate fails, not just a perf number.
+    "q_catalog_dpp" ->
+      """WITH f AS (SELECT o_orderkey % 8 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dim(pk, tag) AS (VALUES (2, 'a'), (5, 'b'))
+        |SELECT CAST(f.pk AS BIGINT) AS pk, tag, count(*) AS n,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents, true AS dpp
+        |FROM f JOIN dim ON f.pk = dim.pk
+        |GROUP BY 1, 2 ORDER BY pk""".stripMargin,
 
     // B169: the oracle replays the table history relationally — gen 2 inserts
     // the odd keys, gen 3 DV-deletes the %7 keys, gen 4 updates the surviving

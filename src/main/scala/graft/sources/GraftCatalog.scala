@@ -448,7 +448,8 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     fileBlooms: Map[String, String] = Map.empty,
     fileDVs: Map[String, String] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
-    fileNdvs: Map[String, String] = Map.empty) {
+    fileNdvs: Map[String, String] = Map.empty,
+    fileDVAggs: Map[String, String] = Map.empty) {
   /** This manifest with `fresh` files' per-file metadata merged in (stats,
     * bytes, blooms, rows, NDV). Entries, gen, txns, and DVs stay the
     * caller's business — this exists so a NEW per-file field is threaded
@@ -559,6 +560,7 @@ object GraftManifest {
     val dvs = scala.collection.mutable.Map.empty[String, String]
     val rowsM = scala.collection.mutable.Map.empty[String, Long]
     val ndvs = scala.collection.mutable.Map.empty[String, String]
+    val dvAggs = scala.collection.mutable.Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
@@ -573,6 +575,7 @@ object GraftManifest {
           if (t.length > 5 && t(5).nonEmpty) dvs(t(1)) = t(5)
           if (t.length > 6 && t(6).nonEmpty) rowsM(t(1)) = t(6).toLong
           if (t.length > 7 && t(7).nonEmpty) ndvs(t(1)) = t(7)
+          if (t.length > 8 && t(8).nonEmpty) dvAggs(t(1)) = t(8)
         case ("txn", t)      => txns += t
         case ("prop", kv)    =>
           val j = kv.indexOf('\t'); if (j > 0) props(kv.take(j)) = kv.drop(j + 1)
@@ -581,7 +584,8 @@ object GraftManifest {
     }
     GraftManifest(gen, GraftDefaults.attach(schema, props.toMap), parts,
       entries.toSeq, txns.toSet, stats.toMap,
-      bytes.toMap, props.toMap, blooms.toMap, dvs.toMap, rowsM.toMap, ndvs.toMap)
+      bytes.toMap, props.toMap, blooms.toMap, dvs.toMap, rowsM.toMap, ndvs.toMap,
+      dvAggs.toMap)
   }
 
   /** Write manifest-<gen>, then flip CURRENT via temp+rename — the atomic publish. */
@@ -595,7 +599,7 @@ object GraftManifest {
     body ++= s"schema=${GraftDefaults.strip(m.schema).toDDL}\n"
     body ++= s"parts=${m.partCols.mkString(",")}\n"
     m.entries.foreach { case (p, d) =>
-      // Fixed field order (stats, bytes, bloom, dv, rows, ndv) with trailing
+      // Fixed field order (stats, bytes, bloom, dv, rows, ndv, dvaggs) with trailing
       // empties trimmed: earlier-vintage arities stay byte-identical, and a
       // present later field (e.g. a bloom without bytes) keeps its position
       // via empty placeholders — load skips empty fields, so nothing is
@@ -604,7 +608,9 @@ object GraftManifest {
         m.fileBytes.get(d).map(_.toString).getOrElse(""),
         m.fileBlooms.getOrElse(d, ""), m.fileDVs.getOrElse(d, ""),
         m.fileRows.get(d).map(_.toString).getOrElse(""),
-        m.fileNdvs.getOrElse(d, ""))
+        m.fileNdvs.getOrElse(d, ""),
+        // Deleted-row aggregates travel WITH the DV: no DV, no aggs.
+        if (m.fileDVs.contains(d)) m.fileDVAggs.getOrElse(d, "") else "")
       val trimmed = fields.reverse.dropWhile(_.isEmpty).reverse
       body ++= (Seq(s"entry=$p", d) ++ trimmed).mkString("\t") + "\n"
     }
@@ -1063,8 +1069,10 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
    *  - no unhandled (data) filters — Spark only attempts the pushdown when
    *    every remaining filter was fully handled, and partition filters prune
    *    the entry list the totals sum over;
-   *  - no deletion vectors on any kept file (deleted rows invalidate both
-   *    row counts and bounds);
+   *  - deletion vectors: COUNT/COUNT(col)/SUM subtract the per-file
+   *    deleted-row aggregates recorded at delete time ([[GraftDVAggs]]); a DV
+   *    without recorded aggregates (pre-feature vintage) refuses, and MIN/MAX
+   *    always refuse under a DV (a deleted extreme invalidates the bound);
    *  - COUNT needs every kept file's exact row count; COUNT(col) needs its
    *    null count (data columns: file stats; partition columns: the
    *    __HIVE_DEFAULT_PARTITION__ marker + row counts);
@@ -1097,7 +1105,21 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     // re-check column the LocalScan wouldn't carry.
     if (dataFilters.nonEmpty || fileFilters.nonEmpty) return None
     val allEntries = keptEntries
-    if (allEntries.map(_._2).exists(manifest.fileDVs.contains)) return None
+    // Deletion vectors no longer force a scan wholesale: a DV'd file whose
+    // commit recorded deleted-row aggregates ([[GraftDVAggs]]) supports
+    // COUNT/COUNT(col)/SUM by SUBTRACTION. Only a DV without aggregates (a
+    // pre-feature vintage, or an agg-compute failure at commit) refuses.
+    // MIN/MAX always refuse under a DV — a deleted extreme invalidates the
+    // bound, and bounds cannot be subtracted.
+    val dvAggsByRel: Map[String, (Long, Map[String, (Long, Option[Long])])] = {
+      val dvd = allEntries.map(_._2).filter(manifest.fileDVs.contains)
+      if (!dvd.forall(manifest.fileDVAggs.contains)) return None
+      dvd.map { rel =>
+        try rel -> GraftDVAggs.parse(manifest.fileDVAggs(rel))
+        catch { case _: Exception => return None }
+      }.toMap
+    }
+    def dvDeleted(rel: String): Long = dvAggsByRel.get(rel).map(_._1).getOrElse(0L)
     val isPart = manifest.partCols.toSet
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -1133,7 +1155,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       val rels = entries.map(_._2)
       lazy val statsByFile = rels.map(r => manifest.fileStats.get(r).map(GraftFileStats.parse))
       lazy val totalRows: Option[Long] = {
-        val per = rels.map(manifest.fileRows.get)
+        val per = rels.map(r => manifest.fileRows.get(r).map(_ - dvDeleted(r)))
         if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
       }
       // Per-file candidate bound strings for column c (None = file unusable;
@@ -1154,7 +1176,9 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
           if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
         }
       def extreme(c: String, wantMin: Boolean): Option[(DataType, Any)] =
-        dataType(c).filter(GraftFileStats.eligible).flatMap { dt =>
+        dataType(c).filter(GraftFileStats.eligible)
+          // A deleted extreme invalidates the file's bound: no MIN/MAX under DVs.
+          .filter(_ => !rels.exists(manifest.fileDVs.contains)).flatMap { dt =>
           boundsOf(c).flatMap { per =>
             val cands = per.flatten.map(b => if (wantMin) b._1 else b._2)
             if (dt == StringType && cands.exists(_.exists(_ >= 0x80))) None // ASCII guard
@@ -1165,10 +1189,12 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
         }
       def nonNullCount(c: String): Option[Long] =
         if (isPart(c)) {
+          // A file's deleted rows all carry its directory value: live
+          // non-nulls = liveRows (or 0 in the null partition, DV'd or not).
           val per = entries.map { case (pp, rel) =>
             if (GraftScanBuilder.partValues(pp).get(c)
                   .contains("__HIVE_DEFAULT_PARTITION__")) Some(0L)
-            else manifest.fileRows.get(rel)
+            else manifest.fileRows.get(rel).map(_ - dvDeleted(rel))
           }
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         } else {
@@ -1177,7 +1203,11 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
               st <- statsByFile(i)
               col <- st.get(manifest.physicalName(c))
               rows <- manifest.fileRows.get(rels(i))
-            } yield rows - col._1
+              deadNN <- dvAggsByRel.get(rels(i)) match {
+                case None => Some(0L) // no DV on this file
+                case Some((_, cols)) => cols.get(manifest.physicalName(c)).map(_._1)
+              }
+            } yield rows - col._1 - deadNN
           }
           if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
         }
@@ -1195,18 +1225,27 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
           if (isPart(c)) entries.map { case (pp, rel) =>
             GraftScanBuilder.partValues(pp).get(c) match {
               case Some("__HIVE_DEFAULT_PARTITION__") => Some(0L)
-              case Some(v) => manifest.fileRows.get(rel).map(_ * v.toLong)
+              case Some(v) => manifest.fileRows.get(rel)
+                .map(rows => (rows - dvDeleted(rel)) * v.toLong)
               case None => None
             }
           }
           else rels.indices.map { i =>
             statsByFile(i).flatMap { st =>
               val phys = manifest.physicalName(c)
-              st.get(phys) match {
+              val fileSum = st.get(phys) match {
                 case Some((_, None, None)) => Some(0L) // all-null file
                 case Some(_) => manifest.fileStats.get(rels(i))
                   .flatMap(s => GraftFileStats.parseSums(s).get(phys))
                 case None => None
+              }
+              // Under a DV, subtract the recorded deleted-row sum (wrapping
+              // Long subtraction inverts the wrapping addition exactly).
+              fileSum.flatMap { fs =>
+                dvAggsByRel.get(rels(i)) match {
+                  case None => Some(fs)
+                  case Some((_, cols)) => cols.get(phys).flatMap(_._2).map(fs - _)
+                }
               }
             }
           }
@@ -1253,7 +1292,10 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
         groupCols.map(values.get(_).filter(_ != "__HIVE_DEFAULT_PARTITION__"))
       }.toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("|"))
       val perGroup = grouped.map { case (key, entries) =>
-        val rows = entries.map(e => manifest.fileRows.get(e._2))
+        // LIVE rows decide group existence: a group whose every row is
+        // DV-deleted must vanish, exactly as a real GROUP BY emits nothing.
+        val rows = entries.map(e =>
+          manifest.fileRows.get(e._2).map(_ - dvDeleted(e._2)))
         if (rows.exists(_.isEmpty)) None
         else if (rows.flatten.sum == 0L) Some(None) // empty group: emit nothing
         else computeFor(entries).map(vals => Some((key, vals)))
@@ -2566,6 +2608,7 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
     var g = base.gen + 1
     var attempts = 0
     var committed = false
+    var newDVAggs: Map[String, String] = null
     while (!committed && attempts < 20) {
       if (base.gen != prev.gen) {
         val baseEntrySet = base.entries.map(_._2).toSet
@@ -2590,9 +2633,29 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
         GraftDV.write(dir, dvRel, existing ++ ps, c)
         rel -> dvRel
       }.toMap
+      // Deleted-row aggregates per touched file (GraftDVAggs): recorded over
+      // the file's FULL new DV so metadata-only COUNT/SUM subtract instead of
+      // refusing. Position sets are retry-stable (the conflict guard above
+      // refuses any base whose DVs on these files moved), so the one-job-per-
+      // file compute runs once even across CAS retries. Best-effort: a
+      // failure here degrades the file to scan-fallback, never blocks DML.
+      if (newDVAggs == null) {
+        newDVAggs = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map { spark =>
+            byFile.toSeq.sortBy(_._1).flatMap { case (rel, ps) =>
+              val existing = base.fileDVs.get(rel)
+                .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
+              try Some(rel ->
+                GraftDVAggs.compute(spark, dir, rel, (existing ++ ps).distinct))
+              catch { case _: Exception => None }
+            }.toMap
+          }.getOrElse(Map.empty)
+      }
       val m = base.withFileMeta(freshAll).copy(gen = g,
         entries = base.entries ++ freshAll.map(f => (f.part, f.rel)),
-        fileDVs = base.fileDVs ++ newDVs)
+        fileDVs = base.fileDVs ++ newDVs,
+        fileDVAggs = base.fileDVAggs ++ newDVAggs)
       if (GraftManifest.publishCas(dir, m, c)) committed = true
       else {
         val claimed = GraftManifest.highestClaimedGen(dir, c)
@@ -3590,6 +3653,92 @@ object GraftDV {
     java.util.Arrays.binarySearch(sorted, pos) >= 0
 }
 
+/**
+ * Per-file DELETED-ROW aggregates (the B202 extension): when a delta-DML
+ * commit grows a file's deletion vector, the commit also records what the
+ * dead rows SUM to, so metadata-only COUNT/COUNT(col)/SUM keep answering by
+ * SUBTRACTION instead of falling back to a scan the moment one DV lands
+ * (the common steady state of a MERGE-heavy table). MIN/MAX stay refused
+ * under DVs — deleting an extreme row invalidates a bound, and bounds can't
+ * be subtracted.
+ *
+ * String shape (rides the manifest entry line, field 8):
+ *   `<deletedRows>;<encCol>:<deletedNonNull>[:<deletedSum>];...`
+ * column names are the PHYSICAL parquet names URL-encoded exactly like
+ * [[GraftFileStats]]; `deletedSum` is present only for integral columns
+ * (wrapping Long addition — the same non-ANSI BIGINT semantics the per-file
+ * sums compose under). The aggregates always describe the file's FULL
+ * current DV, recomputed at commit time from the union position set (never
+ * incrementally merged), so a pre-feature DV vintage upgrades to exact
+ * aggregates on its next delete.
+ *
+ * Scale: the compute is ONE executor job over only the touched files,
+ * position-filtered by a broadcast of the DV — cost proportional to the
+ * delete, the same order as writing the DV itself.
+ */
+object GraftDVAggs {
+  import java.net.{URLDecoder, URLEncoder}
+
+  /** (deletedRows, physCol -> (deletedNonNull, Option(deletedSum))). */
+  def parse(s: String): (Long, Map[String, (Long, Option[Long])]) = {
+    val parts = s.split(";")
+    val cols = parts.drop(1).filter(_.nonEmpty).flatMap { p =>
+      p.split(":", -1) match {
+        case Array(c, nn)      => Some(URLDecoder.decode(c, "UTF-8") -> (nn.toLong, None))
+        case Array(c, nn, sum) => Some(URLDecoder.decode(c, "UTF-8") ->
+          (nn.toLong, if (sum.isEmpty) None else Some(sum.toLong)))
+        case _ => None
+      }
+    }.toMap
+    (parts(0).toLong, cols)
+  }
+
+  def encode(deleted: Long, cols: Seq[(String, Long, Option[Long])]): String =
+    (deleted.toString +: cols.map { case (c, nn, sum) =>
+      val base = s"${URLEncoder.encode(c, "UTF-8")}:$nn"
+      sum.map(v => s"$base:$v").getOrElse(base)
+    }).mkString(";")
+
+  /**
+   * Aggregate the rows of `tableDir/rel` at `positions` (the file's full DV):
+   * row count, per-column deleted non-null counts, per-integral-column
+   * deleted sums. Reads ONLY this file, joined against the broadcast
+   * position set on `_metadata.row_index` — which equals the engine's own
+   * `_pos` ordinal (both are the 0-based physical row index of the file;
+   * the catalog's position reads are unfiltered for exactly this reason).
+   */
+  def compute(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
+              rel: String, positions: Array[Long]): String = {
+    import org.apache.spark.sql.functions._
+    if (positions.isEmpty) return GraftDVAggs.encode(0L, Nil)
+    val path = GraftManifest.resolveRel(tableDir, rel).toString
+    val raw = spark.read.parquet(path)
+    val dataCols = raw.schema.fields.map(_.name).toSeq
+    val posDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(positions.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+      StructType(Seq(org.apache.spark.sql.types.StructField("_dvpos", LongType))))
+    val dead = raw.withColumn("_dvpos", col("_metadata.row_index"))
+      .join(broadcast(posDf), "_dvpos")
+    val integral: Set[String] = raw.schema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == ShortType => f.name
+    }.toSet
+    val aggs = count(lit(1)).as("_n") +:
+      dataCols.flatMap { c =>
+        count(col(c)).as(s"_nn_$c") ::
+          (if (integral(c))
+            List(coalesce(sum(col(c).cast("long")), lit(0L)).as(s"_sum_$c"))
+          else Nil)
+      }
+    val row = dead.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("_n")
+    GraftDVAggs.encode(n, dataCols.map { c =>
+      (c, row.getAs[Long](s"_nn_$c"),
+        if (integral(c)) Some(row.getAs[Long](s"_sum_$c")) else None)
+    })
+  }
+}
+
 /** Streams per-file min/max/nullCount while rows are written (no second pass). */
 class GraftStatsCollector(dataSchema: StructType) {
   private val cols = dataSchema.fields.zipWithIndex
@@ -4303,7 +4452,8 @@ object GraftCatalogOps {
       fileBlooms = remap(m.fileBlooms),
       fileDVs = remap(m.fileDVs).map { case (k, dv) => k -> abs(dv) },
       fileRows = remap(m.fileRows),
-      fileNdvs = remap(m.fileNdvs))
+      fileNdvs = remap(m.fileNdvs),
+      fileDVAggs = remap(m.fileDVAggs))
     fs.mkdirs(dstDir)
     GraftManifest.publish(dstDir, cloned, conf)
     0L

@@ -93,6 +93,42 @@ class DedupSpec extends GraftSuite {
     assert(sym.contains((0L, 3L)) && sym.contains((3L, 0L)))
   }
 
+  test("containment blocking: an ultra-common shingle creates no candidate blowup") {
+    // 40 docs share one verbatim phrase (an ultra-common shingle family,
+    // df = 40 = corpus size) but are otherwise pairwise-disjoint, plus one
+    // genuine para-in-page containment pair. Naive blocking on EVERY shared
+    // shingle would enumerate all C(40,2) = 780 common-key pairs; the
+    // rare-first prefix filter + container-side rank filter must keep the
+    // candidate set proportional to genuine near-containments instead. The
+    // bound pins the PPJoin-Lemma-1 hardening: the common shingles rank last
+    // in every doc's df order, so they are never indexed as containee prefix
+    // keys and survive the container filter only for near-total containment.
+    val common = " shared boilerplate footer phrase appears everywhere verbatim"
+    val bulk = (0 until 40).map { i =>
+      (i.toLong, s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e " +
+        s"unique${i}f unique${i}g unique${i}h unique${i}i unique${i}j" + common)
+    }
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (bulk ++ Seq(
+      (100L, para),
+      (101L, "intro words then " + para + " and a long unrelated tail of many" +
+        " extra filler tokens about engines and partitions and shuffles")
+    )).toDF("doc_id", "text")
+    val cands = Dedup.containmentCandidates(docs, 3, 0.8)
+      .as[(Long, Long)].collect().toSet
+    // Bound: candidates stay two orders of magnitude under the common-key
+    // quadratic (empirically just the genuine pair + a handful of prefix
+    // coincidences; 40 is a safe deterministic ceiling at 780 naive pairs).
+    assert(cands.size < 40, s"candidate blowup: ${cands.size} pairs")
+    assert(cands.contains((100L, 101L)), "genuine containment candidate lost")
+    // Recall is intact end to end: exactly the planted pair verifies.
+    val pairs = Dedup.containmentPairs(docs, 3, 0.8)
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+    assert(!pairs.exists(p => p._1 < 40L && p._2 < 40L),
+      "no bulk-corpus pair may verify: bulk docs share only the footer")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.exactByText(corpus)
     val renamed = once.select(col("keep_id").as("doc_id"), col("text_hash").as("text"))
