@@ -258,6 +258,48 @@ object Multimodal {
     }
   }
 
+  /**
+   * Windowed audio energy (the frame-level audio feature extractor — the
+   * audio twin of image lane means): REAL WAV decode via javax.sound, then
+   * per-window integer energy Σ(sample−128)² over consecutive `win`-sample
+   * windows (trailing partial window dropped). Emits one row per clip:
+   * window count, total energy, and the FIRST peak window (strict-greater
+   * replacement keeps the earliest maximum — deterministic under duplicate
+   * energies, which the 16-byte digest cycle guarantees plenty of). All
+   * integer arithmetic end to end, so the oracle replays it from md5(text)
+   * without touching a codec. Decode batches per partition like
+   * [[decodeResults]]; the PCM loop is O(samples) per row, no allocation.
+   */
+  def audioWindowEnergy(media: Dataset[MediaRow], win: Int): DataFrame = {
+    require(win > 0, s"window must be positive: $win")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
+        val pcm = try ais.readAllBytes() finally ais.close()
+        val nw = pcm.length / win
+        var wdx = 0
+        var total = 0L
+        var peakIdx = -1L
+        var peak = Long.MinValue
+        while (wdx < nw) {
+          var e = 0L
+          var i = wdx * win
+          val end = i + win
+          while (i < end) {
+            val v = (pcm(i) & 0xff) - 128
+            e += v.toLong * v
+            i += 1
+          }
+          if (e > peak) { peak = e; peakIdx = wdx.toLong }
+          total += e
+          wdx += 1
+        }
+        (r.media_id, nw.toLong, total, peakIdx, if (nw == 0) 0L else peak)
+      }
+    }.toDF("media_id", "n_windows", "energy_total", "peak_window", "peak_energy")
+  }
+
   /** Successfully decoded features only (error rows dropped; see [[decodeResults]]
     * for the variant that keeps the failure reason per row). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

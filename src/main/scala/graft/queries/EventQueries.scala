@@ -799,6 +799,68 @@ object EventQueries {
           r2(col("view_value")).as("view_value"),
           (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("staleness_us"))
         .orderBy(col("event_id"))
+    },
+
+    // B216: time-series OHLC resample (the market-data/metrics downsampling
+    // primitive): per day, open = first purchase value in (ts, event_id)
+    // order, close = last, plus high/low/volume — ONE hash aggregate via
+    // min_by/max_by over the unique (ts, event_id) tuple (map-side partials,
+    // no window sort, no shuffle beyond the group-by; the classic
+    // row_number()=1 formulation pays a full sort for the same answer).
+    // Integer cents end to end.
+    "q_event_ohlc" -> { (s, d) =>
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+      p.groupBy(col("day"))
+        .agg(min_by(col("cents"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("cents")).as("high"), min(col("cents")).as("low"),
+          max_by(col("cents"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_trades"), sum(col("cents")).as("volume_cents"))
+        .orderBy(col("day"))
+    },
+
+    // B217: last-touch attribution (the marketing/causal rollup every event
+    // pipeline ships): each purchase is attributed to the most recent click
+    // or view by the same user within 7 days — planned on [[Relational
+    // .asofJoin]]'s tagged-union + keyed-window kernel (ONE shuffle, no
+    // per-purchase candidate explosion), then rolled up per channel.
+    // Unattributed purchases land in the 'none' channel; gap sum stays in
+    // integer minutes (SQL SUM over the attributed rows only).
+    "q_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_type").as("channel"))
+      Relational.asofJoin(purchases, touches, Seq("user_id"), "ts", "touch_ts",
+          toleranceSec = Some(7L * 86400L))
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"),
+          sum(expr("(unix_micros(ts) - unix_micros(touch_ts)) div 60000000"))
+            .as("gap_min_sum"))
+        .orderBy(col("channel"))
+    },
+
+    // B218: key-skew profile (the diagnosis that decides salting/AQE-skew
+    // settings BEFORE a 100 TB join falls over): per event_type, the
+    // user_id key-cardinality, the heaviest key's row count, and the
+    // max/mean ratio in integer basis points — two hash aggregates, no sort,
+    // no collect; the numbers feed directly into a salt-factor choice.
+    "q_skew_profile" -> { (s, d) =>
+      val perKey = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      perKey.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_key_rows"))
+        .withColumn("skew_bp",
+          expr("max_key_rows * 10000 * n_keys div n_rows"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1287,6 +1349,67 @@ object EventQueries {
         |  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
         |  count(*) AS n_events
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // B216: arg-min/arg-max replayed as rank-1 window picks over the same
+    // unique (ts, event_id) order.
+    "q_event_ohlc" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents, ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT day, cents,
+        |    row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM p)
+        |SELECT day, max(CASE WHEN ra = 1 THEN cents END) AS open,
+        |  max(cents) AS high, min(cents) AS low,
+        |  max(CASE WHEN rd = 1 THEN cents END) AS close,
+        |  count(*) AS n_trades, CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // B217: the tagged-union point-in-time replay (same kernel as the asof
+    // oracle), carrying BOTH the touch timestamp and its channel; the window
+    // tiebreak (o_ts, tag, t_ts, channel) mirrors the operator's payload-
+    // struct ordering for equal-timestamp touches.
+    "q_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS o_ts, 0 AS tag,
+        |    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS cents,
+        |    ts AS t_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, CAST(floor(value * 100) AS BIGINT),
+        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN tag = 0 THEN t_ts END IGNORE NULLS) OVER pit AS a_ts,
+        |    last_value(CASE WHEN tag = 0 THEN channel END IGNORE NULLS) OVER pit AS a_ch
+        |  FROM u
+        |  WINDOW pit AS (
+        |    PARTITION BY user_id ORDER BY o_ts, tag, t_ts, channel
+        |    ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT event_id, cents,
+        |    CASE WHEN a_ts IS NOT NULL AND
+        |      (epoch_us(o_ts) // 1000000 - epoch_us(a_ts) // 1000000) <= 604800
+        |      THEN a_ch END AS channel,
+        |    CASE WHEN a_ts IS NOT NULL AND
+        |      (epoch_us(o_ts) // 1000000 - epoch_us(a_ts) // 1000000) <= 604800
+        |      THEN (epoch_us(o_ts) - epoch_us(a_ts)) // 60000000 END AS gap_min
+        |  FROM w WHERE tag = 1)
+        |SELECT coalesce(channel, 'none') AS channel, count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(gap_min) AS BIGINT) AS gap_min_sum
+        |FROM m GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // B218: two grouped aggregates, integer basis points.
+    "q_skew_profile" ->
+      """WITH k AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_key_rows,
+        |  CAST(max(n) * 10000 * count(*) // sum(n) AS BIGINT) AS skew_bp
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -152,6 +152,43 @@ object PipelineQueries {
         .orderBy(col("item_name"), col("version"))
     },
 
+    // B223: POINT-IN-TIME snapshot over the SCD2 history (the bitemporal
+    // "AS OF" read every feature store and audit trail needs): one interval
+    // predicate — vf ≤ pivot < vt — selects each key's version valid at the
+    // pivot instant; keys whose first version postdates the pivot drop out.
+    // The pivot bisects the observed validity range ((min+max) div 2 µs — a
+    // 2-long scalar probe, SF-stable by construction), so the query always
+    // exercises both "superseded" and "still current" branches. Interval
+    // filtering is map-side over the history — no window, no join.
+    "q_scd2_asof" -> { (s, d) =>
+      val hist = graft.operators.Relational
+        .scd2(itemsRaw(s, d), Seq("item_name"), "ingestion_ts")
+        .select(col("item_name"), col("version"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"))
+      val pivot = hist.agg(expr("(min(vf_us) + max(vf_us)) div 2"))
+        .head().getLong(0)
+      hist.filter(col("vf_us") <= pivot &&
+          (col("vt_us").isNull || col("vt_us") > pivot))
+        .withColumn("pivot_us", lit(pivot))
+        .orderBy(col("item_name"))
+    },
+
+    // B224: windowed audio energy — REAL WAV decode (javax.sound) into
+    // 10-sample integer energy windows; per clip the window count, total
+    // energy, and first peak window ship to the oracle, which re-derives
+    // every sample from the planted md5 cycle (a codec offset, sign, or
+    // window-boundary bug breaks the hash). Window 10 is deliberately
+    // coprime to the 16-byte digest cycle so window energies VARY (period
+    // lcm(10,16) = 80 samples -> 8 distinct window shapes per clip).
+    "q_multimodal_audio" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .deriveMediaTable(Tables.documents(s, d)).as[graft.multimodal.MediaRow]
+      graft.multimodal.Multimodal.audioWindowEnergy(media, 10)
+        .orderBy(col("media_id"))
+    },
+
     // A22 idempotence as a query: tombstoned/malformed keys never reach the output,
     // and re-deriving from the same source yields zero new keys (anti-join is empty
     // -> count by reason).
@@ -338,6 +375,43 @@ object PipelineQueries {
          |   epoch_us(lead(ingestion_ts) OVER (PARTITION BY item_name ORDER BY ingestion_ts)) AS vt_us
          |  FROM items_raw)
          |ORDER BY item_name, version""".stripMargin,
+
+    // B223: identical history CTE, interval predicate at the same integer
+    // mid-range pivot.
+    "q_scd2_asof" ->
+      s"""WITH $duckItemsRaw,
+         |h AS (
+         |  SELECT item_name,
+         |   CAST(row_number() OVER w AS BIGINT) AS version,
+         |   epoch_us(ingestion_ts) AS vf_us,
+         |   epoch_us(lead(ingestion_ts) OVER w) AS vt_us
+         |  FROM items_raw
+         |  WINDOW w AS (PARTITION BY item_name ORDER BY ingestion_ts)),
+         |p AS (SELECT (min(vf_us) + max(vf_us)) // 2 AS pv FROM h)
+         |SELECT item_name, version, vf_us, vt_us, CAST(pv AS BIGINT) AS pivot_us
+         |FROM h CROSS JOIN p
+         |WHERE vf_us <= pv AND (vt_us IS NULL OR vt_us > pv)
+         |ORDER BY item_name""".stripMargin,
+
+    // B224: every PCM sample is digest byte i%16; 10-sample windows over the
+    // 256-sample clip -> 25 full windows; first peak via the rank-1 pick
+    // over (energy DESC, window ASC).
+    "q_multimodal_audio" ->
+      """WITH a AS (SELECT doc_id AS media_id, md5(text) AS hx
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+        |    CAST(concat('0x', substr(hx, 2 * (CAST(i AS INT) % 16) + 1, 2)) AS INT) - 128 AS v
+        |  FROM a CROSS JOIN (SELECT unnest(range(250)) AS i) ii),
+        |w AS (SELECT media_id, i // 10 AS wdx, sum(v * v) AS e
+        |  FROM s GROUP BY 1, 2),
+        |pk AS (SELECT media_id, wdx, e,
+        |    row_number() OVER (PARTITION BY media_id ORDER BY e DESC, wdx) AS r
+        |  FROM w)
+        |SELECT media_id, CAST(25 AS BIGINT) AS n_windows,
+        |  CAST(sum(e) AS BIGINT) AS energy_total,
+        |  CAST(max(CASE WHEN r = 1 THEN wdx END) AS BIGINT) AS peak_window,
+        |  CAST(max(CASE WHEN r = 1 THEN e END) AS BIGINT) AS peak_energy
+        |FROM pk GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "q_pipeline_incremental" ->
       s"""WITH $duckItemsRaw

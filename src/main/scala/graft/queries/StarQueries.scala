@@ -2544,10 +2544,18 @@ object StarQueries {
           expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
           pmod(col("o_orderkey"), lit(8)).cast("long").as("pk"))
         .writeTo("graft.dppf").partitionedBy(col("pk")).create()
-      import s.implicits._
-      val dim = Seq((2L, "a"), (5L, "b")).toDF("pk", "tag")
+      // The dim carries a LIKELY-SELECTIVE `In` filter that SURVIVES
+      // optimization (a filtered literal relation constant-folds away before
+      // the PartitionPruning rule sees it — a real dim table is exactly the
+      // production shape anyway: the dim's WHERE clause is what prunes the
+      // fact). Pin on the OPTIMIZED plan: the logical DynamicPruningSubquery
+      // is AQE-agnostic, while the physical string under AQE can defer
+      // materialization.
+      val dim = Tables.nation(s, d)
+        .filter(col("n_nationkey").isin(2, 5))
+        .select(col("n_nationkey").cast("long").as("pk"), col("n_name").as("tag"))
       val joined = s.table("graft.dppf").join(broadcast(dim), "pk")
-      val planStr = joined.queryExecution.executedPlan.toString
+      val planStr = joined.queryExecution.optimizedPlan.toString
       joined.groupBy(col("pk"), col("tag"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("dpp", lit(planStr.contains("dynamicpruning")))
@@ -3207,6 +3215,77 @@ object StarQueries {
           ((countDistinct(col("st")) - 1) * (countDistinct(col("pr")) - 1)).as("dof"),
           r4(sum(col("term"))).as("chi2"))
         .select(col("n"), col("dof"), col("chi2"))
+    },
+
+    // B220: character-trigram entity resolution (the fuzzy-match complement
+    // of B59's Jaro-Winkler): part names blocked by (brand, size) — the
+    // standard composite blocking key, quadratic only WITHIN blocks — and
+    // scored by trigram-set Jaccard in INTEGER basis points (set ops over
+    // distinct char-3-grams; no float, no libm). Pairs ≥ 52% survive. At
+    // 100 TB the block key keeps every bucket catalog-page sized; the
+    // trigram arrays are built once per row, not per pair.
+    "q_entity_trigram" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          lower(col("p_name")).as("nm"))
+        .withColumn("tri", expr(
+          "array_distinct(transform(sequence(1, greatest(length(nm) - 2, 0))," +
+            " i -> substring(nm, i, 3)))"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          (size(array_intersect(col("a.tri"), col("b.tri"))).cast("long") * 10000L /
+            size(array_union(col("a.tri"), col("b.tri"))).cast("long"))
+            .cast("long").as("tri_jacc_bp"))
+        .filter(col("tri_jacc_bp") >= 5200L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // B221: equi-depth feature binning (the QuantileDiscretizer/feature-store
+    // transform): every order is ASSIGNED its decile by global rank over
+    // (cents, key) — computed with B138's globalRowNumber (range-partitioned
+    // two-phase offsets, NO single-partition window sort), then
+    // bin = (rank−1)·10 div N + 1. Integer-exact at any SF; per-bin count /
+    // bounds / mass are one hash aggregate.
+    "q_feature_bins" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val n = o.count() // one scalar probe (cached table count, metadata-cheap)
+      graft.operators.Relational
+        .globalRowNumber(o, struct(col("cents"), col("o_orderkey")), 16, "rk")
+        .withColumn("bin", expr(s"(rk - 1) * 10 div ${n}L + 1"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"), sum(col("cents")).as("cents_sum"))
+        .orderBy(col("bin"))
+    },
+
+    // B222: fixed-point z-score standardization (the feature-scaling
+    // transform): per event_type moments from one integer aggregate
+    // (deci-unit sums; the variance product is promoted to DECIMAL(38) so
+    // the formula survives billion-row groups), then a deterministic sample
+    // of rows standardized as z_bp = (x·n − s1)·10⁴ / ⌊√(n·s2 − s1²)⌋ —
+    // sign split keeps Spark's truncating `div` and DuckDB's flooring `//`
+    // identical on negatives; Long→DOUBLE→sqrt→floor is IEEE-pinned on both
+    // engines.
+    "q_feature_zscore" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 10) AS BIGINT)").as("dv"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("dv")).as("s1"),
+          sum(col("dv") * col("dv")).as("s2"))
+        .withColumn("den", expr(
+          "CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - " +
+            "CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))) AS BIGINT)"))
+      ev.filter(col("event_id") % 499 === 0)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("event_id"),
+          expr("CASE WHEN den = 0 THEN 0L ELSE " +
+            "CAST(sign(dv * n - s1) AS BIGINT) * " +
+            "(abs(dv * n - s1) * 10000 div den) END").as("z_bp"))
+        .orderBy(col("event_type"), col("event_id"))
     }
   )
 
@@ -4614,7 +4693,8 @@ object StarQueries {
     "q_catalog_dpp" ->
       """WITH f AS (SELECT o_orderkey % 8 AS pk,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |dim(pk, tag) AS (VALUES (2, 'a'), (5, 'b'))
+        |dim AS (SELECT CAST(n_nationkey AS BIGINT) AS pk, n_name AS tag
+        |        FROM nation WHERE n_nationkey IN (2, 5))
         |SELECT CAST(f.pk AS BIGINT) AS pk, tag, count(*) AS n,
         |  CAST(sum(f.cents) AS BIGINT) AS cents, true AS dpp
         |FROM f JOIN dim ON f.pk = dim.pk
@@ -4800,6 +4880,60 @@ object StarQueries {
         |  cents - lag(cents, 1) OVER (ORDER BY y, m) AS mom_delta,
         |  CAST(CAST(cents AS HUGEINT) * 10000 // lag(cents, 12) OVER (ORDER BY y, m)
         |    AS BIGINT) AS yoy_bp
-        |FROM mm ORDER BY y, m""".stripMargin
+        |FROM mm ORDER BY y, m""".stripMargin,
+
+    // B220: same blocking key, same distinct char-trigram sets, same
+    // integer basis-point Jaccard.
+    "q_entity_trigram" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_size, lower(p_name) AS nm FROM part),
+        |t AS (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(nm) - 2, 0) + 1),
+        |      i -> substr(nm, CAST(i AS INT), 3))) AS tri
+        |  FROM p)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) * 10000
+        |    // CAST(len(list_distinct(list_concat(a.tri, b.tri))) AS BIGINT)
+        |    AS tri_jacc_bp
+        |FROM t a JOIN t b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |WHERE CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) * 10000
+        |    // CAST(len(list_distinct(list_concat(a.tri, b.tri))) AS BIGINT) >= 5200
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // B221: rank replay via row_number over the same (cents, key) order.
+    "q_feature_bins" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+        |    (SELECT count(*) FROM o) AS total
+        |  FROM o)
+        |SELECT (rk - 1) * 10 // total + 1 AS bin, count(*) AS n_rows,
+        |  min(cents) AS lo, max(cents) AS hi,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // B222: HUGEINT variance product mirrors Spark's DECIMAL(38) widening;
+    // sign split keeps // off negative numerators.
+    "q_feature_zscore" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 10) AS BIGINT) AS dv FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(dv) AS BIGINT) AS s1, CAST(sum(dv * dv) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |dn AS (SELECT *, CAST(floor(sqrt(CAST(
+        |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)))
+        |    AS BIGINT) AS den FROM st)
+        |SELECT e.event_type, e.event_id,
+        |  CASE WHEN den = 0 THEN 0
+        |       ELSE CAST(sign(e.dv * n - s1) AS BIGINT) *
+        |            (abs(e.dv * n - s1) * 10000 // den) END AS z_bp
+        |FROM e JOIN dn ON dn.event_type = e.event_type
+        |WHERE e.event_id % 499 = 0
+        |ORDER BY e.event_type, e.event_id""".stripMargin
   )
 }

@@ -772,6 +772,41 @@ object TextQueries {
         Seq("lang"), Seq(col("priority").desc, col("doc_id")), 5, "rank")
         .select(col("lang"), col("rank"), col("doc_id"), col("priority"))
         .orderBy(col("lang"), col("rank"))
+    },
+
+    // B219: sparse TF-IDF document-pair similarity via a POSTING-LIST
+    // self-join (the classic IR all-pairs kernel, never a dense cross join):
+    // term weights are INTEGER — w = tf · (100000 div df) — over a
+    // df-capped vocabulary (df > 100 terms carry weight 0 and never
+    // enumerate pairs: the PPJoin-style bound that keeps every join bucket
+    // ≤ cap at any corpus size; the measure is DEFINED over the capped
+    // vocabulary, so both engines replay it exactly). Pairs sharing ≥ 1
+    // surviving term get an integer dot product; the ranking metric is
+    // cos² in round-6 (dot²/(na·nb) over exact integer inputs — identical
+    // IEEE mul/div on both engines, no libm call), top-20 with id
+    // tiebreaks. At 100 TB the same plan holds: df is one agg, the
+    // self-join is per-term bounded, norms are one agg.
+    "q_text_tfidf_sim" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val w = tf.join(df, "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf") * expr("100000 div df")).as("w"))
+      val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("norm2"))
+      val dots = w.as("a").join(w.as("b"),
+          col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("na")), "id_a")
+        .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("dot"),
+          round(col("dot").cast("double") * col("dot").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6).as("cos2"))
+        .orderBy(col("cos2").desc, col("id_a"), col("id_b")).limit(20)
     }
   )
 
@@ -1764,6 +1799,31 @@ object TextQueries {
         |  count(DISTINCT fidx) AS nnz FROM h GROUP BY doc_id, lang)
         |SELECT lang, count(*) AS n_docs, CAST(sum(nnz) AS BIGINT) AS sum_nnz,
         |  CAST(sum(n_tok - nnz) AS BIGINT) AS sum_collisions
-        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // B219: same integer weights, same capped vocabulary, same IEEE
+    // mul/div for the round-6 cos² ranking.
+    "q_text_tfidf_sim" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf * (100000 // df.df) AS w
+        |      FROM tf JOIN df ON tf.term = df.term),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+        |          FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot,
+        |  round(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) /
+        |    (CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS cos2
+        |FROM dots
+        |JOIN norms na ON na.doc_id = id_a
+        |JOIN norms nb ON nb.doc_id = id_b
+        |ORDER BY cos2 DESC, id_a, id_b LIMIT 20""".stripMargin
   )
 }

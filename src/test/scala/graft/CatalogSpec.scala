@@ -688,8 +688,11 @@ class CatalogSpec extends GraftSuite {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val t = freshTable("dppspec")
     base.writeTo(t).partitionedBy(col("pk")).create() // pk = id % 3: 3 partitions
-    import spark.implicits._
-    val dim = Seq(1L).toDF("pk")
+    // The PartitionPruning rule only injects when the build side carries a
+    // LIKELY-SELECTIVE predicate that SURVIVES optimization — a filtered
+    // LocalRelation constant-folds away, so the dim is a filtered Range.
+    val dim = spark.range(0, 3).select(col("id").as("pk"))
+      .filter(col("pk") === 1L)
     // AQE off for THIS plan only, so the BatchScanExec (and its scan
     // instance) is directly reachable; the pruning itself is AQE-agnostic.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")

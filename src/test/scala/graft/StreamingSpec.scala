@@ -257,6 +257,39 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time (B225)") {
+    // The UNbounded dropDuplicates (A2's exact shape) keeps every key
+    // forever; WithinWatermark is the 100 TB posture — state holds only keys
+    // newer than the watermark, so a re-delivery INSIDE the delay window
+    // dedups while one far past it is treated as new (at-least-once
+    // re-delivery is a bounded-lateness phenomenon, and the state bound is
+    // what lets the dedup run for months).
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = in.toDF.toDF("k", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("ddww_t")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // Duplicate of k=1 within the 1h window: suppressed.
+      in.addData((1L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("ddww_t").filter(col("k") === 1L).count() === 1)
+      // Advance event time far past the watermark so k=1's state expires...
+      in.addData((3L, ts("2024-01-01 08:00:00")))
+      q.processAllAvailable()
+      // ...then re-deliver k=1 as a genuinely NEW event: it must pass.
+      in.addData((1L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ddww_t").filter(col("k") === 1L).count() === 2,
+        "expired key must be accepted again (state is watermark-bounded)")
+      assert(spark.table("ddww_t").count() === 4) // k=1 x2, k=2, k=3
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: symmetric buffering, cross-batch matches, state eviction") {
     implicit val ctx = spark.sqlContext
     val lIn = MemoryStream[(Long, Long, Timestamp)]   // (v_id, user, v_ts)
