@@ -410,9 +410,17 @@ object Corpus {
    * label join is one shuffle on doc_id, the split itself is a per-row hash.
    */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
-                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    val labels = Dedup.connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("lbl"))
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    leakageSafeSplitFromLabels(docs,
+      Dedup.connectedComponents(pairs).select(col("id").as("doc_id"), col("lbl")),
+      trainPct, validPct)
+
+  /** [[leakageSafeSplit]] over PRECOMPUTED component labels `(doc_id, lbl)` —
+    * the materialized-cluster posture ([[Dedup.StandardLabels]]): splits and
+    * collapse policies must read the SAME labels, or a component could
+    * straddle the train/test boundary one query and not the next. */
+  def leakageSafeSplitFromLabels(docs: DataFrame, labels: DataFrame,
+                                 trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     val grouped = docs.join(labels, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("lbl"), col("doc_id"))).drop("lbl")
     hashSplit(grouped, "group_id", trainPct, validPct)

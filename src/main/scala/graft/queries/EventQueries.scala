@@ -672,24 +672,21 @@ object EventQueries {
     // result is watermark-INDEPENDENT, which is what makes the plain batch
     // join the oracle.
     "q_stream_join" -> { (s, d) =>
+      // Source parquet (views/purch, sentinels included) is written ONCE per
+      // (session, dataset) and shared with q_stream_join_outer — see
+      // [[streamJoinSources]]; sentinels carry unmatchable keys, so the
+      // inner join's output is identical with or without them.
+      val src = streamJoinSources(s, d)
       val scratch = Tables.scratchDir(s, "ssjoin", d)
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/out"), true)
-      val ev = Tables.events(s, d)
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"), col("value").as("p_value"))
-      views.write.mode("overwrite").parquet(s"$scratch/views")
-      purchases.write.mode("overwrite").parquet(s"$scratch/purch")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val vS = s.readStream.schema(views.schema).parquet(s"$scratch/views")
-        val pS = s.readStream.schema(purchases.schema).parquet(s"$scratch/purch")
+        val vS = s.readStream.schema(viewsSchema).parquet(s"$src/views")
+        val pS = s.readStream.schema(purchSchema).parquet(s"$src/purch")
         val joined = graft.streaming.StreamJoins.intervalJoin(
           vS, "v_ts", pS, "p_ts", "1 hour",
           col("user_id") === col("p_user") &&
@@ -707,7 +704,8 @@ object EventQueries {
         q.stop()
         require(done, "q_stream_join: AvailableNow drain did not finish in 240s")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$scratch/out").orderBy(col("v_id"), col("p_id"))
+      s.read.parquet(s"$scratch/out").filter(col("v_id") >= 0L)
+        .orderBy(col("v_id"), col("p_id"))
     },
 
     // B206: stream-stream LEFT OUTER interval join — unmatched views emit
@@ -715,63 +713,49 @@ object EventQueries {
     // match; AvailableNow's terminal no-data batch advances the watermark
     // past all state, so the drained result equals the batch left join.
     "q_stream_join_outer" -> { (s, d) =>
+      // Outer-join stream CLOSURE, single drain: the terminal watermark
+      // stops at max(event_time) − delay, so left rows whose match window
+      // closes inside the final (bound + delay) hours would still be
+      // buffered when the data drains. The shared source
+      // ([[streamJoinSources]]) therefore plants a far-future SENTINEL row
+      // on EACH side UP FRONT (the global watermark is the min across
+      // inputs, so both must advance — and the sentinel must flow through
+      // the watermark operator UNfiltered: a pre-join filter would be
+      // pushed below it and the watermark would never move): the drain's
+      // data batch carries the watermark past every real row, and the
+      // run's terminal no-data batch evicts and emits every remaining
+      // unmatched row null-padded — the bounded-backfill close idiom in
+      // ONE AvailableNow run instead of r7's two (the second drain existed
+      // only to deliver the sentinels). Sentinels carry unmatchable
+      // negative keys, filtered from the OUTPUT read-back, never inside
+      // the streaming plan.
+      val src = streamJoinSources(s, d)
       val scratch = Tables.scratchDir(s, "ssjoino", d)
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/out"), true)
-      val ev = Tables.events(s, d)
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"), col("value").as("p_value"))
-      views.write.mode("overwrite").parquet(s"$scratch/views")
-      purchases.write.mode("overwrite").parquet(s"$scratch/purch")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        def drain(): Unit = {
-          val vS = s.readStream.schema(views.schema).parquet(s"$scratch/views")
-          val pS = s.readStream.schema(purchases.schema).parquet(s"$scratch/purch")
-          val joined = graft.streaming.StreamJoins.intervalJoinOuter(
-            vS, "v_ts", pS, "p_ts", "1 hour",
-            col("user_id") === col("p_user") &&
-              col("p_ts") >= col("v_ts") &&
-              col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
-          val q = joined
-            .select(col("v_id"), col("p_id"), col("user_id"),
-              r2(col("p_value")).as("p_value"),
-              (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-            .writeStream.option("checkpointLocation", s"$scratch/ckpt")
-            .format("parquet").option("path", s"$scratch/out")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          val done = q.awaitTermination(240000)
-          q.stop()
-          require(done, "q_stream_join_outer: AvailableNow drain did not finish in 240s")
-        }
-        // Outer-join stream CLOSURE: the terminal watermark stops at
-        // max(event_time) − delay, so left rows whose match window closes
-        // inside the final (bound + delay) hours are still buffered when the
-        // data drain ends. A second drain feeds a far-future SENTINEL row
-        // into EACH side (the global watermark is the min across inputs, so
-        // both must advance — and the sentinel must flow through the
-        // watermark operator UNfiltered: a pre-join filter would be pushed
-        // below it and the watermark would never move); the watermark
-        // advance triggers the run's no-data batch, which evicts and emits
-        // every remaining unmatched row null-padded — the bounded-backfill
-        // close idiom. Sentinels carry unmatchable negative keys, filtered
-        // from the OUTPUT read-back, never inside the streaming plan.
-        drain()
-        val closeTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-        import s.implicits._
-        val t = new java.sql.Timestamp(closeTs.getTime + 86400000L)
-        Seq((-1L, -999L, t)).toDF("v_id", "user_id", "v_ts")
-          .write.mode("append").parquet(s"$scratch/views")
-        Seq((-1L, -998L, t, 0.0)).toDF("p_id", "p_user", "p_ts", "p_value")
-          .write.mode("append").parquet(s"$scratch/purch")
-        drain()
+        val vS = s.readStream.schema(viewsSchema).parquet(s"$src/views")
+        val pS = s.readStream.schema(purchSchema).parquet(s"$src/purch")
+        val joined = graft.streaming.StreamJoins.intervalJoinOuter(
+          vS, "v_ts", pS, "p_ts", "1 hour",
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+        val q = joined
+          .select(col("v_id"), col("p_id"), col("user_id"),
+            r2(col("p_value")).as("p_value"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+          .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+          .format("parquet").option("path", s"$scratch/out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val done = q.awaitTermination(240000)
+        q.stop()
+        require(done, "q_stream_join_outer: AvailableNow drain did not finish in 240s")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$scratch/out").filter(col("v_id") >= 0L)
         .orderBy(col("v_id"), col("p_id"))
@@ -863,6 +847,46 @@ object EventQueries {
         .orderBy(col("event_type"))
     }
   )
+
+  import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+
+  private val viewsSchema = StructType(Seq(
+    StructField("v_id", LongType), StructField("user_id", LongType),
+    StructField("v_ts", TimestampType)))
+  private val purchSchema = StructType(Seq(
+    StructField("p_id", LongType), StructField("p_user", LongType),
+    StructField("p_ts", TimestampType), StructField("p_value", DoubleType)))
+
+  private val ssjSrcWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Shared file-stream source for the two stream-stream join queries:
+    * views/purch parquet derived from events, written ONCE per (session,
+    * dataset), WITH the far-future closure sentinels included up front (one
+    * per side, +1 day past max event time). The sentinels are inert for the
+    * inner join (their user keys are unmatchable) and are exactly what lets
+    * the OUTER join close in a single AvailableNow drain. */
+  private def streamJoinSources(s: SparkSession, d: String): String = {
+    val scratch = Tables.scratchDir(s, "ssjsrc", d)
+    if (ssjSrcWritten.add((s, d))) {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+      views.write.mode("overwrite").parquet(s"$scratch/views")
+      purchases.write.mode("overwrite").parquet(s"$scratch/purch")
+      val closeTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      import s.implicits._
+      val t = new java.sql.Timestamp(closeTs.getTime + 86400000L)
+      Seq((-1L, -999L, t)).toDF("v_id", "user_id", "v_ts")
+        .write.mode("append").parquet(s"$scratch/views")
+      Seq((-1L, -998L, t, 0.0)).toDF("p_id", "p_user", "p_ts", "p_value")
+        .write.mode("append").parquet(s"$scratch/purch")
+    }
+    scratch
+  }
 
   // One integer fixed-point PageRank step over CTE `prev` (mirrors Graphs.pagerank;
   // expects CTEs `edg(src,dst,weight)` and `ow(src,outw)` in scope). Shared with

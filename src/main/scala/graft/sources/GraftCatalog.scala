@@ -702,11 +702,29 @@ object GraftManifest {
 
   /** Highest CLAIMED generation — includes a slot whose CURRENT advance is
     * still in flight (the rebase base must be the claim, not the pointer). */
+  /** Highest claimed generation — O(1 + pointer lag), NOT O(table lifetime):
+    * claims are CONTIGUOUS by construction (every claim is base.gen+1 off a
+    * loaded claimed manifest; the reaper only ever removes the top), so the
+    * top is found by probing FORWARD from the CURRENT pointer with existence
+    * checks. The pointer trails the top only by in-flight commits, so the
+    * probe is a couple of HEADs where the old glob LISTED every manifest the
+    * table ever committed — at 100 k commits that listing made every
+    * commit/read O(n) and the table's lifetime O(n²). Fallback to the full
+    * glob when there is no pointer yet (brand-new table) or the pointed
+    * manifest is missing (manual surgery) — the listing remains the ground
+    * truth, the pointer is just the accelerator. */
   def highestClaimedGen(dir: Path, conf: Configuration): Long = {
     val fs = dir.getFileSystem(conf)
-    val st = fs.globStatus(new Path(dir, "manifest-*.txt"))
-    if (st == null || st.isEmpty) -1L
-    else st.map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong).max
+    val p = pointerGen(dir, conf)
+    if (p >= 0 && fs.exists(new Path(dir, s"manifest-$p.txt"))) {
+      var g = p
+      while (fs.exists(new Path(dir, s"manifest-${g + 1}.txt"))) g += 1
+      g
+    } else {
+      val st = fs.globStatus(new Path(dir, "manifest-*.txt"))
+      if (st == null || st.isEmpty) -1L
+      else st.map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".txt").toLong).max
+    }
   }
 
   /** Load a claimed manifest, retrying across the claimer's content-write
@@ -2643,13 +2661,13 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
         newDVAggs = org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
           .map { spark =>
-            byFile.toSeq.sortBy(_._1).flatMap { case (rel, ps) =>
+            val fullPos = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
               val existing = base.fileDVs.get(rel)
                 .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
-              try Some(rel ->
-                GraftDVAggs.compute(spark, dir, rel, (existing ++ ps).distinct))
-              catch { case _: Exception => None }
-            }.toMap
+              rel -> (existing ++ ps).distinct
+            }
+            try GraftDVAggs.computeAll(spark, dir, fullPos)
+            catch { case _: Exception => Map.empty[String, String] }
           }.getOrElse(Map.empty)
       }
       val m = base.withFileMeta(freshAll).copy(gen = g,
@@ -3700,25 +3718,52 @@ object GraftDVAggs {
     }).mkString(";")
 
   /**
-   * Aggregate the rows of `tableDir/rel` at `positions` (the file's full DV):
-   * row count, per-column deleted non-null counts, per-integral-column
-   * deleted sums. Reads ONLY this file, joined against the broadcast
-   * position set on `_metadata.row_index` — which equals the engine's own
-   * `_pos` ordinal (both are the 0-based physical row index of the file;
-   * the catalog's position reads are unfiltered for exactly this reason).
+   * Aggregate the DELETED rows of every touched file in ONE job: row count,
+   * per-column deleted non-null counts, per-integral-column deleted sums,
+   * grouped by file. `byFile` maps each rel to its FULL DV position set.
+   *
+   * Join key is (file basename, `_metadata.row_index`): row_index equals the
+   * engine's own `_pos` ordinal (both are the 0-based physical row index;
+   * the catalog's position reads are unfiltered for exactly this reason),
+   * and part-file basenames embed the write job's UUID, so they are unique
+   * within a table. `mergeSchema` unions vintages (ADD COLUMN drift): a
+   * column a file physically lacks aggregates as all-null there, which is
+   * harmless — the metadata path only consults a column's DV aggregates
+   * AFTER the file's own stats prove the column exists in that file.
+   *
+   * One scan over only the touched files, one broadcast of the position
+   * sets — the same order of work as writing the DVs themselves (the
+   * per-file-job formulation cost ~1 job × files-touched per commit and
+   * dominated every DML-heavy bench query).
    */
-  def compute(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
-              rel: String, positions: Array[Long]): String = {
+  def computeAll(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
+                 byFile: Seq[(String, Array[Long])]): Map[String, String] = {
     import org.apache.spark.sql.functions._
-    if (positions.isEmpty) return GraftDVAggs.encode(0L, Nil)
-    val path = GraftManifest.resolveRel(tableDir, rel).toString
-    val raw = spark.read.parquet(path)
+    val nonEmpty = byFile.filter(_._2.nonEmpty)
+    val zeros = byFile.filter(_._2.isEmpty)
+      .map { case (rel, _) => rel -> GraftDVAggs.encode(0L, Nil) }
+    if (nonEmpty.isEmpty) return zeros.toMap
+    def basename(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    val baseToRel = nonEmpty.map { case (rel, _) => basename(rel) -> rel }.toMap
+    require(baseToRel.size == nonEmpty.size,
+      s"duplicate data-file basenames in one commit: ${nonEmpty.map(_._1)}")
+    val paths = nonEmpty.map { case (rel, _) =>
+      GraftManifest.resolveRel(tableDir, rel).toString }
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val dataCols = raw.schema.fields.map(_.name).toSeq
+    val posRows = nonEmpty.flatMap { case (rel, ps) =>
+      val b = basename(rel)
+      ps.map(p => org.apache.spark.sql.Row(b, p))
+    }
     val posDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(positions.toSeq.map(org.apache.spark.sql.Row(_)), 1),
-      StructType(Seq(org.apache.spark.sql.types.StructField("_dvpos", LongType))))
-    val dead = raw.withColumn("_dvpos", col("_metadata.row_index"))
-      .join(broadcast(posDf), "_dvpos")
+      spark.sparkContext.parallelize(posRows, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_dvbase", StringType),
+        org.apache.spark.sql.types.StructField("_dvpos", LongType))))
+    val dead = raw
+      .withColumn("_dvbase", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_dvpos", col("_metadata.row_index"))
+      .join(broadcast(posDf), Seq("_dvbase", "_dvpos"))
     val integral: Set[String] = raw.schema.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == ShortType => f.name
@@ -3730,12 +3775,17 @@ object GraftDVAggs {
             List(coalesce(sum(col(c).cast("long")), lit(0L)).as(s"_sum_$c"))
           else Nil)
       }
-    val row = dead.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getAs[Long]("_n")
-    GraftDVAggs.encode(n, dataCols.map { c =>
-      (c, row.getAs[Long](s"_nn_$c"),
-        if (integral(c)) Some(row.getAs[Long](s"_sum_$c")) else None)
-    })
+    val rows = dead.groupBy(col("_dvbase")).agg(aggs.head, aggs.tail: _*).collect()
+    val computed = rows.map { row =>
+      val rel = baseToRel(row.getAs[String]("_dvbase"))
+      rel -> GraftDVAggs.encode(row.getAs[Long]("_n"), dataCols.map { c =>
+        (c, row.getAs[Long](s"_nn_$c"),
+          if (integral(c)) Some(row.getAs[Long](s"_sum_$c")) else None)
+      })
+    }.toMap
+    // A rel whose positions matched no rows is OMITTED (inconsistent input):
+    // absence degrades that file to scan-fallback, never a wrong subtraction.
+    zeros.toMap ++ computed
   }
 }
 

@@ -713,6 +713,34 @@ class CatalogSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("highestClaimedGen probes forward from the pointer, glob fallback intact") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.GraftManifest
+    val dir = new Path(root, "hcg")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    fs.delete(dir, true)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    GraftManifest.publish(dir, GraftManifest(0L, schema, Nil, Nil), conf)
+    (1 to 4).foreach { i =>
+      GraftManifest.publishNext(dir, conf)(cur =>
+        cur.copy(gen = cur.gen + 1, txns = cur.txns + s"hcg:$i"))
+    }
+    assert(GraftManifest.highestClaimedGen(dir, conf) == 4L)
+    // Pointer LAG (a crashed writer advanced claims but not CURRENT): the
+    // forward probe must cross the lag without listing the directory.
+    val cur = new Path(dir, "CURRENT")
+    val o = fs.create(cur, true)
+    try o.write("1".getBytes) finally o.close()
+    assert(GraftManifest.highestClaimedGen(dir, conf) == 4L)
+    // No pointer at all (pre-pointer vintage / manual surgery): glob fallback.
+    fs.delete(cur, false)
+    assert(GraftManifest.highestClaimedGen(dir, conf) == 4L)
+    // currentGen self-heals the pointer from the claims either way.
+    assert(GraftManifest.currentGen(dir, conf) == 4L)
+  }
+
   test("cross-process commit races: two real JVMs + this one, no lost commit") {
     // The in-JVM concurrency tests share `currentSwapLock` and one FS handle,
     // which the cross-process CAS path never sees — this test drives the
@@ -2410,7 +2438,13 @@ class CatalogSpec extends GraftSuite {
     graft.sources.GraftCatalogOps.vacuum(spark, root, "clsrc",
       keepGens = 1, uncommittedGraceMs = 0)
     assert(spark.table(src).count() == 199, "source itself stays intact")
-    intercept[Exception] { spark.table("gtest.cldst").count() }
+    // Metadata-only aggregates survive (the manifest still knows the live
+    // row count — DV aggregates included, no bytes needed)...
+    assert(spark.table("gtest.cldst").count() == 199)
+    // ...but any read that must OPEN the reclaimed bytes fails loudly.
+    intercept[Exception] {
+      spark.table("gtest.cldst").agg(sum(col("id") * col("id"))).collect()
+    }
   }
 
   test("replaceWhere: stats-pruned surgical rewrite, write invariant, DV merge, fallback") {
