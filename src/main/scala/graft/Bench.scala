@@ -306,13 +306,49 @@ object Bench {
       val perQInflated = finalResults.collect {
         case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.05 && v > 3.0 * p) => k
       }
-      val tailInflated = perQInflated.size >= 5
+      // r8 postmortem: the >=5-query threshold alone let a run with THREE
+      // massive spikes (one query 28x its committed time, ~49 s of phantom
+      // wall) overwrite the clean ledger. Three additional teeth:
+      //   4. ANY single query >10x its committed time (>=50 ms) refuses — a
+      //      real plan regression that large would be a code change, and a
+      //      code change lands with a locally re-run clean ledger anyway;
+      //   5. TOTAL EXCESS seconds over the 3x lines: sum of (v - 3*prev)
+      //      across inflated queries > 5 s refuses — catches few-but-huge;
+      //   6. BRAND-NEW queries (no committed same-SF reference — structurally
+      //      exempt from 3/4/5) get a cross-SF sanity bound: at sf0.1 a plan
+      //      that is ~linear in data cannot honestly cost >30x its committed
+      //      sf0.01 time (10x the data; 3x headroom) — 2 s floor so cheap
+      //      queries never trip it.
+      val spiked = finalResults.collect {
+        case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.05 && v > 10.0 * p) => k
+      }
+      val excessSec = finalResults.collect {
+        case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.05 && v > 3.0 * p) =>
+          v - 3.0 * prevQ(k)
+      }.sum
+      val crossQ: Map[String, Double] =
+        if (sfName != "sf0.1") Map.empty
+        else readOpt(Paths.get("BENCH_DETAILS.sf0.01.json")).flatMap { p =>
+          val i = p.indexOf("\"queries\":{")
+          if (i < 0) None
+          else Some("\"([^\"]+)\":([0-9.Ee+-]+)".r
+            .findAllMatchIn(p.substring(i + 11, p.indexOf('}', i)))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }.getOrElse(Map.empty)
+      val newInflated = finalResults.collect {
+        case (k, v, true, _, _) if !prevQ.contains(k) &&
+          crossQ.get(k).exists(c => c >= 0.05 && v > math.max(30.0 * c, 2.0)) => k
+      }
+      val tailInflated = perQInflated.size >= 5 || spiked.nonEmpty ||
+        excessSec > 5.0 || newInflated.nonEmpty
       if (contended || inflated || tailInflated)
         System.err.println(f"[bench] tracked ledgers NOT overwritten " +
           f"(contended=$contended startLoadAvg=$startLoadAvg%.1f/$cores, " +
           f"inflated=$inflated vs ${prevTotal.getOrElse(Double.NaN)}%.1f s committed, " +
           s"tailInflated=$tailInflated [${perQInflated.size} queries >3x: " +
-          s"${perQInflated.take(8).mkString(",")}]); " +
+          s"${perQInflated.take(8).mkString(",")}; spiked>10x: " +
+          s"${spiked.mkString(",")}; excess=${num(excessSec, 1)}s; " +
+          s"newCrossSF: ${newInflated.mkString(",")}]); " +
           "this run's ledger is in BENCH_DETAILS.run.json (untracked)")
       else {
         try {

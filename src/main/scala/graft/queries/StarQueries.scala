@@ -2430,7 +2430,11 @@ object StarQueries {
           expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
           pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
         .writeTo("graft.sumq").partitionedBy(col("pk"))
-        .tableProperty("dml", "dv").create()
+        // `dvaggs=true` opts this table into recording deleted-row aggregates
+        // AT DELETE TIME (an extra job per DML commit) — the price of the
+        // post-delete aggregates below staying metadata-only. Default is off:
+        // tables that never serve metadata aggs shouldn't pay a per-commit tax.
+        .tableProperty("dml", "dv").tableProperty("dvaggs", "true").create()
       val q0 = s.sql(
         "SELECT sum(cents) AS total_cents, sum(o_orderkey) AS total_keys, " +
           "sum(pk) AS total_pk, count(*) AS n FROM graft.sumq")

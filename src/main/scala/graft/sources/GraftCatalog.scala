@@ -2657,23 +2657,36 @@ class GraftDeltaBatchWrite(dir: Path, prev: GraftManifest, writeSchema: StructTy
       // refuses any base whose DVs on these files moved), so the one-job-per-
       // file compute runs once even across CAS retries. Best-effort: a
       // failure here degrades the file to scan-fallback, never blocks DML.
+      // OPT-IN (`dvaggs=true` table property): the compute is a synchronous
+      // extra Spark job that re-reads every touched file AFTER the DML job —
+      // a per-commit tax every delta DML would otherwise pay whether or not
+      // the table ever serves a metadata-only aggregate. Tables that want
+      // count/sum-under-DV to stay metadata-only declare it; everything else
+      // commits with zero extra jobs and falls back to a scan on those aggs.
       if (newDVAggs == null) {
-        newDVAggs = org.apache.spark.sql.SparkSession.getActiveSession
-          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .map { spark =>
-            val fullPos = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
-              val existing = base.fileDVs.get(rel)
-                .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
-              rel -> (existing ++ ps).distinct
-            }
-            try GraftDVAggs.computeAll(spark, dir, fullPos)
-            catch { case _: Exception => Map.empty[String, String] }
-          }.getOrElse(Map.empty)
+        newDVAggs =
+          if (!base.props.get("dvaggs").contains("true")) Map.empty
+          else org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .map { spark =>
+              val fullPos = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
+                val existing = base.fileDVs.get(rel)
+                  .map(GraftDV.read(dir, _, c)).getOrElse(Array.empty[Long])
+                rel -> (existing ++ ps).distinct
+              }
+              try GraftDVAggs.computeAll(spark, dir, fullPos)
+              catch { case _: Exception => Map.empty[String, String] }
+            }.getOrElse(Map.empty)
       }
+      // Touched files' PRIOR aggregates are dropped even when the recompute
+      // failed or was skipped: a file whose DV grew but whose aggregates
+      // still describe the old, smaller DV would make metadata COUNT/SUM
+      // subtract too little — silently wrong. Absence instead refuses the
+      // metadata path for that file (scan fallback, always correct).
       val m = base.withFileMeta(freshAll).copy(gen = g,
         entries = base.entries ++ freshAll.map(f => (f.part, f.rel)),
         fileDVs = base.fileDVs ++ newDVs,
-        fileDVAggs = base.fileDVAggs ++ newDVAggs)
+        fileDVAggs = (base.fileDVAggs -- byFile.keys) ++ newDVAggs)
       if (GraftManifest.publishCas(dir, m, c)) committed = true
       else {
         val claimed = GraftManifest.highestClaimedGen(dir, c)
@@ -3751,6 +3764,13 @@ object GraftDVAggs {
       GraftManifest.resolveRel(tableDir, rel).toString }
     val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val dataCols = raw.schema.fields.map(_.name).toSeq
+    // The join-key columns are SYNTHESIZED via withColumn, which REPLACES a
+    // same-named physical column — a table with a data column literally named
+    // like these would aggregate over the synthesized value (always non-null)
+    // instead of its own data, a silently wrong COUNT(col). Refuse to record
+    // on collision: absence degrades those files to scan-fallback (correct).
+    val kB = "__graft_dv_base"; val kP = "__graft_dv_pos"
+    if (dataCols.contains(kB) || dataCols.contains(kP)) return zeros.toMap
     val posRows = nonEmpty.flatMap { case (rel, ps) =>
       val b = basename(rel)
       ps.map(p => org.apache.spark.sql.Row(b, p))
@@ -3758,16 +3778,20 @@ object GraftDVAggs {
     val posDf = spark.createDataFrame(
       spark.sparkContext.parallelize(posRows, 1),
       StructType(Seq(
-        org.apache.spark.sql.types.StructField("_dvbase", StringType),
-        org.apache.spark.sql.types.StructField("_dvpos", LongType))))
+        org.apache.spark.sql.types.StructField(kB, StringType),
+        org.apache.spark.sql.types.StructField(kP, LongType))))
     val dead = raw
-      .withColumn("_dvbase", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("_dvpos", col("_metadata.row_index"))
-      .join(broadcast(posDf), Seq("_dvbase", "_dvpos"))
+      .withColumn(kB, element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(kP, col("_metadata.row_index"))
+      .join(broadcast(posDf), Seq(kB, kP))
     val integral: Set[String] = raw.schema.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == ShortType => f.name
     }.toSet
+    // Same collision rule for the aggregate ALIASES (`_n`, `_nn_<c>`,
+    // `_sum_<c>`): a data column named like one would make getAs ambiguous.
+    val aliases = "_n" +: dataCols.flatMap(c => Seq(s"_nn_$c", s"_sum_$c"))
+    if (aliases.exists(dataCols.contains)) return zeros.toMap
     val aggs = count(lit(1)).as("_n") +:
       dataCols.flatMap { c =>
         count(col(c)).as(s"_nn_$c") ::
@@ -3775,9 +3799,9 @@ object GraftDVAggs {
             List(coalesce(sum(col(c).cast("long")), lit(0L)).as(s"_sum_$c"))
           else Nil)
       }
-    val rows = dead.groupBy(col("_dvbase")).agg(aggs.head, aggs.tail: _*).collect()
+    val rows = dead.groupBy(col(kB)).agg(aggs.head, aggs.tail: _*).collect()
     val computed = rows.map { row =>
-      val rel = baseToRel(row.getAs[String]("_dvbase"))
+      val rel = baseToRel(row.getAs[String](kB))
       rel -> GraftDVAggs.encode(row.getAs[Long]("_n"), dataCols.map { c =>
         (c, row.getAs[Long](s"_nn_$c"),
           if (integral(c)) Some(row.getAs[Long](s"_sum_$c")) else None)

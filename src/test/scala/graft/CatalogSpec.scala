@@ -826,7 +826,7 @@ class CatalogSpec extends GraftSuite {
   test("metadata COUNT/SUM subtract DV aggregates; MIN/MAX refuse under a DV") {
     val t = freshTable("dvsum")
     base.writeTo(t).partitionedBy(col("pk"))
-      .tableProperty("dml", "dv").create()
+      .tableProperty("dml", "dv").tableProperty("dvaggs", "true").create()
     spark.sql(s"DELETE FROM $t WHERE id % 7 = 3")
     val live = (0L until 300L).filterNot(_ % 7 == 3)
     // COUNT(*) / COUNT(col) / SUM stay metadata-only AFTER the DV delete —
@@ -2401,8 +2401,12 @@ class CatalogSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gtest.cldst")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(root, "cldst"), true)
+    // `dvaggs=true`: the post-vacuum leg below pins that the clone's COUNT
+    // stays metadata-only (DV aggregates recorded at delete time) even after
+    // the source's bytes are reclaimed — that property is now opt-in.
     (0L until 200L).map(i => (i, s"v$i")).toDF("id", "s")
-      .coalesce(2).writeTo(src).tableProperty("dml", "dv").create()
+      .coalesce(2).writeTo(src).tableProperty("dml", "dv")
+      .tableProperty("dvaggs", "true").create()
     spark.sql(s"DELETE FROM $src WHERE id = 5") // a source DV the clone must inherit
     graft.sources.GraftCatalogOps.cloneTable(spark, root, "clsrc", "cldst")
     def files(t: String) = Option(fs.globStatus(new Path(new Path(root, t), "gen-*")))
