@@ -3238,15 +3238,40 @@ object StarQueries {
         .withColumn("tri", expr(
           "array_distinct(transform(sequence(1, greatest(length(nm) - 2, 0))," +
             " i -> substring(nm, i, 3)))"))
-      p.as("a").join(p.as("b"),
-          col("a.p_brand") === col("b.p_brand") &&
-            col("a.p_size") === col("b.p_size") &&
-            col("a.p_partkey") < col("b.p_partkey"))
-        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
-          (size(array_intersect(col("a.tri"), col("b.tri"))).cast("long") * 10000L /
-            size(array_union(col("a.tri"), col("b.tri"))).cast("long"))
+      // Candidates via SHARED-TRIGRAM posting lists inside each (brand, size)
+      // block (Dedup.erTrigramCandidates) instead of the all-pairs self-join:
+      // the coarse key has FIXED cardinality (~25 brands × 50 sizes), so
+      // blocks grow linearly with the catalog and all-pairs work grows
+      // QUADRATICALLY — the classic ER blocking mistake. Posting lists are
+      // df-capped (absolute bound ⇒ bounded pair work per bucket at any
+      // scale); exact trigram-set duplicates get their own linear pass so the
+      // 10000 bp top of the shortlist never depends on a rare trigram
+      // existing. Candidates = exactly the positive-Jaccard pairs (+ exact
+      // dups), so when they can't fill the top-50 (tiny-corpus regime, where
+      // zero-score pairs enter the shortlist by id order) the query falls
+      // back to the exact all-pairs block join — detected with one scalar
+      // probe, semantics identical to the spec SQL at every SF.
+      def score(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .join(p.select(col("p_partkey").as("id_a"), col("tri").as("tri_a")), "id_a")
+        .join(p.select(col("p_partkey").as("id_b"), col("tri").as("tri_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("tri_a"), col("tri_b"))).cast("long") * 10000L /
+            size(array_union(col("tri_a"), col("tri_b"))).cast("long"))
             .cast("long").as("tri_jacc_bp"))
-        .orderBy(col("tri_jacc_bp").desc, col("id_a"), col("id_b")).limit(50)
+      val cand = graft.operators.Dedup.erTrigramCandidates(
+        p, Seq("p_brand", "p_size"), "p_partkey", "tri")
+      val enough = cand.limit(50).count() >= 50
+      val pairs =
+        if (enough) score(cand)
+        else p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_size") === col("b.p_size") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+            (size(array_intersect(col("a.tri"), col("b.tri"))).cast("long") * 10000L /
+              size(array_union(col("a.tri"), col("b.tri"))).cast("long"))
+              .cast("long").as("tri_jacc_bp"))
+      pairs.orderBy(col("tri_jacc_bp").desc, col("id_a"), col("id_b")).limit(50)
     },
 
     // B221: equi-depth feature binning (the QuantileDiscretizer/feature-store

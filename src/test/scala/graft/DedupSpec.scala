@@ -129,6 +129,56 @@ class DedupSpec extends GraftSuite {
       "no bulk-corpus pair may verify: bulk docs share only the footer")
   }
 
+  test("erTrigramCandidates: complete vs all-pairs positives, df-capped buckets, dup pass") {
+    // One big block (fixed coarse key, the q_entity_trigram shape): 30 names
+    // sharing an ultra-common token (posting df = 30 > cap) plus planted
+    // near-dups and exact dups with rare trigrams.
+    val rows = ((0 until 30).map(i => (i.toLong, s"common boilerplate name unique$i")) ++ Seq(
+      (100L, "zq special widget xx"), (101L, "zq special widget yy"), // near-dup pair
+      (200L, "exact same thing"), (201L, "exact same thing"), (202L, "exact same thing")
+    )).toDF("id", "nm")
+      .withColumn("blk", lit(1))
+      .withColumn("tri", expr(
+        "array_distinct(transform(sequence(1, greatest(length(nm) - 2, 0))," +
+          " i -> substring(nm, i, 3)))"))
+    val cand = Dedup.erTrigramCandidates(rows, Seq("blk"), "id", "tri", dfCap = 10)
+      .as[(Long, Long)].collect().toSet
+    // Contract: every pair sharing >=1 SUB-CAP trigram is a candidate
+    // (pairs sharing only over-cap trigrams are the deliberate recall
+    // trade the exact-dup pass and the caller's fallback backstop).
+    // Expected set computed independently: per-trigram df, then pairs
+    // joined through sub-cap trigrams only.
+    val local = rows.select(col("id"), col("tri"))
+      .as[(Long, Seq[String])].collect()
+    val dfCount = local.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length }
+    val expected = (for {
+      (a, ta) <- local; (b, tb) <- local if a < b
+      if ta.toSet.intersect(tb.toSet).exists(t => dfCount(t) <= 10)
+    } yield (a, b)).toSet
+    assert(cand.contains((100L, 101L)) && cand.contains((200L, 201L)) &&
+      cand.contains((200L, 202L)) && cand.contains((201L, 202L)))
+    assert(expected.subsetOf(cand), s"lost: ${(expected -- cand).take(5)}")
+    // The capped bucket bound holds: candidates among the 30-doc common
+    // block are exactly the sub-cap-witnessed ones (empirically zero — their
+    // shared trigrams all have df >= 11), never the C(30,2) = 435 the
+    // over-cap posting would enumerate.
+    assert(cand.filter(p => p._1 < 30L && p._2 < 30L) ===
+      expected.filter(p => p._1 < 30L && p._2 < 30L),
+      "over-cap posting enumerated pairs")
+    // Exact-dup pass fires independent of df: make EVERY trigram of the dup
+    // trio ultra-common by cloning its name across 20 extra unique ids —
+    // postings all exceed the cap, yet the identical-set group still pairs.
+    val rows2 = ((0 until 20).map(i => (300L + i, "exact same thing")) ++
+      Seq((400L, "exact same thing")))
+      .toDF("id", "nm").withColumn("blk", lit(1))
+      .withColumn("tri", expr(
+        "array_distinct(transform(sequence(1, greatest(length(nm) - 2, 0))," +
+          " i -> substring(nm, i, 3)))"))
+    val cand2 = Dedup.erTrigramCandidates(rows2, Seq("blk"), "id", "tri", dfCap = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(cand2.size === 21 * 20 / 2, "dup group must pair completely under keepIds")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.exactByText(corpus)
     val renamed = once.select(col("keep_id").as("doc_id"), col("text_hash").as("text"))
