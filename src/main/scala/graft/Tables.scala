@@ -111,6 +111,24 @@ object Tables {
     s"${base.stripSuffix("/")}/graft_${purpose}_${math.abs(sfDir.hashCode)}"
   }
 
+  /** Source-data fingerprint for memoized per-dataset artifacts (fixture
+    * tables, ANN indexes): per-part (name, length) plus max mtime of the
+    * named base tables. The scratch dir is keyed by the sf-dir STRING, so a
+    * regenerated dataset lands in the same place — any cached artifact must
+    * carry this fingerprint and rebuild when it moves. */
+  def fingerprint(sfDir: String, tables: Seq[String]): String =
+    tables.sorted.map { t =>
+      val f = new java.io.File(sfDir, s"$t.parquet")
+      val parts: Array[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().filter(p => p.isFile && !p.getName.startsWith(".")).sortBy(_.getName)
+        else Array(f)
+      val len = parts.map(_.length).sum
+      val names = java.util.Objects.hash(parts.map(_.getName).mkString("\n"))
+      val mt = (parts.map(_.lastModified) :+ 0L).max
+      s"$t:$len:$names:$mt"
+    }.mkString(",")
+
   def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")

@@ -201,4 +201,34 @@ class SourcesSpec extends GraftSuite {
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(afterStatic === Array((2L, 99L, 1)))
   }
+
+  test("Tables.fingerprint moves when source bytes, part names, or mtime change") {
+    // The scratch dir is keyed by the sf-dir STRING, so memoized artifacts
+    // (fixture tables, ANN indexes) survive a dataset REGENERATION in place —
+    // the fingerprint is the only thing standing between a stale cache and
+    // wrong answers. Pin all three invalidation axes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toFile
+    val t = new java.io.File(dir, "orders.parquet")
+    java.nio.file.Files.write(t.toPath, Array[Byte](1, 2, 3))
+    t.setLastModified(1700000000000L)
+    val fp0 = Tables.fingerprint(dir.toString, Seq("orders"))
+    assert(fp0 === Tables.fingerprint(dir.toString, Seq("orders")), "must be stable")
+    java.nio.file.Files.write(t.toPath, Array[Byte](1, 2, 3, 4)) // length moves
+    t.setLastModified(1700000000000L)
+    val fp1 = Tables.fingerprint(dir.toString, Seq("orders"))
+    assert(fp1 !== fp0, "length change must move the fingerprint")
+    t.setLastModified(1700000001000L) // same bytes, new mtime
+    assert(Tables.fingerprint(dir.toString, Seq("orders")) !== fp1,
+      "mtime change must move the fingerprint")
+    // Directory-shaped table: part NAMES are part of the signature.
+    val dt = new java.io.File(dir, "events.parquet"); dt.mkdirs()
+    val p1 = new java.io.File(dt, "part-0.parquet")
+    java.nio.file.Files.write(p1.toPath, Array[Byte](9))
+    p1.setLastModified(1700000000000L)
+    val fpd = Tables.fingerprint(dir.toString, Seq("events"))
+    assert(p1.renameTo(new java.io.File(dt, "part-1.parquet")))
+    new java.io.File(dt, "part-1.parquet").setLastModified(1700000000000L)
+    assert(Tables.fingerprint(dir.toString, Seq("events")) !== fpd,
+      "part rename must move the fingerprint")
+  }
 }
