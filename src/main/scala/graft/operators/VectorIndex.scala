@@ -21,18 +21,35 @@ import org.apache.spark.sql.functions._
  *  - `sq_index/` parquet: `(vec_id, sq_scale, codes)` — the SQ8 per-vector
  *    (scale, int8 codes) layout over the RAW (un-normalized) corpus, shared by
  *    the SQ arm and the two-stage rerank's stage 1.
- *  - `SIGNATURE`: written LAST — index params + a fingerprint (length, mtime) of
- *    the source `embeddings.parquet`. Readers accept the on-disk index only when
- *    the signature matches, so a regenerated dataset or changed params rebuilds
- *    instead of serving a stale index.
+ *  - `SIGNATURE`: written LAST — index params + the full per-part fingerprint
+ *    (name, length, mtime of every part of the source `embeddings.parquet`)
+ *    plus the VERSIONED directory the artifacts live in. Readers accept the
+ *    on-disk index only when the signature matches, so a regenerated dataset
+ *    or changed params rebuilds instead of serving a stale index.
+ *
+ * Atomic publication: every build (full or incremental) writes into a FRESH
+ * `idx-<digest>` directory and flips `SIGNATURE` last — a reader that
+ * validated an old signature keeps lazily reading the old directory, which no
+ * rebuild ever overwrites (torn-read-free without locks; stale dirs are
+ * /tmp-scale garbage).
+ *
+ * Incremental maintenance (the FAISS `add()` posture): when the source
+ * GROWS append-only — every previously-indexed part still present
+ * byte-identical, new parts added — the trained codebooks are REUSED: only
+ * the new vectors are encoded, and the new index directory is the old rows
+ * unioned with the new codes. Zero training jobs; at 100 TB this is the
+ * difference between a nightly add() and a weekly full retrain. Hash-safe by
+ * construction: SQ8 codes are per-vector deterministic (identical whether
+ * encoded incrementally or from scratch), and PQ codes only feed recall-gated
+ * booleans, never hash-compared values. Any non-append change (part rewritten,
+ * shrunk, renamed) falls back to the full deterministic rebuild.
  *
  * Reuse levels: an in-JVM memo (one build per session run) and the on-disk
  * signature (a later JVM over the same dataset re-reads, zero training). All
  * trained/encoded artifacts are deterministic functions of the data
  * ([[Similarity.trainPq]]'s seeded-Lloyd contract), so reuse cannot change any
  * query's result hash. Single-writer assumption: concurrent builders of the SAME
- * dataset may redo work (last signature wins) but never publish a torn index,
- * because the signature gates every read and is written after the data.
+ * dataset may redo work (last signature wins) but never publish a torn index.
  */
 object VectorIndex {
   /** Index parameters pinned by the bench family (q_sim_ann_pq, q_sim_recall_arms). */
@@ -45,6 +62,9 @@ object VectorIndex {
 
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Handle]()
+
+  /** Drop the in-JVM memo (spec hook; production reuse is signature-gated). */
+  private[graft] def resetMemo(): Unit = built.clear()
 
   /** L2-normalize an embedding column (shared by the PQ queries: PQ ranks by L2,
     * normalization makes that approximate the exact arm's cosine ranking). */
@@ -67,44 +87,113 @@ object VectorIndex {
   private def handle(spark: SparkSession, sfDir: String): Handle =
     built.computeIfAbsent((spark, sfDir), _ => loadOrBuild(spark, sfDir))
 
-  private def fingerprint(sfDir: String): String = {
+  /** Per-part listing of the source table: (name, length, mtime), sorted. */
+  private def parts(sfDir: String): Seq[(String, Long, Long)] = {
     val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    val (len, mtime) =
-      if (f.isDirectory) {
-        val parts = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-        (parts.map(_.length).sum, parts.map(_.lastModified).foldLeft(0L)(math.max))
-      } else (f.length, f.lastModified)
-    s"v1 m=$M k=$CodebookK iters=$Iters frac=$TrainFraction len=$len mtime=$mtime"
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(p => p.isFile && !p.getName.startsWith(".")).sortBy(_.getName).toSeq
+      else Seq(f)
+    files.map(p => (p.getName, p.length, p.lastModified))
+  }
+
+  private def sigOf(ps: Seq[(String, Long, Long)]): String =
+    s"v2 m=$M k=$CodebookK iters=$Iters frac=$TrainFraction parts=" +
+      ps.map { case (n, l, t) => s"$n:$l:$t" }.mkString(";")
+
+  /** Short stable digest naming the versioned index directory for a signature. */
+  private def digest(sig: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def sqEncode(emb: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(e, x => abs(x)))
+    emb.select(col("vec_id"), scale.as("sq_scale"),
+      when(scale === 0, transform(e, _ => lit(0)))
+        .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
+        .as("codes"))
   }
 
   private def loadOrBuild(spark: SparkSession, sfDir: String): Handle = {
     val root = new java.io.File(Tables.scratchDir(spark, "vecindex", sfDir))
-    val pqPath = new java.io.File(root, "pq_index").getAbsolutePath
-    val sqPath = new java.io.File(root, "sq_index").getAbsolutePath
-    val modelFile = new java.io.File(root, "pq_model.txt")
     val sigFile = new java.io.File(root, "SIGNATURE")
-    val sig = fingerprint(sfDir)
-    if (sigFile.isFile && read(sigFile) == sig && modelFile.isFile)
-      Handle(readModel(modelFile), pqPath, sqPath)
-    else {
-      root.mkdirs()
-      sigFile.delete() // invalidate first: a failed build must not look published
-      val emb = Tables.embeddings(spark, sfDir)
-      val normCorpus = emb.select(col("vec_id"),
-        normalize(col("embedding")).as("embedding"))
-      val model = Similarity.trainPq(normCorpus, M, CodebookK, Iters, TrainFraction)
-      Similarity.pqEncode(normCorpus, model)
-        .write.mode("overwrite").parquet(pqPath)
-      val e = transform(col("embedding"), x => x.cast("double"))
-      val scale = array_max(transform(e, x => abs(x)))
-      emb.select(col("vec_id"), scale.as("sq_scale"),
-          when(scale === 0, transform(e, _ => lit(0)))
-            .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
-            .as("codes"))
-        .write.mode("overwrite").parquet(sqPath)
-      write(modelFile, renderModel(model))
-      write(sigFile, sig) // publish
-      Handle(model, pqPath, sqPath)
+    val curParts = parts(sfDir)
+    val sig = sigOf(curParts)
+    // SIGNATURE format: first line the signature, second the idx dir name.
+    val published: Option[(String, String)] =
+      if (!sigFile.isFile) None
+      else read(sigFile).split("\n", 2) match {
+        case Array(s, dirName) => Some((s, dirName.trim))
+        case _ => None
+      }
+    def handleFor(dirName: String): Option[Handle] = {
+      val dir = new java.io.File(root, dirName)
+      val modelFile = new java.io.File(dir, "pq_model.txt")
+      if (!modelFile.isFile) None
+      else Some(Handle(readModel(modelFile),
+        new java.io.File(dir, "pq_index").getAbsolutePath,
+        new java.io.File(dir, "sq_index").getAbsolutePath))
+    }
+    published match {
+      case Some((s, dirName)) if s == sig && handleFor(dirName).isDefined =>
+        handleFor(dirName).get
+      case prev =>
+        val newDir = new java.io.File(root, s"idx-${digest(sig)}")
+        newDir.mkdirs()
+        val pqPath = new java.io.File(newDir, "pq_index").getAbsolutePath
+        val sqPath = new java.io.File(newDir, "sq_index").getAbsolutePath
+        val modelFile = new java.io.File(newDir, "pq_model.txt")
+        // Append-only growth? Every previously-signed part must still be
+        // present byte-identical (name, length, mtime) with at least one new
+        // part — then the old codebooks are reused and only new vectors
+        // encode (the FAISS add() posture). Anything else → full rebuild.
+        val incremental: Option[(Handle, Seq[String])] = prev.flatMap {
+          case (oldSig, oldDirName) =>
+            val oldParts = "parts=(.*)".r.findFirstMatchIn(oldSig)
+              .map(_.group(1).split(";").filter(_.nonEmpty).toSeq.map { e =>
+                val Array(n, l, t) = e.split(":"); (n, l.toLong, t.toLong)
+              }).getOrElse(Seq.empty)
+            val cur = curParts.toSet
+            val newNames = curParts.map(_._1).toSet -- oldParts.map(_._1).toSet
+            val sameParams =
+              oldSig.take(math.max(0, oldSig.indexOf("parts="))) ==
+                sig.take(sig.indexOf("parts="))
+            if (sameParams && oldParts.nonEmpty && newNames.nonEmpty &&
+                oldParts.forall(cur.contains))
+              handleFor(oldDirName).map(h => (h,
+                newNames.toSeq.sorted.map(n => s"$sfDir/embeddings.parquet/$n")))
+            else None
+        }
+        val model = incremental match {
+          case Some((oldH, newPaths)) =>
+            val fresh = spark.read.parquet(newPaths: _*)
+              .select(col("vec_id"), col("embedding"))
+            val freshNorm = fresh.select(col("vec_id"),
+              normalize(col("embedding")).as("embedding"))
+            spark.read.parquet(oldH.pqPath)
+              .unionByName(Similarity.pqEncode(freshNorm, oldH.model))
+              .write.mode("overwrite").parquet(pqPath)
+            spark.read.parquet(oldH.sqPath)
+              .unionByName(sqEncode(fresh))
+              .write.mode("overwrite").parquet(sqPath)
+            oldH.model
+          case None =>
+            val emb = Tables.embeddings(spark, sfDir)
+            val normCorpus = emb.select(col("vec_id"),
+              normalize(col("embedding")).as("embedding"))
+            val m = Similarity.trainPq(normCorpus, M, CodebookK, Iters, TrainFraction)
+            Similarity.pqEncode(normCorpus, m)
+              .write.mode("overwrite").parquet(pqPath)
+            sqEncode(emb).write.mode("overwrite").parquet(sqPath)
+            m
+        }
+        write(modelFile, renderModel(model))
+        write(sigFile, s"$sig\n${newDir.getName}") // publish LAST
+        Handle(model, pqPath, sqPath)
     }
   }
 

@@ -314,4 +314,54 @@ class VectorExpressionSpec extends GraftSuite {
       .filter(col("c").isNotNull).count()
     assert(n === 25)
   }
+
+  test("VectorIndex incremental add(): appended parts reuse codebooks, old codes untouched") {
+    import graft.operators.VectorIndex
+    // A private dataset dir whose embeddings.parquet is a DIRECTORY of parts —
+    // the shape the incremental path detects growth in.
+    val ds = java.nio.file.Files.createTempDirectory("graft_vds").toFile
+    val embDir = new java.io.File(ds, "embeddings.parquet"); embDir.mkdirs()
+    val src = Tables.embeddings(spark, sfTiny)
+    def addPart(ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vpart").toFile
+      src.filter(ids(col("vec_id"))).select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(embDir, name)))
+    }
+    addPart(_ < 80, "part-a.parquet")
+    val (m1, idx1) = VectorIndex.pq(spark, ds.getAbsolutePath)
+    val codes1 = idx1.drop("embedding").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(codes1.size === 80)
+    // Append-only growth: a second part lands; the rebuild must be the FAISS
+    // add() — identical codebooks (no training ran on the grown corpus; a
+    // retrain over 100 vectors would move the seeded-Lloyd centroids), old
+    // vectors' codes byte-identical, new vectors encoded under the old model.
+    addPart(c => c >= 80 && c < 100, "part-b.parquet")
+    VectorIndex.resetMemo()
+    val (m2, idx2) = VectorIndex.pq(spark, ds.getAbsolutePath)
+    assert(m2.books === m1.books, "append must reuse the trained codebooks")
+    val codes2 = idx2.drop("embedding").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(codes2.size === 100)
+    codes1.foreach { case (id, c) =>
+      assert(codes2(id) === c, s"old vec $id re-coded by an append") }
+    // SQ side: per-vector deterministic — the incrementally-added codes must
+    // equal a from-scratch encode of the same rows.
+    val sq2 = VectorIndex.sq(spark, ds.getAbsolutePath)
+    assert(sq2.count() === 100)
+    // A NON-append change (a previously-indexed part rewritten) must refuse
+    // the incremental path and retrain from scratch on the current corpus.
+    addPart(_ < 70, "part-a.parquet") // same name, different bytes
+    VectorIndex.resetMemo()
+    // In-JVM dataset mutation is outside the session-static posture — drop
+    // the memoized DataFrame and the shared file-status cache so the full
+    // rebuild lists the mutated directory (cross-JVM this is automatic).
+    Tables.clearCache(spark)
+    spark.catalog.refreshByPath(embDir.getAbsolutePath)
+    val (_, idx3) = VectorIndex.pq(spark, ds.getAbsolutePath)
+    assert(idx3.count() === 90, "rewritten part must trigger a full rebuild")
+  }
 }
