@@ -114,10 +114,11 @@ object TextQueries {
       Dedup.fingerprintGroups(Tables.documents(s, d)).orderBy(col("keep_id"))
     },
 
-    // MinHash + LSH near-dup pairs (8 hashes, 4 bands x 2) + exact-Jaccard verify.
+    // MinHash + LSH near-dup pairs (8 hashes, 4 bands x 2) + exact-Jaccard
+    // verify — the memoized standard pair graph (StandardLabels.pairs), the
+    // same materialized table the CC labels / keep-best / splits read.
     "q_dedup_minhash" -> { (s, d) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, d), 3, 8, 2, 0.8)
-        .orderBy(col("id_a"), col("id_b"))
+      Dedup.StandardLabels.pairs(s, d).orderBy(col("id_a"), col("id_b"))
     },
 
     // Exact n-gram Jaccard with prefix-filter blocking. 5-grams, not 3: the corpus
@@ -631,7 +632,8 @@ object TextQueries {
     // Levenshtein on 200-char prefixes (edit distance <= 20). Complements the
     // token-set families with single-character-edit sensitivity.
     "q_dedup_edit" -> { (s, d) =>
-      Dedup.editDistanceNearDupPairs(Tables.documents(s, d), 200, 20)
+      Dedup.editDistanceNearDupPairs(Tables.documents(s, d), 200, 20,
+          cands = Some(Dedup.StandardLabels.candidates(s, d)))
         .orderBy(col("id_a"), col("id_b"))
     },
 
