@@ -717,8 +717,21 @@ object GraftManifest {
     val fs = dir.getFileSystem(conf)
     val p = pointerGen(dir, conf)
     if (p >= 0 && fs.exists(new Path(dir, s"manifest-$p.txt"))) {
+      // Hole-tolerant probe: claims are contiguous by construction, but
+      // reapStaleClaim's check-then-delete window (non-link schemes only)
+      // can in principle remove a claim a successor already built on,
+      // leaving a one-gen hole. Stopping below the true top there would
+      // let a later writer RE-CLAIM the reaped slot and fork the
+      // successor's lineage — so when g+1 is missing, also probe g+2
+      // before concluding g is the top (one extra HEAD on the exit path;
+      // holes wider than one cannot arise from single-slot reaps).
       var g = p
-      while (fs.exists(new Path(dir, s"manifest-${g + 1}.txt"))) g += 1
+      var done = false
+      while (!done) {
+        if (fs.exists(new Path(dir, s"manifest-${g + 1}.txt"))) g += 1
+        else if (fs.exists(new Path(dir, s"manifest-${g + 2}.txt"))) g += 2
+        else done = true
+      }
       g
     } else {
       val st = fs.globStatus(new Path(dir, "manifest-*.txt"))
@@ -761,6 +774,14 @@ object GraftManifest {
     val age = try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
       catch { case _: Exception => return false }
     if (age < staleClaimMs) return false
+    // A successor claim proves SOME writer loaded this gen as a complete
+    // base (claims are only ever made off a loaded claimed manifest) — the
+    // "stale" read above must then have raced the body write; never delete.
+    // Re-check completeness immediately before the delete for the same
+    // reason (narrows the non-link-scheme check-then-delete window; the
+    // hole-tolerant probe in highestClaimedGen backstops what remains).
+    if (fs.exists(new Path(dir, s"manifest-${gen + 1}.txt"))) return false
+    if (bodyComplete(dir, gen, conf)) return false
     fs.delete(p, false)
   }
 
