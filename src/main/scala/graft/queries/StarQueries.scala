@@ -3321,9 +3321,14 @@ object StarQueries {
           (size(array_intersect(col("tri_a"), col("tri_b"))).cast("long") * 10000L /
             size(array_union(col("tri_a"), col("tri_b"))).cast("long"))
             .cast("long").as("tri_jacc_bp"))
+      // Persisted: the scalar shortlist-fill probe and the scoring join read
+      // the SAME candidate materialization instead of recomputing the
+      // posting-list pipeline twice (candidate sets are pair-id rows — tiny
+      // relative to the corpus at any SF).
       val cand = graft.operators.Dedup.erTrigramCandidates(
-        p, Seq("p_brand", "p_size"), "p_partkey", "tri")
-      val enough = cand.limit(50).count() >= 50
+          p, Seq("p_brand", "p_size"), "p_partkey", "tri")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val enough = cand.count() >= 50
       val pairs =
         if (enough) score(cand)
         else p.as("a").join(p.as("b"),
