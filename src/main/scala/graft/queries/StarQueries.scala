@@ -49,6 +49,26 @@ object StarQueries {
    * (DELETE/MERGE/OPTIMIZE/RESTORE…) never use this: their work must run
    * and be timed every invocation.
    */
+  /** The shared 4-commit merge-on-read DML history (create / append / DV
+    * delete / delta update) — read by B169's change feed and replayed by
+    * B229's CDC APPLY. One [[fixture]] per dataset. */
+  private def cdfFixture(s: SparkSession, d: String): Unit = {
+    GraftCatalogSetup(s, d)
+    fixture(s, d, "cdfq", 4L, "v1", Seq("orders")) { marker =>
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.cdfq").partitionedBy(col("pk"))
+        .tableProperty("dml", "dv")
+        .tableProperty("fixture", marker).create()                  // gen 1
+      base.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.cdfq").append()                             // gen 2
+      s.sql("DELETE FROM graft.cdfq WHERE o_orderkey % 7 = 0")      // gen 3
+      s.sql("UPDATE graft.cdfq SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // gen 4
+    }
+  }
+
   private def fixture(s: SparkSession, d: String, table: String,
       expectedGen: Long, ver: String, srcTables: Seq[String])
       (build: String => Unit): Unit = {
@@ -2810,25 +2830,90 @@ object StarQueries {
     },
 
     "q_catalog_cdf" -> { (s, d) =>
-      GraftCatalogSetup(s, d)
-      fixture(s, d, "cdfq", 4L, "v1", Seq("orders")) { marker =>
-        val base = Tables.orders(s, d).select(col("o_orderkey"),
-          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
-          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
-        base.filter(col("o_orderkey") % 2 === 0)
-          .writeTo("graft.cdfq").partitionedBy(col("pk"))
-          .tableProperty("dml", "dv")
-          .tableProperty("fixture", marker).create()                  // gen 1
-        base.filter(col("o_orderkey") % 2 === 1)
-          .writeTo("graft.cdfq").append()                             // gen 2
-        s.sql("DELETE FROM graft.cdfq WHERE o_orderkey % 7 = 0")      // gen 3
-        s.sql("UPDATE graft.cdfq SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // gen 4
-      }
+      cdfFixture(s, d)
       graft.sources.GraftCatalogOps.changes(s, "graft.cdfq",
           Tables.scratchDir(s, "catalog", d), "cdfq", 1L, 4L)
         .groupBy(col("_commit_version").as("gen"), col("_change_type").as("change"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy(col("gen"), col("change"))
+    },
+
+    // B230 query witness: CDC APPLY — the consumer half of the change feed
+    // (Delta's APPLY CHANGES / Debezium-sink posture): a replica table is
+    // maintained PURELY from the feed, one MERGE per source commit. Each
+    // commit's batch collapses to net row effects (an UPDATE's delete+insert
+    // pair on one key becomes an upsert; delete-only keys delete), so the
+    // replica replays the history without ever scanning the source. At
+    // 100 TB this is how downstream marts follow a fact table: feed volume is
+    // proportional to CHANGED rows, never table size. `in_sync` pins full
+    // bidirectional equality with the source snapshot inside the hash gate.
+    "q_catalog_cdc_apply" -> { (s, d) =>
+      cdfFixture(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.cdcr")
+      s.table("graft.cdfq").limit(0).writeTo("graft.cdcr").create()
+      val feed = graft.sources.GraftCatalogOps.changes(s, "graft.cdfq",
+          Tables.scratchDir(s, "catalog", d), "cdfq", 0L, 4L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (1L to 4L).foreach { g =>
+        val batch = feed.filter(col("_commit_version") === g)
+        val ins = batch.filter(col("_change_type") === "insert")
+          .select(col("o_orderkey"), col("cents"), col("pk"))
+        val delOnly = batch.filter(col("_change_type") === "delete")
+          .select(col("o_orderkey"))
+          .exceptAll(ins.select(col("o_orderkey")))
+        ins.withColumn("_op", lit("u"))
+          .unionByName(delOnly
+            .withColumn("cents", lit(null).cast("long"))
+            .withColumn("pk", lit(null).cast("long"))
+            .withColumn("_op", lit("d")))
+          .createOrReplaceTempView("cdc_net")
+        s.sql(
+          """MERGE INTO graft.cdcr t USING cdc_net s ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s._op = 'd' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET cents = s.cents, pk = s.pk
+            |WHEN NOT MATCHED AND s._op = 'u' THEN INSERT (o_orderkey, cents, pk)
+            |  VALUES (s.o_orderkey, s.cents, s.pk)""".stripMargin)
+      }
+      feed.unpersist()
+      val replica = s.table("graft.cdcr").select("o_orderkey", "cents", "pk")
+      val source = s.table("graft.cdfq").select("o_orderkey", "cents", "pk")
+      val inSync = replica.exceptAll(source).isEmpty &&
+        source.exceptAll(replica).isEmpty
+      replica.groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("in_sync", lit(inSync))
+        .orderBy(col("pk"))
+    },
+
+    // B229 query witness: DROP COLUMN via column mapping (the other half of
+    // B190's rename): one metadata commit, zero rewrites — the column leaves
+    // the logical schema while its bytes stay in every file; a re-ADD of the
+    // SAME name maps to a FRESH physical column through the drop tombstone,
+    // so old files answer NULL instead of resurrecting dropped data (the
+    // column-mapping guarantee). `no_resurrection` pins it inside the hash
+    // gate: pre-drop rows must count ZERO non-null values under the re-added
+    // column while post-add appends carry real ones.
+    "q_catalog_dropcol" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.dcq")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (col("o_orderkey") % 5).cast("long").as("prio"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .writeTo("graft.dcq").partitionedBy(col("pk")).create()      // gen 1
+      s.sql("ALTER TABLE graft.dcq DROP COLUMN prio")                // gen 2
+      s.sql("ALTER TABLE graft.dcq ADD COLUMN prio BIGINT")          // gen 3
+      base.filter(col("o_orderkey") % 2 === 1)
+        .writeTo("graft.dcq").append()                               // gen 4
+      val resurrected = s.table("graft.dcq")
+        .filter(col("o_orderkey") % 2 === 0 && col("prio").isNotNull).count()
+      s.table("graft.dcq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          count(col("prio")).as("n_prio"),
+          sum(coalesce(col("prio"), lit(0L))).as("prio_sum"))
+        .withColumn("no_resurrection", lit(resurrected == 0L))
+        .orderBy(col("pk"))
     },
 
     // B170 query witness: STREAMING change data feed — the `$changes` twin of
@@ -4817,6 +4902,29 @@ object StarQueries {
         |SELECT 4, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
         |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
         |ORDER BY gen, change""".stripMargin,
+
+    // B230: the replica equals the source's final state, so the oracle is
+    // the relational replay of the full DML history (delete %7, update +5
+    // on %11 survivors); in_sync is predicted true.
+    "q_catalog_cdc_apply" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT) +
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 5 ELSE 0 END) AS BIGINT) AS cents,
+        |  true AS in_sync
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B229: evens (created pre-drop) answer NULL under the re-added column,
+    // odds (appended post-add) carry o_orderkey % 5; no_resurrection is
+    // predicted true.
+    "q_catalog_dropcol" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_prio,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 5 ELSE 0 END) AS BIGINT)
+        |    AS prio_sum,
+        |  true AS no_resurrection
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B170: the oracle replays the streamed history — the snapshot drain
     // delivers the evens as version-1 inserts, then each commit streams its

@@ -302,7 +302,27 @@ class GraftCatalog extends TableCatalog
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1, "nested columns not supported")
           val colName = add.fieldNames()(0)
+          require(!schema.fieldNames.contains(colName),
+            s"cannot add $colName: column exists")
           schema = schema.add(colName, add.dataType(), true)
+          // Re-ADD after a DROP of the same physical name (B229): existing
+          // files still CONTAIN the dropped column's bytes, and the default
+          // physical resolution (logical name itself) would resurrect them
+          // as the new column's values — the exact hazard column mapping
+          // exists to prevent. The drop tombstone forces a FRESH physical
+          // name, so old files answer NULL (existence default) and only
+          // post-add writes carry data.
+          if (props.contains("dropped." + colName)) {
+            val taken = schema.fields.map(f =>
+              props.getOrElse("physical." + f.name, f.name)).toSet ++
+              props.keysIterator.collect {
+                case k if k.startsWith("dropped.") => k.stripPrefix("dropped.")
+              }
+            val fresh = Iterator.from(0)
+              .map(i => s"${colName}_g${cur.gen + 1}" + (if (i == 0) "" else s"_$i"))
+              .find(!taken(_)).get
+            props = props + (("physical." + colName) -> fresh)
+          }
           // ADD COLUMN ... DEFAULT (B199): fold the analyzed constant once at
           // ALTER time and record it — existing files answer it (existence
           // default, zero rewrite), later INSERTs may omit the column.
@@ -324,6 +344,11 @@ class GraftCatalog extends TableCatalog
           // guard): a user SET would silently re-key every stat/bloom/read.
           require(!k.startsWith("physical."),
             s"table property '$k' is reserved for the engine's column mapping")
+          // Drop tombstones are engine-managed too: forging one would force
+          // needless remaps; removing one (below) would let a re-added
+          // column resurrect dropped data.
+          require(!k.startsWith("dropped."),
+            s"table property '$k' is reserved for the engine's drop tombstones")
           // A new/changed CHECK must resolve against the CURRENT schema now,
           // not fail the next write.
           if (k == GraftCheck.Prop || k.startsWith(GraftCheck.Prop + "."))
@@ -366,6 +391,9 @@ class GraftCatalog extends TableCatalog
           require(!rm.property().startsWith("physical."),
             s"table property '${rm.property()}' is reserved for the " +
               "engine's column mapping")
+          require(!rm.property().startsWith("dropped."),
+            s"table property '${rm.property()}' is reserved for the " +
+              "engine's drop tombstones")
           props = props - rm.property()
         case rn: TableChange.RenameColumn =>
           // COLUMN MAPPING rename (B190): one metadata commit, zero rewrites.
@@ -412,8 +440,47 @@ class GraftCatalog extends TableCatalog
           }
           schema = StructType(schema.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f))
+        case del: TableChange.DeleteColumn =>
+          // COLUMN MAPPING drop (B229, the other half of B190's rename): one
+          // metadata commit, zero rewrites. The column leaves the logical
+          // schema; its bytes stay in every existing file (time travel to a
+          // pre-drop generation reads them through THAT generation's schema).
+          // A tombstone keyed by the PHYSICAL name survives forever so a
+          // future ADD COLUMN of the same name maps to a fresh physical
+          // column instead of resurrecting the dropped data.
+          require(del.fieldNames().length == 1, "nested columns not supported")
+          val cn = del.fieldNames()(0)
+          require(schema.fieldNames.contains(cn),
+            s"cannot drop unknown column $cn")
+          require(schema.fields.length > 1,
+            s"cannot drop $cn: a table needs at least one column")
+          // Same by-name surfaces as rename refuse loudly instead of dangling.
+          require(!cur.partCols.contains(cn),
+            s"cannot drop partition column $cn")
+          require(!props.get("bloom").toSeq.flatMap(_.split(','))
+              .map(_.trim).contains(cn),
+            s"cannot drop $cn: it is one of the table's bloom columns")
+          require(!props.get("cluster").contains(cn),
+            s"cannot drop $cn: it is the table's cluster column")
+          require(!props.contains(GraftGenerated.Prefix + cn),
+            s"cannot drop generated column $cn — drop its generation first")
+          (GraftCheck.declared(props) ++ GraftGenerated.declared(props))
+            .foreach { case (_, sql) =>
+              val refs = GraftCheck.resolve(sql, schema, bind = false,
+                requireBoolean = false).collect {
+                case a: org.apache.spark.sql.catalyst.expressions
+                    .AttributeReference => a.name
+              }.toSet
+              require(!refs.contains(cn),
+                s"cannot drop $cn: referenced by constraint/generation " +
+                  s"expression '$sql' — drop or rewrite it first")
+            }
+          val phys = props.getOrElse("physical." + cn, cn)
+          props = props - ("physical." + cn) - (GraftDefaults.Prefix + cn) +
+            (("dropped." + phys) -> (cur.gen + 1).toString)
+          schema = StructType(schema.fields.filterNot(_.name == cn))
         case other => throw new UnsupportedOperationException(
-          "graft catalog supports ADD COLUMN / RENAME COLUMN / " +
+          "graft catalog supports ADD COLUMN / DROP COLUMN / RENAME COLUMN / " +
             s"SET TBLPROPERTIES / UNSET TBLPROPERTIES only, got $other")
       }
       cur.copy(gen = cur.gen + 1, schema = schema, props = props)

@@ -2353,6 +2353,58 @@ class CatalogSpec extends GraftSuite {
       spark.sql(s"ALTER TABLE $tp RENAME COLUMN id TO pid") }
   }
 
+  test("DROP COLUMN: zero-rewrite, re-ADD maps fresh (no resurrection), travel keeps old schema") {
+    import spark.implicits._
+    val t = freshTable("dropc")
+    def band(b: Long) = (b * 100L until (b + 1) * 100L).map(i => (i, i * 10L, s"v$i"))
+      .toDF("id", "bonus", "s").coalesce(1)
+    band(0).writeTo(t).tableProperty("dml", "dv").create()          // gen 1
+    band(1).writeTo(t).append()                                     // gen 2
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.globStatus(new Path(new Path(root, "dropc"), "gen-*/*.parquet"))
+      .map(st => (st.getPath.toString, st.getModificationTime, st.getLen)).toSet
+    val before = dataFiles()
+    spark.sql(s"ALTER TABLE $t DROP COLUMN bonus")                  // gen 3
+    // Metadata-only: not one data file moved, rewrote, or changed size.
+    assert(dataFiles() == before)
+    assert(!spark.table(t).columns.contains("bonus"))
+    intercept[Exception] { spark.table(t).select("bonus").collect() }
+    assert(spark.table(t).count() == 200)
+    // Time travel to a pre-drop generation reads the column through THAT
+    // generation's schema — drop is never retroactive.
+    val old = spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
+    assert(old.columns.contains("bonus"))
+    assert(old.agg(sum(col("bonus"))).head.getLong(0) == (0L until 200L).map(_ * 10).sum)
+    // Re-ADD with the SAME name: the tombstone forces a fresh physical
+    // column, so existing files answer NULL — the dropped values must NOT
+    // resurrect (the column-mapping guarantee this feature exists for).
+    spark.sql(s"ALTER TABLE $t ADD COLUMN bonus BIGINT")            // gen 4
+    assert(spark.table(t).filter(col("bonus").isNotNull).count() == 0,
+      "dropped data resurrected through a re-added same-name column")
+    // Post-add writes carry real values under the fresh physical name.
+    Seq((500L, 7L, "x")).toDF("id", "bonus", "s").writeTo(t).append() // gen 5
+    assert(spark.table(t).filter(col("bonus").isNotNull).count() == 1)
+    assert(spark.table(t).agg(sum(col("bonus"))).head.getLong(0) == 7L)
+    // Drop/re-add a second time: still no resurrection of EITHER vintage.
+    spark.sql(s"ALTER TABLE $t DROP COLUMN bonus")                  // gen 6
+    spark.sql(s"ALTER TABLE $t ADD COLUMN bonus BIGINT")            // gen 7
+    assert(spark.table(t).filter(col("bonus").isNotNull).count() == 0)
+    // Row-level DML keeps working across the mapping (DV delete).
+    spark.sql(s"DELETE FROM $t WHERE id = 500")
+    assert(spark.table(t).count() == 200)
+    // Refusals: partition column, last column, engine-managed tombstones.
+    val tp = freshTable("dropp")
+    band(0).writeTo(tp).partitionedBy(col("id")).create()
+    intercept[Exception] { spark.sql(s"ALTER TABLE $tp DROP COLUMN id") }
+    val t1 = freshTable("droplast")
+    Seq(1L).toDF("only").writeTo(t1).create()
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t1 DROP COLUMN only") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('dropped.x'='1')") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('dropped.bonus')") }
+  }
+
   test("generated columns: DDL validation, every-write-path invariant, auto-compute") {
     import spark.implicits._
     val t = freshTable("gencol")
