@@ -19,4 +19,32 @@ class SmokeSpec extends GraftSuite {
     }.map(_._1)
     assert(empty.isEmpty, s"empty results: $empty")
   }
+
+  test("memoized catalog fixtures void on out-of-band DML and rebuild to the same answer") {
+    import org.apache.spark.sql.functions._
+    // First run builds the cdfq fixture; a hostile out-of-band commit then
+    // moves the head generation, which must VOID the memo (reuse requires
+    // the exact expected gen) — the second run rebuilds and answers
+    // identically instead of reading the tampered table.
+    val r1 = SparkEntry.queries("q_catalog_cdf")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    spark.sql("DELETE FROM graft.cdfq WHERE o_orderkey % 13 = 1") // gen 5: voids
+    val r2 = SparkEntry.queries("q_catalog_cdf")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "fixture must rebuild after out-of-band DML, not serve tampered state")
+    // And the warm path really is a reuse: a third run leaves the head
+    // generation untouched (no rebuild happened).
+    val dir = new org.apache.hadoop.fs.Path(
+      Tables.scratchDir(spark, "catalog", sfTiny), "cdfq")
+    val conf = spark.sessionState.newHadoopConf()
+    val genBefore = graft.sources.GraftManifest.currentGen(dir, conf)
+    val fsBefore = dir.getFileSystem(conf)
+      .getFileStatus(new org.apache.hadoop.fs.Path(dir, s"manifest-$genBefore.txt"))
+      .getModificationTime
+    SparkEntry.queries("q_catalog_cdf")(spark, sfTiny).count()
+    assert(graft.sources.GraftManifest.currentGen(dir, conf) == genBefore)
+    assert(dir.getFileSystem(conf)
+      .getFileStatus(new org.apache.hadoop.fs.Path(dir, s"manifest-$genBefore.txt"))
+      .getModificationTime == fsBefore, "warm run must not rebuild the fixture")
+  }
 }
