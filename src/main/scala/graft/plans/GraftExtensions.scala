@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: auto-rewrite point-in-interval theta joins to binned
     // equi joins (opt-in via spark.graft.rangeJoin.binWidth; see BinRangeJoin).
     e.injectOptimizerRule(session => BinRangeJoinRule(session))
+    // Optimizer rule: RELY PK-FK join elimination — opt-in per table via the
+    // graft.primaryKey / graft.foreignKey.* RELY properties (see
+    // RelyJoinEliminationRule; dormant when no table declares constraints).
+    e.injectOptimizerRule(session => RelyJoinEliminationRule(session))
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float arrays (double)."),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

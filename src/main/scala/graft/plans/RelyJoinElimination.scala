@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+/**
+ * RELY PK/FK join elimination (B231) — the informational-constraint
+ * optimization every warehouse ships (Oracle `RELY NOVALIDATE`, Snowflake
+ * `RELY`, Databricks `RELY` on primary/foreign keys): when the user DECLARES
+ * referential integrity the engine cannot afford to verify at 100 TB, an
+ * inner PK-FK join whose dimension side contributes no columns is provably a
+ * no-op and is removed from the plan entirely — the scan of the dimension
+ * table, its shuffle/broadcast, and the join operator all disappear.
+ *
+ * Declaration rides ordinary table properties on graft-catalog tables (one
+ * metadata commit, `ALTER TABLE ... SET TBLPROPERTIES`):
+ *
+ *   - dimension:  'graft.primaryKey'        = 'pk_col RELY'
+ *   - fact:       'graft.foreignKey.<name>' = 'fk_col REFERENCES dim_table (pk_col) RELY'
+ *
+ * `RELY` is the user's signed statement that (a) pk_col is unique and
+ * non-null in the dimension and (b) every non-null fk_col value exists in it.
+ * The rule trusts the declaration and never scans to check — that is the
+ * entire point of RELY (the validated alternative is B146's data-quality
+ * battery). A declaration without the literal RELY keyword is documentation
+ * only and never fires.
+ *
+ * A join qualifies when ALL of:
+ *   1. inner join whose condition is exactly `fact.fk = dim.pk` (bare
+ *      attributes, single conjunct — composite keys don't qualify in v1);
+ *   2. the dimension side is a bare scan of a graft table declaring
+ *      `graft.primaryKey = 'pk RELY'` (optionally under an attribute-only
+ *      Project — no Filter: a filtered dimension CAN drop fact rows);
+ *   3. the fact-side key resolves (by exprId) to the declared FK column of a
+ *      graft table in the fact subtree whose `graft.foreignKey.*` property
+ *      REFERENCES that dimension table and pk column;
+ *   4. nothing above the join uses any dimension column except pk itself —
+ *      pk occurrences are rewritten to the fact FK (equal on every surviving
+ *      row by the join predicate), preserving the original exprId via Alias.
+ *
+ * The rewrite keeps inner-join row semantics exactly: an inner equi-join
+ * drops fact rows with NULL fk, so a nullable FK gains a `fk IS NOT NULL`
+ * filter (a non-nullable FK gains nothing at all).
+ *
+ * Matched parent shapes are `Project(_, Join)` and `Aggregate(_, _, Join)` —
+ * after column pruning these are the shapes a no-dimension-column join can
+ * appear in; matching the parent is what proves condition 4 locally.
+ *
+ * Registered via [[GraftExtensions]] (spark.sql.extensions) and attachable to
+ * a running session through `experimental.extraOptimizations` (the
+ * [[org.apache.spark.sql.GraftBridge.addOptimization]] runtime twin). It
+ * therefore sees relations either pre-pushdown ([[DataSourceV2Relation]]) or
+ * post-pushdown ([[DataSourceV2ScanRelation]]) and handles both.
+ */
+case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import RelyConstraints._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(plist, j: Join) =>
+      eliminate(j, plist).map { case (newList, child) =>
+        Project(newList.map(_.asInstanceOf[NamedExpression]), child)
+      }.getOrElse(p)
+    case a @ Aggregate(groups, aggs, j: Join, hint) =>
+      // Group and aggregate expressions together are everything the parent
+      // reads from the join — rewrite both through the same substitution.
+      eliminate(j, groups ++ aggs).map { case (newExprs, child) =>
+        val (g, ae) = newExprs.splitAt(groups.size)
+        Aggregate(g, ae.map(_.asInstanceOf[NamedExpression]), child, hint)
+      }.getOrElse(a)
+  }
+
+  /** Try both join orientations; returns the rewritten (expressions, child). */
+  private def eliminate(j: Join, used: Seq[Expression])
+      : Option[(Seq[Expression], LogicalPlan)] = j match {
+    case Join(l, r, Inner, Some(cond), _) =>
+      attempt(l, r, cond, used).orElse(attempt(r, l, cond, used))
+    case _ => None
+  }
+
+  private def attempt(fact: LogicalPlan, dim: LogicalPlan, cond: Expression,
+                      used: Seq[Expression]): Option[(Seq[Expression], LogicalPlan)] = {
+    // 2. dimension side: bare relation (possibly attribute-only Project,
+    // possibly under a Filter that only asserts IsNotNull of the pk — the
+    // exact filter InferFiltersFromConstraints derives from the join
+    // condition itself; null pks can't match any fact row, so such a filter
+    // never drops a JOINING dimension row and elimination stays exact).
+    val (dimInner, dimFilter) = dim match {
+      case Filter(c, child) => (child, Some(c))
+      case other => (other, None)
+    }
+    val dimRel = bareRelation(dimInner).getOrElse(return None)
+    val pkName = primaryKey(dimRel).getOrElse(return None)
+    val pkAttr = dim.output.find(a => a.name.equalsIgnoreCase(pkName))
+      .getOrElse(return None)
+    dimFilter.foreach { c =>
+      val ok = splitConjunctivePredicates(c).forall {
+        case IsNotNull(a: AttributeReference) => a.exprId == pkAttr.exprId
+        case _ => false
+      }
+      if (!ok) return None
+    }
+
+    // 1. condition is exactly fact.fk = dim.pk.
+    val (fkAttr, pkSide) = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if fact.outputSet.contains(a) && b.exprId == pkAttr.exprId => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if fact.outputSet.contains(a) && b.exprId == pkAttr.exprId => (a, b)
+      case _ => return None
+    }
+
+    // 3. the fact key is the DECLARED foreign key of a graft table in the
+    // fact subtree, and the declaration references THIS dimension table+pk.
+    val declared = factRelations(fact).exists { r =>
+      foreignKeys(r).exists { fk =>
+        fk.pkCol.equalsIgnoreCase(pkName) &&
+          tableMatches(dimRel, fk.refTable) &&
+          r.output.exists(a => a.exprId == fkAttr.exprId &&
+            a.name.equalsIgnoreCase(fk.fkCol))
+      }
+    }
+    if (!declared) return None
+
+    // 4. nothing above uses dim columns except pk; rewrite pk -> fk keeping
+    // the original exprId so parent references stay valid.
+    val dimOut = dim.outputSet
+    val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
+    if (!usedDim.forall(_.exprId == pkSide.exprId)) return None
+    val newUsed = used.map { e =>
+      e.transform {
+        case a: AttributeReference if a.exprId == pkSide.exprId =>
+          if (e.isInstanceOf[AttributeReference])
+            Alias(fkAttr, a.name)(exprId = a.exprId)
+          else fkAttr
+      } match {
+        // A bare top-level pk reference must keep its exprId as an Alias.
+        case a: AttributeReference if a.exprId == pkSide.exprId =>
+          Alias(fkAttr, a.name)(exprId = a.exprId)
+        case other => other
+      }
+    }
+    // Inner equi-join drops NULL fact keys — preserve that exactly.
+    val child = if (fkAttr.nullable) Filter(IsNotNull(fkAttr), fact) else fact
+    Some((newUsed, child))
+  }
+}
+
+/** Parsing and relation plumbing for the RELY informational constraints. */
+object RelyConstraints {
+
+  final case class ForeignKey(fkCol: String, refTable: String, pkCol: String)
+
+  private val FkPattern =
+    """(?is)^\s*([\w$]+)\s+REFERENCES\s+([\w$.]+)\s*\(\s*([\w$]+)\s*\)\s+RELY\s*$""".r
+  private val PkPattern = """(?is)^\s*([\w$]+)\s+RELY\s*$""".r
+
+  /** The declared RELY primary-key column of a relation's table, if any. */
+  def primaryKey(rel: DataSourceV2Relation): Option[String] =
+    Option(rel.table.properties().get("graft.primaryKey")).flatMap {
+      case PkPattern(col) => Some(col)
+      case _ => None // no RELY keyword -> documentation only, never trusted
+    }
+
+  /** All declared RELY foreign keys of a relation's table. */
+  def foreignKeys(rel: DataSourceV2Relation): Seq[ForeignKey] = {
+    import scala.jdk.CollectionConverters._
+    rel.table.properties().asScala.toSeq.collect {
+      case (k, FkPattern(fk, ref, pk)) if k.startsWith("graft.foreignKey.") =>
+        ForeignKey(fk, ref, pk)
+    }
+  }
+
+  /** The relation under an attribute-only Project, pre- or post-pushdown.
+    * A Filter (or anything else) on the dimension disqualifies: a filtered
+    * dimension can legitimately drop fact rows, so the join is not a no-op. */
+  def bareRelation(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+    case r: DataSourceV2Relation => Some(r)
+    case s: DataSourceV2ScanRelation => Some(s.relation)
+    case Project(es, child) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      bareRelation(child)
+    case _ => None
+  }
+
+  /** Every graft relation anywhere in the fact subtree (both node vintages). */
+  def factRelations(p: LogicalPlan): Seq[DataSourceV2Relation] = p.collect {
+    case r: DataSourceV2Relation => Seq(r)
+    case s: DataSourceV2ScanRelation => Seq(s.relation)
+  }.flatten
+
+  /** Does the FK declaration's REFERENCES target name this dimension table?
+    * Compared on the identifier's last name component (declarations may or
+    * may not qualify with the catalog/namespace). */
+  def tableMatches(dimRel: DataSourceV2Relation, refTable: String): Boolean =
+    dimRel.identifier.exists(id =>
+      refTable.split('.').last.equalsIgnoreCase(id.name()))
+}

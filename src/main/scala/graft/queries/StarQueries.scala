@@ -2893,6 +2893,51 @@ object StarQueries {
     // column-mapping guarantee). `no_resurrection` pins it inside the hash
     // gate: pre-drop rows must count ZERO non-null values under the re-added
     // column while post-add appends carry real ones.
+    // B231: RELY PK-FK join elimination (graft.plans.RelyJoinEliminationRule)
+    // — the informational-constraint optimization (Oracle RELY NOVALIDATE /
+    // Snowflake / Databricks RELY): the fact table DECLARES its FK against
+    // the dimension's declared PK, both RELY, so the optimizer removes the
+    // inner join entirely when no dimension column (beyond the pk itself,
+    // rewritten to the fk) survives — no dim scan, no broadcast, no join. At
+    // 100 TB this deletes an entire dimension-table read from every qualifying
+    // query. The fact carries NULL fks (every 7th order) to pin the exact
+    // inner-join row semantics (`fk IS NOT NULL` replaces the join's null
+    // drop), the grouping key references the DIM pk (exercising the pk→fk
+    // substitution), and `join_eliminated` — computed from the optimized
+    // plan — rides the hash gate: the oracle replays the JOIN itself, so a
+    // rewrite that changed semantics OR silently stopped firing both fail.
+    "q_rely_join_elim" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.RelyJoinEliminationRule(s))
+      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
+          .coalesce(1).writeTo("graft.rely_d")
+          .tableProperty("graft.primaryKey", "c_custkey RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
+              .as("cust"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .coalesce(1).writeTo("graft.rely_f")
+          .tableProperty("graft.foreignKey.cust",
+            "cust REFERENCES rely_d (c_custkey) RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      val f = s.table("graft.rely_f")
+      val dm = s.table("graft.rely_d")
+      val joined = f.join(dm, f("cust") === dm("c_custkey"))
+        .groupBy(pmod(dm("c_custkey"), lit(10)).cast("long").as("grp"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      val eliminated = joined.queryExecution.optimizedPlan
+        .collect { case j: LJoin => j }.isEmpty
+      joined.withColumn("join_eliminated", lit(eliminated)).orderBy(col("grp"))
+    },
+
     "q_catalog_dropcol" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       s.sql("DROP TABLE IF EXISTS graft.dcq")
@@ -4870,6 +4915,21 @@ object StarQueries {
         |  true AS spj
         |FROM f JOIN d ON f.pk = d.pk
         |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B231: the oracle replays THE JOIN the optimizer removed — rows, sums,
+    // and the null-fk drop must come out identical without it — and pins the
+    // `join_eliminated` plan boolean TRUE, so a rule that silently stops
+    // firing fails the hash gate, not just a perf number.
+    "q_rely_join_elim" ->
+      """WITH f AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |    ELSE o_custkey END AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dm AS (SELECT DISTINCT c_custkey FROM customer)
+        |SELECT CAST(dm.c_custkey % 10 AS BIGINT) AS grp,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents, count(*) AS n,
+        |  true AS join_eliminated
+        |FROM f JOIN dm ON f.cust = dm.c_custkey
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // B212: the oracle replays the pruned join relationally and pins the
     // dynamicpruning plan boolean TRUE — if V2 runtime filtering ever stops

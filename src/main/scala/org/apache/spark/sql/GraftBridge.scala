@@ -40,4 +40,19 @@ object GraftBridge {
     if (!cls.experimental.extraStrategies.contains(s))
       cls.experimental.extraStrategies = s +: cls.experimental.extraStrategies
   }
+
+  /** Idempotently add an optimizer rule to a running session — the runtime
+    * twin of `SparkSessionExtensions.injectOptimizerRule`. NOTE the batch
+    * placement differs: extension-injected rules run inside the operator
+    * optimization fixpoint (pre scan pushdown, seeing `DataSourceV2Relation`),
+    * while `extraOptimizations` run in the terminal "User Provided Optimizers"
+    * batch (post pushdown, seeing `DataSourceV2ScanRelation`) — rules attached
+    * here must handle both node vintages. */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    if (!cls.experimental.extraOptimizations.contains(r))
+      cls.experimental.extraOptimizations = r +: cls.experimental.extraOptimizations
+  }
 }

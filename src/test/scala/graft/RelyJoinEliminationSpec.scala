@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+import org.apache.spark.sql.functions._
+
+/**
+ * B231 — RELY PK-FK join elimination. Positive pin: a declared inner PK-FK
+ * join projecting no dimension columns (beyond the pk, substituted to the fk)
+ * loses its Join node AND its answer is bit-identical to the join actually
+ * executed (rule detached). Negative pins: every qualifying condition broken
+ * one at a time keeps the Join — a rule that over-fires rewrites joins it
+ * cannot prove redundant, which is a silent wrong-rows bug at any scale.
+ */
+class RelyJoinEliminationSpec extends GraftSuite {
+
+  private lazy val root = {
+    val dir = tmpDir("relyspec")
+    spark.conf.set("spark.sql.catalog.relycat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.relycat.root", dir)
+    import spark.implicits._
+    // fact: fk NULL on every 4th row; fk values 0..9 all present in dim.
+    (0L until 40L).map(i =>
+        (if (i % 4 == 0) None else Some(i % 10), i * 7 % 101))
+      .toDF("cust", "cents")
+      .writeTo("relycat.fact")
+      .tableProperty("graft.foreignKey.cust",
+        "cust REFERENCES dim (pk) RELY")
+      .create()
+    (0L until 10L).map(i => (i, s"seg${i % 3}")).toDF("pk", "seg")
+      .writeTo("relycat.dim")
+      .tableProperty("graft.primaryKey", "pk RELY")
+      .create()
+    // Same dim WITHOUT the RELY keyword: documentation only, never trusted.
+    (0L until 10L).map(i => (i, s"seg${i % 3}")).toDF("pk", "seg")
+      .writeTo("relycat.dim_norely")
+      .tableProperty("graft.primaryKey", "pk")
+      .create()
+    // A fact whose FK names dim_norely WITH RELY — isolates the PK-side
+    // RELY check (the fk declaration itself is fine).
+    (0L until 40L).map(i => (Some(i % 10): Option[Long], i)).toDF("cust", "cents")
+      .writeTo("relycat.fact_nr")
+      .tableProperty("graft.foreignKey.cust",
+        "cust REFERENCES dim_norely (pk) RELY")
+      .create()
+    org.apache.spark.sql.GraftBridge.addOptimization(spark,
+      graft.plans.RelyJoinEliminationRule(spark))
+    dir
+  }
+
+  private def fact = { root; spark.table("relycat.fact") }
+  private def dim = { root; spark.table("relycat.dim") }
+
+  private def joins(df: DataFrame): Seq[LJoin] =
+    df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+
+  private def qualifying: DataFrame = {
+    val f = fact; val d = dim
+    f.join(d, f("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      .orderBy(col("grp"))
+  }
+
+  test("qualifying PK-FK join is eliminated and the answer is join-identical") {
+    val elided = qualifying
+    assert(joins(elided).isEmpty, "declared RELY join must be eliminated")
+    // IsNotNull(fk) must replace the inner join's null-key drop.
+    val hasNotNull = elided.queryExecution.optimizedPlan.exists {
+      case LFilter(c, _) => c.toString.toLowerCase.contains("isnotnull")
+      case _ => false
+    }
+    assert(hasNotNull, "nullable fk needs an IS NOT NULL guard")
+    val got = elided.collect().map(_.toSeq)
+    // Ground truth: the SAME plan with the rule detached — the join runs.
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try {
+      val real = qualifying
+      assert(joins(real).nonEmpty, "sanity: rule off, join present")
+      assert(real.collect().map(_.toSeq).toSeq === got.toSeq)
+    } finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("projecting a dimension payload column keeps the join") {
+    val f = fact; val d = dim
+    val df = f.join(d, f("cust") === d("pk"))
+      .groupBy(col("seg")).agg(sum(col("cents")).as("cents"))
+    assert(joins(df).nonEmpty)
+  }
+
+  test("a primaryKey declaration without RELY is never trusted") {
+    // fact_nr's FK declaration names dim_norely WITH RELY, so only the
+    // dimension's missing PK RELY keyword blocks — isolated.
+    val f = { root; spark.table("relycat.fact_nr") }
+    val d = spark.table("relycat.dim_norely")
+    val df = f.join(d, f("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(sum(col("cents")).as("cents"))
+    assert(joins(df).nonEmpty)
+  }
+
+  test("an outer join is never eliminated") {
+    val f = fact; val d = dim
+    val df = f.join(d, f("cust") === d("pk"), "left")
+      .groupBy(pmod(col("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).nonEmpty)
+  }
+
+  test("a filtered dimension is never eliminated") {
+    val f = fact; val d = dim.filter(col("seg") === "seg1")
+    val df = f.join(d, f("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).nonEmpty)
+  }
+
+  test("an undeclared fact key (aliased/derived) is never eliminated") {
+    val f = fact.withColumn("cust2", col("cust") + 0L)
+    val d = dim
+    val df = f.join(d, f("cust2") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).nonEmpty)
+  }
+
+  test("the rule also fires through a SparkSessionExtensions-built session") {
+    // Injected rules run INSIDE the operator-optimization fixpoint (pre scan
+    // pushdown, DataSourceV2Relation vintage) — the other node shape.
+    val base = spark
+    val dir = root
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.catalog.relycat", "graft.sources.GraftCatalog")
+        .config("spark.sql.catalog.relycat.root", dir)
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s ne base)
+      val f = s.table("relycat.fact"); val d = s.table("relycat.dim")
+      val df = f.join(d, f("cust") === d("pk"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      assert(joins(df).isEmpty, "extensions-injected rule must fire")
+      val Array(r) = df.collect()
+      assert(r.getLong(1) === 30L) // 40 rows minus the 10 null-fk rows
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+}
