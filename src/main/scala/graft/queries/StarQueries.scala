@@ -2893,6 +2893,52 @@ object StarQueries {
     // column-mapping guarantee). `no_resurrection` pins it inside the hash
     // gate: pre-drop rows must count ZERO non-null values under the re-added
     // column while post-add appends carry real ones.
+    // B232: PARTITION SPEC EVOLUTION (the Iceberg flagship metadata design):
+    // gen 1 creates the table partitioned by pk and loads the even keys;
+    // one metadata-only commit re-partitions the spec to b (zero rewrites —
+    // the old files keep their pk=… layout); gen 3 appends the odd keys
+    // under b=…. The mixed-layout read then reconstructs BOTH vintages'
+    // partition values from their own paths (`was_mixed` pins the mixed
+    // state inside the hash gate), a row-level DELETE spans both vintages
+    // exactly (path-keyed metadata deletes refuse on mixed tables and Spark
+    // reroutes to copy-on-write), and full OPTIMIZE migrates every file to
+    // the current spec (`uniform_after` + `migrated_layout` pin that the
+    // rewrite landed under b=…). The oracle replays the whole history
+    // relationally — a value lost or duplicated across the spec boundary
+    // breaks the hash, not just a plan detail.
+    "q_catalog_partition_evolution" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.evo")
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+        pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
+      base.filter(col("k") % 2 === 0).coalesce(2).writeTo("graft.evo")
+        .partitionedBy(col("pk")).create()                         // gen 1: pk=…
+      s.sql("CALL graft.system.set_partition_spec(table => 'evo', cols => 'b')") // gen 2
+      base.filter(col("k") % 2 === 1).coalesce(2)
+        .writeTo("graft.evo").append()                             // gen 3: b=…
+      import graft.sources.GraftManifest
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.catalog.graft.root"), "evo")
+      val conf = s.sessionState.newHadoopConf()
+      def m() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+      val wasMixed = !m().specUniform
+      s.sql("DELETE FROM graft.evo WHERE b = 0")        // row-level, both vintages
+      s.sql("CALL graft.system.optimize(table => 'evo')")          // migrates
+      val after = m()
+      val uniformAfter = after.specUniform
+      val migrated = after.entries.nonEmpty &&
+        after.entries.forall { case (pp, _) => pp.startsWith("b=") }
+      s.table("graft.evo")
+        .groupBy(col("pk"), col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("was_mixed", lit(wasMixed))
+        .withColumn("uniform_after", lit(uniformAfter))
+        .withColumn("migrated_layout", lit(migrated))
+        .orderBy(col("pk"), col("b"))
+    },
+
     // B231: RELY PK-FK join elimination (graft.plans.RelyJoinEliminationRule)
     // — the informational-constraint optimization (Oracle RELY NOVALIDATE /
     // Snowflake / Databricks RELY): the fact table DECLARES its FK against
@@ -4915,6 +4961,19 @@ object StarQueries {
         |  true AS spj
         |FROM f JOIN d ON f.pk = d.pk
         |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B232: the oracle replays the evolution history relationally (evens,
+    // then odds, minus the b=0 delete — the spec change itself moves no
+    // rows) and pins all three layout booleans TRUE inside the hash gate.
+    "q_catalog_partition_evolution" ->
+      """WITH rows_all AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, CAST(b AS BIGINT) AS b,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS was_mixed, true AS uniform_after, true AS migrated_layout
+        |FROM rows_all WHERE b <> 0
+        |GROUP BY 1, 2 ORDER BY pk, b""".stripMargin,
 
     // B231: the oracle replays THE JOIN the optimizer removed — rows, sums,
     // and the null-fk drop must come out identical without it — and pins the

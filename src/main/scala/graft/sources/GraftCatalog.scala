@@ -411,7 +411,10 @@ class GraftCatalog extends TableCatalog
           // loudly instead of silently dangling: partition directories parse
           // the name from paths; bloom/cluster props and CHECK / generated
           // expressions store SQL text referencing it.
-          require(!cur.partCols.contains(from),
+          // pathCols, not partCols: after spec evolution (B232) an OLD spec's
+          // column still lives in committed partition paths — renaming it
+          // would orphan those path values just the same.
+          require(!cur.pathCols.contains(from),
             s"cannot rename partition column $from")
           require(!props.get("bloom").toSeq.flatMap(_.split(','))
               .map(_.trim).contains(from),
@@ -454,8 +457,9 @@ class GraftCatalog extends TableCatalog
             s"cannot drop unknown column $cn")
           require(schema.fields.length > 1,
             s"cannot drop $cn: a table needs at least one column")
-          // Same by-name surfaces as rename refuse loudly instead of dangling.
-          require(!cur.partCols.contains(cn),
+          // Same by-name surfaces as rename refuse loudly instead of dangling
+          // (pathCols: current spec OR any prior spec still named in paths).
+          require(!cur.pathCols.contains(cn),
             s"cannot drop partition column $cn")
           require(!props.get("bloom").toSeq.flatMap(_.split(','))
               .map(_.trim).contains(cn),
@@ -534,6 +538,30 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
 
   def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+
+  /** PARTITION SPEC EVOLUTION (B232): true when every committed file was
+    * written under the CURRENT partition spec. Each file's stripped-column
+    * set is exactly the key set of its partition path, so the path itself
+    * records the spec the file was written under — no per-file manifest
+    * field needed. Uniform tables (every table that never evolved) take
+    * every existing fast path unchanged; a mixed-spec table gates off the
+    * spec-global optimizations (fully-handled partition filters,
+    * metadata-only aggregates, SPJ key grouping, partition-column NDV) and
+    * reads each file through its OWN spec. */
+  lazy val specUniform: Boolean = {
+    val cur = partCols.toSet
+    entries.forall { case (pp, _) =>
+      GraftScanBuilder.partValues(pp).keySet == cur }
+  }
+
+  /** Every column name that appears in ANY committed file's partition path —
+    * the columns whose VALUES live in paths rather than data files, under
+    * the current spec or any prior one. RENAME/DROP COLUMN must refuse these
+    * (paths cannot be rewritten by a metadata commit), not just the current
+    * `partCols`. */
+  def pathCols: Set[String] =
+    entries.iterator.flatMap { case (pp, _) =>
+      GraftScanBuilder.partValues(pp).keySet }.toSet ++ partCols
 
   /** COLUMN MAPPING (B190, the Delta name-mapping design): logical → physical
     * column names. A column's PHYSICAL name — what parquet footers, file
@@ -956,6 +984,15 @@ object GraftCommitProtocol {
         conflict(s"table changed (gen ${orig.gen} -> ${base.gen}) under a truncating write")
       fresh
     case "dynamic" =>
+      // Spec evolution (B232): dynamic overwrite replaces entries by
+      // partition-PATH equality, but a pre-evolution file may hold rows of a
+      // touched logical partition in DATA (different path string) — those
+      // rows would silently survive the overwrite. Refuse until compaction
+      // migrates the layout.
+      if (!base.specUniform)
+        conflict("dynamic partition overwrite on a spec-evolved table: " +
+          "files written under a prior partition spec cannot be replaced " +
+          "by partition path — run OPTIMIZE to migrate the layout first")
       val touched = fresh.map(_._1).toSet
       if (base.gen != orig.gen) {
         val origBy = orig.entries.groupBy(_._1)
@@ -970,6 +1007,16 @@ object GraftCommitProtocol {
     case "static" =>
       def selected(m: GraftManifest) = m.entries.filter { case (p, _) =>
         val values = GraftScanBuilder.partValues(p)
+        // Spec evolution (B232): a file whose path cannot DECIDE the
+        // overwrite predicate (pre-evolution spec — the filter column lives
+        // in its data) makes the selection ambiguous; matchesStrict's
+        // keep-when-unknown would widen the replace over rows the predicate
+        // never selected. Refuse rather than lose data.
+        staticFilters.foreach(f => require(
+          f.references.forall(values.keySet.contains),
+          s"static overwrite on a spec-evolved table: file path '$p' does " +
+            "not carry the predicate column(s) — run OPTIMIZE to migrate " +
+            "the layout first"))
         staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, m.schema))
       }
       if (base.gen != orig.gen && selected(orig) != selected(base))
@@ -1054,7 +1101,13 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
     * statement through the row-level copy-on-write rewrite below instead of
     * this table erroring out. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
+    // specUniform (B232): metadata-only partition deletes need EVERY file to
+    // carry the filter columns in its path — a pre-evolution file holds the
+    // values in DATA, and matches() keeps-when-unknown would drop it
+    // wholesale. Mixed tables report false so Spark routes the DELETE
+    // through the row-level copy-on-write rewrite, which is always exact.
+    manifest.specUniform &&
+      filters.forall(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -1128,7 +1181,17 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   // are kept OUT of dataFilters: `_file` is no parquet column, and the
   // min/max evaluator has no stats row for it.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (part, rest) = filters.partition(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
+    // Partition spec evolution (B232): fully-handling a partition filter is
+    // only sound when EVERY file carries the column in its path. On a
+    // mixed-spec table the filter goes to dataFilters instead — still pruned
+    // per file in keptEntries (path-exact where the file's path carries the
+    // column, min/max stats where it was a data column at write time) and
+    // re-checked by Spark above the scan, since old files surface the value
+    // from DATA and new files from the partition channel.
+    val (part, rest) =
+      if (manifest.specUniform)
+        filters.partition(GraftScanBuilder.isPartitionFilter(_, manifest.partCols))
+      else (Array.empty[Filter], filters)
     partFilters = part
     val (onFile, data) = rest.partition {
       case EqualTo("_file", _) | In("_file", _) => true
@@ -1149,10 +1212,20 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     val physFilters =
       if (manifest.colMap.isEmpty) dataFilters
       else dataFilters.map(GraftScanBuilder.renameFilter(_, manifest.physicalName))
-    val physSchema = manifest.physicalize(manifest.dataSchema)
+    // Mixed-spec tables (B232): a filter on a partition column rides
+    // dataFilters (see pushFilters) — prune with the FULL schema so files
+    // that recorded the column in their stats (it was data at their write
+    // time) still skip, and path-exact-match files whose path carries every
+    // referenced column (matches() is conservative on the rest).
+    val physSchema = manifest.physicalize(
+      if (manifest.specUniform) manifest.dataSchema else manifest.schema)
+    val mixed = !manifest.specUniform
     manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
+        (!mixed || dataFilters.forall(f =>
+          !f.references.forall(values.keySet.contains) ||
+            GraftScanBuilder.matches(f, values, manifest.schema))) &&
         fileFilters.forall {
           case EqualTo("_file", v) => rel == String.valueOf(v)
           case In("_file", vs) => vs.exists(v => rel == String.valueOf(v))
@@ -1210,6 +1283,11 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     // handling change must not silently aggregate under a filter whose
     // re-check column the LocalScan wouldn't carry.
     if (dataFilters.nonEmpty || fileFilters.nonEmpty) return None
+    // Mixed-spec tables (B232) refuse wholesale: a column is partition-valued
+    // for some files and data-valued for others, so neither the directory
+    // branch nor the file-stats branch below is complete — fall back to the
+    // scan, which reconstructs every file through its own spec.
+    if (!manifest.specUniform) return None
     val allEntries = keptEntries
     // Deletion vectors no longer force a scan wholesale: a DV'd file whose
     // commit recorded deleted-row aggregates ([[GraftDVAggs]]) supports
@@ -1664,11 +1742,16 @@ class GraftScan(dir: Path, manifest: GraftManifest,
           override def nullCount(): OptionalLong =
             nulls.fold(OptionalLong.empty())(OptionalLong.of)
         })
-    // Partition columns: the manifest IS the exact value list.
-    val partVals = entries.map { case (pp, _) => GraftScanBuilder.partValues(pp) }
-    manifest.partCols.filter(required.fieldNames.contains).foreach { pc =>
-      put(pc, Some(math.max(1L, partVals.flatMap(_.get(pc)).distinct.size.toLong)),
-        None)
+    // Partition columns: the manifest IS the exact value list — but only
+    // when every file carries the column in its path (specUniform, B232);
+    // on a mixed table old files hold unknown values in data, so publishing
+    // the path-derived count would be a WRONG statistic, not a missing one.
+    if (manifest.specUniform) {
+      val partVals = entries.map { case (pp, _) => GraftScanBuilder.partValues(pp) }
+      manifest.partCols.filter(required.fieldNames.contains).foreach { pc =>
+        put(pc, Some(math.max(1L, partVals.flatMap(_.get(pc)).distinct.size.toLong)),
+          None)
+      }
     }
     // Data columns: merged HLL union across kept files + summed null counts.
     lazy val allSketches = GraftNdv.parsedSketches(dir.toString, manifest)
@@ -2299,75 +2382,119 @@ object GraftParquetRead {
     val conf = new SerializableHadoopConf(rowSession.sessionState.newHadoopConf())
     val metaNames = Set("_gen", "_file", "_pos")
     val wantsPos = required.fieldNames.contains("_pos")
-    val dataFields = required.fields.filterNot(f =>
-      manifest.partCols.contains(f.name) || metaNames(f.name))
-    // Row-group skipping: hand the parquet reader the pushed filters that
-    // reference data columns only (partition/metadata columns never exist in
-    // the files). Spark re-applies every unhandled filter above the scan, so
-    // this is purely pruning — ParquetFilters drops what it can't convert.
-    // CAVEAT: a filtered read skips rows, which would corrupt the `_pos`
-    // ordinal counter below (ordinals must be TRUE file positions for
-    // deletion vectors to land on the right rows) — so slices that carry a
-    // DV or feed `_pos` read through an UNfiltered twin instead.
-    val dataNames = manifest.dataSchema.fieldNames.toSet
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     // Column mapping (B190): the parquet FILES carry physical names — request
     // and filter by them. Output rows are consumed positionally, so logical
     // naming above the scan is untouched.
     val phys: String => String = manifest.physicalName
-    val parquetFilters = dataFilters.filter(_.references.forall(dataNames))
-      .map(f => if (manifest.colMap.isEmpty) f
-                else GraftScanBuilder.renameFilter(f, phys))
-    // `_gen` / `_file` ride the partition-values channel: per-file constants
-    // the parquet reader appends without the file containing them. `_pos`
-    // varies per row — appended by the ordinal counter below instead.
-    val partFields = manifest.partCols.filter(required.fieldNames.contains)
-      .map(manifest.schema.apply) ++
-      required.fields.filter(f => f.name == "_gen" || f.name == "_file")
-        .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
-          nullable = false))
-    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-    def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
-      fmt.buildReaderWithPartitionValues(
-        rowSession,
-        dataSchema = manifest.physicalize(manifest.dataSchema),
-        partitionSchema = StructType(partFields),
-        requiredSchema = manifest.physicalize(StructType(dataFields)),
-        filters = filters,
-        // returningBatch=false: the vectorized reader still runs inside but
-        // hands back row views — the contract the row PartitionReader needs.
-        // =true: whole ColumnarBatches flow out for the columnar path below.
-        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> returningBatch.toString),
-        hadoopConf = rowSession.sessionState.newHadoopConf())
-    val readerFn = buildReader(parquetFilters, returningBatch = false)
-    // Position-exact twin for DV/_pos slices (see caveat above).
-    val unfilteredReaderFn =
-      if (parquetFilters.isEmpty) readerFn else buildReader(Nil, returningBatch = false)
-    // COLUMNAR path: when the vectorized reader covers the result schema and
-    // no row-ordinal bookkeeping is needed, ship whole ColumnarBatches —
-    // BatchScanExec then stays columnar into ColumnarToRow/codegen instead of
-    // paying a per-row materialization at the scan boundary (the difference
-    // between a vectorized and a row-at-a-time 100 TB scan). Slices carrying
-    // a deletion vector force the scan row-based (columnarSupportMode is
-    // PARTITION_DEFINED: Spark only goes columnar when EVERY slice agrees).
-    val batchOk = allowColumnar && !wantsPos &&
-      fmt.supportBatch(rowSession, StructType(dataFields ++ partFields))
-    val columnarReaderFn =
-      if (batchOk) buildReader(parquetFilters, returningBatch = true) else null
-    // The parquet reader emits dataFields ++ partFields (++ _pos when asked);
-    // the scan's readSchema (`required`) may interleave partition columns in
-    // table order — realign with an executor-side unsafe projection when the
-    // orders differ.
-    val readerOrder = (dataFields ++ partFields).map(_.name) ++
-      (if (wantsPos) Seq("_pos") else Nil)
-    val outIdx = required.fields.map(f => readerOrder.indexOf(f.name))
-    val needsRealign = !outIdx.sameElements(outIdx.indices)
+
+    /**
+     * All reader machinery for ONE partition spec — the set of columns a
+     * file's partition path strips from its data (B232 partition spec
+     * evolution: files of different vintages carry different specs; each is
+     * read through its own). A never-evolved table builds exactly one of
+     * these, with byte-identical behavior to the pre-evolution code.
+     */
+    final class SpecReaders(stripped: Seq[String]) extends Serializable {
+      val dataFields = required.fields.filterNot(f =>
+        stripped.contains(f.name) || metaNames(f.name))
+      // THIS spec's data schema: the table schema minus its stripped columns.
+      val specDataSchema = StructType(
+        manifest.schema.fields.filterNot(f => stripped.contains(f.name)))
+      // Row-group skipping: hand the parquet reader the pushed filters that
+      // reference THIS spec's data columns only (partition/metadata columns
+      // never exist in its files). Spark re-applies every unhandled filter
+      // above the scan, so this is purely pruning — ParquetFilters drops what
+      // it can't convert. CAVEAT: a filtered read skips rows, which would
+      // corrupt the `_pos` ordinal counter below (ordinals must be TRUE file
+      // positions for deletion vectors to land on the right rows) — so slices
+      // that carry a DV or feed `_pos` read through an UNfiltered twin.
+      private val dataNames = specDataSchema.fieldNames.toSet
+      private val parquetFilters = dataFilters.filter(_.references.forall(dataNames))
+        .map(f => if (manifest.colMap.isEmpty) f
+                  else GraftScanBuilder.renameFilter(f, phys))
+      // `_gen` / `_file` ride the partition-values channel: per-file constants
+      // the parquet reader appends without the file containing them. `_pos`
+      // varies per row — appended by the ordinal counter below instead.
+      val partFields = stripped.filter(required.fieldNames.contains)
+        .map(manifest.schema.apply) ++
+        required.fields.filter(f => f.name == "_gen" || f.name == "_file")
+          .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
+            nullable = false))
+      private def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
+        fmt.buildReaderWithPartitionValues(
+          rowSession,
+          dataSchema = manifest.physicalize(specDataSchema),
+          partitionSchema = StructType(partFields),
+          requiredSchema = manifest.physicalize(StructType(dataFields)),
+          filters = filters,
+          // returningBatch=false: the vectorized reader still runs inside but
+          // hands back row views — the contract the row PartitionReader needs.
+          // =true: whole ColumnarBatches flow out for the columnar path below.
+          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> returningBatch.toString),
+          hadoopConf = rowSession.sessionState.newHadoopConf())
+      val readerFn = buildReader(parquetFilters, returningBatch = false)
+      // Position-exact twin for DV/_pos slices (see caveat above).
+      val unfilteredReaderFn =
+        if (parquetFilters.isEmpty) readerFn else buildReader(Nil, returningBatch = false)
+      // COLUMNAR path: when the vectorized reader covers the result schema and
+      // no row-ordinal bookkeeping is needed, ship whole ColumnarBatches —
+      // BatchScanExec then stays columnar into ColumnarToRow/codegen instead of
+      // paying a per-row materialization at the scan boundary (the difference
+      // between a vectorized and a row-at-a-time 100 TB scan). Slices carrying
+      // a deletion vector force the scan row-based (columnarSupportMode is
+      // PARTITION_DEFINED: Spark only goes columnar when EVERY slice agrees —
+      // which also keeps a mixed-spec scan row-based whenever its specs
+      // disagree on batch support).
+      val batchOk = allowColumnar && !wantsPos &&
+        fmt.supportBatch(rowSession, StructType(dataFields ++ partFields))
+      val columnarReaderFn =
+        if (batchOk) buildReader(parquetFilters, returningBatch = true) else null
+      // The parquet reader emits dataFields ++ partFields (++ _pos when asked);
+      // the scan's readSchema (`required`) may interleave partition columns in
+      // table order — realign with an executor-side unsafe projection when the
+      // orders differ.
+      private val readerOrder = (dataFields ++ partFields).map(_.name) ++
+        (if (wantsPos) Seq("_pos") else Nil)
+      val outIdx = required.fields.map(f => readerOrder.indexOf(f.name))
+      val needsRealign = !outIdx.sameElements(outIdx.indices)
+    }
+
+    // One SpecReaders per distinct spec among the manifest's files, plus the
+    // CURRENT spec (what this manifest's writers produce). Keyed by stripped
+    // column SET — two path orderings of the same columns read identically.
+    // Built eagerly on the DRIVER (buildReaderWithPartitionValues needs the
+    // session); a slice whose spec is absent — only possible for a STREAMING
+    // batch that crossed a spec-evolution commit made after the stream
+    // planned — fails with a restart instruction rather than misreading.
+    val currentKey = manifest.partCols.toSet
+    val specsByKey: Map[Set[String], SpecReaders] =
+      (manifest.entries.iterator.map { case (pp, _) =>
+        GraftScanBuilder.partValues(pp).keySet }.toSet + currentKey)
+        .iterator.map { key =>
+          // Stable column order: the current spec keeps partCols order
+          // (byte-compatible with the pre-evolution reader); older specs use
+          // table-schema order.
+          val stripped: Seq[String] =
+            if (key == currentKey) manifest.partCols
+            else manifest.schema.fields.map(_.name).filter(key.contains).toSeq
+          key -> new SpecReaders(stripped)
+        }.toMap
     val outFields = required.fields
     new PartitionReaderFactory {
-      private def partitionedFile(slice: GraftFileSlice)
+      private def specOf(slice: GraftFileSlice): SpecReaders =
+        specsByKey.getOrElse(
+          GraftScanBuilder.partValues(slice.partPath).keySet,
+          throw new IllegalStateException(
+            s"file ${slice.rel} was written under a partition spec committed " +
+              "after this scan was planned (partition spec evolution mid-" +
+              "stream) — restart the query to pick up the new spec"))
+
+      private def partitionedFile(slice: GraftFileSlice, spec: SpecReaders)
           : org.apache.spark.sql.execution.datasources.PartitionedFile = {
         val values = GraftScanBuilder.partValues(slice.partPath)
-        val partRow = InternalRow.fromSeq(partFields.toIndexedSeq.map { f =>
+        val partRow = InternalRow.fromSeq(spec.partFields.toIndexedSeq.map { f =>
           f.name match {
             case "_gen"  => genOf(slice.rel)
             case "_file" => org.apache.spark.unsafe.types.UTF8String.fromString(slice.rel)
@@ -2381,19 +2508,21 @@ object GraftParquetRead {
           0L, slice.len)
       }
 
-      override def supportColumnarReads(p: InputPartition): Boolean = batchOk
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        specOf(p.asInstanceOf[GraftFileSlice]).batchOk
 
       override def createColumnarReader(p: InputPartition)
           : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
         val slice = p.asInstanceOf[GraftFileSlice]
-        val raw = columnarReaderFn(partitionedFile(slice))
+        val spec = specOf(slice)
+        val raw = spec.columnarReaderFn(partitionedFile(slice, spec))
           .asInstanceOf[Iterator[Any]]
           .map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch])
         // Column realign without materialization: a reordered view over the
         // same vectors (the underlying reader owns and closes them).
-        val it = if (!needsRealign) raw else raw.map { b =>
+        val it = if (!spec.needsRealign) raw else raw.map { b =>
           new org.apache.spark.sql.vectorized.ColumnarBatch(
-            outIdx.map(b.column), b.numRows())
+            spec.outIdx.map(b.column), b.numRows())
         }
         new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
           override def next(): Boolean = it.hasNext
@@ -2404,13 +2533,15 @@ object GraftParquetRead {
 
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val slice = p.asInstanceOf[GraftFileSlice]
-        val pf = partitionedFile(slice)
+        val spec = specOf(slice)
+        val pf = partitionedFile(slice, spec)
         // The reader function yields plain rows OR ColumnarBatches (vectorized
         // path) behind an InternalRow-typed iterator — the same duality
         // FileScanRDD handles; unwrap batches to their row views here.
         import scala.jdk.CollectionConverters._
         val chosenFn =
-          if (slice.dvRel.nonEmpty || wantsPos) unfilteredReaderFn else readerFn
+          if (slice.dvRel.nonEmpty || wantsPos) spec.unfilteredReaderFn
+          else spec.readerFn
         val raw = chosenFn(pf).asInstanceOf[Iterator[Any]].flatMap {
           case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
             b.rowIterator().asScala
@@ -2436,8 +2567,8 @@ object GraftParquetRead {
               else { posRow.update(0, ord); Some(joined(r, posRow)) }
             }
           }
-        val it = if (!needsRealign) merged else {
-          val proj = UnsafeProjection.create(outFields.zip(outIdx).map { case (f, i) =>
+        val it = if (!spec.needsRealign) merged else {
+          val proj = UnsafeProjection.create(outFields.zip(spec.outIdx).map { case (f, i) =>
             BoundReference(i, f.dataType, f.nullable)
               : org.apache.spark.sql.catalyst.expressions.Expression
           }.toIndexedSeq)
@@ -2512,7 +2643,12 @@ class GraftBatchScan(dir: Path, manifest: GraftManifest,
   protected def spjKeySchema: Seq[(String, DataType)] = {
     val pcs = manifest.partCols
     val codecable = Set[DataType](StringType, IntegerType, LongType, ShortType)
-    if (pcs.nonEmpty && pcs.forall(required.fieldNames.contains) &&
+    // specUniform: SPJ key grouping needs every slice to CARRY the key in its
+    // path — files from a pre-evolution spec (B232) don't, so a mixed table
+    // reports unknown partitioning (correct, just unoptimized) until
+    // compaction migrates the layout.
+    if (pcs.nonEmpty && manifest.specUniform &&
+        pcs.forall(required.fieldNames.contains) &&
         pcs.forall(c => codecable(manifest.schema(c).dataType)))
       pcs.map(c => c -> manifest.schema(c).dataType)
     else Nil
@@ -4438,8 +4574,16 @@ object GraftCatalogOps {
     if (minDeletedRatio <= 0.0 && whereSql.isEmpty) {
       // Full compaction. Self-rewrite is safe: the scan reads immutable old
       // files, the write lands in a new gen dir, and only the commit swaps
-      // the manifest.
-      spark.table(tableRef).writeTo(tableRef).overwritePartitions()
+      // the manifest. A spec-evolved table (B232) takes the truncate-mode
+      // full-snapshot replace instead: dynamic mode replaces by partition
+      // PATH, which cannot see pre-evolution files — truncate mode rewrites
+      // the whole snapshot under the CURRENT spec, i.e. full OPTIMIZE is the
+      // layout-migration operation.
+      if (before.specUniform)
+        spark.table(tableRef).writeTo(tableRef).overwritePartitions()
+      else
+        spark.table(tableRef).writeTo(tableRef)
+          .overwrite(org.apache.spark.sql.functions.lit(true))
     } else {
       val targets = before.entries.map(_._2)
         .filter(scoped.contains)
@@ -5102,12 +5246,20 @@ object GraftCatalogOps {
       case other => throw new IllegalArgumentException(
         s"unknown space-filling curve '$other' — morton | hilbert")
     }
-    spark.table(tableRef)
+    val shaped = spark.table(tableRef)
       .withColumn("__zkey", key)
       .repartitionByRange(numFiles, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zkey")
-      .writeTo(tableRef).option("layout", "managed").overwritePartitions()
+    // Spec-evolved tables (B232) rewrite the whole snapshot (truncate mode):
+    // dynamic overwrite replaces by partition PATH and cannot see
+    // pre-evolution files — same posture as full OPTIMIZE, and the z-layout
+    // rewrite doubles as the layout migration.
+    if (before.specUniform)
+      shaped.writeTo(tableRef).option("layout", "managed").overwritePartitions()
+    else
+      shaped.writeTo(tableRef).option("layout", "managed")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
     (before.entries.size.toLong, snap().entries.size.toLong)
   }
 
@@ -5142,6 +5294,40 @@ object GraftCatalogOps {
    * published — restore rewinds CONTENT, never exactly-once bookkeeping.
    * Returns the new generation number.
    */
+  /** PARTITION SPEC EVOLUTION (B232, the Iceberg partition-evolution design):
+    * change the table's partition spec for FUTURE writes in ONE metadata-only
+    * commit — zero rewrites. Existing files keep their physical layout and
+    * are read through their OWN spec (each file's partition path names the
+    * columns stripped from it; see [[GraftManifest.specUniform]]); new
+    * writes, and any rewriting operation (OPTIMIZE, copy-on-write DML),
+    * produce files under the new spec — compaction therefore migrates the
+    * layout incrementally, exactly the Iceberg posture. `cols` empty =
+    * unpartitioned. Declared columns must exist, be distinct, and carry a
+    * directory-codec type (the same set the writer's path codec and
+    * [[GraftScanBuilder.matches]]'s typed decode support). */
+  def setPartitionSpec(spark: SparkSession, root: String, table: String,
+                       cols: Seq[String]): Long = {
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    GraftManifest.publishNext(dir, conf) { current =>
+      require(cols.distinct.size == cols.size,
+        s"duplicate partition columns: ${cols.mkString(", ")}")
+      val codecable: Set[DataType] =
+        Set(StringType, IntegerType, LongType, ShortType)
+      cols.foreach { c =>
+        val f = current.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $c is not in the table schema"))
+        require(codecable(f.dataType),
+          s"partition column $c: type ${f.dataType.simpleString} has no " +
+            "directory codec (string/int/long/short only)")
+      }
+      require(cols != current.partCols,
+        s"table is already partitioned by (${cols.mkString(", ")})")
+      current.copy(gen = current.gen + 1, partCols = cols)
+    }.gen
+  }
+
   def restore(spark: SparkSession, root: String, table: String,
               version: Long): Long = {
     val dir = new Path(root, table)
@@ -5254,6 +5440,17 @@ object GraftProcedures {
       (s, _, root, a) => Seq(GraftCatalogOps.restore(s, root,
         a.getUTF8String(0).toString, a.getLong(1))),
     ),
+    ProcDef("set_partition_spec",
+      "change the partition spec for FUTURE writes as one metadata-only " +
+        "commit; existing files keep their layout and are read through " +
+        "their own spec (Iceberg partition evolution); cols is " +
+        "comma-separated, '' = unpartitioned",
+      Seq(in("table", StringType), in("cols", StringType)),
+      out("generation" -> LongType),
+      (s, _, root, a) => Seq(GraftCatalogOps.setPartitionSpec(s, root,
+        a.getUTF8String(0).toString,
+        a.getUTF8String(1).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq))),
     ProcDef("clone",
       "shallow-clone the source's current snapshot as a metadata-only new table",
       Seq(in("source", StringType), in("target", StringType)),

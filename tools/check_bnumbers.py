@@ -90,10 +90,50 @@ def code_comment_bnums():
     return out
 
 
+def duplicate_query_keys():
+    """Guard against silent Map-key shadowing: a `"q_x" ->` literal defined
+    TWICE across the queries maps (or twice across the oracle maps) silently
+    keeps only the last entry — round 9 nearly shipped a partition-evolution
+    query invisibly shadowed by the same-named schema-evolution query. Each
+    query name may appear at most once per kind (query-map vs oracle-map
+    occurrences are told apart by what follows the arrow: oracle entries bind
+    to a string literal, query entries to a function)."""
+    qdefs, odefs = {}, {}
+    qfile = re.compile(r'^\s{4}"(q_\w+)"\s*->')
+    qmap = re.compile(r'\bval queries\b')
+    omap = re.compile(r'\bval oracle\b')
+    for dirpath, _, files in os.walk(os.path.join(SRC, "queries")):
+        for fn in files:
+            if not fn.endswith(".scala"):
+                continue
+            path = os.path.join(dirpath, fn)
+            ctx = None  # which top-level map the walker is inside
+            for i, line in enumerate(open(path, encoding="utf-8"), 1):
+                if qmap.search(line):
+                    ctx = "query"
+                elif omap.search(line):
+                    ctx = "oracle"
+                m = qfile.match(line)
+                if not m or ctx is None:
+                    continue
+                # Top-level map entries are indented exactly 4 spaces; nested
+                # `"q_x" ->` literals (helper maps inside a query body) are
+                # deeper and skipped by the anchored regex.
+                target = qdefs if ctx == "query" else odefs
+                target.setdefault(m.group(1), []).append(f"{fn}:{i}")
+    errs = []
+    for kind, defs in (("query", qdefs), ("oracle", odefs)):
+        for name, sites in sorted(defs.items()):
+            if len(sites) > 1:
+                errs.append(f"duplicate {kind} map key {name}: {sites} — "
+                            "the later definition silently shadows the earlier")
+    return errs
+
+
 def main():
     b2q, q2b = survey_map()
     sites = code_comment_bnums()
-    errors = []
+    errors = duplicate_query_keys()
     for site, qname, nums in sorted(sites):
         if qname not in q2b:
             continue  # query not in the addenda table (core/Part-A row)
