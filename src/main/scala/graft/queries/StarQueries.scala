@@ -2893,6 +2893,48 @@ object StarQueries {
     // column-mapping guarantee). `no_resurrection` pins it inside the hash
     // gate: pre-drop rows must count ZERO non-null values under the re-added
     // column while post-add appends carry real ones.
+    // B233: ROW-LEVEL SECURITY + COLUMN MASKING enforced IN the scan (the
+    // Unity row-filter / Snowflake masking-policy posture): the fixture
+    // table declares `graft.rowFilter = k % 7 <> 0`, `graft.mask.tag =
+    // '***'`, and an exempt `auditor` role. The returned (policed) read must
+    // see ONLY filtered rows and the mask constant — policed_n/cents replay
+    // the filter relationally in the oracle, policed_tags=1 and
+    // mask_value='***' pin that no raw tag ever escapes — while the
+    // one-row auditor probe (session role flipped inside the query,
+    // restored in finally) must see raw counts/sums/distincts. A policy
+    // layer that leaks raw values, hides the wrong rows, or polices the
+    // exempt role breaks the hash, not a unit test.
+    "q_catalog_policy" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      import graft.sources.GraftPolicies
+      s.conf.unset(GraftPolicies.RoleConf)
+      fixture(s, d, "polq", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(col("o_orderkey").as("k"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+            concat(lit("t"), pmod(col("o_orderkey"), lit(100))).as("tag"))
+          .coalesce(2).writeTo("graft.polq")
+          .tableProperty(GraftPolicies.FilterProp, "k % 7 <> 0")
+          .tableProperty(GraftPolicies.MaskPrefix + "tag", "'***'")
+          .tableProperty(GraftPolicies.ExemptProp, "auditor")
+          .tableProperty("fixture", marker).create()
+      }
+      // Exempt probe: one collected row under the auditor role (scalar
+      // metadata-scale collect), role restored before the policed DF builds.
+      val audit = try {
+        s.conf.set(GraftPolicies.RoleConf, "auditor")
+        s.table("graft.polq").agg(count(lit(1)).as("n"),
+          countDistinct(col("tag")).as("t"), sum(col("cents")).as("c")).collect()(0)
+      } finally s.conf.unset(GraftPolicies.RoleConf)
+      s.table("graft.polq")
+        .agg(count(lit(1)).as("policed_n"),
+          sum(col("cents")).as("policed_cents"),
+          countDistinct(col("tag")).as("policed_tags"),
+          max(col("tag")).as("mask_value"))
+        .withColumn("raw_n", lit(audit.getLong(0)))
+        .withColumn("raw_tags", lit(audit.getLong(1)))
+        .withColumn("raw_cents", lit(audit.getLong(2)))
+    },
+
     // B232: PARTITION SPEC EVOLUTION (the Iceberg flagship metadata design):
     // gen 1 creates the table partitioned by pk and loads the even keys;
     // one metadata-only commit re-partitions the spec to b (zero rewrites —
@@ -4961,6 +5003,23 @@ object StarQueries {
         |  true AS spj
         |FROM f JOIN d ON f.pk = d.pk
         |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B233: the oracle replays the row filter relationally for the policed
+    // columns, the raw table for the auditor columns, and pins the mask
+    // constant + the policed distinct-tag collapse inside the hash gate.
+    "q_catalog_policy" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    concat('t', CAST(o_orderkey % 100 AS VARCHAR)) AS tag FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM base WHERE k % 7 <> 0) AS policed_n,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM base WHERE k % 7 <> 0)
+        |    AS policed_cents,
+        |  CAST(1 AS BIGINT) AS policed_tags,
+        |  '***' AS mask_value,
+        |  (SELECT count(*) FROM base) AS raw_n,
+        |  (SELECT count(DISTINCT tag) FROM base) AS raw_tags,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM base) AS raw_cents""".stripMargin,
 
     // B232: the oracle replays the evolution history relationally (evens,
     // then odds, minus the b=0 delete — the spec change itself moves no

@@ -253,6 +253,9 @@ class GraftCatalog extends TableCatalog
       GraftCheck.resolve(sql, schema) }
     // Generated columns (B189): declarations fail at CREATE, not first write.
     GraftGenerated.validate(keep, schema)
+    // Row/column policies (B233): same fail-at-CREATE posture — bad SQL,
+    // unknown columns, a type-changing mask, or a masked partition column.
+    GraftPolicies.validate(keep, schema, partCols.toSet)
     // Column-mapping props are engine-managed (written by RENAME COLUMN and
     // carried by CLONE) — a user-supplied one would silently re-key stats.
     keep.keys.foreach(k => require(!k.startsWith("physical."),
@@ -353,6 +356,10 @@ class GraftCatalog extends TableCatalog
           // not fail the next write.
           if (k == GraftCheck.Prop || k.startsWith(GraftCheck.Prop + "."))
             GraftCheck.resolve(v, schema)
+          // Row/column policies (B233) must resolve NOW, against the current
+          // schema, with masks type-preserving and off partition paths.
+          if (k == GraftPolicies.FilterProp || k.startsWith(GraftPolicies.MaskPrefix))
+            GraftPolicies.validate(Map(k -> v), schema, cur.pathCols)
           if (k.startsWith(GraftGenerated.Prefix))
             GraftGenerated.validate(props + (k -> v), schema)
           if (k == "bloom") {
@@ -421,6 +428,14 @@ class GraftCatalog extends TableCatalog
             s"cannot rename $from: it is one of the table's bloom columns")
           require(!props.get("cluster").contains(from),
             s"cannot rename $from: it is the table's cluster column")
+          // Policies (B233) store SQL text referencing columns by name.
+          require(!props.contains(GraftPolicies.MaskPrefix + from) &&
+            !(props.get(GraftPolicies.FilterProp) ++
+              props.collect { case (pk, pv)
+                if pk.startsWith(GraftPolicies.MaskPrefix) => pv })
+              .exists(sql => GraftCheck.resolve(sql, schema, bind = false,
+                requireBoolean = false).references.exists(_.name == from)),
+            s"cannot rename $from: a row/column policy references it")
           require(!props.contains(GraftGenerated.Prefix + from),
             s"cannot rename generated column $from")
           (GraftCheck.declared(props) ++ GraftGenerated.declared(props))
@@ -466,6 +481,13 @@ class GraftCatalog extends TableCatalog
             s"cannot drop $cn: it is one of the table's bloom columns")
           require(!props.get("cluster").contains(cn),
             s"cannot drop $cn: it is the table's cluster column")
+          require(!props.contains(GraftPolicies.MaskPrefix + cn) &&
+            !(props.get(GraftPolicies.FilterProp) ++
+              props.collect { case (pk, pv)
+                if pk.startsWith(GraftPolicies.MaskPrefix) => pv })
+              .exists(sql => GraftCheck.resolve(sql, schema, bind = false,
+                requireBoolean = false).references.exists(_.name == cn)),
+            s"cannot drop $cn: a row/column policy references it")
           require(!props.contains(GraftGenerated.Prefix + cn),
             s"cannot drop generated column $cn — drop its generation first")
           (GraftCheck.declared(props) ++ GraftGenerated.declared(props))
@@ -1089,10 +1111,19 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () =>
+    () => {
+      // Policy gate (B233): a copy-on-write (or DV-position-finding) DML
+      // READS through the policed scan — a non-exempt session would persist
+      // MASKED values / never see filtered rows. Refuse loudly.
+      require(!GraftPolicies.active(manifest, SparkSession.active),
+        s"DML on ${ident.name()} requires a policy-exempt role: the table " +
+          "declares row/column policies and a rewrite through a policed " +
+          "read would persist masked data (set spark.graft.role to an " +
+          "exempt role)")
       if (manifest.props.get("dml").contains("dv"))
         new GraftDeltaRowLevelOperation(dir, manifest, info.command())
       else new GraftRowLevelOperation(dir, manifest, info.command())
+    }
 
   /** SQL DELETE FROM … WHERE on partition keys: a metadata-only commit that
     * drops the selected partitions' entries (files stay for time travel).
@@ -1101,6 +1132,10 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
     * statement through the row-level copy-on-write rewrite below instead of
     * this table erroring out. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    // Policy-active sessions (B233) route to the row-level builder, whose
+    // gate explains the refusal (a metadata delete here would also drop rows
+    // the row filter hides from this session).
+    !GraftPolicies.active(manifest, SparkSession.active) &&
     // specUniform (B232): metadata-only partition deletes need EVERY file to
     // carry the filter columns in its path — a pre-evolution file holds the
     // values in DATA, and matches() keeps-when-unknown would drop it
@@ -1123,6 +1158,9 @@ class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
   /** SQL TRUNCATE TABLE: a new generation with an empty entry list — the data
     * of every prior generation stays on disk and time-travel readable. */
   override def truncateTable(): Boolean = {
+    require(!GraftPolicies.active(manifest, SparkSession.active),
+      s"TRUNCATE on ${ident.name()} requires a policy-exempt role — it " +
+        "would drop rows the session's row filter hides")
     val conf = SparkSession.active.sessionState.newHadoopConf()
     GraftManifest.publishNext(dir, conf)(cur =>
       cur.copy(gen = cur.gen + 1, entries = Seq.empty))
@@ -1209,9 +1247,17 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   protected def keptEntries: Seq[(String, String)] = {
     // Column mapping (B190): stats/blooms are keyed by PHYSICAL names —
     // translate the pushed logical filters once for the whole entry walk.
+    // Masked columns (B233): their filters never prune — file stats and
+    // blooms hold RAW bounds, and the engine re-checks these predicates on
+    // MASKED output above the scan (pruning on raw would drop rows the
+    // masked predicate matches). Exempt sessions prune normally.
+    val masked = GraftPolicies.maskedCols(manifest, SparkSession.active)
+    val prunable =
+      if (masked.isEmpty) dataFilters
+      else dataFilters.filterNot(_.references.exists(masked.contains))
     val physFilters =
-      if (manifest.colMap.isEmpty) dataFilters
-      else dataFilters.map(GraftScanBuilder.renameFilter(_, manifest.physicalName))
+      if (manifest.colMap.isEmpty) prunable
+      else prunable.map(GraftScanBuilder.renameFilter(_, manifest.physicalName))
     // Mixed-spec tables (B232): a filter on a partition column rides
     // dataFilters (see pushFilters) — prune with the FULL schema so files
     // that recorded the column in their stats (it was data at their write
@@ -1223,7 +1269,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
-        (!mixed || dataFilters.forall(f =>
+        (!mixed || prunable.forall(f =>
           !f.references.forall(values.keySet.contains) ||
             GraftScanBuilder.matches(f, values, manifest.schema))) &&
         fileFilters.forall {
@@ -1288,6 +1334,10 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     // branch nor the file-stats branch below is complete — fall back to the
     // scan, which reconstructs every file through its own spec.
     if (!manifest.specUniform) return None
+    // Active row/column policies (B233) refuse wholesale: a manifest COUNT
+    // would count rows the row filter hides, and MIN/MAX would leak raw
+    // extremes of masked columns — the scan fallback applies the policy.
+    if (GraftPolicies.active(manifest, SparkSession.active)) return None
     val allEntries = keptEntries
     // Deletion vectors no longer force a scan wholesale: a DV'd file whose
     // commit recorded deleted-row aggregates ([[GraftDVAggs]]) supports
@@ -2381,7 +2431,24 @@ object GraftParquetRead {
     val rowSession = SparkSession.active
     val conf = new SerializableHadoopConf(rowSession.sessionState.newHadoopConf())
     val metaNames = Set("_gen", "_file", "_pos")
-    val wantsPos = required.fieldNames.contains("_pos")
+    // ROW/COLUMN policies (B233): compiled on the driver against THIS read's
+    // projection; when active, the physical read runs over the projection
+    // widened with the policy expressions' inputs, the row filter drops
+    // invisible rows AFTER the deletion-vector merge (both are row-identity
+    // concerns; DV first so the filter never resurrects a deleted row), and
+    // a final projection replaces masked columns — all inside the reader, so
+    // every path through this factory (batch, streaming, CDF) is policed.
+    val policy = GraftPolicies.compile(manifest, required, rowSession)
+    val userRequired = required
+    val eff = policy.map(_.internalSchema).getOrElse(required)
+    // Filters on masked columns never reach the files or the stats: pruning
+    // on RAW values under a predicate Spark re-checks on MASKED output
+    // returns wrong rows (see GraftPolicies).
+    val maskedNow = GraftPolicies.maskedCols(manifest, rowSession)
+    val policedFilters =
+      if (maskedNow.isEmpty) dataFilters
+      else dataFilters.filterNot(_.references.exists(maskedNow.contains))
+    val wantsPos = eff.fieldNames.contains("_pos")
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     // Column mapping (B190): the parquet FILES carry physical names — request
     // and filter by them. Output rows are consumed positionally, so logical
@@ -2396,7 +2463,7 @@ object GraftParquetRead {
      * these, with byte-identical behavior to the pre-evolution code.
      */
     final class SpecReaders(stripped: Seq[String]) extends Serializable {
-      val dataFields = required.fields.filterNot(f =>
+      val dataFields = eff.fields.filterNot(f =>
         stripped.contains(f.name) || metaNames(f.name))
       // THIS spec's data schema: the table schema minus its stripped columns.
       val specDataSchema = StructType(
@@ -2410,13 +2477,13 @@ object GraftParquetRead {
       // positions for deletion vectors to land on the right rows) — so slices
       // that carry a DV or feed `_pos` read through an UNfiltered twin.
       private val dataNames = specDataSchema.fieldNames.toSet
-      private val parquetFilters = dataFilters.filter(_.references.forall(dataNames))
+      private val parquetFilters = policedFilters.filter(_.references.forall(dataNames))
         .map(f => if (manifest.colMap.isEmpty) f
                   else GraftScanBuilder.renameFilter(f, phys))
       // `_gen` / `_file` ride the partition-values channel: per-file constants
       // the parquet reader appends without the file containing them. `_pos`
       // varies per row — appended by the ordinal counter below instead.
-      val partFields = stripped.filter(required.fieldNames.contains)
+      val partFields = stripped.filter(eff.fieldNames.contains)
         .map(manifest.schema.apply) ++
         required.fields.filter(f => f.name == "_gen" || f.name == "_file")
           .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
@@ -2447,7 +2514,7 @@ object GraftParquetRead {
       // PARTITION_DEFINED: Spark only goes columnar when EVERY slice agrees —
       // which also keeps a mixed-spec scan row-based whenever its specs
       // disagree on batch support).
-      val batchOk = allowColumnar && !wantsPos &&
+      val batchOk = allowColumnar && !wantsPos && policy.isEmpty &&
         fmt.supportBatch(rowSession, StructType(dataFields ++ partFields))
       val columnarReaderFn =
         if (batchOk) buildReader(parquetFilters, returningBatch = true) else null
@@ -2457,7 +2524,7 @@ object GraftParquetRead {
       // orders differ.
       private val readerOrder = (dataFields ++ partFields).map(_.name) ++
         (if (wantsPos) Seq("_pos") else Nil)
-      val outIdx = required.fields.map(f => readerOrder.indexOf(f.name))
+      val outIdx = eff.fields.map(f => readerOrder.indexOf(f.name))
       val needsRealign = !outIdx.sameElements(outIdx.indices)
     }
 
@@ -2481,7 +2548,7 @@ object GraftParquetRead {
             else manifest.schema.fields.map(_.name).filter(key.contains).toSeq
           key -> new SpecReaders(stripped)
         }.toMap
-    val outFields = required.fields
+    val outFields = eff.fields
     new PartitionReaderFactory {
       private def specOf(slice: GraftFileSlice): SpecReaders =
         specsByKey.getOrElse(
@@ -2574,9 +2641,23 @@ object GraftParquetRead {
           }.toIndexedSeq)
           merged.map(proj)
         }
+        // ROW/COLUMN policies (B233): rows are in `eff` order here — the
+        // exact layout the compiled filter and output expressions are bound
+        // to. Filter on RAW values (SQL WHERE semantics: non-TRUE drops),
+        // then the masking projection narrows back to the user's schema.
+        val policed = policy match {
+          case None => it
+          case Some(pc) =>
+            val base = pc.filter match {
+              case Some(f) => it.filter(r => f.eval(r) == true)
+              case None => it
+            }
+            val proj = UnsafeProjection.create(pc.outputExprs)
+            base.map(proj)
+        }
         new PartitionReader[InternalRow] {
-          override def next(): Boolean = it.hasNext
-          override def get(): InternalRow = it.next()
+          override def next(): Boolean = policed.hasNext
+          override def get(): InternalRow = policed.next()
           override def close(): Unit = ()
         }
       }
@@ -2989,9 +3070,19 @@ class GraftWriteBuilder(dir: Path, manifest: GraftManifest, info: LogicalWriteIn
   private var mode: String = "append"
   private var staticFilters: Array[Filter] = Array.empty
 
-  override def truncate(): WriteBuilder = { mode = "truncate"; this }
-  override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
+  // Policy gate (B233): replacing writes destroy rows a non-exempt session
+  // cannot even see — only plain appends stay open under an active policy.
+  private def policyGate(verb: String): Unit =
+    require(!GraftPolicies.active(manifest, SparkSession.active),
+      s"$verb on a table with row/column policies requires a policy-exempt " +
+        "role (set spark.graft.role to an exempt role)")
+
+  override def truncate(): WriteBuilder = {
+    policyGate("INSERT OVERWRITE (truncate)"); mode = "truncate"; this }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    policyGate("dynamic partition overwrite"); mode = "dynamic"; this }
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    policyGate("overwrite")
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) mode = "truncate"
     else { mode = "static"; staticFilters = filters }
     this
@@ -3678,6 +3769,140 @@ object GraftDefaults {
     require(!lit.sql.exists(ch => ch == '\n' || ch == '\t' || ch == '\r'),
       s"DEFAULT literal contains a control character: '$sql'")
     lit.sql
+  }
+}
+
+/**
+ * ROW-LEVEL SECURITY + COLUMN MASKING (B233 — the Unity row-filter /
+ * Snowflake masking-policy design, enforced IN the scan, not in a view):
+ *
+ *   - `graft.rowFilter`  = boolean SQL over the table schema: rows where it
+ *     is not TRUE are invisible to every read path (batch, streaming, CDF).
+ *   - `graft.mask.<col>` = SQL expr (same dataType as the column): what
+ *     non-exempt readers see instead of the raw value. May reference other
+ *     columns (`CASE WHEN tier = 'internal' THEN email ELSE '***' END`).
+ *   - `graft.policy.exemptRoles` = csv; a session whose `spark.graft.role`
+ *     conf is in the list reads RAW (the policy-admin posture). No role set
+ *     = not exempt — the secure default.
+ *
+ * Enforcement lives in [[GraftParquetRead.readerFactory]] — the single choke
+ * point every read path (default V2 scan, row-level scans, streaming source,
+ * change feed) flows through — as a post-deletion-vector row predicate plus
+ * a masking projection, so there is no unpoliced way to a row. Soundness
+ * interactions, each refusing rather than leaking:
+ *   - metadata-only aggregates refuse while a policy is active (a manifest
+ *     COUNT would count invisible rows; MIN/MAX would leak raw extremes);
+ *   - filters on MASKED columns are excluded from parquet row-group
+ *     skipping, file min/max stats, and bloom pruning (pruning on RAW values
+ *     under a predicate the engine re-checks on MASKED output would return
+ *     wrong ROWS, e.g. `WHERE ssn = '***'` must match everything) — Spark
+ *     re-applies them above the scan on policy output;
+ *   - DML (DELETE/UPDATE/MERGE), TRUNCATE, and overwrites refuse for
+ *     non-exempt sessions (a copy-on-write rewrite through a masked read
+ *     would PERSIST masked values); plain appends stay open;
+ *   - OPTIMIZE/ZORDER refuse for non-exempt sessions for the same reason;
+ *   - partition (path) columns cannot be masked — their raw values are baked
+ *     into directory names the manifest exposes;
+ *   - masking forces the scan row-based (the columnar fast path would ship
+ *     raw vectors).
+ * Known caveat (documented, matching the lakehouse state of the art): the
+ * `$files` metadata twin exposes per-file min/max stats to anyone who can
+ * read the table — treat stats-bearing twins as admin surfaces when masking.
+ * Policies are snapshot-scoped like every other table property: time travel
+ * reads a generation under the policies THAT manifest declares.
+ */
+object GraftPolicies {
+  val FilterProp = "graft.rowFilter"
+  val MaskPrefix = "graft.mask."
+  val ExemptProp = "graft.policy.exemptRoles"
+  val RoleConf = "spark.graft.role"
+
+  def declared(props: Map[String, String]): Boolean =
+    props.contains(FilterProp) || props.keys.exists(_.startsWith(MaskPrefix))
+
+  private def exempt(props: Map[String, String], session: SparkSession): Boolean = {
+    val role = session.conf.getOption(RoleConf).getOrElse("")
+    role.nonEmpty && props.get(ExemptProp).exists(
+      _.split(',').map(_.trim).contains(role))
+  }
+
+  /** Policies bind this session: declared and the session's role not exempt. */
+  def active(manifest: GraftManifest, session: SparkSession): Boolean =
+    declared(manifest.props) && !exempt(manifest.props, session)
+
+  /** Columns whose values this session must never see raw (empty when no
+    * policy binds — exempt sessions prune and read raw). */
+  def maskedCols(manifest: GraftManifest, session: SparkSession): Set[String] =
+    if (!active(manifest, session)) Set.empty
+    else manifest.props.keys.filter(_.startsWith(MaskPrefix))
+      .map(_.stripPrefix(MaskPrefix)).toSet
+
+  /** Definition-time validation (CREATE / ALTER): expressions resolve against
+    * the schema, masks preserve the column's type, path columns refuse. */
+  def validate(props: Map[String, String], schema: StructType,
+               pathCols: Set[String]): Unit = {
+    props.get(FilterProp).foreach(sql => GraftCheck.resolve(sql, schema))
+    props.foreach {
+      case (k, sql) if k.startsWith(MaskPrefix) =>
+        val col = k.stripPrefix(MaskPrefix)
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(
+            s"mask for unknown column $col — schema has " +
+              s"[${schema.fieldNames.mkString(", ")}]"))
+        require(!pathCols.contains(col),
+          s"cannot mask partition column $col — its raw values are baked " +
+            "into directory names")
+        val e = GraftCheck.resolve(sql, schema, bind = false, requireBoolean = false)
+        require(e.dataType == f.dataType,
+          s"mask for $col must preserve its type ${f.dataType.sql}, " +
+            s"got ${e.dataType.sql}")
+      case _ =>
+    }
+  }
+
+  /** Everything the reader needs, compiled on the driver: the read schema
+    * widened with the columns the row filter (and masks) reference, the
+    * filter bound to it, and the final per-output-column expressions (mask
+    * or passthrough) bound to it. */
+  final case class Compiled(
+      internalSchema: StructType,
+      filter: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      outputExprs: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends Serializable
+
+  def compile(manifest: GraftManifest, required: StructType,
+              session: SparkSession): Option[Compiled] = {
+    if (!active(manifest, session)) return None
+    val props = manifest.props
+    val schema = manifest.schema
+    val metaNames = Set("_gen", "_file", "_pos")
+    // Refs the policy expressions need beyond the projection: resolve
+    // unbound against the FULL schema first to discover them.
+    val filterSql = props.get(FilterProp)
+    val maskSql: Map[String, String] = props.collect {
+      case (k, v) if k.startsWith(MaskPrefix) => k.stripPrefix(MaskPrefix) -> v }
+    val neededRefs = (filterSql.toSeq ++
+      maskSql.filter { case (c, _) => required.fieldNames.contains(c) }.values)
+      .flatMap(sql => GraftCheck.resolve(sql, schema, bind = false,
+        requireBoolean = false).references.map(_.name))
+    val extra = neededRefs.distinct
+      .filterNot(required.fieldNames.contains).map(schema.apply)
+    val internal = StructType(required.fields ++ extra)
+    // Bind against the widened schema. Metadata columns keep passthrough
+    // (they are engine provenance, not data; a mask naming one fails resolve).
+    val bindable = StructType(internal.fields.map(f =>
+      if (metaNames(f.name)) f else schema(f.name)))
+    val filter = filterSql.map(GraftCheck.resolve(_, bindable))
+    val outputExprs = required.fields.zipWithIndex.map { case (f, i) =>
+      maskSql.get(f.name) match {
+        case Some(sql) if !metaNames(f.name) =>
+          GraftCheck.resolve(sql, bindable, bind = true, requireBoolean = false)
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, f.dataType, f.nullable)
+      }
+    }.toIndexedSeq
+    Some(Compiled(internal, filter, outputExprs))
   }
 }
 
@@ -4548,6 +4773,9 @@ object GraftCatalogOps {
     def liveDvs(m: GraftManifest): Long =
       m.entries.flatMap(e => m.fileDVs.get(e._2)).size.toLong
     val before = snap()
+    require(!GraftPolicies.active(before, spark),
+      s"OPTIMIZE on $table requires a policy-exempt role — the compaction " +
+        "read would otherwise persist masked values and drop filtered rows")
     // `OPTIMIZE ... WHERE` (B208, the Delta partition-scoped maintenance
     // idiom): a predicate narrows the compaction to the files it MAY touch —
     // resolved/coerced/folded by the same machinery as replaceWhere and
@@ -5223,6 +5451,9 @@ object GraftCatalogOps {
     val conf = spark.sessionState.newHadoopConf()
     def snap() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
     val before = snap()
+    require(!GraftPolicies.active(before, spark),
+      s"OPTIMIZE ZORDER on $table requires a policy-exempt role — the " +
+        "rewrite read would otherwise persist masked values")
     require(!before.props.contains("cluster"),
       "OPTIMIZE ZORDER refuses a `cluster`ed table — the clustering contract " +
         "(near-disjoint single-column file ranges) and the z-layout are " +
