@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.primaryKey / graft.foreignKey.* RELY properties (see
     // RelyJoinEliminationRule; dormant when no table declares constraints).
     e.injectOptimizerRule(session => RelyJoinEliminationRule(session))
+    // Optimizer rule: automatic materialized-view query rewrite — a natural
+    // GROUP BY over a graft table answers from a provably-fresh incremental
+    // mview (see MviewRewriteRule; dormant when no view matches).
+    e.injectOptimizerRule(session => MviewRewriteRule(session))
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float arrays (double)."),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

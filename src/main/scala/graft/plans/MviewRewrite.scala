@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.TableCatalog
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable}
+
+/**
+ * AUTOMATIC MATERIALIZED-VIEW QUERY REWRITE (B234 — the Oracle QUERY REWRITE
+ * / BigQuery smart-tuning / Snowflake mview-rewrite design): a user writes
+ * the NATURAL aggregate over the base table,
+ *
+ *   SELECT k1, k2, count(*), sum(x) FROM big GROUP BY k1, k2
+ *
+ * and the optimizer transparently answers it from a registered incremental
+ * materialized view (B198 `create_mview`) whenever one is PROVABLY FRESH —
+ * the view's fold floor (the source generation its last refresh folded to,
+ * read from its own txn ledger) equals the exact generation the query's scan
+ * is bound to. At 100 TB this turns the dominant reporting aggregate from a
+ * full fact-table scan into a key-count-sized view read, with zero query
+ * changes and zero staleness risk: one source commit past the floor and the
+ * rewrite simply stops firing until the next refresh.
+ *
+ * A rewrite fires only when it is provably the SAME computation:
+ *   - the aggregate sits directly on a FULL, unfiltered scan of the source
+ *     (no Filter node, no pushed data filters, no partition/`_file` pruning
+ *     — checked against the bound scan's own entry list; a filtered
+ *     aggregate is NOT the view's aggregate);
+ *   - grouping is exactly the view's declared key set (bare attributes, any
+ *     order) and every aggregate expression is one the view maintains:
+ *     `count(*)`/`count(1)` → `mv_count`, `sum(<declared sum col>)` →
+ *     `mv_sum` (the self-maintainable abelian set — B198 deliberately
+ *     maintains nothing else);
+ *   - the base table declares no row/column policies (B233): the view holds
+ *     UNFILTERED, UNMASKED aggregates, so serving it to a policed session
+ *     would leak what the scan hides;
+ *   - the view lives in the same catalog and is FRESH (fold floor == the
+ *     scan's bound generation — time-travel reads of older generations
+ *     therefore never match a newer view).
+ *
+ * The replacement preserves the Aggregate's exact output (names, exprIds,
+ * types) via an aliasing Project over a manually-built scan of the view, so
+ * parent operators never notice. Registered like the other graft rules —
+ * extensions-injected or runtime-attached — and handles both relation
+ * vintages.
+ */
+case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case a @ Aggregate(ges, aes, child, _) =>
+      rewrite(a, ges, aes, child).getOrElse(a)
+  }
+
+  /** The base graft table + its bound scan's full-table proof, if `child` is
+    * a bare full scan (possibly under an attribute-only Project). */
+  private def baseOf(child: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftTable)] = child match {
+    case r: DataSourceV2Relation =>
+      r.table match { case t: GraftTable => Some((r, t)); case _ => None }
+    case s: DataSourceV2ScanRelation =>
+      (s.relation.table, s.scan) match {
+        case (t: GraftTable, sc: GraftBatchScan)
+            // FULL table only: any pushed data filter or pruned entry means
+            // this scan is NOT the view's input.
+            if sc.dataFilters.isEmpty &&
+              sc.entries.size == t.manifest.entries.size =>
+          Some((s.relation, t))
+        case _ => None
+      }
+    case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      baseOf(inner)
+    case _ => None
+  }
+
+  private def rewrite(a: Aggregate, ges: Seq[Expression],
+      aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    // Grouping: bare attributes only.
+    val keyAttrs = ges.map {
+      case ar: AttributeReference => ar
+      case _ => return None
+    }
+    val (baseRel, baseTable) = baseOf(child).getOrElse(return None)
+    if (GraftPolicies.declared(baseTable.manifest.props)) return None
+
+    // Aggregates: every output must be a key passthrough, count(*), or
+    // sum(<col>); collect the sum column to match against the view's.
+    sealed trait Out
+    case class KeyOut(a: AttributeReference) extends Out
+    case class CountOut(al: Alias) extends Out
+    case class SumOut(al: Alias, col: String) extends Out
+    val keyIds = keyAttrs.map(_.exprId).toSet
+    val outs: Seq[Out] = aes.map {
+      case ar: AttributeReference if keyIds.contains(ar.exprId) => KeyOut(ar)
+      case al @ Alias(ar: AttributeReference, _) if keyIds.contains(ar.exprId) =>
+        KeyOut(ar)
+      case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
+          if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
+      case al @ Alias(AggregateExpression(Sum(sa: AttributeReference, _),
+          Complete, false, None, _), _) => SumOut(al, sa.name)
+      case _ => return None
+    }
+    val sumCols = outs.collect { case SumOut(_, c) => c }.distinct
+    if (sumCols.size > 1) return None
+
+    // A fresh view for this (source, keys, sum) in the same catalog.
+    val tc = baseRel.catalog.getOrElse(return None) match {
+      case t: TableCatalog => t
+      case _ => return None
+    }
+    val srcIdent = baseRel.identifier.getOrElse(return None)
+    val keyNames = keyAttrs.map(_.name.toLowerCase).toSet
+    val view: (org.apache.spark.sql.connector.catalog.Identifier, GraftTable) =
+      tc.listTables(srcIdent.namespace()).iterator.flatMap { id =>
+        try {
+          tc.loadTable(id) match {
+            case v: GraftTable
+                if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
+                  v.manifest.props.get("mview.keys").exists(
+                    _.split(',').map(_.trim.toLowerCase).toSet == keyNames) &&
+                  sumCols.forall(c => v.manifest.props.get("mview.sum")
+                    .exists(_.equalsIgnoreCase(c))) &&
+                  // Never serve a view with no committed WRITE (gen 0): V2
+                  // CTAS registers the target table BEFORE running the seed
+                  // query, and the pre-seeded fold floor would make the
+                  // empty shell look fresh — the rule would rewrite the
+                  // view's own seed aggregate into a read of its empty self.
+                  v.manifest.gen >= 1 &&
+                  // FRESH: folded exactly to the generation this scan reads.
+                  GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
+              Some((id, v))
+            case _ => None
+          }
+        } catch { case _: Exception => None }
+      }.nextOption().getOrElse(return None)
+    val (vIdent, vTable) = view
+
+    // Build the view scan by hand (this rule may run after the engine's own
+    // scan-planning batch, so a raw relation would never get planned).
+    val vRel = DataSourceV2Relation.create(vTable, baseRel.catalog, Some(vIdent))
+    val wanted = keyAttrs.map(_.name).toSet ++
+      (if (outs.exists(_.isInstanceOf[CountOut])) Set("mv_count") else Set.empty) ++
+      (if (outs.exists(_.isInstanceOf[SumOut])) Set("mv_sum") else Set.empty)
+    val needed = StructType(vTable.schema().fields.filter(f => wanted.contains(f.name)))
+    val sb = vTable.newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(needed)
+      case _ =>
+    }
+    val scan = sb.build()
+    val vOut = vRel.output.filter(a2 => needed.fieldNames.contains(a2.name))
+    val vScan = DataSourceV2ScanRelation(vRel, scan, vOut)
+    def vAttr(name: String): AttributeReference =
+      vOut.find(_.name.equalsIgnoreCase(name)).get
+
+    // Preserve the Aggregate's exact output (names + exprIds).
+    val projList: Seq[NamedExpression] = outs.map {
+      case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
+      case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
+      case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
+    }
+    Some(Project(projList, vScan))
+  }
+}

@@ -2893,6 +2893,44 @@ object StarQueries {
     // column-mapping guarantee). `no_resurrection` pins it inside the hash
     // gate: pre-drop rows must count ZERO non-null values under the re-added
     // column while post-add appends carry real ones.
+    // B234: AUTOMATIC MATERIALIZED-VIEW QUERY REWRITE (Oracle QUERY REWRITE /
+    // Snowflake mview rewrite): the query below is the NATURAL aggregate
+    // over the base table — the user never names the view — and the
+    // optimizer answers it from the B198 incremental mview because the
+    // view's fold floor equals the exact generation the scan reads
+    // (provably fresh ⇒ provably identical). `rewritten` (the optimized
+    // plan scans the view, not the base) rides the hash gate next to the
+    // values, and the oracle replays the aggregate over the BASE data — a
+    // rewrite serving stale or wrong numbers, or silently not firing, both
+    // break the hash.
+    "q_mview_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+            pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+            pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
+          .coalesce(2).writeTo("graft.mvrq")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "mvrq_mv", 2L, "v1", Seq("orders")) { marker =>
+        s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
+          "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
+        s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
+      }
+      val df = s.table("graft.mvrq")
+        .groupBy(col("pk"), col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
+        !scans.exists(_.contains("mvrq@"))
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"), col("b"))
+    },
+
     // B233: ROW-LEVEL SECURITY + COLUMN MASKING enforced IN the scan (the
     // Unity row-filter / Snowflake masking-policy posture): the fixture
     // table declares `graft.rowFilter = k % 7 <> 0`, `graft.mask.tag =
@@ -5003,6 +5041,16 @@ object StarQueries {
         |  true AS spj
         |FROM f JOIN d ON f.pk = d.pk
         |GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B234: the oracle replays the aggregate over the BASE data and pins the
+    // plan's view-scan boolean TRUE inside the hash gate.
+    "q_mview_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, CAST(b AS BIGINT) AS b,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS rewritten
+        |FROM base GROUP BY 1, 2 ORDER BY pk, b""".stripMargin,
 
     // B233: the oracle replays the row filter relationally for the policed
     // columns, the raw table for the auditor columns, and pins the mask

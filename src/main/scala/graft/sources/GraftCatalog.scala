@@ -1062,7 +1062,7 @@ object GraftCommitProtocol {
   }
 }
 
-class GraftTable(ident: Identifier, dir: Path, manifest: GraftManifest)
+class GraftTable(val ident: Identifier, val dir: Path, val manifest: GraftManifest)
     extends Table with SupportsRead with SupportsWrite with TruncatableTable
     with SupportsDelete with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = s"graft.${ident.name()}@${manifest.gen}"
@@ -2672,9 +2672,9 @@ object GraftParquetRead {
   * filtering: a keyed MERGE pushes the source keys back into this scan, so
   * only files whose partition values / min-max stats overlap the keys are
   * read — or rewritten. Without this every MERGE would rewrite the table. */
-class GraftBatchScan(dir: Path, manifest: GraftManifest,
+class GraftBatchScan(dir: Path, val manifest: GraftManifest,
     val entries: Seq[(String, String)], required: StructType,
-    dataFilters: Array[Filter] = Array.empty)
+    val dataFilters: Array[Filter] = Array.empty)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}

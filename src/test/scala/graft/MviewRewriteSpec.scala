@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+/**
+ * B234 — automatic materialized-view query rewrite. The positive pin proves
+ * the natural GROUP BY answers from the view (plan) with join-identical
+ * results (values vs the rule detached); the negative pins prove the rule
+ * never fires when the rewrite would NOT be the same computation: stale
+ * view, filtered scan, unmaintained aggregate, different keys, policied base.
+ */
+class MviewRewriteSpec extends GraftSuite {
+
+  private lazy val root = {
+    val r = tmpDir("graft_mvr")
+    spark.conf.set("spark.sql.catalog.gmvr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvr.root", r)
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.fact")
+    (0L until 300L).map(i => (i, i % 7, i % 3, i * 11 % 1000))
+      .toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").create()
+    spark.sql(
+      "CALL gmvr.system.create_mview(source => 'fact', name => 'fact_mv', " +
+        "keys => 'k1,k2', sum_col => 'x')")
+    org.apache.spark.sql.GraftBridge.addOptimization(spark,
+      graft.plans.MviewRewriteRule(spark))
+    r
+  }
+
+  private def natural: DataFrame = {
+    val _ = root
+    spark.table("gmvr.fact").groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  private def scansOf(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation => s.relation.table.name()
+    }
+
+  private def answersFromView(df: DataFrame): Boolean = {
+    val scans = scansOf(df)
+    scans.exists(_.contains("fact_mv")) && !scans.exists(_.contains("fact@"))
+  }
+
+  test("a fresh view answers the natural aggregate with identical results") {
+    assert(answersFromView(natural), s"expected view scan, got ${scansOf(natural)}")
+    val got = natural.collect().map(_.toSeq).toSeq
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try {
+      val real = natural
+      assert(!answersFromView(real), "sanity: rule off, base scan")
+      assert(real.collect().map(_.toSeq).toSeq === got)
+    } finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("one source commit past the fold floor stops the rewrite until refresh") {
+    val _ = root
+    import spark.implicits._
+    Seq((900L, 1L, 1L, 50L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    assert(!answersFromView(natural), "stale view must never serve")
+    // The un-rewritten answer includes the new row.
+    val n11 = natural.filter(col("k1") === 1 && col("k2") === 1).head
+    val expect = (0L until 300L).filter(i => i % 7 == 1 && i % 3 == 1)
+    assert(n11.getLong(2) === expect.size + 1)
+    assert(n11.getLong(3) === expect.map(_ * 11 % 1000).sum + 50)
+    // Refresh folds the delta; the rewrite comes back with the SAME numbers.
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    assert(answersFromView(natural))
+    val again = natural.filter(col("k1") === 1 && col("k2") === 1).head
+    assert(again.getLong(2) === n11.getLong(2) && again.getLong(3) === n11.getLong(3))
+  }
+
+  test("non-identical computations never rewrite") {
+    val _ = root
+    val f = spark.table("gmvr.fact")
+    // Filtered scan: not the view's input.
+    assert(!answersFromView(f.filter(col("id") < 100)
+      .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n"))))
+    // Unmaintained aggregate (max).
+    assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
+      .agg(max(col("x")).as("m"))))
+    // Sum of a different column.
+    assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
+      .agg(sum(col("id")).as("s"))))
+    // Different key set.
+    assert(!answersFromView(f.groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"))))
+    // Distinct count is not count(*).
+    assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
+      .agg(countDistinct(col("x")).as("d"))))
+  }
+
+  test("creating a view WHILE the rule is attached seeds from the base, not itself") {
+    // V2 CTAS registers the target before running the seed query, and the
+    // pre-seeded fold floor makes the empty shell look fresh — without the
+    // gen>=1 guard the rule rewrites the view's own seed into a read of its
+    // empty self and the view is born holding nothing.
+    val _ = root
+    spark.sql("DROP TABLE IF EXISTS gmvr.self_mv")
+    spark.sql("CALL gmvr.system.create_mview(source => 'fact', " +
+      "name => 'self_mv', keys => 'k1', sum_col => 'x')")
+    val seeded = spark.table("gmvr.self_mv")
+      .agg(sum(col("mv_count"))).head.getLong(0)
+    assert(seeded === spark.table("gmvr.fact").count(),
+      "the seed must aggregate the BASE table, never the empty view shell")
+    spark.sql("DROP TABLE IF EXISTS gmvr.self_mv")
+  }
+
+  test("a policied base table never serves the (raw) view to policed sessions") {
+    val _ = root
+    spark.sql("ALTER TABLE gmvr.fact SET TBLPROPERTIES(" +
+      "'graft.rowFilter' = 'id % 2 = 0', 'graft.policy.exemptRoles' = 'adm')")
+    try {
+      assert(!answersFromView(natural), "policied base must scan, not rewrite")
+      // And the policed scan really filters.
+      assert(natural.agg(sum(col("n"))).head.getLong(0) === 151) // 150 evens + id 900
+    } finally spark.sql("ALTER TABLE gmvr.fact UNSET TBLPROPERTIES(" +
+      "'graft.rowFilter', 'graft.policy.exemptRoles')")
+  }
+}
