@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -79,12 +79,25 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
   private def eliminate(j: Join, used: Seq[Expression])
       : Option[(Seq[Expression], LogicalPlan)] = j match {
     case Join(l, r, Inner, Some(cond), _) =>
-      attempt(l, r, cond, used).orElse(attempt(r, l, cond, used))
+      attempt(l, r, cond, used, outer = false)
+        .orElse(attempt(r, l, cond, used, outer = false))
+    // LEFT OUTER to a unique key preserves every fact row exactly once, so
+    // elimination needs only the PK declaration when no dimension column is
+    // used; a pk reference substitutes to the fk under the FK declaration
+    // (matched rows: pk = fk by the condition; unmatched rows: RELY says
+    // every non-null fk matches, so unmatched means fk IS NULL means the
+    // null-extended pk equals it). No IS NOT NULL guard — outer joins drop
+    // nothing. The preserved side is the fact; only that orientation exists.
+    case Join(l, r, LeftOuter, Some(cond), _) =>
+      attempt(l, r, cond, used, outer = true)
+    case Join(l, r, RightOuter, Some(cond), _) =>
+      attempt(r, l, cond, used, outer = true)
     case _ => None
   }
 
   private def attempt(fact: LogicalPlan, dim: LogicalPlan, cond: Expression,
-                      used: Seq[Expression]): Option[(Seq[Expression], LogicalPlan)] = {
+                      used: Seq[Expression], outer: Boolean)
+      : Option[(Seq[Expression], LogicalPlan)] = {
     // 2. dimension side: bare relation (possibly attribute-only Project,
     // possibly under a Filter that only asserts IsNotNull of the pk — the
     // exact filter InferFiltersFromConstraints derives from the join
@@ -115,9 +128,18 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       case _ => return None
     }
 
-    // 3. the fact key is the DECLARED foreign key of a graft table in the
-    // fact subtree, and the declaration references THIS dimension table+pk.
-    val declared = factRelations(fact).exists { r =>
+    // 4. nothing above uses dim columns except pk; rewrite pk -> fk keeping
+    // the original exprId so parent references stay valid.
+    val dimOut = dim.outputSet
+    val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
+    if (!usedDim.forall(_.exprId == pkSide.exprId)) return None
+
+    // 3. the FK declaration: an INNER join always needs it (elimination
+    // keeps fact rows the join would only keep under referential
+    // integrity), an OUTER join needs it only to substitute a used pk
+    // (unused-dim outer elimination is sound from PK uniqueness alone).
+    val needsFk = !outer || usedDim.nonEmpty
+    val declared = !needsFk || factRelations(fact).exists { r =>
       foreignKeys(r).exists { fk =>
         fk.pkCol.equalsIgnoreCase(pkName) &&
           tableMatches(dimRel, fk.refTable) &&
@@ -126,12 +148,6 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       }
     }
     if (!declared) return None
-
-    // 4. nothing above uses dim columns except pk; rewrite pk -> fk keeping
-    // the original exprId so parent references stay valid.
-    val dimOut = dim.outputSet
-    val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
-    if (!usedDim.forall(_.exprId == pkSide.exprId)) return None
     val newUsed = used.map { e =>
       e.transform {
         case a: AttributeReference if a.exprId == pkSide.exprId =>
@@ -145,8 +161,10 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
         case other => other
       }
     }
-    // Inner equi-join drops NULL fact keys — preserve that exactly.
-    val child = if (fkAttr.nullable) Filter(IsNotNull(fkAttr), fact) else fact
+    // Inner equi-join drops NULL fact keys — preserve that exactly. Outer
+    // joins preserve every fact row: no guard.
+    val child =
+      if (!outer && fkAttr.nullable) Filter(IsNotNull(fkAttr), fact) else fact
     Some((newUsed, child))
   }
 }

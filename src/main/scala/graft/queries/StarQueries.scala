@@ -2915,9 +2915,16 @@ object StarQueries {
           .coalesce(2).writeTo("graft.mvrq")
           .tableProperty("fixture", marker).create()
       }
-      fixture(s, d, "mvrq_mv", 2L, "v1", Seq("orders")) { marker =>
+      // v2: v1 scratches were poisoned by a pre-guard build (the CTAS
+      // self-seed cycle MviewRewriteSpec now pins) — an empty view with a
+      // matching marker would be reused forever, so void them all.
+      fixture(s, d, "mvrq_mv", 2L, "v2", Seq("orders")) { marker =>
         s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
           "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
+        // Seed sanity BEFORE the marker lands: a failed/empty seed must
+        // never become a reusable fixture.
+        require(s.table("graft.mvrq_mv").count() > 0,
+          "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
         s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
       }
       val df = s.table("graft.mvrq")

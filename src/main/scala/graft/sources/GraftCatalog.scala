@@ -2455,6 +2455,22 @@ object GraftParquetRead {
     // naming above the scan is untouched.
     val phys: String => String = manifest.physicalName
 
+    // Per-spec reader machinery, built by `mkSpec` below. A pure-data holder
+    // on purpose: a method-local class computing these in its body captures
+    // the enclosing scope — including the SparkSession — as hidden outer
+    // fields, and the factory ships to executors (the full `sbt test` run
+    // caught exactly that as a Task-not-serializable on the session's
+    // ObservationManager). The builder LAMBDA may close over the session;
+    // the OBJECT it returns must not.
+    final class SpecReaders(
+        val partFields: Seq[org.apache.spark.sql.types.StructField],
+        val readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+        val unfilteredReaderFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+        val batchOk: Boolean,
+        val columnarReaderFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+        val outIdx: Array[Int],
+        val needsRealign: Boolean) extends Serializable
+
     /**
      * All reader machinery for ONE partition spec — the set of columns a
      * file's partition path strips from its data (B232 partition spec
@@ -2462,7 +2478,7 @@ object GraftParquetRead {
      * read through its own). A never-evolved table builds exactly one of
      * these, with byte-identical behavior to the pre-evolution code.
      */
-    final class SpecReaders(stripped: Seq[String]) extends Serializable {
+    def mkSpec(stripped: Seq[String]): SpecReaders = {
       val dataFields = eff.fields.filterNot(f =>
         stripped.contains(f.name) || metaNames(f.name))
       // THIS spec's data schema: the table schema minus its stripped columns.
@@ -2476,8 +2492,8 @@ object GraftParquetRead {
       // corrupt the `_pos` ordinal counter below (ordinals must be TRUE file
       // positions for deletion vectors to land on the right rows) — so slices
       // that carry a DV or feed `_pos` read through an UNfiltered twin.
-      private val dataNames = specDataSchema.fieldNames.toSet
-      private val parquetFilters = policedFilters.filter(_.references.forall(dataNames))
+      val dataNames = specDataSchema.fieldNames.toSet
+      val parquetFilters = policedFilters.filter(_.references.forall(dataNames))
         .map(f => if (manifest.colMap.isEmpty) f
                   else GraftScanBuilder.renameFilter(f, phys))
       // `_gen` / `_file` ride the partition-values channel: per-file constants
@@ -2488,7 +2504,7 @@ object GraftParquetRead {
         required.fields.filter(f => f.name == "_gen" || f.name == "_file")
           .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
             nullable = false))
-      private def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
+      def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
         fmt.buildReaderWithPartitionValues(
           rowSession,
           dataSchema = manifest.physicalize(specDataSchema),
@@ -2522,10 +2538,12 @@ object GraftParquetRead {
       // the scan's readSchema (`required`) may interleave partition columns in
       // table order — realign with an executor-side unsafe projection when the
       // orders differ.
-      private val readerOrder = (dataFields ++ partFields).map(_.name) ++
+      val readerOrder = (dataFields ++ partFields).map(_.name) ++
         (if (wantsPos) Seq("_pos") else Nil)
       val outIdx = eff.fields.map(f => readerOrder.indexOf(f.name))
       val needsRealign = !outIdx.sameElements(outIdx.indices)
+      new SpecReaders(partFields, readerFn, unfilteredReaderFn, batchOk,
+        columnarReaderFn, outIdx, needsRealign)
     }
 
     // One SpecReaders per distinct spec among the manifest's files, plus the
@@ -2546,7 +2564,7 @@ object GraftParquetRead {
           val stripped: Seq[String] =
             if (key == currentKey) manifest.partCols
             else manifest.schema.fields.map(_.name).filter(key.contains).toSeq
-          key -> new SpecReaders(stripped)
+          key -> mkSpec(stripped)
         }.toMap
     val outFields = eff.fields
     new PartitionReaderFactory {

@@ -101,10 +101,36 @@ class RelyJoinEliminationSpec extends GraftSuite {
     assert(joins(df).nonEmpty)
   }
 
-  test("an outer join is never eliminated") {
+  test("a LEFT OUTER join to a declared PK is eliminated WITHOUT the null guard") {
     val f = fact; val d = dim
+    // pk referenced: substitution needs the FK declaration too (unmatched
+    // rows: RELY says unmatched ⇔ fk IS NULL ⇔ the null-extended pk = fk).
     val df = f.join(d, f("cust") === d("pk"), "left")
-      .groupBy(pmod(col("pk"), lit(3)).as("grp"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("grp"))
+    assert(joins(df).isEmpty, "left outer to a RELY PK must be eliminated")
+    val got = df.collect().map(_.toSeq)
+    // All 40 fact rows survive — the 10 null-fk rows land in the null group.
+    assert(got.map(_(1).asInstanceOf[Long]).sum === 40L)
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(df.collect().map(_.toSeq).toSeq === got.toSeq)
+    finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("a LEFT OUTER join without the PK RELY keyword is never eliminated") {
+    val f = { root; spark.table("relycat.fact_nr") }
+    val d = spark.table("relycat.dim_norely")
+    val df = f.join(d, f("cust") === d("pk"), "left")
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).nonEmpty)
+  }
+
+  test("a FULL OUTER join is never eliminated") {
+    val f = fact; val d = dim
+    val df = f.join(d, f("cust") === d("pk"), "full")
       .agg(count(lit(1)).as("n"))
     assert(joins(df).nonEmpty)
   }
