@@ -2840,7 +2840,7 @@ object StarQueries {
 
     // B230 query witness: CDC APPLY — the consumer half of the change feed
     // (Delta's APPLY CHANGES / Debezium-sink posture): a replica table is
-    // maintained PURELY from the feed, one MERGE per source commit. Each
+    // bootstrapped from the initial snapshot, then one MERGE per later source commit. Each
     // commit's batch collapses to net row effects (an UPDATE's delete+insert
     // pair on one key becomes an upsert; delete-only keys delete), so the
     // replica replays the history without ever scanning the source. At
@@ -2850,17 +2850,28 @@ object StarQueries {
     "q_catalog_cdc_apply" -> { (s, d) =>
       cdfFixture(s, d)
       s.sql("DROP TABLE IF EXISTS graft.cdcr")
-      s.table("graft.cdfq").limit(0).writeTo("graft.cdcr").create()
+      // BOOTSTRAP from the initial snapshot (the Debezium/APPLY CHANGES
+      // posture: one snapshot load, then per-commit deltas) — the replica is
+      // born as the source's gen-1 state in one bulk write instead of
+      // replaying the seed commit through a MERGE. Merge-on-read DML: each
+      // applied commit lands as deletion vectors + new rows, never a file
+      // rewrite of the replica.
+      s.sql("SELECT o_orderkey, cents, pk FROM graft.cdfq VERSION AS OF 1")
+        .writeTo("graft.cdcr").tableProperty("dml", "dv").create()
       val feed = graft.sources.GraftCatalogOps.changes(s, "graft.cdfq",
-          Tables.scratchDir(s, "catalog", d), "cdfq", 0L, 4L)
+          Tables.scratchDir(s, "catalog", d), "cdfq", 1L, 4L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (1L to 4L).foreach { g =>
+      (2L to 4L).foreach { g =>
         val batch = feed.filter(col("_commit_version") === g)
         val ins = batch.filter(col("_change_type") === "insert")
           .select(col("o_orderkey"), col("cents"), col("pk"))
+        // delete-only keys: an anti-join against the batch's inserts (an
+        // UPDATE's delete half cancels against its insert half) — broadcast,
+        // no shuffle set-op: a commit's changed-key set is delta-sized.
         val delOnly = batch.filter(col("_change_type") === "delete")
           .select(col("o_orderkey"))
-          .exceptAll(ins.select(col("o_orderkey")))
+          .join(broadcast(ins.select(col("o_orderkey"))), Seq("o_orderkey"),
+            "left_anti")
         ins.withColumn("_op", lit("u"))
           .unionByName(delOnly
             .withColumn("cents", lit(null).cast("long"))
