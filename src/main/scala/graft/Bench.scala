@@ -349,10 +349,17 @@ object Bench {
       //      recorded deliberately with SPARK_GRAFT_BENCH_FORCE=1.
       val sameSurface = prevQ.nonEmpty &&
         prevQ.keySet == finalResults.collect { case (k, _, true, _, _) => k }.toSet
-      val ratchet = sameSurface && prevTotal.exists(pt => pt > 0 && total > 1.05 * pt) &&
-        !sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-      val tailInflated = perQInflated.size >= 5 || spiked.nonEmpty ||
-        excessSec > 5.0 || newInflated.nonEmpty || ratchet
+      // FORCE=1 is the DELIBERATE-record escape hatch (a surface change that
+      // legitimately moves one-time memo costs between same-family queries —
+      // e.g. the StandardLabels build landing on a different q_dedup_* when
+      // the query map grows — trips the per-query spike guard with no real
+      // regression). It bypasses the per-query tail guards ONLY: a run that
+      // started contended or costs >2x the committed total refuses
+      // regardless — there is never a good reason to record one of those.
+      val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+      val ratchet = sameSurface && prevTotal.exists(pt => pt > 0 && total > 1.05 * pt)
+      val tailInflated = !force && (perQInflated.size >= 5 || spiked.nonEmpty ||
+        excessSec > 5.0 || newInflated.nonEmpty || ratchet)
       if (contended || inflated || tailInflated)
         System.err.println(f"[bench] tracked ledgers NOT overwritten " +
           f"(contended=$contended startLoadAvg=$startLoadAvg%.1f/$cores, " +

@@ -2555,7 +2555,12 @@ object GraftParquetRead {
     // planned — fails with a restart instruction rather than misreading.
     val currentKey = manifest.partCols.toSet
     val specsByKey: Map[Set[String], SpecReaders] =
-      (manifest.entries.iterator.map { case (pp, _) =>
+      // Uniform fast path (every never-evolved table): one spec, no second
+      // walk over the entry list — specUniform already walked it once and is
+      // cached on the manifest instance; catalog DML queries build many
+      // factories, so the per-factory enumeration is worth skipping.
+      if (manifest.specUniform) Map(currentKey -> mkSpec(manifest.partCols))
+      else (manifest.entries.iterator.map { case (pp, _) =>
         GraftScanBuilder.partValues(pp).keySet }.toSet + currentKey)
         .iterator.map { key =>
           // Stable column order: the current spec keeps partCols order
