@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.TableCatalog
@@ -95,6 +95,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     case class KeyOut(a: AttributeReference) extends Out
     case class CountOut(al: Alias) extends Out
     case class SumOut(al: Alias, col: String) extends Out
+    case class AvgOut(al: Alias, col: String) extends Out
     val keyIds = keyAttrs.map(_.exprId).toSet
     val outs: Seq[Out] = aes.map {
       case ar: AttributeReference if keyIds.contains(ar.exprId) => KeyOut(ar)
@@ -104,9 +105,22 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
       case al @ Alias(AggregateExpression(Sum(sa: AttributeReference, _),
           Complete, false, None, _), _) => SumOut(al, sa.name)
+      // AVG derives exactly: the view's mv_sum/mv_count are exact longs, and
+      // Spark's own Average-of-long evaluates sum.toDouble / count.toDouble —
+      // the replacement reproduces that expression bit-for-bit.
+      case al @ Alias(AggregateExpression(Average(sa: AttributeReference, _),
+          Complete, false, None, _), _)
+          if Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.ShortType)(sa.dataType) =>
+        AvgOut(al, sa.name)
       case _ => return None
     }
-    val sumCols = outs.collect { case SumOut(_, c) => c }.distinct
+    val sumCols = outs.collect {
+      case SumOut(_, c) => c
+      case AvgOut(_, c) => c
+    }.distinct
     if (sumCols.size > 1) return None
 
     // A fresh view for this (source, keys, sum) in the same catalog.
@@ -144,9 +158,13 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // Build the view scan by hand (this rule may run after the engine's own
     // scan-planning batch, so a raw relation would never get planned).
     val vRel = DataSourceV2Relation.create(vTable, baseRel.catalog, Some(vIdent))
+    val needsCount = outs.exists(o =>
+      o.isInstanceOf[CountOut] || o.isInstanceOf[AvgOut])
+    val needsSum = outs.exists(o =>
+      o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut])
     val wanted = keyAttrs.map(_.name).toSet ++
-      (if (outs.exists(_.isInstanceOf[CountOut])) Set("mv_count") else Set.empty) ++
-      (if (outs.exists(_.isInstanceOf[SumOut])) Set("mv_sum") else Set.empty)
+      (if (needsCount) Set("mv_count") else Set.empty) ++
+      (if (needsSum) Set("mv_sum") else Set.empty)
     val needed = StructType(vTable.schema().fields.filter(f => wanted.contains(f.name)))
     val sb = vTable.newScanBuilder(CaseInsensitiveStringMap.empty())
     sb match {
@@ -165,6 +183,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
       case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
       case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
+      case AvgOut(al, _) =>
+        import org.apache.spark.sql.types.DoubleType
+        Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
+          Cast(vAttr("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
     }
     Some(Project(projList, vScan))
   }

@@ -78,6 +78,23 @@ class MviewRewriteSpec extends GraftSuite {
     assert(again.getLong(2) === n11.getLong(2) && again.getLong(3) === n11.getLong(3))
   }
 
+  test("AVG of the declared sum column derives from mv_sum/mv_count, bit-identical") {
+    val _ = root
+    val df = spark.table("gmvr.fact").groupBy(col("k1"), col("k2"))
+      .agg(avg(col("x")).as("ax"), count(lit(1)).as("n"))
+      .orderBy(col("k1"), col("k2"))
+    assert(answersFromView(df), s"avg must rewrite, got ${scansOf(df)}")
+    val got = df.collect().map(_.toSeq).toSeq
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(df.collect().map(_.toSeq).toSeq === got)
+    finally cls.experimental.extraOptimizations = saved
+    // AVG of a NON-declared column never rewrites.
+    assert(!answersFromView(spark.table("gmvr.fact").groupBy(col("k1"), col("k2"))
+      .agg(avg(col("id")).as("a"))))
+  }
+
   test("non-identical computations never rewrite") {
     val _ = root
     val f = spark.table("gmvr.fact")
