@@ -2439,7 +2439,6 @@ object GraftParquetRead {
     // a final projection replaces masked columns — all inside the reader, so
     // every path through this factory (batch, streaming, CDF) is policed.
     val policy = GraftPolicies.compile(manifest, required, rowSession)
-    val userRequired = required
     val eff = policy.map(_.internalSchema).getOrElse(required)
     // Filters on masked columns never reach the files or the stats: pruning
     // on RAW values under a predicate Spark re-checks on MASKED output
