@@ -121,6 +121,42 @@ object TextQueries {
       Dedup.StandardLabels.pairs(s, d).orderBy(col("id_a"), col("id_b"))
     },
 
+    // B235: INCREMENTAL ingest dedup — the production posture for a corpus
+    // that grows daily: an incoming batch (doc_id % 10 = 0, a deterministic
+    // 10% "delivery") is deduplicated AGAINST THE EXISTING CORPUS, never
+    // all-pairs over everything. Candidates come from the same persisted
+    // MinHash/LSH layers every dedup query shares (Dedup.StandardLabels —
+    // signatures computed once per dataset), filtered to exactly the
+    // new-vs-corpus cross pairs; new-vs-new pairs are deliberately ignored
+    // (intra-batch dedup is B9/B19's job — ingest admission asks "have we
+    // SEEN this before"). Per incoming doc: is_dup + its smallest-id corpus
+    // match + that pair's exact Jaccard. At 100 TB the corpus side is a
+    // precomputed signature table and the work is proportional to the
+    // BATCH, which is what lets admission run per delivery.
+    "q_dedup_incremental" -> { (s, d) =>
+      val incoming = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"))
+      val pairs = Dedup.StandardLabels.pairs(s, d)
+      // Cross pairs only: exactly one side is in the incoming batch.
+      val cross = pairs.select(
+          when(pmod(col("id_a"), lit(10)) === 0, col("id_a"))
+            .otherwise(col("id_b")).as("nid"),
+          when(pmod(col("id_a"), lit(10)) === 0, col("id_b"))
+            .otherwise(col("id_a")).as("cid"),
+          col("jaccard"))
+        .filter((pmod(col("nid"), lit(10)) === 0) &&
+          (pmod(col("cid"), lit(10)) =!= 0))
+      val best = cross.groupBy(col("nid"))
+        .agg(min(col("cid")).as("match_id"))
+        .join(cross.withColumnRenamed("cid", "match_id"),
+          Seq("nid", "match_id"))
+      incoming.join(best, incoming("doc_id") === best("nid"), "left")
+        .select(col("doc_id"), col("match_id").isNotNull.as("is_dup"),
+          col("match_id"), col("jaccard"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact n-gram Jaccard with prefix-filter blocking. 5-grams, not 3: the corpus
     // vocabulary is ~31 words, so 3-gram document frequency averages ~250 and every
     // block is fat; 5-gram space is large enough that prefix blocks hold only true
@@ -1137,6 +1173,28 @@ object TextQueries {
       s"""WITH $duckMinhashPairs
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // B235: the oracle replays the SAME LSH pair kernel, keeps only the
+    // new-vs-corpus cross pairs, and picks each incoming doc's smallest-id
+    // corpus match — a candidate scheme that missed a cross pair, or leaked
+    // an intra-batch one, breaks the hash.
+    "q_dedup_incremental" ->
+      s"""WITH $duckMinhashPairs,
+         |np AS (SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8),
+         |cross_p AS (
+         |  SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS nid,
+         |         CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS cid,
+         |         jaccard
+         |  FROM np WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)),
+         |best AS (SELECT nid, min(cid) AS match_id FROM cross_p GROUP BY nid),
+         |scored AS (SELECT b.nid, b.match_id, c.jaccard
+         |           FROM best b JOIN cross_p c
+         |             ON c.nid = b.nid AND c.cid = b.match_id)
+         |SELECT d.doc_id, s.match_id IS NOT NULL AS is_dup,
+         |       s.match_id, s.jaccard
+         |FROM documents d LEFT JOIN scored s ON s.nid = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     // True transitive components via recursive CTE over the same thresholded pair
     // graph the Spark side propagates labels on.

@@ -173,6 +173,31 @@ class PolicySpec extends GraftSuite {
       "partition column")
   }
 
+  test("the change data feed is policed: masked values, invisible rows emit no events") {
+    val t = freshTable("cdfpol"); seed(t, Map("dml" -> "dv"))
+    // A DV delete under the exempt role creates delete events for BOTH
+    // visible (d0) and invisible (d1) rows.
+    asRole(Some("admin")) { spark.sql(s"DELETE FROM $t WHERE id < 4") }
+    val feed = graft.sources.GraftCatalogOps.changes(spark, t,
+      spark.conf.get("spark.sql.catalog.gpol.root"), "cdfpol", 0L, 2L)
+    val rows = feed.collect()
+    // Inserts: only the 20 visible rows; deletes: only ids 0 and 2 (d0) —
+    // the d1 deletes (ids 1, 3) concern rows this session never saw.
+    val ins = rows.filter(_.getAs[String]("_change_type") == "insert")
+    val del = rows.filter(_.getAs[String]("_change_type") == "delete")
+    assert(ins.length === 20 && ins.forall(_.getAs[String]("dept") == "d0"))
+    assert(del.map(_.getAs[Long]("id")).sorted.toSeq === Seq(0L, 2L))
+    assert(rows.forall(_.getAs[String]("ssn") == "***"), "feed must mask")
+    // The exempt role sees the raw feed: 40 inserts, 4 deletes, raw ssn.
+    asRole(Some("dba")) {
+      val raw = graft.sources.GraftCatalogOps.changes(spark, t,
+        spark.conf.get("spark.sql.catalog.gpol.root"), "cdfpol", 0L, 2L).collect()
+      assert(raw.count(_.getAs[String]("_change_type") == "insert") === 40)
+      assert(raw.count(_.getAs[String]("_change_type") == "delete") === 4)
+      assert(raw.exists(_.getAs[String]("ssn") != "***"))
+    }
+  }
+
   test("the streaming source and change feed are policed through the same reader") {
     val t = freshTable("stream"); seed(t)
     // Batch-read the table AS a streaming source drain (AvailableNow) and
