@@ -761,6 +761,50 @@ object EventQueries {
         .orderBy(col("v_id"), col("p_id"))
     },
 
+    // B236: stream-stream FULL OUTER interval join — the join matrix's last
+    // streaming cell: unmatched VIEWS null-pad right columns AND unmatched
+    // PURCHASES null-pad left columns, each released exactly when the
+    // opposite watermark proves no match can still arrive. Same shared
+    // sentinel-closed source and single AvailableNow drain as B186/B206;
+    // the read-back keeps null-keyed rows (they ARE the full-outer payload)
+    // and drops only the negative-id sentinels on whichever side is
+    // present. The DuckDB FULL JOIN replay is the exact oracle.
+    "q_stream_join_full" -> { (s, d) =>
+      val src = streamJoinSources(s, d)
+      val scratch = Tables.scratchDir(s, "ssjoinf", d)
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/out"), true)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val vS = s.readStream.schema(viewsSchema).parquet(s"$src/views")
+        val pS = s.readStream.schema(purchSchema).parquet(s"$src/purch")
+        val joined = graft.streaming.StreamJoins.intervalJoinFull(
+          vS, "v_ts", pS, "p_ts", "1 hour",
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+        val q = joined
+          .select(col("v_id"), col("p_id"),
+            coalesce(col("user_id"), col("p_user")).as("uid"),
+            r2(col("p_value")).as("p_value"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+          .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+          .format("parquet").option("path", s"$scratch/out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val done = q.awaitTermination(240000)
+        q.stop()
+        require(done, "q_stream_join_full: AvailableNow drain did not finish in 240s")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$scratch/out")
+        .filter((col("v_id").isNull || col("v_id") >= 0L) &&
+          (col("p_id").isNull || col("p_id") >= 0L))
+        .orderBy(col("v_id"), col("p_id"))
+    },
+
     // B185: two-table as-of join — every purchase picks up the most recent
     // view by the same user at-or-before it (the feature-store point-in-time
     // lookup / trade-to-quote match), 1-day backward tolerance. Planned as
@@ -928,6 +972,23 @@ object EventQueries {
         |SELECT v.v_id, p.p_id, v.user_id, round(p.value, 2) AS p_value,
         |  epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
+        |ORDER BY v_id, p_id""".stripMargin,
+
+    // B236: the batch FULL JOIN is the oracle — the drained stream must
+    // carry matched pairs, view-only rows (null p_*), and purchase-only
+    // rows (null v_id) exactly once each.
+    "q_stream_join_full" ->
+      """WITH v AS (
+        |  SELECT event_id AS v_id, user_id, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.v_id, p.p_id, coalesce(v.user_id, p.user_id) AS uid,
+        |  round(p.value, 2) AS p_value,
+        |  epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us
+        |FROM v FULL JOIN p ON v.user_id = p.user_id
         |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
         |ORDER BY v_id, p_id""".stripMargin,
 

@@ -58,4 +58,23 @@ object StreamJoins {
                         delay: String, cond: Column): DataFrame =
     left.withWatermark(leftTs, delay)
       .join(right.withWatermark(rightTs, delay), cond, "left_outer")
+
+  /**
+   * Watermarked FULL OUTER interval join (B236) — both sides' unmatched rows
+   * emit null-padded, each held exactly until the OPPOSITE side's watermark
+   * proves no match can still arrive (the left row waits on the right
+   * watermark like the left-outer case; a right row waits on the left
+   * watermark passing `rightTs` since the interval bounds `leftTs ≥ rightTs −
+   * upperBound`). State stays O(rate × (window + delay)) per side — the
+   * outer-ness changes WHEN a buffered row is released, never how long it is
+   * kept. Same closure idiom as left-outer: with an AvailableNow drain and a
+   * far-future sentinel on EACH side, the terminal no-data batch evicts every
+   * remaining unmatched row on BOTH sides, so the drained result equals the
+   * batch full join — the DuckDB replay stays an exact oracle.
+   */
+  def intervalJoinFull(left: DataFrame, leftTs: String,
+                       right: DataFrame, rightTs: String,
+                       delay: String, cond: Column): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay), cond, "full_outer")
 }
