@@ -123,7 +123,14 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }.distinct
     if (sumCols.size > 1) return None
 
-    // A fresh view for this (source, keys, sum) in the same catalog.
+    // A fresh view for this (source, keys, sum) in the same catalog. View
+    // DECLARATIONS come from a short-TTL cache (MviewRewriteRule.viewIndex):
+    // enumerating + loading every table in the namespace per qualifying
+    // aggregate would make PLANNING O(catalog size). Freshness is NEVER
+    // cached — each candidate's manifest is re-loaded and its fold floor
+    // compared against this scan's bound generation, so a stale cache can
+    // only delay noticing a NEW view (rewrite silently off for up to the
+    // TTL — plans stay correct), never serve a stale one.
     val tc = baseRel.catalog.getOrElse(return None) match {
       case t: TableCatalog => t
       case _ => return None
@@ -131,27 +138,26 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val srcIdent = baseRel.identifier.getOrElse(return None)
     val keyNames = keyAttrs.map(_.name.toLowerCase).toSet
     val view: (org.apache.spark.sql.connector.catalog.Identifier, GraftTable) =
-      tc.listTables(srcIdent.namespace()).iterator.flatMap { id =>
-        try {
-          tc.loadTable(id) match {
-            case v: GraftTable
-                if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
-                  v.manifest.props.get("mview.keys").exists(
-                    _.split(',').map(_.trim.toLowerCase).toSet == keyNames) &&
-                  sumCols.forall(c => v.manifest.props.get("mview.sum")
-                    .exists(_.equalsIgnoreCase(c))) &&
-                  // Never serve a view with no committed WRITE (gen 0): V2
-                  // CTAS registers the target table BEFORE running the seed
-                  // query, and the pre-seeded fold floor would make the
-                  // empty shell look fresh — the rule would rewrite the
-                  // view's own seed aggregate into a read of its empty self.
-                  v.manifest.gen >= 1 &&
-                  // FRESH: folded exactly to the generation this scan reads.
-                  GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
-              Some((id, v))
-            case _ => None
-          }
-        } catch { case _: Exception => None }
+      MviewRewriteRule.candidateViews(tc, srcIdent.namespace()).iterator.flatMap {
+        case (id, source, keys, sum) =>
+          try {
+            if (source != srcIdent.name() || keys != keyNames ||
+                !sumCols.forall(_.equalsIgnoreCase(sum))) None
+            else tc.loadTable(id) match {
+              case v: GraftTable
+                  if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
+                    // Never serve a view with no committed WRITE (gen 0): V2
+                    // CTAS registers the target table BEFORE running the seed
+                    // query, and the pre-seeded fold floor would make the
+                    // empty shell look fresh — the rule would rewrite the
+                    // view's own seed aggregate into a read of its empty self.
+                    v.manifest.gen >= 1 &&
+                    // FRESH: folded exactly to the generation this scan reads.
+                    GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
+                Some((id, v))
+              case _ => None
+            }
+          } catch { case _: Exception => None }
       }.nextOption().getOrElse(return None)
     val (vIdent, vTable) = view
 
@@ -189,5 +195,44 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           Cast(vAttr("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
     }
     Some(Project(projList, vScan))
+  }
+}
+
+object MviewRewriteRule {
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  /** (view ident, mview.source, lowercased key set, mview.sum) */
+  private type Decl = (Identifier, String, Set[String], String)
+  private final case class Cached(at: Long, decls: Seq[Decl])
+  private val index = new java.util.concurrent.ConcurrentHashMap[String, Cached]()
+  private val TtlNanos = 30L * 1000 * 1000 * 1000
+
+  /** The namespace's materialized-view DECLARATIONS, cached for 30 s -- the
+    * identity facts (source / keys / sum column) that never change after
+    * CREATE. Freshness and existence are re-verified per use by the caller
+    * (loadTable + fold-floor equality), so the cache bounds only how soon a
+    * brand-new view starts serving, never correctness. */
+  def candidateViews(tc: org.apache.spark.sql.connector.catalog.TableCatalog,
+                     namespace: Array[String]): Seq[Decl] = {
+    val key = tc.name() + " " + namespace.mkString(" ")
+    val now = System.nanoTime()
+    val hit = index.get(key)
+    if (hit != null && now - hit.at < TtlNanos) return hit.decls
+    val decls: Seq[Decl] =
+      try {
+        tc.listTables(namespace).toSeq.flatMap { id =>
+          try {
+            val props = tc.loadTable(id).properties()
+            val src = props.get("mview.source")
+            val keys = props.get("mview.keys")
+            val sum = props.get("mview.sum")
+            if (src == null || keys == null || sum == null) None
+            else Some((id, src,
+              keys.split(',').map(_.trim.toLowerCase).toSet, sum))
+          } catch { case _: Exception => None }
+        }
+      } catch { case _: Exception => Seq.empty }
+    index.put(key, Cached(now, decls))
+    decls
   }
 }
