@@ -2991,6 +2991,46 @@ object StarQueries {
         .withColumn("raw_cents", lit(audit.getLong(2)))
     },
 
+    // B231 outer twin: LEFT OUTER elimination — grouping on the DIM pk
+    // (substituted to the fk under RELY: matched rows have pk = fk by the
+    // condition, unmatched rows have fk IS NULL which equals the
+    // null-extended pk), with NO null guard (outer joins preserve every
+    // fact row — the null-fk rows form their own group, unlike the inner
+    // twin where they vanish). The oracle replays the LEFT JOIN itself.
+    "q_rely_outer_elim" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.RelyJoinEliminationRule(s))
+      // Shares q_rely_join_elim's fixtures (built there or here, whichever
+      // runs first — same marker, same tables).
+      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
+          .coalesce(1).writeTo("graft.rely_d")
+          .tableProperty("graft.primaryKey", "c_custkey RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
+              .as("cust"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .coalesce(1).writeTo("graft.rely_f")
+          .tableProperty("graft.foreignKey.cust",
+            "cust REFERENCES rely_d (c_custkey) RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      val f = s.table("graft.rely_f")
+      val dm = s.table("graft.rely_d")
+      val joined = f.join(dm, f("cust") === dm("c_custkey"), "left")
+        .groupBy(pmod(dm("c_custkey"), lit(10)).cast("long").as("grp"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      val eliminated = joined.queryExecution.optimizedPlan
+        .collect { case j: LJoin => j }.isEmpty
+      joined.withColumn("join_eliminated", lit(eliminated)).orderBy(col("grp"))
+    },
+
     // B232: PARTITION SPEC EVOLUTION (the Iceberg flagship metadata design):
     // gen 1 creates the table partitioned by pk and loads the even keys;
     // one metadata-only commit re-partitions the spec to b (zero rewrites —
@@ -5099,6 +5139,19 @@ object StarQueries {
         |  true AS was_mixed, true AS uniform_after, true AS migrated_layout
         |FROM rows_all WHERE b <> 0
         |GROUP BY 1, 2 ORDER BY pk, b""".stripMargin,
+
+    // B231 outer twin: the LEFT JOIN replay keeps every fact row — the
+    // null-fk rows land in the NULL group (grp null), unlike the inner twin.
+    "q_rely_outer_elim" ->
+      """WITH f AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |    ELSE o_custkey END AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dm AS (SELECT DISTINCT c_custkey FROM customer)
+        |SELECT CAST(dm.c_custkey % 10 AS BIGINT) AS grp,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents, count(*) AS n,
+        |  true AS join_eliminated
+        |FROM f LEFT JOIN dm ON f.cust = dm.c_custkey
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // B231: the oracle replays THE JOIN the optimizer removed — rows, sums,
     // and the null-fk drop must come out identical without it — and pins the
