@@ -2888,8 +2888,14 @@ object StarQueries {
       feed.unpersist()
       val replica = s.table("graft.cdcr").select("o_orderkey", "cents", "pk")
       val source = s.table("graft.cdfq").select("o_orderkey", "cents", "pk")
-      val inSync = replica.exceptAll(source).isEmpty &&
-        source.exceptAll(replica).isEmpty
+      // Bidirectional equality in ONE full-outer join on all columns
+      // (o_orderkey is unique on both sides, so row-level equality ⇔ no
+      // single-sided row) — two exceptAll passes cost two shuffles each.
+      val inSync = replica.withColumn("_r", lit(1))
+        .join(source.withColumn("_s", lit(1)),
+          Seq("o_orderkey", "cents", "pk"), "full_outer")
+        .filter(col("_r").isNull || col("_s").isNull)
+        .isEmpty
       replica.groupBy(col("pk"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("in_sync", lit(inSync))

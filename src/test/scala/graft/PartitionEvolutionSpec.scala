@@ -172,6 +172,20 @@ class PartitionEvolutionSpec extends GraftSuite {
     assert(manifest("fromflat").partCols.isEmpty)
   }
 
+  test("a pre-evolution spec's column refuses masking (its raw values live in paths)") {
+    val t = evolved("polguard")
+    // pk was the ORIGINAL spec: its values are baked into gen-1 directory
+    // names, so masking it would leak through every path listing.
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.mask.pk' = '0L')") }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // The CURRENT spec column refuses identically.
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES(" +
+        "'graft.mask.grp' = \"'x'\")") }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+  }
+
   test("set_partition_spec validates: unknown column, duplicate, same spec, no codec") {
     val t = freshTable("valid")
     rows(0, 10).withColumn("d", col("v") / lit(2.0)).writeTo(t)
