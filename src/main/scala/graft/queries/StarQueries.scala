@@ -2997,6 +2997,38 @@ object StarQueries {
         .withColumn("raw_cents", lit(audit.getLong(2)))
     },
 
+    // B237: HIDDEN BUCKET PARTITIONING (Iceberg partition transforms,
+    // bucket v1): the table is partitioned by bucket(8,k) but k STAYS in
+    // the data — the user filters on the REAL column and the scan prunes
+    // to the matching bucket directory (floorMod is the transform, so the
+    // oracle can replay a row's bucket as k % 8). The per-bucket rollup
+    // proves no row was lost or misrouted across the 8 derived directories,
+    // `probe_n` pins the point lookup's answer, and `bucket_pruned` — parsed
+    // from the EXECUTED plan's entries=kept/total — pins that the lookup
+    // opened exactly ONE of the table's files inside the hash gate.
+    "q_catalog_hidden_bucket" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      fixture(s, d, "hbq", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(col("o_orderkey").as("k"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .coalesce(1).writeTo("graft.hbq")
+          .partitionedBy(bucket(8, col("k")))
+          .tableProperty("fixture", marker).create()
+      }
+      val k0 = s.table("graft.hbq").agg(min(col("k"))).head.getLong(0) // 1-row probe
+      val probe = s.table("graft.hbq").filter(col("k") === k0)
+      val desc = probe.queryExecution.executedPlan.toString
+      val pruned = "entries=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        .exists(m => m.group(1).toInt == 1 && m.group(2).toInt > 1)
+      val probeN = probe.count()
+      s.table("graft.hbq")
+        .groupBy(pmod(col("k"), lit(8)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("probe_n", lit(probeN))
+        .withColumn("bucket_pruned", lit(pruned))
+        .orderBy(col("bucket"))
+    },
+
     // B231 outer twin: LEFT OUTER elimination — grouping on the DIM pk
     // (substituted to the fk under RELY: matched rows have pk = fk by the
     // condition, unmatched rows have fk IS NULL which equals the
@@ -5145,6 +5177,17 @@ object StarQueries {
         |  true AS was_mixed, true AS uniform_after, true AS migrated_layout
         |FROM rows_all WHERE b <> 0
         |GROUP BY 1, 2 ORDER BY pk, b""".stripMargin,
+
+    // B237: bucket = k % 8 is the transform itself (floorMod, transparent);
+    // the rollup, the probe count, and the one-file pruning boolean all
+    // ride the hash gate.
+    "q_catalog_hidden_bucket" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 8 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(1 AS BIGINT) AS probe_n, true AS bucket_pruned
+        |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // B231 outer twin: the LEFT JOIN replay keeps every fact row — the
     // null-fk rows land in the NULL group (grp null), unlike the inner twin.

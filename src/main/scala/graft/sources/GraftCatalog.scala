@@ -79,9 +79,22 @@ import graft.SerializableHadoopConf
  * writes fail loudly when a concurrent commit touched what they replace.
  */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var root: Path = _
+
+  /** FunctionCatalog surface: exactly the `bucket` transform function (B237)
+    * — what lets Spark RESOLVE a bucket transform in this catalog's write
+    * distributions (V2ExpressionUtils looks the transform up here; without
+    * it every write to a bucket-partitioned table fails analysis). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** CALL-procedure surface (B193, the Iceberg `CALL cat.system.proc(...)`
     * maintenance API): every driver-side maintenance op is SQL-reachable. */
@@ -213,22 +226,29 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.map { t =>
-      require(t.name == "identity",
-        s"graft catalog supports identity partitioning only, got $t")
-      t.references().head.fieldNames().head
+      t.name match {
+        case "identity" => t.references().head.fieldNames().head
+        // HIDDEN bucket partitioning (B237): stored as the canonical
+        // `bucket(n,col)` string — which is also the directory KEY, keeping
+        // the whole spec machinery (partValues key sets, specUniform, B232
+        // evolution) transform-transparent.
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a literal bucket count, got $t"))
+          GraftTransforms.canonical(n, t.references().head.fieldNames().head)
+        case _ => throw new IllegalArgumentException(
+          s"graft catalog supports identity and bucket partitioning only, got $t")
+      }
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c missing from schema"))
     // Directory-codec types only ([[GraftMicroBatchStream.catalystValue]]):
     // a DOUBLE partition key would silently mis-prune equality filters (the
     // string round-trip never equals the typed literal) and crash the
-    // partition re-attach — reject at CREATE, not at first read.
-    partCols.foreach { c =>
-      val dt = schema(schema.fieldIndex(c)).dataType
-      require(Set[DataType](StringType, IntegerType, LongType, ShortType)(dt),
-        s"partition column $c has unsupported type ${dt.sql} — " +
-          "STRING/INT/BIGINT/SMALLINT partition keys only")
-    }
+    // partition re-attach — reject at CREATE, not at first read. Bucket
+    // entries validate their source column (present + integral) instead.
+    partCols.foreach(GraftTransforms.validate(_, schema))
     val dir = tableDir(ident)
     // Persist user table properties (notably `cluster` / `cluster.parts`, the
     // write-clustering knobs GraftWrite reads) into the manifest.
@@ -581,9 +601,13 @@ case class GraftManifest(gen: Long, schema: StructType, partCols: Seq[String],
     * the current spec or any prior one. RENAME/DROP COLUMN must refuse these
     * (paths cannot be rewritten by a metadata commit), not just the current
     * `partCols`. */
-  def pathCols: Set[String] =
-    entries.iterator.flatMap { case (pp, _) =>
+  def pathCols: Set[String] = {
+    val keys = entries.iterator.flatMap { case (pp, _) =>
       GraftScanBuilder.partValues(pp).keySet }.toSet ++ partCols
+    // Transform entries guard their SOURCE column too (B237): renaming or
+    // dropping it would orphan the derived directory values.
+    keys ++ GraftTransforms.sources(keys)
+  }
 
   /** COLUMN MAPPING (B190, the Delta name-mapping design): logical → physical
     * column names. A column's PHYSICAL name — what parquet footers, file
@@ -682,7 +706,7 @@ object GraftManifest {
       val i = line.indexOf('=')
       (line.substring(0, i), line.substring(i + 1)) match {
         case ("schema", ddl) => schema = StructType.fromDDL(ddl)
-        case ("parts", cs)   => parts = if (cs.isEmpty) Seq.empty else cs.split(",").toSeq
+        case ("parts", cs)   => parts = GraftTransforms.splitSpec(cs)
         case ("entry", e)    =>
           // Shorter-arity lines are earlier manifest vintages — still readable.
           val t = e.split("\t", -1); entries += ((t(0), t(1)))
@@ -1006,6 +1030,13 @@ object GraftCommitProtocol {
         conflict(s"table changed (gen ${orig.gen} -> ${base.gen}) under a truncating write")
       fresh
     case "dynamic" =>
+      // Hidden buckets (B237): dynamic overwrite would replace whole BUCKET
+      // directories — rows sharing a bucket with the new data but otherwise
+      // untouched would silently vanish. Refuse: overwrite by predicate or
+      // truncate instead.
+      if (base.partCols.exists(GraftTransforms.isTransform))
+        conflict("dynamic partition overwrite on a bucket-partitioned table " +
+          "replaces whole buckets — overwrite by predicate or truncate instead")
       // Spec evolution (B232): dynamic overwrite replaces entries by
       // partition-PATH equality, but a pre-evolution file may hold rows of a
       // touched logical partition in DATA (different path string) — those
@@ -1068,7 +1099,12 @@ class GraftTable(val ident: Identifier, val dir: Path, val manifest: GraftManife
   override def name(): String = s"graft.${ident.name()}@${manifest.gen}"
   override def schema(): StructType = manifest.schema
   override def partitioning(): Array[Transform] =
-    manifest.partCols.map(c => Expressions.identity(c): Transform).toArray
+    manifest.partCols.map { c =>
+      GraftTransforms.bucketOf(c) match {
+        case Some((n, src)) => Expressions.bucket(n, src): Transform
+        case None => Expressions.identity(c): Transform
+      }
+    }.toArray
   /** User table properties from the manifest — `SHOW TBLPROPERTIES` and
     * DESCRIBE EXTENDED read these. */
   override def properties(): util.Map[String, String] = manifest.props.asJava
@@ -1266,9 +1302,41 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     val physSchema = manifest.physicalize(
       if (manifest.specUniform) manifest.dataSchema else manifest.schema)
     val mixed = !manifest.specUniform
+    // HIDDEN bucket pruning (B237): a point predicate on a bucket SOURCE
+    // column prunes to the matching bucket directory — floorMod is the
+    // transform, so equality/IN lower to directory equality exactly.
+    // Conservative everywhere else (nulls, ranges, missing keys keep).
+    val buckets: Seq[(String, Int, String)] = manifest.partCols.flatMap(pc =>
+      GraftTransforms.bucketOf(pc).map { case (n, c) => (pc, n, c) })
+    def widenL(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case sh: Short => Some(sh.toLong)
+      case _ => None
+    }
+    def bucketKeeps(values: Map[String, String]): Boolean =
+      buckets.forall { case (pathKey, n, src) =>
+        values.get(pathKey) match {
+          case Some(raw) => prunable.forall {
+            case EqualTo(a, v) if a == src =>
+              if (raw == "__HIVE_DEFAULT_PARTITION__") v == null
+              else widenL(v).forall(l =>
+                GraftTransforms.bucketValue(l, n).toString == raw)
+            case In(a, vs) if a == src =>
+              if (raw == "__HIVE_DEFAULT_PARTITION__") vs.contains(null)
+              else vs.exists(v => widenL(v).forall(l =>
+                GraftTransforms.bucketValue(l, n).toString == raw))
+            case IsNull(a) if a == src => raw == "__HIVE_DEFAULT_PARTITION__"
+            case IsNotNull(a) if a == src => raw != "__HIVE_DEFAULT_PARTITION__"
+            case _ => true
+          }
+          case None => true
+        }
+      }
     manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
+        bucketKeeps(values) &&
         (!mixed || prunable.forall(f =>
           !f.references.forall(values.keySet.contains) ||
             GraftScanBuilder.matches(f, values, manifest.schema))) &&
@@ -1576,7 +1644,117 @@ class GraftLocalAggScan(schema: StructType, result: Array[InternalRow], desc: St
   override def description(): String = desc
 }
 
+/**
+ * HIDDEN PARTITIONING transforms (B237 — the Iceberg partition-transform
+ * design, bucket only in v1): a partition spec entry may be the canonical
+ * string `bucket(n,col)` instead of a column name. The SOURCE column stays
+ * in the data files (nothing is stripped — queries filter on the REAL
+ * column and never see the bucket), the writer derives the directory value
+ * `floorMod(value, n)` per row, and the scan prunes point predicates on the
+ * source column to the matching bucket directory. The path KEY is the
+ * canonical transform string itself, so a bucketed spec is spec-machinery-
+ * transparent: partValues key sets equal partCols, specUniform and the
+ * B232 evolution logic hold unchanged, and the per-spec readers strip
+ * nothing (the transform string matches no schema field).
+ *
+ * The bucket function is floorMod — deliberately transparent (an oracle,
+ * or a user, can compute a row's bucket as `v % n`), integral sources only.
+ */
+object GraftTransforms {
+  private val Bucket = """^bucket\((\d+),([\w$]+)\)$""".r
+
+  def canonical(n: Int, col: String): String = s"bucket($n,$col)"
+
+  /** Split a comma-separated spec list WITHOUT splitting inside transform
+    * parens — "pk,bucket(8,k)" → ["pk", "bucket(8,k)"]. Used by the manifest
+    * `parts=` codec and the set_partition_spec CALL argument. */
+  def splitSpec(csv: String): Seq[String] = {
+    if (csv.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    csv.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a canonical bucket partCol; None for identity columns. */
+  def bucketOf(partCol: String): Option[(Int, String)] = partCol match {
+    case Bucket(n, c) => Some((n.toInt, c))
+    case _ => None
+  }
+
+  def isTransform(partCol: String): Boolean = bucketOf(partCol).isDefined
+
+  def bucketValue(v: Long, n: Int): Long = java.lang.Math.floorMod(v, n.toLong)
+
+  /** Source columns referenced by transform entries of a spec. */
+  def sources(partCols: Iterable[String]): Set[String] =
+    partCols.flatMap(pc => bucketOf(pc).map(_._2)).toSet
+
+  /** Validate one spec entry against a schema (CREATE / set_partition_spec). */
+  def validate(partCol: String, schema: StructType): Unit = bucketOf(partCol) match {
+    case Some((n, c)) =>
+      require(n > 0, s"bucket($n,$c): bucket count must be positive")
+      val f = schema.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(s"bucket source column $c missing from schema"))
+      require(Set[DataType](LongType, IntegerType, ShortType)(f.dataType),
+        s"bucket source column $c must be integral, got ${f.dataType.sql}")
+    case None =>
+      require(schema.fieldNames.contains(partCol),
+        s"partition column $partCol missing from schema")
+      val dt = schema(schema.fieldIndex(partCol)).dataType
+      require(Set[DataType](StringType, IntegerType, LongType, ShortType)(dt),
+        s"partition column $partCol has unsupported type ${dt.sql} — " +
+          "STRING/INT/BIGINT/SMALLINT partition keys only")
+  }
+}
+
+
+/** The catalog-resolved `bucket` ScalarFunction (B237): floorMod of the
+  * integral source over the bucket count — byte-identical to the writer's
+  * directory derivation and the scan's pruning arithmetic, which is the
+  * whole point of resolving it FROM the catalog. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col) - floorMod(col, n) partition transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, value), got ${inputType.simpleString}")
+    val vt = inputType.fields(1).dataType
+    require(Set[DataType](LongType, IntegerType, ShortType)(vt),
+      s"bucket source must be integral, got ${vt.sql}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+        if (input.isNullAt(1)) null
+        else {
+          val n = input.getInt(0)
+          val v = vt match {
+            case LongType => input.getLong(1)
+            case IntegerType => input.getInt(1).toLong
+            case _ => input.getShort(1).toLong
+          }
+          Integer.valueOf(GraftTransforms.bucketValue(v, n).toInt)
+        }
+    }
+  }
+}
+
 object GraftScanBuilder {
+
   /** Rewrite every attribute reference in a V1 filter (column mapping:
     * logical filter names → the physical names stats and parquet footers
     * are keyed by). Unknown shapes pass through untouched — they are only
@@ -3203,7 +3381,12 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     if (layoutManaged) Distributions.unspecified()
     else if (manifest.partCols.nonEmpty)
       Distributions.clustered(
-        manifest.partCols.map(c => Expressions.identity(c): Expression).toArray)
+        manifest.partCols.map { c =>
+          GraftTransforms.bucketOf(c) match {
+            case Some((n, src)) => Expressions.bucket(n, src): Expression
+            case None => Expressions.identity(c): Expression
+          }
+        }.toArray)
     else clusterCol match {
       case Some(c) => Distributions.ordered(Array(
         Expressions.sort(Expressions.identity(c),
@@ -4525,9 +4708,13 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
     bloomCols: Seq[String] = Seq.empty, checks: Seq[GraftCheckPredicate] = Seq.empty,
     colMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
-      private val partIdx = partCols.map(writeSchema.fieldIndex).toArray
+      // Identity partition columns strip from the stored rows; HIDDEN
+      // bucket transforms (B237) derive a path value and keep the source
+      // column IN the data.
+      private val identityIdx = partCols.filter(c =>
+        GraftTransforms.bucketOf(c).isEmpty).map(writeSchema.fieldIndex).toArray
       private val dataIdx =
-        writeSchema.fields.indices.filterNot(partIdx.contains).toArray
+        writeSchema.fields.indices.filterNot(identityIdx.contains).toArray
       // Column mapping (B190): parquet footers, stats, blooms and NDV sketches
       // key by PHYSICAL names — stable across logical renames.
       private val dataSchema = StructType(dataIdx.map(writeSchema.fields).map(f =>
@@ -4562,13 +4749,36 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
         else None
       }
 
+      // One value extractor per spec entry, bound once: identity columns
+      // echo the (escaped) value; bucket entries emit floorMod(value, n).
+      private val partValueOf: Array[InternalRow => String] = partCols.map { pc =>
+        GraftTransforms.bucketOf(pc) match {
+          case Some((n, src)) =>
+            val i = writeSchema.fieldIndex(src)
+            val dt = writeSchema.fields(i).dataType
+            (row: InternalRow) =>
+              if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+              else {
+                val v = row.get(i, dt) match {
+                  case l: java.lang.Long => l.longValue()
+                  case x: java.lang.Integer => x.longValue()
+                  case sh: java.lang.Short => sh.longValue()
+                  case other => other.toString.toLong
+                }
+                GraftTransforms.bucketValue(v, n).toString
+              }
+          case None =>
+            val i = writeSchema.fieldIndex(pc)
+            val dt = writeSchema.fields(i).dataType
+            (row: InternalRow) =>
+              if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+              else GraftScanBuilder.escapePartValue(row.get(i, dt).toString)
+        }
+      }.toArray
+
       private def partPath(row: InternalRow): String =
         partCols.indices.map { k =>
-          val i = partIdx(k)
-          val v = if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-            else GraftScanBuilder.escapePartValue(
-              row.get(i, writeSchema.fields(i).dataType).toString)
-          s"${partCols(k)}=$v"
+          s"${partCols(k)}=${partValueOf(k)(row)}"
         }.mkString("/")
 
       override def write(row: InternalRow): Unit = {
@@ -4829,9 +5039,11 @@ object GraftCatalogOps {
       // PATH, which cannot see pre-evolution files — truncate mode rewrites
       // the whole snapshot under the CURRENT spec, i.e. full OPTIMIZE is the
       // layout-migration operation.
-      if (before.specUniform)
+      if (before.specUniform && !before.partCols.exists(GraftTransforms.isTransform))
         spark.table(tableRef).writeTo(tableRef).overwritePartitions()
       else
+        // Mixed specs (B232) or hidden buckets (B237): both make dynamic
+        // path-replacement unsafe — full-snapshot replace instead.
         spark.table(tableRef).writeTo(tableRef)
           .overwrite(org.apache.spark.sql.functions.lit(true))
     } else {
@@ -5483,6 +5695,9 @@ object GraftCatalogOps {
     require(!before.partCols.contains(xCol) && !before.partCols.contains(yCol),
       "ZORDER columns must be data columns — a partition column already " +
         "prunes at partition granularity")
+    require(!before.partCols.exists(GraftTransforms.isTransform),
+      "OPTIMIZE ZORDER refuses a bucket-partitioned table — the bucket " +
+        "distribution and the z-layout are mutually exclusive on one copy")
     // PARTITIONED tables Morton-cluster WITHIN each partition (the Delta
     // `OPTIMIZE ... ZORDER BY` semantics): range-partition over
     // (partition cols, zkey) keeps partition values contiguous while carving
@@ -5565,15 +5780,11 @@ object GraftCatalogOps {
     GraftManifest.publishNext(dir, conf) { current =>
       require(cols.distinct.size == cols.size,
         s"duplicate partition columns: ${cols.mkString(", ")}")
-      val codecable: Set[DataType] =
-        Set(StringType, IntegerType, LongType, ShortType)
       cols.foreach { c =>
-        val f = current.schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition column $c is not in the table schema"))
-        require(codecable(f.dataType),
-          s"partition column $c: type ${f.dataType.simpleString} has no " +
-            "directory codec (string/int/long/short only)")
+        if (GraftTransforms.bucketOf(c).isEmpty)
+          require(current.schema.fieldNames.contains(c),
+            s"partition column $c is not in the table schema")
+        GraftTransforms.validate(c, current.schema)
       }
       require(cols != current.partCols,
         s"table is already partitioned by (${cols.mkString(", ")})")
@@ -5702,8 +5913,7 @@ object GraftProcedures {
       out("generation" -> LongType),
       (s, _, root, a) => Seq(GraftCatalogOps.setPartitionSpec(s, root,
         a.getUTF8String(0).toString,
-        a.getUTF8String(1).toString.split(',').map(_.trim)
-          .filter(_.nonEmpty).toSeq))),
+        GraftTransforms.splitSpec(a.getUTF8String(1).toString)))),
     ProcDef("clone",
       "shallow-clone the source's current snapshot as a metadata-only new table",
       Seq(in("source", StringType), in("target", StringType)),

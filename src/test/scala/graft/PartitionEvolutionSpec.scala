@@ -195,7 +195,7 @@ class PartitionEvolutionSpec extends GraftSuite {
     assert(intercept[Exception] { call("nope") }.getMessage.contains("not in the table schema"))
     assert(intercept[Exception] { call("grp,grp") }.getMessage.contains("duplicate"))
     assert(intercept[Exception] { call("pk") }.getMessage.contains("already partitioned"))
-    assert(intercept[Exception] { call("d") }.getMessage.contains("no"))
+    assert(intercept[Exception] { call("d") }.getMessage.contains("unsupported type"))
     val _ = t
   }
 }
