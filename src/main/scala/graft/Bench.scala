@@ -339,7 +339,7 @@ object Bench {
         case (k, v, true, _, _) if !prevQ.contains(k) &&
           crossQ.get(k).exists(c => c >= 0.05 && v > math.max(30.0 * c, 2.0)) => k
       }
-      //   7. RATCHET: on an UNCHANGED query surface, a run >10% slower than
+      //   7. RATCHET: on an UNCHANGED query surface, a run >5% slower than
       //      the committed total is contention by construction — identical
       //      binaries and identical queries have no honest reason to slow
       //      down uniformly (r9 observed: 173.1 s clean, then 192.8 s rode
@@ -349,6 +349,27 @@ object Bench {
       //      recorded deliberately with SPARK_GRAFT_BENCH_FORCE=1.
       val sameSurface = prevQ.nonEmpty &&
         prevQ.keySet == finalResults.collect { case (k, _, true, _, _) => k }.toSet
+      //   8. PER-QUERY ratchet (r9 postmortem: ~10 small queries quietly
+      //      DOUBLED — q_assoc_rules 2.37->4.79 s, q_approx_quantiles
+      //      0.55->2.40 — each under the 3x/10x teeth and masked in the total
+      //      by big structural wins elsewhere). On an unchanged surface, any
+      //      query >=0.3 s committed that runs >2x its own committed value
+      //      refuses: slow per-query drift must never hide under a passing
+      //      total. The 0.3 s floor keeps sub-noise queries (where 2x is a
+      //      scheduler hiccup) out of the guard's reach.
+      val perQRatchet =
+        if (!sameSurface) Seq.empty
+        else finalResults.collect {
+          case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.3 && v > 2.0 * p) => k
+        }
+      //   9. SURFACE PARITY: a tracked ledger must time the ENTIRE current
+      //      query surface — r9 committed a ledger 2 queries short because
+      //      the last clean bench predated the queries' landing, leaving the
+      //      next round's ratchet referenceless for them. A failed query
+      //      (-1 in the dict) is a hole with the same effect: refuse both.
+      val incomplete =
+        finalResults.map(_._1).toSet != SparkEntry.queries.keySet ||
+          finalResults.exists(!_._3)
       // FORCE=1 is the DELIBERATE-record escape hatch (a surface change that
       // legitimately moves one-time memo costs between same-family queries —
       // e.g. the StandardLabels build landing on a different q_dedup_* when
@@ -359,15 +380,17 @@ object Bench {
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       val ratchet = sameSurface && prevTotal.exists(pt => pt > 0 && total > 1.05 * pt)
       val tailInflated = !force && (perQInflated.size >= 5 || spiked.nonEmpty ||
-        excessSec > 5.0 || newInflated.nonEmpty || ratchet)
-      if (contended || inflated || tailInflated)
+        excessSec > 5.0 || newInflated.nonEmpty || ratchet || perQRatchet.nonEmpty)
+      if (contended || inflated || tailInflated || incomplete)
         System.err.println(f"[bench] tracked ledgers NOT overwritten " +
           f"(contended=$contended startLoadAvg=$startLoadAvg%.1f/$cores, " +
           f"inflated=$inflated vs ${prevTotal.getOrElse(Double.NaN)}%.1f s committed, " +
+          s"incomplete=$incomplete, " +
           s"tailInflated=$tailInflated [${perQInflated.size} queries >3x: " +
           s"${perQInflated.take(8).mkString(",")}; spiked>10x: " +
           s"${spiked.mkString(",")}; excess=${num(excessSec, 1)}s; " +
-          s"newCrossSF: ${newInflated.mkString(",")}]); " +
+          s"newCrossSF: ${newInflated.mkString(",")}; " +
+          s"perQ>2x: ${perQRatchet.take(8).mkString(",")}]); " +
           "this run's ledger is in BENCH_DETAILS.run.json (untracked)")
       else {
         try {

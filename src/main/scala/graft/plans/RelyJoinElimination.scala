@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
+import graft.sources.{GraftBatchScan, GraftPolicies, GraftTable}
+
 /**
  * RELY PK/FK join elimination (B231) — the informational-constraint
  * optimization every warehouse ships (Oracle `RELY NOVALIDATE`, Snowflake
@@ -107,7 +109,7 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       case Filter(c, child) => (child, Some(c))
       case other => (other, None)
     }
-    val dimRel = bareRelation(dimInner).getOrElse(return None)
+    val (dimRel, pushedData) = bareRelation(dimInner).getOrElse(return None)
     val pkName = primaryKey(dimRel).getOrElse(return None)
     val pkAttr = dim.output.find(a => a.name.equalsIgnoreCase(pkName))
       .getOrElse(return None)
@@ -118,6 +120,14 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       }
       if (!ok) return None
     }
+    // Pushed data filters mirror the residual set and can only row-group-skip
+    // rows those same predicates exclude — harmless iff they're the exact
+    // whitelist the residual-Filter check allows: IsNotNull of the pk.
+    val pushedOk = pushedData.forall {
+      case org.apache.spark.sql.sources.IsNotNull(c) => c.equalsIgnoreCase(pkName)
+      case _ => false
+    }
+    if (!pushedOk) return None
 
     // 1. condition is exactly fact.fk = dim.pk.
     val (fkAttr, pkSide) = cond match {
@@ -142,7 +152,7 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     val declared = !needsFk || factRelations(fact).exists { r =>
       foreignKeys(r).exists { fk =>
         fk.pkCol.equalsIgnoreCase(pkName) &&
-          tableMatches(dimRel, fk.refTable) &&
+          tableMatches(dimRel, r, fk.refTable) &&
           r.output.exists(a => a.exprId == fkAttr.exprId &&
             a.name.equalsIgnoreCase(fk.fkCol))
       }
@@ -194,15 +204,51 @@ object RelyConstraints {
     }
   }
 
-  /** The relation under an attribute-only Project, pre- or post-pushdown.
-    * A Filter (or anything else) on the dimension disqualifies: a filtered
-    * dimension can legitimately drop fact rows, so the join is not a no-op. */
-  def bareRelation(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
-    case r: DataSourceV2Relation => Some(r)
-    case s: DataSourceV2ScanRelation => Some(s.relation)
-    case Project(es, child) if es.forall(_.isInstanceOf[AttributeReference]) =>
-      bareRelation(child)
-    case _ => None
+  /** The relation under an attribute-only Project, pre- or post-pushdown,
+    * plus the scan's pushed V1 data filters (empty pre-pushdown). A Filter
+    * (or anything else) on the dimension disqualifies: a filtered dimension
+    * can legitimately drop fact rows, so the join is not a no-op.
+    *
+    * The post-pushdown arm must prove the scan is FULL-table, not merely
+    * that no Filter node sits above it: the graft catalog FULLY handles
+    * partition-key predicates ([[graft.sources.GraftScanBuilder]] returns
+    * them out of the residual set), so Spark deletes the Filter node and a
+    * partition-pruned dimension arrives here looking bare while its scan
+    * silently drops partitions. Eliminating that join would resurrect fact
+    * rows whose dimension rows were filtered away. Same guard shape as
+    * [[MviewRewriteRule.baseOf]]: the scan's entry list must equal the
+    * table's full manifest (entry-level pruning is the ONLY way a
+    * fully-handled partition filter drops rows — spec-uniform partition
+    * values live in the path, so an unpruned entry list means no row was
+    * dropped by them). Pushed DATA filters are returned to the caller: they
+    * stay residual too (Spark re-checks above the scan), so they are
+    * harmless exactly when the residual-Filter validation says so — the
+    * caller checks them against the same IsNotNull(pk) whitelist. Non-graft
+    * scans are refused outright — we cannot prove what they pushed.
+    *
+    * A dimension declaring row/column policies (B233) is refused in BOTH
+    * vintages: policy enforcement happens inside the scan, invisibly to the
+    * plan, so a policed dim can drop fact rows even when it looks bare. */
+  def bareRelation(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, Array[org.apache.spark.sql.sources.Filter])] =
+    p match {
+      case r: DataSourceV2Relation if !policed(r) =>
+        Some((r, Array.empty))
+      case s: DataSourceV2ScanRelation if !policed(s.relation) =>
+        (s.relation.table, s.scan) match {
+          case (t: GraftTable, sc: GraftBatchScan)
+              if sc.entries.size == t.manifest.entries.size =>
+            Some((s.relation, sc.dataFilters))
+          case _ => None
+        }
+      case Project(es, child) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        bareRelation(child)
+      case _ => None
+    }
+
+  private def policed(r: DataSourceV2Relation): Boolean = r.table match {
+    case t: GraftTable => GraftPolicies.declared(t.manifest.props)
+    case _ => false
   }
 
   /** Every graft relation anywhere in the fact subtree (both node vintages). */
@@ -212,9 +258,23 @@ object RelyConstraints {
   }.flatten
 
   /** Does the FK declaration's REFERENCES target name this dimension table?
-    * Compared on the identifier's last name component (declarations may or
-    * may not qualify with the catalog/namespace). */
-  def tableMatches(dimRel: DataSourceV2Relation, refTable: String): Boolean =
-    dimRel.identifier.exists(id =>
-      refTable.split('.').last.equalsIgnoreCase(id.name()))
+    * A qualified declaration (`ns.dim`) must match the dimension identifier's
+    * trailing `namespace.name` components; an UNQUALIFIED one resolves in the
+    * declaring fact table's own namespace — the dimension must live there
+    * too, else a same-leaf-name table in another namespace (with its own PK
+    * RELY) would wrongly validate the elimination. Both relations must also
+    * come from the same catalog: the declaration is catalog-scoped. */
+  def tableMatches(dimRel: DataSourceV2Relation, factRel: DataSourceV2Relation,
+                   refTable: String): Boolean = {
+    val sameCatalog =
+      dimRel.catalog.map(_.name()) == factRel.catalog.map(_.name())
+    sameCatalog && dimRel.identifier.exists { id =>
+      val dimFull = (id.namespace().toSeq :+ id.name()).map(_.toLowerCase)
+      val declared = refTable.split('.').toSeq.map(_.trim.toLowerCase)
+      if (declared.length > 1) dimFull.takeRight(declared.length) == declared
+      else declared.last.equalsIgnoreCase(id.name()) &&
+        factRel.identifier.exists(
+          _.namespace().toSeq.map(_.toLowerCase) == id.namespace().toSeq.map(_.toLowerCase))
+    }
+  }
 }

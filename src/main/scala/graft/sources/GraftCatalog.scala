@@ -275,7 +275,10 @@ class GraftCatalog extends TableCatalog
     GraftGenerated.validate(keep, schema)
     // Row/column policies (B233): same fail-at-CREATE posture — bad SQL,
     // unknown columns, a type-changing mask, or a masked partition column.
-    GraftPolicies.validate(keep, schema, partCols.toSet)
+    // Transform SOURCES count as path columns too: bucket(n,col) bakes
+    // floorMod(col) into directory names, readable via `_file`/$files.
+    GraftPolicies.validate(keep, schema,
+      partCols.toSet ++ GraftTransforms.sources(partCols))
     // Column-mapping props are engine-managed (written by RENAME COLUMN and
     // carried by CLONE) — a user-supplied one would silently re-key stats.
     keep.keys.foreach(k => require(!k.startsWith("physical."),
@@ -1065,11 +1068,22 @@ object GraftCommitProtocol {
         // in its data) makes the selection ambiguous; matchesStrict's
         // keep-when-unknown would widen the replace over rows the predicate
         // never selected. Refuse rather than lose data.
+        // Branch the refusal by CAUSE: on a spec-uniform table no amount of
+        // OPTIMIZE makes a data-column (or bucket-source) predicate
+        // path-decidable — the actionable fix is a different predicate or
+        // replaceWhere. The OPTIMIZE hint is reserved for genuinely
+        // mixed-spec tables where compaction really does migrate the layout.
         staticFilters.foreach(f => require(
           f.references.forall(values.keySet.contains),
-          s"static overwrite on a spec-evolved table: file path '$p' does " +
-            "not carry the predicate column(s) — run OPTIMIZE to migrate " +
-            "the layout first"))
+          if (m.specUniform)
+            s"static overwrite predicate column(s) " +
+              s"${f.references.filterNot(values.keySet.contains).mkString(", ")} " +
+              "are not in the partition spec — overwrite by partition key, " +
+              "or use replaceWhere"
+          else
+            s"static overwrite on a spec-evolved table: file path '$p' does " +
+              "not carry the predicate column(s) — run OPTIMIZE to migrate " +
+              "the layout first"))
         staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, m.schema))
       }
       if (base.gen != orig.gen && selected(orig) != selected(base))
@@ -5785,6 +5799,16 @@ object GraftCatalogOps {
           require(current.schema.fieldNames.contains(c),
             s"partition column $c is not in the table schema")
         GraftTransforms.validate(c, current.schema)
+      }
+      // Mask-vs-path exclusion (B233): evolving the spec onto a masked column
+      // (or a transform whose SOURCE is masked) would bake raw values into
+      // directory names — readable by non-exempt sessions via `_file`/$files,
+      // and pruned on RAW values with no re-check once the layout is uniform.
+      // CREATE and ALTER both enforce this; the evolution path must too.
+      (cols.toSet ++ GraftTransforms.sources(cols)).foreach { c =>
+        require(!current.props.contains(GraftPolicies.MaskPrefix + c),
+          s"cannot evolve the partition spec onto masked column $c — raw " +
+            "values would bake into directory names")
       }
       require(cols != current.partCols,
         s"table is already partitioned by (${cols.mkString(", ")})")

@@ -125,6 +125,28 @@ class PartitionEvolutionSpec extends GraftSuite {
     assert(spark.table(t).filter(col("grp") === "g0").count() === 0L)
   }
 
+  test("static overwrite refusal message names the actual cause") {
+    // Spec-UNIFORM table, data-column predicate: OPTIMIZE cannot make this
+    // path-decidable — the message must say so (predicate not in the spec,
+    // use replaceWhere), not send the user on a useless compaction.
+    val t = freshTable("msguni")
+    rows(0, 30).writeTo(t).partitionedBy(col("pk")).create()
+    val e1 = intercept[Exception] {
+      rows(0, 10).writeTo(t).overwrite(col("grp") === "g0")
+    }
+    assert(e1.getMessage.contains("not in the partition spec") &&
+      e1.getMessage.contains("replaceWhere") &&
+      !e1.getMessage.contains("OPTIMIZE"), s"got: ${e1.getMessage}")
+    // Mixed-spec table, predicate on the NEW spec column: OPTIMIZE genuinely
+    // migrates the layout — that hint stays.
+    val t2 = evolved("msgmix")
+    val e2 = intercept[Exception] {
+      rows(0, 10).writeTo(t2).overwrite(col("grp") === "g0")
+    }
+    assert(e2.getMessage.contains("spec-evolved") &&
+      e2.getMessage.contains("OPTIMIZE"), s"got: ${e2.getMessage}")
+  }
+
   test("RENAME/DROP refuse any column named in any vintage's paths") {
     val t = evolved("guards")
     val e1 = intercept[Exception] {

@@ -171,6 +171,39 @@ class PolicySpec extends GraftSuite {
     Seq((1L, "a")).toDF("id", "p").writeTo(t2).partitionedBy(col("p")).create()
     fails(s"ALTER TABLE $t2 SET TBLPROPERTIES('graft.mask.p' = \"'x'\")",
       "partition column")
+    // CREATE refuses a mask on a bucket transform's SOURCE column too —
+    // floorMod(raw) of a masked column in directory names is a leak
+    // readable via `_file` and the $files twin.
+    val t3 = freshTable("validb")
+    val e3 = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "k").writeTo(t3)
+        .partitionedBy(bucket(4, col("k")))
+        .tableProperty("graft.mask.k", "CAST(0 AS BIGINT)")
+        .create()
+    }
+    assert(e3.getMessage.contains("partition column"), s"got: ${e3.getMessage}")
+  }
+
+  test("set_partition_spec refuses masked columns and masked bucket sources") {
+    val t = freshTable("evomask")
+    import spark.implicits._
+    (0L until 8L).map(i => (i, i % 4, s"s$i")).toDF("id", "k", "ssn")
+      .writeTo(t)
+      .tableProperty(graft.sources.GraftPolicies.MaskPrefix + "ssn", "'***'")
+      .create()
+    // Identity evolution onto the masked column bakes raw values into paths.
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gpol.system.set_partition_spec(table => 'evomask', cols => 'ssn')")
+    }
+    assert(e1.getMessage.contains("masked column ssn"), s"got: ${e1.getMessage}")
+    // Masked BIGINT source behind a bucket transform leaks floorMod(raw).
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.mask.k' = 'CAST(-1 AS BIGINT)')")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gpol.system.set_partition_spec(table => 'evomask', cols => 'bucket(4,k)')")
+    }
+    assert(e2.getMessage.contains("masked column k"), s"got: ${e2.getMessage}")
+    // Evolving onto an UNmasked column still works.
+    spark.sql("CALL gpol.system.set_partition_spec(table => 'evomask', cols => 'id')")
   }
 
   test("the change data feed is policed: masked values, invisible rows emit no events") {

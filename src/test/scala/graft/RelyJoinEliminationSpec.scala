@@ -43,6 +43,22 @@ class RelyJoinEliminationSpec extends GraftSuite {
       .tableProperty("graft.foreignKey.cust",
         "cust REFERENCES dim_norely (pk) RELY")
       .create()
+    // Dim PARTITIONED on a payload column: the catalog FULLY handles
+    // partition-key predicates, so a seg-filtered read of this table reaches
+    // the post-pushdown rule as a bare-looking ScanRelation with silently
+    // pruned entries — the soundness hole the full-manifest guard closes.
+    (0L until 10L).map(i => (i, s"seg${i % 3}")).toDF("pk", "seg")
+      .writeTo("relycat.dim_part")
+      .partitionedBy(col("seg"))
+      .tableProperty("graft.primaryKey", "pk RELY")
+      .create()
+    (0L until 40L).map(i =>
+        (if (i % 4 == 0) None else Some(i % 10), i * 7 % 101))
+      .toDF("cust", "cents")
+      .writeTo("relycat.fact_p")
+      .tableProperty("graft.foreignKey.cust",
+        "cust REFERENCES dim_part (pk) RELY")
+      .create()
     org.apache.spark.sql.GraftBridge.addOptimization(spark,
       graft.plans.RelyJoinEliminationRule(spark))
     dir
@@ -141,6 +157,68 @@ class RelyJoinEliminationSpec extends GraftSuite {
       .groupBy(pmod(d("pk"), lit(3)).as("grp"))
       .agg(count(lit(1)).as("n"))
     assert(joins(df).nonEmpty)
+  }
+
+  test("a PARTITION-pruned dimension is never eliminated (post-pushdown posture)") {
+    // The partition filter is FULLY handled by the scan (no residual Filter
+    // node survives pushdown), so only the entry-list-vs-manifest guard can
+    // see that the dimension was pruned. Without it the rule would eliminate
+    // the join and resurrect fact rows whose dimension rows were pruned away.
+    val f = { root; spark.table("relycat.fact_p") }
+    val d = spark.table("relycat.dim_part").filter(col("seg") === "seg1")
+    val df = f.join(d, f("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("grp"))
+    assert(joins(df).nonEmpty, "partition-pruned dim must keep the join")
+    // Sanity: the filter really was pushed out of the plan (no Filter node
+    // over the dim scan), i.e. this test exercises the pushed-filter hole
+    // and not the ordinary Filter-node refusal.
+    val dimFilters = d.queryExecution.optimizedPlan.collect {
+      case fl: LFilter => fl
+    }
+    assert(dimFilters.isEmpty,
+      "pin requires the partition predicate to be fully handled by the scan")
+    val got = df.collect().map(_.toSeq)
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(df.collect().map(_.toSeq).toSeq === got.toSeq)
+    finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("an unpruned scan of a PARTITIONED dimension still eliminates") {
+    // The guard must not over-refuse: a full-table read of the partitioned
+    // dim has entries == manifest entries and remains eligible.
+    val f = { root; spark.table("relycat.fact_p") }
+    val d = spark.table("relycat.dim_part")
+    val df = f.join(d, f("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).isEmpty, "full scan of a partitioned dim must eliminate")
+  }
+
+  test("a same-leaf-name dimension in another namespace is never eliminated") {
+    // fact_x declares `cust REFERENCES other.dim (pk) RELY`; joining to the
+    // root-namespace relycat.dim (same leaf name, own PK RELY) must NOT
+    // validate the FK leg — referential integrity was declared against a
+    // DIFFERENT table.
+    import spark.implicits._
+    root
+    if (!spark.catalog.tableExists("relycat.fact_x")) {
+      (0L until 20L).map(i => (Some(i % 10): Option[Long], i)).toDF("cust", "cents")
+        .writeTo("relycat.fact_x")
+        .tableProperty("graft.foreignKey.cust",
+          "cust REFERENCES other.dim (pk) RELY")
+        .create()
+    }
+    val f = spark.table("relycat.fact_x")
+    val d = dim // relycat.dim — root namespace, NOT relycat.other.dim
+    val df = f.join(d, f("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).nonEmpty,
+      "a qualified REFERENCES must only match the qualified table")
   }
 
   test("an undeclared fact key (aliased/derived) is never eliminated") {
