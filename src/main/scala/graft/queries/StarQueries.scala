@@ -2860,32 +2860,37 @@ object StarQueries {
         .writeTo("graft.cdcr").tableProperty("dml", "dv").create()
       val feed = graft.sources.GraftCatalogOps.changes(s, "graft.cdfq",
           Tables.scratchDir(s, "catalog", d), "cdfq", 1L, 4L)
+      // ALL pending commits net-effected into ONE MERGE (the Databricks
+      // APPLY CHANGES `sequence_by` posture): per key, the LATEST commit
+      // wins, and within that commit an UPDATE's insert half is the final
+      // state (a commit's feed emits delete(old)+insert(new) for updates —
+      // it never deletes a row it inserted). Sound because MERGE itself is
+      // net-effect-per-key and nets compose: a key inserted then deleted
+      // nets to 'd' (a no-op when the replica never saw it — no NOT MATCHED
+      // delete clause), deleted then re-inserted nets to 'u'. One MERGE
+      // commit (group-filter scan + replica read + write) instead of three —
+      // the per-commit fixed cost, not the delta volume, dominated here.
+      // The window shuffles only the delta-sized feed, never the table.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey"))
+        .orderBy(col("_commit_version").desc, col("_is_ins").desc)
+      val net = feed
+        .withColumn("_is_ins", (col("_change_type") === "insert").cast("int"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("o_orderkey"),
+          when(col("_is_ins") === 1, col("cents")).as("cents"),
+          when(col("_is_ins") === 1, col("pk")).as("pk"),
+          when(col("_is_ins") === 1, lit("u")).otherwise(lit("d")).as("_op"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (2L to 4L).foreach { g =>
-        val batch = feed.filter(col("_commit_version") === g)
-        val ins = batch.filter(col("_change_type") === "insert")
-          .select(col("o_orderkey"), col("cents"), col("pk"))
-        // delete-only keys: an anti-join against the batch's inserts (an
-        // UPDATE's delete half cancels against its insert half) — broadcast,
-        // no shuffle set-op: a commit's changed-key set is delta-sized.
-        val delOnly = batch.filter(col("_change_type") === "delete")
-          .select(col("o_orderkey"))
-          .join(broadcast(ins.select(col("o_orderkey"))), Seq("o_orderkey"),
-            "left_anti")
-        ins.withColumn("_op", lit("u"))
-          .unionByName(delOnly
-            .withColumn("cents", lit(null).cast("long"))
-            .withColumn("pk", lit(null).cast("long"))
-            .withColumn("_op", lit("d")))
-          .createOrReplaceTempView("cdc_net")
-        s.sql(
-          """MERGE INTO graft.cdcr t USING cdc_net s ON t.o_orderkey = s.o_orderkey
-            |WHEN MATCHED AND s._op = 'd' THEN DELETE
-            |WHEN MATCHED THEN UPDATE SET cents = s.cents, pk = s.pk
-            |WHEN NOT MATCHED AND s._op = 'u' THEN INSERT (o_orderkey, cents, pk)
-            |  VALUES (s.o_orderkey, s.cents, s.pk)""".stripMargin)
-      }
-      feed.unpersist()
+      net.createOrReplaceTempView("cdc_net")
+      s.sql(
+        """MERGE INTO graft.cdcr t USING cdc_net s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s._op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET cents = s.cents, pk = s.pk
+          |WHEN NOT MATCHED AND s._op = 'u' THEN INSERT (o_orderkey, cents, pk)
+          |  VALUES (s.o_orderkey, s.cents, s.pk)""".stripMargin)
+      net.unpersist()
       val replica = s.table("graft.cdcr").select("o_orderkey", "cents", "pk")
       val source = s.table("graft.cdfq").select("o_orderkey", "cents", "pk")
       // Bidirectional equality in ONE full-outer join on all columns
