@@ -377,6 +377,11 @@ object Bench {
       // regression). It bypasses the per-query tail guards ONLY: a run that
       // started contended or costs >2x the committed total refuses
       // regardless — there is never a good reason to record one of those.
+      // `incomplete` is DELIBERATELY not FORCE-bypassable either: a ledger
+      // missing queries (or carrying a -1 failure) leaves the next round's
+      // per-query ratchet referenceless — the exact hole r9 shipped. A run
+      // with a known-failing query describes a broken build; fix the query
+      // (or prune the surface) and re-run rather than recording the hole.
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       val ratchet = sameSurface && prevTotal.exists(pt => pt > 0 && total > 1.05 * pt)
       val tailInflated = !force && (perQInflated.size >= 5 || spiked.nonEmpty ||

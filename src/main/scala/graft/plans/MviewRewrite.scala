@@ -33,8 +33,11 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable
  *     (no Filter node, no pushed data filters, no partition/`_file` pruning
  *     — checked against the bound scan's own entry list; a filtered
  *     aggregate is NOT the view's aggregate);
- *   - grouping is exactly the view's declared key set (bare attributes, any
- *     order) and every aggregate expression is one the view maintains:
+ *   - grouping is the view's declared key set (bare attributes, any order)
+ *     — or a PROPER SUBSET of it, in which case the rewrite re-aggregates
+ *     the view (ROLLUP: `GROUP BY k1` answered from a `(k1,k2)` view by
+ *     summing the partials — exact because the view partitions the base
+ *     rows) — and every aggregate expression is one the view maintains:
  *     `count(*)`/`count(1)` → `mv_count`, `sum(<declared sum col>)` →
  *     `mv_sum` (the self-maintainable abelian set — B198 deliberately
  *     maintains nothing else);
@@ -137,11 +140,20 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val srcIdent = baseRel.identifier.getOrElse(return None)
     val keyNames = keyAttrs.map(_.name.toLowerCase).toSet
-    val view: (org.apache.spark.sql.connector.catalog.Identifier, GraftTable) =
-      MviewRewriteRule.candidateViews(tc, srcIdent.namespace()).iterator.flatMap {
+    // Candidates: any fresh view whose key set CONTAINS the query's keys.
+    // Exact match serves as a plain projection; a PROPER superset serves via
+    // ROLLUP — re-aggregating the view's finer groups is provably exact for
+    // the abelian set the view maintains (count(*) = SUM(mv_count),
+    // sum(x) = SUM(mv_sum), avg derives from both) because every base row
+    // lands in exactly one view group. Prefer exact (no re-aggregation);
+    // among rollup candidates prefer the FEWEST keys (coarsest view = fewest
+    // rows to re-aggregate).
+    val candidates: Seq[(org.apache.spark.sql.connector.catalog.Identifier,
+        GraftTable, Set[String])] =
+      MviewRewriteRule.candidateViews(tc, srcIdent.namespace()).flatMap {
         case (id, source, keys, sum) =>
           try {
-            if (source != srcIdent.name() || keys != keyNames ||
+            if (source != srcIdent.name() || !keyNames.subsetOf(keys) ||
                 !sumCols.forall(_.equalsIgnoreCase(sum))) None
             else tc.loadTable(id) match {
               case v: GraftTable
@@ -154,12 +166,14 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
                     v.manifest.gen >= 1 &&
                     // FRESH: folded exactly to the generation this scan reads.
                     GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
-                Some((id, v))
+                Some((id, v, keys))
               case _ => None
             }
           } catch { case _: Exception => None }
-      }.nextOption().getOrElse(return None)
-    val (vIdent, vTable) = view
+      }
+    val (vIdent, vTable, vKeys) = candidates.find(_._3 == keyNames)
+      .orElse(candidates.sortBy(_._3.size).headOption)
+      .getOrElse(return None)
 
     // Build the view scan by hand (this rule may run after the engine's own
     // scan-planning batch, so a raw relation would never get planned).
@@ -184,17 +198,48 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     def vAttr(name: String): AttributeReference =
       vOut.find(_.name.equalsIgnoreCase(name)).get
 
-    // Preserve the Aggregate's exact output (names + exprIds).
-    val projList: Seq[NamedExpression] = outs.map {
-      case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
-      case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
-      case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
-      case AvgOut(al, _) =>
-        import org.apache.spark.sql.types.DoubleType
-        Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
-          Cast(vAttr("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
+    if (vKeys == keyNames) {
+      // Exact key match: the view IS the aggregate — preserve the
+      // Aggregate's exact output (names + exprIds) with a projection.
+      val projList: Seq[NamedExpression] = outs.map {
+        case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
+        case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
+        case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
+        case AvgOut(al, _) =>
+          import org.apache.spark.sql.types.DoubleType
+          Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
+            Cast(vAttr("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
+      }
+      Some(Project(projList, vScan))
+    } else {
+      // ROLLUP (query keys ⊂ view keys): re-aggregate the view's finer
+      // groups. Exact because the view partitions the base rows: each base
+      // row contributes to exactly one (finer) view group, so summing the
+      // partials over the coarser keys reproduces the coarser aggregate —
+      // count(*) = SUM(mv_count) (coalesced to the non-null 0 of an empty
+      // input, matching count's non-nullable output), sum(x) = SUM(mv_sum)
+      // (null iff every partial is null, exactly sum's semantics), and avg
+      // divides the two exact longs the way Average-of-long itself does.
+      // Type gate: only the LONG-typed mv columns re-sum to the SAME result
+      // type the original aggregate produced (a decimal would widen its
+      // precision a second time) — B198 maintains exactly those.
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      if (outs.exists(o => o.isInstanceOf[CountOut] || o.isInstanceOf[AvgOut]) &&
+        vAttr("mv_count").dataType != LongType) return None
+      if (outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]) &&
+        vAttr("mv_sum").dataType != LongType) return None
+      def reSum(name: String): Expression = AggregateExpression(
+        Sum(vAttr(name)), Complete, isDistinct = false)
+      val aggList: Seq[NamedExpression] = outs.map {
+        case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
+        case CountOut(al) => Alias(Coalesce(Seq(reSum("mv_count"),
+          Literal(0L))), al.name)(exprId = al.exprId)
+        case SumOut(al, _) => Alias(reSum("mv_sum"), al.name)(exprId = al.exprId)
+        case AvgOut(al, _) => Alias(Divide(Cast(reSum("mv_sum"), DoubleType),
+          Cast(reSum("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
+      }
+      Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vScan))
     }
-    Some(Project(projList, vScan))
   }
 }
 

@@ -19,34 +19,48 @@ import graft.sources.{GraftBatchScan, GraftPolicies, GraftTable}
  * table, its shuffle/broadcast, and the join operator all disappear.
  *
  * Declaration rides ordinary table properties on graft-catalog tables (one
- * metadata commit, `ALTER TABLE ... SET TBLPROPERTIES`):
+ * metadata commit, `ALTER TABLE ... SET TBLPROPERTIES`); COMPOSITE keys are
+ * comma-separated, paired positionally:
  *
- *   - dimension:  'graft.primaryKey'        = 'pk_col RELY'
- *   - fact:       'graft.foreignKey.<name>' = 'fk_col REFERENCES dim_table (pk_col) RELY'
+ *   - dimension:  'graft.primaryKey'        = 'pk1, pk2 RELY'
+ *   - fact:       'graft.foreignKey.<name>' = 'fk1, fk2 REFERENCES dim_table (pk1, pk2) RELY'
  *
- * `RELY` is the user's signed statement that (a) pk_col is unique and
- * non-null in the dimension and (b) every non-null fk_col value exists in it.
- * The rule trusts the declaration and never scans to check — that is the
- * entire point of RELY (the validated alternative is B146's data-quality
- * battery). A declaration without the literal RELY keyword is documentation
- * only and never fires.
+ * `RELY` is the user's signed statement that (a) the pk column set is unique
+ * and non-null in the dimension and (b) every fk tuple with ALL components
+ * non-null exists in it (SQL MATCH SIMPLE). The rule trusts the declaration
+ * and never scans to check — that is the entire point of RELY (the validated
+ * alternative is B146's data-quality battery). A declaration without the
+ * literal RELY keyword is documentation only and never fires.
  *
  * A join qualifies when ALL of:
- *   1. inner join whose condition is exactly `fact.fk = dim.pk` (bare
- *      attributes, single conjunct — composite keys don't qualify in v1);
+ *   1. inner join whose condition is a conjunction of bare-attribute
+ *      equalities `fact.fk_i = dim.pk_i` covering the declared PK set
+ *      EXACTLY (every pk column equated once, nothing else — a PARTIAL key
+ *      match has no uniqueness guarantee and never fires);
  *   2. the dimension side is a bare scan of a graft table declaring
- *      `graft.primaryKey = 'pk RELY'` (optionally under an attribute-only
+ *      `graft.primaryKey = 'pk… RELY'` (optionally under an attribute-only
  *      Project — no Filter: a filtered dimension CAN drop fact rows);
- *   3. the fact-side key resolves (by exprId) to the declared FK column of a
- *      graft table in the fact subtree whose `graft.foreignKey.*` property
- *      REFERENCES that dimension table and pk column;
- *   4. nothing above the join uses any dimension column except pk itself —
- *      pk occurrences are rewritten to the fact FK (equal on every surviving
- *      row by the join predicate), preserving the original exprId via Alias.
+ *   3. the fact-side keys resolve (by exprId) to the declared FK columns of
+ *      a graft table in the fact subtree whose `graft.foreignKey.*` property
+ *      REFERENCES that dimension table with the same positional pairing;
+ *   4. nothing above the join uses any dimension column except pk columns —
+ *      pk occurrences are rewritten to their paired fact FK (equal on every
+ *      surviving row by the join predicate), preserving the original exprId
+ *      via Alias.
  *
  * The rewrite keeps inner-join row semantics exactly: an inner equi-join
- * drops fact rows with NULL fk, so a nullable FK gains a `fk IS NOT NULL`
- * filter (a non-nullable FK gains nothing at all).
+ * drops fact rows with ANY NULL fk component, so each nullable FK gains a
+ * `fk IS NOT NULL` filter (a non-nullable FK gains nothing at all).
+ *
+ * OUTER-join substitution and composite keys: a LEFT/RIGHT OUTER row is
+ * unmatched iff SOME fk component is null (MATCH SIMPLE) — with a single-
+ * column key that means fk IS NULL, so substituting the null-extended pk
+ * with the fk is exact; with a MULTI-column key an unmatched row can carry
+ * one non-null fk next to a null one, and substituting that pk (null-
+ * extended) with the non-null fk would fabricate a value. Composite outer
+ * elimination therefore fires with a USED pk only when every paired fk is
+ * non-nullable (unmatched rows then cannot exist); unused-dim composite
+ * outer elimination stays sound from PK uniqueness alone.
  *
  * Matched parent shapes are `Project(_, Join)` and `Aggregate(_, _, Join)` —
  * after column pruning these are the shapes a no-dimension-column join can
@@ -110,71 +124,96 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       case other => (other, None)
     }
     val (dimRel, pushedData) = bareRelation(dimInner).getOrElse(return None)
-    val pkName = primaryKey(dimRel).getOrElse(return None)
-    val pkAttr = dim.output.find(a => a.name.equalsIgnoreCase(pkName))
-      .getOrElse(return None)
+    val pkNames = primaryKeyCols(dimRel).getOrElse(return None)
+    val pkAttrs = pkNames.map(n =>
+      dim.output.find(a => a.name.equalsIgnoreCase(n)).getOrElse(return None))
+    val pkIds = pkAttrs.map(_.exprId).toSet
     dimFilter.foreach { c =>
       val ok = splitConjunctivePredicates(c).forall {
-        case IsNotNull(a: AttributeReference) => a.exprId == pkAttr.exprId
+        case IsNotNull(a: AttributeReference) => pkIds.contains(a.exprId)
         case _ => false
       }
       if (!ok) return None
     }
     // Pushed data filters mirror the residual set and can only row-group-skip
     // rows those same predicates exclude — harmless iff they're the exact
-    // whitelist the residual-Filter check allows: IsNotNull of the pk.
+    // whitelist the residual-Filter check allows: IsNotNull of a pk column.
     val pushedOk = pushedData.forall {
-      case org.apache.spark.sql.sources.IsNotNull(c) => c.equalsIgnoreCase(pkName)
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        pkNames.exists(_.equalsIgnoreCase(c))
       case _ => false
     }
     if (!pushedOk) return None
 
-    // 1. condition is exactly fact.fk = dim.pk.
-    val (fkAttr, pkSide) = cond match {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if fact.outputSet.contains(a) && b.exprId == pkAttr.exprId => (a, b)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
-          if fact.outputSet.contains(a) && b.exprId == pkAttr.exprId => (a, b)
-      case _ => return None
-    }
+    // 1. condition is a conjunction of `fact.fk_i = dim.pk_i` covering the
+    // declared PK set EXACTLY — a partial key has no uniqueness guarantee.
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      splitConjunctivePredicates(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if fact.outputSet.contains(a) && pkIds.contains(b.exprId) => (a, b)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if fact.outputSet.contains(a) && pkIds.contains(b.exprId) => (a, b)
+        case _ => return None
+      }
+    val eqPkIds = pairs.map(_._2.exprId)
+    if (eqPkIds.distinct.size != eqPkIds.size || eqPkIds.toSet != pkIds)
+      return None
+    val subst: Map[ExprId, AttributeReference] =
+      pairs.map(p => p._2.exprId -> p._1).toMap
 
-    // 4. nothing above uses dim columns except pk; rewrite pk -> fk keeping
-    // the original exprId so parent references stay valid.
+    // 4. nothing above uses dim columns except pk columns; rewrite pk -> its
+    // paired fk keeping the original exprId so parent references stay valid.
     val dimOut = dim.outputSet
     val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
-    if (!usedDim.forall(_.exprId == pkSide.exprId)) return None
+    if (!usedDim.forall(a => pkIds.contains(a.exprId))) return None
+
+    // Composite OUTER with a used pk: only sound when unmatched rows cannot
+    // exist (every paired fk non-nullable) — see the class doc's MATCH
+    // SIMPLE discussion. Single-column keys substitute exactly as-is.
+    if (outer && usedDim.nonEmpty && pairs.size > 1 &&
+      pairs.exists(_._1.nullable)) return None
 
     // 3. the FK declaration: an INNER join always needs it (elimination
     // keeps fact rows the join would only keep under referential
     // integrity), an OUTER join needs it only to substitute a used pk
     // (unused-dim outer elimination is sound from PK uniqueness alone).
+    // Composite declarations pair positionally: every declared
+    // (fk_i REFERENCES pk_i) leg must be one of the equated pairs on the
+    // SAME fact relation's attributes.
     val needsFk = !outer || usedDim.nonEmpty
     val declared = !needsFk || factRelations(fact).exists { r =>
       foreignKeys(r).exists { fk =>
-        fk.pkCol.equalsIgnoreCase(pkName) &&
+        fk.pkCols.size == pairs.size &&
           tableMatches(dimRel, r, fk.refTable) &&
-          r.output.exists(a => a.exprId == fkAttr.exprId &&
-            a.name.equalsIgnoreCase(fk.fkCol))
+          fk.pkCols.indices.forall { i =>
+            pairs.exists { case (fa, pa) =>
+              pa.name.equalsIgnoreCase(fk.pkCols(i)) &&
+                r.output.exists(a => a.exprId == fa.exprId &&
+                  a.name.equalsIgnoreCase(fk.fkCols(i)))
+            }
+          }
       }
     }
     if (!declared) return None
     val newUsed = used.map { e =>
       e.transform {
-        case a: AttributeReference if a.exprId == pkSide.exprId =>
+        case a: AttributeReference if subst.contains(a.exprId) =>
           if (e.isInstanceOf[AttributeReference])
-            Alias(fkAttr, a.name)(exprId = a.exprId)
-          else fkAttr
+            Alias(subst(a.exprId), a.name)(exprId = a.exprId)
+          else subst(a.exprId)
       } match {
         // A bare top-level pk reference must keep its exprId as an Alias.
-        case a: AttributeReference if a.exprId == pkSide.exprId =>
-          Alias(fkAttr, a.name)(exprId = a.exprId)
+        case a: AttributeReference if subst.contains(a.exprId) =>
+          Alias(subst(a.exprId), a.name)(exprId = a.exprId)
         case other => other
       }
     }
-    // Inner equi-join drops NULL fact keys — preserve that exactly. Outer
-    // joins preserve every fact row: no guard.
+    // Inner equi-join drops fact rows with ANY NULL key component — preserve
+    // that exactly. Outer joins preserve every fact row: no guard.
+    val guards = pairs.map(_._1).filter(_.nullable)
+      .distinctBy(_.exprId).map(IsNotNull(_): Expression)
     val child =
-      if (!outer && fkAttr.nullable) Filter(IsNotNull(fkAttr), fact) else fact
+      if (!outer && guards.nonEmpty) Filter(guards.reduce(And), fact) else fact
     Some((newUsed, child))
   }
 }
@@ -182,25 +221,40 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
 /** Parsing and relation plumbing for the RELY informational constraints. */
 object RelyConstraints {
 
-  final case class ForeignKey(fkCol: String, refTable: String, pkCol: String)
+  final case class ForeignKey(fkCols: Seq[String], refTable: String,
+      pkCols: Seq[String])
 
+  private val ColList = """[\w$]+(?:\s*,\s*[\w$]+)*"""
   private val FkPattern =
-    """(?is)^\s*([\w$]+)\s+REFERENCES\s+([\w$.]+)\s*\(\s*([\w$]+)\s*\)\s+RELY\s*$""".r
-  private val PkPattern = """(?is)^\s*([\w$]+)\s+RELY\s*$""".r
+    s"""(?is)^\\s*($ColList)\\s+REFERENCES\\s+([\\w$$.]+)\\s*\\(\\s*($ColList)\\s*\\)\\s+RELY\\s*$$""".r
+  private val PkPattern = s"""(?is)^\\s*($ColList)\\s+RELY\\s*$$""".r
 
-  /** The declared RELY primary-key column of a relation's table, if any. */
-  def primaryKey(rel: DataSourceV2Relation): Option[String] =
+  private def cols(csv: String): Seq[String] =
+    csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** The declared RELY primary-key column(s) of a relation's table, if any
+    * (composite keys comma-separated). Distinctness is part of the grammar:
+    * a duplicated column is a malformed declaration, never trusted. */
+  def primaryKeyCols(rel: DataSourceV2Relation): Option[Seq[String]] =
     Option(rel.table.properties().get("graft.primaryKey")).flatMap {
-      case PkPattern(col) => Some(col)
+      case PkPattern(cs) =>
+        val c = cols(cs)
+        if (c.map(_.toLowerCase).distinct.size == c.size) Some(c) else None
       case _ => None // no RELY keyword -> documentation only, never trusted
     }
 
-  /** All declared RELY foreign keys of a relation's table. */
+  /** All declared RELY foreign keys of a relation's table. Composite legs
+    * pair positionally; mismatched arity or duplicated columns on either
+    * side make the declaration malformed — dropped, never trusted. */
   def foreignKeys(rel: DataSourceV2Relation): Seq[ForeignKey] = {
     import scala.jdk.CollectionConverters._
     rel.table.properties().asScala.toSeq.collect {
       case (k, FkPattern(fk, ref, pk)) if k.startsWith("graft.foreignKey.") =>
-        ForeignKey(fk, ref, pk)
+        ForeignKey(cols(fk), ref, cols(pk))
+    }.filter { f =>
+      f.fkCols.size == f.pkCols.size &&
+        f.fkCols.map(_.toLowerCase).distinct.size == f.fkCols.size &&
+        f.pkCols.map(_.toLowerCase).distinct.size == f.pkCols.size
     }
   }
 
@@ -224,7 +278,9 @@ object RelyConstraints {
     * stay residual too (Spark re-checks above the scan), so they are
     * harmless exactly when the residual-Filter validation says so — the
     * caller checks them against the same IsNotNull(pk) whitelist. Non-graft
-    * scans are refused outright — we cannot prove what they pushed.
+    * tables are refused outright in BOTH vintages — pre-pushdown nothing is
+    * pushed yet, but the stated contract (we only trust scans whose pruning
+    * behavior we can prove) applies to the table, not the plan node shape.
     *
     * A dimension declaring row/column policies (B233) is refused in BOTH
     * vintages: policy enforcement happens inside the scan, invisibly to the
@@ -232,7 +288,8 @@ object RelyConstraints {
   def bareRelation(p: LogicalPlan)
       : Option[(DataSourceV2Relation, Array[org.apache.spark.sql.sources.Filter])] =
     p match {
-      case r: DataSourceV2Relation if !policed(r) =>
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !policed(r) =>
         Some((r, Array.empty))
       case s: DataSourceV2ScanRelation if !policed(s.relation) =>
         (s.relation.table, s.scan) match {
@@ -258,12 +315,15 @@ object RelyConstraints {
   }.flatten
 
   /** Does the FK declaration's REFERENCES target name this dimension table?
-    * A qualified declaration (`ns.dim`) must match the dimension identifier's
-    * trailing `namespace.name` components; an UNQUALIFIED one resolves in the
-    * declaring fact table's own namespace — the dimension must live there
-    * too, else a same-leaf-name table in another namespace (with its own PK
-    * RELY) would wrongly validate the elimination. Both relations must also
-    * come from the same catalog: the declaration is catalog-scoped. */
+    * A qualified declaration (`ns.dim`) must resolve to an EXACT identifier:
+    * either the dimension's full `namespace.name` as declared (absolute), or
+    * the declaring fact table's own namespace prepended to it (relative) —
+    * never a mere suffix, which would let `other.dim` also validate a
+    * deeper-nested `a.other.dim` carrying its own PK RELY (the same
+    * wrong-table hole the leaf-name rule closes, one level up). An
+    * UNQUALIFIED declaration resolves in the declaring fact table's own
+    * namespace — the dimension must live there too. Both relations must
+    * also come from the same catalog: the declaration is catalog-scoped. */
   def tableMatches(dimRel: DataSourceV2Relation, factRel: DataSourceV2Relation,
                    refTable: String): Boolean = {
     val sameCatalog =
@@ -271,10 +331,12 @@ object RelyConstraints {
     sameCatalog && dimRel.identifier.exists { id =>
       val dimFull = (id.namespace().toSeq :+ id.name()).map(_.toLowerCase)
       val declared = refTable.split('.').toSeq.map(_.trim.toLowerCase)
-      if (declared.length > 1) dimFull.takeRight(declared.length) == declared
+      lazy val factNs = factRel.identifier.map(
+        _.namespace().toSeq.map(_.toLowerCase))
+      if (declared.length > 1)
+        dimFull == declared || factNs.exists(ns => dimFull == ns ++ declared)
       else declared.last.equalsIgnoreCase(id.name()) &&
-        factRel.identifier.exists(
-          _.namespace().toSeq.map(_.toLowerCase) == id.namespace().toSeq.map(_.toLowerCase))
+        factNs.contains(id.namespace().toSeq.map(_.toLowerCase))
     }
   }
 }

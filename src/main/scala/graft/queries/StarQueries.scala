@@ -2960,6 +2960,44 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"), col("b"))
     },
 
+    // B234 ROLLUP rewrite: the user groups by pk ALONE, the only registered
+    // view is keyed (pk, b) — the optimizer answers by RE-AGGREGATING the
+    // view (count = SUM(mv_count), sum = SUM(mv_sum), avg = the two exact
+    // longs divided), provably exact because the view partitions the base
+    // rows. Shares q_mview_rewrite's fixtures; the `rewritten` boolean pins
+    // that the optimized plan scans the VIEW and never the base table, and
+    // the oracle replays the base-table aggregate the plan no longer runs.
+    "q_mview_rollup" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+            pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+            pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
+          .coalesce(2).writeTo("graft.mvrq")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "mvrq_mv", 2L, "v2", Seq("orders")) { marker =>
+        s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
+          "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
+        require(s.table("graft.mvrq_mv").count() > 0,
+          "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
+        s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
+      }
+      val df = s.table("graft.mvrq")
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
+        !scans.exists(_.contains("mvrq@"))
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
     // B233: ROW-LEVEL SECURITY + COLUMN MASKING enforced IN the scan (the
     // Unity row-filter / Snowflake masking-policy posture): the fixture
     // table declares `graft.rowFilter = k % 7 <> 0`, `graft.mask.tag =
@@ -3032,6 +3070,51 @@ object StarQueries {
         .withColumn("probe_n", lit(probeN))
         .withColumn("bucket_pruned", lit(pruned))
         .orderBy(col("bucket"))
+    },
+
+    // B237 extension: HIDDEN days(ts) partitioning — the time-partitioned
+    // fact table, THE most common lakehouse layout. gen 1 loads the even
+    // event keys partitioned by days(ts) (ts STAYS in the data; the
+    // directory key is the epoch day). The two-day RANGE probe pins that
+    // the scan opened exactly the two covered day directories out of 30
+    // (`days_pruned`, parsed from the EXECUTED plan's entries=kept/total —
+    // the boundary-exact `ts < day12-midnight` drops the boundary day too),
+    // then ONE metadata-only commit evolves the spec to truncate(2,et)
+    // (B232 × B237: both new transform kinds in one lineage) and the odd
+    // keys append under the prefix layout. The per-day rollup then spans
+    // BOTH vintages — a row lost or misrouted across the spec boundary
+    // breaks the hash, not just a plan detail.
+    "q_catalog_hidden_days" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      s.sql("DROP TABLE IF EXISTS graft.hdq")
+      val base = Tables.events(s, d).select(col("event_id").as("k"), col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        col("event_type").as("et"))
+      base.filter(col("k") % 2 === 0).coalesce(1).writeTo("graft.hdq")
+        .partitionedBy(days(col("ts"))).create()             // gen 1: days(ts)=…
+      val probe = s.table("graft.hdq").filter(
+        expr("ts >= timestamp'2024-01-10 00:00:00' AND " +
+          "ts < timestamp'2024-01-12 00:00:00'"))
+      val desc = probe.queryExecution.executedPlan.toString
+      val pruned = "entries=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        .exists(m => m.group(1).toInt <= 2 && m.group(2).toInt > 10)
+      val probeN = probe.count()
+      s.sql("CALL graft.system.set_partition_spec(table => 'hdq', cols => 'truncate(2,et)')")
+      base.filter(col("k") % 2 === 1).coalesce(1)
+        .writeTo("graft.hdq").append()                       // gen 3: et-prefix dirs
+      import graft.sources.GraftManifest
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.catalog.graft.root"), "hdq")
+      val conf = s.sessionState.newHadoopConf()
+      val wasMixed = !GraftManifest.load(dir,
+        GraftManifest.currentGen(dir, conf), conf).specUniform
+      s.table("graft.hdq")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("probe_n", lit(probeN))
+        .withColumn("days_pruned", lit(pruned))
+        .withColumn("was_mixed", lit(wasMixed))
+        .orderBy(col("day"))
     },
 
     // B231 outer twin: LEFT OUTER elimination — grouping on the DIM pk
@@ -5153,6 +5236,19 @@ object StarQueries {
         |  true AS rewritten
         |FROM base GROUP BY 1, 2 ORDER BY pk, b""".stripMargin,
 
+    // B234 rollup: the oracle replays the coarser base-table aggregate the
+    // optimizer answered from the (pk,b) view; avg divides the exact longs
+    // explicitly (the same expression the rewrite emits), and `rewritten`
+    // pins that the view served the plan.
+    "q_mview_rollup" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
     // B233: the oracle replays the row filter relationally for the policed
     // columns, the raw table for the auditor columns, and pins the mask
     // constant + the policed distinct-tag collapse inside the hash gate.
@@ -5193,6 +5289,21 @@ object StarQueries {
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST(1 AS BIGINT) AS probe_n, true AS bucket_pruned
         |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // B237 extension: the days(ts) transform is CAST(ts AS DATE) itself
+    // (epoch-day floor, transparent); the per-day rollup spans both the
+    // days-vintage and the post-evolution truncate-vintage rows, the range
+    // probe's count and the two plan booleans ride the hash gate.
+    "q_catalog_hidden_days" ->
+      """WITH base AS (SELECT event_id AS k, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  (SELECT count(*) FROM base WHERE k % 2 = 0
+        |     AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |     AND ts < TIMESTAMP '2024-01-12 00:00:00') AS probe_n,
+        |  true AS days_pruned, true AS was_mixed
+        |FROM base GROUP BY 1 ORDER BY day""".stripMargin,
 
     // B231 outer twin: the LEFT JOIN replay keeps every fact row — the
     // null-fk rows land in the NULL group (grp null), unlike the inner twin.

@@ -23,7 +23,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.SerializableHadoopConf
@@ -84,16 +84,19 @@ class GraftCatalog extends TableCatalog
   private var catName: String = _
   private var root: Path = _
 
-  /** FunctionCatalog surface: exactly the `bucket` transform function (B237)
-    * — what lets Spark RESOLVE a bucket transform in this catalog's write
-    * distributions (V2ExpressionUtils looks the transform up here; without
-    * it every write to a bucket-partitioned table fails analysis). */
+  /** FunctionCatalog surface: the hidden-partitioning transform functions
+    * (B237 — bucket, days, truncate) — what lets Spark RESOLVE a transform
+    * in this catalog's write distributions (V2ExpressionUtils looks the
+    * transform up here; without it every write to a transform-partitioned
+    * table fails analysis). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "days", "truncate").map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (ident.name().equalsIgnoreCase("days")) GraftDaysFunction
+    else if (ident.name().equalsIgnoreCase("truncate")) GraftTruncateFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** CALL-procedure surface (B193, the Iceberg `CALL cat.system.proc(...)`
@@ -226,21 +229,29 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.map { t =>
+      def litInt(what: String): Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$what transform needs a literal argument, got $t"))
       t.name match {
         case "identity" => t.references().head.fieldNames().head
-        // HIDDEN bucket partitioning (B237): stored as the canonical
-        // `bucket(n,col)` string — which is also the directory KEY, keeping
-        // the whole spec machinery (partValues key sets, specUniform, B232
-        // evolution) transform-transparent.
+        // HIDDEN partitioning transforms (B237): stored as the canonical
+        // string (`bucket(n,col)` / `days(col)` / `truncate(w,col)`) — which
+        // is also the directory KEY, keeping the whole spec machinery
+        // (partValues key sets, specUniform, B232 evolution)
+        // transform-transparent.
         case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value().toString.toInt
-          }.getOrElse(throw new IllegalArgumentException(
-            s"bucket transform needs a literal bucket count, got $t"))
-          GraftTransforms.canonical(n, t.references().head.fieldNames().head)
+          GraftTransforms.BucketT(litInt("bucket"),
+            t.references().head.fieldNames().head).canonical
+        case "days" =>
+          GraftTransforms.DaysT(t.references().head.fieldNames().head).canonical
+        case "truncate" =>
+          GraftTransforms.TruncT(litInt("truncate"),
+            t.references().head.fieldNames().head).canonical
         case _ => throw new IllegalArgumentException(
-          s"graft catalog supports identity and bucket partitioning only, got $t")
+          "graft catalog supports identity, bucket, days and truncate " +
+            s"partitioning only, got $t")
       }
     }
     // Directory-codec types only ([[GraftMicroBatchStream.catalystValue]]):
@@ -1033,13 +1044,14 @@ object GraftCommitProtocol {
         conflict(s"table changed (gen ${orig.gen} -> ${base.gen}) under a truncating write")
       fresh
     case "dynamic" =>
-      // Hidden buckets (B237): dynamic overwrite would replace whole BUCKET
-      // directories — rows sharing a bucket with the new data but otherwise
-      // untouched would silently vanish. Refuse: overwrite by predicate or
-      // truncate instead.
+      // Hidden transforms (B237): dynamic overwrite would replace whole
+      // DERIVED directories (bucket/day/truncation bins) — rows sharing a
+      // directory with the new data but otherwise untouched would silently
+      // vanish. Refuse: overwrite by predicate or truncate instead.
       if (base.partCols.exists(GraftTransforms.isTransform))
-        conflict("dynamic partition overwrite on a bucket-partitioned table " +
-          "replaces whole buckets — overwrite by predicate or truncate instead")
+        conflict("dynamic partition overwrite on a transform-partitioned " +
+          "table (bucket/days/truncate) replaces whole derived directories " +
+          "— overwrite by predicate or truncate instead")
       // Spec evolution (B232): dynamic overwrite replaces entries by
       // partition-PATH equality, but a pre-evolution file may hold rows of a
       // touched logical partition in DATA (different path string) — those
@@ -1073,17 +1085,31 @@ object GraftCommitProtocol {
         // path-decidable — the actionable fix is a different predicate or
         // replaceWhere. The OPTIMIZE hint is reserved for genuinely
         // mixed-spec tables where compaction really does migrate the layout.
-        staticFilters.foreach(f => require(
-          f.references.forall(values.keySet.contains),
-          if (m.specUniform)
-            s"static overwrite predicate column(s) " +
-              s"${f.references.filterNot(values.keySet.contains).mkString(", ")} " +
-              "are not in the partition spec — overwrite by partition key, " +
-              "or use replaceWhere"
-          else
-            s"static overwrite on a spec-evolved table: file path '$p' does " +
-              "not carry the predicate column(s) — run OPTIMIZE to migrate " +
-              "the layout first"))
+        staticFilters.foreach { f =>
+          val missing = f.references.filterNot(values.keySet.contains)
+          // A transform SOURCE column can never be targeted by an equality
+          // overwrite — its directory key is the DERIVED value, so "overwrite
+          // by partition key" is not actionable advice for it (B237):
+          // replaceWhere is the only predicate overwrite that works there.
+          val transformSrc =
+            missing.filter(GraftTransforms.sources(m.partCols).contains)
+          require(missing.isEmpty,
+            if (m.specUniform && transformSrc.nonEmpty)
+              s"static overwrite predicate column(s) " +
+                s"${transformSrc.mkString(", ")} are hidden-transform SOURCE " +
+                "columns — their directories are keyed by the derived value " +
+                "(bucket/day/truncation bin), so an equality overwrite " +
+                "cannot target them; use replaceWhere"
+            else if (m.specUniform)
+              s"static overwrite predicate column(s) " +
+                s"${missing.mkString(", ")} " +
+                "are not in the partition spec — overwrite by partition key, " +
+                "or use replaceWhere"
+            else
+              s"static overwrite on a spec-evolved table: file path '$p' does " +
+                "not carry the predicate column(s) — run OPTIMIZE to migrate " +
+                "the layout first")
+        }
         staticFilters.forall(f => GraftScanBuilder.matchesStrict(f, values, m.schema))
       }
       if (base.gen != orig.gen && selected(orig) != selected(base))
@@ -1114,8 +1140,14 @@ class GraftTable(val ident: Identifier, val dir: Path, val manifest: GraftManife
   override def schema(): StructType = manifest.schema
   override def partitioning(): Array[Transform] =
     manifest.partCols.map { c =>
-      GraftTransforms.bucketOf(c) match {
-        case Some((n, src)) => Expressions.bucket(n, src): Transform
+      GraftTransforms.transformOf(c) match {
+        case Some(GraftTransforms.BucketT(n, src)) =>
+          Expressions.bucket(n, src): Transform
+        case Some(GraftTransforms.DaysT(src)) =>
+          Expressions.days(src): Transform
+        case Some(GraftTransforms.TruncT(w, src)) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(src)): Transform
         case None => Expressions.identity(c): Transform
       }
     }.toArray
@@ -1316,41 +1348,150 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
     val physSchema = manifest.physicalize(
       if (manifest.specUniform) manifest.dataSchema else manifest.schema)
     val mixed = !manifest.specUniform
-    // HIDDEN bucket pruning (B237): a point predicate on a bucket SOURCE
-    // column prunes to the matching bucket directory — floorMod is the
-    // transform, so equality/IN lower to directory equality exactly.
-    // Conservative everywhere else (nulls, ranges, missing keys keep).
-    val buckets: Seq[(String, Int, String)] = manifest.partCols.flatMap(pc =>
-      GraftTransforms.bucketOf(pc).map { case (n, c) => (pc, n, c) })
+    // HIDDEN transform pruning (B237): predicates on a transform SOURCE
+    // column prune to the matching derived directories. Equality/IN lower
+    // to directory equality exactly for every kind; days and truncate-over-
+    // integers are MONOTONIC, so range predicates prune directory ranges
+    // (`ts >= X AND ts < Y` opens only the covered day directories — the
+    // time-partitioned fact scan at 100 TB); truncate-over-strings prunes
+    // equality and StartsWith by prefix. Conservative everywhere else
+    // (unknown shapes, undecodable values, missing keys keep).
+    val transforms: Seq[(String, GraftTransforms.PartTransform)] =
+      manifest.partCols.flatMap(pc =>
+        GraftTransforms.transformOf(pc).map(t => (pc, t)))
     def widenL(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case sh: Short => Some(sh.toLong)
       case _ => None
     }
-    def bucketKeeps(values: Map[String, String]): Boolean =
-      buckets.forall { case (pathKey, n, src) =>
+    // Epoch-day ordinal of a pushed TIMESTAMP/DATE filter value (both the
+    // java.sql and java.time vintages) plus whether it sits EXACTLY on the
+    // midnight boundary — `ts < '2024-02-01'` excludes the boundary day
+    // entirely, the dominant time-range scan shape. None keeps
+    // conservatively.
+    def dayB(v: Any): Option[(Long, Boolean)] = {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      def ofMicros(us: Long) =
+        (GraftTransforms.daysValueMicros(us),
+          java.lang.Math.floorMod(us, GraftTransforms.MicrosPerDay) == 0L)
+      v match {
+        case t: java.sql.Timestamp => Some(ofMicros(DateTimeUtils.fromJavaTimestamp(t)))
+        case i: java.time.Instant => Some(ofMicros(DateTimeUtils.instantToMicros(i)))
+        case d: java.sql.Date => Some((DateTimeUtils.fromJavaDate(d).toLong, true))
+        case ld: java.time.LocalDate => Some((ld.toEpochDay, true))
+        case _ => None
+      }
+    }
+    def dayL(v: Any): Option[Long] = dayB(v).map(_._1)
+    def transformKeeps(values: Map[String, String]): Boolean =
+      transforms.forall { case (pathKey, t) =>
         values.get(pathKey) match {
-          case Some(raw) => prunable.forall {
-            case EqualTo(a, v) if a == src =>
-              if (raw == "__HIVE_DEFAULT_PARTITION__") v == null
-              else widenL(v).forall(l =>
-                GraftTransforms.bucketValue(l, n).toString == raw)
-            case In(a, vs) if a == src =>
-              if (raw == "__HIVE_DEFAULT_PARTITION__") vs.contains(null)
-              else vs.exists(v => widenL(v).forall(l =>
-                GraftTransforms.bucketValue(l, n).toString == raw))
-            case IsNull(a) if a == src => raw == "__HIVE_DEFAULT_PARTITION__"
-            case IsNotNull(a) if a == src => raw != "__HIVE_DEFAULT_PARTITION__"
-            case _ => true
-          }
+          case Some(raw) =>
+            val nullDir = raw == "__HIVE_DEFAULT_PARTITION__"
+            lazy val rawL = raw.toLongOption
+            val src = t.source
+            // Monotonic kinds hold a source RANGE per directory: days dir d
+            // covers [d, d+1) days, truncate dir r covers [r, r+w) — the
+            // range cases below compare in the derived unit.
+            prunable.forall { f =>
+              t match {
+                case GraftTransforms.BucketT(n, _) => f match {
+                  case EqualTo(a, v) if a == src =>
+                    if (nullDir) v == null
+                    else widenL(v).forall(l =>
+                      GraftTransforms.bucketValue(l, n).toString == raw)
+                  case In(a, vs) if a == src =>
+                    if (nullDir) vs.contains(null)
+                    else vs.exists(v => v != null && widenL(v).forall(l =>
+                      GraftTransforms.bucketValue(l, n).toString == raw))
+                  case IsNull(a) if a == src => nullDir
+                  case IsNotNull(a) if a == src => !nullDir
+                  case _ => true
+                }
+                case GraftTransforms.DaysT(_) => f match {
+                  case EqualTo(a, v) if a == src =>
+                    if (nullDir) v == null
+                    else dayL(v).forall(d => rawL.forall(_ == d))
+                  case In(a, vs) if a == src =>
+                    if (nullDir) vs.contains(null)
+                    else vs.exists(v => v != null &&
+                      dayL(v).forall(d => rawL.forall(_ == d)))
+                  case IsNull(a) if a == src => nullDir
+                  case IsNotNull(a) if a == src => !nullDir
+                  // Monotonic ranges: a day directory d covers [d, d+1).
+                  case GreaterThan(a, v) if a == src =>
+                    !nullDir && dayL(v).forall(d => rawL.forall(_ >= d))
+                  case GreaterThanOrEqual(a, v) if a == src =>
+                    !nullDir && dayL(v).forall(d => rawL.forall(_ >= d))
+                  case LessThan(a, v) if a == src =>
+                    // Boundary-exact v: no row of day d satisfies ts < d's
+                    // own midnight — the boundary day drops too.
+                    !nullDir && dayB(v).forall { case (d, boundary) =>
+                      rawL.forall(r => if (boundary) r < d else r <= d) }
+                  case LessThanOrEqual(a, v) if a == src =>
+                    !nullDir && dayL(v).forall(d => rawL.forall(_ <= d))
+                  case _ => true
+                }
+                case GraftTransforms.TruncT(w, _)
+                    if manifest.schema.fields.exists(fd =>
+                      fd.name == src && fd.dataType == StringType) => f match {
+                  case EqualTo(a, v) if a == src =>
+                    if (nullDir) v == null
+                    else v == null || GraftTransforms.truncString(
+                      String.valueOf(v), w) == raw
+                  case In(a, vs) if a == src =>
+                    if (nullDir) vs.contains(null)
+                    else vs.exists(v => v != null && GraftTransforms
+                      .truncString(String.valueOf(v), w) == raw)
+                  case StringStartsWith(a, p) if a == src && p != null =>
+                    if (nullDir) false
+                    else {
+                      val pt = GraftTransforms.truncString(p, w)
+                      // p shorter than the prefix width: any match extends p,
+                      // so its directory must start with p; p at least as
+                      // long: the directory IS p's own prefix exactly.
+                      if (pt == p) raw.startsWith(p) else raw == pt
+                    }
+                  case IsNull(a) if a == src => nullDir
+                  case IsNotNull(a) if a == src => !nullDir
+                  case _ => true
+                }
+                case GraftTransforms.TruncT(w, _) => f match {
+                  case EqualTo(a, v) if a == src =>
+                    if (nullDir) v == null
+                    else widenL(v).forall(l =>
+                      rawL.forall(_ == GraftTransforms.truncLong(l, w)))
+                  case In(a, vs) if a == src =>
+                    if (nullDir) vs.contains(null)
+                    else vs.exists(v => v != null && widenL(v).forall(l =>
+                      rawL.forall(_ == GraftTransforms.truncLong(l, w))))
+                  case IsNull(a) if a == src => nullDir
+                  case IsNotNull(a) if a == src => !nullDir
+                  // Monotonic ranges: directory r covers [r, r+w). Guard the
+                  // r+w-1 arithmetic against Long overflow (keep when it
+                  // would wrap — conservative, never unsound).
+                  case GreaterThan(a, v) if a == src =>
+                    !nullDir && widenL(v).forall(l => rawL.forall(r =>
+                      r > Long.MaxValue - w || r + w - 1 > l))
+                  case GreaterThanOrEqual(a, v) if a == src =>
+                    !nullDir && widenL(v).forall(l => rawL.forall(r =>
+                      r > Long.MaxValue - w || r + w - 1 >= l))
+                  case LessThan(a, v) if a == src =>
+                    !nullDir && widenL(v).forall(l => rawL.forall(_ < l))
+                  case LessThanOrEqual(a, v) if a == src =>
+                    !nullDir && widenL(v).forall(l => rawL.forall(_ <= l))
+                  case _ => true
+                }
+              }
+            }
           case None => true
         }
       }
     manifest.entries.filter { case (partPath, rel) =>
       val values = GraftScanBuilder.partValues(partPath)
       partFilters.forall(f => GraftScanBuilder.matches(f, values, manifest.schema)) &&
-        bucketKeeps(values) &&
+        transformKeeps(values) &&
         (!mixed || prunable.forall(f =>
           !f.references.forall(values.keySet.contains) ||
             GraftScanBuilder.matches(f, values, manifest.schema))) &&
@@ -1660,22 +1801,52 @@ class GraftLocalAggScan(schema: StructType, result: Array[InternalRow], desc: St
 
 /**
  * HIDDEN PARTITIONING transforms (B237 — the Iceberg partition-transform
- * design, bucket only in v1): a partition spec entry may be the canonical
- * string `bucket(n,col)` instead of a column name. The SOURCE column stays
- * in the data files (nothing is stripped — queries filter on the REAL
- * column and never see the bucket), the writer derives the directory value
- * `floorMod(value, n)` per row, and the scan prunes point predicates on the
- * source column to the matching bucket directory. The path KEY is the
- * canonical transform string itself, so a bucketed spec is spec-machinery-
- * transparent: partValues key sets equal partCols, specUniform and the
- * B232 evolution logic hold unchanged, and the per-spec readers strip
- * nothing (the transform string matches no schema field).
+ * set: bucket, days, truncate): a partition spec entry may be a canonical
+ * transform string (`bucket(n,col)`, `days(col)`, `truncate(w,col)`)
+ * instead of a column name. The SOURCE column stays in the data files
+ * (nothing is stripped — queries filter on the REAL column and never see
+ * the derived value), the writer derives the directory value per row, and
+ * the scan prunes predicates on the source column to the matching
+ * directories. The path KEY is the canonical transform string itself, so a
+ * transform spec is spec-machinery-transparent: partValues key sets equal
+ * partCols, specUniform and the B232 evolution logic hold unchanged, and
+ * the per-spec readers strip nothing (the transform string matches no
+ * schema field).
  *
- * The bucket function is floorMod — deliberately transparent (an oracle,
- * or a user, can compute a row's bucket as `v % n`), integral sources only.
+ * Every transform is deliberately transparent — an oracle, or a user, can
+ * replay a row's directory value:
+ *   - bucket(n,col):    floorMod(col, n), integral sources only;
+ *   - days(col):        epoch days — floorDiv(micros, 86 400 000 000) for
+ *                       TIMESTAMP, the stored day ordinal for DATE. days is
+ *                       MONOTONIC in the source, so range predicates prune
+ *                       day-range directories (the time-partitioned fact
+ *                       table's bread-and-butter scan shape at 100 TB);
+ *   - truncate(w,col):  v - floorMod(v, w) for integral sources (monotonic
+ *                       — ranges prune), the first w CODE POINTS for STRING
+ *                       sources (equality and prefix predicates prune).
  */
 object GraftTransforms {
   private val Bucket = """^bucket\((\d+),([\w$]+)\)$""".r
+  private val Days = """^days\(([\w$]+)\)$""".r
+  private val Truncate = """^truncate\((\d+),([\w$]+)\)$""".r
+
+  val MicrosPerDay: Long = 86400000000L
+
+  /** One parsed partition-spec transform entry. */
+  sealed trait PartTransform { def source: String; def canonical: String }
+  final case class BucketT(n: Int, source: String) extends PartTransform {
+    def canonical: String = s"bucket($n,$source)" }
+  final case class DaysT(source: String) extends PartTransform {
+    def canonical: String = s"days($source)" }
+  final case class TruncT(w: Int, source: String) extends PartTransform {
+    def canonical: String = s"truncate($w,$source)" }
+
+  def transformOf(partCol: String): Option[PartTransform] = partCol match {
+    case Bucket(n, c) => Some(BucketT(n.toInt, c))
+    case Days(c) => Some(DaysT(c))
+    case Truncate(w, c) => Some(TruncT(w.toInt, c))
+    case _ => None
+  }
 
   def canonical(n: Int, col: String): String = s"bucket($n,$col)"
 
@@ -1697,28 +1868,53 @@ object GraftTransforms {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Parse a canonical bucket partCol; None for identity columns. */
-  def bucketOf(partCol: String): Option[(Int, String)] = partCol match {
-    case Bucket(n, c) => Some((n.toInt, c))
-    case _ => None
-  }
+  /** Parse a canonical bucket partCol; None for identity columns and the
+    * other transform kinds. */
+  def bucketOf(partCol: String): Option[(Int, String)] =
+    transformOf(partCol).collect { case BucketT(n, c) => (n, c) }
 
-  def isTransform(partCol: String): Boolean = bucketOf(partCol).isDefined
+  def isTransform(partCol: String): Boolean = transformOf(partCol).isDefined
 
   def bucketValue(v: Long, n: Int): Long = java.lang.Math.floorMod(v, n.toLong)
 
+  /** Epoch-day ordinal of a TIMESTAMP's micros — the days(col) directory
+    * value. floorDiv matches `CAST(ts AS DATE)` for pre-1970 values too. */
+  def daysValueMicros(micros: Long): Long = Math.floorDiv(micros, MicrosPerDay)
+
+  /** truncate(w,col) over an integral source: the width-w bin floor —
+    * monotonic, so range predicates prune directory ranges. */
+  def truncLong(v: Long, w: Int): Long = v - java.lang.Math.floorMod(v, w.toLong)
+
+  /** truncate(w,col) over a STRING source: the first w CODE POINTS (via
+    * UTF8String, so the writer, the catalog `truncate` function, and the
+    * pruner agree on surrogate pairs). */
+  def truncString(s: String, w: Int): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).substring(0, w).toString
+
   /** Source columns referenced by transform entries of a spec. */
   def sources(partCols: Iterable[String]): Set[String] =
-    partCols.flatMap(pc => bucketOf(pc).map(_._2)).toSet
+    partCols.flatMap(pc => transformOf(pc).map(_.source)).toSet
+
+  private def sourceField(c: String, kind: String, schema: StructType): StructField =
+    schema.fields.find(_.name == c).getOrElse(throw
+      new IllegalArgumentException(s"$kind source column $c missing from schema"))
 
   /** Validate one spec entry against a schema (CREATE / set_partition_spec). */
-  def validate(partCol: String, schema: StructType): Unit = bucketOf(partCol) match {
-    case Some((n, c)) =>
+  def validate(partCol: String, schema: StructType): Unit = transformOf(partCol) match {
+    case Some(BucketT(n, c)) =>
       require(n > 0, s"bucket($n,$c): bucket count must be positive")
-      val f = schema.fields.find(_.name == c).getOrElse(throw
-        new IllegalArgumentException(s"bucket source column $c missing from schema"))
+      val f = sourceField(c, "bucket", schema)
       require(Set[DataType](LongType, IntegerType, ShortType)(f.dataType),
         s"bucket source column $c must be integral, got ${f.dataType.sql}")
+    case Some(DaysT(c)) =>
+      val f = sourceField(c, "days", schema)
+      require(f.dataType == TimestampType || f.dataType == DateType,
+        s"days source column $c must be TIMESTAMP or DATE, got ${f.dataType.sql}")
+    case Some(TruncT(w, c)) =>
+      require(w > 0, s"truncate($w,$c): width must be positive")
+      val f = sourceField(c, "truncate", schema)
+      require(Set[DataType](LongType, IntegerType, ShortType, StringType)(f.dataType),
+        s"truncate source column $c must be integral or STRING, got ${f.dataType.sql}")
     case None =>
       require(schema.fieldNames.contains(partCol),
         s"partition column $partCol missing from schema")
@@ -1762,6 +1958,76 @@ object GraftBucketFunction
             case _ => input.getShort(1).toLong
           }
           Integer.valueOf(GraftTransforms.bucketValue(v, n).toInt)
+        }
+    }
+  }
+}
+
+/** The catalog-resolved `days` ScalarFunction (B237): epoch-day ordinal of a
+  * TIMESTAMP (floorDiv of micros) or DATE (the stored ordinal) — byte-
+  * identical to the writer's directory derivation and the scan's pruning
+  * arithmetic, same posture as [[GraftBucketFunction]]. */
+object GraftDaysFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  override def name(): String = "days"
+  override def description(): String =
+    "days(col) - epoch-day partition transform over TIMESTAMP/DATE"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"days expects (value), got ${inputType.simpleString}")
+    val vt = inputType.fields(0).dataType
+    require(vt == TimestampType || vt == DateType,
+      s"days source must be TIMESTAMP or DATE, got ${vt.sql}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(vt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "days"
+      override def canonicalName(): String = "graft.days"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+        if (input.isNullAt(0)) null
+        else if (vt == TimestampType)
+          Integer.valueOf(GraftTransforms.daysValueMicros(input.getLong(0)).toInt)
+        else Integer.valueOf(input.getInt(0))
+    }
+  }
+}
+
+/** The catalog-resolved `truncate` ScalarFunction (B237): width-w bin floor
+  * for integral sources, first-w-code-points prefix for STRING — the exact
+  * arithmetic the writer and the pruner use. */
+object GraftTruncateFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col) - width-w bin (integral) / w-code-point prefix (string) partition transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate expects (width, value), got ${inputType.simpleString}")
+    val vt = inputType.fields(1).dataType
+    require(Set[DataType](LongType, IntegerType, ShortType, StringType)(vt),
+      s"truncate source must be integral or STRING, got ${vt.sql}")
+    new ScalarFunction[AnyRef] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
+      override def resultType(): DataType = vt
+      override def name(): String = "truncate"
+      override def canonicalName(): String = "graft.truncate"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): AnyRef =
+        if (input.isNullAt(1)) null
+        else {
+          val w = input.getInt(0)
+          vt match {
+            case StringType => input.getUTF8String(1).substring(0, w)
+            case LongType => java.lang.Long.valueOf(
+              GraftTransforms.truncLong(input.getLong(1), w))
+            case IntegerType => Integer.valueOf(
+              GraftTransforms.truncLong(input.getInt(1).toLong, w).toInt)
+            case _ => java.lang.Short.valueOf(
+              GraftTransforms.truncLong(input.getShort(1).toLong, w).toShort)
+          }
         }
     }
   }
@@ -3396,8 +3662,14 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     else if (manifest.partCols.nonEmpty)
       Distributions.clustered(
         manifest.partCols.map { c =>
-          GraftTransforms.bucketOf(c) match {
-            case Some((n, src)) => Expressions.bucket(n, src): Expression
+          GraftTransforms.transformOf(c) match {
+            case Some(GraftTransforms.BucketT(n, src)) =>
+              Expressions.bucket(n, src): Expression
+            case Some(GraftTransforms.DaysT(src)) =>
+              Expressions.days(src): Expression
+            case Some(GraftTransforms.TruncT(w, src)) =>
+              Expressions.apply("truncate",
+                Expressions.literal(w), Expressions.column(src)): Expression
             case None => Expressions.identity(c): Expression
           }
         }.toArray)
@@ -4723,10 +4995,10 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
     colMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
       // Identity partition columns strip from the stored rows; HIDDEN
-      // bucket transforms (B237) derive a path value and keep the source
-      // column IN the data.
+      // transforms (B237 — bucket/days/truncate) derive a path value and
+      // keep the source column IN the data.
       private val identityIdx = partCols.filter(c =>
-        GraftTransforms.bucketOf(c).isEmpty).map(writeSchema.fieldIndex).toArray
+        GraftTransforms.transformOf(c).isEmpty).map(writeSchema.fieldIndex).toArray
       private val dataIdx =
         writeSchema.fields.indices.filterNot(identityIdx.contains).toArray
       // Column mapping (B190): parquet footers, stats, blooms and NDV sketches
@@ -4764,23 +5036,36 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
       }
 
       // One value extractor per spec entry, bound once: identity columns
-      // echo the (escaped) value; bucket entries emit floorMod(value, n).
+      // echo the (escaped) value; transform entries emit their derived
+      // value — floorMod for bucket, epoch day for days, bin floor /
+      // code-point prefix for truncate.
       private val partValueOf: Array[InternalRow => String] = partCols.map { pc =>
-        GraftTransforms.bucketOf(pc) match {
-          case Some((n, src)) =>
-            val i = writeSchema.fieldIndex(src)
+        GraftTransforms.transformOf(pc) match {
+          case Some(t) =>
+            val i = writeSchema.fieldIndex(t.source)
             val dt = writeSchema.fields(i).dataType
+            def longAt(row: InternalRow): Long = dt match {
+              case LongType => row.getLong(i)
+              case IntegerType => row.getInt(i).toLong
+              case _ => row.getShort(i).toLong
+            }
+            val derive: InternalRow => String = t match {
+              case GraftTransforms.BucketT(n, _) =>
+                row => GraftTransforms.bucketValue(longAt(row), n).toString
+              case GraftTransforms.DaysT(_) =>
+                if (dt == TimestampType)
+                  row => GraftTransforms.daysValueMicros(row.getLong(i)).toString
+                else // DateType stores the epoch-day ordinal directly
+                  row => row.getInt(i).toString
+              case GraftTransforms.TruncT(w, _) =>
+                if (dt == StringType)
+                  row => GraftScanBuilder.escapePartValue(
+                    row.getUTF8String(i).substring(0, w).toString)
+                else
+                  row => GraftTransforms.truncLong(longAt(row), w).toString
+            }
             (row: InternalRow) =>
-              if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-              else {
-                val v = row.get(i, dt) match {
-                  case l: java.lang.Long => l.longValue()
-                  case x: java.lang.Integer => x.longValue()
-                  case sh: java.lang.Short => sh.longValue()
-                  case other => other.toString.toLong
-                }
-                GraftTransforms.bucketValue(v, n).toString
-              }
+              if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else derive(row)
           case None =>
             val i = writeSchema.fieldIndex(pc)
             val dt = writeSchema.fields(i).dataType
@@ -5710,8 +5995,9 @@ object GraftCatalogOps {
       "ZORDER columns must be data columns — a partition column already " +
         "prunes at partition granularity")
     require(!before.partCols.exists(GraftTransforms.isTransform),
-      "OPTIMIZE ZORDER refuses a bucket-partitioned table — the bucket " +
-        "distribution and the z-layout are mutually exclusive on one copy")
+      "OPTIMIZE ZORDER refuses a transform-partitioned table (bucket/days/" +
+        "truncate) — the derived-directory distribution and the z-layout " +
+        "are mutually exclusive on one copy")
     // PARTITIONED tables Morton-cluster WITHIN each partition (the Delta
     // `OPTIMIZE ... ZORDER BY` semantics): range-partition over
     // (partition cols, zkey) keeps partition values contiguous while carving
@@ -5795,7 +6081,7 @@ object GraftCatalogOps {
       require(cols.distinct.size == cols.size,
         s"duplicate partition columns: ${cols.mkString(", ")}")
       cols.foreach { c =>
-        if (GraftTransforms.bucketOf(c).isEmpty)
+        if (GraftTransforms.transformOf(c).isEmpty)
           require(current.schema.fieldNames.contains(c),
             s"partition column $c is not in the table schema")
         GraftTransforms.validate(c, current.schema)

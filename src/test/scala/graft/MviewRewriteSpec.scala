@@ -107,8 +107,12 @@ class MviewRewriteSpec extends GraftSuite {
     // Sum of a different column.
     assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
       .agg(sum(col("id")).as("s"))))
-    // Different key set.
-    assert(!answersFromView(f.groupBy(col("k1"))
+    // Key OUTSIDE the view's set (k1 alone is now the ROLLUP positive —
+    // pinned below — but any key the view does not carry can never fire).
+    assert(!answersFromView(f.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"))))
+    // Partial overlap is not a subset: (k1, id) must scan the base.
+    assert(!answersFromView(f.groupBy(col("k1"), col("id"))
       .agg(count(lit(1)).as("n"))))
     // Distinct count is not count(*).
     assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
@@ -141,5 +145,42 @@ class MviewRewriteSpec extends GraftSuite {
       assert(natural.agg(sum(col("n"))).head.getLong(0) === 151) // 150 evens + id 900
     } finally spark.sql("ALTER TABLE gmvr.fact UNSET TBLPROPERTIES(" +
       "'graft.rowFilter', 'graft.policy.exemptRoles')")
+  }
+
+  test("ROLLUP: a coarser GROUP BY answers by re-aggregating the finer view") {
+    val _ = root
+    // Earlier tests' metadata commits (policy SET/UNSET) advanced the base
+    // past the fold floor — refold so freshness holds for the rollup pins.
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    def coarse: DataFrame = spark.table("gmvr.fact").groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        avg(col("x")).as("ax"))
+      .orderBy(col("k1"))
+    assert(answersFromView(coarse), s"expected view rollup, got ${scansOf(coarse)}")
+    val got = coarse.collect().map(_.toSeq).toSeq
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try {
+      val real = coarse
+      assert(!answersFromView(real), "sanity: rule off, base scan")
+      assert(real.collect().map(_.toSeq).toSeq === got,
+        "rollup must reproduce the base aggregate exactly (count/sum/avg)")
+    } finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("ROLLUP staleness: one source commit past the floor stops the rollup too") {
+    val _ = root
+    import spark.implicits._
+    def coarse: DataFrame = spark.table("gmvr.fact").groupBy(col("k2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    Seq((901L, 2L, 2L, 60L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    assert(!answersFromView(coarse), "stale view must never serve a rollup")
+    val n2 = coarse.filter(col("k2") === 2).head
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    assert(answersFromView(coarse))
+    val again = coarse.filter(col("k2") === 2).head
+    assert(again.getLong(1) === n2.getLong(1) && again.getLong(2) === n2.getLong(2))
   }
 }
