@@ -58,9 +58,10 @@ import graft.sources.{GraftBatchScan, GraftPolicies, GraftTable}
  * with the fk is exact; with a MULTI-column key an unmatched row can carry
  * one non-null fk next to a null one, and substituting that pk (null-
  * extended) with the non-null fk would fabricate a value. Composite outer
- * elimination therefore fires with a USED pk only when every paired fk is
- * non-nullable (unmatched rows then cannot exist); unused-dim composite
- * outer elimination stays sound from PK uniqueness alone.
+ * elimination with a USED pk is therefore refused (it would need a proof
+ * that every paired fk is non-null, and the catalog's DDL schema codec
+ * reads every column back nullable); unused-dim composite outer
+ * elimination stays sound from PK uniqueness alone and fires.
  *
  * Matched parent shapes are `Project(_, Join)` and `Aggregate(_, _, Join)` —
  * after column pruning these are the shapes a no-dimension-column join can
@@ -167,11 +168,12 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
     if (!usedDim.forall(a => pkIds.contains(a.exprId))) return None
 
-    // Composite OUTER with a used pk: only sound when unmatched rows cannot
-    // exist (every paired fk non-nullable) — see the class doc's MATCH
-    // SIMPLE discussion. Single-column keys substitute exactly as-is.
-    if (outer && usedDim.nonEmpty && pairs.size > 1 &&
-      pairs.exists(_._1.nullable)) return None
+    // Composite OUTER with a used pk: refused — sound only when unmatched
+    // rows cannot exist (every paired fk provably non-null; see the class
+    // doc's MATCH SIMPLE discussion), and the catalog's DDL schema codec
+    // reads every column back nullable, so that proof is never available
+    // here. Single-column keys substitute exactly as-is.
+    if (outer && usedDim.nonEmpty && pairs.size > 1) return None
 
     // 3. the FK declaration: an INNER join always needs it (elimination
     // keeps fact rows the join would only keep under referential

@@ -3248,6 +3248,51 @@ object StarQueries {
       joined.withColumn("join_eliminated", lit(eliminated)).orderBy(col("grp"))
     },
 
+    // B231 composite twin: the dimension declares a TWO-column RELY PK
+    // (pk1, pk2 — the div/mod-97 decomposition of c_custkey, unique by
+    // construction) and the fact a positionally-paired composite FK whose
+    // components go null INDEPENDENTLY (every 7th order drops fk1, every
+    // 11th fk2). The inner join equating the FULL key set is eliminated;
+    // the any-component-null drop is replayed by the per-column IS NOT NULL
+    // guards the rewrite installs, and the oracle replays the join itself —
+    // a partial-key firing or a mis-paired substitution breaks the hash.
+    "q_rely_composite_elim" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.RelyJoinEliminationRule(s))
+      fixture(s, d, "rely_cd", 1L, "v1", Seq("customer")) { marker =>
+        Tables.customer(s, d)
+          .select(expr("CAST(floor(c_custkey / 97) AS BIGINT)").as("pk1"),
+            pmod(col("c_custkey"), lit(97)).cast("long").as("pk2"),
+            col("c_mktsegment").as("seg")).distinct()
+          .coalesce(1).writeTo("graft.rely_cd")
+          .tableProperty("graft.primaryKey", "pk1, pk2 RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "rely_cf", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+              "ELSE CAST(floor(o_custkey / 97) AS BIGINT) END").as("fk1"),
+            expr("CASE WHEN o_orderkey % 11 = 0 THEN NULL " +
+              "ELSE o_custkey % 97 END").as("fk2"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .coalesce(1).writeTo("graft.rely_cf")
+          .tableProperty("graft.foreignKey.ck",
+            "fk1, fk2 REFERENCES rely_cd (pk1, pk2) RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      val f = s.table("graft.rely_cf")
+      val dm = s.table("graft.rely_cd")
+      val joined = f.join(dm,
+          f("fk1") === dm("pk1") && f("fk2") === dm("pk2"))
+        .groupBy(pmod(dm("pk2"), lit(10)).cast("long").as("grp"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      val eliminated = joined.queryExecution.optimizedPlan
+        .collect { case j: LJoin => j }.isEmpty
+      joined.withColumn("join_eliminated", lit(eliminated)).orderBy(col("grp"))
+    },
+
     "q_catalog_dropcol" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       s.sql("DROP TABLE IF EXISTS graft.dcq")
@@ -5331,6 +5376,25 @@ object StarQueries {
         |  CAST(sum(f.cents) AS BIGINT) AS cents, count(*) AS n,
         |  true AS join_eliminated
         |FROM f JOIN dm ON f.cust = dm.c_custkey
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // B231 composite twin: the oracle replays the two-conjunct join the
+    // optimizer removed — the independent per-component null drops and the
+    // substituted grouping key must come out identical without it, and the
+    // `join_eliminated` plan boolean rides the hash gate.
+    "q_rely_composite_elim" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE CAST(floor(o_custkey / 97) AS BIGINT) END AS fk1,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE o_custkey % 97 END AS fk2,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dm AS (SELECT DISTINCT CAST(floor(c_custkey / 97) AS BIGINT) AS pk1,
+        |    c_custkey % 97 AS pk2 FROM customer)
+        |SELECT CAST(dm.pk2 % 10 AS BIGINT) AS grp,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents, count(*) AS n,
+        |  true AS join_eliminated
+        |FROM f JOIN dm ON f.fk1 = dm.pk1 AND f.fk2 = dm.pk2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // B212: the oracle replays the pruned join relationally and pins the

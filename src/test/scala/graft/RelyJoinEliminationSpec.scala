@@ -230,6 +230,125 @@ class RelyJoinEliminationSpec extends GraftSuite {
     assert(joins(df).nonEmpty)
   }
 
+  // ---- composite keys -------------------------------------------------
+
+  private lazy val compositeTables: Unit = {
+    root
+    import spark.implicits._
+    if (!spark.catalog.tableExists("relycat.dim_c")) {
+      // Composite PK (pk1, pk2): unique decomposition of 0..59.
+      (0L until 60L).map(i => (i / 10, i % 10, s"seg${i % 3}"))
+        .toDF("pk1", "pk2", "seg")
+        .writeTo("relycat.dim_c")
+        .tableProperty("graft.primaryKey", "pk1, pk2 RELY")
+        .create()
+      // NULLABLE composite FK: fk1 null every 7th row, fk2 null every 11th.
+      (0L until 80L).map(i => (
+          if (i % 7 == 0) None: Option[Long] else Some(i % 6),
+          if (i % 11 == 0) None: Option[Long] else Some(i % 10),
+          i * 13 % 101))
+        .toDF("fk1", "fk2", "cents")
+        .writeTo("relycat.fact_c")
+        .tableProperty("graft.foreignKey.ck",
+          "fk1, fk2 REFERENCES dim_c (pk1, pk2) RELY")
+        .create()
+    }
+  }
+
+  private def factC = { compositeTables; spark.table("relycat.fact_c") }
+  private def dimC = { compositeTables; spark.table("relycat.dim_c") }
+
+  test("composite PK-FK inner join eliminates with a per-column null guard") {
+    val f = factC; val d = dimC
+    def q = f.join(d, f("fk1") === d("pk1") && f("fk2") === d("pk2"))
+      .groupBy(pmod(d("pk2"), lit(4)).as("grp"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      .orderBy(col("grp"))
+    assert(joins(q).isEmpty, "declared composite RELY join must be eliminated")
+    // BOTH nullable fk components need IS NOT NULL (any-null drops the row).
+    val guardStr = q.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) => c.toString.toLowerCase }.mkString(" ")
+    assert(guardStr.contains("isnotnull(fk1") && guardStr.contains("isnotnull(fk2"),
+      s"both components need a null guard, got: $guardStr")
+    val got = q.collect().map(_.toSeq)
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try {
+      assert(joins(q).nonEmpty, "sanity: rule off, join present")
+      assert(q.collect().map(_.toSeq).toSeq === got.toSeq)
+    } finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("a PARTIAL composite key match never fires") {
+    val f = factC; val d = dimC
+    // Only pk1 equated: no uniqueness guarantee — must keep the join.
+    val df = f.join(d, f("fk1") === d("pk1"))
+      .groupBy(pmod(d("pk1"), lit(3)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df).nonEmpty, "partial key match must never eliminate")
+    // An extra non-PK conjunct disqualifies too (not a bare PK cover).
+    val df2 = f.join(d, f("fk1") === d("pk1") && f("fk2") === d("pk2") &&
+        f("cents") === d("pk2"))
+      .groupBy(pmod(d("pk2"), lit(4)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    assert(joins(df2).nonEmpty, "a non-PK conjunct must never eliminate")
+  }
+
+  test("composite LEFT OUTER: unused dim eliminates; a USED pk never does") {
+    val fn = factC; val d = dimC
+    // Unused dim: row-preservation from PK uniqueness alone — eliminates.
+    val unused = fn.join(d, fn("fk1") === d("pk1") && fn("fk2") === d("pk2"), "left")
+      .agg(count(lit(1)).as("n"))
+    assert(joins(unused).isEmpty, "unused composite outer must eliminate")
+    assert(unused.head.getLong(0) === 80L)
+    // USED pk: a MATCH-SIMPLE unmatched row (fk1 set, fk2 null) would
+    // fabricate a value under substitution, and nullability can't be ruled
+    // out through the catalog — must keep the join.
+    val usedPk = fn.join(d, fn("fk1") === d("pk1") && fn("fk2") === d("pk2"), "left")
+      .groupBy(pmod(d("pk2"), lit(4)).as("grp")).agg(count(lit(1)).as("n"))
+    assert(joins(usedPk).nonEmpty,
+      "composite outer with a used pk must keep the join")
+  }
+
+  test("a qualified REFERENCES never matches a deeper-nested same-suffix table") {
+    // fact_sfx (root ns) declares `other.dimq` — a dimension at the DEEPER
+    // namespace a.other (same trailing components, own PK RELY) must NOT
+    // validate: qualified names resolve exactly (absolute, or relative to
+    // the declaring fact's namespace), never by suffix.
+    import spark.implicits._
+    root
+    if (!spark.catalog.tableExists("relycat.a.other.dimq")) {
+      (0L until 10L).map(i => (i, s"s$i")).toDF("pk", "seg")
+        .writeTo("relycat.a.other.dimq")
+        .tableProperty("graft.primaryKey", "pk RELY")
+        .create()
+      (0L until 20L).map(i => (Some(i % 10): Option[Long], i)).toDF("cust", "cents")
+        .writeTo("relycat.fact_sfx")
+        .tableProperty("graft.foreignKey.cust",
+          "cust REFERENCES other.dimq (pk) RELY")
+        .create()
+      // Positive control: a fact INSIDE namespace `a` declaring the same
+      // relative name resolves to a.other.dimq and eliminates.
+      (0L until 20L).map(i => (Some(i % 10): Option[Long], i)).toDF("cust", "cents")
+        .writeTo("relycat.a.fact_rel")
+        .tableProperty("graft.foreignKey.cust",
+          "cust REFERENCES other.dimq (pk) RELY")
+        .create()
+    }
+    val d = spark.table("relycat.a.other.dimq")
+    val fRoot = spark.table("relycat.fact_sfx")
+    val kept = fRoot.join(d, fRoot("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp")).agg(count(lit(1)).as("n"))
+    assert(joins(kept).nonEmpty,
+      "suffix-only match must never validate the FK leg")
+    val fRel = spark.table("relycat.a.fact_rel")
+    val elided = fRel.join(d, fRel("cust") === d("pk"))
+      .groupBy(pmod(d("pk"), lit(3)).as("grp")).agg(count(lit(1)).as("n"))
+    assert(joins(elided).isEmpty,
+      "fact-namespace-relative resolution must still eliminate")
+  }
+
   test("the rule also fires through a SparkSessionExtensions-built session") {
     // Injected rules run INSIDE the operator-optimization fixpoint (pre scan
     // pushdown, DataSourceV2Relation vintage) — the other node shape.
