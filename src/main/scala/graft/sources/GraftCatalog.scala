@@ -90,13 +90,15 @@ class GraftCatalog extends TableCatalog
     * transform up here; without it every write to a transform-partitioned
     * table fails analysis). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array("bucket", "days", "truncate").map(Identifier.of(namespace, _))
+    Array("bucket", "days", "hours", "months", "years", "truncate")
+      .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
-    else if (ident.name().equalsIgnoreCase("days")) GraftDaysFunction
     else if (ident.name().equalsIgnoreCase("truncate")) GraftTruncateFunction
+    else if (Set("days", "hours", "months", "years")(ident.name().toLowerCase))
+      GraftTemporalFunction(ident.name().toLowerCase)
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** CALL-procedure surface (B193, the Iceberg `CALL cat.system.proc(...)`
@@ -244,14 +246,15 @@ class GraftCatalog extends TableCatalog
         case "bucket" =>
           GraftTransforms.BucketT(litInt("bucket"),
             t.references().head.fieldNames().head).canonical
-        case "days" =>
-          GraftTransforms.DaysT(t.references().head.fieldNames().head).canonical
+        case "days" | "hours" | "months" | "years" =>
+          GraftTransforms.TemporalT(t.name,
+            t.references().head.fieldNames().head).canonical
         case "truncate" =>
           GraftTransforms.TruncT(litInt("truncate"),
             t.references().head.fieldNames().head).canonical
         case _ => throw new IllegalArgumentException(
-          "graft catalog supports identity, bucket, days and truncate " +
-            s"partitioning only, got $t")
+          "graft catalog supports identity, bucket, days/hours/months/years " +
+            s"and truncate partitioning only, got $t")
       }
     }
     // Directory-codec types only ([[GraftMicroBatchStream.catalystValue]]):
@@ -1143,8 +1146,12 @@ class GraftTable(val ident: Identifier, val dir: Path, val manifest: GraftManife
       GraftTransforms.transformOf(c) match {
         case Some(GraftTransforms.BucketT(n, src)) =>
           Expressions.bucket(n, src): Transform
-        case Some(GraftTransforms.DaysT(src)) =>
-          Expressions.days(src): Transform
+        case Some(t: GraftTransforms.TemporalT) => (t.unit match {
+          case "days" => Expressions.days(t.source)
+          case "hours" => Expressions.hours(t.source)
+          case "months" => Expressions.months(t.source)
+          case _ => Expressions.years(t.source)
+        }): Transform
         case Some(GraftTransforms.TruncT(w, src)) =>
           Expressions.apply("truncate",
             Expressions.literal(w), Expressions.column(src)): Transform
@@ -1365,25 +1372,23 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       case sh: Short => Some(sh.toLong)
       case _ => None
     }
-    // Epoch-day ordinal of a pushed TIMESTAMP/DATE filter value (both the
-    // java.sql and java.time vintages) plus whether it sits EXACTLY on the
-    // midnight boundary — `ts < '2024-02-01'` excludes the boundary day
-    // entirely, the dominant time-range scan shape. None keeps
-    // conservatively.
-    def dayB(v: Any): Option[(Long, Boolean)] = {
+    // (ordinal, on-boundary) of a pushed TIMESTAMP/DATE filter value in a
+    // temporal transform's unit (both the java.sql and java.time vintages).
+    // The boundary bit lets a strict `<` drop the boundary directory —
+    // `ts < '2024-02-01'` excludes the whole boundary day/month/year, the
+    // dominant time-range scan shape. None keeps conservatively.
+    def unitB(t: GraftTransforms.TemporalT, v: Any): Option[(Long, Boolean)] = {
       import org.apache.spark.sql.catalyst.util.DateTimeUtils
-      def ofMicros(us: Long) =
-        (GraftTransforms.daysValueMicros(us),
-          java.lang.Math.floorMod(us, GraftTransforms.MicrosPerDay) == 0L)
+      def ofMicros(us: Long) = (t.unitValue(us), t.isBoundary(us))
+      def ofDays(d: Int) = (t.unitValueDays(d), t.isBoundaryDays(d))
       v match {
-        case t: java.sql.Timestamp => Some(ofMicros(DateTimeUtils.fromJavaTimestamp(t)))
+        case ts: java.sql.Timestamp => Some(ofMicros(DateTimeUtils.fromJavaTimestamp(ts)))
         case i: java.time.Instant => Some(ofMicros(DateTimeUtils.instantToMicros(i)))
-        case d: java.sql.Date => Some((DateTimeUtils.fromJavaDate(d).toLong, true))
-        case ld: java.time.LocalDate => Some((ld.toEpochDay, true))
+        case d: java.sql.Date => Some(ofDays(DateTimeUtils.fromJavaDate(d)))
+        case ld: java.time.LocalDate => Some(ofDays(ld.toEpochDay.toInt))
         case _ => None
       }
     }
-    def dayL(v: Any): Option[Long] = dayB(v).map(_._1)
     def transformKeeps(values: Map[String, String]): Boolean =
       transforms.forall { case (pathKey, t) =>
         values.get(pathKey) match {
@@ -1409,28 +1414,28 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
                   case IsNotNull(a) if a == src => !nullDir
                   case _ => true
                 }
-                case GraftTransforms.DaysT(_) => f match {
+                case tt: GraftTransforms.TemporalT => f match {
                   case EqualTo(a, v) if a == src =>
                     if (nullDir) v == null
-                    else dayL(v).forall(d => rawL.forall(_ == d))
+                    else unitB(tt, v).forall(d => rawL.forall(_ == d._1))
                   case In(a, vs) if a == src =>
                     if (nullDir) vs.contains(null)
                     else vs.exists(v => v != null &&
-                      dayL(v).forall(d => rawL.forall(_ == d)))
+                      unitB(tt, v).forall(d => rawL.forall(_ == d._1)))
                   case IsNull(a) if a == src => nullDir
                   case IsNotNull(a) if a == src => !nullDir
-                  // Monotonic ranges: a day directory d covers [d, d+1).
+                  // Monotonic ranges: a unit directory d covers [d, d+1).
                   case GreaterThan(a, v) if a == src =>
-                    !nullDir && dayL(v).forall(d => rawL.forall(_ >= d))
+                    !nullDir && unitB(tt, v).forall(d => rawL.forall(_ >= d._1))
                   case GreaterThanOrEqual(a, v) if a == src =>
-                    !nullDir && dayL(v).forall(d => rawL.forall(_ >= d))
+                    !nullDir && unitB(tt, v).forall(d => rawL.forall(_ >= d._1))
                   case LessThan(a, v) if a == src =>
-                    // Boundary-exact v: no row of day d satisfies ts < d's
-                    // own midnight — the boundary day drops too.
-                    !nullDir && dayB(v).forall { case (d, boundary) =>
+                    // Boundary-exact v: no row of unit d satisfies ts < d's
+                    // own lower boundary — the boundary directory drops too.
+                    !nullDir && unitB(tt, v).forall { case (d, boundary) =>
                       rawL.forall(r => if (boundary) r < d else r <= d) }
                   case LessThanOrEqual(a, v) if a == src =>
-                    !nullDir && dayL(v).forall(d => rawL.forall(_ <= d))
+                    !nullDir && unitB(tt, v).forall(d => rawL.forall(_ <= d._1))
                   case _ => true
                 }
                 case GraftTransforms.TruncT(w, _)
@@ -1816,34 +1821,81 @@ class GraftLocalAggScan(schema: StructType, result: Array[InternalRow], desc: St
  * Every transform is deliberately transparent — an oracle, or a user, can
  * replay a row's directory value:
  *   - bucket(n,col):    floorMod(col, n), integral sources only;
- *   - days(col):        epoch days — floorDiv(micros, 86 400 000 000) for
- *                       TIMESTAMP, the stored day ordinal for DATE. days is
- *                       MONOTONIC in the source, so range predicates prune
- *                       day-range directories (the time-partitioned fact
- *                       table's bread-and-butter scan shape at 100 TB);
+ *   - days/hours/months/years(col): the epoch-unit ordinal — floorDiv of
+ *                       micros for days/hours, the UTC calendar ordinal
+ *                       ((y-1970)*12+m-1 / y-1970) for months/years; DATE
+ *                       sources use their stored day ordinal (hours refuses
+ *                       DATE — no sub-day time). All four are MONOTONIC in
+ *                       the source, so range predicates prune unit-range
+ *                       directories (the time-partitioned fact table's
+ *                       bread-and-butter scan shape at 100 TB), with
+ *                       boundary-exact strict upper bounds dropping the
+ *                       boundary directory;
  *   - truncate(w,col):  v - floorMod(v, w) for integral sources (monotonic
  *                       — ranges prune), the first w CODE POINTS for STRING
  *                       sources (equality and prefix predicates prune).
  */
 object GraftTransforms {
   private val Bucket = """^bucket\((\d+),([\w$]+)\)$""".r
-  private val Days = """^days\(([\w$]+)\)$""".r
+  private val Temporal = """^(days|hours|months|years)\(([\w$]+)\)$""".r
   private val Truncate = """^truncate\((\d+),([\w$]+)\)$""".r
 
   val MicrosPerDay: Long = 86400000000L
+  val MicrosPerHour: Long = 3600000000L
 
   /** One parsed partition-spec transform entry. */
   sealed trait PartTransform { def source: String; def canonical: String }
   final case class BucketT(n: Int, source: String) extends PartTransform {
     def canonical: String = s"bucket($n,$source)" }
-  final case class DaysT(source: String) extends PartTransform {
-    def canonical: String = s"days($source)" }
+  /** The calendar family (days/hours/months/years) shares one shape: a
+    * MONOTONIC epoch-unit ordinal, so equality AND range predicates prune —
+    * see [[TemporalT.unitValue]]. */
+  final case class TemporalT(unit: String, source: String) extends PartTransform {
+    def canonical: String = s"$unit($source)"
+    /** Ordinal of a micros-since-epoch instant in this unit (UTC calendar
+      * for months/years — the Iceberg transform definition). */
+    def unitValue(micros: Long): Long = unit match {
+      case "days" => Math.floorDiv(micros, MicrosPerDay)
+      case "hours" => Math.floorDiv(micros, MicrosPerHour)
+      case _ =>
+        val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay))
+        if (unit == "months") (d.getYear - 1970) * 12L + (d.getMonthValue - 1)
+        else (d.getYear - 1970).toLong
+    }
+    /** Ordinal of an epoch-DAY (DATE sources). */
+    def unitValueDays(days: Int): Long = unit match {
+      case "days" => days.toLong
+      case "hours" => days.toLong * 24L
+      case _ =>
+        val d = java.time.LocalDate.ofEpochDay(days.toLong)
+        if (unit == "months") (d.getYear - 1970) * 12L + (d.getMonthValue - 1)
+        else (d.getYear - 1970).toLong
+    }
+    /** Does this instant sit EXACTLY on the unit's lower boundary? Lets a
+      * strict `<` drop the boundary directory (see the pruning code). */
+    def isBoundary(micros: Long): Boolean = unit match {
+      case "days" => java.lang.Math.floorMod(micros, MicrosPerDay) == 0L
+      case "hours" => java.lang.Math.floorMod(micros, MicrosPerHour) == 0L
+      case _ =>
+        java.lang.Math.floorMod(micros, MicrosPerDay) == 0L && {
+          val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay))
+          d.getDayOfMonth == 1 && (unit == "months" || d.getMonthValue == 1)
+        }
+    }
+    def isBoundaryDays(days: Int): Boolean = unit match {
+      case "days" => true
+      case "hours" => true
+      case _ =>
+        val d = java.time.LocalDate.ofEpochDay(days.toLong)
+        d.getDayOfMonth == 1 && (unit == "months" || d.getMonthValue == 1)
+    }
+  }
   final case class TruncT(w: Int, source: String) extends PartTransform {
     def canonical: String = s"truncate($w,$source)" }
 
   def transformOf(partCol: String): Option[PartTransform] = partCol match {
     case Bucket(n, c) => Some(BucketT(n.toInt, c))
-    case Days(c) => Some(DaysT(c))
+    case Temporal(u, c) => Some(TemporalT(u, c))
     case Truncate(w, c) => Some(TruncT(w.toInt, c))
     case _ => None
   }
@@ -1906,10 +1958,12 @@ object GraftTransforms {
       val f = sourceField(c, "bucket", schema)
       require(Set[DataType](LongType, IntegerType, ShortType)(f.dataType),
         s"bucket source column $c must be integral, got ${f.dataType.sql}")
-    case Some(DaysT(c)) =>
-      val f = sourceField(c, "days", schema)
+    case Some(TemporalT(u, c)) =>
+      val f = sourceField(c, u, schema)
       require(f.dataType == TimestampType || f.dataType == DateType,
-        s"days source column $c must be TIMESTAMP or DATE, got ${f.dataType.sql}")
+        s"$u source column $c must be TIMESTAMP or DATE, got ${f.dataType.sql}")
+      require(u != "hours" || f.dataType == TimestampType,
+        s"hours source column $c must be TIMESTAMP — a DATE carries no sub-day time")
     case Some(TruncT(w, c)) =>
       require(w > 0, s"truncate($w,$c): width must be positive")
       val f = sourceField(c, "truncate", schema)
@@ -1963,33 +2017,37 @@ object GraftBucketFunction
   }
 }
 
-/** The catalog-resolved `days` ScalarFunction (B237): epoch-day ordinal of a
-  * TIMESTAMP (floorDiv of micros) or DATE (the stored ordinal) — byte-
-  * identical to the writer's directory derivation and the scan's pruning
-  * arithmetic, same posture as [[GraftBucketFunction]]. */
-object GraftDaysFunction
+/** The catalog-resolved temporal ScalarFunctions (B237 — days/hours/months/
+  * years): the epoch-unit ordinal of a TIMESTAMP (or DATE where sub-day
+  * precision isn't needed) — byte-identical to the writer's directory
+  * derivation and the scan's pruning arithmetic, same posture as
+  * [[GraftBucketFunction]]. */
+final case class GraftTemporalFunction(unit: String)
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
   import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
-  override def name(): String = "days"
+  private val t = GraftTransforms.TemporalT(unit, "_")
+  override def name(): String = unit
   override def description(): String =
-    "days(col) - epoch-day partition transform over TIMESTAMP/DATE"
+    s"$unit(col) - epoch-$unit partition transform over TIMESTAMP/DATE"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 1,
-      s"days expects (value), got ${inputType.simpleString}")
+      s"$unit expects (value), got ${inputType.simpleString}")
     val vt = inputType.fields(0).dataType
     require(vt == TimestampType || vt == DateType,
-      s"days source must be TIMESTAMP or DATE, got ${vt.sql}")
+      s"$unit source must be TIMESTAMP or DATE, got ${vt.sql}")
+    require(unit != "hours" || vt == TimestampType,
+      "hours source must be TIMESTAMP — a DATE carries no sub-day time")
     new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(vt)
       override def resultType(): DataType = IntegerType
-      override def name(): String = "days"
-      override def canonicalName(): String = "graft.days"
+      override def name(): String = unit
+      override def canonicalName(): String = s"graft.$unit"
       override def isResultNullable: Boolean = true
       override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
         if (input.isNullAt(0)) null
         else if (vt == TimestampType)
-          Integer.valueOf(GraftTransforms.daysValueMicros(input.getLong(0)).toInt)
-        else Integer.valueOf(input.getInt(0))
+          Integer.valueOf(t.unitValue(input.getLong(0)).toInt)
+        else Integer.valueOf(t.unitValueDays(input.getInt(0)).toInt)
     }
   }
 }
@@ -3665,8 +3723,12 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
           GraftTransforms.transformOf(c) match {
             case Some(GraftTransforms.BucketT(n, src)) =>
               Expressions.bucket(n, src): Expression
-            case Some(GraftTransforms.DaysT(src)) =>
-              Expressions.days(src): Expression
+            case Some(t: GraftTransforms.TemporalT) => (t.unit match {
+              case "days" => Expressions.days(t.source)
+              case "hours" => Expressions.hours(t.source)
+              case "months" => Expressions.months(t.source)
+              case _ => Expressions.years(t.source)
+            }): Expression
             case Some(GraftTransforms.TruncT(w, src)) =>
               Expressions.apply("truncate",
                 Expressions.literal(w), Expressions.column(src)): Expression
@@ -5052,11 +5114,11 @@ class GraftRowWriter(writeSchema: StructType, partCols: Seq[String],
             val derive: InternalRow => String = t match {
               case GraftTransforms.BucketT(n, _) =>
                 row => GraftTransforms.bucketValue(longAt(row), n).toString
-              case GraftTransforms.DaysT(_) =>
+              case t: GraftTransforms.TemporalT =>
                 if (dt == TimestampType)
-                  row => GraftTransforms.daysValueMicros(row.getLong(i)).toString
-                else // DateType stores the epoch-day ordinal directly
-                  row => row.getInt(i).toString
+                  row => t.unitValue(row.getLong(i)).toString
+                else // DateType stores the epoch-day ordinal
+                  row => t.unitValueDays(row.getInt(i)).toString
               case GraftTransforms.TruncT(w, _) =>
                 if (dt == StringType)
                   row => GraftScanBuilder.escapePartValue(

@@ -170,6 +170,57 @@ class HiddenTransformsSpec extends GraftSuite {
     }
   }
 
+  test("hours/months/years: calendar layout and range pruning (vandalism-proof)") {
+    // 40 rows over 2024-01-15 .. 2025-02-27 in 10.3-day steps: spans 14
+    // calendar months across 2 years, several hours within the first day.
+    val t = freshTable("cal")
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (months(ts)) AS " +
+      "SELECT timestamp'2024-01-15 00:00:00' + make_interval(0,0,0,0," +
+      "CAST(id * 247 AS INT),0,0) AS ts, id AS v FROM range(40)")
+    val m = manifest("cal")
+    assert(m.partCols === Seq("months(ts)"))
+    val keys = m.entries.map(_._1).distinct.sorted
+    assert(keys.forall(_.startsWith("months(ts)=")))
+    // months ordinal: Jan-2024 = (2024-1970)*12 + 0 = 648.
+    assert(keys.contains("months(ts)=648"), keys.mkString(","))
+    // Keep only Mar+Apr 2024 (650, 651); a month-range query must not open
+    // the vandalized rest, and the boundary-exact upper bound drops May.
+    val n = vandalizeExcept("cal", Set("months(ts)=650", "months(ts)=651"))
+    assert(n >= 5)
+    val got = spark.table(t).filter(
+      expr("ts >= timestamp'2024-03-01 00:00:00' AND " +
+        "ts < timestamp'2024-05-01 00:00:00'"))
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(got.getLong(0) > 0)
+    intercept[Exception] { // reaching one hour past the boundary opens May
+      spark.table(t).filter(
+        expr("ts >= timestamp'2024-03-01 00:00:00' AND " +
+          "ts < timestamp'2024-05-01 01:00:00'"))
+        .agg(sum(col("v") * col("v"))).collect()
+    }
+    // years twin: one metadata-only evolution, append, cross-vintage count.
+    spark.sql("CALL ght.system.set_partition_spec(table => 'cal', cols => 'years(ts)')")
+    spark.sql(s"INSERT INTO $t SELECT timestamp'2026-06-01 12:00:00' AS ts, " +
+      "id + 100 AS v FROM range(3)")
+    val after = manifest("cal")
+    assert(after.entries.exists(_._1 == "years(ts)=56")) // 2026 - 1970
+    // hours: DATE source refuses; TIMESTAMP works with hour-granular dirs.
+    val h = freshTable("hrs")
+    spark.sql(s"CREATE TABLE $h PARTITIONED BY (hours(ts)) AS " +
+      "SELECT timestamp'2024-01-01 00:30:00' + make_interval(0,0,0,0," +
+      "CAST(id AS INT),0,0) AS ts, id AS v FROM range(6)")
+    val hm = manifest("hrs")
+    // 2024-01-01 00:30 UTC = epoch hour 473352.
+    assert(hm.entries.map(_._1).distinct.sorted.head === "hours(ts)=473352",
+      hm.entries.map(_._1).distinct.sorted.mkString(","))
+    assert(spark.table(h).filter(
+      expr("ts >= timestamp'2024-01-01 02:00:00' AND " +
+        "ts < timestamp'2024-01-01 04:00:00'")).count() === 2L)
+    intercept[Exception] {
+      spark.sql("CALL ght.system.set_partition_spec(table => 'hrs', cols => 'hours(v)')")
+    }
+  }
+
   test("validation: wrong source types and bad widths refuse at CREATE / evolution") {
     import spark.implicits._
     val t = freshTable("tval")
