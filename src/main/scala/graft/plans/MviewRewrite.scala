@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.TableCatalog
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -29,10 +29,14 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable
  * rewrite simply stops firing until the next refresh.
  *
  * A rewrite fires only when it is provably the SAME computation:
- *   - the aggregate sits directly on a FULL, unfiltered scan of the source
- *     (no Filter node, no pushed data filters, no partition/`_file` pruning
- *     — checked against the bound scan's own entry list; a filtered
- *     aggregate is NOT the view's aggregate);
+ *   - the aggregate sits on a FULL scan of the source (no partition/`_file`
+ *     pruning — checked against the bound scan's own entry list), either
+ *     unfiltered or under ONE Filter whose condition is a deterministic,
+ *     subquery-free predicate over VIEW KEY columns — such a predicate is
+ *     constant within each view group, so it selects WHOLE groups and
+ *     replays exactly on the view's key columns (`GROUP BY k1 WHERE k2 = 5`
+ *     from a (k1,k2) view filters the view then rolls up); any data-column
+ *     predicate still refuses;
  *   - grouping is the view's declared key set (bare attributes, any order)
  *     — or a PROPER SUBSET of it, in which case the rewrite re-aggregates
  *     the view (ROLLUP: `GROUP BY k1` answered from a `(k1,k2)` view by
@@ -61,26 +65,41 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       rewrite(a, ges, aes, child).getOrElse(a)
   }
 
-  /** The base graft table + its bound scan's full-table proof, if `child` is
-    * a bare full scan (possibly under an attribute-only Project). */
+  /** The base graft table + its bound scan's full-table proof + at most one
+    * residual Filter, if `child` is a full scan under attribute-only
+    * Projects and at most one Filter. The Filter is returned to the caller,
+    * which only accepts it when its condition is a deterministic predicate
+    * over VIEW KEY columns — such a predicate is constant within each view
+    * group (group key values equal row values), so it selects WHOLE groups
+    * and commutes with the view substitution exactly. */
   private def baseOf(child: LogicalPlan)
-      : Option[(DataSourceV2Relation, GraftTable)] = child match {
-    case r: DataSourceV2Relation =>
-      r.table match { case t: GraftTable => Some((r, t)); case _ => None }
-    case s: DataSourceV2ScanRelation =>
-      (s.relation.table, s.scan) match {
-        case (t: GraftTable, sc: GraftBatchScan)
-            // FULL table only: any pushed data filter or pruned entry means
-            // this scan is NOT the view's input.
-            if sc.dataFilters.isEmpty &&
-              sc.entries.size == t.manifest.entries.size =>
-          Some((s.relation, t))
-        case _ => None
-      }
-    case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
-      baseOf(inner)
-    case _ => None
-  }
+      : Option[(DataSourceV2Relation, GraftTable, Option[Expression])] =
+    child match {
+      case r: DataSourceV2Relation =>
+        r.table match { case t: GraftTable => Some((r, t, None)); case _ => None }
+      case s: DataSourceV2ScanRelation =>
+        (s.relation.table, s.scan) match {
+          case (t: GraftTable, sc: GraftBatchScan)
+              // FULL entry list only: a pruned entry list means partition
+              // (or stats) pruning dropped rows the view still aggregates.
+              // Pushed DATA filters are acceptable only under a residual
+              // Filter that re-states them — the caller validates that the
+              // residual covers every pushed column, and the view path never
+              // reads this scan, so row-group skipping inside it is moot.
+              if sc.entries.size == t.manifest.entries.size =>
+            Some((s.relation, t, None))
+          case _ => None
+        }
+      case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        baseOf(inner)
+      case Filter(cond, inner) =>
+        baseOf(inner).flatMap {
+          // At most ONE Filter, above the Projects or directly on the scan.
+          case (r, t, None) => Some((r, t, Some(cond)))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def rewrite(a: Aggregate, ges: Seq[Expression],
       aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
@@ -89,8 +108,29 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case ar: AttributeReference => ar
       case _ => return None
     }
-    val (baseRel, baseTable) = baseOf(child).getOrElse(return None)
+    val (baseRel, baseTable, baseFilter) = baseOf(child).getOrElse(return None)
     if (GraftPolicies.declared(baseTable.manifest.props)) return None
+    // Filter validation, part 1 (view-independent): deterministic, no
+    // subqueries, bare-attribute references only. Part 2 (references ⊆ the
+    // candidate view's keys) happens during candidate selection.
+    baseFilter.foreach { c =>
+      if (!c.deterministic) return None
+      if (c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        return None
+    }
+    val filterCols: Set[String] =
+      baseFilter.map(_.references.map(_.name.toLowerCase).toSet)
+        .getOrElse(Set.empty)
+    // A pushed data filter mirrors a residual conjunct for graft scans; any
+    // pushed column outside the validated residual set refuses.
+    child.collectFirst { case s: DataSourceV2ScanRelation => s }.foreach { s =>
+      s.scan match {
+        case sc: GraftBatchScan =>
+          if (!sc.dataFilters.forall(_.references.forall(r =>
+            filterCols.contains(r.toLowerCase)))) return None
+        case _ =>
+      }
+    }
 
     // Aggregates: every output must be a key passthrough, count(*), or
     // sum(<col>); collect the sum column to match against the view's.
@@ -154,6 +194,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case (id, source, keys, sum) =>
           try {
             if (source != srcIdent.name() || !keyNames.subsetOf(keys) ||
+                !filterCols.subsetOf(keys) ||
                 !sumCols.forall(_.equalsIgnoreCase(sum))) None
             else tc.loadTable(id) match {
               case v: GraftTable
@@ -182,10 +223,11 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       o.isInstanceOf[CountOut] || o.isInstanceOf[AvgOut])
     val needsSum = outs.exists(o =>
       o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut])
-    val wanted = keyAttrs.map(_.name).toSet ++
+    val wanted = keyAttrs.map(_.name.toLowerCase).toSet ++ filterCols ++
       (if (needsCount) Set("mv_count") else Set.empty) ++
       (if (needsSum) Set("mv_sum") else Set.empty)
-    val needed = StructType(vTable.schema().fields.filter(f => wanted.contains(f.name)))
+    val needed = StructType(
+      vTable.schema().fields.filter(f => wanted.contains(f.name.toLowerCase)))
     val sb = vTable.newScanBuilder(CaseInsensitiveStringMap.empty())
     sb match {
       case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
@@ -197,6 +239,16 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val vScan = DataSourceV2ScanRelation(vRel, scan, vOut)
     def vAttr(name: String): AttributeReference =
       vOut.find(_.name.equalsIgnoreCase(name)).get
+
+    // Key-only filters commute with the view substitution: replay them on
+    // the VIEW's key columns (every reference is a view key by the candidate
+    // gate above).
+    val vInput: LogicalPlan = baseFilter match {
+      case Some(c) => Filter(c.transform {
+        case ar: AttributeReference => vAttr(ar.name)
+      }, vScan)
+      case None => vScan
+    }
 
     if (vKeys == keyNames) {
       // Exact key match: the view IS the aggregate — preserve the
@@ -210,7 +262,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
             Cast(vAttr("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
       }
-      Some(Project(projList, vScan))
+      Some(Project(projList, vInput))
     } else {
       // ROLLUP (query keys ⊂ view keys): re-aggregate the view's finer
       // groups. Exact because the view partitions the base rows: each base
@@ -238,7 +290,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case AvgOut(al, _) => Alias(Divide(Cast(reSum("mv_sum"), DoubleType),
           Cast(reSum("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
       }
-      Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vScan))
+      Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vInput))
     }
   }
 }

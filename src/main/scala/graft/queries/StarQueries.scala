@@ -2998,6 +2998,45 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
+    // B234 FILTERED rollup: the user filters on a VIEW KEY (`b IN (1,3)`)
+    // and groups by the other — a key-only predicate is constant within each
+    // view group, so it selects WHOLE groups and replays on the view before
+    // the rollup re-aggregation. The optimizer serves the whole thing from
+    // the (pk,b) view: filter view rows, sum the partials. Shares
+    // q_mview_rewrite's fixtures; `rewritten` pins the view-only plan and
+    // the oracle replays the filtered base aggregate.
+    "q_mview_filter_rollup" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+            pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+            pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
+          .coalesce(2).writeTo("graft.mvrq")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "mvrq_mv", 2L, "v2", Seq("orders")) { marker =>
+        s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
+          "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
+        require(s.table("graft.mvrq_mv").count() > 0,
+          "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
+        s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
+      }
+      val df = s.table("graft.mvrq")
+        .filter(col("b").isin(1L, 3L))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
+        !scans.exists(_.contains("mvrq@"))
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
     // B233: ROW-LEVEL SECURITY + COLUMN MASKING enforced IN the scan (the
     // Unity row-filter / Snowflake masking-policy posture): the fixture
     // table declares `graft.rowFilter = k % 7 <> 0`, `graft.mask.tag =
@@ -5293,6 +5332,17 @@ object StarQueries {
         |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
         |  true AS rewritten
         |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B234 filtered rollup: the oracle replays the key-filtered base
+    // aggregate the optimizer served from the view.
+    "q_mview_filter_rollup" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base WHERE b IN (1, 3) GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B233: the oracle replays the row filter relationally for the policed
     // columns, the raw table for the auditor columns, and pins the mask

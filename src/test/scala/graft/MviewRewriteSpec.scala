@@ -169,6 +169,49 @@ class MviewRewriteSpec extends GraftSuite {
     } finally cls.experimental.extraOptimizations = saved
   }
 
+  test("FILTERED rewrite: key-only predicates replay on the view, exact and rollup") {
+    val _ = root
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    // Exact keys + equality filter on a view key.
+    def fExact: DataFrame = spark.table("gmvr.fact").filter(col("k2") === 1)
+      .groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("k1"))
+    assert(answersFromView(fExact), s"expected view scan, got ${scansOf(fExact)}")
+    val gotExact = fExact.collect().map(_.toSeq).toSeq
+    ruleOff {
+      assert(!answersFromView(fExact), "sanity: rule off, base scan")
+      assert(fExact.collect().map(_.toSeq).toSeq === gotExact)
+    }
+    // Rollup + RANGE filter (any deterministic key-only predicate commutes).
+    def fRoll: DataFrame = spark.table("gmvr.fact").filter(col("k2") >= 1)
+      .groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), avg(col("x")).as("ax"))
+      .orderBy(col("k1"))
+    assert(answersFromView(fRoll), s"expected filtered rollup, got ${scansOf(fRoll)}")
+    val gotRoll = fRoll.collect().map(_.toSeq).toSeq
+    ruleOff { assert(fRoll.collect().map(_.toSeq).toSeq === gotRoll) }
+    // Negatives: any DATA-column predicate refuses — the view cannot replay
+    // a within-group selection.
+    assert(!answersFromView(spark.table("gmvr.fact").filter(col("x") > 100)
+      .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n"))))
+    assert(!answersFromView(spark.table("gmvr.fact").filter(col("id") === 5L)
+      .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n"))))
+    // Mixed key+data predicate refuses too (one conjunct is enough to taint).
+    assert(!answersFromView(spark.table("gmvr.fact")
+      .filter(col("k2") === 1 && col("x") > 100)
+      .groupBy(col("k1")).agg(count(lit(1)).as("n"))))
+    // Non-deterministic key predicate refuses.
+    assert(!answersFromView(spark.table("gmvr.fact")
+      .filter(col("k2") === (rand() * 3).cast("long"))
+      .groupBy(col("k1")).agg(count(lit(1)).as("n"))))
+  }
+
   test("ROLLUP staleness: one source commit past the floor stops the rollup too") {
     val _ = root
     import spark.implicits._
