@@ -339,24 +339,33 @@ object Bench {
         case (k, v, true, _, _) if !prevQ.contains(k) &&
           crossQ.get(k).exists(c => c >= 0.05 && v > math.max(30.0 * c, 2.0)) => k
       }
-      //   7. RATCHET: on an UNCHANGED query surface, a run >5% slower than
-      //      the committed total is contention by construction — identical
-      //      binaries and identical queries have no honest reason to slow
-      //      down uniformly (r9 observed: 173.1 s clean, then 192.8 s rode
-      //      in under guards 1-6 at ~11% uniform inflation). A GENUINE
-      //      regression lands with a code change, which changes the query
-      //      surface or shows per-query in the sidecar — and can always be
-      //      recorded deliberately with SPARK_GRAFT_BENCH_FORCE=1.
+      //   7. RATCHET: when every committed query is still on the surface, a
+      //      run whose COMMON-SUBSET total is >5% slower than the committed
+      //      total is contention by construction — identical binaries and
+      //      identical queries have no honest reason to slow down uniformly
+      //      (r9 observed: 173.1 s clean, then 192.8 s rode in under guards
+      //      1-6 at ~11% uniform inflation; r11 observed the subset hole
+      //      itself: ONE added query turned the ratchets off and a 33%
+      //      co-tenant run overwrote a clean ledger — new queries must never
+      //      amnesty inflation of existing ones, so the ratchet compares the
+      //      common subset, not the whole surface). A GENUINE regression
+      //      lands with a code change that shows per-query in the sidecar —
+      //      and can always be recorded deliberately with
+      //      SPARK_GRAFT_BENCH_FORCE=1.
+      val okResults = finalResults.collect { case (k, v, true, _, _) => (k, v) }
       val sameSurface = prevQ.nonEmpty &&
-        prevQ.keySet == finalResults.collect { case (k, _, true, _, _) => k }.toSet
+        prevQ.keySet.subsetOf(okResults.map(_._1).toSet)
+      val commonTotal = okResults.collect {
+        case (k, v) if prevQ.contains(k) => v }.sum
       //   8. PER-QUERY ratchet (r9 postmortem: ~10 small queries quietly
       //      DOUBLED — q_assoc_rules 2.37->4.79 s, q_approx_quantiles
       //      0.55->2.40 — each under the 3x/10x teeth and masked in the total
-      //      by big structural wins elsewhere). On an unchanged surface, any
-      //      query >=0.3 s committed that runs >2x its own committed value
-      //      refuses: slow per-query drift must never hide under a passing
-      //      total. The 0.3 s floor keeps sub-noise queries (where 2x is a
-      //      scheduler hiccup) out of the guard's reach.
+      //      by big structural wins elsewhere). While every committed query
+      //      is still on the surface, any query >=0.3 s committed that runs
+      //      >2x its own committed value refuses: slow per-query drift must
+      //      never hide under a passing total. The 0.3 s floor keeps
+      //      sub-noise queries (where 2x is a scheduler hiccup) out of the
+      //      guard's reach.
       val perQRatchet =
         if (!sameSurface) Seq.empty
         else finalResults.collect {
@@ -383,7 +392,8 @@ object Bench {
       // with a known-failing query describes a broken build; fix the query
       // (or prune the surface) and re-run rather than recording the hole.
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-      val ratchet = sameSurface && prevTotal.exists(pt => pt > 0 && total > 1.05 * pt)
+      val ratchet = sameSurface &&
+        prevTotal.exists(pt => pt > 0 && commonTotal > 1.05 * pt)
       val tailInflated = !force && (perQInflated.size >= 5 || spiked.nonEmpty ||
         excessSec > 5.0 || newInflated.nonEmpty || ratchet || perQRatchet.nonEmpty)
       if (contended || inflated || tailInflated || incomplete)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -51,6 +51,12 @@ import graft.sources.{GraftBatchScan, GraftPolicies, GraftTable}
  * The rewrite keeps inner-join row semantics exactly: an inner equi-join
  * drops fact rows with ANY NULL fk component, so each nullable FK gains a
  * `fk IS NOT NULL` filter (a non-nullable FK gains nothing at all).
+ *
+ * SEMI/ANTI joins (the EXISTS / NOT EXISTS shapes) eliminate too: under the
+ * FK RELY a fact row has a match iff every fk component is non-null, so
+ * LEFT SEMI becomes `fk… IS NOT NULL` and LEFT ANTI becomes
+ * `fk… IS NULL OR …` — the dimension scan vanishes for a null check. No
+ * substitution leg exists (no dim column is in scope above a semi/anti).
  *
  * OUTER-join substitution and composite keys: a LEFT/RIGHT OUTER row is
  * unmatched iff SOME fk component is null (MATCH SIMPLE) — with a single-
@@ -109,12 +115,34 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       attempt(l, r, cond, used, outer = true)
     case Join(l, r, RightOuter, Some(cond), _) =>
       attempt(r, l, cond, used, outer = true)
+    // SEMI/ANTI to a declared PK-FK dimension — the EXISTS / NOT EXISTS
+    // shape. Under the FK RELY (every fk tuple with ALL components non-null
+    // exists in the dimension — MATCH SIMPLE), a match exists for a fact
+    // row iff every fk component is non-null, so:
+    //   LEFT SEMI  ≡ Filter(fk1 IS NOT NULL AND … AND fkn IS NOT NULL)
+    //   LEFT ANTI  ≡ Filter(fk1 IS NULL OR … OR fkn IS NULL)
+    // (a null component makes the equi-condition non-true, which is exactly
+    // what keeps the row in an anti join). No dimension column is in scope
+    // above a semi/anti join, so there is no substitution leg at all — the
+    // dim scan and its shuffle/broadcast vanish for the cost of a null
+    // check. PK uniqueness isn't even needed for the row counts; the PK
+    // declaration is still required because the FK's REFERENCES leg is
+    // validated against it (and an undeclared dim was never RELY-trusted).
+    case Join(l, r, LeftSemi, Some(cond), _) =>
+      attemptExistence(l, r, cond, used, anti = false)
+    case Join(l, r, LeftAnti, Some(cond), _) =>
+      attemptExistence(l, r, cond, used, anti = true)
     case _ => None
   }
 
-  private def attempt(fact: LogicalPlan, dim: LogicalPlan, cond: Expression,
-                      used: Seq[Expression], outer: Boolean)
-      : Option[(Seq[Expression], LogicalPlan)] = {
+  /** The shared qualification kernel (conditions 1+2 of the class doc):
+    * bare declared-PK dimension (inert IsNotNull(pk) filters only, pushed
+    * or residual), and a condition that is a bare-attribute equality
+    * conjunction covering the declared PK set EXACTLY. Returns the dim
+    * relation and the (fact fk, dim pk) pairs. */
+  private def qualify(fact: LogicalPlan, dim: LogicalPlan, cond: Expression)
+      : Option[(DataSourceV2Relation,
+                Seq[(AttributeReference, AttributeReference)])] = {
     // 2. dimension side: bare relation (possibly attribute-only Project,
     // possibly under a Filter that only asserts IsNotNull of the pk — the
     // exact filter InferFiltersFromConstraints derives from the join
@@ -159,6 +187,57 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     val eqPkIds = pairs.map(_._2.exprId)
     if (eqPkIds.distinct.size != eqPkIds.size || eqPkIds.toSet != pkIds)
       return None
+    Some((dimRel, pairs))
+  }
+
+  /** The declared-FK proof (condition 3): some graft relation in the fact
+    * subtree declares a positionally-matching FK against this dimension. */
+  private def fkDeclared(fact: LogicalPlan, dimRel: DataSourceV2Relation,
+      pairs: Seq[(AttributeReference, AttributeReference)]): Boolean =
+    factRelations(fact).exists { r =>
+      foreignKeys(r).exists { fk =>
+        fk.pkCols.size == pairs.size &&
+          tableMatches(dimRel, r, fk.refTable) &&
+          fk.pkCols.indices.forall { i =>
+            pairs.exists { case (fa, pa) =>
+              pa.name.equalsIgnoreCase(fk.pkCols(i)) &&
+                r.output.exists(a => a.exprId == fa.exprId &&
+                  a.name.equalsIgnoreCase(fk.fkCols(i)))
+            }
+          }
+      }
+    }
+
+  /** LEFT SEMI / LEFT ANTI to a declared PK-FK dimension: existence reduces
+    * to fk null checks (see the `eliminate` doc) — no substitution leg. */
+  private def attemptExistence(fact: LogicalPlan, dim: LogicalPlan,
+      cond: Expression, used: Seq[Expression], anti: Boolean)
+      : Option[(Seq[Expression], LogicalPlan)] = {
+    val (dimRel, pairs) = qualify(fact, dim, cond).getOrElse(return None)
+    // Existence itself is the claim being replaced — the FK declaration is
+    // always required here (PK uniqueness alone says nothing about which
+    // fact rows match).
+    if (!fkDeclared(fact, dimRel, pairs)) return None
+    val nullable = pairs.map(_._1).filter(_.nullable).distinctBy(_.exprId)
+    val child =
+      if (!anti) {
+        // SEMI: keep iff every fk component non-null.
+        if (nullable.isEmpty) fact
+        else Filter(nullable.map(IsNotNull(_): Expression).reduce(And), fact)
+      } else {
+        // ANTI: keep iff some fk component is null; provably-non-null
+        // components can never contribute.
+        if (nullable.isEmpty) Filter(Literal.FalseLiteral, fact)
+        else Filter(nullable.map(IsNull(_): Expression).reduce(Or), fact)
+      }
+    Some((used, child))
+  }
+
+  private def attempt(fact: LogicalPlan, dim: LogicalPlan, cond: Expression,
+                      used: Seq[Expression], outer: Boolean)
+      : Option[(Seq[Expression], LogicalPlan)] = {
+    val (dimRel, pairs) = qualify(fact, dim, cond).getOrElse(return None)
+    val pkIds = pairs.map(_._2.exprId).toSet
     val subst: Map[ExprId, AttributeReference] =
       pairs.map(p => p._2.exprId -> p._1).toMap
 
@@ -183,20 +262,7 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     // (fk_i REFERENCES pk_i) leg must be one of the equated pairs on the
     // SAME fact relation's attributes.
     val needsFk = !outer || usedDim.nonEmpty
-    val declared = !needsFk || factRelations(fact).exists { r =>
-      foreignKeys(r).exists { fk =>
-        fk.pkCols.size == pairs.size &&
-          tableMatches(dimRel, r, fk.refTable) &&
-          fk.pkCols.indices.forall { i =>
-            pairs.exists { case (fa, pa) =>
-              pa.name.equalsIgnoreCase(fk.pkCols(i)) &&
-                r.output.exists(a => a.exprId == fa.exprId &&
-                  a.name.equalsIgnoreCase(fk.fkCols(i)))
-            }
-          }
-      }
-    }
-    if (!declared) return None
+    if (needsFk && !fkDeclared(fact, dimRel, pairs)) return None
     val newUsed = used.map { e =>
       e.transform {
         case a: AttributeReference if subst.contains(a.exprId) =>

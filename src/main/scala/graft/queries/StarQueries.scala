@@ -3287,6 +3287,52 @@ object StarQueries {
       joined.withColumn("join_eliminated", lit(eliminated)).orderBy(col("grp"))
     },
 
+    // B231 SEMI/ANTI twin: the EXISTS / NOT EXISTS shapes. Under the RELY
+    // FK a fact row has a dimension match iff its fk is non-null, so the
+    // optimizer reduces the semi join to `cust IS NOT NULL` and the anti
+    // join to `cust IS NULL` — both dimension scans vanish. The oracle
+    // replays the ACTUAL semi/anti joins (EXISTS / NOT EXISTS subqueries
+    // over the dimension), so an elimination that changed any row breaks
+    // the hash; `join_eliminated` pins that BOTH joins really left the plan.
+    "q_rely_semi_elim" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.RelyJoinEliminationRule(s))
+      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
+          .coalesce(1).writeTo("graft.rely_d")
+          .tableProperty("graft.primaryKey", "c_custkey RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
+        Tables.orders(s, d).select(
+            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
+              .as("cust"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .coalesce(1).writeTo("graft.rely_f")
+          .tableProperty("graft.foreignKey.cust",
+            "cust REFERENCES rely_d (c_custkey) RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      val f = s.table("graft.rely_f")
+      val dm = s.table("graft.rely_d")
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      val anti = f.join(dm, f("cust") === dm("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val antiElim = anti.queryExecution.optimizedPlan
+        .collect { case j: LJoin => j }.isEmpty
+      val antiN = anti.head.getLong(0) // 1-row driver pin
+      val semi = f.join(dm, f("cust") === dm("c_custkey"), "left_semi")
+        .groupBy(pmod(col("cust"), lit(10)).cast("long").as("grp"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      val semiElim = semi.queryExecution.optimizedPlan
+        .collect { case j: LJoin => j }.isEmpty
+      semi.withColumn("anti_n", lit(antiN))
+        .withColumn("join_eliminated", lit(semiElim && antiElim))
+        .orderBy(col("grp"))
+    },
+
     // B231 composite twin: the dimension declares a TWO-column RELY PK
     // (pk1, pk2 — the div/mod-97 decomposition of c_custkey, unique by
     // construction) and the fact a positionally-paired composite FK whose
@@ -5426,6 +5472,22 @@ object StarQueries {
         |  CAST(sum(f.cents) AS BIGINT) AS cents, count(*) AS n,
         |  true AS join_eliminated
         |FROM f JOIN dm ON f.cust = dm.c_custkey
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // B231 semi/anti twin: the oracle replays the REAL EXISTS / NOT EXISTS
+    // against the dimension — data satisfies the declared integrity, so the
+    // null-check reduction must agree row for row.
+    "q_rely_semi_elim" ->
+      """WITH f AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |    ELSE o_custkey END AS cust,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dm AS (SELECT DISTINCT c_custkey FROM customer)
+        |SELECT CAST(f.cust % 10 AS BIGINT) AS grp,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents, count(*) AS n,
+        |  (SELECT count(*) FROM f WHERE NOT EXISTS
+        |     (SELECT 1 FROM dm WHERE dm.c_custkey = f.cust)) AS anti_n,
+        |  true AS join_eliminated
+        |FROM f WHERE EXISTS (SELECT 1 FROM dm WHERE dm.c_custkey = f.cust)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // B231 composite twin: the oracle replays the two-conjunct join the

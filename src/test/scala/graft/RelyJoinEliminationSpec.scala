@@ -311,6 +311,47 @@ class RelyJoinEliminationSpec extends GraftSuite {
       "composite outer with a used pk must keep the join")
   }
 
+  test("SEMI/ANTI joins to a declared PK-FK dim eliminate to fk null checks") {
+    val f = fact; val d = dim
+    // EXISTS shape: semi join → IS NOT NULL filter, join gone.
+    def semi = f.join(d, f("cust") === d("pk"), "left_semi")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    assert(joins(semi).isEmpty, "semi join to RELY dim must be eliminated")
+    val Array(sRow) = semi.collect()
+    assert(sRow.getLong(0) === 30L) // 40 rows minus the 10 null-fk rows
+    // NOT EXISTS shape: anti join → IS NULL filter, join gone.
+    def anti = f.join(d, f("cust") === d("pk"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    assert(joins(anti).isEmpty, "anti join to RELY dim must be eliminated")
+    assert(anti.head.getLong(0) === 10L) // exactly the null-fk rows
+    // Rule-off ground truth for both.
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try {
+      assert(joins(semi).nonEmpty && joins(anti).nonEmpty, "sanity: rule off")
+      assert(semi.head.getLong(0) === 30L && anti.head.getLong(0) === 10L)
+    } finally cls.experimental.extraOptimizations = saved
+    // Composite semi: both components' null checks install (any-null drops).
+    val fc = factC; val dc = dimC
+    def csemi = fc.join(dc, fc("fk1") === dc("pk1") && fc("fk2") === dc("pk2"),
+        "left_semi").agg(count(lit(1)).as("n"))
+    assert(joins(csemi).isEmpty, "composite semi must eliminate")
+    val expect = (0L until 80L).count(i => i % 7 != 0 && i % 11 != 0).toLong
+    assert(csemi.head.getLong(0) === expect)
+    // No-fire battery: missing PK RELY; partial composite key.
+    val fnr = { root; spark.table("relycat.fact_nr") }
+    val dnr = spark.table("relycat.dim_norely")
+    assert(joins(fnr.join(dnr, fnr("cust") === dnr("pk"), "left_semi")
+      .agg(count(lit(1)).as("n"))).nonEmpty, "no PK RELY → semi join stays")
+    assert(joins(fc.join(dc, fc("fk1") === dc("pk1"), "left_semi")
+      .agg(count(lit(1)).as("n"))).nonEmpty, "partial key → semi join stays")
+    // A filtered dimension changes which rows match — never eliminated.
+    assert(joins(f.join(d.filter(col("seg") === "seg1"),
+      f("cust") === d("pk"), "left_semi")
+      .agg(count(lit(1)).as("n"))).nonEmpty)
+  }
+
   test("a qualified REFERENCES never matches a deeper-nested same-suffix table") {
     // fact_sfx (root ns) declares `other.dimq` — a dimension at the DEEPER
     // namespace a.other (same trailing components, own PK RELY) must NOT
