@@ -96,6 +96,54 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
         val (g, ae) = newExprs.splitAt(groups.size)
         Aggregate(g, ae.map(_.asInstanceOf[NamedExpression]), child, hint)
       }.getOrElse(a)
+    // DISTINCT elimination over a declared RELY PK: a grouping that COVERS
+    // the PK set, with pure key-passthrough output, groups rows that are
+    // already unique — the whole hash aggregate (and its shuffle) is a
+    // no-op. Uniqueness is a row-level property, so ANY filtering above the
+    // scan (Filter nodes, pushed predicates, partition pruning) preserves
+    // it — unlike the join legs, no bare-scan proof is needed; only
+    // policies refuse (a masked grouping column collapses values, so the
+    // distinct is real again).
+    case a @ Aggregate(ges, aes, child, _) =>
+      distinctElim(ges, aes, child).getOrElse(a)
+  }
+
+  /** SELECT DISTINCT pk…, extras FROM dim → Project, when the grouping
+    * covers a declared RELY PK of the (possibly filtered) underlying scan
+    * and every output is a grouping-attribute passthrough. */
+  private def distinctElim(ges: Seq[Expression], aes: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val geAttrs = ges.map {
+      case ar: AttributeReference => ar
+      case _ => return None
+    }
+    val geIds = geAttrs.map(_.exprId).toSet
+    // Pure distinct: every output echoes a grouping attribute.
+    aes.foreach {
+      case ar: AttributeReference if geIds.contains(ar.exprId) =>
+      case Alias(ar: AttributeReference, _) if geIds.contains(ar.exprId) =>
+      case _ => return None
+    }
+    // Peel any Filters and attribute-only Projects down to one graft scan.
+    def relationOf(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+      case r: DataSourceV2Relation => Some(r)
+      case s: DataSourceV2ScanRelation => Some(s.relation)
+      case Filter(_, inner) => relationOf(inner)
+      case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        relationOf(inner)
+      case _ => None
+    }
+    val rel = relationOf(child).getOrElse(return None)
+    if (!rel.table.isInstanceOf[GraftTable] || policed(rel)) return None
+    val pkNames = primaryKeyCols(rel).getOrElse(return None)
+    // The grouping must COVER the full PK set, resolved by exprId against
+    // the relation's own output (an aliased/derived key is not the key).
+    val covered = pkNames.forall { n =>
+      rel.output.exists(a => a.name.equalsIgnoreCase(n) &&
+        geIds.contains(a.exprId))
+    }
+    if (!covered) return None
+    Some(Project(aes, child))
   }
 
   /** Try both join orientations; returns the rewritten (expressions, child). */
@@ -371,7 +419,7 @@ object RelyConstraints {
       case _ => None
     }
 
-  private def policed(r: DataSourceV2Relation): Boolean = r.table match {
+  def policed(r: DataSourceV2Relation): Boolean = r.table match {
     case t: GraftTable => GraftPolicies.declared(t.manifest.props)
     case _ => false
   }

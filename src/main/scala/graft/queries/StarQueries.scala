@@ -3287,6 +3287,34 @@ object StarQueries {
       joined.withColumn("join_eliminated", lit(eliminated)).orderBy(col("grp"))
     },
 
+    // B231 DISTINCT twin: SELECT DISTINCT over a declared RELY PK is a
+    // no-op — the grouping covers the unique key, so the optimizer deletes
+    // the whole hash aggregate and its shuffle (uniqueness is row-level:
+    // any filter above the scan preserves it). The plan pin counts
+    // Aggregates: exactly ONE must survive (the seg rollup the query itself
+    // asks for), zero for the distinct. The oracle replays the DISTINCT.
+    "q_rely_distinct_elim" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.RelyJoinEliminationRule(s))
+      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
+          .coalesce(1).writeTo("graft.rely_d")
+          .tableProperty("graft.primaryKey", "c_custkey RELY")
+          .tableProperty("fixture", marker).create()
+      }
+      val dm = s.table("graft.rely_d")
+      val df = dm.distinct()
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"))
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg}
+      val aggs = df.queryExecution.optimizedPlan
+        .collect { case ag: LAgg => ag }
+      df.withColumn("distinct_eliminated", lit(aggs.size == 1))
+        .orderBy(col("seg"))
+    },
+
     // B231 SEMI/ANTI twin: the EXISTS / NOT EXISTS shapes. Under the RELY
     // FK a fact row has a dimension match iff its fk is non-null, so the
     // optimizer reduces the semi join to `cust IS NOT NULL` and the anti
@@ -5473,6 +5501,15 @@ object StarQueries {
         |  true AS join_eliminated
         |FROM f JOIN dm ON f.cust = dm.c_custkey
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // B231 distinct twin: the oracle replays the DISTINCT the optimizer
+    // removed; the one-Aggregate plan pin rides the hash gate.
+    "q_rely_distinct_elim" ->
+      """WITH dm AS (SELECT DISTINCT c_custkey, c_mktsegment AS seg
+        |    FROM customer)
+        |SELECT seg, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS keysum,
+        |  true AS distinct_eliminated
+        |FROM dm GROUP BY 1 ORDER BY seg""".stripMargin,
 
     // B231 semi/anti twin: the oracle replays the REAL EXISTS / NOT EXISTS
     // against the dimension — data satisfies the declared integrity, so the

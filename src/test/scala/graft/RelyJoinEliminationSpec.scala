@@ -390,6 +390,41 @@ class RelyJoinEliminationSpec extends GraftSuite {
       "fact-namespace-relative resolution must still eliminate")
   }
 
+  test("DISTINCT over a declared RELY PK eliminates; non-covering/real aggs never do") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg}
+    val d = dim
+    def aggsOf(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case ag: LAgg => ag }
+    // Covering distinct: the PK is in the grouping — no Aggregate survives.
+    val dd = d.select(col("pk"), col("seg")).distinct()
+    assert(aggsOf(dd).isEmpty, "distinct covering the RELY PK must eliminate")
+    assert(dd.count() === 10L)
+    // Filter-stable: uniqueness holds on any subset.
+    val df = d.filter(col("seg") === "seg1").distinct()
+    assert(aggsOf(df).isEmpty, "a filtered covering distinct still eliminates")
+    val got = df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try {
+      assert(aggsOf(d.distinct()).nonEmpty, "sanity: rule off, distinct stays")
+      assert(df.collect().map(_.toSeq).toSeq.sortBy(_.toString) === got)
+    } finally cls.experimental.extraOptimizations = saved
+    // Non-covering distinct keeps its aggregate.
+    assert(aggsOf(d.select(col("seg")).distinct()).nonEmpty)
+    // A real aggregate over the PK keeps (outputs are not passthroughs).
+    assert(aggsOf(d.groupBy(col("pk")).agg(count(lit(1)).as("n"))).nonEmpty)
+    // No RELY keyword — never trusted.
+    val nr = spark.table("relycat.dim_norely")
+    assert(aggsOf(nr.select(col("pk"), col("seg")).distinct()).nonEmpty)
+    // Composite PK: both columns must be in the grouping.
+    val dc = dimC
+    assert(aggsOf(dc.select(col("pk1"), col("pk2")).distinct()).isEmpty,
+      "composite covering distinct must eliminate")
+    assert(aggsOf(dc.select(col("pk1")).distinct()).nonEmpty,
+      "partial composite distinct must keep the aggregate")
+  }
+
   test("the rule also fires through a SparkSessionExtensions-built session") {
     // Injected rules run INSIDE the operator-optimization fixpoint (pre scan
     // pushdown, DataSourceV2Relation vintage) — the other node shape.
