@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): a local[32] drive caches every base table, the
+  // catalog fixtures, and ~274 queries' codegen/plan state in ONE JVM —
+  // at 8g the bench ran GC-bound, inflating sub-second queries 2x with
+  // jitter and the full sf0.01 drive by ~14% (139.1 s -> 122.6 s measured
+  // on the same box and binaries). The box has 128 GiB; -Xmx only reserves
+  // address space, so tests share the same setting harmlessly.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
