@@ -212,6 +212,26 @@ class MviewRewriteSpec extends GraftSuite {
       .groupBy(col("k1")).agg(count(lit(1)).as("n"))))
   }
 
+  test("HAVING over a rewritten aggregate composes: the filter rides the view read") {
+    // No special code path exists or is needed — the rewrite preserves the
+    // Aggregate's output exprIds, so a parent Filter (HAVING) just applies
+    // to the substituted result. This pin keeps that composition honest.
+    val _ = root
+    def having: DataFrame = {
+      val agg = spark.table("gmvr.fact").groupBy(col("k1"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      agg.filter(col("sx") > 5000L).orderBy(col("k1"))
+    }
+    assert(answersFromView(having), s"expected view rollup, got ${scansOf(having)}")
+    val got = having.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture sanity: some group must clear the HAVING bar")
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(having.collect().map(_.toSeq).toSeq === got)
+    finally cls.experimental.extraOptimizations = saved
+  }
+
   test("ROLLUP staleness: one source commit past the floor stops the rollup too") {
     val _ = root
     import spark.implicits._
