@@ -2805,30 +2805,62 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       s.sql("DROP TABLE IF EXISTS graft.cpq")
       s.sql("CREATE TABLE graft.cpq (o_orderkey BIGINT, cents BIGINT, pk BIGINT)")
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
-        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
-      val land = Tables.scratchDir(s, "cp_land", d)
-      val fs = new org.apache.hadoop.fs.Path(land)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(land), true)
-      def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val tmp = s"$land/stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.globStatus(
-          new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))(0).getPath
-        fs.rename(part, new org.apache.hadoop.fs.Path(s"$land/$name.parquet"))
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val hconf = s.sessionState.newHadoopConf()
+      // Landing files STAGE once per dataset (deterministic projections of
+      // orders — the fixture doctrine applied to raw landing bytes); each
+      // invocation rebuilds the landing dir by cheap fs copies so the
+      // exactly-once ledger sequencing (a+b, rerun, then c) is reproduced
+      // without re-running three write jobs. copy_into is the timed op.
+      val memoDir = new org.apache.hadoop.fs.Path(
+        Tables.scratchDir(s, "cp_stage", d))
+      val fs = memoDir.getFileSystem(hconf)
+      val marker = "v1|" + Tables.fingerprint(d, Seq("orders"))
+      val markerFile = new org.apache.hadoop.fs.Path(memoDir, "_marker")
+      val memoFresh =
+        try {
+          val in = fs.open(markerFile)
+          val b = try new String(in.readAllBytes,
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          b == marker && Seq("a", "b", "c").forall(n =>
+            fs.exists(new org.apache.hadoop.fs.Path(memoDir, s"$n.parquet")))
+        } catch { case _: Exception => false }
+      if (!memoFresh) {
+        fs.delete(memoDir, true)
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+        def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          val tmp = new org.apache.hadoop.fs.Path(memoDir, s"stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(memoDir, s"$name.parquet"))
+          fs.delete(tmp, true)
+        }
+        stage("a", base.filter(col("o_orderkey") % 3 === 0))
+        stage("b", base.filter(col("o_orderkey") % 3 === 1))
+        stage("c", base.filter(col("o_orderkey") % 3 === 2))
+        val out = fs.create(markerFile, true)
+        try out.write(marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
-      stage("a", base.filter(col("o_orderkey") % 3 === 0))
-      stage("b", base.filter(col("o_orderkey") % 3 === 1))
+      val land = Tables.scratchDir(s, "cp_land", d)
+      val landPath = new org.apache.hadoop.fs.Path(land)
+      fs.delete(landPath, true)
+      fs.mkdirs(landPath)
+      def place(name: String): Unit =
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(memoDir, s"$name.parquet"), fs,
+          new org.apache.hadoop.fs.Path(landPath, s"$name.parquet"),
+          false, hconf)
+      place("a"); place("b")
       def copy() = s.sql(
         s"CALL graft.system.copy_into(table => 'cpq', path => '$land')")
         .collect()(0)
       val r1 = copy()
       val r2 = copy()
       val rerunOk = r1.getLong(0) == 2L && r2.getLong(0) == 0L && r2.getLong(1) == 2L
-      stage("c", base.filter(col("o_orderkey") % 3 === 2))
+      place("c")
       val r3 = copy()
       val deltaOk = r3.getLong(0) == 1L && r3.getLong(1) == 2L
       s.table("graft.cpq").groupBy(col("pk"))
@@ -2880,22 +2912,36 @@ object StarQueries {
     // delta. The refresh range and the no-op idempotence pin ride the gate.
     "q_catalog_mview" -> { (s, d) =>
       GraftCatalogSetup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.mvq")
-      s.sql("DROP TABLE IF EXISTS graft.mvqv")
       val base = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
-      base.filter(col("o_orderkey") % 2 === 0)
-        .writeTo("graft.mvq").tableProperty("dml", "dv").create()      // gen 1
-      s.sql("CALL graft.system.create_mview(source => 'mvq', name => 'mvqv', " +
-        "keys => 'pk', sum_col => 'cents')")
-      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.mvq").append() // 2
-      s.sql("DELETE FROM graft.mvq WHERE o_orderkey % 7 = 0")          // gen 3
-      s.sql("UPDATE graft.mvq SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // 4
+      // Source seed + seeded view build ONCE per dataset (one fixture guards
+      // both — they only ever build together); each invocation forks both by
+      // clone, the view's `mview.source` re-pointed at the cloned source and
+      // its fold floor reset to the clone's gen 0 (the props-override clone
+      // surface). The timed ops are the DML mix + the delta-folding refresh.
+      fixture(s, d, "mvqv_s", 2L, "v1", Seq("orders")) { marker =>
+        s.sql("DROP TABLE IF EXISTS graft.mvq_s")
+        base.filter(col("o_orderkey") % 2 === 0)
+          .writeTo("graft.mvq_s").tableProperty("dml", "dv")
+          .tableProperty("fixture", marker).create()                   // gen 1
+        s.sql("CALL graft.system.create_mview(source => 'mvq_s', " +
+          "name => 'mvqv_s', keys => 'pk', sum_col => 'cents')")
+        s.sql(s"ALTER TABLE graft.mvqv_s SET TBLPROPERTIES('fixture'='$marker')")
+      }
+      s.sql("DROP TABLE IF EXISTS graft.mvq")
+      s.sql("DROP TABLE IF EXISTS graft.mvqv")
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mvq_s", "mvq")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mvqv_s", "mvqv",
+        Map("mview.source" -> "mvq", "mview.gen" -> "0"))
+      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.mvq").append() // 1
+      s.sql("DELETE FROM graft.mvq WHERE o_orderkey % 7 = 0")          // gen 2
+      s.sql("UPDATE graft.mvq SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // 3
       val r1 = s.sql("CALL graft.system.refresh_mview(name => 'mvqv')").collect()(0)
-      val foldedDelta = r1.getLong(0) == 1L && r1.getLong(1) == 4L
+      val foldedDelta = r1.getLong(0) == 0L && r1.getLong(1) == 3L
       val r2 = s.sql("CALL graft.system.refresh_mview(name => 'mvqv')").collect()(0)
-      val noop = r2.getLong(0) == 4L && r2.getLong(1) == 4L
+      val noop = r2.getLong(0) == 3L && r2.getLong(1) == 3L
       s.table("graft.mvqv")
         .withColumn("folded_delta", lit(foldedDelta))
         .withColumn("noop_ok", lit(noop))

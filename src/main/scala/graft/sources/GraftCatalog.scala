@@ -5556,9 +5556,15 @@ object GraftCatalogOps {
    * reclaims bytes only the clone still references, and the clone's next
    * read fails LOUDLY (missing file) — exactly Delta's shallow-clone
    * contract. Returns the clone's generation (always 0).
+   *
+   * `propsOverride` merges over the inherited properties (Delta's
+   * `CREATE TABLE … SHALLOW CLONE … TBLPROPERTIES (…)` surface): the clone
+   * keeps the source's CHECKs/clustering/blooms unless the caller overrides
+   * them — e.g. re-pointing a cloned incremental VIEW's `mview.source` at a
+   * cloned source table, or relaxing a constraint on a dev fork.
    */
   def cloneTable(spark: SparkSession, root: String, srcTable: String,
-      dstTable: String): Long = {
+      dstTable: String, propsOverride: Map[String, String] = Map.empty): Long = {
     val srcDir = new Path(root, srcTable)
     val dstDir = new Path(root, dstTable)
     val conf = spark.sessionState.newHadoopConf()
@@ -5577,7 +5583,7 @@ object GraftCatalogOps {
       txns = Set.empty,
       fileStats = remap(m.fileStats),
       fileBytes = remap(m.fileBytes),
-      props = m.props,
+      props = m.props ++ propsOverride,
       fileBlooms = remap(m.fileBlooms),
       fileDVs = remap(m.fileDVs).map { case (k, dv) => k -> abs(dv) },
       fileRows = remap(m.fileRows),
