@@ -2273,16 +2273,20 @@ object StarQueries {
     // no loss. Checkpoint/sink state is reset up front so the query is
     // idempotent across Verify/Bench runs in fresh or shared sessions.
     "q_catalog_stream" -> { (s, d) =>
-      GraftCatalogSetup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.cs")
       val ckpt = Tables.scratchDir(s, "cs_ckpt", d)
       val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
       ckptPath.getFileSystem(s.sessionState.newHadoopConf()).delete(ckptPath, true)
       val base = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         pmod(col("o_orderkey"), lit(3)).cast("int").as("pk"))
-      base.filter(col("pk") =!= 2).writeTo("graft.cs")
-        .partitionedBy(col("pk")).create()
+      // Pre-subscription snapshot memoized (clone = gen 0; a fresh stream's
+      // first batch is the full current snapshot whatever its generation
+      // number); the drains and the incremental commit are the timed ops.
+      clonedSeed(s, d, "cs_s", "cs", 1L, "v1", Seq("orders")) { marker =>
+        base.filter(col("pk") =!= 2).writeTo("graft.cs_s")
+          .partitionedBy(col("pk"))
+          .tableProperty("fixture", marker).create()
+      }
       def drain(): Unit = {
         // 3 groups don't need 32 state stores: the stateful aggregate's
         // shuffle-partition count is baked into the checkpoint at first
@@ -3573,8 +3577,6 @@ object StarQueries {
     // delete+insert pair. The oracle replays the same history relationally;
     // per-commit change counts and value sums are hash-verified end to end.
     "q_catalog_cdf_stream" -> { (s, d) =>
-      GraftCatalogSetup(s, d)
-      s.sql("DROP TABLE IF EXISTS graft.cdfs")
       val hconf = s.sessionState.newHadoopConf()
       val ckpt = Tables.scratchDir(s, "cdfs_ckpt", d)
       val out = Tables.scratchDir(s, "cdfs_out", d)
@@ -3585,9 +3587,15 @@ object StarQueries {
       val base = Tables.orders(s, d).select(col("o_orderkey"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
-      base.filter(col("o_orderkey") % 2 === 0)
-        .writeTo("graft.cdfs").partitionedBy(col("pk"))
-        .tableProperty("dml", "dv").create()                          // gen 1
+      // Initial snapshot memoized (clone = gen 0 — the snapshot batch then
+      // carries _commit_version 0, and the delta commits are 1..3; the
+      // oracle counts from the same basis); drains + DML are the timed ops.
+      clonedSeed(s, d, "cdfs_s", "cdfs", 1L, "v1", Seq("orders")) { marker =>
+        base.filter(col("o_orderkey") % 2 === 0)
+          .writeTo("graft.cdfs_s").partitionedBy(col("pk"))
+          .tableProperty("dml", "dv")
+          .tableProperty("fixture", marker).create()                  // gen 1
+      }
       def drain(): Unit = {
         val q = s.readStream.table("graft.`cdfs$changes`")
           .writeStream.option("checkpointLocation", ckpt)
@@ -3598,12 +3606,12 @@ object StarQueries {
         q.stop()
         require(done, "q_catalog_cdf_stream: AvailableNow drain did not finish in 240s")
       }
-      drain()                                      // snapshot batch: inserts @1
+      drain()                                      // snapshot batch: inserts @0
       base.filter(col("o_orderkey") % 2 === 1)
-        .writeTo("graft.cdfs").append()                               // gen 2
-      s.sql("DELETE FROM graft.cdfs WHERE o_orderkey % 7 = 0")        // gen 3
-      s.sql("UPDATE graft.cdfs SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // gen 4
-      drain()                                      // delta batches @2..@4
+        .writeTo("graft.cdfs").append()                               // gen 1
+      s.sql("DELETE FROM graft.cdfs WHERE o_orderkey % 7 = 0")        // gen 2
+      s.sql("UPDATE graft.cdfs SET cents = cents + 5 WHERE o_orderkey % 11 = 0") // gen 3
+      drain()                                      // delta batches @1..@3
       s.read.parquet(out)
         .groupBy(col("_commit_version").as("gen"), col("_change_type").as("change"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -5756,25 +5764,26 @@ object StarQueries {
         |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B170: the oracle replays the streamed history — the snapshot drain
-    // delivers the evens as version-1 inserts, then each commit streams its
-    // exact delta (matching q_catalog_cdf's batch-feed profile plus the
-    // snapshot row the stream's fresh start adds).
+    // delivers the evens as inserts at the cloned seed's generation 0, then
+    // each commit streams its exact delta (matching q_catalog_cdf's
+    // batch-feed profile plus the snapshot row the stream's fresh start
+    // adds).
     "q_catalog_cdf_stream" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-        |SELECT CAST(1 AS BIGINT) AS gen, 'insert' AS change, count(*) AS n,
+        |SELECT CAST(0 AS BIGINT) AS gen, 'insert' AS change, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents FROM base WHERE k % 2 = 0
         |UNION ALL
-        |SELECT 2, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+        |SELECT 1, 'insert', count(*), CAST(sum(cents) AS BIGINT)
         |FROM base WHERE k % 2 = 1
         |UNION ALL
-        |SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT)
         |FROM base WHERE k % 7 = 0
         |UNION ALL
-        |SELECT 4, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
         |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
         |UNION ALL
-        |SELECT 4, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
+        |SELECT 3, 'insert', count(*), CAST(sum(cents + 5) AS BIGINT)
         |FROM base WHERE k % 11 = 0 AND k % 7 <> 0
         |ORDER BY gen, change""".stripMargin,
 
