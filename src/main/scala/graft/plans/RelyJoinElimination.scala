@@ -256,6 +256,10 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       }
     }
 
+  private def name(r: DataSourceV2Relation): String =
+    r.identifier.map(id => (id.namespace() :+ id.name()).mkString("."))
+      .getOrElse(r.table.name())
+
   /** LEFT SEMI / LEFT ANTI to a declared PK-FK dimension: existence reduces
     * to fk null checks (see the `eliminate` doc) — no substitution leg. */
   private def attemptExistence(fact: LogicalPlan, dim: LogicalPlan,
@@ -293,14 +297,29 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     // paired fk keeping the original exprId so parent references stay valid.
     val dimOut = dim.outputSet
     val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
-    if (!usedDim.forall(a => pkIds.contains(a.exprId))) return None
+    if (!usedDim.forall(a => pkIds.contains(a.exprId))) {
+      // The join QUALIFIED (declared-PK dim, exact key cover) and only the
+      // payload reference blocks it — the one refusal a user can act on
+      // (drop the payload column, or denormalize it onto the fact).
+      RelyDiagnostics.note(m => logInfo(m), s"join to ${name(dimRel)} kept: " +
+        s"non-key dimension column(s) " +
+        s"${usedDim.filterNot(a => pkIds.contains(a.exprId)).map(_.name).sorted.mkString(", ")} " +
+        "are referenced above the join — elimination requires the query to " +
+        "read only the declared PK (rewritten to the fact FK)")
+      return None
+    }
 
     // Composite OUTER with a used pk: refused — sound only when unmatched
     // rows cannot exist (every paired fk provably non-null; see the class
     // doc's MATCH SIMPLE discussion), and the catalog's DDL schema codec
     // reads every column back nullable, so that proof is never available
     // here. Single-column keys substitute exactly as-is.
-    if (outer && usedDim.nonEmpty && pairs.size > 1) return None
+    if (outer && usedDim.nonEmpty && pairs.size > 1) {
+      RelyDiagnostics.note(m => logInfo(m), s"outer join to ${name(dimRel)} kept: " +
+        "composite-key pk substitution is unsound under MATCH SIMPLE " +
+        "(an unmatched row can carry a non-null fk beside a null one)")
+      return None
+    }
 
     // 3. the FK declaration: an INNER join always needs it (elimination
     // keeps fact rows the join would only keep under referential
@@ -310,7 +329,12 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     // (fk_i REFERENCES pk_i) leg must be one of the equated pairs on the
     // SAME fact relation's attributes.
     val needsFk = !outer || usedDim.nonEmpty
-    if (needsFk && !fkDeclared(fact, dimRel, pairs)) return None
+    if (needsFk && !fkDeclared(fact, dimRel, pairs)) {
+      RelyDiagnostics.note(m => logInfo(m), s"join to ${name(dimRel)} kept: no " +
+        "RELY foreign-key declaration on the fact side REFERENCES this " +
+        "dimension with the equated column pairing")
+      return None
+    }
     val newUsed = used.map { e =>
       e.transform {
         case a: AttributeReference if subst.contains(a.exprId) =>
@@ -332,6 +356,35 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       if (!outer && guards.nonEmpty) Filter(guards.reduce(And), fact) else fact
     Some((newUsed, child))
   }
+}
+
+/**
+ * Near-miss diagnostics for the RELY rule: when a join QUALIFIES (declared-PK
+ * dimension, exact key cover) but a fixable condition blocks elimination, the
+ * rule logs why (the Databricks/Oracle posture — informational-constraint
+ * optimizations are invisible when they don't fire, so the "why not" is the
+ * product surface). Notes also land in a bounded ring the session can read
+ * programmatically (`RelyDiagnostics.recent`) — that is what the spec pins;
+ * the optimizer may re-run a rule across iterations, so entries de-duplicate
+ * by message. Diagnostic-only state: bounded, thread-safe, never read by the
+ * rewrite itself.
+ */
+object RelyDiagnostics {
+  private val max = 64
+  private val ring = new java.util.concurrent.ConcurrentLinkedDeque[String]
+  def note(log: String => Unit, msg: String): Unit = {
+    val full = s"RELY elimination skipped: $msg"
+    log(full)
+    if (!ring.contains(full)) {
+      ring.addLast(full)
+      while (ring.size > max) ring.pollFirst()
+    }
+  }
+  def recent: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    ring.iterator().asScala.toSeq
+  }
+  def clear(): Unit = ring.clear()
 }
 
 /** Parsing and relation plumbing for the RELY informational constraints. */

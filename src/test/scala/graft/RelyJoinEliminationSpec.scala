@@ -106,6 +106,22 @@ class RelyJoinEliminationSpec extends GraftSuite {
     assert(joins(df).nonEmpty)
   }
 
+  test("a payload-blocked refusal leaves an actionable diagnostic") {
+    graft.plans.RelyDiagnostics.clear()
+    val f = fact; val d = dim
+    f.join(d, f("cust") === d("pk"))
+      .groupBy(col("seg")).agg(sum(col("cents")).as("cents"))
+      .queryExecution.optimizedPlan
+    val notes = graft.plans.RelyDiagnostics.recent
+    assert(notes.exists(n => n.contains("non-key dimension column") &&
+      n.contains("seg")), s"expected a payload-refusal note, got: $notes")
+    // A fully-qualifying query fires and leaves NO new note.
+    graft.plans.RelyDiagnostics.clear()
+    qualifying.queryExecution.optimizedPlan
+    assert(graft.plans.RelyDiagnostics.recent.isEmpty,
+      "an eliminated join must not log a refusal")
+  }
+
   test("a primaryKey declaration without RELY is never trusted") {
     // fact_nr's FK declaration names dim_norely WITH RELY, so only the
     // dimension's missing PK RELY keyword blocks — isolated.
