@@ -2503,6 +2503,52 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("clone propsOverride lands on the clone only; CoW DML and OPTIMIZE stay clone-scoped") {
+    // The clone-seeded bench queries fork memoized seeds and run CoW
+    // rewrites / compaction on the fork — this pins the posture they rely
+    // on: replaced files are dropped from the CLONE's manifest, never
+    // deleted from the source dir, and a props override is invisible to the
+    // source.
+    import spark.implicits._
+    val src = freshTable("cowsrc")
+    spark.sql("DROP TABLE IF EXISTS gtest.cowdst")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "cowdst"), true)
+    (0L until 120L).map(i => (i, i * 3 % 7)).toDF("id", "v")
+      .coalesce(3).writeTo(src).tableProperty("keep", "inherited").create()
+    def srcState() = {
+      val it = fs.listFiles(new Path(root, "cowsrc"), true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
+      b.result().toSet
+    }
+    val before = srcState()
+    graft.sources.GraftCatalogOps.cloneTable(spark, root, "cowsrc", "cowdst",
+      Map("note" -> "fork"))
+    val conf = spark.sessionState.newHadoopConf()
+    def props(t: String) = graft.sources.GraftManifest.load(new Path(root, t),
+      graft.sources.GraftManifest.currentGen(new Path(root, t), conf), conf).props
+    assert(props("cowdst").get("note").contains("fork"), "override must land")
+    assert(props("cowdst").get("keep").contains("inherited"),
+      "non-overridden props must inherit")
+    assert(!props("cowsrc").contains("note"), "override must not leak to source")
+    // CoW UPDATE + MERGE rewrite inherited files; OPTIMIZE compacts them —
+    // all into the clone's own dirs.
+    spark.sql("UPDATE gtest.cowdst SET v = v + 100 WHERE id % 2 = 0")
+    Seq((5L, 0L), (2000L, 1L)).toDF("id", "v").createOrReplaceTempView("cow_src")
+    spark.sql(
+      """MERGE INTO gtest.cowdst t USING cow_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    graft.sources.GraftCatalogOps.optimize(spark, "gtest.cowdst", root, "cowdst")
+    assert(spark.table("gtest.cowdst").count() == 121)
+    assert(srcState() == before,
+      "CoW DML / OPTIMIZE on the clone touched source bytes")
+    // And the source still answers its original content.
+    assert(spark.table(src).count() == 120)
+    assert(spark.table(src).filter(col("v") >= 100).count() == 0)
+  }
+
   test("replaceWhere: stats-pruned surgical rewrite, write invariant, DV merge, fallback") {
     import spark.implicits._
     val t = freshTable("rw")
