@@ -129,6 +129,41 @@ object Tables {
       s"$t:$len:$names:$mt"
     }.mkString(",")
 
+  /** Marker-guarded memoized scratch DIRECTORY — the [[fingerprint]]
+    * doctrine for raw-file artifacts that aren't catalog tables (staged
+    * landing files, index payloads): `build` populates the dir once per
+    * (purpose, dataset, ver); a `_marker` file records ver + source
+    * fingerprint, and a missing/mismatched marker, a missing expected file,
+    * or any probe failure voids and rebuilds. One protocol, one place — a
+    * change to fingerprint composition or marker versioning applies to
+    * every file-based memo the same way it applies to [[fixture tables]]. */
+  def memoDir(spark: SparkSession, purpose: String, sfDir: String, ver: String,
+      srcTables: Seq[String], expectedFiles: Seq[String])
+      (build: org.apache.hadoop.fs.Path => Unit): org.apache.hadoop.fs.Path = {
+    val dir = new org.apache.hadoop.fs.Path(scratchDir(spark, purpose, sfDir))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    val marker = s"$ver|" + fingerprint(sfDir, srcTables)
+    val markerFile = new org.apache.hadoop.fs.Path(dir, "_marker")
+    val fresh =
+      try {
+        val in = fs.open(markerFile)
+        val b = try new String(in.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        b == marker && expectedFiles.forall(n =>
+          fs.exists(new org.apache.hadoop.fs.Path(dir, n)))
+      } catch { case _: Exception => false }
+    if (!fresh) {
+      fs.delete(dir, true)
+      fs.mkdirs(dir)
+      build(dir)
+      val out = fs.create(markerFile, true)
+      try out.write(marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    dir
+  }
+
   def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")

@@ -297,13 +297,32 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
     // paired fk keeping the original exprId so parent references stay valid.
     val dimOut = dim.outputSet
     val usedDim = used.flatMap(_.references).filter(dimOut.contains).distinct
-    if (!usedDim.forall(a => pkIds.contains(a.exprId))) {
-      // The join QUALIFIED (declared-PK dim, exact key cover) and only the
-      // payload reference blocks it — the one refusal a user can act on
-      // (drop the payload column, or denormalize it onto the fact).
+    val nonPk = usedDim.filterNot(a => pkIds.contains(a.exprId))
+
+    // 3. the FK declaration: an INNER join always needs it (elimination
+    // keeps fact rows the join would only keep under referential
+    // integrity), an OUTER join needs it only to substitute a used pk
+    // (unused-dim outer elimination is sound from PK uniqueness alone).
+    // Composite declarations pair positionally: every declared
+    // (fk_i REFERENCES pk_i) leg must be one of the equated pairs on the
+    // SAME fact relation's attributes. Checked BEFORE the payload refusal
+    // so the payload note's advice ("drop the payload column") is only
+    // issued when following it would actually let elimination fire.
+    val needsFk = !outer || usedDim.nonEmpty
+    if (needsFk && !fkDeclared(fact, dimRel, pairs)) {
+      RelyDiagnostics.note(m => logInfo(m), s"join to ${name(dimRel)} kept: no " +
+        "RELY foreign-key declaration on the fact side REFERENCES this " +
+        "dimension with the equated column pairing")
+      return None
+    }
+
+    if (nonPk.nonEmpty) {
+      // Everything else QUALIFIED (declared-PK dim, exact key cover, FK
+      // declared) and only the payload reference blocks — the one refusal a
+      // user can act on (drop the payload column, or denormalize it onto
+      // the fact).
       RelyDiagnostics.note(m => logInfo(m), s"join to ${name(dimRel)} kept: " +
-        s"non-key dimension column(s) " +
-        s"${usedDim.filterNot(a => pkIds.contains(a.exprId)).map(_.name).sorted.mkString(", ")} " +
+        s"non-key dimension column(s) ${nonPk.map(_.name).sorted.mkString(", ")} " +
         "are referenced above the join — elimination requires the query to " +
         "read only the declared PK (rewritten to the fact FK)")
       return None
@@ -318,21 +337,6 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
       RelyDiagnostics.note(m => logInfo(m), s"outer join to ${name(dimRel)} kept: " +
         "composite-key pk substitution is unsound under MATCH SIMPLE " +
         "(an unmatched row can carry a non-null fk beside a null one)")
-      return None
-    }
-
-    // 3. the FK declaration: an INNER join always needs it (elimination
-    // keeps fact rows the join would only keep under referential
-    // integrity), an OUTER join needs it only to substitute a used pk
-    // (unused-dim outer elimination is sound from PK uniqueness alone).
-    // Composite declarations pair positionally: every declared
-    // (fk_i REFERENCES pk_i) leg must be one of the equated pairs on the
-    // SAME fact relation's attributes.
-    val needsFk = !outer || usedDim.nonEmpty
-    if (needsFk && !fkDeclared(fact, dimRel, pairs)) {
-      RelyDiagnostics.note(m => logInfo(m), s"join to ${name(dimRel)} kept: no " +
-        "RELY foreign-key declaration on the fact side REFERENCES this " +
-        "dimension with the equated column pairing")
       return None
     }
     val newUsed = used.map { e =>
@@ -371,20 +375,25 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
  */
 object RelyDiagnostics {
   private val max = 64
-  private val ring = new java.util.concurrent.ConcurrentLinkedDeque[String]
+  private val ring = new java.util.ArrayDeque[String]
+  // JVM-global by design (diagnostics, like driver logs, are per-process);
+  // the lock keeps the contains-then-add dedup atomic under concurrent plan
+  // compilations. Logging stays outside the lock.
   def note(log: String => Unit, msg: String): Unit = {
     val full = s"RELY elimination skipped: $msg"
     log(full)
-    if (!ring.contains(full)) {
-      ring.addLast(full)
-      while (ring.size > max) ring.pollFirst()
+    ring.synchronized {
+      if (!ring.contains(full)) {
+        ring.addLast(full)
+        while (ring.size > max) ring.pollFirst()
+      }
     }
   }
-  def recent: Seq[String] = {
+  def recent: Seq[String] = ring.synchronized {
     import scala.jdk.CollectionConverters._
     ring.iterator().asScala.toSeq
   }
-  def clear(): Unit = ring.clear()
+  def clear(): Unit = ring.synchronized(ring.clear())
 }
 
 /** Parsing and relation plumbing for the RELY informational constraints. */

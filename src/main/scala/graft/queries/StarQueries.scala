@@ -2811,50 +2811,37 @@ object StarQueries {
       s.sql("CREATE TABLE graft.cpq (o_orderkey BIGINT, cents BIGINT, pk BIGINT)")
       val hconf = s.sessionState.newHadoopConf()
       // Landing files STAGE once per dataset (deterministic projections of
-      // orders — the fixture doctrine applied to raw landing bytes); each
-      // invocation rebuilds the landing dir by cheap fs copies so the
-      // exactly-once ledger sequencing (a+b, rerun, then c) is reproduced
-      // without re-running three write jobs. copy_into is the timed op.
-      val memoDir = new org.apache.hadoop.fs.Path(
-        Tables.scratchDir(s, "cp_stage", d))
-      val fs = memoDir.getFileSystem(hconf)
-      val marker = "v1|" + Tables.fingerprint(d, Seq("orders"))
-      val markerFile = new org.apache.hadoop.fs.Path(memoDir, "_marker")
-      val memoFresh =
-        try {
-          val in = fs.open(markerFile)
-          val b = try new String(in.readAllBytes,
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          b == marker && Seq("a", "b", "c").forall(n =>
-            fs.exists(new org.apache.hadoop.fs.Path(memoDir, s"$n.parquet")))
-        } catch { case _: Exception => false }
-      if (!memoFresh) {
-        fs.delete(memoDir, true)
+      // orders — the fixture doctrine applied to raw landing bytes, via the
+      // shared marker protocol in [[Tables.memoDir]]); each invocation
+      // rebuilds the landing dir by cheap fs copies so the exactly-once
+      // ledger sequencing (a+b, rerun, then c) is reproduced without
+      // re-running three write jobs. copy_into is the timed op.
+      val stageDir = Tables.memoDir(s, "cp_stage", d, "v1", Seq("orders"),
+          Seq("a.parquet", "b.parquet", "c.parquet")) { memo =>
+        val fs0 = memo.getFileSystem(hconf)
         val base = Tables.orders(s, d).select(col("o_orderkey"),
           expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
           pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
         def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-          val tmp = new org.apache.hadoop.fs.Path(memoDir, s"stage_$name")
+          val tmp = new org.apache.hadoop.fs.Path(memo, s"stage_$name")
           df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.globStatus(
+          val part = fs0.globStatus(
             new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))(0).getPath
-          fs.rename(part, new org.apache.hadoop.fs.Path(memoDir, s"$name.parquet"))
-          fs.delete(tmp, true)
+          fs0.rename(part, new org.apache.hadoop.fs.Path(memo, s"$name.parquet"))
+          fs0.delete(tmp, true)
         }
         stage("a", base.filter(col("o_orderkey") % 3 === 0))
         stage("b", base.filter(col("o_orderkey") % 3 === 1))
         stage("c", base.filter(col("o_orderkey") % 3 === 2))
-        val out = fs.create(markerFile, true)
-        try out.write(marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
       }
+      val fs = stageDir.getFileSystem(hconf)
       val land = Tables.scratchDir(s, "cp_land", d)
       val landPath = new org.apache.hadoop.fs.Path(land)
       fs.delete(landPath, true)
       fs.mkdirs(landPath)
       def place(name: String): Unit =
         org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(memoDir, s"$name.parquet"), fs,
+          new org.apache.hadoop.fs.Path(stageDir, s"$name.parquet"), fs,
           new org.apache.hadoop.fs.Path(landPath, s"$name.parquet"),
           false, hconf)
       place("a"); place("b")
@@ -2924,6 +2911,18 @@ object StarQueries {
       // clone, the view's `mview.source` re-pointed at the cloned source and
       // its fold floor reset to the clone's gen 0 (the props-override clone
       // surface). The timed ops are the DML mix + the delta-folding refresh.
+      // The view seed is only as fresh as its SOURCE seed: probe mvq_s
+      // first, and void mvqv_s when the source is lost/damaged — otherwise
+      // a surviving view marker would skip the rebuild and the clone of the
+      // missing source would fail on every invocation.
+      val mvqSrcOk =
+        try {
+          val sdir = new org.apache.hadoop.fs.Path(
+            Tables.scratchDir(s, "catalog", d), "mvq_s")
+          graft.sources.GraftManifest.currentGen(
+            sdir, s.sessionState.newHadoopConf()) == 1L
+        } catch { case _: Exception => false }
+      if (!mvqSrcOk) s.sql("DROP TABLE IF EXISTS graft.mvqv_s")
       fixture(s, d, "mvqv_s", 2L, "v1", Seq("orders")) { marker =>
         s.sql("DROP TABLE IF EXISTS graft.mvq_s")
         base.filter(col("o_orderkey") % 2 === 0)
@@ -3241,8 +3240,8 @@ object StarQueries {
     },
 
     // B237 extension: HIDDEN days(ts) partitioning — the time-partitioned
-    // fact table, THE most common lakehouse layout. gen 1 loads the even
-    // event keys partitioned by days(ts) (ts STAYS in the data; the
+    // fact table, THE most common lakehouse layout. The cloned seed (gen 0)
+    // holds the even event keys partitioned by days(ts) (ts STAYS in the data; the
     // directory key is the epoch day). The two-day RANGE probe pins that
     // the scan opened exactly the two covered day directories out of 30
     // (`days_pruned`, parsed from the EXECUTED plan's entries=kept/total —
@@ -3262,7 +3261,7 @@ object StarQueries {
       clonedSeed(s, d, "hdq_s", "hdq", 1L, "v1", Seq("events")) { marker =>
         base.filter(col("k") % 2 === 0).coalesce(1).writeTo("graft.hdq_s")
           .partitionedBy(days(col("ts")))
-          .tableProperty("fixture", marker).create()         // gen 1: days(ts)=…
+          .tableProperty("fixture", marker).create()         // seed gen 1; clone is gen 0, days(ts)=…
       }
       val probe = s.table("graft.hdq").filter(
         expr("ts >= timestamp'2024-01-10 00:00:00' AND " +
@@ -3273,7 +3272,7 @@ object StarQueries {
       val probeN = probe.count()
       s.sql("CALL graft.system.set_partition_spec(table => 'hdq', cols => 'truncate(2,et)')")
       base.filter(col("k") % 2 === 1).coalesce(1)
-        .writeTo("graft.hdq").append()                       // gen 3: et-prefix dirs
+        .writeTo("graft.hdq").append()                       // gen 2: et-prefix dirs
       import graft.sources.GraftManifest
       val dir = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.catalog.graft.root"), "hdq")
@@ -3330,10 +3329,10 @@ object StarQueries {
     },
 
     // B232: PARTITION SPEC EVOLUTION (the Iceberg flagship metadata design):
-    // gen 1 creates the table partitioned by pk and loads the even keys;
+    // the cloned seed (gen 0) is partitioned by pk and holds the even keys;
     // one metadata-only commit re-partitions the spec to b (zero rewrites —
-    // the old files keep their pk=… layout); gen 3 appends the odd keys
-    // under b=…. The mixed-layout read then reconstructs BOTH vintages'
+    // the old files keep their pk=… layout); the next commit appends the
+    // odd keys under b=…. The mixed-layout read then reconstructs BOTH vintages'
     // partition values from their own paths (`was_mixed` pins the mixed
     // state inside the hash gate), a row-level DELETE spans both vintages
     // exactly (path-keyed metadata deletes refuse on mixed tables and Spark
@@ -3353,11 +3352,11 @@ object StarQueries {
       clonedSeed(s, d, "evo_s", "evo", 1L, "v1", Seq("orders")) { marker =>
         base.filter(col("k") % 2 === 0).coalesce(2).writeTo("graft.evo_s")
           .partitionedBy(col("pk"))
-          .tableProperty("fixture", marker).create()               // gen 1: pk=…
+          .tableProperty("fixture", marker).create()               // seed gen 1; clone is gen 0, pk=…
       }
-      s.sql("CALL graft.system.set_partition_spec(table => 'evo', cols => 'b')") // gen 2
+      s.sql("CALL graft.system.set_partition_spec(table => 'evo', cols => 'b')") // gen 1
       base.filter(col("k") % 2 === 1).coalesce(2)
-        .writeTo("graft.evo").append()                             // gen 3: b=…
+        .writeTo("graft.evo").append()                             // gen 2: b=…
       import graft.sources.GraftManifest
       val dir = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.catalog.graft.root"), "evo")
