@@ -135,22 +135,31 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // Aggregates: every output must be a key passthrough, count(*), or
     // sum(<col>); collect the sum column to match against the view's.
     sealed trait Out
-    case class KeyOut(a: AttributeReference) extends Out
+    // KeyOut keeps the Aggregate OUTPUT's name and exprId separately from
+    // the underlying key attribute: `k AS foo` must re-emit `foo` under the
+    // alias's exprId or parent references to it stop resolving.
+    case class KeyOut(a: AttributeReference, outName: String,
+        outId: ExprId) extends Out
     case class CountOut(al: Alias) extends Out
     case class SumOut(al: Alias, col: String) extends Out
     case class AvgOut(al: Alias, col: String) extends Out
     val keyIds = keyAttrs.map(_.exprId).toSet
     val outs: Seq[Out] = aes.map {
-      case ar: AttributeReference if keyIds.contains(ar.exprId) => KeyOut(ar)
+      case ar: AttributeReference if keyIds.contains(ar.exprId) =>
+        KeyOut(ar, ar.name, ar.exprId)
       case al @ Alias(ar: AttributeReference, _) if keyIds.contains(ar.exprId) =>
-        KeyOut(ar)
+        KeyOut(ar, al.name, al.exprId)
       case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
           if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
       case al @ Alias(AggregateExpression(Sum(sa: AttributeReference, _),
           Complete, false, None, _), _) => SumOut(al, sa.name)
-      // AVG derives exactly: the view's mv_sum/mv_count are exact longs, and
-      // Spark's own Average-of-long evaluates sum.toDouble / count.toDouble —
-      // the replacement reproduces that expression bit-for-bit.
+      // AVG derives exactly: avg(x) = sum(x) / count(x) — count of
+      // NON-NULL x, which is the view's mv_nncount column (mv_count counts
+      // all rows and diverges the moment a group holds a NULL). Both are
+      // exact longs, and Spark's own Average-of-long evaluates
+      // sum.toDouble / count.toDouble — the replacement reproduces that
+      // expression bit-for-bit. A view predating the mv_nncount column
+      // refuses the AVG rewrite (schema probe below).
       case al @ Alias(AggregateExpression(Average(sa: AttributeReference, _),
           Complete, false, None, _), _)
           if Set[org.apache.spark.sql.types.DataType](
@@ -188,43 +197,58 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // lands in exactly one view group. Prefer exact (no re-aggregation);
     // among rollup candidates prefer the FEWEST keys (coarsest view = fewest
     // rows to re-aggregate).
-    val candidates: Seq[(org.apache.spark.sql.connector.catalog.Identifier,
-        GraftTable, Set[String])] =
-      MviewRewriteRule.candidateViews(tc, srcIdent.namespace()).flatMap {
-        case (id, source, keys, sum) =>
-          try {
-            if (source != srcIdent.name() || !keyNames.subsetOf(keys) ||
-                !filterCols.subsetOf(keys) ||
-                !sumCols.forall(_.equalsIgnoreCase(sum))) None
-            else tc.loadTable(id) match {
-              case v: GraftTable
-                  if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
-                    // Never serve a view with no committed WRITE (gen 0): V2
-                    // CTAS registers the target table BEFORE running the seed
-                    // query, and the pre-seeded fold floor would make the
-                    // empty shell look fresh — the rule would rewrite the
-                    // view's own seed aggregate into a read of its empty self.
-                    v.manifest.gen >= 1 &&
-                    // FRESH: folded exactly to the generation this scan reads.
-                    GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
-                Some((id, v, keys))
-              case _ => None
-            }
-          } catch { case _: Exception => None }
+    // Declarations filter first (cached, no IO); loadTable + manifest-read
+    // freshness verification is LAZY in preference order — exact key match
+    // first, then rollup candidates coarsest-first — so the common
+    // exact-match case pays exactly one verification however many views the
+    // namespace holds.
+    val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
+      .filter { case (_, source, keys, sum) =>
+        source == srcIdent.name() && keyNames.subsetOf(keys) &&
+          filterCols.subsetOf(keys) && sumCols.forall(_.equalsIgnoreCase(sum))
       }
-    val (vIdent, vTable, vKeys) = candidates.find(_._3 == keyNames)
-      .orElse(candidates.sortBy(_._3.size).headOption)
-      .getOrElse(return None)
+    def verified(id: org.apache.spark.sql.connector.catalog.Identifier,
+        keys: Set[String])
+        : Option[(org.apache.spark.sql.connector.catalog.Identifier,
+            GraftTable, Set[String])] =
+      try {
+        tc.loadTable(id) match {
+          case v: GraftTable
+              if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
+                // Never serve a view with no committed WRITE (gen 0): V2
+                // CTAS registers the target table BEFORE running the seed
+                // query, and the pre-seeded fold floor would make the
+                // empty shell look fresh — the rule would rewrite the
+                // view's own seed aggregate into a read of its empty self.
+                v.manifest.gen >= 1 &&
+                // FRESH: folded exactly to the generation this scan reads.
+                GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
+            Some((id, v, keys))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    val (vIdent, vTable, vKeys) =
+      (declared.filter(_._3 == keyNames) ++
+        declared.filterNot(_._3 == keyNames).sortBy(_._3.size))
+        .iterator.flatMap { case (id, _, keys, _) => verified(id, keys) }
+        .nextOption()
+        .getOrElse(return None)
 
     // Build the view scan by hand (this rule may run after the engine's own
     // scan-planning batch, so a raw relation would never get planned).
     val vRel = DataSourceV2Relation.create(vTable, baseRel.catalog, Some(vIdent))
-    val needsCount = outs.exists(o =>
-      o.isInstanceOf[CountOut] || o.isInstanceOf[AvgOut])
+    val needsCount = outs.exists(_.isInstanceOf[CountOut])
+    val needsAvg = outs.exists(_.isInstanceOf[AvgOut])
     val needsSum = outs.exists(o =>
       o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut])
+    // AVG needs the non-null count; a view created before that column
+    // existed cannot serve it.
+    if (needsAvg &&
+        !vTable.schema().fieldNames.exists(_.equalsIgnoreCase("mv_nncount")))
+      return None
     val wanted = keyAttrs.map(_.name.toLowerCase).toSet ++ filterCols ++
       (if (needsCount) Set("mv_count") else Set.empty) ++
+      (if (needsAvg) Set("mv_nncount") else Set.empty) ++
       (if (needsSum) Set("mv_sum") else Set.empty)
     val needed = StructType(
       vTable.schema().fields.filter(f => wanted.contains(f.name.toLowerCase)))
@@ -254,13 +278,13 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       // Exact key match: the view IS the aggregate — preserve the
       // Aggregate's exact output (names + exprIds) with a projection.
       val projList: Seq[NamedExpression] = outs.map {
-        case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
+        case KeyOut(ar, n, id) => Alias(vAttr(ar.name), n)(exprId = id)
         case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
         case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
         case AvgOut(al, _) =>
           import org.apache.spark.sql.types.DoubleType
           Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
-            Cast(vAttr("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
+            Cast(vAttr("mv_nncount"), DoubleType)), al.name)(exprId = al.exprId)
       }
       Some(Project(projList, vInput))
     } else {
@@ -276,19 +300,21 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       // type the original aggregate produced (a decimal would widen its
       // precision a second time) — B198 maintains exactly those.
       import org.apache.spark.sql.types.{DoubleType, LongType}
-      if (outs.exists(o => o.isInstanceOf[CountOut] || o.isInstanceOf[AvgOut]) &&
+      if (outs.exists(_.isInstanceOf[CountOut]) &&
         vAttr("mv_count").dataType != LongType) return None
+      if (outs.exists(_.isInstanceOf[AvgOut]) &&
+        vAttr("mv_nncount").dataType != LongType) return None
       if (outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]) &&
         vAttr("mv_sum").dataType != LongType) return None
       def reSum(name: String): Expression = AggregateExpression(
         Sum(vAttr(name)), Complete, isDistinct = false)
       val aggList: Seq[NamedExpression] = outs.map {
-        case KeyOut(ar) => Alias(vAttr(ar.name), ar.name)(exprId = ar.exprId)
+        case KeyOut(ar, n, id) => Alias(vAttr(ar.name), n)(exprId = id)
         case CountOut(al) => Alias(Coalesce(Seq(reSum("mv_count"),
           Literal(0L))), al.name)(exprId = al.exprId)
         case SumOut(al, _) => Alias(reSum("mv_sum"), al.name)(exprId = al.exprId)
         case AvgOut(al, _) => Alias(Divide(Cast(reSum("mv_sum"), DoubleType),
-          Cast(reSum("mv_count"), DoubleType)), al.name)(exprId = al.exprId)
+          Cast(reSum("mv_nncount"), DoubleType)), al.name)(exprId = al.exprId)
       }
       Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vInput))
     }
@@ -332,4 +358,9 @@ object MviewRewriteRule {
     index.put(key, Cached(now, decls))
     decls
   }
+
+  /** Drop every cached namespace listing. Called by `create_mview` so a
+    * just-created view starts serving immediately instead of after the TTL —
+    * the cache bounds discovery of views created OUTSIDE this process only. */
+  def invalidateCache(): Unit = index.clear()
 }

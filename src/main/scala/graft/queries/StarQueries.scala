@@ -2923,7 +2923,8 @@ object StarQueries {
             sdir, s.sessionState.newHadoopConf()) == 1L
         } catch { case _: Exception => false }
       if (!mvqSrcOk) s.sql("DROP TABLE IF EXISTS graft.mvqv_s")
-      fixture(s, d, "mvqv_s", 2L, "v1", Seq("orders")) { marker =>
+      // v2: the view schema gained mv_nncount (exact AVG serving).
+      fixture(s, d, "mvqv_s", 2L, "v2", Seq("orders")) { marker =>
         s.sql("DROP TABLE IF EXISTS graft.mvq_s")
         base.filter(col("o_orderkey") % 2 === 0)
           .writeTo("graft.mvq_s").tableProperty("dml", "dv")
@@ -3068,7 +3069,7 @@ object StarQueries {
       // v2: v1 scratches were poisoned by a pre-guard build (the CTAS
       // self-seed cycle MviewRewriteSpec now pins) — an empty view with a
       // matching marker would be reused forever, so void them all.
-      fixture(s, d, "mvrq_mv", 2L, "v2", Seq("orders")) { marker =>
+      fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
         s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
           "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
         // Seed sanity BEFORE the marker lands: a failed/empty seed must
@@ -3107,7 +3108,7 @@ object StarQueries {
           .coalesce(2).writeTo("graft.mvrq")
           .tableProperty("fixture", marker).create()
       }
-      fixture(s, d, "mvrq_mv", 2L, "v2", Seq("orders")) { marker =>
+      fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
         s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
           "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
         require(s.table("graft.mvrq_mv").count() > 0,
@@ -3145,7 +3146,7 @@ object StarQueries {
           .coalesce(2).writeTo("graft.mvrq")
           .tableProperty("fixture", marker).create()
       }
-      fixture(s, d, "mvrq_mv", 2L, "v2", Seq("orders")) { marker =>
+      fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
         s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
           "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
         require(s.table("graft.mvrq_mv").count() > 0,
@@ -5398,6 +5399,7 @@ object StarQueries {
         |  FROM orders WHERE o_orderkey % 7 <> 0)
         |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS mv_count,
         |  CAST(sum(cents) AS BIGINT) AS mv_sum,
+        |  count(cents) AS mv_nncount,
         |  true AS folded_delta, true AS noop_ok
         |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
 

@@ -1142,22 +1142,7 @@ class GraftTable(val ident: Identifier, val dir: Path, val manifest: GraftManife
   override def name(): String = s"graft.${ident.name()}@${manifest.gen}"
   override def schema(): StructType = manifest.schema
   override def partitioning(): Array[Transform] =
-    manifest.partCols.map { c =>
-      GraftTransforms.transformOf(c) match {
-        case Some(GraftTransforms.BucketT(n, src)) =>
-          Expressions.bucket(n, src): Transform
-        case Some(t: GraftTransforms.TemporalT) => (t.unit match {
-          case "days" => Expressions.days(t.source)
-          case "hours" => Expressions.hours(t.source)
-          case "months" => Expressions.months(t.source)
-          case _ => Expressions.years(t.source)
-        }): Transform
-        case Some(GraftTransforms.TruncT(w, src)) =>
-          Expressions.apply("truncate",
-            Expressions.literal(w), Expressions.column(src)): Transform
-        case None => Expressions.identity(c): Transform
-      }
-    }.toArray
+    manifest.partCols.map(GraftTransforms.toV2Transform).toArray
   /** User table properties from the manifest — `SHOW TBLPROPERTIES` and
     * DESCRIBE EXTENDED read these. */
   override def properties(): util.Map[String, String] = manifest.props.asJava
@@ -1836,6 +1821,25 @@ class GraftLocalAggScan(schema: StructType, result: Array[InternalRow], desc: St
  *                       sources (equality and prefix predicates prune).
  */
 object GraftTransforms {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+
+  /** The V2 Transform for a partition-spec entry — the ONE mapping both the
+    * read side ([[GraftTable.partitioning]]) and the write side
+    * ([[GraftWrite.requiredDistribution]]) report, so they can never
+    * diverge on a transform kind or argument order. */
+  def toV2Transform(partCol: String): Transform = transformOf(partCol) match {
+    case Some(BucketT(n, src)) => Expressions.bucket(n, src)
+    case Some(t: TemporalT) => t.unit match {
+      case "days" => Expressions.days(t.source)
+      case "hours" => Expressions.hours(t.source)
+      case "months" => Expressions.months(t.source)
+      case _ => Expressions.years(t.source)
+    }
+    case Some(TruncT(w, src)) =>
+      Expressions.apply("truncate", Expressions.literal(w), Expressions.column(src))
+    case None => Expressions.identity(partCol)
+  }
+
   private val Bucket = """^bucket\((\d+),([\w$]+)\)$""".r
   private val Temporal = """^(days|hours|months|years)\(([\w$]+)\)$""".r
   private val Truncate = """^truncate\((\d+),([\w$]+)\)$""".r
@@ -1934,8 +1938,17 @@ object GraftTransforms {
   def daysValueMicros(micros: Long): Long = Math.floorDiv(micros, MicrosPerDay)
 
   /** truncate(w,col) over an integral source: the width-w bin floor —
-    * monotonic, so range predicates prune directory ranges. */
-  def truncLong(v: Long, w: Int): Long = v - java.lang.Math.floorMod(v, w.toLong)
+    * monotonic, so range predicates prune directory ranges. SATURATES at
+    * Long.MinValue: for v within w-1 of it the mathematical floor is not
+    * representable and plain subtraction would WRAP to a huge positive key,
+    * which range pruning (`r < probe`) would then drop — silently losing
+    * rows. Saturation keeps every such v in one lowest bin, identically in
+    * the writer, the pruner, and the catalog function (all route here), and
+    * stays monotone/conservative for every pruning shape. */
+  def truncLong(v: Long, w: Int): Long = {
+    val m = java.lang.Math.floorMod(v, w.toLong)
+    if (v < Long.MinValue + m) Long.MinValue else v - m
+  }
 
   /** truncate(w,col) over a STRING source: the first w CODE POINTS (via
     * UTF8String, so the writer, the catalog `truncate` function, and the
@@ -2037,17 +2050,21 @@ final case class GraftTemporalFunction(unit: String)
       s"$unit source must be TIMESTAMP or DATE, got ${vt.sql}")
     require(unit != "hours" || vt == TimestampType,
       "hours source must be TIMESTAMP — a DATE carries no sub-day time")
-    new ScalarFunction[Integer] {
+    new ScalarFunction[java.lang.Long] {
       override def inputTypes(): Array[DataType] = Array(vt)
-      override def resultType(): DataType = IntegerType
+      // BIGINT, matching the writer's directory derivation exactly: the
+      // unit ordinal is a Long there (an hours ordinal exceeds Int range
+      // past year ~246953), and a narrowed result would diverge from the
+      // directory key for those extremes.
+      override def resultType(): DataType = LongType
       override def name(): String = unit
       override def canonicalName(): String = s"graft.$unit"
       override def isResultNullable: Boolean = true
-      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
         if (input.isNullAt(0)) null
         else if (vt == TimestampType)
-          Integer.valueOf(t.unitValue(input.getLong(0)).toInt)
-        else Integer.valueOf(t.unitValueDays(input.getInt(0)).toInt)
+          java.lang.Long.valueOf(t.unitValue(input.getLong(0)))
+        else java.lang.Long.valueOf(t.unitValueDays(input.getInt(0)))
     }
   }
 }
@@ -2069,7 +2086,13 @@ object GraftTruncateFunction
       s"truncate source must be integral or STRING, got ${vt.sql}")
     new ScalarFunction[AnyRef] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
-      override def resultType(): DataType = vt
+      // BIGINT for every integral width: the writer derives directory keys
+      // in Long space, and an INT column's bin floor can lie below
+      // Int.MinValue (e.g. truncate(1000, Int.MinValue) = -2147484000) — a
+      // result narrowed back to the source type would WRAP and break the
+      // byte-identical-to-writer contract this function exists to honor.
+      override def resultType(): DataType =
+        if (vt == StringType) StringType else LongType
       override def name(): String = "truncate"
       override def canonicalName(): String = "graft.truncate"
       override def isResultNullable: Boolean = true
@@ -2081,10 +2104,10 @@ object GraftTruncateFunction
             case StringType => input.getUTF8String(1).substring(0, w)
             case LongType => java.lang.Long.valueOf(
               GraftTransforms.truncLong(input.getLong(1), w))
-            case IntegerType => Integer.valueOf(
-              GraftTransforms.truncLong(input.getInt(1).toLong, w).toInt)
-            case _ => java.lang.Short.valueOf(
-              GraftTransforms.truncLong(input.getShort(1).toLong, w).toShort)
+            case IntegerType => java.lang.Long.valueOf(
+              GraftTransforms.truncLong(input.getInt(1).toLong, w))
+            case _ => java.lang.Long.valueOf(
+              GraftTransforms.truncLong(input.getShort(1).toLong, w))
           }
         }
     }
@@ -3719,22 +3742,8 @@ class GraftWrite(dir: Path, manifest: GraftManifest, writeSchema: StructType,
     if (layoutManaged) Distributions.unspecified()
     else if (manifest.partCols.nonEmpty)
       Distributions.clustered(
-        manifest.partCols.map { c =>
-          GraftTransforms.transformOf(c) match {
-            case Some(GraftTransforms.BucketT(n, src)) =>
-              Expressions.bucket(n, src): Expression
-            case Some(t: GraftTransforms.TemporalT) => (t.unit match {
-              case "days" => Expressions.days(t.source)
-              case "hours" => Expressions.hours(t.source)
-              case "months" => Expressions.months(t.source)
-              case _ => Expressions.years(t.source)
-            }): Expression
-            case Some(GraftTransforms.TruncT(w, src)) =>
-              Expressions.apply("truncate",
-                Expressions.literal(w), Expressions.column(src)): Expression
-            case None => Expressions.identity(c): Expression
-          }
-        }.toArray)
+        manifest.partCols
+          .map(GraftTransforms.toV2Transform(_): Expression).toArray)
     else clusterCol match {
       case Some(c) => Distributions.ordered(Array(
         Expressions.sort(Expressions.identity(c),
@@ -5963,13 +5972,21 @@ object GraftCatalogOps {
         s"mview sum column $c must be integral for exact folding, got ${dt.sql}")
     }
     snap.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("mv_count"), sum(col(sumCol)).cast("long").as("mv_sum"))
+      .agg(count(lit(1)).as("mv_count"), sum(col(sumCol)).cast("long").as("mv_sum"),
+        // count of NON-NULL sum-column rows: what avg(sumCol) divides by —
+        // mv_count counts all rows, so serving avg as mv_sum/mv_count would
+        // be wrong the moment a group holds a NULL (B234's AVG rewrite
+        // reads this column instead).
+        count(col(sumCol)).as("mv_nncount"))
       .writeTo(s"$catalog.`$name`")
       .tableProperty("mview.source", source)
       .tableProperty("mview.keys", keys.mkString(","))
       .tableProperty("mview.sum", sumCol)
       .tableProperty("mview.gen", g0.toString)
       .create()
+    // The rewrite rule caches namespace view listings (30 s TTL); a view
+    // created through this API must start serving immediately.
+    graft.plans.MviewRewriteRule.invalidateCache()
     g0
   }
 
@@ -6015,14 +6032,21 @@ object GraftCatalogOps {
     val sign = when(col(GraftChangesTable.ChangeType) === "insert", 1L).otherwise(-1L)
     val delta = changes(spark, s"$catalog.`$source`", root, source, from, to)
       .groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("d_count"), sum(sign * col(sumCol)).cast("long").as("d_sum"))
+      .agg(sum(sign).as("d_count"), sum(sign * col(sumCol)).cast("long").as("d_sum"),
+        sum(when(col(sumCol).isNotNull, sign).otherwise(0L)).as("d_nncount"))
+    val newNn =
+      coalesce(col("mv_nncount"), lit(0L)) + coalesce(col("d_nncount"), lit(0L))
     val merged = spark.table(s"$catalog.`$name`")
       .join(delta, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("mv_count"), lit(0L)) + coalesce(col("d_count"), lit(0L)))
           .as("mv_count"),
-        (coalesce(col("mv_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
-          .as("mv_sum")): _*)
+        // sum(x) is NULL iff a group holds no non-null x — keep that exact
+        // through folding (a plain coalesce-add would turn it into 0).
+        when(newNn > 0L,
+          coalesce(col("mv_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("mv_sum"),
+        newNn.as("mv_nncount")): _*)
       .filter(col("mv_count") > 0)
     merged.writeTo(s"$catalog.`$name`")
       .option("txnAppId", "mview").option("txnVersion", to.toString)

@@ -2775,10 +2775,12 @@ class CatalogSpec extends GraftSuite {
         "keys => 'pk', sum_col => 'v')").as[Long].head
     assert(g0 == 1L)
     def full() = spark.table(t).groupBy("pk")
-      .agg(count(lit(1)).as("mv_count"), sum(col("v")).cast("long").as("mv_sum"))
-      .as[(Long, Long, Long)].collect().toSet
+      .agg(count(lit(1)).as("mv_count"), sum(col("v")).cast("long").as("mv_sum"),
+        count(col("v")).as("mv_nncount"))
+      .as[(Long, Long, Long, Long)].collect().toSet
     def view() = spark.table("gtest.mv1")
-      .as[(Long, Long, Long)].collect().toSet
+      .select("pk", "mv_count", "mv_sum", "mv_nncount")
+      .as[(Long, Long, Long, Long)].collect().toSet
     assert(view() === full(), "seed equals the full aggregate")
     // Mixed DML history: append, DV delete, delta update — then ONE refresh.
     (300L until 400L).map(i => (i, i % 3, i % 7)).toDF("id", "pk", "v")

@@ -146,6 +146,53 @@ class HiddenTransformsSpec extends GraftSuite {
     }
   }
 
+  test("truncate near Long.MinValue saturates: range predicates keep the lowest bin") {
+    // v - floorMod(v,w) underflows for v within w-1 of Long.MinValue; a
+    // wrapped (huge positive) directory key would be dropped by `k < 0`
+    // range pruning — rows silently vanishing. truncLong saturates the bin
+    // floor at Long.MinValue identically in writer, pruner, and function.
+    val t = freshTable("tsat")
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (truncate(10, k)) AS " +
+      s"SELECT k, CAST(1 AS BIGINT) AS v FROM VALUES " +
+      s"(CAST(${Long.MinValue} AS BIGINT)), (CAST(${Long.MinValue + 3L} AS BIGINT)), " +
+      s"(CAST(-5 AS BIGINT)), (CAST(7 AS BIGINT)) AS t(k)")
+    val keys = manifest("tsat").entries.map(_._1).distinct.sorted
+    assert(keys.exists(_ == s"truncate(10,k)=${Long.MinValue}"),
+      s"saturated lowest bin expected, got $keys")
+    assert(!keys.exists(_.contains("9223372036854775806")),
+      s"wrapped positive bin key must not exist: $keys")
+    // The range read that a wrapped key would lose rows from:
+    assert(spark.table(t).filter(col("k") < 0L).count() === 3L)
+    // Equality probes agree with the saturated layout on both sides.
+    assert(spark.table(t).filter(col("k") === Long.MinValue).count() === 1L)
+    assert(spark.table(t).filter(col("k") === (Long.MinValue + 3L)).count() === 1L)
+    assert(graft.sources.GraftTransforms.truncLong(Long.MinValue, 10) === Long.MinValue)
+    assert(graft.sources.GraftTransforms.truncLong(Long.MinValue + 3L, 10) === Long.MinValue)
+  }
+
+  test("catalog truncate/temporal functions answer in Long, matching directory keys") {
+    // An INT column's bin floor can lie below Int.MinValue (the writer's
+    // directory key is the Long-space floor) — the catalog function must
+    // answer the SAME value, not a narrowed wrap.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    val f = graft.sources.GraftTruncateFunction.bind(
+      StructType(Seq(StructField("w", IntegerType), StructField("v", IntegerType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[AnyRef]]
+    assert(f.resultType() === LongType)
+    val got = f.produceResult(InternalRow(1000, Int.MinValue))
+    assert(got === java.lang.Long.valueOf(-2147484000L),
+      s"expected the writer's Long-space floor, got $got")
+    // hours ordinal past Int range: year ~246953 — Long result carries it.
+    val h = graft.sources.GraftTemporalFunction("hours").bind(
+      StructType(Seq(StructField("ts", TimestampType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long]]
+    assert(h.resultType() === LongType)
+    val farMicros = 9000000000000000000L // ~year 287000
+    assert(h.produceResult(InternalRow(farMicros)) ===
+      java.lang.Long.valueOf(farMicros / 3600000000L))
+  }
+
   test("truncate(string): prefix layout, equality + StartsWith pruning (vandalism-proof)") {
     val t = freshTable("tstr")
     spark.sql(s"CREATE TABLE $t PARTITIONED BY (truncate(2, s)) AS " +

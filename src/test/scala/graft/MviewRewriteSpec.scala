@@ -78,7 +78,62 @@ class MviewRewriteSpec extends GraftSuite {
     assert(again.getLong(2) === n11.getLong(2) && again.getLong(3) === n11.getLong(3))
   }
 
-  test("AVG of the declared sum column derives from mv_sum/mv_count, bit-identical") {
+  test("an aliased grouping key keeps the alias's name and exprId through the rewrite") {
+    val _ = root
+    // `k1 AS foo` + ORDER BY foo: the parent Sort references the ALIAS's
+    // exprId — a rewrite that re-emitted the underlying k1 attribute would
+    // fail binding (or silently change the result schema to `k1`).
+    val df = spark.table("gmvr.fact").groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k1").as("foo"), col("k2"), col("n"))
+      .orderBy(col("foo"), col("k2"))
+    // Build the aliased-key aggregate the analyzer way: GROUP BY k1 with
+    // k1 AS foo in the select list.
+    spark.table("gmvr.fact").createOrReplaceTempView("mvr_fact_v")
+    val sql = spark.sql(
+      """SELECT k1 AS foo, k2, count(*) AS n FROM mvr_fact_v
+        |GROUP BY k1, k2 ORDER BY foo, k2""".stripMargin)
+    assert(answersFromView(sql), s"aliased-key rewrite must fire, got ${scansOf(sql)}")
+    assert(sql.columns.toSeq === Seq("foo", "k2", "n"), "alias name must survive")
+    val got = sql.collect().map(_.toSeq).toSeq
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(sql.collect().map(_.toSeq).toSeq === got)
+    finally cls.experimental.extraOptimizations = saved
+    val _2 = df // silence unused warning-by-convention
+  }
+
+  test("AVG over a NULL-bearing sum column serves from mv_nncount, not mv_count") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.nfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.nfact_mv")
+    // x NULL on every 3rd row: avg(x) divides by the NON-NULL count, so a
+    // rewrite serving mv_sum/mv_count would be silently wrong here.
+    (0L until 120L).map(i => (i, i % 4,
+        if (i % 3 == 0) None else Some(i * 7 % 100): Option[Long]))
+      .toDF("id", "k", "x")
+      .writeTo("gmvr.nfact").create()
+    spark.sql(
+      "CALL gmvr.system.create_mview(source => 'nfact', name => 'nfact_mv', " +
+        "keys => 'k', sum_col => 'x')")
+    val df = spark.table("gmvr.nfact").groupBy(col("k"))
+      .agg(avg(col("x")).as("ax"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+    val scans = scansOf(df)
+    assert(scans.exists(_.contains("nfact_mv")) &&
+      !scans.exists(_.contains("nfact@")), s"avg must rewrite, got $scans")
+    val got = df.collect().map(_.toSeq).toSeq
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(df.collect().map(_.toSeq).toSeq === got,
+      "rewritten avg must equal the base avg under NULLs")
+    finally cls.experimental.extraOptimizations = saved
+  }
+
+  test("AVG of the declared sum column derives from mv_sum/mv_nncount, bit-identical") {
     val _ = root
     val df = spark.table("gmvr.fact").groupBy(col("k1"), col("k2"))
       .agg(avg(col("x")).as("ax"), count(lit(1)).as("n"))
