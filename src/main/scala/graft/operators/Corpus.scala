@@ -505,15 +505,23 @@ object Corpus {
    * shingles broadcast; the corpus streams once through a shingle equi-join
    * (never a doc × benchmark cross join), then one (doc, bench) count-agg. At
    * 100 TB this is a linear scan of the corpus against an in-memory shingle map.
+   *
+   * `excludeSelfPairs` applies ONLY when the benchmark is a slice of the
+   * corpus itself (shared doc_id space): it drops the trivial doc==bench
+   * identity pairs. Leave it false for an independent benchmark table —
+   * there a numeric id collision is two UNRELATED documents, and dropping
+   * the pair would silently report a genuinely contaminated document clean.
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
-                    minShared: Int = 3): DataFrame = {
+                    minShared: Int = 3,
+                    excludeSelfPairs: Boolean = false): DataFrame = {
     val corpusSh = corpus.select(col("doc_id"),
       explode(TextOps.shingleSet(col("text"), n)).as("sh"))
     val benchSh = benchmark.select(col("doc_id").as("bench_id"),
       explode(TextOps.shingleSet(col("text"), n)).as("sh"))
-    corpusSh.join(broadcast(benchSh), "sh")
-      .filter(col("doc_id") =!= col("bench_id"))
+    val joined = corpusSh.join(broadcast(benchSh), "sh")
+    (if (excludeSelfPairs) joined.filter(col("doc_id") =!= col("bench_id"))
+     else joined)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -84,10 +84,19 @@ object Graphs {
       noLoops.select(col("a").as("src"), col("b").as("dst"))
         .union(noLoops.select(col("b").as("src"), col("a").as("dst")))
         .distinct())
+    // Seed the SOURCE row explicitly: the endpoint-derived node set misses a
+    // source with no (non-loop) edges, and without its level-0 row the
+    // result would omit the one node that is within 0 hops by definition —
+    // while the all-null early-exit never fires and every round runs empty.
+    val nodeType = edges.schema("src").dataType
+    val seed = edges0.sparkSession.range(1)
+      .select(source.cast(nodeType).as("node"), lit(0L).as("lvl"))
     var levels = Iterate.materialize(
       edges.select(col("src").as("node")).distinct()
         .select(col("node"),
-          when(col("node") === source, 0L).otherwise(lit(null).cast("long")).as("lvl")))
+          when(col("node") === source, 0L).otherwise(lit(null).cast("long")).as("lvl"))
+        .unionByName(seed)
+        .groupBy(col("node")).agg(min(col("lvl")).as("lvl")))
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {

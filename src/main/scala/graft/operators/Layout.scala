@@ -76,6 +76,18 @@ object Layout {
     val inQ = fs.makeQualified(in)
     val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
     require(inQ != outQ, s"compact must never rewrite in place: $inQ")
+    // Ancestry is in-place too: an output NESTED inside the input pollutes
+    // the source table with a duplicate copy (double-counted reads), and an
+    // input nested inside the output would be deleted by overwrite mode.
+    def isAncestor(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path): Boolean =
+      Iterator.iterate(b)(_.getParent).takeWhile(_ != null).contains(a)
+    require(!isAncestor(inQ, outQ),
+      s"compact output $outQ is inside the input $inQ — reads of the input " +
+        "would double-count the compacted copy")
+    require(!isAncestor(outQ, inQ),
+      s"compact input $inQ is inside the output $outQ — overwrite mode " +
+        "would delete the source before reading it")
     // Recursive listing: partitioned tables keep their files under key=val/
     // subdirectories; a top-level listing would size them at zero.
     def parquetFiles(root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {

@@ -195,7 +195,11 @@ object Relational {
     require(leftTsCol != rightTsCol, "leftTsCol and rightTsCol must differ")
     val leftOthers = left.columns.filterNot(c => keys.contains(c) || c == leftTsCol).toSeq
     val rightPayload = right.columns.filterNot(keys.contains).toSeq // includes rightTsCol
-    val clash = leftOthers.toSet.intersect(rightPayload.toSet)
+    // leftTsCol participates in the clash check too: a RIGHT column named
+    // like it would otherwise slip past (leftOthers excludes it) and the
+    // output would carry two same-named columns — an ambiguous-reference
+    // AnalysisException far from the cause instead of this require.
+    val clash = (leftOthers.toSet + leftTsCol).intersect(rightPayload.toSet)
     require(clash.isEmpty, s"ambiguous columns in asofJoin: ${clash.mkString(", ")}")
 
     val rStruct = struct(rightPayload.map(col): _*)

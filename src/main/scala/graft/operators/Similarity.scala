@@ -307,6 +307,25 @@ object Similarity {
    * SQL-replayable — the only ANN arm whose scores ride the hash gate
    * directly.
    */
+  /** SQ8-encode a `(vec_id, embedding)` corpus: per-vector max-abs scale +
+    * 127-step integer codes. THE single encoder definition — the inline
+    * [[sqTopK]] path and the materialized [[VectorIndex]] build both call
+    * it, so the two can never drift off the bit-identical contract. The
+    * scale lands in its own column first: referenced inside the transform
+    * lambda it is a plain per-row attribute (evaluated once), where an
+    * embedded array_max aggregate would re-evaluate per ELEMENT — O(dim^2)
+    * per row at corpus scale. */
+  def sqEncode(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("__e"))
+      .withColumn("sq_scale", array_max(transform(col("__e"), x => abs(x))))
+      .select(col("vec_id"), col("sq_scale"),
+        when(col("sq_scale") === 0, transform(col("__e"), _ => lit(0)))
+          .otherwise(transform(col("__e"),
+            x => floor(lit(127.0) * x / col("sq_scale")).cast("int")))
+          .as("codes"))
+
   def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              encoded: Option[DataFrame] = None): DataFrame = {
     // A caller holding a MATERIALIZED SQ8 index (VectorIndex.sq — the
@@ -314,14 +333,7 @@ object Similarity {
     // otherwise encode inline in the same pass (identical values — integer
     // quantization over IEEE doubles survives the parquet round trip exactly).
     val enc = encoded.map(_.select(col("vec_id"), col("sq_scale"), col("codes")))
-      .getOrElse {
-        val e = transform(col("embedding"), x => x.cast("double"))
-        val scale = array_max(transform(e, x => abs(x)))
-        corpus.select(col("vec_id"), scale.as("sq_scale"),
-          when(scale === 0, transform(e, _ => lit(0)))
-            .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
-            .as("codes"))
-      }
+      .getOrElse(sqEncode(corpus))
     val scored = enc.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sqdot", round(

@@ -66,12 +66,21 @@ object VectorIndex {
   /** Drop the in-JVM memo (spec hook; production reuse is signature-gated). */
   private[graft] def resetMemo(): Unit = built.clear()
 
-  /** L2-normalize an embedding column (shared by the PQ queries: PQ ranks by L2,
-    * normalization makes that approximate the exact arm's cosine ranking). */
-  def normalize(c: Column): Column = {
-    val n = sqrt(aggregate(transform(c, x => x.cast("double") * x),
+  /** L2-normalize `df`'s `vec` array column into `out` (shared by the PQ
+    * queries: PQ ranks by L2, normalization makes that approximate the exact
+    * arm's cosine ranking). DataFrame-level so the norm lands in its own
+    * column first — inside the division lambda it is then a per-row
+    * attribute, evaluated ONCE; a Column-shaped helper would embed the
+    * sum-of-squares aggregate in the lambda body and re-evaluate it per
+    * ELEMENT (O(dim^2) per row — ruinous at real embedding widths). When
+    * `out` differs from `vec`, the source column is dropped. */
+  def normalized(df: DataFrame, vec: String, out: String): DataFrame = {
+    val n = sqrt(aggregate(transform(col(vec), x => x.cast("double") * x),
       lit(0.0), (acc, v) => acc + v))
-    transform(c, x => x.cast("double") / n)
+    val r = df.withColumn("__l2n", n)
+      .withColumn(out, transform(col(vec), x => x.cast("double") / col("__l2n")))
+      .drop("__l2n")
+    if (out == vec) r else r.drop(vec)
   }
 
   /** The trained PQ model + the materialized code index for a dataset. */
@@ -109,14 +118,8 @@ object VectorIndex {
     d.take(8).map(b => f"$b%02x").mkString
   }
 
-  private def sqEncode(emb: DataFrame): DataFrame = {
-    val e = transform(col("embedding"), x => x.cast("double"))
-    val scale = array_max(transform(e, x => abs(x)))
-    emb.select(col("vec_id"), scale.as("sq_scale"),
-      when(scale === 0, transform(e, _ => lit(0)))
-        .otherwise(transform(e, x => floor(lit(127.0) * x / scale).cast("int")))
-        .as("codes"))
-  }
+  private def sqEncode(emb: DataFrame): DataFrame =
+    Similarity.sqEncode(emb.select(col("vec_id"), col("embedding")))
 
   private def loadOrBuild(spark: SparkSession, sfDir: String): Handle = {
     val root = new java.io.File(Tables.scratchDir(spark, "vecindex", sfDir))
@@ -172,8 +175,7 @@ object VectorIndex {
           case Some((oldH, newPaths)) =>
             val fresh = spark.read.parquet(newPaths: _*)
               .select(col("vec_id"), col("embedding"))
-            val freshNorm = fresh.select(col("vec_id"),
-              normalize(col("embedding")).as("embedding"))
+            val freshNorm = normalized(fresh, "embedding", "embedding")
             spark.read.parquet(oldH.pqPath)
               .unionByName(Similarity.pqEncode(freshNorm, oldH.model))
               .write.mode("overwrite").parquet(pqPath)
@@ -183,8 +185,8 @@ object VectorIndex {
             oldH.model
           case None =>
             val emb = Tables.embeddings(spark, sfDir)
-            val normCorpus = emb.select(col("vec_id"),
-              normalize(col("embedding")).as("embedding"))
+            val normCorpus = normalized(
+              emb.select(col("vec_id"), col("embedding")), "embedding", "embedding")
             val m = Similarity.trainPq(normCorpus, M, CodebookK, Iters, TrainFraction)
             Similarity.pqEncode(normCorpus, m)
               .write.mode("overwrite").parquet(pqPath)

@@ -348,7 +348,10 @@ object TextQueries {
     // query is verified on real contamination hits, not an empty result.
     "q_decontaminate" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      Corpus.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0), 5, 3)
+      // The benchmark IS a corpus slice here (shared doc_id space), so
+      // identity pairs are the trivial self-match — excluded.
+      Corpus.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0), 5, 3,
+          excludeSelfPairs = true)
         .orderBy(col("doc_id"), col("bench_id"))
     },
 

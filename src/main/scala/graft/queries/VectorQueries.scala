@@ -85,13 +85,14 @@ object VectorQueries {
     "q_sim_ann_pq" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id"), col("embedding"))
-      val normCorpus = emb.select(col("vec_id"),
-        VectorIndex.normalize(col("embedding")).as("embedding"))
+      val normCorpus = VectorIndex.normalized(
+        emb.select(col("vec_id"), col("embedding")), "embedding", "embedding")
       val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val normQs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
-        .select(col("vec_id").as("q_id"),
-          VectorIndex.normalize(col("embedding")).as("q_vec"))
+      val normQs = VectorIndex.normalized(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "embedding", "q_vec")
       val exact = Similarity.bruteForceTopK(qs, corpus, 5)
       // The PQ arm READS the per-dataset persisted index (trained + encoded
       // once — VectorIndex; reuse is hash-safe by the deterministic-training
@@ -263,14 +264,16 @@ object VectorQueries {
           col("embedding").as("c_vec"))
       val exact = Similarity.bruteForceTopK(qs, corpus, 5)
         .select(col("q_id"), col("vec_id"))
-      val normCorpus = emb.select(col("vec_id"),
-        VectorIndex.normalize(col("embedding")).as("embedding"))
-      val normQs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
-        .select(col("vec_id").as("q_id"),
-          VectorIndex.normalize(col("embedding")).as("q_vec"))
-      val normCentroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("centroid_id"),
-          VectorIndex.normalize(col("embedding")).as("c_vec"))
+      val normCorpus = VectorIndex.normalized(
+        emb.select(col("vec_id"), col("embedding")), "embedding", "embedding")
+      val normQs = VectorIndex.normalized(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "embedding", "q_vec")
+      val normCentroids = VectorIndex.normalized(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("centroid_id"), col("embedding")),
+        "embedding", "c_vec")
       // Both PQ arms and both SQ arms read the PER-DATASET persisted index
       // (VectorIndex: trained + encoded once per dataset, shared with
       // q_sim_ann_pq/q_sim_ann_sq/q_sim_rerank — the deployment posture where

@@ -43,11 +43,15 @@ object Producer {
       .load()
       .select(col("timestamp").as("ts"), nameFor(col("value")).as("item_name"))
 
-  /** A2: drop already-produced names (state-backed; watermark-bounded if provided). */
-  def dedupNames(names: DataFrame, watermarkDelay: Option[String] = None): DataFrame =
+  /** A2: drop already-produced names (state-backed; watermark-bounded if
+    * provided). The ONE watermark-or-not dedup policy — StreamingPipeline's
+    * ingest delegates here rather than restating it. */
+  def dedupNames(names: DataFrame, watermarkDelay: Option[String] = None,
+                 tsCol: String = "ts"): DataFrame =
     watermarkDelay match {
-      case Some(d) => names.withWatermark("ts", d).dropDuplicatesWithinWatermark("item_name")
-      case None    => names.dropDuplicates("item_name")
+      case Some(d) =>
+        names.withWatermark(tsCol, d).dropDuplicatesWithinWatermark("item_name")
+      case None => names.dropDuplicates("item_name")
     }
 
   /**

@@ -51,11 +51,8 @@ object StreamingPipeline {
    */
   def ingest(names: DataFrame, lookup: DataFrame,
              watermarkTs: Option[(String, String)] = None): DataFrame = {
-    val deduped = watermarkTs match {
-      case Some((tsCol, delay)) =>
-        names.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("item_name")
-      case None => names.dropDuplicates("item_name")
-    }
+    val deduped = Producer.dedupNames(names, watermarkTs.map(_._2),
+      watermarkTs.map(_._1).getOrElse("ts"))
     deduped
       .join(lookup, Seq("item_name"), "left")
       .filter(col("data").isNotNull && col("data") =!= "[]")
@@ -316,13 +313,23 @@ object StreamingPipeline {
 
   /**
    * Reclaim data files no longer referenced by the LATEST manifest (superseded
-   * generations, crashed-writer orphans) and drop older manifest files. Safe to run
-   * any time after readers of older generations have finished — the current
-   * generation is untouched. Returns the number of deleted data files.
+   * generations, crashed-writer orphans) and drop older manifest files. The
+   * current generation is untouched. Returns the number of deleted data files.
+   *
+   * `graceMs` is what makes this safe to run CONCURRENTLY with a writer: an
+   * in-flight [[upsertBatch]] moves its staged files into the bucket dirs
+   * BEFORE publishing the manifest that references them, so a zero-grace
+   * vacuum in that window would delete moved-but-uncommitted files and the
+   * writer would then commit a manifest pointing at nothing. Files (and
+   * crashed-writer `_staging-*` dirs, which are also reclaimed here once
+   * stale) younger than the grace are skipped; the default hour comfortably
+   * exceeds any real commit. Pass 0 only when no writer can be running.
    */
-  def vacuumStore(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+  def vacuumStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  graceMs: Long = 3600000L): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reclaimableBefore = System.currentTimeMillis() - graceMs
     latestManifest(fs, root) match {
       case None => 0L
       case Some(m) =>
@@ -332,9 +339,17 @@ object StreamingPipeline {
           bucketOf(d.getPath).foreach { b =>
             fs.listStatus(d.getPath).filter(_.isFile).foreach { s =>
               val rel = s"__bucket=$b/${s.getPath.getName}"
-              if (!live.contains(rel)) { fs.delete(s.getPath, false); deleted += 1 }
+              if (!live.contains(rel) &&
+                  s.getModificationTime <= reclaimableBefore) {
+                fs.delete(s.getPath, false); deleted += 1
+              }
             }
           }
+          // A hard-crashed writer's staging dir (the finally-delete never
+          // ran): reclaim once stale — it was never visible to any reader.
+          if (d.getPath.getName.startsWith("_staging-") &&
+              d.getModificationTime <= reclaimableBefore)
+            fs.delete(d.getPath, true)
         }
         val dir = new Path(root, ManifestDirName)
         val current = f"${m.generation}%020d.manifest"

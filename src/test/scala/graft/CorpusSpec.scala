@@ -396,6 +396,14 @@ class CorpusSpec extends GraftSuite {
     val loops = Seq(("a", "b"), ("z", "z")).toDF("a", "b")
     val lv3 = Graphs.bfsLevels(loops, lit("a"), 4).as[(String, Long)].collect().toMap
     assert(lv3 === Map("a" -> 0L, "b" -> 1L))
+    // An EDGELESS source (not an endpoint of any non-loop edge) is still
+    // within 0 hops of itself: exactly its level-0 row comes back, and the
+    // all-null early exit fires instead of burning maxDepth empty rounds.
+    val lv4 = Graphs.bfsLevels(edges, lit("q"), 8).as[(String, Long)].collect().toMap
+    assert(lv4 === Map("q" -> 0L))
+    // A loop-only source likewise (its loops are filtered, leaving no edges).
+    val lv5 = Graphs.bfsLevels(loops, lit("z"), 4).as[(String, Long)].collect().toMap
+    assert(lv5 === Map("z" -> 0L))
   }
 
   test("triangleCounts: K4 plus a pendant edge, duplicates and loops ignored") {

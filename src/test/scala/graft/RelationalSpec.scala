@@ -235,6 +235,17 @@ class RelationalSpec extends GraftSuite {
       Layout.compact(spark, in, in + "/", targetBytes = 1L)
     }
     assert(e.getMessage.contains("in place"))
+    // Ancestry is in-place too: nesting the output inside the input would
+    // pollute the source with a duplicate copy; the reverse would delete
+    // the source under overwrite mode.
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, in + "/compacted", targetBytes = 1L)
+    }
+    assert(e2.getMessage.contains("inside the input"))
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, new java.io.File(in).getParent, targetBytes = 1L)
+    }
+    assert(e3.getMessage.contains("inside the output"))
   }
 
   private def bytesFor(dir: String): Long = {
@@ -350,6 +361,14 @@ class RelationalSpec extends GraftSuite {
     val mNoTol = Relational.asofJoin(
       l.filter(col("lid") === 12L), r, Seq("k"), "lts", "rts", Some(0L))
     assert(mNoTol.select(col("rv")).as[Option[Long]].collect() === Seq(None))
+    // A RIGHT column named like leftTsCol is ambiguous too: without the
+    // guard the output would carry two same-named columns and fail far away
+    // on the first reference.
+    val eClash = intercept[IllegalArgumentException] {
+      Relational.asofJoin(l, r.withColumn("lts", col("rts")),
+        Seq("k"), "lts", "rts")
+    }
+    assert(eClash.getMessage.contains("ambiguous"))
   }
 
   test("globalRowNumber equals the global window rank without a one-partition sort") {

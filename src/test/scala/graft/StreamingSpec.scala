@@ -135,7 +135,7 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(store).count() === committed.size + 1,
       "sanity: the stale file IS physically present in the store directory")
     // vacuum reclaims the orphan; the store is unchanged.
-    val deleted = StreamingPipeline.vacuumStore(spark, store)
+    val deleted = StreamingPipeline.vacuumStore(spark, store, graceMs = 0L)
     assert(deleted >= 1)
     assert(StreamingPipeline.readStore(spark, store)
       .orderBy("item_name").collect().toSeq === committed)
@@ -166,7 +166,7 @@ class StreamingSpec extends GraftSuite {
       .select("item_name", "calories").as[(String, Double)].collect().toMap
     assert(g2 === Map("a" -> 100.0, "b" -> 2.0, "c" -> 3.0) && g2 === live)
     // Vacuum retires generation 1; the time-travel read now fails fast.
-    StreamingPipeline.vacuumStore(spark, store)
+    StreamingPipeline.vacuumStore(spark, store, graceMs = 0L)
     assert(StreamingPipeline.storeGenerations(spark, store) === Seq(2L))
     val e = intercept[IllegalArgumentException] {
       StreamingPipeline.readStoreAsOf(spark, store, 1L)
@@ -225,7 +225,7 @@ class StreamingSpec extends GraftSuite {
     up(1, 1.0); up(2, 2.0); up(3, 3.0) // three generations of the same key
     assert(spark.read.parquet(store).count() === 3, "superseded files accumulate until vacuum")
     assert(StreamingPipeline.readStore(spark, store).count() === 1)
-    val deleted = StreamingPipeline.vacuumStore(spark, store)
+    val deleted = StreamingPipeline.vacuumStore(spark, store, graceMs = 0L)
     assert(deleted === 2)
     val live = StreamingPipeline.readStore(spark, store)
     assert(live.count() === 1)
