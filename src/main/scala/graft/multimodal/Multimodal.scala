@@ -269,12 +269,17 @@ object Multimodal {
    * integer arithmetic end to end, so the oracle replays it from md5(text)
    * without touching a codec. Decode batches per partition like
    * [[decodeResults]]; the PCM loop is O(samples) per row, no allocation.
+   * Corrupt or undecodable clips contribute no row (the [[frameSample]]
+   * error-row-skip posture — one bad blob must cost one row, never the
+   * job; callers needing the explicit error channel pre-screen with
+   * [[decodeResults]]).
    */
   def audioWindowEnergy(media: Dataset[MediaRow], win: Int): DataFrame = {
     require(win > 0, s"window must be positive: $win")
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").mapPartitions { rows =>
-      rows.map { r =>
+      rows.flatMap { r =>
+        Try {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
         val pcm = try ais.readAllBytes() finally ais.close()
         val nw = pcm.length / win
@@ -296,6 +301,7 @@ object Multimodal {
           wdx += 1
         }
         (r.media_id, nw.toLong, total, peakIdx, if (nw == 0) 0L else peak)
+        }.toOption
       }
     }.toDF("media_id", "n_windows", "energy_total", "peak_window", "peak_energy")
   }
@@ -360,6 +366,7 @@ object Multimodal {
    * containers contribute no frames (error-row-skip, not a throw).
    */
   def frameSample(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    require(everyK > 0, s"everyK must be positive: $everyK")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .flatMap { r =>
@@ -377,6 +384,7 @@ object Multimodal {
    * All integral columns are BIGINT for cross-engine schema stability.
    */
   def frameFeatures(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    require(everyK > 0, s"everyK must be positive: $everyK")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .flatMap { r =>

@@ -45,7 +45,14 @@ case class BinRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
   private val WidthKey = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    session.conf.getOption(WidthKey).map(_.toDouble).filter(_ > 0) match {
+    // A malformed width must leave the rule dormant (with a warning), not
+    // throw from the optimizer into every query in the session.
+    session.conf.getOption(WidthKey).flatMap { v =>
+      val d = v.toDoubleOption
+      if (d.isEmpty) logWarning(
+        s"$WidthKey='$v' is not a number — bin-range rewrite disabled")
+      d
+    }.filter(_ > 0) match {
       case None => plan
       case Some(w) => plan.transformUp {
         case j @ Join(left, right, Inner, Some(cond), _) =>

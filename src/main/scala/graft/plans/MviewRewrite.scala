@@ -151,8 +151,11 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         KeyOut(ar, al.name, al.exprId)
       case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
           if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
-      case al @ Alias(AggregateExpression(Sum(sa: AttributeReference, _),
-          Complete, false, None, _), _) => SumOut(al, sa.name)
+      // TRY-mode aggregates (try_sum/try_avg) answer NULL on overflow where
+      // the view holds a concrete value — never the same computation.
+      case al @ Alias(AggregateExpression(sm @ Sum(sa: AttributeReference, _),
+          Complete, false, None, _), _) if sm.evalContext.evalMode != EvalMode.TRY =>
+        SumOut(al, sa.name)
       // AVG derives exactly: avg(x) = sum(x) / count(x) — count of
       // NON-NULL x, which is the view's mv_nncount column (mv_count counts
       // all rows and diverges the moment a group holds a NULL). Both are
@@ -160,9 +163,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       // sum.toDouble / count.toDouble — the replacement reproduces that
       // expression bit-for-bit. A view predating the mv_nncount column
       // refuses the AVG rewrite (schema probe below).
-      case al @ Alias(AggregateExpression(Average(sa: AttributeReference, _),
+      case al @ Alias(AggregateExpression(av @ Average(sa: AttributeReference, _),
           Complete, false, None, _), _)
-          if Set[org.apache.spark.sql.types.DataType](
+          if av.evalMode != EvalMode.TRY &&
+            Set[org.apache.spark.sql.types.DataType](
             org.apache.spark.sql.types.LongType,
             org.apache.spark.sql.types.IntegerType,
             org.apache.spark.sql.types.ShortType)(sa.dataType) =>
@@ -215,6 +219,14 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         tc.loadTable(id) match {
           case v: GraftTable
               if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
+                // The cached DECLARATION can be stale across a cross-process
+                // drop/recreate inside the TTL: re-check keys and sum against
+                // the reloaded table — a view recreated with different keys
+                // would otherwise serve PARTIAL rows as final groups.
+                v.manifest.props.get("mview.keys").exists(
+                  _.split(',').map(_.trim.toLowerCase).toSet == keys) &&
+                v.manifest.props.get("mview.sum").exists(vs =>
+                  sumCols.forall(_.equalsIgnoreCase(vs))) &&
                 // Never serve a view with no committed WRITE (gen 0): V2
                 // CTAS registers the target table BEFORE running the seed
                 // query, and the pre-seeded fold floor would make the
@@ -283,8 +295,15 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
         case AvgOut(al, _) =>
           import org.apache.spark.sql.types.DoubleType
+          // LEGACY divide: Average hardcodes failOnError=false in its own
+          // evaluateExpression, so an all-NULL group (mv_nncount = 0) must
+          // answer NULL here too — the conf-derived ANSI Divide would turn
+          // a succeeding query into a DIVIDE_BY_ZERO failure post-rewrite.
           Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
-            Cast(vAttr("mv_nncount"), DoubleType)), al.name)(exprId = al.exprId)
+            Cast(vAttr("mv_nncount"), DoubleType),
+            NumericEvalContext(EvalMode.LEGACY,
+              org.apache.spark.sql.internal.SQLConf.get.decimalOperationsAllowPrecisionLoss)),
+            al.name)(exprId = al.exprId)
       }
       Some(Project(projList, vInput))
     } else {
@@ -314,7 +333,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           Literal(0L))), al.name)(exprId = al.exprId)
         case SumOut(al, _) => Alias(reSum("mv_sum"), al.name)(exprId = al.exprId)
         case AvgOut(al, _) => Alias(Divide(Cast(reSum("mv_sum"), DoubleType),
-          Cast(reSum("mv_nncount"), DoubleType)), al.name)(exprId = al.exprId)
+          Cast(reSum("mv_nncount"), DoubleType),
+          NumericEvalContext(EvalMode.LEGACY,
+            org.apache.spark.sql.internal.SQLConf.get.decimalOperationsAllowPrecisionLoss)),
+          al.name)(exprId = al.exprId)
       }
       Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vInput))
     }

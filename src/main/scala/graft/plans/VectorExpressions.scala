@@ -66,7 +66,13 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val n = x.numElements()
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += elemAt(x, i, left.dataType) * elemAt(y, i, right.dataType); i += 1 }
+      while (i < n) {
+        // A NULL element propagates to a NULL score, matching the composed
+        // aggregate(zip_with(...)) built-ins bit-for-bit — getFloat on a
+        // null slot would silently read 0.0 and fabricate a plausible score.
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += elemAt(x, i, left.dataType) * elemAt(y, i, right.dataType); i += 1
+      }
       acc
     }
   }
@@ -82,8 +88,9 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ${elemCode(a, i, left.dataType)} * ${elemCode(b, i, right.dataType)};
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $acc += ${elemCode(a, i, left.dataType)} * ${elemCode(b, i, right.dataType)}; }
          |  }
          |  ${ev.value} = $acc;
          |}
@@ -107,6 +114,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // see DotProduct
         val xi = elemAt(x, i, left.dataType); val yi = elemAt(y, i, right.dataType)
         dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
       }
@@ -131,10 +139,13 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = ${elemCode(a, i, left.dataType)};
-         |    double $yi = ${elemCode(b, i, right.dataType)};
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      double $xi = ${elemCode(a, i, left.dataType)};
+         |      double $yi = ${elemCode(b, i, right.dataType)};
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |  ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);

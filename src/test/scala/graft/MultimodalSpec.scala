@@ -123,6 +123,22 @@ class MultimodalSpec extends GraftSuite {
     assert(means.toSeq === expected)
   }
 
+  test("audioWindowEnergy skips corrupt clips; non-positive everyK fails fast") {
+    val rows = Seq(
+      MediaRow(92001L, "audio", Array[Byte](1, 2, 3), 0, 0, 16000), // garbage
+      MediaRow(92002L, "audio",
+        Multimodal.encodeWav(Multimodal.digestVals("ok"), 16000,
+          Multimodal.AudioSamples), 0, 0, 16000))
+      .toDS()
+    val e = Multimodal.audioWindowEnergy(rows, 16)
+    assert(e.select("media_id").as[Long].collect().toSeq === Seq(92002L),
+      "one bad blob must cost one row, never the job")
+    val bad = intercept[IllegalArgumentException] {
+      Multimodal.frameSample(rows, everyK = 0)
+    }
+    assert(bad.getMessage.contains("everyK"))
+  }
+
   test("frameSample keeps every k-th decodable frame of video blobs only") {
     val frames = Multimodal.frameSample(media.as[MediaRow], everyK = 2)
     // 3-frame containers, kept frames 0 and 2.

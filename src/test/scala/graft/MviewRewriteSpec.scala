@@ -109,10 +109,13 @@ class MviewRewriteSpec extends GraftSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS gmvr.nfact")
     spark.sql("DROP TABLE IF EXISTS gmvr.nfact_mv")
-    // x NULL on every 3rd row: avg(x) divides by the NON-NULL count, so a
-    // rewrite serving mv_sum/mv_count would be silently wrong here.
+    // x NULL on every 3rd row — avg(x) divides by the NON-NULL count, so a
+    // rewrite serving mv_sum/mv_count would be silently wrong here — and
+    // ENTIRELY NULL for k=3 (i % 4 == 3 rows): that group's avg is NULL,
+    // which the rewrite must reproduce (its legacy-mode divide answers NULL
+    // at mv_nncount = 0 where an ANSI divide would raise DIVIDE_BY_ZERO).
     (0L until 120L).map(i => (i, i % 4,
-        if (i % 3 == 0) None else Some(i * 7 % 100): Option[Long]))
+        if (i % 3 == 0 || i % 4 == 3) None else Some(i * 7 % 100): Option[Long]))
       .toDF("id", "k", "x")
       .writeTo("gmvr.nfact").create()
     spark.sql(
@@ -131,6 +134,22 @@ class MviewRewriteSpec extends GraftSuite {
     try assert(df.collect().map(_.toSeq).toSeq === got,
       "rewritten avg must equal the base avg under NULLs")
     finally cls.experimental.extraOptimizations = saved
+    // The all-NULL group came back as NULL, not a divide-by-zero failure.
+    assert(got.exists(r => r.head == 3L && r(1) == null),
+      s"expected a NULL avg for the all-null group, got $got")
+  }
+
+  test("TRY-mode aggregates never rewrite: overflow semantics differ from the view") {
+    val _ = root
+    spark.table("gmvr.fact").createOrReplaceTempView("mvr_fact_try")
+    val trySum = spark.sql(
+      "SELECT k1, k2, try_sum(x) AS s FROM mvr_fact_try GROUP BY k1, k2")
+    assert(!answersFromView(trySum),
+      s"try_sum must not serve from the view, got ${scansOf(trySum)}")
+    val tryAvg = spark.sql(
+      "SELECT k1, k2, try_avg(x) AS a FROM mvr_fact_try GROUP BY k1, k2")
+    assert(!answersFromView(tryAvg),
+      s"try_avg must not serve from the view, got ${scansOf(tryAvg)}")
   }
 
   test("AVG of the declared sum column derives from mv_sum/mv_nncount, bit-identical") {

@@ -45,6 +45,18 @@ class VectorExpressionSpec extends GraftSuite {
     assert(r.isNullAt(0))
   }
 
+  test("a NULL element propagates to a NULL score, never a fabricated 0-lane score") {
+    // The composed aggregate(zip_with(...)) built-ins propagate element
+    // NULLs; the native kernels must match — reading a null slot as 0.0
+    // would return a plausible wrong score.
+    val df = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(2.0f), Some(4.0f), Some(6.0f))))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.vecDot(col("a"), col("b")).as("d"),
+      VectorExpressions.vecCosine(col("a"), col("b")).as("c")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("length-mismatched arrays score null, not a prefix score") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val r = df.select(
