@@ -172,7 +172,10 @@ object Bench {
         if (now != last) { last = now; stableSince = System.nanoTime() }
         quietChecks = if (drained) quietChecks + 1 else 0
       }
-      if (!drained) lostResidue.set(submitted.get - completed.get)
+      // The two counter reads are not atomic as a pair: an event submitted
+      // AND completed between them yields a NEGATIVE gap, which would make
+      // drained() unsatisfiable for a full 500 ms stillness cycle. Clamp.
+      if (!drained) lostResidue.set(math.max(0L, submitted.get - completed.get))
       val dt = System.nanoTime() - t0
       quiesceNanos.addAndGet(dt)
       if (dt > 100_000_000L) quiesceSlow.incrementAndGet()
@@ -297,23 +300,40 @@ object Bench {
         .flatMap(p => field(p, "\"value\":([0-9.Ee+-]+)").map(_.toDouble))
       val cores = Runtime.getRuntime.availableProcessors()
       val contended = startLoadAvg > 0.5 * cores
-      val inflated = prevTotal.exists(pt => pt > 0 && total > 2.0 * pt)
       //   3. PER-QUERY inflation: total-level inflation can hide under new
       //      queries (r5: +24 queries made the total incomparable while the
       //      common surface quietly ran 1.4x slow). When >=5 queries that both
       //      ledgers time above noise (>=50 ms committed) each inflate >3x on
       //      identical binaries, that is the contention tail signature — refuse
       //      the overwrite so the committed ledger stays the clean-machine one.
-      val prevQ: Map[String, Double] = prev
-        .flatMap { p =>
-          val i = p.indexOf("\"queries\":{")
-          if (i < 0) None
-          else {
-            val body = p.substring(i + 11, p.indexOf('}', i))
-            Some("\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-          }
-        }.getOrElse(Map.empty)
+      // One parser for every ledger "queries" dict read (same-SF guards and
+      // the cross-SF bound must never parse the same format differently).
+      def parseQueriesDict(ledger: String): Option[Map[String, Double]] = {
+        val i = ledger.indexOf("\"queries\":{")
+        if (i < 0) None
+        else {
+          val body = ledger.substring(i + 11, ledger.indexOf('}', i))
+          Some("\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }
+      }
+      val prevQ: Map[String, Double] =
+        prev.flatMap(parseQueriesDict).getOrElse(Map.empty)
+      //   2. (placed here because it needs prevQ) TOTAL inflation >2x — on
+      //      the COMMON query subset when per-query references exist:
+      //      comparing a legitimately GROWN surface's total against the old
+      //      committed total would wedge ledger updates permanently the day
+      //      added queries exceed the old total (and FORCE deliberately does
+      //      not bypass this guard). Falls back to whole-total compare only
+      //      for a pre-per-query-format ledger.
+      val inflated =
+        if (prevQ.nonEmpty) {
+          val commonNew = finalResults.collect {
+            case (k, v, true, _, _) if prevQ.contains(k) => v }.sum
+          val commonPrev = finalResults.collect {
+            case (k, _, true, _, _) if prevQ.contains(k) => prevQ(k) }.sum
+          commonPrev > 0 && commonNew > 2.0 * commonPrev
+        } else prevTotal.exists(pt => pt > 0 && total > 2.0 * pt)
       val perQInflated = finalResults.collect {
         case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.05 && v > 3.0 * p) => k
       }
@@ -339,13 +359,8 @@ object Bench {
       }.sum
       val crossQ: Map[String, Double] =
         if (sfName != "sf0.1") Map.empty
-        else readOpt(Paths.get("BENCH_DETAILS.sf0.01.json")).flatMap { p =>
-          val i = p.indexOf("\"queries\":{")
-          if (i < 0) None
-          else Some("\"([^\"]+)\":([0-9.Ee+-]+)".r
-            .findAllMatchIn(p.substring(i + 11, p.indexOf('}', i)))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-        }.getOrElse(Map.empty)
+        else readOpt(Paths.get("BENCH_DETAILS.sf0.01.json"))
+          .flatMap(parseQueriesDict).getOrElse(Map.empty)
       val newInflated = finalResults.collect {
         case (k, v, true, _, _) if !prevQ.contains(k) &&
           crossQ.get(k).exists(c => c >= 0.05 && v > math.max(30.0 * c, 2.0)) => k

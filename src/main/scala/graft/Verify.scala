@@ -32,6 +32,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must leave NO dump: re-running into an outDir that
+        // holds a previous run's parquet for this name would otherwise let
+        // the driver compare STALE results and report a passing round for a
+        // query that no longer executes. (mode=overwrite may also have
+        // half-deleted it — either way the dir is untrustworthy now.)
+        val dir = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        try dir.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(dir, true)
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -114,6 +114,52 @@ object StarQueries {
       s, Tables.scratchDir(s, "catalog", d), seed, target)
   }
 
+  /** The shared RELY fixtures (dimension with a declared PK RELY; fact with
+    * the matching FK, NULL on every 7th key) — built by whichever q_rely_*
+    * runs first; ONE definition so the same-marker/same-tables coupling the
+    * queries rely on can never drift between copies. */
+  private def relyFixtures(s: SparkSession, d: String): Unit = {
+    fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
+        .coalesce(1).writeTo("graft.rely_d")
+        .tableProperty("graft.primaryKey", "c_custkey RELY")
+        .tableProperty("fixture", marker).create()
+    }
+    fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
+      Tables.orders(s, d).select(
+          expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
+            .as("cust"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .coalesce(1).writeTo("graft.rely_f")
+        .tableProperty("graft.foreignKey.cust",
+          "cust REFERENCES rely_d (c_custkey) RELY")
+        .tableProperty("fixture", marker).create()
+    }
+  }
+
+  /** The shared mview-rewrite fixtures (base table + its seeded (pk,b) view;
+    * the view fixture-stamps AFTER a seed-sanity require so a failed seed
+    * never memoizes) — one definition for the three q_mview_* queries. */
+  private def mvrqFixtures(s: SparkSession, d: String): Unit = {
+    fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
+      Tables.orders(s, d).select(
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+          pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
+        .coalesce(2).writeTo("graft.mvrq")
+        .tableProperty("fixture", marker).create()
+    }
+    // v3: the view schema gained mv_nncount (exact AVG serving).
+    fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
+      s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
+        "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
+      require(s.table("graft.mvrq_mv").count() > 0,
+        "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
+      s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // B4: multi-aggregate hash aggregation with a pushed-down scan predicate
     // (the reference's "macronutrient bars per item" A25, generalized).
@@ -3058,26 +3104,7 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
         graft.plans.MviewRewriteRule(s))
-      fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
-        Tables.orders(s, d).select(
-            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
-            pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
-            pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
-          .coalesce(2).writeTo("graft.mvrq")
-          .tableProperty("fixture", marker).create()
-      }
-      // v2: v1 scratches were poisoned by a pre-guard build (the CTAS
-      // self-seed cycle MviewRewriteSpec now pins) — an empty view with a
-      // matching marker would be reused forever, so void them all.
-      fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
-        s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
-          "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
-        // Seed sanity BEFORE the marker lands: a failed/empty seed must
-        // never become a reusable fixture.
-        require(s.table("graft.mvrq_mv").count() > 0,
-          "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
-        s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
-      }
+      mvrqFixtures(s, d)
       val df = s.table("graft.mvrq")
         .groupBy(col("pk"), col("b"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -3100,21 +3127,7 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
         graft.plans.MviewRewriteRule(s))
-      fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
-        Tables.orders(s, d).select(
-            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
-            pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
-            pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
-          .coalesce(2).writeTo("graft.mvrq")
-          .tableProperty("fixture", marker).create()
-      }
-      fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
-        s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
-          "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
-        require(s.table("graft.mvrq_mv").count() > 0,
-          "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
-        s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
-      }
+      mvrqFixtures(s, d)
       val df = s.table("graft.mvrq")
         .groupBy(col("pk"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
@@ -3138,21 +3151,7 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
         graft.plans.MviewRewriteRule(s))
-      fixture(s, d, "mvrq", 1L, "v1", Seq("orders")) { marker =>
-        Tables.orders(s, d).select(
-            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
-            pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
-            pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
-          .coalesce(2).writeTo("graft.mvrq")
-          .tableProperty("fixture", marker).create()
-      }
-      fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
-        s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
-          "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
-        require(s.table("graft.mvrq_mv").count() > 0,
-          "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
-        s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
-      }
+      mvrqFixtures(s, d)
       val df = s.table("graft.mvrq")
         .filter(col("b").isin(1L, 3L))
         .groupBy(col("pk"))
@@ -3301,23 +3300,7 @@ object StarQueries {
         graft.plans.RelyJoinEliminationRule(s))
       // Shares q_rely_join_elim's fixtures (built there or here, whichever
       // runs first — same marker, same tables).
-      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
-        Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
-          .coalesce(1).writeTo("graft.rely_d")
-          .tableProperty("graft.primaryKey", "c_custkey RELY")
-          .tableProperty("fixture", marker).create()
-      }
-      fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
-        Tables.orders(s, d).select(
-            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
-              .as("cust"),
-            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .coalesce(1).writeTo("graft.rely_f")
-          .tableProperty("graft.foreignKey.cust",
-            "cust REFERENCES rely_d (c_custkey) RELY")
-          .tableProperty("fixture", marker).create()
-      }
+      relyFixtures(s, d)
       val f = s.table("graft.rely_f")
       val dm = s.table("graft.rely_d")
       val joined = f.join(dm, f("cust") === dm("c_custkey"), "left")
@@ -3396,23 +3379,7 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
         graft.plans.RelyJoinEliminationRule(s))
-      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
-        Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
-          .coalesce(1).writeTo("graft.rely_d")
-          .tableProperty("graft.primaryKey", "c_custkey RELY")
-          .tableProperty("fixture", marker).create()
-      }
-      fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
-        Tables.orders(s, d).select(
-            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
-              .as("cust"),
-            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .coalesce(1).writeTo("graft.rely_f")
-          .tableProperty("graft.foreignKey.cust",
-            "cust REFERENCES rely_d (c_custkey) RELY")
-          .tableProperty("fixture", marker).create()
-      }
+      relyFixtures(s, d)
       val f = s.table("graft.rely_f")
       val dm = s.table("graft.rely_d")
       val joined = f.join(dm, f("cust") === dm("c_custkey"))
@@ -3434,13 +3401,7 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
         graft.plans.RelyJoinEliminationRule(s))
-      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
-        Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
-          .coalesce(1).writeTo("graft.rely_d")
-          .tableProperty("graft.primaryKey", "c_custkey RELY")
-          .tableProperty("fixture", marker).create()
-      }
+      relyFixtures(s, d)
       val dm = s.table("graft.rely_d")
       val df = dm.distinct()
         .groupBy(col("seg"))
@@ -3463,23 +3424,7 @@ object StarQueries {
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
         graft.plans.RelyJoinEliminationRule(s))
-      fixture(s, d, "rely_d", 1L, "v1", Seq("customer")) { marker =>
-        Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg")).distinct()
-          .coalesce(1).writeTo("graft.rely_d")
-          .tableProperty("graft.primaryKey", "c_custkey RELY")
-          .tableProperty("fixture", marker).create()
-      }
-      fixture(s, d, "rely_f", 1L, "v1", Seq("orders")) { marker =>
-        Tables.orders(s, d).select(
-            expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END")
-              .as("cust"),
-            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .coalesce(1).writeTo("graft.rely_f")
-          .tableProperty("graft.foreignKey.cust",
-            "cust REFERENCES rely_d (c_custkey) RELY")
-          .tableProperty("fixture", marker).create()
-      }
+      relyFixtures(s, d)
       val f = s.table("graft.rely_f")
       val dm = s.table("graft.rely_d")
       import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
@@ -4058,9 +4003,14 @@ object StarQueries {
       val p = Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_size"),
           lower(col("p_name")).as("nm"))
+        // Names SHORTER than 3 chars get an EMPTY trigram set (matching the
+        // oracle's range(1, len-1)): sequence(1, 0) is Spark's DESCENDING
+        // [1, 0] — the learnBpeMerges footgun — which would fabricate a
+        // non-empty set and a fake 10000 bp Jaccard for short-name pairs.
         .withColumn("tri", expr(
-          "array_distinct(transform(sequence(1, greatest(length(nm) - 2, 0))," +
-            " i -> substring(nm, i, 3)))"))
+          "CASE WHEN length(nm) >= 3 THEN array_distinct(transform(" +
+            "sequence(1, length(nm) - 2), i -> substring(nm, i, 3))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END"))
       // Candidates via SHARED-TRIGRAM posting lists inside each (brand, size)
       // block (Dedup.erTrigramCandidates) instead of the all-pairs self-join:
       // the coarse key has FIXED cardinality (~25 brands × 50 sizes), so
@@ -4099,7 +4049,14 @@ object StarQueries {
             (size(array_intersect(col("a.tri"), col("b.tri"))).cast("long") * 10000L /
               size(array_union(col("a.tri"), col("b.tri"))).cast("long"))
               .cast("long").as("tri_jacc_bp"))
-      pairs.orderBy(col("tri_jacc_bp").desc, col("id_a"), col("id_b")).limit(50)
+      // Top-50 is driver-tiny: materialize it, release the candidate cache
+      // (a bare persist leaked blocks across invocations), return a local
+      // relation — the work still runs inside this invocation.
+      val limited = pairs
+        .orderBy(col("tri_jacc_bp").desc, col("id_a"), col("id_b")).limit(50)
+      val rows = limited.collect()
+      cand.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), limited.schema)
     },
 
     // B221: equi-depth feature binning (the QuantileDiscretizer/feature-store
