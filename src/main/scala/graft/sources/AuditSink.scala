@@ -107,13 +107,43 @@ class AuditWriterFactory(schema: StructType) extends DataWriterFactory {
       private var hashSum = 0L
       private val types = schema.fields.map(_.dataType)
 
+      // Canonical rendering per type: String.valueOf on raw catalyst values
+      // is IDENTITY-based for Array[Byte]/ArrayData/MapData/InternalRow
+      // ("[B@1a2b3c" differs per JVM run for equal bytes), which would make
+      // the "run-invariant fingerprint" spuriously differ across reruns of
+      // identical data. Binary renders as base64, arrays/structs recurse
+      // element-wise, maps sort by rendered key (catalyst map order is
+      // build-dependent).
+      private def render(v: Any, dt: org.apache.spark.sql.types.DataType): String = dt match {
+        case org.apache.spark.sql.types.BinaryType =>
+          java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until a.numElements()).map(i =>
+            if (a.isNullAt(i)) "\u0000" else render(a.get(i, et), et))
+            .mkString("[", ",", "]")
+        case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val ks = m.keyArray(); val vs = m.valueArray()
+          (0 until m.numElements()).map { i =>
+            render(ks.get(i, kt), kt) + "->" +
+              (if (vs.isNullAt(i)) "\u0000" else render(vs.get(i, vt), vt))
+          }.sorted.mkString("{", ",", "}")
+        case st: StructType =>
+          val r = v.asInstanceOf[InternalRow]
+          st.fields.zipWithIndex.map { case (f, i) =>
+            if (r.isNullAt(i)) "\u0000" else render(r.get(i, f.dataType), f.dataType)
+          }.mkString("(", ",", ")")
+        case _ => String.valueOf(v)
+      }
+
       // 64-bit FNV-1a over the canonical rendering of each field; summed across
       // rows so the total is invariant to row order and partitioning.
       override def write(row: InternalRow): Unit = {
         var h = 0xcbf29ce484222325L
         var i = 0
         while (i < types.length) {
-          val s = if (row.isNullAt(i)) "\u0000" else String.valueOf(row.get(i, types(i)))
+          val s = if (row.isNullAt(i)) "\u0000" else render(row.get(i, types(i)), types(i))
           var j = 0
           while (j < s.length) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
           h ^= 0x1f; h *= 0x100000001b3L // field separator

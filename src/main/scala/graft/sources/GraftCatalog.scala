@@ -127,8 +127,19 @@ class GraftCatalog extends TableCatalog
   }
   override def name(): String = catName
 
-  private def tableDir(ident: Identifier): Path =
+  private def tableDir(ident: Identifier): Path = {
+    // "__" is the namespace/name separator in the directory encoding, so a
+    // SEGMENT containing it would collide distinct identifiers (`a.b` vs
+    // `a__b` share one directory — the second create would refuse with
+    // TableAlreadyExists for a DIFFERENT table, and loads would silently
+    // serve the other's data) and decode wrongly in listTables. Refuse
+    // loudly at every entry point (this resolver is the one chokepoint).
+    (ident.namespace() :+ ident.name()).foreach(seg =>
+      require(!seg.contains("__"),
+        s"identifier segment '$seg' contains '__', the catalog's " +
+          "namespace separator — rename the table or namespace"))
     new Path(root, (ident.namespace() :+ ident.name()).mkString("__"))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val fs = root.getFileSystem(conf)
@@ -345,22 +356,25 @@ class GraftCatalog extends TableCatalog
           require(!schema.fieldNames.contains(colName),
             s"cannot add $colName: column exists")
           schema = schema.add(colName, add.dataType(), true)
-          // Re-ADD after a DROP of the same physical name (B229): existing
-          // files still CONTAIN the dropped column's bytes, and the default
+          // Re-ADD after a DROP of the same physical name (B229), or ADD of
+          // a name some RENAMEd column still owns physically (rename a→b
+          // keeps `physical.b = a` — no tombstone): in both cases existing
+          // files CONTAIN bytes under this physical name, and the default
           // physical resolution (logical name itself) would resurrect them
           // as the new column's values — the exact hazard column mapping
-          // exists to prevent. The drop tombstone forces a FRESH physical
-          // name, so old files answer NULL (existence default) and only
-          // post-add writes carry data.
-          if (props.contains("dropped." + colName)) {
-            val taken = schema.fields.map(f =>
-              props.getOrElse("physical." + f.name, f.name)).toSet ++
-              props.keysIterator.collect {
-                case k if k.startsWith("dropped.") => k.stripPrefix("dropped.")
-              }
+          // exists to prevent — while new writes would emit TWO fields
+          // sharing one physical name, corrupting footer/stat/bloom keying.
+          // A fresh physical name keeps old files answering NULL (existence
+          // default) and only post-add writes carry data.
+          val takenPhys = schema.fields.filterNot(_.name == colName)
+            .map(f => props.getOrElse("physical." + f.name, f.name)).toSet ++
+            props.keysIterator.collect {
+              case k if k.startsWith("dropped.") => k.stripPrefix("dropped.")
+            }
+          if (takenPhys(colName)) {
             val fresh = Iterator.from(0)
               .map(i => s"${colName}_g${cur.gen + 1}" + (if (i == 0) "" else s"_$i"))
-              .find(!taken(_)).get
+              .find(n => !takenPhys(n) && n != colName).get
             props = props + (("physical." + colName) -> fresh)
           }
           // ADD COLUMN ... DEFAULT (B199): fold the analyzed constant once at
@@ -1318,7 +1332,13 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
   /** Two manifest-side pruning layers, both before ANY file IO: partition
     * filters drop whole partitions; file min/max stats drop individual files
     * a data predicate provably excludes (Delta-style data skipping). */
-  protected def keptEntries: Seq[(String, String)] = {
+  // Lazy val, not def: Spark drives supportCompletePushDown, then
+  // pushAggregation, then build() on one builder — each walked the full
+  // manifest (stats parse + bloom + transform pruning per file; 3 walks of
+  // a 100k-file manifest per aggregate query). The V2 contract fixes the
+  // push order (filters land before any of these), so the first forcing
+  // sees the final filter set and the walk happens once per builder.
+  protected lazy val keptEntries: Seq[(String, String)] = {
     // Column mapping (B190): stats/blooms are keyed by PHYSICAL names —
     // translate the pushed logical filters once for the whole entry walk.
     // Masked columns (B233): their filters never prune — file stats and
@@ -1532,7 +1552,21 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
       case None => false
     }
 
+  // Spark calls supportCompletePushDown and pushAggregation back to back
+  // with the SAME Aggregation instance — memoize by identity so the
+  // manifest aggregation runs once per builder, not twice.
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Seq[InternalRow])])] = None
   private def aggResult(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[InternalRow])] = aggMemo match {
+    case Some((k, r)) if k eq agg => r
+    case _ =>
+      val r = computeAggResult(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
+
+  private def computeAggResult(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
@@ -2338,8 +2372,20 @@ class GraftScan(dir: Path, manifest: GraftManifest,
     if (manifest.specUniform) {
       val partVals = entries.map { case (pp, _) => GraftScanBuilder.partValues(pp) }
       manifest.partCols.filter(required.fieldNames.contains).foreach { pc =>
-        put(pc, Some(math.max(1L, partVals.flatMap(_.get(pc)).distinct.size.toLong)),
-          None)
+        // NDV counts NON-NULL values only (the ColumnStat contract — the
+        // data-column path below filters the same way): the null-marker
+        // directory is a null, not a distinct value. Its row count, exactly
+        // derivable from per-file rows, publishes as nullCount instead.
+        val ndv = partVals.flatMap(_.get(pc))
+          .filter(_ != "__HIVE_DEFAULT_PARTITION__").distinct.size.toLong
+        val nullRels = entries.zip(partVals).collect {
+          case ((_, rel), pv)
+              if pv.get(pc).contains("__HIVE_DEFAULT_PARTITION__") => rel
+        }
+        val nullKnown = nullRels.flatMap(manifest.fileRows.get)
+        val nulls =
+          if (nullKnown.size == nullRels.size) Some(nullKnown.sum) else None
+        put(pc, Some(ndv), nulls)
       }
     }
     // Data columns: merged HLL union across kept files + summed null counts.
@@ -2954,7 +3000,15 @@ object GraftChangesMicroBatchStream {
 object GraftParquetRead {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
-  /** Generation a rel path's file was committed by (-1 for streaming epochs). */
+  /** Generation a rel path's file was committed by (-1 for streaming
+    * epochs), read from the gen-dir name the writer PLANNED. Known caveat:
+    * a CAS-rebased commit keeps its planned dir name but publishes at a
+    * LATER generation, so under write races `_gen` (and the change feed's
+    * snapshot seed) can report the planned number while the manifest diff
+    * reports the committed one — provenance metadata, deliberately cheap
+    * (no per-scan lineage walk); consumers needing race-exact commit
+    * attribution should read the change feed's incremental path, whose
+    * versions come from manifest diffs. */
   def genOf(rel: String): Long = {
     val head = rel.takeWhile(_ != '/')
     if (head.startsWith("gen-")) {
@@ -6215,16 +6269,12 @@ object GraftCatalogOps {
     import spark.implicits._
     val dir = new Path(root, table)
     val conf = spark.sessionState.newHadoopConf()
-    val cur = GraftManifest.currentGen(dir, conf)
-    // VACUUM may have reclaimed old manifests — history shows what remains
-    // (same posture as the $history metadata twin), never crashes on a gap.
-    (0L to cur).flatMap { g =>
-      try {
-        val m = GraftManifest.load(dir, g, conf)
-        Some((g, m.entries.size.toLong,
-          m.entries.map(_._1).distinct.size.toLong, m.txns.size.toLong))
-      } catch { case _: Exception => None }
-    }.toDF("gen", "n_files", "n_partitions", "n_txns")
+    // ONE generation-walk definition: this surface and the `t$history`
+    // metadata twin must agree row for row, so both read
+    // [[GraftMetaTable.rowsOf]] (VACUUM gaps skipped there, same posture).
+    GraftMetaTable.rowsOf("history", dir, conf).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("gen", "n_files", "n_partitions", "n_txns")
   }
 }
 

@@ -73,6 +73,11 @@ object Synth {
 }
 
 class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  // Validate at table resolution, not deep in split math: parts <= 0 would
+  // otherwise yield an EMPTY scan (0 until -4 — silent wrong result) or a
+  // raw division-by-zero; negative rows likewise reads as empty silently.
+  require(parts > 0, s"graft-synth: parts must be positive, got $parts")
+  require(rows >= 0, s"graft-synth: rows must be non-negative, got $rows")
   override def name(): String = s"graft-synth($rows rows, $parts parts)"
   override def schema(): StructType = Synth.schema
   override def capabilities(): util.Set[TableCapability] =

@@ -2297,6 +2297,29 @@ class CatalogSpec extends GraftSuite {
     assert(ex.getMessage.contains("nope"))
   }
 
+  test("ADD COLUMN of a renamed column's old name maps to a FRESH physical column") {
+    // rename a->b keeps physical.b = a with NO drop tombstone; a later
+    // ADD COLUMN a must NOT resolve physically to 'a' — old files would
+    // resurrect b's historical bytes as the new column's values and new
+    // writes would emit two fields sharing one physical name.
+    import spark.implicits._
+    val t = freshTable("renadd")
+    (0L until 50L).map(i => (i, i * 3)).toDF("id", "a").coalesce(1)
+      .writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN a TO b")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN a BIGINT")
+    // Pre-ADD rows: b keeps its values, the new a answers NULL everywhere.
+    assert(spark.table(t).filter(col("b").isNotNull).count() === 50L)
+    assert(spark.table(t).filter(col("a").isNotNull).count() === 0L,
+      "old files resurrected the renamed column's bytes under the new name")
+    // Post-ADD writes carry both independently.
+    Seq((1000L, 7L, 9L)).toDF("id", "b", "a").writeTo(t).append()
+    val r = spark.table(t).filter(col("id") === 1000L)
+      .select("b", "a").as[(Long, Long)].head()
+    assert(r === ((7L, 9L)))
+    assert(spark.table(t).agg(sum(col("a"))).as[Long].head === 9L)
+  }
+
   test("RENAME COLUMN: zero-rewrite column mapping; stats, filters, writes and travel follow") {
     import spark.implicits._
     val t = freshTable("ren")
