@@ -232,10 +232,21 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
                 // query, and the pre-seeded fold floor would make the
                 // empty shell look fresh — the rule would rewrite the
                 // view's own seed aggregate into a read of its empty self.
-                v.manifest.gen >= 1 &&
-                // FRESH: folded exactly to the generation this scan reads.
-                GraftCatalogOps.mviewFoldFloor(v.manifest) == baseTable.manifest.gen =>
-            Some((id, v, keys))
+                v.manifest.gen >= 1 =>
+            // FRESH: folded exactly to the generation this scan reads. The
+            // stale case is THE near-miss a user can fix without touching
+            // the query — name the refresh call that resumes serving.
+            val floor = GraftCatalogOps.mviewFoldFloor(v.manifest)
+            if (floor == baseTable.manifest.gen) Some((id, v, keys))
+            else {
+              MviewDiagnostics.note(m => logInfo(m),
+                s"view ${id.name()} matches this aggregate but is STALE " +
+                  s"(folded to source generation $floor, the scan reads " +
+                  s"${baseTable.manifest.gen}) — " +
+                  s"CALL graft.system.refresh_mview(name => '${id.name()}') " +
+                  "to resume serving it")
+              None
+            }
           case _ => None
         }
       } catch { case _: Exception => None }

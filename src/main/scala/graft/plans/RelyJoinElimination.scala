@@ -363,24 +363,23 @@ case class RelyJoinEliminationRule(session: SparkSession) extends Rule[LogicalPl
 }
 
 /**
- * Near-miss diagnostics for the RELY rule: when a join QUALIFIES (declared-PK
- * dimension, exact key cover) but a fixable condition blocks elimination, the
- * rule logs why (the Databricks/Oracle posture — informational-constraint
- * optimizations are invisible when they don't fire, so the "why not" is the
- * product surface). Notes also land in a bounded ring the session can read
- * programmatically (`RelyDiagnostics.recent`) — that is what the spec pins;
- * the optimizer may re-run a rule across iterations, so entries de-duplicate
- * by message. Diagnostic-only state: bounded, thread-safe, never read by the
- * rewrite itself.
+ * Near-miss diagnostics ring for the graft optimizer rules: when a plan
+ * QUALIFIES for a rewrite but a fixable condition blocks it, the rule logs
+ * why (the Databricks/Oracle posture — transparent optimizations are
+ * invisible when they don't fire, so the "why not" is the product surface).
+ * Notes also land in a bounded ring the session can read programmatically
+ * (`.recent`) — that is what the specs pin; the optimizer may re-run a rule
+ * across iterations, so entries de-duplicate by message. Diagnostic-only
+ * state: bounded, thread-safe, JVM-global by design (diagnostics, like
+ * driver logs, are per-process), never read by any rewrite itself.
  */
-object RelyDiagnostics {
+class DiagnosticsRing(prefix: String) {
   private val max = 64
   private val ring = new java.util.ArrayDeque[String]
-  // JVM-global by design (diagnostics, like driver logs, are per-process);
-  // the lock keeps the contains-then-add dedup atomic under concurrent plan
+  // The lock keeps the contains-then-add dedup atomic under concurrent plan
   // compilations. Logging stays outside the lock.
   def note(log: String => Unit, msg: String): Unit = {
-    val full = s"RELY elimination skipped: $msg"
+    val full = s"$prefix: $msg"
     log(full)
     ring.synchronized {
       if (!ring.contains(full)) {
@@ -395,6 +394,14 @@ object RelyDiagnostics {
   }
   def clear(): Unit = ring.synchronized(ring.clear())
 }
+
+/** The RELY rule's ring (see [[RelyJoinEliminationRule]]'s refusal notes). */
+object RelyDiagnostics extends DiagnosticsRing("RELY elimination skipped")
+
+/** The mview-rewrite rule's ring: today it carries the one refusal a user
+  * can act on without changing the query — a matching view that is merely
+  * STALE, named together with the refresh call that resumes serving. */
+object MviewDiagnostics extends DiagnosticsRing("mview rewrite skipped")
 
 /** Parsing and relation plumbing for the RELY informational constraints. */
 object RelyConstraints {

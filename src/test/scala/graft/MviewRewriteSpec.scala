@@ -63,9 +63,15 @@ class MviewRewriteSpec extends GraftSuite {
   test("one source commit past the fold floor stops the rewrite until refresh") {
     val _ = root
     import spark.implicits._
+    graft.plans.MviewDiagnostics.clear()
     Seq((900L, 1L, 1L, 50L)).toDF("id", "k1", "k2", "x")
       .writeTo("gmvr.fact").append()
     assert(!answersFromView(natural), "stale view must never serve")
+    // The refusal names the fix: the matching-but-stale view and the
+    // refresh call that resumes serving.
+    val notes = graft.plans.MviewDiagnostics.recent
+    assert(notes.exists(n => n.contains("STALE") && n.contains("fact_mv") &&
+      n.contains("refresh_mview")), s"expected a staleness note, got: $notes")
     // The un-rewritten answer includes the new row.
     val n11 = natural.filter(col("k1") === 1 && col("k2") === 1).head
     val expect = (0L until 300L).filter(i => i % 7 == 1 && i % 3 == 1)
@@ -73,7 +79,10 @@ class MviewRewriteSpec extends GraftSuite {
     assert(n11.getLong(3) === expect.map(_ * 11 % 1000).sum + 50)
     // Refresh folds the delta; the rewrite comes back with the SAME numbers.
     spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    graft.plans.MviewDiagnostics.clear()
     assert(answersFromView(natural))
+    assert(graft.plans.MviewDiagnostics.recent.isEmpty,
+      "a served rewrite must not log a staleness note")
     val again = natural.filter(col("k1") === 1 && col("k2") === 1).head
     assert(again.getLong(2) === n11.getLong(2) && again.getLong(3) === n11.getLong(3))
   }
