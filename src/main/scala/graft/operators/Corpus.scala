@@ -511,6 +511,13 @@ object Corpus {
    * identity pairs. Leave it false for an independent benchmark table —
    * there a numeric id collision is two UNRELATED documents, and dropping
    * the pair would silently report a genuinely contaminated document clean.
+   *
+   * BREAKING CHANGE (round 11): the doc_id =!= bench_id filter used to be
+   * UNCONDITIONAL; it is now opt-in via `excludeSelfPairs = true`, and the
+   * default (false) REPORTS identity pairs. Callers whose benchmark shares
+   * the corpus id space must now pass `excludeSelfPairs = true` explicitly
+   * to keep the old behavior — the default favors the independent-benchmark
+   * case where suppressing an id-colliding pair would hide real leakage.
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                     minShared: Int = 3,

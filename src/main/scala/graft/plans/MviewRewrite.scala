@@ -2,12 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.TableCatalog
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable}
@@ -43,8 +44,21 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable
  *     summing the partials — exact because the view partitions the base
  *     rows) — and every aggregate expression is one the view maintains:
  *     `count(*)`/`count(1)` → `mv_count`, `sum(<declared sum col>)` →
- *     `mv_sum` (the self-maintainable abelian set — B198 deliberately
- *     maintains nothing else);
+ *     `mv_sum` (the self-maintainable abelian set), and `min`/`max` of the
+ *     declared column → `mv_min`/`mv_max` (maintained delete-aware by the
+ *     fold: affected-group recompute when a delta deletes a potential
+ *     extremum — see [[graft.sources.GraftCatalogOps.refreshMview]]);
+ *   - eval-mode reconciliation: the fold's own sum() ran under the session's
+ *     eval mode at fold time (stamped `mview.foldmode`, AND-combined across
+ *     folds), so an ANSI-mode sum/avg serves only from an all-ANSI-folded
+ *     view (a committed ANSI fold proves the stored sum exact, where a
+ *     LEGACY fold may have silently wrapped a value ANSI would raise
+ *     ARITHMETIC_OVERFLOW on); LEGACY queries serve from either fold mode
+ *     (wrapping Long addition is associative, so legacy agrees with legacy
+ *     bit-for-bit, and an ansi-folded value is the exact sum — equal to the
+ *     legacy result whenever it was representable, and it was or the fold
+ *     would have failed instead of committing); TRY never serves (NULL on
+ *     overflow is not a value the view ever stores);
  *   - the base table declares no row/column policies (B233): the view holds
  *     UNFILTERED, UNMASKED aggregates, so serving it to a policed session
  *     would leak what the scan hides;
@@ -52,18 +66,113 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable
  *     scan's bound generation — time-travel reads of older generations
  *     therefore never match a newer view).
  *
+ * JOIN-AGGREGATE rewrite (the reporting shape Oracle/Snowflake also rewrite
+ * through joins):
+ *
+ *   SELECT d.attr, count(*), sum(f.x)
+ *   FROM fact f JOIN dim d ON f.fk = d.pk
+ *   GROUP BY d.attr
+ *
+ * answers from a view keyed by a superset of {fk} by EAGER AGGREGATION
+ * (Yan & Larson, "Eager aggregation and lazy aggregation", VLDB '95):
+ * pre-aggregate the fact by its join + grouping keys, join the (tiny) view
+ * to the dimension, re-aggregate the partials. This is UNCONDITIONALLY
+ * exact for the abelian set — no uniqueness or referential declaration
+ * needed: every fact row in one view group carries the same fk tuple and
+ * the same fact-side grouping values, so it joins the SAME multiset of
+ * dimension rows, and each joined (group, dim-row) pair contributes
+ * mv_count/mv_sum exactly once where the original contributed its rows
+ * one-by-one — duplicate dimension keys multiply both sides identically,
+ * a filtered dimension drops both sides identically, and a NULL fk drops
+ * both sides identically (equality never matches NULL). Qualification is
+ * therefore only about the FACT side (full unfiltered-or-key-filtered scan
+ * of the view's source, every fact-side join/group/filter column a view
+ * key, aggregates over the declared sum column only) — the dimension
+ * subtree rides into the rewritten plan VERBATIM, whatever it is. At
+ * 100 TB this turns `100 TB fact ⋈ dim GROUP BY dim.attr` into
+ * `key-count view ⋈ dim` — the fact scan and its shuffle vanish. (B231's
+ * RELY declarations compose with this for free: when the query groups by
+ * d.pk alone, RelyJoinEliminationRule substitutes pk→fk and drops the join
+ * entirely, and the single-table rewrite then serves the remainder.)
+ *
  * The replacement preserves the Aggregate's exact output (names, exprIds,
  * types) via an aliasing Project over a manually-built scan of the view, so
  * parent operators never notice. Registered like the other graft rules —
  * extensions-injected or runtime-attached — and handles both relation
  * vintages.
  */
-case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case a @ Aggregate(ges, aes, child, _) =>
-      rewrite(a, ges, aes, child).getOrElse(a)
+      rewrite(ges, aes, child)
+        .orElse(rewriteJoin(ges, aes, child))
+        .getOrElse(a)
   }
+
+  // ---------------------------------------------------------------- shapes
+
+  /** One Aggregate output, classified. KeyOut keeps the ORIGINAL output
+    * expression so its name and exprId survive the rewrite: `k AS foo` must
+    * re-emit `foo` under the alias's exprId or parent references to it stop
+    * resolving (and a dim-side key in the join rewrite passes through
+    * untouched). */
+  private sealed trait Out
+  private case class KeyOut(a: AttributeReference, orig: NamedExpression)
+      extends Out
+  private case class CountOut(al: Alias) extends Out
+  private case class SumOut(al: Alias, col: AttributeReference, ansi: Boolean)
+      extends Out
+  private case class AvgOut(al: Alias, col: AttributeReference, ansi: Boolean)
+      extends Out
+  // MIN/MAX carry no overflow-bearing arithmetic, so no eval-mode leg; the
+  // view maintains them delete-aware (affected-group recompute on folds
+  // whose delta could strip an extremum) and stores them UNCAST, so serving
+  // them preserves the query's output type exactly (type gate below).
+  private case class MinOut(al: Alias, col: AttributeReference) extends Out
+  private case class MaxOut(al: Alias, col: AttributeReference) extends Out
+
+  /** Every output must be a key passthrough, count(*)/count(1), or a
+    * sum/avg over a bare column; anything else disqualifies the aggregate. */
+  private def classify(aes: Seq[NamedExpression],
+      keyIds: Set[ExprId]): Option[Seq[Out]] =
+    Some(aes.map {
+      case ar: AttributeReference if keyIds.contains(ar.exprId) =>
+        KeyOut(ar, ar)
+      case al @ Alias(ar: AttributeReference, _) if keyIds.contains(ar.exprId) =>
+        KeyOut(ar, al)
+      case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
+          if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
+      // TRY-mode aggregates (try_sum/try_avg) answer NULL on overflow where
+      // the view holds a concrete value — never the same computation, refuse
+      // unconditionally. LEGACY and ANSI are accepted here and reconciled
+      // against the view's FOLD MODE during candidate verification (see the
+      // class doc's eval-mode clause).
+      case al @ Alias(AggregateExpression(sm @ Sum(sa: AttributeReference, _),
+          Complete, false, None, _), _)
+          if sm.evalContext.evalMode != EvalMode.TRY =>
+        SumOut(al, sa, sm.evalContext.evalMode == EvalMode.ANSI)
+      // AVG derives exactly: avg(x) = sum(x) / count(x) — count of
+      // NON-NULL x, which is the view's mv_nncount column (mv_count counts
+      // all rows and diverges the moment a group holds a NULL). Both are
+      // exact longs, and Spark's own Average-of-long evaluates
+      // sum.toDouble / count.toDouble — the replacement reproduces that
+      // expression bit-for-bit. A view predating the mv_nncount column
+      // refuses the AVG rewrite (schema probe below).
+      case al @ Alias(AggregateExpression(av @ Average(sa: AttributeReference, _),
+          Complete, false, None, _), _)
+          if av.evalMode != EvalMode.TRY &&
+            Set[org.apache.spark.sql.types.DataType](LongType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.ShortType)(sa.dataType) =>
+        AvgOut(al, sa, av.evalMode == EvalMode.ANSI)
+      case al @ Alias(AggregateExpression(Min(sa: AttributeReference),
+          Complete, false, None, _), _) => MinOut(al, sa)
+      case al @ Alias(AggregateExpression(Max(sa: AttributeReference),
+          Complete, false, None, _), _) => MaxOut(al, sa)
+      case _ => return None
+    })
 
   /** The base graft table + its bound scan's full-table proof + at most one
     * residual Filter, if `child` is a full scan under attribute-only
@@ -80,13 +189,17 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case s: DataSourceV2ScanRelation =>
         (s.relation.table, s.scan) match {
           case (t: GraftTable, sc: GraftBatchScan)
-              // FULL entry list only: a pruned entry list means partition
-              // (or stats) pruning dropped rows the view still aggregates.
-              // Pushed DATA filters are acceptable only under a residual
-              // Filter that re-states them — the caller validates that the
-              // residual covers every pushed column, and the view path never
-              // reads this scan, so row-group skipping inside it is moot.
-              if sc.entries.size == t.manifest.entries.size =>
+              // The scan must be SEMANTICALLY full: either its entry list is
+              // the whole manifest, or every pruned entry was pruned by a
+              // pushed DATA filter — those stay residual (Spark re-checks
+              // them above the scan, and the caller validates the residual
+              // covers every pushed column with a key-only predicate the
+              // view replays), so their entry pruning is pure IO skip. The
+              // two channels that drop rows NO residual re-states — fully-
+              // handled partition filters and `_file` pseudo-column filters
+              // — must both be empty before a pruned list is trusted.
+              if sc.entries.size == t.manifest.entries.size ||
+                (sc.partFilters.isEmpty && sc.fileFilters.isEmpty) =>
             Some((s.relation, t, None))
           case _ => None
         }
@@ -101,7 +214,180 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(a: Aggregate, ges: Seq[Expression],
+  /** Residual-Filter validation part 1 (view-independent): deterministic,
+    * subquery-free. Part 2 (references ⊆ the candidate view's keys) happens
+    * during candidate selection. Returns the filter's lowercased column set,
+    * or None when the filter disqualifies. */
+  private def filterColsOf(baseFilter: Option[Expression]): Option[Set[String]] = {
+    baseFilter.foreach { c =>
+      if (!c.deterministic) return None
+      if (c.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    }
+    Some(baseFilter.map(_.references.map(_.name.toLowerCase).toSet)
+      .getOrElse(Set.empty))
+  }
+
+  /** A pushed data filter mirrors a residual conjunct for graft scans; any
+    * pushed column outside the validated residual set disqualifies. */
+  private def pushedCovered(subtree: LogicalPlan,
+      filterCols: Set[String]): Boolean =
+    subtree.collectFirst { case s: DataSourceV2ScanRelation => s }.forall {
+      _.scan match {
+        case sc: GraftBatchScan =>
+          sc.dataFilters.forall(_.references.forall(r =>
+            filterCols.contains(r.toLowerCase)))
+        case _ => true
+      }
+    }
+
+  // ------------------------------------------------- candidate verification
+
+  /** Walk `candidates` (already preference-ordered) and return the first
+    * that VERIFIES: declaration facts re-checked against the reloaded table
+    * (the cached declaration can be stale across a cross-process
+    * drop/recreate inside the TTL — a view recreated with different keys
+    * would otherwise serve PARTIAL rows as final groups), a committed write
+    * exists (V2 CTAS registers the target BEFORE running the seed query, and
+    * the pre-seeded fold floor would make the empty shell look fresh — the
+    * rule would rewrite the view's own seed aggregate into a read of its
+    * empty self), the fold mode serves the query's eval mode, and the fold
+    * floor equals the scan's bound generation.
+    *
+    * Near-misses (stale view, legacy-folded view under an ANSI query) are
+    * BUFFERED, not emitted inline: the walk may pass over a stale exact-key
+    * view and then serve the query from a coarser rollup view — logging
+    * "skipped" mid-walk when the rewrite ultimately FIRES would mislead the
+    * diagnostics-ring consumer. Flushed only when NO candidate verifies. */
+  private def pickVerified(tc: TableCatalog,
+      candidates: Seq[(Identifier, Set[String])], srcName: String,
+      boundGen: Long, sumCols: Seq[String], needsExactFold: Boolean)
+      : Option[(Identifier, GraftTable, Set[String])] = {
+    val staleNotes = scala.collection.mutable.ListBuffer.empty[String]
+    def verified(id: Identifier, keys: Set[String])
+        : Option[(Identifier, GraftTable, Set[String])] =
+      try {
+        tc.loadTable(id) match {
+          case v: GraftTable
+              if v.manifest.props.get("mview.source").contains(srcName) &&
+                v.manifest.props.get("mview.keys").exists(
+                  _.split(',').map(_.trim.toLowerCase).toSet == keys) &&
+                v.manifest.props.get("mview.sum").exists(vs =>
+                  sumCols.forall(_.equalsIgnoreCase(vs))) &&
+                v.manifest.gen >= 1 =>
+            // ANSI query over a legacy-folded view: the stored sum may be a
+            // wrapped value the un-rewritten query would have raised on.
+            if (needsExactFold &&
+                !v.manifest.props.get("mview.foldmode").contains("ansi")) {
+              staleNotes +=
+                s"view ${id.name()} matches this aggregate but was folded " +
+                  "under LEGACY arithmetic while the query runs ANSI sum/avg " +
+                  "— refresh it under spark.sql.ansi.enabled=true (every " +
+                  "fold) to serve ANSI-mode queries"
+              return None
+            }
+            // FRESH: folded exactly to the generation this scan reads. The
+            // stale case is THE near-miss a user can fix without touching
+            // the query — name the refresh call that resumes serving.
+            val floor = GraftCatalogOps.mviewFoldFloor(v.manifest)
+            if (floor == boundGen) Some((id, v, keys))
+            else {
+              staleNotes +=
+                s"view ${id.name()} matches this aggregate but is STALE " +
+                  s"(folded to source generation $floor, the scan reads " +
+                  s"$boundGen) — " +
+                  s"CALL graft.system.refresh_mview(name => '${id.name()}') " +
+                  "to resume serving it"
+              None
+            }
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    val picked = candidates.iterator
+      .flatMap { case (id, keys) => verified(id, keys) }.nextOption()
+    if (picked.isEmpty)
+      staleNotes.foreach(n => MviewDiagnostics.note(m => logInfo(m), n))
+    picked
+  }
+
+  // ---------------------------------------------------------- plan building
+
+  /** A hand-built, column-pruned scan of the view (this rule may run after
+    * the engine's own scan-planning batch, so a raw relation would never get
+    * planned), plus a name→attribute resolver over its output. */
+  private def buildViewScan(vTable: GraftTable, vIdent: Identifier,
+      catalog: Option[org.apache.spark.sql.connector.catalog.CatalogPlugin],
+      wanted: Set[String])
+      : (DataSourceV2ScanRelation, String => AttributeReference) = {
+    val vRel = DataSourceV2Relation.create(vTable, catalog, Some(vIdent))
+    val needed = StructType(
+      vTable.schema().fields.filter(f => wanted.contains(f.name.toLowerCase)))
+    val sb = vTable.newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(needed)
+      case _ =>
+    }
+    val scan = sb.build()
+    val vOut = vRel.output.filter(a2 => needed.fieldNames.contains(a2.name))
+    val vScan = DataSourceV2ScanRelation(vRel, scan, vOut)
+    (vScan, name => vOut.find(_.name.equalsIgnoreCase(name)).get)
+  }
+
+  /** The mv_* columns the classified outputs need from the view. */
+  private def mvWanted(outs: Seq[Out]): Set[String] =
+    (if (outs.exists(_.isInstanceOf[CountOut])) Set("mv_count") else Set.empty[String]) ++
+      (if (outs.exists(_.isInstanceOf[AvgOut])) Set("mv_nncount") else Set.empty[String]) ++
+      (if (outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]))
+        Set("mv_sum") else Set.empty[String]) ++
+      (if (outs.exists(_.isInstanceOf[MinOut])) Set("mv_min") else Set.empty[String]) ++
+      (if (outs.exists(_.isInstanceOf[MaxOut])) Set("mv_max") else Set.empty[String])
+
+  /** A view created before a maintained column existed cannot serve the
+    * outputs that read it (AVG needs mv_nncount; MIN/MAX need mv_min/mv_max). */
+  private def schemaServes(outs: Seq[Out], vTable: GraftTable): Boolean = {
+    def has(c: String) = vTable.schema().fieldNames.exists(_.equalsIgnoreCase(c))
+    (!outs.exists(_.isInstanceOf[AvgOut]) || has("mv_nncount")) &&
+      (!outs.exists(_.isInstanceOf[MinOut]) || has("mv_min")) &&
+      (!outs.exists(_.isInstanceOf[MaxOut]) || has("mv_max"))
+  }
+
+  /** Re-aggregation type gate: only the LONG-typed mv columns re-sum to the
+    * SAME result type the original aggregate produced (a decimal would widen
+    * its precision a second time) — B198 maintains exactly those. */
+  private def longTyped(outs: Seq[Out],
+      vAttr: String => AttributeReference): Boolean =
+    (!outs.exists(_.isInstanceOf[CountOut]) ||
+      vAttr("mv_count").dataType == LongType) &&
+      (!outs.exists(_.isInstanceOf[AvgOut]) ||
+        vAttr("mv_nncount").dataType == LongType) &&
+      (!outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]) ||
+        vAttr("mv_sum").dataType == LongType) &&
+      // min/max preserve their input type: the stored extremum must carry
+      // EXACTLY the queried column's type or the output schema would shift.
+      outs.forall {
+        case MinOut(_, c) => vAttr("mv_min").dataType == c.dataType
+        case MaxOut(_, c) => vAttr("mv_max").dataType == c.dataType
+        case _ => true
+      }
+
+  /** avg = the two exact longs divided the way Average-of-long itself does.
+    * LEGACY divide: Average hardcodes failOnError=false in its own
+    * evaluateExpression, so an all-NULL group (mv_nncount = 0) must answer
+    * NULL here too — the conf-derived ANSI Divide would turn a succeeding
+    * query into a DIVIDE_BY_ZERO failure post-rewrite. */
+  private def avgOf(sum: Expression, nncount: Expression): Expression = {
+    import org.apache.spark.sql.types.DoubleType
+    Divide(Cast(sum, DoubleType), Cast(nncount, DoubleType),
+      NumericEvalContext(EvalMode.LEGACY,
+        org.apache.spark.sql.internal.SQLConf.get.decimalOperationsAllowPrecisionLoss))
+  }
+
+  private def reSum(a: AttributeReference): Expression =
+    AggregateExpression(Sum(a), Complete, isDistinct = false)
+
+  // ------------------------------------------------- single-table rewrite
+
+  private def rewrite(ges: Seq[Expression],
       aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     // Grouping: bare attributes only.
     val keyAttrs = ges.map {
@@ -110,74 +396,25 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val (baseRel, baseTable, baseFilter) = baseOf(child).getOrElse(return None)
     if (GraftPolicies.declared(baseTable.manifest.props)) return None
-    // Filter validation, part 1 (view-independent): deterministic, no
-    // subqueries, bare-attribute references only. Part 2 (references ⊆ the
-    // candidate view's keys) happens during candidate selection.
-    baseFilter.foreach { c =>
-      if (!c.deterministic) return None
-      if (c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-        return None
-    }
-    val filterCols: Set[String] =
-      baseFilter.map(_.references.map(_.name.toLowerCase).toSet)
-        .getOrElse(Set.empty)
-    // A pushed data filter mirrors a residual conjunct for graft scans; any
-    // pushed column outside the validated residual set refuses.
-    child.collectFirst { case s: DataSourceV2ScanRelation => s }.foreach { s =>
-      s.scan match {
-        case sc: GraftBatchScan =>
-          if (!sc.dataFilters.forall(_.references.forall(r =>
-            filterCols.contains(r.toLowerCase)))) return None
-        case _ =>
-      }
-    }
+    val filterCols = filterColsOf(baseFilter).getOrElse(return None)
+    if (!pushedCovered(child, filterCols)) return None
 
-    // Aggregates: every output must be a key passthrough, count(*), or
-    // sum(<col>); collect the sum column to match against the view's.
-    sealed trait Out
-    // KeyOut keeps the Aggregate OUTPUT's name and exprId separately from
-    // the underlying key attribute: `k AS foo` must re-emit `foo` under the
-    // alias's exprId or parent references to it stop resolving.
-    case class KeyOut(a: AttributeReference, outName: String,
-        outId: ExprId) extends Out
-    case class CountOut(al: Alias) extends Out
-    case class SumOut(al: Alias, col: String) extends Out
-    case class AvgOut(al: Alias, col: String) extends Out
     val keyIds = keyAttrs.map(_.exprId).toSet
-    val outs: Seq[Out] = aes.map {
-      case ar: AttributeReference if keyIds.contains(ar.exprId) =>
-        KeyOut(ar, ar.name, ar.exprId)
-      case al @ Alias(ar: AttributeReference, _) if keyIds.contains(ar.exprId) =>
-        KeyOut(ar, al.name, al.exprId)
-      case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
-          if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
-      // TRY-mode aggregates (try_sum/try_avg) answer NULL on overflow where
-      // the view holds a concrete value — never the same computation.
-      case al @ Alias(AggregateExpression(sm @ Sum(sa: AttributeReference, _),
-          Complete, false, None, _), _) if sm.evalContext.evalMode != EvalMode.TRY =>
-        SumOut(al, sa.name)
-      // AVG derives exactly: avg(x) = sum(x) / count(x) — count of
-      // NON-NULL x, which is the view's mv_nncount column (mv_count counts
-      // all rows and diverges the moment a group holds a NULL). Both are
-      // exact longs, and Spark's own Average-of-long evaluates
-      // sum.toDouble / count.toDouble — the replacement reproduces that
-      // expression bit-for-bit. A view predating the mv_nncount column
-      // refuses the AVG rewrite (schema probe below).
-      case al @ Alias(AggregateExpression(av @ Average(sa: AttributeReference, _),
-          Complete, false, None, _), _)
-          if av.evalMode != EvalMode.TRY &&
-            Set[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.LongType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.ShortType)(sa.dataType) =>
-        AvgOut(al, sa.name)
-      case _ => return None
-    }
+    val outs = classify(aes, keyIds).getOrElse(return None)
     val sumCols = outs.collect {
-      case SumOut(_, c) => c
-      case AvgOut(_, c) => c
+      case SumOut(_, c, _) => c.name
+      case AvgOut(_, c, _) => c.name
+      case MinOut(_, c) => c.name
+      case MaxOut(_, c) => c.name
     }.distinct
     if (sumCols.size > 1) return None
+    // Any ANSI-mode sum/avg demands an EXACT stored sum — serveable only
+    // from a view whose every fold ran under ANSI (mview.foldmode stamp).
+    val needsExactFold = outs.exists {
+      case SumOut(_, _, a) => a
+      case AvgOut(_, _, a) => a
+      case _ => false
+    }
 
     // A fresh view for this (source, keys, sum) in the same catalog. View
     // DECLARATIONS come from a short-TTL cache (MviewRewriteRule.viewIndex):
@@ -200,92 +437,26 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // sum(x) = SUM(mv_sum), avg derives from both) because every base row
     // lands in exactly one view group. Prefer exact (no re-aggregation);
     // among rollup candidates prefer the FEWEST keys (coarsest view = fewest
-    // rows to re-aggregate).
-    // Declarations filter first (cached, no IO); loadTable + manifest-read
-    // freshness verification is LAZY in preference order — exact key match
-    // first, then rollup candidates coarsest-first — so the common
-    // exact-match case pays exactly one verification however many views the
-    // namespace holds.
+    // rows to re-aggregate). Declarations filter first (cached, no IO);
+    // loadTable + manifest-read freshness verification is LAZY in preference
+    // order, so the common exact-match case pays exactly one verification
+    // however many views the namespace holds.
     val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
       .filter { case (_, source, keys, sum) =>
         source == srcIdent.name() && keyNames.subsetOf(keys) &&
           filterCols.subsetOf(keys) && sumCols.forall(_.equalsIgnoreCase(sum))
       }
-    def verified(id: org.apache.spark.sql.connector.catalog.Identifier,
-        keys: Set[String])
-        : Option[(org.apache.spark.sql.connector.catalog.Identifier,
-            GraftTable, Set[String])] =
-      try {
-        tc.loadTable(id) match {
-          case v: GraftTable
-              if v.manifest.props.get("mview.source").contains(srcIdent.name()) &&
-                // The cached DECLARATION can be stale across a cross-process
-                // drop/recreate inside the TTL: re-check keys and sum against
-                // the reloaded table — a view recreated with different keys
-                // would otherwise serve PARTIAL rows as final groups.
-                v.manifest.props.get("mview.keys").exists(
-                  _.split(',').map(_.trim.toLowerCase).toSet == keys) &&
-                v.manifest.props.get("mview.sum").exists(vs =>
-                  sumCols.forall(_.equalsIgnoreCase(vs))) &&
-                // Never serve a view with no committed WRITE (gen 0): V2
-                // CTAS registers the target table BEFORE running the seed
-                // query, and the pre-seeded fold floor would make the
-                // empty shell look fresh — the rule would rewrite the
-                // view's own seed aggregate into a read of its empty self.
-                v.manifest.gen >= 1 =>
-            // FRESH: folded exactly to the generation this scan reads. The
-            // stale case is THE near-miss a user can fix without touching
-            // the query — name the refresh call that resumes serving.
-            val floor = GraftCatalogOps.mviewFoldFloor(v.manifest)
-            if (floor == baseTable.manifest.gen) Some((id, v, keys))
-            else {
-              MviewDiagnostics.note(m => logInfo(m),
-                s"view ${id.name()} matches this aggregate but is STALE " +
-                  s"(folded to source generation $floor, the scan reads " +
-                  s"${baseTable.manifest.gen}) — " +
-                  s"CALL graft.system.refresh_mview(name => '${id.name()}') " +
-                  "to resume serving it")
-              None
-            }
-          case _ => None
-        }
-      } catch { case _: Exception => None }
-    val (vIdent, vTable, vKeys) =
-      (declared.filter(_._3 == keyNames) ++
-        declared.filterNot(_._3 == keyNames).sortBy(_._3.size))
-        .iterator.flatMap { case (id, _, keys, _) => verified(id, keys) }
-        .nextOption()
-        .getOrElse(return None)
+    val ordered = (declared.filter(_._3 == keyNames) ++
+      declared.filterNot(_._3 == keyNames).sortBy(_._3.size))
+      .map(d => (d._1, d._3))
+    val (vIdent, vTable, vKeys) = pickVerified(tc, ordered, srcIdent.name(),
+      baseTable.manifest.gen, sumCols, needsExactFold).getOrElse(return None)
 
-    // Build the view scan by hand (this rule may run after the engine's own
-    // scan-planning batch, so a raw relation would never get planned).
-    val vRel = DataSourceV2Relation.create(vTable, baseRel.catalog, Some(vIdent))
-    val needsCount = outs.exists(_.isInstanceOf[CountOut])
-    val needsAvg = outs.exists(_.isInstanceOf[AvgOut])
-    val needsSum = outs.exists(o =>
-      o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut])
-    // AVG needs the non-null count; a view created before that column
-    // existed cannot serve it.
-    if (needsAvg &&
-        !vTable.schema().fieldNames.exists(_.equalsIgnoreCase("mv_nncount")))
-      return None
-    val wanted = keyAttrs.map(_.name.toLowerCase).toSet ++ filterCols ++
-      (if (needsCount) Set("mv_count") else Set.empty) ++
-      (if (needsAvg) Set("mv_nncount") else Set.empty) ++
-      (if (needsSum) Set("mv_sum") else Set.empty)
-    val needed = StructType(
-      vTable.schema().fields.filter(f => wanted.contains(f.name.toLowerCase)))
-    val sb = vTable.newScanBuilder(CaseInsensitiveStringMap.empty())
-    sb match {
-      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-        p.pruneColumns(needed)
-      case _ =>
-    }
-    val scan = sb.build()
-    val vOut = vRel.output.filter(a2 => needed.fieldNames.contains(a2.name))
-    val vScan = DataSourceV2ScanRelation(vRel, scan, vOut)
-    def vAttr(name: String): AttributeReference =
-      vOut.find(_.name.equalsIgnoreCase(name)).get
+    if (!schemaServes(outs, vTable)) return None
+    val wanted = keyNames ++ filterCols ++ mvWanted(outs)
+    val (vScan, vAttr) =
+      buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
+    if (!longTyped(outs, vAttr)) return None
 
     // Key-only filters commute with the view substitution: replay them on
     // the VIEW's key columns (every reference is a view key by the candidate
@@ -301,20 +472,15 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       // Exact key match: the view IS the aggregate — preserve the
       // Aggregate's exact output (names + exprIds) with a projection.
       val projList: Seq[NamedExpression] = outs.map {
-        case KeyOut(ar, n, id) => Alias(vAttr(ar.name), n)(exprId = id)
+        case KeyOut(ar, orig) =>
+          Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
         case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
-        case SumOut(al, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
-        case AvgOut(al, _) =>
-          import org.apache.spark.sql.types.DoubleType
-          // LEGACY divide: Average hardcodes failOnError=false in its own
-          // evaluateExpression, so an all-NULL group (mv_nncount = 0) must
-          // answer NULL here too — the conf-derived ANSI Divide would turn
-          // a succeeding query into a DIVIDE_BY_ZERO failure post-rewrite.
-          Alias(Divide(Cast(vAttr("mv_sum"), DoubleType),
-            Cast(vAttr("mv_nncount"), DoubleType),
-            NumericEvalContext(EvalMode.LEGACY,
-              org.apache.spark.sql.internal.SQLConf.get.decimalOperationsAllowPrecisionLoss)),
+        case SumOut(al, _, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
+        case AvgOut(al, _, _) =>
+          Alias(avgOf(vAttr("mv_sum"), vAttr("mv_nncount")),
             al.name)(exprId = al.exprId)
+        case MinOut(al, _) => Alias(vAttr("mv_min"), al.name)(exprId = al.exprId)
+        case MaxOut(al, _) => Alias(vAttr("mv_max"), al.name)(exprId = al.exprId)
       }
       Some(Project(projList, vInput))
     } else {
@@ -326,31 +492,163 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       // input, matching count's non-nullable output), sum(x) = SUM(mv_sum)
       // (null iff every partial is null, exactly sum's semantics), and avg
       // divides the two exact longs the way Average-of-long itself does.
-      // Type gate: only the LONG-typed mv columns re-sum to the SAME result
-      // type the original aggregate produced (a decimal would widen its
-      // precision a second time) — B198 maintains exactly those.
-      import org.apache.spark.sql.types.{DoubleType, LongType}
-      if (outs.exists(_.isInstanceOf[CountOut]) &&
-        vAttr("mv_count").dataType != LongType) return None
-      if (outs.exists(_.isInstanceOf[AvgOut]) &&
-        vAttr("mv_nncount").dataType != LongType) return None
-      if (outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]) &&
-        vAttr("mv_sum").dataType != LongType) return None
-      def reSum(name: String): Expression = AggregateExpression(
-        Sum(vAttr(name)), Complete, isDistinct = false)
+      if (!longTyped(outs, vAttr)) return None
       val aggList: Seq[NamedExpression] = outs.map {
-        case KeyOut(ar, n, id) => Alias(vAttr(ar.name), n)(exprId = id)
-        case CountOut(al) => Alias(Coalesce(Seq(reSum("mv_count"),
+        case KeyOut(ar, orig) =>
+          Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
+        case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
           Literal(0L))), al.name)(exprId = al.exprId)
-        case SumOut(al, _) => Alias(reSum("mv_sum"), al.name)(exprId = al.exprId)
-        case AvgOut(al, _) => Alias(Divide(Cast(reSum("mv_sum"), DoubleType),
-          Cast(reSum("mv_nncount"), DoubleType),
-          NumericEvalContext(EvalMode.LEGACY,
-            org.apache.spark.sql.internal.SQLConf.get.decimalOperationsAllowPrecisionLoss)),
-          al.name)(exprId = al.exprId)
+        case SumOut(al, _, _) =>
+          Alias(reSum(vAttr("mv_sum")), al.name)(exprId = al.exprId)
+        case AvgOut(al, _, _) => Alias(avgOf(reSum(vAttr("mv_sum")),
+          reSum(vAttr("mv_nncount"))), al.name)(exprId = al.exprId)
+        // min-of-mins / max-of-maxes: exact under any regrouping.
+        case MinOut(al, _) => Alias(AggregateExpression(Min(vAttr("mv_min")),
+          Complete, isDistinct = false), al.name)(exprId = al.exprId)
+        case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
+          Complete, isDistinct = false), al.name)(exprId = al.exprId)
       }
       Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vInput))
     }
+  }
+
+  // ------------------------------------------------- join-aggregate rewrite
+
+  /** `Aggregate(…, fact ⋈ dim)` answered by eager aggregation (see the class
+    * doc): substitute the view for the fact side, keep the dimension subtree
+    * verbatim, re-aggregate the partials above the (now tiny) join. */
+  private def rewriteJoin(ges: Seq[Expression], aes: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    def joinOf(p: LogicalPlan): Option[Join] = p match {
+      case j: Join => Some(j)
+      case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        joinOf(inner)
+      case _ => None
+    }
+    joinOf(child) match {
+      case Some(Join(l, r, Inner, Some(cond), hint)) =>
+        attemptJoin(ges, aes, l, r, cond, hint, factIsLeft = true)
+          .orElse(attemptJoin(ges, aes, r, l, cond, hint, factIsLeft = false))
+      case _ => None
+    }
+  }
+
+  private def attemptJoin(ges: Seq[Expression], aes: Seq[NamedExpression],
+      fact: LogicalPlan, dim: LogicalPlan, cond: Expression, hint: JoinHint,
+      factIsLeft: Boolean): Option[LogicalPlan] = {
+    val keyAttrs = ges.map {
+      case ar: AttributeReference => ar
+      case _ => return None
+    }
+    // FACT side: the view's source, full scan, at most one key-only Filter —
+    // the same proof obligations as the single-table rewrite, because the
+    // view substitutes for exactly this subtree.
+    val (baseRel, baseTable, baseFilter) = baseOf(fact).getOrElse(return None)
+    if (GraftPolicies.declared(baseTable.manifest.props)) return None
+    val filterCols = filterColsOf(baseFilter).getOrElse(return None)
+    if (!pushedCovered(fact, filterCols)) return None
+
+    val factOut = fact.outputSet
+    val dimOut = dim.outputSet
+    // Join condition: a conjunction of bare fact-attr = dim-attr equalities.
+    // (A dim-only or fact-only conjunct would be expressible too, but keeps
+    // the proof surface larger than the shape is worth — refuse.)
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      splitConjunctivePredicates(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factOut.contains(a) && dimOut.contains(b) => (a, b)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if factOut.contains(a) && dimOut.contains(b) => (a, b)
+        case _ => return None
+      }
+    if (pairs.isEmpty) return None
+    // Group keys: dim-side attrs ride verbatim; fact-side attrs must be view
+    // keys (they become the view's own key columns).
+    val factKeyAttrs = keyAttrs.filter(factOut.contains)
+    if (keyAttrs.exists(a => !factOut.contains(a) && !dimOut.contains(a)))
+      return None
+    val keyIds = keyAttrs.map(_.exprId).toSet
+    val outs = classify(aes, keyIds).getOrElse(return None)
+    // Sum/avg/min/max inputs must be FACT columns: a dimension-column
+    // aggregate needs per-join-row values the view does not carry.
+    val sumAttrs = outs.collect {
+      case SumOut(_, c, _) => c
+      case AvgOut(_, c, _) => c
+      case MinOut(_, c) => c
+      case MaxOut(_, c) => c
+    }
+    if (sumAttrs.exists(sa => !factOut.contains(sa))) return None
+    val sumCols = sumAttrs.map(_.name).distinct
+    if (sumCols.size > 1) return None
+    val needsExactFold = outs.exists {
+      case SumOut(_, _, a) => a
+      case AvgOut(_, _, a) => a
+      case _ => false
+    }
+
+    val tc = baseRel.catalog.getOrElse(return None) match {
+      case t: TableCatalog => t
+      case _ => return None
+    }
+    val srcIdent = baseRel.identifier.getOrElse(return None)
+    // Every fact-side column the plan still needs must be a view key: the
+    // join keys (group identity), the fact grouping keys, and the replayed
+    // filter columns. Coarsest qualifying view first — fewest rows to join.
+    val requiredKeys: Set[String] =
+      pairs.map(_._1.name.toLowerCase).toSet ++
+        factKeyAttrs.map(_.name.toLowerCase) ++ filterCols
+    val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
+      .filter { case (_, source, keys, sum) =>
+        source == srcIdent.name() && requiredKeys.subsetOf(keys) &&
+          sumCols.forall(_.equalsIgnoreCase(sum))
+      }
+    val ordered = declared.sortBy(_._3.size).map(d => (d._1, d._3))
+    val (vIdent, vTable, _) = pickVerified(tc, ordered, srcIdent.name(),
+      baseTable.manifest.gen, sumCols, needsExactFold).getOrElse(return None)
+
+    if (!schemaServes(outs, vTable)) return None
+    val wanted = requiredKeys ++ mvWanted(outs)
+    val (vScan, vAttr) =
+      buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
+    if (!longTyped(outs, vAttr)) return None
+
+    // Replay the key-only fact filter on the view, then re-join the view to
+    // the UNTOUCHED dimension subtree on the same (renamed) keys.
+    val vInput: LogicalPlan = baseFilter match {
+      case Some(c) => Filter(c.transform {
+        case ar: AttributeReference => vAttr(ar.name)
+      }, vScan)
+      case None => vScan
+    }
+    val newCond = cond.transform {
+      case ar: AttributeReference if factOut.contains(ar) => vAttr(ar.name)
+    }
+    val newJoin =
+      if (factIsLeft) Join(vInput, dim, Inner, Some(newCond), hint)
+      else Join(dim, vInput, Inner, Some(newCond), hint)
+
+    // Re-aggregate the partials: dim keys verbatim, fact keys renamed to the
+    // view's columns, counts/sums folded exactly as the ROLLUP path does.
+    val aggList: Seq[NamedExpression] = outs.map {
+      case KeyOut(ar, orig) if factOut.contains(ar) =>
+        Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
+      case KeyOut(_, orig) => orig
+      case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
+        Literal(0L))), al.name)(exprId = al.exprId)
+      case SumOut(al, _, _) =>
+        Alias(reSum(vAttr("mv_sum")), al.name)(exprId = al.exprId)
+      case AvgOut(al, _, _) => Alias(avgOf(reSum(vAttr("mv_sum")),
+        reSum(vAttr("mv_nncount"))), al.name)(exprId = al.exprId)
+      // min/max are multiplicity-blind, so the join re-aggregation is exact
+      // even where a duplicate dim key repeats a view group.
+      case MinOut(al, _) => Alias(AggregateExpression(Min(vAttr("mv_min")),
+        Complete, isDistinct = false), al.name)(exprId = al.exprId)
+      case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
+        Complete, isDistinct = false), al.name)(exprId = al.exprId)
+    }
+    val newGes = keyAttrs.map(ka =>
+      if (factOut.contains(ka)) vAttr(ka.name) else ka)
+    Some(Aggregate(newGes, aggList, newJoin))
   }
 }
 

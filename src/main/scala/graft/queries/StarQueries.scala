@@ -151,12 +151,30 @@ object StarQueries {
         .tableProperty("fixture", marker).create()
     }
     // v3: the view schema gained mv_nncount (exact AVG serving).
-    fixture(s, d, "mvrq_mv", 2L, "v3", Seq("orders")) { marker =>
+    // v4: the view carries the mview.foldmode stamp — without it the
+    // rewrite (correctly) refuses ANSI-mode sum/avg, since a stampless
+    // view's fold history is unknowable and may have wrapped.
+    fixture(s, d, "mvrq_mv", 2L, "v4", Seq("orders")) { marker =>
       s.sql("CALL graft.system.create_mview(source => 'mvrq', " +
         "name => 'mvrq_mv', keys => 'pk,b', sum_col => 'cents')")
       require(s.table("graft.mvrq_mv").count() > 0,
         "mvrq_mv seeded empty over a non-empty base — refusing to memoize")
       s.sql(s"ALTER TABLE graft.mvrq_mv SET TBLPROPERTIES('fixture' = '$marker')")
+    }
+  }
+
+  /** The dimension the JOIN-aggregate rewrite (B234) joins against: one row
+    * per distinct `b` value of graft.mvrq, with a coarser grouping column.
+    * Built alongside [[mvrqFixtures]] by q_mview_join_rewrite. */
+  private def mvrqDimFixture(s: SparkSession, d: String): Unit = {
+    fixture(s, d, "mvrq_dim", 1L, "v1", Seq("orders")) { marker =>
+      Tables.orders(s, d)
+        .select(pmod(col("o_orderkey"), lit(5)).cast("long").as("bpk"))
+        .distinct()
+        .withColumn("grp", pmod(col("bpk"), lit(2)))
+        .withColumn("label", concat(lit("g"), col("bpk")))
+        .coalesce(1).writeTo("graft.mvrq_dim")
+        .tableProperty("fixture", marker).create()
     }
   }
 
@@ -2992,7 +3010,11 @@ object StarQueries {
       val foldedDelta = r1.getLong(0) == 0L && r1.getLong(1) == 3L
       val r2 = s.sql("CALL graft.system.refresh_mview(name => 'mvqv')").collect()(0)
       val noop = r2.getLong(0) == 3L && r2.getLong(1) == 3L
+      // Explicit projection: a view seeded AFTER the schema gained
+      // mv_min/mv_max carries two more columns than the memoized v2 seed —
+      // both vintages must hash identically.
       s.table("graft.mvqv")
+        .select(col("pk"), col("mv_count"), col("mv_sum"), col("mv_nncount"))
         .withColumn("folded_delta", lit(foldedDelta))
         .withColumn("noop_ok", lit(noop))
         .orderBy(col("pk"))
@@ -3162,6 +3184,95 @@ object StarQueries {
         case sr: V2SR => sr.relation.table.name() }
       val rewritten = scans.exists(_.contains("mvrq_mv")) &&
         !scans.exists(_.contains("mvrq@"))
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
+    // B234 JOIN-AGGREGATE rewrite: `fact ⋈ dim GROUP BY dim.grp` — the
+    // dominant reporting shape once a star schema normalizes — answered by
+    // EAGER AGGREGATION (Yan–Larson): the (pk,b) view substitutes for the
+    // fact side, the FILTERED dimension rides verbatim, and the partials
+    // re-aggregate above the (now view-sized) join. Unconditionally exact
+    // for count/sum/avg — no uniqueness or RELY declaration needed (a dup
+    // or filtered dim key multiplies/drops both paths identically). The
+    // `rewritten` boolean pins the view-for-fact substitution in the plan;
+    // the oracle replays the base join-aggregate the plan no longer runs.
+    "q_mview_join_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      mvrqDimFixture(s, d)
+      val df = s.table("graft.mvrq")
+        .join(s.table("graft.mvrq_dim").filter(col("bpk") =!= 4L),
+          col("b") === col("bpk"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
+        scans.exists(_.contains("mvrq_dim")) &&
+        !scans.exists(_.contains("mvrq@"))
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("grp"))
+    },
+
+    // B198+B234 MIN/MAX materialized view with DELETE-AWARE maintenance:
+    // the clone-forked source takes an append, a row DELETE (which may
+    // strip group extremes — the fold recomputes exactly the affected
+    // groups from the semi-join-pruned base) and an UPDATE that mints new
+    // global minima (exercising the insert-side least/greatest fast path);
+    // one refresh folds it all, and the natural min/max/count GROUP BY is
+    // then answered FROM the view (`rewritten` pins the plan). The oracle
+    // replays the DML relationally over the base data.
+    "q_mview_minmax" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).cast("long").as("pk"))
+      // Seed source + seeded view build once per dataset; each invocation
+      // forks both by clone (the q_catalog_mview pattern — the view's
+      // mview.source re-pointed, fold floor reset to the clone's gen 0).
+      val mmSrcOk =
+        try {
+          val sdir = new org.apache.hadoop.fs.Path(
+            Tables.scratchDir(s, "catalog", d), "mmq_s")
+          graft.sources.GraftManifest.currentGen(
+            sdir, s.sessionState.newHadoopConf()) == 1L
+        } catch { case _: Exception => false }
+      if (!mmSrcOk) s.sql("DROP TABLE IF EXISTS graft.mmqv_s")
+      fixture(s, d, "mmqv_s", 2L, "v1", Seq("orders")) { marker =>
+        s.sql("DROP TABLE IF EXISTS graft.mmq_s")
+        base.filter(col("o_orderkey") % 2 === 0)
+          .writeTo("graft.mmq_s").tableProperty("dml", "dv")
+          .tableProperty("fixture", marker).create()                  // gen 1
+        s.sql("CALL graft.system.create_mview(source => 'mmq_s', " +
+          "name => 'mmqv_s', keys => 'pk', sum_col => 'cents')")
+        s.sql(s"ALTER TABLE graft.mmqv_s SET TBLPROPERTIES('fixture'='$marker')")
+      }
+      s.sql("DROP TABLE IF EXISTS graft.mmq")
+      s.sql("DROP TABLE IF EXISTS graft.mmqv")
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mmq_s", "mmq")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mmqv_s", "mmqv",
+        Map("mview.source" -> "mmq", "mview.gen" -> "0"))
+      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.mmq").append() // 1
+      s.sql("DELETE FROM graft.mmq WHERE o_orderkey % 7 = 0")         // gen 2
+      s.sql("UPDATE graft.mmq SET cents = cents - 100000 " +
+        "WHERE o_orderkey % 13 = 0")                                  // gen 3
+      val r = s.sql("CALL graft.system.refresh_mview(name => 'mmqv')").collect()(0)
+      val folded = r.getLong(0) == 0L && r.getLong(1) == 3L
+      val df = s.table("graft.mmq")
+        .groupBy(col("pk"))
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+          count(lit(1)).as("n"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = folded && scans.exists(_.contains("mmqv")) &&
+        !scans.exists(_.contains("mmq@"))
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
@@ -5537,6 +5648,35 @@ object StarQueries {
         |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
         |  true AS rewritten
         |FROM base WHERE b IN (1, 3) GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B234 join rewrite: the oracle replays the base fact ⋈ (filtered) dim
+    // aggregate the optimizer served from the view joined to the dimension.
+    "q_mview_join_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 5 AS b FROM orders),
+        |dim AS (SELECT DISTINCT o_orderkey % 5 AS bpk,
+        |    (o_orderkey % 5) % 2 AS grp FROM orders)
+        |SELECT CAST(grp AS BIGINT) AS grp, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base JOIN dim ON base.b = dim.bpk
+        |WHERE dim.bpk <> 4
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // B198+B234 min/max view: the oracle replays the DML composition (the
+    // %7 delete runs before the %13 update and the predicates are
+    // independent, so the relational replay composes them directly).
+    "q_mview_minmax" ->
+      """WITH live AS (
+        |  SELECT o_orderkey % 4 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 13 = 0 THEN -100000 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CAST(pk AS BIGINT) AS pk, CAST(min(cents) AS BIGINT) AS mn,
+        |  CAST(max(cents) AS BIGINT) AS mx, count(*) AS n,
+        |  true AS rewritten
+        |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B233: the oracle replays the row filter relationally for the policed
     // columns, the raw table for the auditor columns, and pins the mask

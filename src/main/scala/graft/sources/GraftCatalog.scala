@@ -127,19 +127,26 @@ class GraftCatalog extends TableCatalog
   }
   override def name(): String = catName
 
-  private def tableDir(ident: Identifier): Path = {
-    // "__" is the namespace/name separator in the directory encoding, so a
-    // SEGMENT containing it would collide distinct identifiers (`a.b` vs
-    // `a__b` share one directory — the second create would refuse with
-    // TableAlreadyExists for a DIFFERENT table, and loads would silently
-    // serve the other's data) and decode wrongly in listTables. Refuse
-    // loudly at every entry point (this resolver is the one chokepoint).
+  /** "__" is the namespace/name separator in the directory encoding, so a
+    * SEGMENT containing it would collide distinct identifiers (`a.b` vs
+    * `a__b` share one directory — the second create would refuse with
+    * TableAlreadyExists for a DIFFERENT table, and loads would silently
+    * serve the other's data) and decode wrongly in listTables. Rejected
+    * LOUDLY only where a new binding is minted (create / rename-target);
+    * read-side entry points (load / exists / drop / `DROP TABLE IF EXISTS`)
+    * treat such an identifier as a table that cannot exist — NoSuchTable or
+    * a false/no-op — so metadata hygiene paths never throw on it. */
+  private def encodable(ident: Identifier): Boolean =
+    (ident.namespace() :+ ident.name()).forall(seg => !seg.contains("__"))
+
+  private def requireEncodable(ident: Identifier): Unit =
     (ident.namespace() :+ ident.name()).foreach(seg =>
       require(!seg.contains("__"),
         s"identifier segment '$seg' contains '__', the catalog's " +
           "namespace separator — rename the table or namespace"))
+
+  private def tableDir(ident: Identifier): Path =
     new Path(root, (ident.namespace() :+ ident.name()).mkString("__"))
-  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val fs = root.getFileSystem(conf)
@@ -151,6 +158,7 @@ class GraftCatalog extends TableCatalog
   }
 
   override def tableExists(ident: Identifier): Boolean = {
+    if (!encodable(ident)) return false
     val dir = tableDir(ident)
     dir.getFileSystem(conf).exists(new Path(dir, "CURRENT"))
   }
@@ -240,6 +248,7 @@ class GraftCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requireEncodable(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.map { t =>
       def litInt(what: String): Int = t.arguments().collectFirst {
@@ -566,6 +575,9 @@ class GraftCatalog extends TableCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    // A non-encodable identifier can never have been created, so DROP is a
+    // clean no-op — `DROP TABLE IF EXISTS a__b.t` must not throw.
+    if (!encodable(ident)) return false
     val dir = tableDir(ident)
     val fs = dir.getFileSystem(conf)
     fs.exists(dir) && fs.delete(dir, true)
@@ -574,6 +586,7 @@ class GraftCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val fs = root.getFileSystem(conf)
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    requireEncodable(newIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     require(fs.rename(tableDir(oldIdent), tableDir(newIdent)), "rename failed")
   }
@@ -1809,7 +1822,7 @@ class GraftScanBuilder(dir: Path, manifest: GraftManifest,
         s"GraftLocalAggScan(gen=${manifest.gen}, metadata-only aggregate)")
     case None =>
       new GraftScan(dir, manifest, keptEntries, required, dataFilters,
-        streamOpts)
+        streamOpts, partFilters, fileFilters)
   }
 }
 
@@ -2282,8 +2295,11 @@ object GraftScanBuilder {
 class GraftScan(dir: Path, manifest: GraftManifest,
     entries: Seq[(String, String)], required: StructType,
     dataFilters: Array[Filter],
-    streamOpts: GraftStreamOptions = GraftStreamOptions())
-    extends GraftBatchScan(dir, manifest, entries, required, dataFilters)
+    streamOpts: GraftStreamOptions = GraftStreamOptions(),
+    partFilters: Array[Filter] = Array.empty,
+    fileFilters: Array[Filter] = Array.empty)
+    extends GraftBatchScan(dir, manifest, entries, required, dataFilters,
+      partFilters, fileFilters)
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def description(): String =
@@ -3289,7 +3305,16 @@ object GraftParquetRead {
   * read — or rewritten. Without this every MERGE would rewrite the table. */
 class GraftBatchScan(dir: Path, val manifest: GraftManifest,
     val entries: Seq[(String, String)], required: StructType,
-    val dataFilters: Array[Filter] = Array.empty)
+    val dataFilters: Array[Filter] = Array.empty,
+    // The OTHER two entry-pruning channels, exposed for plan-identity proofs
+    // (B234): fully-handled partition filters leave NO residual and `_file`
+    // filters prune on a pseudo-column — entry pruning driven by either
+    // drops rows a residual re-check can't resurrect, while pruning driven
+    // ONLY by dataFilters is pure IO skip (Spark re-checks them above the
+    // scan). A rule that sees both lists empty may treat a pruned entry
+    // list as semantically full.
+    val partFilters: Array[Filter] = Array.empty,
+    val fileFilters: Array[Filter] = Array.empty)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -3428,7 +3453,8 @@ class GraftRowLevelOperation(dir: Path, manifest: GraftManifest,
       // its final (runtime-filtered) file list is the group set the rewrite
       // commit swaps.
       override def build(): Scan = {
-        val s = new GraftBatchScan(dir, manifest, keptEntries, required)
+        val s = new GraftBatchScan(dir, manifest, keptEntries, required,
+          partFilters = partFilters, fileFilters = fileFilters)
         scanRef = Some(s)
         s
       }
@@ -3484,7 +3510,8 @@ class GraftDeltaRowLevelOperation(dir: Path, manifest: GraftManifest,
       // copy-on-write path, pruned files here just mean fewer rows SCANNED,
       // never a correctness-relevant group set.
       override def build(): Scan =
-        new GraftBatchScan(dir, manifest, keptEntries, required)
+        new GraftBatchScan(dir, manifest, keptEntries, required,
+          partFilters = partFilters, fileFilters = fileFilters)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo)
@@ -5997,9 +6024,17 @@ object GraftCatalogOps {
    *
    * Maintained aggregates are COUNT(*) and SUM (the self-maintainable
    * abelian set: an update is a delete+insert pair in the feed, and +1/-1
-   * signed folding is exact under both; AVG derives as sum/count). MIN/MAX
-   * are deliberately absent — a delete can strip the extremum, forcing a
-   * group re-scan, which breaks the delta-only cost model.
+   * signed folding is exact under both; AVG derives as sum/count), plus
+   * MIN/MAX with the standard delete-aware dodge (the Oracle/Materialize
+   * posture): inserts fold exactly (least/greatest with the stored
+   * extremum), and a fold whose delta DELETES a value that could be a
+   * group's extremum (deleted value ≤ mv_min or ≥ mv_max — a strictly
+   * interior delete provably strips nothing) recomputes ONLY the affected
+   * groups from the base snapshot, semi-join-pruned to those group keys —
+   * work ∝ touched groups, never the source. NULL deletes never force a
+   * recompute (nulls don't contribute to extremes), and min/max columns
+   * keep the declared column's own type (no widening), so serving them
+   * back preserves the query's output schema exactly.
    *
    * Exactly-once refresh WITHOUT a second metadata channel: each refresh
    * overwrite rides the B180 txn ledger (`txnAppId='mview', txnVersion=
@@ -6025,18 +6060,30 @@ object GraftCatalogOps {
       require(Set[DataType](LongType, IntegerType, ShortType)(dt),
         s"mview sum column $c must be integral for exact folding, got ${dt.sql}")
     }
+    import org.apache.spark.sql.functions.{max, min}
     snap.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("mv_count"), sum(col(sumCol)).cast("long").as("mv_sum"),
         // count of NON-NULL sum-column rows: what avg(sumCol) divides by —
         // mv_count counts all rows, so serving avg as mv_sum/mv_count would
         // be wrong the moment a group holds a NULL (B234's AVG rewrite
         // reads this column instead).
-        count(col(sumCol)).as("mv_nncount"))
+        count(col(sumCol)).as("mv_nncount"),
+        // UNCAST extremes: min/max preserve their input type, so the B234
+        // rewrite can serve them back without changing the query's schema.
+        min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max"))
       .writeTo(s"$catalog.`$name`")
       .tableProperty("mview.source", source)
       .tableProperty("mview.keys", keys.mkString(","))
       .tableProperty("mview.sum", sumCol)
       .tableProperty("mview.gen", g0.toString)
+      // The seed's sum() runs under the SESSION's eval mode: ANSI raises on
+      // Long overflow (a stored mv_sum is therefore EXACT), LEGACY wraps (a
+      // stored mv_sum may be the wrapped value). B234 reads this stamp to
+      // refuse serving an ANSI-mode query from a legacy-folded view — the
+      // one pairing where the rewrite could answer a wrapped value the
+      // un-rewritten query would have raised ARITHMETIC_OVERFLOW on.
+      .tableProperty("mview.foldmode",
+        if (spark.sessionState.conf.ansiEnabled) "ansi" else "legacy")
       .create()
     // The rewrite rule caches namespace view listings (30 s TTL); a view
     // created through this API must start serving immediately.
@@ -6083,28 +6130,93 @@ object GraftCatalogOps {
       s"source $source is at generation $to, below the view's fold floor $from " +
         "(RESTORE ran backwards past the floor) — rebuild the view")
     if (to == from) return (from, to)
+    import org.apache.spark.sql.functions.{greatest, least, max, min}
+    // Views created before the mv_min/mv_max columns existed fold without
+    // them (schema-compatible overwrite); B234 simply refuses their MIN/MAX
+    // rewrites via the same schema probe it uses for mv_nncount.
+    val hasMinMax = spark.table(s"$catalog.`$name`")
+      .columns.exists(_.equalsIgnoreCase("mv_min"))
     val sign = when(col(GraftChangesTable.ChangeType) === "insert", 1L).otherwise(-1L)
+    val baseAggs = Seq(
+      sum(sign).as("d_count"), sum(sign * col(sumCol)).cast("long").as("d_sum"),
+      sum(when(col(sumCol).isNotNull, sign).otherwise(0L)).as("d_nncount"))
+    val mmAggs =
+      if (!hasMinMax) Seq.empty
+      else Seq(
+        min(when(sign === 1L, col(sumCol))).as("d_ins_min"),
+        max(when(sign === 1L, col(sumCol))).as("d_ins_max"),
+        min(when(sign === -1L, col(sumCol))).as("d_del_min"),
+        max(when(sign === -1L, col(sumCol))).as("d_del_max"))
     val delta = changes(spark, s"$catalog.`$source`", root, source, from, to)
       .groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("d_count"), sum(sign * col(sumCol)).cast("long").as("d_sum"),
-        sum(when(col(sumCol).isNotNull, sign).otherwise(0L)).as("d_nncount"))
+      .agg((baseAggs ++ mmAggs).head, (baseAggs ++ mmAggs).tail: _*)
     val newNn =
       coalesce(col("mv_nncount"), lit(0L)) + coalesce(col("d_nncount"), lit(0L))
-    val merged = spark.table(s"$catalog.`$name`")
-      .join(delta, keys, "full_outer")
-      .select(keys.map(col) ++ Seq(
-        (coalesce(col("mv_count"), lit(0L)) + coalesce(col("d_count"), lit(0L)))
-          .as("mv_count"),
-        // sum(x) is NULL iff a group holds no non-null x — keep that exact
-        // through folding (a plain coalesce-add would turn it into 0).
-        when(newNn > 0L,
-          coalesce(col("mv_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
-          .as("mv_sum"),
-        newNn.as("mv_nncount")): _*)
-      .filter(col("mv_count") > 0)
+    val foldCols = Seq(
+      (coalesce(col("mv_count"), lit(0L)) + coalesce(col("d_count"), lit(0L)))
+        .as("mv_count"),
+      // sum(x) is NULL iff a group holds no non-null x — keep that exact
+      // through folding (a plain coalesce-add would turn it into 0).
+      when(newNn > 0L,
+        coalesce(col("mv_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+        .as("mv_sum"),
+      newNn.as("mv_nncount"))
+    val joined = spark.table(s"$catalog.`$name`").join(delta, keys, "full_outer")
+    val merged =
+      if (!hasMinMax)
+        joined.select(keys.map(col) ++ foldCols: _*).filter(col("mv_count") > 0)
+      else {
+        // MIN/MAX delete-aware maintenance: inserts fold exactly
+        // (least/greatest skip NULLs, so a new group adopts the inserted
+        // extremes and NULL inserts contribute nothing); a group needs a
+        // RECOMPUTE only when the delta deleted a value that could be its
+        // stored extremum — a strictly interior deleted range (mv_min <
+        // deleted values < mv_max) provably strips nothing, and NULL deletes
+        // never do (min/max ignore NULLs). A delete hitting a group the view
+        // doesn't carry (insert+delete inside one fold window) recomputes
+        // conservatively. Recompute work ∝ touched groups: the base snapshot
+        // AT THE FOLD TARGET generation is semi-join-pruned to exactly those
+        // group keys (AQE collapses the scan entirely when no group is
+        // flagged). The delta fold is referenced twice (flag + recompute
+        // keys) — delta-sized work by doctrine, never source-sized.
+        val recomp = col("d_del_min").isNotNull && (col("mv_min").isNull ||
+          col("d_del_min") <= col("mv_min") || col("d_del_max") >= col("mv_max"))
+        val withFlag = joined.select(keys.map(col) ++ foldCols ++ Seq(
+          least(col("mv_min"), col("d_ins_min")).as("f_min"),
+          greatest(col("mv_max"), col("d_ins_max")).as("f_max"),
+          recomp.as("__recomp")): _*)
+        val recompKeys = withFlag.filter(col("__recomp"))
+          .select(keys.map(col): _*)
+        val recomputed =
+          spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
+            .join(recompKeys, keys, "left_semi")
+            .groupBy(keys.map(col): _*)
+            .agg(min(col(sumCol)).as("r_min"), max(col(sumCol)).as("r_max"))
+        withFlag.join(recomputed, keys, "left_outer")
+          .select(keys.map(col) ++ Seq(col("mv_count"), col("mv_sum"),
+            col("mv_nncount"),
+            when(col("__recomp"), col("r_min")).otherwise(col("f_min"))
+              .as("mv_min"),
+            when(col("__recomp"), col("r_max")).otherwise(col("f_max"))
+              .as("mv_max")): _*)
+          .filter(col("mv_count") > 0)
+      }
     merged.writeTo(s"$catalog.`$name`")
       .option("txnAppId", "mview").option("txnVersion", to.toString)
       .overwrite(lit(true))
+    // Fold-mode stamp maintenance (see createMview): "ansi" survives only if
+    // EVERY fold since the seed ran under ANSI — one LEGACY fold can wrap a
+    // stored sum, and a later ANSI fold would not detect it, so the mode
+    // AND-combines and only ever weakens. Downgrade is a rare props-only
+    // commit; the common same-mode refresh stays a single atomic overwrite.
+    val prevMode = m.props.getOrElse("mview.foldmode", "legacy")
+    val newMode =
+      if (prevMode == "ansi" && spark.sessionState.conf.ansiEnabled) "ansi"
+      else "legacy"
+    if (newMode != prevMode)
+      GraftManifest.publishNext(dir, conf)(cur =>
+        cur.copy(gen = cur.gen + 1,
+          props = cur.props + ("mview.foldmode" -> newMode)))
     (from, to)
   }
 
@@ -6304,7 +6416,10 @@ object GraftProcedures {
 
   private case class ProcDef(name: String, description: String,
       params: Seq[ProcedureParameter], outSchema: StructType,
-      run: (SparkSession, String, String, InternalRow) => Seq[Any])
+      run: (SparkSession, String, String, InternalRow) => Seq[Any],
+      // Multi-row procedures (e.g. diagnostics) return whole row sets;
+      // when set, `run` is ignored.
+      runRows: Option[(SparkSession, String, String, InternalRow) => Seq[Seq[Any]]] = None)
 
   private def ref(cat: String, t: String) = s"$cat.`$t`"
 
@@ -6440,7 +6555,35 @@ object GraftProcedures {
         val (f, t) = GraftCatalogOps.refreshMview(s, cat, root,
           a.getUTF8String(0).toString)
         Seq(f, t)
-      }))
+      }),
+    // The near-miss diagnostics rings, SQL-reachable (the "why didn't my
+    // view serve / my join eliminate" question, answerable over a SQL-only
+    // connection — the JVM-side `RelyDiagnostics.recent` twins). Notes are
+    // process-wide by design, like driver logs; a FIRED rewrite leaves none.
+    ProcDef("diagnostics",
+      "recent optimizer near-miss notes — why a QUALIFYING rewrite did not " +
+        "fire (RELY join elimination, mview rewrite); ring = rely | mview " +
+        "| all; clear => true drops the returned ring(s) after reading",
+      Seq(inDef("ring", StringType, "'all'"),
+        inDef("clear", BooleanType, "false")),
+      out("ring" -> StringType, "note" -> StringType),
+      (_, _, _, _) => Seq.empty,
+      runRows = Some((_, _, _, a) => {
+        import org.apache.spark.unsafe.types.UTF8String
+        val which = a.getUTF8String(0).toString.toLowerCase
+        require(Set("all", "rely", "mview")(which),
+          s"ring must be rely | mview | all, got '$which'")
+        val rings = Seq(
+          "rely" -> graft.plans.RelyDiagnostics,
+          "mview" -> graft.plans.MviewDiagnostics)
+          .filter { case (n, _) => which == "all" || which == n }
+        val rows = rings.flatMap { case (n, ring) =>
+          ring.recent.map(note => Seq[Any](
+            UTF8String.fromString(n), UTF8String.fromString(note)))
+        }
+        if (a.getBoolean(1)) rings.foreach(_._2.clear())
+        rows
+      })))
 
   def names: Seq[String] = defs.map(_.name)
 
@@ -6460,9 +6603,14 @@ object GraftProcedures {
         override def isDeterministic(): Boolean = false
         override def call(input: InternalRow)
             : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-          val vs = d.run(SparkSession.active, catName, root, input)
+          val rows: Array[InternalRow] = d.runRows match {
+            case Some(rr) => rr(SparkSession.active, catName, root, input)
+              .map(InternalRow.fromSeq).toArray
+            case None => Array(InternalRow.fromSeq(
+              d.run(SparkSession.active, catName, root, input)))
+          }
           java.util.Collections.singletonList[org.apache.spark.sql.connector.read.Scan](
-            new GraftLocalAggScan(d.outSchema, Array(InternalRow.fromSeq(vs)),
+            new GraftLocalAggScan(d.outSchema, rows,
               s"CALL $catName.system.${d.name}")).iterator()
         }
       }

@@ -2968,4 +2968,36 @@ class CatalogSpec extends GraftSuite {
     }
     assert(ex.getMessage.contains("reserved"))
   }
+
+  test("'__' identifiers refuse at CREATE but read paths answer NoSuchTable, not throw") {
+    // "__" is the directory-encoding separator: `a.b` and `a__b` would share
+    // one directory. Minting such a binding fails LOUDLY; but metadata
+    // hygiene paths must stay graceful — `DROP TABLE IF EXISTS` on the name
+    // is a no-op and SELECT reports the table missing, neither an
+    // IllegalArgumentException.
+    val _ = root
+    import spark.implicits._
+    val create = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "s").writeTo("gtest.`bad__name`").create()
+    }
+    assert(create.getMessage.contains("__"), s"loud create refusal: $create")
+    // IF EXISTS drop: clean no-op, no throw.
+    spark.sql("DROP TABLE IF EXISTS gtest.`bad__name`")
+    // Bare SELECT: table-not-found, not IllegalArgument.
+    val sel = intercept[Exception] { spark.table("gtest.`bad__name`").collect() }
+    assert(!sel.isInstanceOf[IllegalArgumentException] &&
+      (sel.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        sel.getMessage.toLowerCase.contains("not found") ||
+        sel.getMessage.toLowerCase.contains("cannot be found")),
+      s"expected NoSuchTable-style failure, got: $sel")
+    // RENAME onto a '__' target refuses loudly; the source stays intact.
+    val t = freshTable("rensrc")
+    Seq((1L, "x")).toDF("id", "s").writeTo(t).create()
+    val ren = intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.rensrc RENAME TO gtest.`bad__tgt`")
+    }
+    assert(ren.getMessage.contains("__"), s"loud rename refusal: $ren")
+    assert(spark.table(t).count() === 1L)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

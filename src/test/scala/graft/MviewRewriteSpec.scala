@@ -184,9 +184,12 @@ class MviewRewriteSpec extends GraftSuite {
     // Filtered scan: not the view's input.
     assert(!answersFromView(f.filter(col("id") < 100)
       .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n"))))
-    // Unmaintained aggregate (max).
+    // Unmaintained aggregate (stddev).
     assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
-      .agg(max(col("x")).as("m"))))
+      .agg(stddev(col("x")).as("m"))))
+    // min/max of a NON-declared column (maintained only for the sum col).
+    assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
+      .agg(max(col("id")).as("m"))))
     // Sum of a different column.
     assert(!answersFromView(f.groupBy(col("k1"), col("k2"))
       .agg(sum(col("id")).as("s"))))
@@ -315,6 +318,58 @@ class MviewRewriteSpec extends GraftSuite {
     finally cls.experimental.extraOptimizations = saved
   }
 
+  test("ANSI query over a LEGACY-folded view refuses; over an ANSI fold it serves") {
+    // The fold's own sum() runs under the session's eval mode. A LEGACY fold
+    // can store a WRAPPED mv_sum that an ANSI query would have raised
+    // ARITHMETIC_OVERFLOW on — that pairing must refuse. An ANSI fold that
+    // COMMITTED proves the stored sum is exact, so ANSI queries serve from
+    // it; and a LEGACY query serves from either (wrapping addition is
+    // associative, exact values agree).
+    val _ = root
+    import spark.implicits._
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.sql("DROP TABLE IF EXISTS gmvr.modefact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.modefact_mv")
+    (0L until 60L).map(i => (i, i % 5, i * 3 % 100))
+      .toDF("id", "k", "x").writeTo("gmvr.modefact").create()
+    // LEGACY fold: seed the view with ANSI off.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.sql("CALL gmvr.system.create_mview(source => 'modefact', " +
+      "name => 'modefact_mv', keys => 'k', sum_col => 'x')")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      def q: DataFrame = spark.table("gmvr.modefact").groupBy(col("k"))
+        .agg(sum(col("x")).as("s"), avg(col("x")).as("a"))
+      def servesView(df: DataFrame): Boolean =
+        scansOf(df).exists(_.contains("modefact_mv"))
+      assert(!servesView(q),
+        s"ANSI sum/avg must not serve a legacy-folded view, got ${scansOf(q)}")
+      // count(*) carries no overflow-bearing arithmetic — it serves anyway.
+      assert(servesView(spark.table("gmvr.modefact").groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))))
+      // LEGACY query: serves regardless of the fold mode.
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(servesView(q), s"legacy query must serve, got ${scansOf(q)}")
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      // Recreate under ANSI: the committed fold proves exactness — serves.
+      spark.sql("DROP TABLE IF EXISTS gmvr.modefact_mv")
+      spark.sql("CALL gmvr.system.create_mview(source => 'modefact', " +
+        "name => 'modefact_mv', keys => 'k', sum_col => 'x')")
+      assert(servesView(q), s"ANSI fold must serve ANSI queries, got ${scansOf(q)}")
+      // A LEGACY refresh WEAKENS the stamp: ANSI queries stop serving again.
+      Seq((100L, 1L, 7L)).toDF("id", "k", "x").writeTo("gmvr.modefact").append()
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.sql("CALL gmvr.system.refresh_mview(name => 'modefact_mv')")
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assert(!servesView(q),
+        "one legacy fold must permanently downgrade the ANSI-exactness stamp")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+      spark.sql("DROP TABLE IF EXISTS gmvr.modefact_mv")
+      spark.sql("DROP TABLE IF EXISTS gmvr.modefact")
+    }
+  }
+
   test("ROLLUP staleness: one source commit past the floor stops the rollup too") {
     val _ = root
     import spark.implicits._
@@ -328,5 +383,255 @@ class MviewRewriteSpec extends GraftSuite {
     assert(answersFromView(coarse))
     val again = coarse.filter(col("k2") === 2).head
     assert(again.getLong(1) === n2.getLong(1) && again.getLong(2) === n2.getLong(2))
+  }
+
+  test("JOIN-aggregate rewrite: fact ⋈ dim GROUP BY dim.attr serves via eager aggregation") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    spark.sql("DROP TABLE IF EXISTS gmvr.dim")
+    // pk 0..6 matches fact.k1's domain; attr deliberately NON-unique so the
+    // final grouping merges several view groups per output row.
+    (0L until 7L).map(i => (i, i % 2, s"d$i")).toDF("pk", "attr", "label")
+      .writeTo("gmvr.dim").create()
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    // by-name: a DataFrame caches its queryExecution, so the rule-off replay
+    // must rebuild the frame to re-plan.
+    def checkServes(df: => DataFrame, sortCols: Seq[String]): Unit = {
+      val scans = scansOf(df)
+      assert(scans.exists(_.contains("fact_mv")) && !scans.exists(_.contains("fact@")),
+        s"expected the view to replace the fact scan, got $scans")
+      val got = df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+      ruleOff {
+        assert(!scansOf(df).exists(_.contains("fact_mv")), "sanity: rule off, base join")
+        assert(df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq === got,
+          "join rewrite must reproduce the base join-aggregate exactly")
+      }
+    }
+    def fact = spark.table("gmvr.fact")
+    def dim = spark.table("gmvr.dim")
+    // The headline shape: GROUP BY a NON-KEY dim attribute.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), avg(col("x")).as("ax")),
+      Seq("attr"))
+    // Mixed grouping: dim attr + a fact-side VIEW KEY.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr"), col("k2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("attr", "k2"))
+    // Orientation: dim on the left.
+    checkServes(dim.join(fact, col("pk") === col("k1"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("label"))
+    // FILTERED dim: rides verbatim — drops the same groups on both paths.
+    checkServes(fact.join(dim.filter(col("attr") === 1), col("k1") === col("pk"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("label"))
+    // DUPLICATE dim keys: eager aggregation multiplies both sides
+    // identically — exact WITHOUT any uniqueness declaration.
+    spark.sql("DROP TABLE IF EXISTS gmvr.dupdim")
+    (Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)))
+      .toDF("pk", "tag").writeTo("gmvr.dupdim").create()
+    checkServes(fact.join(spark.table("gmvr.dupdim"), col("k1") === col("pk"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("tag"))
+    spark.sql("DROP TABLE IF EXISTS gmvr.dupdim")
+  }
+
+  test("JOIN-aggregate rewrite no-fire battery and staleness stop") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    def fact = spark.table("gmvr.fact")
+    def dim = spark.table("gmvr.dim")
+    def served(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("fact_mv")) && !scans.exists(_.contains("fact@"))
+    }
+    // Join key NOT a view key: id is no grouping column of the view.
+    assert(!served(fact.join(dim, col("id") === col("pk"))
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))))
+    // Aggregate over a DIM column: the view has no per-join-row values.
+    assert(!served(fact.join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(sum(col("pk")).as("sp"))))
+    // Non-equi join condition.
+    assert(!served(fact.join(dim, col("k1") < col("pk"))
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))))
+    // Fact-side DATA-column filter: not replayable on the view.
+    assert(!served(fact.filter(col("x") > 100).join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))))
+    // Fact-side VIEW-KEY filter: replays on the view — fires.
+    assert(served(fact.filter(col("k2") === 1).join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))))
+    // Sum of a non-declared fact column.
+    assert(!served(fact.join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(sum(col("id")).as("si"))))
+    // Staleness: one fact commit past the floor stops the join rewrite too.
+    Seq((904L, 5L, 2L, 90L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    def joined = fact.join(dim, col("k1") === col("pk"))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("attr"))
+    assert(!served(joined), "stale view must never serve the join rewrite")
+    val before = joined.collect().map(_.toSeq).toSeq
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    assert(served(joined))
+    assert(joined.collect().map(_.toSeq).toSeq === before,
+      "post-refresh rewrite must serve the same numbers the base join computed")
+  }
+
+  test("CALL graft.system.diagnostics() surfaces near-miss notes over SQL") {
+    val _ = root
+    import spark.implicits._
+    graft.plans.MviewDiagnostics.clear()
+    graft.plans.RelyDiagnostics.clear()
+    // Make the view stale; the refused rewrite's note must be queryable.
+    Seq((905L, 6L, 0L, 95L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    assert(!answersFromView(natural), "stale view must refuse")
+    val notes = spark.sql("CALL gmvr.system.diagnostics(ring => 'mview')")
+      .collect()
+    assert(notes.exists(r => r.getString(0) == "mview" &&
+      r.getString(1).contains("STALE") && r.getString(1).contains("fact_mv")),
+      s"expected the stale near-miss over SQL, got ${notes.mkString("; ")}")
+    // clear => true drops the returned ring.
+    spark.sql("CALL gmvr.system.diagnostics(clear => true)").collect()
+    assert(spark.sql("CALL gmvr.system.diagnostics()").collect().isEmpty,
+      "cleared rings must read back empty")
+    // A FIRED rewrite leaves no note.
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    assert(answersFromView(natural))
+    assert(spark.sql("CALL gmvr.system.diagnostics(ring => 'mview')")
+      .collect().isEmpty, "a served rewrite must leave no note")
+    // Unknown ring name refuses loudly.
+    val bad = intercept[Exception] {
+      spark.sql("CALL gmvr.system.diagnostics(ring => 'nope')").collect()
+    }
+    assert(bad.getMessage.contains("rely | mview | all"))
+  }
+
+  test("MIN/MAX mviews: delete-aware maintenance keeps extremes exact") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.mmfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.mmfact_mv")
+    // x NULL on every 5th row; the k=3 group is ENTIRELY NULL (its min/max
+    // must stay NULL through serve and fold).
+    (0L until 120L).map(i => (i, i % 4,
+        if (i % 5 == 0 || i % 4 == 3) None else Some(i * 13 % 97): Option[Long]))
+      .toDF("id", "k", "x").writeTo("gmvr.mmfact").create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'mmfact', " +
+      "name => 'mmfact_mv', keys => 'k', sum_col => 'x')")
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    def q: DataFrame = spark.table("gmvr.mmfact").groupBy(col("k"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("k"))
+    def serves(df: DataFrame): Boolean =
+      scansOf(df).exists(_.contains("mmfact_mv"))
+    assert(serves(q), s"min/max must serve from the view, got ${scansOf(q)}")
+    val got = q.collect().map(_.toSeq).toSeq
+    ruleOff { assert(q.collect().map(_.toSeq).toSeq === got) }
+    assert(got.exists(r => r.head == 3L && r(1) == null && r(2) == null),
+      s"all-NULL group extremes must be NULL, got $got")
+    // Extremum-stripping DML: delete every value >= 90 (group maxima),
+    // delete one strictly-interior value, insert a new global max and a NULL.
+    spark.sql("DELETE FROM gmvr.mmfact WHERE x >= 90")
+    spark.sql("DELETE FROM gmvr.mmfact WHERE x = 13")
+    Seq((200L, 1L, Some(500L): Option[Long]), (201L, 2L, None: Option[Long]))
+      .toDF("id", "k", "x").writeTo("gmvr.mmfact").append()
+    assert(!serves(q), "stale view must never serve after DML")
+    val truth = q.collect().map(_.toSeq).toSeq
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'mmfact_mv')")
+    assert(serves(q), s"refreshed view must serve, got ${scansOf(q)}")
+    assert(q.collect().map(_.toSeq).toSeq === truth,
+      "the delete-aware fold must reproduce the base extremes exactly")
+    assert(truth.exists(r => r.head == 1L && r(2) == 500L),
+      s"fixture sanity: the inserted 500 must be group 1's max, got $truth")
+    // A view PREDATING mv_min/mv_max serves count/sum but refuses min/max.
+    spark.sql("DROP TABLE IF EXISTS gmvr.mmfact_mv")
+    val srcGen = spark.table("gmvr.`mmfact$history`")
+      .agg(max(col("gen"))).head.getLong(0)
+    spark.table("gmvr.mmfact").groupBy(col("k"))
+      .agg(count(lit(1)).as("mv_count"),
+        sum(col("x")).cast("long").as("mv_sum"),
+        count(col("x")).as("mv_nncount"))
+      .writeTo("gmvr.oldview")
+      .tableProperty("mview.source", "mmfact")
+      .tableProperty("mview.keys", "k")
+      .tableProperty("mview.sum", "x")
+      .tableProperty("mview.gen", srcGen.toString)
+      .tableProperty("mview.foldmode", "ansi")
+      .create()
+    graft.plans.MviewRewriteRule.invalidateCache()
+    assert(!serves(q) && !scansOf(q).exists(_.contains("oldview")),
+      "a view without mv_min/mv_max must not serve a MIN/MAX query")
+    val cq = spark.table("gmvr.mmfact").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    assert(scansOf(cq).exists(_.contains("oldview")),
+      s"the same view must still serve count/sum, got ${scansOf(cq)}")
+    spark.sql("DROP TABLE IF EXISTS gmvr.oldview")
+    spark.sql("DROP TABLE IF EXISTS gmvr.mmfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.mmfact")
+    graft.plans.MviewRewriteRule.invalidateCache()
+  }
+
+  test("a stale view passed over for a fresh one leaves NO skipped-rewrite note") {
+    // The walk prefers the exact-key view; when it is stale but a finer
+    // fresh view still serves the query via rollup, the rewrite FIRED — a
+    // "skipped" diagnostics note would mislead. Notes are buffered and
+    // flushed only when the rule ultimately returns None.
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.fact_mv_k1")
+    spark.sql("CALL gmvr.system.create_mview(source => 'fact', " +
+      "name => 'fact_mv_k1', keys => 'k1', sum_col => 'x')")
+    // Advance the source; refresh ONLY the finer (k1,k2) view — the exact
+    // k1 view is now the stale preferred candidate.
+    Seq((902L, 3L, 0L, 70L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    graft.plans.MviewDiagnostics.clear()
+    def coarse: DataFrame = spark.table("gmvr.fact").groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).orderBy(col("k1"))
+    val scans = scansOf(coarse)
+    assert(scans.exists(s => s.contains("fact_mv") && !s.contains("fact_mv_k1")),
+      s"the fresh finer view must serve the rollup, got $scans")
+    assert(graft.plans.MviewDiagnostics.recent.isEmpty,
+      "a served rewrite must not log the passed-over stale candidate: " +
+        graft.plans.MviewDiagnostics.recent)
+    // Values still base-identical.
+    val got = coarse.collect().map(_.toSeq).toSeq
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try assert(coarse.collect().map(_.toSeq).toSeq === got)
+    finally cls.experimental.extraOptimizations = saved
+    // And when EVERY candidate is stale, the refusal notes BOTH near-misses.
+    Seq((903L, 4L, 1L, 80L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    graft.plans.MviewDiagnostics.clear()
+    assert(!answersFromView(coarse), "all-stale must refuse")
+    val notes = graft.plans.MviewDiagnostics.recent
+    assert(notes.exists(_.contains("fact_mv_k1")) &&
+      notes.exists(n => n.contains("fact_mv") && !n.contains("fact_mv_k1")),
+      s"expected staleness notes for both candidates, got: $notes")
+    spark.sql("DROP TABLE IF EXISTS gmvr.fact_mv_k1")
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
   }
 }
