@@ -3276,6 +3276,65 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
+    // B175/B182/B194 composition — INCREMENTAL ZORDER (liquid-clustering
+    // maintenance): the seeded table is Morton-clustered and STAMPED once
+    // (fixture); each invocation clone-forks it, lands a LOCALIZED append
+    // (x,y in the [0,16)² corner of the 64×64 space), and the timed op
+    // re-clusters ONLY the new files plus the tiles they overlap — the
+    // `surgical` boolean pins that strictly fewer than all files were
+    // rewritten AND every carried file rode the manifest forward with an
+    // IDENTICAL rel path (immutable bytes), and `skip_x` pins that the
+    // maintained layout still prunes. The oracle replays the final content
+    // relationally (x/y are layout-only; the aggregate ignores them).
+    "q_catalog_zorder_incr" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      val root = Tables.scratchDir(s, "catalog", d)
+      // Seed = the STAMPED clustered state (create gen 1, z-rewrite gen 2,
+      // stamp gen 3) — the layout incremental maintenance extends.
+      fixture(s, d, "zoi_s", 3L, "v1", Seq("orders")) { marker =>
+        base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("x", pmod(hash(col("o_orderkey")), lit(64)).cast("long"))
+          .withColumn("y", pmod(hash(col("o_orderkey") + 7), lit(64)).cast("long"))
+          .repartition(8)
+          .writeTo("graft.zoi_s")
+          .tableProperty("fixture", marker).create()
+        graft.sources.GraftCatalogOps.optimizeZorder(
+          s, "graft.zoi_s", root, "zoi_s", "x", "y", numFiles = 8)
+      }
+      s.sql("DROP TABLE IF EXISTS graft.zoi")
+      // Clone is born at gen 0 holding the clustered entry list — re-point
+      // the stamp at it (the mview.gen re-point pattern).
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "zoi_s", "zoi",
+        Map("zorder.gen" -> "0"))
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("x", pmod(hash(col("o_orderkey")), lit(16)).cast("long"))
+        .withColumn("y", pmod(hash(col("o_orderkey") + 7), lit(16)).cast("long"))
+        .coalesce(2)
+        .writeTo("graft.zoi").append()                              // gen 1
+      val dirP = new org.apache.hadoop.fs.Path(root, "zoi")
+      val hconf = s.sessionState.newHadoopConf()
+      def entriesNow = graft.sources.GraftManifest.load(dirP,
+        graft.sources.GraftManifest.currentGen(dirP, hconf), hconf)
+        .entries.map(_._2)
+      val before = entriesNow
+      val (rw, kept) = graft.sources.GraftCatalogOps
+        .optimizeZorderIncremental(s, "graft.zoi", root, "zoi", numFiles = 4)
+      val after = entriesNow
+      val surgical = kept >= 1L && rw < before.size.toLong &&
+        (before.toSet.intersect(after.toSet).size.toLong == kept)
+      import org.apache.spark.sql.sources.GreaterThan
+      val (skipX, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zoi", Array(GreaterThan("x", 48L)))
+      s.table("graft.zoi").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("surgical", lit(surgical))
+        .withColumn("skip_x", lit(skipX >= 1L))
+        .orderBy(col("pk"))
+    },
+
     // B233: ROW-LEVEL SECURITY + COLUMN MASKING enforced IN the scan (the
     // Unity row-filter / Snowflake masking-policy posture): the fixture
     // table declares `graft.rowFilter = k % 7 <> 0`, `graft.mask.tag =
@@ -5677,6 +5736,15 @@ object StarQueries {
         |  CAST(max(cents) AS BIGINT) AS mx, count(*) AS n,
         |  true AS rewritten
         |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // Incremental ZORDER: the final content is plain orders (even seed +
+    // odd corner append — x/y are layout-only); the surgical-rewrite and
+    // pruning booleans are predicted true inside the hash gate.
+    "q_catalog_zorder_incr" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS surgical, true AS skip_x
+        |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B233: the oracle replays the row filter relationally for the policed
     // columns, the raw table for the auditor columns, and pins the mask

@@ -6286,7 +6286,107 @@ object GraftCatalogOps {
     else
       shaped.writeTo(tableRef).option("layout", "managed")
         .overwrite(org.apache.spark.sql.functions.lit(true))
+    // Stamp the clustered layout (cols + curve + the generation whose entry
+    // list IS the clustered tiling) so INCREMENTAL maintenance can later
+    // diff "files added since" against "tiles laid down here" —
+    // [[optimizeZorderIncremental]]. One extra metadata-only commit.
+    GraftManifest.publishNext(dir, conf) { cur =>
+      cur.copy(gen = cur.gen + 1, props = cur.props ++ Map(
+        "zorder.cols" -> s"$xCol,$yCol", "zorder.curve" -> curve,
+        "zorder.gen" -> (cur.gen + 1).toString))
+    }
     (before.entries.size.toLong, snap().entries.size.toLong)
+  }
+
+  /**
+   * INCREMENTAL ZORDER (the liquid-clustering maintenance follow-through on
+   * B175/B183/B194): after appends land on a z-ordered table, re-cluster
+   * ONLY the new files plus the existing tiles whose (x, y) bounding box
+   * OVERLAPS them — every other tile rides the manifest forward untouched
+   * (same file, same bytes). Localized ingest (the common shape: recent
+   * dates, one tenant, one region) therefore re-clusters a corner of the
+   * space, not the table — at 100 TB this is the difference between a
+   * nightly maintenance job and a full rewrite. Composition of the B182
+   * targeted-replace machinery (read the target set `_file`-pruned, rewrite,
+   * swap exactly those files in one commit) with the stamped layout
+   * ([[optimizeZorder]]'s zorder.* props): new files = manifest entries not
+   * in the stamped generation's list; overlap = numeric min/max bbox
+   * intersection from the manifest file stats (missing stats → conservative
+   * rewrite). The rewritten region is range-partitioned and sorted on the
+   * SAME curve key, and the stamp re-publishes so maintenance composes
+   * (next increment diffs against this one). Unpartitioned tables only —
+   * the same restriction the stamped full rewrite enforces.
+   *
+   * Returns (rewrittenFiles, carriedFiles).
+   */
+  def optimizeZorderIncremental(spark: SparkSession, tableRef: String,
+      root: String, table: String, numFiles: Int = 4): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val dir = new Path(root, table)
+    val conf = spark.sessionState.newHadoopConf()
+    def snap() = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val m = snap()
+    require(!GraftPolicies.active(m, spark),
+      s"incremental ZORDER on $table requires a policy-exempt role")
+    val zg = m.props.getOrElse("zorder.gen", throw new IllegalArgumentException(
+      s"$table has no stamped z-order layout — run a full OPTIMIZE ZORDER " +
+        "(CALL …system.zorder) first; incremental maintenance extends a " +
+        "stamped layout, it cannot invent one")).toLong
+    val Array(xCol, yCol) = m.props("zorder.cols").split(',').map(_.trim)
+    val curve = m.props.getOrElse("zorder.curve", "morton")
+    require(m.partCols.isEmpty,
+      "incremental ZORDER supports unpartitioned tables (per-partition " +
+        "tiling diffs are not stamped)")
+    val oldEntries = GraftManifest.load(dir, zg, conf).entries.map(_._2).toSet
+    val current = m.entries.map(_._2)
+    val newFiles = current.filterNot(oldEntries.contains)
+    val tiles = current.filter(oldEntries.contains)
+    if (newFiles.isEmpty) return (0L, current.size.toLong)
+    // Numeric (x, y) bbox per file from the manifest stats; a missing or
+    // unparsable bound is treated as unbounded — conservative rewrite.
+    val px = m.physicalName(xCol); val py = m.physicalName(yCol)
+    def bbox(rel: String): Option[(BigDecimal, BigDecimal, BigDecimal, BigDecimal)] =
+      m.fileStats.get(rel).flatMap { st =>
+        val p = GraftFileStats.parse(st)
+        def rng(c: String): Option[(BigDecimal, BigDecimal)] = p.get(c).flatMap {
+          case (_, Some(mn), Some(mx)) =>
+            try Some((BigDecimal(mn), BigDecimal(mx)))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+        for { (x0, x1) <- rng(px); (y0, y1) <- rng(py) } yield (x0, x1, y0, y1)
+      }
+    val newBoxes = newFiles.map(bbox)
+    val anyNewUnbounded = newBoxes.exists(_.isEmpty)
+    def overlaps(a: (BigDecimal, BigDecimal, BigDecimal, BigDecimal),
+                 b: (BigDecimal, BigDecimal, BigDecimal, BigDecimal)): Boolean =
+      a._1 <= b._2 && b._1 <= a._2 && a._3 <= b._4 && b._3 <= a._4
+    val newBoxesKnown = newBoxes.flatten
+    val touchedTiles = tiles.filter { rel =>
+      anyNewUnbounded || (bbox(rel) match {
+        case Some(tb) => newBoxesKnown.exists(nb => overlaps(tb, nb))
+        case None => true
+      })
+    }
+    val targets = (newFiles ++ touchedTiles).distinct
+    val key = curve match {
+      case "hilbert" => graft.plans.LayoutExpressions.hilbertKey(col(xCol), col(yCol))
+      case _         => graft.operators.Layout.zorderKey(col(xCol), col(yCol))
+    }
+    spark.table(tableRef).select(col("*"), col("_file"))
+      .where(col("_file").isin(targets: _*)).drop("_file")
+      .withColumn("__zkey", key)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .writeTo(tableRef).option("replaceFiles", targets.mkString("\n"))
+      .append()
+    // Re-stamp: the NEXT increment diffs against this layout.
+    GraftManifest.publishNext(dir, conf) { cur =>
+      cur.copy(gen = cur.gen + 1,
+        props = cur.props + ("zorder.gen" -> (cur.gen + 1).toString))
+    }
+    (targets.size.toLong, (current.size - targets.size).toLong)
   }
 
   /** Files of the CURRENT snapshot a data predicate provably excludes, by the
@@ -6463,6 +6563,17 @@ object GraftProcedures {
           a.getUTF8String(1).toString, a.getUTF8String(2).toString, a.getInt(3),
           a.getUTF8String(4).toString)
         Seq(fb, fa)
+      }),
+    ProcDef("zorder_incr",
+      "incrementally re-cluster a stamped z-ordered table: rewrite only " +
+        "files added since the stamp plus the tiles they overlap",
+      Seq(in("table", StringType), inDef("num_files", IntegerType, "4")),
+      out("files_rewritten" -> LongType, "files_carried" -> LongType),
+      (s, cat, root, a) => {
+        val t = a.getUTF8String(0).toString
+        val (rw, kept) = GraftCatalogOps.optimizeZorderIncremental(
+          s, ref(cat, t), root, t, a.getInt(1))
+        Seq(rw, kept)
       }),
     ProcDef("restore",
       "roll the table back to an earlier generation as one metadata-only commit",

@@ -2969,6 +2969,54 @@ class CatalogSpec extends GraftSuite {
     assert(ex.getMessage.contains("reserved"))
   }
 
+  test("incremental ZORDER: refuses unstamped tables, no-ops when current, re-clusters surgically") {
+    val _ = root
+    import spark.implicits._
+    val t = freshTable("zinc")
+    val rootDir = this.root
+    // Unstamped table refuses loudly — incremental extends a layout.
+    (0L until 400L).map(i => (i, i * 31 % 64, i * 17 % 64))
+      .toDF("id", "x", "y").repartition(4).writeTo(t).create()
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.GraftCatalogOps.optimizeZorderIncremental(
+        spark, t, rootDir, "zinc")
+    }
+    assert(ex.getMessage.contains("OPTIMIZE ZORDER"))
+    // Full rewrite stamps; an immediately-following increment is a no-op.
+    graft.sources.GraftCatalogOps.optimizeZorder(
+      spark, t, rootDir, "zinc", "x", "y", numFiles = 8)
+    val (rw0, kept0) = graft.sources.GraftCatalogOps
+      .optimizeZorderIncremental(spark, t, rootDir, "zinc")
+    assert(rw0 === 0L && kept0 >= 1L, s"no new files => no rewrite, got ($rw0, $kept0)")
+    // A localized corner append re-clusters new files + overlapping tiles
+    // ONLY; untouched tiles ride forward with identical rel paths.
+    val dir = new Path(rootDir, "zinc")
+    val conf = spark.sessionState.newHadoopConf()
+    def entries = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf).entries.map(_._2)
+    (1000L until 1050L).map(i => (i, i % 8, i % 8))
+      .toDF("id", "x", "y").coalesce(1).writeTo(t).append()
+    val before = entries
+    val (rw, kept) = graft.sources.GraftCatalogOps
+      .optimizeZorderIncremental(spark, t, rootDir, "zinc", numFiles = 2)
+    assert(rw >= 1L && rw < before.size,
+      s"corner append must rewrite strictly fewer than all ${before.size} files, got $rw")
+    assert(kept === before.size - rw)
+    val after = entries
+    assert(before.toSet.intersect(after.toSet).size.toLong === kept,
+      "every carried file must ride forward under its identical rel path")
+    // Content lossless through both maintenance ops.
+    assert(spark.table(t).agg(sum(col("id"))).head.getLong(0) ===
+      (0L until 400L).sum + (1000L until 1050L).sum)
+    // The increment composes: it re-stamped, so ANOTHER increment still works.
+    (2000L until 2010L).map(i => (i, 63L, 63L)).toDF("id", "x", "y")
+      .coalesce(1).writeTo(t).append()
+    val (rw2, _) = graft.sources.GraftCatalogOps
+      .optimizeZorderIncremental(spark, t, rootDir, "zinc", numFiles = 2)
+    assert(rw2 >= 1L && spark.table(t).count() === 460L)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("'__' identifiers refuse at CREATE but read paths answer NoSuchTable, not throw") {
     // "__" is the directory-encoding separator: `a.b` and `a__b` would share
     // one directory. Minting such a binding fails LOUDLY; but metadata
