@@ -19,7 +19,10 @@ case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
  * dimensions read from the decoded container header (image/video: pixel dims;
  * audio: (sample_rate, 1)); `n_units` is the decoded payload size (pixels or
  * samples); `mean_val` and `feature` are statistics over decoded pixel/sample
- * values (lane j = units at linear index ≡ j mod FeatureDim).
+ * values (lane j = units at linear index ≡ j mod FeatureDim, the index running
+ * per decoded raster — per FRAME for video, so frame boundaries re-align the
+ * lanes; a single image or audio clip has one raster and the two readings
+ * coincide).
  */
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long, n_units: Long,
                          dec_w: Int, dec_h: Int, mean_val: Double,
@@ -187,8 +190,11 @@ object Multimodal {
     val frames = videoFrames(bytes)
     val st = new Stats
     var w = 0; var h = 0
-    frames.foreach { fb =>
+    frames.zipWithIndex.foreach { case (fb, idx) =>
       val img = ImageIO.read(new ByteArrayInputStream(fb))
+      // Same NULL-means-undecodable contract as decodeImage: surface a real
+      // failure reason, not an NPE with a null message, in the error row.
+      require(img != null, s"undecodable frame $idx (${fb.length} bytes)")
       w = img.getWidth; h = img.getHeight
       accumulateImage(img, st)
     }
@@ -213,7 +219,14 @@ object Multimodal {
     require(n >= 0 && n.toLong * 4 <= bytes.length - 4,
       s"frame count $n impossible for ${bytes.length}-byte container")
     var remaining = bytes.length - 4
-    (0 until n).map { _ =>
+    (0 until n).map { f =>
+      // The count check above bounds TOTAL prefix bytes, but a frame body can
+      // consume what a later prefix needed — a truncated container would then
+      // hit readInt's EOFException, breaking the IllegalArgumentException
+      // contract this parser documents. Check before reading.
+      require(remaining >= 4,
+        s"truncated container: frame $f needs a 4-byte length prefix, " +
+          s"$remaining bytes remain")
       val len = dis.readInt()
       remaining -= 4
       require(len >= 0 && len <= remaining,
@@ -277,7 +290,10 @@ object Multimodal {
   def audioWindowEnergy(media: Dataset[MediaRow], win: Int): DataFrame = {
     require(win > 0, s"window must be positive: $win")
     import media.sparkSession.implicits._
-    media.filter(_.kind == "audio").mapPartitions { rows =>
+    // Column-form filter (like resizeFeatures/frameSample): a typed lambda
+    // would deserialize every image/video row — including their blobs, the
+    // table's largest bytes — just to test `kind`, and blocks pushdown.
+    media.filter(col("kind") === "audio").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
         Try {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
@@ -329,12 +345,15 @@ object Multimodal {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image container (${bytes.length} bytes)")
     val out = new BufferedImage(ow, oh, BufferedImage.TYPE_3BYTE_BGR)
+    // Long sampling math: `x * w` overflows Int around 46k x 46k (a real
+    // panorama), wrapping negative and crashing getRGB — which the callers'
+    // Try would then misreport as a corrupt input.
     var y = 0
     while (y < oh) {
-      val iy = y * img.getHeight / oh
+      val iy = (y.toLong * img.getHeight / oh).toInt
       var x = 0
       while (x < ow) {
-        out.setRGB(x, y, img.getRGB(x * img.getWidth / ow, iy))
+        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / ow).toInt, iy))
         x += 1
       }
       y += 1

@@ -41,8 +41,11 @@ object Graphs {
     // every iteration's join — without this the caller's edge derivation (often a
     // window + aggregation over raw data) re-executes once per reference.
     val edges = Iterate.materialize(edges0.select(col("src"), col("dst"), col("weight")))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // Materialize the node set too: it is referenced twice (the count below
+    // and the rank seed), and each reference would otherwise re-run the
+    // union+distinct shuffle over the edge list.
+    val nodes = Iterate.materialize(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct())
     val outw = edges.groupBy(col("src")).agg(sum(col("weight")).as("outw"))
     val nDf = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nDf)
@@ -78,8 +81,12 @@ object Graphs {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     // Self-loops filtered BEFORE symmetrization (both legs): a loop-only node
     // would otherwise enter the node set forever unreached and permanently
-    // defeat the early-exit below.
-    val noLoops = edges0.filter(col("a") =!= col("b"))
+    // defeat the early-exit below. Materialized BEFORE the two-leg union —
+    // both legs reference it, and the caller's edge derivation (often an
+    // explode+aggregate over raw data, e.g. wordEdges) would otherwise
+    // re-execute once per leg inside the symmetrization job.
+    val noLoops = Iterate.materialize(
+      edges0.filter(col("a") =!= col("b")).select(col("a"), col("b")))
     val edges = Iterate.materialize(
       noLoops.select(col("a").as("src"), col("b").as("dst"))
         .union(noLoops.select(col("b").as("src"), col("a").as("dst")))

@@ -196,11 +196,19 @@ class SynthMicroBatchStream(rows: Long, parts: Int, required: StructType)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SynthOffset].id
+    // Honor the limit Spark actually passes: Trigger.Once hands
+    // ReadLimit.allAvailable() (NOT this source's default maxRows limit) and
+    // runs exactly ONE batch — stepping by batchSize there would silently
+    // truncate the stream to rows/parts ids and report success. All-available
+    // means "to the head, in this batch"; planInputPartitions still splits
+    // the range into per-split units, so parallelism is unchanged.
     val step = limit match {
-      case m: ReadMaxRows => m.maxRows()
+      case m: ReadMaxRows => math.max(1L, m.maxRows())
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        math.max(1L, drainEnd - s)
       case _ => batchSize
     }
-    SynthOffset(math.min(drainEnd, s + math.max(1L, step)))
+    SynthOffset(math.min(drainEnd, s + step))
   }
   override def deserializeOffset(json: String): Offset =
     SynthOffset(json.replaceAll("[^0-9]", "").toLong)

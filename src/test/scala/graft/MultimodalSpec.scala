@@ -55,6 +55,29 @@ class MultimodalSpec extends GraftSuite {
     assert(math.abs(mean - expected) < 1e-12)
   }
 
+  test("malformed containers fail with reasons, never EOF/NPE (adversarial-parse pins)") {
+    // Truncated mid-prefix: n=2, one complete 4-byte frame, 3 trailing bytes —
+    // the count gate passes but frame 1's length prefix is short. The parser's
+    // contract is IllegalArgumentException with a reason, never EOFException.
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(2); dos.writeInt(4); dos.write(Array[Byte](1, 2, 3, 4))
+    dos.write(Array[Byte](9, 9, 9)) // 3 bytes: not a full prefix
+    val truncated = bos.toByteArray
+    val ex = intercept[IllegalArgumentException] { Multimodal.videoFrames(truncated) }
+    assert(ex.getMessage.contains("truncated container"))
+    // A structurally-valid container whose frame bytes are not a decodable
+    // image: the error row must carry a REASON, not "NullPointerException".
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val dos2 = new java.io.DataOutputStream(bos2)
+    dos2.writeInt(1); dos2.writeInt(8); dos2.write(new Array[Byte](8))
+    val badFrame = MediaRow(91003L, "video", bos2.toByteArray, 16, 16, 0)
+    val res = Multimodal.decodeResults(Seq(badFrame).toDS()).collect()
+    assert(res.length === 1 && !res.head.ok)
+    assert(res.head.error.contains("undecodable frame 0"),
+      s"error row must carry the frame-decode reason, got: ${res.head.error}")
+  }
+
   test("distributed decode is deterministic, fixed-dim, and header dims match metadata") {
     val feats = Multimodal.decodeFeatures(media.as[MediaRow]).cache()
     assert(feats.filter(size(col("feature")) =!= Multimodal.FeatureDim).count() === 0)

@@ -123,6 +123,20 @@ class SourcesSpec extends GraftSuite {
       "admission control must pace the drain into multiple micro-batches")
   }
 
+  test("graft-synth under Trigger.Once honors ReadLimit.allAvailable: no silent truncation") {
+    // Trigger.Once runs exactly ONE batch and passes ReadLimit.allAvailable()
+    // (the source's own default maxRows limit is ignored) — stepping by
+    // batchSize there would emit rows/parts ids and report SUCCESS on a
+    // truncated stream. The one batch must cover every row.
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", "40000").option("parts", "8").load()
+      .writeStream.format("memory").queryName("synth_once")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q.awaitTermination()
+    assert(spark.table("synth_once").count() === 40000L,
+      "Trigger.Once must process ALL available rows in its single batch")
+  }
+
   test("graft-synth pushdown bounds saturate at Long.MaxValue instead of wrapping") {
     // Regression: `doc_id <= Long.MaxValue` used to push hi = MaxValue + 1 ==
     // Long.MinValue, pruning EVERY split at planning time — the one way the
