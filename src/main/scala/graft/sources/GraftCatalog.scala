@@ -6147,9 +6147,15 @@ object GraftCatalogOps {
         max(when(sign === 1L, col(sumCol))).as("d_ins_max"),
         min(when(sign === -1L, col(sumCol))).as("d_del_min"),
         max(when(sign === -1L, col(sumCol))).as("d_del_max"))
-    val delta = changes(spark, s"$catalog.`$source`", root, source, from, to)
+    // The min/max fold references the delta twice (fold columns + the
+    // recompute-key selection) — persist the AGGREGATED delta (group-count-
+    // sized, tiny by construction) so the change-feed scan runs once, not
+    // per reference. Released before returning.
+    val delta0 = changes(spark, s"$catalog.`$source`", root, source, from, to)
       .groupBy(keys.map(col): _*)
       .agg((baseAggs ++ mmAggs).head, (baseAggs ++ mmAggs).tail: _*)
+    val delta = if (hasMinMax) delta0.persist() else delta0
+    try {
     val newNn =
       coalesce(col("mv_nncount"), lit(0L)) + coalesce(col("d_nncount"), lit(0L))
     val foldCols = Seq(
@@ -6218,6 +6224,7 @@ object GraftCatalogOps {
         cur.copy(gen = cur.gen + 1,
           props = cur.props + ("mview.foldmode" -> newMode)))
     (from, to)
+    } finally { if (hasMinMax) { delta.unpersist(); () } }
   }
 
   /**
