@@ -260,7 +260,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     * diagnostics-ring consumer. Flushed only when NO candidate verifies. */
   private def pickVerified(tc: TableCatalog,
       candidates: Seq[(Identifier, Set[String])], srcName: String,
-      boundGen: Long, sumCols: Seq[String], needsExactFold: Boolean)
+      boundGen: Long, sumCols: Seq[String], needsExactFold: Boolean,
+      outs: Seq[Out])
       : Option[(Identifier, GraftTable, Set[String])] = {
     val staleNotes = scala.collection.mutable.ListBuffer.empty[String]
     def verified(id: Identifier, keys: Set[String])
@@ -274,6 +275,17 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
                 v.manifest.props.get("mview.sum").exists(vs =>
                   sumCols.forall(_.equalsIgnoreCase(vs))) &&
                 v.manifest.gen >= 1 =>
+            // Schema probe per candidate: an old-schema view (no mv_nncount
+            // / mv_min / mv_max, or drifted mv types) cannot serve THESE
+            // outputs — note it and keep walking; another candidate may.
+            if (!maintains(outs, v.schema())) {
+              staleNotes +=
+                s"view ${id.name()} matches this aggregate's keys but its " +
+                  "schema predates (or mismatches) a maintained column the " +
+                  "query needs (mv_nncount / mv_min / mv_max) — recreate " +
+                  "the view to serve it"
+              return None
+            }
             // ANSI query over a legacy-folded view: the stored sum may be a
             // wrapped value the un-rewritten query would have raised on.
             if (needsExactFold &&
@@ -342,33 +354,31 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       (if (outs.exists(_.isInstanceOf[MinOut])) Set("mv_min") else Set.empty[String]) ++
       (if (outs.exists(_.isInstanceOf[MaxOut])) Set("mv_max") else Set.empty[String])
 
-  /** A view created before a maintained column existed cannot serve the
-    * outputs that read it (AVG needs mv_nncount; MIN/MAX need mv_min/mv_max). */
-  private def schemaServes(outs: Seq[Out], vTable: GraftTable): Boolean = {
-    def has(c: String) = vTable.schema().fieldNames.exists(_.equalsIgnoreCase(c))
-    (!outs.exists(_.isInstanceOf[AvgOut]) || has("mv_nncount")) &&
-      (!outs.exists(_.isInstanceOf[MinOut]) || has("mv_min")) &&
-      (!outs.exists(_.isInstanceOf[MaxOut]) || has("mv_max"))
-  }
-
-  /** Re-aggregation type gate: only the LONG-typed mv columns re-sum to the
-    * SAME result type the original aggregate produced (a decimal would widen
-    * its precision a second time) — B198 maintains exactly those. */
-  private def longTyped(outs: Seq[Out],
-      vAttr: String => AttributeReference): Boolean =
+  /** Does this view's SCHEMA maintain every classified output? Presence and
+    * type in one probe: a view created before a maintained column existed
+    * cannot serve the outputs that read it (AVG needs mv_nncount, MIN/MAX
+    * need mv_min/mv_max), and only the LONG-typed mv columns re-aggregate to
+    * the SAME result type the original aggregate produced (a decimal would
+    * widen its precision a second time), while min/max must carry EXACTLY
+    * the queried column's own type (they serve back uncast). Checked per
+    * candidate INSIDE the verification walk, so an old-schema exact view is
+    * passed over for a newer-schema rollup view instead of aborting the
+    * rewrite. */
+  private def maintains(outs: Seq[Out], schema: StructType): Boolean = {
+    def dt(c: String) = schema.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     (!outs.exists(_.isInstanceOf[CountOut]) ||
-      vAttr("mv_count").dataType == LongType) &&
+      dt("mv_count").contains(LongType)) &&
       (!outs.exists(_.isInstanceOf[AvgOut]) ||
-        vAttr("mv_nncount").dataType == LongType) &&
+        dt("mv_nncount").contains(LongType)) &&
       (!outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]) ||
-        vAttr("mv_sum").dataType == LongType) &&
-      // min/max preserve their input type: the stored extremum must carry
-      // EXACTLY the queried column's type or the output schema would shift.
+        dt("mv_sum").contains(LongType)) &&
       outs.forall {
-        case MinOut(_, c) => vAttr("mv_min").dataType == c.dataType
-        case MaxOut(_, c) => vAttr("mv_max").dataType == c.dataType
+        case MinOut(_, c) => dt("mv_min").contains(c.dataType)
+        case MaxOut(_, c) => dt("mv_max").contains(c.dataType)
         case _ => true
       }
+  }
 
   /** avg = the two exact longs divided the way Average-of-long itself does.
     * LEGACY divide: Average hardcodes failOnError=false in its own
@@ -450,13 +460,12 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       declared.filterNot(_._3 == keyNames).sortBy(_._3.size))
       .map(d => (d._1, d._3))
     val (vIdent, vTable, vKeys) = pickVerified(tc, ordered, srcIdent.name(),
-      baseTable.manifest.gen, sumCols, needsExactFold).getOrElse(return None)
+      baseTable.manifest.gen, sumCols, needsExactFold, outs)
+      .getOrElse(return None)
 
-    if (!schemaServes(outs, vTable)) return None
     val wanted = keyNames ++ filterCols ++ mvWanted(outs)
     val (vScan, vAttr) =
       buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
-    if (!longTyped(outs, vAttr)) return None
 
     // Key-only filters commute with the view substitution: replay them on
     // the VIEW's key columns (every reference is a view key by the candidate
@@ -492,7 +501,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       // input, matching count's non-nullable output), sum(x) = SUM(mv_sum)
       // (null iff every partial is null, exactly sum's semantics), and avg
       // divides the two exact longs the way Average-of-long itself does.
-      if (!longTyped(outs, vAttr)) return None
+      // (Type gates ran per candidate in the verification walk.)
       val aggList: Seq[NamedExpression] = outs.map {
         case KeyOut(ar, orig) =>
           Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
@@ -604,13 +613,12 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     val ordered = declared.sortBy(_._3.size).map(d => (d._1, d._3))
     val (vIdent, vTable, _) = pickVerified(tc, ordered, srcIdent.name(),
-      baseTable.manifest.gen, sumCols, needsExactFold).getOrElse(return None)
+      baseTable.manifest.gen, sumCols, needsExactFold, outs)
+      .getOrElse(return None)
 
-    if (!schemaServes(outs, vTable)) return None
     val wanted = requiredKeys ++ mvWanted(outs)
     val (vScan, vAttr) =
       buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
-    if (!longTyped(outs, vAttr)) return None
 
     // Replay the key-only fact filter on the view, then re-join the view to
     // the UNTOUCHED dimension subtree on the same (renamed) keys.

@@ -839,10 +839,14 @@ object EventQueries {
     StructField("p_id", LongType), StructField("p_user", LongType),
     StructField("p_ts", TimestampType), StructField("p_value", DoubleType)))
 
+  // computeIfAbsent-keyed memos (NOT add-to-set): a second concurrent caller
+  // must BLOCK until the first finishes — a set's add() returns false
+  // immediately and the loser would read a half-written source/sink. A
+  // failed build establishes no mapping, so the next caller retries.
   private val ssjSrcWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
   private val ssjDrained =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
 
   /** ONE full-outer interval-join drain per (session, dataset), shared by
     * the three stream-join queries (B186/B206/B236): the FULL OUTER sink is
@@ -863,7 +867,7 @@ object EventQueries {
   private def streamJoinDrain(s: SparkSession, d: String): String = {
     val src = streamJoinSources(s, d)
     val scratch = Tables.scratchDir(s, "ssjdrain", d)
-    if (ssjDrained.add((s, d))) {
+    ssjDrained.computeIfAbsent((s, d), _ => {
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
@@ -892,10 +896,9 @@ object EventQueries {
         val done = q.awaitTermination(240000)
         q.stop()
         require(done, "stream-join drain: AvailableNow did not finish in 240s")
-      } catch {
-        case t: Throwable => ssjDrained.remove((s, d)); throw t
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
+      java.lang.Boolean.TRUE
+    })
     s"$scratch/out"
   }
 
@@ -912,7 +915,7 @@ object EventQueries {
     * the OUTER join close in a single AvailableNow drain. */
   private def streamJoinSources(s: SparkSession, d: String): String = {
     val scratch = Tables.scratchDir(s, "ssjsrc", d)
-    if (ssjSrcWritten.add((s, d))) {
+    ssjSrcWritten.computeIfAbsent((s, d), _ => {
       val ev = Tables.events(s, d)
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
@@ -928,7 +931,8 @@ object EventQueries {
         .write.mode("append").parquet(s"$scratch/views")
       Seq((-1L, -998L, t, 0.0)).toDF("p_id", "p_user", "p_ts", "p_value")
         .write.mode("append").parquet(s"$scratch/purch")
-    }
+      java.lang.Boolean.TRUE
+    })
     scratch
   }
 

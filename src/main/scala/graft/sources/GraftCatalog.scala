@@ -6156,6 +6156,33 @@ object GraftCatalogOps {
       .agg((baseAggs ++ mmAggs).head, (baseAggs ++ mmAggs).tail: _*)
     val delta = if (hasMinMax) delta0.persist() else delta0
     try {
+    // Fold-mode stamp maintenance (see createMview): "ansi" survives only if
+    // EVERY fold since the seed ran under ANSI — one LEGACY fold can wrap a
+    // stored sum, and a later ANSI fold would not detect it, so the mode
+    // AND-combines and only ever weakens. FAIL-SAFE ORDER: the downgrade
+    // publishes BEFORE the fold overwrite — a crash between the two then
+    // leaves a 'legacy' stamp on a still-ansi view (merely conservative:
+    // ANSI queries stop serving until a re-stamp), where the reverse order
+    // left a LEGACY-folded view stamped 'ansi' FOREVER (the overwrite
+    // advances the fold floor, so the replayed refresh early-returns and the
+    // downgrade never runs — exactly the unsoundness the stamp prevents).
+    val prevMode = m.props.getOrElse("mview.foldmode", "legacy")
+    val newMode =
+      if (prevMode == "ansi" && spark.sessionState.conf.ansiEnabled) "ansi"
+      else "legacy"
+    if (newMode != prevMode)
+      GraftManifest.publishNext(dir, conf)(cur =>
+        cur.copy(gen = cur.gen + 1,
+          props = cur.props + ("mview.foldmode" -> newMode)))
+    // NULL-SAFE key joins throughout the fold: the view stores a NULL
+    // grouping key as a group like any other (groupBy does), but an
+    // equality-keyed full-outer join never matches NULL=NULL — the NULL
+    // group would SPLIT into a stale view row plus a fresh delta row, both
+    // committing, and the rewrite would then serve two rows for one group.
+    val viewDf = spark.table(s"$catalog.`$name`").alias("mv")
+    val deltaA = delta.alias("dd")
+    val joinCond = keys.map(k => col(s"mv.$k") <=> col(s"dd.$k")).reduce(_ && _)
+    val keyOut = keys.map(k => coalesce(col(s"mv.$k"), col(s"dd.$k")).as(k))
     val newNn =
       coalesce(col("mv_nncount"), lit(0L)) + coalesce(col("d_nncount"), lit(0L))
     val foldCols = Seq(
@@ -6167,10 +6194,10 @@ object GraftCatalogOps {
         coalesce(col("mv_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
         .as("mv_sum"),
       newNn.as("mv_nncount"))
-    val joined = spark.table(s"$catalog.`$name`").join(delta, keys, "full_outer")
+    val joined = viewDf.join(deltaA, joinCond, "full_outer")
     val merged =
       if (!hasMinMax)
-        joined.select(keys.map(col) ++ foldCols: _*).filter(col("mv_count") > 0)
+        joined.select(keyOut ++ foldCols: _*).filter(col("mv_count") > 0)
       else {
         // MIN/MAX delete-aware maintenance: inserts fold exactly
         // (least/greatest skip NULLs, so a new group adopts the inserted
@@ -6187,18 +6214,27 @@ object GraftCatalogOps {
         // keys) — delta-sized work by doctrine, never source-sized.
         val recomp = col("d_del_min").isNotNull && (col("mv_min").isNull ||
           col("d_del_min") <= col("mv_min") || col("d_del_max") >= col("mv_max"))
-        val withFlag = joined.select(keys.map(col) ++ foldCols ++ Seq(
+        val withFlag = joined.select(keyOut ++ foldCols ++ Seq(
           least(col("mv_min"), col("d_ins_min")).as("f_min"),
           greatest(col("mv_max"), col("d_ins_max")).as("f_max"),
           recomp.as("__recomp")): _*)
         val recompKeys = withFlag.filter(col("__recomp"))
-          .select(keys.map(col): _*)
-        val recomputed =
-          spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
-            .join(recompKeys, keys, "left_semi")
-            .groupBy(keys.map(col): _*)
-            .agg(min(col(sumCol)).as("r_min"), max(col(sumCol)).as("r_max"))
-        withFlag.join(recomputed, keys, "left_outer")
+          .select(keys.map(col): _*).alias("rk")
+        val base = spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
+          .alias("b")
+        // Distinct output names on the recompute leg keep the re-join
+        // unambiguous; <=> everywhere so NULL-key groups match themselves.
+        val recomputed = base
+          .join(recompKeys,
+            keys.map(k => col(s"b.$k") <=> col(s"rk.$k")).reduce(_ && _),
+            "left_semi")
+          .groupBy(keys.map(k => col(s"b.$k")): _*)
+          .agg(min(col(sumCol)).as("r_min"), max(col(sumCol)).as("r_max"))
+          .select(keys.map(k => col(k).as(s"__rk_$k")) ++
+            Seq(col("r_min"), col("r_max")): _*)
+        withFlag.join(recomputed,
+            keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _),
+            "left_outer")
           .select(keys.map(col) ++ Seq(col("mv_count"), col("mv_sum"),
             col("mv_nncount"),
             when(col("__recomp"), col("r_min")).otherwise(col("f_min"))
@@ -6210,19 +6246,6 @@ object GraftCatalogOps {
     merged.writeTo(s"$catalog.`$name`")
       .option("txnAppId", "mview").option("txnVersion", to.toString)
       .overwrite(lit(true))
-    // Fold-mode stamp maintenance (see createMview): "ansi" survives only if
-    // EVERY fold since the seed ran under ANSI — one LEGACY fold can wrap a
-    // stored sum, and a later ANSI fold would not detect it, so the mode
-    // AND-combines and only ever weakens. Downgrade is a rare props-only
-    // commit; the common same-mode refresh stays a single atomic overwrite.
-    val prevMode = m.props.getOrElse("mview.foldmode", "legacy")
-    val newMode =
-      if (prevMode == "ansi" && spark.sessionState.conf.ansiEnabled) "ansi"
-      else "legacy"
-    if (newMode != prevMode)
-      GraftManifest.publishNext(dir, conf)(cur =>
-        cur.copy(gen = cur.gen + 1,
-          props = cur.props + ("mview.foldmode" -> newMode)))
     (from, to)
     } finally { if (hasMinMax) { delta.unpersist(); () } }
   }

@@ -585,10 +585,64 @@ class MviewRewriteSpec extends GraftSuite {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     assert(scansOf(cq).exists(_.contains("oldview")),
       s"the same view must still serve count/sum, got ${scansOf(cq)}")
+    // The schema probe runs PER CANDIDATE inside the walk: with the
+    // old-schema view still registered, a freshly-created full-schema view
+    // must serve the MIN/MAX query — the walk passes the unsuitable
+    // candidate over instead of aborting the rewrite.
+    spark.sql("CALL gmvr.system.create_mview(source => 'mmfact', " +
+      "name => 'mmfact_mv', keys => 'k', sum_col => 'x')")
+    assert(scansOf(q).exists(_.contains("mmfact_mv")),
+      s"the walk must pass over the old-schema view, got ${scansOf(q)}")
     spark.sql("DROP TABLE IF EXISTS gmvr.oldview")
     spark.sql("DROP TABLE IF EXISTS gmvr.mmfact_mv")
     spark.sql("DROP TABLE IF EXISTS gmvr.mmfact")
     graft.plans.MviewRewriteRule.invalidateCache()
+  }
+
+  test("NULL grouping keys fold as ONE group: null-safe joins through refresh") {
+    // groupBy treats NULL as a group; an equality-keyed fold join never
+    // matches NULL=NULL and would SPLIT the group into a stale view row plus
+    // a fresh delta row — both committing. The fold joins null-safely (<=>),
+    // including the min/max recompute legs.
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.nkfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.nkfact_mv")
+    // Every 4th row keyless; the NULL group's max is the planted 999.
+    ((0L until 80L).map(i =>
+      (i, if (i % 4 == 0) None else Some(i % 3): Option[Long],
+        if (i == 8L) 999L else i * 7 % 50)))
+      .toDF("id", "k", "x").writeTo("gmvr.nkfact").create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'nkfact', " +
+      "name => 'nkfact_mv', keys => 'k', sum_col => 'x')")
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    def q: DataFrame = spark.table("gmvr.nkfact").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("k"))
+    // Delta touches the NULL group three ways: new rows, an extremum-strip
+    // delete (999 was its max — forces the recompute leg), and a new min.
+    Seq((100L, None: Option[Long], 1L), (101L, None: Option[Long], 60L),
+        (102L, Some(1L): Option[Long], 70L))
+      .toDF("id", "k", "x").writeTo("gmvr.nkfact").append()
+    spark.sql("DELETE FROM gmvr.nkfact WHERE x = 999")
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'nkfact_mv')")
+    assert(spark.table("gmvr.nkfact_mv").filter(col("k").isNull).count() === 1L,
+      "the NULL-key group must fold into ONE view row, never split")
+    assert(scansOf(q).exists(_.contains("nkfact_mv")),
+      s"fresh view must serve, got ${scansOf(q)}")
+    val got = q.collect().map(_.toSeq).toSeq
+    ruleOff {
+      assert(q.collect().map(_.toSeq).toSeq === got,
+        "NULL-group fold (count/sum/min/max incl. recompute) must equal the base")
+    }
+    spark.sql("DROP TABLE IF EXISTS gmvr.nkfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.nkfact")
   }
 
   test("a stale view passed over for a fresh one leaves NO skipped-rewrite note") {
