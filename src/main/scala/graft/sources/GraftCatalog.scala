@@ -6251,6 +6251,42 @@ object GraftCatalogOps {
   }
 
   /**
+   * CONTINUOUS materialized-view maintenance (the Delta Live Tables /
+   * Materialize posture, composing B170's streaming change feed with B198's
+   * incremental refresh): subscribe to the SOURCE's `$changes` stream and
+   * fold on every micro-batch — the view tracks the source with per-commit
+   * latency and ZERO manual refresh calls. The batch content itself is only
+   * the TRIGGER: each fold re-reads the feed from the view's own floor
+   * (refreshMview), so exactly-once needs no foreachBatch bookkeeping — a
+   * replayed or overlapping batch folds an empty range and publishes
+   * nothing (the B180 ledger), and a batch that observed commits g..h while
+   * the floor was already past them is a no-op. Trigger.AvailableNow gives
+   * the catch-up shape (drain the backlog, fold, stop); a processing-time
+   * trigger gives the steady-state tail. Caller owns the checkpoint dir and
+   * the returned query's lifecycle. The source must stream its DML surface:
+   * a copy-on-write rewrite cannot ride a streaming feed (the `$changes`
+   * source refuses it loudly) — declare `dml=dv` on sources that take
+   * row-level DML, or drive batch refreshes instead.
+   */
+  def continuousMviewMaintenance(spark: SparkSession, catalog: String,
+      root: String, name: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dir = new Path(root, name)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val source = m.props.getOrElse("mview.source", throw new IllegalArgumentException(
+      s"$name is not a materialized view (no mview.source property)"))
+    spark.readStream.table(s"$catalog.`$source$$changes`")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        refreshMview(spark, catalog, root, name); ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /**
    * OPTIMIZE ZORDER (B175, the Delta `OPTIMIZE ... ZORDER BY (x, y)` op): a
    * maintenance rewrite that MORTON-clusters the live snapshot on two
    * columns — each rewritten file owns a quadtree tile of (x, y) space, so

@@ -2969,6 +2969,57 @@ class CatalogSpec extends GraftSuite {
     assert(ex.getMessage.contains("reserved"))
   }
 
+  test("continuous mview maintenance: the change-feed stream drives exactly-once folds") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gtest.cmsrc")
+    spark.sql("DROP TABLE IF EXISTS gtest.cmview")
+    // dml=dv: the STREAMING change feed cannot represent copy-on-write
+    // rewrites; merge-on-read streams its full DML surface.
+    (0L until 90L).map(i => (i, i % 3, i * 7 % 100))
+      .toDF("id", "k", "x").writeTo("gtest.cmsrc")
+      .tableProperty("dml", "dv").create()
+    spark.sql("CALL gtest.system.create_mview(source => 'cmsrc', " +
+      "name => 'cmview', keys => 'k', sum_col => 'x')")
+    val ckpt = tmpDir("graft_cmm")
+    def drain(): Unit = {
+      val q = graft.sources.GraftCatalogOps.continuousMviewMaintenance(
+        spark, "gtest", root, "cmview", ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      assert(q.awaitTermination(240000), "maintenance drain must finish")
+      q.stop()
+    }
+    def recompute: Seq[Seq[Any]] = spark.table("gtest.cmsrc").groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("s"))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    def viewState: Seq[Seq[Any]] = spark.table("gtest.cmview")
+      .select(col("k"), col("mv_count"), col("mv_sum"))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    // Catch-up drain over the seed feed: floor already current => no-op fold.
+    drain()
+    assert(viewState === recompute)
+    // DML lands; the NEXT drain folds it without any manual refresh call.
+    Seq((200L, 1L, 31L), (201L, 2L, 32L)).toDF("id", "k", "x")
+      .writeTo("gtest.cmsrc").append()
+    spark.sql("DELETE FROM gtest.cmsrc WHERE id % 10 = 0")
+    drain()
+    assert(viewState === recompute,
+      "the feed-triggered fold must track the source exactly")
+    // Replay safety: a THIRD drain with nothing new publishes nothing.
+    val genBefore = {
+      val dir = new Path(root, "cmview")
+      graft.sources.GraftManifest.currentGen(dir, spark.sessionState.newHadoopConf())
+    }
+    drain()
+    val genAfter = {
+      val dir = new Path(root, "cmview")
+      graft.sources.GraftManifest.currentGen(dir, spark.sessionState.newHadoopConf())
+    }
+    assert(genAfter === genBefore, "an empty fold range must publish nothing")
+    spark.sql("DROP TABLE IF EXISTS gtest.cmview")
+    spark.sql("DROP TABLE IF EXISTS gtest.cmsrc")
+  }
+
   test("incremental ZORDER: refuses unstamped tables, no-ops when current, re-clusters surgically") {
     val _ = root
     import spark.implicits._
