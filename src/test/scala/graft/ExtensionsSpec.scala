@@ -42,4 +42,58 @@ class ExtensionsSpec extends GraftSuite {
     assert(ext.sessionState.functionRegistry
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine")))
   }
+
+  test("extensions-injected mview rule serves the JOIN-aggregate rewrite (pre-pushdown vintage)") {
+    // The runtime-attached twin (GraftBridge.addOptimization) sees
+    // post-pushdown DataSourceV2ScanRelation nodes — MviewRewriteSpec pins
+    // that vintage. The spark.sql.extensions injection runs mid-optimizer
+    // over raw DataSourceV2Relation nodes; this pin proves the join rewrite
+    // fires there too, with values matching the defining arithmetic.
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.catalog.gext", "graft.sources.GraftCatalog")
+        .config("spark.sql.catalog.gext.root", tmpDir("graft_extmv"))
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      s.sql("DROP TABLE IF EXISTS gext.f")
+      s.sql("DROP TABLE IF EXISTS gext.d")
+      s.sql("DROP TABLE IF EXISTS gext.f_mv")
+      (0L until 120L).map(i => (i, i % 5, i * 3 % 40))
+        .toDF("id", "fk", "x").writeTo("gext.f").create()
+      (0L until 5L).map(i => (i, i % 2)).toDF("pk", "grp")
+        .writeTo("gext.d").create()
+      s.sql("CALL gext.system.create_mview(source => 'f', name => 'f_mv', " +
+        "keys => 'fk', sum_col => 'x')")
+      val df = s.table("gext.f")
+        .join(s.table("gext.d"), col("fk") === col("pk"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .orderBy(col("grp"))
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: DataSourceV2ScanRelation => sr.relation.table.name() }
+      assert(scans.exists(_.contains("f_mv")) && !scans.exists(_.startsWith("f@")),
+        s"the injected rule must substitute the view for the fact scan, got $scans")
+      // Values against the defining arithmetic (no rule-off replay needed).
+      val expect = (0L until 120L).groupBy(i => (i % 5) % 2)
+        .map { case (g, is) => (g, is.size.toLong, is.map(i => i * 3 % 40).sum) }
+        .toSeq.sortBy(_._1)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq === expect)
+      s.sql("DROP TABLE IF EXISTS gext.f_mv")
+      s.sql("DROP TABLE IF EXISTS gext.f")
+      s.sql("DROP TABLE IF EXISTS gext.d")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
