@@ -30,9 +30,19 @@ object VectorOps {
    * Sign-bit LSH bucket over the first `bits` components: a content-derived coarse
    * partition key for blocked similarity joins. Pure comparisons — no float
    * arithmetic — so engines agree bit-for-bit.
+   *
+   * Vectors SHORTER than `bits` (and NULL vectors) bucket to NULL and drop
+   * out of equi-joined blocking — under the session's default ANSI mode a
+   * bare element_at past the end raises INVALID_ARRAY_INDEX, and one
+   * malformed embedding must cost one row, never a 100 TB job. `bits` is
+   * capped at 63: `1L << 64` silently wraps to bit 0, aliasing dimension 64
+   * onto dimension 0's bit and colliding distinct sign patterns.
    */
-  def signBucket(a: Column, bits: Int): Column =
-    (0 until bits).map { i =>
+  def signBucket(a: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val bucket = (0 until bits).map { i =>
       when(element_at(a, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(a) >= bits, bucket)
+  }
 }

@@ -14,6 +14,14 @@ import org.apache.spark.sql.DataFrame
  * the right default for tests. `eager = false` folds the materialization into the
  * next action instead of scheduling its own job (use when an action follows
  * immediately anyway).
+ *
+ * RELIABLE-checkpoint footprint: Spark never deletes checkpoint files unless
+ * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default false), so
+ * an N-round iteration over a large dataset leaves N full copies in the
+ * checkpoint directory. Sessions that set a checkpoint dir for these
+ * operators at scale should enable that cleaner (superseded rounds are
+ * unreferenced and get reclaimed on GC) or reclaim the directory after the
+ * job; the localCheckpoint default has no such footprint.
  */
 object Iterate {
   def materialize(df: DataFrame, eager: Boolean = true): DataFrame = {

@@ -43,6 +43,11 @@ object Layout {
     * is a projection, so the partitioning and in-file order survive. */
   def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
                   numFiles: Option[Int] = None): Unit = {
+    // withColumn would silently REPLACE a pre-existing user column of the
+    // working name, and the final drop would then delete the user's data
+    // from the written output — refuse loudly instead.
+    require(!df.columns.contains("__zkey"),
+      "input already carries a __zkey column — rename it before zorderWrite")
     val keyed = df.withColumn("__zkey", zorderKey(x, y))
     val repart = numFiles match {
       case Some(n) => keyed.repartitionByRange(n, col("__zkey"))
@@ -100,6 +105,17 @@ object Layout {
       out.result()
     }
     val parts = parquetFiles(in)
+    // FLAT directories only: spark.read.parquet discovers key=val/
+    // subdirectories as (type-INFERRED) partition columns and the rewrite
+    // would emit an unpartitioned directory — silently flattening the
+    // layout (downstream pruning gone) and potentially coercing partition
+    // values ('00123' -> 123). Compact each partition directory separately;
+    // this helper refuses rather than destroy a layout it cannot preserve.
+    val nested = parts.exists(p => fs.makeQualified(p.getPath.getParent) != inQ)
+    require(!nested,
+      s"compact supports FLAT parquet directories only; $inQ holds files in " +
+        "subdirectories (a partitioned layout) — compact per partition " +
+        "directory instead, or the partitioning would be silently flattened")
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath).coalesce(nOut)

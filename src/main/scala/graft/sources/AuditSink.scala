@@ -88,8 +88,14 @@ class AuditBatchWrite(schema: StructType, path: String,
     val out = fs.create(tmp, true)
     try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val fin = new Path(dir, "manifest.json")
-    if (fs.exists(fin)) fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"atomic publish failed: $tmp -> $fin")
+    // Atomic REPLACE, not delete-then-rename: a crash (or a concurrent
+    // reader) between a delete and a rename would observe NO manifest at all
+    // — the previously committed one destroyed, the new one unpublished,
+    // breaking the sink's own all-or-nothing contract. FileContext.rename
+    // with OVERWRITE is the atomic-replace primitive on HDFS and posix.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(fin),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -113,37 +119,45 @@ class AuditWriterFactory(schema: StructType) extends DataWriterFactory {
       // the "run-invariant fingerprint" spuriously differ across reruns of
       // identical data. Binary renders as base64, arrays/structs recurse
       // element-wise, maps sort by rendered key (catalyst map order is
-      // build-dependent).
+      // build-dependent). Every nested element is LENGTH-PREFIXED and NULL
+      // renders as a distinct unprefixed token: bare delimiter-joining is
+      // ambiguous — ["a,b"] and ["a","b"] would render identically, and a
+      // NULL field would collide with a string equal to the null marker —
+      // letting genuinely different datasets commit byte-identical
+      // fingerprints, the exact corruption class the sink exists to catch.
+      private def pfx(s: String): String = s.length + ":" + s
       private def render(v: Any, dt: org.apache.spark.sql.types.DataType): String = dt match {
         case org.apache.spark.sql.types.BinaryType =>
           java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
         case org.apache.spark.sql.types.ArrayType(et, _) =>
           val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           (0 until a.numElements()).map(i =>
-            if (a.isNullAt(i)) "\u0000" else render(a.get(i, et), et))
+            if (a.isNullAt(i)) "N" else pfx(render(a.get(i, et), et)))
             .mkString("[", ",", "]")
         case org.apache.spark.sql.types.MapType(kt, vt, _) =>
           val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
           val ks = m.keyArray(); val vs = m.valueArray()
           (0 until m.numElements()).map { i =>
-            render(ks.get(i, kt), kt) + "->" +
-              (if (vs.isNullAt(i)) "\u0000" else render(vs.get(i, vt), vt))
+            pfx(render(ks.get(i, kt), kt)) + "->" +
+              (if (vs.isNullAt(i)) "N" else pfx(render(vs.get(i, vt), vt)))
           }.sorted.mkString("{", ",", "}")
         case st: StructType =>
           val r = v.asInstanceOf[InternalRow]
           st.fields.zipWithIndex.map { case (f, i) =>
-            if (r.isNullAt(i)) "\u0000" else render(r.get(i, f.dataType), f.dataType)
+            if (r.isNullAt(i)) "N" else pfx(render(r.get(i, f.dataType), f.dataType))
           }.mkString("(", ",", ")")
         case _ => String.valueOf(v)
       }
 
-      // 64-bit FNV-1a over the canonical rendering of each field; summed across
-      // rows so the total is invariant to row order and partitioning.
+      // 64-bit FNV-1a over the canonical rendering of each field (length-
+      // prefixed, NULL as a distinct token); summed across rows so the total
+      // is invariant to row order and partitioning.
       override def write(row: InternalRow): Unit = {
         var h = 0xcbf29ce484222325L
         var i = 0
         while (i < types.length) {
-          val s = if (row.isNullAt(i)) "\u0000" else render(row.get(i, types(i)), types(i))
+          val s = if (row.isNullAt(i)) "N"
+            else pfx(render(row.get(i, types(i)), types(i)))
           var j = 0
           while (j < s.length) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
           h ^= 0x1f; h *= 0x100000001b3L // field separator
