@@ -43,14 +43,21 @@ case class BinRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
   private val WidthKey = "spark.graft.rangeJoin.binWidth"
+  // Warn ONCE per distinct malformed value: the rule runs inside a
+  // fixed-point optimizer batch (up to maxIterations times per query, every
+  // query), and re-warning each invocation would drown the one actionable
+  // line in hundreds of duplicates.
+  @volatile private var warnedFor: String = _
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     // A malformed width must leave the rule dormant (with a warning), not
     // throw from the optimizer into every query in the session.
     session.conf.getOption(WidthKey).flatMap { v =>
       val d = v.toDoubleOption
-      if (d.isEmpty) logWarning(
-        s"$WidthKey='$v' is not a number — bin-range rewrite disabled")
+      if (d.isEmpty && v != warnedFor) {
+        warnedFor = v
+        logWarning(s"$WidthKey='$v' is not a number — bin-range rewrite disabled")
+      }
       d
     }.filter(_ > 0) match {
       case None => plan
@@ -109,8 +116,29 @@ case class BinRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     } yield (lo, hi)).headOption
 
     pair.map { case (lo, hi) =>
-      def bin(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(w)))
+      // Non-finite values have no bin: Spark's total double order puts NaN
+      // above everything, so `p <= NaN` is TRUE and an interval with a NaN
+      // (or +Inf) upper bound matches unboundedly many bins — un-enumerable.
+      // Silently flooring them (NaN -> 0, Inf -> overflow/sequence blow-up)
+      // would DROP matches the original theta join returned, or crash deep
+      // in sequence(). Rows carrying such values raise a CLEAR error naming
+      // the conf instead: the opt-in rewrite refuses loudly rather than
+      // answer wrong. Only floating-typed inputs pay the check; integral
+      // bins stay unguarded (non-finite is unrepresentable there).
+      def bin(e: Expression): Expression = {
+        val d = Cast(e, DoubleType)
+        val floored = Floor(Divide(d, Literal(w)))
+        e.dataType match {
+          case DoubleType | org.apache.spark.sql.types.FloatType =>
+            If(Or(IsNaN(d), EqualTo(Abs(d), Literal(Double.PositiveInfinity))),
+              Cast(RaiseError(Literal(
+                "bin-range rewrite: non-finite point/bound value in the " +
+                  s"range-join columns — unset $WidthKey for queries whose " +
+                  "join columns can hold NaN/Infinity")), LongType),
+              floored)
+          case _ => floored
+        }
+      }
 
       val (pointChild, intervalChild) =
         if (lo.pointSide == 1) (left, right) else (right, left)

@@ -86,6 +86,14 @@ case class TopKPerKeyExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // Empty group list = GLOBAL top-k: every partition's partial heap must
+    // gather on one node for the final heap. ClusteredDistribution(Nil)
+    // violates Spark's own require and would die deep inside
+    // EnsureRequirements; AllTuples is both the correct semantics and what
+    // makes the global case actually plan (partial bounding still runs
+    // map-side, so the gathered input is <= k rows per upstream partition).
+    else if (groupExprs.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override lazy val metrics = Map(

@@ -67,6 +67,27 @@ class BinRangeJoinSpec extends GraftSuite {
         col("k") === col("k2") && col("x") >= col("lo") && col("x") < col("hi"))
       assert(!keyed.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
         "rule must skip equi-keyed joins")
+
+      // NON-FINITE bounds have no bin: under Spark's total double order
+      // `p <= NaN` is TRUE, so an interval with a NaN upper bound matches
+      // unboundedly many bins — silently flooring it (NaN -> bin 0) would
+      // DROP matches the original theta join returned. The rewrite must
+      // refuse LOUDLY with a message naming the conf, never answer wrong.
+      import s.implicits._
+      val wildIv = Seq((900L, 1.0, Double.NaN), (901L, 5.0, 15.0))
+        .toDF("iid", "lo", "hi")
+      val points2 = s.range(0, 50).select(col("id").as("pid"),
+        col("id").cast("double").as("x"))
+      val wild = points2.join(wildIv,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val ex = intercept[Exception] { wild.collect() }
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain(ex).contains("non-finite"),
+        s"expected the loud non-finite refusal, got: ${chain(ex)}")
+      // All-finite doubles still rewrite and run (proved above); integral
+      // bins never pay the guard.
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -80,6 +80,20 @@ class TopKPlanSpec extends GraftSuite {
       s"partial must reduce the shuffle ($emitted vs $total input rows)")
   }
 
+  test("empty group list = GLOBAL top-k (AllTuples gather, not a planner crash)") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, (i * 37 % 1000).toDouble))
+      .toDF("id", "score").repartition(8)
+    val got = graft.operators.Relational
+      .topKPerGroupNative(df, Seq.empty, Seq(col("score").desc, col("id")), 25)
+      .orderBy(col("score").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = df.orderBy(col("score").desc, col("id")).limit(25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want,
+      "global top-k must equal orderBy+limit (partials bound map-side, one gather)")
+  }
+
   test("float/double group keys are rejected (UnsafeRow byte equality vs -0.0/NaN)") {
     // Spark's NormalizeFloatingNumbers rule does not know this node, so raw
     // byte-equality grouping would split -0.0 vs 0.0. The operator refuses
