@@ -23,13 +23,25 @@ object Similarity {
     * sorts default NULLS FIRST, which put a dim-mismatched vector at rank 1)
     * and the vec_id tiebreak that makes the cut deterministic. */
   private def rankTopK(scored: DataFrame, scoreCol: String,
-                       ascending: Boolean, k: Int): DataFrame = {
+                       ascending: Boolean, k: Int): DataFrame =
+    ranked(scored, scoreCol, ascending, k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col(scoreCol))
+
+  /** The ranking kernel behind [[rankTopK]] and [[mineHardNegatives]] (one
+    * definition so the ordering contract can never diverge between arms).
+    * NaN scores normalize to NULL first: Spark's total order puts NaN ABOVE
+    * every number, so a NaN cosine (inf/inf from an overflowed embedding)
+    * would otherwise outrank every real candidate in the descending arms —
+    * the exact inversion the nulls_last ordering exists to prevent. */
+  private def ranked(scored: DataFrame, scoreCol: String,
+                     ascending: Boolean, k: Int): DataFrame = {
+    val cleaned = scored.withColumn(scoreCol,
+      when(isnan(col(scoreCol)), lit(null)).otherwise(col(scoreCol)))
     val order =
       if (ascending) col(scoreCol).asc_nulls_last else col(scoreCol).desc_nulls_last
     val w = Window.partitionBy(col("q_id")).orderBy(order, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    cleaned.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col(scoreCol))
   }
 
   /**
@@ -62,10 +74,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    ranked(scored, "cos", ascending = false, k)
       .select(col("q_id"), col("q_label"), col("rnk"), col("vec_id"),
         col("label").as("neg_label"), col("cos"))
   }
@@ -89,15 +98,17 @@ object Similarity {
 
   /** Assign each row its `n` nearest centroids (cosine, round-4, id
     * tiebreak). Rows whose similarity to EVERY centroid is null (a
-    * dim-mismatched vector) drop out instead of silently joining the
-    * lowest-id cluster. Shared by the IVF and IVF-PQ paths. */
+    * dim-mismatched vector) or NaN (an overflowed one — NaN sorts ABOVE
+    * every number in Spark's total order and would otherwise win the .desc
+    * ranking into an arbitrary cluster) drop out instead of silently
+    * joining. Shared by the IVF and IVF-PQ paths. */
   private def nearestCentroid(centroids: DataFrame)(
       idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(
       col("cdist").desc, col("centroid_id"))
     df.crossJoin(broadcast(centroids))
       .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
-      .filter(col("cdist").isNotNull)
+      .filter(col("cdist").isNotNull && !isnan(col("cdist")))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") <= n)
       .drop("c_vec", "cdist", "crnk")
@@ -241,7 +252,15 @@ object Similarity {
                       iters: Int, trainFraction: Double = 1.0): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    // Probe the corpus dimensionality from the first usable row, with a
+    // CLEAR validation: a bare head().getInt on an empty corpus (or a
+    // NULL/empty first embedding) dies with an obscure NPE/NoSuchElement
+    // far from the actual problem.
+    val dimRow = corpus.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull && col("d") > 0).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "PQ training needs at least one non-null, non-empty embedding")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val sub = dim / m
     val train =

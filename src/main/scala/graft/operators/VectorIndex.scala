@@ -77,8 +77,16 @@ object VectorIndex {
   def normalized(df: DataFrame, vec: String, out: String): DataFrame = {
     val n = sqrt(aggregate(transform(col(vec), x => x.cast("double") * x),
       lit(0.0), (acc, v) => acc + v))
+    // Zero-norm guard: 0/0 = NaN per element, and one NaN vector poisons PQ
+    // training for the dataset's lifetime (NaN is NOT null, sorts ABOVE all
+    // numbers, so it wins a cluster assignment and spreads through the
+    // centroid averages into the persisted codebooks). A zero vector has no
+    // direction — it stays a zero vector, exactly the 0.0 the cosine
+    // expression answers for it.
     val r = df.withColumn("__l2n", n)
-      .withColumn(out, transform(col(vec), x => x.cast("double") / col("__l2n")))
+      .withColumn(out, transform(col(vec), x =>
+        when(col("__l2n") === 0.0, lit(0.0))
+          .otherwise(x.cast("double") / col("__l2n"))))
       .drop("__l2n")
     if (out == vec) r else r.drop(vec)
   }
@@ -102,7 +110,14 @@ object VectorIndex {
     val files =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(p => p.isFile && !p.getName.startsWith(".")).sortBy(_.getName).toSeq
+          // Spark's own hidden-file convention: '.' AND '_' prefixes are
+          // metadata (_SUCCESS, _committed...). Fingerprinting _SUCCESS
+          // would void the incremental add() path on every real Spark
+          // append (the marker's mtime changes), and a new '_' name would
+          // reach spark.read.parquet as a 0-byte non-parquet "part".
+          .filter(p => p.isFile && !p.getName.startsWith(".") &&
+            !p.getName.startsWith("_"))
+          .sortBy(_.getName).toSeq
       else Seq(f)
     files.map(p => (p.getName, p.length, p.lastModified))
   }
@@ -141,11 +156,29 @@ object VectorIndex {
         new java.io.File(dir, "pq_index").getAbsolutePath,
         new java.io.File(dir, "sq_index").getAbsolutePath))
     }
-    published match {
-      case Some((s, dirName)) if s == sig && handleFor(dirName).isDefined =>
-        handleFor(dirName).get
-      case prev =>
+    // Bind the published-and-valid handle ONCE (no double disk read), and
+    // fall through to the build path when the published dir is missing/torn.
+    val publishedValid: Option[Handle] =
+      published.filter(_._1 == sig).flatMap(p => handleFor(p._2))
+    publishedValid match {
+      case Some(h) => h
+      case None =>
+        val prev = published
         val newDir = new java.io.File(root, s"idx-${digest(sig)}")
+        // CONTENT-ADDRESSED reuse: the directory name is a digest of the
+        // signed parts-state, and every artifact is a deterministic function
+        // of that state — if a VALID index for this digest already exists
+        // (a reverted fingerprint: append published idx-B, then the appended
+        // parts were deleted and the state is A again), re-publishing the
+        // signature at it is both correct and free. Building INTO it with
+        // overwrite would violate the no-rebuild-ever-overwrites torn-read
+        // guarantee for a reader still scanning it.
+        handleFor(newDir.getName) match {
+          case Some(h) =>
+            write(sigFile, s"$sig\n${newDir.getName}")
+            return h
+          case None =>
+        }
         newDir.mkdirs()
         val pqPath = new java.io.File(newDir, "pq_index").getAbsolutePath
         val sqPath = new java.io.File(newDir, "sq_index").getAbsolutePath
@@ -154,12 +187,16 @@ object VectorIndex {
         // present byte-identical (name, length, mtime) with at least one new
         // part — then the old codebooks are reused and only new vectors
         // encode (the FAISS add() posture). Anything else → full rebuild.
+        // The OLD signature parse is Try-guarded: a torn/older-format
+        // SIGNATURE (crash mid-write truncates) must degrade to a full
+        // rebuild, never throw out of the memoizer and wedge the dataset.
         val incremental: Option[(Handle, Seq[String])] = prev.flatMap {
           case (oldSig, oldDirName) =>
-            val oldParts = "parts=(.*)".r.findFirstMatchIn(oldSig)
-              .map(_.group(1).split(";").filter(_.nonEmpty).toSeq.map { e =>
-                val Array(n, l, t) = e.split(":"); (n, l.toLong, t.toLong)
-              }).getOrElse(Seq.empty)
+            val oldParts = scala.util.Try(
+              "parts=(.*)".r.findFirstMatchIn(oldSig)
+                .map(_.group(1).split(";").filter(_.nonEmpty).toSeq.map { e =>
+                  val Array(n, l, t) = e.split(":"); (n, l.toLong, t.toLong)
+                }).getOrElse(Seq.empty)).getOrElse(Seq.empty)
             val cur = curParts.toSet
             val newNames = curParts.map(_._1).toSet -- oldParts.map(_._1).toSet
             val sameParams =
