@@ -512,16 +512,15 @@ object Corpus {
    * there a numeric id collision is two UNRELATED documents, and dropping
    * the pair would silently report a genuinely contaminated document clean.
    *
-   * BREAKING CHANGE (round 11): the doc_id =!= bench_id filter used to be
-   * UNCONDITIONAL; it is now opt-in via `excludeSelfPairs = true`, and the
-   * default (false) REPORTS identity pairs. Callers whose benchmark shares
-   * the corpus id space must now pass `excludeSelfPairs = true` explicitly
-   * to keep the old behavior — the default favors the independent-benchmark
-   * case where suppressing an id-colliding pair would hide real leakage.
+   * The default (`true`) preserves the method's original behavior — identity
+   * pairs dropped — so callers upgrading across versions see no silent
+   * result change. Pass `excludeSelfPairs = false` explicitly for an
+   * INDEPENDENT benchmark table: there a numeric id collision is two
+   * unrelated documents, and dropping the pair would hide real leakage.
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                     minShared: Int = 3,
-                    excludeSelfPairs: Boolean = false): DataFrame = {
+                    excludeSelfPairs: Boolean = true): DataFrame = {
     val corpusSh = corpus.select(col("doc_id"),
       explode(TextOps.shingleSet(col("text"), n)).as("sh"))
     val benchSh = benchmark.select(col("doc_id").as("bench_id"),

@@ -290,11 +290,19 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
             // wrapped value the un-rewritten query would have raised on.
             if (needsExactFold &&
                 !v.manifest.props.get("mview.foldmode").contains("ansi")) {
+              // The remedy must be one that actually restores the stamp:
+              // incremental refreshes only ever AND-weaken the fold mode (a
+              // legacy-wrapped stored sum is undetectable later), so the
+              // only sound upgrades are a FULL recompute under ANSI
+              // (recompute_mview re-stamps because it replaces every stored
+              // value) or drop+recreate.
               staleNotes +=
                 s"view ${id.name()} matches this aggregate but was folded " +
                   "under LEGACY arithmetic while the query runs ANSI sum/avg " +
-                  "— refresh it under spark.sql.ansi.enabled=true (every " +
-                  "fold) to serve ANSI-mode queries"
+                  "— incremental refreshes cannot restore the stamp; run " +
+                  s"CALL graft.system.recompute_mview(name => '${id.name()}') " +
+                  "under spark.sql.ansi.enabled=true (or drop and recreate " +
+                  "the view under ANSI) to serve ANSI-mode queries"
               return None
             }
             // FRESH: folded exactly to the generation this scan reads. The

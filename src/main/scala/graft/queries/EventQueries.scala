@@ -839,14 +839,22 @@ object EventQueries {
     StructField("p_id", LongType), StructField("p_user", LongType),
     StructField("p_ts", TimestampType), StructField("p_value", DoubleType)))
 
-  // computeIfAbsent-keyed memos (NOT add-to-set): a second concurrent caller
-  // must BLOCK until the first finishes — a set's add() returns false
-  // immediately and the loser would read a half-written source/sink. A
-  // failed build establishes no mapping, so the next caller retries.
+  // Per-key once-memos that run their body OUTSIDE the CHM bin lock: a
+  // second concurrent caller for the SAME key must BLOCK until the first
+  // finishes (a set's add() returns false immediately and the loser would
+  // read a half-written source/sink), but running the minutes-long build
+  // directly inside computeIfAbsent pins the map's BIN lock — a caller for a
+  // DIFFERENT key hashing to the same bin would stall for the whole drain,
+  // and any reentrant map access from inside the build would deadlock. So
+  // computeIfAbsent only memoizes a cheap cell; the cell's lazy val
+  // serializes same-key callers on the cell's OWN monitor. A thrown body
+  // leaves the lazy val uninitialized, so the next caller retries (the prior
+  // failed-build-establishes-no-mapping contract, modulo the cell itself).
+  private final class OnceCell(body: () => Unit) { lazy val force: Unit = body() }
   private val ssjSrcWritten =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), OnceCell]()
   private val ssjDrained =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), OnceCell]()
 
   /** ONE full-outer interval-join drain per (session, dataset), shared by
     * the three stream-join queries (B186/B206/B236): the FULL OUTER sink is
@@ -867,7 +875,7 @@ object EventQueries {
   private def streamJoinDrain(s: SparkSession, d: String): String = {
     val src = streamJoinSources(s, d)
     val scratch = Tables.scratchDir(s, "ssjdrain", d)
-    ssjDrained.computeIfAbsent((s, d), _ => {
+    ssjDrained.computeIfAbsent((s, d), _ => new OnceCell(() => {
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/ckpt"), true)
@@ -897,8 +905,7 @@ object EventQueries {
         q.stop()
         require(done, "stream-join drain: AvailableNow did not finish in 240s")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      java.lang.Boolean.TRUE
-    })
+    })).force
     s"$scratch/out"
   }
 
@@ -915,7 +922,7 @@ object EventQueries {
     * the OUTER join close in a single AvailableNow drain. */
   private def streamJoinSources(s: SparkSession, d: String): String = {
     val scratch = Tables.scratchDir(s, "ssjsrc", d)
-    ssjSrcWritten.computeIfAbsent((s, d), _ => {
+    ssjSrcWritten.computeIfAbsent((s, d), _ => new OnceCell(() => {
       val ev = Tables.events(s, d)
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
@@ -931,8 +938,7 @@ object EventQueries {
         .write.mode("append").parquet(s"$scratch/views")
       Seq((-1L, -998L, t, 0.0)).toDF("p_id", "p_user", "p_ts", "p_value")
         .write.mode("append").parquet(s"$scratch/purch")
-      java.lang.Boolean.TRUE
-    })
+    })).force
     scratch
   }
 

@@ -68,6 +68,13 @@ class AuditTable(writeSchema: StructType, path: String) extends Table with Suppo
 
 case class AuditMessage(rows: Long, hashSum: Long) extends WriterCommitMessage
 
+object AuditBatchWrite {
+  /** Canonical-rendering scheme version stamped into every manifest. Bump
+    * whenever the per-row rendering changes so committed fingerprints from
+    * different schemes are never compared as if one dataset diverged. */
+  val FingerprintVersion = 2
+}
+
 class AuditBatchWrite(schema: StructType, path: String,
     conf: org.apache.hadoop.conf.Configuration) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -79,8 +86,14 @@ class AuditBatchWrite(schema: StructType, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.map { case AuditMessage(r, _) => r }.sum
     val hash = messages.map { case AuditMessage(_, h) => h }.sum
+    // fingerprint_v VERSIONS the canonical-rendering scheme (v2 = length-
+    // prefixed nested elements, 'N' null token; v1 manifests carry no field).
+    // A cross-version comparison of content_hash on data with nulls/arrays/
+    // maps/structs legitimately differs — readers check the version first so
+    // a rendering-scheme change is distinguishable from real data corruption.
     val manifest =
-      s"""{"rows":$rows,"content_hash":$hash,"n_tasks":${messages.length}}"""
+      s"""{"rows":$rows,"content_hash":$hash,"n_tasks":${messages.length},""" +
+        s""""fingerprint_v":${AuditBatchWrite.FingerprintVersion}}"""
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)

@@ -6250,6 +6250,63 @@ object GraftCatalogOps {
     } finally { if (hasMinMax) { delta.unpersist(); () } }
   }
 
+  /** FULL non-incremental recompute of a materialized view — the sound
+    * FOLD-MODE RE-UPGRADE path. [[refreshMview]]'s `mview.foldmode` stamp
+    * can only ever AND-weaken (one LEGACY fold may wrap a stored sum, and no
+    * later ANSI fold can detect it), so a view once stamped 'legacy' never
+    * serves ANSI-mode sum/avg again through refreshes alone. A full
+    * recompute REPLACES every stored value with one computed under the
+    * SESSION's eval mode, so re-stamping to that mode is sound by
+    * construction: an ANSI recompute that commits proves every mv_sum exact
+    * (it would have raised ARITHMETIC_OVERFLOW instead of committing).
+    *
+    * Two commits, crash-safe in this order: the overwrite (carrying the new
+    * state and the new fold floor via the B180 txn ledger) lands FIRST, the
+    * stamp second — a crash between them leaves a correctly-recomputed view
+    * still stamped 'legacy', merely conservative (re-run the recompute to
+    * finish the upgrade). The stamp commit re-checks the fold floor inside
+    * the publish: if a concurrent fold advanced the view past this
+    * recompute's target generation, the upgrade is ABANDONED (that fold ran
+    * under unknown mode on newer commits — stamping 'ansi' over it would be
+    * exactly the unsoundness the stamp exists to prevent).
+    *
+    * Returns the source generation the view now reflects. */
+  def recomputeMview(spark: SparkSession, catalog: String, root: String,
+                     name: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    val dir = new Path(root, name)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = GraftManifest.load(dir, GraftManifest.currentGen(dir, conf), conf)
+    val source = m.props.getOrElse("mview.source", throw new IllegalArgumentException(
+      s"$name is not a materialized view (no mview.source property)"))
+    val keys = m.props("mview.keys").split(',').toSeq
+    val sumCol = m.props("mview.sum")
+    val to = GraftManifest.currentGen(new Path(root, source), conf)
+    require(to >= mviewFoldFloor(m),
+      s"source $source is at generation $to, below the view's fold floor " +
+        s"${mviewFoldFloor(m)} (RESTORE ran backwards) — rebuild the view")
+    val snap = spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
+    snap.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("mv_count"),
+        sum(col(sumCol)).cast("long").as("mv_sum"),
+        count(col(sumCol)).as("mv_nncount"),
+        min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max"))
+      .writeTo(s"$catalog.`$name`")
+      .option("txnAppId", "mview").option("txnVersion", to.toString)
+      .overwrite(lit(true))
+    val mode = if (spark.sessionState.conf.ansiEnabled) "ansi" else "legacy"
+    GraftManifest.publishNext(dir, conf) { cur =>
+      // Abandon the re-stamp if a concurrent fold advanced past `to`: its
+      // arithmetic ran under a mode this recompute cannot vouch for. Equal
+      // floor = the recompute's own overwrite is the newest fold — stamp.
+      val floorNow = mviewFoldFloor(cur)
+      val p = if (floorNow == to) cur.props + ("mview.foldmode" -> mode)
+              else cur.props
+      cur.copy(gen = cur.gen + 1, props = p)
+    }
+    to
+  }
+
   /**
    * CONTINUOUS materialized-view maintenance (the Delta Live Tables /
    * Materialize posture, composing B170's streaming change feed with B198's
@@ -6355,13 +6412,29 @@ object GraftCatalogOps {
     // Stamp the clustered layout (cols + curve + the generation whose entry
     // list IS the clustered tiling) so INCREMENTAL maintenance can later
     // diff "files added since" against "tiles laid down here" —
-    // [[optimizeZorderIncremental]]. One extra metadata-only commit.
+    // [[optimizeZorderIncremental]]. One extra metadata-only commit. The
+    // stamped generation is READ BACK right after the rewrite commit, NOT
+    // derived from whatever manifest is current at stamp time: a concurrent
+    // append landing between the rewrite and the stamp would otherwise put
+    // ITS files inside the stamped entry list and they would be permanently
+    // classified as clustered tiles (never re-clustered by later increments
+    // — silent layout decay, though results stay correct). A commit racing
+    // into the tiny read-back window is detected and logged: its files are
+    // visible at rwGen but absent from the pre-rewrite snapshot's successor.
+    val rwGen = GraftManifest.currentGen(dir, conf)
+    if (rwGen != before.gen + 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"OPTIMIZE ZORDER on $table stamped generation $rwGen but the " +
+          s"pre-rewrite snapshot was ${before.gen} — a concurrent commit " +
+          "interleaved; files it added may be misclassified as clustered " +
+          "tiles until the next full rewrite")
     GraftManifest.publishNext(dir, conf) { cur =>
       cur.copy(gen = cur.gen + 1, props = cur.props ++ Map(
         "zorder.cols" -> s"$xCol,$yCol", "zorder.curve" -> curve,
-        "zorder.gen" -> (cur.gen + 1).toString))
+        "zorder.gen" -> rwGen.toString))
     }
-    (before.entries.size.toLong, snap().entries.size.toLong)
+    (before.entries.size.toLong,
+      GraftManifest.load(dir, rwGen, conf).entries.size.toLong)
   }
 
   /**
@@ -6447,10 +6520,21 @@ object GraftCatalogOps {
       .drop("__zkey")
       .writeTo(tableRef).option("replaceFiles", targets.mkString("\n"))
       .append()
-    // Re-stamp: the NEXT increment diffs against this layout.
+    // Re-stamp: the NEXT increment diffs against this layout. Same read-back
+    // discipline as the full rewrite's stamp — the stamped generation is the
+    // one the targeted-replace commit produced, so a concurrent append
+    // landing before the stamp commit cannot smuggle its files into the
+    // stamped tiling (they stay "new" for the next increment).
+    val rwGen = GraftManifest.currentGen(dir, conf)
+    if (rwGen != m.gen + 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"incremental ZORDER on $table stamped generation $rwGen but the " +
+          s"pre-rewrite snapshot was ${m.gen} — a concurrent commit " +
+          "interleaved; files it added may be misclassified as clustered " +
+          "tiles until the next increment observes them")
     GraftManifest.publishNext(dir, conf) { cur =>
       cur.copy(gen = cur.gen + 1,
-        props = cur.props + ("zorder.gen" -> (cur.gen + 1).toString))
+        props = cur.props + ("zorder.gen" -> rwGen.toString))
     }
     (targets.size.toLong, (current.size - targets.size).toLong)
   }
@@ -6733,6 +6817,14 @@ object GraftProcedures {
           a.getUTF8String(0).toString)
         Seq(f, t)
       }),
+    ProcDef("recompute_mview",
+      "full non-incremental recompute under the session's eval mode — the " +
+        "sound way to re-stamp a legacy-folded view 'ansi' (run under " +
+        "spark.sql.ansi.enabled=true); source-proportional",
+      Seq(in("name", StringType)),
+      out("recomputed_to_gen" -> LongType),
+      (s, cat, root, a) => Seq(GraftCatalogOps.recomputeMview(s, cat, root,
+        a.getUTF8String(0).toString))),
     // The near-miss diagnostics rings, SQL-reachable (the "why didn't my
     // view serve / my join eliminate" question, answerable over a SQL-only
     // connection — the JVM-side `RelyDiagnostics.recent` twins). Notes are

@@ -453,6 +453,28 @@ class CorpusSpec extends GraftSuite {
     assert(hits.head._2 === 100L && hits.head._3 >= 3)
   }
 
+  test("decontaminate default drops identity pairs; opt-out reports them") {
+    // A benchmark that IS a corpus slice: doc 1 appears on both sides under
+    // the same id. The DEFAULT path (excludeSelfPairs = true, the method's
+    // original behavior) must drop the trivial doc==bench pair; the explicit
+    // opt-out (false, for independent benchmarks) must report it.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"$shared plus unrelated trailing words here"),
+      (2L, "completely different text with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 1L)
+    val defaults = Corpus.decontaminate(corpus, bench)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect()
+    assert(!defaults.contains((1L, 1L)),
+      s"default must drop the self-pair, got ${defaults.toSeq}")
+    val optOut = Corpus.decontaminate(corpus, bench, 5, 3,
+      excludeSelfPairs = false)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect()
+    assert(optOut.contains((1L, 1L)),
+      s"opt-out must report the id-colliding pair, got ${optOut.toSeq}")
+  }
+
   test("unigramLogLoss ranks rare-token docs as less corpus-like") {
     val docs = Seq(
       (1L, "common common common common common"),

@@ -645,6 +645,55 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmvr.nkfact")
   }
 
+  test("recompute_mview is the sound foldmode re-upgrade: legacy -> ansi") {
+    // refreshMview's stamp only ever AND-weakens (one LEGACY fold may wrap a
+    // stored sum undetectably), so a 'legacy' view never serves ANSI sum/avg
+    // again through refreshes. recompute_mview REPLACES every stored value
+    // under the session's mode, so it may legitimately re-stamp 'ansi'.
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.fmfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.fmfact_mv")
+    (0L until 60L).map(i => (i, i % 3, i * 11 % 83))
+      .toDF("id", "k", "x").writeTo("gmvr.fmfact").create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'fmfact', " +
+      "name => 'fmfact_mv', keys => 'k', sum_col => 'x')")
+    def q: DataFrame = spark.table("gmvr.fmfact").groupBy(col("k"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n")).orderBy(col("k"))
+    def stamp: String = spark.sql("SHOW TBLPROPERTIES gmvr.fmfact_mv")
+      .filter(col("key") === "mview.foldmode").head.getString(1)
+    assert(stamp === "ansi", "session is ANSI; the seed must stamp ansi")
+    // One LEGACY fold poisons the stamp forever (for refreshes).
+    Seq((100L, 1L, 7L)).toDF("id", "k", "x").writeTo("gmvr.fmfact").append()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try spark.sql("CALL gmvr.system.refresh_mview(name => 'fmfact_mv')")
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert(stamp === "legacy", "a legacy fold must downgrade the stamp")
+    assert(!scansOf(q).exists(_.contains("fmfact_mv")),
+      "an ANSI sum must not serve from a legacy-folded view")
+    // An ANSI refresh CANNOT restore it (AND-combine only weakens) ...
+    Seq((101L, 2L, 9L)).toDF("id", "k", "x").writeTo("gmvr.fmfact").append()
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fmfact_mv')")
+    assert(stamp === "legacy", "refresh must never re-upgrade the stamp")
+    // ... but a full recompute under ANSI does, and serving resumes exactly.
+    val gen = spark.sql(
+      "CALL gmvr.system.recompute_mview(name => 'fmfact_mv')").head.getLong(0)
+    assert(gen >= 1L)
+    assert(stamp === "ansi", "an ANSI recompute must re-stamp ansi")
+    graft.plans.MviewRewriteRule.invalidateCache()
+    assert(scansOf(q).exists(_.contains("fmfact_mv")),
+      s"the recomputed view must serve ANSI queries again, got ${scansOf(q)}")
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    val got = q.collect().map(_.toSeq).toSeq
+    cls.experimental.extraOptimizations = Nil
+    try assert(q.collect().map(_.toSeq).toSeq === got,
+      "recompute must reproduce the base aggregate exactly")
+    finally cls.experimental.extraOptimizations = saved
+    spark.sql("DROP TABLE IF EXISTS gmvr.fmfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.fmfact")
+  }
+
   test("a stale view passed over for a fresh one leaves NO skipped-rewrite note") {
     // The walk prefers the exact-key view; when it is stale but a finer
     // fresh view still serves the query via rollup, the rewrite FIRED — a

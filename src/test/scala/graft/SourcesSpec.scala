@@ -169,6 +169,11 @@ class SourcesSpec extends GraftSuite {
     assert(field(m1, "rows") === field(m2, "rows"))
     assert(field(m1, "content_hash") === field(m2, "content_hash"))
     assert(field(m1, "rows") === s"rows:${df.count()}")
+    // The rendering-scheme version is stamped so a future scheme change is
+    // distinguishable from data corruption when fingerprints are compared
+    // across versions.
+    assert(field(m1, "fingerprint_v") ===
+      s"fingerprint_v:${graft.sources.AuditBatchWrite.FingerprintVersion}")
     // Atomic publish: no temp file survives a successful commit.
     assert(!Files.exists(Paths.get(d1, "_manifest.json.tmp")))
     // A changed multiset must change the signature.
