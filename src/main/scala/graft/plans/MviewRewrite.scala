@@ -531,28 +531,44 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
 
   // ------------------------------------------------- join-aggregate rewrite
 
-  /** `Aggregate(…, fact ⋈ dim)` answered by eager aggregation (see the class
-    * doc): substitute the view for the fact side, keep the dimension subtree
-    * verbatim, re-aggregate the partials above the (now tiny) join. */
+  /** `Aggregate(…, fact ⋈ dim1 ⋈ dim2 ⋈ …)` answered by eager aggregation
+    * (see the class doc): substitute the view ONCE for the fact leaf of an
+    * INNER-join tree, keep every dimension subtree verbatim, re-aggregate
+    * the partials above the (now tiny) join tree. The single-join shape is
+    * the one-dim special case; the dominant dashboard shape at scale is
+    * `fact ⋈ d1 ⋈ d2 GROUP BY d1.a, d2.b` (normalized star queries), and
+    * the proof is IDENTICAL per group: every fact row in one view group
+    * carries the same values on every view key, so it joins the same
+    * multiset of dim-attribute tuples through the WHOLE dim structure —
+    * substituting the group's partial contributes mv_count/mv_sum exactly
+    * once per joined tuple where the original contributed its rows
+    * one-by-one. */
   private def rewriteJoin(ges: Seq[Expression], aes: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    def joinOf(p: LogicalPlan): Option[Join] = p match {
-      case j: Join => Some(j)
+    def strip(p: LogicalPlan): LogicalPlan = p match {
       case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
-        joinOf(inner)
-      case _ => None
+        strip(inner)
+      case other => other
     }
-    joinOf(child) match {
-      case Some(Join(l, r, Inner, Some(cond), hint)) =>
-        attemptJoin(ges, aes, l, r, cond, hint, factIsLeft = true)
-          .orElse(attemptJoin(ges, aes, r, l, cond, hint, factIsLeft = false))
+    // Fact candidates: every subtree reachable from the top through INNER
+    // joins (condition present) and bare-attribute Projects that baseOf
+    // accepts as a full graft-table scan. Usually exactly one — a dim leaf
+    // that happens to be a graft table simply finds no qualifying view in
+    // the candidate walk and the next candidate is tried.
+    def factCands(p: LogicalPlan): Seq[LogicalPlan] = strip(p) match {
+      case Join(l, r, Inner, Some(_), _) => factCands(l) ++ factCands(r)
+      case _ => if (baseOf(p).isDefined) Seq(p) else Seq.empty
+    }
+    strip(child) match {
+      case top @ Join(_, _, Inner, Some(_), _) =>
+        factCands(top).iterator
+          .flatMap(f => attemptJoin(ges, aes, top, f)).nextOption()
       case _ => None
     }
   }
 
   private def attemptJoin(ges: Seq[Expression], aes: Seq[NamedExpression],
-      fact: LogicalPlan, dim: LogicalPlan, cond: Expression, hint: JoinHint,
-      factIsLeft: Boolean): Option[LogicalPlan] = {
+      top: Join, fact: LogicalPlan): Option[LogicalPlan] = {
     val keyAttrs = ges.map {
       case ar: AttributeReference => ar
       case _ => return None
@@ -566,23 +582,43 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     if (!pushedCovered(fact, filterCols)) return None
 
     val factOut = fact.outputSet
-    val dimOut = dim.outputSet
-    // Join condition: a conjunction of bare fact-attr = dim-attr equalities.
-    // (A dim-only or fact-only conjunct would be expressible too, but keeps
-    // the proof surface larger than the shape is worth — refuse.)
-    val pairs: Seq[(AttributeReference, AttributeReference)] =
-      splitConjunctivePredicates(cond).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if factOut.contains(a) && dimOut.contains(b) => (a, b)
-        case EqualTo(b: AttributeReference, a: AttributeReference)
-            if factOut.contains(a) && dimOut.contains(b) => (a, b)
-        case _ => return None
-      }
-    if (pairs.isEmpty) return None
-    // Group keys: dim-side attrs ride verbatim; fact-side attrs must be view
+    // The joins on the path root→fact (every join the fact's rows flow
+    // through; factCands guaranteed them Inner with a condition). Join
+    // conditions INSIDE a dim subtree are not collected — the dim subtree
+    // rides verbatim whatever it computes, exactly like a single dim table.
+    def containsFact(p: LogicalPlan): Boolean =
+      (p eq fact) || p.children.exists(containsFact)
+    def pathConds(p: LogicalPlan): Seq[Expression] = p match {
+      case _ if p eq fact => Seq.empty
+      case Join(l, r, Inner, Some(c), _) =>
+        c +: (if (containsFact(l)) pathConds(l) else pathConds(r))
+      case Project(_, inner) => pathConds(inner)
+      case _ => Seq.empty
+    }
+    // Path-join conjuncts: a conjunct touching the fact must be a bare
+    // fact-attr = other-attr equality (the fact attr becomes a required view
+    // key — group identity must survive the substitution); a conjunct NOT
+    // touching the fact rides verbatim when deterministic and subquery-free
+    // (it filters the same dim tuples on both plans — snowflake d1⋈d2
+    // conditions are the normal case here).
+    val conjuncts = pathConds(top).flatMap(splitConjunctivePredicates)
+    val factJoinKeys: Seq[AttributeReference] = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factOut.contains(a) && !factOut.contains(b) => Seq(a)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if factOut.contains(a) && !factOut.contains(b) => Seq(a)
+      case other if other.references.exists(factOut.contains) => return None
+      case other =>
+        if (!other.deterministic ||
+            other.exists(_.isInstanceOf[PlanExpression[_]])) return None
+        Seq.empty
+    }
+    if (factJoinKeys.isEmpty) return None
+    // Group keys: non-fact attrs ride verbatim; fact-side attrs must be view
     // keys (they become the view's own key columns).
     val factKeyAttrs = keyAttrs.filter(factOut.contains)
-    if (keyAttrs.exists(a => !factOut.contains(a) && !dimOut.contains(a)))
+    if (keyAttrs.exists(a => !factOut.contains(a) &&
+        !top.outputSet.contains(a)))
       return None
     val keyIds = keyAttrs.map(_.exprId).toSet
     val outs = classify(aes, keyIds).getOrElse(return None)
@@ -612,7 +648,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // join keys (group identity), the fact grouping keys, and the replayed
     // filter columns. Coarsest qualifying view first — fewest rows to join.
     val requiredKeys: Set[String] =
-      pairs.map(_._1.name.toLowerCase).toSet ++
+      factJoinKeys.map(_.name.toLowerCase).toSet ++
         factKeyAttrs.map(_.name.toLowerCase) ++ filterCols
     val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
       .filter { case (_, source, keys, sum) =>
@@ -629,19 +665,30 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
 
     // Replay the key-only fact filter on the view, then re-join the view to
-    // the UNTOUCHED dimension subtree on the same (renamed) keys.
+    // the UNTOUCHED dimension subtrees on the same (renamed) keys: rebuild
+    // only the path joins, renaming fact attrs in their conditions; bare
+    // pruning Projects on the path are dropped (removing a pruning Project
+    // only widens the join output — the Aggregate above projects anyway, and
+    // the fact data columns such Projects carried are served by mv_* now).
     val vInput: LogicalPlan = baseFilter match {
       case Some(c) => Filter(c.transform {
         case ar: AttributeReference => vAttr(ar.name)
       }, vScan)
       case None => vScan
     }
-    val newCond = cond.transform {
-      case ar: AttributeReference if factOut.contains(ar) => vAttr(ar.name)
-    }
-    val newJoin =
-      if (factIsLeft) Join(vInput, dim, Inner, Some(newCond), hint)
-      else Join(dim, vInput, Inner, Some(newCond), hint)
+    def rebuild(p: LogicalPlan): LogicalPlan =
+      if (p eq fact) vInput
+      else if (!containsFact(p)) p // dim subtree rides verbatim
+      else p match {
+        case Project(_, inner) => rebuild(inner)
+        case Join(l, r, Inner, cond, hint) =>
+          Join(rebuild(l), rebuild(r), Inner, cond.map(_.transform {
+            case ar: AttributeReference if factOut.contains(ar) =>
+              vAttr(ar.name)
+          }), hint)
+        case other => other
+      }
+    val newJoin = rebuild(top)
 
     // Re-aggregate the partials: dim keys verbatim, fact keys renamed to the
     // view's columns, counts/sums folded exactly as the ROLLUP path does.

@@ -178,6 +178,21 @@ object StarQueries {
     }
   }
 
+  /** The SECOND dimension for the multi-dim join rewrite (B234): one row per
+    * distinct `pk` value of graft.mvrq. Together with [[mvrqDimFixture]] the
+    * two dims cover both of the (pk,b) view's keys — the normalized
+    * `fact ⋈ d1 ⋈ d2 GROUP BY d1.a, d2.b` dashboard shape. */
+  private def mvrqDim2Fixture(s: SparkSession, d: String): Unit = {
+    fixture(s, d, "mvrq_dim2", 1L, "v1", Seq("orders")) { marker =>
+      Tables.orders(s, d)
+        .select(pmod(col("o_orderkey"), lit(3)).cast("long").as("ppk"))
+        .distinct()
+        .withColumn("plabel", concat(lit("p"), col("ppk")))
+        .coalesce(1).writeTo("graft.mvrq_dim2")
+        .tableProperty("fixture", marker).create()
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // B4: multi-aggregate hash aggregation with a pushed-down scan predicate
     // (the reference's "macronutrient bars per item" A25, generalized).
@@ -3217,6 +3232,41 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("grp"))
     },
 
+    // B234 MULTI-DIMENSION join rewrite: `fact ⋈ d1 ⋈ d2 GROUP BY d1.grp,
+    // d2.plabel` — the normalized star shape once item attributes split
+    // into their own dimensions. The (pk,b) view substitutes ONCE for the
+    // fact leaf of the inner-join TREE (both fact join keys are view keys),
+    // BOTH dimension subtrees ride verbatim (d1 keeps its own filter), and
+    // the partials re-aggregate above the whole tree — the same per-group
+    // eager-aggregation proof as one dim, because a view group's rows all
+    // join the same multiset of dim-attribute tuples through the entire dim
+    // structure. `rewritten` pins the view-for-fact substitution with both
+    // dims still in the plan; the oracle replays the 3-table aggregate.
+    "q_mview_join2_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      mvrqDimFixture(s, d)
+      mvrqDim2Fixture(s, d)
+      val df = s.table("graft.mvrq")
+        .join(s.table("graft.mvrq_dim").filter(col("bpk") =!= 4L),
+          col("b") === col("bpk"))
+        .join(s.table("graft.mvrq_dim2"), col("pk") === col("ppk"))
+        .groupBy(col("grp"), col("plabel"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
+        scans.exists(_.contains("mvrq_dim@")) &&
+        scans.exists(_.contains("mvrq_dim2")) &&
+        !scans.exists(_.contains("mvrq@"))
+      df.withColumn("rewritten", lit(rewritten))
+        .orderBy(col("grp"), col("plabel"))
+    },
+
     // B198+B234 MIN/MAX materialized view with DELETE-AWARE maintenance:
     // the clone-forked source takes an append, a row DELETE (which may
     // strip group extremes — the fold recomputes exactly the affected
@@ -5722,6 +5772,24 @@ object StarQueries {
         |FROM base JOIN dim ON base.b = dim.bpk
         |WHERE dim.bpk <> 4
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // B234 multi-dim join rewrite: the oracle replays the 3-table base
+    // aggregate the optimizer served from the view joined to both dims.
+    "q_mview_join2_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders),
+        |dim AS (SELECT DISTINCT o_orderkey % 5 AS bpk,
+        |    (o_orderkey % 5) % 2 AS grp FROM orders),
+        |dim2 AS (SELECT DISTINCT o_orderkey % 3 AS ppk,
+        |    concat('p', CAST(o_orderkey % 3 AS VARCHAR)) AS plabel FROM orders)
+        |SELECT CAST(grp AS BIGINT) AS grp, plabel, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base JOIN dim ON base.b = dim.bpk
+        |  JOIN dim2 ON base.pk = dim2.ppk
+        |WHERE dim.bpk <> 4
+        |GROUP BY 1, 2 ORDER BY grp, plabel""".stripMargin,
 
     // B198+B234 min/max view: the oracle replays the DML composition (the
     // %7 delete runs before the %13 update and the predicates are

@@ -490,6 +490,90 @@ class MviewRewriteSpec extends GraftSuite {
       "post-refresh rewrite must serve the same numbers the base join computed")
   }
 
+  test("MULTI-DIM join rewrite: fact ⋈ d1 ⋈ d2 substitutes the view once") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    spark.sql("DROP TABLE IF EXISTS gmvr.dim2")
+    // qk 0..2 matches fact.k2's domain; cat groups the three keys into two.
+    (0L until 3L).map(i => (i, if (i == 0) "a" else "b"))
+      .toDF("qk", "cat").writeTo("gmvr.dim2").create()
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    def checkServes(df: => DataFrame, sortCols: Seq[String]): Unit = {
+      val scans = scansOf(df)
+      assert(scans.exists(_.contains("fact_mv")) && !scans.exists(_.contains("fact@")),
+        s"expected the view to replace the fact scan, got $scans")
+      val got = df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+      ruleOff {
+        assert(!scansOf(df).exists(_.contains("fact_mv")), "sanity: rule off")
+        assert(df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq === got,
+          "multi-dim rewrite must reproduce the base 3-table aggregate exactly")
+      }
+    }
+    def fact = spark.table("gmvr.fact")
+    def dim = spark.table("gmvr.dim")
+    def dim2 = spark.table("gmvr.dim2")
+    // The normalized dashboard shape: both fact join keys are view keys,
+    // grouping entirely dim-side across BOTH dimensions.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("k2") === col("qk"))
+      .groupBy(col("attr"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), avg(col("x")).as("ax")),
+      Seq("attr", "cat"))
+    // Mixed grouping: dim1 attr + dim2 cat + a fact-side VIEW KEY.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("k2") === col("qk"))
+      .groupBy(col("attr"), col("cat"), col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("attr", "cat", "k1"))
+    // Orientation: fact deep on the right of a left-leaning tree.
+    checkServes(dim.join(fact, col("pk") === col("k1"))
+      .join(dim2, col("k2") === col("qk"))
+      .groupBy(col("label"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("label", "cat"))
+    // SNOWFLAKE: d2 hangs off d1, not the fact — the d1.attr = d2.qk
+    // conjunct touches no fact column and rides verbatim.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("attr") === col("qk"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("cat"))
+    // Filtered dims ride verbatim on both paths.
+    checkServes(fact.join(dim.filter(col("attr") === 1), col("k1") === col("pk"))
+      .join(dim2.filter(col("cat") === "b"), col("k2") === col("qk"))
+      .groupBy(col("label"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("label", "cat"))
+    // --- no-fire battery ---
+    def served(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("fact_mv")) && !scans.exists(_.contains("fact@"))
+    }
+    // Second join key NOT a view key (id): the whole tree refuses.
+    assert(!served(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("id") === col("qk"))
+      .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
+    // Aggregate over a SECOND-dim column: no per-join-row values in the view.
+    assert(!served(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("k2") === col("qk"))
+      .groupBy(col("attr")).agg(sum(col("qk")).as("sq"))))
+    // An OUTER join on the fact's path: outside the proven inner-tree shape.
+    assert(!served(fact.join(dim, col("k1") === col("pk"), "left")
+      .join(dim2, col("k2") === col("qk"))
+      .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
+    // A non-equi conjunct touching the fact anywhere in the tree refuses.
+    assert(!served(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("k2") < col("qk"))
+      .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
+    spark.sql("DROP TABLE IF EXISTS gmvr.dim2")
+  }
+
   test("CALL graft.system.diagnostics() surfaces near-miss notes over SQL") {
     val _ = root
     import spark.implicits._
