@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable}
+import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftCheck, GraftGenerated, GraftPolicies, GraftTable}
 
 /**
  * AUTOMATIC MATERIALIZED-VIEW QUERY REWRITE (B234 — the Oracle QUERY REWRITE
@@ -94,6 +94,23 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftPolicies, GraftTable
  * RELY declarations compose with this for free: when the query groups by
  * d.pk alone, RelyJoinEliminationRule substitutes pk→fk and drops the join
  * entirely, and the single-table rewrite then serves the remainder.)
+ * Round 13 generalizes the join rewrite to the whole INNER-join TREE
+ * (`fact ⋈ d1 ⋈ d2 … GROUP BY d1.a, d2.b`, the normalized star shape):
+ * the view substitutes once for the fact leaf, every dim subtree rides
+ * verbatim, and fact-free path conjuncts (snowflake `d1.x = d2.y`) ride
+ * when deterministic and subquery-free — the per-group proof is unchanged.
+ *
+ * GENERATED-KEY rewrite (B189 ∘ B234): a grouping EXPRESSION matching a
+ * declared generation rule of the source (`GROUP BY month(ts)` over
+ * `generate.ts_month = month(ts)`) groups exactly like the generated column
+ * itself — the write invariant pins `col <=> expr` per row — so a view
+ * keyed on the generated column serves it, emitting the stored key value AS
+ * the expression's output. Matching is canonical after normalizing the
+ * declaration the way the optimizer normalized the query (same ANSI
+ * coercion, time zones resolved, literal casts folded); an expression that
+ * differs from every declaration refuses. The optimizer's pulled-out
+ * `_groupingexpression` Project is inlined back one level so expression
+ * keys are visible to the classifier at all.
  *
  * The replacement preserves the Aggregate's exact output (names, exprIds,
  * types) via an aliasing Project over a manually-built scan of the view, so
@@ -106,20 +123,66 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case a @ Aggregate(ges, aes, child, _) =>
-      rewrite(ges, aes, child)
-        .orElse(rewriteJoin(ges, aes, child))
+      val (g2, a2, c2) = inlineGroupingProject(ges, aes, child)
+      rewrite(g2, a2, c2)
+        .orElse(rewriteJoin(g2, a2, c2))
         .getOrElse(a)
   }
 
+  /** The optimizer's PullOutGroupingExpressions materializes complex
+    * grouping keys as `_groupingexpression` aliases in a Project below the
+    * Aggregate (so `GROUP BY month(ts)` reaches this rule as `GROUP BY
+    * _groupingexpression#N`). Inline ONE such level back — substituting each
+    * alias's child expression into the grouping keys and outputs — so
+    * expression keys are visible to the classifier and the scan below is
+    * visible to baseOf. Pure-compute Projects only (every entry a bare
+    * attribute or a deterministic alias); anything else leaves the plan
+    * untouched for the ordinary paths. */
+  private def inlineGroupingProject(ges: Seq[Expression],
+      aes: Seq[NamedExpression], child: LogicalPlan)
+      : (Seq[Expression], Seq[NamedExpression], LogicalPlan) =
+    child match {
+      case Project(plist, inner)
+          if plist.exists(_.isInstanceOf[Alias]) &&
+            plist.forall {
+              case _: AttributeReference => true
+              case al: Alias => al.child.deterministic
+              case _ => false
+            } =>
+        val amap: Map[ExprId, Expression] = plist.collect {
+          case al: Alias => al.exprId -> al.child
+        }.toMap
+        def inline(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if amap.contains(ar.exprId) =>
+            amap(ar.exprId)
+        }
+        val g2 = ges.map(inline)
+        val a2 = aes.map {
+          case ar: AttributeReference if amap.contains(ar.exprId) =>
+            Alias(amap(ar.exprId), ar.name)(exprId = ar.exprId)
+          case ne => inline(ne).asInstanceOf[NamedExpression]
+        }
+        (g2, a2, inner)
+      case _ => (ges, aes, child)
+    }
+
   // ---------------------------------------------------------------- shapes
+
+  /** How a classified grouping key re-emits after the rewrite: ViaView reads
+    * the view's key column of that (lowercased) name — a bare source column
+    * or a B189 generated column whose declared rule the grouping EXPRESSION
+    * matched; Verbatim passes the original output through untouched (a
+    * dim-side key in the join rewrite — the dim subtree still produces it). */
+  private sealed trait KeyEmit
+  private case class ViaView(name: String) extends KeyEmit
+  private case object Verbatim extends KeyEmit
 
   /** One Aggregate output, classified. KeyOut keeps the ORIGINAL output
     * expression so its name and exprId survive the rewrite: `k AS foo` must
     * re-emit `foo` under the alias's exprId or parent references to it stop
-    * resolving (and a dim-side key in the join rewrite passes through
-    * untouched). */
+    * resolving. */
   private sealed trait Out
-  private case class KeyOut(a: AttributeReference, orig: NamedExpression)
+  private case class KeyOut(emit: KeyEmit, orig: NamedExpression)
       extends Out
   private case class CountOut(al: Alias) extends Out
   private case class SumOut(al: Alias, col: AttributeReference, ansi: Boolean)
@@ -133,15 +196,19 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class MinOut(al: Alias, col: AttributeReference) extends Out
   private case class MaxOut(al: Alias, col: AttributeReference) extends Out
 
-  /** Every output must be a key passthrough, count(*)/count(1), or a
-    * sum/avg over a bare column; anything else disqualifies the aggregate. */
+  /** Every output must be a key (bare, aliased, or a whole grouping
+    * EXPRESSION re-emitted under an alias), count(*)/count(1), or a
+    * sum/avg/min/max over a bare column; anything else disqualifies the
+    * aggregate. `keyFor` resolves an output expression to its grouping key's
+    * emission (canonical equality — for bare attributes that is exprId
+    * identity, for expression keys the canonical shape). */
   private def classify(aes: Seq[NamedExpression],
-      keyIds: Set[ExprId]): Option[Seq[Out]] =
+      keyFor: Expression => Option[KeyEmit]): Option[Seq[Out]] =
     Some(aes.map {
-      case ar: AttributeReference if keyIds.contains(ar.exprId) =>
-        KeyOut(ar, ar)
-      case al @ Alias(ar: AttributeReference, _) if keyIds.contains(ar.exprId) =>
-        KeyOut(ar, al)
+      case ar: AttributeReference if keyFor(ar).isDefined =>
+        KeyOut(keyFor(ar).get, ar)
+      case al @ Alias(e, _) if keyFor(e).isDefined =>
+        KeyOut(keyFor(e).get, al)
       case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
           if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
       // TRY-mode aggregates (try_sum/try_avg) answer NULL on overflow where
@@ -407,18 +474,31 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private def rewrite(ges: Seq[Expression],
       aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    // Grouping: bare attributes only.
-    val keyAttrs = ges.map {
-      case ar: AttributeReference => ar
-      case _ => return None
-    }
     val (baseRel, baseTable, baseFilter) = baseOf(child).getOrElse(return None)
     if (GraftPolicies.declared(baseTable.manifest.props)) return None
     val filterCols = filterColsOf(baseFilter).getOrElse(return None)
     if (!pushedCovered(child, filterCols)) return None
 
-    val keyIds = keyAttrs.map(_.exprId).toSet
-    val outs = classify(aes, keyIds).getOrElse(return None)
+    // Grouping keys → view key names. A bare attribute maps to its own
+    // column; a grouping EXPRESSION maps through the source's B189
+    // generated-column declarations ([[genKeyOf]]) — `GROUP BY month(ts)`
+    // over a source declaring `generate.ts_month = month(ts)` groups exactly
+    // like `GROUP BY ts_month` (the write invariant pins col <=> expr per
+    // row), so a view keyed on ts_month serves it and re-emits the view's
+    // stored key value AS the expression's output. An expression matching NO
+    // declaration refuses — there is no view column that provably carries it.
+    lazy val genKey = genKeyOf(baseTable)
+    val keyMap: Seq[(Expression, String)] = ges.map {
+      case ar: AttributeReference => (ar, ar.name.toLowerCase)
+      case e => genKey(e) match {
+        case Some(c) => (e, c.toLowerCase)
+        case None => return None
+      }
+    }
+    val keyFor: Expression => Option[KeyEmit] = e =>
+      keyMap.find(_._1.canonicalized == e.canonicalized)
+        .map(km => ViaView(km._2))
+    val outs = classify(aes, keyFor).getOrElse(return None)
     val sumCols = outs.collect {
       case SumOut(_, c, _) => c.name
       case AvgOut(_, c, _) => c.name
@@ -447,7 +527,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     val srcIdent = baseRel.identifier.getOrElse(return None)
-    val keyNames = keyAttrs.map(_.name.toLowerCase).toSet
+    val keyNames = keyMap.map(_._2).toSet
     // Candidates: any fresh view whose key set CONTAINS the query's keys.
     // Exact match serves as a plain projection; a PROPER superset serves via
     // ROLLUP — re-aggregating the view's finer groups is provably exact for
@@ -489,8 +569,9 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       // Exact key match: the view IS the aggregate — preserve the
       // Aggregate's exact output (names + exprIds) with a projection.
       val projList: Seq[NamedExpression] = outs.map {
-        case KeyOut(ar, orig) =>
-          Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
+        case KeyOut(ViaView(n), orig) =>
+          Alias(vAttr(n), orig.name)(exprId = orig.exprId)
+        case KeyOut(Verbatim, orig) => orig // unreachable: single-table keys are ViaView
         case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
         case SumOut(al, _, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
         case AvgOut(al, _, _) =>
@@ -511,8 +592,9 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       // divides the two exact longs the way Average-of-long itself does.
       // (Type gates ran per candidate in the verification walk.)
       val aggList: Seq[NamedExpression] = outs.map {
-        case KeyOut(ar, orig) =>
-          Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
+        case KeyOut(ViaView(n), orig) =>
+          Alias(vAttr(n), orig.name)(exprId = orig.exprId)
+        case KeyOut(Verbatim, orig) => orig // unreachable: single-table keys are ViaView
         case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
           Literal(0L))), al.name)(exprId = al.exprId)
         case SumOut(al, _, _) =>
@@ -525,7 +607,51 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
           Complete, isDistinct = false), al.name)(exprId = al.exprId)
       }
-      Some(Aggregate(keyAttrs.map(ka => vAttr(ka.name)), aggList, vInput))
+      Some(Aggregate(keyMap.map(km => vAttr(km._2)), aggList, vInput))
+    }
+  }
+
+  /** Resolve a grouping EXPRESSION to the source's B189 generated column
+    * whose declared rule it matches: the declaration is parsed + resolved
+    * against the source schema (the same ANSI coercion a session query
+    * gets), REBOUND onto the expression's own attribute references by name,
+    * and compared canonically. No match (or a declaration referencing a
+    * column the expression never touches) → None — the classic refusal when
+    * the query's expression differs from the declaration. */
+  private def genKeyOf(baseTable: GraftTable): Expression => Option[String] = {
+    val decls = GraftGenerated.declared(baseTable.manifest.props)
+    if (decls.isEmpty) { _ => None }
+    else { e =>
+      if (!e.deterministic) None
+      else decls.collectFirst { case (c, sql) if {
+        try {
+          val resolved = GraftCheck.resolve(sql, baseTable.schema(),
+            bind = false, requireBoolean = false)
+          val byName = e.references
+            .map(a => a.name.toLowerCase -> (a: Expression)).toMap
+          var allBound = true
+          val rebound = resolved.transformUp {
+            case ar: AttributeReference =>
+              byName.getOrElse(ar.name.toLowerCase, { allBound = false; ar })
+          }
+          // The query-side expression arrives POST-OPTIMIZER (this rule runs
+          // in extraOptimizations): coercion casts of literals are folded
+          // and time zones resolved. Normalize the declaration identically
+          // before the canonical compare, or `id % 12` would never match its
+          // own declaration (Cast(12 AS BIGINT) vs the folded 12L).
+          import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          val wrapped: LogicalPlan = Project(Seq(Alias(rebound, "e")()),
+            LocalRelation(e.references.toSeq))
+          val normalized =
+            org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+              org.apache.spark.sql.catalyst.analysis.ResolveTimeZone(wrapped))
+          val declExpr = normalized.asInstanceOf[Project].projectList.head match {
+            case Alias(ch, _) => ch
+            case o => o
+          }
+          allBound && declExpr.canonicalized == e.canonicalized
+        } catch { case _: Exception => false }
+      } => c }
     }
   }
 
@@ -620,8 +746,13 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     if (keyAttrs.exists(a => !factOut.contains(a) &&
         !top.outputSet.contains(a)))
       return None
-    val keyIds = keyAttrs.map(_.exprId).toSet
-    val outs = classify(aes, keyIds).getOrElse(return None)
+    val keyFor: Expression => Option[KeyEmit] = {
+      case ar: AttributeReference if keyAttrs.exists(_.exprId == ar.exprId) =>
+        Some(if (factOut.contains(ar)) ViaView(ar.name.toLowerCase)
+             else Verbatim)
+      case _ => None
+    }
+    val outs = classify(aes, keyFor).getOrElse(return None)
     // Sum/avg/min/max inputs must be FACT columns: a dimension-column
     // aggregate needs per-join-row values the view does not carry.
     val sumAttrs = outs.collect {
@@ -693,9 +824,9 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // Re-aggregate the partials: dim keys verbatim, fact keys renamed to the
     // view's columns, counts/sums folded exactly as the ROLLUP path does.
     val aggList: Seq[NamedExpression] = outs.map {
-      case KeyOut(ar, orig) if factOut.contains(ar) =>
-        Alias(vAttr(ar.name), orig.name)(exprId = orig.exprId)
-      case KeyOut(_, orig) => orig
+      case KeyOut(ViaView(n), orig) =>
+        Alias(vAttr(n), orig.name)(exprId = orig.exprId)
+      case KeyOut(Verbatim, orig) => orig
       case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
         Literal(0L))), al.name)(exprId = al.exprId)
       case SumOut(al, _, _) =>

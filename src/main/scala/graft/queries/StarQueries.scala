@@ -178,6 +178,29 @@ object StarQueries {
     }
   }
 
+  /** Source + view for the GENERATED-KEY rewrite (B189 ∘ B234): the source
+    * declares `okb` as a generated column (`ok % 6`, write-invariant-pinned)
+    * and the view is keyed on it — a query grouping by the raw EXPRESSION
+    * is then served from the view. */
+  private def mvgkFixtures(s: SparkSession, d: String): Unit = {
+    fixture(s, d, "mvgk", 1L, "v1", Seq("orders")) { marker =>
+      Tables.orders(s, d).select(
+          col("o_orderkey").as("ok"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("okb", expr("ok % 6"))
+        .coalesce(2).writeTo("graft.mvgk")
+        .tableProperty("generate.okb", "ok % 6")
+        .tableProperty("fixture", marker).create()
+    }
+    fixture(s, d, "mvgk_mv", 2L, "v1", Seq("orders")) { marker =>
+      s.sql("CALL graft.system.create_mview(source => 'mvgk', " +
+        "name => 'mvgk_mv', keys => 'okb', sum_col => 'cents')")
+      require(s.table("graft.mvgk_mv").count() > 0,
+        "mvgk_mv seeded empty over a non-empty base — refusing to memoize")
+      s.sql(s"ALTER TABLE graft.mvgk_mv SET TBLPROPERTIES('fixture' = '$marker')")
+    }
+  }
+
   /** The SECOND dimension for the multi-dim join rewrite (B234): one row per
     * distinct `pk` value of graft.mvrq. Together with [[mvrqDimFixture]] the
     * two dims cover both of the (pk,b) view's keys — the normalized
@@ -3267,6 +3290,31 @@ object StarQueries {
         .orderBy(col("grp"), col("plabel"))
     },
 
+    // B189 ∘ B234 GENERATED-KEY rewrite: the user groups by the raw
+    // EXPRESSION (`ok % 6`) — never naming the generated column — and the
+    // optimizer recognizes it as the source's declared generation rule
+    // (canonical match after the same coercion/folding the query got),
+    // serving the aggregate from the view keyed on the generated column.
+    // The write invariant (okb <=> ok % 6, enforced per row on every commit)
+    // is exactly what makes the substitution sound. `rewritten` pins the
+    // view-only plan; the oracle replays the expression aggregate raw.
+    "q_mview_genkey_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvgkFixtures(s, d)
+      val df = s.table("graft.mvgk")
+        .groupBy(expr("ok % 6").as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("mvgk_mv")) &&
+        !scans.exists(_.contains("mvgk@"))
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("k"))
+    },
+
     // B198+B234 MIN/MAX materialized view with DELETE-AWARE maintenance:
     // the clone-forked source takes an append, a row DELETE (which may
     // strip group extremes — the fold recomputes exactly the affected
@@ -5790,6 +5838,18 @@ object StarQueries {
         |  JOIN dim2 ON base.pk = dim2.ppk
         |WHERE dim.bpk <> 4
         |GROUP BY 1, 2 ORDER BY grp, plabel""".stripMargin,
+
+    // B189 ∘ B234 generated-key rewrite: the oracle replays the raw
+    // expression aggregate the optimizer served from the generated-column-
+    // keyed view.
+    "q_mview_genkey_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 6 AS k FROM orders)
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base GROUP BY 1 ORDER BY k""".stripMargin,
 
     // B198+B234 min/max view: the oracle replays the DML composition (the
     // %7 delete runs before the %13 update and the predicates are

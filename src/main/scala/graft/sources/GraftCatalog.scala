@@ -4626,6 +4626,11 @@ object GraftCheck {
       plan = next
       rounds += 1
     }
+    // Timezone-bearing casts the coercion inserted (timestamp→date under
+    // month()/to_date()-style expressions) stay UNRESOLVED until a zone is
+    // filled in — the same analyzer step a session query gets. Without this,
+    // any calendar expression is undeclarable as a CHECK or generated column.
+    plan = org.apache.spark.sql.catalyst.analysis.ResolveTimeZone(plan)
     val coerced = plan match {
       case f: Filter => f.condition
       case p: Project => p.projectList.head.asInstanceOf[Alias].child

@@ -574,6 +574,77 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmvr.dim2")
   }
 
+  test("GENERATED-column grouping keys: GROUP BY <expr> serves a view keyed on the declared column") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.gkfact_mv")
+    // Two declared rules: an arithmetic bucket and a calendar extraction
+    // (the month(ts) shape — exercises timezone-resolved canonical compare).
+    (0L until 240L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-${i % 12 + 1}%02d-15 00:00:00"),
+        i * 7 % 500)
+    }.toDF("id", "ts", "x")
+      .withColumn("kb", expr("id % 12"))
+      .withColumn("ts_month", expr("month(ts)"))
+      .writeTo("gmvr.gkfact")
+      .tableProperty("generate.kb", "id % 12")
+      .tableProperty("generate.ts_month", "month(ts)")
+      .create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'gkfact', " +
+      "name => 'gkfact_mv', keys => 'kb,ts_month', sum_col => 'x')")
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    def served(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("gkfact_mv")) && !scans.exists(_.contains("gkfact@"))
+    }
+    def checkServes(df: => DataFrame): Unit = {
+      assert(served(df), s"expected the view to serve, got ${scansOf(df)}")
+      val got = df.collect().map(_.toSeq).toSeq
+      ruleOff {
+        assert(!served(df), "sanity: rule off, base scan")
+        assert(df.collect().map(_.toSeq).toSeq === got,
+          "generated-key rewrite must reproduce the base aggregate exactly")
+      }
+    }
+    def fact = spark.table("gmvr.gkfact")
+    // Exact: both grouping expressions match their declarations.
+    checkServes(fact.groupBy(expr("id % 12"), expr("month(ts)"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("(id % 12)")))
+    // ROLLUP through an expression key: one expression, re-aggregated.
+    checkServes(fact.groupBy(expr("month(ts)").as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), avg(col("x")).as("ax"))
+      .orderBy(col("m")))
+    // Mixed: the generated COLUMN itself plus the OTHER expression.
+    checkServes(fact.groupBy(col("kb"), expr("month(ts)").as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("kb"), col("m")))
+    // Refusals: an expression that DIFFERS from the declaration (year vs
+    // month; id % 10 vs id % 12) must never fire.
+    assert(!served(fact.groupBy(expr("year(ts)"))
+      .agg(count(lit(1)).as("n"))))
+    assert(!served(fact.groupBy(expr("id % 10"))
+      .agg(count(lit(1)).as("n"))))
+    // A declaration-matching expression over a STALE view still refuses.
+    Seq((900L, java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), 77L))
+      .toDF("id", "ts", "x")
+      .withColumn("kb", expr("id % 12")).withColumn("ts_month", expr("month(ts)"))
+      .writeTo("gmvr.gkfact").append()
+    assert(!served(fact.groupBy(expr("month(ts)")).agg(count(lit(1)).as("n"))),
+      "stale view must never serve an expression-keyed rewrite")
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'gkfact_mv')")
+    checkServes(fact.groupBy(expr("month(ts)").as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).orderBy(col("m")))
+    spark.sql("DROP TABLE IF EXISTS gmvr.gkfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
+  }
+
   test("CALL graft.system.diagnostics() surfaces near-miss notes over SQL") {
     val _ = root
     import spark.implicits._
