@@ -3433,6 +3433,67 @@ object StarQueries {
         .orderBy(col("pk"))
     },
 
+    // B175/B182/B183/B194 composition — INCREMENTAL ZORDER on a PARTITIONED
+    // table under a HILBERT stamp: the seeded table is hilbert-clustered
+    // WITHIN partitions and stamped; the clone takes a localized corner
+    // append into ONE partition (pk=1), and the increment re-clusters only
+    // that corner — `surgical` pins the strictly-partial rewrite with
+    // identical carried rel paths, `part_scoped` pins that every tile of
+    // the UNTOUCHED partitions rode forward (the per-partition overlap
+    // scoping), and `skip_x` that the maintained hilbert layout still
+    // prunes. The oracle replays the final content relationally.
+    "q_catalog_zorder_incr_part" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      val root = Tables.scratchDir(s, "catalog", d)
+      fixture(s, d, "zoip_s", 3L, "v1", Seq("orders")) { marker =>
+        base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("x", pmod(hash(col("o_orderkey")), lit(64)).cast("long"))
+          .withColumn("y", pmod(hash(col("o_orderkey") + 7), lit(64)).cast("long"))
+          .repartition(6)
+          .writeTo("graft.zoip_s").partitionedBy(col("pk"))
+          .tableProperty("fixture", marker).create()
+        graft.sources.GraftCatalogOps.optimizeZorder(
+          s, "graft.zoip_s", root, "zoip_s", "x", "y", numFiles = 12,
+          curve = "hilbert")
+      }
+      s.sql("DROP TABLE IF EXISTS graft.zoip")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "zoip_s", "zoip",
+        Map("zorder.gen" -> "0"))
+      // Corner append into pk=1 ONLY (x,y in [0,16)²) — the localized-ingest
+      // shape per-partition maintenance exists for.
+      base.filter(col("o_orderkey") % 2 === 1 && col("pk") === 1L)
+        .withColumn("x", pmod(hash(col("o_orderkey")), lit(16)).cast("long"))
+        .withColumn("y", pmod(hash(col("o_orderkey") + 7), lit(16)).cast("long"))
+        .coalesce(2)
+        .writeTo("graft.zoip").append()                             // gen 1
+      val dirP = new org.apache.hadoop.fs.Path(root, "zoip")
+      val hconf = s.sessionState.newHadoopConf()
+      def entriesNow = graft.sources.GraftManifest.load(dirP,
+        graft.sources.GraftManifest.currentGen(dirP, hconf), hconf)
+        .entries.map(_._2)
+      val before = entriesNow
+      val (rw, kept) = graft.sources.GraftCatalogOps
+        .optimizeZorderIncremental(s, "graft.zoip", root, "zoip", numFiles = 3)
+      val after = entriesNow
+      val carried = before.toSet.intersect(after.toSet)
+      val surgical = kept >= 1L && rw < before.size.toLong &&
+        carried.size.toLong == kept
+      val otherTiles = before.filterNot(_.contains("pk=1"))
+      val partScoped = otherTiles.nonEmpty && otherTiles.forall(carried.contains)
+      import org.apache.spark.sql.sources.GreaterThan
+      val (skipX, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
+        s, root, "zoip", Array(GreaterThan("x", 48L)))
+      s.table("graft.zoip").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("surgical", lit(surgical))
+        .withColumn("part_scoped", lit(partScoped))
+        .withColumn("skip_x", lit(skipX >= 1L))
+        .orderBy(col("pk"))
+    },
+
     // B233: ROW-LEVEL SECURITY + COLUMN MASKING enforced IN the scan (the
     // Unity row-filter / Snowflake masking-policy posture): the fixture
     // table declares `graft.rowFilter = k % 7 <> 0`, `graft.mask.tag =
@@ -5873,6 +5934,19 @@ object StarQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  true AS surgical, true AS skip_x
         |FROM orders GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // Partitioned+hilbert incremental ZORDER: the final content is the even
+    // seed plus the pk=1 odd corner append (x/y are layout-only); the three
+    // layout booleans are predicted true inside the hash gate.
+    "q_catalog_zorder_incr_part" ->
+      """WITH live AS (
+        |  SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 1)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS surgical, true AS part_scoped, true AS skip_x
+        |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B233: the oracle replays the row filter relationally for the policed
     // columns, the raw table for the auditor columns, and pins the mask

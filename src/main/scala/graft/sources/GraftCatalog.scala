@@ -6458,8 +6458,16 @@ object GraftCatalogOps {
    * intersection from the manifest file stats (missing stats → conservative
    * rewrite). The rewritten region is range-partitioned and sorted on the
    * SAME curve key, and the stamp re-publishes so maintenance composes
-   * (next increment diffs against this one). Unpartitioned tables only —
-   * the same restriction the stamped full rewrite enforces.
+   * (next increment diffs against this one). PARTITIONED tables (identity
+   * partitioning, the same set the full rewrite tiles within partitions)
+   * scope the overlap test per partition — a tile is touched only by new
+   * files in ITS OWN partition (partition identity = the entry's directory;
+   * identity layouts encode partition values as directories) — and the
+   * rewrite range-partitions over (partition cols, curve key) under the
+   * `layout=managed` option, exactly like the full within-partition
+   * rewrite, so the table's hash-on-partition-value write distribution
+   * cannot undo the tile shape. Transform-partitioned tables refuse, as
+   * the full rewrite does.
    *
    * Returns (rewrittenFiles, carriedFiles).
    */
@@ -6478,9 +6486,10 @@ object GraftCatalogOps {
         "stamped layout, it cannot invent one")).toLong
     val Array(xCol, yCol) = m.props("zorder.cols").split(',').map(_.trim)
     val curve = m.props.getOrElse("zorder.curve", "morton")
-    require(m.partCols.isEmpty,
-      "incremental ZORDER supports unpartitioned tables (per-partition " +
-        "tiling diffs are not stamped)")
+    require(!m.partCols.exists(GraftTransforms.isTransform),
+      "incremental ZORDER refuses a transform-partitioned table — the " +
+        "derived-directory distribution and the z-layout are mutually " +
+        "exclusive on one copy (the full rewrite refuses it too)")
     val oldEntries = GraftManifest.load(dir, zg, conf).entries.map(_._2).toSet
     val current = m.entries.map(_._2)
     val newFiles = current.filterNot(oldEntries.contains)
@@ -6500,30 +6509,42 @@ object GraftCatalogOps {
         }
         for { (x0, x1) <- rng(px); (y0, y1) <- rng(py) } yield (x0, x1, y0, y1)
       }
-    val newBoxes = newFiles.map(bbox)
-    val anyNewUnbounded = newBoxes.exists(_.isEmpty)
+    // Partition identity = the entry's directory: tiles are only ever
+    // touched by new files landing in the SAME partition (the curve spaces
+    // of different partitions are independent by construction).
+    def partOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
     def overlaps(a: (BigDecimal, BigDecimal, BigDecimal, BigDecimal),
                  b: (BigDecimal, BigDecimal, BigDecimal, BigDecimal)): Boolean =
       a._1 <= b._2 && b._1 <= a._2 && a._3 <= b._4 && b._3 <= a._4
-    val newBoxesKnown = newBoxes.flatten
+    val newByPart: Map[String, Seq[Option[(BigDecimal, BigDecimal, BigDecimal, BigDecimal)]]] =
+      newFiles.groupBy(partOf).map { case (p, fs) => p -> fs.map(bbox) }
     val touchedTiles = tiles.filter { rel =>
-      anyNewUnbounded || (bbox(rel) match {
-        case Some(tb) => newBoxesKnown.exists(nb => overlaps(tb, nb))
-        case None => true
-      })
+      newByPart.get(partOf(rel)).exists { partNew =>
+        partNew.exists(_.isEmpty) || (bbox(rel) match {
+          case Some(tb) => partNew.flatten.exists(nb => overlaps(tb, nb))
+          case None => true
+        })
+      }
     }
     val targets = (newFiles ++ touchedTiles).distinct
     val key = curve match {
       case "hilbert" => graft.plans.LayoutExpressions.hilbertKey(col(xCol), col(yCol))
       case _         => graft.operators.Layout.zorderKey(col(xCol), col(yCol))
     }
-    spark.table(tableRef).select(col("*"), col("_file"))
+    // Partitioned: range over (partition cols, zkey) under layout=managed —
+    // the full within-partition rewrite's exact distribution discipline.
+    val rangeCols = m.partCols.map(col) :+ col("__zkey")
+    val shaped = spark.table(tableRef).select(col("*"), col("_file"))
       .where(col("_file").isin(targets: _*)).drop("_file")
       .withColumn("__zkey", key)
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
+      .repartitionByRange(numFiles, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .drop("__zkey")
-      .writeTo(tableRef).option("replaceFiles", targets.mkString("\n"))
+    val w0 = shaped.writeTo(tableRef).option("replaceFiles", targets.mkString("\n"))
+    (if (m.partCols.nonEmpty) w0.option("layout", "managed") else w0)
       .append()
     // Re-stamp: the NEXT increment diffs against this layout. Same read-back
     // discipline as the full rewrite's stamp — the stamped generation is the

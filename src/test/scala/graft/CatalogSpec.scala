@@ -3068,6 +3068,61 @@ class CatalogSpec extends GraftSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("incremental ZORDER composes with HILBERT stamps and PARTITIONED tables") {
+    val _ = root
+    import spark.implicits._
+    val t = freshTable("zincp")
+    val rootDir = this.root
+    (0L until 600L).map(i => (i, i % 3, i * 31 % 64, i * 17 % 64))
+      .toDF("id", "pk", "x", "y").repartition(4)
+      .writeTo(t).partitionedBy(col("pk")).create()
+    // Full within-partition rewrite under the HILBERT curve stamps
+    // zorder.curve=hilbert; the increment must pick the same curve up.
+    graft.sources.GraftCatalogOps.optimizeZorder(
+      spark, t, rootDir, "zincp", "x", "y", numFiles = 12, curve = "hilbert")
+    val (rw0, kept0) = graft.sources.GraftCatalogOps
+      .optimizeZorderIncremental(spark, t, rootDir, "zincp")
+    assert(rw0 === 0L && kept0 >= 3L,
+      s"no new files => no rewrite, got ($rw0, $kept0)")
+    val dir = new Path(rootDir, "zincp")
+    val conf = spark.sessionState.newHadoopConf()
+    def entries = graft.sources.GraftManifest.load(dir,
+      graft.sources.GraftManifest.currentGen(dir, conf), conf).entries.map(_._2)
+    // Localized corner append into ONE partition (pk=1) only.
+    (1000L until 1040L).map(i => (i, 1L, i % 8, i % 8))
+      .toDF("id", "pk", "x", "y").coalesce(1).writeTo(t).append()
+    val before = entries
+    val (rw, kept) = graft.sources.GraftCatalogOps
+      .optimizeZorderIncremental(spark, t, rootDir, "zincp", numFiles = 2)
+    assert(rw >= 1L && rw < before.size,
+      s"corner append must rewrite strictly fewer than all ${before.size}, got $rw")
+    assert(kept === before.size - rw)
+    val after = entries
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size.toLong === kept,
+      "every carried file must ride forward under its identical rel path")
+    // Per-partition scoping: the append touched pk=1 only, so every tile of
+    // the OTHER partitions must have been carried, never rewritten.
+    val otherPartTiles = before.filterNot(_.contains("pk=1"))
+    assert(otherPartTiles.nonEmpty && otherPartTiles.forall(carried.contains),
+      "tiles in untouched partitions must never be rewritten")
+    // Content lossless through the maintenance ops.
+    assert(spark.table(t).agg(sum(col("id"))).head.getLong(0) ===
+      (0L until 600L).sum + (1000L until 1040L).sum)
+    // The maintained layout still skips on both data axes.
+    import org.apache.spark.sql.sources.LessThan
+    val (skipX, totX) = graft.sources.GraftCatalogOps.filesSkippedBy(
+      spark, rootDir, "zincp", Array(LessThan("x", 16L)))
+    assert(skipX >= 1L, s"maintained hilbert layout must still prune x, $skipX/$totX")
+    // Composes: the re-stamp lets ANOTHER increment run.
+    (2000L until 2010L).map(i => (i, 0L, 63L, 63L)).toDF("id", "pk", "x", "y")
+      .coalesce(1).writeTo(t).append()
+    val (rw2, _) = graft.sources.GraftCatalogOps
+      .optimizeZorderIncremental(spark, t, rootDir, "zincp", numFiles = 2)
+    assert(rw2 >= 1L && spark.table(t).count() === 650L)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("'__' identifiers refuse at CREATE but read paths answer NoSuchTable, not throw") {
     // "__" is the directory-encoding separator: `a.b` and `a__b` would share
     // one directory. Minting such a binding fails LOUDLY; but metadata
