@@ -3255,6 +3255,85 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("grp"))
     },
 
+    // B170 ∘ B198 ∘ B234 CONTINUOUS materialized view, END TO END: the
+    // source's `$changes` STREAM (checkpointed, Trigger.AvailableNow — the
+    // catch-up shape) drives the incremental fold with zero manual refresh
+    // calls, and the natural GROUP BY is then served FROM the
+    // continuously-maintained view by the rewrite. Exactly-once falls out
+    // of the fold re-reading from the view's own ledger floor: a SECOND
+    // drain over a FRESH checkpoint replays every batch and must publish
+    // NOTHING (`no_republish` pins the view generation unchanged through
+    // it). The DML mix (append + DV delete) rides the stream because the
+    // source declares dml=dv. The oracle replays the DML relationally.
+    "q_mview_continuous" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"))
+      val root = Tables.scratchDir(s, "catalog", d)
+      // Own dv-enabled seed pair (the shared mvqv_s seed deliberately stays
+      // a pre-foldmode vintage for compat coverage — it would refuse the
+      // ANSI sum/avg rewrite this query pins).
+      val cmqSrcOk =
+        try {
+          val sdir = new org.apache.hadoop.fs.Path(
+            Tables.scratchDir(s, "catalog", d), "cmq_s")
+          graft.sources.GraftManifest.currentGen(
+            sdir, s.sessionState.newHadoopConf()) == 1L
+        } catch { case _: Exception => false }
+      if (!cmqSrcOk) s.sql("DROP TABLE IF EXISTS graft.cmqv_s")
+      fixture(s, d, "cmqv_s", 2L, "v1", Seq("orders")) { marker =>
+        s.sql("DROP TABLE IF EXISTS graft.cmq_s")
+        base.filter(col("o_orderkey") % 2 === 0)
+          .writeTo("graft.cmq_s").tableProperty("dml", "dv")
+          .tableProperty("fixture", marker).create()                  // gen 1
+        s.sql("CALL graft.system.create_mview(source => 'cmq_s', " +
+          "name => 'cmqv_s', keys => 'pk', sum_col => 'cents')")
+        s.sql(s"ALTER TABLE graft.cmqv_s SET TBLPROPERTIES('fixture'='$marker')")
+      }
+      s.sql("DROP TABLE IF EXISTS graft.cmq")
+      s.sql("DROP TABLE IF EXISTS graft.cmqv")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "cmq_s", "cmq")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "cmqv_s", "cmqv",
+        Map("mview.source" -> "cmq", "mview.gen" -> "0"))
+      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.cmq").append() // 1
+      s.sql("DELETE FROM graft.cmq WHERE o_orderkey % 7 = 0")         // gen 2
+      val scratch = Tables.scratchDir(s, "cmmq", d)
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def drain(ckpt: String): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        val q = graft.sources.GraftCatalogOps.continuousMviewMaintenance(
+          s, "graft", root, "cmqv", ckpt,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        val done = q.awaitTermination(240000)
+        q.stop()
+        require(done, "continuous-mview drain: AvailableNow did not finish in 240s")
+      }
+      drain(s"$scratch/ckpt1")
+      val dirV = new org.apache.hadoop.fs.Path(root, "cmqv")
+      val hconf = s.sessionState.newHadoopConf()
+      val genAfterFold = graft.sources.GraftManifest.currentGen(dirV, hconf)
+      // Replay: a fresh checkpoint re-reads the WHOLE feed; every batch
+      // folds an empty range and publishes nothing.
+      drain(s"$scratch/ckpt2")
+      val noRepublish =
+        graft.sources.GraftManifest.currentGen(dirV, hconf) == genAfterFold
+      val df = s.table("graft.cmq").groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val rewritten = scans.exists(_.contains("cmqv")) &&
+        !scans.exists(_.contains("cmq@"))
+      df.withColumn("rewritten", lit(rewritten))
+        .withColumn("no_republish", lit(noRepublish))
+        .orderBy(col("pk"))
+    },
+
     // B234 MULTI-DIMENSION join rewrite: `fact ⋈ d1 ⋈ d2 GROUP BY d1.grp,
     // d2.plabel` — the normalized star shape once item attributes split
     // into their own dimensions. The (pk,b) view substitutes ONCE for the
@@ -5881,6 +5960,19 @@ object StarQueries {
         |FROM base JOIN dim ON base.b = dim.bpk
         |WHERE dim.bpk <> 4
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // Continuous mview: the oracle replays the DML mix (even seed + odd
+    // append − %7 deletes) the feed-driven folds tracked; the view-scan and
+    // no-republish booleans are predicted true inside the hash gate.
+    "q_mview_continuous" ->
+      """WITH live AS (SELECT o_orderkey % 3 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten, true AS no_republish
+        |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B234 multi-dim join rewrite: the oracle replays the 3-table base
     // aggregate the optimizer served from the view joined to both dims.
