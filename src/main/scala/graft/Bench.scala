@@ -464,6 +464,12 @@ object Bench {
           s"${perQInflated.take(8).mkString(",")}; spiked>10x: " +
           s"${spiked.mkString(",")}; excess=${num(excessSec, 1)}s; " +
           s"newCrossSF: ${newInflated.mkString(",")}; " +
+          // The ratchet's own arithmetic, printed so a refusal is diagnosable
+          // from the log alone: common-subset total vs the committed total
+          // (the >5% line) — the number that separates uniform environment
+          // drift from a per-query regression at a glance.
+          s"ratchet=$ratchet commonSubset=${num(commonTotal, 1)}s " +
+          s"vs committed ${num(prevTotal.getOrElse(Double.NaN), 1)}s; " +
           s"perQ>2x: ${perQRatchet.take(8).mkString(",")}]); " +
           "this run's ledger is in BENCH_DETAILS.run.json (untracked)")
       else {

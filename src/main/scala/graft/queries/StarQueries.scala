@@ -3560,8 +3560,14 @@ object StarQueries {
       val carried = before.toSet.intersect(after.toSet)
       val surgical = kept >= 1L && rw < before.size.toLong &&
         carried.size.toLong == kept
+      // part_scoped pins BOTH directions of the per-partition test: tiles of
+      // untouched partitions all carried AND at least one pk=1 tile actually
+      // merged with the new data (matching is by partition-dir chain, never
+      // the per-commit gen-* path — which would match nothing).
       val otherTiles = before.filterNot(_.contains("pk=1"))
-      val partScoped = otherTiles.nonEmpty && otherTiles.forall(carried.contains)
+      val partScoped = otherTiles.nonEmpty &&
+        otherTiles.forall(carried.contains) &&
+        before.filter(_.contains("pk=1")).exists(tl => !carried.contains(tl))
       import org.apache.spark.sql.sources.GreaterThan
       val (skipX, _) = graft.sources.GraftCatalogOps.filesSkippedBy(
         s, root, "zoip", Array(GreaterThan("x", 48L)))

@@ -6287,17 +6287,28 @@ object GraftCatalogOps {
     val keys = m.props("mview.keys").split(',').toSeq
     val sumCol = m.props("mview.sum")
     val to = GraftManifest.currentGen(new Path(root, source), conf)
-    require(to >= mviewFoldFloor(m),
+    val floor = mviewFoldFloor(m)
+    require(to >= floor,
       s"source $source is at generation $to, below the view's fold floor " +
-        s"${mviewFoldFloor(m)} (RESTORE ran backwards) — rebuild the view")
+        s"$floor (RESTORE ran backwards) — rebuild the view")
     val snap = spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
-    snap.groupBy(keys.map(col): _*)
+    val recomputed = snap.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("mv_count"),
         sum(col(sumCol)).cast("long").as("mv_sum"),
         count(col(sumCol)).as("mv_nncount"),
         min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max"))
-      .writeTo(s"$catalog.`$name`")
-      .option("txnAppId", "mview").option("txnVersion", to.toString)
+    // The overwrite must NEVER be skippable as an idempotent replay: when a
+    // past refresh already claimed `mview:<to>` (floor == to — the common
+    // re-stamp case, nothing new to fold), a ledger-riding write would no-op
+    // and the stamp below would then bless values the recompute never
+    // replaced — the exact unsoundness this op exists to prevent. So the
+    // ledger claim rides only when it ADVANCES the floor (floor < to ⟹
+    // `to` unclaimed); at floor == to a plain overwrite replaces the values
+    // and the floor is already right.
+    val w = recomputed.writeTo(s"$catalog.`$name`")
+    (if (floor < to)
+       w.option("txnAppId", "mview").option("txnVersion", to.toString)
+     else w)
       .overwrite(lit(true))
     val mode = if (spark.sessionState.conf.ansiEnabled) "ansi" else "legacy"
     GraftManifest.publishNext(dir, conf) { cur =>
@@ -6509,12 +6520,15 @@ object GraftCatalogOps {
         }
         for { (x0, x1) <- rng(px); (y0, y1) <- rng(py) } yield (x0, x1, y0, y1)
       }
-    // Partition identity = the entry's directory: tiles are only ever
-    // touched by new files landing in the SAME partition (the curve spaces
-    // of different partitions are independent by construction).
+    // Partition identity = the entry's partition-directory CHAIN — the rel
+    // path minus its leading per-commit `gen-*` component and the file name
+    // (every write lands under a fresh gen dir, so the raw directory would
+    // NEVER match across commits and no tile would ever be touched; the
+    // partition chain is what's stable). Empty for unpartitioned tables, so
+    // they keep the global matching the stamped layout had all along.
     def partOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
+      val parts = rel.split('/')
+      if (parts.length < 2) "" else parts.drop(1).dropRight(1).mkString("/")
     }
     def overlaps(a: (BigDecimal, BigDecimal, BigDecimal, BigDecimal),
                  b: (BigDecimal, BigDecimal, BigDecimal, BigDecimal)): Boolean =

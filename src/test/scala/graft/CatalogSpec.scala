@@ -3050,8 +3050,13 @@ class CatalogSpec extends GraftSuite {
     val before = entries
     val (rw, kept) = graft.sources.GraftCatalogOps
       .optimizeZorderIncremental(spark, t, rootDir, "zinc", numFiles = 2)
-    assert(rw >= 1L && rw < before.size,
-      s"corner append must rewrite strictly fewer than all ${before.size} files, got $rw")
+    // rw >= 2 — the new file AND at least one overlapped tile: tile matching
+    // must survive the fact that every commit lands under a fresh gen-* dir
+    // (a path-literal partition identity would never match across commits
+    // and the increment would silently stop merging tiles — found r13).
+    assert(rw >= 2L && rw < before.size,
+      s"corner append must rewrite the new file plus overlapped tiles and " +
+        s"strictly fewer than all ${before.size} files, got $rw")
     assert(kept === before.size - rw)
     val after = entries
     assert(before.toSet.intersect(after.toSet).size.toLong === kept,
@@ -3094,18 +3099,24 @@ class CatalogSpec extends GraftSuite {
     val before = entries
     val (rw, kept) = graft.sources.GraftCatalogOps
       .optimizeZorderIncremental(spark, t, rootDir, "zincp", numFiles = 2)
-    assert(rw >= 1L && rw < before.size,
-      s"corner append must rewrite strictly fewer than all ${before.size}, got $rw")
+    assert(rw >= 2L && rw < before.size,
+      s"corner append must rewrite the new file plus overlapped pk=1 tiles " +
+        s"and strictly fewer than all ${before.size}, got $rw")
     assert(kept === before.size - rw)
     val after = entries
     val carried = before.toSet.intersect(after.toSet)
     assert(carried.size.toLong === kept,
       "every carried file must ride forward under its identical rel path")
-    // Per-partition scoping: the append touched pk=1 only, so every tile of
-    // the OTHER partitions must have been carried, never rewritten.
+    // Per-partition scoping, BOTH directions: the append touched pk=1 only,
+    // so every tile of the OTHER partitions must have been carried — and at
+    // least one pk=1 tile must have actually MERGED with the new data
+    // (partition identity is the partition-dir chain, not the per-commit
+    // gen-* path, or no tile would ever match — found r13).
     val otherPartTiles = before.filterNot(_.contains("pk=1"))
     assert(otherPartTiles.nonEmpty && otherPartTiles.forall(carried.contains),
       "tiles in untouched partitions must never be rewritten")
+    assert(before.filter(_.contains("pk=1")).exists(tl => !carried.contains(tl)),
+      "an overlapped pk=1 tile must be merged, not carried")
     // Content lossless through the maintenance ops.
     assert(spark.table(t).agg(sum(col("id"))).head.getLong(0) ===
       (0L until 600L).sum + (1000L until 1040L).sum)

@@ -831,10 +831,25 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("CALL gmvr.system.refresh_mview(name => 'fmfact_mv')")
     assert(stamp === "legacy", "refresh must never re-upgrade the stamp")
     // ... but a full recompute under ANSI does, and serving resumes exactly.
+    // VANDALIZE the stored sums first (a plain user overwrite onto the view)
+    // to prove the recompute actually REPLACES the values: with the floor
+    // already at the source generation, a ledger-riding overwrite would be
+    // skipped as an idempotent replay and the stamp would bless the
+    // corrupted state (found r13 — the recompute claims the ledger only
+    // when it advances the floor).
+    spark.table("gmvr.fmfact_mv")
+      .withColumn("mv_sum", col("mv_sum") + 100L)
+      .writeTo("gmvr.fmfact_mv").overwrite(lit(true))
     val gen = spark.sql(
       "CALL gmvr.system.recompute_mview(name => 'fmfact_mv')").head.getLong(0)
     assert(gen >= 1L)
     assert(stamp === "ansi", "an ANSI recompute must re-stamp ansi")
+    val trueSums = spark.table("gmvr.fmfact").groupBy(col("k"))
+      .agg(sum(col("x")).cast("long").as("sx")).orderBy(col("k"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(spark.table("gmvr.fmfact_mv").orderBy(col("k"))
+      .collect().map(_.getAs[Long]("mv_sum")).toSeq === trueSums,
+      "the recompute must replace every stored value, never replay-skip")
     graft.plans.MviewRewriteRule.invalidateCache()
     assert(scansOf(q).exists(_.contains("fmfact_mv")),
       s"the recomputed view must serve ANSI queries again, got ${scansOf(q)}")
