@@ -695,10 +695,6 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private def attemptJoin(ges: Seq[Expression], aes: Seq[NamedExpression],
       top: Join, fact: LogicalPlan): Option[LogicalPlan] = {
-    val keyAttrs = ges.map {
-      case ar: AttributeReference => ar
-      case _ => return None
-    }
     // FACT side: the view's source, full scan, at most one key-only Filter —
     // the same proof obligations as the single-table rewrite, because the
     // view substitutes for exactly this subtree.
@@ -708,6 +704,27 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     if (!pushedCovered(fact, filterCols)) return None
 
     val factOut = fact.outputSet
+    // Grouping keys: a fact-side bare attribute must be a view key (ViaView);
+    // a fact-side EXPRESSION must match a declared generation rule (B189 —
+    // the single-table genkey proof carries over verbatim: the generated
+    // column carries the expression's value per row, so view groups ARE the
+    // expression's groups through the join too); anything not touching the
+    // fact rides verbatim (a dim attr, or a deterministic dim-side
+    // expression — identical on both plans). Mixed fact+dim expressions
+    // refuse: no single stored column carries them.
+    lazy val genKey = genKeyOf(baseTable)
+    val keyMap: Seq[(Expression, KeyEmit)] = ges.map {
+      case ar: AttributeReference =>
+        (ar, if (factOut.contains(ar)) ViaView(ar.name.toLowerCase) else Verbatim)
+      case e if e.references.nonEmpty && e.references.forall(factOut.contains) =>
+        genKey(e) match {
+          case Some(c) => (e, ViaView(c.toLowerCase))
+          case None => return None
+        }
+      case e if e.deterministic && !e.references.exists(factOut.contains) =>
+        (e, Verbatim)
+      case _ => return None
+    }
     // The joins on the path root→fact (every join the fact's rows flow
     // through; factCands guaranteed them Inner with a condition). Join
     // conditions INSIDE a dim subtree are not collected — the dim subtree
@@ -721,37 +738,28 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case Project(_, inner) => pathConds(inner)
       case _ => Seq.empty
     }
-    // Path-join conjuncts: a conjunct touching the fact must be a bare
-    // fact-attr = other-attr equality (the fact attr becomes a required view
-    // key — group identity must survive the substitution); a conjunct NOT
-    // touching the fact rides verbatim when deterministic and subquery-free
-    // (it filters the same dim tuples on both plans — snowflake d1⋈d2
-    // conditions are the normal case here).
+    // Path-join conjuncts: EVERY conjunct must be deterministic and
+    // subquery-free, and a conjunct touching the fact may reference only
+    // FACT VIEW-KEY columns on the fact side (they become required view
+    // keys) — but its SHAPE is free: equality, a coercion cast around the
+    // key, a range/theta predicate, anything. Soundness is the same
+    // group-constancy argument as the key-only Filter: view-key columns are
+    // constant within a view group, so any deterministic function of (view
+    // keys, dim attrs) evaluates identically for every row of the group —
+    // the join keeps/drops the group's partial exactly as it kept/dropped
+    // each of its rows. Fact-free conjuncts (snowflake d1⋈d2) ride verbatim
+    // under the same determinism gate.
     val conjuncts = pathConds(top).flatMap(splitConjunctivePredicates)
-    val factJoinKeys: Seq[AttributeReference] = conjuncts.flatMap {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if factOut.contains(a) && !factOut.contains(b) => Seq(a)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
-          if factOut.contains(a) && !factOut.contains(b) => Seq(a)
-      case other if other.references.exists(factOut.contains) => return None
-      case other =>
-        if (!other.deterministic ||
-            other.exists(_.isInstanceOf[PlanExpression[_]])) return None
-        Seq.empty
+    val factJoinKeys: Seq[AttributeReference] = conjuncts.flatMap { c =>
+      if (!c.deterministic || c.exists(_.isInstanceOf[PlanExpression[_]]))
+        return None
+      c.references.filter(factOut.contains).toSeq.map {
+        case ar: AttributeReference => ar
+      }
     }
     if (factJoinKeys.isEmpty) return None
-    // Group keys: non-fact attrs ride verbatim; fact-side attrs must be view
-    // keys (they become the view's own key columns).
-    val factKeyAttrs = keyAttrs.filter(factOut.contains)
-    if (keyAttrs.exists(a => !factOut.contains(a) &&
-        !top.outputSet.contains(a)))
-      return None
-    val keyFor: Expression => Option[KeyEmit] = {
-      case ar: AttributeReference if keyAttrs.exists(_.exprId == ar.exprId) =>
-        Some(if (factOut.contains(ar)) ViaView(ar.name.toLowerCase)
-             else Verbatim)
-      case _ => None
-    }
+    val keyFor: Expression => Option[KeyEmit] = e =>
+      keyMap.find(_._1.canonicalized == e.canonicalized).map(_._2)
     val outs = classify(aes, keyFor).getOrElse(return None)
     // Sum/avg/min/max inputs must be FACT columns: a dimension-column
     // aggregate needs per-join-row values the view does not carry.
@@ -780,7 +788,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // filter columns. Coarsest qualifying view first — fewest rows to join.
     val requiredKeys: Set[String] =
       factJoinKeys.map(_.name.toLowerCase).toSet ++
-        factKeyAttrs.map(_.name.toLowerCase) ++ filterCols
+        keyMap.collect { case (_, ViaView(n)) => n } ++ filterCols
     val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
       .filter { case (_, source, keys, sum) =>
         source == srcIdent.name() && requiredKeys.subsetOf(keys) &&
@@ -840,8 +848,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
         Complete, isDistinct = false), al.name)(exprId = al.exprId)
     }
-    val newGes = keyAttrs.map(ka =>
-      if (factOut.contains(ka)) vAttr(ka.name) else ka)
+    val newGes = keyMap.map {
+      case (_, ViaView(n)) => vAttr(n)
+      case (e, Verbatim) => e
+    }
     Some(Aggregate(newGes, aggList, newJoin))
   }
 }

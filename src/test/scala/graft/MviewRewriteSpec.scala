@@ -463,8 +463,24 @@ class MviewRewriteSpec extends GraftSuite {
     // Aggregate over a DIM column: the view has no per-join-row values.
     assert(!served(fact.join(dim, col("k1") === col("pk"))
       .groupBy(col("attr")).agg(sum(col("pk")).as("sp"))))
-    // Non-equi join condition.
-    assert(!served(fact.join(dim, col("k1") < col("pk"))
+    // Non-equi join condition over a VIEW KEY: SOUND (view keys are
+    // constant within a group, so any deterministic conjunct over them
+    // keeps/drops whole groups) — must fire with identical results.
+    locally {
+      val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      def thetaQ = fact.join(dim, col("k1") < col("pk"))
+        .groupBy(col("attr")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .orderBy(col("attr"))
+      assert(served(thetaQ), s"theta conjunct over a view key must serve")
+      val got = thetaQ.collect().map(_.toSeq).toSeq
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try assert(thetaQ.collect().map(_.toSeq).toSeq === got,
+        "theta-join rewrite must reproduce the base join-aggregate exactly")
+      finally cls.experimental.extraOptimizations = saved
+    }
+    // Non-equi join condition over a NON-KEY fact column still refuses.
+    assert(!served(fact.join(dim, col("id") < col("pk"))
       .groupBy(col("attr")).agg(count(lit(1)).as("n"))))
     // Fact-side DATA-column filter: not replayable on the view.
     assert(!served(fact.filter(col("x") > 100).join(dim, col("k1") === col("pk"))
@@ -567,9 +583,15 @@ class MviewRewriteSpec extends GraftSuite {
     assert(!served(fact.join(dim, col("k1") === col("pk"), "left")
       .join(dim2, col("k2") === col("qk"))
       .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
-    // A non-equi conjunct touching the fact anywhere in the tree refuses.
-    assert(!served(fact.join(dim, col("k1") === col("pk"))
+    // A non-equi conjunct over a VIEW KEY anywhere in the tree is sound and
+    // fires (group constancy); over a NON-KEY fact column it refuses.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
       .join(dim2, col("k2") < col("qk"))
+      .groupBy(col("attr"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("attr", "cat"))
+    assert(!served(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("id") < col("qk"))
       .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
     spark.sql("DROP TABLE IF EXISTS gmvr.dim2")
   }
@@ -641,6 +663,29 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("CALL gmvr.system.refresh_mview(name => 'gkfact_mv')")
     checkServes(fact.groupBy(expr("month(ts)").as("m"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).orderBy(col("m")))
+    // Expression keys through the JOIN rewrite: "monthly revenue by region"
+    // — a fact-side generation-rule expression plus a dim attribute, and a
+    // dim-side EXPRESSION key riding verbatim.
+    spark.sql("DROP TABLE IF EXISTS gmvr.gkdim")
+    (1L until 13L).map(i => (i, if (i <= 6) "h1" else "h2"))
+      .toDF("dm", "half").writeTo("gmvr.gkdim").create()
+    def dim = spark.table("gmvr.gkdim")
+    checkServes(fact.join(dim, col("ts_month") === col("dm"))
+      .groupBy(expr("month(ts)").as("m"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("m"), col("half")))
+    checkServes(fact.join(dim, col("ts_month") === col("dm"))
+      .groupBy(expr("upper(half)").as("uh"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("uh")))
+    // A fact-side expression matching NO declaration refuses through the
+    // join too; a mixed fact+dim expression always refuses.
+    assert(!served(fact.join(dim, col("ts_month") === col("dm"))
+      .groupBy(expr("year(ts)")).agg(count(lit(1)).as("n"))))
+    assert(!served(fact.join(dim, col("ts_month") === col("dm"))
+      .groupBy(concat(expr("month(ts)"), col("half")))
+      .agg(count(lit(1)).as("n"))))
+    spark.sql("DROP TABLE IF EXISTS gmvr.gkdim")
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact_mv")
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
   }
