@@ -583,6 +583,15 @@ class MviewRewriteSpec extends GraftSuite {
     assert(!served(fact.join(dim, col("k1") === col("pk"), "left")
       .join(dim2, col("k2") === col("qk"))
       .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
+    // HAVING composes above the rewritten JOIN-aggregate exactly as it does
+    // above the single-table rewrite: the post-aggregate filter references
+    // the aggregate's outputs by exprId, and the rewrite preserves them.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .join(dim2, col("k2") === col("qk"))
+      .groupBy(col("attr"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .filter(col("sx") > 2000),
+      Seq("attr", "cat"))
     // A non-equi conjunct over a VIEW KEY anywhere in the tree is sound and
     // fires (group constancy); over a NON-KEY fact column it refuses.
     checkServes(fact.join(dim, col("k1") === col("pk"))
