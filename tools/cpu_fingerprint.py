@@ -5,9 +5,13 @@ identical binaries (r11-r13 observation: 141.7 s -> 160 s -> 210 s full-surface
 on the SAME code); this gives an engine-independent number to separate "the
 box is slow today" from "a plan regressed". Reference points:
 
-  2026-08-16 (r13, 210 s bench day): med 1035 iters/8s/core, steal 1.5%
+  2026-08-16 13:47 (r13, 210 s bench window):   med 1035, steal 1.5%
+  2026-08-16 16:53 (r13, same box, hours later): med  898, steal 9.1%
+    — the steal moved 1.5% -> 9.1% across the day at IDENTICAL specs: the
+    drift is hypervisor co-tenancy, and it varies by the hour. Check steal
+    FIRST; don't burn a bench attempt while it is elevated.
     (32 cores Xeon @ 2.10GHz nominal; r11's 141.7 s ledger day would
-     presumably read ~1.5-2x higher — record each round and compare.)
+     presumably read materially higher med / near-zero steal.)
 
 Usage: python3 tools/cpu_fingerprint.py
 """
