@@ -60,6 +60,27 @@ class MviewRewriteSpec extends GraftSuite {
     } finally cls.experimental.extraOptimizations = saved
   }
 
+  test("SELECT DISTINCT over view keys is an aggregate with only key outputs — serves") {
+    // DISTINCT plans as Aggregate(keys, keys, child): every output classifies
+    // as a key passthrough and the view's key columns ARE the distinct set
+    // (exact on the full key set; rollup when a subset — re-grouping the
+    // view's finer keys with no aggregates is DISTINCT over them).
+    val _ = root
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def check(df: => DataFrame, sortCols: Seq[String]): Unit = {
+      assert(answersFromView(df), s"DISTINCT must serve, got ${scansOf(df)}")
+      val got = df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try assert(df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq === got)
+      finally cls.experimental.extraOptimizations = saved
+    }
+    check(spark.table("gmvr.fact").select(col("k1"), col("k2")).distinct(),
+      Seq("k1", "k2"))
+    check(spark.table("gmvr.fact").select(col("k2")).distinct(), Seq("k2"))
+  }
+
   test("one source commit past the fold floor stops the rewrite until refresh") {
     val _ = root
     import spark.implicits._
