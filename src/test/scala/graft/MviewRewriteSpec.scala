@@ -720,6 +720,91 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
   }
 
+  test("property: rewrite-on == rewrite-off over randomized shapes (seeded)") {
+    // A seeded sweep over the qualifying-shape space the handpicked pins
+    // sample: random fact (NULL-bearing keys, negative sums), a view on a
+    // random key pair, then random single-table / rollup / filtered / join /
+    // theta / dup-dim-key aggregates — every one must produce identical
+    // results with the rule attached and detached. Any soundness gap in the
+    // classification, the eager-aggregation algebra, or the NULL handling
+    // shows up as a value diff here before a user query finds it.
+    val _ = root
+    import spark.implicits._
+    val rnd = new scala.util.Random(421302L)
+    spark.sql("DROP TABLE IF EXISTS gmvr.pfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.pfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.pdim")
+    (0L until 400L).map { i =>
+      val k1 = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong)
+      val k2 = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(4).toLong)
+      val x = if (rnd.nextInt(15) == 0) None
+              else Some(rnd.nextInt(2001).toLong - 1000L)
+      (i, k1, k2, x)
+    }.toDF("id", "k1", "k2", "x").writeTo("gmvr.pfact").create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'pfact', " +
+      "name => 'pfact_mv', keys => 'k1,k2', sum_col => 'x')")
+    // Dim with DUPLICATE and MISSING keys: pk values 0..7 (6,7 match nothing),
+    // value 2 twice — the multiplicity/filter edge cases ride every join.
+    ((0L to 7L).map(i => (i, i % 3, s"d$i")) :+ ((2L, 99L, "dup")))
+      .toDF("pk", "attr", "lbl").writeTo("gmvr.pdim").create()
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    def fact = spark.table("gmvr.pfact")
+    def dim = spark.table("gmvr.pdim")
+    val aggPool: Seq[Seq[org.apache.spark.sql.Column]] = Seq(
+      Seq(count(lit(1)).as("n")),
+      Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq(sum(col("x")).as("sx"), avg(col("x")).as("ax")),
+      Seq(min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n")),
+      Seq(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        avg(col("x")).as("ax"), min(col("x")).as("mn"), max(col("x")).as("mx")))
+    var fired = 0
+    def check(label: String, df: => DataFrame, sortCols: Seq[String]): Unit = {
+      val scans = scansOf(df)
+      val serves = scans.exists(_.contains("pfact_mv")) &&
+        !scans.exists(_.contains("pfact@"))
+      if (serves) fired += 1
+      val got = df.orderBy(sortCols.map(c => col(c).asc_nulls_first): _*)
+        .collect().map(_.toSeq).toSeq
+      ruleOff {
+        val base = df.orderBy(sortCols.map(c => col(c).asc_nulls_first): _*)
+          .collect().map(_.toSeq).toSeq
+        assert(base === got, s"[$label serves=$serves] rewrite changed results")
+      }
+    }
+    for (trial <- 0 until 12) {
+      val aggs = aggPool(rnd.nextInt(aggPool.size))
+      rnd.nextInt(4) match {
+        case 0 => // single-table: exact or rollup keys
+          val keys = Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2"))(rnd.nextInt(3))
+          check(s"t$trial single", fact.groupBy(keys.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*), keys)
+        case 1 => // key-filtered rollup
+          val kv = rnd.nextInt(4).toLong
+          check(s"t$trial filtered", fact.filter(col("k2") === kv)
+            .groupBy(col("k1")).agg(aggs.head, aggs.tail: _*), Seq("k1"))
+        case 2 => // join on k1 (dup + missing dim keys), group by dim attr
+          val gk = Seq("attr", "lbl")(rnd.nextInt(2))
+          check(s"t$trial join", fact.join(dim, col("k1") === col("pk"))
+            .groupBy(col(gk)).agg(aggs.head, aggs.tail: _*), Seq(gk))
+        case 3 => // theta conjunct over a view key + mixed grouping
+          check(s"t$trial theta", fact.join(dim,
+              col("k1") === col("pk") && col("k2") <= col("pk"))
+            .groupBy(col("attr"), col("k2"))
+            .agg(aggs.head, aggs.tail: _*), Seq("attr", "k2"))
+      }
+    }
+    assert(fired >= 8, s"property sweep exercised the rewrite only $fired/12 " +
+      "times — the generator no longer hits the qualifying space")
+    spark.sql("DROP TABLE IF EXISTS gmvr.pfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.pfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.pdim")
+  }
+
   test("CALL graft.system.diagnostics() surfaces near-miss notes over SQL") {
     val _ = root
     import spark.implicits._
