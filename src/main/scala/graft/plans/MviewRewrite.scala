@@ -185,6 +185,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class KeyOut(emit: KeyEmit, orig: NamedExpression)
       extends Out
   private case class CountOut(al: Alias) extends Out
+  // count(<declared sum col>) = the view's mv_nncount (count skips NULLs —
+  // exactly what the fold maintains for AVG's denominator). Eval-mode-free:
+  // counting never wraps.
+  private case class NNCountOut(al: Alias, col: AttributeReference) extends Out
   private case class SumOut(al: Alias, col: AttributeReference, ansi: Boolean)
       extends Out
   private case class AvgOut(al: Alias, col: AttributeReference, ansi: Boolean)
@@ -211,6 +215,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         KeyOut(keyFor(e).get, al)
       case al @ Alias(AggregateExpression(Count(cs), Complete, false, None, _), _)
           if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
+      case al @ Alias(AggregateExpression(Count(Seq(ca: AttributeReference)),
+          Complete, false, None, _), _) => NNCountOut(al, ca)
       // TRY-mode aggregates (try_sum/try_avg) answer NULL on overflow where
       // the view holds a concrete value — never the same computation, refuse
       // unconditionally. LEGACY and ANSI are accepted here and reconciled
@@ -423,7 +429,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   /** The mv_* columns the classified outputs need from the view. */
   private def mvWanted(outs: Seq[Out]): Set[String] =
     (if (outs.exists(_.isInstanceOf[CountOut])) Set("mv_count") else Set.empty[String]) ++
-      (if (outs.exists(_.isInstanceOf[AvgOut])) Set("mv_nncount") else Set.empty[String]) ++
+      (if (outs.exists(o => o.isInstanceOf[AvgOut] || o.isInstanceOf[NNCountOut]))
+        Set("mv_nncount") else Set.empty[String]) ++
       (if (outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]))
         Set("mv_sum") else Set.empty[String]) ++
       (if (outs.exists(_.isInstanceOf[MinOut])) Set("mv_min") else Set.empty[String]) ++
@@ -444,7 +451,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     (!outs.exists(_.isInstanceOf[CountOut]) ||
       dt("mv_count").contains(LongType)) &&
-      (!outs.exists(_.isInstanceOf[AvgOut]) ||
+      (!outs.exists(o => o.isInstanceOf[AvgOut] || o.isInstanceOf[NNCountOut]) ||
         dt("mv_nncount").contains(LongType)) &&
       (!outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]) ||
         dt("mv_sum").contains(LongType)) &&
@@ -504,6 +511,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case AvgOut(_, c, _) => c.name
       case MinOut(_, c) => c.name
       case MaxOut(_, c) => c.name
+      case NNCountOut(_, c) => c.name
     }.distinct
     if (sumCols.size > 1) return None
     // Any ANSI-mode sum/avg demands an EXACT stored sum — serveable only
@@ -573,6 +581,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
           Alias(vAttr(n), orig.name)(exprId = orig.exprId)
         case KeyOut(Verbatim, orig) => orig // unreachable: single-table keys are ViaView
         case CountOut(al) => Alias(vAttr("mv_count"), al.name)(exprId = al.exprId)
+        case NNCountOut(al, _) =>
+          Alias(vAttr("mv_nncount"), al.name)(exprId = al.exprId)
         case SumOut(al, _, _) => Alias(vAttr("mv_sum"), al.name)(exprId = al.exprId)
         case AvgOut(al, _, _) =>
           Alias(avgOf(vAttr("mv_sum"), vAttr("mv_nncount")),
@@ -596,6 +606,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
           Alias(vAttr(n), orig.name)(exprId = orig.exprId)
         case KeyOut(Verbatim, orig) => orig // unreachable: single-table keys are ViaView
         case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
+          Literal(0L))), al.name)(exprId = al.exprId)
+        // count(x) = SUM(mv_nncount): same non-nullable-zero coalesce as
+        // count(*), same partition-of-base-rows exactness argument.
+        case NNCountOut(al, _) => Alias(Coalesce(Seq(reSum(vAttr("mv_nncount")),
           Literal(0L))), al.name)(exprId = al.exprId)
         case SumOut(al, _, _) =>
           Alias(reSum(vAttr("mv_sum")), al.name)(exprId = al.exprId)
@@ -768,6 +782,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case AvgOut(_, c, _) => c
       case MinOut(_, c) => c
       case MaxOut(_, c) => c
+      case NNCountOut(_, c) => c
     }
     if (sumAttrs.exists(sa => !factOut.contains(sa))) return None
     val sumCols = sumAttrs.map(_.name).distinct
@@ -836,6 +851,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         Alias(vAttr(n), orig.name)(exprId = orig.exprId)
       case KeyOut(Verbatim, orig) => orig
       case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
+        Literal(0L))), al.name)(exprId = al.exprId)
+      case NNCountOut(al, _) => Alias(Coalesce(Seq(reSum(vAttr("mv_nncount")),
         Literal(0L))), al.name)(exprId = al.exprId)
       case SumOut(al, _, _) =>
         Alias(reSum(vAttr("mv_sum")), al.name)(exprId = al.exprId)

@@ -60,6 +60,38 @@ class MviewRewriteSpec extends GraftSuite {
     } finally cls.experimental.extraOptimizations = saved
   }
 
+  test("count(<declared col>) serves from mv_nncount; other columns refuse") {
+    // count(x) counts NON-NULL x — exactly the mv_nncount column the fold
+    // maintains for AVG's denominator. Exact, rollup, and join paths; a
+    // count over any column the view does not declare refuses.
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    spark.sql("DROP TABLE IF EXISTS gmvr.ncdim")
+    (0L until 7L).map(i => (i, i % 2)).toDF("pk", "attr")
+      .writeTo("gmvr.ncdim").create()
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def check(df: => DataFrame, sortCols: Seq[String]): Unit = {
+      assert(answersFromView(df), s"count(x) must serve, got ${scansOf(df)}")
+      val got = df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try assert(df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq === got)
+      finally cls.experimental.extraOptimizations = saved
+    }
+    def fact = spark.table("gmvr.fact")
+    check(fact.groupBy(col("k1"), col("k2"))
+      .agg(count(col("x")).as("nnx"), count(lit(1)).as("n")), Seq("k1", "k2"))
+    check(fact.groupBy(col("k2"))
+      .agg(count(col("x")).as("nnx"), sum(col("x")).as("sx")), Seq("k2"))
+    check(fact.join(spark.table("gmvr.ncdim"), col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(count(col("x")).as("nnx")), Seq("attr"))
+    // count over a column the view does not declare: refuse.
+    assert(!answersFromView(fact.groupBy(col("k1"))
+      .agg(count(col("id")).as("nid"))))
+    spark.sql("DROP TABLE IF EXISTS gmvr.ncdim")
+  }
+
   test("SELECT DISTINCT over view keys is an aggregate with only key outputs — serves") {
     // DISTINCT plans as Aggregate(keys, keys, child): every output classifies
     // as a key passthrough and the view's key columns ARE the distinct set
@@ -761,7 +793,8 @@ class MviewRewriteSpec extends GraftSuite {
       Seq(sum(col("x")).as("sx"), avg(col("x")).as("ax")),
       Seq(min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n")),
       Seq(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        avg(col("x")).as("ax"), min(col("x")).as("mn"), max(col("x")).as("mx")))
+        avg(col("x")).as("ax"), min(col("x")).as("mn"), max(col("x")).as("mx")),
+      Seq(count(col("x")).as("nnx"), count(lit(1)).as("n")))
     var fired = 0
     def check(label: String, df: => DataFrame, sortCols: Seq[String]): Unit = {
       val scans = scansOf(df)
