@@ -512,15 +512,17 @@ object Corpus {
    * there a numeric id collision is two UNRELATED documents, and dropping
    * the pair would silently report a genuinely contaminated document clean.
    *
-   * The default (`true`) preserves the method's original behavior — identity
-   * pairs dropped — so callers upgrading across versions see no silent
-   * result change. Pass `excludeSelfPairs = false` explicitly for an
-   * INDEPENDENT benchmark table: there a numeric id collision is two
-   * unrelated documents, and dropping the pair would hide real leakage.
+   * `excludeSelfPairs` is REQUIRED (no default). The default flipped twice
+   * across releases (r11: true→false, r13: false→true) — each flip silently
+   * changed results for callers relying on it. A required parameter makes
+   * every call site state which benchmark topology it has: `true` for a
+   * corpus-slice benchmark (drop trivial identity pairs), `false` for an
+   * independent benchmark table (an id collision is two unrelated documents
+   * — dropping the pair would hide real leakage).
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                     minShared: Int = 3,
-                    excludeSelfPairs: Boolean = true): DataFrame = {
+                    excludeSelfPairs: Boolean): DataFrame = {
     val corpusSh = corpus.select(col("doc_id"),
       explode(TextOps.shingleSet(col("text"), n)).as("sh"))
     val benchSh = benchmark.select(col("doc_id").as("bench_id"),

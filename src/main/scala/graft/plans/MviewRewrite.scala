@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftCheck, GraftGenerated, GraftPolicies, GraftTable}
@@ -44,10 +44,16 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftCheck, GraftGenerate
  *     summing the partials — exact because the view partitions the base
  *     rows) — and every aggregate expression is one the view maintains:
  *     `count(*)`/`count(1)` → `mv_count`, `sum(<declared sum col>)` →
- *     `mv_sum` (the self-maintainable abelian set), and `min`/`max` of the
+ *     `mv_sum` (the self-maintainable abelian set), `min`/`max` of the
  *     declared column → `mv_min`/`mv_max` (maintained delete-aware by the
  *     fold: affected-group recompute when a delta deletes a potential
- *     extremum — see [[graft.sources.GraftCatalogOps.refreshMview]]);
+ *     extremum — see [[graft.sources.GraftCatalogOps.refreshMview]]), and
+ *     `hll_sketch_estimate(hll_sketch_agg(<declared col>))` → the `mv_hll`
+ *     DataSketches union column (insert folds union; non-NULL deletes
+ *     recompute the group's sketch — no sketch subtracts; estimate-shape
+ *     outputs only, exact under the coupon-mode promotion point, same 5%
+ *     estimator bound past it — see HllOut; exact `COUNT(DISTINCT)` never
+ *     rewrites);
  *   - eval-mode reconciliation: the fold's own sum() ran under the session's
  *     eval mode at fold time (stamped `mview.foldmode`, AND-combined across
  *     folds), so an ANSI-mode sum/avg serves only from an all-ANSI-folded
@@ -199,6 +205,23 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   // them preserves the query's output type exactly (type gate below).
   private case class MinOut(al: Alias, col: AttributeReference) extends Out
   private case class MaxOut(al: Alias, col: AttributeReference) extends Out
+  // hll_sketch_estimate(hll_sketch_agg(<declared sum col>)) — the Spark 3.5
+  // sketchable-distinct shape, served from the view's mv_hll union column
+  // (exact match reads the stored sketch; rollup/join re-aggregates with
+  // hll_union_agg — multiplicity-blind like min/max, a duplicate dim key
+  // unions a sketch with itself). ONLY the estimate shape classifies: a raw
+  // sketch BINARY output never serves (DataSketches serialization is
+  // insertion-order-dependent, so bitwise equality is not a property even
+  // of the un-rewritten query). The ESTIMATE is exact — equal on both paths
+  // — while every sketch is in coupon mode (distinct count under the lgK=12
+  // promotion point, HllDeterminismSpec); past it both paths carry the same
+  // 5% DataSketches bound but may differ within it (the un-rewritten
+  // query's own estimate is already partition-layout-dependent there — HIP
+  // vs composite estimator — so bitwise stability past the promotion point
+  // is not a contract Spark offers either). Exact COUNT(DISTINCT x) never
+  // classifies (isDistinct aggregates fall through to the refusal).
+  private case class HllOut(al: Alias, col: AttributeReference, lgK: Int)
+      extends Out
 
   /** Every output must be a key (bare, aliased, or a whole grouping
     * EXPRESSION re-emitted under an alias), count(*)/count(1), or a
@@ -244,6 +267,9 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
           Complete, false, None, _), _) => MinOut(al, sa)
       case al @ Alias(AggregateExpression(Max(sa: AttributeReference),
           Complete, false, None, _), _) => MaxOut(al, sa)
+      case al @ Alias(HllSketchEstimate(AggregateExpression(
+          hs @ HllSketchAgg(sa: AttributeReference, _, _, _),
+          Complete, false, None, _)), _) => HllOut(al, sa, hs.lgConfigK)
       case _ => return None
     })
 
@@ -279,10 +305,15 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
         baseOf(inner)
       case Filter(cond, inner) =>
-        baseOf(inner).flatMap {
-          // At most ONE Filter, above the Projects or directly on the scan.
-          case (r, t, None) => Some((r, t, Some(cond)))
-          case _ => None
+        // STACKED Filters merge by conjunction — semantically one Filter,
+        // and rewritten plans routinely stack them (RELY join elimination
+        // adds `fk IS NOT NULL` below a constraint-inferred twin the main
+        // optimizer already ran CombineFilters past). Each conjunct is
+        // validated key-only by the caller exactly as a single Filter's
+        // condition would be.
+        baseOf(inner).map {
+          case (r, t, prev) =>
+            (r, t, Some(prev.map(And(_, cond)).getOrElse(cond)))
         }
       case _ => None
     }
@@ -357,6 +388,24 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
                   "schema predates (or mismatches) a maintained column the " +
                   "query needs (mv_nncount / mv_min / mv_max) — recreate " +
                   "the view to serve it"
+              return None
+            }
+            // Sketch parameter gate: the view's mv_hll sketches were ALL
+            // built at the stamped lgK (seed, folds, recomputes use the same
+            // engine constant); a query sketching at a different precision
+            // is a different estimator — refuse, never approximate across
+            // precisions.
+            val lgkMismatch = outs.collectFirst {
+              case h: HllOut if !v.manifest.props.get("mview.hll_lgk")
+                .flatMap(_.toIntOption).contains(h.lgK) => h.lgK
+            }
+            if (lgkMismatch.isDefined) {
+              staleNotes +=
+                s"view ${id.name()} matches this aggregate but its sketches " +
+                  s"were built at lgK=${v.manifest.props.getOrElse(
+                    "mview.hll_lgk", "<unstamped>")} while the query sketches " +
+                  s"at lgK=${lgkMismatch.get} — a different estimator " +
+                  "precision cannot serve"
               return None
             }
             // ANSI query over a legacy-folded view: the stored sum may be a
@@ -434,7 +483,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       (if (outs.exists(o => o.isInstanceOf[SumOut] || o.isInstanceOf[AvgOut]))
         Set("mv_sum") else Set.empty[String]) ++
       (if (outs.exists(_.isInstanceOf[MinOut])) Set("mv_min") else Set.empty[String]) ++
-      (if (outs.exists(_.isInstanceOf[MaxOut])) Set("mv_max") else Set.empty[String])
+      (if (outs.exists(_.isInstanceOf[MaxOut])) Set("mv_max") else Set.empty[String]) ++
+      (if (outs.exists(_.isInstanceOf[HllOut])) Set("mv_hll") else Set.empty[String])
 
   /** Does this view's SCHEMA maintain every classified output? Presence and
     * type in one probe: a view created before a maintained column existed
@@ -458,6 +508,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       outs.forall {
         case MinOut(_, c) => dt("mv_min").contains(c.dataType)
         case MaxOut(_, c) => dt("mv_max").contains(c.dataType)
+        case _: HllOut => dt("mv_hll").contains(BinaryType)
         case _ => true
       }
   }
@@ -512,6 +563,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case MinOut(_, c) => c.name
       case MaxOut(_, c) => c.name
       case NNCountOut(_, c) => c.name
+      case HllOut(_, c, _) => c.name
     }.distinct
     if (sumCols.size > 1) return None
     // Any ANSI-mode sum/avg demands an EXACT stored sum — serveable only
@@ -589,6 +641,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
             al.name)(exprId = al.exprId)
         case MinOut(al, _) => Alias(vAttr("mv_min"), al.name)(exprId = al.exprId)
         case MaxOut(al, _) => Alias(vAttr("mv_max"), al.name)(exprId = al.exprId)
+        case HllOut(al, _, _) =>
+          Alias(HllSketchEstimate(vAttr("mv_hll")), al.name)(exprId = al.exprId)
       }
       Some(Project(projList, vInput))
     } else {
@@ -620,6 +674,11 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
           Complete, isDistinct = false), al.name)(exprId = al.exprId)
         case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
           Complete, isDistinct = false), al.name)(exprId = al.exprId)
+        // union-of-sketches: the fine groups partition the base rows, so
+        // the union's register/coupon state equals the coarse sketch's.
+        case HllOut(al, _, _) => Alias(HllSketchEstimate(AggregateExpression(
+          new HllUnionAgg(vAttr("mv_hll")), Complete, isDistinct = false)),
+          al.name)(exprId = al.exprId)
       }
       Some(Aggregate(keyMap.map(km => vAttr(km._2)), aggList, vInput))
     }
@@ -663,7 +722,18 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
             case Alias(ch, _) => ch
             case o => o
           }
-          allBound && declExpr.canonicalized == e.canonicalized
+          // Calendar rules are one-function-per-zone: the stored key values
+          // were enforced under the zone PINNED at declaration (generate.tz
+          // stamp), while this compare normalized both sides under the QUERY
+          // session's zone — a match is only evidence when those zones
+          // coincide. No pin (legacy declaration, writes under unknown
+          // zones) → refuse: serving month(ts) grouped in another zone's
+          // calendar is silently wrong groups.
+          val zoneOk = !GraftGenerated.zoneDependent(declExpr) ||
+            baseTable.manifest.props.get(GraftGenerated.TzPrefix + c)
+              .exists(z => GraftGenerated.sameZone(z,
+                org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          allBound && zoneOk && declExpr.canonicalized == e.canonicalized
         } catch { case _: Exception => false }
       } => c }
     }
@@ -783,6 +853,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case MinOut(_, c) => c
       case MaxOut(_, c) => c
       case NNCountOut(_, c) => c
+      case HllOut(_, c, _) => c
     }
     if (sumAttrs.exists(sa => !factOut.contains(sa))) return None
     val sumCols = sumAttrs.map(_.name).distinct
@@ -864,6 +935,11 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         Complete, isDistinct = false), al.name)(exprId = al.exprId)
       case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
         Complete, isDistinct = false), al.name)(exprId = al.exprId)
+      // sketch unions are multiplicity-blind too: a duplicate dim key
+      // unions a group's sketch with itself — a no-op.
+      case HllOut(al, _, _) => Alias(HllSketchEstimate(AggregateExpression(
+        new HllUnionAgg(vAttr("mv_hll")), Complete, isDistinct = false)),
+        al.name)(exprId = al.exprId)
     }
     val newGes = keyMap.map {
       case (_, ViaView(n)) => vAttr(n)

@@ -26,6 +26,13 @@ object StarQueries {
   private def r2(c: Column) = round(c, 2)
   private def r4(c: Column) = round(c, 4)
 
+  /** Bare table name of a V2 scan: `graft.t@7` → `t`. Plan pins match scan
+    * names EXACTLY — containment (`contains("cmqv")`) would also accept a
+    * scan of an unrelated similarly-named fixture (seed `cmqv_s`) and drift
+    * silently if fixture naming changes. */
+  private def scanLeaf(n: String): String =
+    n.stripPrefix("graft.").takeWhile(_ != '@')
+
   /** Register the graft TableCatalog rooted in this sf-dir's scratch space.
    *  Same-name/same-root re-sets are no-ops (the CatalogManager caches the
    *  instance after first resolution, keyed by catalog name). */
@@ -3171,8 +3178,8 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
-        !scans.exists(_.contains("mvrq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") && !named.contains("mvrq")
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"), col("b"))
     },
 
@@ -3195,8 +3202,8 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
-        !scans.exists(_.contains("mvrq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") && !named.contains("mvrq")
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
@@ -3220,8 +3227,8 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
-        !scans.exists(_.contains("mvrq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") && !named.contains("mvrq")
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
@@ -3249,9 +3256,9 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
-        scans.exists(_.contains("mvrq_dim")) &&
-        !scans.exists(_.contains("mvrq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") &&
+        named.contains("mvrq_dim") && !named.contains("mvrq")
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("grp"))
     },
 
@@ -3327,8 +3334,8 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("cmqv")) &&
-        !scans.exists(_.contains("cmq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("cmqv") && !named.contains("cmq")
       df.withColumn("rewritten", lit(rewritten))
         .withColumn("no_republish", lit(noRepublish))
         .orderBy(col("pk"))
@@ -3361,10 +3368,10 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("mvrq_mv")) &&
-        scans.exists(_.contains("mvrq_dim@")) &&
-        scans.exists(_.contains("mvrq_dim2")) &&
-        !scans.exists(_.contains("mvrq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") &&
+        named.contains("mvrq_dim") && named.contains("mvrq_dim2") &&
+        !named.contains("mvrq")
       df.withColumn("rewritten", lit(rewritten))
         .orderBy(col("grp"), col("plabel"))
     },
@@ -3389,8 +3396,8 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = scans.exists(_.contains("mvgk_mv")) &&
-        !scans.exists(_.contains("mvgk@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvgk_mv") && !named.contains("mvgk")
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("k"))
     },
 
@@ -3402,6 +3409,64 @@ object StarQueries {
     // one refresh folds it all, and the natural min/max/count GROUP BY is
     // then answered FROM the view (`rewritten` pins the plan). The oracle
     // replays the DML relationally over the base data.
+    // B198+B234 SKETCHED DISTINCT from the materialized view: the view
+    // maintains a DataSketches HLL union column (mv_hll — insert folds
+    // union, non-NULL deletes recompute exactly the affected groups' sketches
+    // from the semi-join-pruned base), and the rewrite serves the Spark 3.5
+    // sketchable-distinct shape hll_sketch_estimate(hll_sketch_agg(v)) as a
+    // ROLLUP union over the view's finer (pk,b) groups. Hash contract (the
+    // B55/B96 exactness audit): the value domain (v = ok % 97, ≤ 97 distinct
+    // per group at EVERY SF) stays under the lgK=12 coupon promotion point
+    // (384), so the estimate IS the exact distinct count — the oracle pins
+    // it with COUNT(DISTINCT v), and `rewritten` pins the view-scan plan.
+    // Exact COUNT(DISTINCT) itself never rewrites (MviewRewriteSpec).
+    "q_mview_distinct" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(5)).cast("long").as("pk"),
+        pmod(col("o_orderkey"), lit(2)).cast("long").as("b"),
+        pmod(col("o_orderkey"), lit(97)).cast("long").as("v"))
+      val hdSrcOk =
+        try {
+          val sdir = new org.apache.hadoop.fs.Path(
+            Tables.scratchDir(s, "catalog", d), "mvhd_s")
+          graft.sources.GraftManifest.currentGen(
+            sdir, s.sessionState.newHadoopConf()) == 1L
+        } catch { case _: Exception => false }
+      if (!hdSrcOk) s.sql("DROP TABLE IF EXISTS graft.mvhdv_s")
+      fixture(s, d, "mvhdv_s", 2L, "v1", Seq("orders")) { marker =>
+        s.sql("DROP TABLE IF EXISTS graft.mvhd_s")
+        base.filter(col("o_orderkey") % 2 === 0)
+          .writeTo("graft.mvhd_s").tableProperty("dml", "dv")
+          .tableProperty("fixture", marker).create()                  // gen 1
+        s.sql("CALL graft.system.create_mview(source => 'mvhd_s', " +
+          "name => 'mvhdv_s', keys => 'pk,b', sum_col => 'v')")
+        s.sql(s"ALTER TABLE graft.mvhdv_s SET TBLPROPERTIES('fixture'='$marker')")
+      }
+      s.sql("DROP TABLE IF EXISTS graft.mvhd")
+      s.sql("DROP TABLE IF EXISTS graft.mvhdv")
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mvhd_s", "mvhd")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mvhdv_s", "mvhdv",
+        Map("mview.source" -> "mvhd", "mview.gen" -> "0"))
+      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.mvhd").append() // 1
+      s.sql("DELETE FROM graft.mvhd WHERE o_orderkey % 11 = 0")       // gen 2
+      val r = s.sql("CALL graft.system.refresh_mview(name => 'mvhdv')").collect()(0)
+      val folded = r.getLong(0) == 0L && r.getLong(1) == 2L
+      val df = s.table("graft.mvhd")
+        .groupBy(col("pk"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(v))").as("nd"),
+          count(lit(1)).as("n"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = folded && named.contains("mvhdv") && !named.contains("mvhd")
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
     "q_mview_minmax" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
@@ -3448,8 +3513,8 @@ object StarQueries {
       import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
       val scans = df.queryExecution.optimizedPlan.collect {
         case sr: V2SR => sr.relation.table.name() }
-      val rewritten = folded && scans.exists(_.contains("mmqv")) &&
-        !scans.exists(_.contains("mmq@"))
+      val named = scans.map(scanLeaf)
+      val rewritten = folded && named.contains("mmqv") && !named.contains("mmq")
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
@@ -6013,6 +6078,18 @@ object StarQueries {
     // B198+B234 min/max view: the oracle replays the DML composition (the
     // %7 delete runs before the %13 update and the predicates are
     // independent, so the relational replay composes them directly).
+    // B198+B234 sketched distinct: the domain bound (97 < the lgK=12 coupon
+    // promotion point 384) makes the HLL estimate provably exact, so the
+    // oracle pins it with an exact COUNT(DISTINCT) — at every SF.
+    "q_mview_distinct" ->
+      """WITH live AS (
+        |  SELECT o_orderkey % 5 AS pk, o_orderkey % 97 AS v
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT CAST(pk AS BIGINT) AS pk,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS nd, count(*) AS n,
+        |  true AS rewritten
+        |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
+
     "q_mview_minmax" ->
       """WITH live AS (
         |  SELECT o_orderkey % 4 AS pk,

@@ -331,7 +331,10 @@ class GraftCatalog extends TableCatalog
           f.metadata.getString("EXISTS_DEFAULT") else f.metadata.getString("CURRENT_DEFAULT")
         (GraftDefaults.Prefix + f.name) -> GraftDefaults.fold(sql, f.dataType)
     }.toMap
-    val allProps = keep ++ declaredDefaults
+    // Zone-dependent generation rules get the creating session's timezone
+    // pinned (B189 soundness): the invariant is one function, not
+    // one-per-writer-zone. A user-supplied `generate.tz.<col>` pin wins.
+    val allProps = GraftGenerated.stampZones(keep, schema) ++ declaredDefaults
     val cleanSchema = GraftDefaults.strip(schema)
     val m = GraftManifest(0L, GraftDefaults.attach(cleanSchema, allProps),
       partCols.toSeq, Seq.empty, props = allProps)
@@ -420,8 +423,19 @@ class GraftCatalog extends TableCatalog
           // schema, with masks type-preserving and off partition paths.
           if (k == GraftPolicies.FilterProp || k.startsWith(GraftPolicies.MaskPrefix))
             GraftPolicies.validate(Map(k -> v), schema, cur.pathCols)
-          if (k.startsWith(GraftGenerated.Prefix))
+          // The zone pin is engine-stamped when the declaration is born;
+          // a user SET on a table with existing data would bless historical
+          // writes made under a different zone.
+          require(!k.startsWith(GraftGenerated.TzPrefix),
+            s"table property '$k' is engine-managed (generated-column " +
+              "timezone pin, stamped when the rule is declared)")
+          if (k.startsWith(GraftGenerated.Prefix)) {
             GraftGenerated.validate(props + (k -> v), schema)
+            // A NEWLY-declared zone-dependent rule gets this session's zone
+            // pinned (only this declaration — never retro-stamping others).
+            props = GraftGenerated.stampZones(props + (k -> v), schema,
+              only = Some(k.stripPrefix(GraftGenerated.Prefix)))
+          }
           if (k == "bloom") {
             val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
             cols.foreach { c =>
@@ -461,7 +475,17 @@ class GraftCatalog extends TableCatalog
           require(!rm.property().startsWith("dropped."),
             s"table property '${rm.property()}' is reserved for the " +
               "engine's drop tombstones")
+          // Zone pins live and die with their declaration: dropping the
+          // rule drops the pin; unsetting a pin alone (writers then free to
+          // enforce per-zone variants over pinned-era data) is refused.
+          require(!rm.property().startsWith(GraftGenerated.TzPrefix),
+            s"table property '${rm.property()}' is engine-managed " +
+              "(generated-column timezone pin) — unset the " +
+              "generate.<col> rule itself to remove it")
           props = props - rm.property()
+          if (rm.property().startsWith(GraftGenerated.Prefix))
+            props = props - (GraftGenerated.TzPrefix +
+              rm.property().stripPrefix(GraftGenerated.Prefix))
         case rn: TableChange.RenameColumn =>
           // COLUMN MAPPING rename (B190): one metadata commit, zero rewrites.
           // The column keeps its PHYSICAL name (what every existing AND
@@ -4676,11 +4700,58 @@ object GraftCheck {
  */
 object GraftGenerated {
   val Prefix = "generate."
+  /** `generate.tz.<col>` — the session timezone the declaration was PINNED
+    * to at CREATE/ALTER. A calendar rule (`month(ts)` casts timestamp→date
+    * under a zone) is a DIFFERENT function per zone, so without a pin each
+    * writer would enforce — and each reader would assume — its own session's
+    * variant of the invariant. Stamped automatically for zone-dependent
+    * rules; write paths refuse sessions whose zone differs; the mview
+    * generated-key rewrite serves only when the query session matches. */
+  val TzPrefix = "generate.tz."
 
   def declared(props: Map[String, String]): Seq[(String, String)] =
     props.collect { case (k, v) if k.startsWith(Prefix) &&
+      !k.startsWith(TzPrefix) &&
       k.length > Prefix.length => k.stripPrefix(Prefix) -> v }
       .toSeq.sortBy(_._1)
+
+  /** Does the (resolved, coerced, zone-resolved) expression's VALUE depend
+    * on the session timezone? Casts are gated on [[Cast.needsTimeZone]] —
+    * coercion inserts zone-irrelevant numeric casts everywhere and those
+    * must not poison `id % 12`-style rules. */
+  def zoneDependent(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .needsTimeZone(c.child.dataType, c.dataType)
+      case _: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression => true
+      case _ => false
+    }
+
+  /** Zone-ID equality ("UTC" == "Etc/UTC" == "+00:00"), not string equality. */
+  def sameZone(a: String, b: String): Boolean =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(a).normalized ==
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(b).normalized
+
+  /** Pin the CURRENT session's timezone onto every zone-dependent
+    * declaration that lacks a stamp. Called where declarations are BORN
+    * (CREATE, ALTER SET of a `generate.<col>` key) — never on unrelated
+    * commits, which could bless historical writes made under unknown zones.
+    * An existing stamp (user-supplied at CREATE, or from the declaring
+    * ALTER) is kept verbatim. */
+  def stampZones(props: Map[String, String], schema: StructType,
+      only: Option[String] = None): Map[String, String] = {
+    val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    declared(props).filter(d => only.forall(_ == d._1)).foldLeft(props) {
+      case (p, (c, sql)) =>
+        if (p.contains(TzPrefix + c)) p
+        else {
+          val resolved =
+            GraftCheck.resolve(sql, schema, bind = false, requireBoolean = false)
+          if (zoneDependent(resolved)) p + ((TzPrefix + c) -> zone) else p
+        }
+    }
+  }
 
   /** CREATE/ALTER-time validation — fail the DDL, never the first write. */
   def validate(props: Map[String, String], schema: StructType): Unit = {
@@ -4712,6 +4783,18 @@ object GraftGenerated {
       schema: StructType): Seq[GraftCheckPredicate] =
     declared(props).filter { case (c, _) => schema.fieldNames.contains(c) }
       .map { case (c, e) =>
+        // Zone gate: a pinned calendar rule is one function, the pinned
+        // zone's — a writer session under a different zone would enforce
+        // (and auto-compute) a DIFFERENT function, silently skewing the
+        // very values the pin exists to make trustworthy. Refuse loudly.
+        props.get(TzPrefix + c).foreach { z =>
+          val sz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          require(sameZone(z, sz),
+            s"generated column $c's calendar rule is pinned to timezone $z " +
+              s"(stamped when declared); this session writes under $sz and " +
+              "would enforce a different function — set " +
+              s"spark.sql.session.timeZone to $z to write this table")
+        }
         val sql = s"$c <=> ($e)"
         GraftCheckPredicate(s"generated($c)", sql, GraftCheck.resolve(sql, schema))
       }
@@ -6065,7 +6148,7 @@ object GraftCatalogOps {
       require(Set[DataType](LongType, IntegerType, ShortType)(dt),
         s"mview sum column $c must be integral for exact folding, got ${dt.sql}")
     }
-    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.functions.{hll_sketch_agg, max, min}
     snap.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("mv_count"), sum(col(sumCol)).cast("long").as("mv_sum"),
         // count of NON-NULL sum-column rows: what avg(sumCol) divides by —
@@ -6075,12 +6158,22 @@ object GraftCatalogOps {
         count(col(sumCol)).as("mv_nncount"),
         // UNCAST extremes: min/max preserve their input type, so the B234
         // rewrite can serve them back without changing the query's schema.
-        min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max"))
+        min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max"),
+        // Mergeable DataSketches HLL over the sum column (lgK = the engine
+        // default 12, stamped below): B234 serves the Spark 3.5 sketchable
+        // distinct shape hll_sketch_estimate(hll_sketch_agg(x)) from this.
+        // Cast to long: the sketch hashes ints widened to long, so the
+        // stored sketch equals a query's sketch over the int column; SHORT
+        // columns can't feed hll_sketch_agg at all, their sketch is inert.
+        hll_sketch_agg(col(sumCol).cast("long")).as("mv_hll"))
       .writeTo(s"$catalog.`$name`")
       .tableProperty("mview.source", source)
       .tableProperty("mview.keys", keys.mkString(","))
       .tableProperty("mview.sum", sumCol)
       .tableProperty("mview.gen", g0.toString)
+      // The lgK every mv_hll sketch (seed, folds, recomputes) is built at;
+      // B234 serves only queries sketching at exactly this lgK.
+      .tableProperty("mview.hll_lgk", "12")
       // The seed's sum() runs under the SESSION's eval mode: ANSI raises on
       // Long overflow (a stored mv_sum is therefore EXACT), LEGACY wraps (a
       // stored mv_sum may be the wrapped value). B234 reads this stamp to
@@ -6135,12 +6228,14 @@ object GraftCatalogOps {
       s"source $source is at generation $to, below the view's fold floor $from " +
         "(RESTORE ran backwards past the floor) — rebuild the view")
     if (to == from) return (from, to)
-    import org.apache.spark.sql.functions.{greatest, least, max, min}
-    // Views created before the mv_min/mv_max columns existed fold without
-    // them (schema-compatible overwrite); B234 simply refuses their MIN/MAX
-    // rewrites via the same schema probe it uses for mv_nncount.
-    val hasMinMax = spark.table(s"$catalog.`$name`")
-      .columns.exists(_.equalsIgnoreCase("mv_min"))
+    import org.apache.spark.sql.functions.{greatest, hll_sketch_agg, hll_union, least, max, min}
+    // Views created before the mv_min/mv_max (r12) / mv_hll (r14) columns
+    // existed fold without them (schema-compatible overwrite); B234 simply
+    // refuses their MIN/MAX / sketch rewrites via the same schema probe it
+    // uses for mv_nncount.
+    val viewCols = spark.table(s"$catalog.`$name`").columns
+    val hasMinMax = viewCols.exists(_.equalsIgnoreCase("mv_min"))
+    val hasHll = viewCols.exists(_.equalsIgnoreCase("mv_hll"))
     val sign = when(col(GraftChangesTable.ChangeType) === "insert", 1L).otherwise(-1L)
     val baseAggs = Seq(
       sum(sign).as("d_count"), sum(sign * col(sumCol)).cast("long").as("d_sum"),
@@ -6152,13 +6247,26 @@ object GraftCatalogOps {
         max(when(sign === 1L, col(sumCol))).as("d_ins_max"),
         min(when(sign === -1L, col(sumCol))).as("d_del_min"),
         max(when(sign === -1L, col(sumCol))).as("d_del_max"))
+    // HLL delta: inserts fold exactly (a sketch union can only ADD distinct
+    // values, and inserting an already-present value is a union no-op); a
+    // non-NULL DELETE may remove a value's last occurrence, which no sketch
+    // can subtract — flag the group for the same semi-join-pruned recompute
+    // leg min/max use. NULL rows never enter a sketch on either side.
+    val hllAggs =
+      if (!hasHll) Seq.empty
+      else Seq(
+        hll_sketch_agg(when(sign === 1L, col(sumCol).cast("long")))
+          .as("d_hll_ins"),
+        max(when(sign === -1L && col(sumCol).isNotNull, true))
+          .as("d_hll_del"))
     // The min/max fold references the delta twice (fold columns + the
     // recompute-key selection) — persist the AGGREGATED delta (group-count-
     // sized, tiny by construction) so the change-feed scan runs once, not
     // per reference. Released before returning.
+    val allAggs = baseAggs ++ mmAggs ++ hllAggs
     val delta0 = changes(spark, s"$catalog.`$source`", root, source, from, to)
       .groupBy(keys.map(col): _*)
-      .agg((baseAggs ++ mmAggs).head, (baseAggs ++ mmAggs).tail: _*)
+      .agg(allAggs.head, allAggs.tail: _*)
     val delta = if (hasMinMax) delta0.persist() else delta0
     try {
     // Fold-mode stamp maintenance (see createMview): "ansi" survives only if
@@ -6219,14 +6327,34 @@ object GraftCatalogOps {
         // keys) — delta-sized work by doctrine, never source-sized.
         val recomp = col("d_del_min").isNotNull && (col("mv_min").isNull ||
           col("d_del_min") <= col("mv_min") || col("d_del_max") >= col("mv_max"))
+        // HLL fold: union stored sketch with the insert-delta sketch (NULL
+        // on either side = the other side verbatim); any non-NULL delete
+        // flags the group for sketch recompute — a sketch cannot subtract.
+        val hllFoldCols =
+          if (!hasHll) Seq.empty
+          else Seq(
+            when(col("mv_hll").isNull, col("d_hll_ins"))
+              .when(col("d_hll_ins").isNull, col("mv_hll"))
+              .otherwise(hll_union(col("mv_hll"), col("d_hll_ins")))
+              .as("f_hll"),
+            coalesce(col("d_hll_del"), lit(false)).as("__hllrecomp"))
         val withFlag = joined.select(keyOut ++ foldCols ++ Seq(
           least(col("mv_min"), col("d_ins_min")).as("f_min"),
           greatest(col("mv_max"), col("d_ins_max")).as("f_max"),
-          recomp.as("__recomp")): _*)
-        val recompKeys = withFlag.filter(col("__recomp"))
+          recomp.as("__recomp")) ++ hllFoldCols: _*)
+        // ONE base-snapshot pass serves both recompute families: the key
+        // set is the union of extremum-threatened and sketch-invalidated
+        // groups (each family reads only its own recomputed columns back).
+        val anyRecomp =
+          if (hasHll) col("__recomp") || col("__hllrecomp") else col("__recomp")
+        val recompKeys = withFlag.filter(anyRecomp)
           .select(keys.map(col): _*).alias("rk")
         val base = spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
           .alias("b")
+        val rAggs = Seq(min(col(sumCol)).as("r_min"), max(col(sumCol)).as("r_max")) ++
+          (if (hasHll)
+            Seq(hll_sketch_agg(col(sumCol).cast("long")).as("r_hll"))
+          else Seq.empty)
         // Distinct output names on the recompute leg keep the re-join
         // unambiguous; <=> everywhere so NULL-key groups match themselves.
         val recomputed = base
@@ -6234,9 +6362,10 @@ object GraftCatalogOps {
             keys.map(k => col(s"b.$k") <=> col(s"rk.$k")).reduce(_ && _),
             "left_semi")
           .groupBy(keys.map(k => col(s"b.$k")): _*)
-          .agg(min(col(sumCol)).as("r_min"), max(col(sumCol)).as("r_max"))
+          .agg(rAggs.head, rAggs.tail: _*)
           .select(keys.map(k => col(k).as(s"__rk_$k")) ++
-            Seq(col("r_min"), col("r_max")): _*)
+            (Seq(col("r_min"), col("r_max")) ++
+              (if (hasHll) Seq(col("r_hll")) else Seq.empty)): _*)
         withFlag.join(recomputed,
             keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _),
             "left_outer")
@@ -6245,7 +6374,11 @@ object GraftCatalogOps {
             when(col("__recomp"), col("r_min")).otherwise(col("f_min"))
               .as("mv_min"),
             when(col("__recomp"), col("r_max")).otherwise(col("f_max"))
-              .as("mv_max")): _*)
+              .as("mv_max")) ++
+            (if (hasHll)
+              Seq(when(col("__hllrecomp"), col("r_hll")).otherwise(col("f_hll"))
+                .as("mv_hll"))
+            else Seq.empty): _*)
           .filter(col("mv_count") > 0)
       }
     merged.writeTo(s"$catalog.`$name`")
@@ -6292,11 +6425,17 @@ object GraftCatalogOps {
       s"source $source is at generation $to, below the view's fold floor " +
         s"$floor (RESTORE ran backwards) — rebuild the view")
     val snap = spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
+    val hasHll = m.schema.fieldNames.exists(_.equalsIgnoreCase("mv_hll"))
+    val recompAggs = Seq(count(lit(1)).as("mv_count"),
+      sum(col(sumCol)).cast("long").as("mv_sum"),
+      count(col(sumCol)).as("mv_nncount"),
+      min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max")) ++
+      (if (hasHll)
+        Seq(org.apache.spark.sql.functions
+          .hll_sketch_agg(col(sumCol).cast("long")).as("mv_hll"))
+      else Seq.empty)
     val recomputed = snap.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("mv_count"),
-        sum(col(sumCol)).cast("long").as("mv_sum"),
-        count(col(sumCol)).as("mv_nncount"),
-        min(col(sumCol)).as("mv_min"), max(col(sumCol)).as("mv_max"))
+      .agg(recompAggs.head, recompAggs.tail: _*)
     // The overwrite must NEVER be skippable as an idempotent replay: when a
     // past refresh already claimed `mview:<to>` (floor == to — the common
     // re-stamp case, nothing new to fold), a ledger-riding write would no-op
@@ -6306,10 +6445,20 @@ object GraftCatalogOps {
     // `to` unclaimed); at floor == to a plain overwrite replaces the values
     // and the floor is already right.
     val w = recomputed.writeTo(s"$catalog.`$name`")
+    GraftCommitOutcome.reset()
     (if (floor < to)
        w.option("txnAppId", "mview").option("txnVersion", to.toString)
      else w)
       .overwrite(lit(true))
+    // The stamp is sound only over values THIS writer published. When the
+    // ledger-riding overwrite (floor < to) races a concurrent refresh
+    // folding to the same `to`, the refresh claims `mview:<to>` first and
+    // OUR overwrite is absorbed as an idempotent replay — the stored values
+    // are the fold's, computed under a mode this recompute cannot vouch
+    // for, and the floor guard below would NOT catch it (floorNow == to).
+    // The commit path reports the outcome: absorbed ⟹ abandon the upgrade
+    // (the view is correct, merely still conservatively stamped — re-run).
+    if (GraftCommitOutcome.lastPublished.contains(false)) return to
     val mode = if (spark.sessionState.conf.ansiEnabled) "ansi" else "legacy"
     GraftManifest.publishNext(dir, conf) { cur =>
       // Abandon the re-stamp if a concurrent fold advanced past `to`: its

@@ -1863,6 +1863,35 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("an absorbed ledger overwrite is detectable — the recompute race guard's signal") {
+    // The r13-advice race: recomputeMview computes floor < to from its
+    // entry-time manifest, a concurrent refresh claims `mview:<to>` first,
+    // and the recompute's VALUE-REPLACING overwrite silently no-ops as an
+    // idempotent replay — the foldmode re-stamp would then bless values the
+    // recompute never produced. The window cannot be opened sequentially
+    // (the floor is derived FROM the ledger), so pin the guard's signal:
+    // a (txnAppId, txnVersion) overwrite whose key is already claimed
+    // publishes NOTHING, leaves content untouched, and reports
+    // lastPublished=false — the signal recomputeMview abandons its stamp on.
+    import spark.implicits._
+    val t = freshTable("absorb")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").writeTo(t).create()
+    graft.sources.GraftCommitOutcome.reset()
+    assert(graft.sources.GraftCommitOutcome.lastPublished.isEmpty)
+    Seq((1L, 11L), (2L, 21L)).toDF("k", "v").writeTo(t)
+      .option("txnAppId", "rc").option("txnVersion", "5").overwrite(lit(true))
+    assert(graft.sources.GraftCommitOutcome.lastPublished.contains(true),
+      "a fresh ledger key publishes")
+    // Same key, DIFFERENT values — absorbed, detectably.
+    graft.sources.GraftCommitOutcome.reset()
+    Seq((1L, 99L), (2L, 99L)).toDF("k", "v").writeTo(t)
+      .option("txnAppId", "rc").option("txnVersion", "5").overwrite(lit(true))
+    assert(graft.sources.GraftCommitOutcome.lastPublished.contains(false),
+      "an already-claimed ledger key must report non-publication")
+    assert(spark.table(t).orderBy(col("k")).collect().map(_.getLong(1)).toSeq
+      === Seq(11L, 21L), "the absorbed overwrite must leave content untouched")
+  }
+
   test("startingVersion streams only commits AFTER the named generation (no snapshot re-emit)") {
     val t = freshTable("startv")
     base.writeTo(t).partitionedBy(col("pk"))

@@ -447,27 +447,30 @@ class CorpusSpec extends GraftSuite {
       (3L, "alpha beta gamma here but then it diverges entirely afterwards")
     ).toDF("doc_id", "text") // doc 3: no full 5-gram in common
     val bench = Seq((100L, s"$shared and its own continuation")).toDF("doc_id", "text")
-    val hits = Corpus.decontaminate(corpus, bench, 5, 3)
+    val hits = Corpus.decontaminate(corpus, bench, 5, 3,
+      excludeSelfPairs = true)
       .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)].collect()
     assert(hits.map(_._1).toSeq === Seq(1L))
     assert(hits.head._2 === 100L && hits.head._3 >= 3)
   }
 
-  test("decontaminate default drops identity pairs; opt-out reports them") {
+  test("decontaminate excludeSelfPairs=true drops identity pairs; false reports them") {
     // A benchmark that IS a corpus slice: doc 1 appears on both sides under
-    // the same id. The DEFAULT path (excludeSelfPairs = true, the method's
-    // original behavior) must drop the trivial doc==bench pair; the explicit
-    // opt-out (false, for independent benchmarks) must report it.
+    // the same id. excludeSelfPairs is REQUIRED (the default flipped twice
+    // across releases — r11 and r13 — so it was removed): `true` (corpus-
+    // slice benchmark) must drop the trivial doc==bench pair; `false`
+    // (independent benchmark) must report it.
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq(
       (1L, s"$shared plus unrelated trailing words here"),
       (2L, "completely different text with no overlap at all whatsoever today")
     ).toDF("doc_id", "text")
     val bench = corpus.filter($"doc_id" === 1L)
-    val defaults = Corpus.decontaminate(corpus, bench)
+    val defaults = Corpus.decontaminate(corpus, bench,
+      excludeSelfPairs = true)
       .select("doc_id", "bench_id").as[(Long, Long)].collect()
     assert(!defaults.contains((1L, 1L)),
-      s"default must drop the self-pair, got ${defaults.toSeq}")
+      s"excludeSelfPairs=true must drop the self-pair, got ${defaults.toSeq}")
     val optOut = Corpus.decontaminate(corpus, bench, 5, 3,
       excludeSelfPairs = false)
       .select("doc_id", "bench_id").as[(Long, Long)].collect()

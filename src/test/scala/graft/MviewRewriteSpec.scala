@@ -752,6 +752,236 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
   }
 
+  test("rewrite fires through SQL views and CTEs") {
+    // Users rarely aggregate the raw table name: they write CREATE VIEW /
+    // WITH and aggregate over that. The analyzer inlines the view body and
+    // the main optimizer collapses the SubqueryAlias/Project shell before
+    // the terminal user-rule batch, so the rewrite must see through:
+    //  - a SELECT * shell view,
+    //  - a RENAMING view (aliases re-point exprIds, names must re-emit),
+    //  - a WITH CTE,
+    // and must still REFUSE a view that FILTERS on a data column (the shell
+    // is not a full scan of the source).
+    val _ = root
+    def checkSql(sql: String, sortCols: Seq[String]): Unit = {
+      val df = spark.sql(sql)
+      assert(answersFromView(df), s"expected view scan for [$sql], got ${scansOf(df)}")
+      val got = df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try {
+        val real = spark.sql(sql)
+        assert(!answersFromView(real), "sanity: rule off, base scan")
+        assert(real.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+          === got, s"rewrite through [$sql] changed results")
+      } finally cls.experimental.extraOptimizations = saved
+    }
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW mvr_shell AS SELECT * FROM gmvr.fact")
+    checkSql("SELECT k1, k2, count(*) AS n, sum(x) AS sx FROM mvr_shell " +
+      "GROUP BY k1, k2", Seq("k1", "k2"))
+    // Rollup through the shell view.
+    checkSql("SELECT k1, count(*) AS n, avg(x) AS ax FROM mvr_shell " +
+      "GROUP BY k1", Seq("k1"))
+    // Renaming view: grouping and aggregating under the view's own names.
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mvr_named AS " +
+      "SELECT k1 AS a, k2 AS b, x AS val FROM gmvr.fact")
+    checkSql("SELECT a, b, count(*) AS n, sum(val) AS sv FROM mvr_named " +
+      "GROUP BY a, b", Seq("a", "b"))
+    // WITH CTE.
+    checkSql("WITH c AS (SELECT * FROM gmvr.fact) " +
+      "SELECT k1, count(*) AS n, sum(x) AS sx FROM c GROUP BY k1", Seq("k1"))
+    // Key-only-filtered CTE still serves (filter replays on the view).
+    checkSql("WITH c AS (SELECT * FROM gmvr.fact WHERE k2 = 1) " +
+      "SELECT k1, count(*) AS n FROM c GROUP BY k1", Seq("k1"))
+    // A DATA-column-filtering view is not a full scan — refuse.
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mvr_cut AS " +
+      "SELECT * FROM gmvr.fact WHERE x > 100")
+    assert(!answersFromView(spark.sql(
+      "SELECT k1, count(*) AS n FROM mvr_cut GROUP BY k1")),
+      "a data-filtered view shell must refuse")
+    spark.sql("DROP VIEW IF EXISTS mvr_shell")
+    spark.sql("DROP VIEW IF EXISTS mvr_named")
+    spark.sql("DROP VIEW IF EXISTS mvr_cut")
+  }
+
+  test("HLL sketch column: estimate-shape distinct serves; exact COUNT(DISTINCT) refuses") {
+    val _ = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.hfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.hfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.hdim")
+    // Distinct-per-group stays far under the lgK=12 coupon promotion point
+    // (384), so every estimate below is EXACT and strict equality is sound.
+    (0L until 360L).map(i => (i, i % 4, i % 3, i * 7 % 120))
+      .toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.hfact").tableProperty("dml", "dv").create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'hfact', " +
+      "name => 'hfact_mv', keys => 'k1,k2', sum_col => 'x')")
+    (0L until 4L).map(i => (i, if (i < 2) "lo" else "hi"))
+      .toDF("pk", "half").writeTo("gmvr.hdim").create()
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def ruleOff[T](body: => T): T = {
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try body finally cls.experimental.extraOptimizations = saved
+    }
+    def served(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("hfact_mv")) && !scans.exists(_.contains("hfact@"))
+    }
+    def checkServes(df: => DataFrame, sortCols: Seq[String]): Unit = {
+      assert(served(df), s"expected the view to serve, got ${scansOf(df)}")
+      val got = df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+      ruleOff {
+        assert(!served(df), "sanity: rule off, base scan")
+        assert(df.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+          === got, "HLL rewrite must reproduce the base result exactly " +
+          "(coupon mode)")
+      }
+    }
+    def fact = spark.table("gmvr.hfact")
+    def dim = spark.table("gmvr.hdim")
+    val est = expr("hll_sketch_estimate(hll_sketch_agg(x))")
+    // Exact key match: the stored sketch serves directly.
+    checkServes(fact.groupBy(col("k1"), col("k2"))
+      .agg(est.as("nd"), count(lit(1)).as("n")), Seq("k1", "k2"))
+    // ROLLUP: union of the finer groups' sketches.
+    checkServes(fact.groupBy(col("k1"))
+      .agg(est.as("nd"), sum(col("x")).as("sx")), Seq("k1"))
+    // Mixed with every other maintained aggregate.
+    checkServes(fact.groupBy(col("k2"))
+      .agg(est.as("nd"), count(lit(1)).as("n"), avg(col("x")).as("ax"),
+        min(col("x")).as("mn"), max(col("x")).as("mx")), Seq("k2"))
+    // Explicit lgK equal to the view's stamped 12 serves too.
+    checkServes(fact.groupBy(col("k1"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(x, 12))").as("nd")),
+      Seq("k1"))
+    // JOIN rewrite: union is multiplicity-blind, dim subtree rides verbatim.
+    checkServes(fact.join(dim, col("k1") === col("pk"))
+      .groupBy(col("half")).agg(est.as("nd"), count(lit(1)).as("n")),
+      Seq("half"))
+    // REFUSALS. Exact COUNT(DISTINCT x): a sketch is not an exact count.
+    assert(!served(fact.groupBy(col("k1"))
+      .agg(countDistinct(col("x")).as("nd"))),
+      "exact COUNT(DISTINCT) must never serve from a sketch")
+    // A different lgK is a different estimator precision.
+    assert(!served(fact.groupBy(col("k1"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(x, 13))").as("nd"))))
+    // The raw sketch BINARY never serves (serialization is insertion-order-
+    // dependent — bitwise equality is not a property of either path).
+    assert(!served(fact.groupBy(col("k1"))
+      .agg(expr("hll_sketch_agg(x)").as("sk"))))
+    // A sketch over a NON-declared column has no view column to serve it.
+    assert(!served(fact.groupBy(col("k1"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(id))").as("nd"))))
+    // FOLD — inserts only: new distinct values union in, work ∝ delta.
+    (1000L until 1030L).map(i => (i, i % 4, i % 3, 200L + i % 50))
+      .toDF("id", "k1", "k2", "x").writeTo("gmvr.hfact").append()
+    assert(!served(fact.groupBy(col("k1")).agg(est.as("nd"))),
+      "stale view must not serve")
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'hfact_mv')")
+    checkServes(fact.groupBy(col("k1")).agg(est.as("nd"),
+      count(lit(1)).as("n")), Seq("k1"))
+    // FOLD — a non-NULL DELETE invalidates the group's sketch (it may have
+    // removed a value's last occurrence); the fold recomputes exactly the
+    // affected groups and the estimate matches the base again.
+    spark.sql("DELETE FROM gmvr.hfact WHERE id >= 1000 AND id < 1015")
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'hfact_mv')")
+    checkServes(fact.groupBy(col("k1"), col("k2"))
+      .agg(est.as("nd"), count(lit(1)).as("n")), Seq("k1", "k2"))
+    checkServes(fact.groupBy(col("k2")).agg(est.as("nd")), Seq("k2"))
+    spark.sql("DROP TABLE IF EXISTS gmvr.hdim")
+    spark.sql("DROP TABLE IF EXISTS gmvr.hfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.hfact")
+  }
+
+  test("generated-key timezone pin: calendar rules serve and write only in the pinned zone") {
+    val r = root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gmvr.tzfact")
+    spark.sql("DROP TABLE IF EXISTS gmvr.tzfact_mv")
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    (0L until 120L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-${i % 12 + 1}%02d-15 12:00:00"),
+        i % 100)
+    }.toDF("id", "ts", "x")
+      .withColumn("kb", expr("id % 12"))
+      .withColumn("ts_month", expr("month(ts)"))
+      .writeTo("gmvr.tzfact")
+      .tableProperty("generate.kb", "id % 12")
+      .tableProperty("generate.ts_month", "month(ts)")
+      .create()
+    // CREATE pinned the creating session's zone onto the CALENDAR rule only:
+    // month(ts) is one-function-per-zone; id % 12 is zone-free.
+    val props = spark.sql("SHOW TBLPROPERTIES gmvr.tzfact").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(props.get("generate.tz.ts_month").exists(z =>
+      graft.sources.GraftGenerated.sameZone(z, zone0)),
+      s"calendar rule must carry the creating zone, got $props")
+    assert(!props.contains("generate.tz.kb"),
+      "a zone-free rule must NOT be pinned")
+    spark.sql("CALL gmvr.system.create_mview(source => 'tzfact', " +
+      "name => 'tzfact_mv', keys => 'kb,ts_month', sum_col => 'x')")
+    def served(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("tzfact_mv")) && !scans.exists(_.contains("tzfact@"))
+    }
+    def fact = spark.table("gmvr.tzfact")
+    def monthQ = fact.groupBy(expr("month(ts)").as("m")).agg(sum(col("x")).as("sx"))
+    def bucketQ = fact.groupBy(expr("id % 12")).agg(count(lit(1)).as("n"))
+    assert(served(monthQ) && served(bucketQ),
+      "pinned zone == session zone must serve both rules")
+    val other =
+      if (graft.sources.GraftGenerated.sameZone(zone0, "America/New_York"))
+        "Asia/Tokyo" else "America/New_York"
+    try {
+      spark.conf.set("spark.sql.session.timeZone", other)
+      // A query session in ANOTHER zone: the stored ts_month values are the
+      // pinned zone's calendar, not this session's — the rewrite refuses.
+      // The zone-free bucket rule keeps serving.
+      assert(!served(monthQ), "calendar rule must refuse in a non-pinned zone")
+      assert(served(bucketQ), "zone-free rule must keep serving")
+      // A writer in another zone would enforce (and auto-fill) a DIFFERENT
+      // function — the write invariant gate refuses loudly.
+      val thrown = intercept[Throwable] {
+        Seq((900L, java.sql.Timestamp.valueOf("2024-03-15 12:00:00"), 5L))
+          .toDF("id", "ts", "x")
+          .withColumn("kb", expr("id % 12"))
+          .withColumn("ts_month", expr("month(ts)"))
+          .writeTo("gmvr.tzfact").append()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(thrown).exists(_.contains("pinned to timezone")),
+        s"write under the wrong zone must name the pin, got $thrown")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+    assert(served(monthQ), "back in the pinned zone the rule serves again")
+    // The pin is engine-managed: neither SET nor lone UNSET may touch it
+    // (re-pinning over existing data would bless foreign-zone writes).
+    intercept[Throwable] { spark.sql(
+      s"ALTER TABLE gmvr.tzfact SET TBLPROPERTIES ('generate.tz.ts_month'='$other')") }
+    intercept[Throwable] { spark.sql(
+      "ALTER TABLE gmvr.tzfact UNSET TBLPROPERTIES ('generate.tz.ts_month')") }
+    // LEGACY declaration (no pin — historical rows written under unknown
+    // zones): strip the stamp by manifest surgery; the calendar rule must
+    // refuse even in the declaring session. (The props-only commit advances
+    // the source generation, so re-freshen the view first — the staleness
+    // gate would otherwise mask the zone refusal.)
+    val dir = new org.apache.hadoop.fs.Path(r, "tzfact")
+    val hconf = spark.sessionState.newHadoopConf()
+    graft.sources.GraftManifest.publishNext(dir, hconf) { cur =>
+      cur.copy(gen = cur.gen + 1, props = cur.props - "generate.tz.ts_month")
+    }
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'tzfact_mv')")
+    assert(served(bucketQ), "sanity: view fresh again, zone-free rule serves")
+    assert(!served(monthQ),
+      "an unpinned calendar rule must refuse — historical zones are unknown")
+    spark.sql("DROP TABLE IF EXISTS gmvr.tzfact_mv")
+    spark.sql("DROP TABLE IF EXISTS gmvr.tzfact")
+  }
+
   test("property: rewrite-on == rewrite-off over randomized shapes (seeded)") {
     // A seeded sweep over the qualifying-shape space the handpicked pins
     // sample: random fact (NULL-bearing keys, negative sums), a view on a
@@ -794,7 +1024,14 @@ class MviewRewriteSpec extends GraftSuite {
       Seq(min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n")),
       Seq(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         avg(col("x")).as("ax"), min(col("x")).as("mn"), max(col("x")).as("mx")),
-      Seq(count(col("x")).as("nnx"), count(lit(1)).as("n")))
+      Seq(count(col("x")).as("nnx"), count(lit(1)).as("n")),
+      // Sketchable distinct (HllOut): per-group distinct x stays far under
+      // the lgK=12 coupon promotion point here (≤ ~130), so the estimate is
+      // EXACT on both paths and the strict equality check is sound.
+      Seq(expr("hll_sketch_estimate(hll_sketch_agg(x))").as("nd"),
+        count(lit(1)).as("n")),
+      Seq(expr("hll_sketch_estimate(hll_sketch_agg(x))").as("nd"),
+        sum(col("x")).as("sx"), min(col("x")).as("mn")))
     var fired = 0
     def check(label: String, df: => DataFrame, sortCols: Seq[String]): Unit = {
       val scans = scansOf(df)
