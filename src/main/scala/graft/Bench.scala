@@ -25,6 +25,34 @@ object Bench {
     // refresh inflated the ledger ~2.4x uniformly, 32x on outliers).
     val startLoadAvg =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // BOX FINGERPRINT (the r13 bench-drift lesson: identical binaries drift
+    // 15-50% with hypervisor co-tenant steal, 1.5% -> 9.1% intra-day — see
+    // tools/cpu_fingerprint.py): every run self-records the evidence a
+    // ledger decision needs, so no manual probe step can be forgotten.
+    //  - cal_iters_2s: a fixed single-core arithmetic burn before Spark
+    //    starts — comparable ACROSS RUNS of this same binary on this box
+    //    class (not across the python tool's scale);
+    //  - steal/busy %: /proc/stat deltas across the WHOLE drive window —
+    //    the drive saturates the cores, so steal measured here is exactly
+    //    the co-tenant tax the timings paid.
+    def readProcStat(): Option[Array[Long]] =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        Some(line.split("\\s+").drop(1).map(_.toLong))
+      } catch { case _: Throwable => None }
+    val calIters2s: Long = {
+      val t0 = System.nanoTime()
+      var n = 0L
+      var sink = 0L
+      while (System.nanoTime() - t0 < 2000000000L) {
+        var i = 0
+        while (i < 100000) { sink += i.toLong * i; i += 1 }
+        n += 1
+      }
+      if (sink == Long.MinValue) System.err.println("") // keep sink live
+      n
+    }
+    val stat0 = readProcStat()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -297,7 +325,23 @@ object Bench {
     // a committed sidecar file, and stdout carries one COMPACT line — total,
     // failure list, movement totals, and the ten slowest queries as the
     // headline "queries" dict — sized well under the capture window.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir"}"""
+    // Fingerprint block: steal/busy across the drive window + the pre-Spark
+    // calibration burn + start load. Written into every run ledger so the
+    // accept/refuse decision (and any later forensics) is self-documenting.
+    val fpJson: String = {
+      val stat1 = readProcStat()
+      val window = for (a <- stat0; b <- stat1) yield {
+        val d = b.zip(a).map { case (x, y) => x - y }
+        val tot = math.max(1L, d.sum)
+        // /proc/stat fields: user nice system idle iowait irq softirq steal
+        val steal = if (d.length > 7) d(7) else 0L
+        val idle = if (d.length > 4) d(3) + d(4) else d(3)
+        (100.0 * steal / tot, 100.0 * (tot - idle - steal) / tot)
+      }
+      val (stealPct, busyPct) = window.getOrElse((-1.0, -1.0))
+      f"""{"steal_pct":$stealPct%.2f,"busy_pct":$busyPct%.2f,"cal_iters_2s":$calIters2s,"start_load":$startLoadAvg%.2f}"""
+    }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir","fingerprint":$fpJson}"""
     // Only a FULL-surface drive may overwrite the committed ledger — a
     // BENCH_ONLY subset run would otherwise clobber it with a 2-query file.
     // Two further guards (r4 postmortem: an end-of-round refresh recorded a
@@ -425,10 +469,27 @@ object Bench {
       //      never hide under a passing total. The 0.3 s floor keeps
       //      sub-noise queries (where 2x is a scheduler hiccup) out of the
       //      guard's reach.
+      //   10. FINGERPRINT-RELATIVE scaling (r13 verdict: a record from a box
+      //      window no longer achievable has stopped being a baseline). When
+      //      BOTH the committed ledger and this run carry the cal_iters_2s
+      //      burn, ratchet comparisons run against committed values SCALED
+      //      by the box-speed ratio — a run on a 15%-slower box gets a 15%
+      //      allowance instead of a guaranteed refusal. Relief capped at 2x
+      //      (a >2x-degraded box has no business recording anything); the
+      //      scale also TIGHTENS on a faster box. Pre-fingerprint ledgers
+      //      scale 1.0 — behavior unchanged.
+      val prevCal = prev.flatMap(p =>
+        field(p, "\"cal_iters_2s\":([0-9]+)").map(_.toLong))
+      val calScale = prevCal match {
+        case Some(pc) if pc > 0 && calIters2s > 0 =>
+          math.min(2.0, math.max(0.5, pc.toDouble / calIters2s))
+        case _ => 1.0
+      }
       val perQRatchet =
         if (!sameSurface) Seq.empty
         else finalResults.collect {
-          case (k, v, true, _, _) if prevQ.get(k).exists(p => p >= 0.3 && v > 2.0 * p) => k
+          case (k, v, true, _, _)
+            if prevQ.get(k).exists(p => p >= 0.3 && v > 2.0 * p * calScale) => k
         }
       //   9. SURFACE PARITY: a tracked ledger must time the ENTIRE current
       //      query surface — r9 committed a ledger 2 queries short because
@@ -452,7 +513,7 @@ object Bench {
       // (or prune the surface) and re-run rather than recording the hole.
       val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       val ratchet = sameSurface &&
-        prevTotal.exists(pt => pt > 0 && commonTotal > 1.05 * pt)
+        prevTotal.exists(pt => pt > 0 && commonTotal > 1.05 * pt * calScale)
       val tailInflated = !force && (perQInflated.size >= 5 || spiked.nonEmpty ||
         excessSec > 5.0 || newInflated.nonEmpty || ratchet || perQRatchet.nonEmpty)
       if (contended || inflated || tailInflated || incomplete)
@@ -469,13 +530,23 @@ object Bench {
           // (the >5% line) — the number that separates uniform environment
           // drift from a per-query regression at a glance.
           s"ratchet=$ratchet commonSubset=${num(commonTotal, 1)}s " +
-          s"vs committed ${num(prevTotal.getOrElse(Double.NaN), 1)}s; " +
+          f"vs committed ${num(prevTotal.getOrElse(Double.NaN), 1)}s " +
+          f"(calScale=$calScale%.3f); " +
           s"perQ>2x: ${perQRatchet.take(8).mkString(",")}]); " +
+          s"fingerprint=$fpJson; " +
           "this run's ledger is in BENCH_DETAILS.run.json (untracked)")
       else {
+        // The tracked ledger records HOW it was accepted: "clean" passed
+        // every guard untouched; "forced" was a deliberate operator record
+        // (surface change / evidence-standard decision) — self-documenting,
+        // so a later reader never has to reconstruct the acceptance from
+        // round notes.
+        val accepted = if (force) "forced" else "clean"
+        val annotated = fullLine.stripSuffix("}") +
+          s""","accepted":"$accepted","cal_scale":${num(calScale, 3)}}"""
         try {
-          Files.writeString(sfSidecar, fullLine + "\n")
-          Files.writeString(main, fullLine + "\n")
+          Files.writeString(sfSidecar, annotated + "\n")
+          Files.writeString(main, annotated + "\n")
         } catch { case e: Throwable => System.err.println(s"[bench] details write failed: $e") }
       }
     }
@@ -488,7 +559,7 @@ object Bench {
     // — the field lets a reader compare like with like. "retouched" keeps it
     // honest: the N slowest queries got one extra sample (min kept), so those
     // headline numbers are effectively best-of-2, not samples=1.
-    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"retouched":$retouchRuns,"queries":$slowest,"n_queries":${finalResults.size},"failed":$failed,"shuffle_write_mb_total":${mb(finalResults.map(_._4).sum)},"spill_mb_total":${mb(finalResults.map(_._5).sum)},"sf":"$sfDir","full_ledger":"BENCH_DETAILS.run.json"}"""
+    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"retouched":$retouchRuns,"queries":$slowest,"n_queries":${finalResults.size},"failed":$failed,"shuffle_write_mb_total":${mb(finalResults.map(_._4).sum)},"spill_mb_total":${mb(finalResults.map(_._5).sum)},"sf":"$sfDir","fingerprint":$fpJson,"full_ledger":"BENCH_DETAILS.run.json"}"""
     // Stderr diagnostic (never in the JSON contract): how much wall the metric
     // ledger's quiesce waits cost, and whether the stage counters ever ended a
     // query desynchronized (a lost listener event would make every later

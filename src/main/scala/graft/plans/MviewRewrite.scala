@@ -65,9 +65,16 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftCheck, GraftGenerate
  *     legacy result whenever it was representable, and it was or the fold
  *     would have failed instead of committing); TRY never serves (NULL on
  *     overflow is not a value the view ever stores);
- *   - the base table declares no row/column policies (B233): the view holds
- *     UNFILTERED, UNMASKED aggregates, so serving it to a policed session
- *     would leak what the scan hides;
+ *   - B233 policy REGIME matching (r14): views stamp the seed session's
+ *     effective visibility regime (`mview.policy`, see
+ *     [[graft.sources.GraftPolicies.regime]]), and a candidate serves only
+ *     when the stamp equals THIS session's effective regime on the source —
+ *     a policied base serves non-exempt sessions from a same-regime view
+ *     (both paths aggregate the same policy-transformed rows; folds refuse
+ *     regime changes, so a fresh view IS current-regime-consistent), an
+ *     EXEMPT session (reads raw) refuses a filtered view and vice versa,
+ *     and a stamp-less view over a policied source (pre-stamp vintage,
+ *     unknowable seed regime) never serves;
  *   - the view lives in the same catalog and is FRESH (fold floor == the
  *     scan's bound generation — time-travel reads of older generations
  *     therefore never match a newer view).
@@ -365,7 +372,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   private def pickVerified(tc: TableCatalog,
       candidates: Seq[(Identifier, Set[String])], srcName: String,
       boundGen: Long, sumCols: Seq[String], needsExactFold: Boolean,
-      outs: Seq[Out])
+      outs: Seq[Out], curRegime: String, srcPoliced: Boolean)
       : Option[(Identifier, GraftTable, Set[String])] = {
     val staleNotes = scala.collection.mutable.ListBuffer.empty[String]
     def verified(id: Identifier, keys: Set[String])
@@ -388,6 +395,25 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
                   "schema predates (or mismatches) a maintained column the " +
                   "query needs (mv_nncount / mv_min / mv_max) — recreate " +
                   "the view to serve it"
+              return None
+            }
+            // B233 regime gate: the view's stored aggregates reflect the
+            // visibility regime STAMPED at its seed (mview.policy); serving
+            // is sound exactly when this session reads the source under the
+            // SAME effective regime — a policied base serves a non-exempt
+            // session from a same-policy-stamped view, an EXEMPT session
+            // (reads raw) refuses a filtered view and vice versa. A view
+            // with no stamp on a POLICIED source was seeded under an
+            // unknowable regime (pre-stamp vintage) — never serve it.
+            val viewRegime = v.manifest.props.get("mview.policy")
+              .getOrElse(if (srcPoliced) "<unknown>" else "none")
+            if (viewRegime != curRegime) {
+              staleNotes +=
+                s"view ${id.name()} matches this aggregate but materializes " +
+                  s"the policy regime [$viewRegime] while this session reads " +
+                  s"the source under [$curRegime] — run CALL " +
+                  s"graft.system.recompute_mview(name => '${id.name()}') " +
+                  "under the current regime to re-stamp it"
               return None
             }
             // Sketch parameter gate: the view's mv_hll sketches were ALL
@@ -533,7 +559,12 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   private def rewrite(ges: Seq[Expression],
       aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val (baseRel, baseTable, baseFilter) = baseOf(child).getOrElse(return None)
-    if (GraftPolicies.declared(baseTable.manifest.props)) return None
+    // B233 regime matching (r14): a policied base is serveable — by a view
+    // whose stamped seed regime equals THIS session's effective read regime
+    // (both paths then aggregate the same policy-transformed rows; see
+    // GraftPolicies.regime). Enforced per candidate in pickVerified.
+    val curRegime = GraftPolicies.regime(baseTable.manifest.props, session)
+    val srcPoliced = GraftPolicies.declared(baseTable.manifest.props)
     val filterCols = filterColsOf(baseFilter).getOrElse(return None)
     if (!pushedCovered(child, filterCols)) return None
 
@@ -608,7 +639,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       declared.filterNot(_._3 == keyNames).sortBy(_._3.size))
       .map(d => (d._1, d._3))
     val (vIdent, vTable, vKeys) = pickVerified(tc, ordered, srcIdent.name(),
-      baseTable.manifest.gen, sumCols, needsExactFold, outs)
+      baseTable.manifest.gen, sumCols, needsExactFold, outs,
+      curRegime, srcPoliced)
       .getOrElse(return None)
 
     val wanted = keyNames ++ filterCols ++ mvWanted(outs)
@@ -783,7 +815,11 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // the same proof obligations as the single-table rewrite, because the
     // view substitutes for exactly this subtree.
     val (baseRel, baseTable, baseFilter) = baseOf(fact).getOrElse(return None)
-    if (GraftPolicies.declared(baseTable.manifest.props)) return None
+    // Same B233 regime matching as the single-table rewrite (the dim
+    // subtrees ride verbatim, policied or not — only the FACT substitution
+    // must match regimes).
+    val curRegime = GraftPolicies.regime(baseTable.manifest.props, session)
+    val srcPoliced = GraftPolicies.declared(baseTable.manifest.props)
     val filterCols = filterColsOf(baseFilter).getOrElse(return None)
     if (!pushedCovered(fact, filterCols)) return None
 
@@ -882,7 +918,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     val ordered = declared.sortBy(_._3.size).map(d => (d._1, d._3))
     val (vIdent, vTable, _) = pickVerified(tc, ordered, srcIdent.name(),
-      baseTable.manifest.gen, sumCols, needsExactFold, outs)
+      baseTable.manifest.gen, sumCols, needsExactFold, outs,
+      curRegime, srcPoliced)
       .getOrElse(return None)
 
     val wanted = requiredKeys ++ mvWanted(outs)

@@ -3467,6 +3467,59 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
+    // B233+B234 POLICIED-BASE rewrite (governed dashboards): the source
+    // declares a row policy (pk <> 0), the view is stamped with the seed
+    // session's effective regime (`mview.policy`), and the natural
+    // aggregate over the POLICIED scan serves from the view because both
+    // paths aggregate the same policy-transformed rows — fold-maintained
+    // under the same regime (a regime change refuses the fold, so a FRESH
+    // view is always current-regime-consistent). The oracle replays the
+    // policy as a plain WHERE. `rewritten` pins the view-scan plan.
+    "q_mview_policy_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(4)).cast("long").as("pk"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val prSrcOk =
+        try {
+          val sdir = new org.apache.hadoop.fs.Path(
+            Tables.scratchDir(s, "catalog", d), "mvpr_s")
+          graft.sources.GraftManifest.currentGen(
+            sdir, s.sessionState.newHadoopConf()) == 1L
+        } catch { case _: Exception => false }
+      if (!prSrcOk) s.sql("DROP TABLE IF EXISTS graft.mvprv_s")
+      fixture(s, d, "mvprv_s", 2L, "v1", Seq("orders")) { marker =>
+        s.sql("DROP TABLE IF EXISTS graft.mvpr_s")
+        base.filter(col("o_orderkey") % 2 === 0)
+          .writeTo("graft.mvpr_s")
+          .tableProperty("graft.rowFilter", "pk <> 0")
+          .tableProperty("fixture", marker).create()                  // gen 1
+        s.sql("CALL graft.system.create_mview(source => 'mvpr_s', " +
+          "name => 'mvprv_s', keys => 'pk', sum_col => 'cents')")
+        s.sql(s"ALTER TABLE graft.mvprv_s SET TBLPROPERTIES('fixture'='$marker')")
+      }
+      s.sql("DROP TABLE IF EXISTS graft.mvpr")
+      s.sql("DROP TABLE IF EXISTS graft.mvprv")
+      val root = Tables.scratchDir(s, "catalog", d)
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mvpr_s", "mvpr")
+      graft.sources.GraftCatalogOps.cloneTable(s, root, "mvprv_s", "mvprv",
+        Map("mview.source" -> "mvpr", "mview.gen" -> "0"))
+      base.filter(col("o_orderkey") % 2 === 1).writeTo("graft.mvpr").append() // 1
+      val r = s.sql("CALL graft.system.refresh_mview(name => 'mvprv')").collect()(0)
+      val folded = r.getLong(0) == 0L && r.getLong(1) == 1L
+      val df = s.table("graft.mvpr")
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = folded && named.contains("mvprv") && !named.contains("mvpr")
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
     "q_mview_minmax" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
@@ -6088,6 +6141,17 @@ object StarQueries {
         |SELECT CAST(pk AS BIGINT) AS pk,
         |  CAST(count(DISTINCT v) AS BIGINT) AS nd, count(*) AS n,
         |  true AS rewritten
+        |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B233+B234 policied-base rewrite: the oracle replays the row policy
+    // (pk <> 0) as a plain WHERE over the full data.
+    "q_mview_policy_rewrite" ->
+      """WITH live AS (
+        |  SELECT o_orderkey % 4 AS pk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 <> 0)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, true AS rewritten
         |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
 
     "q_mview_minmax" ->

@@ -4497,6 +4497,21 @@ object GraftPolicies {
   def active(manifest: GraftManifest, session: SparkSession): Boolean =
     declared(manifest.props) && !exempt(manifest.props, session)
 
+  /** The EFFECTIVE read regime this session sees on a table: "none" when no
+    * policy binds it (nothing declared, or the session's role exempt), else
+    * the canonical sorted policy text. The B198 mview machinery stamps this
+    * at seed time (`mview.policy`) and refuses incremental folds under a
+    * DIFFERENT regime: a policy added/changed/dropped after the seed — or a
+    * refresher whose exemption differs from the seeder's — would silently
+    * mix visibility regimes inside one view (observed: a filter flipped from
+    * k<>0 to k<>1 left the view carrying k=1 rows no current reader can see
+    * next to a k=0 group folded only partially). */
+  def regime(props: Map[String, String], session: SparkSession): String =
+    if (!declared(props) || exempt(props, session)) "none"
+    else (props.get(FilterProp).map(FilterProp + "=" + _).toSeq ++
+      props.collect { case (k, v) if k.startsWith(MaskPrefix) => s"$k=$v" }.toSeq)
+      .sorted.mkString(";")
+
   /** Columns whose values this session must never see raw (empty when no
     * policy binds — exempt sessions prune and read raw). */
   def maskedCols(manifest: GraftManifest, session: SparkSession): Set[String] =
@@ -6174,6 +6189,12 @@ object GraftCatalogOps {
       // The lgK every mv_hll sketch (seed, folds, recomputes) is built at;
       // B234 serves only queries sketching at exactly this lgK.
       .tableProperty("mview.hll_lgk", "12")
+      // The B233 visibility regime the seed aggregate was computed under —
+      // folds refuse when the source's effective regime differs (see
+      // GraftPolicies.regime); recompute_mview re-stamps (it replaces every
+      // value under the session's current regime).
+      .tableProperty("mview.policy", GraftPolicies.regime(
+        GraftManifest.load(srcDir, g0, conf).props, spark))
       // The seed's sum() runs under the SESSION's eval mode: ANSI raises on
       // Long overflow (a stored mv_sum is therefore EXACT), LEGACY wraps (a
       // stored mv_sum may be the wrapped value). B234 reads this stamp to
@@ -6228,6 +6249,29 @@ object GraftCatalogOps {
       s"source $source is at generation $to, below the view's fold floor $from " +
         "(RESTORE ran backwards past the floor) — rebuild the view")
     if (to == from) return (from, to)
+    // B233 regime gate: the stored aggregates reflect the SEED session's
+    // effective policy regime (stamped at create); folding deltas read under
+    // a different regime — a policy added/changed/dropped since, or this
+    // refresher's exemption differing from the seeder's — would silently mix
+    // visibility regimes inside one view. A missing stamp (pre-r14 view) is
+    // the unpoliced regime: those views were only ever built on unpoliced
+    // sources, and if the source grew policies since, the mismatch refuses
+    // exactly as it should.
+    val srcProps = GraftManifest.load(new Path(root, source), to, conf).props
+    val curRegime = GraftPolicies.regime(srcProps, spark)
+    // A missing stamp is trustworthy as the unpoliced regime ONLY while the
+    // source declares no policies at all (then every historical read was
+    // unpoliced regardless of session); on a POLICIED source it means a
+    // pre-stamp vintage whose seed regime is unknowable — refuse.
+    val stampedRegime = m.props.get("mview.policy").getOrElse(
+      if (GraftPolicies.declared(srcProps)) "<unknown: pre-stamp view>"
+      else "none")
+    require(stampedRegime == curRegime,
+      s"view $name materializes the policy regime [$stampedRegime] stamped " +
+        s"at seed time, but this session now reads $source under " +
+        s"[$curRegime] — an incremental fold would mix visibility regimes; " +
+        s"run CALL <catalog>.system.recompute_mview(name => '$name') to " +
+        "rebuild every value (and the stamp) under the current regime")
     import org.apache.spark.sql.functions.{greatest, hll_sketch_agg, hll_union, least, max, min}
     // Views created before the mv_min/mv_max (r12) / mv_hll (r14) columns
     // existed fold without them (schema-compatible overwrite); B234 simply
@@ -6460,13 +6504,19 @@ object GraftCatalogOps {
     // (the view is correct, merely still conservatively stamped — re-run).
     if (GraftCommitOutcome.lastPublished.contains(false)) return to
     val mode = if (spark.sessionState.conf.ansiEnabled) "ansi" else "legacy"
+    // The recompute read the full snapshot under THIS session's effective
+    // policy regime — re-stamp it alongside the fold mode (the remedy the
+    // refresh-time regime gate points at).
+    val newRegime = GraftPolicies.regime(
+      GraftManifest.load(new Path(root, source), to, conf).props, spark)
     GraftManifest.publishNext(dir, conf) { cur =>
       // Abandon the re-stamp if a concurrent fold advanced past `to`: its
       // arithmetic ran under a mode this recompute cannot vouch for. Equal
       // floor = the recompute's own overwrite is the newest fold — stamp.
       val floorNow = mviewFoldFloor(cur)
-      val p = if (floorNow == to) cur.props + ("mview.foldmode" -> mode)
-              else cur.props
+      val p = if (floorNow == to)
+        cur.props + ("mview.foldmode" -> mode) + ("mview.policy" -> newRegime)
+      else cur.props
       cur.copy(gen = cur.gen + 1, props = p)
     }
     to
