@@ -82,6 +82,23 @@ class HllDeterminismSpec extends GraftSuite {
     }
   }
 
+  test("all-NULL input yields an empty sketch (estimate 0), not NULL — fold parity") {
+    // The refresh fold's delta sketch for a delete-only group aggregates
+    // only NULL inputs (the insert-gated CASE projects NULL for deletes);
+    // the fold's union CASE relies on that producing an EMPTY sketch whose
+    // union is a no-op — and an all-NULL group must estimate 0 identically
+    // on the stored path and the direct path, or rewrite-on/off diverge.
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Long]), (1L, None), (2L, Some(5L)))
+      .toDF("g", "v")
+    val r = df.groupBy(col("g"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v))").as("e"))
+      .orderBy(col("g")).collect()
+    assert(!r(0).isNullAt(1) && r(0).getLong(1) == 0L,
+      s"all-NULL group must estimate 0 via an empty sketch, got ${r(0)}")
+    assert(r(1).getLong(1) == 1L)
+  }
+
   test("estimating mode: bound holds on every path; bitwise equality is NOT a contract") {
     val cards = Seq(5000, 20000)
     val all = paths(build(cards))
