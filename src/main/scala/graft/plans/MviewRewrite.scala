@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -139,6 +139,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       val (g2, a2, c2) = inlineGroupingProject(ges, aes, child)
       rewrite(g2, a2, c2)
         .orElse(rewriteJoin(g2, a2, c2))
+        .orElse(rewriteExpand(g2, a2, c2))
         .getOrElse(a)
   }
 
@@ -769,6 +770,182 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         } catch { case _: Exception => false }
       } => c }
     }
+  }
+
+  // --------------------------------------------- grouping-sets rewrite
+
+  /** ROLLUP / CUBE / GROUPING SETS over the view (B5 ∘ B234): the optimizer
+    * lowers them to `Aggregate(keys+gid, aes, Expand(projections, out,
+    * scan))` — each projection row replays the input under one grouping
+    * set, nulling the keys that set drops, with a literal `spark_grouping_id`
+    * disambiguating structural NULLs from natural ones. The rewrite keeps
+    * the Expand STRUCTURE (same output key/gid attributes, so the Aggregate
+    * above rides verbatim) and substitutes the view underneath: key
+    * positions re-point to the view's key columns, passthrough agg-input
+    * positions are replaced by the mv_* partial columns, and every
+    * aggregate re-aggregates partials exactly as the ROLLUP path does.
+    * Exact per grouping set: the view partitions the base rows, and each
+    * view group contributes to exactly one group of each set — the same
+    * union-of-view-groups argument as the subset-key rollup, applied per
+    * projection row. At 100 TB this turns the dashboard CUBE — the most
+    * scan-hungry reporting shape there is (every row replayed once PER
+    * grouping set) — into |view| × sets tiny rows.
+    *
+    * Position classification is structural and total: a position whose
+    * exprs are one scan attribute everywhere AND whose Expand output keeps
+    * that attribute's exprId is a PASSTHROUGH (agg input); one mixing a
+    * single scan attribute with NULL literals under a fresh output attr is
+    * a KEY (must be a view key); all-literal positions are the gid. Any
+    * other shape (expression-valued rows — e.g. rollup over `month(ts)`)
+    * refuses. Outputs may be any deterministic expression over the
+    * grouping attributes (`grouping(k)`/`grouping_id()` lower to bit
+    * arithmetic on gid) — those ride VERBATIM because the rewritten Expand
+    * re-emits the exact same key/gid attributes. */
+  private def rewriteExpand(ges: Seq[Expression],
+      aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val ex = child match { case e: Expand => e; case _ => return None }
+    val (baseRel, baseTable, baseFilter) = baseOf(ex.child).getOrElse(return None)
+    val curRegime = GraftPolicies.regime(baseTable.manifest.props, session)
+    val srcPoliced = GraftPolicies.declared(baseTable.manifest.props)
+    val filterCols = filterColsOf(baseFilter).getOrElse(return None)
+    if (!pushedCovered(ex.child, filterCols)) return None
+
+    sealed trait Pos
+    case class PassThrough(attr: AttributeReference) extends Pos
+    case class KeyPos(underlying: AttributeReference) extends Pos
+    case object GidPos extends Pos
+    val nProj = ex.projections.length
+    if (nProj == 0) return None
+    val poses: Seq[Pos] = ex.output.indices.map { i =>
+      val exprs = ex.projections.map(_(i))
+      val attrs = exprs.collect { case ar: AttributeReference => ar }
+      val nulls = exprs.count { case Literal(v, _) => v == null; case _ => false }
+      val nonNullLits = exprs.count {
+        case Literal(v, _) => v != null
+        case _ => false
+      }
+      val distinctAttrs = attrs.map(_.exprId).distinct
+      if (attrs.length == nProj && distinctAttrs.length == 1 &&
+          ex.output(i).exprId == attrs.head.exprId)
+        PassThrough(attrs.head)
+      else if (distinctAttrs.length == 1 && attrs.length + nulls == nProj)
+        KeyPos(attrs.head)
+      else if (nonNullLits == nProj) GidPos
+      else return None
+    }
+    // Grouping must be exactly over the Expand's key/gid output attributes.
+    val gesOk = ges.forall {
+      case ar: AttributeReference => ex.output.indices.exists(i =>
+        ex.output(i).exprId == ar.exprId &&
+          (poses(i).isInstanceOf[KeyPos] || poses(i) == GidPos))
+      case _ => false
+    }
+    if (!gesOk) return None
+    val gesAttrIds = ges.collect { case ar: AttributeReference => ar.exprId }.toSet
+
+    // Outputs: keys/gid (and any deterministic expression over them) ride
+    // verbatim — the rewritten Expand re-emits the same attributes.
+    val keyFor: Expression => Option[KeyEmit] = e =>
+      if (e.deterministic && e.references.nonEmpty &&
+          e.references.forall(a => gesAttrIds.contains(a.exprId)) &&
+          !e.exists(_.isInstanceOf[PlanExpression[_]]))
+        Some(Verbatim)
+      else None
+    val outs = classify(aes, keyFor).getOrElse(return None)
+    // Aggregate inputs must be PASSTHROUGH scan columns (a key-position
+    // input would aggregate the EXPANDED — structurally nulled — values,
+    // which no view column carries).
+    val passIds = ex.output.indices.collect {
+      case i if poses(i).isInstanceOf[PassThrough] => ex.output(i).exprId
+    }.toSet
+    val sumAttrs = outs.collect {
+      case SumOut(_, c, _) => c
+      case AvgOut(_, c, _) => c
+      case MinOut(_, c) => c
+      case MaxOut(_, c) => c
+      case NNCountOut(_, c) => c
+      case HllOut(_, c, _) => c
+    }
+    if (sumAttrs.exists(sa => !passIds.contains(sa.exprId))) return None
+    val sumCols = sumAttrs.map(_.name).distinct
+    if (sumCols.size > 1) return None
+    val needsExactFold = outs.exists {
+      case SumOut(_, _, a) => a
+      case AvgOut(_, _, a) => a
+      case _ => false
+    }
+
+    val tc = baseRel.catalog.getOrElse(return None) match {
+      case t: TableCatalog => t
+      case _ => return None
+    }
+    val srcIdent = baseRel.identifier.getOrElse(return None)
+    val keyNames: Set[String] = poses.collect {
+      case KeyPos(u) => u.name.toLowerCase }.toSet
+    val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
+      .filter { case (_, source, keys, sum) =>
+        source == srcIdent.name() && (keyNames ++ filterCols).subsetOf(keys) &&
+          sumCols.forall(_.equalsIgnoreCase(sum))
+      }
+    val ordered = declared.sortBy(_._3.size).map(d => (d._1, d._3))
+    val (vIdent, vTable, _) = pickVerified(tc, ordered, srcIdent.name(),
+      baseTable.manifest.gen, sumCols, needsExactFold, outs,
+      curRegime, srcPoliced)
+      .getOrElse(return None)
+
+    val wanted = keyNames ++ filterCols ++ mvWanted(outs)
+    val (vScan, vAttr) = buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
+    val vInput: LogicalPlan = baseFilter match {
+      case Some(c) => Filter(c.transform {
+        case ar: AttributeReference => vAttr(ar.name)
+      }, vScan)
+      case None => vScan
+    }
+
+    // Rebuild the Expand over the view: key/gid output attrs VERBATIM (the
+    // Aggregate's grouping references them), passthrough positions dropped,
+    // the needed mv_* columns appended as plain passthroughs of the view
+    // scan's own attributes.
+    val keepIdx = ex.output.indices.filterNot(i => poses(i).isInstanceOf[PassThrough])
+    val mvCols = mvWanted(outs).toSeq.sorted.map(vAttr)
+    val newOutput: Seq[Attribute] = keepIdx.map(ex.output) ++ mvCols
+    val newProjections: Seq[Seq[Expression]] = ex.projections.map { row =>
+      keepIdx.map { i =>
+        poses(i) match {
+          case KeyPos(u) => row(i) match {
+            case Literal(v, dt) if v == null => Literal(null, dt)
+            case _ => vAttr(u.name)
+          }
+          case GidPos => row(i)
+          case _: PassThrough => row(i) // unreachable (filtered out)
+        }
+      } ++ mvCols
+    }
+    val newExpand = Expand(newProjections, newOutput, vInput)
+
+    // Re-aggregate partials per expanded group — each view group appears
+    // exactly once per projection row, so the folds are the ROLLUP path's.
+    val aggList: Seq[NamedExpression] = outs.map {
+      case KeyOut(Verbatim, orig) => orig
+      case KeyOut(ViaView(n), orig) => // unreachable: keyFor emits Verbatim only
+        Alias(vAttr(n), orig.name)(exprId = orig.exprId)
+      case CountOut(al) => Alias(Coalesce(Seq(reSum(vAttr("mv_count")),
+        Literal(0L))), al.name)(exprId = al.exprId)
+      case NNCountOut(al, _) => Alias(Coalesce(Seq(reSum(vAttr("mv_nncount")),
+        Literal(0L))), al.name)(exprId = al.exprId)
+      case SumOut(al, _, _) =>
+        Alias(reSum(vAttr("mv_sum")), al.name)(exprId = al.exprId)
+      case AvgOut(al, _, _) => Alias(avgOf(reSum(vAttr("mv_sum")),
+        reSum(vAttr("mv_nncount"))), al.name)(exprId = al.exprId)
+      case MinOut(al, _) => Alias(AggregateExpression(Min(vAttr("mv_min")),
+        Complete, isDistinct = false), al.name)(exprId = al.exprId)
+      case MaxOut(al, _) => Alias(AggregateExpression(Max(vAttr("mv_max")),
+        Complete, isDistinct = false), al.name)(exprId = al.exprId)
+      case HllOut(al, _, _) => Alias(HllSketchEstimate(AggregateExpression(
+        new HllUnionAgg(vAttr("mv_hll")), Complete, isDistinct = false)),
+        al.name)(exprId = al.exprId)
+    }
+    Some(Aggregate(ges, aggList, newExpand))
   }
 
   // ------------------------------------------------- join-aggregate rewrite

@@ -3190,6 +3190,33 @@ object StarQueries {
     // rows. Shares q_mview_rewrite's fixtures; the `rewritten` boolean pins
     // that the optimized plan scans the VIEW and never the base table, and
     // the oracle replays the base-table aggregate the plan no longer runs.
+    // B5∘B234 GROUPING-SETS rewrite: the dashboard CUBE — the most
+    // scan-hungry reporting shape (every base row replayed once PER grouping
+    // set) — served from the (pk,b) view by substituting the view UNDER the
+    // optimizer's own Expand: key positions re-point to view key columns
+    // (structural NULLs and the literal grouping_id ride verbatim, so
+    // natural-vs-structural NULL disambiguation is untouched), agg inputs
+    // become mv_* partials, and each expanded group re-aggregates exactly
+    // one partial row per view group per set. grouping_id() pins which set
+    // each row came from; `rewritten` pins the view-scan plan; the oracle
+    // replays the CUBE in DuckDB.
+    "q_mview_cube_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      val df = s.sql(
+        "SELECT pk, b, grouping_id() AS gid, count(*) AS n, " +
+          "sum(cents) AS cents FROM graft.mvrq GROUP BY CUBE(pk, b)")
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") && !named.contains("mvrq")
+      df.withColumn("rewritten", lit(rewritten))
+        .orderBy(col("gid"), col("pk"), col("b"))
+    },
+
     "q_mview_rollup" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
@@ -6050,6 +6077,18 @@ object StarQueries {
     // optimizer answered from the (pk,b) view; avg divides the exact longs
     // explicitly (the same expression the rewrite emits), and `rewritten`
     // pins that the view served the plan.
+    // B5∘B234 cube rewrite: DuckDB replays the CUBE over the base rows;
+    // GROUPING(pk)*2 + GROUPING(b) reproduces Spark's grouping_id() bit
+    // layout (left-to-right grouping columns, MSB first).
+    "q_mview_cube_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, CAST(b AS BIGINT) AS b,
+        |  CAST(GROUPING(pk) * 2 + GROUPING(b) AS BIGINT) AS gid,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS rewritten
+        |FROM base GROUP BY CUBE(pk, b) ORDER BY gid, pk, b""".stripMargin,
+
     "q_mview_rollup" ->
       """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
         |    o_orderkey % 3 AS pk FROM orders)

@@ -752,6 +752,58 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
   }
 
+  test("ROLLUP / CUBE / GROUPING SETS serve from the view via a rewritten Expand") {
+    val _ = root
+    // Earlier tests' metadata commits advanced the base — refold first.
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    graft.plans.MviewRewriteRule.invalidateCache()
+    def checkServes(df: => DataFrame, sortCols: Seq[String]): Unit = {
+      assert(answersFromView(df), s"expected view scan, got ${scansOf(df)}")
+      val got = df.orderBy(sortCols.map(c => col(c).asc_nulls_first): _*)
+        .collect().map(_.toSeq).toSeq
+      val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val saved = cls.experimental.extraOptimizations
+      cls.experimental.extraOptimizations = Nil
+      try {
+        assert(!answersFromView(df), "sanity: rule off, base scan")
+        assert(df.orderBy(sortCols.map(c => col(c).asc_nulls_first): _*)
+          .collect().map(_.toSeq).toSeq === got,
+          "grouping-sets rewrite must reproduce the base result exactly")
+      } finally cls.experimental.extraOptimizations = saved
+    }
+    def fact = spark.table("gmvr.fact")
+    // ROLLUP with the full maintained-aggregate battery.
+    checkServes(fact.rollup(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), avg(col("x")).as("ax"),
+        min(col("x")).as("mn"), max(col("x")).as("mx")), Seq("k1", "k2", "n"))
+    // CUBE, with the sketched distinct riding through the Expand.
+    checkServes(fact.cube(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"),
+        expr("hll_sketch_estimate(hll_sketch_agg(x))").as("nd")),
+      Seq("k1", "k2", "n"))
+    // SQL GROUPING SETS with grouping()/grouping_id() outputs (bit
+    // arithmetic over the gid attribute — rides verbatim).
+    checkServes(spark.sql(
+      "SELECT k1, k2, grouping(k1) AS g1, grouping_id() AS gid, " +
+        "count(*) AS n, sum(x) AS sx FROM gmvr.fact " +
+        "GROUP BY GROUPING SETS ((k1), (k1, k2), ())"),
+      Seq("gid", "k1", "k2"))
+    // Key-only filter replays on the view below the rewritten Expand.
+    checkServes(fact.filter(col("k2") === 1).rollup(col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")), Seq("k1", "n"))
+    // REFUSALS: a non-view-key grouping column; a data-column filter; an
+    // aggregate over a KEY position (its expanded values are structurally
+    // nulled — no view column carries that); rollup over an EXPRESSION.
+    assert(!answersFromView(fact.rollup(col("k1"), col("id"))
+      .agg(count(lit(1)).as("n"))))
+    assert(!answersFromView(fact.filter(col("x") > 500).rollup(col("k1"))
+      .agg(count(lit(1)).as("n"))))
+    assert(!answersFromView(fact.rollup(col("k1"))
+      .agg(sum(col("k2")).as("sk"))))
+    assert(!answersFromView(fact.rollup(expr("k1 % 2"))
+      .agg(count(lit(1)).as("n"))))
+  }
+
   test("rewrite fires through SQL views and CTEs") {
     // Users rarely aggregate the raw table name: they write CREATE VIEW /
     // WITH and aggregate over that. The analyzer inlines the view body and
@@ -1046,9 +1098,9 @@ class MviewRewriteSpec extends GraftSuite {
         assert(base === got, s"[$label serves=$serves] rewrite changed results")
       }
     }
-    for (trial <- 0 until 12) {
+    for (trial <- 0 until 16) {
       val aggs = aggPool(rnd.nextInt(aggPool.size))
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // single-table: exact or rollup keys
           val keys = Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2"))(rnd.nextInt(3))
           check(s"t$trial single", fact.groupBy(keys.map(col): _*)
@@ -1066,9 +1118,22 @@ class MviewRewriteSpec extends GraftSuite {
               col("k1") === col("pk") && col("k2") <= col("pk"))
             .groupBy(col("attr"), col("k2"))
             .agg(aggs.head, aggs.tail: _*), Seq("attr", "k2"))
+        case 4 => // grouping sets over NULL-bearing keys: structural NULLs
+          // (Expand) vs natural NULLs (the fixture's None keys) — the gid
+          // disambiguation must survive the view substitution exactly.
+          // Sorted on EVERY output column: the natural (null,null) group
+          // and the grand-total row share a key tuple and only the agg
+          // values separate them.
+          val shapePick = rnd.nextInt(3)
+          def df = (shapePick match {
+            case 0 => fact.rollup(col("k1"), col("k2"))
+            case 1 => fact.cube(col("k1"), col("k2"))
+            case 2 => fact.rollup(col("k2"))
+          }).agg(aggs.head, aggs.tail: _*)
+          check(s"t$trial gsets", df, df.columns.toSeq)
       }
     }
-    assert(fired >= 8, s"property sweep exercised the rewrite only $fired/12 " +
+    assert(fired >= 10, s"property sweep exercised the rewrite only $fired/16 " +
       "times — the generator no longer hits the qualifying space")
     spark.sql("DROP TABLE IF EXISTS gmvr.pfact_mv")
     spark.sql("DROP TABLE IF EXISTS gmvr.pfact")
