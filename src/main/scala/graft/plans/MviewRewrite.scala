@@ -804,11 +804,26 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   private def rewriteExpand(ges: Seq[Expression],
       aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val ex = child match { case e: Expand => e; case _ => return None }
-    val (baseRel, baseTable, baseFilter) = baseOf(ex.child).getOrElse(return None)
+    // ROLLUP over a grouping EXPRESSION (`ROLLUP(month(ts))`): the
+    // pulled-out `_groupingexpression` Project sits BELOW the Expand. Peel
+    // one pure-compute level, keeping an exprId → expression map so KEY
+    // positions whose underlying attribute is an alias can resolve through
+    // the source's B189 generation rules (the monthly-cube shape).
+    val (exChild, aliasMap) = ex.child match {
+      case Project(plist, pin)
+          if plist.exists(_.isInstanceOf[Alias]) && plist.forall {
+            case _: AttributeReference => true
+            case al: Alias => al.child.deterministic
+            case _ => false
+          } =>
+        (pin, plist.collect { case al: Alias => al.exprId -> al.child }.toMap)
+      case c => (c, Map.empty[ExprId, Expression])
+    }
+    val (baseRel, baseTable, baseFilter) = baseOf(exChild).getOrElse(return None)
     val curRegime = GraftPolicies.regime(baseTable.manifest.props, session)
     val srcPoliced = GraftPolicies.declared(baseTable.manifest.props)
     val filterCols = filterColsOf(baseFilter).getOrElse(return None)
-    if (!pushedCovered(ex.child, filterCols)) return None
+    if (!pushedCovered(exChild, filterCols)) return None
 
     sealed trait Pos
     case class PassThrough(attr: AttributeReference) extends Pos
@@ -833,6 +848,24 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       else if (nonNullLits == nProj) GidPos
       else return None
     }
+    // An alias-valued PASSTHROUGH is an aggregate over an EXPRESSION — no
+    // view column carries it.
+    if (poses.exists {
+      case PassThrough(a) => aliasMap.contains(a.exprId)
+      case _ => false
+    }) return None
+    // The view key each KEY position reads: a bare scan column's own name,
+    // or — for an aliased grouping expression — the B189 generated column
+    // whose declared rule it matches (genKeyOf: canonical compare after the
+    // optimizer's own normalization, timezone pin enforced).
+    lazy val genKey = genKeyOf(baseTable)
+    val keyName: Map[ExprId, String] = poses.collect { case KeyPos(u) =>
+      val n = aliasMap.get(u.exprId) match {
+        case Some(e) => genKey(e).getOrElse(return None).toLowerCase
+        case None => u.name.toLowerCase
+      }
+      u.exprId -> n
+    }.toMap
     // Grouping must be exactly over the Expand's key/gid output attributes.
     val gesOk = ges.forall {
       case ar: AttributeReference => ex.output.indices.exists(i =>
@@ -880,8 +913,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     val srcIdent = baseRel.identifier.getOrElse(return None)
-    val keyNames: Set[String] = poses.collect {
-      case KeyPos(u) => u.name.toLowerCase }.toSet
+    val keyNames: Set[String] = keyName.values.toSet
     val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
       .filter { case (_, source, keys, sum) =>
         source == srcIdent.name() && (keyNames ++ filterCols).subsetOf(keys) &&
@@ -914,7 +946,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         poses(i) match {
           case KeyPos(u) => row(i) match {
             case Literal(v, dt) if v == null => Literal(null, dt)
-            case _ => vAttr(u.name)
+            case _ => vAttr(keyName(u.exprId))
           }
           case GidPos => row(i)
           case _: PassThrough => row(i) // unreachable (filtered out)

@@ -747,6 +747,23 @@ class MviewRewriteSpec extends GraftSuite {
     assert(!served(fact.join(dim, col("ts_month") === col("dm"))
       .groupBy(concat(expr("month(ts)"), col("half")))
       .agg(count(lit(1)).as("n"))))
+    // GROUPING SETS over generated-key EXPRESSIONS (B189 ∘ B5 ∘ B234): the
+    // optimizer pulls month(ts)/id%12 into a _groupingexpression Project
+    // BELOW the Expand; the rewrite peels it and resolves each key position
+    // through the declarations — the monthly-cube dashboard shape.
+    checkServes(fact.rollup(expr("month(ts)").as("m"), expr("id % 12").as("kb2"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("m").asc_nulls_first, col("kb2").asc_nulls_first, col("n")))
+    checkServes(fact.cube(expr("month(ts)").as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), avg(col("x")).as("ax"))
+      .orderBy(col("m").asc_nulls_first, col("n")))
+    // Mixed declared-column + expression rollup serves; an undeclared
+    // expression refuses.
+    checkServes(fact.rollup(col("kb"), expr("month(ts)").as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("kb").asc_nulls_first, col("m").asc_nulls_first, col("n")))
+    assert(!served(fact.rollup(expr("year(ts)")).agg(count(lit(1)).as("n"))),
+      "an undeclared expression must refuse through the Expand too")
     spark.sql("DROP TABLE IF EXISTS gmvr.gkdim")
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact_mv")
     spark.sql("DROP TABLE IF EXISTS gmvr.gkfact")
@@ -802,6 +819,23 @@ class MviewRewriteSpec extends GraftSuite {
       .agg(sum(col("k2")).as("sk"))))
     assert(!answersFromView(fact.rollup(expr("k1 % 2"))
       .agg(count(lit(1)).as("n"))))
+    // Spark lowers MULTI-DISTINCT aggregates to an Expand too
+    // (RewriteDistinctAggregates) — a structurally different beast whose
+    // "key" positions are the distinct columns. The position classifier
+    // refuses it because the aggregates read KEY-classified (structurally
+    // nulled) positions, never passthroughs — pin that, with result
+    // equality as the belt-and-braces.
+    def distinctQ = fact.groupBy(col("k1"))
+      .agg(countDistinct(col("x")).as("ndx"), countDistinct(col("k2")).as("ndk"),
+        sum(col("x")).as("sx"))
+    assert(!answersFromView(distinctQ),
+      "the multi-distinct Expand lowering must never classify as a rollup")
+    val gotD = distinctQ.orderBy(col("k1")).collect().map(_.toSeq).toSeq
+    val cls2 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved2 = cls2.experimental.extraOptimizations
+    cls2.experimental.extraOptimizations = Nil
+    try assert(distinctQ.orderBy(col("k1")).collect().map(_.toSeq).toSeq === gotD)
+    finally cls2.experimental.extraOptimizations = saved2
   }
 
   test("rewrite fires through SQL views and CTEs") {
