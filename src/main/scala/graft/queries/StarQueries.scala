@@ -3436,6 +3436,31 @@ object StarQueries {
     // one refresh folds it all, and the natural min/max/count GROUP BY is
     // then answered FROM the view (`rewritten` pins the plan). The oracle
     // replays the DML relationally over the base data.
+    // B189∘B5∘B234 — GROUPING SETS over a GENERATED-KEY EXPRESSION: the
+    // monthly-cube dashboard shape, `GROUP BY ROLLUP(ok % 6)` over a source
+    // declaring `generate.okb = ok % 6`. The optimizer pulls the expression
+    // into a _groupingexpression Project below its Expand; the rewrite
+    // peels it, resolves the key position through the declaration, and
+    // serves both grouping sets from the view keyed on the declared column.
+    // grouping_id() disambiguates the grand-total row; `rewritten` pins the
+    // view-scan plan; DuckDB replays the rollup.
+    "q_mview_gsets_genkey" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvgkFixtures(s, d)
+      val df = s.sql(
+        "SELECT ok % 6 AS k, grouping_id() AS gid, count(*) AS n, " +
+          "sum(cents) AS cents FROM graft.mvgk GROUP BY ROLLUP(ok % 6)")
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvgk_mv") && !named.contains("mvgk")
+      df.withColumn("rewritten", lit(rewritten))
+        .orderBy(col("gid"), col("k"))
+    },
+
     // B198+B234 SKETCHED DISTINCT from the materialized view: the view
     // maintains a DataSketches HLL union column (mv_hll — insert folds
     // union, non-NULL deletes recompute exactly the affected groups' sketches
@@ -6170,6 +6195,16 @@ object StarQueries {
     // B198+B234 min/max view: the oracle replays the DML composition (the
     // %7 delete runs before the %13 update and the predicates are
     // independent, so the relational replay composes them directly).
+    // B189∘B5∘B234 rollup over the generated-key expression: DuckDB replays
+    // the ROLLUP with GROUPING() reproducing Spark's single-column gid.
+    "q_mview_gsets_genkey" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 6 AS k FROM orders)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(GROUPING(k) AS BIGINT) AS gid,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  true AS rewritten
+        |FROM base GROUP BY ROLLUP(k) ORDER BY gid, k""".stripMargin,
+
     // B198+B234 sketched distinct: the domain bound (97 < the lgK=12 coupon
     // promotion point 384) makes the HLL estimate provably exact, so the
     // oracle pins it with an exact COUNT(DISTINCT) — at every SF.
