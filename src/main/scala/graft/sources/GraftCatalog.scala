@@ -6249,6 +6249,21 @@ object GraftCatalogOps {
       s"source $source is at generation $to, below the view's fold floor $from " +
         "(RESTORE ran backwards past the floor) — rebuild the view")
     if (to == from) return (from, to)
+    // Declaration-vs-schema drift (B190 × B198): mview.keys / mview.sum
+    // store SOURCE column names; a RENAME (or re-typed recreate) of one of
+    // them since the seed would otherwise surface as a bare
+    // UNRESOLVED_COLUMN from deep inside the fold. Name the actual problem
+    // and the remedy instead.
+    val srcM = GraftManifest.load(new Path(root, source), to, conf)
+    locally {
+      val srcCols = srcM.schema.fieldNames.map(_.toLowerCase).toSet
+      val missing = (keys :+ sumCol).filterNot(c => srcCols(c.toLowerCase))
+      require(missing.isEmpty,
+        s"view $name declares ${missing.mkString(", ")} over source $source, " +
+          "but the source no longer has that column (renamed or dropped " +
+          "since the view was created) — drop and recreate the view against " +
+          "the current schema, or rename the column back")
+    }
     // B233 regime gate: the stored aggregates reflect the SEED session's
     // effective policy regime (stamped at create); folding deltas read under
     // a different regime — a policy added/changed/dropped since, or this
@@ -6257,7 +6272,7 @@ object GraftCatalogOps {
     // the unpoliced regime: those views were only ever built on unpoliced
     // sources, and if the source grew policies since, the mismatch refuses
     // exactly as it should.
-    val srcProps = GraftManifest.load(new Path(root, source), to, conf).props
+    val srcProps = srcM.props
     val curRegime = GraftPolicies.regime(srcProps, spark)
     // A missing stamp is trustworthy as the unpoliced regime ONLY while the
     // source declares no policies at all (then every historical read was
@@ -6469,6 +6484,17 @@ object GraftCatalogOps {
       s"source $source is at generation $to, below the view's fold floor " +
         s"$floor (RESTORE ran backwards) — rebuild the view")
     val snap = spark.sql(s"SELECT * FROM $catalog.`$source` VERSION AS OF $to")
+    // Same declaration-vs-schema drift guard as refreshMview: a renamed or
+    // dropped declared column is not recomputable — name the remedy.
+    locally {
+      val srcCols = snap.schema.fieldNames.map(_.toLowerCase).toSet
+      val missing = (keys :+ sumCol).filterNot(c => srcCols(c.toLowerCase))
+      require(missing.isEmpty,
+        s"view $name declares ${missing.mkString(", ")} over source $source, " +
+          "but the source no longer has that column (renamed or dropped " +
+          "since the view was created) — drop and recreate the view against " +
+          "the current schema, or rename the column back")
+    }
     val hasHll = m.schema.fieldNames.exists(_.equalsIgnoreCase("mv_hll"))
     val recompAggs = Seq(count(lit(1)).as("mv_count"),
       sum(col(sumCol)).cast("long").as("mv_sum"),

@@ -209,4 +209,47 @@ class MviewPolicySpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmp.lsrc_mv")
     spark.sql("DROP TABLE IF EXISTS gmp.lsrc")
   }
+
+  test("a renamed declared column refuses folds with the remedy named; the rewrite stops firing") {
+    // B190 x B198 (round-14 sweep): mview.keys / mview.sum store SOURCE
+    // column names. After RENAME COLUMN on a declared column, the fold and
+    // the recompute must refuse with an error naming the VIEW declaration
+    // and the remedy, never a bare UNRESOLVED_COLUMN from inside the fold
+    // -- and the rewrite must simply stop serving (stale declaration names
+    // match no candidate).
+    val _ = root
+    import spark.implicits._
+    org.apache.spark.sql.GraftBridge.addOptimization(spark,
+      graft.plans.MviewRewriteRule(spark))
+    spark.sql("DROP TABLE IF EXISTS gmp.rnsrc")
+    spark.sql("DROP TABLE IF EXISTS gmp.rnsrc_mv")
+    (0L until 60L).map(i => (i, i % 3, i % 20)).toDF("id", "k", "x")
+      .writeTo("gmp.rnsrc").create()
+    spark.sql("CALL gmp.system.create_mview(source => 'rnsrc', " +
+      "name => 'rnsrc_mv', keys => 'k', sum_col => 'x')")
+    spark.sql("ALTER TABLE gmp.rnsrc RENAME COLUMN x TO amount")
+    (60L until 70L).map(i => (i, i % 3, i % 20)).toDF("id", "k", "amount")
+      .writeTo("gmp.rnsrc").append()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gmp.system.refresh_mview(name => 'rnsrc_mv')") }
+    assert(msgs(e1).exists(m => m.contains("renamed or dropped") &&
+      m.contains("recreate the view")), s"fold must name the remedy, got $e1")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gmp.system.recompute_mview(name => 'rnsrc_mv')") }
+    assert(msgs(e2).exists(_.contains("renamed or dropped")),
+      s"recompute must name the remedy too, got $e2")
+    // The rewrite refuses quietly: stale declaration names, base scan.
+    graft.plans.MviewRewriteRule.invalidateCache()
+    val q = spark.table("gmp.rnsrc").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => s.relation.table.name() }
+    assert(!scans.exists(_.contains("rnsrc_mv")),
+      s"a drifted-declaration view must never serve, got $scans")
+    spark.sql("DROP TABLE IF EXISTS gmp.rnsrc_mv")
+    spark.sql("DROP TABLE IF EXISTS gmp.rnsrc")
+  }
 }
