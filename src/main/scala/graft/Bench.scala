@@ -40,7 +40,7 @@ object Bench {
         val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
         Some(line.split("\\s+").drop(1).map(_.toLong))
       } catch { case _: Throwable => None }
-    val calIters2s: Long = {
+    def calBurn(): Long = {
       val t0 = System.nanoTime()
       var n = 0L
       var sink = 0L
@@ -52,6 +52,7 @@ object Bench {
       if (sink == Long.MinValue) System.err.println("") // keep sink live
       n
     }
+    val calIters2s: Long = calBurn()
     val stat0 = readProcStat()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -328,18 +329,33 @@ object Bench {
     // Fingerprint block: steal/busy across the drive window + the pre-Spark
     // calibration burn + start load. Written into every run ledger so the
     // accept/refuse decision (and any later forensics) is self-documenting.
+    // Second calibration burn AFTER the drive: the pre-Spark burn samples the
+    // box OUTSIDE the drive window, so a co-tenant spike during only that 2 s
+    // would read as "slow box" and grant calScale relief to a drive that ran
+    // on a perfectly clean machine — a genuinely ~2x-regressed run could then
+    // be accepted and overwrite the committed ledger as the new baseline. The
+    // ratchet therefore trusts the FASTER of the two burns (max iterations):
+    // a genuinely degraded host is slow in both, while a transient spike
+    // during either single burn cannot manufacture relief. (The 2 s of
+    // single-core work lands inside the /proc/stat window read just below —
+    // ~0.04% of a 32-core drive window, noise.)
+    val calItersPost: Long = calBurn()
     val fpJson: String = {
       val stat1 = readProcStat()
       val window = for (a <- stat0; b <- stat1) yield {
         val d = b.zip(a).map { case (x, y) => x - y }
-        val tot = math.max(1L, d.sum)
         // /proc/stat fields: user nice system idle iowait irq softirq steal
+        // guest guest_nice — and user/nice ALREADY include guest/guest_nice
+        // (kernel accounts guest time inside user), so summing all ten
+        // double-counts guest ticks and reads busy/steal slightly LOW on
+        // VMs running guests. Total = the first eight fields only.
+        val tot = math.max(1L, d.take(8).sum)
         val steal = if (d.length > 7) d(7) else 0L
         val idle = if (d.length > 4) d(3) + d(4) else d(3)
         (100.0 * steal / tot, 100.0 * (tot - idle - steal) / tot)
       }
       val (stealPct, busyPct) = window.getOrElse((-1.0, -1.0))
-      f"""{"steal_pct":$stealPct%.2f,"busy_pct":$busyPct%.2f,"cal_iters_2s":$calIters2s,"start_load":$startLoadAvg%.2f}"""
+      f"""{"steal_pct":$stealPct%.2f,"busy_pct":$busyPct%.2f,"cal_iters_2s":$calIters2s,"cal_iters_2s_post":$calItersPost,"start_load":$startLoadAvg%.2f}"""
     }
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_write_mb":$shuffle,"spill_mb":$spill,"sf":"$sfDir","fingerprint":$fpJson}"""
     // Only a FULL-surface drive may overwrite the committed ledger — a
@@ -478,11 +494,23 @@ object Bench {
       //      (a >2x-degraded box has no business recording anything); the
       //      scale also TIGHTENS on a faster box. Pre-fingerprint ledgers
       //      scale 1.0 — behavior unchanged.
-      val prevCal = prev.flatMap(p =>
-        field(p, "\"cal_iters_2s\":([0-9]+)").map(_.toLong))
+      // Committed box speed: max of the ledger's own pre/post burns when it
+      // carries both (same spike-immunity argument), pre-only for older
+      // single-burn ledgers.
+      val prevCal: Option[Long] = prev.flatMap { p =>
+        val pre = field(p, "\"cal_iters_2s\":([0-9]+)").map(_.toLong)
+        val post = field(p, "\"cal_iters_2s_post\":([0-9]+)").map(_.toLong)
+        (pre.toList ++ post.toList).reduceOption((a, b) => math.max(a, b))
+      }
+      // Corroborated relief: use the FASTER of the pre/post burns as this
+      // run's box speed, so calScale > 1 requires BOTH burns slow — a spike
+      // that hit only one burn (sampled outside / after the drive proper)
+      // cannot relieve the ratchet for a clean-window drive. Tightening on a
+      // faster box keys off the same max — conservative in both directions.
+      val curCal = math.max(calIters2s, calItersPost)
       val calScale = prevCal match {
-        case Some(pc) if pc > 0 && calIters2s > 0 =>
-          math.min(2.0, math.max(0.5, pc.toDouble / calIters2s))
+        case Some(pc) if pc > 0 && curCal > 0 =>
+          math.min(2.0, math.max(0.5, pc.toDouble / curCal))
         case _ => 1.0
       }
       val perQRatchet =
