@@ -431,10 +431,21 @@ class GraftCatalog extends TableCatalog
               "timezone pin, stamped when the rule is declared)")
           if (k.startsWith(GraftGenerated.Prefix)) {
             GraftGenerated.validate(props + (k -> v), schema)
+            // A SET that REPLACES an existing rule's expression is a NEW
+            // declaration: the pin semantics are "stamped when the rule is
+            // declared", so the old declaration's zone pin must not survive
+            // its rule (stampZones keeps existing stamps verbatim — without
+            // this drop, a session re-declaring the rule from another zone
+            // would be locked out of its own declaration, and the UNSET
+            // path already ties pin lifetime to the rule). A same-expression
+            // SET keeps the stamp: nothing was re-declared.
+            val col = k.stripPrefix(GraftGenerated.Prefix)
+            if (props.get(k).exists(_ != v))
+              props = props - (GraftGenerated.TzPrefix + col)
             // A NEWLY-declared zone-dependent rule gets this session's zone
             // pinned (only this declaration — never retro-stamping others).
             props = GraftGenerated.stampZones(props + (k -> v), schema,
-              only = Some(k.stripPrefix(GraftGenerated.Prefix)))
+              only = Some(col))
           }
           if (k == "bloom") {
             val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -4772,6 +4783,21 @@ object GraftGenerated {
   def validate(props: Map[String, String], schema: StructType): Unit = {
     val gen = declared(props)
     val genCols = gen.map(_._1).toSet
+    // User-supplied zone pins (CREATE accepts them — "a user-supplied pin
+    // wins") must hold the fail-at-DDL posture too: an unparseable zone id
+    // would otherwise surface only inside sameZone at the FIRST WRITE, and a
+    // pin naming no declared rule would sit dead in the props forever.
+    props.foreach { case (k, z) if k.startsWith(TzPrefix) =>
+      val c = k.stripPrefix(TzPrefix)
+      require(genCols.contains(c),
+        s"timezone pin $k names no declared ${Prefix}$c rule")
+      try org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(z)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"timezone pin $k is not a valid zone id: '$z'", e)
+      }
+    case _ => ()
+    }
     gen.foreach { case (c, e) =>
       require(schema.fieldNames.contains(c),
         s"generated column $c missing from schema " +
