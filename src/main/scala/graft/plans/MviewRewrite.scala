@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
@@ -30,9 +30,15 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftCheck, GraftGenerate
  * rewrite simply stops firing until the next refresh.
  *
  * A rewrite fires only when it is provably the SAME computation:
- *   - the aggregate sits on a FULL scan of the source (no partition/`_file`
- *     pruning — checked against the bound scan's own entry list), either
- *     unfiltered or under ONE Filter whose condition is a deterministic,
+ *   - the aggregate sits on a FULL scan of the source — or (r15) a
+ *     PARTITION-PRUNED one, whose fully-handled partition filters are
+ *     reconstructed from the pushed V2 shapes and carried as an ordinary
+ *     residual the view replays (sound because the partition column must
+ *     then be a view key: the predicate is decided wholly by per-group-
+ *     constant values, so it selects WHOLE groups — the dashboard shape
+ *     `GROUP BY k WHERE <partition pred>` over a time-partitioned fact now
+ *     serves; `_file` pseudo-column pruning still always refuses) — either
+ *     unfiltered or under Filters whose conjunction is a deterministic,
  *     subquery-free predicate over VIEW KEY columns — such a predicate is
  *     constant within each view group, so it selects WHOLE groups and
  *     replays exactly on the view's key columns (`GROUP BY k1 WHERE k2 = 5`
@@ -112,6 +118,16 @@ import graft.sources.{GraftBatchScan, GraftCatalogOps, GraftCheck, GraftGenerate
  * the view substitutes once for the fact leaf, every dim subtree rides
  * verbatim, and fact-free path conjuncts (snowflake `d1.x = d2.y`) ride
  * when deterministic and subquery-free — the per-group proof is unchanged.
+ * Round 15 extends the tree to LEFT/RIGHT OUTER joins whose PRESERVED side
+ * holds the fact (`fact LEFT JOIN dim` — the lossless reporting join): an
+ * unmatched view row is a preserved row riding with its partials intact,
+ * contributing exactly what its group's rows each null-extended once would
+ * have; the fact-on-null-extended-side orientation never qualifies (an
+ * unmatched dim row would null-extend mv_count where the original counted
+ * a real row). Exact count(DISTINCT <view key>) also serves (r15): the
+ * view's key tuples enumerate the base's distinct combos, so the rewrite
+ * re-counts distinct over view rows — fact-side distincts read the view
+ * key column, dim-side distincts ride verbatim, both multiplicity-blind.
  *
  * GENERATED-KEY rewrite (B189 ∘ B234): a grouping EXPRESSION matching a
  * declared generation rule of the source (`GROUP BY month(ts)` over
@@ -230,6 +246,22 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
   // classifies (isDistinct aggregates fall through to the refusal).
   private case class HllOut(al: Alias, col: AttributeReference, lgK: Int)
       extends Out
+  // count(DISTINCT k) where k is a bare column (r15): serveable when k is a
+  // VIEW KEY — the view's key tuples enumerate exactly the (group, k) combos
+  // present in the base (one view row per base group), so the distinct
+  // non-null k values within any coarser group are the distinct non-null k
+  // values among the view's rows. Exact, not sketched: the re-aggregation
+  // runs count(DISTINCT <view key col>) over view rows (|view| ≪ |base| is
+  // the whole win), or collapses to a null test when k is itself a grouping
+  // key (constant per group → 0 or 1). key-ness is gated per path: the
+  // single-table/join paths require k ∈ view keys (dim-side distincts in the
+  // join path ride verbatim); the Expand path refuses (a key position's
+  // expanded copies are structurally nulled — counting them is a different
+  // computation). DISTINCT is multiplicity-blind, so the join rewrite's
+  // duplicate-dim-key multiplication cannot skew it. Other DISTINCT
+  // aggregates (sum/avg DISTINCT) still fall through to the refusal.
+  private case class DistinctCountOut(al: Alias, col: AttributeReference)
+      extends Out
 
   /** Every output must be a key (bare, aliased, or a whole grouping
     * EXPRESSION re-emitted under an alias), count(*)/count(1), or a
@@ -248,6 +280,14 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
           if cs.forall(c => c.foldable && c.eval() != null) => CountOut(al)
       case al @ Alias(AggregateExpression(Count(Seq(ca: AttributeReference)),
           Complete, false, None, _), _) => NNCountOut(al, ca)
+      // Exact count(DISTINCT <bare column>) — a SINGLE distinct group by
+      // construction here: RewriteDistinctAggregates already lowered any
+      // multi-distinct-group aggregate to its Expand form before this rule
+      // runs, so whatever still carries isDistinct shares one child set and
+      // the rewritten Aggregate stays one-distinct-group (physical planning
+      // handles it without re-lowering).
+      case al @ Alias(AggregateExpression(Count(Seq(ca: AttributeReference)),
+          Complete, true, None, _), _) => DistinctCountOut(al, ca)
       // TRY-mode aggregates (try_sum/try_avg) answer NULL on overflow where
       // the view holds a concrete value — never the same computation, refuse
       // unconditionally. LEGACY and ANSI are accepted here and reconciled
@@ -278,6 +318,23 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case al @ Alias(HllSketchEstimate(AggregateExpression(
           hs @ HllSketchAgg(sa: AttributeReference, _, _, _),
           Complete, false, None, _)), _) => HllOut(al, sa, hs.lgConfigK)
+      // approx_count_distinct is HyperLogLogPlusPlus — a DIFFERENT sketch
+      // family than the view's DataSketches mv_hll column (incompatible
+      // register layouts and estimators; no cross-family union exists), so
+      // it can never serve and silently never matched. Make the refusal
+      // explicit on the B193 diagnostics surface, naming the spelling that
+      // DOES serve — this is the most likely user spelling of "sketched
+      // distinct over my fact table", and "why didn't my view serve" must
+      // answer it.
+      case Alias(AggregateExpression(
+          h: HyperLogLogPlusPlus, _, _, _, _), _) =>
+        MviewDiagnostics.note(m => logInfo(m),
+          s"approx_count_distinct(${h.child.sql}) is a HyperLogLogPlusPlus " +
+            "sketch — a different family than the view's DataSketches " +
+            "mv_hll column, so no materialized view can serve it; spell " +
+            s"the query hll_sketch_estimate(hll_sketch_agg(${h.child.sql})) " +
+            "to serve the sketched distinct count from a view")
+        return None
       case _ => return None
     })
 
@@ -295,19 +352,37 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         r.table match { case t: GraftTable => Some((r, t, None)); case _ => None }
       case s: DataSourceV2ScanRelation =>
         (s.relation.table, s.scan) match {
+          // The scan must be SEMANTICALLY full — or pruned only through
+          // channels the rewrite can account for:
+          //   - full entry list: trivially full (a nonempty partition-filter
+          //     channel that pruned NOTHING is a data no-op — every entry's
+          //     partition values pass, so every row passes);
+          //   - pruned entries, no partition/`_file` channel: every pruned
+          //     entry fell to a pushed DATA filter — those stay residual
+          //     (Spark re-checks them above the scan, and the caller
+          //     validates the residual covers every pushed column with a
+          //     key-only predicate the view replays), so their entry pruning
+          //     is pure IO skip;
+          //   - pruned entries WITH a partition-filter channel (r15): a
+          //     fully-handled partition filter drops rows NO residual
+          //     re-states, but its selection is exact and per-partition-value
+          //     — reconstruct the predicate from the pushed V2 filters and
+          //     carry it as a residual the caller replays on the VIEW. The
+          //     shapes are the ones isPartitionFilter admits (equality / IN /
+          //     null tests on a bare partition column), each group-constant
+          //     when the partition column is a view key — exactly the
+          //     existing key-only-filter argument applied to the pruning
+          //     channel, which is what lets `GROUP BY k WHERE <partition
+          //     pred>` over a time-partitioned fact serve from a view.
+          //   - `_file` pseudo-column pruning always refuses: a file-identity
+          //     predicate selects physical subsets no view column replays.
           case (t: GraftTable, sc: GraftBatchScan)
-              // The scan must be SEMANTICALLY full: either its entry list is
-              // the whole manifest, or every pruned entry was pruned by a
-              // pushed DATA filter — those stay residual (Spark re-checks
-              // them above the scan, and the caller validates the residual
-              // covers every pushed column with a key-only predicate the
-              // view replays), so their entry pruning is pure IO skip. The
-              // two channels that drop rows NO residual re-states — fully-
-              // handled partition filters and `_file` pseudo-column filters
-              // — must both be empty before a pruned list is trusted.
               if sc.entries.size == t.manifest.entries.size ||
                 (sc.partFilters.isEmpty && sc.fileFilters.isEmpty) =>
             Some((s.relation, t, None))
+          case (t: GraftTable, sc: GraftBatchScan) if sc.fileFilters.isEmpty =>
+            partitionResidual(sc.partFilters, s.relation.output)
+              .map(e => (s.relation, t, Some(e)))
           case _ => None
         }
       case Project(es, inner) if es.forall(_.isInstanceOf[AttributeReference]) =>
@@ -325,6 +400,42 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         }
       case _ => None
     }
+
+  /** Reconstruct a fully-handled partition-filter channel as a Catalyst
+    * predicate over the RELATION's output (the scan's own output may have
+    * pruned the partition column away — it was fully handled, nothing above
+    * reads it; the caller replays the predicate on the VIEW's key columns by
+    * name, so these attributes never execute). Each V2 shape converts to the
+    * exact Catalyst expression whose pushdown translation produced it, so
+    * the replay selects the same rows the entry pruning did — exact, because
+    * a partition column is constant per entry and the admitted shapes are
+    * decided wholly by that value. Any unconvertible shape refuses the
+    * rewrite (None), never approximates. */
+  private def partitionResidual(pf: Array[org.apache.spark.sql.sources.Filter],
+      relOut: Seq[Attribute]): Option[Expression] = {
+    import org.apache.spark.sql.{sources => v2f}
+    def attr(n: String): Option[Attribute] =
+      relOut.find(_.name.equalsIgnoreCase(n))
+    def lit(a: Attribute, v: Any): Option[Expression] =
+      try Some(Literal.create(v, a.dataType))
+      catch { case _: Exception => None }
+    def conv(f: v2f.Filter): Option[Expression] = f match {
+      case v2f.EqualTo(c, v) =>
+        for { a <- attr(c); l <- lit(a, v) } yield EqualTo(a, l)
+      case v2f.EqualNullSafe(c, v) =>
+        for { a <- attr(c); l <- lit(a, v) } yield EqualNullSafe(a, l)
+      case v2f.In(c, vs) => attr(c).flatMap { a =>
+        val ls = vs.toSeq.map(v => lit(a, v))
+        if (ls.forall(_.isDefined)) Some(In(a, ls.map(_.get))) else None
+      }
+      case v2f.IsNull(c) => attr(c).map(IsNull)
+      case v2f.IsNotNull(c) => attr(c).map(IsNotNull)
+      case _ => None
+    }
+    if (pf.isEmpty) return None
+    val parts = pf.toSeq.map(conv)
+    if (parts.forall(_.isDefined)) Some(parts.map(_.get).reduce(And)) else None
+  }
 
   /** Residual-Filter validation part 1 (view-independent): deterministic,
     * subquery-free. Part 2 (references ⊆ the candidate view's keys) happens
@@ -598,6 +709,13 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case HllOut(_, c, _) => c.name
     }.distinct
     if (sumCols.size > 1) return None
+    // count(DISTINCT k): k must be a VIEW KEY (its distinct values are then
+    // exactly the view's key domain) — required of every candidate below,
+    // alongside the grouping and filter columns. Not a sum column: the
+    // re-aggregation reads the key column itself, no mv_* partial involved.
+    val distinctCols = outs.collect {
+      case DistinctCountOut(_, c) => c.name.toLowerCase
+    }.toSet
     // Any ANSI-mode sum/avg demands an EXACT stored sum — serveable only
     // from a view whose every fold ran under ANSI (mview.foldmode stamp).
     val needsExactFold = outs.exists {
@@ -634,7 +752,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
       .filter { case (_, source, keys, sum) =>
         source == srcIdent.name() && keyNames.subsetOf(keys) &&
-          filterCols.subsetOf(keys) && sumCols.forall(_.equalsIgnoreCase(sum))
+          filterCols.subsetOf(keys) && distinctCols.subsetOf(keys) &&
+          sumCols.forall(_.equalsIgnoreCase(sum))
       }
     val ordered = (declared.filter(_._3 == keyNames) ++
       declared.filterNot(_._3 == keyNames).sortBy(_._3.size))
@@ -644,7 +763,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       curRegime, srcPoliced)
       .getOrElse(return None)
 
-    val wanted = keyNames ++ filterCols ++ mvWanted(outs)
+    val wanted = keyNames ++ filterCols ++ distinctCols ++ mvWanted(outs)
     val (vScan, vAttr) =
       buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
 
@@ -676,6 +795,12 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         case MaxOut(al, _) => Alias(vAttr("mv_max"), al.name)(exprId = al.exprId)
         case HllOut(al, _, _) =>
           Alias(HllSketchEstimate(vAttr("mv_hll")), al.name)(exprId = al.exprId)
+        // distinctCols ⊆ view keys == grouping keys here, so k is constant
+        // per group: its distinct non-null count is 1 unless the group IS
+        // the NULL-key group (count(DISTINCT) skips nulls).
+        case DistinctCountOut(al, c) =>
+          Alias(If(IsNull(vAttr(c.name)), Literal(0L), Literal(1L)),
+            al.name)(exprId = al.exprId)
       }
       Some(Project(projList, vInput))
     } else {
@@ -712,6 +837,13 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         case HllOut(al, _, _) => Alias(HllSketchEstimate(AggregateExpression(
           new HllUnionAgg(vAttr("mv_hll")), Complete, isDistinct = false)),
           al.name)(exprId = al.exprId)
+        // count(DISTINCT k) over the view's rows: the view key domain
+        // enumerates exactly the (group, k) combos present in the base —
+        // one view row per base group — so distinct non-null k per coarser
+        // group is identical on both paths. Exact, and |view| ≪ |base|.
+        case DistinctCountOut(al, c) =>
+          Alias(AggregateExpression(Count(Seq(vAttr(c.name))), Complete,
+            isDistinct = true), al.name)(exprId = al.exprId)
       }
       Some(Aggregate(keyMap.map(km => vAttr(km._2)), aggList, vInput))
     }
@@ -885,6 +1017,11 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         Some(Verbatim)
       else None
     val outs = classify(aes, keyFor).getOrElse(return None)
+    // count(DISTINCT …) under grouping sets refuses: the aggregate's input
+    // attribute here is an EXPAND output whose per-projection copies are
+    // structurally nulled for the sets that drop it — counting distinct over
+    // those copies is a per-set computation no single view column replays.
+    if (outs.exists(_.isInstanceOf[DistinctCountOut])) return None
     // Aggregate inputs must be PASSTHROUGH scan columns (a key-position
     // input would aggregate the EXPANDED — structurally nulled — values,
     // which no view column carries).
@@ -976,6 +1113,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case HllOut(al, _, _) => Alias(HllSketchEstimate(AggregateExpression(
         new HllUnionAgg(vAttr("mv_hll")), Complete, isDistinct = false)),
         al.name)(exprId = al.exprId)
+      case DistinctCountOut(al, _) => al // unreachable: refused above
     }
     Some(Aggregate(ges, aggList, newExpand))
   }
@@ -1002,16 +1140,23 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case other => other
     }
     // Fact candidates: every subtree reachable from the top through INNER
-    // joins (condition present) and bare-attribute Projects that baseOf
-    // accepts as a full graft-table scan. Usually exactly one — a dim leaf
-    // that happens to be a graft table simply finds no qualifying view in
-    // the candidate walk and the next candidate is tried.
+    // joins (condition present), the PRESERVED side of LEFT/RIGHT OUTER
+    // joins (r15), and bare-attribute Projects that baseOf accepts as a full
+    // graft-table scan. Usually exactly one — a dim leaf that happens to be
+    // a graft table simply finds no qualifying view in the candidate walk
+    // and the next candidate is tried. The outer-join legs admit only the
+    // fact-preserved orientation: a fact on the NULL-EXTENDED side (dim
+    // LEFT JOIN fact) would null-extend the substituted view row's mv_count
+    // for every unmatched dim row, where the original counted each such row
+    // as 1 — never sound, so those subtrees are simply not offered.
     def factCands(p: LogicalPlan): Seq[LogicalPlan] = strip(p) match {
       case Join(l, r, Inner, Some(_), _) => factCands(l) ++ factCands(r)
+      case Join(l, _, LeftOuter, Some(_), _) => factCands(l)
+      case Join(_, r, RightOuter, Some(_), _) => factCands(r)
       case _ => if (baseOf(p).isDefined) Seq(p) else Seq.empty
     }
     strip(child) match {
-      case top @ Join(_, _, Inner, Some(_), _) =>
+      case top @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
         factCands(top).iterator
           .flatMap(f => attemptJoin(ges, aes, top, f)).nextOption()
       case _ => None
@@ -1060,10 +1205,25 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // rides verbatim whatever it computes, exactly like a single dim table.
     def containsFact(p: LogicalPlan): Boolean =
       (p eq fact) || p.children.exists(containsFact)
+    // OUTER joins on the path carry the fact on their PRESERVED side only
+    // (factCands offered no other orientation). Their conditions validate
+    // and rename exactly like inner-join conditions — the per-group proof
+    // extends: every row of a view group evaluates the (deterministic,
+    // view-keys + dim-attrs) condition identically, so the whole group
+    // matches a dim row or null-extends TOGETHER; an unmatched view row is a
+    // PRESERVED row carrying its mv_* partials intact (never null-extended),
+    // contributing count/sum/min/max/hll exactly as its n base rows each
+    // null-extended once would have. A fact-only conjunct in an outer ON
+    // clause (which null-extends rather than filters) is group-constant for
+    // the same reason — the group null-extends together.
     def pathConds(p: LogicalPlan): Seq[Expression] = p match {
       case _ if p eq fact => Seq.empty
       case Join(l, r, Inner, Some(c), _) =>
         c +: (if (containsFact(l)) pathConds(l) else pathConds(r))
+      case Join(l, _, LeftOuter, Some(c), _) if containsFact(l) =>
+        c +: pathConds(l)
+      case Join(_, r, RightOuter, Some(c), _) if containsFact(r) =>
+        c +: pathConds(r)
       case Project(_, inner) => pathConds(inner)
       case _ => Seq.empty
     }
@@ -1101,6 +1261,15 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case HllOut(_, c, _) => c
     }
     if (sumAttrs.exists(sa => !factOut.contains(sa))) return None
+    // count(DISTINCT …) splits by side: a FACT-side distinct column must be
+    // a view key (its per-group value set survives the substitution — the
+    // view row carries the same key values every row of its group did); a
+    // DIM-side distinct rides verbatim (the dim subtree still produces the
+    // column, and the joined SET of dim values per result group is identical
+    // on both plans — only multiplicities differ, which DISTINCT erases).
+    val factDistinctCols = outs.collect {
+      case DistinctCountOut(_, c) if factOut.contains(c) => c.name.toLowerCase
+    }.toSet
     val sumCols = sumAttrs.map(_.name).distinct
     if (sumCols.size > 1) return None
     val needsExactFold = outs.exists {
@@ -1119,7 +1288,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // filter columns. Coarsest qualifying view first — fewest rows to join.
     val requiredKeys: Set[String] =
       factJoinKeys.map(_.name.toLowerCase).toSet ++
-        keyMap.collect { case (_, ViaView(n)) => n } ++ filterCols
+        keyMap.collect { case (_, ViaView(n)) => n } ++ filterCols ++
+        factDistinctCols
     val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
       .filter { case (_, source, keys, sum) =>
         source == srcIdent.name() && requiredKeys.subsetOf(keys) &&
@@ -1152,8 +1322,12 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       else if (!containsFact(p)) p // dim subtree rides verbatim
       else p match {
         case Project(_, inner) => rebuild(inner)
-        case Join(l, r, Inner, cond, hint) =>
-          Join(rebuild(l), rebuild(r), Inner, cond.map(_.transform {
+        // Join type rides verbatim: the path admits Inner plus the
+        // fact-preserved outer orientations, and preserving LeftOuter /
+        // RightOuter keeps the null-extension semantics the per-group proof
+        // relies on (pathConds validated every conjunct already).
+        case Join(l, r, jt, cond, hint) =>
+          Join(rebuild(l), rebuild(r), jt, cond.map(_.transform {
             case ar: AttributeReference if factOut.contains(ar) =>
               vAttr(ar.name)
           }), hint)
@@ -1186,6 +1360,13 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case HllOut(al, _, _) => Alias(HllSketchEstimate(AggregateExpression(
         new HllUnionAgg(vAttr("mv_hll")), Complete, isDistinct = false)),
         al.name)(exprId = al.exprId)
+      // DISTINCT is multiplicity-blind: fact-side over the (renamed) view
+      // key, dim-side verbatim — see the factDistinctCols note above.
+      case DistinctCountOut(al, c) =>
+        if (factOut.contains(c))
+          Alias(AggregateExpression(Count(Seq(vAttr(c.name))), Complete,
+            isDistinct = true), al.name)(exprId = al.exprId)
+        else al
     }
     val newGes = keyMap.map {
       case (_, ViaView(n)) => vAttr(n)

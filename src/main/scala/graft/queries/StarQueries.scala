@@ -223,6 +223,29 @@ object StarQueries {
     }
   }
 
+  /** PARTITIONED source + its (pk,b) view for the r15 partition-pruned
+    * rewrite (`GROUP BY b WHERE <partition pred on pk>`): pk is BOTH the
+    * partition column (so the predicate rides the fully-handled partition
+    * channel and prunes entries with no residual above the scan) and a view
+    * key (what makes replaying it on the view sound). */
+  private def mvpfFixtures(s: SparkSession, d: String): Unit = {
+    fixture(s, d, "mvpf", 1L, "v1", Seq("orders")) { marker =>
+      Tables.orders(s, d).select(
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).cast("long").as("pk"),
+          pmod(col("o_orderkey"), lit(5)).cast("long").as("b"))
+        .writeTo("graft.mvpf").partitionedBy(col("pk"))
+        .tableProperty("fixture", marker).create()
+    }
+    fixture(s, d, "mvpf_mv", 2L, "v1", Seq("orders")) { marker =>
+      s.sql("CALL graft.system.create_mview(source => 'mvpf', " +
+        "name => 'mvpf_mv', keys => 'pk,b', sum_col => 'cents')")
+      require(s.table("graft.mvpf_mv").count() > 0,
+        "mvpf_mv seeded empty over a non-empty base — refusing to memoize")
+      s.sql(s"ALTER TABLE graft.mvpf_mv SET TBLPROPERTIES('fixture' = '$marker')")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // B4: multi-aggregate hash aggregation with a pushed-down scan predicate
     // (the reference's "macronutrient bars per item" A25, generalized).
@@ -3572,6 +3595,93 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
+    // B234 r15 — PARTITION-PRUNED scan served from the view: the dashboard
+    // shape `GROUP BY b WHERE <partition pred>` over a partition(pk)ed fact.
+    // The predicate rides the scan's FULLY-HANDLED partition channel (no
+    // residual Filter survives above the scan; entries prune before IO), and
+    // the rewrite reconstructs it from the pushed V2 shapes and replays it
+    // on the view — sound because pk is a view key, so the predicate selects
+    // WHOLE view groups. At 100 TB this is the single most common reporting
+    // query there is: a time-partitioned fact under a date slice. The
+    // `rewritten` boolean pins the view-scan plan (and is also pinned at the
+    // partition-channel level in MviewRewriteSpec, with the non-key and
+    // `_file` refusals); the oracle replays the sliced aggregate.
+    "q_mview_partition_filter" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvpfFixtures(s, d)
+      val df = s.table("graft.mvpf")
+        .filter(col("pk").isin(0L, 2L))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvpf_mv") && !named.contains("mvpf")
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("b"))
+    },
+
+    // B234 r15 — EXACT count(DISTINCT <view key>) mixed with sum/count,
+    // the multi-distinct dashboard aggregate: the view's key tuples
+    // enumerate exactly the (pk,b) combos present in the base (one view row
+    // per base group), so distinct b per pk re-counts over VIEW rows —
+    // exact, not sketched, with |view| ≪ |base| doing the work. Single
+    // distinct group, so the plan reaches the rule un-lowered (the
+    // multi-distinct-group Expand lowering still refuses — pinned in
+    // MviewRewriteSpec). `rewritten` pins the view-only plan; the oracle
+    // replays the mixed aggregate.
+    "q_mview_multidistinct" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      val df = s.table("graft.mvrq")
+        .groupBy(col("pk"))
+        .agg(countDistinct(col("b")).as("ndb"), count(lit(1)).as("n"),
+          sum(col("cents")).as("cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") && !named.contains("mvrq")
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
+    // B234 r15 — LEFT-OUTER join tree served from the view (the lossless
+    // reporting join: keep every fact row, attribute what matches): the
+    // (pk,b) view substitutes for the fact on the PRESERVED side, the
+    // filtered dim rides verbatim, and unmatched view rows ride
+    // null-extended into the NULL dim group carrying their partials intact
+    // — contributing exactly what each of their base rows null-extended
+    // once would have (fk NULLs and filtered-away dim keys form their own
+    // group on both paths). The fact-on-null-extended-side orientation
+    // never qualifies (refusal pinned in MviewRewriteSpec). `rewritten`
+    // pins the substitution; the oracle replays the outer join-aggregate.
+    "q_mview_leftjoin_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      mvrqDimFixture(s, d)
+      val df = s.table("graft.mvrq")
+        .join(s.table("graft.mvrq_dim").filter(col("bpk") =!= 4L),
+          col("b") === col("bpk"), "left")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          avg(col("cents")).as("avg_cents"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") &&
+        named.contains("mvrq_dim") && !named.contains("mvrq")
+      df.withColumn("rewritten", lit(rewritten))
+        .orderBy(col("grp").asc_nulls_first)
+    },
+
     "q_mview_minmax" -> { (s, d) =>
       GraftCatalogSetup(s, d)
       org.apache.spark.sql.GraftBridge.addOptimization(s,
@@ -6227,6 +6337,41 @@ object StarQueries {
         |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents, true AS rewritten
         |FROM live GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B234 r15 partition-pruned rewrite: the oracle replays the partition
+    // slice as a plain WHERE over the base rows.
+    "q_mview_partition_filter" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(b AS BIGINT) AS b, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base WHERE pk IN (0, 2) GROUP BY 1 ORDER BY b""".stripMargin,
+
+    // B234 r15 exact distinct-over-view-key: the oracle replays the mixed
+    // count(DISTINCT)/sum aggregate over the base rows.
+    "q_mview_multidistinct" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS ndb, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, true AS rewritten
+        |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B234 r15 left-outer join rewrite: the oracle replays the outer
+    // join-aggregate (unmatched b=4 fact rows land in the NULL grp group).
+    "q_mview_leftjoin_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 5 AS b FROM orders),
+        |dim AS (SELECT DISTINCT o_orderkey % 5 AS bpk,
+        |    (o_orderkey % 5) % 2 AS grp FROM orders WHERE o_orderkey % 5 <> 4)
+        |SELECT CAST(grp AS BIGINT) AS grp, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+        |  true AS rewritten
+        |FROM base LEFT JOIN dim ON base.b = dim.bpk
+        |GROUP BY 1 ORDER BY grp NULLS FIRST""".stripMargin,
 
     "q_mview_minmax" ->
       """WITH live AS (

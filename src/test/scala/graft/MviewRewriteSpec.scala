@@ -632,10 +632,17 @@ class MviewRewriteSpec extends GraftSuite {
     assert(!served(fact.join(dim, col("k1") === col("pk"))
       .join(dim2, col("k2") === col("qk"))
       .groupBy(col("attr")).agg(sum(col("qk")).as("sq"))))
-    // An OUTER join on the fact's path: outside the proven inner-tree shape.
-    assert(!served(fact.join(dim, col("k1") === col("pk"), "left")
+    // r15: an OUTER join on the fact's path with the fact PRESERVED is now
+    // inside the proven tree shape — the mixed outer∘inner composition
+    // serves with base-identical results (the view group null-extends
+    // through the outer leg together, then the inner k2=qk conjunct — a
+    // fact view key untouched by the null-extension — keeps/drops it whole;
+    // the refusing orientations are pinned in the outer-join test).
+    checkServes(fact.join(dim, col("k1") === col("pk"), "left")
       .join(dim2, col("k2") === col("qk"))
-      .groupBy(col("attr"), col("cat")).agg(count(lit(1)).as("n"))))
+      .groupBy(col("attr"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("attr", "cat"))
     // HAVING composes above the rewritten JOIN-aggregate exactly as it does
     // above the single-table rewrite: the post-aggregate filter references
     // the aggregate's outputs by exprId, and the rewrite preserves them.
@@ -1435,5 +1442,215 @@ class MviewRewriteSpec extends GraftSuite {
       s"expected staleness notes for both candidates, got: $notes")
     spark.sql("DROP TABLE IF EXISTS gmvr.fact_mv_k1")
     spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+  }
+
+  private def ruleOff[T](body: => T): T = {
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cls.experimental.extraOptimizations
+    cls.experimental.extraOptimizations = Nil
+    try body finally cls.experimental.extraOptimizations = saved
+  }
+
+  /** Serve + value-identity pin: the view answers the plan AND the result
+    * equals the rule-detached base computation. */
+  private def checkServes(df: => DataFrame, sortCols: Seq[String],
+      served: DataFrame => Boolean = answersFromView): Unit = {
+    assert(served(df), s"expected the view to serve, got ${scansOf(df)}")
+    val got = df.orderBy(sortCols.map(c => col(c).asc_nulls_first): _*)
+      .collect().map(_.toSeq).toSeq
+    ruleOff {
+      assert(!served(df), "sanity: rule off, base scan")
+      assert(df.orderBy(sortCols.map(c => col(c).asc_nulls_first): _*)
+        .collect().map(_.toSeq).toSeq === got,
+        "rewrite must reproduce the base result exactly")
+    }
+  }
+
+  test("count(DISTINCT <view key>) serves exactly from the key domain") {
+    // r15: the view's key tuples enumerate exactly the (k1,k2) combos
+    // present in the base — one view row per base group — so distinct k2
+    // within any coarser group re-counts over VIEW rows (exact, never a
+    // sketch). A distinct over anything that is NOT a view key still
+    // refuses (no stored column provably carries its value set).
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    spark.sql("DROP TABLE IF EXISTS gmvr.dcdim")
+    (0L until 7L).map(i => (i, i % 2)).toDF("pk", "attr")
+      .writeTo("gmvr.dcdim").create()
+    def fact = spark.table("gmvr.fact")
+    // ROLLUP: distinct k2 per k1, mixed with the maintained aggregates —
+    // the "count(distinct k) with sum(x)" dashboard shape (a SINGLE
+    // distinct group, so the plan reaches the rule un-lowered).
+    checkServes(fact.groupBy(col("k1"))
+      .agg(countDistinct(col("k2")).as("nd"), count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), avg(col("x")).as("ax")), Seq("k1"))
+    // GLOBAL: no grouping keys — the whole key domain.
+    checkServes(fact.agg(countDistinct(col("k2")).as("nd"),
+      count(lit(1)).as("n")), Seq("nd"))
+    // EXACT key match: the distinct column is itself a grouping key —
+    // constant per group, the count collapses to a null test (0 or 1).
+    checkServes(fact.groupBy(col("k1"), col("k2"))
+      .agg(countDistinct(col("k2")).as("nd"), count(lit(1)).as("n")),
+      Seq("k1", "k2"))
+    // JOIN, fact-side distinct: reads the view's key column through the
+    // eager-aggregation join (multiplicity-blind, so duplicate dim keys
+    // cannot skew it).
+    checkServes(fact.join(spark.table("gmvr.dcdim"), col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(countDistinct(col("k2")).as("ndk"),
+        sum(col("x")).as("sx")), Seq("attr"))
+    // JOIN, dim-side distinct: rides verbatim — the dim subtree still
+    // produces the column and the joined SET per group is identical.
+    checkServes(fact.join(spark.table("gmvr.dcdim"), col("k1") === col("pk"))
+      .groupBy(col("attr")).agg(countDistinct(col("pk")).as("ndp"),
+        count(lit(1)).as("n")), Seq("attr"))
+    // REFUSALS: distinct over a non-key (id), distinct under grouping sets
+    // (structurally nulled key copies), and sum(DISTINCT) (not a count).
+    assert(!answersFromView(fact.groupBy(col("k1"))
+      .agg(countDistinct(col("id")).as("nd"))),
+      "count(DISTINCT <non-key>) must refuse")
+    assert(!answersFromView(fact.rollup(col("k1"))
+      .agg(countDistinct(col("k2")).as("nd"))),
+      "count(DISTINCT) under grouping sets must refuse")
+    assert(!answersFromView(fact.groupBy(col("k1"))
+      .agg(sum_distinct(col("x")).as("sdx"))),
+      "sum(DISTINCT) must refuse")
+    spark.sql("DROP TABLE IF EXISTS gmvr.dcdim")
+  }
+
+  test("partition-pruned scans serve when the partition column is a view key") {
+    // r15: `GROUP BY k2 WHERE <partition pred on k1>` over a
+    // partition(k1)ed fact — the predicate rides the scan's FULLY-HANDLED
+    // partition channel (no residual Filter above the scan), and the
+    // rewrite reconstructs it from the pushed V2 shapes and replays it on
+    // the view. Refusals: a partition predicate whose column is NOT a view
+    // key, and `_file` pseudo-column pruning — both must keep refusing.
+    val _ = root
+    import spark.implicits._
+    for (t <- Seq("pfact", "pfact_mv", "pfact2", "pfact2_mv"))
+      spark.sql(s"DROP TABLE IF EXISTS gmvr.$t")
+    (0L until 300L).map(i => (i, i % 5, i % 3, i * 13 % 500))
+      .toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.pfact").partitionedBy(col("k1")).create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'pfact', " +
+      "name => 'pfact_mv', keys => 'k1,k2', sum_col => 'x')")
+    def served(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("pfact_mv")) && !scans.exists(_.contains("pfact@"))
+    }
+    def sliced = spark.table("gmvr.pfact").filter(col("k1").isin(1L, 3L))
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        avg(col("x")).as("ax"))
+    // Prove the shape exercises the PARTITION channel, not a residual data
+    // filter: rule off, the optimized plan holds NO Filter and the bound
+    // scan pruned entries through partFilters.
+    ruleOff {
+      val plan = sliced.queryExecution.optimizedPlan
+      assert(!plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+        s"partition predicate must be fully handled (no residual), got $plan")
+      val sc = plan.collectFirst {
+        case s: DataSourceV2ScanRelation => s.scan }.get
+        .asInstanceOf[graft.sources.GraftBatchScan]
+      assert(sc.partFilters.nonEmpty &&
+        sc.entries.size < sc.manifest.entries.size,
+        "the IN slice must prune entries through the partition channel")
+    }
+    checkServes(sliced, Seq("k2"), served)
+    // Equality shape (+ the inferred IS NOT NULL) rides the same channel.
+    checkServes(spark.table("gmvr.pfact").filter(col("k1") === 2L)
+      .groupBy(col("k2")).agg(sum(col("x")).as("sx")), Seq("k2"), served)
+    // EXACT key grouping under a partition slice.
+    checkServes(spark.table("gmvr.pfact").filter(col("k1") === 2L)
+      .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n")),
+      Seq("k1", "k2"), served)
+    // `_file` pruning refuses — file identity selects physical subsets no
+    // view column replays.
+    val aFile = spark.table("gmvr.pfact").select(col("_file")).head.getString(0)
+    assert(!served(spark.table("gmvr.pfact")
+      .filter(col("_file") === aFile)
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"))),
+      "_file-channel pruning must keep refusing")
+    // A partition predicate on a NON-key partition column refuses: the view
+    // (keyed k2 only) cannot replay a k1 slice.
+    (0L until 300L).map(i => (i, i % 5, i % 3, i * 13 % 500))
+      .toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.pfact2").partitionedBy(col("k1")).create()
+    spark.sql("CALL gmvr.system.create_mview(source => 'pfact2', " +
+      "name => 'pfact2_mv', keys => 'k2', sum_col => 'x')")
+    def served2(df: DataFrame): Boolean = {
+      val scans = scansOf(df)
+      scans.exists(_.contains("pfact2_mv")) && !scans.exists(_.contains("pfact2@"))
+    }
+    assert(served2(spark.table("gmvr.pfact2")
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"))),
+      "sanity: the unsliced aggregate serves from the k2 view")
+    assert(!served2(spark.table("gmvr.pfact2").filter(col("k1") === 2L)
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"))),
+      "a partition predicate on a non-key column must refuse")
+    for (t <- Seq("pfact_mv", "pfact", "pfact2_mv", "pfact2"))
+      spark.sql(s"DROP TABLE IF EXISTS gmvr.$t")
+  }
+
+  test("outer-join trees serve only with the fact on the preserved side") {
+    // r15: fact LEFT JOIN dim (and the dim RIGHT JOIN fact mirror) serves —
+    // unmatched view rows are PRESERVED rows riding with partials intact
+    // into the NULL dim group. The fact-on-null-extended-side orientations
+    // and FULL outer refuse: an unmatched dim row null-extends mv_count
+    // where the original counted a real row.
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    spark.sql("DROP TABLE IF EXISTS gmvr.odim")
+    // k1 ∈ {5,6} go unmatched: their groups must land in attr=NULL.
+    (0L until 5L).map(i => (i, i % 2)).toDF("pk", "attr")
+      .writeTo("gmvr.odim").create()
+    def fact = spark.table("gmvr.fact")
+    def dim = spark.table("gmvr.odim")
+    checkServes(fact.join(dim, col("k1") === col("pk"), "left")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        avg(col("x")).as("ax")), Seq("attr"))
+    checkServes(dim.join(fact, col("k1") === col("pk"), "right")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("attr"))
+    // count(DISTINCT <view key>) composes through the outer join (dim-attr
+    // NULLs of unmatched rows group identically on both paths).
+    checkServes(fact.join(dim, col("k1") === col("pk"), "left")
+      .groupBy(col("attr")).agg(countDistinct(col("k2")).as("ndk"),
+        count(lit(1)).as("n")), Seq("attr"))
+    // A dim-side filter rides verbatim into the outer join.
+    checkServes(fact.join(dim.filter(col("pk") =!= 4L),
+        col("k1") === col("pk"), "left")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("attr"))
+    // Refusals: fact on the null-extended side, and FULL outer.
+    assert(!answersFromView(dim.join(fact, col("k1") === col("pk"), "left")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))),
+      "dim LEFT JOIN fact (fact null-extended) must refuse")
+    assert(!answersFromView(fact.join(dim, col("k1") === col("pk"), "right")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))),
+      "fact RIGHT JOIN dim (fact null-extended) must refuse")
+    assert(!answersFromView(fact.join(dim, col("k1") === col("pk"), "full")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))),
+      "FULL outer must refuse")
+    spark.sql("DROP TABLE IF EXISTS gmvr.odim")
+  }
+
+  test("approx_count_distinct refusal names the serving spelling in diagnostics") {
+    // r15 posture note: approx_count_distinct is HyperLogLogPlusPlus — a
+    // different sketch family than mv_hll (DataSketches) — so it can never
+    // serve; the B193 diagnostics surface must say so and name the
+    // hll_sketch_estimate(hll_sketch_agg(…)) shape that DOES serve.
+    val _ = root
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    graft.plans.MviewDiagnostics.clear()
+    val q = spark.table("gmvr.fact").groupBy(col("k1"), col("k2"))
+      .agg(approx_count_distinct(col("x")).as("nd"))
+    assert(!answersFromView(q),
+      "a HyperLogLogPlusPlus aggregate must never serve from mv_hll")
+    val notes = graft.plans.MviewDiagnostics.recent
+    assert(notes.exists(n => n.contains("approx_count_distinct") &&
+      n.contains("hll_sketch_estimate(hll_sketch_agg(")),
+      s"expected the family-mismatch note naming the serving spelling, got $notes")
   }
 }
