@@ -412,7 +412,8 @@ object Corpus {
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        trainPct: Int = 80, validPct: Int = 10): DataFrame =
     leakageSafeSplitFromLabels(docs,
-      Dedup.connectedComponents(pairs).select(col("id").as("doc_id"), col("lbl")),
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("lbl")),
       trainPct, validPct)
 
   /** [[leakageSafeSplit]] over PRECOMPUTED component labels `(doc_id, lbl)` —

@@ -56,6 +56,17 @@ class CorpusSpec extends GraftSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("star contraction refuses to return unconverged labels") {
+    // r15: the production label path (StandardLabels, leakageSafeSplit) now
+    // rides star contraction — its nonconvergence must be as loud as
+    // propagation's, never a silently-partial labeling.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(chain, maxIters = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
