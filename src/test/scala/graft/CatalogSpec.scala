@@ -3194,4 +3194,187 @@ class CatalogSpec extends GraftSuite {
     assert(spark.table(t).count() === 1L)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("property: randomized op sequences track a relational shadow (seeded)") {
+    // r15 — the catalog feature matrix is far larger than its handpicked
+    // pins (column mapping × partition evolution × DVs × branches × clone ×
+    // policies × restore × time travel), and the r14 targeted sweep found a
+    // real cross-feature bug (policy-regime mixing). This sweep drives a
+    // seeded random sequence of ops against a RELATIONAL SHADOW (a plain
+    // in-memory map) and demands after EVERY op:
+    //   - the full table read equals the shadow;
+    //   - metadata-answered COUNT/SUM (B202, DV-subtracting) equal the
+    //     shadow's aggregates — the metadata path must never drift from the
+    //     scan path;
+    //   - time travel to any recorded generation reproduces that
+    //     generation's shadow UNDER ITS OWN column names (column mapping ×
+    //     time travel);
+    //   - a REFUSED op (spec-evolved DML guards, rename guards, …) is
+    //     ATOMIC: the table still equals the shadow, no partial state.
+    // Branch writes must stay invisible to main; clone DML must never leak
+    // back; RESTORE rewinds to a recorded generation's shadow.
+    val _ = root
+    import spark.implicits._
+    val rnd = new scala.util.Random(152207L)
+    for (seqIdx <- 0 until 3) {
+      val name = s"sweep$seqIdx"
+      val t = freshTable(name)
+      spark.sql(s"DROP TABLE IF EXISTS gtest.${name}_cl")
+      var nextId = 0L
+      var vName = "v"
+      // id -> (k, k2, v, s)
+      var shadow = Map.empty[Long, (Long, Long, Option[Long], String)]
+      def mkRows(n: Int): Seq[(Long, Long, Long, Option[Long], String)] =
+        (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          (id, rnd.nextInt(5).toLong, rnd.nextInt(4).toLong,
+            if (rnd.nextInt(8) == 0) None
+            else Some(rnd.nextInt(1000).toLong - 500L),
+            s"s${rnd.nextInt(10)}")
+        }
+      def toDF(rows: Seq[(Long, Long, Long, Option[Long], String)]) =
+        rows.toDF("id", "k", "k2", vName, "s")
+      val dml = if (rnd.nextBoolean()) "dv" else "cow"
+      var curSpec: Option[String] =
+        Seq(None, Some("k"), Some("k2"))(rnd.nextInt(3))
+      locally {
+        val first = mkRows(60)
+        val w = toDF(first).writeTo(t).tableProperty("dml", dml)
+        (curSpec match {
+          case Some(c) => w.partitionedBy(col(c)); case None => w
+        }).create()
+        shadow = first.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      }
+      val dir = new Path(root, name)
+      val conf = spark.sessionState.newHadoopConf()
+      def gen() = graft.sources.GraftManifest.currentGen(dir, conf)
+      // generation -> (that generation's v-column name, spec, shadow)
+      var history =
+        Map(gen() -> ((vName, curSpec, shadow)))
+      def rowSet(df: org.apache.spark.sql.DataFrame, vn: String)
+          : Set[(Long, Long, Long, Option[Long], String)] =
+        df.select(col("id"), col("k"), col("k2"), col(vn), col("s"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getString(4))).toSet
+      def asSet(m: Map[Long, (Long, Long, Option[Long], String)]) =
+        m.map { case (id, (k, k2, v, s)) => (id, k, k2, v, s) }.toSet
+      def checkState(label: String): Unit = {
+        assert(rowSet(spark.table(t), vName) == asSet(shadow),
+          s"[$name $label] full read diverged from the shadow")
+        val agg = spark.table(t)
+          .agg(count(lit(1)).as("n"), sum(col(vName)).as("sv")).collect()(0)
+        val wantSum = {
+          val vs = shadow.values.flatMap(_._3)
+          if (vs.isEmpty) None else Some(vs.sum)
+        }
+        assert(agg.getLong(0) == shadow.size.toLong &&
+          (if (agg.isNullAt(1)) None else Some(agg.getLong(1))) == wantSum,
+          s"[$name $label] metadata COUNT/SUM diverged from the shadow")
+        // Time travel to a random recorded generation, read under THAT
+        // generation's column names.
+        val (g, (vn, _, snap)) = history.toSeq(rnd.nextInt(history.size))
+        assert(rowSet(spark.sql(
+          s"SELECT id, k, k2, $vn, s FROM $t VERSION AS OF $g"), vn)
+          == asSet(snap),
+          s"[$name $label] VERSION AS OF $g diverged from gen-$g shadow")
+      }
+      checkState("seed")
+      val refusals = scala.collection.mutable.ListBuffer.empty[String]
+      for (op <- 0 until 12) {
+        val pick = rnd.nextInt(10)
+        try {
+          pick match {
+            case 0 | 1 => // append a batch
+              val rows = mkRows(1 + rnd.nextInt(25))
+              toDF(rows).writeTo(t).append()
+              shadow ++= rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+            case 2 => // delete by key (partition-aligned when spec is k)
+              val c = rnd.nextInt(5)
+              spark.sql(s"DELETE FROM $t WHERE k = $c")
+              shadow = shadow.filter(_._2._1 != c)
+            case 3 => // delete by id stride (cross-partition DV bitmaps)
+              val m = 2 + rnd.nextInt(5)
+              spark.sql(s"DELETE FROM $t WHERE id % $m = 0")
+              shadow = shadow.filter(_._1 % m != 0)
+            case 4 => // update the (renameable) value column; NULLs stay NULL
+              val c = rnd.nextInt(5)
+              spark.sql(s"UPDATE $t SET $vName = $vName + 7 WHERE k = $c")
+              shadow = shadow.map { case (id, (k, k2, v, s)) =>
+                id -> ((k, k2, if (k == c) v.map(_ + 7) else v, s))
+              }
+            case 5 => // column-mapping rename of the value column
+              val nn = s"v$op$seqIdx"
+              spark.sql(s"ALTER TABLE $t RENAME COLUMN $vName TO $nn")
+              vName = nn
+            case 6 => // partition spec evolution: flip to the other low-card col
+              val target = if (curSpec.contains("k")) "k2" else "k"
+              spark.sql(s"CALL gtest.system.set_partition_spec(" +
+                s"table => '$name', cols => '$target')")
+              curSpec = Some(target)
+            case 7 => // policy probe: filtered read == filtered shadow; unset
+              spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES(" +
+                "'graft.rowFilter' = 's <> ''s1''')")
+              val got = rowSet(spark.table(t), vName)
+              val want = asSet(shadow.filter(_._2._4 != "s1"))
+              spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('graft.rowFilter')")
+              assert(got == want,
+                s"[$name op$op] policied read diverged from filtered shadow")
+            case 8 => // clone probe: clone == shadow; clone DML never leaks back
+              spark.sql(s"DROP TABLE IF EXISTS gtest.${name}_cl")
+              spark.sql(s"CALL gtest.system.clone(" +
+                s"source => '$name', target => '${name}_cl')")
+              assert(rowSet(spark.table(s"gtest.${name}_cl"), vName)
+                == asSet(shadow),
+                s"[$name op$op] clone read diverged from shadow")
+              try spark.sql(s"DELETE FROM gtest.${name}_cl WHERE k = 0")
+              catch { case _: Exception => () } // spec-evolved guard may refuse
+              spark.sql(s"DROP TABLE IF EXISTS gtest.${name}_cl")
+            case 9 => // branch probe: isolated write, visible on the ref, drop
+              val b = s"b$op"
+              spark.sql(s"CALL gtest.system.branch(" +
+                s"table => '$name', name => '$b')")
+              val rows = mkRows(5) // ids burn, never enter the main shadow
+              toDF(rows).writeTo(t).option("branch", b).append()
+              val got = rowSet(spark.sql(
+                s"SELECT id, k, k2, $vName, s FROM $t VERSION AS OF '$b'"), vName)
+              val want = asSet(shadow) ++
+                rows.map(r => (r._1, r._2, r._3, r._4, r._5))
+              spark.sql(s"CALL gtest.system.drop_branch(" +
+                s"table => '$name', name => '$b')")
+              assert(got == want,
+                s"[$name op$op] branch read diverged from shadow+branch rows")
+          }
+        } catch {
+          case e: org.scalatest.exceptions.TestFailedException => throw e
+          case e: Exception =>
+            // Refusal is a legitimate outcome (spec-evolved DML guards etc.)
+            // — but it must be ATOMIC: checkState below proves no partial
+            // state landed.
+            refusals += s"op$op pick$pick: ${e.getMessage.linesIterator.next().take(100)}"
+        }
+        history += gen() -> ((vName, curSpec, shadow))
+        checkState(s"op$op pick$pick")
+      }
+      // RESTORE leg: rewind to a random recorded generation whose schema
+      // and spec match the current ones (engine-restorable without a
+      // schema-identity question), then verify the shadow rewinds with it.
+      val restorable = history.toSeq.filter { case (_, (vn, sp, _)) =>
+        vn == vName && sp == curSpec }
+      if (restorable.size > 1) {
+        val (g, (_, _, snap)) = restorable(rnd.nextInt(restorable.size))
+        spark.sql(s"CALL gtest.system.restore(table => '$name', version => $g)")
+        shadow = snap
+        history += gen() -> ((vName, curSpec, shadow))
+        checkState(s"restore-to-$g")
+      }
+      // The sweep must actually exercise the matrix, not refuse its way
+      // through: at most a third of the ops may have refused.
+      assert(refusals.size <= 4,
+        s"[$name] too many refused ops (${refusals.size}): " +
+          refusals.mkString("; "))
+      spark.sql(s"DROP TABLE IF EXISTS gtest.${name}_cl")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
