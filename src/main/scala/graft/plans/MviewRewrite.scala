@@ -156,6 +156,7 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       rewrite(g2, a2, c2)
         .orElse(rewriteJoin(g2, a2, c2))
         .orElse(rewriteExpand(g2, a2, c2))
+        .orElse(rewriteMultiDistinct(g2, a2, c2))
         .getOrElse(a)
   }
 
@@ -1116,6 +1117,343 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case DistinctCountOut(al, _) => al // unreachable: refused above
     }
     Some(Aggregate(ges, aggList, newExpand))
+  }
+
+  // --------------------------------------- multi-distinct-lowering rewrite
+
+  /** MULTI-DISTINCT-GROUP aggregates served from the view (r15). A query
+    * mixing distinct aggregates over DIFFERENT columns —
+    *
+    *   SELECT k1, count(DISTINCT k2), count(DISTINCT k3), sum(x)
+    *   FROM big GROUP BY k1
+    *
+    * — reaches this rule already LOWERED by RewriteDistinctAggregates into
+    *
+    *   Aggregate(gesO, [keys, count(d_i) FILTER (gid = g_i),
+    *                    first(partial) FILTER (gid = g_reg) …],
+    *     Aggregate([keys, d_1.., gid], [passthroughs, partial aggs],
+    *       Expand([regular row: keys, nulls, g_reg, agg children],
+    *              [distinct row i: keys, group-i cols, g_i, nulls], scan)))
+    *
+    * The serving argument makes the OUTER aggregate reusable VERBATIM: the
+    * rewrite keeps the Expand structure and every output attribute id,
+    * substitutes the view underneath, and patches only what flows through —
+    *   - distinct rows re-point their key columns at the VIEW's key columns:
+    *     after the inner (keys, d_i, gid) grouping, the gid = g_i slice is
+    *     one row per distinct (keys, group-i values) combo present in the
+    *     input, and the view's key tuples enumerate exactly the combos
+    *     present in the base — identical row sets, so any outer aggregate
+    *     FILTERed to that gid and referencing only that row's columns
+    *     (count, even multi-argument count) is untouched by the swap;
+    *   - the regular row carries the mv_* partial columns (nulled in the
+    *     distinct rows, exactly as the original nulled the agg children),
+    *     and the inner partial functions fold them: sum → SUM(mv_sum),
+    *     count(*) → SUM(mv_count), count(col) → SUM(mv_nncount), min/max →
+    *     MIN(mv_min)/MAX(mv_max), avg → the exact-longs division — the
+    *     same algebra as the rollup path, so the gid = g_reg slice carries
+    *     the same partial VALUES the base computed;
+    *   - inner slices under OTHER gids differ only in columns the outer
+    *     provably never reads: every outer aggregate must carry a
+    *     FILTER (gid = <literal>) pinning it to one projection row, and its
+    *     references must stay inside that row's live columns — checked
+    *     structurally, anything else refuses.
+    * Soundness needs every distinct column AND every grouping column to be a
+    * view key; regular partials follow the single-table rules (declared sum
+    * column, TRY refuses, ANSI demands an ANSI-folded view). Sketch partials
+    * (hll_sketch_agg) refuse here: the partial rides the inner aggregate as
+    * a raw sketch BINARY, which is not value-stable across paths. */
+  private def rewriteMultiDistinct(ges: Seq[Expression],
+      aes: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val inner = child match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    val ex = inner.child match { case e: Expand => e; case _ => return None }
+    val nProj = ex.projections.length
+    if (nProj < 2) return None
+    val (baseRel, baseTable, baseFilter) = baseOf(ex.child).getOrElse(return None)
+    val curRegime = GraftPolicies.regime(baseTable.manifest.props, session)
+    val srcPoliced = GraftPolicies.declared(baseTable.manifest.props)
+    val filterCols = filterColsOf(baseFilter).getOrElse(return None)
+    if (!pushedCovered(ex.child, filterCols)) return None
+
+    val gesIIds: Set[ExprId] = inner.groupingExpressions.map {
+      case ar: AttributeReference => ar.exprId
+      case _ => return None
+    }.toSet
+
+    // Position classification over the Expand (structural and total).
+    sealed trait P
+    case class Pass(scanAttr: AttributeReference) extends P
+    case class Dist(scanAttr: AttributeReference, rows: Set[Int]) extends P
+    case class RegChild(scanAttr: AttributeReference) extends P
+    case object GidP extends P
+    val poses: Seq[P] = ex.output.indices.map { i =>
+      val exprs = ex.projections.map(_(i))
+      val attrRows = exprs.zipWithIndex.collect {
+        case (ar: AttributeReference, r) => (ar, r)
+      }
+      val nulls = exprs.count { case Literal(v, _) => v == null; case _ => false }
+      val nonNullLits = exprs.count {
+        case Literal(v, _) => v != null; case _ => false
+      }
+      val distinctIds = attrRows.map(_._1.exprId).distinct
+      val inGesI = gesIIds.contains(ex.output(i).exprId)
+      if (attrRows.length == nProj && distinctIds.length == 1 &&
+          ex.output(i).exprId == attrRows.head._1.exprId && inGesI)
+        Pass(attrRows.head._1)
+      // A distinct column SHARED by several distinct groups (count(DISTINCT
+      // b) + count(DISTINCT a, b)) is live in one row PER group — any
+      // number of rows classifies, nulls everywhere else.
+      else if (attrRows.nonEmpty && distinctIds.length == 1 &&
+          attrRows.length + nulls == nProj && inGesI)
+        Dist(attrRows.head._1, attrRows.map(_._2).toSet)
+      else if (attrRows.length == 1 && attrRows.length + nulls == nProj)
+        RegChild(attrRows.head._1)
+      else if (nonNullLits == nProj && inGesI &&
+          exprs.forall {
+            case Literal(_: Int, _) | Literal(_: Long, _) => true
+            case _ => false
+          })
+        GidP
+      else return None
+    }
+    val gidIdxs = ex.output.indices.filter(i => poses(i) == GidP)
+    if (gidIdxs.size != 1) return None
+    val gidIdx = gidIdxs.head
+    val gidAttr = ex.output(gidIdx)
+    // The gid literal of each projection row; rows must be distinguishable.
+    val gidOfRow: Seq[Any] = ex.projections.map(_(gidIdx) match {
+      case Literal(v, _) => v
+      case _ => return None
+    })
+    if (gidOfRow.distinct.size != nProj) return None
+    // gesI must be exactly {pass} ∪ {dist} ∪ {gid} — nothing hidden.
+    val passIdx = ex.output.indices.filter(i => poses(i).isInstanceOf[Pass])
+    val distIdx = ex.output.indices.filter(i => poses(i).isInstanceOf[Dist])
+    val regIdx = ex.output.indices.filter(i => poses(i).isInstanceOf[RegChild])
+    if (gesIIds != (passIdx ++ distIdx :+ gidIdx).map(ex.output(_).exprId).toSet)
+      return None
+    // The REGULAR row: all RegChild attrs live in one row, no Dist attr in it.
+    val regularRow: Option[Int] = {
+      val rows = regIdx.map(i => poses(i) match {
+        case RegChild(_) =>
+          ex.projections.indices.find(r =>
+            ex.projections(r)(i).isInstanceOf[AttributeReference]).get
+        case _ => return None
+      }).distinct
+      if (rows.size > 1) return None
+      if (rows.isEmpty) None
+      else {
+        val r0 = rows.head
+        if (distIdx.exists(i => poses(i) match {
+          case Dist(_, drs) => drs.contains(r0); case _ => false
+        })) return None
+        Some(r0)
+      }
+    }
+
+    // Inner aggregate list: passthroughs ride; partials classify into the
+    // abelian set over RegChild columns. Build the verification `outs` and
+    // the per-alias replacement plan.
+    val regScanOf: Map[ExprId, AttributeReference] = regIdx.map { i =>
+      ex.output(i).exprId -> (poses(i) match {
+        case RegChild(sa) => sa
+        case _ => return None
+      })
+    }.toMap
+    sealed trait PartialKind
+    case object PSum extends PartialKind
+    case object PCountStar extends PartialKind
+    case object PNNCount extends PartialKind
+    case object PMin extends PartialKind
+    case object PMax extends PartialKind
+    case object PAvg extends PartialKind
+    val partials = scala.collection.mutable.ListBuffer
+      .empty[(Alias, PartialKind, AttributeReference)]
+    var needsExactFold = false
+    inner.aggregateExpressions.foreach {
+      case ar: AttributeReference if gesIIds.contains(ar.exprId) => ()
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        fn match {
+          case sm @ Sum(sa: AttributeReference, _)
+              if regScanOf.contains(sa.exprId) &&
+                sm.evalContext.evalMode != EvalMode.TRY =>
+            if (sm.evalContext.evalMode == EvalMode.ANSI) needsExactFold = true
+            partials += ((al, PSum, regScanOf(sa.exprId)))
+          case Count(cs) if cs.nonEmpty &&
+              cs.forall(c => c.foldable && c.eval() != null) =>
+            partials += ((al, PCountStar, null))
+          case Count(Seq(sa: AttributeReference))
+              if regScanOf.contains(sa.exprId) =>
+            partials += ((al, PNNCount, regScanOf(sa.exprId)))
+          case Min(sa: AttributeReference) if regScanOf.contains(sa.exprId) =>
+            partials += ((al, PMin, regScanOf(sa.exprId)))
+          case Max(sa: AttributeReference) if regScanOf.contains(sa.exprId) =>
+            partials += ((al, PMax, regScanOf(sa.exprId)))
+          case av @ Average(sa: AttributeReference, _)
+              if regScanOf.contains(sa.exprId) &&
+                av.evalMode != EvalMode.TRY &&
+                Set[org.apache.spark.sql.types.DataType](LongType,
+                  org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.ShortType)(sa.dataType) =>
+            if (av.evalMode == EvalMode.ANSI) needsExactFold = true
+            partials += ((al, PAvg, regScanOf(sa.exprId)))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    if (partials.nonEmpty && regularRow.isEmpty) return None
+
+    // OUTER verification: grouping over pass attrs only; every aggregate
+    // pinned by FILTER (gid = <literal>) to one projection row, reading only
+    // that row's live columns (the verbatim-ride soundness condition).
+    val passIds = passIdx.map(ex.output(_).exprId).toSet
+    if (!ges.forall {
+      case ar: AttributeReference => passIds.contains(ar.exprId)
+      case _ => false
+    }) return None
+    val partialIds = partials.map(_._1.exprId).toSet
+    val distIdsOfRow: Map[Any, Set[ExprId]] = gidOfRow.zipWithIndex.map {
+      case (g, r) =>
+        g -> distIdx.filter(i => poses(i) match {
+          case Dist(_, drs) => drs.contains(r); case _ => false
+        }).map(ex.output(_).exprId).toSet
+    }.toMap
+    def gidFilterOf(f: Expression): Option[Any] = f match {
+      case EqualTo(a: AttributeReference, Literal(g, _))
+          if a.exprId == gidAttr.exprId => Some(g)
+      case EqualTo(Literal(g, _), a: AttributeReference)
+          if a.exprId == gidAttr.exprId => Some(g)
+      case _ => None
+    }
+    val outerOk = aes.forall { ne =>
+      if (!ne.deterministic || ne.exists(_.isInstanceOf[PlanExpression[_]]))
+        false
+      else {
+        var ok = true
+        val stripped = ne.transform {
+          case ae @ AggregateExpression(fn, mode, isDistinct, filterOpt, _) =>
+            val fine = mode == Complete && !isDistinct &&
+              filterOpt.flatMap(gidFilterOf).exists { g =>
+                val refs = fn.references.map(_.exprId).toSet
+                if (regularRow.exists(r => gidOfRow(r) == g))
+                  refs.subsetOf(partialIds)
+                else distIdsOfRow.get(g).exists(d =>
+                  refs.nonEmpty && refs.subsetOf(d))
+              }
+            if (!fine) ok = false
+            Literal(null, ae.dataType) // placeholder for the residual check
+        }
+        // Outside the aggregates, only grouping attrs (and literals) may
+        // remain — the rewritten inner re-emits exactly those.
+        ok && stripped.references.forall(a => passIds.contains(a.exprId))
+      }
+    }
+    if (!outerOk) return None
+
+    // Candidate view: every grouping, distinct, and filter column a key;
+    // the regular partials over the declared sum column.
+    val passCols = passIdx.map(i => poses(i) match {
+      case Pass(sa) => sa.name.toLowerCase; case _ => return None
+    }).toSet
+    val distCols = distIdx.map(i => poses(i) match {
+      case Dist(sa, _) => sa.name.toLowerCase; case _ => return None
+    }).toSet
+    val outs: Seq[Out] = partials.toSeq.map {
+      case (al, PSum, sa) => SumOut(al, sa, ansi = needsExactFold)
+      case (al, PCountStar, _) => CountOut(al)
+      case (al, PNNCount, sa) => NNCountOut(al, sa)
+      case (al, PMin, sa) => MinOut(al, sa)
+      case (al, PMax, sa) => MaxOut(al, sa)
+      case (al, PAvg, sa) => AvgOut(al, sa, ansi = needsExactFold)
+    }
+    val sumCols = partials.toSeq.collect {
+      case (_, k, sa) if k != PCountStar => sa.name
+    }.distinct
+    if (sumCols.size > 1) return None
+    val tc = baseRel.catalog.getOrElse(return None) match {
+      case t: TableCatalog => t
+      case _ => return None
+    }
+    val srcIdent = baseRel.identifier.getOrElse(return None)
+    val requiredKeys = passCols ++ distCols ++ filterCols
+    val declared = MviewRewriteRule.candidateViews(tc, srcIdent.namespace())
+      .filter { case (_, source, keys, sum) =>
+        source == srcIdent.name() && requiredKeys.subsetOf(keys) &&
+          sumCols.forall(_.equalsIgnoreCase(sum))
+      }
+    val ordered = declared.sortBy(_._3.size).map(d => (d._1, d._3))
+    val (vIdent, vTable, _) = pickVerified(tc, ordered, srcIdent.name(),
+      baseTable.manifest.gen, sumCols, needsExactFold, outs,
+      curRegime, srcPoliced)
+      .getOrElse(return None)
+
+    val wanted = requiredKeys ++ mvWanted(outs)
+    val (vScan, vAttr) = buildViewScan(vTable, vIdent, baseRel.catalog, wanted)
+    val vInput: LogicalPlan = baseFilter match {
+      case Some(c) => Filter(c.transform {
+        case ar: AttributeReference => vAttr(ar.name)
+      }, vScan)
+      case None => vScan
+    }
+
+    // Rebuild the Expand: pass/dist/gid output attrs VERBATIM (the inner
+    // grouping and the outer's filters/refs resolve against them), RegChild
+    // positions dropped, fresh nullable mv_* attrs appended — live in the
+    // regular row, NULL elsewhere (mirroring how the original nulled the
+    // agg children outside their row).
+    val keepIdx = ex.output.indices.filterNot(i => poses(i).isInstanceOf[RegChild])
+    val mvNames = mvWanted(outs).toSeq.sorted
+    val mvOut: Seq[AttributeReference] =
+      mvNames.map(n => AttributeReference(n, vAttr(n).dataType)())
+    val mvAttrOf: Map[String, AttributeReference] = mvNames.zip(mvOut).toMap
+    val newOutput: Seq[Attribute] = keepIdx.map(ex.output) ++ mvOut
+    val newProjections: Seq[Seq[Expression]] =
+      ex.projections.indices.map { r =>
+        keepIdx.map { i =>
+          poses(i) match {
+            case Pass(sa) => vAttr(sa.name)
+            case Dist(sa, drs) =>
+              if (drs.contains(r)) vAttr(sa.name)
+              else Literal(null, ex.output(i).dataType)
+            case GidP => ex.projections(r)(gidIdx)
+            case RegChild(_) => ex.projections(r)(i) // unreachable (dropped)
+          }
+        } ++ mvNames.map { n =>
+          if (regularRow.contains(r)) vAttr(n)
+          else Literal(null, mvAttrOf(n).dataType)
+        }
+      }
+    val newExpand = Expand(newProjections, newOutput, vInput)
+
+    // Rebuild the inner aggregate: passthroughs verbatim, each partial's
+    // function swapped for its mv_* fold under the SAME alias/exprId.
+    val replOf: Map[ExprId, Expression] = partials.toSeq.map { case (al, k, _) =>
+      al.exprId -> (k match {
+        case PSum => reSum(mvAttrOf("mv_sum"))
+        case PCountStar =>
+          Coalesce(Seq(reSum(mvAttrOf("mv_count")), Literal(0L)))
+        case PNNCount =>
+          Coalesce(Seq(reSum(mvAttrOf("mv_nncount")), Literal(0L)))
+        case PMin => AggregateExpression(Min(mvAttrOf("mv_min")), Complete,
+          isDistinct = false)
+        case PMax => AggregateExpression(Max(mvAttrOf("mv_max")), Complete,
+          isDistinct = false)
+        case PAvg =>
+          avgOf(reSum(mvAttrOf("mv_sum")), reSum(mvAttrOf("mv_nncount")))
+      })
+    }.toMap
+    val newAesI: Seq[NamedExpression] = inner.aggregateExpressions.map {
+      case ar: AttributeReference => ar
+      case al: Alias if replOf.contains(al.exprId) =>
+        Alias(replOf(al.exprId), al.name)(exprId = al.exprId)
+      case _ => return None // unreachable: classified above
+    }
+    val newInner = Aggregate(inner.groupingExpressions, newAesI, newExpand)
+    // The outer aggregate rides verbatim — same grouping, same outputs, same
+    // exprIds; only its input changed, and only in slices it never reads.
+    Some(Aggregate(ges, aes, newInner))
   }
 
   // ------------------------------------------------- join-aggregate rewrite

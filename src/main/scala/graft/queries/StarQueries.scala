@@ -3650,6 +3650,31 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
     },
 
+    // B234 r15 — MULTI-DISTINCT-GROUP aggregate served from the view: two
+    // count(DISTINCT) over DIFFERENT view keys + regular partials reach the
+    // rule as the RewriteDistinctAggregates double-Aggregate-over-Expand
+    // lowering; the rewrite keeps the whole structure (outer aggregate
+    // VERBATIM) and substitutes the view under the Expand — distinct slices
+    // enumerate the same (group, value) combos because view keys enumerate
+    // base combos, and the regular row's partials fold from mv_*.
+    // `rewritten` pins the view-scan plan; DuckDB replays the aggregate.
+    "q_mview_distinct_pair" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      val df = s.table("graft.mvrq")
+        .agg(countDistinct(col("pk")).as("ndp"),
+          countDistinct(col("b")).as("ndb"),
+          sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") && !named.contains("mvrq")
+      df.withColumn("rewritten", lit(rewritten))
+    },
+
     // B234 r15 — LEFT-OUTER join tree served from the view (the lossless
     // reporting join: keep every fact row, attribute what matches): the
     // (pk,b) view substitutes for the fact on the PRESERVED side, the
@@ -6358,6 +6383,17 @@ object StarQueries {
         |  CAST(count(DISTINCT b) AS BIGINT) AS ndb, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents, true AS rewritten
         |FROM base GROUP BY 1 ORDER BY pk""".stripMargin,
+
+    // B234 r15 multi-distinct-group rewrite: the oracle replays the mixed
+    // two-distinct aggregate over the base rows.
+    "q_mview_distinct_pair" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders)
+        |SELECT CAST(count(DISTINCT pk) AS BIGINT) AS ndp,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS ndb,
+        |  CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n,
+        |  true AS rewritten
+        |FROM base""".stripMargin,
 
     // B234 r15 left-outer join rewrite: the oracle replays the outer
     // join-aggregate (unmatched b=4 fact rows land in the NULL grp group).

@@ -1636,6 +1636,47 @@ class MviewRewriteSpec extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS gmvr.odim")
   }
 
+  test("multi-distinct-group aggregates serve via the rewritten Expand lowering") {
+    // r15: count(DISTINCT a), count(DISTINCT b) over DIFFERENT columns is
+    // lowered by RewriteDistinctAggregates into the double-Aggregate-over-
+    // Expand form before the rule runs. When every distinct column is a
+    // VIEW KEY and the regular partials are the maintained set, the rewrite
+    // keeps the whole structure (outer aggregate VERBATIM) and substitutes
+    // the view under the Expand — distinct slices enumerate the same
+    // (group, value) combos because view keys enumerate base combos, and
+    // the regular row's partials fold from mv_*.
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    def fact = spark.table("gmvr.fact")
+    // Global: two distinct groups + sum + count.
+    checkServes(fact.agg(countDistinct(col("k1")).as("nd1"),
+      countDistinct(col("k2")).as("nd2"), sum(col("x")).as("sx"),
+      count(lit(1)).as("n")), Seq("nd1"))
+    // Grouped, with a multi-argument distinct and the full partial set.
+    checkServes(fact.groupBy(col("k1"))
+      .agg(countDistinct(col("k2")).as("nd2"),
+        countDistinct(col("k1"), col("k2")).as("ndp"),
+        sum(col("x")).as("sx"), avg(col("x")).as("ax"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(col("x")).as("nnx"), count(lit(1)).as("n")), Seq("k1"))
+    // Key-only filter replays on the view through the lowered shape too.
+    checkServes(fact.filter(col("k2") === 1L)
+      .agg(countDistinct(col("k1")).as("nd1"),
+        countDistinct(col("k2")).as("nd2"), sum(col("x")).as("sx")),
+      Seq("nd1"))
+    // Refusal battery: a distinct over a NON-key (x) refuses the whole
+    // lowering (pinned with values in the grouping-sets test), and
+    // staleness stops this path like every other.
+    Seq((905L, 2L, 1L, 60L)).toDF("id", "k1", "k2", "x")
+      .writeTo("gmvr.fact").append()
+    assert(!answersFromView(fact.agg(countDistinct(col("k1")).as("nd1"),
+      countDistinct(col("k2")).as("nd2"))), "stale view must refuse")
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    checkServes(fact.agg(countDistinct(col("k1")).as("nd1"),
+      countDistinct(col("k2")).as("nd2")), Seq("nd1"))
+  }
+
   test("approx_count_distinct refusal names the serving spelling in diagnostics") {
     // r15 posture note: approx_count_distinct is HyperLogLogPlusPlus — a
     // different sketch family than mv_hll (DataSketches) — so it can never
