@@ -425,7 +425,10 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
         for { a <- attr(c); l <- lit(a, v) } yield EqualTo(a, l)
       case v2f.EqualNullSafe(c, v) =>
         for { a <- attr(c); l <- lit(a, v) } yield EqualNullSafe(a, l)
-      case v2f.In(c, vs) => attr(c).flatMap { a =>
+      case v2f.In(c, vs) if vs.nonEmpty => attr(c).flatMap { a =>
+        // nonEmpty guard: a Catalyst In with an empty value list is
+        // malformed — an empty pushed IN (nothing survives the prune)
+        // refuses rather than reconstructing an unevaluable predicate.
         val ls = vs.toSeq.map(v => lit(a, v))
         if (ls.forall(_.isDefined)) Some(In(a, ls.map(_.get))) else None
       }

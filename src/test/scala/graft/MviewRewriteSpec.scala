@@ -1588,7 +1588,17 @@ class MviewRewriteSpec extends GraftSuite {
     assert(!served2(spark.table("gmvr.pfact2").filter(col("k1") === 2L)
       .groupBy(col("k2")).agg(count(lit(1)).as("n"))),
       "a partition predicate on a non-key column must refuse")
-    for (t <- Seq("pfact_mv", "pfact", "pfact2_mv", "pfact2"))
+    // The partition residual flows through the JOIN rewrite's fact leg too:
+    // a partition-sliced fact joined to a dim serves from the view with the
+    // slice replayed on the view's key column.
+    spark.sql("DROP TABLE IF EXISTS gmvr.pfdim")
+    (0L until 3L).map(i => (i, i % 2)).toDF("qk", "half")
+      .writeTo("gmvr.pfdim").create()
+    checkServes(spark.table("gmvr.pfact").filter(col("k1").isin(1L, 4L))
+      .join(spark.table("gmvr.pfdim"), col("k2") === col("qk"))
+      .groupBy(col("half")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("half"), served)
+    for (t <- Seq("pfdim", "pfact_mv", "pfact", "pfact2_mv", "pfact2"))
       spark.sql(s"DROP TABLE IF EXISTS gmvr.$t")
   }
 
