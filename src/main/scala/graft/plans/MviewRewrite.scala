@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
@@ -1490,14 +1490,23 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
     // LEFT JOIN fact) would null-extend the substituted view row's mv_count
     // for every unmatched dim row, where the original counted each such row
     // as 1 — never sound, so those subtrees are simply not offered.
+    // LEFT SEMI / LEFT ANTI (r15) — the optimizer's lowering of EXISTS /
+    // NOT EXISTS predicates: output is the LEFT side only, no duplication
+    // at all, so the per-group proof is the simplest of the family — a view
+    // group's rows all pass or fail the (deterministic, view-keys ×
+    // dim-attrs) condition together, and the semi/anti join keeps or drops
+    // the group's partial exactly as it kept or dropped each of its rows.
     def factCands(p: LogicalPlan): Seq[LogicalPlan] = strip(p) match {
       case Join(l, r, Inner, Some(_), _) => factCands(l) ++ factCands(r)
-      case Join(l, _, LeftOuter, Some(_), _) => factCands(l)
+      case Join(l, _, LeftOuter | LeftSemi | LeftAnti, Some(_), _) =>
+        factCands(l)
       case Join(_, r, RightOuter, Some(_), _) => factCands(r)
       case _ => if (baseOf(p).isDefined) Seq(p) else Seq.empty
     }
     strip(child) match {
-      case top @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
+      case top @ Join(_, _,
+          Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti,
+          Some(_), _) =>
         factCands(top).iterator
           .flatMap(f => attemptJoin(ges, aes, top, f)).nextOption()
       case _ => None
@@ -1561,7 +1570,8 @@ case class MviewRewriteRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ if p eq fact => Seq.empty
       case Join(l, r, Inner, Some(c), _) =>
         c +: (if (containsFact(l)) pathConds(l) else pathConds(r))
-      case Join(l, _, LeftOuter, Some(c), _) if containsFact(l) =>
+      case Join(l, _, LeftOuter | LeftSemi | LeftAnti, Some(c), _)
+          if containsFact(l) =>
         c +: pathConds(l)
       case Join(_, r, RightOuter, Some(c), _) if containsFact(r) =>
         c +: pathConds(r)

@@ -3675,6 +3675,31 @@ object StarQueries {
       df.withColumn("rewritten", lit(rewritten))
     },
 
+    // B234 r15 — SEMI-JOIN (EXISTS) reporting shape served from the view:
+    // `WHERE EXISTS (...)` lowers to a LeftSemi join, which keeps fact rows
+    // without duplication — a view group passes or fails the condition
+    // together, so the view's partial is kept or dropped exactly as its
+    // rows were. `rewritten` pins the view-for-fact substitution with the
+    // dim still in the plan; the oracle replays the EXISTS aggregate.
+    "q_mview_semijoin_rewrite" -> { (s, d) =>
+      GraftCatalogSetup(s, d)
+      org.apache.spark.sql.GraftBridge.addOptimization(s,
+        graft.plans.MviewRewriteRule(s))
+      mvrqFixtures(s, d)
+      mvrqDimFixture(s, d)
+      val df = s.sql(
+        "SELECT pk, count(*) AS n, sum(cents) AS cents FROM graft.mvrq f " +
+          "WHERE EXISTS (SELECT 1 FROM graft.mvrq_dim d " +
+          "WHERE d.bpk = f.b AND d.bpk <> 4) GROUP BY pk")
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation => V2SR}
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case sr: V2SR => sr.relation.table.name() }
+      val named = scans.map(scanLeaf)
+      val rewritten = named.contains("mvrq_mv") &&
+        named.contains("mvrq_dim") && !named.contains("mvrq")
+      df.withColumn("rewritten", lit(rewritten)).orderBy(col("pk"))
+    },
+
     // B234 r15 — LEFT-OUTER join tree served from the view (the lossless
     // reporting join: keep every fact row, attribute what matches): the
     // (pk,b) view substitutes for the fact on the PRESERVED side, the
@@ -6394,6 +6419,17 @@ object StarQueries {
         |  CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n,
         |  true AS rewritten
         |FROM base""".stripMargin,
+
+    // B234 r15 semi-join rewrite: the oracle replays the EXISTS aggregate.
+    "q_mview_semijoin_rewrite" ->
+      """WITH base AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 3 AS pk, o_orderkey % 5 AS b FROM orders),
+        |dim AS (SELECT DISTINCT o_orderkey % 5 AS bpk FROM orders)
+        |SELECT CAST(pk AS BIGINT) AS pk, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, true AS rewritten
+        |FROM base WHERE EXISTS (
+        |  SELECT 1 FROM dim WHERE dim.bpk = base.b AND dim.bpk <> 4)
+        |GROUP BY 1 ORDER BY pk""".stripMargin,
 
     // B234 r15 left-outer join rewrite: the oracle replays the outer
     // join-aggregate (unmatched b=4 fact rows land in the NULL grp group).

@@ -1687,6 +1687,45 @@ class MviewRewriteSpec extends GraftSuite {
       countDistinct(col("k2")).as("nd2")), Seq("nd1"))
   }
 
+  test("semi/anti join trees serve: EXISTS and NOT EXISTS reporting shapes") {
+    // r15: LeftSemi/LeftAnti output the fact side only with NO duplication
+    // — the simplest per-group proof in the join family (a view group
+    // passes or fails the condition together, and the join keeps or drops
+    // its partial whole). NOT IN lowers to a null-aware anti condition
+    // (`cond OR isnull(cond)`) — still group-constant over view keys.
+    val _ = root
+    import spark.implicits._
+    spark.sql("CALL gmvr.system.refresh_mview(name => 'fact_mv')")
+    spark.sql("DROP TABLE IF EXISTS gmvr.sdim")
+    // pk 0..3: k1 ∈ {4,5,6} fail EXISTS and survive NOT EXISTS.
+    (0L until 4L).map(i => (i, i % 2)).toDF("pk", "attr")
+      .writeTo("gmvr.sdim").create()
+    def fact = spark.table("gmvr.fact")
+    def dim = spark.table("gmvr.sdim")
+    checkServes(fact.join(dim, col("k1") === col("pk"), "left_semi")
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        avg(col("x")).as("ax")), Seq("k2"))
+    checkServes(fact.join(dim, col("k1") === col("pk"), "left_anti")
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx")),
+      Seq("k2"))
+    // The SQL spellings that lower to these joins.
+    checkServes(spark.sql(
+      "SELECT k2, count(*) AS n, sum(x) AS sx FROM gmvr.fact f " +
+        "WHERE EXISTS (SELECT 1 FROM gmvr.sdim d WHERE d.pk = f.k1) " +
+        "GROUP BY k2"), Seq("k2"))
+    checkServes(spark.sql(
+      "SELECT k2, count(*) AS n FROM gmvr.fact " +
+        "WHERE k1 NOT IN (SELECT pk FROM gmvr.sdim) GROUP BY k2"), Seq("k2"))
+    // Refusals: the semi condition over a NON-key fact column, and a data
+    // filter on the fact under the semi join.
+    assert(!answersFromView(fact.join(dim, col("id") === col("pk"), "left_semi")
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"))))
+    assert(!answersFromView(fact.filter(col("x") > 100)
+      .join(dim, col("k1") === col("pk"), "left_semi")
+      .groupBy(col("k2")).agg(count(lit(1)).as("n"))))
+    spark.sql("DROP TABLE IF EXISTS gmvr.sdim")
+  }
+
   test("approx_count_distinct refusal names the serving spelling in diagnostics") {
     // r15 posture note: approx_count_distinct is HyperLogLogPlusPlus — a
     // different sketch family than mv_hll (DataSketches) — so it can never
