@@ -1139,9 +1139,9 @@ class MviewRewriteSpec extends GraftSuite {
         assert(base === got, s"[$label serves=$serves] rewrite changed results")
       }
     }
-    for (trial <- 0 until 16) {
+    for (trial <- 0 until 24) {
       val aggs = aggPool(rnd.nextInt(aggPool.size))
-      rnd.nextInt(5) match {
+      rnd.nextInt(8) match {
         case 0 => // single-table: exact or rollup keys
           val keys = Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2"))(rnd.nextInt(3))
           check(s"t$trial single", fact.groupBy(keys.map(col): _*)
@@ -1172,9 +1172,32 @@ class MviewRewriteSpec extends GraftSuite {
             case 2 => fact.rollup(col("k2"))
           }).agg(aggs.head, aggs.tail: _*)
           check(s"t$trial gsets", df, df.columns.toSeq)
+        case 5 => // r15 OUTER join: NULL-bearing fact keys never match (the
+          // null-extension battery), missing dim keys null-extend whole
+          // groups, dup keys multiply matched ones.
+          val gk = Seq("attr", "lbl")(rnd.nextInt(2))
+          check(s"t$trial louter", fact.join(dim, col("k1") === col("pk"),
+              "left")
+            .groupBy(col(gk)).agg(aggs.head, aggs.tail: _*), Seq(gk))
+        case 6 => // r15 SEMI/ANTI join: set-wise keep/drop of whole groups.
+          val jt = if (rnd.nextBoolean()) "left_semi" else "left_anti"
+          check(s"t$trial $jt", fact.join(dim, col("k1") === col("pk"), jt)
+            .groupBy(col("k2")).agg(aggs.head, aggs.tail: _*), Seq("k2"))
+        case 7 => // r15 distinct counts: the single-group mix and the
+          // multi-group Expand lowering, over NULL-bearing keys (distinct
+          // skips NULLs identically on both paths).
+          if (rnd.nextBoolean())
+            check(s"t$trial mdist", fact.groupBy(col("k1"))
+              .agg(countDistinct(col("k2")).as("ndk"),
+                count(lit(1)).as("n"), sum(col("x")).as("sx")), Seq("k1"))
+          else
+            check(s"t$trial mdist2", fact.agg(
+              countDistinct(col("k1")).as("nd1"),
+              countDistinct(col("k2")).as("nd2"),
+              sum(col("x")).as("sx"), count(lit(1)).as("n")), Seq("nd1"))
       }
     }
-    assert(fired >= 10, s"property sweep exercised the rewrite only $fired/16 " +
+    assert(fired >= 14, s"property sweep exercised the rewrite only $fired/24 " +
       "times — the generator no longer hits the qualifying space")
     spark.sql("DROP TABLE IF EXISTS gmvr.pfact_mv")
     spark.sql("DROP TABLE IF EXISTS gmvr.pfact")
