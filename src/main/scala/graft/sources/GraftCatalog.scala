@@ -762,10 +762,39 @@ object GraftManifest {
       s"no committed generation at $dir (CURRENT missing and no complete manifest claim)")
   }
 
+  /** Parsed-manifest memo (r15 optimization): a committed manifest file is
+    * immutable per (dir, gen) — but DROP + recreate reuses gen numbers in the
+    * same dir, so the key carries the file's (length, mtime) as a content
+    * guard: any rewrite lands a new entry and the stale one is never served.
+    * Driver-thread sampling showed manifest re-parses as a visible per-query
+    * cost in catalog DML histories (every scan/commit/fold re-loads the
+    * current manifest). Bounded via soft LRU trim at 512 entries. */
+  private val loadMemo = new java.util.LinkedHashMap[
+      (String, Long, Long, Long), GraftManifest](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, Long, Long), GraftManifest]): Boolean =
+      size() > 512
+  }
+
   def load(dir: Path, gen: Long, conf: Configuration): GraftManifest = {
     val fs = dir.getFileSystem(conf)
     val p = new Path(dir, s"manifest-$gen.txt")
-    require(fs.exists(p), s"no generation $gen at $dir")
+    val st = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"no generation $gen at $dir")
+    }
+    val key = (p.toString, gen, st.getLen, st.getModificationTime)
+    loadMemo.synchronized {
+      val hit = loadMemo.get(key)
+      if (hit != null) return hit
+    }
+    val m = loadUncached(fs, p, gen)
+    loadMemo.synchronized { loadMemo.put(key, m) }
+    m
+  }
+
+  private def loadUncached(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      gen: Long): GraftManifest = {
     val in = fs.open(p)
     val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8).split("\n")
       finally in.close()
@@ -3051,6 +3080,41 @@ object GraftChangesMicroBatchStream {
 object GraftParquetRead {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
+  /** Memo for `ParquetFileFormat.buildReaderWithPartitionValues` closures
+    * (r15 optimization, guide §1/§7.3): every call broadcasts a fresh Hadoop
+    * conf — Spark serializes it with `Configuration.write`'s per-property
+    * GZIP, ~0.3-0.5 s of DRIVER time per scan factory (driver-thread
+    * sampling), and catalog DML queries build many factories per query. The
+    * built reader function is a pure function of (schemas, filters,
+    * returningBatch) AND the session/Hadoop conf it captured — so the key
+    * carries a full content fingerprint of the conf (tests legitimately flip
+    * session.timeZone / ansi mid-session; a fingerprint match guarantees the
+    * memoized closure captured identical state, ~1 ms to compute vs the
+    * ~300 ms broadcast it avoids). Bounded: a handful of distinct
+    * (table schema × projection × filter) shapes per session. */
+  private val readerFnMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, StructType, StructType, StructType, Seq[Filter], Boolean),
+    org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]]()
+
+  private def confFingerprint(conf: Configuration): String = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i) & 0xffffL; h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1e; h *= 0x100000001b3L
+    }
+    // XOR of per-entry hashes: order-independent (Configuration iteration
+    // order is hash-map dependent), content-exact.
+    var acc = 0L
+    val it = conf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      h = 0xcbf29ce484222325L; mix(e.getKey); mix(e.getValue)
+      acc ^= h
+    }
+    java.lang.Long.toHexString(acc)
+  }
+
   /** Generation a rel path's file was committed by (-1 for streaming
     * epochs), read from the gen-dir name the writer PLANNED. Known caveat:
     * a CAS-rebased commit keeps its planned dir name but publishes at a
@@ -3147,19 +3211,25 @@ object GraftParquetRead {
         required.fields.filter(f => f.name == "_gen" || f.name == "_file")
           .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
             nullable = false))
-      def buildReader(filters: Seq[Filter], returningBatch: Boolean) =
-        fmt.buildReaderWithPartitionValues(
-          rowSession,
-          dataSchema = manifest.physicalize(specDataSchema),
-          partitionSchema = StructType(partFields),
-          requiredSchema = manifest.physicalize(StructType(dataFields)),
-          filters = filters,
-          // returningBatch=false: the vectorized reader still runs inside but
-          // hands back row views — the contract the row PartitionReader needs.
-          // =true: whole ColumnarBatches flow out for the columnar path below.
-          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-            .OPTION_RETURNING_BATCH -> returningBatch.toString),
-          hadoopConf = rowSession.sessionState.newHadoopConf())
+      def buildReader(filters: Seq[Filter], returningBatch: Boolean) = {
+        val hconf = rowSession.sessionState.newHadoopConf()
+        val key = (confFingerprint(hconf), manifest.physicalize(specDataSchema),
+          StructType(partFields), manifest.physicalize(StructType(dataFields)),
+          filters, returningBatch)
+        readerFnMemo.computeIfAbsent(key, _ =>
+          fmt.buildReaderWithPartitionValues(
+            rowSession,
+            dataSchema = manifest.physicalize(specDataSchema),
+            partitionSchema = StructType(partFields),
+            requiredSchema = manifest.physicalize(StructType(dataFields)),
+            filters = filters,
+            // returningBatch=false: the vectorized reader still runs inside but
+            // hands back row views — the contract the row PartitionReader needs.
+            // =true: whole ColumnarBatches flow out for the columnar path below.
+            options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+              .OPTION_RETURNING_BATCH -> returningBatch.toString),
+            hadoopConf = hconf))
+      }
       val readerFn = buildReader(parquetFilters, returningBatch = false)
       // Position-exact twin for DV/_pos slices (see caveat above).
       val unfilteredReaderFn =
