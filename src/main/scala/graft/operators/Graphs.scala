@@ -111,8 +111,13 @@ object Graphs {
         .join(levels.filter(col("lvl").isNotNull)
           .select(col("node").as("src"), col("lvl")), "src")
         .groupBy(col("dst").as("node")).agg((min(col("lvl")) + 1L).as("nlvl"))
+      // Lazy materialization (r15): the early-exit probe right below is an
+      // action over the new levels anyway — it computes (and caches) the
+      // checkpoint, so a separate eager job per round is pure dispatch
+      // overhead. Plan depth stays constant either way.
       levels = Iterate.materialize(levels.join(reach, Seq("node"), "left")
-        .select(col("node"), least(col("lvl"), col("nlvl")).as("lvl")))
+        .select(col("node"), least(col("lvl"), col("nlvl")).as("lvl")),
+        eager = false)
       // Early exit once every node is reached: a BFS level is final the round it
       // is assigned (uniform +1 propagation), so further rounds are no-ops. On a
       // diameter-3 graph with maxDepth 8 this halves the job count (measured).

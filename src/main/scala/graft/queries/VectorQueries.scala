@@ -288,20 +288,32 @@ object VectorQueries {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val truth = pairsOf(exact)
       def hitsOf(arm: DataFrame): Long = pairsOf(arm).count(truth).toLong
-      val ivfHits = hitsOf(Similarity.ivfTopK(qs, corpus, centroids, 5, 2))
-      val pqHits = hitsOf(Similarity.pqTopK(normQs, normCorpus, 5,
-        trainFraction = 0.3, trained = Some(model), encoded = Some(index)))
-      val ivfPqHits = hitsOf(Similarity.ivfPqTopK(normQs, normCorpus,
-        normCentroids, 5, 2, trainFraction = 0.3, trained = Some(model),
-        encoded = Some(index)))
-      // B192/B203 arms: SQ8 and its exact re-rank are DETERMINISTIC (integer
-      // quantization, no trained codebooks), so their recall is an exact
-      // SQL-replayable basis-point number, like the IVF arm. Re-rank recall
-      // dominates SQ8 recall BY CONSTRUCTION: every truth member inside the
-      // candidate list is exact-cosine-selected, so repair is monotone.
-      val sqHits = hitsOf(Similarity.sqTopK(qs, corpus, 5, encoded = Some(sqIndex)))
-      val rerankHits = hitsOf(
-        Similarity.sqRerankTopK(qs, corpus, 5, 25, encoded = Some(sqIndex)))
+      // The six arms are INDEPENDENT actions over a mostly-idle local cluster
+      // — submitted sequentially they serialize six job latencies. Overlap
+      // them from driver threads (guide §2.6): Spark's scheduler interleaves
+      // the jobs and each arm's tail back-fills the others' idle cores. The
+      // collected sets are deterministic per arm, so result and hash are
+      // identical to the sequential drive (r15 optimization).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      val armF = Seq(
+        Future(hitsOf(Similarity.ivfTopK(qs, corpus, centroids, 5, 2))),
+        Future(hitsOf(Similarity.pqTopK(normQs, normCorpus, 5,
+          trainFraction = 0.3, trained = Some(model), encoded = Some(index)))),
+        Future(hitsOf(Similarity.ivfPqTopK(normQs, normCorpus,
+          normCentroids, 5, 2, trainFraction = 0.3, trained = Some(model),
+          encoded = Some(index)))),
+        // B192/B203 arms: SQ8 and its exact re-rank are DETERMINISTIC (integer
+        // quantization, no trained codebooks), so their recall is an exact
+        // SQL-replayable basis-point number, like the IVF arm. Re-rank recall
+        // dominates SQ8 recall BY CONSTRUCTION: every truth member inside the
+        // candidate list is exact-cosine-selected, so repair is monotone.
+        Future(hitsOf(Similarity.sqTopK(qs, corpus, 5, encoded = Some(sqIndex)))),
+        Future(hitsOf(
+          Similarity.sqRerankTopK(qs, corpus, 5, 25, encoded = Some(sqIndex)))))
+      val Seq(ivfHits, pqHits, ivfPqHits, sqHits, rerankHits) =
+        Await.result(Future.sequence(armF), 10.minutes)
       import s.implicits._
       Seq(
         ("ivf", 5L, ivfHits * 10000L / 25L, true),
