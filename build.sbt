@@ -33,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // on the same box and binaries). The box has 128 GiB; -Xmx only reserves
   // address space, so tests share the same setting harmlessly.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq
