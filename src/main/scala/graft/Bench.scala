@@ -131,6 +131,32 @@ object Bench {
         .where(regexp_extract(col("t"), "(\\d+)", 1) =!= "").count() // explode + regexp
       r.orderBy(col("x").desc).limit(50).count()                     // TakeOrdered
     } catch { case _: Throwable => () }
+    // Catalog-path warm-up (r15): the block above warms the QUERY operators
+    // but not the catalog write/DML machinery — manifest commit, parquet V2
+    // writer, MergeRows/WriteDelta codegen, DV encode, CoW group rewrite.
+    // Without it the alphabetically-first catalog queries absorb that
+    // meta-JIT (observed ~2-2.5 s of Janino alone on the first DML history).
+    // A throwaway table under the same scratch root exercises each path
+    // once, untimed; best-effort like the rest of the warmup.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root",
+        Tables.scratchDir(spark, "catalog", sfDir))
+      spark.sql("DROP TABLE IF EXISTS graft.warmup_jit")
+      spark.range(200)
+        .select(col("id"), (col("id") % 5).as("k"), (col("id") * 3).as("v"))
+        .writeTo("graft.warmup_jit").create()
+      spark.range(50).select((col("id") + 1000).as("id"), (col("id") % 5).as("k"),
+        col("id").as("v")).writeTo("graft.warmup_jit").append()
+      spark.sql("DELETE FROM graft.warmup_jit WHERE id % 17 = 0")
+      spark.sql("UPDATE graft.warmup_jit SET v = v + 1 WHERE id % 23 = 0")
+      spark.sql("MERGE INTO graft.warmup_jit t USING " +
+        "(SELECT id * 2 AS id, id % 5 AS k, id AS v FROM range(40)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v WHEN NOT MATCHED THEN INSERT *")
+      spark.table("graft.warmup_jit").agg(sum(col("v") * col("v"))).count()
+      spark.sql("DROP TABLE IF EXISTS graft.warmup_jit")
+    } catch { case _: Throwable => () }
     // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
     // contention with identical plans (observed r1<->r2), which makes a one-sample
     // 2x gate noisy; min-of-k measures the plan, not the neighbors. Default is 1:
