@@ -5110,15 +5110,37 @@ class GraftStatsCollector(dataSchema: StructType) {
     .filter { case (f, _) => GraftFileStats.eligible(f.dataType) }
   private val nulls = Array.fill[Long](cols.length)(0L)
   private val nonNulls = Array.fill[Long](cols.length)(0L)
-  private val mins = Array.fill[String](cols.length)(null)
-  private val maxs = Array.fill[String](cols.length)(null)
+  // Bounds tracked in the column's NATIVE type (stringified once per FILE at
+  // encode, not once per row): the old per-row path materialized every value
+  // as a String and ran min/max through freshly-allocated BigDecimal pairs —
+  // ~1 s of task CPU per 150k-row DML commit, paid by every catalog write
+  // task (guide §1.2 per-task work). Numeric order on the primitive equals
+  // BigDecimal order on its decimal string (toString round-trips), and
+  // string columns keep Java order — the chosen min/max ELEMENT, and
+  // therefore the encoded stats, are bit-identical.
+  private val minL = Array.fill[Long](cols.length)(Long.MaxValue)
+  private val maxL = Array.fill[Long](cols.length)(Long.MinValue)
+  private val minD = Array.fill[Double](cols.length)(Double.MaxValue)
+  private val maxD = Array.fill[Double](cols.length)(Double.MinValue)
+  private val minF = Array.fill[Float](cols.length)(Float.MaxValue)
+  private val maxF = Array.fill[Float](cols.length)(Float.MinValue)
+  private val minS = Array.fill[String](cols.length)(null)
+  private val maxS = Array.fill[String](cols.length)(null)
+  private val hasBounds = Array.fill[Boolean](cols.length)(false)
   // Per-file SUM of integral columns (B202, feeds metadata-only SUM):
   // wrapping Long adds — associative, so order never matters.
   private val sums = Array.fill[Long](cols.length)(0L)
-  private val isIntegral = cols.map(_._1.dataType match {
-    case IntegerType | LongType | ShortType => true
-    case _ => false
+  // Per-row dispatch on a primitive tag, not a DataType pattern match.
+  private val tag: Array[Int] = cols.map(_._1.dataType match {
+    case StringType  => 0
+    case IntegerType => 1
+    case LongType    => 2
+    case ShortType   => 3
+    case DoubleType  => 4
+    case FloatType   => 5
+    case _           => 9
   })
+  private def isIntegral(k: Int): Boolean = tag(k) >= 1 && tag(k) <= 3
   // Per-column NDV sketches (CBO feed) + the file's row count.
   private val hlls = Array.fill(cols.length)(new Array[Byte](GraftNdv.Registers))
   private var rows = 0L
@@ -5132,50 +5154,63 @@ class GraftStatsCollector(dataSchema: StructType) {
     rows += 1
     var k = 0
     while (k < cols.length) {
-      val (f, i) = cols(k)
+      val i = cols(k)._2
       if (row.isNullAt(i)) nulls(k) += 1
       else {
         nonNulls(k) += 1
-        // Materialize once; numeric strings compare via BigDecimal at prune
-        // time, strings via Java order on both sides (consistent = sound).
         // NaN/Infinity have no BigDecimal form and no place in a range — they
-        // are counted as non-null but excluded from min/max (the column is
-        // then published WITHOUT bounds, see encode — never mis-pruned).
-        if (isIntegral(k)) sums(k) += (f.dataType match {
-          case IntegerType => row.getInt(i).toLong
-          case LongType    => row.getLong(i)
-          case _           => row.getShort(i).toLong
-        })
-        val v = f.dataType match {
-          case StringType => row.getUTF8String(i).toString
-          case IntegerType => row.getInt(i).toString
-          case LongType => row.getLong(i).toString
-          case ShortType => row.getShort(i).toString
-          case DoubleType =>
+        // are counted as non-null but excluded from min/max and NDV (the
+        // column is then published WITHOUT bounds, see encode).
+        tag(k) match {
+          case 0 =>
+            val v = row.getUTF8String(i).toString
+            if (minS(k) == null || v.compareTo(minS(k)) < 0) minS(k) = v
+            if (maxS(k) == null || v.compareTo(maxS(k)) > 0) maxS(k) = v
+            hasBounds(k) = true
+            GraftNdv.update(hlls(k), v)
+          case 1 | 2 | 3 =>
+            val l = tag(k) match {
+              case 1 => row.getInt(i).toLong
+              case 2 => row.getLong(i)
+              case _ => row.getShort(i).toLong
+            }
+            sums(k) += l
+            if (l < minL(k) || !hasBounds(k)) minL(k) = l
+            if (l > maxL(k) || !hasBounds(k)) maxL(k) = l
+            hasBounds(k) = true
+            // NDV sketch hashes the SAME decimal string the old path built
+            // per row — estimates (q_catalog_ndv) stay bit-identical.
+            GraftNdv.update(hlls(k), l.toString)
+          case 4 =>
             val d = row.getDouble(i)
-            if (java.lang.Double.isFinite(d)) d.toString
-            else { sawNonFinite(k) = true; null }
-          case FloatType =>
+            if (java.lang.Double.isFinite(d)) {
+              if (d < minD(k) || !hasBounds(k)) minD(k) = d
+              if (d > maxD(k) || !hasBounds(k)) maxD(k) = d
+              hasBounds(k) = true
+              GraftNdv.update(hlls(k), d.toString)
+            } else sawNonFinite(k) = true
+          case 5 =>
             val fl = row.getFloat(i)
-            if (java.lang.Float.isFinite(fl)) fl.toString
-            else { sawNonFinite(k) = true; null }
-          case _ => null
-        }
-        if (v != null) {
-          def lt(a: String, b: String): Boolean = f.dataType match {
-            case StringType => a.compareTo(b) < 0
-            case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
-          }
-          if (mins(k) == null || lt(v, mins(k))) mins(k) = v
-          if (maxs(k) == null || lt(maxs(k), v)) maxs(k) = v
-          // NDV sketch rides the same materialized string (NaN/Inf values are
-          // excluded — a ≤6.5%-error estimate is unharmed by a handful of
-          // sentinel values, and they have no canonical string either).
-          GraftNdv.update(hlls(k), v)
+            if (java.lang.Float.isFinite(fl)) {
+              if (fl < minF(k) || !hasBounds(k)) minF(k) = fl
+              if (fl > maxF(k) || !hasBounds(k)) maxF(k) = fl
+              hasBounds(k) = true
+              GraftNdv.update(hlls(k), fl.toString)
+            } else sawNonFinite(k) = true
+          case _ => ()
         }
       }
       k += 1
     }
+  }
+
+  /** The bound's wire string — the exact form the old per-row path stored
+    * (Long/Double/Float toString; Int/Short stringify identically via Long). */
+  private def boundStr(k: Int, isMin: Boolean): String = tag(k) match {
+    case 0 => if (isMin) minS(k) else maxS(k)
+    case 1 | 2 | 3 => (if (isMin) minL(k) else maxL(k)).toString
+    case 4 => (if (isMin) minD(k) else maxD(k)).toString
+    case _ => (if (isMin) minF(k) else maxF(k)).toString
   }
 
   def encode: String = cols.indices.flatMap { k =>
@@ -5185,9 +5220,9 @@ class GraftStatsCollector(dataSchema: StructType) {
     // finite+NaN/Inf files must not publish their finite sub-range: the
     // non-finite values live outside it and a range predicate would mis-prune.
     if (sawNonFinite(k)) None
-    else if (mins(k) != null)
+    else if (hasBounds(k))
       Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k),
-        Option(mins(k)), Option(maxs(k)),
+        Option(boundStr(k, isMin = true)), Option(boundStr(k, isMin = false)),
         if (isIntegral(k)) Some(sums(k)) else None))
     else if (nonNulls(k) == 0L)
       Some(GraftFileStats.encodeCol(cols(k)._1.name, nulls(k), None, None))
