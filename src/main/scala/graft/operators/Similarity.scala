@@ -90,7 +90,11 @@ object Similarity {
               k: Int, nprobe: Int): DataFrame = {
     val bucketed = nearestCentroid(centroids)("vec_id", "embedding", "bucket", 1)(corpus)
     val probes = nearestCentroid(centroids)("q_id", "q_vec", "bucket", nprobe)(queries)
-    val scored = bucketed.join(probes, "bucket")
+    // The probe set is queries x nprobe — a query BATCH, small by contract
+    // (|Q| << corpus): broadcast it so the bucketed corpus is never shuffled
+    // for the join (guide §3.1 — size estimates through the rank expressions
+    // are unreliable, so the strategy is pinned, not inferred).
+    val scored = bucketed.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(vecCosine(col("q_vec"), col("embedding")), 4))
     rankTopK(scored, "cos", ascending = false, k)
@@ -101,18 +105,40 @@ object Similarity {
     * dim-mismatched vector) or NaN (an overflowed one — NaN sorts ABOVE
     * every number in Spark's total order and would otherwise win the .desc
     * ranking into an arbitrary cluster) drop out instead of silently
-    * joining. Shared by the IVF and IVF-PQ paths. */
+    * joining. Shared by the IVF and IVF-PQ paths.
+    *
+    * Centroids are metadata-scale by contract (k trained centroids,
+    * materialized on the driver between Lloyd iterations already), so they
+    * embed as a LITERAL array and each row ranks them with native array
+    * expressions — r16: this replaces the old crossJoin(broadcast) +
+    * row_number window, whose Exchange(hashpartitioning(idCol)) + two Sorts
+    * shuffled the k-times-exploded corpus per assignment (guide §2.4: the
+    * 100 TB IVF assignment is embarrassingly parallel — one narrow map
+    * pass). Semantics are the window's exactly: score = round(cosine, 4),
+    * null/NaN pairs drop, order cdist DESC then centroid_id ASC, keep n
+    * (Spark's comparison operators use the same NaN-is-greatest total order
+    * the sort used, so the comparator reproduces tie behavior bit-for-bit). */
   private def nearestCentroid(centroids: DataFrame)(
       idCol: String, vecCol: String, idOut: String, n: Int)(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(
-      col("cdist").desc, col("centroid_id"))
-    df.crossJoin(broadcast(centroids))
-      .withColumn("cdist", round(vecCosine(col(vecCol), col("c_vec")), 4))
-      .filter(col("cdist").isNotNull && !isnan(col("cdist")))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") <= n)
-      .drop("c_vec", "cdist", "crnk")
-      .withColumnRenamed("centroid_id", idOut)
+    val local = centroids
+      .select(col("centroid_id").cast("int"), col("c_vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val scored = transform(typedlit(local), c => struct(
+      round(vecCosine(col(vecCol), c.getField("_2")), 4).as("cdist"),
+      c.getField("_1").as("cid")))
+    val valid = filter(scored, s =>
+      s.getField("cdist").isNotNull && !isnan(s.getField("cdist")))
+    val ranked = array_sort(valid, (a, b) => {
+      val (da, db) = (a.getField("cdist"), b.getField("cdist"))
+      when(da > db, -1).when(da < db, 1)
+        .when(a.getField("cid") < b.getField("cid"), -1)
+        .when(a.getField("cid") > b.getField("cid"), 1)
+        .otherwise(0)
+    })
+    df.withColumn("_nc", explode(slice(ranked, 1, n)))
+      .withColumn(idOut, col("_nc").getField("cid"))
+      .drop("_nc")
   }
 
   /**
@@ -163,15 +189,33 @@ object Similarity {
       .withColumn("centroid_id",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("centroid_id"), col("c_vec"))
-    var centroids = materializeCentroids(init)
+    // Centroids live on the driver between iterations (k x dim doubles —
+    // metadata-scale, the same posture MLlib's Lloyd takes). r16: each
+    // iteration's assignment embeds them as a LITERAL array and picks the
+    // argmax with native array expressions — the old crossJoin(broadcast) +
+    // row_number window paid a broadcast build plus an
+    // Exchange(hashpartitioning(vec_id)) + two Sorts over the k-times-
+    // exploded training set PER ITERATION (guide §2.4). Ordering contract
+    // unchanged: rank on sim DESC with centroid_id ASC tiebreak under
+    // Spark's NaN-is-greatest total order (the comparator's >/< reproduce
+    // it), rows with all-null sims drop out (slice+explode of an empty
+    // array), each recomputed component is round(avg, 4).
+    var cents: Seq[(Int, Seq[Double])] = collectCentroids(init)
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
-      val assigned = train.crossJoin(broadcast(centroids))
-        .withColumn("cdist", sim(col("embedding").cast("array<double>"), col("c_vec")))
-        .filter(col("cdist").isNotNull) // dim-mismatch drops out, never joins cluster 0
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") === 1)
-        .select(col("centroid_id"), col("embedding"))
+      val scored = transform(typedlit(cents), c => struct(
+        sim(col("embedding").cast("array<double>"), c.getField("_2")).as("cdist"),
+        c.getField("_1").as("cid")))
+      val valid = filter(scored, s => s.getField("cdist").isNotNull)
+      val ranked = array_sort(valid, (a, b) => {
+        val (da, db) = (a.getField("cdist"), b.getField("cdist"))
+        when(da > db, -1).when(da < db, 1)
+          .when(a.getField("cid") < b.getField("cid"), -1)
+          .when(a.getField("cid") > b.getField("cid"), 1)
+          .otherwise(0)
+      })
+      val assigned = train
+        .withColumn("_top", explode(slice(ranked, 1, 1)))
+        .select(col("_top").getField("cid").as("centroid_id"), col("embedding"))
       val recomputed = assigned
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -179,9 +223,9 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pv"))
         .select(col("centroid_id"), expr("transform(pv, p -> p.cval)").as("c_vec"))
-      centroids = materializeCentroids(recomputed)
+      cents = collectCentroids(recomputed)
     }
-    centroids
+    localCentroidFrame(train.sparkSession, cents)
   }
 
   /** Squared L2 distance between two array columns — native HOFs, codegen'd. */
@@ -448,7 +492,7 @@ object Similarity {
     // Candidates = probed buckets' codes, keyed by owner query; scoring is an
     // EQUI-join on q_id against the broadcast ADC tables — per-query work is
     // its own candidate set, never |Q| × corpus.
-    val scored = bucketedCodes.join(probes, "bucket")
+    val scored = bucketedCodes.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qTables), "q_id")
       .withColumn("adist", model.adist)
@@ -458,12 +502,16 @@ object Similarity {
   /** Collect the k centroid rows and rebuild a local DataFrame — truncates lineage
     * so each Lloyd step starts from data, not from the previous step's plan. This is
     * metadata-scale driver traffic (k × dim doubles), not a data collect. */
-  private def materializeCentroids(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  private def collectCentroids(df: DataFrame): Seq[(Int, Seq[Double])] =
     df.select(col("centroid_id").cast("int"), col("c_vec").cast("array<double>"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-      .toDF("centroid_id", "c_vec")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+
+  private def localCentroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("centroid_id", "c_vec")
   }
 
   /**

@@ -294,9 +294,17 @@ object VectorQueries {
       // the jobs and each arm's tail back-fills the others' idle cores. The
       // collected sets are deterministic per arm, so result and hash are
       // identical to the sequential drive (r15 optimization).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.DurationInt
+      // Dedicated pool, NOT ExecutionContext.Implicits.global (r16, the r15
+      // verdict's watch item): each arm BLOCKS in collect(), and the global
+      // pool's work-stealing threads are shared with everything else in the
+      // JVM — under load the blocked arms can starve the pool and serialize
+      // worse than the sequential original. Six fixed threads, one per arm,
+      // torn down with the query.
+      val armPool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val armEc: ExecutionContext =
+        ExecutionContext.fromExecutorService(armPool)
       val armF = Seq(
         Future(hitsOf(Similarity.ivfTopK(qs, corpus, centroids, 5, 2))),
         Future(hitsOf(Similarity.pqTopK(normQs, normCorpus, 5,
@@ -313,7 +321,8 @@ object VectorQueries {
         Future(hitsOf(
           Similarity.sqRerankTopK(qs, corpus, 5, 25, encoded = Some(sqIndex)))))
       val Seq(ivfHits, pqHits, ivfPqHits, sqHits, rerankHits) =
-        Await.result(Future.sequence(armF), 10.minutes)
+        try Await.result(Future.sequence(armF), 10.minutes)
+        finally armPool.shutdown()
       import s.implicits._
       Seq(
         ("ivf", 5L, ivfHits * 10000L / 25L, true),
