@@ -156,8 +156,14 @@ object Bench {
         "(SELECT id * 2 AS id, id % 5 AS k, id AS v FROM range(40)) s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET v = s.v WHEN NOT MATCHED THEN INSERT *")
       spark.table("graft.warmup_jit").agg(sum(col("v") * col("v"))).count()
-      spark.sql("DROP TABLE IF EXISTS graft.warmup_jit")
-    } catch { case _: Throwable => () }
+    } catch { case _: Throwable => ()
+    } finally {
+      // Cleanup in its own guarded finally (r16, advisor item): a mid-sequence
+      // failure above must still drop the throwaway table, or namespace-listing
+      // catalog queries in the timed drive would observe it.
+      try spark.sql("DROP TABLE IF EXISTS graft.warmup_jit")
+      catch { case _: Throwable => () }
+    }
     // Per-query best-of-k in one session: a single sample can swing 1.5x on machine
     // contention with identical plans (observed r1<->r2), which makes a one-sample
     // 2x gate noisy; min-of-k measures the plan, not the neighbors. Default is 1:
@@ -283,9 +289,15 @@ object Bench {
     val keepRdds: Set[Int] =
       try spark.sparkContext.getPersistentRDDs.keySet.toSet
       catch { case _: Throwable => Set.empty }
+    // localCheckpointed RDDs are EXCLUDED (r16, advisor item): unpersisting a
+    // lineage-truncated RDD deletes its only copy — a cross-query memoized
+    // frame built after the warmup snapshot (e.g. a label memo whose warmup
+    // build failed) would then hard-fail its next consumer with "checkpoint
+    // block not found" instead of recomputing.
     def dropTransientBlocks(): Unit =
       try spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!keepRdds.contains(id)) rdd.unpersist(blocking = false)
+        if (!keepRdds.contains(id) && !rdd.isCheckpointed)
+          rdd.unpersist(blocking = false)
       } catch { case _: Throwable => () }
     // One boundary read per run: the post-run quiesce doubles as the next
     // run's baseline, and its wait sits OUTSIDE the query timer.
@@ -434,6 +446,12 @@ object Bench {
     val spill = finalResults.collect { case (k, _, _, _, sp) if sp > 0 => "\"" + k + "\":" + mb(sp) }
       .mkString("{", ",", "}")
     val total = finalResults.collect { case (_, v, true, _, _) => v }.sum
+    // Pre-retouch total (r16, the r15 verdict's methodology requirement):
+    // the retouch passes are one-directional (min kept), so the compact line
+    // carries BOTH sums — "value" (with retouches, the ledger number) and
+    // "value_raw" (every query's first K samples only) — keeping the two
+    // methodologies separable for round-over-round comparison.
+    val totalRaw = results.collect { case (_, v, true, _, _) => v }.sum
     // The full per-query ledger (seconds + shuffle-write + spill for all ~150
     // queries) is ~8 KB of JSON — but the drive harness keeps only the LAST
     // 2000 BYTES of output, which is why every recorded round so far has
@@ -684,7 +702,7 @@ object Bench {
     // — the field lets a reader compare like with like. "retouched" keeps it
     // honest: the N slowest queries got one extra sample (min kept), so those
     // headline numbers are effectively best-of-2, not samples=1.
-    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"retouched":$retouchRuns,"queries":$slowest,"n_queries":${finalResults.size},"failed":$failed,"shuffle_write_mb_total":${mb(finalResults.map(_._4).sum)},"spill_mb_total":${mb(finalResults.map(_._5).sum)},"sf":"$sfDir","fingerprint":$fpJson,"full_ledger":"BENCH_DETAILS.run.json"}"""
+    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","samples":$samples,"retouched":$retouchRuns,"value_raw":${num(totalRaw, 3)},"queries":$slowest,"n_queries":${finalResults.size},"failed":$failed,"shuffle_write_mb_total":${mb(finalResults.map(_._4).sum)},"spill_mb_total":${mb(finalResults.map(_._5).sum)},"sf":"$sfDir","fingerprint":$fpJson,"full_ledger":"BENCH_DETAILS.run.json"}"""
     // Stderr diagnostic (never in the JSON contract): how much wall the metric
     // ledger's quiesce waits cost, and whether the stage counters ever ended a
     // query desynchronized (a lost listener event would make every later

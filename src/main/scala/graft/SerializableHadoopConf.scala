@@ -22,9 +22,17 @@ import org.apache.hadoop.conf.Configuration
  *   - flat length-prefixed UTF-8 pairs instead of per-property gzip — a
  *     cache-miss decode is a linear byte scan, no zlib;
  *   - a process-wide decode memo keyed by payload hash — tasks after the
- *     first (per executor JVM) skip the parse entirely and receive a cheap
- *     `new Configuration(master)` copy (each task still owns its instance,
- *     so in-task mutation stays private, exactly as before).
+ *     first (per executor JVM) skip the parse entirely.
+ *
+ * READ-ONLY CONTRACT (r16 doc fix — this is the class's load-bearing rule):
+ * every deserialized instance's `.value` is the SAME memoized master
+ * `Configuration`, exactly like Spark's own broadcast
+ * `SerializableConfiguration`. Never mutate it task-side — a `conf.set`
+ * would race invisibly across every concurrent task in the JVM. A caller
+ * that needs private mutation must copy explicitly
+ * (`new Configuration(conf.value)`), as the parquet writer's taskConf does;
+ * the copy is the caller's explicit opt-in because the ~2k-entry clone was
+ * itself a measured per-task hot spot.
  */
 class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -67,9 +75,25 @@ object SerializableHadoopConf {
   private val decodeMemo =
     new java.util.concurrent.ConcurrentHashMap[Key, Configuration]()
 
+  /** Enforces the shared-master read-only contract (r16, the r15 verdict's
+    * hardening item): all Configuration mutators funnel through
+    * `set(name, value, source)` / `unset`, so overriding those makes a
+    * task-side mutation of the shared instance fail fast instead of racing
+    * invisibly across every concurrent task in the JVM. Zero read cost. */
+  private final class FrozenConfiguration extends Configuration(false) {
+    @volatile private[SerializableHadoopConf] var frozen = false
+    private def refuse(): Nothing = throw new UnsupportedOperationException(
+      "shared SerializableHadoopConf master is read-only — copy with " +
+        "new Configuration(conf.value) before mutating")
+    override def set(name: String, value: String, source: String): Unit =
+      if (frozen) refuse() else super.set(name, value, source)
+    override def unset(name: String): Unit =
+      if (frozen) refuse() else super.unset(name)
+  }
+
   private def parse(bytes: Array[Byte]): Configuration = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val conf = new Configuration(false)
+    val conf = new FrozenConfiguration
     val n = in.readInt()
     var i = 0
     while (i < n) {
@@ -79,6 +103,7 @@ object SerializableHadoopConf {
         new String(vb, java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }
+    conf.frozen = true
     conf
   }
 

@@ -3168,13 +3168,21 @@ object StarQueries {
       net.unpersist()
       val replica = s.table("graft.cdcr").select("o_orderkey", "cents", "pk")
       val source = s.table("graft.cdfq").select("o_orderkey", "cents", "pk")
-      // Bidirectional equality in ONE full-outer join on all columns
-      // (o_orderkey is unique on both sides, so row-level equality ⇔ no
-      // single-sided row) — two exceptAll passes cost two shuffles each.
-      val inSync = replica.withColumn("_r", lit(1))
-        .join(source.withColumn("_s", lit(1)),
-          Seq("o_orderkey", "cents", "pk"), "full_outer")
-        .filter(col("_r").isNull || col("_s").isNull)
+      // Bidirectional equality: both sides union into ONE aggregation that
+      // counts each full row per side — in sync ⇔ no row tuple is single-
+      // sided (o_orderkey is unique on both sides, so per-tuple side counts
+      // are 0/1 and count_r ≠ count_s ⇔ the old full-outer join's dangling
+      // row). r16: the full-outer SortMergeJoin shuffled AND sorted both
+      // sides (2 Exchanges + 2 Sorts + join); the union aggregate is one
+      // partial-aggregated Exchange over the same rows (guide §2.4/§3 —
+      // don't join when an aggregate answers the question), and the
+      // isEmpty probe early-exits on the first mismatching partition.
+      val inSync = replica.withColumn("_side", lit(1))
+        .unionByName(source.withColumn("_side", lit(2)))
+        .groupBy(col("o_orderkey"), col("cents"), col("pk"))
+        .agg(count(when(col("_side") === 1, 1)).as("_r"),
+          count(when(col("_side") === 2, 1)).as("_s"))
+        .filter(col("_r") =!= col("_s"))
         .isEmpty
       replica.groupBy(col("pk"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))

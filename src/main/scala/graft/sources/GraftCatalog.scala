@@ -3090,11 +3090,22 @@ object GraftParquetRead {
     * carries a full content fingerprint of the conf (tests legitimately flip
     * session.timeZone / ansi mid-session; a fingerprint match guarantees the
     * memoized closure captured identical state, ~1 ms to compute vs the
-    * ~300 ms broadcast it avoids). Bounded: a handful of distinct
-    * (table schema × projection × filter) shapes per session. */
-  private val readerFnMemo = new java.util.concurrent.ConcurrentHashMap[
+    * ~300 ms broadcast it avoids). Bounded LRU (r16, advisor item): the key
+    * embeds pushed-down filter LITERALS, which vary per query, and each
+    * value captures a broadcast of the ~2k-property Hadoop conf — an
+    * unbounded map would leak broadcast blocks in a long-lived session.
+    * Access-order eviction at 256 entries (the loadMemo pattern): steady
+    * state re-hits the handful of live shapes, evicted closures just
+    * rebuild, and their broadcasts become unreferenced and GC-reclaimable. */
+  private val readerFnMemo = new java.util.LinkedHashMap[
     (String, StructType, StructType, StructType, Seq[Filter], Boolean),
-    org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]]()
+    org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]](
+      64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, StructType, StructType, StructType, Seq[Filter], Boolean),
+        org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow]]): Boolean =
+      size() > 256
+  }
 
   private def confFingerprint(conf: Configuration): String = {
     var h = 0xcbf29ce484222325L
@@ -3216,19 +3227,27 @@ object GraftParquetRead {
         val key = (confFingerprint(hconf), manifest.physicalize(specDataSchema),
           StructType(partFields), manifest.physicalize(StructType(dataFields)),
           filters, returningBatch)
-        readerFnMemo.computeIfAbsent(key, _ =>
-          fmt.buildReaderWithPartitionValues(
-            rowSession,
-            dataSchema = manifest.physicalize(specDataSchema),
-            partitionSchema = StructType(partFields),
-            requiredSchema = manifest.physicalize(StructType(dataFields)),
-            filters = filters,
-            // returningBatch=false: the vectorized reader still runs inside but
-            // hands back row views — the contract the row PartitionReader needs.
-            // =true: whole ColumnarBatches flow out for the columnar path below.
-            options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-              .OPTION_RETURNING_BATCH -> returningBatch.toString),
-            hadoopConf = hconf))
+        readerFnMemo.synchronized {
+          val hit = readerFnMemo.get(key)
+          if (hit != null) hit else null
+        } match {
+          case hit if hit != null => hit
+          case _ =>
+            val built = fmt.buildReaderWithPartitionValues(
+              rowSession,
+              dataSchema = manifest.physicalize(specDataSchema),
+              partitionSchema = StructType(partFields),
+              requiredSchema = manifest.physicalize(StructType(dataFields)),
+              filters = filters,
+              // returningBatch=false: the vectorized reader still runs inside but
+              // hands back row views — the contract the row PartitionReader needs.
+              // =true: whole ColumnarBatches flow out for the columnar path below.
+              options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+                .OPTION_RETURNING_BATCH -> returningBatch.toString),
+              hadoopConf = hconf)
+            readerFnMemo.synchronized { readerFnMemo.put(key, built) }
+            built
+        }
       }
       val readerFn = buildReader(parquetFilters, returningBatch = false)
       // Position-exact twin for DV/_pos slices (see caveat above).
