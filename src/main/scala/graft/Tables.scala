@@ -95,8 +95,26 @@ object Tables {
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }
+    // NOTE (r16, measured): each base table ships as ONE parquet file = ONE
+    // scan/cache partition. Repartitioning the whole cached copy to the
+    // session's cores was tried and REVERTED: map-heavy queries sped up
+    // (q_text_entropy 1.20→0.49 s) but every high-cardinality token/n-gram
+    // aggregation slowed MORE (q_text_tfidf_sim 0.65→2.50 s, kneserney
+    // 0.98→2.16 s — 32 partial aggs re-discover the vocabulary 32× and the
+    // shuffle grows accordingly). Parallelism is instead injected per
+    // operator where per-row CPU dominates (see Corpus.spread callers).
     if (spark.conf.getOption("spark.graft.cacheTables").contains("true")) df.persist()
     else df
+  }
+
+  /** Spread a frame across the session's cores when its lineage pinned it to
+    * fewer partitions (the single-file-input shape): used by operators whose
+    * next stage is heavy per-row CPU (guide §2.5 — repartition right after
+    // the unsplittable read), never before high-cardinality aggregations,
+    * where extra map partitions multiply the partial-agg output instead. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Stable per-(purpose, sfDir) scratch path for queries that must write

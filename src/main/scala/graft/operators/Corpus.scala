@@ -308,7 +308,11 @@ object Corpus {
    * friendly, vocabulary never materialized per task.
    */
   def wordEntropy(docs: DataFrame): DataFrame = {
-    val counts = docs
+    // spread (r16): the single-file corpus arrives as ONE partition, and this
+    // operator's explode+count is pure per-row CPU — profiled as one 1.5 s
+    // task on an idle 32-core session (guide §2.5). The (doc_id, tok) agg
+    // keys are doc-local, so extra map partitions cost no partial-agg blowup.
+    val counts = graft.Tables.spread(docs)
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("n_tok"), col("tok"))
