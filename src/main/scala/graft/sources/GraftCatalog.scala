@@ -615,6 +615,11 @@ class GraftCatalog extends TableCatalog
     if (!encodable(ident)) return false
     val dir = tableDir(ident)
     val fs = dir.getFileSystem(conf)
+    // Purge this dir's parsed-manifest memo entries (r16, advisor item): a
+    // DROP + recreate reuses generation numbers in the same dir, and the
+    // (len, mtime) guard alone can collide when the rewritten manifest has
+    // the same byte length and lands within the mtime granularity tick.
+    GraftManifest.invalidateDir(dir)
     fs.exists(dir) && fs.delete(dir, true)
   }
 
@@ -774,6 +779,19 @@ object GraftManifest {
     override def removeEldestEntry(
         e: java.util.Map.Entry[(String, Long, Long, Long), GraftManifest]): Boolean =
       size() > 512
+  }
+
+  /** Drop memoized manifests under `dir` — called by this JVM's DROP TABLE so
+    * a recreate can never be served a same-gen/same-length/same-mtime-tick
+    * stale parse (the gen-reuse hazard the key's (len, mtime) guard narrows
+    * but cannot fully close). Cross-process drops remain guarded by
+    * (len, mtime) only, as before. */
+  def invalidateDir(dir: Path): Unit = {
+    val prefix = dir.toString + "/"
+    loadMemo.synchronized {
+      val it = loadMemo.keySet().iterator()
+      while (it.hasNext) { if (it.next()._1.startsWith(prefix)) it.remove() }
+    }
   }
 
   def load(dir: Path, gen: Long, conf: Configuration): GraftManifest = {
