@@ -4773,6 +4773,11 @@ object StarQueries {
           "CASE WHEN length(nm) >= 3 THEN array_distinct(transform(" +
             "sequence(1, length(nm) - 2), i -> substring(nm, i, 3))) " +
             "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        // Materialized ONCE (r16): the trigram frame feeds the posting-list
+        // candidate pipeline AND both sides of the scoring join — the
+        // per-name trigram transform otherwise runs three times (§2.4), on
+        // the single scan partition the one-file part table pins.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Candidates via SHARED-TRIGRAM posting lists inside each (brand, size)
       // block (Dedup.erTrigramCandidates) instead of the all-pairs self-join:
       // the coarse key has FIXED cardinality (~25 brands × 50 sizes), so
