@@ -462,9 +462,14 @@ object TextQueries {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      // Materialized once (r16, §2.4): `bi` (corpus explode + position
+      // window) feeds the bigram counts AND the final join; `cab` feeds the
+      // context totals and the join. Transient per query.
       val bi = toks.withColumn("prev", lag(col("tok"), 1).over(w))
         .filter(col("prev").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cab = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c_ab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ca = cab.groupBy(col("prev")).agg(sum(col("c_ab")).as("c_a"))
       bi.join(cab, Seq("prev", "tok")).join(ca, Seq("prev"))
         .groupBy(col("doc_id"))
@@ -486,9 +491,15 @@ object TextQueries {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      // Materialized once (r16, §2.4): `bi` fed the final join AND the count
+      // pipeline, and `cab` feeds FOUR consumers (the join, c_a, continuation
+      // counts, b_types) — without the persists the explode+window subtree
+      // executed five times. Transient per query.
       val bi = toks.withColumn("prev", lag(col("tok"), 1).over(w))
         .filter(col("prev").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cab = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c_ab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ca = cab.groupBy(col("prev"))
         .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_fwd"))
       val cont = cab.groupBy(col("tok")).agg(count(lit(1)).as("n1p_bwd"))
@@ -832,14 +843,20 @@ object TextQueries {
     // tiebreaks. At 100 TB the same plan holds: df is one agg, the
     // self-join is per-term bounded, norms are one agg.
     "q_text_tfidf_sim" -> { (s, d) =>
+      // Materialized once (r16, §2.4): `tf` (corpus explode + (doc,term) agg)
+      // fed both the df count and the weight frame, and `w` fed three
+      // consumers (norms + both sides of the self-join) — unpersisted, the
+      // explode pipeline executed four times. Transient per query.
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 100)
       val w = tf.join(df, "term")
         .select(col("doc_id"), col("term"),
           (col("tf") * expr("100000 div df")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("norm2"))
       val dots = w.as("a").join(w.as("b"),
           col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
