@@ -93,6 +93,13 @@ object NutritionPipeline {
    * Cassandra PK semantics) -> enriched schema.
    */
   def enrichmentPipeline(itemsRaw: DataFrame): DataFrame = {
+    // NOT spread (r16, measured): repartitioning the single-partition raw
+    // store to parallelize from_json shuffles the JSON payload strings to
+    // save ~0.2 thread-s of linear parsing — the isolated best-of-10 A/B
+    // read every pipeline query +0.17..0.29 s (exchange + sort-before-
+    // repartition + 32-task dispatch exceed the parse). Unlike the kept
+    // spreads (entropy's split-heavy agg, edit-distance's quadratic verify),
+    // a linear parse does not pay for moving its own input.
     val flat = flattenWithDefaults(parseValid(itemsRaw))
     val enriched = enrich(flat)
     val latest = Relational.latestPerKey(enriched, Seq("item_name"),

@@ -912,6 +912,12 @@ object TextQueries {
    * plain float groupBy-sum would be aggregation-order-nondeterministic across
    * engines/partitionings. Shared by q_text_bm25 and q_hybrid_retrieval.
    */
+  // NOT spread / NOT persisted (r16, measured): repartitioning the corpus
+  // shuffles the heavy text payload to parallelize ~0.2 thread-s of
+  // tokenization (guide §8's anti-pattern), and persisting tf blocks the
+  // consumers' pipelined top-k — the isolated best-of-10 A/B read
+  // q_text_bm25 +0.34 s, q_hybrid_retrieval +0.47 s. The doubled tokenize
+  // pass is the cheaper evil here.
   private[queries] def bm25Scores(docs: DataFrame): DataFrame = {
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(TextOps.tokenCount(col("text"))).as("total_tok"))

@@ -198,6 +198,9 @@ object VectorQueries {
         .select(col("doc_id"), col("r_bm25"))
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      // NOT spread (r16, measured): repartitioning the corpus to parallelize
+      // the cosine shuffles the heavy embedding arrays once to save cheap
+      // per-row math — guide §8's anti-pattern; the matched A/B read +0.035 s.
       val cosTop = emb.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
         .select(col("vec_id"),
           round(VectorOps.cosine(col("embedding"), col("q_vec")), 4).as("cos"))
