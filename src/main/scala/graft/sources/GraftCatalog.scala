@@ -6065,13 +6065,34 @@ object GraftCatalogOps {
         else Some(posSemiJoin(snap(g - 1), dvPairs))
       val delCand = (delFromRemoved.toSeq ++ delFromDv.toSeq)
         .reduceOption(_ unionByName _).map(aligned)
-      val (dels, inss) = (delCand, insCand) match {
-        case (Some(dc), Some(ic)) => (Some(dc.exceptAll(ic)), Some(ic.exceptAll(dc)))
-        case _ => (delCand, insCand)
+      val netted: Seq[DataFrame] = (delCand, insCand) match {
+        case (Some(dc), Some(ic)) =>
+          // Symmetric difference with multiplicity in ONE pass (r16, guide
+          // §2.4): the former dc.exceptAll(ic) / ic.exceptAll(dc) pair
+          // scanned BOTH snapshot subtrees twice each (RewriteExceptAll =
+          // union + two aggregates + generate, per direction — 12 scans in
+          // q_catalog_cdf's plan). One signed-count aggregation yields both
+          // directions: for a distinct row with d delete-side and i
+          // insert-side copies, net = i − d; net < 0 emits d−i deletes,
+          // net > 0 emits i−d inserts, net = 0 (an UPDATE's rewrite-copied
+          // row) cancels — exactly exceptAll's multiset on each side.
+          import org.apache.spark.sql.functions.{abs, explode, sequence, sum, when}
+          val outNames = outCols.map(_._1)
+          val net = dc.withColumn("__side", lit(-1L))
+            .unionByName(ic.withColumn("__side", lit(1L)))
+            .groupBy(outNames.map(col): _*)
+            .agg(sum(col("__side")).as("__net"))
+            .filter(col("__net") =!= 0L)
+          Seq(net
+            .withColumn("_change_type",
+              when(col("__net") < 0L, lit("delete")).otherwise(lit("insert")))
+            .withColumn("__dup", explode(sequence(lit(1L), abs(col("__net")))))
+            .select((outNames.map(col) :+ col("_change_type")): _*))
+        case _ =>
+          delCand.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
+            insCand.map(_.withColumn("_change_type", lit("insert"))).toSeq
       }
-      (dels.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
-        inss.map(_.withColumn("_change_type", lit("insert"))).toSeq)
-        .map(_.withColumn("_commit_version", lit(g)))
+      netted.map(_.withColumn("_commit_version", lit(g)))
     }
     frames.reduceOption(_ unionByName _).getOrElse(
       aligned(snap(toGen)).limit(0)

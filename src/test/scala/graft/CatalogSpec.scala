@@ -2035,6 +2035,26 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("change feed nets duplicate-row multiplicities exactly through a rewrite commit") {
+    import spark.implicits._
+    // Pin of the r16 single-pass netting (one signed-count aggregation
+    // replacing the exceptAll pair): a copy-on-write UPDATE rewrites the
+    // whole file, so the feed sees removed=old file, added=replacement —
+    // verbatim-copied DUPLICATE rows must cancel with their multiplicity,
+    // and changed duplicate rows must emit one delete+insert pair PER COPY.
+    val t = freshTable("cdfdup")
+    Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("id", "s").coalesce(1).writeTo(t).create()               // gen 1
+    spark.sql(s"UPDATE $t SET s = 'u' WHERE id = 2")                 // gen 2
+    val cdf = graft.sources.GraftCatalogOps.changes(spark, t, root, "cdfdup", 1L, 2L)
+    val rows = cdf.select(col("_change_type"), col("id"), col("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows == Map(
+      ("delete", 2L, "b") -> 2,   // both copies of id=2, nothing for id=1
+      ("insert", 2L, "u") -> 2), rows.toString)
+  }
+
   test("crashed CAS writer: a body-less claim never serves reads, never wedges, reaps stale") {
     import graft.sources.GraftManifest
     val t = freshTable("casheal")
