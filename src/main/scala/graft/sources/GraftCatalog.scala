@@ -6009,6 +6009,10 @@ object GraftCatalogOps {
     def aligned(df: DataFrame): DataFrame =
       df.select(outCols.map { case (n, dt) =>
         (if (df.columns.contains(n)) col(n) else lit(null).cast(dt)).as(n) }: _*)
+    // Deliberately NOT memoized per generation (r16, measured): reusing one
+    // analyzed DataFrame across several subtree positions made the consumer
+    // subset +0.7 s (DeduplicateRelations re-aliasing of the shared relation
+    // costs more than the saved re-parses) — fresh spark.sql per leg wins.
     def snap(g: Long): DataFrame =
       spark.sql(s"SELECT *, _file, _pos FROM $tableRef VERSION AS OF $g")
     val frames: Seq[DataFrame] = (fromGen + 1 to toGen).flatMap { g =>
