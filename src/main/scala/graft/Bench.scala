@@ -62,6 +62,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.graft.cacheTables", "true")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Spark's compiled-class cache holds 100 entries (static conf); a
+      // 290-query drive churns thousands of codegen units through it, so
+      // every re-invocation — including best-of-K's second sample — pays
+      // Janino again for an IDENTICAL source. 10k entries ≈ tens of MB of
+      // metaspace; a long-lived production session wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,6 +37,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.graft.cacheTables", "true")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // match Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
